@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Local replay of the driver's correctness gate (SURVEY.md §5.2).
+
+Usage: oracle_check.py <sfDir> <verifyOutDir> [keys...]
+
+Reads <verifyOutDir>/oracle_sql.json, runs each oracle SQL in DuckDB with
+bare table names viewed over <sfDir>/*.parquet, loads the Spark result
+parquet from <verifyOutDir>/<key>/, sorts columns by name on both sides,
+and compares row-by-row for EXACT equality (the driver hash-compares, so
+"close" is not enough). Queries without oracle SQL get a rows>0 check.
+"""
+import sys, os, json, glob, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+
+    result_dirs = sorted(
+        d for d in os.listdir(out_dir)
+        if os.path.isdir(os.path.join(out_dir, d)))
+    failures = []
+    for key in result_dirs:
+        if only and key not in only:
+            continue
+        files = glob.glob(os.path.join(out_dir, key, "*.parquet"))
+        if not files:
+            failures.append((key, "no spark output parquet"))
+            continue
+        spark_rel = con.execute(
+            f"SELECT * FROM read_parquet('{files[0]}')")
+        spark_cols = [c[0] for c in spark_rel.description]
+        spark_rows = spark_rel.fetchall()
+        if key not in oracles:
+            status = "rows-only"
+            ok = len(spark_rows) > 0
+            print(f"[{'OK ' if ok else 'FAIL'}] {key}: {len(spark_rows)} rows ({status})")
+            if not ok:
+                failures.append((key, "0 rows (rows-only check)"))
+            continue
+        try:
+            oracle_rel = con.execute(oracles[key])
+            oracle_cols = [c[0] for c in oracle_rel.description]
+            oracle_rows = oracle_rel.fetchall()
+        except Exception as e:
+            failures.append((key, f"oracle SQL error: {e}"))
+            print(f"[FAIL] {key}: oracle SQL error: {e}")
+            continue
+        if sorted(spark_cols) != sorted(oracle_cols):
+            failures.append((key, f"schema mismatch spark={sorted(spark_cols)} oracle={sorted(oracle_cols)}"))
+            print(f"[FAIL] {key}: schema mismatch\n  spark : {sorted(spark_cols)}\n  oracle: {sorted(oracle_cols)}")
+            continue
+        # reorder both to sorted column order (driver sorts columns by name)
+        sperm = [spark_cols.index(c) for c in sorted(spark_cols)]
+        operm = [oracle_cols.index(c) for c in sorted(oracle_cols)]
+        s_rows = [tuple(norm(r[i]) for i in sperm) for r in spark_rows]
+        o_rows = [tuple(norm(r[i]) for i in operm) for r in oracle_rows]
+        if len(s_rows) != len(o_rows):
+            failures.append((key, f"row count spark={len(s_rows)} oracle={len(o_rows)}"))
+            print(f"[FAIL] {key}: row count spark={len(s_rows)} oracle={len(o_rows)}")
+            continue
+        bad = None
+        for i, (a, b) in enumerate(zip(s_rows, o_rows)):
+            if a != b:
+                bad = (i, a, b)
+                break
+        if bad:
+            failures.append((key, f"first diff at row {bad[0]}"))
+            print(f"[FAIL] {key}: first diff at row {bad[0]}\n  spark : {bad[1]}\n  oracle: {bad[2]}\n  cols  : {sorted(spark_cols)}")
+        else:
+            print(f"[OK ] {key}: {len(s_rows)} rows exact-match")
+
+    missing = [k for k in oracles if k not in result_dirs]
+    for k in missing:
+        if not only or k in only:
+            failures.append((k, "oracle declared but no spark output"))
+            print(f"[FAIL] {k}: oracle declared but no spark output")
+    print(f"\n{len(failures)} failure(s)")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Centralized loaders for the driver-generated parquet tables
+  * (TESTDATA.md / FIXTURES.md). All queries go through here so the
+  * nanos-timestamp fix (FIXTURES.md "GOTCHA") lives in exactly one place.
+  *
+  * Scale note: these are plain `spark.read.parquet` scans — at 100 TB the
+  * same call reads a partitioned directory tree and Catalyst handles
+  * partition pruning / predicate pushdown; nothing here assumes a single
+  * file.
+  */
+object Tables {
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(path(dir, name))
+
+  def region(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** `events` with the nanos `ts` normalized to a micros TimestampType.
+    *
+    * Spark 4.1.2 rejects Parquet TIMESTAMP(NANOS); with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` the column arrives as a
+    * LongType of epoch-nanos. `ts div 1000` is exact integer division
+    * (never a double round-trip — epoch-nanos exceeds a double's 53-bit
+    * mantissa), and the data is microsecond-aligned (verified: 0 rows with
+    * sub-microsecond components), so no precision is lost vs DuckDB's
+    * native TIMESTAMP_NS read.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** `events` with `ts` kept as raw epoch-nanos LongType (for operators
+    * that want integer time arithmetic, e.g. range frames).
+    */
+  def eventsRawTs(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+  }
+}
+
+/** Cross-engine determinism helpers (SURVEY.md §5.4).
+  *
+  * The driver hash-compares our parquet output against DuckDB running the
+  * oracle SQL, so every emitted double must be *bit-identical* across
+  * engines, not merely close. Two disciplines make that true:
+  *
+  *  1. Sums of money-like doubles (fixed 2-decimal values) are computed in
+  *     exact DECIMAL arithmetic and cast to double only at the end — the
+  *     sum is order-independent and both engines convert the same rational
+  *     to the same nearest double.
+  *
+  *  2. Genuine double math (averages, ratios, cosines) is rounded with
+  *     `floor(x*100 + 0.5)/100` instead of engine `round()`: given
+  *     bit-identical inputs this is a fixed IEEE-754 op sequence with one
+  *     answer, whereas `round(double, 2)` differs between Spark
+  *     (BigDecimal of shortest-repr, HALF_UP) and DuckDB on .xx5-printing
+  *     values.
+  */
+object Det {
+  /** Cast a 2-decimal-valued double to exact decimal for summation. */
+  def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Exact sum of money-like doubles, emitted as double. */
+  def sumMoney(c: Column): Column = sum(dec2(c)).cast("double")
+
+  /** Bit-stable 2-decimal rounding of a double (same idiom in oracle SQL:
+    * `floor(x*100 + 0.5)/100`).
+    */
+  def round2(c: Column): Column = floor(c * 100 + lit(0.5)) / 100
+
+  /** Bit-stable 4-decimal rounding (for similarity scores). */
+  def round4(c: Column): Column = floor(c * 10000 + lit(0.5)) / 10000
+}

@@ -1,0 +1,411 @@
+package graft.queries
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core (SURVEY.md §2 groups A, B, C, D, F, G).
+  *
+  * Every query is a declarative DataFrame plan — Catalyst handles
+  * predicate pushdown / column pruning / partial aggregation, and at
+  * cluster scale each groupBy/join shuffles on its keys with AQE
+  * coalescing + skew handling. Hints are used only where the contract
+  * pins a specific physical operator (SHUFFLE_HASH / MERGE / BROADCAST).
+  *
+  * Determinism (SURVEY.md §5.4): explicit ORDER BY on unique key
+  * prefixes, exact-decimal sums for money columns, `Det.round2` for
+  * genuine double math. See graft.Det scaladoc.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ---- A. scans ----
+    "scan_parquet" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(count(lit(1)).as("n_rows"))),
+
+    "scan_events_ns" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .orderBy("event_id")),
+
+    "scan_json_props" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id")),
+
+    // ---- B. projections / filters ----
+    "project_filter" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.03, 0.06) &&
+          col("l_quantity") < 24)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "filter_in_like" -> ((s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_brand").isin("Brand#1", "Brand#7", "Brand#13", "Brand#25") &&
+          col("p_name").like("%re%") &&
+          (col("p_size") <=> 10 || col("p_size") > 40))
+        .select("p_partkey", "p_name", "p_brand", "p_size")
+        .orderBy("p_partkey")),
+
+    // ---- C. joins ----
+    "join_broadcast" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), Det.sumMoney(col("o_totalprice")).as("sum_price"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "join_shuffle_hash" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).hint("SHUFFLE_HASH")
+      val o = Tables.orders(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"), Det.sumMoney(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "join_sort_merge" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).hint("MERGE")
+      val o = Tables.orders(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_lines"), Det.sumMoney(col("l_extendedprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "join_left_outer" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+
+    "join_semi" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    "join_anti" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // Non-equi band join. The probe side is bounded (l_orderkey <= 50 —
+    // a fixed ~200-row slice at any sf) and broadcast, so the
+    // BroadcastNestedLoopJoin stays O(|part| * 200) at every scale.
+    "join_theta_range" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") <= 50)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      val p = Tables.part(s, d).select("p_partkey", "p_retailprice")
+      p.join(broadcast(li),
+          col("p_retailprice") >= col("l_extendedprice") / col("l_quantity") - 5 &&
+          col("p_retailprice") <= col("l_extendedprice") / col("l_quantity") + 5)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("n_parts_in_band"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Flink-style interval join: for each purchase, clicks by the same
+    // user in [ts - 10 min, ts]. Equi on user_id (shuffle key) + range
+    // predicate — at scale this is a partitioned hash join with a
+    // per-user time filter, not a cross product.
+    "join_interval" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      p.join(c, col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("c_ts") <= col("p_ts"), "left_outer")
+        .groupBy("p_id")
+        .agg(count(col("c_id")).as("n_clicks"))
+        .orderBy("p_id")
+    }),
+
+    // As-of join (Flink temporal-join shape): each purchase matched to
+    // the latest click of the same user at-or-before its timestamp.
+    // Composed as bounded left join + row_number (SURVEY §2.C row
+    // `join_asof`); at 100 TB the candidate set would additionally be
+    // bucketed by (user, day) to bound the per-key history scanned.
+    "join_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      val w = Window.partitionBy(col("p_id"))
+        .orderBy(col("c_ts").desc_nulls_last, col("c_id").desc_nulls_last)
+      p.join(c, col("user_id") === col("c_user") && col("c_ts") <= col("p_ts"), "left_outer")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("p_id"), col("user_id"), col("p_ts"),
+          col("c_id").as("matched_click_id"), col("c_ts").as("matched_click_ts"))
+        .orderBy("p_id")
+    }),
+
+    // ---- D. aggregations ----
+    "agg_hash" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      val disc = Det.dec2(col("l_extendedprice")) * (lit(1) - Det.dec2(col("l_discount")))
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(Det.dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          Det.sumMoney(col("l_extendedprice")).as("sum_base_price"),
+          sum(disc).cast("double").as("sum_disc_price"),
+          sum(disc * (lit(1) + Det.dec2(col("l_tax")))).cast("double").as("sum_charge"),
+          Det.round2(sum(Det.dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          Det.round2(sum(Det.dec2(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "agg_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          sum_distinct(col("l_partkey")).as("sum_parts"))
+        .orderBy("l_returnflag")),
+
+    // HLL estimators differ across engines — declared without oracle
+    // (SURVEY §2.D); covered by ScalaTest instead.
+    "agg_approx_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+        .orderBy("event_type")),
+
+    "agg_grouping_sets" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .cube(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          Det.sumMoney(col("o_totalprice")).as("sum_price"),
+          grouping_id().as("gid"))
+        .filter(col("gid") =!= 2) // keep (seg,prio), (seg), () — drop (prio)
+        .select(coalesce(col("c_mktsegment"), lit("ALL")).as("seg"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          col("n_orders"), col("sum_price"))
+        .orderBy("seg", "prio")
+    }),
+
+    "agg_rollup" -> ((s, d) => {
+      val sup = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      sup.join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"), Det.sumMoney(col("s_acctbal")).as("sum_acctbal"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("n_suppliers"), col("sum_acctbal"))
+        .orderBy("region", "nation")
+    }),
+
+    "agg_collect" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(array_sort(collect_list(col("event_type"))).as("types"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")),
+
+    // ---- F. sort / limit ----
+    "sort_limit" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100)),
+
+    // ---- G. set operations ----
+    "set_union" -> ((s, d) =>
+      urgentKeys(s, d).union(richKeys(s, d)).distinct().orderBy("custkey")),
+
+    "set_intersect" -> ((s, d) =>
+      urgentKeys(s, d).intersect(richKeys(s, d)).orderBy("custkey")),
+
+    "set_except" -> ((s, d) =>
+      urgentKeys(s, d).except(richKeys(s, d)).orderBy("custkey"))
+  )
+
+  private def urgentKeys(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("custkey"))
+
+  private def richKeys(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("custkey"))
+
+  // DuckDB oracle SQL. Table names are bare views over the same parquet.
+  // `events.ts` is TIMESTAMP_NS in DuckDB; `ts::TIMESTAMP` truncates to
+  // micros = exactly our Spark-side representation (data verified
+  // micro-aligned). Money sums use exact DECIMAL then cast to double;
+  // double rounding uses the bit-stable floor idiom (see graft.Det).
+  val oracles: Map[String, String] = Map(
+    "scan_parquet" -> "SELECT count(*) AS n_rows FROM lineitem",
+
+    "scan_events_ns" ->
+      """SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "scan_json_props" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "project_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.06 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "filter_in_like" ->
+      """SELECT p_partkey, p_name, p_brand, p_size FROM part
+        |WHERE p_brand IN ('Brand#1','Brand#7','Brand#13','Brand#25')
+        |  AND p_name LIKE '%re%'
+        |  AND (p_size IS NOT DISTINCT FROM 10 OR p_size > 40)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "join_broadcast" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "join_shuffle_hash" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "join_sort_merge" ->
+      """SELECT o_orderstatus, count(*) AS n_lines,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "join_left_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_theta_range" ->
+      """SELECT l_orderkey, l_linenumber, count(*) AS n_parts_in_band
+        |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |      FROM lineitem WHERE l_orderkey <= 50) li
+        |JOIN part ON p_retailprice >= l_extendedprice / l_quantity - 5
+        |         AND p_retailprice <= l_extendedprice / l_quantity + 5
+        |GROUP BY l_orderkey, l_linenumber ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "join_interval" ->
+      """SELECT p.event_id AS p_id, count(c.event_id) AS n_clicks
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+        |GROUP BY p.event_id ORDER BY p_id""".stripMargin,
+
+    "join_asof" ->
+      """SELECT p_id, user_id, p_ts, matched_click_id, matched_click_ts FROM (
+        |  SELECT p.event_id AS p_id, p.user_id, p.ts::TIMESTAMP AS p_ts,
+        |         c.event_id AS matched_click_id, c.ts::TIMESTAMP AS matched_click_ts,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id AND c.ts <= p.ts
+        |) WHERE rn = 1 ORDER BY p_id""".stripMargin,
+
+    "agg_hash" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+        |  floor(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) * 100 + 0.5) / 100 AS avg_qty,
+        |  floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) * 100 + 0.5) / 100 AS avg_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |       sum(DISTINCT l_partkey) AS sum_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS seg,
+        |       coalesce(o_orderpriority, 'ALL') AS prio,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority), (c_mktsegment), ())
+        |ORDER BY seg, prio""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        |       count(*) AS n_suppliers,
+        |       CAST(sum(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |              JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name) ORDER BY region, nation""".stripMargin,
+
+    "agg_collect" ->
+      """SELECT user_id, list(event_type ORDER BY event_type) AS types,
+        |       count(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "set_union" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |UNION
+        |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+        |ORDER BY custkey""".stripMargin,
+
+    "set_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+        |ORDER BY custkey""".stripMargin,
+
+    "set_except" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |EXCEPT
+        |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+        |ORDER BY custkey""".stripMargin
+  )
+}
