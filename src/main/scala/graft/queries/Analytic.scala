@@ -1,0 +1,257 @@
+package graft.queries
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytic (OVER) window functions and the scalar function surface
+  * (SURVEY.md §2 groups E and H).
+  *
+  * Determinism notes:
+  *  - every OVER ordering carries a unique tiebreak except where rank
+  *    semantics over ties are themselves under test (rank/dense_rank);
+  *  - windowed sums over doubles go through exact DECIMAL (DuckDB
+  *    computes window aggregates with segment trees whose fp association
+  *    order differs from a sequential fold);
+  *  - DuckDB output types are cast in the oracle SQL to match Spark's
+  *    (e.g. dayofweek+1 → INTEGER, epoch → BIGINT).
+  */
+object Analytic {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ---- E. window functions ----
+    "win_rank" -> ((s, d) => {
+      val byBal = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val byBalTies = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc)
+      Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+          row_number().over(byBal).as("rn"),
+          rank().over(byBalTies).as("rnk"),
+          dense_rank().over(byBalTies).as("drnk"),
+          ntile(4).over(byBal).as("quartile"))
+        .orderBy("c_nationkey", "c_custkey")
+    }),
+
+    "win_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"),
+          (col("value") - lag(col("value"), 1).over(w)).as("delta_prev"),
+          (lead(col("value"), 1).over(w) - col("value")).as("delta_next"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    "win_running" -> ((s, d) => {
+      val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val last3 = ord.rowsBetween(-2, 0)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          sum(Det.dec2(col("value"))).over(cum).cast("double").as("running_sum"),
+          Det.round2(sum(Det.dec2(col("value"))).over(last3).cast("double") /
+            count(lit(1)).over(last3)).as("avg_last3"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // RANGE frame: per customer, order value in the 30 days preceding
+    // each order. Spark needs a numeric range key → epoch seconds.
+    "win_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30L * 86400, 0)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          count(lit(1)).over(w).as("n_30d"),
+          sum(Det.dec2(col("o_totalprice"))).over(w).cast("double").as("sum_30d"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "topk_per_group" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .orderBy("c_mktsegment", "rnk")
+    }),
+
+    // ---- H. scalar function families ----
+    "fn_string" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          trim(concat(lit("  "), col("p_name"), lit("  "))).as("tr"),
+          substring(col("p_name"), 1, 5).as("sub5"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("cw"),
+          element_at(split(col("p_name"), " "), 1).as("w0"),
+          regexp_extract(col("p_name"), "([a-z]+)", 1).as("re1"),
+          length(col("p_name")).as("len"),
+          levenshtein(col("p_name"), lit("red widget")).as("lev"))
+        .orderBy("p_partkey")),
+
+    "fn_date" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          datediff(lit("2002-01-01").cast("date"), col("o_orderdate")).as("days_to_2002"),
+          date_add(col("o_orderdate"), 30).as("plus30"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"),
+          date_trunc("month", col("o_orderdate")).as("month_start"))
+        .orderBy("o_orderkey")),
+
+    "fn_math" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          floor(col("l_extendedprice")).as("fl"),
+          ceil(col("l_extendedprice")).as("ce"),
+          abs(col("l_quantity") - 25).as("ab"),
+          pow(lit(2), col("l_linenumber")).as("pw"),
+          Det.round2(sqrt(col("l_quantity"))).as("sq"),
+          Det.round2(log(col("l_quantity"))).as("lg"),
+          pmod(col("l_partkey"), lit(7)).as("md"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "fn_array" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          size(col("embedding")).as("n"),
+          Det.round4(expr(
+            "aggregate(embedding, 0D, (acc, x) -> acc + cast(x as double))")).as("vsum"),
+          expr("size(filter(embedding, x -> x > 0))").as("npos"),
+          expr("transform(slice(embedding, 1, 3), x -> cast(x as double))").as("first3"),
+          Det.round4(expr(
+            "aggregate(zip_with(embedding, embedding, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, x) -> acc + x)")).as("dot_self"))
+        .orderBy("vec_id")),
+
+    "fn_map" -> ((s, d) => {
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      Tables.events(s, d)
+        .select(col("event_id"), map(lit("k"), k).as("m"))
+        .select(col("event_id"),
+          map_keys(col("m")).as("mkeys"),
+          map_values(col("m")).as("mvals"))
+        .orderBy("event_id")
+    }),
+
+    "fn_json" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"),
+          to_json(from_json(col("props"), lit("k INT"))).as("roundtrip"))
+        .orderBy("event_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "win_rank" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        |  row_number() OVER wtb AS rn,
+        |  CAST(rank() OVER wt AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER wt AS BIGINT) AS drnk,
+        |  CAST(ntile(4) OVER wtb AS INTEGER) AS quartile
+        |FROM customer
+        |WINDOW wtb AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey),
+        |       wt  AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
+
+    "win_lag_lead" ->
+      """SELECT user_id, event_id, value,
+        |  value - lag(value, 1) OVER w AS delta_prev,
+        |  lead(value, 1) OVER w - value AS delta_next
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "win_running" ->
+      """SELECT user_id, event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) OVER cum AS DOUBLE) AS running_sum,
+        |  floor(CAST(sum(CAST(value AS DECIMAL(12,2))) OVER l3 AS DOUBLE)
+        |        / count(*) OVER l3 * 100 + 0.5) / 100 AS avg_last3
+        |FROM events
+        |WINDOW cum AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS UNBOUNDED PRECEDING),
+        |       l3  AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "win_range_frame" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  count(*) OVER w AS n_30d,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "topk_per_group" ->
+      """SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |) WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin,
+
+    "fn_string" ->
+      """SELECT p_partkey, upper(p_name) AS up,
+        |  trim('  ' || p_name || '  ') AS tr,
+        |  substring(p_name, 1, 5) AS sub5,
+        |  p_brand || '|' || p_type AS cw,
+        |  str_split(p_name, ' ')[1] AS w0,
+        |  regexp_extract(p_name, '([a-z]+)', 1) AS re1,
+        |  CAST(length(p_name) AS INTEGER) AS len,
+        |  CAST(levenshtein(p_name, 'red widget') AS INTEGER) AS lev
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "fn_date" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        |  CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS INTEGER) AS days_to_2002,
+        |  (o_orderdate + INTERVAL 30 DAY)::DATE AS plus30,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        |  date_trunc('month', o_orderdate)::TIMESTAMP AS month_start
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+        |  abs(l_quantity - 25) AS ab,
+        |  power(2, l_linenumber) AS pw,
+        |  floor(sqrt(l_quantity) * 100 + 0.5) / 100 AS sq,
+        |  floor(ln(l_quantity) * 100 + 0.5) / 100 AS lg,
+        |  l_partkey % 7 AS md
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "fn_array" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INTEGER) AS n,
+        |  floor(list_aggregate(list_transform(embedding, x -> x::DOUBLE), 'sum')
+        |        * 10000 + 0.5) / 10000 AS vsum,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS npos,
+        |  list_transform(embedding[1:3], x -> x::DOUBLE) AS first3,
+        |  floor(list_aggregate(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum')
+        |        * 10000 + 0.5) / 10000 AS dot_self
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "fn_map" ->
+      """SELECT event_id,
+        |  map_keys(map(['k'], [CAST(json_extract_string(props, '$.k') AS INTEGER)])) AS mkeys,
+        |  map_values(map(['k'], [CAST(json_extract_string(props, '$.k') AS INTEGER)])) AS mvals
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "fn_json" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |  to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS INTEGER))) AS roundtrip
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}
