@@ -16,12 +16,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ EventTime.queries ++ Analytic.queries ++ Pipeline.queries
+    Relational.queries ++ EventTime.queries ++ Analytic.queries ++
+      Pipeline.queries ++ Streaming.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (approx/streaming/ANN) → driver records a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ EventTime.oracles ++ Analytic.oracles ++ Pipeline.oracles
+    Relational.oracles ++ EventTime.oracles ++ Analytic.oracles ++
+      Pipeline.oracles ++ Streaming.oracles
 }

@@ -1,0 +1,75 @@
+package graft.queries
+
+import graft.Tables
+import graft.streaming.{Ev, StreamOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declared query entries for the streaming-stateful operators
+  * (SURVEY.md §2.J). Per the contract decision in SURVEY §2 (group J
+  * note), each entry returns the batch-equivalent DataFrame — the SAME
+  * StreamOps transformation applied to the batch source — while streaming
+  * execution (readStream / MemoryStream, watermarks, timers) is covered
+  * by the ScalaTest streaming suite. Where the batch equivalent is
+  * order-free SQL, an oracle is declared too.
+  */
+object Streaming {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "stream_tumbling_append" -> ((s, d) =>
+      StreamOps.tumblingAgg(Tables.events(s, d))
+        .orderBy("window_start", "event_type")),
+
+    "stream_dedup_watermark" -> ((s, d) =>
+      StreamOps.dedupByEventId(Tables.events(s, d))
+        .orderBy("event_type")),
+
+    "stream_custom_trigger" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Ev]
+      StreamOps.customTrigger(ev, earlyEvery = 5, streaming = false)
+        .toDF()
+        .orderBy("user_id")
+    }),
+
+    "stream_interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      StreamOps.intervalJoinPairs(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"))
+        .orderBy("p_id", "c_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stream_tumbling_append" ->
+      """SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start,
+        |       (date_trunc('hour', ts) + INTERVAL 1 HOUR)::TIMESTAMP AS window_end,
+        |       event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
+
+    "stream_dedup_watermark" ->
+      """SELECT event_type, count(*) AS n_events FROM (
+        |  SELECT DISTINCT ON (event_id) event_id, event_type FROM events
+        |) GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "stream_custom_trigger" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+        |       'final' AS emit_kind
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "stream_interval_join" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+        |ORDER BY p_id, c_id""".stripMargin
+  )
+}

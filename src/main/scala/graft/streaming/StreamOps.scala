@@ -1,0 +1,137 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+import graft.Det
+
+/** Event row after ts normalization (micros timestamp). */
+case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+/** Early/final emission from the custom-trigger operator. */
+case class UserEmit(user_id: Long, n_events: Long, sum_value: Double, emit_kind: String)
+
+private case class UserAgg(n_events: Long, sum_cents: Long, max_ts_ms: Long)
+
+/** Streaming-stateful operators (SURVEY.md §2.J) — Flink's
+  * KeyedProcessFunction / Trigger / interval-join surface re-expressed on
+  * Structured Streaming. Every transformation here accepts either a batch
+  * or a streaming DataFrame: the plan algebra is identical, only the
+  * source differs (SURVEY §3.3). Event-time semantic deltas vs Flink are
+  * documented per operator.
+  */
+object StreamOps {
+
+  /** Raw schema of the events parquet (ts as epoch-nanos long — requires
+    * spark.sql.legacy.parquet.nanosAsLong=true on the session).
+    */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** `events` as an unbounded stream from the parquet path, ts normalized
+    * exactly like Tables.events.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet") // the source wants a directory
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** 1 h tumbling event-time aggregation with a 10 min watermark.
+    * Streaming: append mode, a window emits once the watermark passes its
+    * end (Spark has no allowedLateness — the watermark delay IS the
+    * lateness bound). Batch: watermark is a no-op, result equals the
+    * wnd_tumbling query.
+    */
+  def tumblingAgg(ev: DataFrame): DataFrame =
+    ev.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Det.sumMoney(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Drop duplicate event_ids. Streaming: state retention bounded by the
+    * watermark horizon (Flink SQL dedup's proctime ROW_NUMBER()=1
+    * equivalent). Batch: plain dropDuplicates (same result on replay).
+    */
+  def dedupByEventId(ev: DataFrame): DataFrame = {
+    val deduped =
+      if (ev.isStreaming)
+        ev.withWatermark("ts", "10 minutes")
+          .dropDuplicatesWithinWatermark(Seq("event_id"))
+      else ev.dropDuplicates(Seq("event_id"))
+    deduped.groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+  }
+
+  /** Per-user running aggregate with Flink-style custom trigger surface:
+    * early emission every `earlyEvery` events and an event-time
+    * inactivity timeout (30 min past the user's last event) that emits
+    * the final snapshot and clears state.
+    *
+    * `streaming=false` (batch replay): one invocation sees the whole
+    * group; only the order-independent final row is emitted (count +
+    * exact cent sum — iterator order is nondeterministic in batch, so
+    * nothing order-sensitive may be emitted). Early emission is
+    * inherently a streaming trigger concept (Flink Trigger/onTimer) and
+    * is exercised by the streaming test suite.
+    */
+  def customTrigger(ev: Dataset[Ev], earlyEvery: Int, streaming: Boolean): Dataset[UserEmit] = {
+    import ev.sparkSession.implicits._
+    val src = if (streaming) ev.withWatermark("ts", "10 minutes") else ev
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserAgg, UserEmit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, events: Iterator[Ev], state: GroupState[UserAgg]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator(UserEmit(user, st.n_events, st.sum_cents / 100.0, "timeout"))
+          } else {
+            var st = state.getOption.getOrElse(UserAgg(0L, 0L, Long.MinValue))
+            val out = scala.collection.mutable.ArrayBuffer.empty[UserEmit]
+            events.foreach { e =>
+              st = UserAgg(st.n_events + 1,
+                st.sum_cents + math.round(e.value * 100),
+                math.max(st.max_ts_ms, e.ts.getTime))
+              if (streaming && st.n_events % earlyEvery == 0)
+                out += UserEmit(user, st.n_events, st.sum_cents / 100.0, "early")
+            }
+            state.update(st)
+            if (streaming) {
+              state.setTimeoutTimestamp(st.max_ts_ms + 30 * 60 * 1000L)
+              out.iterator
+            } else {
+              state.remove()
+              Iterator(UserEmit(user, st.n_events, st.sum_cents / 100.0, "final"))
+            }
+          }
+      }
+  }
+
+  /** Interval join (Flink KeyedStream.intervalJoin between(-10 min, 0)):
+    * for each purchase, clicks of the same user in [ts-10min, ts].
+    * Streaming: stream-stream inner join; the range condition plus both
+    * watermarks bound state retention on each side. Batch: identical
+    * plan, no state.
+    */
+  def intervalJoinPairs(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p0 = purchases.select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+      col("ts").as("p_ts"))
+    val c0 = clicks.select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+      col("ts").as("c_ts"))
+    val (p, c) =
+      if (purchases.isStreaming)
+        (p0.withWatermark("p_ts", "10 minutes"), c0.withWatermark("c_ts", "20 minutes"))
+      else (p0, c0)
+    p.join(c, col("p_user") === col("c_user") &&
+      col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+      col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("c_id"), col("p_user").as("user_id"))
+  }
+}

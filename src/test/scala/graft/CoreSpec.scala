@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+/** Smoke + invariants across the whole declared surface on sf0.001. */
+class CoreSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("entry returns rows on sf0.001 (driver t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs and returns rows on sf0.001") {
+    val empty = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val n = fn(spark, sf001).count()
+      if (n == 0) Some(name) else None
+    }
+    assert(empty.isEmpty, s"queries with 0 rows: $empty")
+  }
+
+  test("every oracle key has a matching query key") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle without query: $orphans")
+  }
+
+  test("pane-based two-level aggregation is identical to direct sliding windows") {
+    val direct = SparkEntry.queries("wnd_sliding")(spark, sf001).collect().toSeq
+    val paned = SparkEntry.queries("wnd_pane_twolevel")(spark, sf001).collect().toSeq
+    assert(direct == paned)
+  }
+
+  test("sliding windows: each window spans 6h, starts on the 30-min grid, contains its events") {
+    val rows = SparkEntry.queries("wnd_sliding")(spark, sf001)
+      .select("window_start", "window_end").distinct()
+      .as[(Timestamp, Timestamp)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (s, e) =>
+      assert(e.getTime - s.getTime == 6L * 3600 * 1000)
+      assert(s.getTime % (30L * 60 * 1000) == 0)
+    }
+  }
+
+  test("session windows: per-user sessions are disjoint and gap-separated") {
+    val sess = SparkEntry.queries("wnd_session")(spark, sf001)
+      .select("user_id", "session_start", "session_end")
+      .as[(Long, Timestamp, Timestamp)].collect()
+      .groupBy(_._1)
+    sess.foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_._2.getTime)
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1), (_, s2, _)) =>
+          assert(s2.getTime >= e1.getTime,
+            s"sessions overlap/violate gap: end=$e1 next_start=$s2")
+        case _ =>
+      }
+    }
+  }
+
+  test("set operations obey set algebra on the key domain") {
+    val u = SparkEntry.queries("set_union")(spark, sf001).as[Long].collect().toSet
+    val i = SparkEntry.queries("set_intersect")(spark, sf001).as[Long].collect().toSet
+    val e = SparkEntry.queries("set_except")(spark, sf001).as[Long].collect().toSet
+    assert(i.subsetOf(u) && e.subsetOf(u) && (i & e).isEmpty)
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Pipeline
+
+/** Property checks for the LLM-pipeline operators that have no DuckDB
+  * oracle (SURVEY.md §5.3): LSH recall vs exact ground truth, ANN recall
+  * vs brute force, dedup idempotence, SimHash signature sanity.
+  */
+class PipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Exact global near-dup "dominated" set (any doc that has a smaller
+    * near-dup partner at token-Jaccard >= 0.7) — brute force all pairs,
+    * feasible at sf0.001 (500 docs).
+    */
+  private lazy val exactDominated: Set[Long] = {
+    val t = Tables.documents(spark, sf001)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    val a = t.select(col("doc_id").as("da"), col("toks").as("ta"))
+    val b = t.select(col("doc_id").as("db"), col("toks").as("tb"))
+    a.join(b, col("da") < col("db"))
+      .withColumn("ni", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("jac", col("ni").cast("double") / (size(col("ta")) + size(col("tb")) - col("ni")))
+      .filter(col("jac") >= 0.7)
+      .select(col("db")).distinct().as[Long].collect().toSet
+  }
+
+  test("minhash LSH survivors: high recall of the exact dominated set") {
+    val survivors = Pipeline.queries("dedup_minhash")(spark, sf001)
+      .as[Long].collect().toSet
+    val all = Tables.documents(spark, sf001).select("doc_id").as[Long].collect().toSet
+    val lshDominated = all -- survivors
+    // every LSH-dominated doc must truly be dominated (precision = 1: the
+    // Jaccard verification step is exact)
+    assert(lshDominated.subsetOf(exactDominated),
+      s"false positives: ${lshDominated -- exactDominated}")
+    val recall = lshDominated.size.toDouble / exactDominated.size
+    assert(recall >= 0.9, s"LSH recall $recall < 0.9 " +
+      s"(found ${lshDominated.size} of ${exactDominated.size})")
+  }
+
+  test("ANN partitioned search: recall@5 vs brute force") {
+    val brute = Pipeline.queries("sim_cosine_topk")(spark, sf001)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = Pipeline.queries("sim_ann_partitioned")(spark, sf001)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (ann & brute).size.toDouble / brute.size
+    info(s"ANN recall@5 = $recall")
+    assert(recall >= 0.2, s"ANN recall $recall unreasonably low")
+    assert(ann.size == brute.size, "ANN must return the same top-k shape")
+  }
+
+  test("dedup_exact is idempotent and survivors are minimal doc_ids") {
+    val out = Pipeline.queries("dedup_exact")(spark, sf001)
+    val n = out.count()
+    assert(n > 0 && n <= Tables.documents(spark, sf001).count())
+    // survivors are min-per-hash: re-running dedup over survivors changes nothing
+    val hashes = out.select("h").distinct().count()
+    assert(hashes == n, "one survivor per distinct content hash")
+  }
+
+  test("simhash pairs: symmetric-free (a<b), bounded hamming, plausible volume") {
+    val pairs = Pipeline.queries("dedup_simhash")(spark, sf001)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.nonEmpty, "expected near-dup simhash pairs on a 41%-near-dup corpus")
+    assert(pairs.forall { case (a, b, h) => a < b && h >= 0 && h <= 12 })
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.streaming.{Ev, StreamOps}
+
+/** Streaming execution of the §2.J operators via MemoryStream and the
+  * parquet file source — watermark dropping, dedup-within-watermark,
+  * custom-trigger early/timeout emission, stream-stream interval join,
+  * and batch-vs-streaming equivalence of the tumbling aggregation.
+  */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def drain(q: StreamingQuery): Unit = { q.processAllAvailable(); q.stop() }
+
+  test("tumbling agg (append): watermark closes windows; late events dropped") {
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.tumblingAgg(ms.toDF())
+      .writeStream.format("memory").queryName("tumb").outputMode("append").start()
+    // two events in the 10:00 window
+    ms.addData(
+      Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 10:20:00"), 1, "click", 2.0))
+    q.processAllAvailable()
+    // advance watermark well past 11:00 (wm = 13:00 - 10 min)
+    ms.addData(Ev(3, ts("2024-01-01 13:00:00"), 1, "view", 1.0))
+    q.processAllAvailable()
+    // late event for the already-closed 10:00 window must be dropped
+    ms.addData(Ev(4, ts("2024-01-01 10:30:00"), 1, "click", 99.0))
+    // one more watermark advance so any (incorrect) state would flush
+    ms.addData(Ev(5, ts("2024-01-01 15:00:00"), 1, "view", 1.0))
+    drain(q)
+    val rows = spark.table("tumb")
+      .select("window_start", "event_type", "n_events", "sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(rows.contains((ts("2024-01-01 10:00:00"), "click", 2L, 3.0)),
+      s"10:00 click window should hold the 2 on-time events only; got $rows")
+    assert(!rows.exists { case (w, t, n, v) => t == "click" && v == 99.0 || n == 3 },
+      s"late event leaked into a closed window: $rows")
+  }
+
+  test("dedup within watermark drops duplicate event_ids") {
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.dedupByEventId(ms.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("complete").start()
+    ms.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0), // same-batch dup
+      Ev(2, ts("2024-01-01 10:01:00"), 1, "view", 1.0))
+    q.processAllAvailable()
+    ms.addData(Ev(1, ts("2024-01-01 10:02:00"), 1, "click", 1.0)) // cross-batch dup
+    drain(q)
+    val m = spark.table("dedup").as[(String, Long)].collect().toMap
+    assert(m == Map("click" -> 1L, "view" -> 1L), s"got $m")
+  }
+
+  test("custom trigger: early emit every 2 events, timeout emits final") {
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.customTrigger(ms.toDS(), earlyEvery = 2, streaming = true)
+      .writeStream.format("memory").queryName("trig").outputMode("append").start()
+    ms.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 7, "click", 1.25),
+      Ev(2, ts("2024-01-01 10:01:00"), 7, "click", 2.50))
+    q.processAllAvailable()
+    // other-user event far ahead: watermark jumps past 10:01 + 30 min
+    ms.addData(Ev(3, ts("2024-01-01 12:00:00"), 8, "view", 1.0))
+    q.processAllAvailable()
+    // timeouts fire while processing the NEXT batch after the watermark advanced
+    ms.addData(Ev(4, ts("2024-01-01 12:30:00"), 8, "view", 1.0))
+    drain(q)
+    val rows = spark.table("trig").as[(Long, Long, Double, String)].collect().toSet
+    assert(rows.contains((7L, 2L, 3.75, "early")), s"missing early emit: $rows")
+    assert(rows.contains((7L, 2L, 3.75, "timeout")), s"missing timeout emit: $rows")
+  }
+
+  test("stream-stream interval join emits purchase-click pairs in [-10min, 0]") {
+    val mp = MemoryStream[Ev]
+    val mc = MemoryStream[Ev]
+    val q = StreamOps.intervalJoinPairs(mp.toDF(), mc.toDF())
+      .writeStream.format("memory").queryName("ij").outputMode("append").start()
+    mc.addData(
+      Ev(10, ts("2024-01-01 10:00:00"), 1, "click", 1.0),  // in window
+      Ev(11, ts("2024-01-01 09:45:00"), 1, "click", 1.0),  // too early
+      Ev(12, ts("2024-01-01 10:06:00"), 2, "click", 1.0))  // other user
+    mp.addData(Ev(20, ts("2024-01-01 10:05:00"), 1, "purchase", 5.0))
+    drain(q)
+    val pairs = spark.table("ij").select("p_id", "c_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((20L, 10L)), s"got $pairs")
+  }
+
+  test("batch and streaming tumbling agg agree on full replay (complete mode)") {
+    val streamed = StreamOps.tumblingAgg(StreamOps.eventsStream(spark, sf001))
+    val q = streamed.writeStream.format("memory").queryName("replay")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("replay").collect().toSet
+    val want = StreamOps.tumblingAgg(Tables.events(spark, sf001)).collect().toSet
+    assert(got == want,
+      s"stream/batch divergence: stream=${got.size} rows, batch=${want.size} rows")
+  }
+}
