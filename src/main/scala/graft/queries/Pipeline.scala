@@ -78,26 +78,37 @@ object Pipeline {
     // ScalaTest suite asserts recall against dedup_ngram_jaccard.
     "dedup_minhash" -> ((s, d) => {
       val t = toked(s, d).filter(size(col("tk")) >= 3)
+        .withColumn("toksh", expr("transform(toks, t -> xxhash64(t))"))
       val sig = t.withColumn("sig",
           expr("""transform(sequence(0, 63), i ->
                  |  aggregate(toks, 9223372036854775807L,
                  |            (m, sh) -> least(m, xxhash64(concat(sh, '|', cast(i as string))))))""".stripMargin))
-        .select(col("doc_id"), col("toks"), col("sig"))
-      val bands = sig.select(col("doc_id"), col("toks"),
+        .select(col("doc_id"), col("sig"))
+      val bands = sig.select(col("doc_id"),
           explode(expr(
             """transform(sequence(0, 15), b ->
               |  struct(b as band, concat_ws(',', transform(slice(sig, b * 4 + 1, 4), x -> cast(x as string))) as bkey))""".stripMargin)).as("bb"))
-        .select(col("doc_id"), col("toks"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-      val l = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"), col("toks").as("toks_a"))
-      val r = bands.select(col("band").as("band_b"), col("bkey").as("bkey_b"),
-        col("doc_id").as("doc_b"), col("toks").as("toks_b"))
-      val dominated = l
-        .join(r, col("band") === col("band_b") && col("bkey") === col("bkey_b") &&
-          col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "toks_a", "toks_b").distinct()
-        .withColumn("ninter", size(array_intersect(col("toks_a"), col("toks_b"))))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      // Candidate generation via STAR REDUCTION: each doc is paired only
+      // with the minimum doc_id of its bucket — k-1 pairs per bucket
+      // instead of k^2/2. On this corpus near-dup clusters reach ~1000
+      // docs, so a full bucket self-join is quadratic inside single
+      // buckets (measured 273 s at sf0.1; this shape runs in seconds) and
+      // catastrophically skewed at 100 TB. With 16 bands every doc gets
+      // 16 independent star checks, so dominated-set recall stays ~1
+      // (asserted >= 0.9 by PipelineSpec). Pairs are bare ID pairs;
+      // hashed token sets are re-attached afterwards (AQE broadcasts the
+      // doc side locally, shuffle-joins at scale).
+      val bmin = bands.groupBy("band", "bkey").agg(min(col("doc_id")).as("doc_a"))
+      val cand = bands.join(bmin, Seq("band", "bkey"))
+        .filter(col("doc_id") > col("doc_a"))
+        .select(col("doc_a"), col("doc_id").as("doc_b")).distinct()
+      val ta = t.select(col("doc_id").as("doc_a"), col("toksh").as("ha"), size(col("toks")).as("na"))
+      val tb = t.select(col("doc_id").as("doc_b"), col("toksh").as("hb"), size(col("toks")).as("nb"))
+      val dominated = cand.join(ta, "doc_a").join(tb, "doc_b")
+        .withColumn("ninter", size(array_intersect(col("ha"), col("hb"))))
         .withColumn("jac", col("ninter").cast("double") /
-          (size(col("toks_a")) + size(col("toks_b")) - col("ninter")))
+          (col("na") + col("nb") - col("ninter")))
         .filter(col("jac") >= 0.7)
         .select(col("doc_b").as("doc_id")).distinct()
       // Survivors (greedy min-id representative): every doc that is not
@@ -110,32 +121,36 @@ object Pipeline {
 
     // SimHash near-dup: 64-bit signature (majority vote per bit over
     // token hashes), 4 x 16-bit band buckets for candidates, exact
-    // hamming distance <= 12 verification via bit_count(xor). Bitwise ops
-    // only — no overflow. No oracle (hash-function specific); ScalaTest
-    // asserts signature properties + pair plausibility.
+    // hamming distance <= 12 verification via bit_count(xor), emitting
+    // greedy min-id survivors. Bitwise ops only — no overflow. No oracle
+    // (hash-function specific); ScalaTest asserts survivor properties.
     "dedup_simhash" -> ((s, d) => {
       val t = toked(s, d)
+        .withColumn("toksh", expr("transform(toks, tok -> xxhash64(tok))"))
       val sig = t.withColumn("sig",
           expr("""aggregate(sequence(0, 63), 0L, (acc, k) ->
-                 |  acc + shiftleft(CASE WHEN aggregate(toks, 0L,
-                 |        (a, tok) -> a + CASE WHEN (shiftright(xxhash64(tok), k) & 1) = 1
-                 |                            THEN 1L ELSE -1L END) >= 0L
+                 |  acc + shiftleft(CASE WHEN aggregate(toksh, 0L,
+                 |        (a, h) -> a + CASE WHEN (shiftright(h, k) & 1) = 1
+                 |                           THEN 1L ELSE -1L END) >= 0L
                  |      THEN 1L ELSE 0L END, k))""".stripMargin))
         .select(col("doc_id"), col("sig"))
       val bands = sig.select(col("doc_id"), col("sig"),
           explode(expr(
             "transform(sequence(0, 3), b -> struct(b as band, shiftright(sig, b * 16) & 65535 as bkey))")).as("bb"))
         .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-      val l = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-      val r = bands.select(col("band").as("band_b"), col("bkey").as("bkey_b"),
-        col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-      l.join(r, col("band") === col("band_b") && col("bkey") === col("bkey_b") &&
-          col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+      // Star reduction, same rationale as dedup_minhash: bucket self-join
+      // is quadratic inside the giant near-dup clusters of this corpus.
+      val bmin = bands.groupBy("band", "bkey").agg(min(col("doc_id")).as("doc_a"))
+      val dominated = bands.join(bmin, Seq("band", "bkey"))
+        .filter(col("doc_id") > col("doc_a"))
+        .select(col("doc_a"), col("doc_id").as("doc_b")).distinct()
+        .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
         .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
         .filter(col("hamming") <= 12)
-        .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
+        .select(col("doc_b").as("doc_id")).distinct()
+      t.select("doc_id").join(dominated, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
     }),
 
     // Embedding-cosine near-dup, blocked by label (cluster id) — the
