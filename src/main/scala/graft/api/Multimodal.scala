@@ -1,0 +1,55 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Deterministic per-item features extracted from an opaque media
+  * payload. `n_bytes`/`first_byte`/`byte_fp` are byte-level stats the
+  * stub decoder produces; a real decoder would append modality features
+  * (pixels, spectrogram stats, ...) in the same row shape.
+  */
+case class MediaFeatures(doc_id: Long, n_bytes: Int, first_byte: Int, byte_fp: Long)
+
+/** Multimodal columns: media as opaque `binary` + typed metadata in a
+  * struct column, with decode/feature-extraction as a partition-wise
+  * operator.
+  *
+  * The decode step is a STUB (image/audio libraries are not in this
+  * container): it computes deterministic byte-level statistics instead of
+  * pixel/audio features. The Spark-side plumbing is the real thing —
+  * binary column through parquet, typed Dataset, mapPartitions batch
+  * shape (one decoder instance per partition, the same structure a JNI or
+  * Python-worker decoder needs), schema'd output.
+  */
+object Multimodal {
+
+  /** Pack media + metadata into a single struct column `m` (parquet
+    * keeps nested columns separately — nested pruning works).
+    */
+  def pack(df: DataFrame, payloadFrom: String, metaCols: Seq[String]): DataFrame =
+    df.select(struct(metaCols.map(col) :+
+      col(payloadFrom).cast("binary").as("payload"): _*).as("m"))
+
+  /** Partition-wise "decode" + feature extraction over (id, payload).
+    *
+    * mapPartitions — not a per-row UDF — so a real decoder could
+    * amortize model/codec initialization once per partition and process
+    * items in batches. The stub features are deterministic byte stats,
+    * so the operator is oracle-verifiable end to end.
+    */
+  def decodeFeatures(df: DataFrame, idCol: String, payloadCol: String): Dataset[MediaFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // >>> STUB DECODER <<<  (real impl: init codec/model HERE, once
+        // per partition, then decode each payload)
+        it.map { case (id, bytes) =>
+          val fp = bytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+          MediaFeatures(id, bytes.length,
+            if (bytes.nonEmpty) bytes(0) & 0xff else -1, fp)
+        }
+      }
+  }
+}

@@ -1,0 +1,106 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Det
+
+/** Text analysis for training-data pipelines: corpus stats, TF-IDF,
+  * language-ID, quality scoring, token counting, fingerprinting. All
+  * arithmetic follows the Det discipline so results are bit-stable.
+  */
+object TextOps {
+
+  /** Per-group corpus stats: doc count, avg chars, token totals,
+    * type/token ratio, top term (count desc, term asc).
+    */
+  def stats(df: DataFrame, textCol: String, charsCol: String,
+            groupCols: Seq[String]): DataFrame = {
+    val docs = df.withColumn("tk", split(col(textCol), " "))
+    val gc = groupCols.map(col)
+    val base = docs.groupBy(gc: _*)
+      .agg(count(lit(1)).as("n_docs"), sum(col(charsCol)).as("totchars"),
+        sum(size(col("tk"))).as("n_tokens"))
+    val tc = docs.select(gc :+ explode(col("tk")).as("term"): _*)
+      .groupBy(groupCols.head, groupCols.tail :+ "term": _*).agg(count(lit(1)).as("cnt"))
+    val nterms = tc.groupBy(gc: _*).agg(count(lit(1)).as("n_terms"))
+    val wt = Window.partitionBy(gc: _*).orderBy(col("cnt").desc, col("term"))
+    val top = tc.withColumn("rn", row_number().over(wt)).filter(col("rn") === 1)
+      .select(gc :+ col("term").as("top_term"): _*)
+    base.join(nterms, groupCols).join(top, groupCols)
+      .select(gc ++ Seq(col("n_docs"),
+        Det.round2(col("totchars").cast("double") / col("n_docs")).as("avg_chars"),
+        col("n_tokens"), col("n_terms"),
+        Det.round4(col("n_terms").cast("double") / col("n_tokens")).as("ttr"),
+        col("top_term")): _*)
+  }
+
+  /** Top-`topN` TF-IDF terms per document (tf = raw count,
+    * idf = ln(N/df), tiebreak term asc).
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, topN: Int): DataFrame = {
+    val tf = df.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("nd"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    tf.join(dfx, "term").crossJoin(broadcast(n))
+      .withColumn("score", col("tf").cast("double") * log(col("nd").cast("double") / col("df")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topN)
+      .select(col(idCol), col("rnk"), col("term"), col("score"))
+  }
+
+  /** Stopword-profile language-ID: hit ratio per language marker set,
+    * argmax with a fixed tie order.
+    */
+  def langId(df: DataFrame, textCol: String,
+             profiles: Seq[(String, Seq[String])]): DataFrame = {
+    val t = df.withColumn("tk", split(col(textCol), " "))
+    val scored = profiles.foldLeft(t) { case (acc, (lang, words)) =>
+      val arr = words.map(w => s"'$w'").mkString(",")
+      acc.withColumn(s"s_$lang",
+        expr(s"size(filter(tk, t -> array_contains(array($arr), t)))").cast("double") /
+          size(col("tk")))
+    }
+    val pred = profiles.map(_._1).init.zipWithIndex.foldRight(lit(profiles.last._1)) {
+      case ((lang, i), els) =>
+        val rest = profiles.map(_._1).drop(i + 1).map(l => col(s"s_$l"))
+        when(col(s"s_$lang") >= (if (rest.size == 1) rest.head else greatest(rest: _*)), lang)
+          .otherwise(els)
+    }
+    scored.withColumn("pred_lang", pred)
+  }
+
+  /** Quality scoring: token stats, stopword + alpha ratios, and a
+    * fixed-formula composite in [0, 1].
+    */
+  def quality(df: DataFrame, textCol: String, stopwords: Seq[String]): DataFrame = {
+    val arr = stopwords.map(w => s"'$w'").mkString(",")
+    df.withColumn("tk", split(col(textCol), " "))
+      .withColumn("n_tok", size(col("tk")))
+      .withColumn("sumlen", expr("aggregate(tk, 0L, (a, t) -> a + length(t))"))
+      .withColumn("nstop", expr(s"size(filter(tk, t -> array_contains(array($arr), t)))"))
+      .withColumn("alpha", length(regexp_replace(col(textCol), "[^a-z]", "")))
+      .withColumn("stop_ratio", col("nstop").cast("double") / col("n_tok"))
+      .withColumn("alpha_ratio", col("alpha").cast("double") / length(col(textCol)))
+      .withColumn("score",
+        least(lit(1.0), col("n_tok") / lit(100.0)) * 0.4 +
+          col("stop_ratio") * 0.3 + col("alpha_ratio") * 0.3)
+  }
+
+  /** Whitespace tokens, alpha char count, and a chars/4 BPE-ish token
+    * estimate.
+    */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_ws", size(split(col(textCol), " ")))
+      .withColumn("n_alpha", length(regexp_replace(col(textCol), "[^a-z]", "")))
+      .withColumn("approx_bpe", ceil(col("n_alpha") / lit(4.0)))
+
+  /** Order-sensitive rolling-hash fingerprint over tokens (polynomial
+    * mod 1e9+7, exact integer arithmetic).
+    */
+  def fingerprint(textCol: String): Column =
+    expr(s"""aggregate(transform(split($textCol, ' '), t -> cast(length(t) * 17 + ascii(t) as bigint)),
+            |          0L, (a, b) -> (a * 31 + b) % 1000000007L)""".stripMargin)
+}

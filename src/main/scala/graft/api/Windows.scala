@@ -1,0 +1,89 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window => W}
+import org.apache.spark.sql.functions._
+
+/** Public event-time windowing API — the engine's core surface.
+  *
+  * Every function is source-agnostic: pass a batch DataFrame or a
+  * streaming one (add `withWatermark` upstream for append-mode emission);
+  * the plan algebra is identical (Structured Streaming incrementalizes
+  * it, SURVEY.md §3.3).
+  */
+object Windows {
+
+  private def projectWindow(agged: DataFrame, windowCol: String): DataFrame = {
+    val rest = agged.columns.filter(_ != windowCol).map(col)
+    agged.select(Array(col(s"$windowCol.start").as("window_start"),
+      col(s"$windowCol.end").as("window_end")) ++ rest: _*)
+  }
+
+  /** Tumbling windows of `size` over `tsCol`, grouped by `keys`. */
+  def tumbling(df: DataFrame, tsCol: String, size: String,
+               keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    projectWindow(df.groupBy(window(col(tsCol), size) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*), "window")
+
+  /** Sliding windows (`size` / `slide`) — the "large window" shape: each
+    * row belongs to size/slide windows (Spark Expand does the
+    * multi-assignment; aggregation stays partial+final, no per-key state
+    * blow-up).
+    */
+  def sliding(df: DataFrame, tsCol: String, size: String, slide: String,
+              keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    projectWindow(df.groupBy(window(col(tsCol), size, slide) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*), "window")
+
+  /** Session windows with inactivity `gap`. An event extends the open
+    * session iff ts < last_ts + gap (a gap of exactly `gap` starts a new
+    * session — Flink parity).
+    */
+  def session(df: DataFrame, tsCol: String, gap: String,
+              keys: Seq[Column], aggs: Seq[Column]): DataFrame = {
+    val agged = df.groupBy(session_window(col(tsCol), gap) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val rest = agged.columns.filter(_ != "session_window").map(col)
+    agged.select(Array(col("session_window.start").as("session_start"),
+      col("session_window.end").as("session_end")) ++ rest: _*)
+  }
+
+  /** Pane-based two-level sliding aggregation (Cutty/Scotty-style window
+    * slicing): pre-aggregate into `slide`-sized tumbling panes, then roll
+    * `slots` panes into each sliding window of size slots*slide.
+    * Identical result to `sliding` for re-aggregable measures; at scale
+    * it Expands pane rows instead of raw rows — the classic large-window
+    * optimization.
+    *
+    * `paneAggs` must be re-aggregable partials (count/sum/min/max, exact
+    * DECIMAL for float sums); `rollupAggs` merges them (same order),
+    * producing the final column names.
+    */
+  def slidingByPanes(df: DataFrame, tsCol: String, slide: String, slots: Int,
+                     keys: Seq[Column], paneAggs: Seq[Column],
+                     rollupAggs: Seq[Column]): DataFrame = {
+    val panes = df.groupBy(window(col(tsCol), slide) +: keys: _*)
+      .agg(paneAggs.head, paneAggs.tail: _*)
+      .withColumn("pane_start", col("window.start")).drop("window")
+    val keyNames = keys.map(_.toString)
+    val exploded = panes.withColumn("window_start",
+      explode(expr(s"sequence(pane_start - INTERVAL '$slide' * ${slots - 1}, " +
+        s"pane_start, INTERVAL '$slide')")))
+    exploded.groupBy(col("window_start") +: keyNames.map(col): _*)
+      .agg(rollupAggs.head, rollupAggs.tail: _*)
+      .withColumn("window_end", col("window_start") + expr(s"INTERVAL '$slide' * $slots"))
+  }
+
+  /** Deterministic batch simulation of the streaming watermark: rows
+    * arriving (in `arrivalCol` order) more than `delay` behind the
+    * running-max event time are dropped. The global ordered window is the
+    * honest batch analogue of the (inherently sequential) watermark; in
+    * streaming the same semantics comes from withWatermark + append mode.
+    */
+  def dropLate(df: DataFrame, tsCol: String, arrivalCol: String, delay: String): DataFrame = {
+    val w = W.orderBy(arrivalCol).rowsBetween(W.unboundedPreceding, W.currentRow)
+    df.withColumn("__hwm", max(col(tsCol)).over(w))
+      .filter(col(tsCol) >= col("__hwm") - expr(s"INTERVAL '$delay'"))
+      .drop("__hwm")
+  }
+}

@@ -1,14 +1,14 @@
 package graft.queries
 
 import graft.{Det, Tables}
+import graft.api.Windows
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Event-time windowed aggregation (SURVEY.md §2.I) — the core surface of
-  * a "large window" engine. Batch versions run over the `events` parquet
-  * (DuckDB-verifiable); the same expressions run unchanged under
-  * `readStream` (see graft.streaming and the ScalaTest streaming suite).
+/** Event-time windowed aggregation queries (SURVEY.md §2.I) — thin
+  * instantiations of the graft.api.Windows surface over the `events`
+  * table. Batch versions are DuckDB-verifiable; the same expressions run
+  * unchanged under readStream (graft.streaming + StreamingSpec).
   *
   * Event-time semantics vs Flink (SURVEY.md §3.3): Spark's watermark is
   * per-query and advances between micro-batches (no in-band per-record
@@ -19,82 +19,52 @@ import org.apache.spark.sql.functions._
 object EventTime {
   type Q = (SparkSession, String) => DataFrame
 
-  /** 6 h / 30 min sliding windows per event_type — the namesake operator.
-    * Each event lands in 12 windows; Spark's `window()` does the
-    * multi-assignment via Expand, aggregation stays partial+final (one
-    * shuffle on the window×type key) — no per-key state blow-up at scale.
-    */
+  private def stdAggs = Seq(count(lit(1)).as("n_events"),
+    Det.sumMoney(col("value")).as("sum_value"))
+
+  /** 6 h / 30 min sliding windows per event_type — the namesake operator. */
   def wndSliding(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .groupBy(window(col("ts"), "6 hours", "30 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), Det.sumMoney(col("value")).as("sum_value"))
-      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
-        col("event_type"), col("n_events"), col("sum_value"))
+    Windows.sliding(Tables.events(s, d), "ts", "6 hours", "30 minutes",
+        Seq(col("event_type")), stdAggs)
       .orderBy("window_start", "event_type")
 
   val queries: Map[String, Q] = Map(
     "wnd_tumbling" -> ((s, d) =>
-      Tables.events(s, d)
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"), Det.sumMoney(col("value")).as("sum_value"))
-        .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
-          col("event_type"), col("n_events"), col("sum_value"))
+      Windows.tumbling(Tables.events(s, d), "ts", "1 hour",
+          Seq(col("event_type")), stdAggs)
         .orderBy("window_start", "event_type")),
 
     "wnd_sliding" -> (wndSliding _),
 
-    // Session windows, 30 min gap. Spark merges an event into the open
-    // session iff ts < session_end (= last ts + gap); a gap of exactly
-    // 30 min starts a new session. The oracle's gaps-and-islands SQL uses
-    // the matching strict->= flag (FIXTURES.md verified: 946 sessions at
-    // sf0.001).
+    // Session windows, 30 min gap; strict->= gap flag in the oracle
+    // matches Spark's merge rule (FIXTURES.md: 946 sessions at sf0.001).
     "wnd_session" -> ((s, d) =>
-      Tables.events(s, d)
-        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"), Det.sumMoney(col("value")).as("sum_value"))
-        .select(col("user_id"), col("session_window.start").as("session_start"),
-          col("session_window.end").as("session_end"),
-          col("n_events"), col("sum_value"))
+      Windows.session(Tables.events(s, d), "ts", "30 minutes",
+          Seq(col("user_id")), stdAggs)
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
         .orderBy("user_id", "session_start")),
 
-    // Pane-based large-window optimization (Cutty/Scotty-style slicing):
-    // pre-aggregate into 30 min tumbling panes, then roll each pane up
-    // into the 12 sliding windows containing it. Partial sums stay exact
-    // DECIMAL until the final cast, so the result is bit-identical to
-    // wnd_sliding (same oracle). At 100 TB this turns a 12x Expand of raw
-    // rows into a 12x Expand of pane rows — the classic slicing win.
-    "wnd_pane_twolevel" -> ((s, d) => {
-      val panes = Tables.events(s, d)
-        .groupBy(window(col("ts"), "30 minutes"), col("event_type"))
-        .agg(count(lit(1)).as("pn"), sum(Det.dec2(col("value"))).as("psum"))
-        .select(col("window.start").as("pane_start"), col("event_type"), col("pn"), col("psum"))
-      panes
-        .withColumn("window_start",
-          explode(expr("sequence(pane_start - INTERVAL 5 HOURS 30 MINUTES, pane_start, INTERVAL 30 MINUTES)")))
-        .groupBy(col("window_start"), col("event_type"))
-        .agg(sum(col("pn")).as("n_events"), sum(col("psum")).cast("double").as("sum_value"))
-        .select(col("window_start"), (col("window_start") + expr("INTERVAL 6 HOURS")).as("window_end"),
-          col("event_type"), col("n_events"), col("sum_value"))
-        .orderBy("window_start", "event_type")
-    }),
+    // Pane-based two-level sliding aggregation — must equal wnd_sliding
+    // bit-for-bit (partial sums stay exact DECIMAL until the final cast),
+    // so it shares wnd_sliding's oracle.
+    "wnd_pane_twolevel" -> ((s, d) =>
+      Windows.slidingByPanes(Tables.events(s, d), "ts", "30 minutes", slots = 12,
+          keys = Seq(col("event_type")),
+          paneAggs = Seq(count(lit(1)).as("pn"), sum(Det.dec2(col("value"))).as("psum")),
+          rollupAggs = Seq(sum(col("pn")).as("n_events"),
+            sum(col("psum")).cast("double").as("sum_value")))
+        .select("window_start", "window_end", "event_type", "n_events", "sum_value")
+        .orderBy("window_start", "event_type")),
 
-    // Simulated-watermark late drop: arrival order = event_id (FIXTURES),
-    // high-watermark = running max event time, events more than 10 min
-    // behind it are dropped, then 1 h tumbling agg. The global
-    // arrival-order window is inherently sequential — in production this
-    // is exactly what the streaming watermark does incrementally
-    // (per-batch max - delay); see stream_tumbling_append.
-    "wnd_late_drop" -> ((s, d) => {
-      val w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
-      Tables.events(s, d)
-        .withColumn("hwm", max(col("ts")).over(w))
-        .filter(col("ts") >= col("hwm") - expr("INTERVAL 10 MINUTES"))
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"), Det.sumMoney(col("value")).as("sum_value"))
-        .select(col("window.start").as("window_start"), col("event_type"),
-          col("n_events"), col("sum_value"))
-        .orderBy("window_start", "event_type")
-    })
+    // Simulated-watermark late drop (arrival order = event_id), then 1 h
+    // tumbling agg. The sequential arrival-order scan is exactly what the
+    // streaming watermark does incrementally.
+    "wnd_late_drop" -> ((s, d) =>
+      Windows.tumbling(
+          Windows.dropLate(Tables.events(s, d), "ts", "event_id", "10 minutes"),
+          "ts", "1 hour", Seq(col("event_type")), stdAggs)
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .orderBy("window_start", "event_type"))
   )
 
   private val slidingOracle: String =

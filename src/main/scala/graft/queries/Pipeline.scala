@@ -1,294 +1,91 @@
 package graft.queries
 
 import graft.{Det, Tables}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import graft.api.{Dedup, Multimodal, Similarity, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** LLM-data-pipeline operators (SURVEY.md §2.K + the training-data ops the
-  * task mandates): deduplication (exact, MinHash+LSH, SimHash, n-gram
-  * Jaccard, embedding-cosine), similarity search (brute-force top-k and an
-  * IVF-style label-pruned variant), text analysis (stats, TF-IDF,
-  * language-ID, quality, token counting, fingerprinting), and multimodal
-  * struct columns.
+/** LLM-data-pipeline operator queries (SURVEY.md §2.K + the training-data
+  * ops the task mandates). Each declared key is a thin instantiation of
+  * the public graft.api surface (Dedup / Similarity / TextOps /
+  * Multimodal) pinned to the test tables, plus the determinism projection
+  * (Det rounding, explicit ORDER BY) the oracle compare requires.
   *
-  * Scale design: every pairwise operator is *blocked* — LSH band buckets,
-  * (lang, source) blocking keys, label partitions — so the shuffle key
-  * bounds the quadratic blow-up; nothing ever compares all pairs globally.
-  * All similarity math is native higher-order expressions (codegen'd, no
-  * UDFs, no serialization).
+  * Scale design notes live on the API scaladocs: every pairwise operator
+  * is blocked (LSH band buckets, (lang,source) blocking keys, label
+  * partitions) and hash-dedups emit star-reduced survivors — nothing is
+  * quadratic in the corpus.
   */
 object Pipeline {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Documents with whitespace tokens + distinct token set. */
-  private def toked(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .withColumn("tk", split(col("text"), " "))
-      .withColumn("toks", array_distinct(col("tk")))
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "zh" -> Seq("de", "shi", "bu", "wo", "zhe"))
 
-  /** Embeddings with double-widened vector and precomputed L2 norm.
-    * Folds are sequential left-folds starting at 0.0 — DuckDB's
-    * list_aggregate(...,'sum') matches bit-for-bit (verified).
-    */
-  private def vecs(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
-      .withColumn("nrm", sqrt(expr("aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x)")))
-
-  private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+  private val stopEn = Seq("the", "a", "of", "and", "to")
 
   val queries: Map[String, Q] = Map(
-    // Exact dedup: content-hash groupBy, survivor = min doc_id per hash.
     "dedup_exact" -> ((s, d) =>
-      Tables.documents(s, d)
-        .groupBy(sha2(col("text"), 256).as("h"))
-        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
-        .select("doc_id", "h", "n_dups")
+      Dedup.exactSurvivors(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
-    // Exact near-dup ground truth: token-set Jaccard >= 0.7 within a
-    // (lang, source) blocking key. The blocking key is what makes this
-    // viable at 100 TB: the self-join shuffles on (lang, source) and each
-    // block is small relative to the corpus.
-    "dedup_ngram_jaccard" -> ((s, d) => {
-      val t = toked(s, d).select(col("doc_id"), col("lang"), col("source"), col("toks"))
-      val a = t.select(col("doc_id").as("doc_a"), col("lang"), col("source"), col("toks").as("toks_a"))
-      val b = t.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
-        col("source").as("source_b"), col("toks").as("toks_b"))
-      a.join(b, col("lang") === col("lang_b") && col("source") === col("source_b") &&
-          col("doc_a") < col("doc_b"))
-        .withColumn("ninter", size(array_intersect(col("toks_a"), col("toks_b"))))
-        .withColumn("jac", col("ninter").cast("double") /
-          (size(col("toks_a")) + size(col("toks_b")) - col("ninter")))
-        .filter(col("jac") >= 0.7)
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          Seq("lang", "source"), 0.7)
         .select(col("doc_a"), col("doc_b"), Det.round4(col("jac")).as("jac"))
-        .orderBy("doc_a", "doc_b")
-    }),
+        .orderBy("doc_a", "doc_b")),
 
-    // MinHash + LSH near-dup over token sets (the same universe the
-    // Jaccard metric is defined on — word-shuffled near-dups keep their
-    // token set but not their shingles): 64-perm signature (seed folded
-    // into the hashed string — no long multiplication, ANSI-overflow
-    // safe), 16 bands x 4 rows (recall ~0.99 at j=0.7), band-bucket
-    // self-join for candidates, exact Jaccard >= 0.7 verification. The
-    // band-hash groupBy IS the scale story: candidates only ever meet
-    // inside a bucket. No oracle (LSH recall < 1 by construction); the
-    // ScalaTest suite asserts recall against dedup_ngram_jaccard.
-    "dedup_minhash" -> ((s, d) => {
-      val t = toked(s, d).filter(size(col("tk")) >= 3)
-        .withColumn("toksh", expr("transform(toks, t -> xxhash64(t))"))
-      val sig = t.withColumn("sig",
-          expr("""transform(sequence(0, 63), i ->
-                 |  aggregate(toks, 9223372036854775807L,
-                 |            (m, sh) -> least(m, xxhash64(concat(sh, '|', cast(i as string))))))""".stripMargin))
-        .select(col("doc_id"), col("sig"))
-      val bands = sig.select(col("doc_id"),
-          explode(expr(
-            """transform(sequence(0, 15), b ->
-              |  struct(b as band, concat_ws(',', transform(slice(sig, b * 4 + 1, 4), x -> cast(x as string))) as bkey))""".stripMargin)).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-      // Candidate generation via STAR REDUCTION: each doc is paired only
-      // with the minimum doc_id of its bucket — k-1 pairs per bucket
-      // instead of k^2/2. On this corpus near-dup clusters reach ~1000
-      // docs, so a full bucket self-join is quadratic inside single
-      // buckets (measured 273 s at sf0.1; this shape runs in seconds) and
-      // catastrophically skewed at 100 TB. With 16 bands every doc gets
-      // 16 independent star checks, so dominated-set recall stays ~1
-      // (asserted >= 0.9 by PipelineSpec). Pairs are bare ID pairs;
-      // hashed token sets are re-attached afterwards (AQE broadcasts the
-      // doc side locally, shuffle-joins at scale).
-      val bmin = bands.groupBy("band", "bkey").agg(min(col("doc_id")).as("doc_a"))
-      val cand = bands.join(bmin, Seq("band", "bkey"))
-        .filter(col("doc_id") > col("doc_a"))
-        .select(col("doc_a"), col("doc_id").as("doc_b")).distinct()
-      val ta = t.select(col("doc_id").as("doc_a"), col("toksh").as("ha"), size(col("toks")).as("na"))
-      val tb = t.select(col("doc_id").as("doc_b"), col("toksh").as("hb"), size(col("toks")).as("nb"))
-      val dominated = cand.join(ta, "doc_a").join(tb, "doc_b")
-        .withColumn("ninter", size(array_intersect(col("ha"), col("hb"))))
-        .withColumn("jac", col("ninter").cast("double") /
-          (col("na") + col("nb") - col("ninter")))
-        .filter(col("jac") >= 0.7)
-        .select(col("doc_b").as("doc_id")).distinct()
-      // Survivors (greedy min-id representative): every doc that is not
-      // the larger side of any verified near-dup pair. Output is bounded
-      // by |docs|, not |pairs| — essential on a 41%-near-duplicated
-      // corpus where the pair set is quadratic.
-      t.select("doc_id").join(dominated, Seq("doc_id"), "left_anti")
-        .orderBy("doc_id")
-    }),
+    "dedup_minhash" -> ((s, d) =>
+      Dedup.minhashSurvivors(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
 
-    // SimHash near-dup: 64-bit signature (majority vote per bit over
-    // token hashes), 4 x 16-bit band buckets for candidates, exact
-    // hamming distance <= 12 verification via bit_count(xor), emitting
-    // greedy min-id survivors. Bitwise ops only — no overflow. No oracle
-    // (hash-function specific); ScalaTest asserts survivor properties.
-    "dedup_simhash" -> ((s, d) => {
-      val t = toked(s, d)
-        .withColumn("toksh", expr("transform(toks, tok -> xxhash64(tok))"))
-      val sig = t.withColumn("sig",
-          expr("""aggregate(sequence(0, 63), 0L, (acc, k) ->
-                 |  acc + shiftleft(CASE WHEN aggregate(toksh, 0L,
-                 |        (a, h) -> a + CASE WHEN (shiftright(h, k) & 1) = 1
-                 |                           THEN 1L ELSE -1L END) >= 0L
-                 |      THEN 1L ELSE 0L END, k))""".stripMargin))
-        .select(col("doc_id"), col("sig"))
-      val bands = sig.select(col("doc_id"), col("sig"),
-          explode(expr(
-            "transform(sequence(0, 3), b -> struct(b as band, shiftright(sig, b * 16) & 65535 as bkey))")).as("bb"))
-        .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-      // Star reduction, same rationale as dedup_minhash: bucket self-join
-      // is quadratic inside the giant near-dup clusters of this corpus.
-      val bmin = bands.groupBy("band", "bkey").agg(min(col("doc_id")).as("doc_a"))
-      val dominated = bands.join(bmin, Seq("band", "bkey"))
-        .filter(col("doc_id") > col("doc_a"))
-        .select(col("doc_a"), col("doc_id").as("doc_b")).distinct()
-        .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-        .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-        .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
-        .filter(col("hamming") <= 12)
-        .select(col("doc_b").as("doc_id")).distinct()
-      t.select("doc_id").join(dominated, Seq("doc_id"), "left_anti")
-        .orderBy("doc_id")
-    }),
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhashSurvivors(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
 
-    // Embedding-cosine near-dup, blocked by label (cluster id) — the
-    // same blocking discipline as the text dedups.
-    "dedup_embed_cosine" -> ((s, d) => {
-      val e = vecs(s, d)
-      val a = e.select(col("vec_id").as("vec_a"), col("label"), col("v").as("va"), col("nrm").as("na"))
-      val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
-        col("v").as("vb"), col("nrm").as("nb"))
-      a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
-        .withColumn("cos", dot("va", "vb") / (col("na") * col("nb")))
-        .filter(col("cos") >= 0.3)
+    "dedup_embed_cosine" -> ((s, d) =>
+      Dedup.embedCosinePairs(Tables.embeddings(s, d), "vec_id", "embedding",
+          "label", 0.3)
         .select(col("vec_a"), col("vec_b"), Det.round4(col("cos")).as("cos"))
-        .orderBy("vec_a", "vec_b")
-    }),
+        .orderBy("vec_a", "vec_b")),
 
-    // Brute-force cosine top-k: 10 probe vectors (vec_id < 10) against
-    // the whole corpus. The probe side is broadcast; at scale this is a
-    // map-side pass over the corpus + a tiny top-k shuffle.
     "sim_cosine_topk" -> ((s, d) => {
-      val e = vecs(s, d)
-      val probes = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
-      val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
-      e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
-        .withColumn("cos", dot("pv", "v") / (col("pn") * col("nrm")))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
-        .select(col("probe_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+      val e = Tables.embeddings(s, d)
+      Similarity.cosineTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .select(col("probe_id"), col("rnk"), col("neighbor_id"),
           Det.round4(col("cos")).as("cos"))
         .orderBy("probe_id", "rnk")
     }),
 
-    // IVF-style pruned search: label = coarse centroid id; probe scans
-    // only its top-2 nearest label partitions instead of the full corpus.
-    // Approximate → no oracle; ScalaTest asserts recall vs the brute
-    // force. This is the 100 TB shape: centroid table is tiny and
-    // broadcast, the corpus is partition-pruned by label.
     "sim_ann_partitioned" -> ((s, d) => {
-      val e = vecs(s, d)
-      val cent = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("label", "pos").agg(avg(col("x")).as("cx"))
-        .groupBy("label")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), p -> p.cx)").as("cv"))
-        .withColumn("cnrm", sqrt(expr("aggregate(transform(cv, x -> x * x), 0D, (acc, x) -> acc + x)")))
-      val probes = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
-      val wl = Window.partitionBy(col("probe_id")).orderBy(col("lcos").desc, col("label"))
-      val top2 = probes.crossJoin(broadcast(cent))
-        .withColumn("lcos", dot("pv", "cv") / (col("pn") * col("cnrm")))
-        .withColumn("lrnk", row_number().over(wl))
-        .filter(col("lrnk") <= 2)
-        .select(col("probe_id"), col("pv"), col("pn"), col("label").as("plabel"))
-      val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
-      e.join(broadcast(top2), col("label") === col("plabel") && col("vec_id") =!= col("probe_id"))
-        .withColumn("cos", dot("pv", "v") / (col("pn") * col("nrm")))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
-        .select(col("probe_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+      val e = Tables.embeddings(s, d)
+      Similarity.annTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          "label", 5, nProbe = 2)
+        .select(col("probe_id"), col("rnk"), col("neighbor_id"),
           Det.round4(col("cos")).as("cos"))
         .orderBy("probe_id", "rnk")
     }),
 
-    // Corpus stats per (lang, source): doc count, avg chars, token
-    // totals, type/token ratio, top term (count desc, term asc).
-    "text_stats" -> ((s, d) => {
-      val docs = toked(s, d)
-      val base = docs.groupBy("lang", "source")
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("totchars"),
-          sum(size(col("tk"))).as("n_tokens"))
-      val tc = docs.select(col("lang"), col("source"), explode(col("tk")).as("term"))
-        .groupBy("lang", "source", "term").agg(count(lit(1)).as("cnt"))
-      val nterms = tc.groupBy("lang", "source").agg(count(lit(1)).as("n_terms"))
-      val wt = Window.partitionBy(col("lang"), col("source"))
-        .orderBy(col("cnt").desc, col("term"))
-      val top = tc.withColumn("rn", row_number().over(wt)).filter(col("rn") === 1)
-        .select(col("lang"), col("source"), col("term").as("top_term"))
-      base.join(nterms, Seq("lang", "source")).join(top, Seq("lang", "source"))
-        .select(col("lang"), col("source"), col("n_docs"),
-          Det.round2(col("totchars").cast("double") / col("n_docs")).as("avg_chars"),
-          col("n_tokens"), col("n_terms"),
-          Det.round4(col("n_terms").cast("double") / col("n_tokens")).as("ttr"),
-          col("top_term"))
-        .orderBy("lang", "source")
-    }),
+    "text_stats" -> ((s, d) =>
+      TextOps.stats(Tables.documents(s, d), "text", "n_chars", Seq("lang", "source"))
+        .orderBy("lang", "source")),
 
-    // Top-3 TF-IDF terms per doc (tf raw count, idf = ln(N/df), tiebreak
-    // term asc).
-    "text_tfidf" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfx = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val n = docs.agg(count(lit(1)).as("nd"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
-      tf.join(dfx, "term").crossJoin(broadcast(n))
-        .withColumn("score", col("tf").cast("double") * log(col("nd").cast("double") / col("df")))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
+    "text_tfidf" -> ((s, d) =>
+      TextOps.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", 3)
         .select(col("doc_id"), col("rnk"), col("term"), Det.round4(col("score")).as("score"))
-        .orderBy("doc_id", "rnk")
-    }),
+        .orderBy("doc_id", "rnk")),
 
-    // Language-ID by stopword-profile hit ratio (n-gram heuristic shape;
-    // argmax with fixed tie order en>de>fr>es>zh).
-    "text_langid" -> ((s, d) => {
-      def ratio(set: String): Column =
-        expr(s"size(filter(tk, t -> array_contains(array($set), t)))").cast("double") / size(col("tk"))
-      toked(s, d)
-        .withColumn("s_en", ratio("'the','a','of','and','to'"))
-        .withColumn("s_de", ratio("'der','die','das','und','ist'"))
-        .withColumn("s_fr", ratio("'le','la','et','les','des'"))
-        .withColumn("s_es", ratio("'el','los','las','y','es'"))
-        .withColumn("s_zh", ratio("'de','shi','bu','wo','zhe'"))
-        .withColumn("pred_lang",
-          when(col("s_en") >= greatest(col("s_de"), col("s_fr"), col("s_es"), col("s_zh")), "en")
-            .when(col("s_de") >= greatest(col("s_fr"), col("s_es"), col("s_zh")), "de")
-            .when(col("s_fr") >= greatest(col("s_es"), col("s_zh")), "fr")
-            .when(col("s_es") >= col("s_zh"), "es")
-            .otherwise("zh"))
+    "text_langid" -> ((s, d) =>
+      TextOps.langId(Tables.documents(s, d), "text", langProfiles)
         .select(col("doc_id"), col("pred_lang"), Det.round4(col("s_en")).as("score_en"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
-    // Quality scoring: length, token-length, stopword + alpha ratios,
-    // fixed-formula composite. All IEEE op order pinned for the oracle.
     "text_quality" -> ((s, d) =>
-      toked(s, d)
-        .withColumn("n_tok", size(col("tk")))
-        .withColumn("sumlen", expr("aggregate(tk, 0L, (a, t) -> a + length(t))"))
-        .withColumn("nstop",
-          expr("size(filter(tk, t -> array_contains(array('the','a','of','and','to'), t)))"))
-        .withColumn("alpha", length(regexp_replace(col("text"), "[^a-z]", "")))
-        .withColumn("stop_ratio", col("nstop").cast("double") / col("n_tok"))
-        .withColumn("alpha_ratio", col("alpha").cast("double") / length(col("text")))
-        .withColumn("score",
-          least(lit(1.0), col("n_tok") / lit(100.0)) * 0.4 +
-            col("stop_ratio") * 0.3 + col("alpha_ratio") * 0.3)
+      TextOps.quality(Tables.documents(s, d), "text", stopEn)
         .select(col("doc_id"), col("n_tok"),
           Det.round2(col("sumlen").cast("double") / col("n_tok")).as("avg_tok_len"),
           Det.round4(col("stop_ratio")).as("stop_ratio"),
@@ -296,42 +93,35 @@ object Pipeline {
           Det.round4(col("score")).as("quality"))
         .orderBy("doc_id")),
 
-    // Token counting: whitespace tokens, alpha chars, and a
-    // chars/4-style BPE-ish token estimate.
     "text_tokens" -> ((s, d) =>
-      Tables.documents(s, d)
-        .withColumn("n_ws", size(split(col("text"), " ")))
-        .withColumn("n_alpha", length(regexp_replace(col("text"), "[^a-z]", "")))
-        .withColumn("approx_bpe", ceil(col("n_alpha") / lit(4.0)))
+      TextOps.tokenCounts(Tables.documents(s, d), "text")
         .select("doc_id", "n_ws", "n_alpha", "approx_bpe")
         .orderBy("doc_id")),
 
-    // Rolling-hash document fingerprint: sequential polynomial fold over
-    // per-token codes mod 1e9+7 (exact integer arithmetic both engines).
     "text_fingerprint" -> ((s, d) =>
-      toked(s, d)
-        .withColumn("fp",
-          expr("""aggregate(transform(tk, t -> cast(length(t) * 17 + ascii(t) as bigint)),
-                 |          0L, (a, b) -> (a * 31 + b) % 1000000007L)""".stripMargin))
-        .select(col("doc_id"), col("fp"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.fingerprint("text").as("fp"))
         .orderBy("doc_id")),
 
-    // Multimodal struct column: text payload as opaque binary + typed
-    // metadata + embedding, projected/filtered through nested fields
-    // (parquet-friendly: nested pruning keeps unused fields unread).
     "multimodal_cols" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val e = Tables.embeddings(s, d)
-      docs.join(e, docs("doc_id") === e("vec_id"))
-        .select(struct(col("doc_id"), col("lang"), col("n_chars"),
-          col("embedding"), col("text").cast("binary").as("payload")).as("m"))
+      Multimodal.pack(docs.join(e, docs("doc_id") === e("vec_id")),
+          payloadFrom = "text", metaCols = Seq("doc_id", "lang", "n_chars", "embedding"))
         .filter(col("m.lang").isin("en", "de") && col("m.n_chars") > 150)
         .select(col("m.doc_id").as("doc_id"), col("m.lang").as("lang"),
           length(col("m.payload")).as("payload_bytes"),
           size(col("m.embedding")).as("dim"),
           col("m.embedding").getItem(0).cast("double").as("e0"))
         .orderBy("doc_id")
-    })
+    }),
+
+    "multimodal_decode" -> ((s, d) =>
+      Multimodal.decodeFeatures(
+          Tables.documents(s, d).withColumn("payload", col("text").cast("binary")),
+          "doc_id", "payload")
+        .toDF()
+        .orderBy("doc_id"))
   )
 
   private val cosCte: String =
@@ -477,6 +267,17 @@ object Pipeline {
         |  CAST(len(m['embedding']) AS INTEGER) AS dim,
         |  m['embedding'][1]::DOUBLE AS e0
         |FROM m WHERE m['lang'] IN ('en', 'de') AND m['n_chars'] > 150
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // ASCII text: bytes == codepoints, so the char-level fold in DuckDB
+    // reproduces the stub decoder's byte-level stats exactly.
+    "multimodal_decode" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  CAST(ascii(text) AS INTEGER) AS first_byte,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS byte_fp
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
