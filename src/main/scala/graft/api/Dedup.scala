@@ -119,11 +119,14 @@ object Dedup {
   def embedCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                        blockCol: String, threshold: Double): DataFrame = {
     val e = Similarity.withNorm(df, vecCol)
-    val a = e.select(col(idCol).as("vec_a"), col(blockCol), col("v").as("va"), col("nrm").as("na"))
+    val a = e.select(col(idCol).as("vec_a"), col(blockCol),
+      col(vecCol).as("va"), col("nrm").as("na"))
     val b = e.select(col(idCol).as("vec_b"), col(blockCol).as("block_b"),
-      col("v").as("vb"), col("nrm").as("nb"))
+      col(vecCol).as("vb"), col("nrm").as("nb"))
     a.join(b, col(blockCol) === col("block_b") && col("vec_a") < col("vec_b"))
-      .withColumn("cos", Similarity.dot("va", "vb") / (col("na") * col("nb")))
+      .withColumn("cos",
+        graft.functions.GraftFunctions.vec_dot(col("va"), col("vb")) /
+          (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }

@@ -3,22 +3,20 @@ package graft.api
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.{vec_dot, vec_norm}
 
 /** Similarity search over an embedding column (Array[Float]).
   *
-  * All vector math is native higher-order expressions — codegen'd
-  * sequential folds, no UDFs, no serialization. Sequential fold order is
-  * part of the contract (bit-stable across engines).
+  * Vector math uses the engine's native `vec_dot` Catalyst expression
+  * (graft.functions.VecDot): a single fused codegen loop, accumulating in
+  * double in index order — bit-identical to the higher-order-function
+  * fold it replaces, with no per-row intermediate arrays.
   */
 object Similarity {
 
-  /** Widen to double + precompute the L2 norm (cosine denominators). */
+  /** Precompute the L2 norm (cosine denominator) on the raw vector. */
   private[api] def withNorm(df: DataFrame, vecCol: String): DataFrame =
-    df.withColumn("v", expr(s"transform($vecCol, x -> cast(x as double))"))
-      .withColumn("nrm", sqrt(expr("aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x)")))
-
-  private[api] def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    df.withColumn("nrm", vec_norm(col(vecCol)))
 
   /** Brute-force cosine top-`k` neighbors for each probe. Probes are
     * broadcast; the corpus is scanned once map-side, then a tiny
@@ -28,10 +26,10 @@ object Similarity {
                  vecCol: String, k: Int): DataFrame = {
     val e = withNorm(corpus, vecCol)
     val p = withNorm(probes, vecCol)
-      .select(col(idCol).as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+      .select(col(idCol).as("probe_id"), col(vecCol).as("pv"), col("nrm").as("pn"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col(idCol))
     e.join(broadcast(p), col(idCol) =!= col("probe_id"))
-      .withColumn("cos", dot("pv", "v") / (col("pn") * col("nrm")))
+      .withColumn("cos", vec_dot(col("pv"), col(vecCol)) / (col("pn") * col("nrm")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("probe_id"), col("rnk"), col(idCol).as("neighbor_id"), col("cos"))
@@ -46,22 +44,24 @@ object Similarity {
   def annTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
               vecCol: String, partCol: String, k: Int, nProbe: Int = 2): DataFrame = {
     val e = withNorm(corpus, vecCol)
-    val cent = e.select(col(partCol), posexplode(col("v")).as(Seq("pos", "x")))
+    val cent = corpus
+      .select(col(partCol), posexplode(expr(s"transform($vecCol, x -> cast(x as double))"))
+        .as(Seq("pos", "x")))
       .groupBy(partCol, "pos").agg(avg(col("x")).as("cx"))
       .groupBy(partCol)
       .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), p -> p.cx)").as("cv"))
-      .withColumn("cnrm", sqrt(expr("aggregate(transform(cv, x -> x * x), 0D, (acc, x) -> acc + x)")))
+      .withColumn("cnrm", vec_norm(col("cv")))
     val p = withNorm(probes, vecCol)
-      .select(col(idCol).as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+      .select(col(idCol).as("probe_id"), col(vecCol).as("pv"), col("nrm").as("pn"))
     val wl = Window.partitionBy(col("probe_id")).orderBy(col("lcos").desc, col(partCol))
     val topParts = p.crossJoin(broadcast(cent))
-      .withColumn("lcos", dot("pv", "cv") / (col("pn") * col("cnrm")))
+      .withColumn("lcos", vec_dot(col("pv"), col("cv")) / (col("pn") * col("cnrm")))
       .withColumn("lrnk", row_number().over(wl))
       .filter(col("lrnk") <= nProbe)
       .select(col("probe_id"), col("pv"), col("pn"), col(partCol).as("ppart"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col(idCol))
     e.join(broadcast(topParts), col(partCol) === col("ppart") && col(idCol) =!= col("probe_id"))
-      .withColumn("cos", dot("pv", "v") / (col("pn") * col("nrm")))
+      .withColumn("cos", vec_dot(col("pv"), col(vecCol)) / (col("pn") * col("nrm")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("probe_id"), col("rnk"), col(idCol).as("neighbor_id"), col("cos"))
