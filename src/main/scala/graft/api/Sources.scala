@@ -1,0 +1,55 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.Row
+
+/** Source/sink surface (SURVEY §2.A): batch + streaming readers over the
+  * lake formats and the sink shapes a pipeline needs. Thin by design —
+  * Spark's DataSource V2 does the real work (vectorized parquet scan,
+  * pushdown, partition pruning); these helpers pin the engine's
+  * conventions (explicit schemas for streams, UTC, directory layout).
+  */
+object Sources {
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def csv(spark: SparkSession, path: String, schema: StructType,
+          header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("header", header.toString).csv(path)
+
+  def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Unbounded file stream over a directory (new files picked up per
+    * micro-batch). Streams require explicit schemas.
+    */
+  def parquetStream(spark: SparkSession, path: String, schema: StructType,
+                    globFilter: Option[String] = None): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    globFilter.fold(r)(g => r.option("pathGlobFilter", g)).parquet(path)
+  }
+
+  /** Synthetic benchmark stream (rowsPerSecond), Flink's datagen analog. */
+  def rateStream(spark: SparkSession, rowsPerSecond: Int): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString).load()
+}
+
+/** Sink shapes. Partitioned parquet is the 100 TB default: the partition
+  * column prunes reads and bounds file sizes; for streams, exactly-once
+  * via checkpointed file sink.
+  */
+object Sinks {
+  def partitionedParquet(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Append-mode streaming parquet sink with checkpoint (exactly-once). */
+  def streamToParquet(df: DataFrame, path: String,
+                      checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+}

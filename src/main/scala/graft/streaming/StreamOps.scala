@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 import org.apache.spark.sql.types._
 import graft.Det
 
@@ -13,7 +14,48 @@ case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 /** Early/final emission from the custom-trigger operator. */
 case class UserEmit(user_id: Long, n_events: Long, sum_value: Double, emit_kind: String)
 
-private case class UserAgg(n_events: Long, sum_cents: Long, max_ts_ms: Long)
+private[streaming] case class UserAgg(n_events: Long, sum_cents: Long, max_ts_ms: Long)
+
+/** transformWithState form of the custom trigger (SURVEY §2.J / §2.L
+  * "stateful processor" surface) — Spark 4's StatefulProcessor is the
+  * direct analog of Flink's KeyedProcessFunction: explicit keyed
+  * ValueState plus registered event-time timers (vs the single implicit
+  * timeout of flatMapGroupsWithState). Requires the RocksDB state store
+  * provider — the backend a 100 TB deployment runs anyway.
+  */
+private[streaming] class TriggerProcessor(earlyEvery: Int)
+    extends StatefulProcessor[Long, Ev, UserEmit] {
+  @transient private var state: ValueState[UserAgg] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[UserAgg]("agg", Encoders.product[UserAgg], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, events: Iterator[Ev],
+                               timers: TimerValues): Iterator[UserEmit] = {
+    var st = if (state.exists()) state.get() else UserAgg(0L, 0L, Long.MinValue)
+    val out = scala.collection.mutable.ArrayBuffer.empty[UserEmit]
+    events.foreach { e =>
+      st = UserAgg(st.n_events + 1,
+        st.sum_cents + math.round(e.value * 100),
+        math.max(st.max_ts_ms, e.ts.getTime))
+      if (st.n_events % earlyEvery == 0)
+        out += UserEmit(user, st.n_events, st.sum_cents / 100.0, "early")
+    }
+    state.update(st)
+    // single live inactivity timer: drop the previous deadline, arm the new
+    getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+    getHandle.registerTimer(st.max_ts_ms + 30 * 60 * 1000L)
+    out.iterator
+  }
+
+  override def handleExpiredTimer(user: Long, timers: TimerValues,
+                                  expired: ExpiredTimerInfo): Iterator[UserEmit] = {
+    if (!state.exists()) return Iterator.empty
+    val st = state.get()
+    state.clear()
+    Iterator(UserEmit(user, st.n_events, st.sum_cents / 100.0, "timeout"))
+  }
+}
 
 /** Streaming-stateful operators (SURVEY.md §2.J) — Flink's
   * KeyedProcessFunction / Trigger / interval-join surface re-expressed on
@@ -112,6 +154,19 @@ object StreamOps {
             }
           }
       }
+  }
+
+  /** transformWithState variant of customTrigger (streaming only — see
+    * TriggerProcessor). The session must use the RocksDB state store:
+    * spark.sql.streaming.stateStore.providerClass =
+    *   org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider
+    */
+  def customTriggerTws(ev: Dataset[Ev], earlyEvery: Int): Dataset[UserEmit] = {
+    import ev.sparkSession.implicits._
+    ev.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new TriggerProcessor(earlyEvery),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Interval join (Flink KeyedStream.intervalJoin between(-10 min, 0)):

@@ -78,6 +78,33 @@ class StreamingSpec extends SparkSuite {
     assert(rows.contains((7L, 2L, 3.75, "timeout")), s"missing timeout emit: $rows")
   }
 
+  test("transformWithState custom trigger on RocksDB state store: early + timeout emission") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = StreamOps.customTriggerTws(ms.toDS(), earlyEvery = 2)
+        .writeStream.format("memory").queryName("tws").outputMode("append").start()
+      ms.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 7, "click", 1.25),
+        Ev(2, ts("2024-01-01 10:01:00"), 7, "click", 2.50))
+      q.processAllAvailable()
+      ms.addData(Ev(3, ts("2024-01-01 12:00:00"), 8, "view", 1.0))
+      q.processAllAvailable()
+      ms.addData(Ev(4, ts("2024-01-01 12:30:00"), 8, "view", 1.0))
+      drain(q)
+      val rows = spark.table("tws").as[(Long, Long, Double, String)].collect().toSet
+      assert(rows.contains((7L, 2L, 3.75, "early")), s"missing early emit: $rows")
+      assert(rows.contains((7L, 2L, 3.75, "timeout")), s"missing timeout emit: $rows")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream interval join emits purchase-click pairs in [-10min, 0]") {
     val mp = MemoryStream[Ev]
     val mc = MemoryStream[Ev]
