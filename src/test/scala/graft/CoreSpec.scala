@@ -57,6 +57,23 @@ class CoreSpec extends SparkSuite {
     }
   }
 
+  test("DataFrame and spark.sql entry points converge (one engine)") {
+    Tables.lineitem(spark, sf001).createOrReplaceTempView("li")
+    Tables.events(spark, sf001).createOrReplaceTempView("ev")
+    val sqlAgg = spark.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM li GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin).collect().toSeq
+    val dfAgg = Tables.lineitem(spark, sf001)
+      .groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus").collect().toSeq
+    assert(sqlAgg == dfAgg)
+    val sqlWnd = spark.sql(
+      """SELECT window.start AS ws, event_type, count(*) AS n
+        |FROM ev GROUP BY window(ts, '1 hour'), event_type
+        |ORDER BY ws, event_type""".stripMargin).count()
+    assert(sqlWnd == SparkEntry.queries("wnd_tumbling")(spark, sf001).count())
+  }
+
   test("set operations obey set algebra on the key domain") {
     val u = SparkEntry.queries("set_union")(spark, sf001).as[Long].collect().toSet
     val i = SparkEntry.queries("set_intersect")(spark, sf001).as[Long].collect().toSet

@@ -1,0 +1,103 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+import graft.api.{Dedup, Windows}
+
+/** Generative properties (SURVEY §5.3): window algebra and dedup
+  * invariants on random inputs, run through the same API the declared
+  * queries use. ScalaCheck's sbt framework runs this object directly.
+  */
+object GraftProps extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8).withWorkers(1)
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+
+  /** (user, ts-offset-seconds, cents) event rows over a ~2 day span. */
+  private val eventsGen: Gen[List[(Long, Long, Long)]] =
+    Gen.nonEmptyListOf(for {
+      user <- Gen.choose(1L, 4L)
+      offs <- Gen.choose(0L, 2L * 86400)
+      cents <- Gen.choose(0L, 99999L)
+    } yield (user, offs, cents))
+
+  private def toDf(rows: List[(Long, Long, Long)]) = {
+    val sp = spark
+    import sp.implicits._
+    rows.map { case (u, o, c) =>
+      (u, new Timestamp(base + o * 1000), c / 100.0)
+    }.toDF("user_id", "ts", "value")
+  }
+
+  property("sliding windows assign every row to exactly size/slide windows") =
+    forAll(eventsGen) { rows =>
+      val out = Windows.sliding(toDf(rows), "ts", "2 hours", "30 minutes",
+        Seq(col("user_id")), Seq(count(lit(1)).as("n")))
+      val total = out.agg(sum(col("n"))).head().getLong(0)
+      total == rows.size.toLong * 4
+    }
+
+  property("pane-based two-level sliding equals direct sliding") =
+    forAll(eventsGen) { rows =>
+      val df = toDf(rows)
+      val aggs = Seq(count(lit(1)).as("n_events"),
+        sum(graft.Det.dec2(col("value"))).cast("double").as("sum_value"))
+      val direct = Windows.sliding(df, "ts", "2 hours", "30 minutes",
+          Seq(col("user_id")), aggs)
+        .select("window_start", "window_end", "user_id", "n_events", "sum_value")
+        .collect().toSet
+      val paned = Windows.slidingByPanes(df, "ts", "30 minutes", slots = 4,
+          keys = Seq(col("user_id")),
+          paneAggs = Seq(count(lit(1)).as("pn"), sum(graft.Det.dec2(col("value"))).as("ps")),
+          rollupAggs = Seq(sum(col("pn")).as("n_events"),
+            sum(col("ps")).cast("double").as("sum_value")))
+        .select("window_start", "window_end", "user_id", "n_events", "sum_value")
+        .collect().toSet
+      direct == paned
+    }
+
+  property("session windows of one user are disjoint and gap-separated") =
+    forAll(eventsGen) { rows =>
+      val out = Windows.session(toDf(rows), "ts", "30 minutes",
+          Seq(col("user_id")), Seq(count(lit(1)).as("n")))
+        .select("user_id", "session_start", "session_end")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+      out.groupBy(_._1).forall { case (_, ss) =>
+        val sorted = ss.sortBy(_._2.getTime)
+        sorted.zip(sorted.drop(1)).forall { case ((_, _, e1), (_, s2, _)) =>
+          s2.getTime >= e1.getTime
+        }
+      }
+    }
+
+  private val docsGen: Gen[List[(Long, String)]] =
+    Gen.nonEmptyListOf(for {
+      id <- Gen.choose(1L, 1000L)
+      words <- Gen.nonEmptyListOf(Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+    } yield (id, words.mkString(" ")))
+      .map(_.groupBy(_._1).map { case (id, vs) => (id, vs.head._2) }.toList)
+
+  property("exact dedup is idempotent and survivors cover all content") =
+    forAll(docsGen) { docs =>
+      val sp = spark
+      import sp.implicits._
+      val df = docs.toDF("doc_id", "text")
+      val surv1 = Dedup.exactSurvivors(df, "doc_id", "text")
+      val again = Dedup.exactSurvivors(
+        surv1.join(df, "doc_id").select("doc_id", "text"), "doc_id", "text")
+      surv1.select("doc_id").collect().toSet == again.select("doc_id").collect().toSet &&
+        surv1.count() == df.select("text").distinct().count()
+    }
+}
