@@ -17,15 +17,25 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(v):
+    """Type-strict normalization: int vs float vs str vs timestamp are
+    distinct even when values are numerically equal (the driver's hash
+    may stringify, where 5 != 5.0)."""
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
+        return ("f", "NaN" if math.isnan(v) else v)
     if hasattr(v, "isoformat"):
-        return v.isoformat()
+        return ("t", v.isoformat())
     if isinstance(v, (list, tuple)):
-        return tuple(norm(x) for x in v)
-    return v
+        return ("l", tuple(norm(x) for x in v))
+    if isinstance(v, (bytes, bytearray)):
+        return ("y", bytes(v))
+    import decimal
+    if isinstance(v, decimal.Decimal):
+        return ("d", str(v))
+    return ("s", v) if isinstance(v, str) else (type(v).__name__, v)
 
 
 def main():

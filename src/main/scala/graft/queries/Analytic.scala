@@ -153,9 +153,9 @@ object Analytic {
   val oracles: Map[String, String] = Map(
     "win_rank" ->
       """SELECT c_nationkey, c_custkey, c_acctbal,
-        |  row_number() OVER wtb AS rn,
-        |  CAST(rank() OVER wt AS BIGINT) AS rnk,
-        |  CAST(dense_rank() OVER wt AS BIGINT) AS drnk,
+        |  CAST(row_number() OVER wtb AS INTEGER) AS rn,
+        |  CAST(rank() OVER wt AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER wt AS INTEGER) AS drnk,
         |  CAST(ntile(4) OVER wtb AS INTEGER) AS quartile
         |FROM customer
         |WINDOW wtb AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey),

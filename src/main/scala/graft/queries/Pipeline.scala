@@ -185,7 +185,7 @@ object Pipeline {
         |          FROM cnts) WHERE rn = 1)
         |SELECT base.lang, base.source, n_docs,
         |  floor(totchars::DOUBLE / n_docs * 100 + 0.5) / 100 AS avg_chars,
-        |  n_tokens, n_terms,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens, n_terms,
         |  floor(n_terms::DOUBLE / n_tokens * 10000 + 0.5) / 10000 AS ttr,
         |  top_term
         |FROM base JOIN nterms USING (lang, source) JOIN top USING (lang, source)

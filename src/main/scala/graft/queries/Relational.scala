@@ -361,7 +361,7 @@ object Relational {
 
     "agg_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
-        |       sum(DISTINCT l_partkey) AS sum_parts
+        |       CAST(sum(DISTINCT l_partkey) AS BIGINT) AS sum_parts
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_grouping_sets" ->
