@@ -58,10 +58,11 @@ object Dedup {
                        bands: Int = 16, threshold: Double = 0.7): DataFrame = {
     val rows = 64 / bands
     val t = tokens(df, textCol).filter(size(col("tk")) >= 3)
+    // 64-perm signature from the hashed token set in one fused codegen
+    // pass (graft.functions.MinHashSig) — h_i(x) = A_i*x + B_i over the
+    // xxhash64 of each token.
     val sig = t.withColumn("sig",
-        expr("""transform(sequence(0, 63), i ->
-               |  aggregate(toks, 9223372036854775807L,
-               |            (m, sh) -> least(m, xxhash64(concat(sh, '|', cast(i as string))))))""".stripMargin))
+        graft.functions.Signatures.minhash_sig(col("toksh"), 64))
       .select(col(idCol), col("sig"))
     val banded = sig.select(col(idCol),
         explode(expr(
@@ -91,11 +92,7 @@ object Dedup {
                        maxHamming: Int = 12): DataFrame = {
     val t = tokens(df, textCol)
     val sig = t.withColumn("sig",
-        expr("""aggregate(sequence(0, 63), 0L, (acc, k) ->
-               |  acc + shiftleft(CASE WHEN aggregate(toksh, 0L,
-               |        (a, h) -> a + CASE WHEN (shiftright(h, k) & 1) = 1
-               |                           THEN 1L ELSE -1L END) >= 0L
-               |      THEN 1L ELSE 0L END, k))""".stripMargin))
+        graft.functions.Signatures.simhash_sig(col("toksh")))
       .select(col(idCol), col("sig"))
     val banded = sig.select(col(idCol), col("sig"),
         explode(expr(
