@@ -185,6 +185,17 @@ object Relational {
           sum_distinct(col("l_partkey")).as("sum_parts"))
         .orderBy("l_returnflag")),
 
+    // Exact interpolated percentiles (Spark `percentile` == DuckDB
+    // `quantile_cont`: pos = p*(n-1), linear interpolation on identical
+    // sorted doubles).
+    "agg_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(Det.round2(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
+          Det.round2(expr("percentile(l_extendedprice, 0.9)")).as("p90"),
+          Det.round2(expr("percentile(l_extendedprice, 0.99)")).as("p99"))
+        .orderBy("l_returnflag")),
+
     // HLL estimators differ across engines — declared without oracle
     // (SURVEY §2.D); covered by ScalaTest instead.
     "agg_approx_distinct" -> ((s, d) =>
@@ -362,6 +373,13 @@ object Relational {
     "agg_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |       CAST(sum(DISTINCT l_partkey) AS BIGINT) AS sum_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+        |  floor(quantile_cont(l_extendedprice, 0.5) * 100 + 0.5) / 100 AS p50,
+        |  floor(quantile_cont(l_extendedprice, 0.9) * 100 + 0.5) / 100 AS p90,
+        |  floor(quantile_cont(l_extendedprice, 0.99) * 100 + 0.5) / 100 AS p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_grouping_sets" ->
