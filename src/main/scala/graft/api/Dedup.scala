@@ -81,7 +81,11 @@ object Dedup {
         (col("na") + col("nb") - col("ninter")))
       .filter(col("jac") >= threshold)
       .select(col("doc_b").as(idCol)).distinct()
-    t.select(idCol).join(dominated, Seq(idCol), "left_anti")
+    // Survivors are drawn from ALL docs, not the >=3-token subset `t`:
+    // short docs get no signature (can't be dominated) but must still
+    // appear in the output — filtering them out of the base would
+    // silently drop them from the corpus.
+    df.select(col(idCol)).join(dominated, Seq(idCol), "left_anti")
   }
 
   /** SimHash(64-bit) near-dup survivors: majority-vote signature over

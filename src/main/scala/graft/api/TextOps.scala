@@ -57,10 +57,12 @@ object TextOps {
   def langId(df: DataFrame, textCol: String,
              profiles: Seq[(String, Seq[String])]): DataFrame = {
     val t = df.withColumn("tk", split(col(textCol), " "))
+    // Marker words are bound as literal Columns (never spliced into SQL
+    // text) — a word containing a quote is data, not syntax.
     val scored = profiles.foldLeft(t) { case (acc, (lang, words)) =>
-      val arr = words.map(w => s"'$w'").mkString(",")
+      val warr = array(words.map(lit): _*)
       acc.withColumn(s"s_$lang",
-        expr(s"size(filter(tk, t -> array_contains(array($arr), t)))").cast("double") /
+        size(filter(col("tk"), tk => array_contains(warr, tk))).cast("double") /
           size(col("tk")))
     }
     val pred = profiles.map(_._1).init.zipWithIndex.foldRight(lit(profiles.last._1)) {
@@ -76,11 +78,11 @@ object TextOps {
     * fixed-formula composite in [0, 1].
     */
   def quality(df: DataFrame, textCol: String, stopwords: Seq[String]): DataFrame = {
-    val arr = stopwords.map(w => s"'$w'").mkString(",")
+    val warr = array(stopwords.map(lit): _*) // literal Columns — see langId
     df.withColumn("tk", split(col(textCol), " "))
       .withColumn("n_tok", size(col("tk")))
       .withColumn("sumlen", expr("aggregate(tk, 0L, (a, t) -> a + length(t))"))
-      .withColumn("nstop", expr(s"size(filter(tk, t -> array_contains(array($arr), t)))"))
+      .withColumn("nstop", size(filter(col("tk"), t => array_contains(warr, t))))
       .withColumn("alpha", length(regexp_replace(col(textCol), "[^a-z]", "")))
       .withColumn("stop_ratio", col("nstop").cast("double") / col("n_tok"))
       .withColumn("alpha_ratio", col("alpha").cast("double") / length(col(textCol)))

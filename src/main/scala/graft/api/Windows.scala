@@ -62,10 +62,13 @@ object Windows {
   def slidingByPanes(df: DataFrame, tsCol: String, slide: String, slots: Int,
                      keys: Seq[Column], paneAggs: Seq[Column],
                      rollupAggs: Seq[Column]): DataFrame = {
-    val panes = df.groupBy(window(col(tsCol), slide) +: keys: _*)
+    val agged = df.groupBy(window(col(tsCol), slide) +: keys: _*)
       .agg(paneAggs.head, paneAggs.tail: _*)
-      .withColumn("pane_start", col("window.start")).drop("window")
-    val keyNames = keys.map(_.toString)
+    // Grouping output columns are [window, key1..keyN, aggs...]; take the
+    // key OUTPUT names from the schema so aliased/computed keys (e.g.
+    // col("a").as("k")) group correctly at the rollup level too.
+    val keyNames = agged.columns.slice(1, 1 + keys.size).toSeq
+    val panes = agged.withColumn("pane_start", col("window.start")).drop("window")
     val exploded = panes.withColumn("window_start",
       explode(expr(s"sequence(pane_start - INTERVAL '$slide' * ${slots - 1}, " +
         s"pane_start, INTERVAL '$slide')")))

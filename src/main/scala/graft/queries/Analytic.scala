@@ -127,7 +127,11 @@ object Analytic {
           Det.round4(expr(
             "aggregate(embedding, 0D, (acc, x) -> acc + cast(x as double))")).as("vsum"),
           expr("size(filter(embedding, x -> x > 0))").as("npos"),
-          expr("transform(slice(embedding, 1, 3), x -> cast(x as double))").as("first3"),
+          // round4-scaled ints joined to a string: array cells crash the
+          // driver's pandas comparator, and integer serialization avoids
+          // cross-engine double-formatting differences.
+          concat_ws(",", expr(
+            "transform(slice(embedding, 1, 3), x -> cast(floor(cast(x as double) * 10000 + 0.5) as bigint))")).as("first3"),
           Det.round4(expr(
             "aggregate(zip_with(embedding, embedding, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, x) -> acc + x)")).as("dot_self"))
         .orderBy("vec_id")),
@@ -137,8 +141,8 @@ object Analytic {
       Tables.events(s, d)
         .select(col("event_id"), map(lit("k"), k).as("m"))
         .select(col("event_id"),
-          map_keys(col("m")).as("mkeys"),
-          map_values(col("m")).as("mvals"))
+          concat_ws(",", map_keys(col("m"))).as("mkeys"),
+          concat_ws(",", expr("transform(map_values(m), v -> cast(v as string))")).as("mvals"))
         .orderBy("event_id")
     }),
 
@@ -237,15 +241,16 @@ object Analytic {
         |  floor(list_aggregate(list_transform(embedding, x -> x::DOUBLE), 'sum')
         |        * 10000 + 0.5) / 10000 AS vsum,
         |  CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS npos,
-        |  list_transform(embedding[1:3], x -> x::DOUBLE) AS first3,
+        |  array_to_string(list_transform(embedding[1:3],
+        |    x -> CAST(floor(x::DOUBLE * 10000 + 0.5) AS BIGINT)), ',') AS first3,
         |  floor(list_aggregate(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum')
         |        * 10000 + 0.5) / 10000 AS dot_self
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "fn_map" ->
       """SELECT event_id,
-        |  map_keys(map(['k'], [CAST(json_extract_string(props, '$.k') AS INTEGER)])) AS mkeys,
-        |  map_values(map(['k'], [CAST(json_extract_string(props, '$.k') AS INTEGER)])) AS mvals
+        |  array_to_string(map_keys(map(['k'], [CAST(json_extract_string(props, '$.k') AS INTEGER)])), ',') AS mkeys,
+        |  array_to_string(map_values(map(['k'], [CAST(json_extract_string(props, '$.k') AS INTEGER)])), ',') AS mvals
         |FROM events ORDER BY event_id""".stripMargin,
 
     "fn_json" ->

@@ -233,10 +233,14 @@ object Relational {
         .orderBy("region", "nation")
     }),
 
+    // The collected list is serialized to a canonical comma-joined string:
+    // the driver's pandas comparator can't hash array cells
+    // (CORRECTNESS_r01 TypeError), and the string carries identical
+    // information for the equality check.
     "agg_collect" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy("user_id")
-        .agg(array_sort(collect_list(col("event_type"))).as("types"),
+        .agg(concat_ws(",", array_sort(collect_list(col("event_type")))).as("types"),
           count(lit(1)).as("n_events"))
         .orderBy("user_id")),
 
@@ -400,7 +404,7 @@ object Relational {
         |GROUP BY ROLLUP (r_name, n_name) ORDER BY region, nation""".stripMargin,
 
     "agg_collect" ->
-      """SELECT user_id, list(event_type ORDER BY event_type) AS types,
+      """SELECT user_id, string_agg(event_type, ',' ORDER BY event_type) AS types,
         |       count(*) AS n_events
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 

@@ -56,6 +56,7 @@ object Streaming {
     "stream_dedup_watermark" ->
       """SELECT event_type, count(*) AS n_events FROM (
         |  SELECT DISTINCT ON (event_id) event_id, event_type FROM events
+        |  ORDER BY event_id, event_type
         |) GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "stream_custom_trigger" ->

@@ -107,7 +107,13 @@ object StreamOps {
       if (ev.isStreaming)
         ev.withWatermark("ts", "10 minutes")
           .dropDuplicatesWithinWatermark(Seq("event_id"))
-      else ev.dropDuplicates(Seq("event_id"))
+      else
+        // Batch replay: dropDuplicates keeps an ARBITRARY row per key;
+        // pick min(event_type) instead so the survivor is deterministic
+        // even if a duplicate event_id ever carried differing payloads
+        // (matches the oracle's DISTINCT ON ... ORDER BY event_id,
+        // event_type pick).
+        ev.groupBy(col("event_id")).agg(min(col("event_type")).as("event_type"))
     deduped.groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
   }
 
