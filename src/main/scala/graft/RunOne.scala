@@ -23,6 +23,11 @@ object RunOne {
     val t0 = System.nanoTime()
     val n = df.count()
     println(f"[runone] $key: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // dump=<dir>: write the result like Verify does (for single-key
+    // oracle_check.py replays without a full Verify run)
+    args.find(_.startsWith("dump=")).map(_.stripPrefix("dump=")).foreach { out =>
+      df.coalesce(1).write.mode("overwrite").parquet(s"$out/$key")
+    }
     spark.stop()
   }
 }

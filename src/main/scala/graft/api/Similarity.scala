@@ -44,10 +44,16 @@ object Similarity {
   def annTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
               vecCol: String, partCol: String, k: Int, nProbe: Int = 2): DataFrame = {
     val e = withNorm(corpus, vecCol)
+    // Centroid components are exact-DECIMAL sums divided by the count:
+    // order-independent (a double `avg` varies with partial-agg merge
+    // order), so the centroid — and therefore the probe→partition routing
+    // and the final result — is bit-deterministic and oracle-checkable.
     val cent = corpus
       .select(col(partCol), posexplode(expr(s"transform($vecCol, x -> cast(x as double))"))
         .as(Seq("pos", "x")))
-      .groupBy(partCol, "pos").agg(avg(col("x")).as("cx"))
+      .groupBy(partCol, "pos")
+      .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(30, 15)))
+        .cast("double") / count(lit(1))).as("cx"))
       .groupBy(partCol)
       .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), p -> p.cx)").as("cv"))
       .withColumn("cnrm", vec_norm(col("cv")))

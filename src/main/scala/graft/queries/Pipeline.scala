@@ -156,6 +156,44 @@ object Pipeline {
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |) WHERE cos >= 0.3 ORDER BY vec_a, vec_b""".stripMargin),
 
+    // Exact replay of the IVF routing: decimal-sum centroids (bit-equal
+    // across engines), top-2 labels per probe, then cosine top-5 within
+    // the routed partitions. Valid because every step is deterministic —
+    // see Similarity.annTopK's centroid scaladoc.
+    "sim_ann_partitioned" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v,
+        |         sqrt(list_aggregate(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum')) AS nrm
+        |  FROM embeddings
+        |),
+        |ex AS (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+        |cagg AS (SELECT label, pos,
+        |           CAST(sum(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / count(*) AS cx
+        |         FROM ex GROUP BY label, pos),
+        |cent AS (SELECT label, list(cx ORDER BY pos) AS cv FROM cagg GROUP BY label),
+        |cent2 AS (SELECT label, cv,
+        |            sqrt(list_aggregate(list_transform(cv, y -> y * y), 'sum')) AS cnrm
+        |          FROM cent),
+        |probes AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pn FROM e WHERE vec_id < 10),
+        |lsel AS (
+        |  SELECT probe_id, pv, pn, label FROM (
+        |    SELECT p.probe_id, p.pv, p.pn, c.label,
+        |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+        |        list_aggregate(list_transform(list_zip(p.pv, c.cv), x -> x[1] * x[2]), 'sum')
+        |          / (p.pn * c.cnrm) DESC, c.label) AS lrnk
+        |    FROM probes p CROSS JOIN cent2 c
+        |  ) WHERE lrnk <= 2
+        |)
+        |SELECT probe_id, rnk, neighbor_id, floor(cos * 10000 + 0.5) / 10000 AS cos FROM (
+        |  SELECT s.probe_id, n.vec_id AS neighbor_id,
+        |    list_aggregate(list_transform(list_zip(s.pv, n.v), x -> x[1] * x[2]), 'sum')
+        |      / (s.pn * n.nrm) AS cos,
+        |    CAST(row_number() OVER (PARTITION BY s.probe_id ORDER BY
+        |      list_aggregate(list_transform(list_zip(s.pv, n.v), x -> x[1] * x[2]), 'sum')
+        |        / (s.pn * n.nrm) DESC, n.vec_id) AS INTEGER) AS rnk
+        |  FROM lsel s JOIN e n ON n.label = s.label AND n.vec_id != s.probe_id
+        |) WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
     "sim_cosine_topk" ->
       (cosCte + """
         |SELECT probe_id, rnk, neighbor_id, floor(cos * 10000 + 0.5) / 10000 AS cos FROM (
