@@ -83,10 +83,30 @@ object Windows {
     * honest batch analogue of the (inherently sequential) watermark; in
     * streaming the same semantics comes from withWatermark + append mode.
     */
-  def dropLate(df: DataFrame, tsCol: String, arrivalCol: String, delay: String): DataFrame = {
-    val w = W.orderBy(arrivalCol).rowsBetween(W.unboundedPreceding, W.currentRow)
+  def dropLate(df: DataFrame, tsCol: String, arrivalCols: Seq[String], delay: String): DataFrame = {
+    val w = W.orderBy(arrivalCols.map(col): _*)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
     df.withColumn("__hwm", max(col(tsCol)).over(w))
       .filter(col(tsCol) >= col("__hwm") - expr(s"INTERVAL '$delay'"))
+      .drop("__hwm")
+  }
+
+  /** The complement of [[dropLate]] — the rows the watermark would drop,
+    * with how far behind the high-watermark each arrived. Flink exposes
+    * these via `sideOutputLateData(tag)`; Structured Streaming drops them
+    * silently, so a pipeline that must account for late data (billing,
+    * audit) runs this batch query over the replay log instead.
+    */
+  def lateRows(df: DataFrame, tsCol: String, arrivalCols: Seq[String], delay: String): DataFrame = {
+    val w = W.orderBy(arrivalCols.map(col): _*)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    df.withColumn("__hwm", max(col(tsCol)).over(w))
+      .filter(col(tsCol) < col("__hwm") - expr(s"INTERVAL '$delay'"))
+      // whole seconds behind the high-watermark, computed on integer
+      // micros (timestamps carry sub-second parts; truncating each side
+      // separately would differ from truncating the difference)
+      .withColumn("late_by_s",
+        expr(s"(unix_micros(__hwm) - unix_micros($tsCol)) div 1000000"))
       .drop("__hwm")
   }
 }

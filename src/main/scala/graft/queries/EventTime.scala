@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Det, Tables}
 import graft.api.Windows
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-time windowed aggregation queries (SURVEY.md §2.I) — thin
@@ -21,6 +22,16 @@ object EventTime {
 
   private def stdAggs = Seq(count(lit(1)).as("n_events"),
     Det.sumMoney(col("value")).as("sum_value"))
+
+  /** Deterministic simulated arrival order for the watermark operators:
+    * event time plus a ±10 min jitter keyed off event_id (the fixture's
+    * events are perfectly ordered by event_id, so replaying in id order
+    * would make lateness trivially empty). The same arithmetic runs in
+    * the oracle SQL; (arrival, event_id) is a unique total order.
+    */
+  private def withArrival(df: DataFrame): DataFrame =
+    df.withColumn("arrival",
+      expr("unix_micros(ts) + (event_id * 2654435761L) % 1200000001L - 600000000L"))
 
   /** 6 h / 30 min sliding windows per event_type — the namesake operator. */
   def wndSliding(s: SparkSession, d: String): DataFrame =
@@ -61,10 +72,57 @@ object EventTime {
     // streaming watermark does incrementally.
     "wnd_late_drop" -> ((s, d) =>
       Windows.tumbling(
-          Windows.dropLate(Tables.events(s, d), "ts", "event_id", "10 minutes"),
+          Windows.dropLate(withArrival(Tables.events(s, d)), "ts",
+            Seq("arrival", "event_id"), "10 minutes"),
           "ts", "1 hour", Seq(col("event_type")), stdAggs)
         .select("window_start", "event_type", "n_events", "sum_value")
-        .orderBy("window_start", "event_type"))
+        .orderBy("window_start", "event_type")),
+
+    // Flink's sideOutputLateData surface: the rows the 10 min watermark
+    // would drop, with their lateness. Same running-high-watermark scan
+    // as wnd_late_drop, opposite filter.
+    "wnd_late_sideoutput" -> ((s, d) =>
+      Windows.lateRows(withArrival(Tables.events(s, d)), "ts",
+          Seq("arrival", "event_id"), "10 minutes")
+        .select("event_id", "event_type", "ts", "late_by_s")
+        .orderBy("event_id")),
+
+    // Flink SQL Window Top-N: top-3 events by value per (1 h window,
+    // event_type). row_number over the window key — at scale this is a
+    // single shuffle on (window, type) with per-partition heaps.
+    "wnd_topk_per_window" -> ((s, d) => {
+      val w = Window.partitionBy(col("window_start"), col("event_type"))
+        .orderBy(col("value").desc, col("event_id"))
+      Tables.events(s, d)
+        .withColumn("window_start", date_trunc("hour", col("ts")))
+        .select(col("window_start"), col("event_type"), col("event_id"), col("value"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .orderBy("window_start", "event_type", "rnk")
+    }),
+
+    // Flink SQL distinct aggregation inside an event-time window: exact
+    // distinct users per (1 h window, event_type).
+    "wnd_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("window_start", date_trunc("hour", col("ts")))
+        .groupBy("window_start", "event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+        .orderBy("window_start", "event_type")),
+
+    // Flink DataStream window join: purchase ⋈ click of the same user
+    // inside the same 1 h tumbling window. Equi-join on (user, window) —
+    // a plain co-partitioned shuffle join at any scale.
+    "wnd_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("w", date_trunc("hour", col("ts")))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("w"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("w").as("c_w"))
+      p.join(c, col("user_id") === col("c_user") && col("w") === col("c_w"))
+        .select(col("p_id"), col("c_id"), col("user_id"), col("w").as("window_start"))
+        .orderBy("p_id", "c_id")
+    })
   )
 
   private val slidingOracle: String =
@@ -109,11 +167,49 @@ object EventTime {
         |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM sessioned GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
 
+    "wnd_late_sideoutput" ->
+      """WITH a AS (
+        |  SELECT event_id, ts::TIMESTAMP AS ts, event_type,
+        |         epoch_us(ts::TIMESTAMP) + (event_id * 2654435761) % 1200000001 - 600000000 AS arrival
+        |  FROM events
+        |), hw AS (
+        |  SELECT *, max(ts) OVER (ORDER BY arrival, event_id ROWS UNBOUNDED PRECEDING) AS hwm
+        |  FROM a
+        |)
+        |SELECT event_id, event_type, ts,
+        |       (epoch_us(hwm) - epoch_us(ts)) // 1000000 AS late_by_s
+        |FROM hw WHERE ts < hwm - INTERVAL 10 MINUTE ORDER BY event_id""".stripMargin,
+
+    "wnd_topk_per_window" ->
+      """SELECT window_start, event_type, event_id, value, rnk FROM (
+        |  SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start, event_type,
+        |         event_id, value,
+        |         CAST(row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+        |                                 ORDER BY value DESC, event_id) AS INTEGER) AS rnk
+        |  FROM events
+        |) WHERE rnk <= 3 ORDER BY window_start, event_type, rnk""".stripMargin,
+
+    "wnd_distinct" ->
+      """SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start, event_type,
+        |       count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "wnd_join" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id,
+        |       date_trunc('hour', p.ts)::TIMESTAMP AS window_start
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND date_trunc('hour', p.ts) = date_trunc('hour', c.ts)
+        |ORDER BY p_id, c_id""".stripMargin,
+
     "wnd_late_drop" ->
       """WITH a AS (
-        |  SELECT event_id, ts::TIMESTAMP AS ts, event_type, value FROM events
+        |  SELECT event_id, ts::TIMESTAMP AS ts, event_type, value,
+        |         epoch_us(ts::TIMESTAMP) + (event_id * 2654435761) % 1200000001 - 600000000 AS arrival
+        |  FROM events
         |), hw AS (
-        |  SELECT *, max(ts) OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS hwm
+        |  SELECT *, max(ts) OVER (ORDER BY arrival, event_id ROWS UNBOUNDED PRECEDING) AS hwm
         |  FROM a
         |), kept AS (
         |  SELECT * FROM hw WHERE ts >= hwm - INTERVAL 10 MINUTE

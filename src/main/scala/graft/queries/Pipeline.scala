@@ -103,6 +103,21 @@ object Pipeline {
         .select(col("doc_id"), TextOps.fingerprint("text").as("fp"))
         .orderBy("doc_id")),
 
+    // End-to-end training-corpus construction — the composite shape a
+    // 100 TB data pipeline actually runs: language filter → quality
+    // threshold → exact-dedup survivors, emitting per-survivor stats.
+    // Each stage is one of the already-verified operators; the value of
+    // the key is pinning their composition.
+    "pipeline_corpus" -> ((s, d) => {
+      val q = TextOps.quality(Tables.documents(s, d), "text", stopEn)
+        .filter(col("lang") === "en" && col("score") >= 0.5)
+      Dedup.exactSurvivors(q, "doc_id", "text")
+        .join(q, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tok"),
+          graft.Det.round4(col("score")).as("quality"), col("n_dups"))
+        .orderBy("doc_id")
+    }),
+
     "multimodal_cols" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val e = Tables.embeddings(s, d)
@@ -293,6 +308,23 @@ object Pipeline {
         |    list_transform(str_split(text, ' '), t -> (length(t) * 17 + ascii(t))::BIGINT)),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pipeline_corpus" ->
+      """WITH t AS (SELECT doc_id, text, str_split(text, ' ') AS tk
+        |           FROM documents WHERE lang = 'en'),
+        |q AS (SELECT doc_id, text, len(tk) AS n_tok,
+        |        len(list_filter(tk, tok -> list_contains(['the','a','of','and','to'], tok)))::DOUBLE / len(tk) AS stop_ratio,
+        |        length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / length(text) AS alpha_ratio
+        |      FROM t),
+        |sc AS (SELECT doc_id, text, n_tok,
+        |         least(1.0, n_tok / 100.0) * 0.4 + stop_ratio * 0.3 + alpha_ratio * 0.3 AS score
+        |       FROM q),
+        |kept AS (SELECT * FROM sc WHERE score >= 0.5),
+        |surv AS (SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+        |         FROM kept GROUP BY sha256(text))
+        |SELECT k.doc_id, CAST(k.n_tok AS INTEGER) AS n_tok,
+        |       floor(k.score * 10000 + 0.5) / 10000 AS quality, s.n_dups
+        |FROM surv s JOIN kept k USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "multimodal_cols" ->
       """WITH m AS (
