@@ -77,19 +77,57 @@ object Windows {
       .withColumn("window_end", col("window_start") + expr(s"INTERVAL '$slide' * $slots"))
   }
 
-  /** Deterministic batch simulation of the streaming watermark: rows
-    * arriving (in `arrivalCol` order) more than `delay` behind the
-    * running-max event time are dropped. The global ordered window is the
-    * honest batch analogue of the (inherently sequential) watermark; in
-    * streaming the same semantics comes from withWatermark + append mode.
+  /** Running-max event time over arrival order — the batch analogue of
+    * the streaming high-watermark — computed WITHOUT a global window.
+    *
+    * Two-level prefix-max (the watermark is a prefix aggregate, so it
+    * decomposes like any scan): rows are bucketed by coarse ranges of the
+    * primary arrival column (`arrival div bucketWidth` — monotone in
+    * arrival, so bucket order == arrival order); pass 1 computes the
+    * running max WITHIN each bucket under a partitioned window; pass 2
+    * computes each bucket's total max (a tiny `groupBy(bucket)` table, one
+    * row per bucket) and turns it into an exclusive prefix max via a
+    * broadcast non-equi self-join. The row's high-watermark is
+    * `greatest(local running max, prior buckets' max)` — identical to the
+    * single-partition global window, but every stage is partitioned:
+    * the big table is shuffled once (by bucket) and scanned twice (the
+    * bucket-max scan is pruned to two columns).
+    *
+    * `arrivalCols.head` must be an integral column (epoch micros here);
+    * `bucketWidth` bounds per-bucket skew — at any corpus scale a bucket
+    * holds one `bucketWidth` slice of arrival time, and shrinking it adds
+    * only rows to the tiny side.
     */
-  def dropLate(df: DataFrame, tsCol: String, arrivalCols: Seq[String], delay: String): DataFrame = {
-    val w = W.orderBy(arrivalCols.map(col): _*)
+  private def withHighWatermark(df: DataFrame, tsCol: String, arrivalCols: Seq[String],
+                                bucketWidth: Long): DataFrame = {
+    val a = arrivalCols.head
+    // floor division via pmod: exact integer math, monotone for negatives too
+    val withB = df.withColumn("__bkt",
+      expr(s"($a - pmod($a, ${bucketWidth}L)) div ${bucketWidth}L"))
+    val inBucket = W.partitionBy(col("__bkt")).orderBy(arrivalCols.map(col): _*)
       .rowsBetween(W.unboundedPreceding, W.currentRow)
-    df.withColumn("__hwm", max(col(tsCol)).over(w))
+    val local = withB.withColumn("__lmax", max(col(tsCol)).over(inBucket))
+    val bmax = withB.groupBy(col("__bkt")).agg(max(col(tsCol)).as("__bmax"))
+    val prior = bmax.select(col("__bkt").as("__pb"), col("__bmax"))
+    val prefix = bmax.select("__bkt")
+      .join(broadcast(prior), col("__pb") < col("__bkt"), "left")
+      .groupBy(col("__bkt")).agg(max(col("__bmax")).as("__pmax"))
+    local.join(broadcast(prefix), Seq("__bkt"))
+      .withColumn("__hwm", greatest(col("__lmax"), col("__pmax")))
+      .drop("__bkt", "__lmax", "__pmax")
+  }
+
+  /** Deterministic batch simulation of the streaming watermark: rows
+    * arriving (in `arrivalCols` order) more than `delay` behind the
+    * running-max event time are dropped — exactly what withWatermark +
+    * append mode does incrementally. Distributed via
+    * [[withHighWatermark]]; no single-partition stage.
+    */
+  def dropLate(df: DataFrame, tsCol: String, arrivalCols: Seq[String], delay: String,
+               bucketWidth: Long = 3600000000L): DataFrame =
+    withHighWatermark(df, tsCol, arrivalCols, bucketWidth)
       .filter(col(tsCol) >= col("__hwm") - expr(s"INTERVAL '$delay'"))
       .drop("__hwm")
-  }
 
   /** The complement of [[dropLate]] — the rows the watermark would drop,
     * with how far behind the high-watermark each arrived. Flink exposes
@@ -97,10 +135,9 @@ object Windows {
     * silently, so a pipeline that must account for late data (billing,
     * audit) runs this batch query over the replay log instead.
     */
-  def lateRows(df: DataFrame, tsCol: String, arrivalCols: Seq[String], delay: String): DataFrame = {
-    val w = W.orderBy(arrivalCols.map(col): _*)
-      .rowsBetween(W.unboundedPreceding, W.currentRow)
-    df.withColumn("__hwm", max(col(tsCol)).over(w))
+  def lateRows(df: DataFrame, tsCol: String, arrivalCols: Seq[String], delay: String,
+               bucketWidth: Long = 3600000000L): DataFrame =
+    withHighWatermark(df, tsCol, arrivalCols, bucketWidth)
       .filter(col(tsCol) < col("__hwm") - expr(s"INTERVAL '$delay'"))
       // whole seconds behind the high-watermark, computed on integer
       // micros (timestamps carry sub-second parts; truncating each side
@@ -108,5 +145,4 @@ object Windows {
       .withColumn("late_by_s",
         expr(s"(unix_micros(__hwm) - unix_micros($tsCol)) div 1000000"))
       .drop("__hwm")
-  }
 }

@@ -50,4 +50,18 @@ class PlanSpec extends SparkSuite {
   test("sim_cosine_topk broadcasts the probe side") {
     assert(plan("sim_cosine_topk").contains("Broadcast"))
   }
+
+  test("no declared query plans an unpartitioned (single-partition) window") {
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    for ((key, fn) <- SparkEntry.queries) {
+      val p = fn(spark, sf001).queryExecution.sparkPlan
+      val bad = p.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$key moves all rows to one partition via an unpartitioned window:\n" +
+          bad.mkString("\n"))
+    }
+  }
 }
