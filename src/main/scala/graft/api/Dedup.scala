@@ -1,6 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window => W}
 import org.apache.spark.sql.functions._
 
 /** Deduplication for training-data pipelines. All pairwise variants are
@@ -23,20 +24,50 @@ object Dedup {
       .withColumn("toks", array_distinct(col("tk")))
       .withColumn("toksh", expr("transform(toks, t -> xxhash64(t))"))
 
-  /** Exact all-pairs token-set Jaccard >= `threshold` within blocking
-    * keys. The blocking key bounds the quadratic term: pairs only form
-    * inside a block.
+  /** Exact token-set Jaccard pairs >= `threshold` within blocking keys,
+    * via PREFIX FILTERING (the Bayardo/Chaudhuri all-pairs algorithm) —
+    * exact output with sub-quadratic candidate generation, unlike a block
+    * self-join whose pair count is quadratic in block size.
+    *
+    * Tokens get a rare-first total order (document frequency within the
+    * block, token as tiebreak). A doc's PREFIX is its first
+    * |x| - ceil(t*|x|) + 1 tokens in that order; any pair with
+    * J(x,y) >= t must (a) share a prefix token under a common order and
+    * (b) satisfy min(|x|,|y|) >= t*max(|x|,|y|) — both classical
+    * necessary conditions, so joining prefixes on (block, token) loses no
+    * pairs, and the exact-Jaccard verify makes precision 1. Candidate
+    * volume is bounded by prefix-token bucket sizes (prefixes hold the
+    * RAREST ~30% of each doc's tokens at t=0.7), independent of block
+    * size — the property that survives 100 TB. Float guards: the
+    * ceil/length thresholds subtract 1e-9 so binary rounding of t*len can
+    * only ever LENGTHEN a prefix (more candidates), never drop a true
+    * pair.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    blockCols: Seq[String], threshold: Double): DataFrame = {
     val t = tokens(df, textCol).select(col(idCol) +: (blockCols :+ "toks").map(col): _*)
-    val a = t.select(col(idCol).as("doc_a") +:
-      blockCols.map(c => col(c)) :+ col("toks").as("toks_a"): _*)
-    val b = t.select(col(idCol).as("doc_b") +:
-      blockCols.map(c => col(c).as(s"${c}_b")) :+ col("toks").as("toks_b"): _*)
-    val cond = blockCols.map(c => col(c) === col(s"${c}_b"))
-      .reduce(_ && _) && col("doc_a") < col("doc_b")
-    a.join(b, cond)
+    val tok = t.select(col(idCol) +: blockCols.map(col) :+
+      size(col("toks")).as("len") :+ explode(col("toks")).as("tok"): _*)
+    val dfq = tok.groupBy((blockCols :+ "tok").map(col): _*)
+      .agg(count(lit(1)).as("tdf"))
+    val byRarity = W.partitionBy(col(idCol)).orderBy(col("tdf"), col("tok"))
+    val prefix = tok.join(dfq, blockCols :+ "tok")
+      .withColumn("pos", row_number().over(byRarity))
+      .filter(col("pos") <= col("len") - ceil(col("len") * threshold - lit(1e-9)) + 1)
+    val pa = prefix.select(col(idCol).as("doc_a") +: blockCols.map(col) :+
+      col("tok") :+ col("len").as("len_a"): _*)
+    val pb = prefix.select(col(idCol).as("doc_b") +:
+      blockCols.map(c => col(c).as(s"${c}_b")) :+
+      col("tok").as("tok_b") :+ col("len").as("len_b"): _*)
+    val cond = (blockCols.map(c => col(c) === col(s"${c}_b")) :+
+      (col("tok") === col("tok_b"))).reduce(_ && _) &&
+      col("doc_a") < col("doc_b") &&
+      least(col("len_a"), col("len_b")) >=
+        greatest(col("len_a"), col("len_b")) * threshold - lit(1e-9)
+    val cand = pa.join(pb, cond).select("doc_a", "doc_b").distinct()
+    val ta = t.select(col(idCol).as("doc_a"), col("toks").as("toks_a"))
+    val tb = t.select(col(idCol).as("doc_b"), col("toks").as("toks_b"))
+    cand.join(ta, "doc_a").join(tb, "doc_b")
       .withColumn("ninter", size(array_intersect(col("toks_a"), col("toks_b"))))
       .withColumn("jac", col("ninter").cast("double") /
         (size(col("toks_a")) + size(col("toks_b")) - col("ninter")))

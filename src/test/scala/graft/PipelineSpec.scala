@@ -51,6 +51,25 @@ class PipelineSpec extends SparkSuite {
     assert(ann.size == brute.size, "ANN must return the same top-k shape")
   }
 
+  test("prefix-filtered jaccard pairs equal brute-force block all-pairs EXACTLY") {
+    val got = Pipeline.queries("dedup_ngram_jaccard")(spark, sf001)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val t = Tables.documents(spark, sf001).select(col("doc_id"), col("lang"),
+      col("source"), array_distinct(split(col("text"), " ")).as("toks"))
+    val a = t.select(col("doc_id").as("da"), col("lang"), col("source"), col("toks").as("ta"))
+    val b = t.select(col("doc_id").as("db"), col("lang").as("lgb"),
+      col("source").as("srb"), col("toks").as("tb"))
+    val brute = a.join(b, col("lang") === col("lgb") && col("source") === col("srb") &&
+        col("da") < col("db"))
+      .withColumn("ni", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("jac", col("ni").cast("double") /
+        (size(col("ta")) + size(col("tb")) - col("ni")))
+      .filter(col("jac") >= 0.7)
+      .select(col("da"), col("db")).as[(Long, Long)].collect().toSet
+    assert(got == brute,
+      s"missed: ${(brute -- got).take(5)}; extra: ${(got -- brute).take(5)}")
+  }
+
   test("dedup_exact is idempotent and survivors are minimal doc_ids") {
     val out = Pipeline.queries("dedup_exact")(spark, sf001)
     val n = out.count()
