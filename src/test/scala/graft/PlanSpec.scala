@@ -51,6 +51,31 @@ class PlanSpec extends SparkSuite {
     assert(plan("sim_cosine_topk").contains("Broadcast"))
   }
 
+  test("no declared query funnels raw rows through an Exchange SinglePartition") {
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.{BaseLimitExec, SparkPlan}
+    // A SinglePartition exchange is only acceptable over already-reduced
+    // data: a partial aggregate (global agg's final step merges one row
+    // per partition) or a local limit. Anything else serializes the full
+    // input through one task — the 100 TB killer this test guards against.
+    def reduced(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec | _: BaseLimitExec => true
+      case other => other.children.exists(reduced)
+    }
+    for ((key, fn) <- SparkEntry.queries) {
+      val p = fn(spark, sf001).queryExecution.sparkPlan
+      val bad = p.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning == SinglePartition && !reduced(e.child) => e
+      }
+      assert(bad.isEmpty,
+        s"$key plans an Exchange SinglePartition over unreduced rows:\n" +
+          bad.mkString("\n"))
+    }
+  }
+
   test("no declared query plans an unpartitioned (single-partition) window") {
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
     for ((key, fn) <- SparkEntry.queries) {
