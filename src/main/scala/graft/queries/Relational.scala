@@ -237,6 +237,21 @@ object Relational {
     // the driver's pandas comparator can't hash array cells
     // (CORRECTNESS_r01 TypeError), and the string carries identical
     // information for the equality check.
+    // Custom typed UDAF (SURVEY §2.L): Aggregator registered via udaf(),
+    // partial/merge/finish over an exact cents buffer — see
+    // graft.functions.MoneyStatsAgg.
+    "agg_udaf" -> ((s, d) => {
+      val moneyStats = udaf(graft.functions.MoneyStatsAgg)
+      s.udf.register("money_stats", moneyStats)
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(moneyStats(col("l_extendedprice")).as("ms"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("ms.n_items").as("n_items"), col("ms.sum_price").as("sum_price"),
+          col("ms.min_price").as("min_price"), col("ms.max_price").as("max_price"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     "agg_collect" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy("user_id")
@@ -378,6 +393,15 @@ object Relational {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |       CAST(sum(DISTINCT l_partkey) AS BIGINT) AS sum_parts
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_udaf" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "agg_percentile" ->
       """SELECT l_returnflag,

@@ -36,6 +36,39 @@ class FunctionsSpec extends SparkSuite {
     assert(rows.getDouble(1) == 6.0)
   }
 
+  test("MoneyStatsAgg: partial/merge equals single-pass reduce, any split") {
+    import graft.functions.MoneyStatsAgg
+    val vs = Seq(12.34, 0.01, 999.99, 500.00, 3.30, 77.70, 12.34)
+    val single = vs.foldLeft(MoneyStatsAgg.zero)(MoneyStatsAgg.reduce)
+    for (cut <- 0 to vs.size) {
+      val (l, r) = vs.splitAt(cut)
+      val merged = MoneyStatsAgg.merge(
+        l.foldLeft(MoneyStatsAgg.zero)(MoneyStatsAgg.reduce),
+        r.foldLeft(MoneyStatsAgg.zero)(MoneyStatsAgg.reduce))
+      assert(merged == single, s"split at $cut diverged")
+    }
+    val out = MoneyStatsAgg.finish(single)
+    assert(out.n_items == 7 && out.sum_price == 1605.68 &&
+      out.min_price == 0.01 && out.max_price == 999.99)
+  }
+
+  test("agg_udaf is partitioning-invariant and matches built-in aggregates") {
+    import graft.functions.MoneyStatsAgg
+    val ms = udaf(MoneyStatsAgg)
+    val li = Tables.lineitem(spark, sf001)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("l_returnflag").agg(ms(col("l_extendedprice")).as("m"))
+        .select(col("l_returnflag"), col("m.n_items"), col("m.sum_price"),
+          col("m.min_price"), col("m.max_price"))
+        .orderBy("l_returnflag").collect().toSeq
+    assert(run(li.repartition(1)) == run(li.repartition(17)))
+    val builtin = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"), Det.sumMoney(col("l_extendedprice")).as("sum_price"),
+        min(col("l_extendedprice")).as("min_price"), max(col("l_extendedprice")).as("max_price"))
+      .orderBy("l_returnflag").collect().toSeq
+    assert(run(li) == builtin)
+  }
+
   test("vec_norm matches sqrt of self-dot") {
     val e = Tables.embeddings(spark, sf001).limit(10)
     val bad = e.select((GraftFunctions.vec_norm(col("embedding")) -
