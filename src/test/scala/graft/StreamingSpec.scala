@@ -120,6 +120,94 @@ class StreamingSpec extends SparkSuite {
     assert(pairs == Set((20L, 10L)), s"got $pairs")
   }
 
+  test("sliding windows under readStream (append): watermark closes windows; late dropped") {
+    import graft.api.Windows
+    import org.apache.spark.sql.functions._
+    val aggs = Seq(count(lit(1)).as("n_events"), Det.sumMoney(col("value")).as("sum_value"))
+    val ms = MemoryStream[Ev]
+    val q = Windows.sliding(ms.toDF().withWatermark("ts", "10 minutes"),
+        "ts", "1 hour", "30 minutes", Seq(col("event_type")), aggs)
+      .writeStream.format("memory").queryName("slide").outputMode("append").start()
+    ms.addData(
+      Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 10:20:00"), 1, "click", 2.0))
+    q.processAllAvailable()
+    // watermark jumps to 12:50 — every window ending before that emits
+    ms.addData(Ev(3, ts("2024-01-01 13:00:00"), 1, "view", 1.0))
+    q.processAllAvailable()
+    // late event for the closed 10:00/10:30 windows must be dropped
+    ms.addData(Ev(4, ts("2024-01-01 10:30:00"), 1, "click", 99.0))
+    ms.addData(Ev(5, ts("2024-01-01 15:00:00"), 1, "view", 1.0))
+    drain(q)
+    val rows = spark.table("slide")
+      .select("window_start", "event_type", "n_events", "sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    // both on-time events fall in the [09:30,10:30) and [10:00,11:00) windows
+    assert(rows.contains((ts("2024-01-01 09:30:00"), "click", 2L, 3.0)), s"got $rows")
+    assert(rows.contains((ts("2024-01-01 10:00:00"), "click", 2L, 3.0)), s"got $rows")
+    assert(!rows.exists { case (_, t, _, v) => t == "click" && v >= 99.0 },
+      s"late event leaked into a closed sliding window: $rows")
+  }
+
+  test("session windows under readStream (append): gap merge + watermark emission") {
+    import graft.api.Windows
+    import org.apache.spark.sql.functions._
+    val aggs = Seq(count(lit(1)).as("n_events"), Det.sumMoney(col("value")).as("sum_value"))
+    val ms = MemoryStream[Ev]
+    val q = Windows.session(ms.toDF().withWatermark("ts", "10 minutes"),
+        "ts", "30 minutes", Seq(col("user_id")), aggs)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    // two events 10 min apart: one session 10:00 -> 10:40 (last + gap)
+    ms.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 10:10:00"), 1, "click", 2.0))
+    q.processAllAvailable()
+    // 35 min later on another user: past the gap, watermark moves to 12:50
+    ms.addData(Ev(3, ts("2024-01-01 13:00:00"), 2, "view", 5.0))
+    q.processAllAvailable()
+    ms.addData(Ev(4, ts("2024-01-01 15:00:00"), 2, "view", 1.0))
+    drain(q)
+    val rows = spark.table("sess")
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+    assert(rows.contains(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:40:00"), 2L, 3.0)),
+      s"user 1's merged session missing/wrong: $rows")
+    assert(!rows.exists(_._1 == 2L) || rows.exists { r =>
+      r._1 == 2L && r._2 == ts("2024-01-01 13:00:00") },
+      s"unexpected user-2 session: $rows")
+  }
+
+  test("batch and streaming sliding agg agree on full replay (complete mode)") {
+    import graft.api.Windows
+    import org.apache.spark.sql.functions._
+    val aggs = Seq(count(lit(1)).as("n_events"), Det.sumMoney(col("value")).as("sum_value"))
+    def sliding(df: org.apache.spark.sql.DataFrame) =
+      Windows.sliding(df, "ts", "6 hours", "30 minutes", Seq(col("event_type")), aggs)
+    val q = sliding(StreamOps.eventsStream(spark, sf001).withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("slide_replay").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("slide_replay").collect().toSet
+    val want = sliding(Tables.events(spark, sf001)).collect().toSet
+    assert(got == want,
+      s"stream/batch sliding divergence: stream=${got.size} rows, batch=${want.size} rows")
+  }
+
+  test("batch and streaming session windows agree on full replay (complete mode)") {
+    import graft.api.Windows
+    import org.apache.spark.sql.functions._
+    val aggs = Seq(count(lit(1)).as("n_events"), Det.sumMoney(col("value")).as("sum_value"))
+    def sess(df: org.apache.spark.sql.DataFrame) =
+      Windows.session(df, "ts", "30 minutes", Seq(col("user_id")), aggs)
+    val q = sess(StreamOps.eventsStream(spark, sf001).withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("sess_replay").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sess_replay").collect().toSet
+    val want = sess(Tables.events(spark, sf001)).collect().toSet
+    assert(got == want,
+      s"stream/batch session divergence: stream=${got.size} rows, batch=${want.size} rows")
+  }
+
   test("batch and streaming tumbling agg agree on full replay (complete mode)") {
     val streamed = StreamOps.tumblingAgg(StreamOps.eventsStream(spark, sf001))
     val q = streamed.writeStream.format("memory").queryName("replay")
