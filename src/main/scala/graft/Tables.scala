@@ -39,19 +39,15 @@ object Tables {
     * sub-microsecond components), so no precision is lost vs DuckDB's
     * native TIMESTAMP_NS read.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
 
   /** `events` with `ts` kept as raw epoch-nanos LongType (for operators
     * that want integer time arithmetic, e.g. range frames).
     */
-  def eventsRawTs(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def eventsRawTs(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "events")
-  }
 }
 
 /** Cross-engine determinism helpers (SURVEY.md §5.4).

@@ -75,7 +75,9 @@ object Analytic {
       val c = Tables.customer(s, d)
       val w = Window.partitionBy(col("c_mktsegment"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      // no broadcast hint: customer is fact-sized at scale — AQE picks
+      // BHJ locally from the observed size and SMJ/SHJ on a cluster
+      o.join(c, o("o_custkey") === c("c_custkey"))
         .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)

@@ -78,7 +78,6 @@ object StreamOps {
     * exactly like Tables.events.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream.schema(eventsRawSchema)
       .option("pathGlobFilter", "events.parquet") // the source wants a directory
       .parquet(dir)

@@ -47,6 +47,33 @@ class ApiSpec extends SparkSuite {
     assert(rows > 800, s"expected most of the ~868 windows, got $rows")
   }
 
+  test("Sources.csv round-trips typed rows with header") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val rows = Seq((1L, "a,b", 1.5), (2L, "plain", -0.25), (3L, "", 0.0))
+    rows.toDF("id", "s", "v").write.mode("overwrite")
+      .option("header", "true").csv(dir)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("s", StringType), StructField("v", DoubleType)))
+    val back = Sources.csv(spark, dir, schema)
+      .as[(Long, String, Double)].collect().toSet
+    // CSV has no empty-vs-null distinction: "" reads back as null
+    val want = rows.map { case (i, s, v) => (i, if (s.isEmpty) null else s, v) }.toSet
+    assert(back == want, s"got $back")
+  }
+
+  test("Sources.json round-trips nested rows with explicit schema") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_json").toString
+    val rows = Seq((1L, "x", Seq(1, 2, 3)), (2L, "y\"quoted", Seq.empty[Int]))
+    rows.toDF("id", "s", "arr").write.mode("overwrite").json(dir)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("s", StringType), StructField("arr", ArrayType(IntegerType))))
+    val back = Sources.json(spark, dir, schema)
+      .as[(Long, String, Seq[Int])].collect().toSet
+    assert(back == rows.toSet, s"got $back")
+  }
+
   test("no declared query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val p = fn(spark, sf001).queryExecution.executedPlan.toString

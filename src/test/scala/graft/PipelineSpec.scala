@@ -47,8 +47,34 @@ class PipelineSpec extends SparkSuite {
       .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (ann & brute).size.toDouble / brute.size
     info(s"ANN recall@5 = $recall")
-    assert(recall >= 0.2, s"ANN recall $recall unreasonably low")
+    // The fixture embeddings are isotropic (no cluster structure), so the
+    // information-free floor for nProbe=2 of 10 partitions is 0.2 and the
+    // measured recall is 0.30 — pinned here as the regression bar. High
+    // recall on clusterABLE data is proven by the dedicated test below.
+    assert(recall >= 0.28, s"ANN recall $recall regressed below the measured 0.30 floor")
     assert(ann.size == brute.size, "ANN must return the same top-k shape")
+  }
+
+  test("ANN achieves >=0.9 recall@5 when the corpus actually clusters") {
+    import spark.implicits._
+    // Deterministic 10-cluster corpus: fixed-seed PRNG, well-separated
+    // centers (scale 5) + small noise (scale 1) in 16-d.
+    val rnd = new scala.util.Random(42)
+    val centers = Array.fill(10)(Array.fill(16)(rnd.nextGaussian() * 5.0f.toDouble))
+    val rows = (0 until 400).map { i =>
+      val c = i % 10
+      (i.toLong, centers(c).map(x => (x + rnd.nextGaussian()).toFloat), c)
+    }
+    val corpus = rows.toDF("vec_id", "embedding", "label")
+    val probes = corpus.filter(col("vec_id") < 10)
+    val brute = graft.api.Similarity.cosineTopK(corpus, probes, "vec_id", "embedding", 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = graft.api.Similarity.annTopK(corpus, probes, "vec_id", "embedding",
+        "label", 5, nProbe = 2)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (ann & brute).size.toDouble / brute.size
+    info(s"clustered ANN recall@5 = $recall")
+    assert(recall >= 0.9, s"IVF recall $recall < 0.9 on clustered data")
   }
 
   test("prefix-filtered jaccard pairs equal brute-force block all-pairs EXACTLY") {

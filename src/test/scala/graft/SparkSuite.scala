@@ -8,13 +8,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * shuffle partitioning for local).
   */
 trait SparkSuite extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = GraftSession.builder(4)
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
 
   val sf001 = "/root/testdata/sf0.001"
 }
