@@ -11,6 +11,14 @@ class CoreSpec extends SparkSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("PLANS.md covers every declared query (regen: scripts/run.sh graft.Explain)") {
+    val plans = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("PLANS.md")))
+    val sections = "(?m)^## (\\S+)$".r.findAllMatchIn(plans).map(_.group(1)).toSet
+    val missing = SparkEntry.queries.keySet -- sections
+    assert(missing.isEmpty, s"PLANS.md is stale — missing plans for: $missing")
+  }
+
   test("every declared query runs and returns rows on sf0.001") {
     val empty = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val n = fn(spark, sf001).count()
