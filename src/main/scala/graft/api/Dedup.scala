@@ -145,6 +145,48 @@ object Dedup {
     t.select(idCol).join(dominated, Seq(idCol), "left_anti")
   }
 
+  /** SimHash near-dup PAIR SET with an engine-independent token hash:
+    * the first 15 hex chars of md5(token) parsed as a 60-bit integer
+    * (md5 is bit-identical everywhere, unlike xxhash64 — this is what
+    * makes the whole pair set replayable in the DuckDB oracle and pins
+    * the simhash ALGORITHM cross-engine, not just row counts). 60-bit
+    * majority-vote signature, 4 x 15-bit LSH band buckets for candidate
+    * generation, exact hamming <= `maxHamming` verification.
+    *
+    * Same bucketed dataflow as [[simhashSurvivors]] (which stays on the
+    * fused-codegen xxhash64 signature — the hot path at scale); the
+    * per-token bit explosion here costs 60x tokens rows through one
+    * partial-aggregated shuffle, the price of cross-engine parity.
+    */
+  def simhashPairsMd5(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 2): DataFrame = {
+    val tok = tokens(df, textCol).select(col(idCol), explode(col("toks")).as("tok"))
+    val th = tok.withColumn("h",
+      expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"))
+    val bits = th
+      .select(col(idCol), col("h"), explode(sequence(lit(0), lit(59))).as("b"))
+      .groupBy(col(idCol), col("b"))
+      .agg(sum(expr("case when (shiftright(h, b) & 1) = 1 then 1 else -1 end")).as("s"))
+    val sig = bits.groupBy(col(idCol))
+      .agg(sum(expr("case when s > 0 then shiftleft(cast(1 as bigint), b) else cast(0 as bigint) end")).as("sig"))
+    val banded = sig.select(col(idCol),
+        explode(expr("transform(sequence(0, 3), i -> " +
+          "struct(i as band, shiftright(sig, 15 * i) & 32767 as bkey))")).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val cand = banded.select(col(idCol).as("doc_a"), col("band"), col("bkey"))
+      .join(banded.select(col(idCol).as("doc_b"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sig.select(col(idCol).as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sig.select(col(idCol).as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Embedding near-dup pairs: cosine >= `threshold` within a blocking
     * column (cluster/partition id).
     */

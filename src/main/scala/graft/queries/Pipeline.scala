@@ -47,6 +47,13 @@ object Pipeline {
       Dedup.simhashSurvivors(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // The oracle-replayable simhash: md5-derived 60-bit signatures (see
+    // Dedup.simhashPairsMd5) — the full near-dup pair set hash-matches
+    // DuckDB, pinning the algorithm cross-engine.
+    "dedup_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairsMd5(Tables.documents(s, d), "doc_id", "text", maxHamming = 2)
+        .orderBy("doc_a", "doc_b")),
+
     "dedup_embed_cosine" -> ((s, d) =>
       Dedup.embedCosinePairs(Tables.embeddings(s, d), "vec_id", "embedding",
           "label", 0.3)
@@ -147,6 +154,34 @@ object Pipeline {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_simhash_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+        |),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |th AS (SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok),
+        |bits AS (
+        |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM th CROSS JOIN (SELECT unnest(range(60)) AS b) GROUP BY doc_id, b
+        |),
+        |sig AS (SELECT doc_id,
+        |          sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sig
+        |        FROM bits GROUP BY doc_id),
+        |band AS (SELECT doc_id, sig, i, (sig >> (15*i)) & 32767 AS bb
+        |         FROM sig CROSS JOIN (SELECT unnest(range(4)) AS i)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM band a JOIN band b ON a.i = b.i AND a.bb = b.bb
+        |                                AND a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |         CAST(bit_count(xor(sa.sig, sb.sig)) AS INTEGER) AS hamming
+        |  FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id
+        |              JOIN sig sb ON c.doc_b = sb.doc_id
+        |)
+        |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, sha256(text) AS h, count(*) AS n_dups
         |FROM documents GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,
