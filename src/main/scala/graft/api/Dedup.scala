@@ -160,15 +160,21 @@ object Dedup {
     */
   def simhashPairsMd5(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 2): DataFrame = {
-    val tok = tokens(df, textCol).select(col(idCol), explode(col("toks")).as("tok"))
-    val th = tok.withColumn("h",
-      expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"))
-    val bits = th
-      .select(col(idCol), col("h"), explode(sequence(lit(0), lit(59))).as("b"))
-      .groupBy(col(idCol), col("b"))
-      .agg(sum(expr("case when (shiftright(h, b) & 1) = 1 then 1 else -1 end")).as("s"))
-    val sig = bits.groupBy(col(idCol))
-      .agg(sum(expr("case when s > 0 then shiftleft(cast(1 as bigint), b) else cast(0 as bigint) end")).as("sig"))
+    // Row-local signature: fold the doc's token array into 60 majority
+    // counters, then pack the sign bits — one projection, no per-bit
+    // shuffle rows (the naive shape shuffles |tokens| x 60 rows; this
+    // shuffles nothing). Integer-exact and order-independent, so it
+    // equals the oracle's explode-and-group formulation bit-for-bit.
+    val sig = tokens(df, textCol).select(col(idCol),
+      expr("""aggregate(
+             |  transform(toks, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)),
+             |  array_repeat(cast(0 as bigint), 60),
+             |  (acc, h) -> zip_with(acc, sequence(0, 59),
+             |    (c, b) -> c + case when (shiftright(h, b) & 1) = 1 then 1 else -1 end),
+             |  acc -> aggregate(zip_with(acc, sequence(0, 59),
+             |    (c, b) -> case when c > 0 then shiftleft(cast(1 as bigint), b)
+             |              else cast(0 as bigint) end),
+             |    cast(0 as bigint), (s, x) -> s + x))""".stripMargin).as("sig"))
     val banded = sig.select(col(idCol),
         explode(expr("transform(sequence(0, 3), i -> " +
           "struct(i as band, shiftright(sig, 15 * i) & 32767 as bkey))")).as("bb"))
@@ -185,6 +191,99 @@ object Dedup {
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** The MinHash permutation constants shared by [[minhashPairsMd5]] and
+    * its DuckDB oracle: 64 pairs (a, b) for h -> (a*h + b) mod P over the
+    * Mersenne prime P = 2^31 - 1. Generated by a fixed-seed LCG at class
+    * load so Spark expr and oracle SQL splice the SAME literals; with
+    * h < P, a*h + b < 2^62 — exact in 64-bit on both engines (no
+    * overflow wrap to diverge on).
+    */
+  val MinhashP: Long = 2147483647L
+  val (minhashA, minhashB): (IndexedSeq[Long], IndexedSeq[Long]) = {
+    var x = 88172645463325252L
+    def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
+    val a = IndexedSeq.fill(64)(math.floorMod(next(), MinhashP - 1) + 1)
+    val b = IndexedSeq.fill(64)(math.floorMod(next(), MinhashP))
+    (a, b)
+  }
+
+  /** MinHash+LSH near-dup PAIR SET with an engine-independent token
+    * hash — the oracle-replayable sibling of [[minhashSurvivors]] (which
+    * keeps the fused-codegen xxhash64 signature as the scale path).
+    *
+    * Token hash = first 32 bits of md5 mod P; signature = 64 permutation
+    * minima computed ROW-LOCALLY (array fold per doc — no signature
+    * shuffle); candidates from 16 bands x 4 rows (LSH threshold
+    * ~(1/16)^(1/4) ~= 0.45, comfortably below the 0.7 verify bar);
+    * verification = exact Jaccard on the distinct token sets. Output is
+    * the deterministic "banded candidates with J >= threshold" set that
+    * DuckDB replays bit-for-bit.
+    */
+  def minhashPairsMd5(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.7): DataFrame = {
+    val permMins = (0 until 64).map(i =>
+      s"array_min(transform(hs, h -> (${minhashA(i)}L * h + ${minhashB(i)}L) % ${MinhashP}L))")
+      .mkString("array(", ", ", ")")
+    val sig = tokens(df, textCol)
+      .withColumn("hs",
+        expr("transform(toks, t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint) % " +
+          s"${MinhashP}L)"))
+      .select(col(idCol), col("toks"), expr(permMins).as("sig"))
+    val banded = sig.select(col(idCol),
+        explode(expr(
+          """transform(sequence(0, 15), b -> struct(b as band,
+            |  concat_ws(',', transform(slice(sig, b * 4 + 1, 4),
+            |                           x -> cast(x as string))) as bkey))""".stripMargin)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val cand = banded.select(col(idCol).as("doc_a"), col("band"), col("bkey"))
+      .join(banded.select(col(idCol).as("doc_b"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val ta = sig.select(col(idCol).as("doc_a"), col("toks").as("toks_a"))
+    val tb = sig.select(col(idCol).as("doc_b"), col("toks").as("toks_b"))
+    cand.join(ta, "doc_a").join(tb, "doc_b")
+      .withColumn("ninter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("jac", col("ninter").cast("double") /
+        (size(col("toks_a")) + size(col("toks_b")) - col("ninter")))
+      .filter(col("jac") >= threshold)
+      .select("doc_a", "doc_b", "jac")
+  }
+
+  /** The DuckDB replay of [[minhashPairsMd5]], spliced with the same
+    * permutation literals.
+    */
+  def minhashPairsOracleSql(threshold: Double = 0.7): String = {
+    val permValues = (0 until 64)
+      .map(i => s"(${i}, ${minhashA(i)}, ${minhashB(i)})").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+       |),
+       |th AS (SELECT doc_id, toks,
+       |         list_transform(toks, tk ->
+       |           CAST(concat('0x', substr(md5(tk), 1, 8)) AS BIGINT) % ${MinhashP}) AS hs
+       |       FROM t),
+       |perm(i, a, b) AS (VALUES ${permValues}),
+       |sigrow AS (SELECT doc_id, i,
+       |             list_min(list_transform(hs, h -> (a * h + b) % ${MinhashP})) AS m
+       |           FROM th CROSS JOIN perm),
+       |band AS (SELECT doc_id, i // 4 AS band,
+       |           string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bkey
+       |         FROM sigrow GROUP BY doc_id, i // 4),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM band a JOIN band b ON a.band = b.band AND a.bkey = b.bkey
+       |                                AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
+       |      (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))) AS jac
+       |  FROM cand c JOIN t ta ON c.doc_a = ta.doc_id JOIN t tb ON c.doc_b = tb.doc_id
+       |)
+       |SELECT doc_a, doc_b, floor(jac * 10000 + 0.5) / 10000 AS jac
+       |FROM pairs WHERE jac >= ${threshold}
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   /** Embedding near-dup pairs: cosine >= `threshold` within a blocking

@@ -47,6 +47,14 @@ object Pipeline {
       Dedup.simhashSurvivors(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // The oracle-replayable minhash: md5-derived token hashes + literal
+    // permutation constants (Dedup.minhashPairsMd5) — the banded
+    // candidate pair set with exact-Jaccard verify hash-matches DuckDB.
+    "dedup_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashPairsMd5(Tables.documents(s, d), "doc_id", "text", 0.7)
+        .select(col("doc_a"), col("doc_b"), Det.round4(col("jac")).as("jac"))
+        .orderBy("doc_a", "doc_b")),
+
     // The oracle-replayable simhash: md5-derived 60-bit signatures (see
     // Dedup.simhashPairsMd5) — the full near-dup pair set hash-matches
     // DuckDB, pinning the algorithm cross-engine.
@@ -154,6 +162,8 @@ object Pipeline {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_minhash_pairs" -> Dedup.minhashPairsOracleSql(0.7),
+
     "dedup_simhash_pairs" ->
       """WITH t AS (
         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
