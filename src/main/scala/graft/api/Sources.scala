@@ -45,6 +45,20 @@ object Sinks {
   def partitionedParquet(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Bucketed + sorted managed table — the co-located-join layout. Two
+    * tables bucketed by their join key with the same bucket count join
+    * WITHOUT any exchange (each task zips bucket i with bucket i): at
+    * 100 TB this turns the recurring fact-fact join from a full shuffle
+    * of both sides into a local merge, the single biggest win for a
+    * repeatedly-joined lakehouse layout. (ApiSpec asserts the plan is
+    * exchange-free.)
+    */
+  def bucketedTable(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(table)
+
   /** Append-mode streaming parquet sink with checkpoint (exactly-once). */
   def streamToParquet(df: DataFrame, path: String,
                       checkpoint: String): DataStreamWriter[Row] =

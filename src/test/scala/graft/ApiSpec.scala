@@ -47,6 +47,26 @@ class ApiSpec extends SparkSuite {
     assert(rows > 800, s"expected most of the ~868 windows, got $rows")
   }
 
+  test("bucketed tables join co-located: no exchange on either side") {
+    val o = Tables.orders(spark, sf001).select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = Tables.customer(spark, sf001).select("c_custkey", "c_mktsegment")
+    Sinks.bucketedTable(o, "orders_bkt", "o_custkey", 8)
+    Sinks.bucketedTable(c, "cust_bkt", "c_custkey", 8)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("orders_bkt")
+        .join(spark.table("cust_bkt"), col("o_custkey") === col("c_custkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      // and it returns exactly the plain-join rows
+      val want = o.join(c, col("o_custkey") === col("c_custkey")).count()
+      assert(j.count() == want)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
+
   test("Sources.csv round-trips typed rows with header") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft_csv").toString
