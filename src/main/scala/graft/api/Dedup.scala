@@ -24,10 +24,31 @@ object Dedup {
       .withColumn("toks", array_distinct(col("tk")))
       .withColumn("toksh", expr("transform(toks, t -> xxhash64(t))"))
 
-  /** Exact token-set Jaccard pairs >= `threshold` within blocking keys,
-    * via PREFIX FILTERING (the Bayardo/Chaudhuri all-pairs algorithm) —
-    * exact output with sub-quadratic candidate generation, unlike a block
-    * self-join whose pair count is quadratic in block size.
+  /** Shingled view: distinct `n`-token shingles (consecutive tokens
+    * joined by a space) as `toks` — Broder's original MinHash domain.
+    * On a small-vocabulary corpus, unigram SETS saturate (most long docs
+    * share nearly the whole vocabulary: measured 51,432 unigram-Jaccard
+    * >= 0.7 "pairs" at sf0.01 vs 25 true edited-copy pairs), while
+    * shingles keep word ORDER, so only genuine edited copies collide and
+    * the pair-set output stays linear in the corpus. Docs shorter than
+    * `n` tokens contribute their whole text as one shingle.
+    */
+  private[api] def shingles(df: DataFrame, textCol: String, n: Int): DataFrame =
+    df.withColumn("tk", split(col(textCol), " "))
+      .withColumn("toks", array_distinct(expr(
+        s"transform(sequence(1, greatest(size(tk) - ${n - 1}, 1)), i -> concat_ws(' ', slice(tk, i, $n)))")))
+
+  /** Exact `ngram`-shingle-set Jaccard pairs >= `threshold`, via PREFIX
+    * FILTERING (the Bayardo/Chaudhuri all-pairs algorithm) — exact output
+    * with sub-quadratic candidate generation, unlike a block self-join
+    * whose pair count is quadratic in block size.
+    *
+    * `blockCols` may be EMPTY (global all-pairs — the recommended mode):
+    * prefix filtering bounds candidates by shingle rarity, not by a
+    * metadata block, and near-dup copies routinely differ in metadata
+    * (measured on this corpus: 24 of 25 true edited-copy pairs cross a
+    * (lang,source) block boundary, so metadata blocking would lose 96%
+    * of them).
     *
     * Tokens get a rare-first total order (document frequency within the
     * block, token as tiebreak). A doc's PREFIX is its first
@@ -44,8 +65,9 @@ object Dedup {
     * pair.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   blockCols: Seq[String], threshold: Double): DataFrame = {
-    val t = tokens(df, textCol).select(col(idCol) +: (blockCols :+ "toks").map(col): _*)
+                   blockCols: Seq[String], threshold: Double,
+                   ngram: Int = 3): DataFrame = {
+    val t = shingles(df, textCol, ngram).select(col(idCol) +: (blockCols :+ "toks").map(col): _*)
     val tok = t.select(col(idCol) +: blockCols.map(col) :+
       size(col("toks")).as("len") :+ explode(col("toks")).as("tok"): _*)
     val dfq = tok.groupBy((blockCols :+ "tok").map(col): _*)
@@ -145,8 +167,9 @@ object Dedup {
     t.select(idCol).join(dominated, Seq(idCol), "left_anti")
   }
 
-  /** SimHash near-dup PAIR SET with an engine-independent token hash:
-    * the first 15 hex chars of md5(token) parsed as a 60-bit integer
+  /** SimHash near-dup PAIR SET over 3-token shingles (see [[shingles]])
+    * with an engine-independent element hash:
+    * the first 15 hex chars of md5(shingle) parsed as a 60-bit integer
     * (md5 is bit-identical everywhere, unlike xxhash64 — this is what
     * makes the whole pair set replayable in the DuckDB oracle and pins
     * the simhash ALGORITHM cross-engine, not just row counts). 60-bit
@@ -160,21 +183,17 @@ object Dedup {
     */
   def simhashPairsMd5(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 2): DataFrame = {
-    // Row-local signature: fold the doc's token array into 60 majority
-    // counters, then pack the sign bits — one projection, no per-bit
-    // shuffle rows (the naive shape shuffles |tokens| x 60 rows; this
-    // shuffles nothing). Integer-exact and order-independent, so it
-    // equals the oracle's explode-and-group formulation bit-for-bit.
-    val sig = tokens(df, textCol).select(col(idCol),
-      expr("""aggregate(
-             |  transform(toks, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)),
-             |  array_repeat(cast(0 as bigint), 60),
-             |  (acc, h) -> zip_with(acc, sequence(0, 59),
-             |    (c, b) -> c + case when (shiftright(h, b) & 1) = 1 then 1 else -1 end),
-             |  acc -> aggregate(zip_with(acc, sequence(0, 59),
-             |    (c, b) -> case when c > 0 then shiftleft(cast(1 as bigint), b)
-             |              else cast(0 as bigint) end),
-             |    cast(0 as bigint), (s, x) -> s + x))""".stripMargin).as("sig"))
+    // Row-local signature: md5-prefix token hashes folded into 60
+    // strict-majority counters, sign bits packed — two fused codegen
+    // expressions (graft.functions.{Md5PrefixHash, SimHashSigStrict}),
+    // no per-bit shuffle rows (the naive shape shuffles |tokens| x 60
+    // rows; this shuffles nothing). Integer-exact and order-independent,
+    // so it equals the oracle's explode-and-group formulation
+    // bit-for-bit. (An interpreted higher-order-function fold computing
+    // the same thing measured 15.7 s at sf0.1 vs ~1 s fused.)
+    val sig = shingles(df, textCol, 3).select(col(idCol),
+      graft.functions.Signatures.simhash_sig_strict(
+        graft.functions.Signatures.md5_prefix(col("toks"), 15), 60).as("sig"))
     val banded = sig.select(col(idCol),
         explode(expr("transform(sequence(0, 3), i -> " +
           "struct(i as band, shiftright(sig, 15 * i) & 32767 as bkey))")).as("bb"))
@@ -213,7 +232,8 @@ object Dedup {
     * hash — the oracle-replayable sibling of [[minhashSurvivors]] (which
     * keeps the fused-codegen xxhash64 signature as the scale path).
     *
-    * Token hash = first 32 bits of md5 mod P; signature = 64 permutation
+    * Domain = 3-token shingles (see [[shingles]]); element hash = first
+    * 32 bits of md5 mod P; signature = 64 permutation
     * minima computed ROW-LOCALLY (array fold per doc — no signature
     * shuffle); candidates from 16 bands x 4 rows (LSH threshold
     * ~(1/16)^(1/4) ~= 0.45, comfortably below the 0.7 verify bar);
@@ -223,14 +243,15 @@ object Dedup {
     */
   def minhashPairsMd5(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.7): DataFrame = {
-    val permMins = (0 until 64).map(i =>
-      s"array_min(transform(hs, h -> (${minhashA(i)}L * h + ${minhashB(i)}L) % ${MinhashP}L))")
-      .mkString("array(", ", ", ")")
-    val sig = tokens(df, textCol)
-      .withColumn("hs",
-        expr("transform(toks, t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint) % " +
-          s"${MinhashP}L)"))
-      .select(col(idCol), col("toks"), expr(permMins).as("sig"))
+    // One fused codegen pass over md5-prefix token hashes (64 interpreted
+    // array_min(transform(...)) lambdas computing the same minima
+    // measured 38.7 s at sf0.1 vs ~1 s fused; the mod-p family is what
+    // keeps every step exact in 64-bit for the DuckDB replay).
+    val sig = shingles(df, textCol, 3)
+      .select(col(idCol), col("toks"),
+        graft.functions.Signatures.minhash_sig_mod(
+          graft.functions.Signatures.md5_prefix(col("toks"), 8),
+          minhashA, minhashB, MinhashP).as("sig"))
     val banded = sig.select(col(idCol),
         explode(expr(
           """transform(sequence(0, 15), b -> struct(b as band,
@@ -258,9 +279,11 @@ object Dedup {
   def minhashPairsOracleSql(threshold: Double = 0.7): String = {
     val permValues = (0 until 64)
       .map(i => s"(${i}, ${minhashA(i)}, ${minhashB(i)})").mkString(", ")
-    s"""WITH t AS (
-       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
-       |),
+    s"""WITH tk0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |t AS (SELECT doc_id,
+       |        list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+       |          i -> array_to_string(tk[i:i+2], ' '))) AS toks
+       |      FROM tk0),
        |th AS (SELECT doc_id, toks,
        |         list_transform(toks, tk ->
        |           CAST(concat('0x', substr(md5(tk), 1, 8)) AS BIGINT) % ${MinhashP}) AS hs
@@ -284,6 +307,49 @@ object Dedup {
        |SELECT doc_a, doc_b, floor(jac * 10000 + 0.5) / 10000 AS jac
        |FROM pairs WHERE jac >= ${threshold}
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Near-duplicate CLUSTERS: connected components over a verified
+    * near-dup pair set; every node gets `cluster_id` = min reachable id,
+    * plus the component size. This is the step that turns pairwise dedup
+    * output into "keep one doc per duplicate cluster" decisions.
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min of its own and its neighbors' labels, one shuffle per
+    * round, until a fixpoint. Rounds needed = component diameter; near-dup
+    * components are LSH quasi-cliques (diameter 2-3 in practice), so this
+    * converges in a handful of rounds where a general billion-edge graph
+    * would want the alternating large-star/small-star contraction
+    * (O(log n) rounds, same per-round join shape). Each round ends in a
+    * `localCheckpoint` so round N's plan doesn't replay rounds 1..N-1
+    * (on a cluster, a reliable `checkpoint` dir serves the same purpose).
+    */
+  def clusters(nodes: DataFrame, idCol: String, pairs: DataFrame,
+               aCol: String = "doc_a", bCol: String = "doc_b",
+               maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
+      .localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val prop = edges.join(labels, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min("comp").as("ncomp"))
+      val next = labels.join(prop, labels("id") === prop("dst"), "left")
+        .select(labels("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          (coalesce(col("ncomp"), col("comp")) < col("comp")).as("chg"))
+        .localCheckpoint()
+      changed = next.filter(col("chg")).count()
+      labels = next.select("id", "comp")
+      round += 1
+    }
+    require(changed == 0, s"connected components did not converge in $maxRounds rounds")
+    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "comp")
+      .select(col("id").as(idCol), col("comp").as("cluster_id"), col("cluster_size"))
   }
 
   /** Embedding near-dup pairs: cosine >= `threshold` within a blocking

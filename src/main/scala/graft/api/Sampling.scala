@@ -1,0 +1,58 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data mix construction. Both
+  * operators avoid `rand()` entirely: the "random" order is a content
+  * hash (md5 of the id), so a sample is reproducible run-to-run and
+  * engine-to-engine — the property that lets a 100 TB corpus rebuild
+  * produce the identical training set, and lets the DuckDB oracle replay
+  * the sample bit-for-bit.
+  */
+object Sampling {
+
+  /** Exact per-stratum fraction sample: within each stratum, rank rows by
+    * md5(id) (a fixed pseudo-random total order) and keep the first
+    * ceil(frac * |stratum|).
+    *
+    * Scale shape: one tiny groupBy for the per-stratum counts (broadcast
+    * back), one shuffle by stratum for the rank window — strata process in
+    * parallel. A single mega-stratum serializes its own sort; when exact
+    * per-stratum counts aren't required at that size, the constant-time
+    * variant is a pure filter `md5(id) < frac` quantile with no window at
+    * all (same hash, no sort) — this function keeps the exact-count
+    * contract.
+    */
+  def stratified(df: DataFrame, idCol: String, strataCols: Seq[String],
+                 frac: Double): DataFrame = {
+    val counts = df.groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("n_stratum"))
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.join(broadcast(counts), strataCols)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= ceil(col("n_stratum") * frac))
+  }
+
+  /** Token-budget corpus mix: per stratum, take rows in (score desc, id)
+    * order until the running `tokCol` total reaches `budget` — the
+    * "fill each language's share of the training mix with its best
+    * documents" operator. A row is kept when the budget was not already
+    * exhausted BEFORE it (so the first row over the line is kept and the
+    * mix always reaches the budget).
+    *
+    * One shuffle by stratum; the running sum is a window cumsum with an
+    * explicit ROWS frame over a unique order key (score, id), so the
+    * result is deterministic on any engine.
+    */
+  def budgetMix(df: DataFrame, idCol: String, strataCols: Seq[String],
+                tokCol: String, scoreCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tok", sum(col(tokCol).cast("long")).over(w))
+      .filter(col("cum_tok") - col(tokCol) < budget)
+  }
+}

@@ -160,9 +160,230 @@ case class SimHashSig(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash_sig"
 }
 
+/** Shared eval/codegen runtime for the md5-based signatures (the
+  * generated Java calls these statics, so interpreted and codegen paths
+  * are one implementation).
+  */
+object SigRuntime {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First `nibbles` hex chars of md5(utf8 bytes) as an unsigned long —
+    * exactly DuckDB's `CAST(concat('0x', substr(md5(s), 1, nibbles)) AS
+    * BIGINT)` and Spark's `conv(substring(md5(s), 1, nibbles), 16, 10)`.
+    */
+  def md5Prefix(s: org.apache.spark.unsafe.types.UTF8String, nibbles: Int): Long = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < nibbles) {
+      val b = d(i / 2) & 0xff
+      val nib = if (i % 2 == 0) b >>> 4 else b & 0xf
+      v = (v << 4) | nib
+      i += 1
+    }
+    v
+  }
+}
+
+/** array<string> -> array<long>: md5 prefix hash of each element (see
+  * SigRuntime.md5Prefix). The engine-independent token hash for the
+  * oracle-replayable dedup keys — one fused pass instead of an
+  * interpreted `transform(toks, t -> conv(substring(md5(t)...)))` lambda.
+  */
+case class Md5PrefixHash(child: Expression, nibbles: Int) extends UnaryExpression {
+  require(nibbles >= 1 && nibbles <= 16)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"md5_prefix expects array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](arr.numElements())
+    var j = 0
+    while (j < out.length) {
+      out(j) = SigRuntime.md5Prefix(arr.getUTF8String(j), nibbles)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      s"""
+         |long[] $out = new long[$c.numElements()];
+         |for (int $j = 0; $j < $out.length; $j++) {
+         |  $out[$j] = graft.functions.SigRuntime.md5Prefix($c.getUTF8String($j), $nibbles);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Md5PrefixHash =
+    copy(child = newChild)
+
+  override def prettyName: String = "md5_prefix"
+}
+
+/** MinHash over an EXPLICIT universal-hash family mod a prime:
+  * sig[i] = min over elements of (a_i * (h mod p) + b_i) mod p. With
+  * h mod p < p <= 2^31-1 the product stays under 2^62 — exact in 64-bit
+  * on every engine, which is what lets the DuckDB oracle replay the
+  * signature bit-for-bit (unlike MinHashSig's wrapping 2^64 family).
+  * Fused codegen pass; replaces 64 interpreted `array_min(transform(...))`
+  * lambdas that dominated dedup_minhash_pairs.
+  */
+case class MinHashSigMod(child: Expression, as: IndexedSeq[Long],
+                         bs: IndexedSeq[Long], p: Long) extends UnaryExpression {
+  require(as.length == bs.length)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig_mod expects array<bigint>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val aArr = as.toArray
+  @transient private lazy val bArr = bs.toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = aArr.length
+    val sig = Array.fill(n)(Long.MaxValue)
+    var j = 0
+    while (j < arr.numElements()) {
+      val h = arr.getLong(j) % p
+      var i = 0
+      while (i < n) {
+        val v = (aArr(i) * h + bArr(i)) % p
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val a = ctx.addReferenceObj("mhmA", aArr, "long[]")
+      val b = ctx.addReferenceObj("mhmB", bArr, "long[]")
+      val n = aArr.length
+      val sig = ctx.freshName("sig")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      s"""
+         |long[] $sig = new long[$n];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $j = 0; $j < $c.numElements(); $j++) {
+         |  final long $h = $c.getLong($j) % ${p}L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final long $v = ($a[$i] * $h + $b[$i]) % ${p}L;
+         |    if ($v < $sig[$i]) $sig[$i] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigMod =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_sig_mod"
+}
+
+/** SimHash over the low `bits` bits with a STRICT majority (count > 0
+  * sets the bit — matching the oracle's `CASE WHEN s > 0` exactly, where
+  * SimHashSig uses >= 0). Fused pass; replaces the interpreted
+  * 60-counter aggregate fold that dominated dedup_simhash_pairs.
+  */
+case class SimHashSigStrict(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits >= 1 && bits <= 64)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash_sig_strict expects array<bigint>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](bits)
+    var j = 0
+    while (j < arr.numElements()) {
+      val h = arr.getLong(j)
+      var k = 0
+      while (k < bits) {
+        if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
+        k += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < bits) {
+      if (counts(k) > 0) sig |= (1L << k)
+      k += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val counts = ctx.freshName("counts")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val h = ctx.freshName("h")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int[] $counts = new int[$bits];
+         |for (int $j = 0; $j < $c.numElements(); $j++) {
+         |  final long $h = $c.getLong($j);
+         |  for (int $k = 0; $k < $bits; $k++) {
+         |    if ((($h >>> $k) & 1L) == 1L) $counts[$k]++; else $counts[$k]--;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $k = 0; $k < $bits; $k++) {
+         |  if ($counts[$k] > 0) $sig |= (1L << $k);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSigStrict =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash_sig_strict"
+}
+
 object Signatures {
   def minhash_sig(hashes: Column, numPerms: Int = 64): Column =
     Bridge.toCol(MinHashSig(Bridge.toExpr(hashes), numPerms))
   def simhash_sig(hashes: Column): Column =
     Bridge.toCol(SimHashSig(Bridge.toExpr(hashes)))
+  def md5_prefix(strings: Column, nibbles: Int): Column =
+    Bridge.toCol(Md5PrefixHash(Bridge.toExpr(strings), nibbles))
+  def minhash_sig_mod(hashes: Column, as: IndexedSeq[Long], bs: IndexedSeq[Long],
+                      p: Long): Column =
+    Bridge.toCol(MinHashSigMod(Bridge.toExpr(hashes), as, bs, p))
+  def simhash_sig_strict(hashes: Column, bits: Int): Column =
+    Bridge.toCol(SimHashSigStrict(Bridge.toExpr(hashes), bits))
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Det, Tables}
-import graft.api.{Dedup, Multimodal, Similarity, TextOps}
+import graft.api.{Dedup, Embeddings, Multimodal, Sampling, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -33,9 +33,12 @@ object Pipeline {
       Dedup.exactSurvivors(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // GLOBAL prefix-filtered 3-shingle Jaccard — no metadata blocking
+    // (near-dup copies change lang/source: 24 of 25 true pairs cross
+    // blocks on this corpus; see Dedup.jaccardPairs).
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
-          Seq("lang", "source"), 0.7)
+          Seq(), 0.7)
         .select(col("doc_a"), col("doc_b"), Det.round4(col("jac")).as("jac"))
         .orderBy("doc_a", "doc_b")),
 
@@ -61,6 +64,39 @@ object Pipeline {
     "dedup_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairsMd5(Tables.documents(s, d), "doc_id", "text", maxHamming = 2)
         .orderBy("doc_a", "doc_b")),
+
+    // Pairs -> clusters: connected components over the exact-verified
+    // jaccard pair set (min-reachable-id labels). The output answers the
+    // question pairwise keys can't: WHICH docs form one duplicate group.
+    "dedup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", Seq(), 0.7)
+      Dedup.clusters(docs, "doc_id", pairs)
+        .orderBy("doc_id")
+    }),
+
+    "sample_stratified" -> ((s, d) =>
+      Sampling.stratified(Tables.documents(s, d), "doc_id", Seq("lang"), 0.2)
+        .select(col("lang"), col("rn"), col("doc_id"), col("n_stratum"))
+        .orderBy("lang", "rn")),
+
+    // Training-mix construction: per language, best-quality docs first
+    // until a 3000-token budget fills.
+    "corpus_mix" -> ((s, d) => {
+      val q = TextOps.quality(Tables.documents(s, d), "text", stopEn)
+      Sampling.budgetMix(q, "doc_id", Seq("lang"), "n_tok", "score", 3000L)
+        .select(col("lang"), col("doc_id"), col("n_tok"), col("cum_tok"),
+          Det.round4(col("score")).as("quality"))
+        .orderBy("lang", "doc_id")
+    }),
+
+    "embed_quantize" -> ((s, d) =>
+      Embeddings.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
+        .select(col("vec_id"),
+          (floor(col("scale") * 1e6 + lit(0.5)) / 1e6).as("scale6"),
+          col("q_sum"), col("q_norm"),
+          (floor(col("max_err") * 1e6 + lit(0.5)) / 1e6).as("max_err6"))
+        .orderBy("vec_id")),
 
     "dedup_embed_cosine" -> ((s, d) =>
       Dedup.embedCosinePairs(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -154,6 +190,19 @@ object Pipeline {
         .orderBy("doc_id"))
   )
 
+  /** DuckDB replay of Dedup.shingles: distinct 3-token shingles as
+    * `toks`, matching Spark's `transform(sequence(...), i ->
+    * concat_ws(' ', slice(tk, i, 3)))` exactly (both truncate the final
+    * window and fall back to the whole text for docs under 3 tokens).
+    */
+  private val shingleCte: String =
+    """tk0 AS (SELECT doc_id, lang, source, string_split(text, ' ') AS tk
+      |        FROM documents),
+      |t AS (SELECT doc_id, lang, source,
+      |        list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+      |          i -> array_to_string(tk[i:i+2], ' '))) AS toks
+      |      FROM tk0)""".stripMargin
+
   private val cosCte: String =
     """WITH e AS (
       |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v,
@@ -165,9 +214,7 @@ object Pipeline {
     "dedup_minhash_pairs" -> Dedup.minhashPairsOracleSql(0.7),
 
     "dedup_simhash_pairs" ->
-      """WITH t AS (
-        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
-        |),
+      (s"WITH $shingleCte," + """
         |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
         |th AS (SELECT doc_id,
         |         CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok),
@@ -190,22 +237,86 @@ object Pipeline {
         |              JOIN sig sb ON c.doc_b = sb.doc_id
         |)
         |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 2
-        |ORDER BY doc_a, doc_b""".stripMargin,
+        |ORDER BY doc_a, doc_b""".stripMargin),
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, sha256(text) AS h, count(*) AS n_dups
         |FROM documents GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
-      """WITH t AS (SELECT doc_id, lang, source, list_distinct(str_split(text, ' ')) AS toks
-        |           FROM documents)
+      (s"WITH $shingleCte" + """
         |SELECT doc_a, doc_b, floor(jac * 10000 + 0.5) / 10000 AS jac FROM (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    len(list_intersect(a.toks, b.toks))::DOUBLE /
         |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jac
-        |  FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
-        |                   AND a.doc_id < b.doc_id
-        |) WHERE jac >= 0.7 ORDER BY doc_a, doc_b""".stripMargin,
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |) WHERE jac >= 0.7 ORDER BY doc_a, doc_b""".stripMargin),
+
+    // Connected components replayed as a recursive closure: reach(id, r)
+    // holds "r reaches id"; with symmetric edges, min(r) per id is the
+    // component's min id — exactly the propagation fixpoint.
+    "dedup_clusters" ->
+      (s"""WITH RECURSIVE $shingleCte,""" + """
+        |pr AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+        |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.7
+        |),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+        |      UNION SELECT doc_b, doc_a FROM pr),
+        |reach AS (
+        |  SELECT doc_id AS id, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT e.dst AS id, reach.r AS r FROM reach JOIN e ON e.src = reach.id
+        |),
+        |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+        |SELECT comp.id AS doc_id, cluster_id, cluster_size
+        |FROM comp JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin),
+
+    "sample_stratified" ->
+      """WITH c AS (SELECT lang, count(*) AS n_stratum FROM documents GROUP BY 1),
+        |r AS (SELECT doc_id, lang,
+        |        CAST(row_number() OVER (PARTITION BY lang
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rn
+        |      FROM documents)
+        |SELECT r.lang, rn, doc_id, n_stratum FROM r JOIN c USING (lang)
+        |WHERE rn <= ceil(n_stratum * 0.2) ORDER BY lang, rn""".stripMargin,
+
+    "corpus_mix" ->
+      """WITH t AS (SELECT doc_id, lang, text, str_split(text, ' ') AS tk FROM documents),
+        |q AS (SELECT doc_id, lang, len(tk) AS n_tok,
+        |        len(list_filter(tk, tok -> list_contains(['the','a','of','and','to'], tok)))::DOUBLE / len(tk) AS stop_ratio,
+        |        length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / length(text) AS alpha_ratio
+        |      FROM t),
+        |sc AS (SELECT doc_id, lang, n_tok,
+        |         least(1.0, n_tok / 100.0) * 0.4 + stop_ratio * 0.3 + alpha_ratio * 0.3 AS score
+        |       FROM q),
+        |cum AS (SELECT doc_id, lang, n_tok, score,
+        |          sum(n_tok) OVER (PARTITION BY lang ORDER BY score DESC, doc_id
+        |                           ROWS UNBOUNDED PRECEDING) AS cum_tok
+        |        FROM sc)
+        |SELECT lang, doc_id, CAST(n_tok AS INTEGER) AS n_tok,
+        |       CAST(cum_tok AS BIGINT) AS cum_tok,
+        |       floor(score * 10000 + 0.5) / 10000 AS quality
+        |FROM cum WHERE cum_tok - n_tok < 3000 ORDER BY lang, doc_id""".stripMargin,
+
+    "embed_quantize" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127.0 AS scale
+        |      FROM v),
+        |q AS (SELECT vec_id, v, scale,
+        |        list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INTEGER)) AS q
+        |      FROM s)
+        |SELECT vec_id,
+        |  floor(scale * 1e6 + 0.5) / 1e6 AS scale6,
+        |  CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
+        |  CAST(list_aggregate(list_transform(q, c -> CAST(c AS BIGINT) * c), 'sum') AS BIGINT) AS q_norm,
+        |  floor(list_max(list_transform(list_zip(v, q), p -> abs(p[1] - p[2] * scale))) * 1e6 + 0.5) / 1e6 AS max_err6
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "dedup_embed_cosine" ->
       (cosCte + """

@@ -107,6 +107,22 @@ object Relational {
         .orderBy("c_custkey")
     }),
 
+    // The hot-key escape hatch: the same lineitem⋈orders equi-join, but
+    // with the fact side spread over 8 deterministic salt buckets and the
+    // dim side replicated 8x (api.Joins.saltedEquiJoin) — the static
+    // remedy when one key dominates so heavily that even AQE's skew split
+    // bottlenecks. Result rows are identical to the unsalted join, so the
+    // oracle is the plain SQL join.
+    "join_skew_salted" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+      graft.api.Joins.saltedEquiJoin(li, o, "l_orderkey", "o_orderkey",
+          leftUniqueCol = "l_partkey", factor = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"), Det.sumMoney(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Non-equi band join. The probe side is bounded (l_orderkey <= 50 —
     // a fixed ~200-row slice at any sf) and broadcast, so the
     // BroadcastNestedLoopJoin stays O(|part| * 200) at every scale.
@@ -322,6 +338,13 @@ object Relational {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "join_shuffle_hash" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // Salting is plan-level only — the result set is the plain join.
+    "join_skew_salted" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -50,6 +50,14 @@ class ApiSpec extends SparkSuite {
   test("bucketed tables join co-located: no exchange on either side") {
     val o = Tables.orders(spark, sf001).select("o_orderkey", "o_custkey", "o_totalprice")
     val c = Tables.customer(spark, sf001).select("c_custkey", "c_mktsegment")
+    // a previous JVM's run leaves orphan table dirs in the warehouse that
+    // a fresh catalog refuses to overwrite — clear both catalog + location
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("orders_bkt", "cust_bkt").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      fs.delete(new org.apache.hadoop.fs.Path(wh, t), true)
+    }
     Sinks.bucketedTable(o, "orders_bkt", "o_custkey", 8)
     Sinks.bucketedTable(c, "cust_bkt", "c_custkey", 8)
     val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

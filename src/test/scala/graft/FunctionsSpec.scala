@@ -69,6 +69,54 @@ class FunctionsSpec extends SparkSuite {
     assert(run(li) == builtin)
   }
 
+  test("md5_prefix is bit-identical to conv(substring(md5)) on real shingles") {
+    import graft.functions.Signatures
+    val t = Tables.documents(spark, sf001).limit(100)
+      .select(array_distinct(split(col("text"), " ")).as("toks"))
+    for (nib <- Seq(8, 15)) {
+      val bad = t.select(
+          Signatures.md5_prefix(col("toks"), nib).as("native"),
+          expr(s"transform(toks, t -> cast(conv(substring(md5(t), 1, $nib), 16, 10) as bigint))").as("hof"))
+        .filter(col("native") =!= col("hof"))
+      assert(bad.count() == 0, s"md5_prefix($nib) diverged from conv/md5")
+    }
+  }
+
+  test("minhash_sig_mod is bit-identical to the array_min(transform) formulation") {
+    import graft.api.Dedup
+    import graft.functions.Signatures
+    val permMins = (0 until 64).map(i =>
+      s"array_min(transform(hs, h -> (${Dedup.minhashA(i)}L * (h % ${Dedup.MinhashP}L) + ${Dedup.minhashB(i)}L) % ${Dedup.MinhashP}L))")
+      .mkString("array(", ", ", ")")
+    val t = Tables.documents(spark, sf001).limit(100)
+      .select(Signatures.md5_prefix(array_distinct(split(col("text"), " ")), 8).as("hs"))
+    val bad = t.select(
+        Signatures.minhash_sig_mod(col("hs"), Dedup.minhashA, Dedup.minhashB,
+          Dedup.MinhashP).as("native"),
+        expr(permMins).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(bad.count() == 0)
+  }
+
+  test("simhash_sig_strict matches the interpreted majority fold (60-bit)") {
+    import graft.functions.Signatures
+    val t = Tables.documents(spark, sf001).limit(100)
+      .select(Signatures.md5_prefix(array_distinct(split(col("text"), " ")), 15).as("hs"))
+    val hof =
+      """aggregate(hs, array_repeat(cast(0 as bigint), 60),
+        |  (acc, h) -> zip_with(acc, sequence(0, 59),
+        |    (c, b) -> c + case when (shiftright(h, b) & 1) = 1 then 1 else -1 end),
+        |  acc -> aggregate(zip_with(acc, sequence(0, 59),
+        |    (c, b) -> case when c > 0 then shiftleft(cast(1 as bigint), b)
+        |              else cast(0 as bigint) end),
+        |    cast(0 as bigint), (s, x) -> s + x))""".stripMargin
+    val bad = t.select(
+        Signatures.simhash_sig_strict(col("hs"), 60).as("native"),
+        expr(hof).as("fold"))
+      .filter(col("native") =!= col("fold"))
+    assert(bad.count() == 0)
+  }
+
   test("vec_norm matches sqrt of self-dot") {
     val e = Tables.embeddings(spark, sf001).limit(10)
     val bad = e.select((GraftFunctions.vec_norm(col("embedding")) -

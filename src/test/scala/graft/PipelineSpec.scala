@@ -77,23 +77,77 @@ class PipelineSpec extends SparkSuite {
     assert(recall >= 0.9, s"IVF recall $recall < 0.9 on clustered data")
   }
 
-  test("prefix-filtered jaccard pairs equal brute-force block all-pairs EXACTLY") {
+  test("prefix-filtered jaccard pairs equal brute-force global all-pairs EXACTLY") {
     val got = Pipeline.queries("dedup_ngram_jaccard")(spark, sf001)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
-    val t = Tables.documents(spark, sf001).select(col("doc_id"), col("lang"),
-      col("source"), array_distinct(split(col("text"), " ")).as("toks"))
-    val a = t.select(col("doc_id").as("da"), col("lang"), col("source"), col("toks").as("ta"))
-    val b = t.select(col("doc_id").as("db"), col("lang").as("lgb"),
-      col("source").as("srb"), col("toks").as("tb"))
-    val brute = a.join(b, col("lang") === col("lgb") && col("source") === col("srb") &&
-        col("da") < col("db"))
+    // brute force over the SAME 3-shingle sets, all pairs, no blocking
+    val t = Tables.documents(spark, sf001)
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(1, greatest(size(tk) - 2, 1)), i -> concat_ws(' ', slice(tk, i, 3)))")).as("toks"))
+    val a = t.select(col("doc_id").as("da"), col("toks").as("ta"))
+    val b = t.select(col("doc_id").as("db"), col("toks").as("tb"))
+    val brute = a.join(b, col("da") < col("db"))
       .withColumn("ni", size(array_intersect(col("ta"), col("tb"))))
       .withColumn("jac", col("ni").cast("double") /
         (size(col("ta")) + size(col("tb")) - col("ni")))
       .filter(col("jac") >= 0.7)
       .select(col("da"), col("db")).as[(Long, Long)].collect().toSet
+    assert(got.nonEmpty, "expected at least one true near-dup pair at sf0.001")
     assert(got == brute,
       s"missed: ${(brute -- got).take(5)}; extra: ${(got -- brute).take(5)}")
+  }
+
+  test("connected components: min-id labels on chains, pairs, singletons") {
+    // chain 1-2-3 (needs 2 propagation rounds), pair 10-11, singleton 99
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = graft.api.Dedup.clusters(nodes, "id", pairs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L), (99L, 99L, 1L)))
+  }
+
+  test("stratified sample: exactly ceil(frac*n) rows per stratum, reproducible") {
+    val out = Pipeline.queries("sample_stratified")(spark, sf001)
+    val per = out.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val want = Tables.documents(spark, sf001).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+      .map { case (l, n) => l -> math.ceil(n * 0.2).toLong }
+    assert(per == want, s"per-stratum counts $per != ceil(0.2*n) $want")
+    // content-hash order => the same sample every run
+    val ids1 = out.select("doc_id").as[Long].collect().toSet
+    val ids2 = Pipeline.queries("sample_stratified")(spark, sf001)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+  }
+
+  test("budget mix fills each stratum's token budget and never overshoots early") {
+    val out = Pipeline.queries("corpus_mix")(spark, sf001)
+      .select(col("lang"), col("n_tok"), col("cum_tok"))
+      .as[(String, Int, Long)].collect()
+    // kept rows all started under budget
+    assert(out.forall { case (_, n, cum) => cum - n < 3000 })
+    val totalByLang = Tables.documents(spark, sf001)
+      .withColumn("n", size(split(col("text"), " ")))
+      .groupBy("lang").agg(sum("n").as("t")).as[(String, Long)].collect().toMap
+    val reached = out.groupBy(_._1).map { case (l, rows) => l -> rows.map(_._3).max }
+    // each stratum either reaches the budget or ran out of documents
+    reached.foreach { case (l, maxCum) =>
+      assert(maxCum >= 3000L || maxCum == totalByLang(l),
+        s"stratum $l stopped at $maxCum of ${totalByLang(l)} tokens")
+    }
+  }
+
+  test("int8 quantization: codes bounded, error bounded by scale/2") {
+    val q = graft.api.Embeddings.quantizeInt8(
+      Tables.embeddings(spark, sf001), "vec_id", "embedding")
+    val bad = q.filter(
+      expr("exists(q, c -> abs(c) > 127)") ||
+        col("max_err") > col("scale") * 0.5 + lit(1e-12))
+    assert(bad.count() == 0)
+    assert(q.count() == Tables.embeddings(spark, sf001).count())
   }
 
   test("dedup_exact is idempotent and survivors are minimal doc_ids") {
