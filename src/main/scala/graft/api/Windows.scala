@@ -129,6 +129,37 @@ object Windows {
       .filter(col(tsCol) >= col("__hwm") - expr(s"INTERVAL '$delay'"))
       .drop("__hwm")
 
+  /** Flink's third lateness mode, completing drop / side-output / UPDATE:
+    * `allowedLateness(allowed)` keeps a fired window's state until the
+    * watermark passes window_end + allowed, so a late event inside that
+    * margin still lands in its window (triggering an update firing);
+    * only later events are dropped. This emits the FINAL per-window
+    * result that the update stream converges to, plus
+    * `n_late_updates` = kept events that arrived after the window first
+    * fired (each would have re-fired the window downstream).
+    *
+    * Batch replay of the streaming semantics (Structured Streaming has
+    * no allowedLateness knob — the watermark delay is its only
+    * allowance): watermark at arrival = running-max event time − `delay`
+    * (distributed two-level prefix-max, no single-partition stage);
+    * event kept iff watermark < its window_end + `allowed`.
+    */
+  def tumblingAllowedLateness(df: DataFrame, tsCol: String, arrivalCols: Seq[String],
+                              size: String, delay: String, allowed: String,
+                              keys: Seq[Column], aggs: Seq[Column],
+                              bucketWidth: Long = 3600000000L): DataFrame = {
+    val h = withHighWatermark(df, tsCol, arrivalCols, bucketWidth)
+      .withColumn("__w", window(col(tsCol), size))
+      .withColumn("__wm", col("__hwm") - expr(s"INTERVAL '$delay'"))
+    val kept = h
+      .filter(col("__w.end") + expr(s"INTERVAL '$allowed'") > col("__wm"))
+      .withColumn("__late_upd",
+        (col("__wm") >= col("__w.end")).cast("int"))
+    val agged = kept.groupBy(col("__w") +: keys: _*)
+      .agg(aggs.head, aggs.tail :+ sum(col("__late_upd")).as("n_late_updates"): _*)
+    projectWindow(agged.drop("__hwm", "__wm", "__late_upd"), "__w")
+  }
+
   /** The complement of [[dropLate]] — the rows the watermark would drop,
     * with how far behind the high-watermark each arrived. Flink exposes
     * these via `sideOutputLateData(tag)`; Structured Streaming drops them

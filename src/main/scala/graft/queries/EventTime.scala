@@ -87,6 +87,18 @@ object EventTime {
         .select("event_id", "event_type", "ts", "late_by_s")
         .orderBy("event_id")),
 
+    // Flink's allowedLateness(update) — the third lateness mode: events
+    // inside the 5 min allowance still update their already-fired 1 h
+    // window (n_late_updates counts them); later events drop for good
+    // (at sf0.01: 34 update firings, 3 hard drops, rest on time). Final
+    // converged per-window results, same distributed watermark scan.
+    "wnd_late_update" -> ((s, d) =>
+      Windows.tumblingAllowedLateness(withArrival(Tables.events(s, d)), "ts",
+          Seq("arrival", "event_id"), "1 hour", "10 minutes", "5 minutes",
+          Seq(col("event_type")), stdAggs)
+        .select("window_start", "event_type", "n_events", "sum_value", "n_late_updates")
+        .orderBy("window_start", "event_type")),
+
     // Flink SQL Window Top-N: top-3 events by value per (1 h window,
     // event_type). row_number over the window key — at scale this is a
     // single shuffle on (window, type) with per-partition heaps.
@@ -202,6 +214,27 @@ object EventTime {
         |  ON p.user_id = c.user_id
         | AND date_trunc('hour', p.ts) = date_trunc('hour', c.ts)
         |ORDER BY p_id, c_id""".stripMargin,
+
+    "wnd_late_update" ->
+      """WITH a AS (
+        |  SELECT event_id, ts::TIMESTAMP AS ts, event_type, value,
+        |         epoch_us(ts::TIMESTAMP) + (event_id * 2654435761) % 1200000001 - 600000000 AS arrival
+        |  FROM events
+        |), hw AS (
+        |  SELECT *, max(ts) OVER (ORDER BY arrival, event_id ROWS UNBOUNDED PRECEDING) AS hwm
+        |  FROM a
+        |), k AS (
+        |  SELECT *, date_trunc('hour', ts) + INTERVAL 1 HOUR AS wend,
+        |         hwm - INTERVAL 10 MINUTE AS wm
+        |  FROM hw
+        |), kept AS (
+        |  SELECT * FROM k WHERE wend + INTERVAL 5 MINUTE > wm
+        |)
+        |SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start, event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+        |       CAST(sum(CASE WHEN wm >= wend THEN 1 ELSE 0 END) AS BIGINT) AS n_late_updates
+        |FROM kept GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
     "wnd_late_drop" ->
       """WITH a AS (

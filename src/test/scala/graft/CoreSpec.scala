@@ -32,6 +32,33 @@ class CoreSpec extends SparkSuite {
     assert(orphans.isEmpty, s"oracle without query: $orphans")
   }
 
+  test("lateness triad: drop <= update-kept <= all events, updates nonempty") {
+    // counts of events surviving each mode (sum over windows)
+    def total(key: String): Long =
+      SparkEntry.queries(key)(spark, sf001)
+        .agg(sum("n_events")).as[Long].head()
+    val all = Tables.events(spark, sf001).count()
+    val dropKept = total("wnd_late_drop")
+    val updKept = total("wnd_late_update")
+    val sideOut = SparkEntry.queries("wnd_late_sideoutput")(spark, sf001).count()
+    // side-output rows are exactly the ones drop-mode loses
+    assert(dropKept + sideOut == all,
+      s"drop-kept $dropKept + side-output $sideOut != $all")
+    // the 5 min allowance readmits dropped events
+    assert(updKept > dropKept && updKept <= all,
+      s"expected drop-kept $dropKept < update-kept $updKept <= $all")
+    // post-firing updates and hard drops need sf0.01's event density
+    // (sf0.001 is ~14 events/hour — relative lateness never crosses the
+    // window boundary there)
+    val sf01 = "/root/testdata/sf0.01"
+    val upd01 = SparkEntry.queries("wnd_late_update")(spark, sf01)
+    val nUpdates = upd01.agg(sum("n_late_updates")).as[Long].head()
+    assert(nUpdates > 0, "fixture jitter should produce post-firing updates")
+    val kept01 = upd01.agg(sum("n_events")).as[Long].head()
+    val all01 = Tables.events(spark, sf01).count()
+    assert(kept01 < all01, "expected some events beyond the 5 min allowance to hard-drop")
+  }
+
   test("pane-based two-level aggregation is identical to direct sliding windows") {
     val direct = SparkEntry.queries("wnd_sliding")(spark, sf001).collect().toSeq
     val paned = SparkEntry.queries("wnd_pane_twolevel")(spark, sf001).collect().toSeq
