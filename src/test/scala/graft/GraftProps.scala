@@ -89,6 +89,28 @@ object GraftProps extends Properties("graft") {
     } yield (id, words.mkString(" ")))
       .map(_.groupBy(_._1).map { case (id, vs) => (id, vs.head._2) }.toList)
 
+  property("md5 signatures are element-order independent (partial-agg safe)") =
+    forAll(docsGen) { docs =>
+      val sp = spark
+      import sp.implicits._
+      import graft.functions.Signatures._
+      // the same token SET in two different array orders must produce the
+      // same minhash and simhash signatures (set semantics; shuffles and
+      // partial aggregation must not affect results)
+      val df = docs.toDF("doc_id", "text")
+        .withColumn("toks", array_distinct(split(col("text"), " ")))
+        .withColumn("rev", reverse(col("toks")))
+      val bad = df.select(
+          minhash_sig_mod(md5_prefix(col("toks"), 8),
+            Dedup.minhashA, Dedup.minhashB, Dedup.MinhashP).as("m1"),
+          minhash_sig_mod(md5_prefix(col("rev"), 8),
+            Dedup.minhashA, Dedup.minhashB, Dedup.MinhashP).as("m2"),
+          simhash_sig_strict(md5_prefix(col("toks"), 15), 60).as("s1"),
+          simhash_sig_strict(md5_prefix(col("rev"), 15), 60).as("s2"))
+        .filter(col("m1") =!= col("m2") || col("s1") =!= col("s2"))
+      bad.count() == 0
+    }
+
   property("exact dedup is idempotent and survivors cover all content") =
     forAll(docsGen) { docs =>
       val sp = spark

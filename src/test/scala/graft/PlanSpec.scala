@@ -51,6 +51,35 @@ class PlanSpec extends SparkSuite {
     assert(plan("sim_cosine_topk").contains("Broadcast"))
   }
 
+  test("runtime bloom-filter pruning injects on a selective fact⋈dim join") {
+    // The 100 TB shape: a selective dim-side filter should prune the fact
+    // scan at runtime via an injected bloom filter (row-level runtime
+    // filtering), so the shuffle carries only plausibly-matching rows.
+    // Thresholds are lowered because sf0.001 is below the 10 MB/10 GB
+    // defaults; the optimization itself is stock Spark.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions.col
+      val li = Tables.lineitem(spark, sf001)
+      val o = Tables.orders(spark, sf001)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val p = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+        .queryExecution.executedPlan.toString
+      assert(p.contains("bloom_filter_agg"),
+        s"expected an injected runtime bloom filter on the fact scan:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("no declared query funnels raw rows through an Exchange SinglePartition") {
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
