@@ -91,6 +91,18 @@ object Relational {
         .orderBy("c_custkey")
     }),
 
+    // Full outer with unmatched rows on BOTH sides (the customer slice
+    // leaves orphan orders; some customers have no orders). Null sort
+    // order is pinned on both engines (Spark asc = NULLS FIRST).
+    "join_full_outer" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_custkey") <= 1000)
+        .select("c_custkey", "c_name")
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+    }),
+
     "join_semi" -> ((s, d) => {
       val c = Tables.customer(s, d)
       val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
@@ -275,6 +287,17 @@ object Relational {
           count(lit(1)).as("n_events"))
         .orderBy("user_id")),
 
+    // Pivot (wide aggregation): explicit value list so the plan is a
+    // single partial+final agg with CASE projections — no extra pass to
+    // discover pivot values, which is the scale-correct form.
+    "agg_pivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(Det.sumMoney(col("l_quantity")))
+        .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+        .orderBy("l_returnflag")),
+
     // ---- F. sort / limit ----
     "sort_limit" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -360,6 +383,20 @@ object Relational {
       """SELECT c_custkey, count(o_orderkey) AS n_orders
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "join_full_outer" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 1000) c
+        |FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+        |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin,
+
+    "agg_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F'
+        |                THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_f,
+        |  CAST(sum(CASE WHEN l_linestatus = 'O'
+        |                THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "join_semi" ->
       """SELECT c_custkey, c_name FROM customer

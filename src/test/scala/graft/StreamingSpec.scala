@@ -218,4 +218,39 @@ class StreamingSpec extends SparkSuite {
     assert(got == want,
       s"stream/batch divergence: stream=${got.size} rows, batch=${want.size} rows")
   }
+
+  test("checkpoint restart resumes exactly-once into the parquet sink") {
+    import graft.api.Sinks
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("graft_ckpt_out").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_meta").toString
+    val ms = MemoryStream[Ev]
+    def start(): StreamingQuery =
+      Sinks.streamToParquet(StreamOps.tumblingAgg(ms.toDF()), out, ckpt).start()
+    // run 1: close the 10:00 window (watermark passes 11:00), then stop
+    val q1 = start()
+    ms.addData(
+      Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 10:20:00"), 1, "click", 2.0))
+    q1.processAllAvailable()
+    ms.addData(Ev(3, ts("2024-01-01 13:00:00"), 1, "view", 1.0))
+    q1.processAllAvailable()
+    q1.stop()
+    // run 2: SAME checkpoint — resumes from committed offsets/state and
+    // closes the 13:00 window; the file sink's commit log must keep the
+    // restart from duplicating the already-written 10:00 row
+    val q2 = start()
+    ms.addData(Ev(4, ts("2024-01-01 16:00:00"), 1, "view", 1.0))
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(out)
+      .select("window_start", "event_type", "n_events", "sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSeq
+    assert(rows.count(_._1 == ts("2024-01-01 10:00:00")) == 1,
+      s"restart duplicated or lost the pre-restart window: $rows")
+    assert(rows.contains((ts("2024-01-01 10:00:00"), "click", 2L, 3.0)), s"got $rows")
+    assert(rows.contains((ts("2024-01-01 13:00:00"), "view", 1L, 1.0)),
+      s"post-restart window missing: $rows")
+    assert(rows.size == rows.distinct.size, s"duplicate emissions: $rows")
+  }
 }
