@@ -18,6 +18,123 @@ object Similarity {
   private[api] def withNorm(df: DataFrame, vecCol: String): DataFrame =
     df.withColumn("nrm", vec_norm(col(vecCol)))
 
+  /** Random-hyperplane (Charikar) LSH constants for [[lshTopK]]:
+    * `tables * bits` planes of `dim` integer components in [-1000, 1000],
+    * derived from md5("p_i") so the DuckDB oracle regenerates the SAME
+    * planes from the same formula (md5 is bit-identical everywhere).
+    * Integer components + an integer-quantized vector make the bucket
+    * dot products EXACT 64-bit arithmetic on both engines — bucket
+    * assignment cannot diverge on floating-point summation order.
+    */
+  def lshPlanes(tables: Int, bits: Int, dim: Int): IndexedSeq[IndexedSeq[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    IndexedSeq.tabulate(tables * bits) { p =>
+      IndexedSeq.tabulate(dim) { i =>
+        val hex = md.digest(s"${p}_${i}".getBytes("UTF-8"))
+          .take(4).map(b => f"${b & 0xff}%02x").mkString
+        java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
+      }
+    }
+  }
+
+  /** The engine-independent integer quantization of the probe/corpus
+    * vector used for LSH bucketing: round(x * 1000) per component.
+    */
+  private def quantized(vecCol: String): Column =
+    expr(s"transform($vecCol, x -> cast(floor(cast(x as double) * 1000.0 + 0.5) as bigint))")
+
+  /** `tables` x `bits`-bit LSH bucket ids per row: bit j of table t is
+    * sign(q . plane(t*bits+j)) — pure 64-bit integer arithmetic.
+    */
+  private def lshBuckets(planes: IndexedSeq[IndexedSeq[Long]], tables: Int,
+                         bits: Int): Column = {
+    def bucket(t: Int): Column = (0 until bits).map { j =>
+      val pl = planes(t * bits + j).mkString(",")
+      when(expr(s"aggregate(zip_with(q, array($pl), (x, y) -> x * y), " +
+        s"cast(0 as bigint), (a, x) -> a + x)") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    explode(array((0 until tables).map(t =>
+      struct(lit(t).as("tbl"), bucket(t).as("bkt"))): _*))
+  }
+
+  /** Random-hyperplane LSH top-`k` cosine ANN — the bucketed scale path
+    * that needs NO training pass (vs [[annTopK]]'s IVF centroids):
+    * `tables` independent hash tables of `bits` sign bits each; a
+    * candidate is any corpus row sharing a (table, bucket) with the
+    * probe; candidates are verified with the exact cosine and ranked.
+    *
+    * 100 TB shape: each corpus row emits `tables` rows keyed by a
+    * ~uniform (table, bucket) key — a plain shuffle join against the
+    * (tiny, broadcast) probe buckets, candidate volume bounded by bucket
+    * occupancy ~ n/2^bits per table. Recall grows with `tables`,
+    * precision with `bits`; both are per-query knobs, and the verify
+    * step is exact so precision of the OUTPUT is 1 within candidates.
+    */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+              vecCol: String, k: Int, tables: Int = 4, bits: Int = 8,
+              dim: Int = 64): DataFrame = {
+    val planes = lshPlanes(tables, bits, dim)
+    val e = withNorm(corpus, vecCol)
+    val cb = e.withColumn("q", quantized(vecCol))
+      .select(col(idCol), lshBuckets(planes, tables, bits).as("tb"))
+      .select(col(idCol), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val pb = withNorm(probes, vecCol).withColumn("q", quantized(vecCol))
+      .select(col(idCol).as("probe_id"), lshBuckets(planes, tables, bits).as("tb"))
+      .select(col("probe_id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val cand = cb.join(broadcast(pb), Seq("tbl", "bkt"))
+      .filter(col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"), col(idCol)).distinct()
+    val p = withNorm(probes, vecCol)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("pv"), col("nrm").as("pn"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col(idCol))
+    cand.join(e, idCol).join(broadcast(p), "probe_id")
+      .withColumn("cos", vec_dot(col("pv"), col(vecCol)) / (col("pn") * col("nrm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col(idCol).as("neighbor_id"), col("cos"))
+  }
+
+  /** The DuckDB replay of [[lshTopK]], spliced with the same md5-derived
+    * plane literals (see [[lshPlanes]] — integer dots make bucket
+    * assignment engine-independent; the cosine verify reuses the
+    * list_zip/list_aggregate formulation proven bit-parity with
+    * `vec_dot`).
+    */
+  def lshTopKOracleSql(k: Int, tables: Int = 4, bits: Int = 8,
+                       dim: Int = 64): String = {
+    val planes = lshPlanes(tables, bits, dim)
+    val rows = (0 until tables).flatMap { t =>
+      (0 until bits).map { j =>
+        s"(${t}, ${j}, [${planes(t * bits + j).mkString(",")}]::BIGINT[])"
+      }
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+       |    sqrt(list_aggregate(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum')) AS nrm,
+       |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000.0 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |planes(tbl, j, pl) AS (VALUES ${rows}),
+       |bk AS (
+       |  SELECT vec_id, tbl,
+       |    sum(CASE WHEN list_aggregate(list_transform(list_zip(q, pl), x -> x[1] * x[2]), 'sum') > 0
+       |             THEN 1::BIGINT << j ELSE 0 END) AS bkt
+       |  FROM e CROSS JOIN planes GROUP BY vec_id, tbl),
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id
+       |  FROM (SELECT * FROM bk WHERE vec_id < 10) p
+       |  JOIN bk c ON c.tbl = p.tbl AND c.bkt = p.bkt AND c.vec_id != p.vec_id)
+       |SELECT probe_id, rnk, neighbor_id, floor(cos * 10000 + 0.5) / 10000 AS cos FROM (
+       |  SELECT cd.probe_id, cd.neighbor_id,
+       |    list_aggregate(list_transform(list_zip(p.v, c.v), x -> x[1] * x[2]), 'sum')
+       |      / (p.nrm * c.nrm) AS cos,
+       |    CAST(row_number() OVER (PARTITION BY cd.probe_id ORDER BY
+       |      list_aggregate(list_transform(list_zip(p.v, c.v), x -> x[1] * x[2]), 'sum')
+       |        / (p.nrm * c.nrm) DESC, cd.neighbor_id) AS INTEGER) AS rnk
+       |  FROM cand cd JOIN e p ON p.vec_id = cd.probe_id
+       |               JOIN e c ON c.vec_id = cd.neighbor_id
+       |) WHERE rnk <= ${k} ORDER BY probe_id, rnk""".stripMargin
+  }
+
   /** Brute-force cosine top-`k` neighbors for each probe. Probes are
     * broadcast; the corpus is scanned once map-side, then a tiny
     * (probe, k) shuffle ranks. This IS the 100 TB baseline shape.

@@ -57,6 +57,19 @@ object Analytic {
         .orderBy("user_id", "event_id")
     }),
 
+    // Relative-position window functions: percent_rank = (rank-1)/(n-1)
+    // and cume_dist = n_peers_leq/n are exact integer ratios — the IEEE
+    // division of identical operands is bit-identical cross-engine, so
+    // no rounding is needed for the hash match.
+    "win_percent_dist" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"))
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("o_orderkey")
+    }),
+
     // RANGE frame: per customer, order value in the 30 days preceding
     // each order. Spark needs a numeric range key → epoch seconds.
     "win_range_frame" -> ((s, d) => {
@@ -68,6 +81,31 @@ object Analytic {
           count(lit(1)).over(w).as("n_30d"),
           sum(Det.dec2(col("o_totalprice"))).over(w).cast("double").as("sum_30d"))
         .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // In-order 3-step conversion funnel (view -> click -> purchase, each
+    // step within 3 days of the previous step's FIRST occurrence). Each step
+    // is a filtered scan + tiny per-user hash agg + join against the
+    // previous step's per-user scalars — no window over the raw event
+    // stream, so the shape is 3 pushed-down scans and 3 shuffles of
+    // per-user rows regardless of corpus size.
+    "event_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("ts") > col("t_view") &&
+          col("ts") <= col("t_view") + expr("INTERVAL 3 DAY"))
+        .groupBy("user_id", "t_view").agg(min("ts").as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("ts") > col("t_click") &&
+          col("ts") <= col("t_click") + expr("INTERVAL 3 DAY"))
+        .groupBy("user_id", "t_view", "t_click").agg(min("ts").as("t_purchase"))
+      p.select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+          (unix_micros(col("t_purchase")) - unix_micros(col("t_view"))).as("funnel_us"))
+        .orderBy("user_id")
     }),
 
     "topk_per_group" -> ((s, d) => {
@@ -187,6 +225,14 @@ object Analytic {
         |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
 
+    "win_percent_dist" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+        |ORDER BY o_orderkey""".stripMargin,
+
     "win_range_frame" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         |  count(*) OVER w AS n_30d,
@@ -195,6 +241,23 @@ object Analytic {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
         |             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "event_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, v.t_view, min(e.ts) AS t_click
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |        AND e.ts <= v.t_view + INTERVAL 3 DAY
+        |      GROUP BY e.user_id, v.t_view),
+        |p AS (SELECT e.user_id, c.t_view, c.t_click, min(e.ts) AS t_purchase
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |        AND e.ts <= c.t_click + INTERVAL 3 DAY
+        |      GROUP BY e.user_id, c.t_view, c.t_click)
+        |SELECT user_id, t_view, t_click, t_purchase,
+        |       epoch_us(t_purchase) - epoch_us(t_view) AS funnel_us
+        |FROM p ORDER BY user_id""".stripMargin,
 
     "topk_per_group" ->
       """SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM (

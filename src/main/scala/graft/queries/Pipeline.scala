@@ -121,6 +121,22 @@ object Pipeline {
         .orderBy("probe_id", "rnk")
     }),
 
+    // Random-hyperplane LSH ANN: no training pass (vs sim_ann's IVF
+    // centroids) — md5-derived integer hyperplanes make the bucket
+    // assignment engine-exact, so the WHOLE candidate set (not just row
+    // counts) replays in DuckDB.
+    // 8 tables x 6 bits: the fixture embeddings are isotropic (weak
+    // neighbor cosines), so recall needs more/shorter tables than
+    // clustered data would (see PipelineSpec's two recall tests).
+    "sim_lsh_bucketed" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
+          tables = 8, bits = 6)
+        .select(col("probe_id"), col("rnk"), col("neighbor_id"),
+          Det.round4(col("cos")).as("cos"))
+        .orderBy("probe_id", "rnk")
+    }),
+
     "text_stats" -> ((s, d) =>
       TextOps.stats(Tables.documents(s, d), "text", "n_chars", Seq("lang", "source"))
         .orderBy("lang", "source")),
@@ -377,6 +393,8 @@ object Pipeline {
         |  FROM (SELECT * FROM e WHERE vec_id < 10) p
         |  JOIN e c ON c.vec_id != p.vec_id
         |) WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin),
+
+    "sim_lsh_bucketed" -> Similarity.lshTopKOracleSql(5, tables = 8, bits = 6),
 
     "text_stats" ->
       """WITH docs AS (SELECT doc_id, lang, source, n_chars, str_split(text, ' ') AS tk

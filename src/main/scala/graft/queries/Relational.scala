@@ -261,6 +261,46 @@ object Relational {
         .orderBy("region", "nation")
     }),
 
+    // Distributed second-moment statistics (variance / stddev /
+    // correlation) from EXACT decimal power sums: the partial aggregates
+    // (n, Σx, Σy, Σx², Σy², Σxy as DECIMAL) are re-aggregable and
+    // order-independent — the 100 TB shape for moment statistics, with
+    // none of the float-summation nondeterminism of a naive stddev/corr
+    // (whose partial-merge order varies run to run). The closed-form
+    // combine runs in double on both engines with an identical
+    // expression tree, so results are bit-identical.
+    "agg_stats_exact" -> ((s, d) => {
+      val dx = Det.dec2(col("l_quantity"))
+      val dy = Det.dec2(col("l_extendedprice"))
+      val g = Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(dx).as("sx"), sum(dy).as("sy"),
+        sum(dx * dx).as("sxx"), sum(dy * dy).as("syy"), sum(dx * dy).as("sxy"))
+      val n = col("n").cast("double")
+      val (sx, sy) = (col("sx").cast("double"), col("sy").cast("double"))
+      val (sxx, syy, sxy) =
+        (col("sxx").cast("double"), col("syy").cast("double"), col("sxy").cast("double"))
+      g.select(col("l_returnflag"), col("n"),
+          Det.round4((sxx * n - sx * sx) / (n * (n - lit(1.0)))).as("var_qty"),
+          Det.round4(sqrt((syy * n - sy * sy) / (n * (n - lit(1.0))))).as("std_price"),
+          Det.round4((sxy * n - sx * sy) /
+            (sqrt(sxx * n - sx * sx) * sqrt(syy * n - sy * sy))).as("corr_qp"))
+        .orderBy("l_returnflag")
+    }),
+
+    // CUBE completes the multi-dimensional agg family (grouping sets /
+    // rollup / cube): all 4 combinations of the two keys in one pass —
+    // Spark expands to a single Expand + partial/final HashAggregate,
+    // one shuffle, same as rollup.
+    "agg_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), Det.sumMoney(col("o_totalprice")).as("sum_price"))
+        .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n_orders"), col("sum_price"))
+        .orderBy("priority", "status")),
+
     // The collected list is serialized to a canonical comma-joined string:
     // the driver's pandas comparator can't hash array cells
     // (CORRECTNESS_r01 TypeError), and the string carries identical
@@ -486,6 +526,34 @@ object Relational {
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |              JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name) ORDER BY region, nation""".stripMargin,
+
+    "agg_stats_exact" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+        |    sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy,
+        |    sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  floor((sxx::DOUBLE * n::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |        / (n::DOUBLE * (n::DOUBLE - 1.0)) * 10000 + 0.5) / 10000 AS var_qty,
+        |  floor(sqrt((syy::DOUBLE * n::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+        |        / (n::DOUBLE * (n::DOUBLE - 1.0))) * 10000 + 0.5) / 10000 AS std_price,
+        |  floor((sxy::DOUBLE * n::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |        / (sqrt(sxx::DOUBLE * n::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |           * sqrt(syy::DOUBLE * n::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+        |        * 10000 + 0.5) / 10000 AS corr_qp
+        |FROM g ORDER BY l_returnflag""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+        |       coalesce(o_orderstatus, 'ALL') AS status,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        |ORDER BY priority, status""".stripMargin,
 
     "agg_collect" ->
       """SELECT user_id, string_agg(event_type, ',' ORDER BY event_type) AS types,

@@ -77,6 +77,39 @@ class PipelineSpec extends SparkSuite {
     assert(recall >= 0.9, s"IVF recall $recall < 0.9 on clustered data")
   }
 
+  test("LSH bucketed search: recall@5 on the fixture, pinned") {
+    val brute = Pipeline.queries("sim_cosine_topk")(spark, sf001)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Pipeline.queries("sim_lsh_bucketed")(spark, sf001)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (lsh & brute).size.toDouble / brute.size
+    info(s"LSH recall@5 = $recall")
+    // Isotropic fixture: neighbor cosines are weak, so sign-bit LSH (like
+    // the IVF key, measured 0.30 on the same data) sits near the
+    // information-free floor; real recall is proven on clusterable data
+    // by the test below. Pinned at the measured 0.30, minus noise.
+    assert(recall >= 0.28, s"LSH recall $recall regressed below the measured 0.30 floor")
+  }
+
+  test("LSH bucketed search achieves >=0.9 recall@5 when the corpus clusters") {
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(10)(Array.fill(16)(rnd.nextGaussian() * 5.0))
+    val rows = (0 until 400).map { i =>
+      val c = i % 10
+      (i.toLong, centers(c).map(x => (x + rnd.nextGaussian()).toFloat), c)
+    }
+    val corpus = rows.toDF("vec_id", "embedding", "label")
+    val probes = corpus.filter(col("vec_id") < 10)
+    val brute = graft.api.Similarity.cosineTopK(corpus, probes, "vec_id", "embedding", 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = graft.api.Similarity.lshTopK(corpus, probes, "vec_id", "embedding",
+        5, tables = 4, bits = 8, dim = 16)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (lsh & brute).size.toDouble / brute.size
+    info(s"clustered LSH recall@5 = $recall")
+    assert(recall >= 0.9, s"LSH recall $recall < 0.9 on clustered data")
+  }
+
   test("prefix-filtered jaccard pairs equal brute-force global all-pairs EXACTLY") {
     val got = Pipeline.queries("dedup_ngram_jaccard")(spark, sf001)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
