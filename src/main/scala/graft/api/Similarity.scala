@@ -37,25 +37,14 @@ object Similarity {
     }
   }
 
-  /** The engine-independent integer quantization of the probe/corpus
-    * vector used for LSH bucketing: round(x * 1000) per component.
+  /** `tables` x `bits`-bit LSH bucket ids per row as (tbl, bkt) rows:
+    * bit j of table t is sign(round(v*1000) . plane(t*bits+j)) — pure
+    * 64-bit integer arithmetic inside one fused codegen expression
+    * (graft.functions.LshBucketSig; the quantization lives there too).
     */
-  private def quantized(vecCol: String): Column =
-    expr(s"transform($vecCol, x -> cast(floor(cast(x as double) * 1000.0 + 0.5) as bigint))")
-
-  /** `tables` x `bits`-bit LSH bucket ids per row: bit j of table t is
-    * sign(q . plane(t*bits+j)) — pure 64-bit integer arithmetic.
-    */
-  private def lshBuckets(planes: IndexedSeq[IndexedSeq[Long]], tables: Int,
-                         bits: Int): Column = {
-    def bucket(t: Int): Column = (0 until bits).map { j =>
-      val pl = planes(t * bits + j).mkString(",")
-      when(expr(s"aggregate(zip_with(q, array($pl), (x, y) -> x * y), " +
-        s"cast(0 as bigint), (a, x) -> a + x)") > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    explode(array((0 until tables).map(t =>
-      struct(lit(t).as("tbl"), bucket(t).as("bkt"))): _*))
-  }
+  private def lshBuckets(vec: Column, planes: IndexedSeq[IndexedSeq[Long]],
+                         tables: Int, bits: Int): Column =
+    posexplode(graft.functions.Signatures.lsh_bucket_sig(vec, planes, tables, bits))
 
   /** Random-hyperplane LSH top-`k` cosine ANN — the bucketed scale path
     * that needs NO training pass (vs [[annTopK]]'s IVF centroids):
@@ -75,12 +64,10 @@ object Similarity {
               dim: Int = 64): DataFrame = {
     val planes = lshPlanes(tables, bits, dim)
     val e = withNorm(corpus, vecCol)
-    val cb = e.withColumn("q", quantized(vecCol))
-      .select(col(idCol), lshBuckets(planes, tables, bits).as("tb"))
-      .select(col(idCol), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
-    val pb = withNorm(probes, vecCol).withColumn("q", quantized(vecCol))
-      .select(col(idCol).as("probe_id"), lshBuckets(planes, tables, bits).as("tb"))
-      .select(col("probe_id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val cb = corpus.select(col(idCol),
+      lshBuckets(col(vecCol), planes, tables, bits).as(Seq("tbl", "bkt")))
+    val pb = probes.select(col(idCol).as("probe_id"),
+      lshBuckets(col(vecCol), planes, tables, bits).as(Seq("tbl", "bkt")))
     val cand = cb.join(broadcast(pb), Seq("tbl", "bkt"))
       .filter(col(idCol) =!= col("probe_id"))
       .select(col("probe_id"), col(idCol)).distinct()

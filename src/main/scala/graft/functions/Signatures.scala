@@ -374,6 +374,102 @@ case class SimHashSigStrict(child: Expression, bits: Int) extends UnaryExpressio
   override def prettyName: String = "simhash_sig_strict"
 }
 
+/** `tables * bits` random-hyperplane LSH bucket ids from a raw
+  * float/double vector, one fused pass: q_i = round(x_i * 1000) as long
+  * (engine-exact quantization), bit j of table t's bucket =
+  * sign(q . plane(t*bits+j)) over pure 64-bit integer dots. Output is
+  * array<long> of length `tables`. Replaces tables*bits interpreted
+  * `aggregate(zip_with(...))` lambdas (janino compile + per-element
+  * lambda dispatch dominated sim_lsh_bucketed's 1.4 s at sf0.1).
+  */
+case class LshBucketSig(child: Expression, planes: IndexedSeq[IndexedSeq[Long]],
+                        tables: Int, bits: Int) extends UnaryExpression {
+  require(planes.length == tables * bits && bits <= 63)
+  private val dim = planes.head.length
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lsh_bucket_sig expects array<float|double>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val flat: Array[Long] = planes.flatten.toArray
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), dim)
+    val q = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      val x = if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
+      q(j) = math.floor(x * 1000.0 + 0.5).toLong
+      j += 1
+    }
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var b = 0
+      while (b < bits) {
+        val base = (t * bits + b) * dim
+        var dot = 0L
+        var i = 0
+        while (i < n) { dot += flat(base + i) * q(i); i += 1 }
+        if (dot > 0) bucket |= (1L << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val pl = ctx.addReferenceObj("lshPlanes", flat, "long[]")
+      val q = ctx.freshName("q")
+      val out = ctx.freshName("out")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val t = ctx.freshName("t")
+      val b = ctx.freshName("b")
+      val dot = ctx.freshName("dot")
+      val bucket = ctx.freshName("bucket")
+      val base = ctx.freshName("base")
+      val get = if (isFloat) s"(double) $c.getFloat($j)" else s"$c.getDouble($j)"
+      s"""
+         |final int $n = Math.min($c.numElements(), $dim);
+         |long[] $q = new long[$n];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  $q[$j] = (long) Math.floor($get * 1000.0 + 0.5);
+         |}
+         |long[] $out = new long[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $bucket = 0L;
+         |  for (int $b = 0; $b < $bits; $b++) {
+         |    final int $base = ($t * $bits + $b) * $dim;
+         |    long $dot = 0L;
+         |    for (int $i = 0; $i < $n; $i++) { $dot += $pl[$base + $i] * $q[$i]; }
+         |    if ($dot > 0) $bucket |= (1L << $b);
+         |  }
+         |  $out[$t] = $bucket;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucketSig =
+    copy(child = newChild)
+
+  override def prettyName: String = "lsh_bucket_sig"
+}
+
 object Signatures {
   def minhash_sig(hashes: Column, numPerms: Int = 64): Column =
     Bridge.toCol(MinHashSig(Bridge.toExpr(hashes), numPerms))
@@ -386,4 +482,7 @@ object Signatures {
     Bridge.toCol(MinHashSigMod(Bridge.toExpr(hashes), as, bs, p))
   def simhash_sig_strict(hashes: Column, bits: Int): Column =
     Bridge.toCol(SimHashSigStrict(Bridge.toExpr(hashes), bits))
+  def lsh_bucket_sig(vec: Column, planes: IndexedSeq[IndexedSeq[Long]],
+                     tables: Int, bits: Int): Column =
+    Bridge.toCol(LshBucketSig(Bridge.toExpr(vec), planes, tables, bits))
 }

@@ -36,6 +36,25 @@ class FunctionsSpec extends SparkSuite {
     assert(rows.getDouble(1) == 6.0)
   }
 
+  test("lsh_bucket_sig is bit-identical to the aggregate/zip_with fold") {
+    import graft.api.Similarity
+    import graft.functions.Signatures
+    val (tables, bits, dim) = (8, 6, 64)
+    val planes = Similarity.lshPlanes(tables, bits, dim)
+    val e = Tables.embeddings(spark, sf001)
+      .withColumn("q",
+        expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000.0 + 0.5) as bigint))"))
+    def hofBucket(t: Int) = (0 until bits).map { j =>
+      val pl = planes(t * bits + j).mkString(",")
+      when(expr(s"aggregate(zip_with(q, array($pl), (x, y) -> x * y), " +
+        s"cast(0 as bigint), (a, x) -> a + x)") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val both = e.select(
+      Signatures.lsh_bucket_sig(col("embedding"), planes, tables, bits).as("native"),
+      array((0 until tables).map(hofBucket): _*).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
   test("MoneyStatsAgg: partial/merge equals single-pass reduce, any split") {
     import graft.functions.MoneyStatsAgg
     val vs = Seq(12.34, 0.01, 999.99, 500.00, 3.30, 77.70, 12.34)
