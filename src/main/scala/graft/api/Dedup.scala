@@ -33,7 +33,7 @@ object Dedup {
     * the pair-set output stays linear in the corpus. Docs shorter than
     * `n` tokens contribute their whole text as one shingle.
     */
-  private[api] def shingles(df: DataFrame, textCol: String, n: Int): DataFrame =
+  def shingles(df: DataFrame, textCol: String, n: Int): DataFrame =
     df.withColumn("tk", split(col(textCol), " "))
       .withColumn("toks", array_distinct(expr(
         s"transform(sequence(1, greatest(size(tk) - ${n - 1}, 1)), i -> concat_ws(' ', slice(tk, i, $n)))")))

@@ -121,13 +121,31 @@ object Pipeline {
         .orderBy("probe_id", "rnk")
     }),
 
+    // Benchmark decontamination: flag training docs that share any
+    // 5-token shingle with an eval/benchmark doc (here: doc_id < 100
+    // stands in for the benchmark). The eval side is tiny BY NATURE, so
+    // it broadcasts and the training corpus is scanned once map-side —
+    // the only shuffle carries (train, eval) matches, never the corpus.
+    // This is the n-gram-overlap decontamination step every training
+    // pipeline runs before releasing a corpus.
+    "decontaminate_ngram" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val evalSh = Dedup.shingles(docs.filter(col("doc_id") < 100), "text", 5)
+        .select(col("doc_id").as("eval_id"), explode(col("toks")).as("sh"))
+      val trainSh = Dedup.shingles(docs.filter(col("doc_id") >= 100), "text", 5)
+        .select(col("doc_id"), explode(col("toks")).as("sh"))
+      trainSh.join(broadcast(evalSh), "sh")
+        .groupBy("doc_id", "eval_id").agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id", "eval_id")
+    }),
+
     // Random-hyperplane LSH ANN: no training pass (vs sim_ann's IVF
     // centroids) — md5-derived integer hyperplanes make the bucket
     // assignment engine-exact, so the WHOLE candidate set (not just row
-    // counts) replays in DuckDB.
-    // 8 tables x 6 bits: the fixture embeddings are isotropic (weak
-    // neighbor cosines), so recall needs more/shorter tables than
-    // clustered data would (see PipelineSpec's two recall tests).
+    // counts) replays in DuckDB. 8 tables x 6 bits: the fixture
+    // embeddings are isotropic (weak neighbor cosines), so recall needs
+    // more/shorter tables than clustered data would (see PipelineSpec's
+    // two recall tests).
     "sim_lsh_bucketed" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
@@ -393,6 +411,17 @@ object Pipeline {
         |  FROM (SELECT * FROM e WHERE vec_id < 10) p
         |  JOIN e c ON c.vec_id != p.vec_id
         |) WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin),
+
+    "decontaminate_ngram" ->
+      """WITH tk0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, greatest(len(tk) - 4, 1) + 1),
+        |         i -> array_to_string(tk[i:i+4], ' ')))) AS sh
+        |       FROM tk0)
+        |SELECT t.doc_id, e.doc_id AS eval_id, count(*) AS n_shared
+        |FROM (SELECT * FROM sh WHERE doc_id >= 100) t
+        |JOIN (SELECT * FROM sh WHERE doc_id < 100) e USING (sh)
+        |GROUP BY t.doc_id, e.doc_id ORDER BY t.doc_id, eval_id""".stripMargin,
 
     "sim_lsh_bucketed" -> Similarity.lshTopKOracleSql(5, tables = 8, bits = 6),
 

@@ -51,6 +51,10 @@ class PlanSpec extends SparkSuite {
     assert(plan("sim_cosine_topk").contains("Broadcast"))
   }
 
+  test("decontaminate_ngram broadcasts the eval shingles (corpus stays map-side)") {
+    assert(plan("decontaminate_ngram").contains("BroadcastHashJoin"))
+  }
+
   test("runtime bloom-filter pruning injects on a selective fact⋈dim join") {
     // The 100 TB shape: a selective dim-side filter should prune the fact
     // scan at runtime via an injected bloom filter (row-level runtime
