@@ -83,6 +83,20 @@ object Analytic {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // Value-navigation window functions with an explicit full frame:
+    // first/last/nth are pure value passthroughs (no arithmetic), so
+    // cross-engine parity needs only a deterministic total order.
+    "win_first_last" -> ((s, d) => {
+      val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          first(col("value")).over(full).as("first_v"),
+          last(col("value")).over(full).as("last_v"),
+          nth_value(col("value"), 2).over(full).as("second_v"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // In-order 3-step conversion funnel (view -> click -> purchase, each
     // step within 3 days of the previous step's FIRST occurrence). Each step
     // is a filtered scan + tiny per-user hash agg + join against the
@@ -158,6 +172,19 @@ object Analytic {
           Det.round2(sqrt(col("l_quantity"))).as("sq"),
           Det.round2(log(col("l_quantity"))).as("lg"),
           pmod(col("l_partkey"), lit(7)).as("md"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // Bitwise scalar family over the integer key columns (hash
+    // partitioners, bitmap indexes and bucket routing all live on these).
+    "fn_bit" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey").bitwiseAND(col("l_suppkey")).as("ba"),
+          col("l_partkey").bitwiseOR(col("l_suppkey")).as("bo"),
+          col("l_partkey").bitwiseXOR(col("l_suppkey")).as("bx"),
+          shiftleft(col("l_linenumber"), 3).as("shl"),
+          shiftright(col("l_partkey"), 2).as("shr"),
+          bit_count(col("l_partkey")).as("bc"))
         .orderBy("l_orderkey", "l_linenumber")),
 
     "fn_array" -> ((s, d) =>
@@ -242,6 +269,16 @@ object Analytic {
         |             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
+    "win_first_last" ->
+      """SELECT user_id, event_id,
+        |  first_value(value) OVER w AS first_v,
+        |  last_value(value) OVER w AS last_v,
+        |  nth_value(value, 2) OVER w AS second_v
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, event_id""".stripMargin,
+
     "event_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
         |           WHERE event_type = 'view' GROUP BY user_id),
@@ -298,6 +335,16 @@ object Analytic {
         |  floor(sqrt(l_quantity) * 100 + 0.5) / 100 AS sq,
         |  floor(ln(l_quantity) * 100 + 0.5) / 100 AS lg,
         |  l_partkey % 7 AS md
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "fn_bit" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_partkey & l_suppkey AS ba,
+        |  l_partkey | l_suppkey AS bo,
+        |  xor(l_partkey, l_suppkey) AS bx,
+        |  CAST(l_linenumber << 3 AS INTEGER) AS shl,
+        |  l_partkey >> 2 AS shr,
+        |  CAST(bit_count(l_partkey) AS INTEGER) AS bc
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "fn_array" ->

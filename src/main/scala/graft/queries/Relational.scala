@@ -261,6 +261,21 @@ object Relational {
         .orderBy("region", "nation")
     }),
 
+    // Re-aggregable quantile SKETCH (Spark's Greenwald–Khanna style
+    // percentile_approx): partials merge associatively, so quantiles at
+    // 100 TB cost one partial+final agg — the exact variant
+    // (agg_percentile) needs per-group full sorts. No DuckDB oracle:
+    // sketch internals are engine-local (same §2 allowance as
+    // agg_approx_distinct); the rank-error bound is property-tested in
+    // CoreSpec.
+    "agg_approx_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_approx"))
+        .orderBy("l_returnflag")),
+
     // Distributed second-moment statistics (variance / stddev /
     // correlation) from EXACT decimal power sums: the partial aggregates
     // (n, Σx, Σy, Σx², Σy², Σxy as DECIMAL) are re-aggregable and

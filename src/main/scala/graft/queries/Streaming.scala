@@ -42,6 +42,17 @@ object Streaming {
           ev.filter(col("event_type") === "purchase"),
           ev.filter(col("event_type") === "click"))
         .orderBy("p_id", "c_id")
+    }),
+
+    // Left-outer interval join: every purchase appears; unmatched ones
+    // carry a null click id (streaming: emitted once the watermark
+    // certifies no match can arrive — see StreamOps.intervalJoinPairs).
+    "stream_interval_join_outer" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      StreamOps.intervalJoinPairs(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"), "left_outer")
+        .orderBy(col("p_id"), col("c_id").asc_nulls_first)
     })
   )
 
@@ -71,6 +82,14 @@ object Streaming {
         |JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id
         | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
-        |ORDER BY p_id, c_id""".stripMargin
+        |ORDER BY p_id, c_id""".stripMargin,
+
+    "stream_interval_join_outer" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+        |ORDER BY p_id, c_id NULLS FIRST""".stripMargin
   )
 }

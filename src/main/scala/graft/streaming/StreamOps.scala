@@ -180,7 +180,15 @@ object StreamOps {
     * watermarks bound state retention on each side. Batch: identical
     * plan, no state.
     */
-  def intervalJoinPairs(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+  /** `joinType` "inner" (default) or "left_outer": the outer variant
+    * emits a purchase with null click columns once the watermark proves
+    * no matching click can still arrive (Flink's intervalJoin has no
+    * outer mode — this is the Spark-native upgrade; the time bounds plus
+    * both watermarks are exactly what lets the engine both expire state
+    * AND certify the null emission).
+    */
+  def intervalJoinPairs(purchases: DataFrame, clicks: DataFrame,
+                        joinType: String = "inner"): DataFrame = {
     val p0 = purchases.select(col("event_id").as("p_id"), col("user_id").as("p_user"),
       col("ts").as("p_ts"))
     val c0 = clicks.select(col("event_id").as("c_id"), col("user_id").as("c_user"),
@@ -191,7 +199,7 @@ object StreamOps {
       else (p0, c0)
     p.join(c, col("p_user") === col("c_user") &&
       col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
-      col("c_ts") <= col("p_ts"))
+      col("c_ts") <= col("p_ts"), joinType)
       .select(col("p_id"), col("c_id"), col("p_user").as("user_id"))
   }
 }

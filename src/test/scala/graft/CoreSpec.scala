@@ -92,6 +92,21 @@ class CoreSpec extends SparkSuite {
     }
   }
 
+  test("approx percentile: rank error within the GK sketch accuracy bound") {
+    val vals = Tables.lineitem(spark, sf001)
+      .select(col("l_extendedprice")).as[Double].collect().sorted
+    val n = vals.length
+    for (q <- Seq(0.5, 0.99)) {
+      val approx = Tables.lineitem(spark, sf001)
+        .agg(percentile_approx(col("l_extendedprice"), lit(q), lit(1000)))
+        .head().getDouble(0)
+      val rank = vals.count(_ <= approx)
+      // GK guarantee: |rank(approx) - q*n| <= n / accuracy
+      assert(math.abs(rank - q * n) <= n / 1000.0 + 1,
+        s"q=$q approx=$approx rank=$rank of $n exceeds the accuracy bound")
+    }
+  }
+
   test("DataFrame and spark.sql entry points converge (one engine)") {
     Tables.lineitem(spark, sf001).createOrReplaceTempView("li")
     Tables.events(spark, sf001).createOrReplaceTempView("ev")

@@ -120,6 +120,30 @@ class StreamingSpec extends SparkSuite {
     assert(pairs == Set((20L, 10L)), s"got $pairs")
   }
 
+  test("left-outer interval join emits null-click purchases after watermark certifies no match") {
+    val mp = MemoryStream[Ev]
+    val mc = MemoryStream[Ev]
+    val q = StreamOps.intervalJoinPairs(mp.toDF(), mc.toDF(), "left_outer")
+      .writeStream.format("memory").queryName("ijo").outputMode("append").start()
+    mc.addData(Ev(10, ts("2024-01-01 10:00:00"), 1, "click", 1.0))
+    mp.addData(
+      Ev(20, ts("2024-01-01 10:05:00"), 1, "purchase", 5.0),  // matched
+      Ev(21, ts("2024-01-01 10:05:00"), 2, "purchase", 5.0))  // no click: null row
+    q.processAllAvailable()
+    // The null emission for purchase 21 must wait for the watermark: both
+    // sides advance far past 10:05 + bounds, certifying no click can come.
+    mc.addData(Ev(12, ts("2024-01-01 13:00:00"), 3, "click", 1.0))
+    mp.addData(Ev(22, ts("2024-01-01 13:00:00"), 3, "purchase", 1.0))
+    q.processAllAvailable()
+    mc.addData(Ev(13, ts("2024-01-01 16:00:00"), 4, "click", 1.0))
+    mp.addData(Ev(23, ts("2024-01-01 16:00:00"), 4, "purchase", 1.0))
+    drain(q)
+    val got = spark.table("ijo").select("p_id", "c_id")
+      .as[(Long, Option[Long])].collect().toSet
+    assert(got.contains((20L, Some(10L))), s"matched pair missing: $got")
+    assert(got.contains((21L, None)), s"null-certified row missing: $got")
+  }
+
   test("sliding windows under readStream (append): watermark closes windows; late dropped") {
     import graft.api.Windows
     import org.apache.spark.sql.functions._
