@@ -330,7 +330,12 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().localCheckpoint()
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
+    // Iterate ONLY over edge-touched nodes: singletons (the vast majority
+    // of a mostly-unique corpus) can never change label, so they skip the
+    // loop entirely and rejoin at the end — every round's join, shuffle
+    // and checkpoint is sized by the near-dup subgraph, not the corpus.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
       .localCheckpoint()
     var changed = 1L
     var round = 0
@@ -347,9 +352,80 @@ object Dedup {
       round += 1
     }
     require(changed == 0, s"connected components did not converge in $maxRounds rounds")
-    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "comp")
+    val all = nodes.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    val sizes = all.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+    all.join(sizes, "comp")
       .select(col("id").as(idCol), col("comp").as("cluster_id"), col("cluster_size"))
+  }
+
+  /** GLOBAL embedding near-dup pairs via random-hyperplane LSH buckets:
+    * candidates are pairs sharing any (table, bucket) of the integer-exact
+    * `LshBucketSig` signature (see Similarity.lshPlanes — md5-derived
+    * planes, engine-exact buckets, so the WHOLE candidate set replays in
+    * DuckDB); verification is the exact cosine >= `threshold`.
+    *
+    * The scale-safe sibling of [[embedCosinePairs]]: no metadata blocking
+    * (blocks grow with the corpus — quadratic within a block), candidate
+    * volume bounded by bucket occupancy ~n/2^bits per table, and the
+    * bucket key shuffles evenly. Same dataflow as the text-side
+    * minhash/simhash pair keys.
+    */
+  def embedLshPairs(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, tables: Int = 8, bits: Int = 6,
+                    dim: Int = 64): DataFrame = {
+    val planes = Similarity.lshPlanes(tables, bits, dim)
+    val e = Similarity.withNorm(df, vecCol)
+    val bk = df.select(col(idCol),
+      posexplode(graft.functions.Signatures.lsh_bucket_sig(
+        col(vecCol), planes, tables, bits)).as(Seq("tbl", "bkt")))
+    val cand = bk.select(col(idCol).as("vec_a"), col("tbl"), col("bkt"))
+      .join(bk.select(col(idCol).as("vec_b"), col("tbl"), col("bkt")),
+        Seq("tbl", "bkt"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val ea = e.select(col(idCol).as("vec_a"), col(vecCol).as("va"), col("nrm").as("na"))
+    val eb = e.select(col(idCol).as("vec_b"), col(vecCol).as("vb"), col("nrm").as("nb"))
+    cand.join(ea, "vec_a").join(eb, "vec_b")
+      .withColumn("cos",
+        graft.functions.GraftFunctions.vec_dot(col("va"), col("vb")) /
+          (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  /** The DuckDB replay of [[embedLshPairs]] (same spliced plane literals;
+    * cosine via the list_zip formulation proven bit-parity with vec_dot).
+    */
+  def embedLshPairsOracleSql(threshold: Double, tables: Int = 8, bits: Int = 6,
+                             dim: Int = 64): String = {
+    val planes = Similarity.lshPlanes(tables, bits, dim)
+    val rows = (0 until tables).flatMap { t =>
+      (0 until bits).map { j =>
+        s"(${t}, ${j}, [${planes(t * bits + j).mkString(",")}]::BIGINT[])"
+      }
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+       |    sqrt(list_aggregate(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum')) AS nrm,
+       |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000.0 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |planes(tbl, j, pl) AS (VALUES ${rows}),
+       |bk AS (
+       |  SELECT vec_id, tbl,
+       |    sum(CASE WHEN list_aggregate(list_transform(list_zip(q, pl), x -> x[1] * x[2]), 'sum') > 0
+       |             THEN 1::BIGINT << j ELSE 0 END) AS bkt
+       |  FROM e CROSS JOIN planes GROUP BY vec_id, tbl),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, floor(cos * 10000 + 0.5) / 10000 AS cos FROM (
+       |  SELECT c.vec_a, c.vec_b,
+       |    list_aggregate(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]), 'sum')
+       |      / (a.nrm * b.nrm) AS cos
+       |  FROM cand c JOIN e a ON a.vec_id = c.vec_a JOIN e b ON b.vec_id = c.vec_b
+       |) WHERE cos >= ${threshold} ORDER BY vec_a, vec_b""".stripMargin
   }
 
   /** Embedding near-dup pairs: cosine >= `threshold` within a blocking

@@ -122,6 +122,21 @@ object EventTime {
         .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
         .orderBy("window_start", "event_type")),
 
+    // Flink countWindow(20): per-key tumbling COUNT windows — every 20
+    // events per user form one window. Flink's form is processing-order
+    // (nondeterministic); this is the deterministic event-time-order
+    // variant: rank each user's events by (ts, event_id), window id =
+    // (rank-1) div 20. One entity-scoped window + one partial/final agg.
+    "wnd_count_tumbling" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("user_id"), expr("cast((rn - 1) div 20 as bigint)").as("win_id"))
+        .agg(count(lit(1)).as("n_events"), Det.sumMoney(col("value")).as("sum_value"),
+          min("ts").as("first_ts"), max("ts").as("last_ts"))
+        .orderBy("user_id", "win_id")
+    }),
+
     // Flink DataStream window join: purchase ⋈ click of the same user
     // inside the same 1 h tumbling window. Equi-join on (user, window) —
     // a plain co-partitioned shuffle join at any scale.
@@ -205,6 +220,17 @@ object EventTime {
       """SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start, event_type,
         |       count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "wnd_count_tumbling" ->
+      """WITH r AS (SELECT user_id, ts, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, CAST((rn - 1) // 20 AS BIGINT) AS win_id,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+        |  min(ts) AS first_ts, max(ts) AS last_ts
+        |FROM r GROUP BY user_id, (rn - 1) // 20
+        |ORDER BY user_id, win_id""".stripMargin,
 
     "wnd_join" ->
       """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id,

@@ -98,6 +98,15 @@ object Pipeline {
           (floor(col("max_err") * 1e6 + lit(0.5)) / 1e6).as("max_err6"))
         .orderBy("vec_id")),
 
+    // The GLOBAL, blocking-free embedding near-dup key (see
+    // Dedup.embedLshPairs): LSH-bucketed candidates + exact cosine
+    // verify — the scale-safe sibling of dedup_embed_cosine's
+    // label-blocked form.
+    "dedup_embed_lsh" -> ((s, d) =>
+      Dedup.embedLshPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.3)
+        .select(col("vec_a"), col("vec_b"), Det.round4(col("cos")).as("cos"))
+        .orderBy("vec_a", "vec_b")),
+
     "dedup_embed_cosine" -> ((s, d) =>
       Dedup.embedCosinePairs(Tables.embeddings(s, d), "vec_id", "embedding",
           "label", 0.3)
@@ -411,6 +420,8 @@ object Pipeline {
         |  FROM (SELECT * FROM e WHERE vec_id < 10) p
         |  JOIN e c ON c.vec_id != p.vec_id
         |) WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin),
+
+    "dedup_embed_lsh" -> Dedup.embedLshPairsOracleSql(0.3),
 
     "decontaminate_ngram" ->
       """WITH tk0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

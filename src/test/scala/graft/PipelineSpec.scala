@@ -110,6 +110,30 @@ class PipelineSpec extends SparkSuite {
     assert(recall >= 0.9, s"LSH recall $recall < 0.9 on clustered data")
   }
 
+  test("embed LSH pairs: subset of brute-force global pairs, recall pinned") {
+    val lsh = Pipeline.queries("dedup_embed_lsh")(spark, sf001)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val e = Tables.embeddings(spark, sf001)
+      .withColumn("nrm", graft.functions.GraftFunctions.vec_norm(col("embedding")))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"), col("nrm").as("nb"))
+    val brute = a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", graft.functions.GraftFunctions.vec_dot(col("va"), col("vb")) /
+        (col("na") * col("nb")))
+      .filter(col("cos") >= 0.3)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    // precision 1 by construction (exact cosine verify) — every LSH pair
+    // must be a true pair
+    assert(lsh.subsetOf(brute), s"false positives: ${lsh -- brute}")
+    val recall = lsh.size.toDouble / brute.size
+    info(s"embed LSH pair recall = $recall (${lsh.size} of ${brute.size})")
+    // Isotropic fixture at a weak 0.3 threshold — most true pairs sit
+    // near the threshold where sign-bit collision probability is lowest
+    // (measured 0.33, same regime as the sim_lsh/IVF recall tests; high
+    // recall on clusterable data is proven by the clustered LSH test).
+    assert(recall >= 0.30, s"embed LSH recall $recall regressed below the measured 0.33 floor")
+  }
+
   test("prefix-filtered jaccard pairs equal brute-force global all-pairs EXACTLY") {
     val got = Pipeline.queries("dedup_ngram_jaccard")(spark, sf001)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
