@@ -22,6 +22,9 @@ object Sources {
   def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Unbounded file stream over a directory (new files picked up per
     * micro-batch). Streams require explicit schemas.
     */

@@ -91,6 +91,17 @@ object TextOps {
           col("stop_ratio") * 0.3 + col("alpha_ratio") * 0.3)
   }
 
+  /** Corpus text normalization (the pass that runs before dedup/stats in
+    * a real pipeline): lowercase, strip non-[a-z0-9 ], collapse runs of
+    * spaces, trim. Pure per-row codegen'd string ops — no shuffle; the
+    * regexes are deliberately ASCII-simple so they mean the same thing
+    * in every regex dialect.
+    */
+  def normalize(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("norm_text",
+      trim(regexp_replace(regexp_replace(lower(col(textCol)),
+        "[^a-z0-9 ]", ""), "  +", " ")))
+
   /** Whitespace tokens, alpha char count, and a chars/4 BPE-ish token
     * estimate.
     */

@@ -164,6 +164,12 @@ object Pipeline {
         .orderBy("probe_id", "rnk")
     }),
 
+    "text_normalize" -> ((s, d) =>
+      TextOps.normalize(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("norm_text"),
+          length(col("norm_text")).as("n_norm"))
+        .orderBy("doc_id")),
+
     "text_stats" -> ((s, d) =>
       TextOps.stats(Tables.documents(s, d), "text", "n_chars", Seq("lang", "source"))
         .orderBy("lang", "source")),
@@ -435,6 +441,14 @@ object Pipeline {
         |GROUP BY t.doc_id, e.doc_id ORDER BY t.doc_id, eval_id""".stripMargin,
 
     "sim_lsh_bucketed" -> Similarity.lshTopKOracleSql(5, tables = 8, bits = 6),
+
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |                      '  +', ' ', 'g')) AS norm_text,
+        |  CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |                      '  +', ' ', 'g'))) AS INTEGER) AS n_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_stats" ->
       """WITH docs AS (SELECT doc_id, lang, source, n_chars, str_split(text, ' ') AS tk

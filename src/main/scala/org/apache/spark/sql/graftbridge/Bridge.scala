@@ -16,4 +16,17 @@ object Bridge {
                        builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "built-in")
+
+  /** Apply an extensions object's FUNCTION registrations to an existing
+    * session (test hook: `spark.sql.extensions` is read only at session
+    * construction, and a shared-JVM test suite can't rebuild its session;
+    * `registerFunctions` is the exact call BaseSessionStateBuilder makes
+    * at construction, so this exercises the same injection path).
+    */
+  def applyFunctionExtensions(spark: SparkSession,
+                              f: org.apache.spark.sql.SparkSessionExtensions => Unit): Unit = {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    f(ext)
+    ext.registerFunctions(spark.sessionState.functionRegistry)
+  }
 }

@@ -102,6 +102,15 @@ class ApiSpec extends SparkSuite {
     assert(back == rows.toSet, s"got $back")
   }
 
+  test("Sources.orc round-trips typed rows including arrays") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val rows = Seq((1L, "x", Seq(1.5f, -2.0f)), (2L, null: String, Seq.empty[Float]))
+    rows.toDF("id", "s", "vec").write.mode("overwrite").orc(dir)
+    val back = Sources.orc(spark, dir)
+      .as[(Long, String, Seq[Float])].collect().toSet
+    assert(back == rows.toSet, s"got $back")
+  }
+
   test("no declared query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val p = fn(spark, sf001).queryExecution.executedPlan.toString

@@ -36,6 +36,26 @@ class FunctionsSpec extends SparkSuite {
     assert(rows.getDouble(1) == 6.0)
   }
 
+  test("GraftExtensions injects the native functions for pure-SQL sessions") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.applyFunctionExtensions(spark, new GraftExtensions())
+    val r = spark.sql(
+      """SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       minhash_sig(array(7L, 8L))[0] AS m0,
+        |       simhash_sig(array(5L)) AS sh,
+        |       md5_prefix(array('a'), 8)[0] AS mp""".stripMargin).collect().head
+    assert(r.getDouble(0) == 11.0)
+    // parity with the Column-API forms of the same expressions
+    val expect = spark.range(1).select(
+      graft.functions.Signatures.minhash_sig(array(lit(7L), lit(8L)), 64)(0).as("m0"),
+      graft.functions.Signatures.simhash_sig(array(lit(5L))).as("sh"),
+      graft.functions.Signatures.md5_prefix(array(lit("a")), 8)(0).as("mp"))
+      .collect().head
+    assert(r.getLong(1) == expect.getLong(0))
+    assert(r.getLong(2) == expect.getLong(1))
+    assert(r.getLong(3) == expect.getLong(2))
+  }
+
   test("lsh_bucket_sig is bit-identical to the aggregate/zip_with fold") {
     import graft.api.Similarity
     import graft.functions.Signatures
