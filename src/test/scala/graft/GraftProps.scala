@@ -111,6 +111,27 @@ object GraftProps extends Properties("graft") {
       bad.count() == 0
     }
 
+  private val rawTextGen: Gen[List[String]] =
+    Gen.nonEmptyListOf(Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(' ', ' ', '!', ',', '.', '"', '\t', 'É')))
+      .map(_.mkString))
+
+  property("text normalization is idempotent and emits only [a-z0-9 ]") =
+    forAll(rawTextGen) { texts =>
+      val sp = spark
+      import sp.implicits._
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val once = graft.api.TextOps.normalize(df, "text")
+        .select(col("id"), col("norm_text"))
+      val twice = graft.api.TextOps.normalize(
+        once.withColumnRenamed("norm_text", "text"), "text")
+      val changed = once.join(twice, "id")
+        .filter(once("norm_text") =!= twice("norm_text")).count()
+      val dirty = once.filter(col("norm_text").rlike("[^a-z0-9 ]")).count()
+      val doubled = once.filter(col("norm_text").contains("  ")).count()
+      changed == 0 && dirty == 0 && doubled == 0
+    }
+
   property("exact dedup is idempotent and survivors cover all content") =
     forAll(docsGen) { docs =>
       val sp = spark

@@ -120,6 +120,24 @@ class StreamingSpec extends SparkSuite {
     assert(pairs == Set((20L, 10L)), s"got $pairs")
   }
 
+  test("stream-static dim join enriches each micro-batch (broadcast-state pattern)") {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    // Flink needs broadcast state for this; in Spark the static side is
+    // just a batch DataFrame re-joined (and re-broadcast) per micro-batch.
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF().join(broadcast(dim), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("tier"))
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    ms.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 10:01:00"), 3, "view", 1.0))
+    drain(q)
+    val got = spark.table("ssj").select("event_id", "tier")
+      .as[(Long, Option[String])].collect().toSet
+    assert(got == Set((1L, Some("gold")), (2L, None)), s"got $got")
+  }
+
   test("left-outer interval join emits null-click purchases after watermark certifies no match") {
     val mp = MemoryStream[Ev]
     val mc = MemoryStream[Ev]
