@@ -353,6 +353,30 @@ object Relational {
         .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
         .orderBy("l_returnflag")),
 
+    // Composite flagship (TPC-H Q3 shape): selective dim filter →
+    // three-table join → revenue agg → top-10. The plan the whole engine
+    // exists for: both filters push to the scans, customer broadcasts
+    // after its segment filter, orders⋈lineitem shuffles on the order
+    // key, partial aggs collapse before the shuffle, and the top-10 is
+    // TakeOrdered — no global sort.
+    "q_composite_revenue" -> ((s, d) => {
+      val cut = lit("1998-06-01 00:00:00").cast("timestamp")
+      val c = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < cut)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val l = Tables.lineitem(s, d).filter(col("l_shipdate") > cut)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum(Det.dec2(col("l_extendedprice")) *
+            (lit(BigDecimal(1).setScale(2)) - Det.dec2(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
     // ---- F. sort / limit ----
     "sort_limit" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -574,6 +598,18 @@ object Relational {
       """SELECT user_id, string_agg(event_type, ',' ORDER BY event_type) AS types,
         |       count(*) AS n_events
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_composite_revenue" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * (1.00 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
 
     "sort_limit" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
