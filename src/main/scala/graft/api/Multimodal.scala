@@ -10,6 +10,9 @@ import org.apache.spark.sql.functions._
   */
 case class MediaFeatures(doc_id: Long, n_bytes: Int, first_byte: Int, byte_fp: Long)
 
+/** One sampled frame from a media payload (see Multimodal.frameSample). */
+case class FrameFeature(doc_id: Long, frame_idx: Int, frame_bytes: Int, frame_fp: Long)
+
 /** Multimodal columns: media as opaque `binary` + typed metadata in a
   * struct column, with decode/feature-extraction as a partition-wise
   * operator.
@@ -37,6 +40,34 @@ object Multimodal {
     * items in batches. The stub features are deterministic byte stats,
     * so the operator is oracle-verifiable end to end.
     */
+  /** Frame sampling (video-style payloads): every `stride`-th
+    * `frameSize`-byte frame becomes ONE OUTPUT ROW with per-frame
+    * features — the flatMap batch shape a real frame sampler has (rows
+    * out ≠ rows in, decoder init once per partition). The stub "decoder"
+    * slices byte ranges; a real codec swaps in without touching the
+    * plumbing. Only complete frames are emitted (payloads shorter than
+    * one frame yield nothing), and sampling is deterministic, so the
+    * operator is oracle-verifiable end to end.
+    */
+  def frameSample(df: DataFrame, idCol: String, payloadCol: String,
+                  frameSize: Int = 100, stride: Int = 3): Dataset[FrameFeature] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // >>> STUB DECODER <<< (real impl: init codec once per partition)
+        it.flatMap { case (id, bytes) =>
+          val nFrames = bytes.length / frameSize
+          (0 until nFrames by stride).iterator.map { f =>
+            val fr = bytes.slice(f * frameSize, (f + 1) * frameSize)
+            val fp = fr.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+            FrameFeature(id, f, fr.length, fp)
+          }
+        }
+      }
+  }
+
   def decodeFeatures(df: DataFrame, idCol: String, payloadCol: String): Dataset[MediaFeatures] = {
     val spark = df.sparkSession
     import spark.implicits._

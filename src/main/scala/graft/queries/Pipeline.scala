@@ -236,7 +236,14 @@ object Pipeline {
           Tables.documents(s, d).withColumn("payload", col("text").cast("binary")),
           "doc_id", "payload")
         .toDF()
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    "multimodal_framesample" -> ((s, d) =>
+      Multimodal.frameSample(
+          Tables.documents(s, d).withColumn("payload", col("text").cast("binary")),
+          "doc_id", "payload")
+        .toDF()
+        .orderBy("doc_id", "frame_idx"))
   )
 
   /** DuckDB replay of Dedup.shingles: distinct 3-token shingles as
@@ -576,6 +583,22 @@ object Pipeline {
         |  list_reduce(list_prepend(0::BIGINT,
         |    list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS byte_fp
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // ASCII text again: byte slices == char substrings, so the sampled
+    // frames replay exactly.
+    "multimodal_framesample" ->
+      """WITH f AS (
+        |  SELECT doc_id, unnest(range(0, length(text) // 100)) AS fi, text
+        |  FROM documents),
+        |s AS (SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+        |        substr(text, CAST(fi AS INTEGER) * 100 + 1, 100) AS fr
+        |      FROM f WHERE fi % 3 = 0)
+        |SELECT doc_id, frame_idx,
+        |  CAST(length(fr) AS INTEGER) AS frame_bytes,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(string_split(fr, ''), c -> ascii(c)::BIGINT)),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS frame_fp
+        |FROM s ORDER BY doc_id, frame_idx""".stripMargin
   )
 }
