@@ -139,10 +139,17 @@ object Pipeline {
     // pipeline runs before releasing a corpus.
     "decontaminate_ngram" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val evalSh = Dedup.shingles(docs.filter(col("doc_id") < 100), "text", 5)
-        .select(col("doc_id").as("eval_id"), explode(col("toks")).as("sh"))
-      val trainSh = Dedup.shingles(docs.filter(col("doc_id") >= 100), "text", 5)
-        .select(col("doc_id"), explode(col("toks")).as("sh"))
+      // Join on the 60-bit md5 prefix of each shingle, not the string:
+      // the broadcast eval map shrinks ~20x and the shuffle rows carry 8
+      // bytes per shingle. md5 is engine-identical, so the (vanishingly
+      // rare) collisions collide identically in the DuckDB replay — the
+      // output stays exactly replayable.
+      def sh(df: org.apache.spark.sql.DataFrame, idAlias: String) =
+        Dedup.shingles(df, "text", 5)
+          .select(col("doc_id").as(idAlias),
+            explode(graft.functions.Signatures.md5_prefix(col("toks"), 15)).as("sh"))
+      val evalSh = sh(docs.filter(col("doc_id") < 100), "eval_id")
+      val trainSh = sh(docs.filter(col("doc_id") >= 100), "doc_id")
       trainSh.join(broadcast(evalSh), "sh")
         .groupBy("doc_id", "eval_id").agg(count(lit(1)).as("n_shared"))
         .orderBy("doc_id", "eval_id")
@@ -438,10 +445,13 @@ object Pipeline {
 
     "decontaminate_ngram" ->
       """WITH tk0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-        |         range(1, greatest(len(tk) - 4, 1) + 1),
-        |         i -> array_to_string(tk[i:i+4], ' ')))) AS sh
-        |       FROM tk0)
+        |shs AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |          range(1, greatest(len(tk) - 4, 1) + 1),
+        |          i -> array_to_string(tk[i:i+4], ' ')))) AS s
+        |        FROM tk0),
+        |sh AS (SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS sh
+        |       FROM shs)
         |SELECT t.doc_id, e.doc_id AS eval_id, count(*) AS n_shared
         |FROM (SELECT * FROM sh WHERE doc_id >= 100) t
         |JOIN (SELECT * FROM sh WHERE doc_id < 100) e USING (sh)
