@@ -90,6 +90,25 @@ object Pipeline {
         .orderBy("lang", "doc_id")
     }),
 
+    // Sequence PACKING (the concat-and-chunk step that turns documents
+    // into fixed-token training rows): within each language, docs in id
+    // order are laid head-to-tail and a doc belongs to the 512-token
+    // pack its first token lands in. Per-stratum window cumsum — the
+    // partition key keeps the window distributed (never a global sort).
+    "corpus_pack" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.documents(s, d)
+        .withColumn("n_tok", size(split(col("text"), " ")))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("pack_id", expr("cast((cum - n_tok) div 512 as bigint)"))
+        .groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("pack_tokens"))
+        .orderBy("lang", "pack_id")
+    }),
+
     "embed_quantize" -> ((s, d) =>
       Embeddings.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
         .select(col("vec_id"),
@@ -440,6 +459,18 @@ object Pipeline {
         |  FROM (SELECT * FROM e WHERE vec_id < 10) p
         |  JOIN e c ON c.vec_id != p.vec_id
         |) WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin),
+
+    "corpus_pack" ->
+      """WITH t AS (SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok
+        |           FROM documents),
+        |c AS (SELECT lang, doc_id, n_tok,
+        |        sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM t)
+        |SELECT lang, CAST((cum - n_tok) // 512 AS BIGINT) AS pack_id,
+        |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+        |FROM c GROUP BY lang, (cum - n_tok) // 512
+        |ORDER BY lang, pack_id""".stripMargin,
 
     "dedup_embed_lsh" -> Dedup.embedLshPairsOracleSql(0.3),
 

@@ -261,6 +261,39 @@ class StreamingSpec extends SparkSuite {
       s"stream/batch divergence: stream=${got.size} rows, batch=${want.size} rows")
   }
 
+  test("foreachBatch sink: keyed upsert (latest ts wins) across micro-batches") {
+    import org.apache.spark.sql.functions.{col, max, struct}
+    // The custom-sink surface: foreachBatch gets (batch, batchId) and can
+    // run arbitrary batch writes — here a latest-per-user upsert into a
+    // keyed store, the MERGE pattern a lakehouse sink runs per batch.
+    val store = scala.collection.concurrent.TrieMap.empty[Long, (Timestamp, Double)]
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.groupBy("user_id")
+          .agg(max(struct(col("ts"), col("value"))).as("m"))
+          .select(col("user_id"), col("m.ts"), col("m.value"))
+          .collect().foreach { r =>
+            val (u, t, v) = (r.getLong(0), r.getTimestamp(1), r.getDouble(2))
+            if (store.get(u).forall(_._1.compareTo(t) < 0)) store(u) = (t, v)
+          }
+        ()
+      }
+      .start()
+    ms.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 11:00:00"), 1, "click", 2.0),
+      Ev(3, ts("2024-01-01 10:30:00"), 2, "view", 5.0))
+    q.processAllAvailable()
+    // batch 2: user 1 regresses in time (stale row must NOT win); user 2 advances
+    ms.addData(
+      Ev(4, ts("2024-01-01 09:00:00"), 1, "click", 9.0),
+      Ev(5, ts("2024-01-01 12:00:00"), 2, "view", 7.0))
+    drain(q)
+    assert(store(1L) == (ts("2024-01-01 11:00:00"), 2.0), s"got ${store(1L)}")
+    assert(store(2L) == (ts("2024-01-01 12:00:00"), 7.0), s"got ${store(2L)}")
+  }
+
   test("checkpoint restart resumes exactly-once into the parquet sink") {
     import graft.api.Sinks
     import java.nio.file.Files
