@@ -62,6 +62,23 @@ object Sinks {
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(table)
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ceil(bytes / targetBytes) files (min 1). The post-ingest
+    * maintenance pass that keeps scan task count proportional to DATA
+    * SIZE instead of ingest micro-batch count — after a month of
+    * streaming appends, a 100 TB table is millions of KB-sized files and
+    * every scan pays per-file open cost until this runs. Returns the
+    * output file count.
+    */
+  def compactParquet(spark: SparkSession, inPath: String, outPath: String,
+                     targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val df = spark.read.parquet(inPath)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = (((bytes + targetBytes - 1) / targetBytes) max BigInt(1)).toInt
+    df.repartition(n).write.mode("overwrite").parquet(outPath)
+    n
+  }
+
   /** Append-mode streaming parquet sink with checkpoint (exactly-once). */
   def streamToParquet(df: DataFrame, path: String,
                       checkpoint: String): DataStreamWriter[Row] =

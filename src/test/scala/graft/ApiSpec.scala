@@ -111,6 +111,18 @@ class ApiSpec extends SparkSuite {
     assert(back == rows.toSet, s"got $back")
   }
 
+  test("Sinks.compactParquet collapses a many-file directory, preserving rows") {
+    val in = Files.createTempDirectory("graft_compact_in").toString
+    val out = Files.createTempDirectory("graft_compact_out").toString
+    Tables.events(spark, sf001).repartition(20).write.mode("overwrite").parquet(in)
+    def partFiles(p: String) =
+      new java.io.File(p).listFiles().count(f => f.getName.startsWith("part-"))
+    assert(partFiles(in) == 20)
+    val n = Sinks.compactParquet(spark, in, out) // tiny table → 1 target file
+    assert(n == 1 && partFiles(out) == 1, s"n=$n files=${partFiles(out)}")
+    assert(spark.read.parquet(out).count() == Tables.events(spark, sf001).count())
+  }
+
   test("no declared query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val p = fn(spark, sf001).queryExecution.executedPlan.toString
