@@ -36,7 +36,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // md5_prefix(strings, nibbles): nibbles must be a foldable int literal
     ext.injectFunction((FunctionIdentifier("md5_prefix"),
       info(classOf[Md5PrefixHash], "md5_prefix"),
-      (es: Seq[Expression]) => Md5PrefixHash(es(0),
-        es(1).eval().asInstanceOf[Number].intValue())))
+      (es: Seq[Expression]) => {
+        if (es.length != 2 || !es(1).foldable)
+          throw new IllegalArgumentException(
+            "md5_prefix(strings, nibbles): nibbles must be an integer literal")
+        es(1).eval() match {
+          case n: Number => Md5PrefixHash(es(0), n.intValue())
+          case other => throw new IllegalArgumentException(
+            s"md5_prefix nibbles must be an integer literal, got $other")
+        }
+      }))
   }
 }

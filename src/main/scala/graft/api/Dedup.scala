@@ -183,6 +183,11 @@ object Dedup {
     */
   def simhashPairsMd5(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 2): DataFrame = {
+    // Pigeonhole: with 4 bands, two signatures within hamming distance d
+    // are guaranteed to agree on some band only for d <= 3. A larger
+    // maxHamming would silently miss true pairs, so reject it.
+    require(maxHamming <= 3,
+      s"4x15-bit banding is only lossless for maxHamming <= 3 (got $maxHamming)")
     // Row-local signature: md5-prefix token hashes folded into 60
     // strict-majority counters, sign bits packed — two fused codegen
     // expressions (graft.functions.{Md5PrefixHash, SimHashSigStrict}),
@@ -314,15 +319,18 @@ object Dedup {
     * plus the component size. This is the step that turns pairwise dedup
     * output into "keep one doc per duplicate cluster" decisions.
     *
-    * Algorithm: iterative min-label propagation — each round every node
-    * takes the min of its own and its neighbors' labels, one shuffle per
-    * round, until a fixpoint. Rounds needed = component diameter; near-dup
-    * components are LSH quasi-cliques (diameter 2-3 in practice), so this
-    * converges in a handful of rounds where a general billion-edge graph
-    * would want the alternating large-star/small-star contraction
-    * (O(log n) rounds, same per-round join shape). Each round ends in a
-    * `localCheckpoint` so round N's plan doesn't replay rounds 1..N-1
-    * (on a cluster, a reliable `checkpoint` dir serves the same purpose).
+    * Algorithm: iterative min-label propagation with POINTER JUMPING —
+    * each round every node takes the min of its own and its neighbors'
+    * labels, then compresses one pointer level (label := label-of-label),
+    * two shuffles per round, until a fixpoint. Propagation alone needs
+    * diameter-many rounds; the compression step doubles the reach per
+    * round, so convergence is O(log diameter) — `maxRounds = 20` covers
+    * components of diameter ~2^20, unreachable for any real near-dup
+    * graph (LSH components are quasi-cliques, diameter 2-3; even a chain
+    * of progressively edited copies would need ~10^6 links to trip the
+    * bound). Each round ends in a `localCheckpoint` so round N's plan
+    * doesn't replay rounds 1..N-1 (on a cluster, a reliable `checkpoint`
+    * dir serves the same purpose).
     */
   def clusters(nodes: DataFrame, idCol: String, pairs: DataFrame,
                aCol: String = "doc_a", bCol: String = "doc_b",
@@ -342,10 +350,18 @@ object Dedup {
     while (changed > 0 && round < maxRounds) {
       val prop = edges.join(labels, col("src") === col("id"))
         .groupBy(col("dst")).agg(min("comp").as("ncomp"))
-      val next = labels.join(prop, labels("id") === prop("dst"), "left")
-        .select(labels("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
-          (coalesce(col("ncomp"), col("comp")) < col("comp")).as("chg"))
+      val stepped = labels.join(prop, labels("id") === prop("dst"), "left")
+        .select(labels("id"), col("comp").as("prev"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+      // Pointer jumping: comp := min(comp, comp-of-comp). Labels are
+      // always ids of edge-touched nodes, so the parent lookup is a
+      // self-join on the same (small) label table.
+      val par = stepped.select(col("id").as("pid"), col("comp").as("pcomp"))
+      val next = stepped.join(par, stepped("comp") === par("pid"), "left")
+        .select(stepped("id"),
+          least(stepped("comp"), coalesce(par("pcomp"), stepped("comp"))).as("comp"),
+          (least(stepped("comp"), coalesce(par("pcomp"), stepped("comp"))) <
+            col("prev")).as("chg"))
         .localCheckpoint()
       changed = next.filter(col("chg")).count()
       labels = next.select("id", "comp")

@@ -88,7 +88,7 @@ object Similarity {
     * `vec_dot`).
     */
   def lshTopKOracleSql(k: Int, tables: Int = 4, bits: Int = 8,
-                       dim: Int = 64): String = {
+                       dim: Int = 64, probeIdBound: Long = 10): String = {
     val planes = lshPlanes(tables, bits, dim)
     val rows = (0 until tables).flatMap { t =>
       (0 until bits).map { j =>
@@ -108,7 +108,7 @@ object Similarity {
        |  FROM e CROSS JOIN planes GROUP BY vec_id, tbl),
        |cand AS (
        |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id
-       |  FROM (SELECT * FROM bk WHERE vec_id < 10) p
+       |  FROM (SELECT * FROM bk WHERE vec_id < ${probeIdBound}) p
        |  JOIN bk c ON c.tbl = p.tbl AND c.bkt = p.bkt AND c.vec_id != p.vec_id)
        |SELECT probe_id, rnk, neighbor_id, floor(cos * 10000 + 0.5) / 10000 AS cos FROM (
        |  SELECT cd.probe_id, cd.neighbor_id,

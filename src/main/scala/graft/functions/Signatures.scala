@@ -54,12 +54,14 @@ case class MinHashSig(child: Expression, numPerms: Int) extends UnaryExpression 
     val sig = Array.fill(numPerms)(Long.MaxValue)
     var j = 0
     while (j < arr.numElements()) {
-      val h = arr.getLong(j)
-      var i = 0
-      while (i < numPerms) {
-        val v = as(i) * h + bs(i)
-        if (v < sig(i)) sig(i) = v
-        i += 1
+      if (!arr.isNullAt(j)) {
+        val h = arr.getLong(j)
+        var i = 0
+        while (i < numPerms) {
+          val v = as(i) * h + bs(i)
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
       }
       j += 1
     }
@@ -79,6 +81,7 @@ case class MinHashSig(child: Expression, numPerms: Int) extends UnaryExpression 
          |long[] $sig = new long[$numPerms];
          |java.util.Arrays.fill($sig, Long.MAX_VALUE);
          |for (int $j = 0; $j < $c.numElements(); $j++) {
+         |  if ($c.isNullAt($j)) continue;
          |  final long $h = $c.getLong($j);
          |  for (int $i = 0; $i < $numPerms; $i++) {
          |    final long $v = $a[$i] * $h + $b[$i];
@@ -114,11 +117,13 @@ case class SimHashSig(child: Expression) extends UnaryExpression {
     val counts = new Array[Int](64)
     var j = 0
     while (j < arr.numElements()) {
-      val h = arr.getLong(j)
-      var k = 0
-      while (k < 64) {
-        if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
-        k += 1
+      if (!arr.isNullAt(j)) {
+        val h = arr.getLong(j)
+        var k = 0
+        while (k < 64) {
+          if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
+          k += 1
+        }
       }
       j += 1
     }
@@ -141,6 +146,7 @@ case class SimHashSig(child: Expression) extends UnaryExpression {
       s"""
          |int[] $counts = new int[64];
          |for (int $j = 0; $j < $c.numElements(); $j++) {
+         |  if ($c.isNullAt($j)) continue;
          |  final long $h = $c.getLong($j);
          |  for (int $k = 0; $k < 64; $k++) {
          |    if ((($h >>> $k) & 1L) == 1L) $counts[$k]++; else $counts[$k]--;
@@ -208,24 +214,34 @@ case class Md5PrefixHash(child: Expression, nibbles: Int) extends UnaryExpressio
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    // Null elements (array<string> with containsNull=true) hash nothing:
+    // they are skipped, so the output array may be shorter than the input.
     val out = new Array[Long](arr.numElements())
+    var n = 0
     var j = 0
-    while (j < out.length) {
-      out(j) = SigRuntime.md5Prefix(arr.getUTF8String(j), nibbles)
+    while (j < arr.numElements()) {
+      if (!arr.isNullAt(j)) {
+        out(n) = SigRuntime.md5Prefix(arr.getUTF8String(j), nibbles)
+        n += 1
+      }
       j += 1
     }
-    new GenericArrayData(out)
+    new GenericArrayData(if (n == out.length) out else java.util.Arrays.copyOf(out, n))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val out = ctx.freshName("out")
       val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
       s"""
          |long[] $out = new long[$c.numElements()];
+         |int $n = 0;
          |for (int $j = 0; $j < $out.length; $j++) {
-         |  $out[$j] = graft.functions.SigRuntime.md5Prefix($c.getUTF8String($j), $nibbles);
+         |  if ($c.isNullAt($j)) continue;
+         |  $out[$n++] = graft.functions.SigRuntime.md5Prefix($c.getUTF8String($j), $nibbles);
          |}
+         |if ($n != $out.length) $out = java.util.Arrays.copyOf($out, $n);
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
@@ -265,12 +281,14 @@ case class MinHashSigMod(child: Expression, as: IndexedSeq[Long],
     val sig = Array.fill(n)(Long.MaxValue)
     var j = 0
     while (j < arr.numElements()) {
-      val h = arr.getLong(j) % p
-      var i = 0
-      while (i < n) {
-        val v = (aArr(i) * h + bArr(i)) % p
-        if (v < sig(i)) sig(i) = v
-        i += 1
+      if (!arr.isNullAt(j)) {
+        val h = arr.getLong(j) % p
+        var i = 0
+        while (i < n) {
+          val v = (aArr(i) * h + bArr(i)) % p
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
       }
       j += 1
     }
@@ -291,6 +309,7 @@ case class MinHashSigMod(child: Expression, as: IndexedSeq[Long],
          |long[] $sig = new long[$n];
          |java.util.Arrays.fill($sig, Long.MAX_VALUE);
          |for (int $j = 0; $j < $c.numElements(); $j++) {
+         |  if ($c.isNullAt($j)) continue;
          |  final long $h = $c.getLong($j) % ${p}L;
          |  for (int $i = 0; $i < $n; $i++) {
          |    final long $v = ($a[$i] * $h + $b[$i]) % ${p}L;
@@ -328,11 +347,13 @@ case class SimHashSigStrict(child: Expression, bits: Int) extends UnaryExpressio
     val counts = new Array[Int](bits)
     var j = 0
     while (j < arr.numElements()) {
-      val h = arr.getLong(j)
-      var k = 0
-      while (k < bits) {
-        if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
-        k += 1
+      if (!arr.isNullAt(j)) {
+        val h = arr.getLong(j)
+        var k = 0
+        while (k < bits) {
+          if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
+          k += 1
+        }
       }
       j += 1
     }
@@ -355,6 +376,7 @@ case class SimHashSigStrict(child: Expression, bits: Int) extends UnaryExpressio
       s"""
          |int[] $counts = new int[$bits];
          |for (int $j = 0; $j < $c.numElements(); $j++) {
+         |  if ($c.isNullAt($j)) continue;
          |  final long $h = $c.getLong($j);
          |  for (int $k = 0; $k < $bits; $k++) {
          |    if ((($h >>> $k) & 1L) == 1L) $counts[$k]++; else $counts[$k]--;
@@ -406,7 +428,10 @@ case class LshBucketSig(child: Expression, planes: IndexedSeq[IndexedSeq[Long]],
     val q = new Array[Long](n)
     var j = 0
     while (j < n) {
-      val x = if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
+      // A null component contributes 0 to every plane dot (same as a
+      // zero component) — no NPE on containsNull=true inputs.
+      val x = if (arr.isNullAt(j)) 0.0
+        else if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
       q(j) = math.floor(x * 1000.0 + 0.5).toLong
       j += 1
     }
@@ -447,7 +472,7 @@ case class LshBucketSig(child: Expression, planes: IndexedSeq[IndexedSeq[Long]],
          |final int $n = Math.min($c.numElements(), $dim);
          |long[] $q = new long[$n];
          |for (int $j = 0; $j < $n; $j++) {
-         |  $q[$j] = (long) Math.floor($get * 1000.0 + 0.5);
+         |  $q[$j] = $c.isNullAt($j) ? 0L : (long) Math.floor($get * 1000.0 + 0.5);
          |}
          |long[] $out = new long[$tables];
          |for (int $t = 0; $t < $tables; $t++) {

@@ -28,6 +28,12 @@ object Pipeline {
 
   private val stopEn = Seq("the", "a", "of", "and", "to")
 
+  /** Probe set bound shared by sim_lsh_bucketed's Spark-side filter and
+    * its DuckDB oracle (Similarity.lshTopKOracleSql) — one definition, so
+    * the two sides cannot silently diverge.
+    */
+  private val LshProbeBound = 10L
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> ((s, d) =>
       Dedup.exactSurvivors(Tables.documents(s, d), "doc_id", "text")
@@ -183,8 +189,8 @@ object Pipeline {
     // two recall tests).
     "sim_lsh_bucketed" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
-          tables = 8, bits = 6)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < LshProbeBound), "vec_id",
+          "embedding", 5, tables = 8, bits = 6)
         .select(col("probe_id"), col("rnk"), col("neighbor_id"),
           Det.round4(col("cos")).as("cos"))
         .orderBy("probe_id", "rnk")
@@ -488,7 +494,8 @@ object Pipeline {
         |JOIN (SELECT * FROM sh WHERE doc_id < 100) e USING (sh)
         |GROUP BY t.doc_id, e.doc_id ORDER BY t.doc_id, eval_id""".stripMargin,
 
-    "sim_lsh_bucketed" -> Similarity.lshTopKOracleSql(5, tables = 8, bits = 6),
+    "sim_lsh_bucketed" -> Similarity.lshTopKOracleSql(5, tables = 8, bits = 6,
+      probeIdBound = LshProbeBound),
 
     "text_normalize" ->
       """SELECT doc_id,
