@@ -29,4 +29,34 @@ object Joins {
         saltedL(leftKey) === saltedR(rightKey) && saltedL("__salt") === saltedR("__salt"))
       .drop("__salt")
   }
+
+  /** Scale-safe range join: point-in-interval matching via band
+    * bucketing, instead of the BroadcastNestedLoopJoin a raw theta join
+    * plans. Each point row gets one bucket (`floor(point/width)`); each
+    * interval row explodes into the buckets its `[lo, hi]` span overlaps
+    * (`ceil(span/width)+1` of them — keep `width >= typical span` so
+    * that's ~2). The join is then a plain EQUI-join on the bucket id —
+    * shuffle-partitioned, AQE-coalesced, no broadcast requirement, no
+    * quadratic pairing — with the exact range predicate re-checked on
+    * the paired rows. Output rows are identical to the naive theta join
+    * (a point and an interval can only meet in the interval's buckets,
+    * and they meet exactly once because the point's bucket is unique).
+    *
+    * This is the 100 TB shape for band/interval predicates: both sides
+    * shuffle on `__bkt`, so a 1000-executor cluster partitions the work
+    * by value band instead of replicating one side everywhere.
+    */
+  def bandedRangeJoin(points: DataFrame, pointCol: String,
+                      intervals: DataFrame, loCol: String, hiCol: String,
+                      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive (got $bucketWidth)")
+    val pb = points.withColumn("__bkt",
+      floor(col(pointCol) / bucketWidth).cast("long"))
+    val ib = intervals.withColumn("__bkt",
+      explode(sequence(floor(col(loCol) / bucketWidth).cast("long"),
+        floor(col(hiCol) / bucketWidth).cast("long"))))
+    pb.join(ib, pb("__bkt") === ib("__bkt") &&
+        col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop(pb("__bkt")).drop(ib("__bkt"))
+  }
 }

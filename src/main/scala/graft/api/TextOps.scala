@@ -110,6 +110,28 @@ object TextOps {
       .withColumn("n_alpha", length(regexp_replace(col(textCol), "[^a-z]", "")))
       .withColumn("approx_bpe", ceil(col("n_alpha") / lit(4.0)))
 
+  /** PII patterns for [[piiRedact]]. Deliberately dialect-neutral regex
+    * (character classes + bounded repetition only — no lookaround, no
+    * backreferences) so Java's regex engine and DuckDB's RE2 match the
+    * exact same spans.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{4}"
+
+  /** PII scrub pass (the redaction step a corpus runs before release):
+    * replace email addresses with `<EMAIL>` and NNN-NNNN phone-like
+    * tokens with `<PHONE>`, counting each. Emails are redacted FIRST so
+    * digit runs inside an address are never double-counted as phones.
+    * Pure per-row codegen'd regex ops — narrow, no shuffle, scales
+    * linearly with the corpus.
+    */
+  def piiRedact(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(EmailRe)))
+      .withColumn("__t1", regexp_replace(col(textCol), EmailRe, "<EMAIL>"))
+      .withColumn("n_phones", regexp_count(col("__t1"), lit(PhoneRe)))
+      .withColumn("redacted", regexp_replace(col("__t1"), PhoneRe, "<PHONE>"))
+      .drop("__t1")
+
   /** Order-sensitive rolling-hash fingerprint over tokens (polynomial
     * mod 1e9+7, exact integer arithmetic).
     */

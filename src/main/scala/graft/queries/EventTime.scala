@@ -137,6 +137,38 @@ object EventTime {
         .orderBy("user_id", "win_id")
     }),
 
+    // Time-series resample + forward fill (the gap-filling step a
+    // metrics/feature pipeline runs before model input): each user's
+    // event stream becomes a dense hourly grid from their first to last
+    // event, carrying the last observed `value` forward across empty
+    // hours. Grid generation is per-key (`sequence` + explode — no
+    // driver loop), the fill is a PARTITIONED running `last(ignoreNulls)`
+    // window, and the per-hour last observation is `max_by` over the
+    // unique (ts, event_id) order — every step distributed by user_id.
+    // user_id < 50 bounds the declared output; the shape is per-key
+    // linear at any scale.
+    "ts_fill_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("user_id") < 50)
+      val hourly = ev
+        .withColumn("hr", date_trunc("hour", col("ts")))
+        .groupBy("user_id", "hr")
+        .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("v_obs"),
+          count(lit(1)).as("n_obs"))
+      val grid = ev.groupBy("user_id")
+        .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hr"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "hr"), "left")
+        .withColumn("value_ff", last(col("v_obs"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("hr"),
+          Det.round4(col("value_ff")).as("value_ff"),
+          coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+        .orderBy("user_id", "hr")
+    }),
+
     // Flink DataStream window join: purchase ⋈ click of the same user
     // inside the same 1 h tumbling window. Equi-join on (user, window) —
     // a plain co-partitioned shuffle join at any scale.
@@ -164,6 +196,33 @@ object EventTime {
       |GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Spark's max_by(value, struct(ts, event_id)) = the row_number()=1
+    // pick here; generate_series and sequence are both end-inclusive.
+    "ts_fill_forward" ->
+      """WITH ev AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id, value
+        |            FROM events WHERE user_id < 50),
+        |hourly AS (
+        |  SELECT user_id, hr, v_obs, n_obs FROM (
+        |    SELECT user_id, date_trunc('hour', ts) AS hr, value AS v_obs,
+        |      row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |                         ORDER BY ts DESC, event_id DESC) AS rn,
+        |      count(*) OVER (PARTITION BY user_id, date_trunc('hour', ts)) AS n_obs
+        |    FROM ev) WHERE rn = 1),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(date_trunc('hour', mn), date_trunc('hour', mx),
+        |                           INTERVAL 1 HOUR)) AS hr
+        |  FROM (SELECT user_id, min(ts) AS mn, max(ts) AS mx FROM ev GROUP BY user_id)),
+        |j AS (SELECT g.user_id, g.hr, h.v_obs, coalesce(h.n_obs, 0) AS n_obs
+        |      FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr)
+        |SELECT user_id, hr,
+        |  floor(last_value(v_obs IGNORE NULLS) OVER (
+        |          PARTITION BY user_id ORDER BY hr
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000 + 0.5)
+        |    / 10000 AS value_ff,
+        |  CAST(n_obs AS BIGINT) AS n_obs
+        |FROM j ORDER BY user_id, hr""".stripMargin,
+
     "wnd_tumbling" ->
       """SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start,
         |       (date_trunc('hour', ts) + INTERVAL 1 HOUR)::TIMESTAMP AS window_end,

@@ -196,6 +196,41 @@ object Pipeline {
         .orderBy("probe_id", "rnk")
     }),
 
+    // PII redaction. The fixture corpus contains no PII (word-soup, zero
+    // digits), so the query first splices a DETERMINISTIC synthetic
+    // email + phone per doc (derived from doc_id — same concat in the
+    // oracle), then runs the real scrub pass (TextOps.piiRedact). The
+    // full redacted text is emitted so the replacement semantics (not
+    // just the counts) are oracle-pinned.
+    "text_pii_redact" -> ((s, d) => {
+      val withPii = Tables.documents(s, d)
+        .withColumn("raw", concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or call 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"), lit(".")))
+      TextOps.piiRedact(withPii, "raw")
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          length(col("redacted")).as("n_red_chars"), col("redacted"))
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic content-based sharding (the routing step that writes
+    // a corpus as N stable output shards): shard = 60-bit md5 prefix of
+    // the text mod 16. Content-keyed, so re-runs and incremental appends
+    // route every doc to the same shard regardless of input order or
+    // partitioning — and the md5 arithmetic replays exactly in DuckDB.
+    "corpus_shard" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("shard_id",
+          pmod(element_at(
+            graft.functions.Signatures.md5_prefix(array(col("text")), 15), 1),
+            lit(16L)))
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy("shard_id")),
+
     "text_normalize" -> ((s, d) =>
       TextOps.normalize(Tables.documents(s, d), "text")
         .select(col("doc_id"), col("norm_text"),
@@ -496,6 +531,36 @@ object Pipeline {
 
     "sim_lsh_bucketed" -> Similarity.lshTopKOracleSql(5, tables = 8, bits = 6,
       probeIdBound = LshProbeBound),
+
+    // Same synthetic-PII splice, then RE2 regexes identical to the Java
+    // ones (character classes + bounded repetition only — see
+    // TextOps.EmailRe/PhoneRe).
+    "text_pii_redact" ->
+      """WITH raw AS (
+        |  SELECT doc_id, concat(text, ' contact user', doc_id,
+        |           '@mail.example.com or call 555-',
+        |           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), '.') AS raw
+        |  FROM documents),
+        |r1 AS (SELECT doc_id,
+        |         len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+        |         regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') AS t1
+        |       FROM raw),
+        |r2 AS (SELECT doc_id, n_emails,
+        |         len(regexp_extract_all(t1, '[0-9]{3}-[0-9]{4}')) AS n_phones,
+        |         regexp_replace(t1, '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |       FROM r1)
+        |SELECT doc_id, CAST(n_emails AS INTEGER) AS n_emails,
+        |       CAST(n_phones AS INTEGER) AS n_phones,
+        |       CAST(length(redacted) AS INTEGER) AS n_red_chars, redacted
+        |FROM r2 ORDER BY doc_id""".stripMargin,
+
+    "corpus_shard" ->
+      """SELECT CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 16 AS shard_id,
+        |       count(*) AS n_docs,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents
+        |GROUP BY shard_id ORDER BY shard_id""".stripMargin,
 
     "text_normalize" ->
       """SELECT doc_id,

@@ -151,6 +151,26 @@ object Relational {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // The scale path for the same band predicate: bucket prices into
+    // width-10 bands and EQUI-join on the band id (api.Joins
+    // .bandedRangeJoin) — both sides shuffle-partition by band, no
+    // broadcast requirement, no nested loop. Result rows are identical
+    // to join_theta_range's naive form on the same slice, so the oracle
+    // is the plain range-join SQL. A wider probe slice (l_orderkey <=
+    // 200 vs 50) exercises the shape with more bands populated.
+    "join_range_bucketed" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") <= 200)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") / col("l_quantity") - 5).as("lo"),
+          (col("l_extendedprice") / col("l_quantity") + 5).as("hi"))
+      val p = Tables.part(s, d).select("p_partkey", "p_retailprice")
+      graft.api.Joins.bandedRangeJoin(p, "p_retailprice", li, "lo", "hi", 10.0)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("n_parts_in_band"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // Flink-style interval join: for each purchase, clicks by the same
     // user in [ts - 10 min, ts]. Equi on user_id (shuffle key) + range
     // predicate — at scale this is a partitioned hash join with a
@@ -495,6 +515,16 @@ object Relational {
         |      FROM lineitem WHERE l_orderkey <= 50) li
         |JOIN part ON p_retailprice >= l_extendedprice / l_quantity - 5
         |         AND p_retailprice <= l_extendedprice / l_quantity + 5
+        |GROUP BY l_orderkey, l_linenumber ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // Bucketing is plan-level only — the result set is the plain range join.
+    "join_range_bucketed" ->
+      """SELECT l_orderkey, l_linenumber, count(*) AS n_parts_in_band
+        |FROM (SELECT l_orderkey, l_linenumber,
+        |             l_extendedprice / l_quantity - 5 AS lo,
+        |             l_extendedprice / l_quantity + 5 AS hi
+        |      FROM lineitem WHERE l_orderkey <= 200) li
+        |JOIN part ON p_retailprice >= lo AND p_retailprice <= hi
         |GROUP BY l_orderkey, l_linenumber ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "join_interval" ->

@@ -22,6 +22,24 @@ class ApiSpec extends SparkSuite {
     assert(salted == plain)
   }
 
+  test("bandedRangeJoin returns exactly the naive theta-join rows, without a nested loop") {
+    val li = Tables.lineitem(spark, sf001).filter(col("l_orderkey") <= 200)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") / col("l_quantity") - 5).as("lo"),
+        (col("l_extendedprice") / col("l_quantity") + 5).as("hi"))
+    val p = Tables.part(spark, sf001).select("p_partkey", "p_retailprice")
+    val naive = p.join(li, col("p_retailprice") >= col("lo") && col("p_retailprice") <= col("hi"))
+      .select("p_partkey", "l_orderkey", "l_linenumber")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val banded = Joins.bandedRangeJoin(p, "p_retailprice", li, "lo", "hi", 10.0)
+    val got = banded.select("p_partkey", "l_orderkey", "l_linenumber")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(got == naive, s"banded=${got.size} rows, naive=${naive.size} rows")
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"banded range join must be an equi-join on the bucket id:\n$plan")
+  }
+
   test("partitioned parquet sink round-trips with partition pruning") {
     val dir = Files.createTempDirectory("graft_sink").toString
     val ev = Tables.events(spark, sf001)

@@ -224,4 +224,51 @@ class PipelineSpec extends SparkSuite {
     assert(survivors.size < all.size,
       "expected simhash to drop near-dups on a 41%-near-dup corpus")
   }
+
+  test("piiRedact scrubs every planted email/phone and is idempotent") {
+    val out = Pipeline.queries("text_pii_redact")(spark, sf001)
+    val n = Tables.documents(spark, sf001).count()
+    // every doc had exactly one planted email and one planted phone
+    assert(out.filter(col("n_emails") === 1 && col("n_phones") === 1).count() == n,
+      "each doc plants exactly one email + one phone")
+    // nothing PII-shaped survives, so a second pass redacts nothing
+    val again = graft.api.TextOps.piiRedact(out, "redacted")
+    assert(again.filter(col("n_emails") > 0 || col("n_phones") > 0).count() == 0,
+      "piiRedact must be idempotent")
+    assert(out.filter(col("redacted").contains("<EMAIL>") &&
+      col("redacted").contains("<PHONE>")).count() == n)
+  }
+
+  test("corpus_shard partitions the corpus: every doc in exactly one shard") {
+    val out = Pipeline.queries("corpus_shard")(spark, sf001)
+    val docs = Tables.documents(spark, sf001)
+    val stats = out.agg(sum("n_docs"), min("shard_id"), max("shard_id"))
+      .as[(Long, Long, Long)].head()
+    assert(stats._1 == docs.count(), "shard doc counts must sum to the corpus")
+    assert(stats._2 >= 0 && stats._3 <= 15, "shard ids in [0, 16)")
+    // content-keyed: the same text always routes to the same shard, so a
+    // re-shard of a shuffled corpus yields the identical histogram
+    val reshard = Pipeline.queries("corpus_shard")(spark, sf001)
+    assert(reshard.collect().toSeq == out.collect().toSeq)
+  }
+
+  test("ts_fill_forward: dense hourly grid, no unfilled values, observed hours kept") {
+    val out = graft.queries.EventTime.queries("ts_fill_forward")(spark, sf001)
+    out.cache()
+    try {
+      // forward fill starts at each user's first event hour → never null
+      assert(out.filter(col("value_ff").isNull).count() == 0)
+      // the grid is dense: per user, rows == span hours (inclusive)
+      val ev = Tables.events(spark, sf001).filter(col("user_id") < 50)
+      val spans = ev.groupBy("user_id")
+        .agg(((unix_timestamp(date_trunc("hour", max(col("ts")))) -
+          unix_timestamp(date_trunc("hour", min(col("ts"))))) / 3600 + 1).as("hrs"))
+        .agg(sum("hrs")).as[Double].head()
+      assert(out.count() == spans.toLong, s"grid rows ${out.count()} != span sum $spans")
+      // hours with observations carry an observed value (n_obs > 0 rows
+      // must equal the hourly distinct (user, hour) count of raw events)
+      val observedHours = ev.select(col("user_id"), date_trunc("hour", col("ts"))).distinct().count()
+      assert(out.filter(col("n_obs") > 0).count() == observedHours)
+    } finally out.unpersist()
+  }
 }
