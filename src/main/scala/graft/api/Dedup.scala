@@ -319,22 +319,23 @@ object Dedup {
     * plus the component size. This is the step that turns pairwise dedup
     * output into "keep one doc per duplicate cluster" decisions.
     *
-    * Algorithm: iterative min-label propagation with POINTER JUMPING —
-    * each round every node takes the min of its own and its neighbors'
-    * labels, then compresses one pointer level (label := label-of-label),
-    * two shuffles per round, until a fixpoint. Propagation alone needs
-    * diameter-many rounds; the compression step doubles the reach per
-    * round, so convergence is O(log diameter) — `maxRounds = 20` covers
-    * components of diameter ~2^20, unreachable for any real near-dup
-    * graph (LSH components are quasi-cliques, diameter 2-3; even a chain
-    * of progressively edited copies would need ~10^6 links to trip the
-    * bound). Each round ends in a `localCheckpoint` so round N's plan
-    * doesn't replay rounds 1..N-1 (on a cluster, a reliable `checkpoint`
-    * dir serves the same purpose).
+    * Algorithm: iterative min-label propagation, with POINTER JUMPING
+    * engaged from round `jumpAfter` on — each node takes the min of its
+    * own and its neighbors' labels, and late rounds additionally
+    * compress one pointer level (label := label-of-label). LSH near-dup
+    * components are quasi-cliques (diameter 2-3), so the common case
+    * converges on plain propagation (one join per round) before
+    * compression ever engages; a pathological long chain (progressively
+    * edited copies) flips into O(log diameter) doubling instead of
+    * failing — `maxRounds = 20` then covers diameters ~2^17,
+    * unreachable for any real near-dup graph. Each round ends in a
+    * `localCheckpoint` so round N's plan doesn't replay rounds 1..N-1
+    * (on a cluster, a reliable `checkpoint` dir serves the same
+    * purpose).
     */
   def clusters(nodes: DataFrame, idCol: String, pairs: DataFrame,
                aCol: String = "doc_a", bCol: String = "doc_b",
-               maxRounds: Int = 20): DataFrame = {
+               maxRounds: Int = 20, jumpAfter: Int = 3): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().localCheckpoint()
@@ -353,16 +354,19 @@ object Dedup {
       val stepped = labels.join(prop, labels("id") === prop("dst"), "left")
         .select(labels("id"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-      // Pointer jumping: comp := min(comp, comp-of-comp). Labels are
-      // always ids of edge-touched nodes, so the parent lookup is a
-      // self-join on the same (small) label table.
-      val par = stepped.select(col("id").as("pid"), col("comp").as("pcomp"))
-      val next = stepped.join(par, stepped("comp") === par("pid"), "left")
-        .select(stepped("id"),
-          least(stepped("comp"), coalesce(par("pcomp"), stepped("comp"))).as("comp"),
-          (least(stepped("comp"), coalesce(par("pcomp"), stepped("comp"))) <
-            col("prev")).as("chg"))
-        .localCheckpoint()
+      val next = (if (round < jumpAfter) {
+        stepped.select(col("id"), col("comp"), (col("comp") < col("prev")).as("chg"))
+      } else {
+        // Pointer jumping: comp := min(comp, comp-of-comp). Labels are
+        // always ids of edge-touched nodes, so the parent lookup is a
+        // self-join on the same (small) label table.
+        val par = stepped.select(col("id").as("pid"), col("comp").as("pcomp"))
+        stepped.join(par, stepped("comp") === par("pid"), "left")
+          .select(stepped("id"),
+            least(stepped("comp"), coalesce(par("pcomp"), stepped("comp"))).as("comp"),
+            (least(stepped("comp"), coalesce(par("pcomp"), stepped("comp"))) <
+              col("prev")).as("chg"))
+      }).localCheckpoint()
       changed = next.filter(col("chg")).count()
       labels = next.select("id", "comp")
       round += 1

@@ -165,6 +165,17 @@ class PipelineSpec extends SparkSuite {
       (10L, 10L, 2L), (11L, 10L, 2L), (99L, 99L, 1L)))
   }
 
+  test("connected components: a 40-link chain converges via pointer jumping") {
+    // plain propagation would need 39 rounds (> maxRounds=20); the
+    // doubling that engages after round `jumpAfter` must close it
+    val ids = (0L until 40L)
+    val nodes = ids.toDF("id")
+    val pairs = ids.sliding(2).map(w => (w(0), w(1))).toSeq.toDF("doc_a", "doc_b")
+    val got = graft.api.Dedup.clusters(nodes, "id", pairs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == ids.map(i => (i, 0L, 40L)).toSet)
+  }
+
   test("stratified sample: exactly ceil(frac*n) rows per stratum, reproducible") {
     val out = Pipeline.queries("sample_stratified")(spark, sf001)
     val per = out.groupBy("lang").count()
