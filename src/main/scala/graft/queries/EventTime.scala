@@ -137,6 +137,19 @@ object EventTime {
         .orderBy("user_id", "win_id")
     }),
 
+    // Flink TumblingEventTimeWindows.of(1 h, offset = 15 min): window
+    // boundaries shifted off the epoch grid (timezone-aligned daily
+    // windows are the classic use). Same single-shuffle partial/final
+    // agg as wnd_tumbling — the offset is pure assignment arithmetic.
+    "wnd_offset" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "1 hour", "15 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Det.sumMoney(col("value")).as("sum_value"))
+        .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("window_start", "event_type")),
+
     // Time-series resample + forward fill (the gap-filling step a
     // metrics/feature pipeline runs before model input): each user's
     // event stream becomes a dense hourly grid from their first to last
@@ -196,6 +209,15 @@ object EventTime {
       |GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Offset windows: [h:15, h+1:15) = trunc(ts - 15 min) + 15 min.
+    "wnd_offset" ->
+      """SELECT (date_trunc('hour', ts - INTERVAL 15 MINUTE) + INTERVAL 15 MINUTE)::TIMESTAMP AS window_start,
+        |       (date_trunc('hour', ts - INTERVAL 15 MINUTE) + INTERVAL 75 MINUTE)::TIMESTAMP AS window_end,
+        |       event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
+
     // Spark's max_by(value, struct(ts, event_id)) = the row_number()=1
     // pick here; generate_series and sequence are both end-inclusive.
     "ts_fill_forward" ->

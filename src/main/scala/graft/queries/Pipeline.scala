@@ -231,6 +231,31 @@ object Pipeline {
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
         .orderBy("shard_id")),
 
+    // Bounded-state frequent-terms: Misra-Gries summaries (k=8 counters)
+    // as partial aggregates, merged at the exchange — "top terms per
+    // group" at 100 TB without a full term histogram shuffle (see
+    // functions.FreqSketchAgg). Rows-only: MG estimates depend on merge
+    // order; the error bound + heavy-hitter completeness are
+    // property-tested in FunctionsSpec.
+    "text_freq_sketch" -> ((s, d) => {
+      val mg = udaf(new graft.functions.FreqSketchAgg(8))
+      val toks = Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+        .orderBy(col("est").desc, col("term"))
+      toks.groupBy("lang").agg(mg(col("term")).as("sk"))
+        .select(col("lang"), col("sk.total").as("total"),
+          col("sk.terms").as("t"), col("sk.ests").as("e"))
+        .select(col("lang"), col("total"),
+          explode(arrays_zip(col("t"), col("e"))).as("te"))
+        .select(col("lang"), col("total"), col("te.t").as("term"),
+          col("te.e").as("est"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select("lang", "rnk", "term", "est", "total")
+        .orderBy("lang", "rnk")
+    }),
+
     "text_normalize" -> ((s, d) =>
       TextOps.normalize(Tables.documents(s, d), "text")
         .select(col("doc_id"), col("norm_text"),

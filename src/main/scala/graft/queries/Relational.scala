@@ -252,6 +252,23 @@ object Relational {
         .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
         .orderBy("event_type")),
 
+    // The RE-AGGREGABLE distinct-count shape for 100 TB: per-day HLL
+    // sketch partials (DataSketches binary, order-independent register
+    // maxes) merged by a second-level union — the pattern where daily
+    // rollups are stored once and any date-range distinct is a cheap
+    // union of sketches, never a re-scan of raw events. Rows-only by
+    // the same allowance as agg_approx_distinct (no DuckDB sketch
+    // parity); the union-vs-direct identity is property-tested.
+    "agg_hll_partial_union" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      daily.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
+          count(lit(1)).as("n_days"))
+        .orderBy("event_type")
+    }),
+
     "agg_grouping_sets" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d)

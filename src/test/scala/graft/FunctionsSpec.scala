@@ -163,4 +163,47 @@ class FunctionsSpec extends SparkSuite {
       .filter(col("d") =!= 0.0)
     assert(bad.count() == 0)
   }
+
+  test("FreqSketchAgg: MG error bound and heavy-hitter completeness vs exact counts") {
+    import graft.functions.{FreqSketchAgg, FreqSketchOut}
+    val k = 8
+    val toks = Tables.documents(spark, sf001)
+      .select(explode(split(col("text"), " ")).as("term"))
+    val exact = toks.groupBy("term").count().as[(String, Long)].collect().toMap
+    val n = exact.values.sum
+    val mg = udaf(new FreqSketchAgg(k))
+    val out = toks.agg(mg(col("term")).as("sk")).select("sk.*")
+      .as[FreqSketchOut].head()
+    assert(out.total == n, "total must count every item exactly")
+    assert(out.terms.size <= k, "at most k counters survive")
+    val est = out.terms.zip(out.ests).toMap
+    // Misra-Gries guarantee: true - n/(k+1) <= est <= true
+    est.foreach { case (t, e) =>
+      val tr = exact(t)
+      assert(e <= tr && tr - e <= n / (k + 1), s"term $t: est=$e true=$tr n=$n")
+    }
+    // completeness: anything above the n/(k+1) threshold must be present
+    val missing = exact.filter(_._2 > n / (k + 1)).keySet -- est.keySet
+    assert(missing.isEmpty, s"heavy hitters absent from sketch: $missing")
+  }
+
+  test("HLL partial-union: two-level merge equals one-level sketch, near exact distinct") {
+    val ev = Tables.events(spark, sf001)
+    val direct = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("one_level"))
+    val daily = ev.groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("two_level"))
+    val joined = direct.join(daily, "event_type")
+    // register-max merging is associative: pre-aggregating by day then
+    // unioning must give the identical estimate
+    assert(joined.filter(col("one_level") =!= col("two_level")).count() == 0,
+      "HLL union must be merge-order independent")
+    val exact = ev.groupBy("event_type").agg(countDistinct("user_id").as("ex"))
+    val offBy = direct.join(exact, "event_type")
+      .select((abs(col("one_level") - col("ex")) / col("ex")).as("rel"))
+      .agg(max("rel")).as[Double].head()
+    assert(offBy <= 0.05, s"HLL estimate off by $offBy > 5%")
+  }
 }
