@@ -137,6 +137,30 @@ object EventTime {
         .orderBy("user_id", "win_id")
     }),
 
+    // Flink SQL CUMULATE window TVF: cumulative windows sharing a 6 h
+    // period start, growing by a 1 h step — [p, p+1h), [p, p+2h), ...,
+    // [p, p+6h). Early partial results of the full-period aggregate
+    // (the "running daily total emitted hourly" dashboard shape). Each
+    // event belongs to every cumulative window whose end is past it:
+    // assignment = explode over the (size/step - hour-in-period) window
+    // ends — pure arithmetic, one shuffle for the agg, partial/final
+    // split intact. Equivalent two-level pane rollup would apply at
+    // extreme fanout (see wnd_pane_twolevel).
+    "wnd_cumulate" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("period_start", timestamp_seconds(
+          expr("(unix_timestamp(ts) div 21600) * 21600")))
+        .withColumn("hr_in_period",
+          expr("cast((unix_timestamp(ts) - unix_timestamp(period_start)) div 3600 as int)"))
+        // window ends this event participates in: hr_in_period+1 .. 6
+        .withColumn("w_end_hr", explode(expr("sequence(hr_in_period + 1, 6)")))
+        .withColumn("window_end", timestamp_seconds(
+          unix_timestamp(col("period_start")) + col("w_end_hr") * 3600))
+      ev.groupBy("period_start", "window_end", "event_type")
+        .agg(count(lit(1)).as("n_events"), Det.sumMoney(col("value")).as("sum_value"))
+        .orderBy("period_start", "window_end", "event_type")
+    }),
+
     // Flink TumblingEventTimeWindows.of(1 h, offset = 15 min): window
     // boundaries shifted off the epoch grid (timezone-aligned daily
     // windows are the classic use). Same single-shuffle partial/final
@@ -209,6 +233,22 @@ object EventTime {
       |GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // CUMULATE replay: epoch-aligned 6 h periods; each event lands in
+    // every cumulative window end after it.
+    "wnd_cumulate" ->
+      """WITH e AS (
+        |  SELECT event_type, value, ts::TIMESTAMP AS ts,
+        |    to_timestamp((epoch(ts::TIMESTAMP)::BIGINT // 21600) * 21600)::TIMESTAMP AS period_start
+        |  FROM events),
+        |x AS (
+        |  SELECT event_type, value, period_start,
+        |    period_start + to_seconds(h * 3600) AS window_end
+        |  FROM e CROSS JOIN (SELECT unnest(range(1, 7)) AS h)
+        |  WHERE ts < period_start + to_seconds(h * 3600))
+        |SELECT period_start, window_end, event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY 1, 2, 3 ORDER BY period_start, window_end, event_type""".stripMargin,
+
     // Offset windows: [h:15, h+1:15) = trunc(ts - 15 min) + 15 min.
     "wnd_offset" ->
       """SELECT (date_trunc('hour', ts - INTERVAL 15 MINUTE) + INTERVAL 15 MINUTE)::TIMESTAMP AS window_start,

@@ -164,6 +164,16 @@ class FunctionsSpec extends SparkSuite {
     assert(bad.count() == 0)
   }
 
+  test("md5_prefix SQL builder rejects a non-literal nibbles argument clearly") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.applyFunctionExtensions(spark, new GraftExtensions())
+    val err = intercept[Exception] {
+      spark.sql("SELECT md5_prefix(array('a'), cast(id as int)) FROM range(1)").collect()
+    }
+    assert(err.getMessage.contains("integer literal"),
+      s"expected the clear literal-required error, got: ${err.getMessage}")
+  }
+
   test("FreqSketchAgg: MG error bound and heavy-hitter completeness vs exact counts") {
     import graft.functions.{FreqSketchAgg, FreqSketchOut}
     val k = 8
