@@ -48,6 +48,21 @@ object Windows {
       col("session_window.end").as("session_end")) ++ rest: _*)
   }
 
+  /** Session windows with a per-event DYNAMIC gap (Flink
+    * `EventTimeSessionWindows.withDynamicGap`): each event proposes its
+    * own window `[ts, ts+gap(event))` and overlapping windows merge, so
+    * e.g. high-intent events can hold a session open longer. Same
+    * shuffle shape as [[session]] — state is per-key merged intervals.
+    */
+  def sessionDynamic(df: DataFrame, tsCol: String, gap: Column,
+                     keys: Seq[Column], aggs: Seq[Column]): DataFrame = {
+    val agged = df.groupBy(session_window(col(tsCol), gap) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val rest = agged.columns.filter(_ != "session_window").map(col)
+    agged.select(Array(col("session_window.start").as("session_start"),
+      col("session_window.end").as("session_end")) ++ rest: _*)
+  }
+
   /** Pane-based two-level sliding aggregation (Cutty/Scotty-style window
     * slicing): pre-aggregate into `slide`-sized tumbling panes, then roll
     * `slots` panes into each sliding window of size slots*slide.

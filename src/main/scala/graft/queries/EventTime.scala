@@ -55,6 +55,19 @@ object EventTime {
         .select("user_id", "session_start", "session_end", "n_events", "sum_value")
         .orderBy("user_id", "session_start")),
 
+    // Flink EventTimeSessionWindows.withDynamicGap: purchases hold a
+    // session open 40 min, everything else 20 min. Sessions merge while
+    // per-event windows [ts, ts+gap) overlap; session_end = max window
+    // end, exactly replayed by the oracle's running-max-end
+    // gaps-and-islands.
+    "wnd_session_dynamic" -> ((s, d) =>
+      Windows.sessionDynamic(Tables.events(s, d), "ts",
+          when(col("event_type") === "purchase", "40 minutes")
+            .otherwise("20 minutes"),
+          Seq(col("user_id")), stdAggs)
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+        .orderBy("user_id", "session_start")),
+
     // Pane-based two-level sliding aggregation — must equal wnd_sliding
     // bit-for-bit (partial sums stay exact DECIMAL until the final cast),
     // so it shares wnd_sliding's oracle.
@@ -311,6 +324,34 @@ object EventTime {
         |)
         |SELECT user_id, min(ts) AS session_start,
         |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM sessioned GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    // Dynamic gaps: a session's end is the RUNNING MAX of per-event
+    // window ends (a long-gap event can outlast later short-gap ones),
+    // so the island flag compares ts against max(we) over all prior
+    // events, not just the previous row.
+    "wnd_session_dynamic" ->
+      """WITH e AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts, event_id, value,
+        |         ts::TIMESTAMP + to_seconds(CASE WHEN event_type = 'purchase'
+        |                                         THEN 2400 ELSE 1200 END) AS we
+        |  FROM events
+        |), m AS (
+        |  SELECT *, max(we) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM e
+        |), flagged AS (
+        |  SELECT *, CASE WHEN prev_end IS NULL OR ts >= prev_end
+        |                 THEN 1 ELSE 0 END AS new_sess
+        |  FROM m
+        |), sessioned AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged
+        |)
+        |SELECT user_id, min(ts) AS session_start, max(we) AS session_end,
         |       count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM sessioned GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,

@@ -141,6 +141,26 @@ class ApiSpec extends SparkSuite {
     assert(spark.read.parquet(out).count() == Tables.events(spark, sf001).count())
   }
 
+  test("dynamic partition pruning fires on a partitioned fact x filtered dim join") {
+    val dir = Files.createTempDirectory("graft_dpp").toString
+    // fact partitioned by event_type (stands in for a date-partitioned
+    // 100 TB tree); dim restricts to one type via a non-partition column
+    Tables.events(spark, sf001).write.mode("overwrite")
+      .partitionBy("event_type").parquet(dir)
+    val dimDir = Files.createTempDirectory("graft_dpp_dim").toString
+    Seq(("purchase", 1L), ("click", 2L), ("view", 3L), ("signup", 4L),
+      ("error", 5L)).toDF("etype", "type_id")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("type_id") === 1) // only 'purchase'
+    val fact = spark.read.parquet(dir)
+    val j = fact.join(dim, fact("event_type") === dim("etype"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+      s"expected a dynamic partition pruning filter in:\n$plan")
+    assert(j.count() ==
+      Tables.events(spark, sf001).filter(col("event_type") === "purchase").count())
+  }
+
   test("no declared query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val p = fn(spark, sf001).queryExecution.executedPlan.toString
