@@ -32,6 +32,20 @@ class CoreSpec extends SparkSuite {
     assert(orphans.isEmpty, s"oracle without query: $orphans")
   }
 
+  test("cumulate's final step equals the 6 h tumbling aggregate exactly") {
+    val cum = SparkEntry.queries("wnd_cumulate")(spark, sf001)
+      .filter(expr("window_end = period_start + INTERVAL 6 HOURS"))
+      .select(col("period_start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    val tum = graft.api.Windows.tumbling(Tables.events(spark, sf001), "ts", "6 hours",
+        Seq(col("event_type")),
+        Seq(count(lit(1)).as("n_events"), Det.sumMoney(col("value")).as("sum_value")))
+      .select(col("window_start"), col("event_type"), col("n_events"), col("sum_value"))
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(cum == tum, s"cumulate final step diverged: ${(cum diff tum).take(3)}")
+  }
+
   test("lateness triad: drop <= update-kept <= all events, updates nonempty") {
     // counts of events surviving each mode (sum over windows)
     def total(key: String): Long =

@@ -220,6 +220,37 @@ class StreamingSpec extends SparkSuite {
       s"unexpected user-2 session: $rows")
   }
 
+  test("dynamic-gap session windows under readStream: per-event gap respected") {
+    import graft.api.Windows
+    import org.apache.spark.sql.functions._
+    val aggs = Seq(count(lit(1)).as("n_events"), Det.sumMoney(col("value")).as("sum_value"))
+    val ms = MemoryStream[Ev]
+    val gap = when(col("event_type") === "purchase", "40 minutes")
+      .otherwise("20 minutes")
+    val q = Windows.sessionDynamic(ms.toDF().withWatermark("ts", "10 minutes"),
+        "ts", gap, Seq(col("user_id")), aggs)
+      .writeStream.format("memory").queryName("dsess").outputMode("append").start()
+    // purchase at 10:00 holds the session open 40 min, so the click at
+    // 10:30 (> 20 min later) still merges; a click-only session closes
+    // after 20 min
+    ms.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "purchase", 1.0),
+      Ev(2, ts("2024-01-01 10:30:00"), 1, "click", 2.0),
+      Ev(3, ts("2024-01-01 10:00:00"), 2, "click", 5.0))
+    q.processAllAvailable()
+    ms.addData(Ev(4, ts("2024-01-01 15:00:00"), 3, "view", 1.0))
+    drain(q)
+    val rows = spark.table("dsess")
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+    assert(rows.contains(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:50:00"), 2L, 3.0)),
+      s"purchase gap must carry the 10:30 click into the session: $rows")
+    assert(rows.contains(
+      (2L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:20:00"), 1L, 5.0)),
+      s"click-only session must close after its 20 min gap: $rows")
+  }
+
   test("batch and streaming sliding agg agree on full replay (complete mode)") {
     import graft.api.Windows
     import org.apache.spark.sql.functions._
