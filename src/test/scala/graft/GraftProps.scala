@@ -132,6 +132,30 @@ object GraftProps extends Properties("graft") {
       changed == 0 && dirty == 0 && doubled == 0
     }
 
+  property("bandedRangeJoin equals the naive theta join on random signed data") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.choose(-5000, 5000)).map(_.take(60)),
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(-5000, 5000), Gen.choose(0, 300)))
+        .map(_.take(30)),
+      Gen.oneOf(1.0, 2.5, 10.0, 137.0)) { (pts, ivs, width) =>
+      val sp = spark
+      import sp.implicits._
+      // values in [-50, 50] with negative bucket indices exercised;
+      // interval spans up to 3 (possibly many) buckets wide
+      val points = pts.zipWithIndex.map { case (v, i) => (i.toLong, v / 100.0) }
+        .toDF("pid", "v")
+      val intervals = ivs.zipWithIndex.map { case ((lo, span), i) =>
+        (i.toLong, lo / 100.0, lo / 100.0 + span / 100.0) }
+        .toDF("iid", "lo", "hi")
+      val naive = points.join(intervals,
+          col("v") >= col("lo") && col("v") <= col("hi"))
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      val banded = graft.api.Joins.bandedRangeJoin(
+          points, "v", intervals, "lo", "hi", width)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      banded == naive
+    }
+
   property("exact dedup is idempotent and survivors cover all content") =
     forAll(docsGen) { docs =>
       val sp = spark
