@@ -132,6 +132,42 @@ object TextOps {
       .withColumn("redacted", regexp_replace(col("__t1"), PhoneRe, "<PHONE>"))
       .drop("__t1")
 
+  /** Corpus-self-trained bigram language-model score per document (the
+    * CCNet-style LM quality filter): avg log P(w_i | w_{i-1}) under
+    * add-1 smoothing, with the bigram/unigram tables estimated from the
+    * corpus itself. Low scores = improbable token sequences (boilerplate,
+    * mangled text); the score ranks docs for quality filtering.
+    *
+    * Dataflow: positional explode → bigram join against the two count
+    * tables (token-keyed shuffles; at 100 TB the count tables are the
+    * only corpus-wide state and they are domain-bounded by vocabulary,
+    * not corpus size) → per-doc logs re-assembled IN TOKEN ORDER
+    * (sort_array of (pos, logp) structs) and summed by a sequential
+    * left fold, so the float sum is bit-stable and replayable.
+    */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+    val big = toks.withColumn("prev",
+        lag(col("tok"), 1).over(Window.partitionBy(col(idCol)).orderBy(col("pos"))))
+      .filter(col("prev").isNotNull)
+    val c2 = big.groupBy("prev", "tok").agg(count(lit(1)).as("c2"))
+    val c1 = toks.groupBy(col("tok").as("prev")).agg(count(lit(1)).as("c1"))
+    val vocab = toks.agg(countDistinct("tok").as("v"))
+    val scored = big.join(c2, Seq("prev", "tok"))
+      .join(c1, Seq("prev"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp",
+        log((col("c2") + 1).cast("double") / (col("c1") + col("v")).cast("double")))
+    scored.groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("pos"), col("logp")))).as("arr"))
+      .withColumn("n_bigrams", size(col("arr")))
+      .withColumn("sum_logp",
+        expr("aggregate(arr, 0D, (a, x) -> a + x.logp)"))
+      .withColumn("avg_logp", col("sum_logp") / col("n_bigrams"))
+      .select(col(idCol), col("n_bigrams"), col("avg_logp"))
+  }
+
   /** Order-sensitive rolling-hash fingerprint over tokens (polynomial
     * mod 1e9+7, exact integer arithmetic).
     */

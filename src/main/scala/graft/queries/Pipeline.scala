@@ -231,6 +231,15 @@ object Pipeline {
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
         .orderBy("shard_id")),
 
+    // Bigram LM self-scoring (the CCNet-style quality filter): docs with
+    // improbable token sequences under the corpus's own bigram model
+    // score low. Docs under 2 tokens have no bigrams and drop out.
+    "text_lm_score" -> ((s, d) =>
+      TextOps.lmScore(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          Det.round4(col("avg_logp")).as("avg_logp"))
+        .orderBy("doc_id")),
+
     // Bounded-state frequent-terms: Misra-Gries summaries (k=8 counters)
     // as partial aggregates, merged at the exchange — "top terms per
     // group" at 100 TB without a full term histogram shuffle (see
@@ -567,6 +576,36 @@ object Pipeline {
 
     "sim_lsh_bucketed" -> Similarity.lshTopKOracleSql(5, tables = 8, bits = 6,
       probeIdBound = LshProbeBound),
+
+    // Bigram logs re-summed in token order (list(... ORDER BY pos) then
+    // a sequential left fold) so the float sum is bit-identical.
+    "text_lm_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos, unnest(tk) AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+        |),
+        |big AS (
+        |  SELECT doc_id, pos, tok,
+        |         lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM tok
+        |),
+        |b2 AS (SELECT * FROM big WHERE prev IS NOT NULL),
+        |c2 AS (SELECT prev, tok, count(*) AS c2 FROM b2 GROUP BY 1, 2),
+        |c1 AS (SELECT tok AS prev, count(*) AS c1 FROM tok GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS v FROM tok),
+        |sc AS (
+        |  SELECT b.doc_id, b.pos, ln((c2.c2 + 1)::DOUBLE / (c1.c1 + v.v)) AS logp
+        |  FROM b2 b JOIN c2 ON b.prev = c2.prev AND b.tok = c2.tok
+        |            JOIN c1 ON b.prev = c1.prev CROSS JOIN v
+        |),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |         list_aggregate(list(logp ORDER BY pos), 'sum') AS sum_logp
+        |  FROM sc GROUP BY doc_id
+        |)
+        |SELECT doc_id, CAST(n_bigrams AS INTEGER) AS n_bigrams,
+        |       floor(sum_logp / n_bigrams * 10000 + 0.5) / 10000 AS avg_logp
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     // Same synthetic-PII splice, then RE2 regexes identical to the Java
     // ones (character classes + bounded repetition only — see

@@ -250,6 +250,25 @@ class PipelineSpec extends SparkSuite {
       col("redacted").contains("<PHONE>")).count() == n)
   }
 
+  test("lmScore: probable sequences outrank improbable ones; bigram counts line up") {
+    // corpus: 8 copies of a repeated phrase + 1 scrambled-unique doc —
+    // the repeated bigrams are high-probability under the corpus's own
+    // model, the unique doc's bigrams are all unseen-but-smoothed
+    val docs = ((1L to 8L).map(i => (i, "the cat sat on the mat")) :+
+      (9L, "zq xv wk jm pq rn")).toDF("doc_id", "text")
+    val out = graft.api.TextOps.lmScore(docs, "doc_id", "text")
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.size == 9)
+    assert(out.values.forall(_._2 < 0), "log-probs must be negative")
+    assert(out(1L)._1 == 5 && out(9L)._1 == 5, "n_bigrams = n_tok - 1")
+    assert(out(1L)._2 > out(9L)._2,
+      s"repeated phrase must outscore scrambled uniques: ${out(1L)} vs ${out(9L)}")
+    // full-corpus run drops only sub-2-token docs
+    val n = Tables.documents(spark, sf001)
+      .filter(size(split(col("text"), " ")) >= 2).count()
+    assert(Pipeline.queries("text_lm_score")(spark, sf001).count() == n)
+  }
+
   test("corpus_shard partitions the corpus: every doc in exactly one shard") {
     val out = Pipeline.queries("corpus_shard")(spark, sf001)
     val docs = Tables.documents(spark, sf001)
