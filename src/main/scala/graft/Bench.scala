@@ -42,17 +42,21 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> math.min(timeOne(fn), timeOne(fn))
     }
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, which
+    // renders a comma decimal separator (invalid JSON) under e.g. de_DE.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jsonMap(kvs: Seq[(String, Double)]): String =
-      kvs.map { case (k, v) => "\"" + k + "\":" + f"$v%1.3f" }.mkString("{", ",", "}")
+      kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val detail = s"""{"metric":"total","value":${f"$total%1.3f"},"unit":"sec","n_queries":${results.size},"queries":${jsonMap(results)},"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${jsonMap(results)},"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
       java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
       println(s"full per-query timings -> ${p.toAbsolutePath}")
     } catch { case _: Throwable => () }
     val head = results.filter { case (k, _) => headline.contains(k) }
-    println(s"""{"metric":"total","value":${f"$total%1.3f"},"unit":"sec","n_queries":${results.size},"queries":${jsonMap(head)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${jsonMap(head)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

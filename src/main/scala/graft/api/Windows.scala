@@ -40,13 +40,8 @@ object Windows {
     * session — Flink parity).
     */
   def session(df: DataFrame, tsCol: String, gap: String,
-              keys: Seq[Column], aggs: Seq[Column]): DataFrame = {
-    val agged = df.groupBy(session_window(col(tsCol), gap) +: keys: _*)
-      .agg(aggs.head, aggs.tail: _*)
-    val rest = agged.columns.filter(_ != "session_window").map(col)
-    agged.select(Array(col("session_window.start").as("session_start"),
-      col("session_window.end").as("session_end")) ++ rest: _*)
-  }
+              keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    sessionDynamic(df, tsCol, lit(gap), keys, aggs)
 
   /** Session windows with a per-event DYNAMIC gap (Flink
     * `EventTimeSessionWindows.withDynamicGap`): each event proposes its

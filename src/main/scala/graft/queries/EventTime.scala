@@ -247,11 +247,14 @@ object EventTime {
 
   val oracles: Map[String, String] = Map(
     // CUMULATE replay: epoch-aligned 6 h periods; each event lands in
-    // every cumulative window end after it.
+    // every cumulative window end after it. Period start must TRUNCATE
+    // seconds (epoch_us // 1e6, matching Spark's unix_timestamp) — the
+    // epoch()::BIGINT idiom ROUNDS and misassigns events within 0.5 s
+    // of a period boundary; make_timestamp keeps it tz-free.
     "wnd_cumulate" ->
       """WITH e AS (
         |  SELECT event_type, value, ts::TIMESTAMP AS ts,
-        |    to_timestamp((epoch(ts::TIMESTAMP)::BIGINT // 21600) * 21600)::TIMESTAMP AS period_start
+        |    make_timestamp(((epoch_us(ts::TIMESTAMP) // 1000000) // 21600) * 21600 * 1000000) AS period_start
         |  FROM events),
         |x AS (
         |  SELECT event_type, value, period_start,
