@@ -174,4 +174,64 @@ object TextOps {
   def fingerprint(textCol: String): Column =
     expr(s"""aggregate(transform(split($textCol, ' '), t -> cast(length(t) * 17 + ascii(t) as bigint)),
             |          0L, (a, b) -> (a * 31 + b) % 1000000007L)""".stripMargin)
+
+  /** Gopher-style repetition signals per document: duplicate-token
+    * fraction, most-frequent-token fraction, and most-frequent-bigram
+    * fraction. High values flag boilerplate/looped text that a quality
+    * gate drops before training.
+    *
+    * Dataflow: every groupBy is keyed by the document id, so the shuffles
+    * are per-doc (never corpus-wide state) and the operator scales
+    * linearly — a 100 TB corpus is just more doc-keyed partitions.
+    */
+  def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = df.withColumn("tk", split(col(textCol), " "))
+      .withColumn("n_tok", size(col("tk")))
+      .withColumn("n_uniq", size(array_distinct(col("tk"))))
+    val topTok = t.select(col(idCol), explode(col("tk")).as("tok"))
+      .groupBy(idCol, "tok").agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(max(col("c")).as("top_tok_c"))
+    val topBg = t.filter(col("n_tok") >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, n_tok - 1), i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))")).as("bg"))
+      .groupBy(idCol, "bg").agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(max(col("c")).as("top_bg_c"))
+    t.join(topTok, Seq(idCol)).join(topBg, Seq(idCol), "left")
+      .select(col(idCol), col("n_tok"),
+        ((col("n_tok") - col("n_uniq")).cast("double") / col("n_tok")).as("dup_tok_frac"),
+        (col("top_tok_c").cast("double") / col("n_tok")).as("top_tok_frac"),
+        coalesce(col("top_bg_c").cast("double") / (col("n_tok") - 1), lit(0.0)).as("top_bigram_frac"))
+  }
+
+  /** BM25 relevance of each document against a fixed query term set
+    * (k1 = 1.2, b = 0.75 folded into literal constants so the float
+    * arithmetic replays bit-identically cross-engine). The per-doc score
+    * is assembled by a FIXED left-to-right addition over the query terms
+    * (one pivoted column per term) — never a sum() aggregate, whose
+    * accumulation order is engine-defined.
+    *
+    * Scale shape: the corpus is scanned once; the only corpus-wide state
+    * is (N, sum dl) and per-term df — O(|query|) rows, broadcast. The
+    * tf explode filters to query terms map-side, so the shuffle carries
+    * only matching (doc, term) rows.
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String]): DataFrame = {
+    val t = df.withColumn("tk", split(col(textCol), " "))
+      .withColumn("dl", size(col("tk")))
+    val stats = t.agg(count(lit(1)).as("n"), sum(col("dl").cast("long")).as("sumdl"))
+    val tf = t.select(col(idCol), col("dl"), explode(col("tk")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(idCol, "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val scored = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+      .withColumn("s",
+        log(lit(1.0) + (col("n") - col("df_t") + lit(0.5)) / (col("df_t") + lit(0.5))) *
+          (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * (col("dl").cast("double") * col("n").cast("double") / col("sumdl").cast("double")))))
+    val perDoc = scored.groupBy(idCol).pivot("term", terms).agg(first(col("s")))
+    val score = terms.map(tm => coalesce(col(s"`$tm`"), lit(0.0))).reduceLeft(_ + _)
+    perDoc.select(col(idCol) +: terms.map(tm => col(s"`$tm`")) :+ score.as("score"): _*)
+  }
 }

@@ -218,6 +218,35 @@ object Analytic {
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("int").as("k"),
           to_json(from_json(col("props"), lit("k INT"))).as("roundtrip"))
+        .orderBy("event_id")),
+
+    // URL parsing family over a deterministically synthesized URL (no
+    // corpus table carries URLs; the construction is mirrored in the
+    // oracle, which pins every parse_url piece directly).
+    "fn_url" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example.com/docs/"), col("doc_id").cast("string"),
+          lit("?lang="), col("lang"), lit("&page=2#top")))
+        .select(col("doc_id"), col("url"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY')").as("query"),
+          expr("parse_url(url, 'REF')").as("frag"),
+          expr("parse_url(url, 'QUERY', 'lang')").as("q_lang"),
+          expr("parse_url(url, 'PROTOCOL')").as("proto"))
+        .orderBy("doc_id")),
+
+    // Spark 4 VARIANT semi-structured type: parse_json → typed
+    // variant_get + canonical re-serialization; a missing path yields
+    // null (pinned via the is-null bit).
+    "fn_variant" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'int')").as("k"),
+          expr("cast(variant_get(parse_json(props), '$.missing', 'int') is null as int)")
+            .as("miss_is_null"),
+          expr("to_json(parse_json(props))").as("canon"))
         .orderBy("event_id"))
   )
 
@@ -369,6 +398,27 @@ object Analytic {
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
         |  to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS INTEGER))) AS roundtrip
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // The oracle reconstructs each URL piece from the source columns —
+    // pinning parse_url's expected output rather than re-parsing.
+    "fn_url" ->
+      """SELECT doc_id,
+        |  'https://' || source || '.example.com/docs/' || doc_id
+        |    || '?lang=' || lang || '&page=2#top' AS url,
+        |  source || '.example.com' AS host,
+        |  '/docs/' || doc_id AS path,
+        |  'lang=' || lang || '&page=2' AS query,
+        |  'top' AS frag,
+        |  lang AS q_lang,
+        |  'https' AS proto
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "fn_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |  1 AS miss_is_null,
+        |  json_extract(props, '$')::VARCHAR AS canon
         |FROM events ORDER BY event_id""".stripMargin
   )
 }

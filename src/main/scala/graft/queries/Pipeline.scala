@@ -28,6 +28,11 @@ object Pipeline {
 
   private val stopEn = Seq("the", "a", "of", "and", "to")
 
+  /** text_bm25's fixed query — one rare discriminative term plus two
+    * common ones, shared by the Spark side and the oracle SQL.
+    */
+  private val Bm25Terms = Seq("dup", "vector", "window")
+
   /** Probe set bound shared by sim_lsh_bucketed's Spark-side filter and
     * its DuckDB oracle (Similarity.lshTopKOracleSql) — one definition, so
     * the two sides cannot silently diverge.
@@ -270,6 +275,70 @@ object Pipeline {
         .select(col("doc_id"), col("norm_text"),
           length(col("norm_text")).as("n_norm"))
         .orderBy("doc_id")),
+
+    // Gopher-style repetition signals (duplicate-token fraction, top
+    // token/bigram fraction) — the looped-boilerplate detector a quality
+    // gate runs before training. All shuffles are doc-id-keyed.
+    "text_repetition" -> ((s, d) =>
+      TextOps.repetition(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("n_tok"),
+          Det.round4(col("dup_tok_frac")).as("dup_tok_frac"),
+          Det.round4(col("top_tok_frac")).as("top_tok_frac"),
+          Det.round4(col("top_bigram_frac")).as("top_bigram_frac"))
+        .orderBy("doc_id")),
+
+    // BM25 retrieval scoring against a fixed query term set ("dup" is
+    // the rare discriminative term on this corpus, df=25/500; the other
+    // two are common). Per-term pivoted columns + fixed-order addition
+    // keep the float arithmetic bit-replayable (see TextOps.bm25).
+    "text_bm25" -> ((s, d) =>
+      TextOps.bm25(Tables.documents(s, d), "doc_id", "text", Bm25Terms)
+        .select(col("doc_id"),
+          Det.round4(coalesce(col("dup"), lit(0.0))).as("s_dup"),
+          Det.round4(coalesce(col("vector"), lit(0.0))).as("s_vector"),
+          Det.round4(coalesce(col("window"), lit(0.0))).as("s_window"),
+          Det.round4(col("score")).as("score"))
+        .orderBy("doc_id")),
+
+    // Composite C4/Gopher-style quality gate: four rule bits (length,
+    // stopword ratio, alpha ratio, repetition) + a fail bitmask + the
+    // final keep decision. The rule comparisons run on the UNROUNDED
+    // doubles — identical arithmetic on both engines makes the
+    // boundary-case bits replay exactly.
+    "quality_gate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val q = TextOps.quality(docs, "text", stopEn)
+      val r = TextOps.repetition(docs, "doc_id", "text")
+        .select(col("doc_id"), col("dup_tok_frac"))
+      q.join(r, Seq("doc_id"))
+        .withColumn("r_len", (col("n_tok") >= 20 && col("n_tok") <= 90).cast("int"))
+        .withColumn("r_stop", (col("stop_ratio") >= 0.02).cast("int"))
+        .withColumn("r_alpha", (col("alpha_ratio") >= 0.81).cast("int"))
+        .withColumn("r_rep", (col("dup_tok_frac") <= 0.6).cast("int"))
+        .withColumn("fail_mask",
+          (lit(1) - col("r_len")) * 1 + (lit(1) - col("r_stop")) * 2 +
+            (lit(1) - col("r_alpha")) * 4 + (lit(1) - col("r_rep")) * 8)
+        .withColumn("keep", (col("fail_mask") === 0).cast("int"))
+        .select("doc_id", "r_len", "r_stop", "r_alpha", "r_rep", "fail_mask", "keep")
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic train/val/test split (80/10/10) keyed by a 60-bit
+    // md5 prefix of the doc id — content-stable across re-runs, input
+    // order, and partitioning, exactly like corpus_shard's routing.
+    "corpus_split" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("bucket", pmod(element_at(
+          graft.functions.Signatures.md5_prefix(
+            array(col("doc_id").cast("string")), 15), 1), lit(100L)))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("split", "lang")),
 
     "text_stats" -> ((s, d) =>
       TextOps.stats(Tables.documents(s, d), "text", "n_chars", Seq("lang", "source"))
@@ -644,6 +713,86 @@ object Pipeline {
         |  CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
         |                      '  +', ' ', 'g'))) AS INTEGER) AS n_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |b AS (SELECT doc_id, len(tk) AS n_tok, len(list_distinct(tk)) AS n_uniq FROM t),
+        |tok AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+        |tc AS (SELECT doc_id, max(c) AS top_tok_c FROM (
+        |         SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2) GROUP BY 1),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |         i -> tk[i] || ' ' || tk[i+1])) AS bg
+        |       FROM t WHERE len(tk) >= 2),
+        |bc AS (SELECT doc_id, max(c) AS top_bg_c FROM (
+        |         SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1)
+        |SELECT b.doc_id, CAST(n_tok AS INTEGER) AS n_tok,
+        |  floor((n_tok - n_uniq)::DOUBLE / n_tok * 10000 + 0.5) / 10000 AS dup_tok_frac,
+        |  floor(top_tok_c::DOUBLE / n_tok * 10000 + 0.5) / 10000 AS top_tok_frac,
+        |  floor(coalesce(top_bg_c::DOUBLE / (n_tok - 1), 0.0) * 10000 + 0.5) / 10000 AS top_bigram_frac
+        |FROM b JOIN tc USING (doc_id) LEFT JOIN bc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Same constant folding as TextOps.bm25 (k1=1.2, b=0.75 appear only
+    // as the literals 2.2 / 1.2 / 0.25 / 0.75) and the same fixed
+    // left-to-right per-term addition — bit-identical doubles.
+    "text_bm25" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |dlen AS (SELECT doc_id, len(tk) AS dl FROM t),
+        |st AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dlen),
+        |tok AS (SELECT doc_id, unnest(tk) AS term FROM t),
+        |tf AS (SELECT k.doc_id, d.dl, k.term, count(*) AS tf
+        |       FROM tok k JOIN dlen d USING (doc_id)
+        |       WHERE k.term IN ('dup', 'vector', 'window')
+        |       GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.term,
+        |         ln(1.0 + (st.n - dfq.df_t + 0.5) / (dfq.df_t + 0.5)) *
+        |           (tf.tf * 2.2) /
+        |           (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) * st.n / st.sumdl))) AS s
+        |       FROM tf JOIN dfq USING (term) CROSS JOIN st),
+        |p AS (SELECT doc_id,
+        |        max(CASE WHEN term = 'dup' THEN s END) AS s_dup,
+        |        max(CASE WHEN term = 'vector' THEN s END) AS s_vector,
+        |        max(CASE WHEN term = 'window' THEN s END) AS s_window
+        |      FROM sc GROUP BY doc_id)
+        |SELECT doc_id,
+        |  floor(coalesce(s_dup, 0.0) * 10000 + 0.5) / 10000 AS s_dup,
+        |  floor(coalesce(s_vector, 0.0) * 10000 + 0.5) / 10000 AS s_vector,
+        |  floor(coalesce(s_window, 0.0) * 10000 + 0.5) / 10000 AS s_window,
+        |  floor((coalesce(s_dup, 0.0) + coalesce(s_vector, 0.0) + coalesce(s_window, 0.0))
+        |        * 10000 + 0.5) / 10000 AS score
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "quality_gate" ->
+      """WITH t AS (SELECT doc_id, text, str_split(text, ' ') AS tk FROM documents),
+        |b AS (SELECT doc_id, len(tk) AS n_tok,
+        |        len(list_filter(tk, tok -> list_contains(['the','a','of','and','to'], tok)))::DOUBLE / len(tk) AS stop_ratio,
+        |        length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / length(text) AS alpha_ratio,
+        |        (len(tk) - len(list_distinct(tk)))::DOUBLE / len(tk) AS dup_frac
+        |      FROM t),
+        |r AS (SELECT doc_id,
+        |        CASE WHEN n_tok BETWEEN 20 AND 90 THEN 1 ELSE 0 END AS r_len,
+        |        CASE WHEN stop_ratio >= 0.02 THEN 1 ELSE 0 END AS r_stop,
+        |        CASE WHEN alpha_ratio >= 0.81 THEN 1 ELSE 0 END AS r_alpha,
+        |        CASE WHEN dup_frac <= 0.6 THEN 1 ELSE 0 END AS r_rep
+        |      FROM b)
+        |SELECT doc_id, r_len, r_stop, r_alpha, r_rep,
+        |  (1 - r_len) * 1 + (1 - r_stop) * 2 + (1 - r_alpha) * 4 + (1 - r_rep) * 8 AS fail_mask,
+        |  CASE WHEN r_len + r_stop + r_alpha + r_rep = 4 THEN 1 ELSE 0 END AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "corpus_split" ->
+      """WITH b AS (SELECT doc_id, lang, text,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        |  FROM documents),
+        |s AS (SELECT doc_id, lang, text,
+        |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM b)
+        |SELECT split, lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin,
 
     "text_stats" ->
       """WITH docs AS (SELECT doc_id, lang, source, n_chars, str_split(text, ' ') AS tk

@@ -379,6 +379,22 @@ object Relational {
           count(lit(1)).as("n_events"))
         .orderBy("user_id")),
 
+    // Exact interpolating MEDIAN (a built-in partial/final agg) plus a
+    // deterministic MODE: native mode() tie-breaks are engine-defined,
+    // so the tie rule (max count, then min value) is pinned explicitly
+    // as a count + row_number shape on both sides.
+    "agg_mode_median" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val med = docs.groupBy("lang").agg(
+        median(col("n_chars")).as("med_chars"),
+        count(lit(1)).as("n_docs"))
+      val counts = docs.groupBy("lang", "source").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("lang").orderBy(col("c").desc, col("source"))
+      val md = counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("lang"), col("source").as("mode_source"), col("c").as("mode_n"))
+      med.join(md, Seq("lang")).orderBy("lang")
+    }),
+
     // Pivot (wide aggregation): explicit value list so the plan is a
     // single partial+final agg with CASE projections — no extra pass to
     // discover pivot values, which is the scale-correct form.
@@ -612,6 +628,17 @@ object Relational {
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |              JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name) ORDER BY region, nation""".stripMargin,
+
+    "agg_mode_median" ->
+      """WITH med AS (SELECT lang, median(n_chars) AS med_chars, count(*) AS n_docs
+        |             FROM documents GROUP BY lang),
+        |c AS (SELECT lang, source, count(*) AS c FROM documents GROUP BY 1, 2),
+        |m AS (SELECT lang, source AS mode_source, c AS mode_n FROM (
+        |        SELECT lang, source, c,
+        |          row_number() OVER (PARTITION BY lang ORDER BY c DESC, source) AS rn
+        |        FROM c) WHERE rn = 1)
+        |SELECT lang, med_chars, n_docs, mode_source, mode_n
+        |FROM med JOIN m USING (lang) ORDER BY lang""".stripMargin,
 
     "agg_stats_exact" ->
       """WITH g AS (

@@ -121,6 +121,29 @@ class CoreSpec extends SparkSuite {
     }
   }
 
+  test("mode/median: median brackets the data, mode is the true argmax") {
+    val out = graft.queries.Relational.queries("agg_mode_median")(spark, sf001)
+      .collect()
+    val docs = Tables.documents(spark, sf001)
+    out.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val chars = docs.filter(col("lang") === lang)
+        .select(col("n_chars")).as[Long].collect().sorted
+      val med = r.getAs[Double]("med_chars")
+      assert(med >= chars.head && med <= chars.last)
+      // interpolating median: midpoint of the two central order stats
+      val exp = if (chars.length % 2 == 1) chars(chars.length / 2).toDouble
+        else (chars(chars.length / 2 - 1) + chars(chars.length / 2)) / 2.0
+      assert(med == exp, s"$lang median $med != $exp")
+      val counts = docs.filter(col("lang") === lang).groupBy("source").count()
+        .as[(String, Long)].collect()
+      val maxN = counts.map(_._2).max
+      val expMode = counts.filter(_._2 == maxN).map(_._1).min
+      assert(r.getAs[String]("mode_source") == expMode)
+      assert(r.getAs[Long]("mode_n") == maxN)
+    }
+  }
+
   test("DataFrame and spark.sql entry points converge (one engine)") {
     Tables.lineitem(spark, sf001).createOrReplaceTempView("li")
     Tables.events(spark, sf001).createOrReplaceTempView("ev")

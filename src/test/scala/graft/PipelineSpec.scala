@@ -301,4 +301,65 @@ class PipelineSpec extends SparkSuite {
       assert(out.filter(col("n_obs") > 0).count() == observedHours)
     } finally out.unpersist()
   }
+
+  test("repetition signals: exact fractions on a hand-built doc") {
+    val df = Seq((1L, "a a a b"), (2L, "x y z w")).toDF("doc_id", "text")
+    val out = graft.api.TextOps.repetition(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1: 4 tokens {a,b} -> dup (4-2)/4, top token a=3/4, bigrams
+    // [a a, a a, a b] -> top 2/3
+    assert(out(0).getAs[Int]("n_tok") == 4)
+    assert(out(0).getAs[Double]("dup_tok_frac") == 0.5)
+    assert(out(0).getAs[Double]("top_tok_frac") == 0.75)
+    assert(math.abs(out(0).getAs[Double]("top_bigram_frac") - 2.0 / 3) < 1e-12)
+    // doc 2: all unique -> dup 0, every token/bigram appears once
+    assert(out(1).getAs[Double]("dup_tok_frac") == 0.0)
+    assert(out(1).getAs[Double]("top_tok_frac") == 0.25)
+    assert(math.abs(out(1).getAs[Double]("top_bigram_frac") - 1.0 / 3) < 1e-12)
+  }
+
+  test("bm25: the rare term dominates, per-term scores sum to the total") {
+    val out = Pipeline.queries("text_bm25")(spark, sf001)
+    out.cache()
+    try {
+      val docs = Tables.documents(spark, sf001)
+        .select(col("doc_id"), array_contains(split(col("text"), " "), "dup").as("has_dup"))
+      val j = out.join(docs, "doc_id")
+      // s_dup > 0 exactly for docs containing the term
+      assert(j.filter(col("has_dup") =!= (col("s_dup") > 0)).count() == 0)
+      // rare-term docs outscore every no-dup doc (idf dominance)
+      val minWith = j.filter(col("has_dup")).agg(min("score")).as[Double].head()
+      val maxWithout = j.filter(!col("has_dup")).agg(max("score")).as[Double].head()
+      assert(minWith > maxWithout,
+        s"rare-term min $minWith must exceed common-only max $maxWithout")
+      // the total is the fixed-order sum of the parts (within rounding)
+      assert(out.filter(abs(col("s_dup") + col("s_vector") + col("s_window") -
+        col("score")) > 0.0002).count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("quality gate: mask decomposes into bits, keep == all rules pass") {
+    val out = Pipeline.queries("quality_gate")(spark, sf001)
+    out.cache()
+    try {
+      assert(out.filter(col("fail_mask") =!=
+        ((lit(1) - col("r_len")) * 1 + (lit(1) - col("r_stop")) * 2 +
+          (lit(1) - col("r_alpha")) * 4 + (lit(1) - col("r_rep")) * 8)).count() == 0)
+      assert(out.filter((col("keep") === 1) =!= (col("fail_mask") === 0)).count() == 0)
+      // the gate is non-trivial on the fixture: both outcomes occur
+      assert(out.filter(col("keep") === 1).count() > 0)
+      assert(out.filter(col("keep") === 0).count() > 0)
+    } finally out.unpersist()
+  }
+
+  test("corpus split: partitions the corpus 80/10/10-ish, reproducible") {
+    val out = Pipeline.queries("corpus_split")(spark, sf001)
+    val docs = Tables.documents(spark, sf001).count()
+    val bySplit = out.groupBy("split").agg(sum("n_docs").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(bySplit.values.sum == docs, "splits must partition the corpus")
+    assert(bySplit("train") > bySplit.getOrElse("val", 0L))
+    assert(bySplit("train") > bySplit.getOrElse("test", 0L))
+    assert(out.collect().toSeq == Pipeline.queries("corpus_split")(spark, sf001).collect().toSeq)
+  }
 }
