@@ -122,6 +122,22 @@ object Analytic {
         .orderBy("user_id")
     }),
 
+    // CEP pattern matching (Flink CEP / SQL MATCH_RECOGNIZE): greedy
+    // `C+ P` — a maximal run of consecutive clicks immediately followed
+    // by a purchase, WITHIN 10 minutes of the purchase, AFTER MATCH SKIP
+    // PAST LAST ROW. Rewritten as gaps-and-islands: a running count of
+    // non-click events blocks each click run; the run preceding a
+    // purchase is the one whose block index is the purchase's minus one.
+    // Every window/join is user-keyed — per-key linear at any scale.
+    "event_cep" -> ((s, d) =>
+      graft.api.Cep.runThenFinal(Tables.events(s, d), "user_id", "ts",
+          "event_id", "event_type", "click", "purchase",
+          expr("INTERVAL 10 MINUTES"))
+        .select(col("user_id"), col("final_id").as("purchase_id"),
+          col("final_ts").as("purchase_ts"), col("n_run").as("n_clicks"),
+          col("first_run_ts").as("first_click_ts"))
+        .orderBy("user_id", "purchase_id")),
+
     "topk_per_group" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d)
@@ -324,6 +340,24 @@ object Analytic {
         |SELECT user_id, t_view, t_click, t_purchase,
         |       epoch_us(t_purchase) - epoch_us(t_view) AS funnel_us
         |FROM p ORDER BY user_id""".stripMargin,
+
+    "event_cep" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    sum(CASE WHEN event_type != 'click' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS blk
+        |  FROM events),
+        |p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id,
+        |             blk - 1 AS pblk
+        |      FROM t WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, blk, ts AS cts FROM t WHERE event_type = 'click')
+        |SELECT p.user_id, purchase_id, purchase_ts,
+        |       count(*) AS n_clicks, min(cts) AS first_click_ts
+        |FROM p JOIN c ON c.user_id = p.user_id AND c.blk = p.pblk
+        |WHERE cts >= purchase_ts - INTERVAL 10 MINUTE
+        |GROUP BY p.user_id, purchase_id, purchase_ts
+        |ORDER BY p.user_id, purchase_id""".stripMargin,
 
     "topk_per_group" ->
       """SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM (

@@ -121,6 +121,31 @@ class CoreSpec extends SparkSuite {
     }
   }
 
+  test("CEP run-then-final: adjacency, WITHIN bound, skip-past semantics") {
+    import java.sql.Timestamp
+    def ts(min: Int) = new Timestamp(1704067200000L + min * 60000L)
+    val ev = Seq(
+      // user 1: click click purchase -> match with 2 clicks
+      (1L, ts(0), 1L, "click"), (1L, ts(1), 2L, "click"), (1L, ts(2), 3L, "purchase"),
+      // then view purchase -> NO match (view breaks the run)
+      (1L, ts(3), 4L, "view"), (1L, ts(4), 5L, "purchase"),
+      // user 2: click 30 min before purchase -> outside WITHIN, no match
+      (2L, ts(0), 6L, "click"), (2L, ts(30), 7L, "purchase"),
+      // user 3: old click, view, two fresh clicks, purchase -> 2 clicks
+      (3L, ts(0), 8L, "click"), (3L, ts(1), 9L, "view"),
+      (3L, ts(5), 10L, "click"), (3L, ts(6), 11L, "click"), (3L, ts(7), 12L, "purchase"),
+      // user 4: run longer than WITHIN: only the in-window suffix counts
+      (4L, ts(0), 13L, "click"), (4L, ts(8), 14L, "click"), (4L, ts(15), 15L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = graft.api.Cep.runThenFinal(ev, "user_id", "ts", "event_id",
+        "event_type", "click", "purchase", expr("INTERVAL 10 MINUTES"))
+      .orderBy("user_id", "final_id")
+      .select(col("user_id"), col("final_id"), col("n_run"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L, 2L), (3L, 12L, 2L), (4L, 15L, 1L)),
+      s"unexpected CEP matches: $out")
+  }
+
   test("mode/median: median brackets the data, mode is the true argmax") {
     val out = graft.queries.Relational.queries("agg_mode_median")(spark, sf001)
       .collect()
