@@ -53,6 +53,22 @@ object Streaming {
           ev.filter(col("event_type") === "purchase"),
           ev.filter(col("event_type") === "click"), "left_outer")
         .orderBy(col("p_id"), col("c_id").asc_nulls_first)
+    }),
+
+    // Stateful CEP (Flink CEP `C+ P WITHIN 10 min`): batch replay of the
+    // flatMapGroupsWithState pattern matcher — row-identical to the
+    // event_cep gaps-and-islands rewrite, which is what the oracle pins.
+    // Streaming execution (incremental runs, state pruning, cross-batch
+    // carryover) is covered by StreamingSpec.
+    "stream_cep" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Ev]
+      StreamOps.cepRunThenFinal(ev, withinMinutes = 10)
+        .toDF()
+        .orderBy("user_id", "purchase_id")
     })
   )
 
@@ -90,6 +106,26 @@ object Streaming {
         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id
         | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
-        |ORDER BY p_id, c_id NULLS FIRST""".stripMargin
+        |ORDER BY p_id, c_id NULLS FIRST""".stripMargin,
+
+    // Same islands rewrite as event_cep's oracle — the stateful matcher
+    // must reproduce the declarative pattern row-for-row.
+    "stream_cep" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    sum(CASE WHEN event_type != 'click' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS blk
+        |  FROM events),
+        |p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id,
+        |             blk - 1 AS pblk
+        |      FROM t WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, blk, ts AS cts FROM t WHERE event_type = 'click')
+        |SELECT p.user_id, purchase_id, purchase_ts,
+        |       count(*) AS n_clicks, min(cts) AS first_click_ts
+        |FROM p JOIN c ON c.user_id = p.user_id AND c.blk = p.pblk
+        |WHERE cts >= purchase_ts - INTERVAL 10 MINUTE
+        |GROUP BY p.user_id, purchase_id, purchase_ts
+        |ORDER BY p.user_id, purchase_id""".stripMargin
   )
 }

@@ -14,6 +14,13 @@ case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 /** Early/final emission from the custom-trigger operator. */
 case class UserEmit(user_id: Long, n_events: Long, sum_value: Double, emit_kind: String)
 
+/** One CEP `C+ P` match (see StreamOps.cepRunThenFinal / api.Cep). */
+case class CepMatch(user_id: Long, purchase_id: Long, purchase_ts: java.sql.Timestamp,
+                    n_clicks: Long, first_click_ts: java.sql.Timestamp)
+
+/** CEP keyed state: epoch-micros of the clicks in the current run. */
+private[streaming] case class CepState(run: Seq[Long])
+
 private[streaming] case class UserAgg(n_events: Long, sum_cents: Long, max_ts_ms: Long)
 
 /** transformWithState form of the custom trigger (SURVEY §2.J / §2.L
@@ -158,6 +165,66 @@ object StreamOps {
               Iterator(UserEmit(user, st.n_events, st.sum_cents / 100.0, "final"))
             }
           }
+      }
+  }
+
+  /** Exact Timestamp↔epoch-micros round-trip (Timestamp.getTime already
+    * includes the integral millis of the nanos field).
+    */
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    (t.getTime - t.getNanos / 1000000) * 1000L + t.getNanos / 1000
+  private def microsTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000)
+    t.setNanos((us % 1000000).toInt * 1000)
+    t
+  }
+
+  /** Streaming CEP `C+ P WITHIN n` (Flink CEP's flagship pattern, the
+    * stateful sibling of api.Cep.runThenFinal): per user, a maximal run
+    * of consecutive clicks ended by a purchase emits one match counting
+    * the run clicks within `withinMinutes` of the purchase; any other
+    * event type (or the purchase itself — AFTER MATCH SKIP PAST LAST
+    * ROW) resets the run.
+    *
+    * State is the click-timestamp list of the CURRENT run only, pruned
+    * each batch to the `withinMinutes` horizon behind the latest event —
+    * clicks older than that can never satisfy the WITHIN bound of a
+    * later purchase, so per-key state is time-bounded exactly like a
+    * watermarked window (no unbounded NFA buffers).
+    *
+    * Each invocation sorts its buffered rows by (ts, event_id), so batch
+    * replay (one invocation per key, arbitrary iterator order) is
+    * deterministic and equals the api.Cep batch rewrite row-for-row.
+    * Streaming delta (documented, tested): ordering holds WITHIN a
+    * micro-batch; an event arriving in a later batch than a
+    * younger-timestamped one replays Flink's un-watermarked CEP behavior
+    * (pattern evaluated in arrival order).
+    */
+  def cepRunThenFinal(ev: Dataset[Ev], withinMinutes: Int): Dataset[CepMatch] = {
+    import ev.sparkSession.implicits._
+    val withinUs = withinMinutes * 60L * 1000000L
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CepState, CepMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[Ev], state: GroupState[CepState]) =>
+          val evs = events.toArray.sortBy(e => (tsMicros(e.ts), e.event_id))
+          var run = state.getOption.map(_.run).getOrElse(Seq.empty[Long])
+          val out = scala.collection.mutable.ArrayBuffer.empty[CepMatch]
+          evs.foreach { e =>
+            e.event_type match {
+              case "click" => run = run :+ tsMicros(e.ts)
+              case "purchase" =>
+                val hits = run.filter(_ >= tsMicros(e.ts) - withinUs)
+                if (hits.nonEmpty)
+                  out += CepMatch(user, e.event_id, e.ts, hits.size, microsTs(hits.min))
+                run = Seq.empty
+              case _ => run = Seq.empty
+            }
+          }
+          if (evs.nonEmpty)
+            run = run.filter(_ >= tsMicros(evs.last.ts) - withinUs)
+          if (run.isEmpty) state.remove() else state.update(CepState(run))
+          out.iterator
       }
   }
 

@@ -251,6 +251,54 @@ class StreamingSpec extends SparkSuite {
       s"click-only session must close after its 20 min gap: $rows")
   }
 
+  test("CEP under streaming: runs carry across batches, state prunes to WITHIN") {
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.cepRunThenFinal(ms.toDS(), withinMinutes = 10)
+      .writeStream.format("memory").queryName("cep").outputMode("append").start()
+    // batch 1: an open click run for user 1
+    ms.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 10:02:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    // batch 2: the purchase completes the run CARRIED FROM BATCH 1;
+    // then a view breaks the stream and a fresh click opens a new run
+    ms.addData(
+      Ev(3, ts("2024-01-01 10:05:00"), 1, "purchase", 1.0),
+      Ev(4, ts("2024-01-01 10:06:00"), 1, "view", 1.0),
+      Ev(5, ts("2024-01-01 10:07:00"), 1, "click", 1.0),
+      // user 2: run broken by a view inside one batch -> never matches
+      Ev(7, ts("2024-01-01 10:00:00"), 2, "click", 1.0),
+      Ev(8, ts("2024-01-01 10:01:00"), 2, "view", 1.0),
+      Ev(9, ts("2024-01-01 10:02:00"), 2, "purchase", 1.0))
+    q.processAllAvailable()
+    // batch 3: purchase 23 min after the open click -> outside WITHIN
+    ms.addData(Ev(6, ts("2024-01-01 10:30:00"), 1, "purchase", 1.0))
+    drain(q)
+    val got = spark.table("cep")
+      .select("user_id", "purchase_id", "n_clicks", "first_click_ts")
+      .as[(Long, Long, Long, Timestamp)].collect().toSet
+    assert(got == Set((1L, 3L, 2L, ts("2024-01-01 10:00:00"))),
+      s"expected exactly the cross-batch match: $got")
+  }
+
+  test("batch and streaming CEP agree with the declarative rewrite on replay") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, sf001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Ev]
+    val stateful = StreamOps.cepRunThenFinal(ev, withinMinutes = 10)
+      .collect().toSet
+    val declarative = graft.api.Cep.runThenFinal(Tables.events(spark, sf001),
+        "user_id", "ts", "event_id", "event_type", "click", "purchase",
+        org.apache.spark.sql.functions.expr("INTERVAL 10 MINUTES"))
+      .select(col("user_id"), col("final_id").as("purchase_id"),
+        col("final_ts").as("purchase_ts"), col("n_run").as("n_clicks"),
+        col("first_run_ts").as("first_click_ts"))
+      .as[graft.streaming.CepMatch].collect().toSet
+    assert(stateful == declarative,
+      s"stateful=${stateful.size} vs declarative=${declarative.size} matches")
+  }
+
   test("batch and streaming sliding agg agree on full replay (complete mode)") {
     import graft.api.Windows
     import org.apache.spark.sql.functions._
