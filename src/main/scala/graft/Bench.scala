@@ -21,7 +21,8 @@ object Bench {
     "stream_tumbling_append", "stream_custom_trigger", "stream_interval_join",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_clusters", "sim_cosine_topk", "sim_ann_partitioned", "sim_lsh_bucketed",
-    "text_stats", "text_tfidf", "pipeline_corpus", "corpus_pack")
+    "text_stats", "text_tfidf", "pipeline_corpus", "corpus_pack",
+    "event_cep", "quality_gate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

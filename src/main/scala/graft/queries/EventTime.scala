@@ -219,6 +219,23 @@ object EventTime {
         .orderBy("user_id", "hr")
     }),
 
+    // OHLC downsampling (the time-series bar-chart rollup): per
+    // (user, hour) the first/max/min/last tick value plus tick count.
+    // min_by/max_by on ts pick values, never sum them — exact doubles.
+    // (ts is unique per user in this data — verified at sf0.01/0.1 —
+    // so the ts order pick is deterministic without a tiebreak, which
+    // DuckDB's arg_min/arg_max could not express.)
+    "ts_ohlc" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("hr", date_trunc("hour", col("ts")))
+        .groupBy("user_id", "hr")
+        .agg(min_by(col("value"), col("ts")).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), col("ts")).as("close"),
+          count(lit(1)).as("n_ticks"))
+        .orderBy("user_id", "hr")),
+
     // Flink DataStream window join: purchase ⋈ click of the same user
     // inside the same 1 h tumbling window. Equi-join on (user, window) —
     // a plain co-partitioned shuffle join at any scale.
@@ -273,6 +290,12 @@ object EventTime {
         |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
+
+    "ts_ohlc" ->
+      """SELECT user_id, date_trunc('hour', ts)::TIMESTAMP AS hr,
+        |  arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+        |  arg_max(value, ts) AS close, count(*) AS n_ticks
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, hr""".stripMargin,
 
     // Spark's max_by(value, struct(ts, event_id)) = the row_number()=1
     // pick here; generate_series and sequence are both end-inclusive.
