@@ -323,6 +323,32 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // Deterministic training-order interleave (the data-ordering step
+    // before packing): within each language docs rank by md5 order, and
+    // languages alternate round-robin via pos = (rn-1)*n_langs +
+    // lang_idx. The language index comes from a tiny lang<lang
+    // self-join (never a global window — SinglePartition-free), and the
+    // order is a pure function of the data: a 100 TB rebuild reproduces
+    // the identical curriculum.
+    "corpus_interleave" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val wr = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val langs = docs.select("lang").distinct()
+      val li = langs.as("a").join(langs.as("b"),
+          col("b.lang") < col("a.lang"), "left_outer")
+        .groupBy(col("a.lang").as("lang")).agg(count(col("b.lang")).as("lang_idx"))
+      val nl = docs.agg(countDistinct("lang").as("nl"))
+      docs.select("doc_id", "lang")
+        .withColumn("rn", row_number().over(wr))
+        .join(broadcast(li), "lang")
+        .crossJoin(broadcast(nl))
+        .withColumn("pos",
+          (col("rn") - 1).cast("long") * col("nl") + col("lang_idx"))
+        .select("doc_id", "lang", "rn", "pos")
+        .orderBy("pos", "doc_id")
+    }),
+
     // Deterministic train/val/test split (80/10/10) keyed by a 60-bit
     // md5 prefix of the doc id — content-stable across re-runs, input
     // order, and partitioning, exactly like corpus_shard's routing.
@@ -780,6 +806,20 @@ object Pipeline {
         |  (1 - r_len) * 1 + (1 - r_stop) * 2 + (1 - r_alpha) * 4 + (1 - r_rep) * 8 AS fail_mask,
         |  CASE WHEN r_len + r_stop + r_alpha + r_rep = 4 THEN 1 ELSE 0 END AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "corpus_interleave" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |        CAST(row_number() OVER (PARTITION BY lang
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rn
+        |      FROM documents),
+        |li AS (SELECT a.lang, count(b.lang) AS lang_idx
+        |       FROM (SELECT DISTINCT lang FROM documents) a
+        |       LEFT JOIN (SELECT DISTINCT lang FROM documents) b ON b.lang < a.lang
+        |       GROUP BY a.lang),
+        |nl AS (SELECT count(DISTINCT lang) AS nl FROM documents)
+        |SELECT doc_id, r.lang, rn, CAST(rn - 1 AS BIGINT) * nl + lang_idx AS pos
+        |FROM r JOIN li ON r.lang = li.lang CROSS JOIN nl
+        |ORDER BY pos, doc_id""".stripMargin,
 
     "corpus_split" ->
       """WITH b AS (SELECT doc_id, lang, text,

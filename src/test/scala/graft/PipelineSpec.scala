@@ -352,6 +352,25 @@ class PipelineSpec extends SparkSuite {
     } finally out.unpersist()
   }
 
+  test("corpus interleave: unique positions, strict round-robin residues") {
+    val out = Pipeline.queries("corpus_interleave")(spark, sf001)
+    out.cache()
+    try {
+      val n = out.count()
+      assert(out.select("pos").distinct().count() == n, "positions must be unique")
+      // every language owns a fixed residue class mod n_langs
+      val nl = out.select("lang").distinct().count()
+      val residues = out.select(col("lang"), pmod(col("pos"), lit(nl)).as("r"))
+        .distinct().groupBy("lang").count().as[(String, Long)].collect()
+      assert(residues.forall(_._2 == 1),
+        s"each lang must map to exactly one residue: ${residues.toSeq}")
+      // the first n_langs positions are one doc from each language
+      val head = out.orderBy("pos").limit(nl.toInt)
+        .select("lang").distinct().count()
+      assert(head == nl, "the first cycle must contain every language once")
+    } finally out.unpersist()
+  }
+
   test("corpus split: partitions the corpus 80/10/10-ish, reproducible") {
     val out = Pipeline.queries("corpus_split")(spark, sf001)
     val docs = Tables.documents(spark, sf001).count()
