@@ -167,4 +167,62 @@ object GraftProps extends Properties("graft") {
       surv1.select("doc_id").collect().toSet == again.select("doc_id").collect().toSet &&
         surv1.count() == df.select("text").distinct().count()
     }
+
+  /** Random keyed event sequences: (user, seconds offset, event id,
+    * type) with types weighted toward clicks so C+ P matches occur.
+    */
+  private val cepGen: Gen[List[(Long, Long, Long, String)]] =
+    Gen.nonEmptyListOf(for {
+      user <- Gen.choose(1L, 3L)
+      offs <- Gen.choose(0L, 7200L)
+      typ <- Gen.frequency(5 -> Gen.const("click"), 2 -> Gen.const("purchase"),
+        2 -> Gen.const("view"))
+    } yield (user, offs, typ)).map(_.zipWithIndex.map {
+      case ((u, o, t), i) => (u, o, i.toLong, t)
+    })
+
+  /** Sequential reference matcher for greedy C+ P WITHIN — the spec both
+    * the declarative rewrite (api.Cep) and the stateful streaming matcher
+    * must reproduce.
+    */
+  private def cepReference(rows: List[(Long, Long, Long, String)],
+                           withinSec: Long): Set[(Long, Long, Long, Long)] =
+    rows.groupBy(_._1).flatMap { case (user, evs) =>
+      var run = List.empty[Long] // click offsets, oldest first
+      evs.sortBy(e => (e._2, e._3)).flatMap { case (_, offs, id, typ) =>
+        typ match {
+          case "click" => run = run :+ offs; None
+          case "purchase" =>
+            val hits = run.filter(_ >= offs - withinSec)
+            run = Nil
+            if (hits.nonEmpty) Some((user, id, hits.size.toLong, hits.min)) else None
+          case _ => run = Nil; None
+        }
+      }
+    }.toSet
+
+  property("CEP: declarative rewrite and stateful matcher equal the reference") =
+    forAll(cepGen) { rows =>
+      val sp = spark
+      import sp.implicits._
+      // distinct (user, ts): the engine tiebreaks equal timestamps by
+      // event id, while the reference's WITHIN math is ts-only — dedup
+      // keeps the property about ordering semantics, not tie choices
+      val uniq = rows.groupBy(r => (r._1, r._2)).map(_._2.head).toList
+      val df = uniq.map { case (u, o, id, t) =>
+        (id, new Timestamp(base + o * 1000), u, t, 1.0)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val want = cepReference(uniq, withinSec = 600)
+      val decl = graft.api.Cep.runThenFinal(df, "user_id", "ts", "event_id",
+          "event_type", "click", "purchase", expr("INTERVAL 10 MINUTES"))
+        .select(col("user_id"), col("final_id"), col("n_run"),
+          ((col("first_run_ts").cast("long")) - lit(base / 1000)).as("offs"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val stateful = graft.streaming.StreamOps
+        .cepRunThenFinal(df.as[graft.streaming.Ev], withinMinutes = 10)
+        .select(col("user_id"), col("purchase_id"), col("n_clicks"),
+          ((col("first_click_ts").cast("long")) - lit(base / 1000)).as("offs"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      decl == want && stateful == want
+    }
 }
