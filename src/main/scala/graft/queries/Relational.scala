@@ -379,6 +379,18 @@ object Relational {
           count(lit(1)).as("n_events"))
         .orderBy("user_id")),
 
+    // Fixed-width histogram (the profiling/data-quality rollup): bucket
+    // by exact floor arithmetic (DuckDB has no width_bucket; the
+    // explicit formula is engine-identical), then one partial/final agg
+    // — histogram state is O(groups x buckets), never O(rows).
+    "agg_histogram" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("bucket",
+          least(floor((col("l_quantity") - 1) / 5), lit(9L)).cast("int"))
+        .groupBy("l_returnflag", "bucket")
+        .agg(count(lit(1)).as("n"), Det.sumMoney(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_returnflag", "bucket")),
+
     // Exact interpolating MEDIAN (a built-in partial/final agg) plus a
     // deterministic MODE: native mode() tie-breaks are engine-defined,
     // so the tie rule (max count, then min value) is pinned explicitly
@@ -628,6 +640,13 @@ object Relational {
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |              JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name) ORDER BY region, nation""".stripMargin,
+
+    "agg_histogram" ->
+      """SELECT l_returnflag,
+        |  CAST(least(floor((l_quantity - 1) / 5), 9) AS INTEGER) AS bucket,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, bucket""".stripMargin,
 
     "agg_mode_median" ->
       """WITH med AS (SELECT lang, median(n_chars) AS med_chars, count(*) AS n_docs

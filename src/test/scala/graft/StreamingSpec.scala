@@ -281,6 +281,27 @@ class StreamingSpec extends SparkSuite {
       s"expected exactly the cross-batch match: $got")
   }
 
+  test("CEP cross-batch out-of-order: arrival-order semantics, as documented") {
+    // An event arriving a batch LATE (older ts than already-processed
+    // rows) is evaluated in arrival order — the documented delta vs a
+    // fully event-time-ordered matcher (StreamOps.cepRunThenFinal doc).
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.cepRunThenFinal(ms.toDS(), withinMinutes = 10)
+      .writeStream.format("memory").queryName("cep_ooo").outputMode("append").start()
+    ms.addData(Ev(2, ts("2024-01-01 10:02:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    // batch 2 delivers an OLDER view (would break the run under full
+    // event-time order) plus the purchase; within the batch they sort by
+    // ts, so view(10:01) precedes purchase(10:03) and resets the run —
+    // the batch-1 click is lost to the reset, purchase finds no run
+    ms.addData(
+      Ev(3, ts("2024-01-01 10:01:00"), 1, "view", 1.0),
+      Ev(4, ts("2024-01-01 10:03:00"), 1, "purchase", 1.0))
+    drain(q)
+    assert(spark.table("cep_ooo").count() == 0,
+      "arrival-order semantics: the late view resets the carried run")
+  }
+
   test("batch and streaming CEP agree with the declarative rewrite on replay") {
     import org.apache.spark.sql.functions.col
     val ev = Tables.events(spark, sf001)
