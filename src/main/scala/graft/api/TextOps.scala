@@ -203,6 +203,31 @@ object TextOps {
         coalesce(col("top_bg_c").cast("double") / (col("n_tok") - 1), lit(0.0)).as("top_bigram_frac"))
   }
 
+  /** Chunk-sharing boilerplate signal: split each doc into
+    * non-overlapping `chunkTokens`-token chunks; a chunk appearing in
+    * >= 2 distinct docs is shared, and the per-doc shared fraction
+    * flags templated/partially-copied text (the overlap granularity
+    * between whole-doc exact dedup and shingle near-dup). Chunks ride
+    * the shuffle as 60-bit md5 hashes; both shuffles are chunk-hash /
+    * doc-keyed — linear in the corpus, output O(docs). Exact-duplicate
+    * docs share every chunk by construction (share_frac = 1).
+    */
+  def chunkShare(df: DataFrame, idCol: String, textCol: String,
+                 chunkTokens: Int = 10): DataFrame = {
+    val ch = df.withColumn("tk", split(col(textCol), " "))
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, greatest(size(tk), 1), $chunkTokens), i -> concat_ws(' ', slice(tk, i, $chunkTokens)))")).as("chunk"))
+      .withColumn("h", element_at(
+        graft.functions.Signatures.md5_prefix(array(col("chunk")), 15), 1))
+    val sharing = ch.groupBy("h").agg(countDistinct(idCol).as("ndocs"))
+    ch.join(sharing, "h")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("share_frac",
+        col("n_shared").cast("double") / col("n_chunks"))
+  }
+
   /** BM25 relevance of each document against a fixed query term set
     * (k1 = 1.2, b = 0.75 folded into literal constants so the float
     * arithmetic replays bit-identically cross-engine). The per-doc score

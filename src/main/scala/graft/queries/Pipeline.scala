@@ -276,6 +276,19 @@ object Pipeline {
           length(col("norm_text")).as("n_norm"))
         .orderBy("doc_id")),
 
+    // Chunk-sharing boilerplate detector (the partial-overlap signal
+    // between whole-doc dedup and shingle near-dup): docs split into
+    // non-overlapping 10-token chunks; a chunk appearing in >= 2
+    // distinct docs is "shared", and the per-doc shared fraction flags
+    // templated/boilerplate text. Chunks ride the shuffle as 60-bit md5
+    // hashes; both shuffles are chunk-hash / doc-id keyed — linear at
+    // any corpus size, output O(docs).
+    "text_chunk_share" -> ((s, d) =>
+      TextOps.chunkShare(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("n_chunks"), col("n_shared"),
+          Det.round4(col("share_frac")).as("share_frac"))
+        .orderBy("doc_id")),
+
     // Gopher-style repetition signals (duplicate-token fraction, top
     // token/bigram fraction) — the looped-boilerplate detector a quality
     // gate runs before training. All shuffles are doc-id-keyed.
@@ -739,6 +752,22 @@ object Pipeline {
         |  CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
         |                      '  +', ' ', 'g'))) AS INTEGER) AS n_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_chunk_share" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |ch AS (SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(c), 1, 15)) AS BIGINT) AS h
+        |       FROM (SELECT doc_id,
+        |               unnest(list_transform(range(1, greatest(len(tk), 1) + 1, 10),
+        |                 i -> array_to_string(tk[i:i+9], ' '))) AS c
+        |             FROM t)),
+        |sh AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM ch GROUP BY h),
+        |agg AS (SELECT doc_id, count(*) AS n_chunks,
+        |          sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS n_shared
+        |        FROM ch JOIN sh USING (h) GROUP BY doc_id)
+        |SELECT doc_id, n_chunks, CAST(n_shared AS BIGINT) AS n_shared,
+        |  floor(n_shared::DOUBLE / n_chunks * 10000 + 0.5) / 10000 AS share_frac
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

@@ -352,6 +352,27 @@ class PipelineSpec extends SparkSuite {
     } finally out.unpersist()
   }
 
+  test("chunk share: fractions bounded on the fixture; dup/unique invariants exact") {
+    val out = Pipeline.queries("text_chunk_share")(spark, sf001)
+    assert(out.filter(col("share_frac") < 0 || col("share_frac") > 1).count() == 0)
+    assert(out.filter(col("n_shared") > col("n_chunks")).count() == 0)
+    // synthetic corpus: docs 1/2 byte-identical (share 100%), doc 3
+    // copies only doc 1's FIRST 10-token chunk (shares 1 of 2), doc 4
+    // disjoint (shares 0)
+    val c1 = (1 to 10).map(i => s"a$i").mkString(" ")
+    val c2 = (1 to 10).map(i => s"b$i").mkString(" ")
+    val c3 = (1 to 10).map(i => s"c$i").mkString(" ")
+    val df = Seq((1L, s"$c1 $c2"), (2L, s"$c1 $c2"), (3L, s"$c1 $c3"),
+      (4L, (1 to 20).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val byDoc = graft.api.TextOps.chunkShare(df, "doc_id", "text")
+      .select(col("doc_id"), col("share_frac")).as[(Long, Double)].collect().toMap
+    assert(byDoc(1L) == 1.0 && byDoc(2L) == 1.0,
+      s"exact duplicates must share all chunks: $byDoc")
+    assert(byDoc(3L) == 0.5, s"partial copy must share half: $byDoc")
+    assert(byDoc(4L) == 0.0, s"disjoint doc must share nothing: $byDoc")
+  }
+
   test("corpus interleave: unique positions, strict round-robin residues") {
     val out = Pipeline.queries("corpus_interleave")(spark, sf001)
     out.cache()
