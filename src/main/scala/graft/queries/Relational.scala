@@ -379,6 +379,29 @@ object Relational {
           count(lit(1)).as("n_events"))
         .orderBy("user_id")),
 
+    // Correlated scalar subqueries (the Catalyst de-correlation rewrite:
+    // each subquery becomes a segment-keyed aggregate + join — no
+    // per-row re-execution): orders strictly above their customer
+    // segment's average price. The comparison is price * count > sum in
+    // exact DECIMAL — never a double average, whose engine-side
+    // accumulation order would break the hash match.
+    "scalar_subquery" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql("""
+        |SELECT o.o_orderkey, c.c_mktsegment, o.o_totalprice
+        |FROM orders_v o JOIN customer_v c ON o.o_custkey = c.c_custkey
+        |WHERE CAST(o.o_totalprice AS DECIMAL(12,2)) *
+        |  (SELECT count(*) FROM orders_v o2 JOIN customer_v c2
+        |     ON o2.o_custkey = c2.c_custkey
+        |   WHERE c2.c_mktsegment = c.c_mktsegment) >
+        |  (SELECT sum(CAST(o2.o_totalprice AS DECIMAL(12,2)))
+        |   FROM orders_v o2 JOIN customer_v c2
+        |     ON o2.o_custkey = c2.c_custkey
+        |   WHERE c2.c_mktsegment = c.c_mktsegment)
+        |ORDER BY o.o_orderkey""".stripMargin)
+    }),
+
     // Fixed-width histogram (the profiling/data-quality rollup): bucket
     // by exact floor arithmetic (DuckDB has no width_bucket; the
     // explicit formula is engine-identical), then one partial/final agg
@@ -640,6 +663,19 @@ object Relational {
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |              JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name) ORDER BY region, nation""".stripMargin,
+
+    "scalar_subquery" ->
+      """SELECT o.o_orderkey, c.c_mktsegment, o.o_totalprice
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE CAST(o.o_totalprice AS DECIMAL(12,2)) *
+        |  (SELECT count(*) FROM orders o2 JOIN customer c2
+        |     ON o2.o_custkey = c2.c_custkey
+        |   WHERE c2.c_mktsegment = c.c_mktsegment) >
+        |  (SELECT sum(CAST(o2.o_totalprice AS DECIMAL(12,2)))
+        |   FROM orders o2 JOIN customer c2
+        |     ON o2.o_custkey = c2.c_custkey
+        |   WHERE c2.c_mktsegment = c.c_mktsegment)
+        |ORDER BY o.o_orderkey""".stripMargin,
 
     "agg_histogram" ->
       """SELECT l_returnflag,
