@@ -379,6 +379,24 @@ object Relational {
           count(lit(1)).as("n_events"))
         .orderBy("user_id")),
 
+    // LATERAL correlated subquery (Flink SQL LATERAL TABLE / SQL:1999
+    // lateral derived tables): per customer, the top-2 orders by price.
+    // Catalyst de-correlates the ORDER BY + LIMIT into a partitioned
+    // window rank — same distributed shape as topk_per_group, arrived
+    // at from the per-row subquery formulation.
+    "join_lateral" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql("""
+        |SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer_v c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders_v o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |WHERE c.c_custkey <= 100
+        |ORDER BY c_custkey, o_orderkey""".stripMargin)
+    }),
+
     // Correlated scalar subqueries (the Catalyst de-correlation rewrite:
     // each subquery becomes a segment-keyed aggregate + join — no
     // per-row re-execution): orders strictly above their customer
@@ -663,6 +681,15 @@ object Relational {
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |              JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name) ORDER BY region, nation""".stripMargin,
+
+    "join_lateral" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |WHERE c.c_custkey <= 100
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
 
     "scalar_subquery" ->
       """SELECT o.o_orderkey, c.c_mktsegment, o.o_totalprice

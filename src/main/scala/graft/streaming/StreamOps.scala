@@ -64,6 +64,46 @@ private[streaming] class TriggerProcessor(earlyEvery: Int)
   }
 }
 
+/** Per-user profile snapshot from the MapState/ListState processor. */
+case class UserProfile(user_id: Long, n_types: Long, n_events: Long, recent_ids: String)
+
+/** StatefulProcessor exercising the remaining Spark 4 state types
+  * (Flink's MapState/ListState analogs): a per-user MapState counts
+  * events by type (point lookups + partial updates — never rewriting a
+  * whole aggregate blob, the property that matters when a key's state is
+  * large), and a ListState keeps the last 3 event ids (appended, then
+  * trimmed — bounded). Each input batch emits one snapshot row per user
+  * seen; rows within an invocation are folded in (ts, event_id) order so
+  * batch boundaries never change the final snapshot.
+  */
+private[streaming] class ProfileProcessor
+    extends StatefulProcessor[Long, Ev, UserProfile] {
+  @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+  @transient private var recent: org.apache.spark.sql.streaming.ListState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    counts = getHandle.getMapState[String, Long]("counts",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    recent = getHandle.getListState[Long]("recent", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(user: Long, events: Iterator[Ev],
+                               timers: TimerValues): Iterator[UserProfile] = {
+    val evs = events.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+    evs.foreach { e =>
+      val c = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+      counts.updateValue(e.event_type, c + 1)
+      recent.appendValue(e.event_id)
+    }
+    val ids = recent.get().toArray.takeRight(3)
+    recent.clear()
+    ids.foreach(recent.appendValue)
+    val all = counts.iterator().toArray
+    Iterator(UserProfile(user, all.length.toLong, all.map(_._2).sum,
+      ids.mkString(",")))
+  }
+}
+
 /** Streaming-stateful operators (SURVEY.md §2.J) — Flink's
   * KeyedProcessFunction / Trigger / interval-join surface re-expressed on
   * Structured Streaming. Every transformation here accepts either a batch
@@ -166,6 +206,18 @@ object StreamOps {
             }
           }
       }
+  }
+
+  /** transformWithState profile accumulator over MapState + ListState —
+    * see ProfileProcessor. Streaming only (RocksDB store), exercised by
+    * StreamingSpec.
+    */
+  def profileTws(ev: Dataset[Ev]): Dataset[UserProfile] = {
+    import ev.sparkSession.implicits._
+    ev.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new ProfileProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Exact Timestamp↔epoch-micros round-trip (Timestamp.getTime already

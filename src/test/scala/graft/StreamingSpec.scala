@@ -105,6 +105,36 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("transformWithState MapState/ListState: per-type counts + trimmed recents") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = StreamOps.profileTws(ms.toDS())
+        .writeStream.format("memory").queryName("profile").outputMode("append").start()
+      ms.addData(
+        Ev(1, ts("2024-01-02 09:00:00"), 5, "click", 1.0),
+        Ev(2, ts("2024-01-02 09:01:00"), 5, "view", 1.0))
+      q.processAllAvailable()
+      // MapState survives the batch boundary; ListState trims to last 3
+      ms.addData(
+        Ev(3, ts("2024-01-02 09:02:00"), 5, "click", 1.0),
+        Ev(4, ts("2024-01-02 09:03:00"), 5, "click", 1.0))
+      drain(q)
+      val last = spark.table("profile")
+        .as[(Long, Long, Long, String)].collect()
+        .filter(_._1 == 5L).maxBy(_._3)
+      assert(last == ((5L, 2L, 4L, "2,3,4")),
+        s"expected 2 types / 4 events / recents [2,3,4], got $last")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream interval join emits purchase-click pairs in [-10min, 0]") {
     val mp = MemoryStream[Ev]
     val mc = MemoryStream[Ev]
