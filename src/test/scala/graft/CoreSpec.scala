@@ -169,6 +169,57 @@ class CoreSpec extends SparkSuite {
     }
   }
 
+  test("recursive_chain equals the non-recursive islands formulation") {
+    val rec = graft.queries.EventTime.queries("recursive_chain")(spark, sf001)
+      .as[(Long, Int, java.sql.Timestamp)].collect().toSet
+    // islands: break before any gap > 10 min; the chain from the first
+    // event is the first island's row count / max ts
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val isl = Tables.events(spark, sf001)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("brk", when(col("prev_ts").isNull ||
+        col("ts") > col("prev_ts") + expr("INTERVAL 10 MINUTES"), 1).otherwise(0))
+      .withColumn("grp", sum(col("brk")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .filter(col("grp") === 1)
+      .groupBy("user_id")
+      .agg(count(lit(1)).cast("int").as("chain_len"), max("ts").as("chain_end"))
+      .as[(Long, Int, java.sql.Timestamp)].collect().toSet
+    assert(rec == isl, s"recursive=${rec.size} vs islands=${isl.size} users")
+  }
+
+  test("join_lateral equals the window top-k formulation") {
+    val lat = graft.queries.Relational.queries("join_lateral")(spark, sf001)
+      .as[(Long, Long, Double)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val wnd = Tables.orders(spark, sf001)
+      .join(Tables.customer(spark, sf001).filter(col("c_custkey") <= 100),
+        col("o_custkey") === col("c_custkey"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(lat == wnd, s"lateral=${lat.size} vs window=${wnd.size} rows")
+  }
+
+  test("scalar_subquery equals the explicit aggregate-join formulation") {
+    val sub = graft.queries.Relational.queries("scalar_subquery")(spark, sf001)
+      .as[(Long, String, Double)].collect().toSet
+    val segAgg = Tables.orders(spark, sf001)
+      .join(Tables.customer(spark, sf001), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("cnt"), sum(Det.dec2(col("o_totalprice"))).as("ssum"))
+    val agg = Tables.orders(spark, sf001)
+      .join(Tables.customer(spark, sf001), col("o_custkey") === col("c_custkey"))
+      .join(segAgg, col("c_mktsegment") === col("seg"))
+      .filter(Det.dec2(col("o_totalprice")) * col("cnt") > col("ssum"))
+      .select(col("o_orderkey"), col("c_mktsegment"), col("o_totalprice"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(sub == agg, s"subquery=${sub.size} vs join=${agg.size} rows")
+  }
+
   test("DataFrame and spark.sql entry points converge (one engine)") {
     Tables.lineitem(spark, sf001).createOrReplaceTempView("li")
     Tables.events(spark, sf001).createOrReplaceTempView("ev")
