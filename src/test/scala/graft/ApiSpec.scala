@@ -161,6 +161,42 @@ class ApiSpec extends SparkSuite {
       Tables.events(spark, sf001).filter(col("event_type") === "purchase").count())
   }
 
+  test("mergeSchema reads across parquet schema evolution (added column)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    // epoch 1: (id, text); epoch 2 adds a quality column
+    Seq((1L, "alpha"), (2L, "beta")).toDF("id", "text")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "gamma", 0.9), (4L, "delta", 0.2)).toDF("id", "text", "quality")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "text", "quality"),
+      s"union schema expected, got ${merged.columns.toSeq}")
+    // old-epoch rows surface the new column as null, not a read failure
+    assert(merged.filter(col("quality").isNull).count() == 2)
+    assert(merged.count() == 4)
+  }
+
+  test("dynamic partition overwrite rebuilds one partition, leaves the rest") {
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_dpo").toString
+      Seq((1L, "en"), (2L, "en"), (3L, "de")).toDF("doc_id", "lang")
+        .write.partitionBy("lang").mode("overwrite").parquet(dir)
+      // incremental rebuild touches ONLY the 'en' partition
+      Seq((9L, "en")).toDF("doc_id", "lang")
+        .write.partitionBy("lang").mode("overwrite").parquet(dir)
+      val got = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+      assert(got == Set((9L, "en"), (3L, "de")),
+        s"'en' replaced, 'de' untouched expected; got $got")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", p)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
   test("no declared query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val p = fn(spark, sf001).queryExecution.executedPlan.toString
