@@ -24,6 +24,14 @@ object Bench {
     "text_stats", "text_tfidf", "pipeline_corpus", "corpus_pack",
     "event_cep", "quality_gate")
 
+  /** The 5 BASELINE.md operator shapes, emitted as their OWN `baseline`
+    * JSON block in both the printed line and BENCH_DETAIL.json so
+    * round-over-round verdicts compare like-for-like without
+    * reconstructing the subset from truncated tails (VERDICT r4 item 8).
+    */
+  private val baselineKeys: Seq[String] = Seq(
+    "scan_parquet", "agg_hash", "wnd_tumbling", "join_broadcast", "sim_cosine_topk")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -50,14 +58,15 @@ object Bench {
     def jsonMap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${jsonMap(results)},"sf":"$sfDir"}"""
+    val baseline = results.filter { case (k, _) => baselineKeys.contains(k) }
+    val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"baseline":${jsonMap(baseline)},"queries":${jsonMap(results)},"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
       java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
       println(s"full per-query timings -> ${p.toAbsolutePath}")
     } catch { case _: Throwable => () }
     val head = results.filter { case (k, _) => headline.contains(k) }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${jsonMap(head)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"baseline":${jsonMap(baseline)},"queries":${jsonMap(head)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

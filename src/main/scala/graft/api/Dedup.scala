@@ -343,6 +343,11 @@ object Dedup {
     * `localCheckpoint` so round N's plan doesn't replay rounds 1..N-1
     * (on a cluster, a reliable `checkpoint` dir serves the same
     * purpose).
+    *
+    * If the round budget is ever exhausted before convergence, the
+    * remaining labels are finished by [[starContract]] (alternating
+    * large-star/small-star, provably O(log n) rounds) instead of
+    * raising — no input graph can make this crash.
     */
   def clusters(nodes: DataFrame, idCol: String, pairs: DataFrame,
                aCol: String = "doc_a", bCol: String = "doc_b",
@@ -382,13 +387,81 @@ object Dedup {
       labels = next.select("id", "comp")
       round += 1
     }
-    require(changed == 0, s"connected components did not converge in $maxRounds rounds")
+    if (changed > 0) {
+      // Round budget exhausted (a graph whose diameter outruns even the
+      // pointer-jumped rounds): finish with the guaranteed-O(log n)
+      // contraction. Current labels are a valid coarsening (every label
+      // is reachable from its node), so contract label-graph edges —
+      // the star roots then extend back over each node's current label.
+      val lifted = edges.join(labels.select(col("id"), col("comp").as("sl")),
+          col("src") === col("id"))
+        .join(labels.select(col("id").as("id2"), col("comp").as("dl")),
+          col("dst") === col("id2"))
+        .select(col("sl").as("src"), col("dl").as("dst"))
+      val roots = starContract(lifted)
+      labels = labels.join(roots.withColumnRenamed("id", "comp"), Seq("comp"), "left")
+        .select(col("id"), coalesce(col("root"), col("comp")).as("comp"))
+    }
     val all = nodes.select(col(idCol).as("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
     val sizes = all.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
     all.join(sizes, "comp")
       .select(col("id").as(idCol), col("comp").as("cluster_id"), col("cluster_size"))
+  }
+
+  /** Alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14): provably
+    * converges to per-component min-rooted stars in O(log n) alternations,
+    * each one groupBy-min plus one equi-join — the same shuffle shape as
+    * a propagation round, but with a guarantee that does not depend on
+    * graph diameter. Used by [[clusters]] as the finish-line fallback
+    * when the propagation round budget runs out, so no input graph can
+    * turn convergence into an exception.
+    *
+    * Returns (id, root) for every node appearing in `edges0`.
+    */
+  private[graft] def starContract(edges0: DataFrame, cap: Int = 64): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val both = e.select("src", "dst")
+        .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val m = both.groupBy("src").agg(least(min(col("dst")), col("src")).as("m"))
+      both.join(m, "src").filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      val m = or.groupBy("src").agg(min(col("dst")).as("m"))
+      or.join(m, "src")
+        .select(col("dst").as("v"), col("m"))
+        .union(m.select(col("src").as("v"), col("m")))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("src"), col("m").as("dst")).distinct()
+    }
+    var e = edges0.filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct().localCheckpoint()
+    var n = e.count()
+    var stable = n == 0
+    var i = 0
+    while (!stable && i < cap) {
+      val e2 = smallStar(largeStar(e)).localCheckpoint()
+      val n2 = e2.count()
+      // exact set-equality fixpoint test: equal counts + empty diff
+      // (both sides are distinct); the fallback path trades these two
+      // cheap extra jobs for a guarantee, not for speed
+      stable = n2 == n && e2.except(e).isEmpty
+      e = e2; n = n2; i += 1
+    }
+    // fixpoint is a star forest: every edge is (node, component-min root);
+    // roots appear only on the dst side
+    val nodeLabels = e.select(col("src").as("id"), col("dst").as("root")).distinct()
+    val rootLabels = e.select(col("dst").as("id")).distinct()
+      .join(nodeLabels.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("root"))
+    nodeLabels.union(rootLabels)
   }
 
   /** GLOBAL embedding near-dup pairs via random-hyperplane LSH buckets:
@@ -459,17 +532,40 @@ object Dedup {
        |) WHERE cos >= ${threshold} ORDER BY vec_a, vec_b""".stripMargin
   }
 
-  /** Embedding near-dup pairs: cosine >= `threshold` within a blocking
-    * column (cluster/partition id).
+  /** Embedding near-dup pairs: exact cosine >= `threshold` within a
+    * BOUNDED block — (blockCol, shard), where shard is an
+    * engine-independent md5 hash of the id modulo a shard count chosen
+    * so the expected block stays under `maxBlock` rows. The shard count
+    * is derived IN-PLAN (max per-blockCol count / maxBlock, broadcast as
+    * a one-row frame — no driver action), so per-block candidate pairs
+    * are bounded by maxBlock²/2 and TOTAL candidates grow linearly with
+    * the corpus — the cost curve that survives 100 TB, unlike the
+    * previous label-only blocking whose blocks grew with the corpus
+    * (O(n²/|labels|) pairs).
+    *
+    * Semantics: a deterministic 1/shards sample of within-block pairs
+    * (both ends must hash to the same shard) — the exact-cosine AUDIT
+    * baseline for calibrating [[embedLshPairs]] (the scale path for
+    * full-recall near-dup detection). At small scale shards = 1 and the
+    * output equals the unsharded exact pair set. md5-derived shards
+    * replay bit-for-bit in the DuckDB oracle.
     */
   def embedCosinePairs(df: DataFrame, idCol: String, vecCol: String,
-                       blockCol: String, threshold: Double): DataFrame = {
+                       blockCol: String, threshold: Double,
+                       maxBlock: Int = 256): DataFrame = {
+    val nsh = df.groupBy(col(blockCol)).agg(count(lit(1)).as("__c"))
+      .agg(ceil(max(col("__c")) / lit(maxBlock.toDouble)).cast("long").as("__nsh"))
     val e = Similarity.withNorm(df, vecCol)
-    val a = e.select(col(idCol).as("vec_a"), col(blockCol),
+      .crossJoin(broadcast(nsh))
+      .withColumn("__shard", pmod(
+        conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long"),
+        col("__nsh")))
+    val a = e.select(col(idCol).as("vec_a"), col(blockCol), col("__shard"),
       col(vecCol).as("va"), col("nrm").as("na"))
     val b = e.select(col(idCol).as("vec_b"), col(blockCol).as("block_b"),
-      col(vecCol).as("vb"), col("nrm").as("nb"))
-    a.join(b, col(blockCol) === col("block_b") && col("vec_a") < col("vec_b"))
+      col("__shard").as("__shard_b"), col(vecCol).as("vb"), col("nrm").as("nb"))
+    a.join(b, col(blockCol) === col("block_b") &&
+        col("__shard") === col("__shard_b") && col("vec_a") < col("vec_b"))
       .withColumn("cos",
         graft.functions.GraftFunctions.vec_dot(col("va"), col("vb")) /
           (col("na") * col("nb")))

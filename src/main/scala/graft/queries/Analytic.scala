@@ -448,10 +448,17 @@ object Analytic {
         |  'https' AS proto
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // miss_is_null is DERIVED (json_extract IS NULL), not hard-coded, so
+    // it stays honest if the fixture ever gains a literal 'missing' key.
+    // `canon` is FIXTURE-COUPLED: DuckDB's json_extract re-serialization
+    // coincides with Spark's variant to_json only for the current
+    // single-key '{"k": <int>}' props shape (no key reordering, no
+    // nesting, no floats) — a props-schema change must revisit this
+    // oracle rather than trust it.
     "fn_variant" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
-        |  1 AS miss_is_null,
+        |  CAST(json_extract(props, '$.missing') IS NULL AS INTEGER) AS miss_is_null,
         |  json_extract(props, '$')::VARCHAR AS canon
         |FROM events ORDER BY event_id""".stripMargin
   )

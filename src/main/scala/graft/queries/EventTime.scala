@@ -250,18 +250,19 @@ object EventTime {
 
     // OHLC downsampling (the time-series bar-chart rollup): per
     // (user, hour) the first/max/min/last tick value plus tick count.
-    // min_by/max_by on ts pick values, never sum them — exact doubles.
-    // (ts is unique per user in this data — verified at sf0.01/0.1 —
-    // so the ts order pick is deterministic without a tiebreak, which
-    // DuckDB's arg_min/arg_max could not express.)
+    // min_by/max_by pick values, never sum them — exact doubles. The
+    // pick key is struct(ts, event_id) — a unique total order (same
+    // pattern as ts_fill_forward), so the result is deterministic even
+    // if two ticks of one user share a timestamp; the oracle mirrors
+    // the pick with row_number over (ts, event_id).
     "ts_ohlc" -> ((s, d) =>
       Tables.events(s, d)
         .withColumn("hr", date_trunc("hour", col("ts")))
         .groupBy("user_id", "hr")
-        .agg(min_by(col("value"), col("ts")).as("open"),
+        .agg(min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
           max(col("value")).as("high"),
           min(col("value")).as("low"),
-          max_by(col("value"), col("ts")).as("close"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
           count(lit(1)).as("n_ticks"))
         .orderBy("user_id", "hr")),
 
@@ -338,11 +339,22 @@ object EventTime {
         |SELECT user_id, CAST(max(depth) AS INTEGER) AS chain_len, max(ts) AS chain_end
         |FROM chain GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // open/close = the row_number()=1 pick under (ts, event_id) asc/desc
+    // — exactly Spark's min_by/max_by over struct(ts, event_id).
     "ts_ohlc" ->
-      """SELECT user_id, date_trunc('hour', ts)::TIMESTAMP AS hr,
-        |  arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
-        |  arg_max(value, ts) AS close, count(*) AS n_ticks
-        |FROM events GROUP BY 1, 2 ORDER BY user_id, hr""".stripMargin,
+      """WITH r AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hr, value,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |                       ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |                       ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |SELECT user_id, hr::TIMESTAMP AS hr,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  count(*) AS n_ticks
+        |FROM r GROUP BY user_id, hr ORDER BY user_id, hr""".stripMargin,
 
     // Spark's max_by(value, struct(ts, event_id)) = the row_number()=1
     // pick here; generate_series and sequence are both end-inclusive.

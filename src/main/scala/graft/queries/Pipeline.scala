@@ -137,6 +137,11 @@ object Pipeline {
         .select(col("vec_a"), col("vec_b"), Det.round4(col("cos")).as("cos"))
         .orderBy("vec_a", "vec_b")),
 
+    // The exact-cosine AUDIT sibling of dedup_embed_lsh: blocks are
+    // (label, md5-shard) with the shard count derived in-plan so a block
+    // never exceeds ~256 rows — bounded-quadratic per block, linear in
+    // the corpus (see Dedup.embedCosinePairs). At this fixture's scale
+    // shards = 1, so the declared output is the full within-label set.
     "dedup_embed_cosine" -> ((s, d) =>
       Dedup.embedCosinePairs(Tables.embeddings(s, d), "vec_id", "embedding",
           "label", 0.3)
@@ -594,13 +599,23 @@ object Pipeline {
         |  floor(list_max(list_transform(list_zip(v, q), p -> abs(p[1] - p[2] * scale))) * 1e6 + 0.5) / 1e6 AS max_err6
         |FROM q ORDER BY vec_id""".stripMargin,
 
+    // Replays the in-plan shard derivation (max label count / 256) and
+    // the md5 shard key, then the exact-cosine verify within
+    // (label, shard) blocks — same bounded blocking as the Spark side.
     "dedup_embed_cosine" ->
-      (cosCte + """
+      (cosCte + """,
+        |sh AS (SELECT CAST(ceil(max(cnt) / 256.0) AS BIGINT) AS nsh
+        |       FROM (SELECT count(*) AS cnt FROM e GROUP BY label)),
+        |es AS (SELECT e.*,
+        |         CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |           % (SELECT nsh FROM sh) AS shard
+        |       FROM e)
         |SELECT vec_a, vec_b, floor(cos * 10000 + 0.5) / 10000 AS cos FROM (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |    list_aggregate(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]), 'sum')
         |      / (a.nrm * b.nrm) AS cos
-        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  FROM es a JOIN es b ON a.label = b.label AND a.shard = b.shard
+        |                     AND a.vec_id < b.vec_id
         |) WHERE cos >= 0.3 ORDER BY vec_a, vec_b""".stripMargin),
 
     // Exact replay of the IVF routing: decimal-sum centroids (bit-equal

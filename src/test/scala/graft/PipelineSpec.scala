@@ -176,6 +176,66 @@ class PipelineSpec extends SparkSuite {
     assert(got == ids.map(i => (i, 0L, 40L)).toSet)
   }
 
+  test("connected components: star-contraction finishes an exhausted round budget") {
+    // a 30-link chain needs 29 plain-propagation rounds; with the budget
+    // capped at 3 and pointer jumping never engaging, the large-star/
+    // small-star fallback must converge instead of raising
+    val ids = (0L until 30L)
+    val nodes = ids.toDF("id")
+    val pairs = ids.sliding(2).map(w => (w(0), w(1))).toSeq.toDF("doc_a", "doc_b")
+    val got = graft.api.Dedup.clusters(nodes, "id", pairs,
+        maxRounds = 3, jumpAfter = 100)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == ids.map(i => (i, 0L, 30L)).toSet)
+  }
+
+  test("star contraction: random graphs match union-find ground truth") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val n = 40 + trial * 20
+      val edges = (0 until n).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      // union-find reference
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = touched.map(i => i -> find(i.toInt).toLong).toMap
+      val got = graft.api.Dedup.starContract(
+          edges.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"trial $trial: ${got.toSet -- want.toSet}")
+    }
+  }
+
+  test("embed cosine pairs: bounded (label, shard) blocks = deterministic same-shard sample") {
+    val e = Tables.embeddings(spark, sf001)
+    val full = graft.api.Dedup.embedCosinePairs(e, "vec_id", "embedding",
+        "label", 0.3, maxBlock = Int.MaxValue)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val sharded = graft.api.Dedup.embedCosinePairs(e, "vec_id", "embedding",
+        "label", 0.3, maxBlock = 8)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    // the same md5-mod shard the engine computes, replayed locally
+    val maxLabel = e.groupBy("label").count().agg(max("count")).as[Long].head()
+    val nsh = math.ceil(maxLabel / 8.0).toLong
+    def shardOf(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % nsh
+    }
+    assert(nsh > 1, "fixture must actually shard at maxBlock=8")
+    assert(sharded == full.filter { case (a, b) => shardOf(a) == shardOf(b) },
+      "sharded output must be exactly the same-shard subset of the exact pairs")
+    // the join must key on (label, shard), never label alone
+    val plan = graft.api.Dedup.embedCosinePairs(e, "vec_id", "embedding",
+      "label", 0.3, maxBlock = 8).queryExecution.executedPlan.toString
+    assert(plan.contains("__shard"), "join keys must include the bounding shard")
+  }
+
   test("stratified sample: exactly ceil(frac*n) rows per stratum, reproducible") {
     val out = Pipeline.queries("sample_stratified")(spark, sf001)
     val per = out.groupBy("lang").count()
