@@ -1,13 +1,86 @@
 package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{Window => W}
 import org.apache.spark.sql.functions._
 
+/** One CEP pattern step: a symbol with a greedy quantifier.
+  * `{minRep, maxRep}`; `maxRep = None` is unbounded (`+` = (1, None),
+  * `?` = (0, Some(1)), exactly-one = (1, Some(1))).
+  */
+case class CepStep(symbol: String, minRep: Int = 1, maxRep: Option[Int] = Some(1))
+
+/** AFTER MATCH SKIP strategy (Flink CEP / SQL MATCH_RECOGNIZE). */
+sealed trait CepSkip
+/** Resume the scan after the last matched row — matches never overlap. */
+case object SkipPastLastRow extends CepSkip
+/** Resume at the row after the match start — overlapping matches emit. */
+case object SkipToNextRow extends CepSkip
+
+/** A CEP pattern over a per-key event sequence ordered by (ts, ord):
+  * ordered steps with greedy quantifiers, STRICT contiguity between
+  * steps (Flink `.next()` / MATCH_RECOGNIZE default — any non-matching
+  * row breaks a match attempt; the relaxed `followedBy` shape is the
+  * event_funnel operator instead), an optional WITHIN bound on the
+  * match's event-time span, and an AFTER MATCH SKIP strategy.
+  *
+  * Match semantics (pinned by [[Cep.matchSequence]], the executable
+  * reference): scan anchors left to right; at an anchor, steps resolve
+  * left to right with greedy backtracking (each quantifier prefers the
+  * most repetitions that still lets the remaining steps match); the
+  * WITHIN bound is then checked on the resolved span — a violating
+  * match attempt fails and the scan advances one row (which shortens
+  * the span from the left, so a later anchor may still match).
+  *
+  * The compiler ([[Cep.compile]]) requires pairwise-distinct step
+  * symbols. First and last steps must not be optional (drop them from
+  * the pattern instead — they would make the match boundary ambiguous).
+  */
+case class CepPattern(steps: Seq[CepStep], withinMinutes: Option[Int] = None,
+                      skip: CepSkip = SkipPastLastRow) {
+  require(steps.size >= 2, "a CEP pattern needs at least two steps")
+  require(steps.head.minRep >= 1 && steps.last.minRep >= 1,
+    "first and last steps must not be optional")
+  require(steps.map(_.symbol).distinct.size == steps.size,
+    "steps must carry pairwise-distinct symbols (the compiled " +
+      "gaps-and-islands form aligns steps to symbol runs; a repeated " +
+      "symbol would make adjacent steps merge into one run)")
+  steps.foreach { s =>
+    require(s.minRep >= 0, s"negative minRep in $s")
+    require(s.maxRep.forall(m => m >= math.max(s.minRep, 1)), s"empty quantifier in $s")
+  }
+
+  /** Optional steps expanded to concrete absent/present alternatives;
+    * each alternative is the ORIGINAL step indices it retains. With
+    * pairwise-distinct symbols the alternatives are mutually exclusive
+    * on any fixed run sequence (the run symbols determine which one can
+    * align), so the compiler unions them without a priority rule.
+    */
+  def alternatives: Seq[Seq[Int]] =
+    steps.indices.foldLeft(Seq(Seq.empty[Int])) { (acc, i) =>
+      if (steps(i).minRep == 0) acc.flatMap(pre => Seq(pre, pre :+ i))
+      else acc.map(_ :+ i)
+    }
+
+  private[graft] def withinUs: Option[Long] = withinMinutes.map(_ * 60L * 1000000L)
+}
+
+/** One event for the sequential reference matcher. */
+case class CepEvent(sym: String, tsUs: Long, ord: Long)
+
+/** One reference-matcher match: start index into the (sorted) sequence,
+  * rows consumed, and per-ORIGINAL-step consumed counts (absent
+  * optional steps report 0).
+  */
+case class CepSeqMatch(startIdx: Int, nRows: Int, stepCounts: IndexedSeq[Int])
+
 /** Complex-event-processing patterns (Flink CEP / SQL MATCH_RECOGNIZE),
-  * rewritten as gaps-and-islands window/join shapes — no per-row NFA
-  * state machine, so the pattern runs as ordinary distributed SQL and
-  * replays exactly in any engine.
+  * compiled to gaps-and-islands window/join shapes — no per-row NFA in
+  * the batch path, so a pattern runs as ordinary distributed SQL and
+  * replays exactly in any engine. [[matchSequence]] is the sequential
+  * executable semantics both the compiler (property-tested) and the
+  * stateful streaming form (graft.streaming.StreamOps.cepPattern)
+  * must reproduce.
   */
 object Cep {
 
@@ -25,6 +98,11 @@ object Cep {
     * each maximal run pairs with at most the one final event that ends
     * it.
     *
+    * Note the WITHIN here FILTERS run rows (a match still fires if at
+    * least one run event is inside the bound) — the original
+    * `event_cep` contract semantics. [[compile]]'s WITHIN instead
+    * bounds the whole match span (Flink `within`); both are kept.
+    *
     * Scale: one user-keyed running-count window + one user-keyed join —
     * per-key linear; nothing global.
     */
@@ -32,7 +110,7 @@ object Cep {
                    ordCol: String, typeCol: String,
                    runType: String, finalType: String,
                    within: Column): DataFrame = {
-    val wOrd = Window.partitionBy(keyCol).orderBy(col(tsCol), col(ordCol))
+    val wOrd = W.partitionBy(keyCol).orderBy(col(tsCol), col(ordCol))
     val t = df.select(col(keyCol), col(tsCol), col(ordCol), col(typeCol))
       .withColumn("blk",
         sum(when(col(typeCol) =!= runType, 1).otherwise(0)).over(wOrd))
@@ -47,5 +125,241 @@ object Cep {
       .agg(count(lit(1)).as("n_run"), min("rts").as("first_run_ts"))
       .select(col(keyCol), col("final_id"), col("final_ts"),
         col("n_run"), col("first_run_ts"))
+  }
+
+  /** The executable reference semantics: greedy-backtracking scan over
+    * one key's (tsUs, ord)-sorted events. O(n · pattern) per key; used
+    * by the property tests (ground truth for [[compile]]) and by the
+    * stateful streaming matcher's batch replay.
+    */
+  def matchSequence(events: IndexedSeq[CepEvent], pattern: CepPattern): Seq[CepSeqMatch] = {
+    val steps = pattern.steps
+    val n = events.size
+    val withinUs = pattern.withinUs
+    def tryAt(p: Int): Option[(Int, IndexedSeq[Int])] = {
+      val counts = Array.fill(steps.size)(0)
+      def go(si: Int, pos: Int): Int = {
+        if (si == steps.size) return pos
+        val st = steps(si)
+        var maxFit = 0
+        while (pos + maxFit < n && events(pos + maxFit).sym == st.symbol &&
+               st.maxRep.forall(maxFit < _)) maxFit += 1
+        var c = maxFit
+        while (c >= st.minRep) {
+          counts(si) = c
+          val e = go(si + 1, pos + c)
+          if (e >= 0) return e
+          c -= 1
+        }
+        counts(si) = 0
+        -1
+      }
+      val e = go(0, p)
+      if (e < 0) None else Some((e - p, counts.toIndexedSeq))
+    }
+    def withinOk(p: Int, c: Int): Boolean =
+      withinUs.forall(w => events(p + c - 1).tsUs - events(p).tsUs <= w)
+    val out = scala.collection.mutable.ArrayBuffer.empty[CepSeqMatch]
+    var p = 0
+    while (p < n) {
+      (tryAt(p), pattern.skip) match {
+        case (Some((c, cts)), SkipPastLastRow) if withinOk(p, c) =>
+          out += CepSeqMatch(p, c, cts); p += c
+        case (Some((c, cts)), SkipToNextRow) if withinOk(p, c) =>
+          out += CepSeqMatch(p, c, cts); p += 1
+        case _ => p += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Compile `pattern` over `df` to a distributed gaps-and-islands plan.
+    *
+    * Construction (every stage key- or run-partitioned — per-key linear,
+    * nothing global):
+    *  1. symbol runs per key: change-flag + running count (one
+    *     key-partitioned window pass) → `rid`, position-in-run `pos`;
+    *  2. run table (one groupBy (key, rid)): symbol + length;
+    *  3. per concrete alternative, align steps 2..j to the following
+    *     runs via `lead` over the key's run order: middle steps must
+    *     consume their ENTIRE run within the quantifier bounds (strict
+    *     contiguity with distinct adjacent symbols forces this — a
+    *     partial middle run would put a same-symbol row where the next
+    *     step expects its own symbol), the last step consumes a greedy
+    *     PREFIX `min(len, maxRep)`, the first step a SUFFIX of its run;
+    *  4. the end row (last run's prefix end) joins back by position;
+    *     the first step's qualifying suffix rows join back filtered by
+    *     the maxRep bound and the WITHIN bound vs the end timestamp —
+    *     under SKIP PAST LAST ROW the suffix aggregates to one match
+    *     (count = consumed, min = anchor; exactly the first scan
+    *     position where the reference matcher succeeds), under SKIP TO
+    *     NEXT ROW every qualifying suffix row anchors its own match.
+    *
+    * Output: key, start_id/start_ts, end_id/end_ts (first/last consumed
+    * rows), n_rows, and `step_counts` — per-original-step consumed
+    * counts, comma-joined (absent optional steps report 0).
+    *
+    * Property-tested against [[matchSequence]] on random patterns and
+    * sequences (CepSpec); the DuckDB replay of the same construction
+    * comes from [[oracleSql]].
+    */
+  def compile(df: DataFrame, keyCol: String, tsCol: String, ordCol: String,
+              symCol: String, pattern: CepPattern): DataFrame = {
+    val steps = pattern.steps
+    val wOrd = W.partitionBy(col("k")).orderBy(col("ts"), col("ord"))
+    val rows = df.select(col(keyCol).as("k"), col(tsCol).as("ts"),
+        col(ordCol).as("ord"), col(symCol).cast("string").as("sym"))
+      .withColumn("chg", when(lag(col("sym"), 1).over(wOrd).isNull ||
+        lag(col("sym"), 1).over(wOrd) =!= col("sym"), 1).otherwise(0))
+      .withColumn("rid", sum(col("chg")).over(
+        wOrd.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("pos", row_number().over(
+        W.partitionBy(col("k"), col("rid")).orderBy(col("ts"), col("ord"))))
+      .select("k", "ts", "ord", "sym", "rid", "pos")
+    val runs = rows.groupBy("k", "rid")
+      .agg(min(col("sym")).as("sym"), count(lit(1)).as("len"))
+    val maxJ = pattern.alternatives.map(_.size).max
+    val wSeq = W.partitionBy(col("k")).orderBy(col("rid"))
+    val seq = (2 to maxJ).foldLeft(runs) { (d, i) =>
+      d.withColumn(s"sym_$i", lead(col("sym"), i - 1).over(wSeq))
+       .withColumn(s"len_$i", lead(col("len"), i - 1).over(wSeq))
+    }
+    val endRows = rows.select(col("k"), col("rid").as("erid"),
+      col("pos").as("epos"), col("ts").as("end_ts"), col("ord").as("end_id"))
+    val r1 = rows.select(col("k"), col("rid").as("arid"), col("pos").as("apos"),
+      col("ts").as("a_ts"), col("ord").as("a_ord"))
+    val alts = pattern.alternatives.map { presentIdx =>
+      val alt = presentIdx.map(steps)
+      val j = alt.size
+      var cond = col("sym") === alt.head.symbol
+      for (i <- 2 to j) cond = cond && col(s"sym_$i") === alt(i - 1).symbol
+      for (i <- 2 until j) {
+        cond = cond && col(s"len_$i") >= alt(i - 1).minRep
+        alt(i - 1).maxRep.foreach(m => cond = cond && col(s"len_$i") <= m)
+      }
+      cond = cond && col(s"len_$j") >= alt.last.minRep
+      val clast = alt.last.maxRep
+        .map(m => least(col(s"len_$j"), lit(m.toLong))).getOrElse(col(s"len_$j"))
+      val mids = (2 until j).map(i => col(s"len_$i"))
+      val midTotal = if (mids.isEmpty) lit(0L) else mids.reduce(_ + _)
+      val midSel = (2 until j).map(i => col(s"len_$i").as(s"mc_${presentIdx(i - 1)}"))
+      val cand = seq.filter(cond).select(
+        Seq(col("k"), col("rid").as("arid"), col("len").as("len1"),
+          (col("rid") + lit((j - 1).toLong)).as("erid"),
+          clast.as("clast"), midTotal.as("mid_total")) ++ midSel: _*)
+      val withEnd = cand.join(endRows, Seq("k", "erid"))
+        .filter(col("epos") === col("clast")).drop("epos")
+      var j1 = withEnd.join(r1, Seq("k", "arid"))
+      alt.head.maxRep.foreach(m =>
+        j1 = j1.filter(col("apos") >= col("len1") - lit(m.toLong) + 1))
+      pattern.withinMinutes.foreach(w =>
+        j1 = j1.filter(col("a_ts") >= col("end_ts") - expr(s"INTERVAL $w MINUTES")))
+      val matched = pattern.skip match {
+        case SkipPastLastRow =>
+          val gcols = Seq("k", "arid", "erid", "len1", "clast", "mid_total",
+            "end_ts", "end_id") ++ (2 until j).map(i => s"mc_${presentIdx(i - 1)}")
+          j1.groupBy(gcols.head, gcols.tail: _*)
+            .agg(count(lit(1)).as("c1"),
+              min(struct(col("a_ts").as("t"), col("a_ord").as("o"))).as("st"))
+            .filter(col("c1") >= alt.head.minRep)
+            .withColumn("start_ts", col("st.t")).withColumn("start_id", col("st.o"))
+        case SkipToNextRow =>
+          j1.withColumn("c1", col("len1") - col("apos") + 1)
+            .filter(col("c1") >= alt.head.minRep)
+            .withColumn("start_ts", col("a_ts")).withColumn("start_id", col("a_ord"))
+      }
+      val countCols = steps.indices.map { oi =>
+        if (!presentIdx.contains(oi)) lit(0L)
+        else if (oi == presentIdx.head) col("c1")
+        else if (oi == presentIdx.last) col("clast")
+        else col(s"mc_$oi")
+      }
+      matched.select(col("k").as(keyCol), col("start_id"), col("start_ts"),
+        col("end_id"), col("end_ts"),
+        (col("c1") + col("mid_total") + col("clast")).as("n_rows"),
+        concat_ws(",", countCols.map(_.cast("string")): _*).as("step_counts"))
+    }
+    alts.reduce(_ union _)
+  }
+
+  /** The DuckDB replay of [[compile]] — the SAME gaps-and-islands
+    * construction generated from the SAME pattern object, so the whole
+    * algorithm (runs, alignment, greedy prefix/suffix, WITHIN, skip
+    * strategy) is pinned cross-engine, not just row counts.
+    */
+  def oracleSql(pattern: CepPattern, table: String = "events",
+                keyCol: String = "user_id", tsCol: String = "ts",
+                ordCol: String = "event_id", symCol: String = "event_type"): String = {
+    val steps = pattern.steps
+    val maxJ = pattern.alternatives.map(_.size).max
+    val leadSel = (2 to maxJ).flatMap(i => Seq(
+      s"lead(sym, ${i - 1}) OVER wseq AS sym_$i",
+      s"lead(len, ${i - 1}) OVER wseq AS len_$i")).mkString(", ")
+    val header =
+      s"""WITH e AS (SELECT $keyCol AS k, $tsCol::TIMESTAMP AS ts, $ordCol AS ord,
+         |            $symCol AS sym FROM $table),
+         |f AS (SELECT *, CASE WHEN lag(sym) OVER (PARTITION BY k ORDER BY ts, ord)
+         |                     IS DISTINCT FROM sym THEN 1 ELSE 0 END AS chg FROM e),
+         |r AS (SELECT *, sum(chg) OVER (PARTITION BY k ORDER BY ts, ord
+         |                               ROWS UNBOUNDED PRECEDING) AS rid FROM f),
+         |p AS (SELECT *, row_number() OVER (PARTITION BY k, rid ORDER BY ts, ord) AS pos
+         |      FROM r),
+         |runs AS (SELECT k, rid, any_value(sym) AS sym, count(*) AS len
+         |         FROM p GROUP BY k, rid),
+         |seq AS (SELECT *, $leadSel FROM runs
+         |        WINDOW wseq AS (PARTITION BY k ORDER BY rid))""".stripMargin
+    val altSql = pattern.alternatives.zipWithIndex.map { case (presentIdx, ai) =>
+      val alt = presentIdx.map(steps)
+      val j = alt.size
+      val conds = Seq(s"sym = '${alt.head.symbol}'") ++
+        (2 to j).map(i => s"sym_$i = '${alt(i - 1).symbol}'") ++
+        (2 until j).flatMap { i =>
+          Seq(s"len_$i >= ${alt(i - 1).minRep}") ++
+            alt(i - 1).maxRep.map(m => s"len_$i <= $m")
+        } ++ Seq(s"len_$j >= ${alt.last.minRep}")
+      val clast = alt.last.maxRep.map(m => s"least(len_$j, $m)").getOrElse(s"len_$j")
+      val mids = (2 until j).map(i => s"len_$i")
+      val midTotal = if (mids.isEmpty) "0" else mids.mkString(" + ")
+      val midSel = (2 until j).map(i => s", len_$i AS mc_${presentIdx(i - 1)}").mkString
+      val w1 = alt.head.maxRep.map(m => s" AND r1.pos >= w.len1 - $m + 1").getOrElse("")
+      val ww = pattern.withinMinutes
+        .map(w => s" AND r1.ts >= w.end_ts - INTERVAL $w MINUTE").getOrElse("")
+      val mcCols = (2 until j).map(i => s"mc_${presentIdx(i - 1)}")
+      val matchSql = pattern.skip match {
+        case SkipPastLastRow =>
+          val g = (Seq("w.k", "w.arid", "w.erid", "w.len1", "w.clast", "w.mid_total",
+            "w.end_ts", "w.end_id") ++ mcCols.map("w." + _)).mkString(", ")
+          s"""SELECT $g, count(*) AS c1, arg_min(r1.ts, r1.pos) AS start_ts,
+             |        arg_min(r1.ord, r1.pos) AS start_id
+             |FROM wend_$ai w JOIN p r1 ON r1.k = w.k AND r1.rid = w.arid
+             |WHERE 1=1$w1$ww
+             |GROUP BY $g HAVING count(*) >= ${alt.head.minRep}""".stripMargin
+        case SkipToNextRow =>
+          s"""SELECT w.*, r1.ts AS start_ts, r1.ord AS start_id,
+             |        w.len1 - r1.pos + 1 AS c1
+             |FROM wend_$ai w JOIN p r1 ON r1.k = w.k AND r1.rid = w.arid
+             |WHERE w.len1 - r1.pos + 1 >= ${alt.head.minRep}$w1$ww""".stripMargin
+      }
+      val countExprs = steps.indices.map { oi =>
+        if (!presentIdx.contains(oi)) "0"
+        else if (oi == presentIdx.head) "c1"
+        else if (oi == presentIdx.last) "clast"
+        else s"mc_$oi"
+      }.mkString(", ")
+      s"""cand_$ai AS (SELECT k, rid AS arid, len AS len1, rid + ${j - 1} AS erid,
+         |             $clast AS clast, $midTotal AS mid_total$midSel
+         |             FROM seq WHERE ${conds.mkString(" AND ")}),
+         |wend_$ai AS (SELECT c.*, pe.ts AS end_ts, pe.ord AS end_id
+         |             FROM cand_$ai c JOIN p pe ON pe.k = c.k AND pe.rid = c.erid
+         |                                      AND pe.pos = c.clast),
+         |m_$ai AS ($matchSql),
+         |out_$ai AS (SELECT k AS $keyCol, start_id, start_ts, end_id, end_ts,
+         |            c1 + mid_total + clast AS n_rows,
+         |            concat_ws(',', $countExprs) AS step_counts FROM m_$ai)""".stripMargin
+    }
+    val unions = pattern.alternatives.indices
+      .map(i => s"SELECT * FROM out_$i").mkString(" UNION ALL ")
+    header + ",\n" + altSql.mkString(",\n") +
+      s"\n$unions\nORDER BY $keyCol, start_id"
   }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Det, Tables}
+import graft.api.{Cep, CepPattern, CepStep, SkipToNextRow}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -138,6 +139,36 @@ object Analytic {
           col("first_run_ts").as("first_click_ts"))
         .orderBy("user_id", "purchase_id")),
 
+    // ---- general CEP pattern compiler (api.Cep.compile) ----
+    // Each key compiles a CepPattern spec to the distributed
+    // gaps-and-islands form; the oracle below is GENERATED from the same
+    // pattern object (Cep.oracleSql), pinning the whole algorithm
+    // cross-engine. Property-tested against the sequential reference
+    // matcher on random patterns (CepSpec).
+
+    // quantifiers beyond +: minRep 2, a bounded middle {1,2}, greedy
+    // unbounded tail — view{2,} signup{1,2} purchase{1,}
+    "event_cep_quant" -> ((s, d) =>
+      Cep.compile(Tables.events(s, d), "user_id", "ts", "event_id",
+          "event_type", CepPatterns.quant)
+        .orderBy("user_id", "start_id")),
+
+    // optional middle step — click{1,} error{0,1} signup{1,}: the
+    // compiler expands the optional into mutually exclusive
+    // alternatives and unions them
+    "event_cep_optional" -> ((s, d) =>
+      Cep.compile(Tables.events(s, d), "user_id", "ts", "event_id",
+          "event_type", CepPatterns.optional)
+        .orderBy("user_id", "start_id")),
+
+    // AFTER MATCH SKIP TO NEXT ROW + WITHIN 12 h — click{1,3}
+    // purchase{1,1}: overlapping matches emit (every qualifying suffix
+    // row of a click run anchors its own match)
+    "event_cep_tonext" -> ((s, d) =>
+      Cep.compile(Tables.events(s, d), "user_id", "ts", "event_id",
+          "event_type", CepPatterns.tonext)
+        .orderBy("user_id", "start_id")),
+
     "topk_per_group" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d)
@@ -266,7 +297,22 @@ object Analytic {
         .orderBy("event_id"))
   )
 
+  /** The declared pattern specs — shared by the queries above, the
+    * generated oracles below, and CepSpec's fixture cross-check.
+    */
+  object CepPatterns {
+    val quant = CepPattern(Seq(CepStep("view", 2, None),
+      CepStep("signup", 1, Some(2)), CepStep("purchase", 1, None)))
+    val optional = CepPattern(Seq(CepStep("click", 1, None),
+      CepStep("error", 0, Some(1)), CepStep("signup", 1, None)))
+    val tonext = CepPattern(Seq(CepStep("click", 1, Some(3)),
+      CepStep("purchase", 1, Some(1))), Some(720), SkipToNextRow)
+  }
+
   val oracles: Map[String, String] = Map(
+    "event_cep_quant" -> Cep.oracleSql(CepPatterns.quant),
+    "event_cep_optional" -> Cep.oracleSql(CepPatterns.optional),
+    "event_cep_tonext" -> Cep.oracleSql(CepPatterns.tonext),
     "win_rank" ->
       """SELECT c_nationkey, c_custkey, c_acctbal,
         |  CAST(row_number() OVER wtb AS INTEGER) AS rn,

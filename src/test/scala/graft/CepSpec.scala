@@ -1,0 +1,103 @@
+package graft
+
+import graft.api._
+import org.apache.spark.sql.functions._
+
+/** The CEP compiler's ground-truth gate: on random patterns (quantifiers
+  * incl. optionals and bounds, WITHIN on/off, both skip strategies) and
+  * random multi-key event sequences, the distributed gaps-and-islands
+  * plan from Cep.compile must reproduce Cep.matchSequence — the
+  * sequential executable semantics — match for match, measure for
+  * measure.
+  */
+class CepSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val symbols = Vector("A", "B", "C", "D")
+
+  /** Random pattern over distinct symbols (the compiler's domain). */
+  private def randomPattern(rnd: scala.util.Random): CepPattern = {
+    val nSteps = 2 + rnd.nextInt(2)
+    val syms = rnd.shuffle(symbols).take(nSteps)
+    val steps = syms.zipWithIndex.map { case (s, i) =>
+      val edge = i == 0 || i == nSteps - 1
+      val mn = if (edge) 1 + rnd.nextInt(2) else rnd.nextInt(3)
+      val mx = rnd.nextInt(3) match {
+        case 0 => None
+        case _ => Some(math.max(math.max(mn, 1), 1 + rnd.nextInt(3)))
+      }
+      CepStep(s, mn, mx)
+    }
+    val within = if (rnd.nextBoolean()) Some(5 + rnd.nextInt(30)) else None
+    val skip = if (rnd.nextBoolean()) SkipPastLastRow else SkipToNextRow
+    CepPattern(steps, within, skip)
+  }
+
+  /** Random keyed sequences: symbols from the alphabet plus a noise
+    * symbol X, timestamps strictly increasing with random minute gaps
+    * (so WITHIN bites), run-heavy (repeat probability) so quantifiers
+    * exercise.
+    */
+  private def randomEvents(rnd: scala.util.Random, nKeys: Int): Seq[(Long, String, Long, Long)] = {
+    var ord = 0L
+    (0 until nKeys).flatMap { k =>
+      var tsUs = 0L
+      val n = 20 + rnd.nextInt(60)
+      var last = "X"
+      (0 until n).map { _ =>
+        val sym = if (rnd.nextInt(100) < 45) last
+                  else (symbols :+ "X")(rnd.nextInt(5))
+        last = sym
+        tsUs += (1 + rnd.nextInt(12)) * 60L * 1000000L
+        ord += 1
+        (k.toLong, sym, tsUs, ord)
+      }
+    }
+  }
+
+  test("compiled plan == sequential reference on random patterns and sequences") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 25) {
+      val pat = randomPattern(rnd)
+      val evs = randomEvents(rnd, 4)
+      val df = evs.toDF("k", "sym", "ts_us", "ord")
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+      val got = Cep.compile(df, "k", "ts", "ord", "sym", pat)
+        .select(col("k"), col("start_id"), col("end_id"), col("n_rows"), col("step_counts"))
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      val want = evs.groupBy(_._1).flatMap { case (k, rows) =>
+        val sorted = rows.sortBy(r => (r._3, r._4))
+          .map(r => CepEvent(r._2, r._3, r._4)).toIndexedSeq
+        Cep.matchSequence(sorted, pat).map { m =>
+          (k, sorted(m.startIdx).ord, sorted(m.startIdx + m.nRows - 1).ord,
+            m.nRows.toLong, m.stepCounts.mkString(","))
+        }
+      }.toSet
+      assert(got == want,
+        s"trial $trial pattern $pat:\n missing=${(want -- got).take(5)}\n extra=${(got -- want).take(5)}")
+    }
+  }
+
+  test("declared event_cep_* patterns match the reference on the sf0.001 fixture") {
+    val ev = Tables.events(spark, sf001)
+    val raw = ev.select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .as[(Long, String, Long, Long)].collect()
+    val pats = graft.queries.Analytic.CepPatterns
+    for (pat <- Seq(pats.quant, pats.optional, pats.tonext)) {
+      val got = Cep.compile(ev, "user_id", "ts", "event_id", "event_type", pat)
+        .select(col("user_id"), col("start_id"), col("end_id"), col("n_rows"), col("step_counts"))
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      val want = raw.groupBy(_._1).flatMap { case (k, rows) =>
+        val sorted = rows.sortBy(r => (r._3, r._4))
+          .map(r => CepEvent(r._2, r._3, r._4)).toIndexedSeq
+        Cep.matchSequence(sorted, pat).map { m =>
+          (k, sorted(m.startIdx).ord, sorted(m.startIdx + m.nRows - 1).ord,
+            m.nRows.toLong, m.stepCounts.mkString(","))
+        }
+      }.toSet
+      assert(got == want, s"pattern $pat diverged on fixture")
+    }
+  }
+
+}
