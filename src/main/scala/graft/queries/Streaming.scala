@@ -55,6 +55,24 @@ object Streaming {
         .orderBy(col("p_id"), col("c_id").asc_nulls_first)
     }),
 
+    // General-pattern stateful CEP: batch replay of the incremental
+    // flatMapGroupsWithState matcher (StreamOps.cepPattern) for the
+    // view{2,} signup{1,2} purchase{1,} pattern — row-identical to the
+    // compiled gaps-and-islands form, pinned by the same generated
+    // oracle as event_cep_quant. Streaming execution (seal-aware
+    // incremental emission, cross-batch state carry) is covered by
+    // StreamingSpec.
+    "stream_cep_pattern" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Ev]
+      StreamOps.cepPattern(ev, Analytic.CepPatterns.quant, streaming = false)
+        .toDF()
+        .orderBy("user_id", "start_id")
+    }),
+
     // Stateful CEP (Flink CEP `C+ P WITHIN 10 min`): batch replay of the
     // flatMapGroupsWithState pattern matcher — row-identical to the
     // event_cep gaps-and-islands rewrite, which is what the oracle pins.
@@ -73,6 +91,7 @@ object Streaming {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_cep_pattern" -> graft.api.Cep.oracleSql(Analytic.CepPatterns.quant),
     "stream_tumbling_append" ->
       """SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start,
         |       (date_trunc('hour', ts) + INTERVAL 1 HOUR)::TIMESTAMP AS window_end,

@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateT
   OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 import org.apache.spark.sql.types._
 import graft.Det
+import graft.api.{Cep, CepEvent, CepPattern, CepSeqMatch, SkipPastLastRow, SkipToNextRow}
 
 /** Event row after ts normalization (micros timestamp). */
 case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -20,6 +21,15 @@ case class CepMatch(user_id: Long, purchase_id: Long, purchase_ts: java.sql.Time
 
 /** CEP keyed state: epoch-micros of the clicks in the current run. */
 private[streaming] case class CepState(run: Seq[Long])
+
+/** One general-pattern CEP match (StreamOps.cepPattern / api.Cep.compile —
+  * same schema as the compiled batch form). */
+case class CepPatMatch(user_id: Long, start_id: Long, start_ts: java.sql.Timestamp,
+                       end_id: Long, end_ts: java.sql.Timestamp,
+                       n_rows: Long, step_counts: String)
+
+/** General-CEP keyed state: the unconsumed (sym, tsUs, ord) buffer tail. */
+private[streaming] case class CepPatState(syms: Seq[String], ts: Seq[Long], ords: Seq[Long])
 
 private[streaming] case class UserAgg(n_events: Long, sum_cents: Long, max_ts_ms: Long)
 
@@ -111,7 +121,7 @@ private[streaming] class ProfileProcessor
   * source differs (SURVEY §3.3). Event-time semantic deltas vs Flink are
   * documented per operator.
   */
-object StreamOps {
+object StreamOps extends Serializable {
 
   /** Raw schema of the events parquet (ts as epoch-nanos long — requires
     * spark.sql.legacy.parquet.nanosAsLong=true on the session).
@@ -266,7 +276,14 @@ object StreamOps {
             e.event_type match {
               case "click" => run = run :+ tsMicros(e.ts)
               case "purchase" =>
-                val hits = run.filter(_ >= tsMicros(e.ts) - withinUs)
+                // clicks must precede the purchase in EVENT time too
+                // (<= upper bound): under out-of-order cross-batch
+                // arrival a late purchase would otherwise count
+                // buffered clicks that are younger than it, yielding
+                // first_click_ts > purchase_ts. In-order and batch
+                // replay are unaffected (sorted clicks precede).
+                val hits = run.filter(t =>
+                  t >= tsMicros(e.ts) - withinUs && t <= tsMicros(e.ts))
                 if (hits.nonEmpty)
                   out += CepMatch(user, e.event_id, e.ts, hits.size, microsTs(hits.min))
                 run = Seq.empty
@@ -277,6 +294,119 @@ object StreamOps {
             run = run.filter(_ >= tsMicros(evs.last.ts) - withinUs)
           if (run.isEmpty) state.remove() else state.update(CepState(run))
           out.iterator
+      }
+  }
+
+  /** Seal-aware incremental scan for [[cepPattern]]: emit only matches
+    * whose greedy resolution is FIXED by already-seen rows (every
+    * quantifier saturated or cut off by a later row with a different
+    * symbol); return the buffer position to retain from — the first
+    * still-pending anchor. Anchors before it are fully resolved
+    * (emitted or failed) and never revisited, so no match emits twice
+    * across batches.
+    */
+  private def sealedScan(evs: IndexedSeq[CepEvent],
+                         pattern: CepPattern): (Seq[CepSeqMatch], Int) = {
+    val steps = pattern.steps
+    val n = evs.size
+    // go: end position on sealed success, -1 sealed fail, -2 pending
+    def tryAt(p: Int): Either[Boolean, (Int, IndexedSeq[Int])] = {
+      val counts = Array.fill(steps.size)(0)
+      def go(si: Int, pos: Int): Int = {
+        if (si == steps.size) return pos
+        val st = steps(si)
+        var maxFit = 0
+        while (pos + maxFit < n && evs(pos + maxFit).sym == st.symbol &&
+               st.maxRep.forall(maxFit < _)) maxFit += 1
+        // consumed to the buffer end with the quantifier still open: a
+        // future row could extend this step — the greedy pick isn't
+        // sealed, so neither is any less-greedy fallback beneath it
+        var sawPending = pos + maxFit == n && st.maxRep.forall(maxFit < _)
+        var c = maxFit
+        while (c >= st.minRep) {
+          counts(si) = c
+          val e = go(si + 1, pos + c)
+          if (e >= 0) return if (sawPending) -2 else e
+          if (e == -2) sawPending = true
+          c -= 1
+        }
+        counts(si) = 0
+        if (sawPending) -2 else -1
+      }
+      go(0, p) match {
+        case -1 => Left(false)
+        case -2 => Left(true)
+        case e => Right((e - p, counts.toIndexedSeq))
+      }
+    }
+    def withinOk(p: Int, c: Int): Boolean =
+      pattern.withinUs.forall(w => evs(p + c - 1).tsUs - evs(p).tsUs <= w)
+    val out = scala.collection.mutable.ArrayBuffer.empty[CepSeqMatch]
+    var p = 0
+    var resume = -1
+    while (p < n && resume < 0) {
+      tryAt(p) match {
+        case Right((c, cts)) if withinOk(p, c) =>
+          out += CepSeqMatch(p, c, cts)
+          p += (pattern.skip match {
+            case SkipPastLastRow => c
+            case SkipToNextRow => 1
+          })
+        case Right(_) => p += 1      // sealed, but WITHIN violated
+        case Left(false) => p += 1   // sealed structural fail
+        case Left(true) => resume = p
+      }
+    }
+    (out.toSeq, if (resume >= 0) resume else n)
+  }
+
+  /** General CEP pattern matching — the stateful sibling of
+    * api.Cep.compile, running api.Cep.matchSequence's semantics
+    * incrementally under flatMapGroupsWithState.
+    *
+    * Streaming mode emits a match only once SEALED (see [[sealedScan]]);
+    * the unconsumed tail from the first pending anchor stays in state,
+    * consumed and resolved rows leave it. State is bounded by run
+    * lengths, not history (a pending anchor seals as soon as any row
+    * with a breaking symbol arrives); an unboundedly growing
+    * single-symbol run keeps its anchor open — the same property as
+    * Flink's un-WITHIN'd NFA. Events process in arrival order with
+    * in-batch (ts, ord) sorting; cross-batch out-of-order arrival
+    * replays Flink's un-watermarked CEP behavior (same documented
+    * stance as cepRunThenFinal).
+    *
+    * Batch replay (streaming = false): one invocation per key sees all
+    * events and runs the reference matcher directly — row-identical to
+    * api.Cep.compile, pinned by the same generated oracle.
+    */
+  def cepPattern(ev: Dataset[Ev], pattern: CepPattern,
+                 streaming: Boolean): Dataset[CepPatMatch] = {
+    import ev.sparkSession.implicits._
+    def mk(user: Long, evs: IndexedSeq[CepEvent], m: CepSeqMatch): CepPatMatch =
+      CepPatMatch(user, evs(m.startIdx).ord, microsTs(evs(m.startIdx).tsUs),
+        evs(m.startIdx + m.nRows - 1).ord,
+        microsTs(evs(m.startIdx + m.nRows - 1).tsUs),
+        m.nRows.toLong, m.stepCounts.mkString(","))
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CepPatState, CepPatMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[Ev], state: GroupState[CepPatState]) =>
+          val fresh = events.map(e => CepEvent(e.event_type, tsMicros(e.ts), e.event_id))
+          val buf0 = state.getOption.map(s =>
+            s.syms.indices.map(i => CepEvent(s.syms(i), s.ts(i), s.ords(i))))
+            .getOrElse(Seq.empty)
+          val evs = (buf0 ++ fresh).sortBy(e => (e.tsUs, e.ord)).toIndexedSeq
+          if (!streaming) {
+            state.remove()
+            Cep.matchSequence(evs, pattern).iterator.map(mk(user, evs, _))
+          } else {
+            val (matches, resume) = sealedScan(evs, pattern)
+            val keep = evs.drop(resume)
+            if (keep.isEmpty) state.remove()
+            else state.update(CepPatState(keep.map(_.sym), keep.map(_.tsUs),
+              keep.map(_.ord)))
+            matches.iterator.map(mk(user, evs, _))
+          }
       }
   }
 

@@ -311,6 +311,53 @@ class StreamingSpec extends SparkSuite {
       s"expected exactly the cross-batch match: $got")
   }
 
+  test("general-pattern CEP: seal-aware incremental emission across batches") {
+    val pat = graft.queries.Analytic.CepPatterns.optional // click+ error? signup+
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.cepPattern(ms.toDS(), pat, streaming = true)
+      .writeStream.format("memory").queryName("cepp").outputMode("append").start()
+    // open click run — unsealed (the run could extend)
+    ms.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 0.0),
+      Ev(2, ts("2024-01-01 10:05:00"), 1, "click", 0.0))
+    q.processAllAvailable()
+    assert(spark.table("cepp").isEmpty, "open click run must not emit")
+    ms.addData(Ev(3, ts("2024-01-01 10:10:00"), 1, "error", 0.0))
+    q.processAllAvailable()
+    assert(spark.table("cepp").isEmpty, "error sealed the clicks but signup is pending")
+    ms.addData(
+      Ev(4, ts("2024-01-01 10:15:00"), 1, "signup", 0.0),
+      Ev(5, ts("2024-01-01 10:20:00"), 1, "signup", 0.0))
+    q.processAllAvailable()
+    assert(spark.table("cepp").isEmpty,
+      "greedy signup tail can still grow — match is not sealed")
+    // a breaking row seals the whole match; the carried state resolves
+    ms.addData(Ev(6, ts("2024-01-01 10:25:00"), 1, "view", 0.0))
+    drain(q)
+    val got = spark.table("cepp")
+      .select("user_id", "start_id", "end_id", "n_rows", "step_counts")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(got == Set((1L, 1L, 5L, 5L, "2,1,2")),
+      s"sealed match must cover clicks 1-2, error 3, signups 4-5: $got")
+  }
+
+  test("general-pattern CEP batch replay equals the compiled plan") {
+    import org.apache.spark.sql.functions.col
+    // the optional pattern fires often enough to be non-trivial at sf0.001
+    val pat = graft.queries.Analytic.CepPatterns.optional
+    val ev = Tables.events(spark, sf001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Ev]
+    val stateful = StreamOps.cepPattern(ev, pat, streaming = false).toDF()
+      .select("user_id", "start_id", "end_id", "n_rows", "step_counts")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    val compiled = graft.api.Cep.compile(Tables.events(spark, sf001),
+        "user_id", "ts", "event_id", "event_type", pat)
+      .select("user_id", "start_id", "end_id", "n_rows", "step_counts")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(stateful == compiled && stateful.nonEmpty)
+  }
+
   test("CEP cross-batch out-of-order: arrival-order semantics, as documented") {
     // An event arriving a batch LATE (older ts than already-processed
     // rows) is evaluated in arrival order — the documented delta vs a
