@@ -25,6 +25,15 @@ object Streaming {
       StreamOps.dedupByEventId(Tables.events(s, d))
         .orderBy("event_type")),
 
+    // The namesake two-level pane optimization as a chained streaming
+    // aggregation (StreamOps.paneTwoLevel) — batch replay must equal
+    // wnd_sliding bit-for-bit, so it shares that oracle; streaming
+    // execution (watermark propagation through both stateful levels)
+    // is covered by StreamingSpec.
+    "stream_pane_twolevel" -> ((s, d) =>
+      StreamOps.paneTwoLevel(Tables.events(s, d))
+        .orderBy("window_start", "event_type")),
+
     "stream_custom_trigger" -> ((s, d) => {
       val sp = s
       import sp.implicits._
@@ -92,6 +101,7 @@ object Streaming {
 
   val oracles: Map[String, String] = Map(
     "stream_cep_pattern" -> graft.api.Cep.oracleSql(Analytic.CepPatterns.quant),
+    "stream_pane_twolevel" -> EventTime.oracles("wnd_sliding"),
     "stream_tumbling_append" ->
       """SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start,
         |       (date_trunc('hour', ts) + INTERVAL 1 HOUR)::TIMESTAMP AS window_end,

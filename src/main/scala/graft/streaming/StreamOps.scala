@@ -154,6 +154,37 @@ object StreamOps extends Serializable {
       .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Pane-based two-level sliding aggregation under streaming — the
+    * namesake large-window technique (api.Windows.slidingByPanes) as a
+    * CHAINED pair of stateful window aggregations: level 1 pre-aggregates
+    * 30 min tumbling panes (exact-DECIMAL partials), level 2 assigns each
+    * pane (via its `window_time`, which lies inside the pane) to the 12
+    * overlapping 6 h / 30 min sliding windows and merges partials.
+    * Spark's multiple-stateful-operator support propagates the watermark
+    * through the pane aggregation, so each level keeps only open state:
+    * per-pane partials until the pane closes, per-window partials until
+    * the window closes — the raw stream is Expanded once into PANE rows,
+    * never 12x into raw-row copies, which is the whole point at a 100 TB
+    * event rate.
+    *
+    * Batch: identical plan algebra (window-of-window works unchanged);
+    * result equals Windows.sliding / the wnd_sliding oracle bit-for-bit
+    * because pane boundaries align with the slide grid and partials stay
+    * exact DECIMAL until the final cast.
+    */
+  def paneTwoLevel(ev: DataFrame): DataFrame = {
+    val src = if (ev.isStreaming) ev.withWatermark("ts", "10 minutes") else ev
+    val panes = src
+      .groupBy(window(col("ts"), "30 minutes").as("pane"), col("event_type"))
+      .agg(count(lit(1)).as("pn"), sum(Det.dec2(col("value"))).as("psum"))
+    panes
+      .groupBy(window(window_time(col("pane")), "6 hours", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(sum(col("pn")).as("n_events"), sum(col("psum")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+  }
+
   /** Drop duplicate event_ids. Streaming: state retention bounded by the
     * watermark horizon (Flink SQL dedup's proctime ROW_NUMBER()=1
     * equivalent). Batch: plain dropDuplicates (same result on replay).

@@ -311,6 +311,42 @@ class StreamingSpec extends SparkSuite {
       s"expected exactly the cross-batch match: $got")
   }
 
+  test("two-level pane streaming agg equals the batch sliding result for closed windows") {
+    import org.apache.spark.sql.functions.col
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.paneTwoLevel(ms.toDF())
+      .writeStream.format("memory").queryName("panes").outputMode("append").start()
+    ms.addData(
+      Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.5),
+      Ev(2, ts("2024-01-01 10:20:00"), 1, "click", 2.25))
+    q.processAllAvailable()
+    ms.addData(
+      Ev(3, ts("2024-01-01 11:40:00"), 2, "view", 4.0),
+      Ev(4, ts("2024-01-01 13:10:00"), 1, "click", 8.0))
+    q.processAllAvailable()
+    // far-future sentinel: watermark passes every real window's end
+    ms.addData(Ev(5, ts("2024-01-02 06:00:00"), 3, "error", 0.0))
+    drain(q)
+    val streamed = spark.table("panes")
+      .select("window_start", "window_end", "event_type", "n_events", "sum_value")
+      .as[(Timestamp, Timestamp, String, Long, Double)].collect().toSet
+    // batch replay over the REAL events only (the sentinel's windows
+    // were still open when the query stopped)
+    val batch = StreamOps.paneTwoLevel(
+        Seq(
+          (1L, ts("2024-01-01 10:05:00"), 1L, "click", 1.5),
+          (2L, ts("2024-01-01 10:20:00"), 1L, "click", 2.25),
+          (3L, ts("2024-01-01 11:40:00"), 2L, "view", 4.0),
+          (4L, ts("2024-01-01 13:10:00"), 1L, "click", 8.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .select("window_start", "window_end", "event_type", "n_events", "sum_value")
+      .as[(Timestamp, Timestamp, String, Long, Double)].collect().toSet
+    assert(streamed == batch,
+      s"missing=${(batch -- streamed).take(4)} extra=${(streamed -- batch).take(4)}")
+    // and the batch form IS the sliding window: spot-check one window
+    assert(batch.contains((ts("2024-01-01 10:00:00"), ts("2024-01-01 16:00:00"), "click", 3L, 11.75)))
+  }
+
   test("general-pattern CEP: seal-aware incremental emission across batches") {
     val pat = graft.queries.Analytic.CepPatterns.optional // click+ error? signup+
     val ms = MemoryStream[Ev]
