@@ -147,7 +147,8 @@ object Analytic {
     // matcher on random patterns (CepSpec).
 
     // quantifiers beyond +: minRep 2, a bounded middle {1,2}, greedy
-    // unbounded tail — view{2,} signup{1,2} purchase{1,}
+    // unbounded tail — signup{2,} view{1,2} purchase{1,} (chosen for
+    // non-empty matches at every fixture scale incl. sf0.001)
     "event_cep_quant" -> ((s, d) =>
       Cep.compile(Tables.events(s, d), "user_id", "ts", "event_id",
           "event_type", CepPatterns.quant)
@@ -301,8 +302,8 @@ object Analytic {
     * generated oracles below, and CepSpec's fixture cross-check.
     */
   object CepPatterns {
-    val quant = CepPattern(Seq(CepStep("view", 2, None),
-      CepStep("signup", 1, Some(2)), CepStep("purchase", 1, None)))
+    val quant = CepPattern(Seq(CepStep("signup", 2, None),
+      CepStep("view", 1, Some(2)), CepStep("purchase", 1, None)))
     val optional = CepPattern(Seq(CepStep("click", 1, None),
       CepStep("error", 0, Some(1)), CepStep("signup", 1, None)))
     val tonext = CepPattern(Seq(CepStep("click", 1, Some(3)),

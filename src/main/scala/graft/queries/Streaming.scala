@@ -66,7 +66,7 @@ object Streaming {
 
     // General-pattern stateful CEP: batch replay of the incremental
     // flatMapGroupsWithState matcher (StreamOps.cepPattern) for the
-    // view{2,} signup{1,2} purchase{1,} pattern — row-identical to the
+    // signup{2,} view{1,2} purchase{1,} pattern — row-identical to the
     // compiled gaps-and-islands form, pinned by the same generated
     // oracle as event_cep_quant. Streaming execution (seal-aware
     // incremental emission, cross-batch state carry) is covered by

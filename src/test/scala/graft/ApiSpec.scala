@@ -161,6 +161,33 @@ class ApiSpec extends SparkSuite {
       Tables.events(spark, sf001).filter(col("event_type") === "purchase").count())
   }
 
+  test("ANN on a label-partitioned corpus prunes the scan to routed partitions") {
+    // SCALE.md's claim made mechanical: when the corpus is physically
+    // partitioned by the IVF label, the probe routing (broadcast
+    // topParts joined on label) must reach the scan as a partition
+    // pruning filter — billion-vector search reads nProbe partitions,
+    // not the corpus.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_part").toString
+    Tables.embeddings(spark, sf001).write.mode("overwrite")
+      .partitionBy("label").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    val probes = corpus.filter(col("vec_id") < 10)
+    val out = graft.api.Similarity.annTopK(corpus, probes, "vec_id", "embedding",
+      "label", 5, nProbe = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the label-partitioned corpus scan:\n$plan")
+    // and the routed result is the same one the unpartitioned read gives
+    val base = Tables.embeddings(spark, sf001)
+    val want = graft.api.Similarity.annTopK(base, base.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "label", 5, nProbe = 2)
+      .select("probe_id", "rnk", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val got = out.select("probe_id", "rnk", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("mergeSchema reads across parquet schema evolution (added column)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
     // epoch 1: (id, text); epoch 2 adds a quality column
