@@ -18,26 +18,36 @@ case object SkipPastLastRow extends CepSkip
 case object SkipToNextRow extends CepSkip
 
 /** A CEP pattern over a per-key event sequence ordered by (ts, ord):
-  * ordered steps with greedy quantifiers, STRICT contiguity between
-  * steps (Flink `.next()` / MATCH_RECOGNIZE default — any non-matching
-  * row breaks a match attempt; the relaxed `followedBy` shape is the
-  * event_funnel operator instead), an optional WITHIN bound on the
-  * match's event-time span, and an AFTER MATCH SKIP strategy.
+  * ordered steps with greedy quantifiers, an optional WITHIN bound on
+  * the match's event-time span, an AFTER MATCH SKIP strategy, and a
+  * contiguity mode:
   *
-  * Match semantics (pinned by [[Cep.matchSequence]], the executable
-  * reference): scan anchors left to right; at an anchor, steps resolve
-  * left to right with greedy backtracking (each quantifier prefers the
-  * most repetitions that still lets the remaining steps match); the
-  * WITHIN bound is then checked on the resolved span — a violating
-  * match attempt fails and the scan advances one row (which shortens
-  * the span from the left, so a later anchor may still match).
+  *  - `strict = true` (Flink `.next()` / MATCH_RECOGNIZE default): any
+  *    non-matching row between steps breaks the match attempt. Steps
+  *    resolve left to right with greedy backtracking (each quantifier
+  *    prefers the most repetitions that still lets the rest match);
+  *    the WITHIN bound is then checked on the resolved span — a
+  *    violating attempt fails and the scan advances one row.
+  *  - `strict = false` (Flink `followedBy`): irrelevant rows between
+  *    steps are skipped. Step 1 consumes the greedy contiguous run
+  *    prefix from the anchor (capped by maxRep; leftover same-symbol
+  *    rows become gap rows); each later step aligns to the FIRST run
+  *    of its symbol after the previously consumed row, which must
+  *    satisfy the quantifier (capped consumption — a too-short first
+  *    occurrence fails the attempt rather than searching further).
+  *    Optional steps expand to alternatives tried in presence-priority
+  *    order (greedy `?` prefers present); WITHIN is part of each
+  *    alternative's success test.
+  *
+  * All semantics are pinned by [[Cep.matchSequence]], the executable
+  * reference.
   *
   * The compiler ([[Cep.compile]]) requires pairwise-distinct step
   * symbols. First and last steps must not be optional (drop them from
   * the pattern instead — they would make the match boundary ambiguous).
   */
 case class CepPattern(steps: Seq[CepStep], withinMinutes: Option[Int] = None,
-                      skip: CepSkip = SkipPastLastRow) {
+                      skip: CepSkip = SkipPastLastRow, strict: Boolean = true) {
   require(steps.size >= 2, "a CEP pattern needs at least two steps")
   require(steps.head.minRep >= 1 && steps.last.minRep >= 1,
     "first and last steps must not be optional")
@@ -50,15 +60,18 @@ case class CepPattern(steps: Seq[CepStep], withinMinutes: Option[Int] = None,
     require(s.maxRep.forall(m => m >= math.max(s.minRep, 1)), s"empty quantifier in $s")
   }
 
-  /** Optional steps expanded to concrete absent/present alternatives;
-    * each alternative is the ORIGINAL step indices it retains. With
-    * pairwise-distinct symbols the alternatives are mutually exclusive
-    * on any fixed run sequence (the run symbols determine which one can
-    * align), so the compiler unions them without a priority rule.
+  /** Optional steps expanded to concrete absent/present alternatives,
+    * ORDERED BY PRESENCE PRIORITY (all-present first; earlier optionals
+    * prefer present — greedy `?`). Each alternative is the ORIGINAL
+    * step indices it retains. In strict mode the alternatives are
+    * mutually exclusive on any fixed run sequence (the run symbols
+    * determine which one can align) so the order is immaterial; in
+    * relaxed mode several can align at one anchor and the first in
+    * this order wins (the compiler dedups by anchor on it).
     */
   def alternatives: Seq[Seq[Int]] =
     steps.indices.foldLeft(Seq(Seq.empty[Int])) { (acc, i) =>
-      if (steps(i).minRep == 0) acc.flatMap(pre => Seq(pre, pre :+ i))
+      if (steps(i).minRep == 0) acc.flatMap(pre => Seq(pre :+ i, pre))
       else acc.map(_ :+ i)
     }
 
@@ -68,11 +81,14 @@ case class CepPattern(steps: Seq[CepStep], withinMinutes: Option[Int] = None,
 /** One event for the sequential reference matcher. */
 case class CepEvent(sym: String, tsUs: Long, ord: Long)
 
-/** One reference-matcher match: start index into the (sorted) sequence,
-  * rows consumed, and per-ORIGINAL-step consumed counts (absent
-  * optional steps report 0).
+/** One reference-matcher match: start/end indices into the (sorted)
+  * sequence (endIdx = last CONSUMED row — in relaxed mode consumed rows
+  * are non-contiguous, so endIdx - startIdx + 1 may exceed nRows) and
+  * per-ORIGINAL-step consumed counts (absent optional steps report 0).
   */
-case class CepSeqMatch(startIdx: Int, nRows: Int, stepCounts: IndexedSeq[Int])
+case class CepSeqMatch(startIdx: Int, endIdx: Int, stepCounts: IndexedSeq[Int]) {
+  def nRows: Int = stepCounts.sum
+}
 
 /** Complex-event-processing patterns (Flink CEP / SQL MATCH_RECOGNIZE),
   * compiled to gaps-and-islands window/join shapes — no per-row NFA in
@@ -136,7 +152,11 @@ object Cep {
     val steps = pattern.steps
     val n = events.size
     val withinUs = pattern.withinUs
-    def tryAt(p: Int): Option[(Int, IndexedSeq[Int])] = {
+    def withinOk(m: CepSeqMatch): Boolean =
+      withinUs.forall(w => events(m.endIdx).tsUs - events(m.startIdx).tsUs <= w)
+    // strict: greedy backtracking over contiguous rows; within is a
+    // post-check on the single greedy resolution
+    def tryStrict(p: Int): Option[CepSeqMatch] = {
       val counts = Array.fill(steps.size)(0)
       def go(si: Int, pos: Int): Int = {
         if (si == steps.size) return pos
@@ -155,18 +175,51 @@ object Cep {
         -1
       }
       val e = go(0, p)
-      if (e < 0) None else Some((e - p, counts.toIndexedSeq))
+      if (e < 0) None
+      else Some(CepSeqMatch(p, e - 1, counts.toIndexedSeq)).filter(withinOk)
     }
-    def withinOk(p: Int, c: Int): Boolean =
-      withinUs.forall(w => events(p + c - 1).tsUs - events(p).tsUs <= w)
+    // relaxed: per-alternative deterministic walk (gap rows skipped
+    // between steps, capped contiguous consumption per step); within is
+    // part of each alternative's success; presence-priority order wins
+    def walkAlt(p: Int, presentIdx: Seq[Int]): Option[CepSeqMatch] = {
+      val alt = presentIdx.map(steps)
+      val counts = Array.fill(steps.size)(0)
+      if (events(p).sym != alt.head.symbol) return None
+      var tail = 0
+      while (p + tail < n && events(p + tail).sym == alt.head.symbol) tail += 1
+      if (tail < alt.head.minRep) return None
+      var c = alt.head.maxRep.map(math.min(tail, _)).getOrElse(tail)
+      counts(presentIdx.head) = c
+      var pos = p + c
+      var end = p + c - 1
+      var i = 1
+      while (i < alt.size) {
+        val st = alt(i)
+        var q = pos
+        while (q < n && events(q).sym != st.symbol) q += 1
+        if (q == n) return None
+        var t2 = 0
+        while (q + t2 < n && events(q + t2).sym == st.symbol) t2 += 1
+        if (t2 < st.minRep) return None
+        val ci = st.maxRep.map(math.min(t2, _)).getOrElse(t2)
+        counts(presentIdx(i)) = ci
+        pos = q + ci
+        end = q + ci - 1
+        i += 1
+      }
+      Some(CepSeqMatch(p, end, counts.toIndexedSeq))
+    }
+    def tryRelaxed(p: Int): Option[CepSeqMatch] =
+      pattern.alternatives.iterator
+        .flatMap(walkAlt(p, _).filter(withinOk).iterator).nextOption()
+    def tryAt(p: Int): Option[CepSeqMatch] =
+      if (pattern.strict) tryStrict(p) else tryRelaxed(p)
     val out = scala.collection.mutable.ArrayBuffer.empty[CepSeqMatch]
     var p = 0
     while (p < n) {
       (tryAt(p), pattern.skip) match {
-        case (Some((c, cts)), SkipPastLastRow) if withinOk(p, c) =>
-          out += CepSeqMatch(p, c, cts); p += c
-        case (Some((c, cts)), SkipToNextRow) if withinOk(p, c) =>
-          out += CepSeqMatch(p, c, cts); p += 1
+        case (Some(m), SkipPastLastRow) => out += m; p = m.endIdx + 1
+        case (Some(m), SkipToNextRow) => out += m; p += 1
         case _ => p += 1
       }
     }
@@ -205,6 +258,10 @@ object Cep {
     */
   def compile(df: DataFrame, keyCol: String, tsCol: String, ordCol: String,
               symCol: String, pattern: CepPattern): DataFrame = {
+    require(pattern.strict || pattern.skip == SkipToNextRow,
+      "relaxed contiguity compiles under SKIP TO NEXT ROW only (matches " +
+        "can overlap arbitrary spans, so PAST LAST ROW suppression is a " +
+        "sequential scan — use StreamOps.cepPattern's batch replay for it)")
     val steps = pattern.steps
     val wOrd = W.partitionBy(col("k")).orderBy(col("ts"), col("ord"))
     val rows = df.select(col(keyCol).as("k"), col(tsCol).as("ts"),
@@ -228,6 +285,8 @@ object Cep {
       col("pos").as("epos"), col("ts").as("end_ts"), col("ord").as("end_id"))
     val r1 = rows.select(col("k"), col("rid").as("arid"), col("pos").as("apos"),
       col("ts").as("a_ts"), col("ord").as("a_ord"))
+    if (!pattern.strict)
+      return compileRelaxed(keyCol, pattern, rows, runs, endRows, r1)
     val alts = pattern.alternatives.map { presentIdx =>
       val alt = presentIdx.map(steps)
       val j = alt.size
@@ -282,6 +341,79 @@ object Cep {
     alts.reduce(_ union _)
   }
 
+  /** Relaxed-contiguity compilation (Flink `followedBy`): anchors are
+    * ROWS of the first step's symbol (SKIP TO NEXT ROW — the compile
+    * precondition); later steps chain run-to-run through per-key
+    * "next run of symbol X" lookups (one descending-ordered window min
+    * per later step symbol), each consuming a capped greedy prefix of
+    * its run. Alternatives from optional steps can overlap at one
+    * anchor in relaxed mode, so candidates dedup by anchor on presence
+    * priority. Every stage is key- or run-partitioned, like the strict
+    * path.
+    */
+  private def compileRelaxed(keyCol: String, pattern: CepPattern,
+                             rows: DataFrame, runs: DataFrame,
+                             endRows: DataFrame, r1: DataFrame): DataFrame = {
+    val steps = pattern.steps
+    val wNext = W.partitionBy(col("k")).orderBy(col("rid").desc)
+      .rowsBetween(W.unboundedPreceding, -1)
+    val laterIdx = steps.indices.drop(1)
+    val runsx = laterIdx.foldLeft(runs) { (d, oi) =>
+      d.withColumn(s"nxt_$oi",
+        min(when(col("sym") === steps(oi).symbol, col("rid"))).over(wNext))
+    }
+    def capped(lenCol: Column, st: CepStep): Column =
+      st.maxRep.map(m => least(lenCol, lit(m.toLong))).getOrElse(lenCol)
+    val alts = pattern.alternatives.zipWithIndex.map { case (presentIdx, ai) =>
+      val alt = presentIdx.map(steps)
+      val j = alt.size
+      var cand = runsx.filter(col("sym") === alt.head.symbol)
+        .select(col("k"), col("rid").as("arid"), col("len").as("len1"),
+          col(s"nxt_${presentIdx(1)}").as("chain"))
+      for (i <- 1 until j) {
+        val nextSel = if (i + 1 < j)
+          Seq(col(s"nxt_${presentIdx(i + 1)}").as("chain2")) else Seq.empty
+        val ri = runsx.filter(col("sym") === alt(i).symbol)
+          .select(Seq(col("k").as("kr"), col("rid").as(s"rid_$i"),
+            col("len").as(s"len_$i")) ++ nextSel: _*)
+        cand = cand.join(ri,
+            col("k") === col("kr") && col(s"rid_$i") === col("chain"))
+          .drop("kr", "chain")
+          .filter(col(s"len_$i") >= alt(i).minRep)
+        if (i + 1 < j) cand = cand.withColumnRenamed("chain2", "chain")
+      }
+      val candSel = cand.select(
+        Seq(col("k"), col("arid"), col("len1"),
+          col(s"rid_${j - 1}").as("erid"),
+          capped(col(s"len_${j - 1}"), alt.last).as("clast")) ++
+          (1 until j).map(i =>
+            capped(col(s"len_$i"), alt(i)).as(s"cc_${presentIdx(i)}")): _*)
+      val withEnd = candSel.join(endRows, Seq("k", "erid"))
+        .filter(col("epos") === col("clast")).drop("epos")
+      var j1 = withEnd.join(r1, Seq("k", "arid"))
+        .withColumn("tail", col("len1") - col("apos") + 1)
+        .filter(col("tail") >= alt.head.minRep)
+        .withColumn("c1", capped(col("tail"), alt.head))
+      pattern.withinMinutes.foreach(w =>
+        j1 = j1.filter(col("a_ts") >= col("end_ts") - expr(s"INTERVAL $w MINUTES")))
+      val countCols = steps.indices.map { oi =>
+        if (!presentIdx.contains(oi)) lit(0L)
+        else if (oi == presentIdx.head) col("c1")
+        else col(s"cc_$oi")
+      }
+      j1.select(col("k").as(keyCol), col("a_ord").as("start_id"),
+        col("a_ts").as("start_ts"), col("end_id"), col("end_ts"),
+        (col("c1") +: (1 until j).map(i => col(s"cc_${presentIdx(i)}")))
+          .reduce(_ + _).as("n_rows"),
+        concat_ws(",", countCols.map(_.cast("string")): _*).as("step_counts"),
+        lit(ai).as("alt"))
+    }
+    val wp = W.partitionBy(col(keyCol), col("start_id")).orderBy(col("alt"))
+    alts.reduce(_ union _)
+      .withColumn("prn", row_number().over(wp)).filter(col("prn") === 1)
+      .drop("prn", "alt")
+  }
+
   /** The DuckDB replay of [[compile]] — the SAME gaps-and-islands
     * construction generated from the SAME pattern object, so the whole
     * algorithm (runs, alignment, greedy prefix/suffix, WITHIN, skip
@@ -308,6 +440,11 @@ object Cep {
          |         FROM p GROUP BY k, rid),
          |seq AS (SELECT *, $leadSel FROM runs
          |        WINDOW wseq AS (PARTITION BY k ORDER BY rid))""".stripMargin
+    if (!pattern.strict) {
+      // relaxed mode reuses the header up to `runs` (no lead alignment)
+      val relaxedHeader = header.substring(0, header.indexOf(",\nseq AS"))
+      return oracleSqlRelaxed(pattern, relaxedHeader, keyCol)
+    }
     val altSql = pattern.alternatives.zipWithIndex.map { case (presentIdx, ai) =>
       val alt = presentIdx.map(steps)
       val j = alt.size
@@ -361,5 +498,72 @@ object Cep {
       .map(i => s"SELECT * FROM out_$i").mkString(" UNION ALL ")
     header + ",\n" + altSql.mkString(",\n") +
       s"\n$unions\nORDER BY $keyCol, start_id"
+  }
+
+  /** DuckDB replay of [[compileRelaxed]] — next-run lookups via the same
+    * descending-window min, run-chaining via joins, anchor-priority
+    * dedup via row_number over the alternative index.
+    */
+  private def oracleSqlRelaxed(pattern: CepPattern, header: String,
+                               keyCol: String): String = {
+    val steps = pattern.steps
+    val laterIdx = steps.indices.drop(1)
+    val nxtSel = laterIdx.map(oi =>
+      s"min(CASE WHEN sym = '${steps(oi).symbol}' THEN rid END) OVER wnx AS nxt_$oi")
+      .mkString(", ")
+    val runsx =
+      s"""runsx AS (SELECT *, $nxtSel FROM runs
+         |          WINDOW wnx AS (PARTITION BY k ORDER BY rid DESC
+         |                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))""".stripMargin
+    def capped(lenSql: String, st: CepStep): String =
+      st.maxRep.map(m => s"least($lenSql, $m)").getOrElse(lenSql)
+    val altSql = pattern.alternatives.zipWithIndex.map { case (presentIdx, ai) =>
+      val alt = presentIdx.map(steps)
+      val j = alt.size
+      // r2..rj chain on the PREVIOUS frame's nxt_<orig idx of this step>
+      val joins = (1 until j).map { i =>
+        s"JOIN runsx r${i + 1} ON r${i + 1}.k = r1.k AND r${i + 1}.rid = r$i.nxt_${presentIdx(i)}"
+      }.mkString("\n             ")
+      val lenConds = (1 until j)
+        .map(i => s"r${i + 1}.len >= ${alt(i).minRep}").mkString(" AND ")
+      val ccSel = (1 until j)
+        .map(i => s"${capped(s"r${i + 1}.len", alt(i))} AS cc_${presentIdx(i)}")
+        .mkString(", ")
+      val clast = capped(s"r$j.len", alt.last)
+      val w1 = pattern.withinMinutes
+        .map(w => s" AND r1r.ts >= w.end_ts - INTERVAL $w MINUTE").getOrElse("")
+      val ccCols = (1 until j).map(i => s"cc_${presentIdx(i)}")
+      val countExprs = steps.indices.map { oi =>
+        if (!presentIdx.contains(oi)) "0"
+        else if (oi == presentIdx.head) "c1"
+        else s"cc_$oi"
+      }.mkString(", ")
+      s"""cand_$ai AS (SELECT r1.k, r1.rid AS arid, r1.len AS len1,
+         |             r$j.rid AS erid, $clast AS clast, $ccSel
+         |             FROM runsx r1
+         |             $joins
+         |             WHERE r1.sym = '${alt.head.symbol}' AND $lenConds),
+         |wend_$ai AS (SELECT c.*, pe.ts AS end_ts, pe.ord AS end_id
+         |             FROM cand_$ai c JOIN p pe ON pe.k = c.k AND pe.rid = c.erid
+         |                                      AND pe.pos = c.clast),
+         |m_$ai AS (SELECT w.*, r1r.ts AS start_ts, r1r.ord AS start_id,
+         |            ${capped("w.len1 - r1r.pos + 1", alt.head)} AS c1
+         |          FROM wend_$ai w JOIN p r1r ON r1r.k = w.k AND r1r.rid = w.arid
+         |          WHERE w.len1 - r1r.pos + 1 >= ${alt.head.minRep}$w1),
+         |out_$ai AS (SELECT k AS $keyCol, start_id, start_ts, end_id, end_ts,
+         |            c1 + ${ccCols.mkString(" + ")} AS n_rows,
+         |            concat_ws(',', $countExprs) AS step_counts, $ai AS alt
+         |            FROM m_$ai)""".stripMargin
+    }
+    val unions = pattern.alternatives.indices
+      .map(i => s"SELECT * FROM out_$i").mkString(" UNION ALL ")
+    header + ",\n" + runsx + ",\n" + altSql.mkString(",\n") +
+      s"""
+         |SELECT $keyCol, start_id, start_ts, end_id, end_ts, n_rows, step_counts
+         |FROM (SELECT *, row_number() OVER (PARTITION BY $keyCol, start_id
+         |                                   ORDER BY alt) AS prn
+         |      FROM ($unions))
+         |WHERE prn = 1
+         |ORDER BY $keyCol, start_id""".stripMargin
   }
 }

@@ -170,6 +170,15 @@ object Analytic {
           "event_type", CepPatterns.tonext)
         .orderBy("user_id", "start_id")),
 
+    // RELAXED contiguity (Flink followedBy): irrelevant rows between
+    // steps are skipped — signup{1,} ... click{1,2} ... purchase{1,}
+    // WITHIN 24 h, SKIP TO NEXT ROW; later steps chain to the first run
+    // of their symbol via per-key next-run lookups
+    "event_cep_relaxed" -> ((s, d) =>
+      Cep.compile(Tables.events(s, d), "user_id", "ts", "event_id",
+          "event_type", CepPatterns.relaxed)
+        .orderBy("user_id", "start_id")),
+
     "topk_per_group" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d)
@@ -308,12 +317,16 @@ object Analytic {
       CepStep("error", 0, Some(1)), CepStep("signup", 1, None)))
     val tonext = CepPattern(Seq(CepStep("click", 1, Some(3)),
       CepStep("purchase", 1, Some(1))), Some(720), SkipToNextRow)
+    val relaxed = CepPattern(Seq(CepStep("signup", 1, None),
+      CepStep("click", 1, Some(2)), CepStep("purchase", 1, None)),
+      Some(1440), SkipToNextRow, strict = false)
   }
 
   val oracles: Map[String, String] = Map(
     "event_cep_quant" -> Cep.oracleSql(CepPatterns.quant),
     "event_cep_optional" -> Cep.oracleSql(CepPatterns.optional),
     "event_cep_tonext" -> Cep.oracleSql(CepPatterns.tonext),
+    "event_cep_relaxed" -> Cep.oracleSql(CepPatterns.relaxed),
     "win_rank" ->
       """SELECT c_nationkey, c_custkey, c_acctbal,
         |  CAST(row_number() OVER wtb AS INTEGER) AS rn,

@@ -328,64 +328,151 @@ object StreamOps extends Serializable {
       }
   }
 
+  /** Per-anchor outcome of the seal-aware matcher. */
+  private sealed trait SealRes
+  private case class Sealed(m: CepSeqMatch) extends SealRes
+  private case object SealedFail extends SealRes
+  /** A complete resolution exists on present rows but a greedier branch
+    * could still extend — must wait for a breaking row (bounded by run
+    * length). */
+  private case object PendingViable extends SealRes
+  /** Completion REQUIRES a future row (mid-chain ran off the buffer) —
+    * with WITHIN and in-order arrival this becomes a certain fail once
+    * the newest event is past the anchor's WITHIN horizon. */
+  private case object PendingNeedsFuture extends SealRes
+
   /** Seal-aware incremental scan for [[cepPattern]]: emit only matches
     * whose greedy resolution is FIXED by already-seen rows (every
     * quantifier saturated or cut off by a later row with a different
     * symbol); return the buffer position to retain from — the first
     * still-pending anchor. Anchors before it are fully resolved
     * (emitted or failed) and never revisited, so no match emits twice
-    * across batches.
+    * across batches. Pending anchors whose completion requires a future
+    * row are failed early once the WITHIN horizon has passed them
+    * (in-order streams: any future completion would end later still and
+    * violate WITHIN anyway) — without WITHIN, an "A then eventually B"
+    * relaxed pattern waits unboundedly, as any CEP engine must.
     */
   private def sealedScan(evs: IndexedSeq[CepEvent],
                          pattern: CepPattern): (Seq[CepSeqMatch], Int) = {
     val steps = pattern.steps
     val n = evs.size
-    // go: end position on sealed success, -1 sealed fail, -2 pending
-    def tryAt(p: Int): Either[Boolean, (Int, IndexedSeq[Int])] = {
+    val maxTs = if (n == 0) Long.MinValue else evs(n - 1).tsUs
+    def withinOk(m: CepSeqMatch): Boolean =
+      pattern.withinUs.forall(w => evs(m.endIdx).tsUs - evs(m.startIdx).tsUs <= w)
+    // strict: greedy backtracking with pending flavors
+    def tryStrict(p: Int): SealRes = {
       val counts = Array.fill(steps.size)(0)
+      // >=0 sealed end; -1 fail; -2 pending with a viable present
+      // resolution beneath; -3 pending requiring future rows
       def go(si: Int, pos: Int): Int = {
         if (si == steps.size) return pos
         val st = steps(si)
         var maxFit = 0
         while (pos + maxFit < n && evs(pos + maxFit).sym == st.symbol &&
                st.maxRep.forall(maxFit < _)) maxFit += 1
-        // consumed to the buffer end with the quantifier still open: a
-        // future row could extend this step — the greedy pick isn't
-        // sealed, so neither is any less-greedy fallback beneath it
-        var sawPending = pos + maxFit == n && st.maxRep.forall(maxFit < _)
+        val selfPending = pos + maxFit == n && st.maxRep.forall(maxFit < _)
+        var saw2 = false
+        var saw3 = selfPending
         var c = maxFit
         while (c >= st.minRep) {
           counts(si) = c
           val e = go(si + 1, pos + c)
-          if (e >= 0) return if (sawPending) -2 else e
-          if (e == -2) sawPending = true
+          if (e >= 0) return if (saw2 || saw3) -2 else e
+          if (e == -2) saw2 = true
+          if (e == -3) saw3 = true
           c -= 1
         }
         counts(si) = 0
-        if (sawPending) -2 else -1
+        if (saw2) -2 else if (saw3) -3 else -1
       }
       go(0, p) match {
-        case -1 => Left(false)
-        case -2 => Left(true)
-        case e => Right((e - p, counts.toIndexedSeq))
+        case -1 => SealedFail
+        case -2 => PendingViable
+        case -3 => PendingNeedsFuture
+        case e =>
+          val m = CepSeqMatch(p, e - 1, counts.toIndexedSeq)
+          if (withinOk(m)) Sealed(m) else SealedFail
       }
     }
-    def withinOk(p: Int, c: Int): Boolean =
-      pattern.withinUs.forall(w => evs(p + c - 1).tsUs - evs(p).tsUs <= w)
+    // relaxed: deterministic per-alternative walk with pending flavors
+    def walkAlt(p: Int, presentIdx: Seq[Int]): SealRes = {
+      val alt = presentIdx.map(steps)
+      val counts = Array.fill(steps.size)(0)
+      if (evs(p).sym != alt.head.symbol) return SealedFail
+      var tail = 0
+      while (p + tail < n && evs(p + tail).sym == alt.head.symbol) tail += 1
+      if (tail < alt.head.minRep)
+        return if (p + tail == n) PendingNeedsFuture else SealedFail
+      var pos = p + alt.head.maxRep.map(math.min(tail, _)).getOrElse(tail)
+      counts(presentIdx.head) = pos - p
+      var end = pos - 1
+      var i = 1
+      while (i < alt.size) {
+        val st = alt(i)
+        var q = pos
+        while (q < n && evs(q).sym != st.symbol) q += 1
+        if (q == n) return PendingNeedsFuture
+        var t2 = 0
+        while (q + t2 < n && evs(q + t2).sym == st.symbol) t2 += 1
+        if (t2 < st.minRep)
+          return if (q + t2 == n) PendingNeedsFuture else SealedFail
+        val ci = st.maxRep.map(math.min(t2, _)).getOrElse(t2)
+        counts(presentIdx(i)) = ci
+        pos = q + ci
+        end = q + ci - 1
+        // final step with open-ended consumption at the buffer edge: a
+        // present resolution exists but a future row could extend it —
+        // unless it already violates WITHIN (extensions only move the
+        // end later, so that failure is certain). Mid-step open
+        // consumption needs no special case: the next iteration's gap
+        // scan runs off the buffer and reports PendingNeedsFuture.
+        if (i == alt.size - 1 && q + t2 == n && st.maxRep.forall(t2 < _)) {
+          val m = CepSeqMatch(p, end, counts.toIndexedSeq)
+          return if (withinOk(m)) PendingViable else SealedFail
+        }
+        i += 1
+      }
+      val m = CepSeqMatch(p, end, counts.toIndexedSeq)
+      if (withinOk(m)) Sealed(m) else SealedFail
+    }
+    def tryRelaxed(p: Int): SealRes = {
+      // presence-priority: a pending higher-priority alternative blocks
+      // resolution; a sealed-failed one falls through
+      var pendViable = false
+      var pendFuture = false
+      val it = pattern.alternatives.iterator
+      while (it.hasNext) {
+        walkAlt(p, it.next()) match {
+          case s: Sealed =>
+            return if (pendViable || pendFuture) PendingViable else s
+          case SealedFail => ()
+          case PendingViable => pendViable = true
+          case PendingNeedsFuture => pendFuture = true
+        }
+      }
+      if (pendViable) PendingViable
+      else if (pendFuture) PendingNeedsFuture
+      else SealedFail
+    }
+    def tryAt(p: Int): SealRes =
+      if (pattern.strict) tryStrict(p) else tryRelaxed(p)
     val out = scala.collection.mutable.ArrayBuffer.empty[CepSeqMatch]
     var p = 0
     var resume = -1
     while (p < n && resume < 0) {
       tryAt(p) match {
-        case Right((c, cts)) if withinOk(p, c) =>
-          out += CepSeqMatch(p, c, cts)
-          p += (pattern.skip match {
-            case SkipPastLastRow => c
-            case SkipToNextRow => 1
-          })
-        case Right(_) => p += 1      // sealed, but WITHIN violated
-        case Left(false) => p += 1   // sealed structural fail
-        case Left(true) => resume = p
+        case Sealed(m) =>
+          out += m
+          p = pattern.skip match {
+            case SkipPastLastRow => m.endIdx + 1
+            case SkipToNextRow => p + 1
+          }
+        case SealedFail => p += 1
+        case PendingNeedsFuture
+            if pattern.withinUs.exists(w => maxTs - evs(p).tsUs > w) =>
+          p += 1 // in-order: any future completion ends past the horizon
+        case _ => resume = p
       }
     }
     (out.toSeq, if (resume >= 0) resume else n)
@@ -415,8 +502,7 @@ object StreamOps extends Serializable {
     import ev.sparkSession.implicits._
     def mk(user: Long, evs: IndexedSeq[CepEvent], m: CepSeqMatch): CepPatMatch =
       CepPatMatch(user, evs(m.startIdx).ord, microsTs(evs(m.startIdx).tsUs),
-        evs(m.startIdx + m.nRows - 1).ord,
-        microsTs(evs(m.startIdx + m.nRows - 1).tsUs),
+        evs(m.endIdx).ord, microsTs(evs(m.endIdx).tsUs),
         m.nRows.toLong, m.stepCounts.mkString(","))
     ev.groupByKey(_.user_id)
       .flatMapGroupsWithState[CepPatState, CepPatMatch](

@@ -33,6 +33,14 @@ class CepSpec extends SparkSuite {
     CepPattern(steps, within, skip)
   }
 
+  /** Relaxed-contiguity variant: compile supports SKIP TO NEXT ROW only. */
+  private def randomRelaxedPattern(rnd: scala.util.Random): CepPattern = {
+    val p = randomPattern(rnd)
+    p.copy(skip = SkipToNextRow, strict = false,
+      // longer horizons: relaxed chains span gaps, tiny withins match nothing
+      withinMinutes = p.withinMinutes.map(_ * 20))
+  }
+
   /** Random keyed sequences: symbols from the alphabet plus a noise
     * symbol X, timestamps strictly increasing with random minute gaps
     * (so WITHIN bites), run-heavy (repeat probability) so quantifiers
@@ -55,27 +63,49 @@ class CepSpec extends SparkSuite {
     }
   }
 
+  private def referenceSet(evs: Seq[(Long, String, Long, Long)],
+                           pat: CepPattern): Set[(Long, Long, Long, Long, String)] =
+    evs.groupBy(_._1).flatMap { case (k, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._4))
+        .map(r => CepEvent(r._2, r._3, r._4)).toIndexedSeq
+      Cep.matchSequence(sorted, pat).map { m =>
+        (k, sorted(m.startIdx).ord, sorted(m.endIdx).ord,
+          m.nRows.toLong, m.stepCounts.mkString(","))
+      }
+    }.toSet
+
+  private def compiledSet(evs: Seq[(Long, String, Long, Long)],
+                          pat: CepPattern): Set[(Long, Long, Long, Long, String)] = {
+    val df = evs.toDF("k", "sym", "ts_us", "ord")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    Cep.compile(df, "k", "ts", "ord", "sym", pat)
+      .select(col("k"), col("start_id"), col("end_id"), col("n_rows"), col("step_counts"))
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+  }
+
   test("compiled plan == sequential reference on random patterns and sequences") {
     val rnd = new scala.util.Random(42)
     for (trial <- 0 until 25) {
       val pat = randomPattern(rnd)
       val evs = randomEvents(rnd, 4)
-      val df = evs.toDF("k", "sym", "ts_us", "ord")
-        .withColumn("ts", timestamp_micros(col("ts_us")))
-      val got = Cep.compile(df, "k", "ts", "ord", "sym", pat)
-        .select(col("k"), col("start_id"), col("end_id"), col("n_rows"), col("step_counts"))
-        .as[(Long, Long, Long, Long, String)].collect().toSet
-      val want = evs.groupBy(_._1).flatMap { case (k, rows) =>
-        val sorted = rows.sortBy(r => (r._3, r._4))
-          .map(r => CepEvent(r._2, r._3, r._4)).toIndexedSeq
-        Cep.matchSequence(sorted, pat).map { m =>
-          (k, sorted(m.startIdx).ord, sorted(m.startIdx + m.nRows - 1).ord,
-            m.nRows.toLong, m.stepCounts.mkString(","))
-        }
-      }.toSet
+      val (got, want) = (compiledSet(evs, pat), referenceSet(evs, pat))
       assert(got == want,
         s"trial $trial pattern $pat:\n missing=${(want -- got).take(5)}\n extra=${(got -- want).take(5)}")
     }
+  }
+
+  test("relaxed-contiguity compiled plan == sequential reference on random patterns") {
+    val rnd = new scala.util.Random(7)
+    var nonEmpty = 0
+    for (trial <- 0 until 25) {
+      val pat = randomRelaxedPattern(rnd)
+      val evs = randomEvents(rnd, 4)
+      val (got, want) = (compiledSet(evs, pat), referenceSet(evs, pat))
+      if (want.nonEmpty) nonEmpty += 1
+      assert(got == want,
+        s"trial $trial pattern $pat:\n missing=${(want -- got).take(5)}\n extra=${(got -- want).take(5)}")
+    }
+    assert(nonEmpty >= 10, s"only $nonEmpty/25 relaxed trials produced matches")
   }
 
   test("declared event_cep_* patterns match the reference on the sf0.001 fixture") {
@@ -84,18 +114,11 @@ class CepSpec extends SparkSuite {
         unix_micros(col("ts")).as("ts_us"), col("event_id"))
       .as[(Long, String, Long, Long)].collect()
     val pats = graft.queries.Analytic.CepPatterns
-    for (pat <- Seq(pats.quant, pats.optional, pats.tonext)) {
+    for (pat <- Seq(pats.quant, pats.optional, pats.tonext, pats.relaxed)) {
       val got = Cep.compile(ev, "user_id", "ts", "event_id", "event_type", pat)
         .select(col("user_id"), col("start_id"), col("end_id"), col("n_rows"), col("step_counts"))
         .as[(Long, Long, Long, Long, String)].collect().toSet
-      val want = raw.groupBy(_._1).flatMap { case (k, rows) =>
-        val sorted = rows.sortBy(r => (r._3, r._4))
-          .map(r => CepEvent(r._2, r._3, r._4)).toIndexedSeq
-        Cep.matchSequence(sorted, pat).map { m =>
-          (k, sorted(m.startIdx).ord, sorted(m.startIdx + m.nRows - 1).ord,
-            m.nRows.toLong, m.stepCounts.mkString(","))
-        }
-      }.toSet
+      val want = referenceSet(raw.toSeq, pat)
       assert(got == want, s"pattern $pat diverged on fixture")
     }
   }

@@ -377,6 +377,31 @@ class StreamingSpec extends SparkSuite {
       s"sealed match must cover clicks 1-2, error 3, signups 4-5: $got")
   }
 
+  test("relaxed-contiguity stateful CEP: gaps skipped, seal-aware, horizon-pruned") {
+    val pat = graft.queries.Analytic.CepPatterns.relaxed // signup+ click{1,2} purchase+ W24h
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.cepPattern(ms.toDS(), pat, streaming = true)
+      .writeStream.format("memory").queryName("cepr").outputMode("append").start()
+    // signup, then noise, then a click — chain pending on the purchase
+    ms.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "signup", 0.0),
+      Ev(2, ts("2024-01-01 10:10:00"), 1, "view", 0.0),
+      Ev(3, ts("2024-01-01 10:20:00"), 1, "click", 0.0))
+    q.processAllAvailable()
+    assert(spark.table("cepr").isEmpty, "chain needs a purchase — must stay pending")
+    // purchase arrives a batch later (carried state completes the chain)
+    ms.addData(Ev(4, ts("2024-01-01 11:00:00"), 1, "purchase", 0.0))
+    q.processAllAvailable()
+    assert(spark.table("cepr").isEmpty, "greedy purchase run still open — not sealed")
+    ms.addData(Ev(5, ts("2024-01-01 11:30:00"), 1, "error", 0.0))
+    drain(q)
+    val got = spark.table("cepr")
+      .select("user_id", "start_id", "end_id", "n_rows", "step_counts")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(got == Set((1L, 1L, 4L, 3L, "1,1,1")),
+      s"gap row 2 skipped, signup->click->purchase consumed: $got")
+  }
+
   test("general-pattern CEP batch replay equals the compiled plan") {
     import org.apache.spark.sql.functions.col
     // the optional pattern fires often enough to be non-trivial at sf0.001
