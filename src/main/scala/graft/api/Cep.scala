@@ -7,8 +7,15 @@ import org.apache.spark.sql.functions._
 /** One CEP pattern step: a symbol with a greedy quantifier.
   * `{minRep, maxRep}`; `maxRep = None` is unbounded (`+` = (1, None),
   * `?` = (0, Some(1)), exactly-one = (1, Some(1))).
+  *
+  * `negated = true` (Flink `notFollowedBy`, relaxed mode only): the
+  * step consumes nothing and instead asserts that NO row of its symbol
+  * occurs in the gap between the surrounding positive steps (from the
+  * previous step's last consumed row to the next step's first row).
+  * The quantifier is ignored.
   */
-case class CepStep(symbol: String, minRep: Int = 1, maxRep: Option[Int] = Some(1))
+case class CepStep(symbol: String, minRep: Int = 1, maxRep: Option[Int] = Some(1),
+                   negated: Boolean = false)
 
 /** AFTER MATCH SKIP strategy (Flink CEP / SQL MATCH_RECOGNIZE). */
 sealed trait CepSkip
@@ -49,8 +56,18 @@ case object SkipToNextRow extends CepSkip
 case class CepPattern(steps: Seq[CepStep], withinMinutes: Option[Int] = None,
                       skip: CepSkip = SkipPastLastRow, strict: Boolean = true) {
   require(steps.size >= 2, "a CEP pattern needs at least two steps")
+  require(!steps.head.negated && !steps.last.negated,
+    "a negated step must sit between two positive steps (Flink's " +
+      "notFollowedBy cannot start or end a pattern either)")
   require(steps.head.minRep >= 1 && steps.last.minRep >= 1,
     "first and last steps must not be optional")
+  require(steps.forall(s => !s.negated) || !strict,
+    "negated steps require relaxed contiguity (strict adjacency leaves " +
+      "no gap for a notNext to constrain — distinct step symbols " +
+      "already exclude everything else)")
+  require(steps.forall(s => !s.negated) || steps.forall(s => s.negated || s.minRep >= 1),
+    "negated and optional steps cannot be combined (an absent optional " +
+      "merges adjacent gaps, making the negation scope ambiguous)")
   require(steps.map(_.symbol).distinct.size == steps.size,
     "steps must carry pairwise-distinct symbols (the compiled " +
       "gaps-and-islands form aligns steps to symbol runs; a repeated " +
@@ -71,9 +88,15 @@ case class CepPattern(steps: Seq[CepStep], withinMinutes: Option[Int] = None,
     */
   def alternatives: Seq[Seq[Int]] =
     steps.indices.foldLeft(Seq(Seq.empty[Int])) { (acc, i) =>
-      if (steps(i).minRep == 0) acc.flatMap(pre => Seq(pre :+ i, pre))
+      if (steps(i).negated) acc
+      else if (steps(i).minRep == 0) acc.flatMap(pre => Seq(pre :+ i, pre))
       else acc.map(_ :+ i)
     }
+
+  /** Negated original step indices lying between original positions
+    * `a` and `b` — the notFollowedBy constraints of that gap. */
+  private[graft] def negsBetween(a: Int, b: Int): Seq[Int] =
+    (a + 1 until b).filter(steps(_).negated)
 
   private[graft] def withinUs: Option[Long] = withinMinutes.map(_ * 60L * 1000000L)
 }
@@ -195,8 +218,13 @@ object Cep {
       var i = 1
       while (i < alt.size) {
         val st = alt(i)
+        val negSyms = pattern.negsBetween(presentIdx(i - 1), presentIdx(i))
+          .map(steps(_).symbol).toSet
         var q = pos
-        while (q < n && events(q).sym != st.symbol) q += 1
+        while (q < n && events(q).sym != st.symbol) {
+          if (negSyms.contains(events(q).sym)) return None
+          q += 1
+        }
         if (q == n) return None
         var t2 = 0
         while (q + t2 < n && events(q + t2).sym == st.symbol) t2 += 1
@@ -367,12 +395,17 @@ object Cep {
     val alts = pattern.alternatives.zipWithIndex.map { case (presentIdx, ai) =>
       val alt = presentIdx.map(steps)
       val j = alt.size
+      def gapNegs(i: Int): Seq[Int] =
+        pattern.negsBetween(presentIdx(i - 1), presentIdx(i))
       var cand = runsx.filter(col("sym") === alt.head.symbol)
-        .select(col("k"), col("rid").as("arid"), col("len").as("len1"),
-          col(s"nxt_${presentIdx(1)}").as("chain"))
+        .select(Seq(col("k"), col("rid").as("arid"), col("len").as("len1"),
+          col(s"nxt_${presentIdx(1)}").as("chain")) ++
+          gapNegs(1).map(g => col(s"nxt_$g").as(s"ng_$g")): _*)
       for (i <- 1 until j) {
-        val nextSel = if (i + 1 < j)
-          Seq(col(s"nxt_${presentIdx(i + 1)}").as("chain2")) else Seq.empty
+        val nextSel = (if (i + 1 < j)
+          Seq(col(s"nxt_${presentIdx(i + 1)}").as("chain2")) else Seq.empty) ++
+          (if (i + 1 < j) gapNegs(i + 1).map(g => col(s"nxt_$g").as(s"ngx_$g"))
+           else Seq.empty)
         val ri = runsx.filter(col("sym") === alt(i).symbol)
           .select(Seq(col("k").as("kr"), col("rid").as(s"rid_$i"),
             col("len").as(s"len_$i")) ++ nextSel: _*)
@@ -380,7 +413,17 @@ object Cep {
             col("k") === col("kr") && col(s"rid_$i") === col("chain"))
           .drop("kr", "chain")
           .filter(col(s"len_$i") >= alt(i).minRep)
-        if (i + 1 < j) cand = cand.withColumnRenamed("chain2", "chain")
+        // notFollowedBy: the gap's negated symbols have no run strictly
+        // between the previous chain run and this step's run
+        gapNegs(i).foreach { g =>
+          cand = cand.filter(col(s"ng_$g").isNull || col(s"ng_$g") > col(s"rid_$i"))
+            .drop(s"ng_$g")
+        }
+        if (i + 1 < j) {
+          cand = cand.withColumnRenamed("chain2", "chain")
+          gapNegs(i + 1).foreach(g =>
+            cand = cand.withColumnRenamed(s"ngx_$g", s"ng_$g"))
+        }
       }
       val candSel = cand.select(
         Seq(col("k"), col("arid"), col("len1"),
@@ -524,8 +567,13 @@ object Cep {
       val joins = (1 until j).map { i =>
         s"JOIN runsx r${i + 1} ON r${i + 1}.k = r1.k AND r${i + 1}.rid = r$i.nxt_${presentIdx(i)}"
       }.mkString("\n             ")
-      val lenConds = (1 until j)
-        .map(i => s"r${i + 1}.len >= ${alt(i).minRep}").mkString(" AND ")
+      val lenConds = ((1 until j)
+        .map(i => s"r${i + 1}.len >= ${alt(i).minRep}") ++
+        // notFollowedBy: no negated-symbol run strictly inside the gap
+        (1 until j).flatMap { i =>
+          pattern.negsBetween(presentIdx(i - 1), presentIdx(i)).map(g =>
+            s"(r$i.nxt_$g IS NULL OR r$i.nxt_$g > r${i + 1}.rid)")
+        }).mkString(" AND ")
       val ccSel = (1 until j)
         .map(i => s"${capped(s"r${i + 1}.len", alt(i))} AS cc_${presentIdx(i)}")
         .mkString(", ")

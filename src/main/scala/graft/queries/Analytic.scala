@@ -179,6 +179,14 @@ object Analytic {
           "event_type", CepPatterns.relaxed)
         .orderBy("user_id", "start_id")),
 
+    // NEGATION (Flink notFollowedBy): view{1,} !click purchase{1,}
+    // WITHIN 24 h — purchases reached from a view with NO click in
+    // between; the negation is one next-run comparison per gap
+    "event_cep_negated" -> ((s, d) =>
+      Cep.compile(Tables.events(s, d), "user_id", "ts", "event_id",
+          "event_type", CepPatterns.negated)
+        .orderBy("user_id", "start_id")),
+
     "topk_per_group" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d)
@@ -320,6 +328,9 @@ object Analytic {
     val relaxed = CepPattern(Seq(CepStep("signup", 1, None),
       CepStep("click", 1, Some(2)), CepStep("purchase", 1, None)),
       Some(1440), SkipToNextRow, strict = false)
+    val negated = CepPattern(Seq(CepStep("view", 1, None),
+      CepStep("click", negated = true), CepStep("purchase", 1, None)),
+      Some(1440), SkipToNextRow, strict = false)
   }
 
   val oracles: Map[String, String] = Map(
@@ -327,6 +338,7 @@ object Analytic {
     "event_cep_optional" -> Cep.oracleSql(CepPatterns.optional),
     "event_cep_tonext" -> Cep.oracleSql(CepPatterns.tonext),
     "event_cep_relaxed" -> Cep.oracleSql(CepPatterns.relaxed),
+    "event_cep_negated" -> Cep.oracleSql(CepPatterns.negated),
     "win_rank" ->
       """SELECT c_nationkey, c_custkey, c_acctbal,
         |  CAST(row_number() OVER wtb AS INTEGER) AS rn,

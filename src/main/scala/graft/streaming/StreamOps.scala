@@ -410,8 +410,13 @@ object StreamOps extends Serializable {
       var i = 1
       while (i < alt.size) {
         val st = alt(i)
+        val negSyms = pattern.negsBetween(presentIdx(i - 1), presentIdx(i))
+          .map(steps(_).symbol).toSet
         var q = pos
-        while (q < n && evs(q).sym != st.symbol) q += 1
+        while (q < n && evs(q).sym != st.symbol) {
+          if (negSyms.contains(evs(q).sym)) return SealedFail
+          q += 1
+        }
         if (q == n) return PendingNeedsFuture
         var t2 = 0
         while (q + t2 < n && evs(q + t2).sym == st.symbol) t2 += 1

@@ -33,12 +33,24 @@ class CepSpec extends SparkSuite {
     CepPattern(steps, within, skip)
   }
 
-  /** Relaxed-contiguity variant: compile supports SKIP TO NEXT ROW only. */
+  /** Relaxed-contiguity variant: compile supports SKIP TO NEXT ROW only.
+    * Half the time a notFollowedBy step (unused symbol) is inserted into
+    * a random gap (negation excludes optionals, so those are stripped).
+    */
   private def randomRelaxedPattern(rnd: scala.util.Random): CepPattern = {
     val p = randomPattern(rnd)
-    p.copy(skip = SkipToNextRow, strict = false,
+    val base = p.copy(skip = SkipToNextRow, strict = false,
       // longer horizons: relaxed chains span gaps, tiny withins match nothing
       withinMinutes = p.withinMinutes.map(_ * 20))
+    val unused = symbols.filterNot(base.steps.map(_.symbol).contains)
+    if (unused.isEmpty || rnd.nextBoolean()) base
+    else {
+      val solid = base.steps.map(s => if (s.minRep == 0) s.copy(minRep = 1) else s)
+      val at = 1 + rnd.nextInt(solid.size - 1)
+      base.copy(steps = solid.take(at) ++
+        Seq(CepStep(unused(rnd.nextInt(unused.size)), negated = true)) ++
+        solid.drop(at))
+    }
   }
 
   /** Random keyed sequences: symbols from the alphabet plus a noise
@@ -114,7 +126,7 @@ class CepSpec extends SparkSuite {
         unix_micros(col("ts")).as("ts_us"), col("event_id"))
       .as[(Long, String, Long, Long)].collect()
     val pats = graft.queries.Analytic.CepPatterns
-    for (pat <- Seq(pats.quant, pats.optional, pats.tonext, pats.relaxed)) {
+    for (pat <- Seq(pats.quant, pats.optional, pats.tonext, pats.relaxed, pats.negated)) {
       val got = Cep.compile(ev, "user_id", "ts", "event_id", "event_type", pat)
         .select(col("user_id"), col("start_id"), col("end_id"), col("n_rows"), col("step_counts"))
         .as[(Long, Long, Long, Long, String)].collect().toSet

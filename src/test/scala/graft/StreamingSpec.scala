@@ -402,6 +402,33 @@ class StreamingSpec extends SparkSuite {
       s"gap row 2 skipped, signup->click->purchase consumed: $got")
   }
 
+  test("negated stateful CEP: a notFollowedBy symbol in the gap kills the match") {
+    val pat = graft.queries.Analytic.CepPatterns.negated // view+ !click purchase+ W24h
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.cepPattern(ms.toDS(), pat, streaming = true)
+      .writeStream.format("memory").queryName("cepn").outputMode("append").start()
+    // user 1: view .. click .. purchase — click poisons the gap
+    // user 2: view .. error .. purchase — irrelevant gap row, match
+    ms.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "view", 0.0),
+      Ev(2, ts("2024-01-01 10:10:00"), 1, "click", 0.0),
+      Ev(3, ts("2024-01-01 10:20:00"), 1, "purchase", 0.0),
+      Ev(4, ts("2024-01-01 10:00:00"), 2, "view", 0.0),
+      Ev(5, ts("2024-01-01 10:10:00"), 2, "error", 0.0),
+      Ev(6, ts("2024-01-01 10:20:00"), 2, "purchase", 0.0))
+    q.processAllAvailable()
+    // seal both purchase runs
+    ms.addData(
+      Ev(7, ts("2024-01-01 11:00:00"), 1, "error", 0.0),
+      Ev(8, ts("2024-01-01 11:00:00"), 2, "view", 0.0))
+    drain(q)
+    val got = spark.table("cepn")
+      .select("user_id", "start_id", "end_id", "n_rows", "step_counts")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(got == Set((2L, 4L, 6L, 2L, "1,0,1")),
+      s"only user 2's click-free path may match: $got")
+  }
+
   test("general-pattern CEP batch replay equals the compiled plan") {
     import org.apache.spark.sql.functions.col
     // the optional pattern fires often enough to be non-trivial at sf0.001
