@@ -292,6 +292,12 @@ object Cep {
         "sequential scan — use StreamOps.cepPattern's batch replay for it)")
     val steps = pattern.steps
     val wOrd = W.partitionBy(col("k")).orderBy(col("ts"), col("ord"))
+    // lazily checkpoint the annotated row table: the run table, the
+    // end-position lookup, and the anchor-suffix lookup all reuse it,
+    // and without materialization each branch re-scans and re-windows
+    // the source (measured 3 FileScans per pattern; at a 100 TB event
+    // volume the scan is the dominant cost). Lazy keeps plan building
+    // (and .explain) job-free; the first action materializes once.
     val rows = df.select(col(keyCol).as("k"), col(tsCol).as("ts"),
         col(ordCol).as("ord"), col(symCol).cast("string").as("sym"))
       .withColumn("chg", when(lag(col("sym"), 1).over(wOrd).isNull ||
@@ -301,6 +307,7 @@ object Cep {
       .withColumn("pos", row_number().over(
         W.partitionBy(col("k"), col("rid")).orderBy(col("ts"), col("ord"))))
       .select("k", "ts", "ord", "sym", "rid", "pos")
+      .localCheckpoint(eager = false)
     val runs = rows.groupBy("k", "rid")
       .agg(min(col("sym")).as("sym"), count(lit(1)).as("len"))
     val maxJ = pattern.alternatives.map(_.size).max
