@@ -55,4 +55,39 @@ object Sampling {
     df.withColumn("cum_tok", sum(col(tokCol).cast("long")).over(w))
       .filter(col("cum_tok") - col(tokCol) < budget)
   }
+
+  /** Temperature-weighted corpus mix (the T5/mC4/Llama `p_s ∝ n_s^α`
+    * language-balancing rule at α = 0.5): each stratum's share of the
+    * `totalBudget` token budget is proportional to the SQUARE ROOT of
+    * its total token mass, damping head languages and boosting the tail;
+    * the share is then filled in md5(id) order (content-keyed — a
+    * rebuild reproduces the identical mix).
+    *
+    * α is fixed at 0.5 deliberately: IEEE-754 requires sqrt to be
+    * correctly rounded, so `sqrt(bigint)` is bit-identical on every
+    * engine, while a general `pow(x, α)` is not — and this operator's
+    * contract is an exactly replayable mix. The rounded weights become
+    * integers (floor(sqrt * 1e6)) so the share arithmetic
+    * (`totalBudget * w_s / Σw`) is exact integer math with no
+    * summation-order sensitivity.
+    *
+    * Scale shape: one tiny per-stratum agg (weights, broadcast back) and
+    * one shuffle by stratum for the fill window — same as [[budgetMix]].
+    */
+  def temperatureMix(df: DataFrame, idCol: String, strataCols: Seq[String],
+                     tokCol: String, totalBudget: Long): DataFrame = {
+    val weights = df.groupBy(strataCols.map(col): _*)
+      .agg(floor(sqrt(sum(col(tokCol).cast("long"))) * 1e6).cast("long").as("w_s"))
+    val totW = weights.agg(sum(col("w_s")).as("w_tot"))
+    val alloc = weights.crossJoin(broadcast(totW))
+      .withColumn("alloc_tok",
+        expr(s"(${totalBudget}L * w_s) div w_tot"))
+      .select(strataCols.map(col) :+ col("alloc_tok"): _*)
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.join(broadcast(alloc), strataCols)
+      .withColumn("cum_tok", sum(col(tokCol).cast("long")).over(w))
+      .filter(col("cum_tok") - col(tokCol) < col("alloc_tok"))
+  }
 }

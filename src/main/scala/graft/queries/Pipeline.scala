@@ -120,6 +120,20 @@ object Pipeline {
         .orderBy("lang", "pack_id")
     }),
 
+    // Temperature-weighted mix (T5/mC4/Llama p_s ∝ n_s^0.5): per-language
+    // budget share ∝ sqrt(token mass) — damps head languages, boosts the
+    // tail — filled in content-keyed md5 order. α pinned at 0.5 because
+    // IEEE sqrt is correctly rounded (bit-identical cross-engine) where
+    // general pow is not; weights round to integers so the share split
+    // is exact integer math (see Sampling.temperatureMix).
+    "corpus_mix_temperature" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tok", size(split(col("text"), " ")))
+      Sampling.temperatureMix(docs, "doc_id", Seq("lang"), "n_tok", 4000L)
+        .select(col("lang"), col("doc_id"), col("n_tok"), col("cum_tok"), col("alloc_tok"))
+        .orderBy("lang", "doc_id")
+    }),
+
     "embed_quantize" -> ((s, d) =>
       Embeddings.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
         .select(col("vec_id"),
@@ -582,6 +596,22 @@ object Pipeline {
         |       CAST(cum_tok AS BIGINT) AS cum_tok,
         |       floor(score * 10000 + 0.5) / 10000 AS quality
         |FROM cum WHERE cum_tok - n_tok < 3000 ORDER BY lang, doc_id""".stripMargin,
+
+    "corpus_mix_temperature" ->
+      """WITH t AS (SELECT doc_id, lang, len(str_split(text, ' ')) AS n_tok FROM documents),
+        |w AS (SELECT lang, CAST(floor(sqrt(sum(n_tok)) * 1e6) AS BIGINT) AS w_s
+        |      FROM t GROUP BY lang),
+        |a AS (SELECT lang,
+        |        CAST((4000 * w_s) // (SELECT sum(w_s) FROM w) AS BIGINT) AS alloc_tok
+        |      FROM w),
+        |c AS (SELECT t.lang, t.doc_id, t.n_tok, a.alloc_tok,
+        |        sum(t.n_tok) OVER (PARTITION BY t.lang
+        |                           ORDER BY md5(CAST(t.doc_id AS VARCHAR)), t.doc_id
+        |                           ROWS UNBOUNDED PRECEDING) AS cum_tok
+        |      FROM t JOIN a USING (lang))
+        |SELECT lang, doc_id, CAST(n_tok AS INTEGER) AS n_tok,
+        |       CAST(cum_tok AS BIGINT) AS cum_tok, alloc_tok
+        |FROM c WHERE cum_tok - n_tok < alloc_tok ORDER BY lang, doc_id""".stripMargin,
 
     "embed_quantize" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v

@@ -251,6 +251,27 @@ class PipelineSpec extends SparkSuite {
     assert(ids1 == ids2)
   }
 
+  test("temperature mix: sqrt damping gives tail languages a super-proportional share") {
+    val docs = Tables.documents(spark, sf001)
+      .withColumn("n_tok", size(split(col("text"), " ")))
+    val mass = docs.groupBy("lang").agg(sum("n_tok").as("t_s"))
+      .as[(String, Long)].collect().toMap
+    val total = mass.values.sum
+    val out = graft.api.Sampling.temperatureMix(docs, "doc_id", Seq("lang"), "n_tok", 4000L)
+    val alloc = out.groupBy("lang").agg(max("alloc_tok").as("a"))
+      .as[(String, Long)].collect().toMap
+    val budget = alloc.values.sum.toDouble
+    // every lang below the mean mass must get at least its proportional
+    // share (sqrt flattens the distribution toward uniform)
+    mass.filter(_._2 < total / mass.size).foreach { case (l, t) =>
+      assert(alloc(l) / budget >= t.toDouble / total,
+        s"$l: alloc share ${alloc(l) / budget} < proportional ${t.toDouble / total}")
+    }
+    // kept tokens stay within each lang's allocation except the boundary doc
+    val over = out.filter(col("cum_tok") - col("n_tok") >= col("alloc_tok")).count()
+    assert(over == 0)
+  }
+
   test("budget mix fills each stratum's token budget and never overshoots early") {
     val out = Pipeline.queries("corpus_mix")(spark, sf001)
       .select(col("lang"), col("n_tok"), col("cum_tok"))
