@@ -238,6 +238,48 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // Checksum-gated financial-PII scrub: 16-digit card candidates are
+    // redacted only when they pass the Luhn check — a bare [0-9]{16}
+    // regex redacts order ids and tracking numbers too, so real release
+    // pipelines gate on the checksum. The fixture corpus has no cards,
+    // so a deterministic candidate is spliced per doc (valid check
+    // digit on even doc_ids, broken on odd — both branches exercised);
+    // the Luhn fold is the same integer arithmetic on both engines, so
+    // the whole decision (and the redacted text) replays exactly.
+    "text_pii_luhn" -> ((s, d) => {
+      // 15-digit deterministic base + Luhn check digit (sum over the
+      // base with doubled-even-right-positions parity, since the check
+      // digit will occupy right-position 0 of the 16-digit card)
+      val base = "lpad(cast((doc_id * 2654435761) % 1000000000000000 as string), 15, '0')"
+      val sum15 = s"""aggregate(transform(sequence(0, 14), i ->
+        |  CASE WHEN i % 2 = 0 THEN
+        |    CASE WHEN 2 * cast(substr($base, 15 - i, 1) as int) > 9
+        |         THEN 2 * cast(substr($base, 15 - i, 1) as int) - 9
+        |         ELSE 2 * cast(substr($base, 15 - i, 1) as int) END
+        |  ELSE cast(substr($base, 15 - i, 1) as int) END), 0, (acc, x) -> acc + x)""".stripMargin
+      val check = s"CASE WHEN doc_id % 2 = 0 THEN (10 - ($sum15 % 10)) % 10 " +
+        s"ELSE (10 - ($sum15 % 10) + 5) % 10 END"
+      val withCard = Tables.documents(s, d)
+        .withColumn("card", expr(s"concat($base, cast($check as string))"))
+        .withColumn("raw", concat(col("text"), lit(" pay "), col("card"), lit(" now")))
+      // the scrub itself: extract the 16-digit candidate, Luhn-validate,
+      // redact only on a valid checksum
+      val cand = "regexp_extract(raw, '([0-9]{16})', 1)"
+      val luhn = s"""aggregate(transform(sequence(0, 15), i ->
+        |  CASE WHEN i % 2 = 1 THEN
+        |    CASE WHEN 2 * cast(substr($cand, 16 - i, 1) as int) > 9
+        |         THEN 2 * cast(substr($cand, 16 - i, 1) as int) - 9
+        |         ELSE 2 * cast(substr($cand, 16 - i, 1) as int) END
+        |  ELSE cast(substr($cand, 16 - i, 1) as int) END), 0, (acc, x) -> acc + x)""".stripMargin
+      withCard
+        .withColumn("luhn_valid", expr(s"cast(($luhn) % 10 = 0 as int)"))
+        .withColumn("redacted", when(col("luhn_valid") === 1,
+          regexp_replace(col("raw"), "[0-9]{16}", "[CARD]")).otherwise(col("raw")))
+        .select(col("doc_id"), col("card"), col("luhn_valid"),
+          md5(col("redacted")).as("redact_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic content-based sharding (the routing step that writes
     // a corpus as N stable output shards): shard = 60-bit md5 prefix of
     // the text mod 16. Content-keyed, so re-runs and incremental appends
@@ -596,6 +638,40 @@ object Pipeline {
         |       CAST(cum_tok AS BIGINT) AS cum_tok,
         |       floor(score * 10000 + 0.5) / 10000 AS quality
         |FROM cum WHERE cum_tok - n_tok < 3000 ORDER BY lang, doc_id""".stripMargin,
+
+    "text_pii_luhn" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    lpad(CAST((doc_id * 2654435761) % 1000000000000000 AS VARCHAR), 15, '0') AS base
+        |  FROM documents),
+        |s15 AS (
+        |  SELECT *, list_aggregate(list_transform(range(0, 15), i ->
+        |      CASE WHEN i % 2 = 0 THEN
+        |        CASE WHEN 2 * substr(base, CAST(15 - i AS INTEGER), 1)::INTEGER > 9
+        |             THEN 2 * substr(base, CAST(15 - i AS INTEGER), 1)::INTEGER - 9
+        |             ELSE 2 * substr(base, CAST(15 - i AS INTEGER), 1)::INTEGER END
+        |      ELSE substr(base, CAST(15 - i AS INTEGER), 1)::INTEGER END), 'sum') AS sum15
+        |  FROM b),
+        |c AS (
+        |  SELECT *, base || CAST(CASE WHEN doc_id % 2 = 0 THEN (10 - (sum15 % 10)) % 10
+        |                              ELSE (10 - (sum15 % 10) + 5) % 10 END AS VARCHAR) AS card
+        |  FROM s15),
+        |r AS (SELECT *, text || ' pay ' || card || ' now' AS raw FROM c),
+        |l AS (SELECT *, regexp_extract(raw, '([0-9]{16})', 1) AS cand FROM r),
+        |v AS (
+        |  SELECT *, CAST(list_aggregate(list_transform(range(0, 16), i ->
+        |      CASE WHEN i % 2 = 1 THEN
+        |        CASE WHEN 2 * substr(cand, CAST(16 - i AS INTEGER), 1)::INTEGER > 9
+        |             THEN 2 * substr(cand, CAST(16 - i AS INTEGER), 1)::INTEGER - 9
+        |             ELSE 2 * substr(cand, CAST(16 - i AS INTEGER), 1)::INTEGER END
+        |      ELSE substr(cand, CAST(16 - i AS INTEGER), 1)::INTEGER END), 'sum') % 10 = 0
+        |    AS INTEGER) AS luhn_valid
+        |  FROM l)
+        |SELECT doc_id, card, luhn_valid,
+        |  md5(CASE WHEN luhn_valid = 1
+        |           THEN regexp_replace(raw, '[0-9]{16}', '[CARD]', 'g')
+        |           ELSE raw END) AS redact_md5
+        |FROM v ORDER BY doc_id""".stripMargin,
 
     "corpus_mix_temperature" ->
       """WITH t AS (SELECT doc_id, lang, len(str_split(text, ' ')) AS n_tok FROM documents),

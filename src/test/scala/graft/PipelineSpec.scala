@@ -272,6 +272,16 @@ class PipelineSpec extends SparkSuite {
     assert(over == 0)
   }
 
+  test("Luhn card scrub: validator accepts exactly the valid-check-digit cards") {
+    val out = Pipeline.queries("text_pii_luhn")(spark, sf001)
+      .select("doc_id", "luhn_valid").as[(Long, Int)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, v) =>
+      assert(v == (if (id % 2 == 0) 1 else 0),
+        s"doc $id: spliced card validity must follow the construction (got $v)")
+    }
+  }
+
   test("budget mix fills each stratum's token budget and never overshoots early") {
     val out = Pipeline.queries("corpus_mix")(spark, sf001)
       .select(col("lang"), col("n_tok"), col("cum_tok"))
