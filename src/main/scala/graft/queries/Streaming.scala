@@ -82,6 +82,23 @@ object Streaming {
         .orderBy("user_id", "start_id")
     }),
 
+    // Relaxed-contiguity stateful CEP: batch replay of the incremental
+    // matcher for the followedBy pattern signup{1,} click{1,2}
+    // purchase{1,} WITHIN 24 h — pinned by the same generated oracle as
+    // event_cep_relaxed (and the stateful matcher is the one form that
+    // also supports relaxed + SKIP PAST LAST ROW, which the compiled
+    // plan declines).
+    "stream_cep_relaxed" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Ev]
+      StreamOps.cepPattern(ev, Analytic.CepPatterns.relaxed, streaming = false)
+        .toDF()
+        .orderBy("user_id", "start_id")
+    }),
+
     // Stateful CEP (Flink CEP `C+ P WITHIN 10 min`): batch replay of the
     // flatMapGroupsWithState pattern matcher — row-identical to the
     // event_cep gaps-and-islands rewrite, which is what the oracle pins.
@@ -101,6 +118,7 @@ object Streaming {
 
   val oracles: Map[String, String] = Map(
     "stream_cep_pattern" -> graft.api.Cep.oracleSql(Analytic.CepPatterns.quant),
+    "stream_cep_relaxed" -> graft.api.Cep.oracleSql(Analytic.CepPatterns.relaxed),
     "stream_pane_twolevel" -> EventTime.oracles("wnd_sliding"),
     "stream_tumbling_append" ->
       """SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start,
