@@ -68,10 +68,10 @@ case class CepPattern(steps: Seq[CepStep], withinMinutes: Option[Int] = None,
   require(steps.forall(s => !s.negated) || steps.forall(s => s.negated || s.minRep >= 1),
     "negated and optional steps cannot be combined (an absent optional " +
       "merges adjacent gaps, making the negation scope ambiguous)")
-  require(steps.map(_.symbol).distinct.size == steps.size,
-    "steps must carry pairwise-distinct symbols (the compiled " +
-      "gaps-and-islands form aligns steps to symbol runs; a repeated " +
-      "symbol would make adjacent steps merge into one run)")
+  // NOTE: repeated step symbols are legal at the PATTERN level — the
+  // sequential matcher (matchSequence, StreamOps.cepPattern) handles
+  // them; only Cep.compile/oracleSql require pairwise-distinct symbols
+  // (their run alignment needs them) and enforce that themselves.
   steps.foreach { s =>
     require(s.minRep >= 0, s"negative minRep in $s")
     require(s.maxRep.forall(m => m >= math.max(s.minRep, 1)), s"empty quantifier in $s")
@@ -122,6 +122,17 @@ case class CepSeqMatch(startIdx: Int, endIdx: Int, stepCounts: IndexedSeq[Int]) 
   * must reproduce.
   */
 object Cep {
+
+  /** The compiled forms align steps to symbol runs, which needs
+    * pairwise-distinct step symbols; the sequential matcher has no such
+    * restriction (cross-validated against java.util.regex greedy
+    * semantics on repeated-symbol patterns in CepSpec).
+    */
+  private def requireDistinctSymbols(pattern: CepPattern): Unit =
+    require(pattern.steps.map(_.symbol).distinct.size == pattern.steps.size,
+      "Cep.compile/oracleSql require pairwise-distinct step symbols " +
+        "(run alignment); use StreamOps.cepPattern for repeated-symbol " +
+        "patterns — its sequential matcher handles them")
 
   /** Greedy `A+ B` with a WITHIN bound and AFTER MATCH SKIP PAST LAST
     * ROW: a maximal run of consecutive `runType` events immediately
@@ -290,6 +301,7 @@ object Cep {
       "relaxed contiguity compiles under SKIP TO NEXT ROW only (matches " +
         "can overlap arbitrary spans, so PAST LAST ROW suppression is a " +
         "sequential scan — use StreamOps.cepPattern's batch replay for it)")
+    requireDistinctSymbols(pattern)
     val steps = pattern.steps
     val wOrd = W.partitionBy(col("k")).orderBy(col("ts"), col("ord"))
     // lazily checkpoint the annotated row table: the run table, the
@@ -472,6 +484,7 @@ object Cep {
   def oracleSql(pattern: CepPattern, table: String = "events",
                 keyCol: String = "user_id", tsCol: String = "ts",
                 ordCol: String = "event_id", symCol: String = "event_type"): String = {
+    requireDistinctSymbols(pattern)
     val steps = pattern.steps
     val maxJ = pattern.alternatives.map(_.size).max
     val leadSel = (2 to maxJ).flatMap(i => Seq(

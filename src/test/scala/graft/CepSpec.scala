@@ -120,6 +120,66 @@ class CepSpec extends SparkSuite {
     assert(nonEmpty >= 10, s"only $nonEmpty/25 relaxed trials produced matches")
   }
 
+  test("strict reference matcher == java.util.regex greedy semantics (repeated symbols too)") {
+    // an INDEPENDENT implementation of the strict semantics: map symbols
+    // to chars, compile greedy quantifier groups, scan with Matcher —
+    // leftmost-find is the anchor scan, find-from-match-end is SKIP PAST
+    // LAST ROW, group lengths are the per-step counts. Patterns here MAY
+    // repeat symbols (beyond the compiler's domain — the sequential
+    // matcher's own contract).
+    val rnd = new scala.util.Random(11)
+    val charOf = Map("A" -> 'a', "B" -> 'b', "C" -> 'c', "D" -> 'd', "X" -> 'x')
+    var nonEmpty = 0
+    for (trial <- 0 until 40) {
+      val nSteps = 2 + rnd.nextInt(3)
+      val steps = (0 until nSteps).map { i =>
+        val edge = i == 0 || i == nSteps - 1
+        val mn = if (edge) 1 else rnd.nextInt(2)
+        val mx = rnd.nextInt(3) match {
+          case 0 => None
+          case _ => Some(math.max(math.max(mn, 1), 1 + rnd.nextInt(3)))
+        }
+        CepStep(symbols(rnd.nextInt(symbols.size)), mn, mx) // repeats allowed
+      }
+      val skip = if (rnd.nextBoolean()) SkipPastLastRow else SkipToNextRow
+      val within = if (rnd.nextBoolean()) Some(5 + rnd.nextInt(40)) else None
+      val pat = CepPattern(steps, within, skip)
+      val evs = randomEvents(rnd, 3)
+      val byKey = evs.groupBy(_._1)
+      val rx = java.util.regex.Pattern.compile(steps.map { s =>
+        val q = s.maxRep.map(m => s"{${s.minRep},$m}").getOrElse(s"{${s.minRep},}")
+        s"(${charOf(s.symbol)}$q)"
+      }.mkString)
+      byKey.foreach { case (k, rows) =>
+        val sorted = rows.sortBy(r => (r._3, r._4))
+        val seq = sorted.map(r => CepEvent(r._2, r._3, r._4)).toIndexedSeq
+        val str = sorted.map(r => charOf(r._2)).mkString
+        val wantBuf = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Seq[Int])]
+        val m = rx.matcher(str)
+        var from = 0
+        while (from <= str.length && m.find(from)) {
+          val (s0, e0) = (m.start, m.end - 1)
+          val ok = within.forall(w =>
+            seq(e0).tsUs - seq(s0).tsUs <= w * 60L * 1000000L)
+          if (ok) {
+            wantBuf += ((s0, e0,
+              (1 to nSteps).map(g => Option(m.group(g)).map(_.length).getOrElse(0))))
+            from = skip match {
+              case SkipPastLastRow => e0 + 1
+              case SkipToNextRow => s0 + 1
+            }
+          } else from = s0 + 1
+        }
+        val got = Cep.matchSequence(seq, pat)
+          .map(mm => (mm.startIdx, mm.endIdx, mm.stepCounts.toSeq))
+        if (got.nonEmpty) nonEmpty += 1
+        assert(got == wantBuf.toSeq,
+          s"trial $trial key $k pattern $pat:\n got=$got\n want=${wantBuf.toSeq}\n str=$str")
+      }
+    }
+    assert(nonEmpty >= 20, s"only $nonEmpty key-sequences produced matches")
+  }
+
   test("declared event_cep_* patterns match the reference on the sf0.001 fixture") {
     val ev = Tables.events(spark, sf001)
     val raw = ev.select(col("user_id"), col("event_type"),
