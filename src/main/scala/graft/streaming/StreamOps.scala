@@ -353,8 +353,8 @@ object StreamOps extends Serializable {
     * violate WITHIN anyway) — without WITHIN, an "A then eventually B"
     * relaxed pattern waits unboundedly, as any CEP engine must.
     */
-  private def sealedScan(evs: IndexedSeq[CepEvent],
-                         pattern: CepPattern): (Seq[CepSeqMatch], Int) = {
+  private[graft] def sealedScan(evs: IndexedSeq[CepEvent],
+                                pattern: CepPattern): (Seq[CepSeqMatch], Int) = {
     val steps = pattern.steps
     val n = evs.size
     val maxTs = if (n == 0) Long.MinValue else evs(n - 1).tsUs
@@ -443,7 +443,12 @@ object StreamOps extends Serializable {
     }
     def tryRelaxed(p: Int): SealRes = {
       // presence-priority: a pending higher-priority alternative blocks
-      // resolution; a sealed-failed one falls through
+      // resolution; a sealed-failed one falls through. A
+      // needs-future alternative whose anchor is already past the
+      // WITHIN horizon is DEAD (in-order: any completion would end past
+      // the horizon and fail WITHIN) — it falls through like a sealed
+      // fail, so a lower-priority sealed alternative can still emit.
+      val dead = pattern.withinUs.exists(w => maxTs - evs(p).tsUs > w)
       var pendViable = false
       var pendFuture = false
       val it = pattern.alternatives.iterator
@@ -453,7 +458,7 @@ object StreamOps extends Serializable {
             return if (pendViable || pendFuture) PendingViable else s
           case SealedFail => ()
           case PendingViable => pendViable = true
-          case PendingNeedsFuture => pendFuture = true
+          case PendingNeedsFuture => if (!dead) pendFuture = true
         }
       }
       if (pendViable) PendingViable

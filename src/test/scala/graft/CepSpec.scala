@@ -40,8 +40,11 @@ class CepSpec extends SparkSuite {
   private def randomRelaxedPattern(rnd: scala.util.Random): CepPattern = {
     val p = randomPattern(rnd)
     val base = p.copy(skip = SkipToNextRow, strict = false,
-      // longer horizons: relaxed chains span gaps, tiny withins match nothing
-      withinMinutes = p.withinMinutes.map(_ * 20))
+      // always bounded, with a longer horizon: relaxed chains span gaps
+      // (tiny withins match nothing), and an unbounded relaxed pattern
+      // legitimately waits forever on a never-arriving symbol — the
+      // incremental-scan property test needs every anchor resolvable
+      withinMinutes = Some(p.withinMinutes.getOrElse(20) * 20))
     val unused = symbols.filterNot(base.steps.map(_.symbol).contains)
     if (unused.isEmpty || rnd.nextBoolean()) base
     else {
@@ -178,6 +181,49 @@ class CepSpec extends SparkSuite {
       }
     }
     assert(nonEmpty >= 20, s"only $nonEmpty key-sequences produced matches")
+  }
+
+  test("seal-aware incremental scan == batch reference over random batch splits") {
+    // simulate StreamOps.cepPattern's state loop (buffer tail carry +
+    // sealedScan per batch) over random in-order batch splits; with a
+    // final sealing sentinel the accumulated emissions must equal the
+    // batch matcher on the full stream — for strict AND relaxed
+    // patterns, both skip strategies
+    val rnd = new scala.util.Random(23)
+    var nonEmpty = 0
+    for (trial <- 0 until 40) {
+      val pat = if (trial % 2 == 0) randomPattern(rnd) else randomRelaxedPattern(rnd)
+      val evs = randomEvents(rnd, 2)
+      evs.groupBy(_._1).foreach { case (_, rows) =>
+        val sorted = rows.sortBy(r => (r._3, r._4))
+          .map(r => CepEvent(r._2, r._3, r._4)).toIndexedSeq
+        // sealing sentinel: unmatched symbol far beyond every WITHIN
+        // horizon (48 h), so run-open anchors seal and needs-future
+        // alternatives go dead
+        val sentinel = CepEvent("Z", sorted.last.tsUs + 48L * 3600L * 1000000L,
+          sorted.last.ord + 1000000L)
+        val full = sorted :+ sentinel
+        // random in-order batch split points
+        val cuts = (0 until 3).map(_ => rnd.nextInt(full.size)).sorted.distinct
+        val batches = (Seq(0) ++ cuts ++ Seq(full.size)).distinct.sliding(2)
+          .map { case Seq(a, b) => full.slice(a, b) }.filter(_.nonEmpty).toSeq
+        var buf = IndexedSeq.empty[CepEvent]
+        val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Seq[Int])]
+        for (b <- batches) {
+          val cur = (buf ++ b).sortBy(e => (e.tsUs, e.ord)).toIndexedSeq
+          val (ms, resume) = graft.streaming.StreamOps.sealedScan(cur, pat)
+          ms.foreach(m => got += ((cur(m.startIdx).ord, cur(m.endIdx).ord,
+            m.stepCounts.toSeq)))
+          buf = cur.drop(resume)
+        }
+        val want = Cep.matchSequence(full, pat)
+          .map(m => (full(m.startIdx).ord, full(m.endIdx).ord, m.stepCounts.toSeq))
+        if (want.nonEmpty) nonEmpty += 1
+        assert(got.toSeq == want,
+          s"trial $trial pattern $pat batches=${batches.map(_.size)}:\n got=${got.toSeq}\n want=$want")
+      }
+    }
+    assert(nonEmpty >= 15, s"only $nonEmpty key-streams produced matches")
   }
 
   test("declared event_cep_* patterns match the reference on the sf0.001 fixture") {
