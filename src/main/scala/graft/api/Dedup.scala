@@ -455,6 +455,14 @@ object Dedup {
       stable = n2 == n && e2.except(e).isEmpty
       e = e2; n = n2; i += 1
     }
+    // Large-star/small-star provably converges in O(log n) alternations, so
+    // cap=64 is unreachable for any graph with < 2^64 nodes — if the loop
+    // still expired, the labels below would be a star forest ONLY partially
+    // contracted (a src carrying several dst roots → duplicate contradictory
+    // (id, root) rows). Fail loudly instead of emitting corrupt clusters.
+    require(stable,
+      s"starContract did not reach a star-forest fixpoint in $cap alternations " +
+        "— refusing to emit (possibly multi-rooted) labels")
     // fixpoint is a star forest: every edge is (node, component-min root);
     // roots appear only on the dst side
     val nodeLabels = e.select(col("src").as("id"), col("dst").as("root")).distinct()
@@ -543,16 +551,20 @@ object Dedup {
     * previous label-only blocking whose blocks grew with the corpus
     * (O(n²/|labels|) pairs).
     *
-    * Semantics: a deterministic 1/shards sample of within-block pairs
-    * (both ends must hash to the same shard) — the exact-cosine AUDIT
-    * baseline for calibrating [[embedLshPairs]] (the scale path for
-    * full-recall near-dup detection). At small scale shards = 1 and the
-    * output equals the unsharded exact pair set. md5-derived shards
+    * Semantics: with the DEFAULT `maxBlock = Int.MaxValue` the shard
+    * count is 1 and the output is the complete exact within-block pair
+    * set — a caller using this for actual dedup loses nothing. Passing
+    * a finite `maxBlock` OPTS IN to the audit contract: a deterministic
+    * 1/shards sample of within-block pairs (both ends must hash to the
+    * same shard) — the bounded-cost exact-cosine baseline for
+    * calibrating [[embedLshPairs]] (the scale path for full-recall
+    * near-dup detection). The sampled mode is opt-in precisely so the
+    * weaker contract is visible at the call site. md5-derived shards
     * replay bit-for-bit in the DuckDB oracle.
     */
   def embedCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                        blockCol: String, threshold: Double,
-                       maxBlock: Int = 256): DataFrame = {
+                       maxBlock: Int = Int.MaxValue): DataFrame = {
     val nsh = df.groupBy(col(blockCol)).agg(count(lit(1)).as("__c"))
       .agg(ceil(max(col("__c")) / lit(maxBlock.toDouble)).cast("long").as("__nsh"))
     val e = Similarity.withNorm(df, vecCol)

@@ -69,7 +69,11 @@ object Sampling {
     * contract is an exactly replayable mix. The rounded weights become
     * integers (floor(sqrt * 1e6)) so the share arithmetic
     * (`totalBudget * w_s / Σw`) is exact integer math with no
-    * summation-order sensitivity.
+    * summation-order sensitivity. The product is computed in
+    * DECIMAL(38,0): w_s ≈ 1e6·sqrt(stratum tokens) is ~5e12 at 100 TB
+    * scale, so `totalBudget * w_s` overflows a Long for any realistic
+    * budget — a decimal intermediate keeps the division exact (the
+    * quotient itself always fits a Long because it is ≤ totalBudget).
     *
     * Scale shape: one tiny per-stratum agg (weights, broadcast back) and
     * one shuffle by stratum for the fill window — same as [[budgetMix]].
@@ -81,7 +85,7 @@ object Sampling {
     val totW = weights.agg(sum(col("w_s")).as("w_tot"))
     val alloc = weights.crossJoin(broadcast(totW))
       .withColumn("alloc_tok",
-        expr(s"(${totalBudget}L * w_s) div w_tot"))
+        expr(s"(cast(${totalBudget} as decimal(38,0)) * w_s) div w_tot"))
       .select(strataCols.map(col) :+ col("alloc_tok"): _*)
     val w = Window.partitionBy(strataCols.map(col): _*)
       .orderBy(md5(col(idCol).cast("string")), col(idCol))

@@ -154,11 +154,13 @@ object Pipeline {
     // The exact-cosine AUDIT sibling of dedup_embed_lsh: blocks are
     // (label, md5-shard) with the shard count derived in-plan so a block
     // never exceeds ~256 rows — bounded-quadratic per block, linear in
-    // the corpus (see Dedup.embedCosinePairs). At this fixture's scale
-    // shards = 1, so the declared output is the full within-label set.
+    // the corpus (see Dedup.embedCosinePairs; maxBlock passed EXPLICITLY
+    // because the sharded/sampled contract is opt-in — the API default
+    // is the complete pair set). At this fixture's scale shards = 1, so
+    // the declared output is the full within-label set either way.
     "dedup_embed_cosine" -> ((s, d) =>
       Dedup.embedCosinePairs(Tables.embeddings(s, d), "vec_id", "embedding",
-          "label", 0.3)
+          "label", 0.3, maxBlock = 256)
         .select(col("vec_a"), col("vec_b"), Det.round4(col("cos")).as("cos"))
         .orderBy("vec_a", "vec_b")),
 
@@ -241,11 +243,19 @@ object Pipeline {
     // Checksum-gated financial-PII scrub: 16-digit card candidates are
     // redacted only when they pass the Luhn check — a bare [0-9]{16}
     // regex redacts order ids and tracking numbers too, so real release
-    // pipelines gate on the checksum. The fixture corpus has no cards,
-    // so a deterministic candidate is spliced per doc (valid check
-    // digit on even doc_ids, broken on odd — both branches exercised);
-    // the Luhn fold is the same integer arithmetic on both engines, so
-    // the whole decision (and the redacted text) replays exactly.
+    // pipelines gate on the checksum. Candidates are MAXIMAL digit runs
+    // of length exactly 16 (a ≥17-digit run is never a card — boundary
+    // guarding done by run tokenization, not lookaround, because the
+    // oracle's RE2 engine has no lookbehind), and each candidate is
+    // validated and redacted INDEPENDENTLY — one invalid order id must
+    // not suppress the scrub of a real card later in the doc.
+    // The fixture corpus has no cards, so deterministic candidates are
+    // spliced per doc: a per-doc card (valid check digit on even
+    // doc_ids, broken on odd), a second known-valid card on every 3rd
+    // doc (redacted even when the first candidate fails Luhn), and a
+    // 17-digit tracking number (must come through untouched). The Luhn
+    // fold is the same integer arithmetic on both engines, so the whole
+    // decision (and the redacted text) replays exactly.
     "text_pii_luhn" -> ((s, d) => {
       // 15-digit deterministic base + Luhn check digit (sum over the
       // base with doubled-even-right-positions parity, since the check
@@ -259,23 +269,40 @@ object Pipeline {
         |  ELSE cast(substr($base, 15 - i, 1) as int) END), 0, (acc, x) -> acc + x)""".stripMargin
       val check = s"CASE WHEN doc_id % 2 = 0 THEN (10 - ($sum15 % 10)) % 10 " +
         s"ELSE (10 - ($sum15 % 10) + 5) % 10 END"
+      val track = "lpad(cast((doc_id * 1103515245) % 100000000000000000 as string), 17, '0')"
       val withCard = Tables.documents(s, d)
         .withColumn("card", expr(s"concat($base, cast($check as string))"))
-        .withColumn("raw", concat(col("text"), lit(" pay "), col("card"), lit(" now")))
-      // the scrub itself: extract the 16-digit candidate, Luhn-validate,
-      // redact only on a valid checksum
-      val cand = "regexp_extract(raw, '([0-9]{16})', 1)"
-      val luhn = s"""aggregate(transform(sequence(0, 15), i ->
+        .withColumn("raw", expr(s"""concat(text, ' pay ', card, ' now',
+          |  CASE WHEN doc_id % 3 = 0 THEN ' alt 4111111111111111' ELSE '' END,
+          |  ' trk ', $track, '.')""".stripMargin))
+      // Luhn sum over a 16-digit string expression `e`
+      def luhn16(e: String) = s"""aggregate(transform(sequence(0, 15), i ->
         |  CASE WHEN i % 2 = 1 THEN
-        |    CASE WHEN 2 * cast(substr($cand, 16 - i, 1) as int) > 9
-        |         THEN 2 * cast(substr($cand, 16 - i, 1) as int) - 9
-        |         ELSE 2 * cast(substr($cand, 16 - i, 1) as int) END
-        |  ELSE cast(substr($cand, 16 - i, 1) as int) END), 0, (acc, x) -> acc + x)""".stripMargin
+        |    CASE WHEN 2 * cast(substr($e, 16 - i, 1) as int) > 9
+        |         THEN 2 * cast(substr($e, 16 - i, 1) as int) - 9
+        |         ELSE 2 * cast(substr($e, 16 - i, 1) as int) END
+        |  ELSE cast(substr($e, 16 - i, 1) as int) END), 0, (acc, x) -> acc + x)""".stripMargin
+      // Redaction: fold the valid candidates over the sentinel-padded
+      // text; each fold step is a DOUBLE boundary-guarded global replace
+      // (greedy left-to-right matching can skip every other occurrence
+      // when two hits share a single separator char — one repeat pass
+      // provably catches the alternating misses, because no two missed
+      // occurrences are ever adjacent).
+      val foldRedact = // non-interpolated: $1/$2 are Java-regex backrefs
+        """aggregate(valid_cands, concat(chr(1), raw, chr(1)), (acc, c) ->
+          |  regexp_replace(
+          |    regexp_replace(acc, concat('([^0-9])', c, '([^0-9])'), '$1[CARD]$2'),
+          |    concat('([^0-9])', c, '([^0-9])'), '$1[CARD]$2'))""".stripMargin
       withCard
-        .withColumn("luhn_valid", expr(s"cast(($luhn) % 10 = 0 as int)"))
-        .withColumn("redacted", when(col("luhn_valid") === 1,
-          regexp_replace(col("raw"), "[0-9]{16}", "[CARD]")).otherwise(col("raw")))
+        .withColumn("luhn_valid", expr(s"cast((${luhn16("card")}) % 10 = 0 as int)"))
+        .withColumn("cands",
+          expr("filter(regexp_extract_all(raw, '[0-9]+', 0), c -> length(c) = 16)"))
+        .withColumn("valid_cands",
+          expr(s"filter(cands, c -> (${luhn16("c")}) % 10 = 0)"))
+        .withColumn("rp", expr(foldRedact))
+        .withColumn("redacted", expr("substring(rp, 2, length(rp) - 2)"))
         .select(col("doc_id"), col("card"), col("luhn_valid"),
+          size(col("cands")).as("n_cands"), size(col("valid_cands")).as("n_valid"),
           md5(col("redacted")).as("redact_md5"))
         .orderBy("doc_id")
     }),
@@ -656,29 +683,44 @@ object Pipeline {
         |  SELECT *, base || CAST(CASE WHEN doc_id % 2 = 0 THEN (10 - (sum15 % 10)) % 10
         |                              ELSE (10 - (sum15 % 10) + 5) % 10 END AS VARCHAR) AS card
         |  FROM s15),
-        |r AS (SELECT *, text || ' pay ' || card || ' now' AS raw FROM c),
-        |l AS (SELECT *, regexp_extract(raw, '([0-9]{16})', 1) AS cand FROM r),
+        |r AS (SELECT *, text || ' pay ' || card || ' now' ||
+        |        CASE WHEN doc_id % 3 = 0 THEN ' alt 4111111111111111' ELSE '' END ||
+        |        ' trk ' || lpad(CAST((doc_id * 1103515245) % 100000000000000000 AS VARCHAR), 17, '0') || '.' AS raw
+        |      FROM c),
+        |k AS (SELECT *, list_filter(regexp_extract_all(raw, '[0-9]+'), x -> len(x) = 16) AS cands FROM r),
         |v AS (
         |  SELECT *, CAST(list_aggregate(list_transform(range(0, 16), i ->
         |      CASE WHEN i % 2 = 1 THEN
-        |        CASE WHEN 2 * substr(cand, CAST(16 - i AS INTEGER), 1)::INTEGER > 9
-        |             THEN 2 * substr(cand, CAST(16 - i AS INTEGER), 1)::INTEGER - 9
-        |             ELSE 2 * substr(cand, CAST(16 - i AS INTEGER), 1)::INTEGER END
-        |      ELSE substr(cand, CAST(16 - i AS INTEGER), 1)::INTEGER END), 'sum') % 10 = 0
-        |    AS INTEGER) AS luhn_valid
-        |  FROM l)
+        |        CASE WHEN 2 * substr(card, CAST(16 - i AS INTEGER), 1)::INTEGER > 9
+        |             THEN 2 * substr(card, CAST(16 - i AS INTEGER), 1)::INTEGER - 9
+        |             ELSE 2 * substr(card, CAST(16 - i AS INTEGER), 1)::INTEGER END
+        |      ELSE substr(card, CAST(16 - i AS INTEGER), 1)::INTEGER END), 'sum') % 10 = 0
+        |    AS INTEGER) AS luhn_valid,
+        |    list_filter(cands, x ->
+        |      list_aggregate(list_transform(range(0, 16), i ->
+        |        CASE WHEN i % 2 = 1 THEN
+        |          CASE WHEN 2 * substr(x, CAST(16 - i AS INTEGER), 1)::INTEGER > 9
+        |               THEN 2 * substr(x, CAST(16 - i AS INTEGER), 1)::INTEGER - 9
+        |               ELSE 2 * substr(x, CAST(16 - i AS INTEGER), 1)::INTEGER END
+        |        ELSE substr(x, CAST(16 - i AS INTEGER), 1)::INTEGER END), 'sum') % 10 = 0) AS valid_cands
+        |  FROM k),
+        |red AS (SELECT *, list_reduce(list_prepend(chr(1) || raw || chr(1), valid_cands),
+        |          (acc, c2) -> regexp_replace(
+        |            regexp_replace(acc, '([^0-9])' || c2 || '([^0-9])', '\1[CARD]\2', 'g'),
+        |            '([^0-9])' || c2 || '([^0-9])', '\1[CARD]\2', 'g')) AS rp
+        |        FROM v)
         |SELECT doc_id, card, luhn_valid,
-        |  md5(CASE WHEN luhn_valid = 1
-        |           THEN regexp_replace(raw, '[0-9]{16}', '[CARD]', 'g')
-        |           ELSE raw END) AS redact_md5
-        |FROM v ORDER BY doc_id""".stripMargin,
+        |  CAST(len(cands) AS INTEGER) AS n_cands,
+        |  CAST(len(valid_cands) AS INTEGER) AS n_valid,
+        |  md5(substr(rp, 2, len(rp) - 2)) AS redact_md5
+        |FROM red ORDER BY doc_id""".stripMargin,
 
     "corpus_mix_temperature" ->
       """WITH t AS (SELECT doc_id, lang, len(str_split(text, ' ')) AS n_tok FROM documents),
         |w AS (SELECT lang, CAST(floor(sqrt(sum(n_tok)) * 1e6) AS BIGINT) AS w_s
         |      FROM t GROUP BY lang),
         |a AS (SELECT lang,
-        |        CAST((4000 * w_s) // (SELECT sum(w_s) FROM w) AS BIGINT) AS alloc_tok
+        |        CAST((CAST(4000 AS HUGEINT) * w_s) // (SELECT sum(w_s) FROM w) AS BIGINT) AS alloc_tok
         |      FROM w),
         |c AS (SELECT t.lang, t.doc_id, t.n_tok, a.alloc_tok,
         |        sum(t.n_tok) OVER (PARTITION BY t.lang

@@ -282,6 +282,24 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("Luhn card scrub: per-candidate gating and digit-run boundary guard") {
+    val out = Pipeline.queries("text_pii_luhn")(spark, sf001)
+      .select("doc_id", "n_cands", "n_valid").as[(Long, Int, Int)].collect()
+    out.foreach { case (id, nc, nv) =>
+      // candidates = maximal digit runs of length exactly 16: the spliced
+      // per-doc card, plus the known-valid alt card on every 3rd doc; the
+      // spliced 17-digit tracking run must NEVER surface as a candidate
+      val wantCands = if (id % 3 == 0) 2 else 1
+      assert(nc == wantCands, s"doc $id: $nc candidates, want $wantCands " +
+        "(17-digit tracking run leaked in, or a candidate was missed)")
+      // each candidate validated independently — on an odd doc (invalid
+      // first card) the alt card must still count as valid
+      val wantValid = (if (id % 2 == 0) 1 else 0) + (if (id % 3 == 0) 1 else 0)
+      assert(nv == wantValid, s"doc $id: $nv valid, want $wantValid " +
+        "(per-candidate Luhn gating broken)")
+    }
+  }
+
   test("budget mix fills each stratum's token budget and never overshoots early") {
     val out = Pipeline.queries("corpus_mix")(spark, sf001)
       .select(col("lang"), col("n_tok"), col("cum_tok"))
