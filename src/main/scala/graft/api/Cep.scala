@@ -45,6 +45,13 @@ case object SkipToNextRow extends CepSkip
   *    Optional steps expand to alternatives tried in presence-priority
   *    order (greedy `?` prefers present); WITHIN is part of each
   *    alternative's success test.
+  *  - `strict = false, anyMatch = true` (Flink `followedByAny`): like
+  *    relaxed, but each later step aligns to EVERY following run of
+  *    its symbol (not just the first), each consuming its capped
+  *    greedy prefix — one match per qualifying combination of runs.
+  *    Inherently overlapping, so SKIP TO NEXT ROW only; a
+  *    notFollowedBy gap constraint blocks all alignments past the
+  *    first negated-symbol occurrence, exactly as in first-run mode.
   *
   * All semantics are pinned by [[Cep.matchSequence]], the executable
   * reference.
@@ -54,7 +61,11 @@ case object SkipToNextRow extends CepSkip
   * the pattern instead — they would make the match boundary ambiguous).
   */
 case class CepPattern(steps: Seq[CepStep], withinMinutes: Option[Int] = None,
-                      skip: CepSkip = SkipPastLastRow, strict: Boolean = true) {
+                      skip: CepSkip = SkipPastLastRow, strict: Boolean = true,
+                      anyMatch: Boolean = false) {
+  require(!anyMatch || (!strict && skip == SkipToNextRow),
+    "followedByAny (anyMatch) is a relaxed-contiguity mode and emits " +
+      "overlapping matches — strict = false with SKIP TO NEXT ROW only")
   require(steps.size >= 2, "a CEP pattern needs at least two steps")
   require(!steps.head.negated && !steps.last.negated,
     "a negated step must sit between two positive steps (Flink's " +
@@ -111,6 +122,53 @@ case class CepEvent(sym: String, tsUs: Long, ord: Long)
   */
 case class CepSeqMatch(startIdx: Int, endIdx: Int, stepCounts: IndexedSeq[Int]) {
   def nRows: Int = stepCounts.sum
+}
+
+/** A value-predicate CEP step (Flink CEP `SimpleCondition.where(...)`):
+  * the step matches rows satisfying an arbitrary boolean expression
+  * instead of a symbol equality. `predicateSql` is written once in
+  * engine-portable SQL and runs VERBATIM on both engines — Spark parses
+  * it with `expr(...)`, the generated oracle splices it into the DuckDB
+  * query — the same single-source splicing discipline as the md5
+  * constants elsewhere in this library. `name` labels the step and
+  * becomes its derived symbol.
+  */
+case class CepCondStep(name: String, predicateSql: String, minRep: Int = 1,
+                       maxRep: Option[Int] = Some(1), negated: Boolean = false) {
+  require(name.nonEmpty && !name.contains("'") && name != "__other",
+    s"step name '$name' must be non-empty, quote-free, and not the reserved gap label")
+  require(predicateSql.trim.nonEmpty, "empty predicate")
+}
+
+/** A CEP pattern over value predicates. Compiled via a DERIVED SYMBOL
+  * column — `CASE WHEN p1 THEN 'name1' WHEN p2 THEN 'name2' … ELSE
+  * '__other' END` — so the whole symbolic machinery (runs, alignment,
+  * quantifiers, negation, WITHIN, both contiguity modes, anyMatch)
+  * applies unchanged and the oracle GENERATES the same derivation.
+  * First-match-wins resolves overlapping predicates deterministically;
+  * when the predicates are MUTUALLY EXCLUSIVE (the compile contract —
+  * the usual Flink case of conditions that partition the stream) this
+  * equals evaluating each step's predicate independently, which is what
+  * [[Cep.matchSequenceIter]] does and CepSpec's random-predicate
+  * property gate checks. Conditions that need the rows already matched
+  * in the attempt (Flink `IterativeCondition`) are NOT expressible as a
+  * derived column — use [[Cep.matchSequenceIter]] /
+  * StreamOps.cepPatternIter for those.
+  */
+case class CepCondPattern(steps: Seq[CepCondStep], withinMinutes: Option[Int] = None,
+                          skip: CepSkip = SkipPastLastRow, strict: Boolean = true,
+                          anyMatch: Boolean = false) {
+  /** The symbolic pattern over the derived step-name symbols (validates
+    * the step-structure invariants too). */
+  def symbolic: CepPattern = CepPattern(
+    steps.map(s => CepStep(s.name, s.minRep, s.maxRep, s.negated)),
+    withinMinutes, skip, strict, anyMatch)
+
+  /** The first-match-wins symbol derivation, valid on both engines. */
+  def caseSql: String =
+    "CASE " +
+      steps.map(s => s"WHEN (${s.predicateSql}) THEN '${s.name}'").mkString(" ") +
+      " ELSE '__other' END"
 }
 
 /** Complex-event-processing patterns (Flink CEP / SQL MATCH_RECOGNIZE),
@@ -177,73 +235,143 @@ object Cep {
         col("n_run"), col("first_run_ts"))
   }
 
+  /** Step-satisfaction oracle for the generalized core: does event `ei`
+    * satisfy step `si`, given the attempt's context — `ctx(oi)` = event
+    * indices already consumed by ORIGINAL step `oi` in this attempt, in
+    * consumption order? Symbolic matching ignores `ctx`; iterative
+    * conditions (Flink `IterativeCondition`) read it. The views in
+    * `ctx` are live (they mutate as the walk advances/backtracks) — a
+    * predicate must not retain them past the call.
+    */
+  type CepSat = (Int, Int, IndexedSeq[scala.collection.Seq[Int]]) => Boolean
+
   /** The executable reference semantics: greedy-backtracking scan over
     * one key's (tsUs, ord)-sorted events. O(n · pattern) per key; used
     * by the property tests (ground truth for [[compile]]) and by the
     * stateful streaming matcher's batch replay.
     */
-  def matchSequence(events: IndexedSeq[CepEvent], pattern: CepPattern): Seq[CepSeqMatch] = {
+  def matchSequence(events: IndexedSeq[CepEvent], pattern: CepPattern): Seq[CepSeqMatch] =
+    matchCore(events.size, i => events(i).tsUs, pattern,
+      (si, ei, _) => events(ei).sym == pattern.steps(si).symbol)
+
+  /** The reference semantics over arbitrary per-step conditions (Flink
+    * `SimpleCondition` / `IterativeCondition`): `conds(si)(e, matched)`
+    * accepts event `e` for step `si` given the events each original step
+    * has already consumed in this attempt. Row-wise evaluation — no
+    * symbol derivation, so overlapping predicates and match-relative
+    * conditions ("value > first matched value") are both expressible.
+    * The distributed form is StreamOps.cepPatternIter (per-key
+    * flatMapGroups); [[compile]] cannot plan iterative conditions (the
+    * run table is condition-independent) and [[compileWhere]] covers
+    * only context-free, mutually-exclusive predicates.
+    */
+  def matchSequenceIter[E](events: IndexedSeq[E], tsUs: E => Long, pattern: CepPattern,
+      conds: IndexedSeq[(E, IndexedSeq[Seq[E]]) => Boolean]): Seq[CepSeqMatch] = {
+    require(conds.size == pattern.steps.size,
+      s"${conds.size} conditions for ${pattern.steps.size} steps")
+    matchCore(events.size, i => tsUs(events(i)), pattern,
+      (si, ei, ctx) => conds(si)(events(ei), ctx.map(_.toIndexedSeq.map(events))))
+  }
+
+  /** Generalized sequential matcher: all contiguity modes (strict,
+    * relaxed first-run, relaxed any-run), quantifiers, negation, WITHIN
+    * and skip strategies over an abstract step-satisfaction oracle.
+    * Each attempt threads a consumption context through `sat`, so
+    * iterative conditions see the rows matched so far (including
+    * earlier repetitions of their own step, exactly Flink's
+    * `getEventsForPattern`). With a context-blind symbolic `sat` this
+    * reduces to the original run-based semantics — the CepSpec regex
+    * cross-validation and compile property gates pin that reduction.
+    */
+  private[graft] def matchCore(n: Int, tsUsAt: Int => Long, pattern: CepPattern,
+                               sat: CepSat): Seq[CepSeqMatch] = {
     val steps = pattern.steps
-    val n = events.size
     val withinUs = pattern.withinUs
     def withinOk(m: CepSeqMatch): Boolean =
-      withinUs.forall(w => events(m.endIdx).tsUs - events(m.startIdx).tsUs <= w)
+      withinUs.forall(w => tsUsAt(m.endIdx) - tsUsAt(m.startIdx) <= w)
+    def newCtx(): (Array[scala.collection.mutable.ArrayBuffer[Int]],
+                   IndexedSeq[scala.collection.Seq[Int]]) = {
+      val consumed = Array.fill(steps.size)(scala.collection.mutable.ArrayBuffer.empty[Int])
+      (consumed, scala.collection.immutable.ArraySeq.unsafeWrapArray(consumed))
+    }
     // strict: greedy backtracking over contiguous rows; within is a
-    // post-check on the single greedy resolution
+    // post-check on the single greedy resolution. Rows are accepted one
+    // by one so each acceptance test sees the rows consumed before it
+    // (context prefix-closure keeps backtracked prefixes valid).
     def tryStrict(p: Int): Option[CepSeqMatch] = {
+      val (consumed, ctx) = newCtx()
       val counts = Array.fill(steps.size)(0)
       def go(si: Int, pos: Int): Int = {
         if (si == steps.size) return pos
         val st = steps(si)
         var maxFit = 0
-        while (pos + maxFit < n && events(pos + maxFit).sym == st.symbol &&
-               st.maxRep.forall(maxFit < _)) maxFit += 1
+        while (pos + maxFit < n && st.maxRep.forall(maxFit < _) &&
+               sat(si, pos + maxFit, ctx)) {
+          consumed(si) += (pos + maxFit); maxFit += 1
+        }
         var c = maxFit
         while (c >= st.minRep) {
           counts(si) = c
+          while (consumed(si).size > c) consumed(si).remove(consumed(si).size - 1)
           val e = go(si + 1, pos + c)
           if (e >= 0) return e
           c -= 1
         }
         counts(si) = 0
+        consumed(si).clear()
         -1
       }
       val e = go(0, p)
       if (e < 0) None
       else Some(CepSeqMatch(p, e - 1, counts.toIndexedSeq)).filter(withinOk)
     }
-    // relaxed: per-alternative deterministic walk (gap rows skipped
-    // between steps, capped contiguous consumption per step); within is
-    // part of each alternative's success; presence-priority order wins
-    def walkAlt(p: Int, presentIdx: Seq[Int]): Option[CepSeqMatch] = {
-      val alt = presentIdx.map(steps)
-      val counts = Array.fill(steps.size)(0)
-      if (events(p).sym != alt.head.symbol) return None
+    // relaxed head consumption, shared by first-run and any-run walks:
+    // capped greedy contiguous prefix from the anchor. Returns the
+    // consumed count, or -1 if the anchor fails (no acceptance or a
+    // natural run shorter than minRep — capped stops always satisfy
+    // minRep because maxRep >= minRep).
+    def consumeHead(p: Int, h: Int,
+                    consumed: Array[scala.collection.mutable.ArrayBuffer[Int]],
+                    ctx: IndexedSeq[scala.collection.Seq[Int]]): Int = {
+      val cap = steps(h).maxRep.getOrElse(Int.MaxValue)
       var tail = 0
-      while (p + tail < n && events(p + tail).sym == alt.head.symbol) tail += 1
-      if (tail < alt.head.minRep) return None
-      var c = alt.head.maxRep.map(math.min(tail, _)).getOrElse(tail)
-      counts(presentIdx.head) = c
-      var pos = p + c
-      var end = p + c - 1
+      while (p + tail < n && tail < cap && sat(h, p + tail, ctx)) {
+        consumed(h) += (p + tail); tail += 1
+      }
+      if (tail < steps(h).minRep) -1 else tail
+    }
+    // relaxed: per-alternative deterministic walk (gap rows skipped
+    // between steps, capped contiguous consumption per step aligned to
+    // the FIRST satisfying run); within is part of each alternative's
+    // success; presence-priority order wins
+    def walkAlt(p: Int, presentIdx: Seq[Int]): Option[CepSeqMatch] = {
+      val (consumed, ctx) = newCtx()
+      val counts = Array.fill(steps.size)(0)
+      val c1 = consumeHead(p, presentIdx.head, consumed, ctx)
+      if (c1 < 0) return None
+      counts(presentIdx.head) = c1
+      var pos = p + c1
+      var end = p + c1 - 1
       var i = 1
-      while (i < alt.size) {
-        val st = alt(i)
-        val negSyms = pattern.negsBetween(presentIdx(i - 1), presentIdx(i))
-          .map(steps(_).symbol).toSet
+      while (i < presentIdx.size) {
+        val stIdx = presentIdx(i)
+        val st = steps(stIdx)
+        val negIdxs = pattern.negsBetween(presentIdx(i - 1), stIdx)
         var q = pos
-        while (q < n && events(q).sym != st.symbol) {
-          if (negSyms.contains(events(q).sym)) return None
+        while (q < n && !sat(stIdx, q, ctx)) {
+          if (negIdxs.exists(g => sat(g, q, ctx))) return None
           q += 1
         }
         if (q == n) return None
+        val cap = st.maxRep.getOrElse(Int.MaxValue)
         var t2 = 0
-        while (q + t2 < n && events(q + t2).sym == st.symbol) t2 += 1
+        while (q + t2 < n && t2 < cap && sat(stIdx, q + t2, ctx)) {
+          consumed(stIdx) += (q + t2); t2 += 1
+        }
         if (t2 < st.minRep) return None
-        val ci = st.maxRep.map(math.min(t2, _)).getOrElse(t2)
-        counts(presentIdx(i)) = ci
-        pos = q + ci
-        end = q + ci - 1
+        counts(stIdx) = t2
+        pos = q + t2
+        end = q + t2 - 1
         i += 1
       }
       Some(CepSeqMatch(p, end, counts.toIndexedSeq))
@@ -251,15 +379,67 @@ object Cep {
     def tryRelaxed(p: Int): Option[CepSeqMatch] =
       pattern.alternatives.iterator
         .flatMap(walkAlt(p, _).filter(withinOk).iterator).nextOption()
-    def tryAt(p: Int): Option[CepSeqMatch] =
-      if (pattern.strict) tryStrict(p) else tryRelaxed(p)
+    // relaxed ANY (followedByAny): later steps align to EVERY following
+    // satisfying run (DFS over run choices), each consuming its capped
+    // greedy prefix; a negated gap row blocks all later alignments of
+    // that step. Emits every combination passing quantifiers + WITHIN.
+    def walkAltAny(p: Int, presentIdx: Seq[Int],
+                   out: scala.collection.mutable.ArrayBuffer[CepSeqMatch]): Unit = {
+      val (consumed, ctx) = newCtx()
+      val counts = Array.fill(steps.size)(0)
+      val c1 = consumeHead(p, presentIdx.head, consumed, ctx)
+      if (c1 < 0) return
+      counts(presentIdx.head) = c1
+      def rec(i: Int, pos: Int): Unit = {
+        if (i == presentIdx.size) {
+          val m = CepSeqMatch(p, pos - 1, counts.toIndexedSeq)
+          if (withinOk(m)) out += m
+          return
+        }
+        val stIdx = presentIdx(i)
+        val st = steps(stIdx)
+        val cap = st.maxRep.getOrElse(Int.MaxValue)
+        val negIdxs = pattern.negsBetween(presentIdx(i - 1), stIdx)
+        var q = pos
+        var blocked = false
+        while (q < n && !blocked) {
+          // run start relative to the scan: satisfying, and either at the
+          // scan origin or preceded by a non-satisfying row
+          if (sat(stIdx, q, ctx) && (q == pos || !sat(stIdx, q - 1, ctx))) {
+            var t2 = 0
+            while (q + t2 < n && t2 < cap && sat(stIdx, q + t2, ctx)) {
+              consumed(stIdx) += (q + t2); t2 += 1
+            }
+            if (t2 >= st.minRep) {
+              counts(stIdx) = t2
+              rec(i + 1, q + t2)
+            }
+            var r = t2
+            while (r > 0) { consumed(stIdx).remove(consumed(stIdx).size - 1); r -= 1 }
+            counts(stIdx) = 0
+          }
+          if (negIdxs.exists(g => sat(g, q, ctx))) blocked = true
+          q += 1
+        }
+      }
+      rec(1, p + c1)
+    }
     val out = scala.collection.mutable.ArrayBuffer.empty[CepSeqMatch]
     var p = 0
-    while (p < n) {
-      (tryAt(p), pattern.skip) match {
-        case (Some(m), SkipPastLastRow) => out += m; p = m.endIdx + 1
-        case (Some(m), SkipToNextRow) => out += m; p += 1
-        case _ => p += 1
+    if (pattern.anyMatch) {
+      while (p < n) {
+        pattern.alternatives.foreach(walkAltAny(p, _, out))
+        p += 1
+      }
+    } else {
+      def tryAt(q: Int): Option[CepSeqMatch] =
+        if (pattern.strict) tryStrict(q) else tryRelaxed(q)
+      while (p < n) {
+        (tryAt(p), pattern.skip) match {
+          case (Some(m), SkipPastLastRow) => out += m; p = m.endIdx + 1
+          case (Some(m), SkipToNextRow) => out += m; p += 1
+          case _ => p += 1
+        }
       }
     }
     out.toSeq
@@ -332,6 +512,8 @@ object Cep {
       col("pos").as("epos"), col("ts").as("end_ts"), col("ord").as("end_id"))
     val r1 = rows.select(col("k"), col("rid").as("arid"), col("pos").as("apos"),
       col("ts").as("a_ts"), col("ord").as("a_ord"))
+    if (pattern.anyMatch)
+      return compileRelaxedAny(keyCol, pattern, rows, runs, endRows, r1)
     if (!pattern.strict)
       return compileRelaxed(keyCol, pattern, rows, runs, endRows, r1)
     val alts = pattern.alternatives.map { presentIdx =>
@@ -476,6 +658,112 @@ object Cep {
       .drop("prn", "alt")
   }
 
+  /** followedByAny compilation (relaxed + `anyMatch`): later steps join
+    * to EVERY later run of their symbol (`rid` inequality instead of the
+    * first-run pointer), each consuming its capped greedy prefix; gap
+    * negation uses the previous chosen run's next-negated-run lookup
+    * (no negated run strictly between the chosen rids — identical to
+    * the row-level "blocked past the first negated occurrence" rule,
+    * because runs tile the row space). Every qualifying combination
+    * emits; two run choices that differ only in an unrecorded middle
+    * run legitimately produce duplicate output rows (they are distinct
+    * matches — Flink emits both too), so there is no dedup and no
+    * anchor-priority filter.
+    *
+    * Scale: the chain joins are per-key range joins over the RUN table
+    * (not rows); candidate volume is the per-key product of runs inside
+    * the WITHIN horizon — the inherent followedByAny combinatorics,
+    * bounded in practice by WITHIN exactly as in Flink. Patterns
+    * without WITHIN pay the full per-key product; the sequential
+    * matcher has the same cost per key.
+    */
+  private def compileRelaxedAny(keyCol: String, pattern: CepPattern,
+                                rows: DataFrame, runs: DataFrame,
+                                endRows: DataFrame, r1: DataFrame): DataFrame = {
+    val steps = pattern.steps
+    val wNext = W.partitionBy(col("k")).orderBy(col("rid").desc)
+      .rowsBetween(W.unboundedPreceding, -1)
+    // next-run lookups are needed only for negated symbols here (chains
+    // use rid inequality); computed once, reused by every alternative
+    val negIdx = steps.indices.filter(steps(_).negated)
+    val runsx = negIdx.foldLeft(runs) { (d, oi) =>
+      d.withColumn(s"nxt_$oi",
+        min(when(col("sym") === steps(oi).symbol, col("rid"))).over(wNext))
+    }
+    def capped(lenCol: Column, st: CepStep): Column =
+      st.maxRep.map(m => least(lenCol, lit(m.toLong))).getOrElse(lenCol)
+    val alts = pattern.alternatives.map { presentIdx =>
+      val alt = presentIdx.map(steps)
+      val j = alt.size
+      var cand = runsx.filter(col("sym") === alt.head.symbol)
+        .select(Seq(col("k"), col("rid").as("rid_0"), col("len").as("len1")) ++
+          negIdx.map(g => col(s"nxt_$g").as(s"ng0_$g")): _*)
+      for (i <- 1 until j) {
+        val ri = runsx.filter(col("sym") === alt(i).symbol)
+          .select(Seq(col("k").as("kr"), col("rid").as(s"rid_$i"),
+            col("len").as(s"len_$i")) ++
+            negIdx.map(g => col(s"nxt_$g").as(s"ng${i}_$g")): _*)
+        cand = cand.join(ri,
+            col("k") === col("kr") && col(s"rid_$i") > col(s"rid_${i - 1}"))
+          .drop("kr")
+          .filter(col(s"len_$i") >= alt(i).minRep)
+        pattern.negsBetween(presentIdx(i - 1), presentIdx(i)).foreach { g =>
+          cand = cand.filter(col(s"ng${i - 1}_$g").isNull ||
+            col(s"ng${i - 1}_$g") > col(s"rid_$i"))
+        }
+      }
+      val candSel = cand.select(
+        Seq(col("k"), col("rid_0").as("arid"), col("len1"),
+          col(s"rid_${j - 1}").as("erid"),
+          capped(col(s"len_${j - 1}"), alt.last).as("clast")) ++
+          (1 until j).map(i =>
+            capped(col(s"len_$i"), alt(i)).as(s"cc_${presentIdx(i)}")): _*)
+      val withEnd = candSel.join(endRows, Seq("k", "erid"))
+        .filter(col("epos") === col("clast")).drop("epos")
+      var j1 = withEnd.join(r1, Seq("k", "arid"))
+        .withColumn("tail", col("len1") - col("apos") + 1)
+        .filter(col("tail") >= alt.head.minRep)
+        .withColumn("c1", capped(col("tail"), alt.head))
+      pattern.withinMinutes.foreach(w =>
+        j1 = j1.filter(col("a_ts") >= col("end_ts") - expr(s"INTERVAL $w MINUTES")))
+      val countCols = steps.indices.map { oi =>
+        if (!presentIdx.contains(oi)) lit(0L)
+        else if (oi == presentIdx.head) col("c1")
+        else col(s"cc_$oi")
+      }
+      j1.select(col("k").as(keyCol), col("a_ord").as("start_id"),
+        col("a_ts").as("start_ts"), col("end_id"), col("end_ts"),
+        (col("c1") +: (1 until j).map(i => col(s"cc_${presentIdx(i)}")))
+          .reduce(_ + _).as("n_rows"),
+        concat_ws(",", countCols.map(_.cast("string")): _*).as("step_counts"))
+    }
+    alts.reduce(_ union _)
+  }
+
+  /** Value-predicate compilation (Flink `SimpleCondition`): derive the
+    * symbol column from the pattern's predicates (first-match-wins
+    * CASE), then run the ordinary symbolic compiler on it. The
+    * derivation is one projection — it fuses into the scan under
+    * whole-stage codegen, so predicate steps cost nothing extra at
+    * scale. See [[CepCondPattern]] for the mutual-exclusivity contract.
+    */
+  def compileWhere(df: DataFrame, keyCol: String, tsCol: String, ordCol: String,
+                   pattern: CepCondPattern): DataFrame =
+    compile(df.withColumn("__dsym", expr(pattern.caseSql)),
+      keyCol, tsCol, ordCol, "__dsym", pattern.symbolic)
+
+  /** The DuckDB replay of [[compileWhere]] — the SAME CASE derivation
+    * (generated from the same pattern object) wrapped around the same
+    * generated symbolic oracle, so the predicates themselves are pinned
+    * cross-engine, not just the run algebra.
+    */
+  def oracleSqlWhere(pattern: CepCondPattern, table: String = "events",
+                     keyCol: String = "user_id", tsCol: String = "ts",
+                     ordCol: String = "event_id"): String =
+    oracleSql(pattern.symbolic,
+      s"(SELECT *, ${pattern.caseSql} AS __dsym FROM $table)",
+      keyCol, tsCol, ordCol, "__dsym")
+
   /** The DuckDB replay of [[compile]] — the SAME gaps-and-islands
     * construction generated from the SAME pattern object, so the whole
     * algorithm (runs, alignment, greedy prefix/suffix, WITHIN, skip
@@ -504,9 +792,10 @@ object Cep {
          |seq AS (SELECT *, $leadSel FROM runs
          |        WINDOW wseq AS (PARTITION BY k ORDER BY rid))""".stripMargin
     if (!pattern.strict) {
-      // relaxed mode reuses the header up to `runs` (no lead alignment)
+      // relaxed modes reuse the header up to `runs` (no lead alignment)
       val relaxedHeader = header.substring(0, header.indexOf(",\nseq AS"))
-      return oracleSqlRelaxed(pattern, relaxedHeader, keyCol)
+      return if (pattern.anyMatch) oracleSqlAny(pattern, relaxedHeader, keyCol)
+             else oracleSqlRelaxed(pattern, relaxedHeader, keyCol)
     }
     val altSql = pattern.alternatives.zipWithIndex.map { case (presentIdx, ai) =>
       val alt = presentIdx.map(steps)
@@ -633,5 +922,77 @@ object Cep {
          |      FROM ($unions))
          |WHERE prn = 1
          |ORDER BY $keyCol, start_id""".stripMargin
+  }
+
+  /** DuckDB replay of [[compileRelaxedAny]] — any-run chaining via rid
+    * inequality joins over the run table, negation via the previous
+    * chosen run's next-negated-run lookup, UNION ALL with no dedup
+    * (duplicate rows from unrecorded middle-run choices are distinct
+    * matches on both engines). Output ordered by EVERY column so the
+    * duplicate multiset compares deterministically.
+    */
+  private def oracleSqlAny(pattern: CepPattern, header: String,
+                           keyCol: String): String = {
+    val steps = pattern.steps
+    val negIdx = steps.indices.filter(steps(_).negated)
+    val runsxSql =
+      if (negIdx.isEmpty) "runsx AS (SELECT * FROM runs)"
+      else {
+        val nxtSel = negIdx.map(oi =>
+          s"min(CASE WHEN sym = '${steps(oi).symbol}' THEN rid END) OVER wnx AS nxt_$oi")
+          .mkString(", ")
+        s"""runsx AS (SELECT *, $nxtSel FROM runs
+           |          WINDOW wnx AS (PARTITION BY k ORDER BY rid DESC
+           |                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))""".stripMargin
+      }
+    def capped(lenSql: String, st: CepStep): String =
+      st.maxRep.map(m => s"least($lenSql, $m)").getOrElse(lenSql)
+    val altSql = pattern.alternatives.zipWithIndex.map { case (presentIdx, ai) =>
+      val alt = presentIdx.map(steps)
+      val j = alt.size
+      val joins = (1 until j).map { i =>
+        s"JOIN runsx r${i + 1} ON r${i + 1}.k = r1.k AND r${i + 1}.rid > r$i.rid " +
+          s"AND r${i + 1}.sym = '${alt(i).symbol}'"
+      }.mkString("\n             ")
+      val conds = ((1 until j).map(i => s"r${i + 1}.len >= ${alt(i).minRep}") ++
+        (1 until j).flatMap { i =>
+          pattern.negsBetween(presentIdx(i - 1), presentIdx(i)).map(g =>
+            s"(r$i.nxt_$g IS NULL OR r$i.nxt_$g > r${i + 1}.rid)")
+        }).mkString(" AND ")
+      val ccSel = (1 until j)
+        .map(i => s"${capped(s"r${i + 1}.len", alt(i))} AS cc_${presentIdx(i)}")
+        .mkString(", ")
+      val clast = capped(s"r$j.len", alt.last)
+      val w1 = pattern.withinMinutes
+        .map(w => s" AND r1r.ts >= w.end_ts - INTERVAL $w MINUTE").getOrElse("")
+      val ccCols = (1 until j).map(i => s"cc_${presentIdx(i)}")
+      val countExprs = steps.indices.map { oi =>
+        if (!presentIdx.contains(oi)) "0"
+        else if (oi == presentIdx.head) "c1"
+        else s"cc_$oi"
+      }.mkString(", ")
+      s"""cand_$ai AS (SELECT r1.k, r1.rid AS arid, r1.len AS len1,
+         |             r$j.rid AS erid, $clast AS clast, $ccSel
+         |             FROM runsx r1
+         |             $joins
+         |             WHERE r1.sym = '${alt.head.symbol}' AND $conds),
+         |wend_$ai AS (SELECT c.*, pe.ts AS end_ts, pe.ord AS end_id
+         |             FROM cand_$ai c JOIN p pe ON pe.k = c.k AND pe.rid = c.erid
+         |                                      AND pe.pos = c.clast),
+         |m_$ai AS (SELECT w.*, r1r.ts AS start_ts, r1r.ord AS start_id,
+         |            ${capped("w.len1 - r1r.pos + 1", alt.head)} AS c1
+         |          FROM wend_$ai w JOIN p r1r ON r1r.k = w.k AND r1r.rid = w.arid
+         |          WHERE w.len1 - r1r.pos + 1 >= ${alt.head.minRep}$w1),
+         |out_$ai AS (SELECT k AS $keyCol, start_id, start_ts, end_id, end_ts,
+         |            c1 + ${ccCols.mkString(" + ")} AS n_rows,
+         |            concat_ws(',', $countExprs) AS step_counts
+         |            FROM m_$ai)""".stripMargin
+    }
+    val unions = pattern.alternatives.indices
+      .map(i => s"SELECT * FROM out_$i").mkString(" UNION ALL ")
+    header + ",\n" + runsxSql + ",\n" + altSql.mkString(",\n") +
+      s"""
+         |SELECT * FROM ($unions)
+         |ORDER BY $keyCol, start_id, end_id, n_rows, step_counts""".stripMargin
   }
 }

@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.{Det, Tables}
-import graft.api.{Cep, CepPattern, CepStep, SkipToNextRow}
+import graft.api.{Cep, CepCondPattern, CepCondStep, CepPattern, CepStep, SkipToNextRow}
+import graft.streaming.{Ev, StreamOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -187,6 +188,47 @@ object Analytic {
           "event_type", CepPatterns.negated)
         .orderBy("user_id", "start_id")),
 
+    // VALUE-PREDICATE steps (Flink SimpleCondition.where): each step is
+    // an arbitrary SQL predicate — high-value view{1,2} then qualifying
+    // purchase{1,} WITHIN 24 h, relaxed. Compiled via the derived
+    // first-match-wins symbol CASE (one codegen'd projection), oracle
+    // generated with the SAME predicates spliced into the SAME CASE.
+    "event_cep_where" -> ((s, d) =>
+      Cep.compileWhere(Tables.events(s, d), "user_id", "ts", "event_id",
+          CepPatterns.where)
+        .orderBy("user_id", "start_id")),
+
+    // followedByAny (Flink's non-deterministic relaxed contiguity):
+    // signup{1,} ...any click{1,2} ...any purchase{1,} WITHIN 24 h —
+    // every qualifying combination of later runs emits, not just the
+    // first-run chain (compare event_cep_relaxed on the same steps).
+    // Ordered by every column: duplicate rows from unrecorded middle-run
+    // choices are distinct matches on both engines.
+    "event_cep_any" -> ((s, d) =>
+      Cep.compile(Tables.events(s, d), "user_id", "ts", "event_id",
+          "event_type", CepPatterns.any)
+        .orderBy("user_id", "start_id", "end_id", "n_rows", "step_counts")),
+
+    // ITERATIVE condition (Flink IterativeCondition): purchase anchor
+    // followed by the FIRST later purchase whose value EXCEEDS THE
+    // ANCHOR'S — the predicate reads the rows already matched in the
+    // attempt, which no derived symbol column can express. Runs as the
+    // per-key distributed sequential matcher (StreamOps.cepPatternIter);
+    // the oracle is the independent SQL formulation of the same
+    // semantics (first qualifying successor via row_number, WITHIN as a
+    // post-filter), and CepSpec pins the matcher against a brute-force
+    // reimplementation on random sequences.
+    "event_cep_iterative" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Ev]
+      StreamOps.cepPatternIter(ev, CepPatterns.iter, CepPatterns.iterConds)
+        .toDF()
+        .orderBy("user_id", "start_id")
+    }),
+
     "topk_per_group" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d)
@@ -331,6 +373,24 @@ object Analytic {
     val negated = CepPattern(Seq(CepStep("view", 1, None),
       CepStep("click", negated = true), CepStep("purchase", 1, None)),
       Some(1440), SkipToNextRow, strict = false)
+    // value-predicate steps (see event_cep_where): engine-portable SQL,
+    // mutually exclusive by event_type — the compileWhere contract
+    val where = CepCondPattern(Seq(
+      CepCondStep("hi_view", "event_type = 'view' AND value >= 50", 1, Some(2)),
+      CepCondStep("buy", "event_type = 'purchase' AND value >= 20", 1, None)),
+      Some(1440), SkipToNextRow, strict = false)
+    // followedByAny over the same steps as `relaxed`
+    val any = CepPattern(Seq(CepStep("signup", 1, None),
+      CepStep("click", 1, Some(2)), CepStep("purchase", 1, None)),
+      Some(1440), SkipToNextRow, strict = false, anyMatch = true)
+    // iterative condition (see event_cep_iterative): step labels only —
+    // the semantics live in iterConds
+    val iter = CepPattern(Seq(CepStep("p_anchor", 1, Some(1)),
+      CepStep("p_higher", 1, Some(1))), Some(1440), SkipToNextRow, strict = false)
+    val iterConds: IndexedSeq[(Ev, IndexedSeq[Seq[Ev]]) => Boolean] = IndexedSeq(
+      (e, _) => e.event_type == "purchase",
+      (e, ctx) => e.event_type == "purchase" && ctx(0).nonEmpty &&
+        e.value > ctx(0).head.value)
   }
 
   val oracles: Map[String, String] = Map(
@@ -339,6 +399,29 @@ object Analytic {
     "event_cep_tonext" -> Cep.oracleSql(CepPatterns.tonext),
     "event_cep_relaxed" -> Cep.oracleSql(CepPatterns.relaxed),
     "event_cep_negated" -> Cep.oracleSql(CepPatterns.negated),
+    "event_cep_where" -> Cep.oracleSqlWhere(CepPatterns.where),
+    "event_cep_any" -> Cep.oracleSql(CepPatterns.any),
+
+    // Independent SQL formulation of the iterative-condition semantics
+    // (NOT generated from the pattern — the predicate references the
+    // matched anchor row, so the derivation route cannot express it):
+    // per purchase anchor, the first later purchase of the same user
+    // with a strictly higher value, in (ts, event_id) order, kept when
+    // the span fits WITHIN 24 h.
+    "event_cep_iterative" ->
+      """WITH p AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT a.user_id, a.event_id AS start_id, a.ts AS start_ts,
+        |             b.event_id AS end_id, b.ts AS end_ts,
+        |             row_number() OVER (PARTITION BY a.user_id, a.event_id
+        |                                ORDER BY b.ts, b.event_id) AS rn
+        |      FROM p a JOIN p b ON b.user_id = a.user_id
+        |        AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+        |        AND b.value > a.value)
+        |SELECT user_id, start_id, start_ts, end_id, end_ts,
+        |       CAST(2 AS BIGINT) AS n_rows, '1,1' AS step_counts
+        |FROM c WHERE rn = 1 AND end_ts <= start_ts + INTERVAL 1440 MINUTE
+        |ORDER BY user_id, start_id""".stripMargin,
     "win_rank" ->
       """SELECT c_nationkey, c_custkey, c_acctbal,
         |  CAST(row_number() OVER wtb AS INTEGER) AS rn,

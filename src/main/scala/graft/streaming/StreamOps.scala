@@ -355,6 +355,10 @@ object StreamOps extends Serializable {
     */
   private[graft] def sealedScan(evs: IndexedSeq[CepEvent],
                                 pattern: CepPattern): (Seq[CepSeqMatch], Int) = {
+    require(!pattern.anyMatch,
+      "the seal-aware incremental scan covers strict and relaxed first-run " +
+        "modes; followedByAny emissions are unbounded per anchor — use the " +
+        "batch replay (streaming = false) or Cep.compile for anyMatch")
     val steps = pattern.steps
     val n = evs.size
     val maxTs = if (n == 0) Long.MinValue else evs(n - 1).tsUs
@@ -535,6 +539,42 @@ object StreamOps extends Serializable {
             matches.iterator.map(mk(user, evs, _))
           }
       }
+  }
+
+  /** Distributed CEP with per-step CONDITIONS over the full event row —
+    * Flink `SimpleCondition` (context-free predicates) and
+    * `IterativeCondition` (predicates over the rows already matched in
+    * the attempt, e.g. "next purchase with value above the first
+    * matched one"): one flatMapGroups per key runs the generalized
+    * sequential matcher (Cep.matchSequenceIter) with the conditions
+    * evaluated row-wise — per-key linear in events × pattern, the same
+    * cost shape as every other per-key CEP path here.
+    *
+    * Batch surface (the oracle-gated one). Iterative conditions are
+    * deliberately NOT compiled (the run table a gaps-and-islands plan
+    * aligns on is condition-independent — a match-relative predicate
+    * has no run decomposition) and not offered under incremental
+    * streaming emission (the seal-aware scan's pending analysis assumes
+    * a row's step membership is fixed at arrival; under an iterative
+    * condition it depends on the attempt, so sealing would need
+    * per-anchor speculative evaluation — the same reason Flink's CEP
+    * keeps full NFA buffers for these). Documented like the
+    * relaxed+PAST-LAST-ROW compile exclusion; context-FREE predicates
+    * stream fine via the derived-symbol route (Cep.compileWhere's CASE
+    * + cepPattern).
+    */
+  def cepPatternIter(ev: Dataset[Ev], pattern: CepPattern,
+                     conds: IndexedSeq[(Ev, IndexedSeq[Seq[Ev]]) => Boolean]): Dataset[CepPatMatch] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.user_id).flatMapGroups { (user: Long, events: Iterator[Ev]) =>
+      val evs = events.toIndexedSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+      Cep.matchSequenceIter[Ev](evs, e => tsMicros(e.ts), pattern, conds)
+        .iterator.map { m =>
+          CepPatMatch(user, evs(m.startIdx).event_id, evs(m.startIdx).ts,
+            evs(m.endIdx).event_id, evs(m.endIdx).ts,
+            m.nRows.toLong, m.stepCounts.mkString(","))
+        }
+    }
   }
 
   /** transformWithState variant of customTrigger (streaming only — see

@@ -226,6 +226,141 @@ class CepSpec extends SparkSuite {
     assert(nonEmpty >= 15, s"only $nonEmpty key-streams produced matches")
   }
 
+  test("followedByAny compiled plan == sequential reference (multiset, duplicates legit)") {
+    // anyMatch emits one match per qualifying RUN COMBINATION; two
+    // combinations differing only in an unrecorded middle run produce
+    // identical output rows, so the comparison is multiset, not set
+    val rnd = new scala.util.Random(61)
+    var nonEmpty = 0
+    var dupSeen = 0
+    for (trial <- 0 until 20) {
+      val pat = randomRelaxedPattern(rnd).copy(anyMatch = true)
+      val evs = randomEvents(rnd, 3)
+      val df = evs.toDF("k", "sym", "ts_us", "ord")
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+      val got = Cep.compile(df, "k", "ts", "ord", "sym", pat)
+        .select(col("k"), col("start_id"), col("end_id"), col("n_rows"), col("step_counts"))
+        .as[(Long, Long, Long, Long, String)].collect().toSeq.sorted
+      val want = evs.groupBy(_._1).toSeq.flatMap { case (k, rows) =>
+        val sorted = rows.sortBy(r => (r._3, r._4))
+          .map(r => CepEvent(r._2, r._3, r._4)).toIndexedSeq
+        Cep.matchSequence(sorted, pat).map(m =>
+          (k, sorted(m.startIdx).ord, sorted(m.endIdx).ord,
+            m.nRows.toLong, m.stepCounts.mkString(",")))
+      }.sorted
+      if (want.nonEmpty) nonEmpty += 1
+      if (want.size != want.distinct.size) dupSeen += 1
+      assert(got == want,
+        s"trial $trial pattern $pat:\n missing=${(want.diff(got)).take(5)}\n extra=${(got.diff(want)).take(5)}")
+    }
+    assert(nonEmpty >= 8, s"only $nonEmpty/20 any-mode trials produced matches")
+  }
+
+  test("value-predicate compile (derived symbol) == direct per-step condition evaluation") {
+    // mutually exclusive random predicates (value buckets): the CASE
+    // derivation + symbolic compile must equal evaluating each step's
+    // predicate independently (matchSequenceIter) — the equivalence the
+    // compileWhere contract claims for exclusive conditions
+    val rnd = new scala.util.Random(83)
+    var nonEmpty = 0
+    for (trial <- 0 until 20) {
+      val t1 = 20 + rnd.nextInt(30)
+      val t2 = t1 + 10 + rnd.nextInt(30)
+      val bands = Vector(
+        ("lo", s"value < $t1", (v: Int) => v < t1),
+        ("mid", s"value >= $t1 AND value < $t2", (v: Int) => v >= t1 && v < t2),
+        ("hi", s"value >= $t2", (v: Int) => v >= t2))
+      val nSteps = 2 + rnd.nextInt(2)
+      val chosen = rnd.shuffle(bands).take(nSteps)
+      val steps = chosen.zipWithIndex.map { case ((nm, sql, _), i) =>
+        val edge = i == 0 || i == nSteps - 1
+        val mn = if (edge) 1 else 1 + rnd.nextInt(2)
+        val mx = if (rnd.nextBoolean()) None else Some(mn + rnd.nextInt(2))
+        CepCondStep(nm, sql, mn, mx)
+      }
+      val strict = rnd.nextBoolean()
+      val skip = if (strict && rnd.nextBoolean()) SkipPastLastRow else SkipToNextRow
+      val pat = CepCondPattern(steps, Some(200 + rnd.nextInt(300)), skip, strict)
+      // events with a value column driving the predicates
+      var ord = 0L
+      val evs = (0 until 3).flatMap { k =>
+        var tsUs = 0L
+        (0 until 30 + rnd.nextInt(40)).map { _ =>
+          tsUs += (1 + rnd.nextInt(12)) * 60L * 1000000L
+          ord += 1
+          (k.toLong, rnd.nextInt(100), tsUs, ord)
+        }
+      }
+      val df = evs.toDF("k", "value", "ts_us", "ord")
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+      val got = Cep.compileWhere(df, "k", "ts", "ord", pat)
+        .select(col("k"), col("start_id"), col("end_id"), col("n_rows"), col("step_counts"))
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      val conds = chosen.map { case (_, _, f) =>
+        (e: (Long, Int, Long, Long), _: IndexedSeq[Seq[(Long, Int, Long, Long)]]) => f(e._2)
+      }.toIndexedSeq
+      val want = evs.groupBy(_._1).flatMap { case (k, rows) =>
+        val sorted = rows.sortBy(r => (r._3, r._4)).toIndexedSeq
+        Cep.matchSequenceIter(sorted, (e: (Long, Int, Long, Long)) => e._3,
+            pat.symbolic, conds)
+          .map(m => (k, sorted(m.startIdx)._4, sorted(m.endIdx)._4,
+            m.nRows.toLong, m.stepCounts.mkString(",")))
+      }.toSet
+      if (want.nonEmpty) nonEmpty += 1
+      assert(got == want,
+        s"trial $trial pattern $pat:\n missing=${(want -- got).take(5)}\n extra=${(got -- want).take(5)}")
+    }
+    assert(nonEmpty >= 8, s"only $nonEmpty/20 predicate trials produced matches")
+  }
+
+  test("iterative condition matcher == independent brute force (next-higher-value shape)") {
+    // the declared event_cep_iterative semantics, reimplemented from
+    // scratch: every anchor row A satisfying p0; B = FIRST later row
+    // satisfying "p0-ish AND value > A.value"; WITHIN filters the
+    // completed pair. An independent pin for matchSequenceIter's
+    // context threading (the matcher never sees this code path).
+    val rnd = new scala.util.Random(97)
+    val withinUs = 300L * 60L * 1000000L
+    val pat = CepPattern(
+      Seq(CepStep("a", 1, Some(1)), CepStep("b", 1, Some(1))),
+      Some(300), SkipToNextRow, strict = false)
+    val conds: IndexedSeq[((Long, Int, Long, Long), IndexedSeq[Seq[(Long, Int, Long, Long)]]) => Boolean] =
+      IndexedSeq(
+        (e, _) => e._2 % 3 == 0,
+        (e, ctx) => e._2 % 3 == 0 && ctx(0).nonEmpty && e._2 > ctx(0).head._2)
+    var nonEmpty = 0
+    for (trial <- 0 until 20) {
+      var ord = 0L
+      val evs = (0 until 3).flatMap { k =>
+        var tsUs = 0L
+        (0 until 40).map { _ =>
+          tsUs += (1 + rnd.nextInt(20)) * 60L * 1000000L
+          ord += 1
+          (k.toLong, rnd.nextInt(60), tsUs, ord)
+        }
+      }
+      val want = evs.groupBy(_._1).flatMap { case (k, rows) =>
+        val s = rows.sortBy(r => (r._3, r._4)).toIndexedSeq
+        s.indices.flatMap { i =>
+          if (s(i)._2 % 3 != 0) None
+          else s.indices.drop(i + 1)
+            .find(j => s(j)._2 % 3 == 0 && s(j)._2 > s(i)._2)
+            .filter(j => s(j)._3 - s(i)._3 <= withinUs)
+            .map(j => (k, s(i)._4, s(j)._4))
+        }
+      }.toSet
+      val got = evs.groupBy(_._1).flatMap { case (k, rows) =>
+        val s = rows.sortBy(r => (r._3, r._4)).toIndexedSeq
+        Cep.matchSequenceIter(s, (e: (Long, Int, Long, Long)) => e._3, pat, conds)
+          .map(m => (k, s(m.startIdx)._4, s(m.endIdx)._4))
+      }.toSet
+      if (want.nonEmpty) nonEmpty += 1
+      assert(got == want,
+        s"trial $trial:\n missing=${(want -- got).take(5)}\n extra=${(got -- want).take(5)}")
+    }
+    assert(nonEmpty >= 15, s"only $nonEmpty/20 iterative trials produced matches")
+  }
+
   test("declared event_cep_* patterns match the reference on the sf0.001 fixture") {
     val ev = Tables.events(spark, sf001)
     val raw = ev.select(col("user_id"), col("event_type"),
