@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.streaming.{Ev, StreamOps}
+import graft.streaming.{Ev, Rule, StreamOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -99,6 +99,51 @@ object Streaming {
         .orderBy("user_id", "start_id")
     }),
 
+    // Flink Evictor analog (window + CountEvictor.of(3)): per (user, 1 h
+    // tumbling window), the aggregate over only the LAST 3 events by
+    // event time, plus the full seen count. Batch replay of the bounded
+    // keep-last-N fold (StreamOps.evictorWindow); the streaming form
+    // (transformWithState ListState + per-window event-time timer on
+    // RocksDB) is covered by StreamingSpec.
+    "stream_evictor" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Ev]
+      StreamOps.evictorWindow(ev, keepN = 3, streaming = false)
+        .toDF()
+        .orderBy("user_id", "window_start")
+    }),
+
+    // Flink broadcast-state pattern: a rule stream carrying dynamic
+    // thresholds joined to the event stream — alerts where the event
+    // value exceeds the threshold in effect at its event time. Rules
+    // are derived deterministically from the fixture's signup events
+    // (even ids arm the purchase threshold, odd ids the click one, at
+    // value+20); batch replay of the keyed rule fold
+    // (StreamOps.ruleAlerts); two-MemoryStream streaming execution is
+    // covered by StreamingSpec. The oracle is the broadcast as-of-join
+    // formulation — the 100 TB batch shape (rules broadcast, events
+    // resolve map-side).
+    "stream_broadcast_rules" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val all = Tables.events(s, d)
+      val ev = all.filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Ev]
+      val rules = all.filter(col("event_type") === "signup")
+        .select(col("event_id").as("rule_id"), col("ts").as("rule_ts"),
+          when(pmod(col("event_id"), lit(2)) === 0, "purchase").otherwise("click")
+            .as("target_type"),
+          (col("value") + lit(20.0)).as("threshold"))
+        .as[Rule]
+      StreamOps.ruleAlerts(ev, rules, streaming = false)
+        .toDF()
+        .orderBy("event_id")
+    }),
+
     // Stateful CEP (Flink CEP `C+ P WITHIN 10 min`): batch replay of the
     // flatMapGroupsWithState pattern matcher — row-identical to the
     // event_cep gaps-and-islands rewrite, which is what the oracle pins.
@@ -154,6 +199,45 @@ object Streaming {
         |  ON p.user_id = c.user_id
         | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
         |ORDER BY p_id, c_id NULLS FIRST""".stripMargin,
+
+    // Keep-last-3 per (user, hour window): the kept tail is rn <= 3
+    // under the DESCENDING (ts, event_id) order; first/last kept ids
+    // are the rn extremes within it.
+    "stream_evictor" ->
+      """WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id, value,
+        |                  date_trunc('hour', ts::TIMESTAMP) AS window_start
+        |           FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, window_start
+        |                                   ORDER BY ts DESC, event_id DESC) AS rn,
+        |             count(*) OVER (PARTITION BY user_id, window_start) AS n_seen
+        |      FROM e)
+        |SELECT user_id, window_start,
+        |  CAST(max(n_seen) AS BIGINT) AS n_seen,
+        |  count(*) AS n_kept,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_kept,
+        |  arg_max(event_id, rn) AS first_kept_id,
+        |  arg_min(event_id, rn) AS last_kept_id
+        |FROM r WHERE rn <= 3
+        |GROUP BY user_id, window_start
+        |ORDER BY user_id, window_start""".stripMargin,
+
+    // Broadcast as-of join formulation: every alertable event resolves
+    // the latest rule for its type at or before its ts (ties: highest
+    // rule_id), alerts where value clears the threshold.
+    "stream_broadcast_rules" ->
+      """WITH r AS (SELECT event_id AS rule_id, ts::TIMESTAMP AS rule_ts,
+        |                  CASE WHEN event_id % 2 = 0 THEN 'purchase' ELSE 'click' END AS target_type,
+        |                  value + 20 AS threshold
+        |           FROM events WHERE event_type = 'signup'),
+        |e AS (SELECT event_id, ts::TIMESTAMP AS ts, event_type, value FROM events
+        |      WHERE event_type IN ('purchase', 'click')),
+        |j AS (SELECT e.*, r.rule_id, r.threshold,
+        |             row_number() OVER (PARTITION BY e.event_id
+        |                                ORDER BY r.rule_ts DESC, r.rule_id DESC) AS rn
+        |      FROM e JOIN r ON r.target_type = e.event_type AND r.rule_ts <= e.ts)
+        |SELECT event_id, ts, event_type, value, rule_id, threshold
+        |FROM j WHERE rn = 1 AND value > threshold
+        |ORDER BY event_id""".stripMargin,
 
     // Same islands rewrite as event_cep's oracle — the stateful matcher
     // must reproduce the declarative pattern row-for-row.

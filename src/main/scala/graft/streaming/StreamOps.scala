@@ -33,6 +33,79 @@ private[streaming] case class CepPatState(syms: Seq[String], ts: Seq[Long], ords
 
 private[streaming] case class UserAgg(n_events: Long, sum_cents: Long, max_ts_ms: Long)
 
+/** One keep-last-N windowed aggregate (StreamOps.evictorWindow). */
+case class WindowEvict(user_id: Long, window_start: java.sql.Timestamp,
+                       n_seen: Long, n_kept: Long, sum_kept: Double,
+                       first_kept_id: Long, last_kept_id: Long)
+
+/** One buffered element of the evictor's bounded window state. */
+private[streaming] case class KeptEv(ts_us: Long, event_id: Long, cents: Long)
+
+/** A dynamic-threshold rule update (StreamOps.ruleAlerts): from
+  * `rule_ts` on, events of `target_type` alert when value exceeds
+  * `threshold`. */
+case class Rule(rule_id: Long, rule_ts: java.sql.Timestamp,
+                target_type: String, threshold: Double)
+
+/** One alert from the rule-stream operator. */
+case class RuleAlert(event_id: Long, ts: java.sql.Timestamp, event_type: String,
+                     value: Double, rule_id: Long, threshold: Double)
+
+/** Tagged union row for the rule/event co-grouped fold. */
+private[streaming] case class RuleOrEv(is_rule: Boolean, id: Long,
+                                       ts: java.sql.Timestamp, typ: String,
+                                       value: Double, threshold: Double)
+
+/** Flink `Evictor` analog (CountEvictor.of(N) before the window
+  * function): a 1 h tumbling event-time window per user that KEEPS ONLY
+  * THE LAST N ELEMENTS by event time — the aggregate fires over the
+  * kept tail when the watermark closes the window, while `n_seen`
+  * counts everything the window saw. State per (user, window) is
+  * BOUNDED at N buffered elements plus one counter — the whole point of
+  * an evictor at scale (Flink buffers the full window content when an
+  * evictor is attached; this keeps the invariant incrementally
+  * instead). ListState holds the kept tail (append, re-trim — the
+  * partial-update surface), a ValueState the seen counter, and one
+  * event-time timer per window fires the emission.
+  */
+private[streaming] class EvictorProcessor(keepN: Int)
+    extends StatefulProcessor[(Long, Long), Ev, WindowEvict] {
+  @transient private var kept: org.apache.spark.sql.streaming.ListState[KeptEv] = _
+  @transient private var seen: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    kept = getHandle.getListState[KeptEv]("kept", Encoders.product[KeptEv], TTLConfig.NONE)
+    seen = getHandle.getValueState[Long]("seen", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: (Long, Long), events: Iterator[Ev],
+                               timers: TimerValues): Iterator[WindowEvict] = {
+    val evs = events.toArray
+    seen.update((if (seen.exists()) seen.get() else 0L) + evs.length)
+    evs.foreach(e => kept.appendValue(
+      KeptEv(StreamOps.tsMicros(e.ts), e.event_id, math.round(e.value * 100))))
+    // re-trim to the last N by EVENT time (batch boundaries must not
+    // change what survives — the sort makes the trim order-free)
+    val tail = kept.get().toArray.sortBy(k => (k.ts_us, k.event_id)).takeRight(keepN)
+    kept.clear()
+    tail.foreach(kept.appendValue)
+    // one live timer at the window end; watermark passing it fires
+    getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+    getHandle.registerTimer(key._2 + 3600L * 1000L)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: (Long, Long), timers: TimerValues,
+                                  expired: ExpiredTimerInfo): Iterator[WindowEvict] = {
+    val tail = kept.get().toArray.sortBy(k => (k.ts_us, k.event_id))
+    if (tail.isEmpty) return Iterator.empty
+    val n = if (seen.exists()) seen.get() else tail.length.toLong
+    kept.clear(); seen.clear()
+    Iterator(WindowEvict(key._1, new java.sql.Timestamp(key._2), n, tail.length.toLong,
+      tail.map(_.cents).sum / 100.0, tail.head.event_id, tail.last.event_id))
+  }
+}
+
 /** transformWithState form of the custom trigger (SURVEY §2.J / §2.L
   * "stateful processor" surface) — Spark 4's StatefulProcessor is the
   * direct analog of Flink's KeyedProcessFunction: explicit keyed
@@ -264,7 +337,7 @@ object StreamOps extends Serializable {
   /** Exact Timestamp↔epoch-micros round-trip (Timestamp.getTime already
     * includes the integral millis of the nanos field).
     */
-  private def tsMicros(t: java.sql.Timestamp): Long =
+  private[streaming] def tsMicros(t: java.sql.Timestamp): Long =
     (t.getTime - t.getNanos / 1000000) * 1000L + t.getNanos / 1000
   private def microsTs(us: Long): java.sql.Timestamp = {
     val t = new java.sql.Timestamp(us / 1000)
@@ -538,6 +611,86 @@ object StreamOps extends Serializable {
               keep.map(_.ord)))
             matches.iterator.map(mk(user, evs, _))
           }
+      }
+  }
+
+  /** Keep-last-N windowed aggregation (Flink window + CountEvictor.of(N)
+    * with event-time semantics): per (user, 1 h tumbling window), the
+    * aggregate over only the LAST `keepN` events by (ts, event_id),
+    * plus the full seen count. Streaming: transformWithState with
+    * bounded ListState and an event-time timer per window (RocksDB
+    * store — see [[EvictorProcessor]]). Batch replay (the oracle-gated
+    * surface): the same fold per (user, window) group — one shuffle on
+    * the composite key, per-group O(n log n) local sort, bounded
+    * output; at any scale this is a plain co-partitioned aggregation.
+    */
+  def evictorWindow(ev: Dataset[Ev], keepN: Int, streaming: Boolean): Dataset[WindowEvict] = {
+    import ev.sparkSession.implicits._
+    def winMs(e: Ev): Long = (tsMicros(e.ts) / 1000L / 3600000L) * 3600000L
+    if (streaming)
+      ev.withWatermark("ts", "10 minutes")
+        .groupByKey(e => (e.user_id, winMs(e)))
+        .transformWithState(new EvictorProcessor(keepN),
+          TimeMode.EventTime(), OutputMode.Append())
+    else
+      ev.groupByKey(e => (e.user_id, winMs(e))).flatMapGroups {
+        (key: (Long, Long), events: Iterator[Ev]) =>
+          val evs = events.toArray.sortBy(e => (tsMicros(e.ts), e.event_id))
+          val tail = evs.takeRight(keepN)
+          Iterator(WindowEvict(key._1, new java.sql.Timestamp(key._2),
+            evs.length.toLong, tail.length.toLong,
+            tail.map(e => math.round(e.value * 100)).sum / 100.0,
+            tail.head.event_id, tail.last.event_id))
+      }
+  }
+
+  /** Flink broadcast-state pattern (BroadcastProcessFunction): a RULE
+    * stream carrying dynamic thresholds joined to the event stream —
+    * an event alerts when its value exceeds the threshold in effect at
+    * its event time (the latest rule for its type with
+    * `rule_ts <= ts`, ties resolved rule-first then by rule_id; no rule
+    * yet → no alert). Both streams are tagged into one union keyed by
+    * the rule scope (event_type), and a flatMapGroupsWithState fold
+    * holds exactly ONE live rule per key — rule rows update it, event
+    * rows read it. Rows sort by (ts, rule-first, id) within each
+    * invocation, so batch replay is deterministic; cross-batch
+    * out-of-order arrival replays Flink's un-watermarked broadcast
+    * behavior (rules apply in arrival order — the same documented
+    * stance as the CEP matchers).
+    *
+    * Scale note: the rule domain is SMALL by definition (that is why
+    * Flink broadcasts it), so the keyed-fold parallelism equals the
+    * rule-key cardinality. The batch-side equivalent at 100 TB is a
+    * broadcast as-of join — rules broadcast, events resolve their
+    * threshold map-side with zero shuffle of the event stream — which
+    * is what the generated oracle expresses; the keyed fold is the
+    * streaming-semantics surface, gated to equal it row-for-row.
+    */
+  def ruleAlerts(events: Dataset[Ev], rules: Dataset[Rule],
+                 streaming: Boolean): Dataset[RuleAlert] = {
+    import events.sparkSession.implicits._
+    val tagged = events
+      .map(e => RuleOrEv(is_rule = false, e.event_id, e.ts, e.event_type, e.value, 0.0))
+      .unionByName(rules.map(r =>
+        RuleOrEv(is_rule = true, r.rule_id, r.rule_ts, r.target_type, 0.0, r.threshold)))
+    val src = if (streaming) tagged.withWatermark("ts", "10 minutes") else tagged
+    src.groupByKey(_.typ)
+      .flatMapGroupsWithState[(Long, Long, Double), RuleAlert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[RuleOrEv], state: GroupState[(Long, Long, Double)]) =>
+          val sorted = rows.toArray.sortBy(r => (tsMicros(r.ts), !r.is_rule, r.id))
+          var cur = state.getOption.getOrElse((Long.MinValue, Long.MinValue, 0.0))
+          val out = scala.collection.mutable.ArrayBuffer.empty[RuleAlert]
+          sorted.foreach { r =>
+            if (r.is_rule) {
+              val t = tsMicros(r.ts)
+              if (t > cur._1 || (t == cur._1 && r.id > cur._2))
+                cur = (t, r.id, r.threshold)
+            } else if (cur._1 != Long.MinValue && r.value > cur._3)
+              out += RuleAlert(r.id, r.ts, r.typ, r.value, cur._2, cur._3)
+          }
+          if (streaming) state.update(cur) else state.remove()
+          out.iterator
       }
   }
 

@@ -135,6 +135,82 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("evictor window on RocksDB: last-3 kept across batches, timer fires on watermark") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = StreamOps.evictorWindow(ms.toDS(), keepN = 3, streaming = true)
+        .writeStream.format("memory").queryName("evict").outputMode("append").start()
+      // 4 events in user 5's 10:00 window, split across two batches —
+      // the ListState trim must survive the batch boundary
+      ms.addData(
+        Ev(1, ts("2024-01-01 10:05:00"), 5, "click", 1.00),
+        Ev(2, ts("2024-01-01 10:10:00"), 5, "view", 2.00))
+      q.processAllAvailable()
+      ms.addData(
+        Ev(3, ts("2024-01-01 10:20:00"), 5, "click", 3.00),
+        Ev(4, ts("2024-01-01 10:40:00"), 5, "purchase", 4.00))
+      q.processAllAvailable()
+      // advance the watermark past 11:00 (+10 min delay) so the window
+      // timer fires while processing the following batch
+      ms.addData(Ev(9, ts("2024-01-01 12:00:00"), 8, "view", 1.0))
+      q.processAllAvailable()
+      ms.addData(Ev(10, ts("2024-01-01 12:30:00"), 8, "view", 1.0))
+      drain(q)
+      val rows = spark.table("evict")
+        .as[(Long, Timestamp, Long, Long, Double, Long, Long)].collect().toSet
+      // evictor kept ids 2,3,4 (id 1 evicted): n_seen 4, sum 2+3+4
+      assert(rows.contains((5L, ts("2024-01-01 10:00:00"), 4L, 3L, 9.0, 2L, 4L)),
+        s"expected user 5 window 10:00 -> (seen 4, kept 3, sum 9.0, ids 2..4); got $rows")
+      // batch replay of the same events must agree on the fired window
+      val batch = StreamOps.evictorWindow(
+        Seq(Ev(1, ts("2024-01-01 10:05:00"), 5, "click", 1.00),
+          Ev(2, ts("2024-01-01 10:10:00"), 5, "view", 2.00),
+          Ev(3, ts("2024-01-01 10:20:00"), 5, "click", 3.00),
+          Ev(4, ts("2024-01-01 10:40:00"), 5, "purchase", 4.00)).toDS(),
+        keepN = 3, streaming = false)
+        .as[(Long, Timestamp, Long, Long, Double, Long, Long)].collect().toSet
+      assert(batch == Set((5L, ts("2024-01-01 10:00:00"), 4L, 3L, 9.0, 2L, 4L)))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("broadcast-state rules: threshold updates from the rule stream gate event alerts") {
+    import graft.streaming.{Rule, RuleAlert}
+    val me = MemoryStream[Ev]
+    val mr = MemoryStream[Rule]
+    val q = StreamOps.ruleAlerts(me.toDS(), mr.toDS(), streaming = true)
+      .writeStream.format("memory").queryName("rules").outputMode("append").start()
+    // no rule armed yet: event must NOT alert
+    me.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, "purchase", 150.0))
+    q.processAllAvailable()
+    // arm purchase threshold 100 from 10:05
+    mr.addData(Rule(100, ts("2024-01-01 10:05:00"), "purchase", 100.0))
+    q.processAllAvailable()
+    // above vs below the live threshold
+    me.addData(
+      Ev(2, ts("2024-01-01 10:10:00"), 1, "purchase", 120.0),
+      Ev(3, ts("2024-01-01 10:12:00"), 2, "purchase", 80.0))
+    q.processAllAvailable()
+    // rule UPDATE tightens the threshold to 60
+    mr.addData(Rule(101, ts("2024-01-01 10:20:00"), "purchase", 60.0))
+    q.processAllAvailable()
+    me.addData(Ev(4, ts("2024-01-01 10:30:00"), 2, "purchase", 80.0))
+    drain(q)
+    val rows = spark.table("rules")
+      .as[(Long, Timestamp, String, Double, Long, Double)].collect().toSet
+    assert(rows == Set(
+      (2L, ts("2024-01-01 10:10:00"), "purchase", 120.0, 100L, 100.0),
+      (4L, ts("2024-01-01 10:30:00"), "purchase", 80.0, 101L, 60.0)),
+      s"expected alerts for events 2 (thr 100) and 4 (thr 60) only; got $rows")
+  }
+
   test("stream-stream interval join emits purchase-click pairs in [-10min, 0]") {
     val mp = MemoryStream[Ev]
     val mc = MemoryStream[Ev]
