@@ -48,9 +48,19 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(timeOne(fn), timeOne(fn))
+    // Two trials per query: value = min (steady state), spread =
+    // (max-min)/min — the per-query contention indicator that lets a
+    // one-off noisy run be told apart from a code regression without a
+    // re-measurement (VERDICT r5 item 7: the driver's contended r5 run
+    // showed one query 3.7x its clean time on unchanged code).
+    val trials = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      System.err.println(s"[bench] timing $name")
+      val (a, b) = (timeOne(fn), timeOne(fn))
+      (name, math.min(a, b), math.max(a, b))
     }
+    val results = trials.map(t => t._1 -> t._2)
+    val spreads = trials.map(t =>
+      t._1 -> (if (t._2 > 1e-9) (t._3 - t._2) / t._2 else 0.0))
     // Locale.ROOT: the f-interpolator uses the JVM default locale, which
     // renders a comma decimal separator (invalid JSON) under e.g. de_DE.
     def fmt(v: Double): String =
@@ -59,14 +69,18 @@ object Bench {
       kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val baseline = results.filter { case (k, _) => baselineKeys.contains(k) }
-    val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"baseline":${jsonMap(baseline)},"queries":${jsonMap(results)},"sf":"$sfDir"}"""
+    val sortedSpreads = spreads.map(_._2).sorted
+    val spreadP50 = sortedSpreads(sortedSpreads.size / 2)
+    val spreadMax = sortedSpreads.last
+    val spreadStats = s""""trials":2,"spread_p50":${fmt(spreadP50)},"spread_max":${fmt(spreadMax)}"""
+    val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$spreadStats,"baseline":${jsonMap(baseline)},"queries":${jsonMap(results)},"spread":${jsonMap(spreads)},"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
       java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
       println(s"full per-query timings -> ${p.toAbsolutePath}")
     } catch { case _: Throwable => () }
     val head = results.filter { case (k, _) => headline.contains(k) }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"baseline":${jsonMap(baseline)},"queries":${jsonMap(head)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$spreadStats,"baseline":${jsonMap(baseline)},"queries":${jsonMap(head)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -22,6 +22,18 @@ object GraftSession {
   def local(cores: Int): SparkSession = {
     val s = builder(cores).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // Quiet the one benign ERROR-with-stack Spark emits under a
+    // many-query single-JVM session: DAGScheduler.updateAccumulators
+    // logs accessNonExistentAccumulatorError when a task-completion
+    // event races ContextCleaner's GC of an already-finished query's
+    // accumulators (observed intermittently under host contention;
+    // rc=0 and results are unaffected — the job it belongs to has
+    // already returned). A bench/verify log must not end in a stack
+    // trace for a non-failure, so this logger is capped to FATAL;
+    // real failures still propagate as exceptions to the caller.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.scheduler.DAGScheduler",
+      org.apache.logging.log4j.Level.FATAL)
     s
   }
 }

@@ -121,6 +121,21 @@ class CoreSpec extends SparkSuite {
     }
   }
 
+  test("approx distinct: estimate within the configured rsd envelope of exact") {
+    val approx = graft.queries.Relational.queries("agg_approx_distinct")(spark, sf001)
+      .as[(String, Long)].collect().toMap
+    val exact = Tables.events(spark, sf001)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, ex) =>
+      // HLL++ at rsd 0.01: 5-sigma envelope (floor of 2 absolute for
+      // tiny cardinalities, which the sparse encoding counts exactly)
+      assert(math.abs(approx(k) - ex) <= math.max(2.0, 0.05 * ex),
+        s"$k: approx=${approx(k)} exact=$ex outside the rsd envelope")
+    }
+  }
+
   test("CEP run-then-final: adjacency, WITHIN bound, skip-past semantics") {
     import java.sql.Timestamp
     def ts(min: Int) = new Timestamp(1704067200000L + min * 60000L)
