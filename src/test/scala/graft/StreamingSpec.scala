@@ -181,6 +181,41 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("value-predicate CEP streams via the derived-symbol route (SimpleCondition)") {
+    // context-free predicates need no new streaming machinery: the
+    // pattern's CASE derivation runs on the stream and the ordinary
+    // seal-aware stateful matcher consumes the derived symbols
+    import org.apache.spark.sql.functions.expr
+    val pat = graft.queries.Analytic.CepPatterns.where
+    val ms = MemoryStream[Ev]
+    val derived = ms.toDF()
+      .withColumn("event_type", expr(pat.caseSql))
+      .as[Ev]
+    val q = StreamOps.cepPattern(derived, pat.symbolic, streaming = true)
+      .writeStream.format("memory").queryName("cepwhere").outputMode("append").start()
+    ms.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "view", 80.0),     // hi_view (anchor)
+      Ev(2, ts("2024-01-01 10:05:00"), 1, "click", 10.0),    // __other gap row
+      Ev(6, ts("2024-01-01 10:00:00"), 2, "view", 20.0),     // fails hi_view -> __other
+      Ev(7, ts("2024-01-01 10:02:00"), 2, "purchase", 100.0))
+    q.processAllAvailable()
+    // buy run split across the batch boundary; stays pending (greedy
+    // unbounded tail could still extend) until a breaking row arrives
+    ms.addData(
+      Ev(3, ts("2024-01-01 10:10:00"), 1, "purchase", 30.0),
+      Ev(4, ts("2024-01-01 10:12:00"), 1, "purchase", 25.0))
+    q.processAllAvailable()
+    val before = spark.table("cepwhere").count()
+    ms.addData(Ev(5, ts("2024-01-01 13:00:00"), 1, "error", 1.0)) // seals the run
+    drain(q)
+    val rows = spark.table("cepwhere")
+      .as[(Long, Long, Timestamp, Long, Timestamp, Long, String)].collect().toSet
+    assert(before == 0L, "match emitted before its greedy tail was sealed")
+    assert(rows == Set((1L, 1L, ts("2024-01-01 10:00:00"), 4L,
+      ts("2024-01-01 10:12:00"), 3L, "1,2")),
+      s"expected one sealed hi_view->buy{2} match for user 1 only; got $rows")
+  }
+
   test("broadcast-state rules: threshold updates from the rule stream gate event alerts") {
     import graft.streaming.{Rule, RuleAlert}
     val me = MemoryStream[Ev]
