@@ -144,6 +144,24 @@ object Streaming {
         .orderBy("event_id")
     }),
 
+    // Value-predicate stateful CEP: the SimpleCondition route under the
+    // incremental matcher — the pattern's CASE derivation maps the
+    // stream to derived symbols, then the ordinary seal-aware matcher
+    // runs unchanged (StreamingSpec covers streaming emission). Batch
+    // replay pinned by the same generated oracle as event_cep_where.
+    "stream_cep_where" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val pat = Analytic.CepPatterns.where
+      val ev = Tables.events(s, d)
+        .withColumn("event_type", expr(pat.caseSql))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Ev]
+      StreamOps.cepPattern(ev, pat.symbolic, streaming = false)
+        .toDF()
+        .orderBy("user_id", "start_id")
+    }),
+
     // Stateful CEP (Flink CEP `C+ P WITHIN 10 min`): batch replay of the
     // flatMapGroupsWithState pattern matcher — row-identical to the
     // event_cep gaps-and-islands rewrite, which is what the oracle pins.
@@ -164,6 +182,7 @@ object Streaming {
   val oracles: Map[String, String] = Map(
     "stream_cep_pattern" -> graft.api.Cep.oracleSql(Analytic.CepPatterns.quant),
     "stream_cep_relaxed" -> graft.api.Cep.oracleSql(Analytic.CepPatterns.relaxed),
+    "stream_cep_where" -> graft.api.Cep.oracleSqlWhere(Analytic.CepPatterns.where),
     "stream_pane_twolevel" -> EventTime.oracles("wnd_sliding"),
     "stream_tumbling_append" ->
       """SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start,

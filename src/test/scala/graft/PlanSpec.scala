@@ -84,6 +84,27 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("value-predicate CEP derivation adds no exchange over the symbolic form") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // compileWhere's CASE symbol derivation must be a fused projection,
+    // not a stage: the predicate form of the relaxed two-step pattern
+    // plans exactly as many shuffles as a symbolic pattern of the same
+    // shape — predicate complexity scales codegen, never the exchanges.
+    import graft.api.{Cep, CepPattern, CepStep, SkipToNextRow}
+    val wherePlan = graft.queries.Analytic.queries("event_cep_where")(spark, sf001)
+      .queryExecution.sparkPlan
+    val symbolic = CepPattern(Seq(CepStep("view", 1, Some(2)),
+      CepStep("purchase", 1, None)), Some(1440), SkipToNextRow, strict = false)
+    val symPlan = Cep.compile(Tables.events(spark, sf001), "user_id", "ts",
+        "event_id", "event_type", symbolic)
+      .orderBy("user_id", "start_id").queryExecution.sparkPlan
+    def nExchanges(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      p.collect { case e: ShuffleExchangeExec => e }.size
+    assert(nExchanges(wherePlan) == nExchanges(symPlan),
+      s"predicate derivation changed the exchange count: " +
+        s"${nExchanges(wherePlan)} vs symbolic ${nExchanges(symPlan)}")
+  }
+
   test("no declared query funnels raw rows through an Exchange SinglePartition") {
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
