@@ -280,7 +280,9 @@ class CepSpec extends SparkSuite {
       }
       val strict = rnd.nextBoolean()
       val skip = if (strict && rnd.nextBoolean()) SkipPastLastRow else SkipToNextRow
-      val pat = CepCondPattern(steps, Some(200 + rnd.nextInt(300)), skip, strict)
+      val anyMode = !strict && rnd.nextBoolean() // predicates + followedByAny compose
+      val pat = CepCondPattern(steps, Some(200 + rnd.nextInt(300)), skip, strict,
+        anyMatch = anyMode)
       // events with a value column driving the predicates
       var ord = 0L
       val evs = (0 until 3).flatMap { k =>
@@ -293,22 +295,23 @@ class CepSpec extends SparkSuite {
       }
       val df = evs.toDF("k", "value", "ts_us", "ord")
         .withColumn("ts", timestamp_micros(col("ts_us")))
+      // multiset compare: any-mode legitimately emits duplicate rows
       val got = Cep.compileWhere(df, "k", "ts", "ord", pat)
         .select(col("k"), col("start_id"), col("end_id"), col("n_rows"), col("step_counts"))
-        .as[(Long, Long, Long, Long, String)].collect().toSet
+        .as[(Long, Long, Long, Long, String)].collect().toSeq.sorted
       val conds = chosen.map { case (_, _, f) =>
         (e: (Long, Int, Long, Long), _: IndexedSeq[Seq[(Long, Int, Long, Long)]]) => f(e._2)
       }.toIndexedSeq
-      val want = evs.groupBy(_._1).flatMap { case (k, rows) =>
+      val want = evs.groupBy(_._1).toSeq.flatMap { case (k, rows) =>
         val sorted = rows.sortBy(r => (r._3, r._4)).toIndexedSeq
         Cep.matchSequenceIter(sorted, (e: (Long, Int, Long, Long)) => e._3,
             pat.symbolic, conds)
           .map(m => (k, sorted(m.startIdx)._4, sorted(m.endIdx)._4,
             m.nRows.toLong, m.stepCounts.mkString(",")))
-      }.toSet
+      }.sorted
       if (want.nonEmpty) nonEmpty += 1
       assert(got == want,
-        s"trial $trial pattern $pat:\n missing=${(want -- got).take(5)}\n extra=${(got -- want).take(5)}")
+        s"trial $trial pattern $pat:\n missing=${(want.diff(got)).take(5)}\n extra=${(got.diff(want)).take(5)}")
     }
     assert(nonEmpty >= 8, s"only $nonEmpty/20 predicate trials produced matches")
   }
