@@ -4,9 +4,20 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.{Window => W}
 import org.apache.spark.sql.functions._
 
-/** One CEP pattern step: a symbol with a greedy quantifier.
+/** One CEP pattern step: a symbol with a quantifier.
   * `{minRep, maxRep}`; `maxRep = None` is unbounded (`+` = (1, None),
   * `?` = (0, Some(1)), exactly-one = (1, Some(1))).
+  *
+  * `greedy` (default) prefers the MOST repetitions that let the rest
+  * match; `greedy = false` is the RELUCTANT mode (Flink's
+  * greedy/oneOrMore toggle, MATCH_RECOGNIZE `{m,n}?`): prefer the
+  * fewest. Strict contiguity only (relaxed run alignment is inherently
+  * greedy — enforced by CepPattern); under strict contiguity with
+  * distinct step symbols only the LAST step has a free consumption
+  * choice (interior steps are forced to their whole run), which is why
+  * the compiled form needs just the last step's flag — the sequential
+  * matcher honors the flag on every step, repeated symbols included,
+  * cross-validated against java.util.regex non-greedy quantifiers.
   *
   * `negated = true` (Flink `notFollowedBy`, relaxed mode only): the
   * step consumes nothing and instead asserts that NO row of its symbol
@@ -15,7 +26,7 @@ import org.apache.spark.sql.functions._
   * The quantifier is ignored.
   */
 case class CepStep(symbol: String, minRep: Int = 1, maxRep: Option[Int] = Some(1),
-                   negated: Boolean = false)
+                   negated: Boolean = false, greedy: Boolean = true)
 
 /** AFTER MATCH SKIP strategy (Flink CEP / SQL MATCH_RECOGNIZE). */
 sealed trait CepSkip
@@ -66,6 +77,9 @@ case class CepPattern(steps: Seq[CepStep], withinMinutes: Option[Int] = None,
   require(!anyMatch || (!strict && skip == SkipToNextRow),
     "followedByAny (anyMatch) is a relaxed-contiguity mode and emits " +
       "overlapping matches — strict = false with SKIP TO NEXT ROW only")
+  require(strict || steps.forall(_.greedy),
+    "reluctant quantifiers are strict-contiguity only (relaxed run " +
+      "alignment consumes capped greedy prefixes by construction)")
   require(steps.size >= 2, "a CEP pattern needs at least two steps")
   require(!steps.head.negated && !steps.last.negated,
     "a negated step must sit between two positive steps (Flink's " +
@@ -134,7 +148,8 @@ case class CepSeqMatch(startIdx: Int, endIdx: Int, stepCounts: IndexedSeq[Int]) 
   * becomes its derived symbol.
   */
 case class CepCondStep(name: String, predicateSql: String, minRep: Int = 1,
-                       maxRep: Option[Int] = Some(1), negated: Boolean = false) {
+                       maxRep: Option[Int] = Some(1), negated: Boolean = false,
+                       greedy: Boolean = true) {
   require(name.nonEmpty && !name.contains("'") && name != "__other",
     s"step name '$name' must be non-empty, quote-free, and not the reserved gap label")
   require(predicateSql.trim.nonEmpty, "empty predicate")
@@ -161,7 +176,7 @@ case class CepCondPattern(steps: Seq[CepCondStep], withinMinutes: Option[Int] = 
   /** The symbolic pattern over the derived step-name symbols (validates
     * the step-structure invariants too). */
   def symbolic: CepPattern = CepPattern(
-    steps.map(s => CepStep(s.name, s.minRep, s.maxRep, s.negated)),
+    steps.map(s => CepStep(s.name, s.minRep, s.maxRep, s.negated, s.greedy)),
     withinMinutes, skip, strict, anyMatch)
 
   /** The first-match-wins symbol derivation, valid on both engines. */
@@ -309,13 +324,17 @@ object Cep {
                sat(si, pos + maxFit, ctx)) {
           consumed(si) += (pos + maxFit); maxFit += 1
         }
-        var c = maxFit
-        while (c >= st.minRep) {
+        // acceptance is prefix-closed (each row's test saw only earlier
+        // rows), so any candidate count is the first c accepted rows
+        val accepted = consumed(si).toIndexedSeq
+        val cands =
+          if (st.greedy) st.minRep.to(maxFit).reverse else st.minRep.to(maxFit)
+        for (c <- cands) {
           counts(si) = c
-          while (consumed(si).size > c) consumed(si).remove(consumed(si).size - 1)
+          consumed(si).clear()
+          consumed(si) ++= accepted.take(c)
           val e = go(si + 1, pos + c)
           if (e >= 0) return e
-          c -= 1
         }
         counts(si) = 0
         consumed(si).clear()
@@ -526,8 +545,15 @@ object Cep {
         alt(i - 1).maxRep.foreach(m => cond = cond && col(s"len_$i") <= m)
       }
       cond = cond && col(s"len_$j") >= alt.last.minRep
-      val clast = alt.last.maxRep
-        .map(m => least(col(s"len_$j"), lit(m.toLong))).getOrElse(col(s"len_$j"))
+      // the last step is the only FREE consumption choice under strict
+      // contiguity with distinct symbols (interior steps must swallow
+      // their whole run): greedy takes the capped maximum, reluctant
+      // exactly minRep
+      val clast =
+        if (alt.last.greedy)
+          alt.last.maxRep
+            .map(m => least(col(s"len_$j"), lit(m.toLong))).getOrElse(col(s"len_$j"))
+        else lit(alt.last.minRep.toLong)
       val mids = (2 until j).map(i => col(s"len_$i"))
       val midTotal = if (mids.isEmpty) lit(0L) else mids.reduce(_ + _)
       val midSel = (2 until j).map(i => col(s"len_$i").as(s"mc_${presentIdx(i - 1)}"))
@@ -806,7 +832,10 @@ object Cep {
           Seq(s"len_$i >= ${alt(i - 1).minRep}") ++
             alt(i - 1).maxRep.map(m => s"len_$i <= $m")
         } ++ Seq(s"len_$j >= ${alt.last.minRep}")
-      val clast = alt.last.maxRep.map(m => s"least(len_$j, $m)").getOrElse(s"len_$j")
+      val clast =
+        if (alt.last.greedy)
+          alt.last.maxRep.map(m => s"least(len_$j, $m)").getOrElse(s"len_$j")
+        else alt.last.minRep.toString
       val mids = (2 until j).map(i => s"len_$i")
       val midTotal = if (mids.isEmpty) "0" else mids.mkString(" + ")
       val midSel = (2 until j).map(i => s", len_$i AS mc_${presentIdx(i - 1)}").mkString

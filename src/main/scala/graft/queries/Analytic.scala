@@ -188,6 +188,18 @@ object Analytic {
           "event_type", CepPatterns.negated)
         .orderBy("user_id", "start_id")),
 
+    // RELUCTANT quantifier (Flink's greedy toggle, MATCH_RECOGNIZE
+    // {m,n}?): same steps as event_cep_quant but the unbounded tail
+    // consumes the FEWEST purchases instead of the most — compare the
+    // two keys' step_counts on the same anchors. Under strict
+    // contiguity only the last step has a free consumption choice, so
+    // compiled support is the clast formula; the sequential matcher
+    // honors the flag on every step (regex-non-greedy cross-validated).
+    "event_cep_reluctant" -> ((s, d) =>
+      Cep.compile(Tables.events(s, d), "user_id", "ts", "event_id",
+          "event_type", CepPatterns.reluctant)
+        .orderBy("user_id", "start_id")),
+
     // VALUE-PREDICATE steps (Flink SimpleCondition.where): each step is
     // an arbitrary SQL predicate — high-value view{1,2} then qualifying
     // purchase{1,} WITHIN 24 h, relaxed. Compiled via the derived
@@ -373,6 +385,10 @@ object Analytic {
     val negated = CepPattern(Seq(CepStep("view", 1, None),
       CepStep("click", negated = true), CepStep("purchase", 1, None)),
       Some(1440), SkipToNextRow, strict = false)
+    // quant with a reluctant tail (see event_cep_reluctant)
+    val reluctant = CepPattern(Seq(CepStep("signup", 2, None),
+      CepStep("view", 1, Some(2)),
+      CepStep("purchase", 1, None, greedy = false)))
     // value-predicate steps (see event_cep_where): engine-portable SQL,
     // mutually exclusive by event_type — the compileWhere contract
     val where = CepCondPattern(Seq(
@@ -401,6 +417,7 @@ object Analytic {
     "event_cep_negated" -> Cep.oracleSql(CepPatterns.negated),
     "event_cep_where" -> Cep.oracleSqlWhere(CepPatterns.where),
     "event_cep_any" -> Cep.oracleSql(CepPatterns.any),
+    "event_cep_reluctant" -> Cep.oracleSql(CepPatterns.reluctant),
 
     // Independent SQL formulation of the iterative-condition semantics
     // (NOT generated from the pattern — the predicate references the

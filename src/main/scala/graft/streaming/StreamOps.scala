@@ -437,7 +437,13 @@ object StreamOps extends Serializable {
     val maxTs = if (n == 0) Long.MinValue else evs(n - 1).tsUs
     def withinOk(m: CepSeqMatch): Boolean =
       pattern.withinUs.forall(w => evs(m.endIdx).tsUs - evs(m.startIdx).tsUs <= w)
-    // strict: greedy backtracking with pending flavors
+    // strict: backtracking with pending flavors. Candidates iterate in
+    // PREFERENCE order (greedy: most reps first; reluctant: fewest
+    // first); a success seals only if no MORE-PREFERRED candidate is
+    // still pending. Open-ended growth past the buffer edge is the
+    // most-preferred unexplored candidate for a greedy step (it can
+    // preempt any present success) but the LEAST preferred for a
+    // reluctant one (it can only matter when nothing present succeeds).
     def tryStrict(p: Int): SealRes = {
       val counts = Array.fill(steps.size)(0)
       // >=0 sealed end; -1 fail; -2 pending with a viable present
@@ -448,19 +454,20 @@ object StreamOps extends Serializable {
         var maxFit = 0
         while (pos + maxFit < n && evs(pos + maxFit).sym == st.symbol &&
                st.maxRep.forall(maxFit < _)) maxFit += 1
-        val selfPending = pos + maxFit == n && st.maxRep.forall(maxFit < _)
+        val openEnded = pos + maxFit == n && st.maxRep.forall(maxFit < _)
         var saw2 = false
-        var saw3 = selfPending
-        var c = maxFit
-        while (c >= st.minRep) {
+        var saw3 = st.greedy && openEnded
+        val cands =
+          if (st.greedy) st.minRep.to(maxFit).reverse else st.minRep.to(maxFit)
+        for (c <- cands) {
           counts(si) = c
           val e = go(si + 1, pos + c)
           if (e >= 0) return if (saw2 || saw3) -2 else e
           if (e == -2) saw2 = true
           if (e == -3) saw3 = true
-          c -= 1
         }
         counts(si) = 0
+        if (!st.greedy && openEnded) saw3 = true
         if (saw2) -2 else if (saw3) -3 else -1
       }
       go(0, p) match {

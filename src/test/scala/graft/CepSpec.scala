@@ -15,7 +15,11 @@ class CepSpec extends SparkSuite {
 
   private val symbols = Vector("A", "B", "C", "D")
 
-  /** Random pattern over distinct symbols (the compiler's domain). */
+  /** Random pattern over distinct symbols (the compiler's domain).
+    * Steps randomly flip to reluctant (greedy = false) — under strict
+    * contiguity with distinct symbols only the last step's flag can
+    * change results, but the matcher must honor every flag.
+    */
   private def randomPattern(rnd: scala.util.Random): CepPattern = {
     val nSteps = 2 + rnd.nextInt(2)
     val syms = rnd.shuffle(symbols).take(nSteps)
@@ -26,7 +30,7 @@ class CepSpec extends SparkSuite {
         case 0 => None
         case _ => Some(math.max(math.max(mn, 1), 1 + rnd.nextInt(3)))
       }
-      CepStep(s, mn, mx)
+      CepStep(s, mn, mx, greedy = rnd.nextBoolean())
     }
     val within = if (rnd.nextBoolean()) Some(5 + rnd.nextInt(30)) else None
     val skip = if (rnd.nextBoolean()) SkipPastLastRow else SkipToNextRow
@@ -38,7 +42,9 @@ class CepSpec extends SparkSuite {
     * a random gap (negation excludes optionals, so those are stripped).
     */
   private def randomRelaxedPattern(rnd: scala.util.Random): CepPattern = {
-    val p = randomPattern(rnd)
+    val p0 = randomPattern(rnd)
+    // relaxed modes are greedy-only (CepPattern require)
+    val p = p0.copy(steps = p0.steps.map(_.copy(greedy = true)))
     val base = p.copy(skip = SkipToNextRow, strict = false,
       // always bounded, with a longer horizon: relaxed chains span gaps
       // (tiny withins match nothing), and an unbounded relaxed pattern
@@ -142,7 +148,11 @@ class CepSpec extends SparkSuite {
           case 0 => None
           case _ => Some(math.max(math.max(mn, 1), 1 + rnd.nextInt(3)))
         }
-        CepStep(symbols(rnd.nextInt(symbols.size)), mn, mx) // repeats allowed
+        // repeats allowed; random greedy/reluctant per step — with
+        // repeated symbols EVERY step's mode can change results, and
+        // java regex pins both via its greedy vs non-greedy quantifiers
+        CepStep(symbols(rnd.nextInt(symbols.size)), mn, mx,
+          greedy = rnd.nextBoolean())
       }
       val skip = if (rnd.nextBoolean()) SkipPastLastRow else SkipToNextRow
       val within = if (rnd.nextBoolean()) Some(5 + rnd.nextInt(40)) else None
@@ -150,7 +160,8 @@ class CepSpec extends SparkSuite {
       val evs = randomEvents(rnd, 3)
       val byKey = evs.groupBy(_._1)
       val rx = java.util.regex.Pattern.compile(steps.map { s =>
-        val q = s.maxRep.map(m => s"{${s.minRep},$m}").getOrElse(s"{${s.minRep},}")
+        val q = s.maxRep.map(m => s"{${s.minRep},$m}").getOrElse(s"{${s.minRep},}") +
+          (if (s.greedy) "" else "?")
         s"(${charOf(s.symbol)}$q)"
       }.mkString)
       byKey.foreach { case (k, rows) =>
