@@ -34,6 +34,11 @@ object GraftSession {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.scheduler.DAGScheduler",
       org.apache.logging.log4j.Level.FATAL)
+    // same race, WARN flavor ("Attempted to access garbage collected
+    // accumulator N") — one line, no stack, still noise in a green tail
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.util.AccumulatorContext",
+      org.apache.logging.log4j.Level.ERROR)
     s
   }
 }
