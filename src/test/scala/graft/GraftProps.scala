@@ -225,4 +225,61 @@ object GraftProps extends Properties("graft") {
         .as[(Long, Long, Long, Long)].collect().toSet
       decl == want && stateful == want
     }
+
+  property("evictor window keeps exactly the last-N suffix per (user, hour)") =
+    forAll(eventsGen) { rows =>
+      val sp = spark
+      import sp.implicits._
+      val evs = rows.zipWithIndex.map { case ((u, o, c), i) =>
+        graft.streaming.Ev(i.toLong, new Timestamp(base + o * 1000), u,
+          "click", c / 100.0)
+      }
+      val got = graft.streaming.StreamOps
+        .evictorWindow(evs.toDS(), keepN = 3, streaming = false)
+        .collect().map(w => (w.user_id, w.window_start.getTime, w.n_seen,
+          w.n_kept, math.round(w.sum_kept * 100), w.first_kept_id,
+          w.last_kept_id)).toSet
+      // independent reimplementation: suffix of the (ts, id)-sorted group
+      val want = evs.groupBy(e => (e.user_id, (e.ts.getTime / 3600000L) * 3600000L))
+        .map { case ((u, w), es) =>
+          val tail = es.sortBy(e => (e.ts.getTime, e.event_id)).takeRight(3)
+          (u, w, es.size.toLong, tail.size.toLong,
+            tail.map(e => math.round(e.value * 100)).sum,
+            tail.head.event_id, tail.last.event_id)
+        }.toSet
+      got == want
+    }
+
+  property("broadcast-state alerts equal the latest-rule-at-event-time reimplementation") =
+    forAll(eventsGen, eventsGen) { (evRows, ruleRows) =>
+      val sp = spark
+      import sp.implicits._
+      val types = Vector("purchase", "click")
+      val evs = evRows.zipWithIndex.map { case ((u, o, c), i) =>
+        graft.streaming.Ev(i.toLong, new Timestamp(base + o * 1000), u,
+          types(i % 2), c / 100.0)
+      }
+      val rules = ruleRows.zipWithIndex.map { case ((_, o, c), i) =>
+        graft.streaming.Rule(100000L + i, new Timestamp(base + o * 1000),
+          types(i % 2), c / 100.0)
+      }
+      val got = graft.streaming.StreamOps
+        .ruleAlerts(evs.toDS(), rules.toDS(), streaming = false)
+        .collect().map(a => (a.event_id, a.rule_id,
+          math.round(a.threshold * 100))).toSet
+      // independent reimplementation: latest (ts, id) rule at or before
+      // the event's ts for its type; alert iff value clears it
+      val want = evs.flatMap { e =>
+        val applicable = rules.filter(r =>
+          r.target_type == e.event_type && r.rule_ts.getTime <= e.ts.getTime)
+        if (applicable.isEmpty) None
+        else {
+          val latest = applicable.maxBy(r => (r.rule_ts.getTime, r.rule_id))
+          if (e.value > latest.threshold)
+            Some((e.event_id, latest.rule_id, math.round(latest.threshold * 100)))
+          else None
+        }
+      }.toSet
+      got == want
+    }
 }
