@@ -108,6 +108,61 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jac"))
   }
 
+  /** Exact CONTAINMENT near-dup pairs: C(A,B) = |shA ∩ shB| /
+    * min(|shA|, |shB|) >= `threshold` over `ngram`-shingle sets — the
+    * asymmetric cousin of [[jaccardPairs]] that catches a document
+    * QUOTED OR EMBEDDED inside a much longer one (Jaccard's union
+    * denominator suppresses exactly those pairs: a 30-shingle doc fully
+    * contained in a 120-shingle doc has C = 1.0 but J ≈ 0.25).
+    *
+    * Prefix filtering needs a pair-free overlap bound; containment's
+    * t·min(|A|,|B|) has none, so the operator takes a minimum-partner-
+    * size floor: docs under `minTokens` shingles are EXCLUDED (the
+    * documented contract), making o = ceil(t · minTokens) a sound
+    * constant overlap requirement. Each doc's prefix then drops only
+    * its o−1 most COMMON shingles (global (tdf, tok) canonical order).
+    * Lossless by the standard prefix-filter lemma: with |A∩B| >= o, the
+    * canonically-smallest shared shingle cannot sit in either doc's
+    * (o−1)-sized common head, so the bucket join sees the pair.
+    *
+    * Scale shape: same dataflow as [[jaccardPairs]] (60-bit md5 shingle
+    * keys, tdf buckets, exact verify). Corpus-wide boilerplate shingles
+    * sit in most docs' excluded head so their buckets stay out of the
+    * join; the honest caveat vs Jaccard is that long docs keep
+    * near-full prefixes (the price of asymmetric semantics) — at
+    * extreme scale this is the within-floor exact AUDIT surface, with
+    * minhash-LSH as the recall path for the symmetric component.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, minTokens: Int = 20,
+                       ngram: Int = 3): DataFrame = {
+    val o = math.ceil(threshold * minTokens - 1e-9).toInt
+    val t = shingles(df, textCol, ngram)
+      .withColumn("toksh", array_distinct(
+        graft.functions.Signatures.md5_prefix(col("toks"), 15)))
+      .filter(size(col("toksh")) >= minTokens)
+      .select(col(idCol), col("toksh"))
+    val tok = t.select(col(idCol), size(col("toksh")).as("len"),
+      explode(col("toksh")).as("tok"))
+    val dfq = tok.groupBy("tok").agg(count(lit(1)).as("tdf"))
+    val byRarity = W.partitionBy(col(idCol)).orderBy(col("tdf"), col("tok"))
+    val prefix = tok.join(dfq, Seq("tok"))
+      .withColumn("pos", row_number().over(byRarity))
+      .filter(col("pos") <= col("len") - lit(o) + 1)
+    val pa = prefix.select(col(idCol).as("doc_a"), col("tok"))
+    val pb = prefix.select(col(idCol).as("doc_b"), col("tok").as("tok_b"))
+    val cand = pa.join(pb, col("tok") === col("tok_b") && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val ta = t.select(col(idCol).as("doc_a"), col("toksh").as("toks_a"))
+    val tb = t.select(col(idCol).as("doc_b"), col("toksh").as("toks_b"))
+    cand.join(ta, "doc_a").join(tb, "doc_b")
+      .withColumn("ninter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("cont", col("ninter").cast("double") /
+        least(size(col("toks_a")), size(col("toks_b"))))
+      .filter(col("cont") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("cont"))
+  }
+
   /** MinHash(64-perm) + LSH(`bands` x 64/bands rows) near-dup survivors.
     *
     * Candidates come from STAR REDUCTION: each doc pairs only with the

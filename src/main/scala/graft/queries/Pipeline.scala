@@ -53,6 +53,15 @@ object Pipeline {
         .select(col("doc_a"), col("doc_b"), Det.round4(col("jac")).as("jac"))
         .orderBy("doc_a", "doc_b")),
 
+    // CONTAINMENT pairs (quoted/embedded-document detection): exact
+    // |A∩B|/min >= 0.8 over 3-shingle sets with a 20-shingle partner
+    // floor — the asymmetric near-dup measure Jaccard's union
+    // denominator suppresses (see Dedup.containmentPairs).
+    "dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text", 0.8)
+        .select(col("doc_a"), col("doc_b"), Det.round4(col("cont")).as("cont"))
+        .orderBy("doc_a", "doc_b")),
+
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhashSurvivors(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
@@ -615,6 +624,18 @@ object Pipeline {
         |      (len(a.toksh) + len(b.toksh) - len(list_intersect(a.toksh, b.toksh))) AS jac
         |  FROM th a JOIN th b ON a.doc_id < b.doc_id
         |) WHERE jac >= 0.7 ORDER BY doc_a, doc_b""".stripMargin),
+
+    // brute-force formulation (fine at oracle scale); the engine's
+    // prefix-filtered candidates must reproduce it exactly
+    "dedup_containment" ->
+      (s"WITH $hashedShingleCte," + """
+        |f AS (SELECT doc_id, toksh FROM th WHERE len(toksh) >= 20)
+        |SELECT doc_a, doc_b, floor(cont * 10000 + 0.5) / 10000 AS cont FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.toksh, b.toksh))::DOUBLE /
+        |      least(len(a.toksh), len(b.toksh)) AS cont
+        |  FROM f a JOIN f b ON a.doc_id < b.doc_id
+        |) WHERE cont >= 0.8 ORDER BY doc_a, doc_b""".stripMargin),
 
     // Connected components replayed as a recursive closure: reach(id, r)
     // holds "r reaches id"; with symmetric edges, min(r) per id is the

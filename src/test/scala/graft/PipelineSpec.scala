@@ -211,6 +211,61 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("containment catches an embedded document that Jaccard misses") {
+    val sp = spark
+    import sp.implicits._
+    val words = (1 to 33).map(i => s"w$i")
+    val filler = (1 to 90).map(i => s"f$i")
+    val docs = Seq(
+      (1L, words.mkString(" ")),
+      (2L, (words ++ filler).mkString(" "))) // doc 1 embedded at doc 2's head
+      .toDF("doc_id", "text")
+    val cont = graft.api.Dedup.containmentPairs(docs, "doc_id", "text", 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(cont.map(c => (c._1, c._2)).toSet == Set((1L, 2L)),
+      s"embedded pair not found: ${cont.toSeq}")
+    assert(cont.head._3 >= 0.95, s"containment should be ~1.0, got ${cont.head._3}")
+    // the same pair is invisible to union-normalized Jaccard
+    val jac = graft.api.Dedup.jaccardPairs(docs, "doc_id", "text", Seq(), 0.7).count()
+    assert(jac == 0, "Jaccard at 0.7 must not see the embedded pair")
+  }
+
+  test("containment prefix filter is lossless vs brute force on random corpora") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(5)
+    for (trial <- 0 until 3) {
+      val vocab = (1 to 60).map(i => s"v$i")
+      val base = (1 to 30).map { id =>
+        val n = 25 + rnd.nextInt(60)
+        (id.toLong, (1 to n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val embedded = (1 to 5).map { k =>
+        val src = base(rnd.nextInt(base.size))._2.split(" ")
+        val tail = (0 until rnd.nextInt(40)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        (100L + k, (src.take(25 + rnd.nextInt(10)) ++ tail).mkString(" "))
+      }
+      val all = base ++ embedded
+      val got = graft.api.Dedup.containmentPairs(
+          all.toDF("doc_id", "text"), "doc_id", "text", 0.8)
+        .as[(Long, Long, Double)].collect()
+        .map(c => (c._1, c._2, math.rint(c._3 * 10000))).toSet
+      // brute force on string shingle sets (no hashing, no filtering)
+      def sh(t: String): Set[String] = {
+        val tk = t.split(" ")
+        (1 to math.max(tk.length - 2, 1)).map(i =>
+          tk.slice(i - 1, i + 2).mkString(" ")).toSet
+      }
+      val sets = all.map { case (id, t) => id -> sh(t) }.filter(_._2.size >= 20)
+      val want = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        c = (sa & sb).size.toDouble / math.min(sa.size, sb.size) if c >= 0.8
+      } yield (a, b, math.rint(c * 10000))).toSet
+      assert(got == want,
+        s"trial $trial:\n missing=${(want -- got).take(5)}\n extra=${(got -- want).take(5)}")
+    }
+  }
+
   test("embed cosine pairs: bounded (label, shard) blocks = deterministic same-shard sample") {
     val e = Tables.embeddings(spark, sf001)
     val full = graft.api.Dedup.embedCosinePairs(e, "vec_id", "embedding",
