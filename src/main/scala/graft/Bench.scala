@@ -20,7 +20,8 @@ object Bench {
     "wnd_tumbling", "wnd_sliding", "wnd_session", "wnd_pane_twolevel", "wnd_late_drop",
     "stream_tumbling_append", "stream_custom_trigger", "stream_interval_join",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
-    "dedup_clusters", "sim_cosine_topk", "sim_ann_partitioned", "sim_lsh_bucketed",
+    "dedup_containment", "dedup_clusters",
+    "sim_cosine_topk", "sim_ann_partitioned", "sim_lsh_bucketed",
     "text_stats", "text_tfidf", "pipeline_corpus", "corpus_pack",
     "event_cep", "quality_gate")
 
