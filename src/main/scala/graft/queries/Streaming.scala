@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.streaming.{Ev, Rule, StreamOps}
+import graft.streaming.{Ev, Limit, Rule, StreamOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -62,6 +62,75 @@ object Streaming {
           ev.filter(col("event_type") === "purchase"),
           ev.filter(col("event_type") === "click"), "left_outer")
         .orderBy(col("p_id"), col("c_id").asc_nulls_first)
+    }),
+
+    // Full-outer interval join: unmatched rows on EITHER side appear
+    // with null partner columns (streaming: the watermark certifies the
+    // null emission on both sides — see StreamOps.intervalJoinPairs).
+    "stream_interval_join_full" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      StreamOps.intervalJoinPairs(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"), "full_outer")
+        .orderBy(col("p_id").asc_nulls_first, col("c_id").asc_nulls_first)
+    }),
+
+    // Keyed two-stream connect (CoProcessFunction analog): per-user
+    // limits derived deterministically from the fixture's signup events
+    // (each signup sets ITS OWN user's limit to value+20 from its ts);
+    // purchase/click events alert when they exceed the limit in effect
+    // at their event time, carrying the user's running over-limit
+    // count. The oracle is the per-key as-of-join formulation; the
+    // two-MemoryStream streaming execution is covered by StreamingSpec.
+    "stream_keyed_connect" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val all = Tables.events(s, d)
+      val ev = all.filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Ev]
+      val limits = all.filter(col("event_type") === "signup")
+        .select(col("event_id").as("limit_id"), col("ts").as("limit_ts"),
+          col("user_id"), (col("value") + lit(20.0)).as("limit_value"))
+        .as[Limit]
+      StreamOps.connectGate(ev, limits, streaming = false)
+        .toDF()
+        .orderBy("event_id")
+    }),
+
+    // Periodic event-time early firing (ContinuousEventTimeTrigger
+    // analog): partials every 15 event-time minutes per open (user, 1 h
+    // window) under streaming (StreamingSpec asserts their event times
+    // and contents); the batch replay — the oracle-gated surface — is
+    // the unchanged finals.
+    "stream_early_fire" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Ev]
+      StreamOps.earlyFireWindow(ev, streaming = false)
+        .toDF()
+        .orderBy("user_id", "window_start")
+    }),
+
+    // Single-pass side-output routing (OutputTag analog): every event
+    // exactly once with a route label — 'late' from the stateful
+    // per-user out-of-order detector (14-day horizon under the
+    // md5(event_id) arrival scramble; the fixture's generation order is
+    // time-ordered, so the scramble is what exercises the late path),
+    // 'fail' for error events, 'pass' otherwise.
+    "stream_side_outputs" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Ev]
+      StreamOps.sideOutputs(ev,
+          arrival = e => org.apache.commons.codec.digest.DigestUtils.md5Hex(e.event_id.toString),
+          horizonMinutes = 14 * 24 * 60, failType = "error", streaming = false)
+        .toDF()
+        .orderBy("event_id")
     }),
 
     // General-pattern stateful CEP: batch replay of the incremental
@@ -219,9 +288,65 @@ object Streaming {
         | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
         |ORDER BY p_id, c_id NULLS FIRST""".stripMargin,
 
+    "stream_interval_join_full" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id,
+        |       coalesce(p.user_id, c.user_id) AS user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+        |ORDER BY p_id NULLS FIRST, c_id NULLS FIRST""".stripMargin,
+
+    // Per-key as-of join: each alertable event resolves the latest
+    // limit for ITS USER at or before its ts (ties: highest limit_id);
+    // alerts where value clears the limit, numbered per user in
+    // (ts, event_id) order.
+    "stream_keyed_connect" ->
+      """WITH l AS (SELECT event_id AS limit_id, ts::TIMESTAMP AS limit_ts, user_id,
+        |                  value + 20 AS limit_value
+        |           FROM events WHERE event_type = 'signup'),
+        |e AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value
+        |      FROM events WHERE event_type IN ('purchase', 'click')),
+        |j AS (SELECT e.*, l.limit_id, l.limit_value,
+        |             row_number() OVER (PARTITION BY e.event_id
+        |                                ORDER BY l.limit_ts DESC, l.limit_id DESC) AS rn
+        |      FROM e JOIN l ON l.user_id = e.user_id AND l.limit_ts <= e.ts),
+        |q AS (SELECT event_id, ts, user_id, event_type, value, limit_id, limit_value
+        |      FROM j WHERE rn = 1 AND value > limit_value)
+        |SELECT *, row_number() OVER (PARTITION BY user_id
+        |                             ORDER BY ts, event_id) AS n_over
+        |FROM q ORDER BY event_id""".stripMargin,
+
+    // Cents derived exactly like the Scala fold (round(value*100),
+    // summed, /100) so the replay does not rely on fixture values
+    // being exact two-decimal amounts.
+    "stream_early_fire" ->
+      """SELECT user_id, date_trunc('hour', ts::TIMESTAMP)::TIMESTAMP AS window_start,
+        |       count(*) AS n_events,
+        |       CAST(sum(round(value * 100)) AS DOUBLE) / 100 AS sum_value,
+        |       'final' AS emit_kind
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, window_start""".stripMargin,
+
+    // The md5(event_id) scramble IS the arrival order on both engines.
+    "stream_side_outputs" ->
+      """WITH m AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value,
+        |                  max(ts::TIMESTAMP) OVER (
+        |                    PARTITION BY user_id
+        |                    ORDER BY md5(CAST(event_id AS VARCHAR))
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |           FROM events)
+        |SELECT event_id, ts, user_id, event_type, value,
+        |       CASE WHEN pm IS NOT NULL AND ts < pm - INTERVAL 14 DAY THEN 'late'
+        |            WHEN event_type = 'error' THEN 'fail'
+        |            ELSE 'pass' END AS route
+        |FROM m ORDER BY event_id""".stripMargin,
+
     // Keep-last-3 per (user, hour window): the kept tail is rn <= 3
     // under the DESCENDING (ts, event_id) order; first/last kept ids
-    // are the rn extremes within it.
+    // are the rn extremes within it. sum_kept derives cents exactly
+    // like the Scala fold (round(value*100), summed, /100) — for
+    // non-negative values round-half-up and round-half-away agree, so
+    // the gate holds even for values that are not exact cents.
     "stream_evictor" ->
       """WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id, value,
         |                  date_trunc('hour', ts::TIMESTAMP) AS window_start
@@ -233,7 +358,7 @@ object Streaming {
         |SELECT user_id, window_start,
         |  CAST(max(n_seen) AS BIGINT) AS n_seen,
         |  count(*) AS n_kept,
-        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_kept,
+        |  CAST(sum(round(value * 100)) AS DOUBLE) / 100 AS sum_kept,
         |  arg_max(event_id, rn) AS first_kept_id,
         |  arg_min(event_id, rn) AS last_kept_id
         |FROM r WHERE rn <= 3

@@ -47,6 +47,42 @@ private[streaming] case class KeptEv(ts_us: Long, event_id: Long, cents: Long)
 case class Rule(rule_id: Long, rule_ts: java.sql.Timestamp,
                 target_type: String, threshold: Double)
 
+/** A PER-KEY limit update for the keyed two-stream connect
+  * (StreamOps.connectGate): from `limit_ts` on, events of `user_id`
+  * alert when value exceeds `limit_value`. Unlike [[Rule]] the scope is
+  * a stream key, not a broadcastable type domain. */
+case class Limit(limit_id: Long, limit_ts: java.sql.Timestamp,
+                 user_id: Long, limit_value: Double)
+
+/** One over-limit alert from the keyed connect; `n_over` is the user's
+  * running count of over-limit events up to and including this one. */
+case class ConnAlert(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                     event_type: String, value: Double, limit_id: Long,
+                     limit_value: Double, n_over: Long)
+
+/** Tagged union row for the keyed limit/event co-grouped fold. */
+private[streaming] case class ConnRow(is_ctl: Boolean, id: Long,
+                                      ts: java.sql.Timestamp, user_id: Long,
+                                      typ: String, value: Double, limit: Double)
+
+/** Keyed-connect per-user state: the live limit plus the data-side
+  * running over-limit counter — one state slot PER SIDE, the
+  * CoProcessFunction shape. */
+private[streaming] case class ConnState(limit_ts_us: Long, limit_id: Long,
+                                        limit_value: Double, n_over: Long)
+
+/** One (partial or final) emission from the early-firing window
+  * (StreamOps.earlyFireWindow). */
+case class EarlyFire(user_id: Long, window_start: java.sql.Timestamp,
+                     n_events: Long, sum_value: Double, emit_kind: String)
+
+private[streaming] case class FireAgg(n_events: Long, sum_cents: Long)
+
+/** One routed event from the single-pass side-output split
+  * (StreamOps.sideOutputs). */
+case class Routed(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                  event_type: String, value: Double, route: String)
+
 /** One alert from the rule-stream operator. */
 case class RuleAlert(event_id: Long, ts: java.sql.Timestamp, event_type: String,
                      value: Double, rule_id: Long, threshold: Double)
@@ -103,6 +139,52 @@ private[streaming] class EvictorProcessor(keepN: Int)
     kept.clear(); seen.clear()
     Iterator(WindowEvict(key._1, new java.sql.Timestamp(key._2), n, tail.length.toLong,
       tail.map(_.cents).sum / 100.0, tail.head.event_id, tail.last.event_id))
+  }
+}
+
+/** Flink `ContinuousEventTimeTrigger` analog: a tumbling event-time
+  * window that EMITS PARTIAL RESULTS every `fireEveryMs` of EVENT time
+  * while the window is open, then the unchanged final when the
+  * watermark closes it. The first input row for a (key, window) arms
+  * the full timer chain — one event-time timer per firing boundary
+  * plus one at the window end (bounded: window/interval + 1 timers,
+  * each a few bytes of state). A partial fires with whatever the
+  * window holds at that event-time boundary; if the watermark jumps
+  * past several boundaries at once, the pending timers drain in order
+  * in that batch — the same behavior as Flink's trigger chain under a
+  * watermark leap. State is one running (count, exact-cents) pair per
+  * open (key, window); partials never clear it, the final does.
+  */
+private[streaming] class EarlyFireProcessor(windowMs: Long, fireEveryMs: Long)
+    extends StatefulProcessor[(Long, Long), Ev, EarlyFire] {
+  @transient private var agg: ValueState[FireAgg] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    agg = getHandle.getValueState[FireAgg]("agg", Encoders.product[FireAgg], TTLConfig.NONE)
+
+  override def handleInputRows(key: (Long, Long), events: Iterator[Ev],
+                               timers: TimerValues): Iterator[EarlyFire] = {
+    var st =
+      if (agg.exists()) agg.get()
+      else {
+        var t = key._2 + fireEveryMs
+        while (t < key._2 + windowMs) { getHandle.registerTimer(t); t += fireEveryMs }
+        getHandle.registerTimer(key._2 + windowMs)
+        FireAgg(0L, 0L)
+      }
+    events.foreach(e => st = FireAgg(st.n_events + 1, st.sum_cents + math.round(e.value * 100)))
+    agg.update(st)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: (Long, Long), timers: TimerValues,
+                                  expired: ExpiredTimerInfo): Iterator[EarlyFire] = {
+    if (!agg.exists()) return Iterator.empty
+    val st = agg.get()
+    val isFinal = expired.getExpiryTimeInMs() >= key._2 + windowMs
+    if (isFinal) agg.clear()
+    Iterator(EarlyFire(key._1, new java.sql.Timestamp(key._2), st.n_events,
+      st.sum_cents / 100.0, if (isFinal) "final" else "partial"))
   }
 }
 
@@ -672,6 +754,19 @@ object StreamOps extends Serializable {
     * threshold map-side with zero shuffle of the event stream — which
     * is what the generated oracle expresses; the keyed fold is the
     * streaming-semantics surface, gated to equal it row-for-row.
+    *
+    * Late-rule behavior (verified against Spark's
+    * FlatMapGroupsWithStateExecBase, which filters watermark-late input
+    * rows ONLY under EventTimeTimeout): although the 10 min watermark
+    * applies to the unioned rule+event stream, this operator uses
+    * NoTimeout, so a rule arriving arbitrarily far behind the
+    * event-time watermark is still PROCESSED — like Flink's
+    * never-watermarked broadcast side, it takes effect from its arrival
+    * batch onward (covered by a StreamingSpec test). The real delta vs
+    * Flink remains arrival order only. State note: NoTimeout retains
+    * one (ts, id, threshold) triple per event_type forever — bounded by
+    * the type domain's cardinality (small by definition here), but a
+    * long-lived job with an unbounded key domain would want a timeout.
     */
   def ruleAlerts(events: Dataset[Ev], rules: Dataset[Rule],
                  streaming: Boolean): Dataset[RuleAlert] = {
@@ -697,6 +792,142 @@ object StreamOps extends Serializable {
               out += RuleAlert(r.id, r.ts, r.typ, r.value, cur._2, cur._3)
           }
           if (streaming) state.update(cur) else state.remove()
+          out.iterator
+      }
+  }
+
+  /** Keyed two-stream connect (Flink `CoProcessFunction` /
+    * `streamA.connect(streamB).keyBy(k, k).process(...)`): a CONTROL
+    * stream of per-user limit updates and a DATA stream of events,
+    * keyed the SAME (user_id), with per-side state — the general form
+    * of [[ruleAlerts]] for when the control stream is NOT broadcastable
+    * because its scope is the key itself (per-user limits over a 100 TB
+    * key domain cannot ship to every task). Both streams are tagged
+    * into one union keyed by user_id; the keyed fold holds the live
+    * limit (control-side state) and the running over-limit counter
+    * (data-side state). An event alerts when its value exceeds the
+    * limit in effect at its event time (latest limit with
+    * `limit_ts <= ts`, ties control-first then by limit_id; no limit
+    * yet → no alert), carrying the user's running over-limit count.
+    *
+    * Rows sort by (ts, control-first, id) within each invocation, so
+    * batch replay is deterministic and equals the per-key as-of-join
+    * oracle row-for-row; cross-batch out-of-order arrival replays
+    * Flink's un-watermarked connect behavior (control updates apply in
+    * arrival order — same documented stance as [[ruleAlerts]],
+    * including the late-limit behavior: NoTimeout means a
+    * watermark-late limit is still processed, not dropped).
+    *
+    * Scale shape: one shuffle of each stream on the shared key — state
+    * is one small tuple per live user, partitioned across executors
+    * like any keyed aggregation; nothing is broadcast.
+    */
+  def connectGate(events: Dataset[Ev], limits: Dataset[Limit],
+                  streaming: Boolean): Dataset[ConnAlert] = {
+    import events.sparkSession.implicits._
+    val tagged = events
+      .map(e => ConnRow(is_ctl = false, e.event_id, e.ts, e.user_id, e.event_type, e.value, 0.0))
+      .unionByName(limits.map(l =>
+        ConnRow(is_ctl = true, l.limit_id, l.limit_ts, l.user_id, "", 0.0, l.limit_value)))
+    val src = if (streaming) tagged.withWatermark("ts", "10 minutes") else tagged
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ConnState, ConnAlert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[ConnRow], state: GroupState[ConnState]) =>
+          val sorted = rows.toArray.sortBy(r => (tsMicros(r.ts), !r.is_ctl, r.id))
+          var st = state.getOption.getOrElse(
+            ConnState(Long.MinValue, Long.MinValue, 0.0, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[ConnAlert]
+          sorted.foreach { r =>
+            if (r.is_ctl) {
+              val t = tsMicros(r.ts)
+              if (t > st.limit_ts_us || (t == st.limit_ts_us && r.id > st.limit_id))
+                st = st.copy(limit_ts_us = t, limit_id = r.id, limit_value = r.limit)
+            } else if (st.limit_ts_us != Long.MinValue && r.value > st.limit_value) {
+              st = st.copy(n_over = st.n_over + 1)
+              out += ConnAlert(r.id, r.ts, user, r.typ, r.value,
+                st.limit_id, st.limit_value, st.n_over)
+            }
+          }
+          if (streaming) state.update(st) else state.remove()
+          out.iterator
+      }
+  }
+
+  /** Periodic event-time early firing over 1 h tumbling per-user
+    * windows (Flink `ContinuousEventTimeTrigger.of(15 min)`): partial
+    * aggregates emit every 15 event-time minutes while a window is
+    * open, the final when the watermark closes it — see
+    * [[EarlyFireProcessor]]. Streaming only via transformWithState
+    * (RocksDB store); batch replay (the oracle-gated surface) emits
+    * only the finals — early emission is a streaming trigger concept,
+    * the same contract stance as [[customTrigger]]'s early rows.
+    */
+  def earlyFireWindow(ev: Dataset[Ev], streaming: Boolean): Dataset[EarlyFire] = {
+    import ev.sparkSession.implicits._
+    def winMs(e: Ev): Long = (tsMicros(e.ts) / 1000L / 3600000L) * 3600000L
+    if (streaming)
+      ev.withWatermark("ts", "10 minutes")
+        .groupByKey(e => (e.user_id, winMs(e)))
+        .transformWithState(new EarlyFireProcessor(3600000L, 900000L),
+          TimeMode.EventTime(), OutputMode.Append())
+    else
+      ev.groupByKey(e => (e.user_id, winMs(e))).mapGroups {
+        (key: (Long, Long), events: Iterator[Ev]) =>
+          var st = FireAgg(0L, 0L)
+          events.foreach(e =>
+            st = FireAgg(st.n_events + 1, st.sum_cents + math.round(e.value * 100)))
+          EarlyFire(key._1, new java.sql.Timestamp(key._2), st.n_events,
+            st.sum_cents / 100.0, "final")
+      }
+  }
+
+  /** Single-pass side-output routing (Flink `OutputTag` beyond late
+    * data — `ctx.output(tag, row)` from one ProcessFunction): every
+    * event is emitted EXACTLY ONCE with a route label, split in one
+    * stateful pass instead of N filtered re-reads:
+    *
+    *  - `late`: the event's ts is more than `horizonMinutes` behind
+    *    the user's max event time over previously ARRIVED rows — the
+    *    stateful out-of-order detector (per-user max-ts ValueState);
+    *  - `fail`: event_type equals `failType` (the context-free reject
+    *    predicate);
+    *  - `pass`: everything else.
+    *
+    * Arrival order is the `arrival` key: within an invocation rows
+    * fold in ascending `arrival` order, and the per-user max-ts state
+    * carries across batches, so a streaming run whose batches respect
+    * `arrival` order yields the identical split. The declared key
+    * feeds md5(event_id) as arrival order — a deterministic scramble
+    * that exercises the late route on a fixture whose generation order
+    * is time-ordered (md5 is engine-identical, so the DuckDB oracle
+    * replays the same order).
+    *
+    * Downstream consumers filter their route — one shuffle, one state
+    * pass, N outputs; at 100 TB this replaces N full re-scans.
+    */
+  def sideOutputs(ev: Dataset[Ev], arrival: Ev => String, horizonMinutes: Int,
+                  failType: String, streaming: Boolean): Dataset[Routed] = {
+    import ev.sparkSession.implicits._
+    val horizonUs = horizonMinutes * 60L * 1000000L
+    // deliberately NO watermark: the late route must SEE late rows
+    // (NoTimeout state is one Long per user, nothing needs eviction)
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, Routed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, events: Iterator[Ev], state: GroupState[Long]) =>
+          val evs = events.toArray.sortBy(arrival)
+          var maxTs = state.getOption.getOrElse(Long.MinValue)
+          val out = evs.map { e =>
+            val t = tsMicros(e.ts)
+            val route =
+              if (maxTs != Long.MinValue && t < maxTs - horizonUs) "late"
+              else if (e.event_type == failType) "fail"
+              else "pass"
+            maxTs = math.max(maxTs, t)
+            Routed(e.event_id, e.ts, e.user_id, e.event_type, e.value, route)
+          }
+          if (streaming) state.update(maxTs) else state.remove()
           out.iterator
       }
   }
@@ -756,12 +987,14 @@ object StreamOps extends Serializable {
     * watermarks bound state retention on each side. Batch: identical
     * plan, no state.
     */
-  /** `joinType` "inner" (default) or "left_outer": the outer variant
-    * emits a purchase with null click columns once the watermark proves
-    * no matching click can still arrive (Flink's intervalJoin has no
-    * outer mode — this is the Spark-native upgrade; the time bounds plus
-    * both watermarks are exactly what lets the engine both expire state
-    * AND certify the null emission).
+  /** `joinType` "inner" (default), "left_outer", or "full_outer": an
+    * outer variant emits an unmatched row with null partner columns
+    * once the watermark proves no match can still arrive (Flink's
+    * intervalJoin has no outer mode — this is the Spark-native upgrade;
+    * the time bounds plus both watermarks are exactly what lets the
+    * engine both expire state AND certify the null emission, on either
+    * side for full_outer). `user_id` coalesces the two sides so an
+    * unmatched click still carries its user.
     */
   def intervalJoinPairs(purchases: DataFrame, clicks: DataFrame,
                         joinType: String = "inner"): DataFrame = {
@@ -776,6 +1009,6 @@ object StreamOps extends Serializable {
     p.join(c, col("p_user") === col("c_user") &&
       col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
       col("c_ts") <= col("p_ts"), joinType)
-      .select(col("p_id"), col("c_id"), col("p_user").as("user_id"))
+      .select(col("p_id"), col("c_id"), coalesce(col("p_user"), col("c_user")).as("user_id"))
   }
 }

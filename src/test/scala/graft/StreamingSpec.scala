@@ -704,4 +704,162 @@ class StreamingSpec extends SparkSuite {
       s"post-restart window missing: $rows")
     assert(rows.size == rows.distinct.size, s"duplicate emissions: $rows")
   }
+
+  test("keyed connect: per-user limits gate events with per-side state") {
+    import graft.streaming.Limit
+    val me = MemoryStream[Ev]
+    val ml = MemoryStream[Limit]
+    val q = StreamOps.connectGate(me.toDS(), ml.toDS(), streaming = true)
+      .writeStream.format("memory").queryName("conn").outputMode("append").start()
+    // no limit armed for user 1: no alert
+    me.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, "purchase", 150.0))
+    q.processAllAvailable()
+    // arm user 1's limit at 100; user 2 stays ungated (keyed, not broadcast)
+    ml.addData(Limit(100, ts("2024-01-01 10:05:00"), 1, 100.0))
+    q.processAllAvailable()
+    me.addData(
+      Ev(2, ts("2024-01-01 10:10:00"), 1, "purchase", 120.0), // over -> n_over 1
+      Ev(3, ts("2024-01-01 10:12:00"), 1, "purchase", 80.0),  // under
+      Ev(4, ts("2024-01-01 10:13:00"), 2, "purchase", 500.0)) // other key, no limit
+    q.processAllAvailable()
+    // limit UPDATE tightens user 1 to 60; counter state carries across
+    ml.addData(Limit(101, ts("2024-01-01 10:20:00"), 1, 60.0))
+    q.processAllAvailable()
+    me.addData(Ev(5, ts("2024-01-01 10:30:00"), 1, "purchase", 80.0)) // over -> n_over 2
+    drain(q)
+    val rows = spark.table("conn")
+      .as[(Long, Timestamp, Long, String, Double, Long, Double, Long)].collect().toSet
+    assert(rows == Set(
+      (2L, ts("2024-01-01 10:10:00"), 1L, "purchase", 120.0, 100L, 100.0, 1L),
+      (5L, ts("2024-01-01 10:30:00"), 1L, "purchase", 80.0, 101L, 60.0, 2L)),
+      s"expected alerts for events 2 (limit 100) and 5 (limit 60) only; got $rows")
+  }
+
+  test("ruleAlerts: a watermark-late rule is still applied (NoTimeout does not drop it)") {
+    // pins the verified semantics documented on ruleAlerts: fMGWS
+    // filters late input only under EventTimeTimeout, so a rule far
+    // behind the event-time watermark still arms from its arrival batch
+    import graft.streaming.Rule
+    val me = MemoryStream[Ev]
+    val mr = MemoryStream[Rule]
+    val q = StreamOps.ruleAlerts(me.toDS(), mr.toDS(), streaming = true)
+      .writeStream.format("memory").queryName("laterule").outputMode("append").start()
+    // push the union watermark far ahead (13:00 - 10 min)
+    me.addData(Ev(1, ts("2024-01-01 13:00:00"), 1, "purchase", 50.0))
+    q.processAllAvailable()
+    // rule timestamped 10:00 arrives HOURS behind the watermark
+    mr.addData(Rule(100, ts("2024-01-01 10:00:00"), "purchase", 40.0))
+    q.processAllAvailable()
+    me.addData(Ev(2, ts("2024-01-01 13:30:00"), 1, "purchase", 45.0))
+    drain(q)
+    val ids = spark.table("laterule").select("event_id").as[Long].collect().toSet
+    assert(ids == Set(2L),
+      s"late rule must arm for subsequent events (and event 1 preceded it); got $ids")
+  }
+
+  test("early fire on RocksDB: partials at event-time boundaries, final equals batch") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = StreamOps.earlyFireWindow(ms.toDS(), streaming = true)
+        .writeStream.format("memory").queryName("earlyfire").outputMode("append").start()
+      ms.addData(
+        Ev(1, ts("2024-01-01 10:05:00"), 5, "click", 1.00),
+        Ev(2, ts("2024-01-01 10:10:00"), 5, "view", 2.50))
+      q.processAllAvailable()
+      // watermark -> 10:16 (10:26 - 10 min; the post-advance no-data
+      // batch fires pending timers): only the 10:15 boundary fires
+      ms.addData(Ev(9, ts("2024-01-01 10:26:00"), 8, "view", 1.0))
+      q.processAllAvailable()
+      val mid = spark.table("earlyfire").filter("user_id = 5")
+        .as[(Long, Timestamp, Long, Double, String)].collect().toSeq
+      assert(mid == Seq((5L, ts("2024-01-01 10:00:00"), 2L, 3.50, "partial")),
+        s"expected exactly the 10:15 partial for user 5 at watermark 10:16; got $mid")
+      // watermark -> 12:30: the remaining boundaries (10:30, 10:45) and
+      // the window end (11:00) drain in order
+      ms.addData(Ev(10, ts("2024-01-01 12:40:00"), 8, "view", 1.0))
+      drain(q)
+      val rows = spark.table("earlyfire").filter("user_id = 5")
+        .as[(Long, Timestamp, Long, Double, String)].collect().toSeq
+      assert(rows.count(_._5 == "partial") == 3 &&
+        rows.filter(_._5 == "partial").forall(r => r._3 == 2L && r._4 == 3.50),
+        s"expected 3 partials carrying (2, 3.50); got $rows")
+      val finals = rows.filter(_._5 == "final")
+      val batch = StreamOps.earlyFireWindow(
+        Seq(Ev(1, ts("2024-01-01 10:05:00"), 5, "click", 1.00),
+          Ev(2, ts("2024-01-01 10:10:00"), 5, "view", 2.50)).toDS(),
+        streaming = false)
+        .as[(Long, Timestamp, Long, Double, String)].collect().toSeq
+      assert(finals == batch, s"final $finals must equal batch replay $batch")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("side outputs: one stateful pass routes each event exactly once") {
+    val ms = MemoryStream[Ev]
+    // arrival order = zero-padded event_id (the test feeds ids in order)
+    val q = StreamOps.sideOutputs(ms.toDS(), e => f"${e.event_id}%09d",
+        horizonMinutes = 60, failType = "error", streaming = true)
+      .writeStream.format("memory").queryName("routes").outputMode("append").start()
+    ms.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),   // pass
+      Ev(2, ts("2024-01-01 12:00:00"), 1, "view", 1.0))    // pass (advances max)
+    q.processAllAvailable()
+    // cross-batch state: 10:30 is >60 min behind user 1's max (12:00)
+    ms.addData(
+      Ev(3, ts("2024-01-01 10:30:00"), 1, "click", 1.0),   // late
+      Ev(4, ts("2024-01-01 12:30:00"), 1, "error", 1.0),   // fail
+      Ev(5, ts("2024-01-01 10:30:00"), 2, "click", 1.0))   // other user: pass
+    drain(q)
+    val rows = spark.table("routes").select("event_id", "route")
+      .as[(Long, String)].collect().toSeq
+    assert(rows.size == 5 && rows.map(_._1).distinct.size == 5,
+      s"every event must appear exactly once; got $rows")
+    assert(rows.toSet == Set((1L, "pass"), (2L, "pass"), (3L, "late"),
+      (4L, "fail"), (5L, "pass")), s"got $rows")
+    // batch replay over the same rows agrees route-for-route
+    val batch = StreamOps.sideOutputs(
+      Seq(Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(2, ts("2024-01-01 12:00:00"), 1, "view", 1.0),
+        Ev(3, ts("2024-01-01 10:30:00"), 1, "click", 1.0),
+        Ev(4, ts("2024-01-01 12:30:00"), 1, "error", 1.0),
+        Ev(5, ts("2024-01-01 10:30:00"), 2, "click", 1.0)).toDS(),
+      e => f"${e.event_id}%09d", horizonMinutes = 60, failType = "error",
+      streaming = false)
+      .select("event_id", "route").as[(Long, String)].collect().toSet
+    assert(batch == rows.toSet, s"batch replay diverged: $batch vs $rows")
+  }
+
+  test("full-outer interval join: watermark certifies null emission on BOTH sides") {
+    val mp = MemoryStream[Ev]
+    val mc = MemoryStream[Ev]
+    val q = StreamOps.intervalJoinPairs(mp.toDF(), mc.toDF(), "full_outer")
+      .writeStream.format("memory").queryName("ijf").outputMode("append").start()
+    mc.addData(
+      Ev(10, ts("2024-01-01 10:00:00"), 1, "click", 1.0),  // matched
+      Ev(11, ts("2024-01-01 10:00:00"), 3, "click", 1.0))  // no purchase: null row
+    mp.addData(
+      Ev(20, ts("2024-01-01 10:05:00"), 1, "purchase", 5.0),  // matched
+      Ev(21, ts("2024-01-01 10:05:00"), 2, "purchase", 5.0))  // no click: null row
+    q.processAllAvailable()
+    // advance both watermarks far past the bounds to certify the nulls
+    mc.addData(Ev(12, ts("2024-01-01 16:00:00"), 4, "click", 1.0))
+    mp.addData(Ev(22, ts("2024-01-01 16:00:00"), 4, "purchase", 1.0))
+    q.processAllAvailable()
+    mc.addData(Ev(13, ts("2024-01-01 20:00:00"), 5, "click", 1.0))
+    mp.addData(Ev(23, ts("2024-01-01 20:00:00"), 5, "purchase", 1.0))
+    drain(q)
+    val got = spark.table("ijf").select("p_id", "c_id", "user_id")
+      .as[(Option[Long], Option[Long], Long)].collect().toSet
+    assert(got.contains((Some(20L), Some(10L), 1L)), s"matched pair missing: $got")
+    assert(got.contains((Some(21L), None, 2L)), s"purchase-side null row missing: $got")
+    assert(got.contains((None, Some(11L), 3L)),
+      s"click-side null row missing (user_id must coalesce): $got")
+  }
 }
