@@ -128,10 +128,29 @@ object Dedup {
     * Scale shape: same dataflow as [[jaccardPairs]] (60-bit md5 shingle
     * keys, tdf buckets, exact verify). Corpus-wide boilerplate shingles
     * sit in most docs' excluded head so their buckets stay out of the
-    * join; the honest caveat vs Jaccard is that long docs keep
-    * near-full prefixes (the price of asymmetric semantics) — at
-    * extreme scale this is the within-floor exact AUDIT surface, with
-    * minhash-LSH as the recall path for the symmetric component.
+    * join; long docs keep near-full prefixes (the price of asymmetric
+    * semantics), so the bucket join additionally applies the ppjoin
+    * POSITIONAL filter against the PAIR-dependent overlap requirement
+    * `o_ab = ceil(t · min(|A|,|B|))`: a shared shingle at canonical
+    * position p in a doc of |d| shingles leaves at most |d| − p + 1
+    * shingles at or after it, so
+    * `min(lenA − posA, lenB − posB) + 1 >= o_ab` upper-bounds the
+    * pair's overlap per occurrence. The pair-dependent requirement is
+    * what gives the filter teeth: against the CONSTANT floor o the
+    * check would be vacuous (prefix retention already guarantees
+    * `len − pos + 1 >= o` on each side — measured: zero candidates
+    * removed), while `o_ab` grows with the pair's shorter doc, so a
+    * long×long pair sharing only common tail shingles (corpus
+    * boilerplate — exactly the round-6 caveat's candidate mass) is
+    * proven short of `o_ab` and dropped before the verify join.
+    * LOSSLESS: for a true pair (overlap >= o_ab >= o) the
+    * canonically-SMALLEST shared shingle w sits in both retained
+    * prefixes (prefix lemma at o_ab; the constant-o prefix is longer,
+    * so it retains w too) and every shared shingle is canonically
+    * >= w — at position >= pos(w) in both docs — so the bound at w is
+    * >= the true overlap >= o_ab and the pair survives through w's
+    * bucket (property-tested: strict candidate reduction on a long-doc
+    * corpus with identical final output).
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        threshold: Double, minTokens: Int = 20,
@@ -142,17 +161,7 @@ object Dedup {
         graft.functions.Signatures.md5_prefix(col("toks"), 15)))
       .filter(size(col("toksh")) >= minTokens)
       .select(col(idCol), col("toksh"))
-    val tok = t.select(col(idCol), size(col("toksh")).as("len"),
-      explode(col("toksh")).as("tok"))
-    val dfq = tok.groupBy("tok").agg(count(lit(1)).as("tdf"))
-    val byRarity = W.partitionBy(col(idCol)).orderBy(col("tdf"), col("tok"))
-    val prefix = tok.join(dfq, Seq("tok"))
-      .withColumn("pos", row_number().over(byRarity))
-      .filter(col("pos") <= col("len") - lit(o) + 1)
-    val pa = prefix.select(col(idCol).as("doc_a"), col("tok"))
-    val pb = prefix.select(col(idCol).as("doc_b"), col("tok").as("tok_b"))
-    val cand = pa.join(pb, col("tok") === col("tok_b") && col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val cand = containmentCandidates(t, idCol, threshold, o, positional = true)
     val ta = t.select(col(idCol).as("doc_a"), col("toksh").as("toks_a"))
     val tb = t.select(col(idCol).as("doc_b"), col("toksh").as("toks_b"))
     cand.join(ta, "doc_a").join(tb, "doc_b")
@@ -161,6 +170,38 @@ object Dedup {
         least(size(col("toks_a")), size(col("toks_b"))))
       .filter(col("cont") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("cont"))
+  }
+
+  /** Candidate stage of [[containmentPairs]]: the prefix-bucket join
+    * over `t` = (idCol, toksh) with constant prefix overlap floor `o`
+    * and verify threshold `threshold` (the positional bound's
+    * pair-dependent requirement derives from it). `positional = false`
+    * disables the ppjoin positional bound — kept accessible so the
+    * losslessness AND the strict candidate reduction are
+    * property-testable against each other (PipelineSpec), not just
+    * claimed in prose.
+    */
+  private[graft] def containmentCandidates(t: DataFrame, idCol: String,
+                                           threshold: Double, o: Int,
+                                           positional: Boolean): DataFrame = {
+    val tok = t.select(col(idCol), size(col("toksh")).as("len"),
+      explode(col("toksh")).as("tok"))
+    val dfq = tok.groupBy("tok").agg(count(lit(1)).as("tdf"))
+    val byRarity = W.partitionBy(col(idCol)).orderBy(col("tdf"), col("tok"))
+    val prefix = tok.join(dfq, Seq("tok"))
+      .withColumn("pos", row_number().over(byRarity))
+      .filter(col("pos") <= col("len") - lit(o) + 1)
+    val pa = prefix.select(col(idCol).as("doc_a"), col("tok"),
+      col("pos").as("pos_a"), col("len").as("len_a"))
+    val pb = prefix.select(col(idCol).as("doc_b"), col("tok").as("tok_b"),
+      col("pos").as("pos_b"), col("len").as("len_b"))
+    val posBound =
+      if (positional)
+        least(col("len_a") - col("pos_a"), col("len_b") - col("pos_b")) +
+          lit(1) >= ceil(lit(threshold) * least(col("len_a"), col("len_b")) - lit(1e-9))
+      else lit(true)
+    pa.join(pb, col("tok") === col("tok_b") && col("doc_a") < col("doc_b") && posBound)
+      .select("doc_a", "doc_b").distinct()
   }
 
   /** MinHash(64-perm) + LSH(`bands` x 64/bands rows) near-dup survivors.

@@ -266,6 +266,69 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("containment positional filter: strict candidate reduction on long docs, lossless output") {
+    // the round-6 caveat's regime: LONG documents (near-full prefixes)
+    // sharing only short boilerplate phrases. Without the ppjoin
+    // positional bound every phrase-sharing pair becomes a candidate;
+    // the shared shingles are common (high tdf -> canonically LAST in
+    // both lists), so the positional bound proves the overlap cannot
+    // reach o and drops the pair before the verify join. Planted
+    // embedded copies pin losslessness on the same corpus.
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(17)
+    val vocab = (1 to 400).map(i => s"v$i")
+    // 3 of 5 boilerplate phrases per doc -> ~30 common shingles per doc,
+    // enough that the constant-o prefix (which drops only the o-1 = 15
+    // most common) RETAINS shared boilerplate — the caveat's candidates
+    val phrases = (1 to 5).map(p => (1 to 12).map(w => s"p${p}w$w"))
+    val base = (1 to 20).map { id =>
+      val filler = (1 to 120 + rnd.nextInt(120)).map(_ => vocab(rnd.nextInt(vocab.size)))
+      val mine = rnd.shuffle(phrases).take(3).flatten
+      val cut = 20 + rnd.nextInt(60)
+      (id.toLong, (filler.take(cut) ++ mine ++ filler.drop(cut)).mkString(" "))
+    }
+    val embedded = (1 to 4).map { k =>
+      val src = base(rnd.nextInt(base.size))._2.split(" ")
+      (100L + k, src.take(30 + rnd.nextInt(20)).mkString(" "))
+    }
+    val all = base ++ embedded
+    val docs = all.toDF("doc_id", "text")
+    val (threshold, minTokens) = (0.8, 20)
+    val o = math.ceil(threshold * minTokens - 1e-9).toInt
+    val t = graft.api.Dedup.shingles(docs, "text", 3)
+      .withColumn("toksh", array_distinct(
+        graft.functions.Signatures.md5_prefix(col("toks"), 15)))
+      .filter(size(col("toksh")) >= minTokens)
+      .select(col("doc_id"), col("toksh"))
+    val withPos = graft.api.Dedup
+      .containmentCandidates(t, "doc_id", threshold, o, positional = true)
+      .as[(Long, Long)].collect().toSet
+    val noPos = graft.api.Dedup
+      .containmentCandidates(t, "doc_id", threshold, o, positional = false)
+      .as[(Long, Long)].collect().toSet
+    assert(withPos.subsetOf(noPos), s"positional filter added pairs: ${withPos -- noPos}")
+    assert(withPos.size < noPos.size,
+      s"positional filter must strictly reduce candidates (got ${withPos.size} vs ${noPos.size})")
+    // losslessness on the same corpus: final pairs == unfiltered brute force
+    def sh(tx: String): Set[String] = {
+      val tk = tx.split(" ")
+      (1 to math.max(tk.length - 2, 1)).map(i =>
+        tk.slice(i - 1, i + 2).mkString(" ")).toSet
+    }
+    val sets = all.map { case (id, tx) => id -> sh(tx) }.filter(_._2.size >= minTokens)
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      c = (sa & sb).size.toDouble / math.min(sa.size, sb.size) if c >= threshold
+    } yield (a, b)).toSet
+    assert(want.nonEmpty, "corpus must contain true containment pairs")
+    assert(want.subsetOf(withPos),
+      s"true pairs lost by the positional filter: ${want -- withPos}")
+    val got = graft.api.Dedup.containmentPairs(docs, "doc_id", "text", threshold)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
   test("embed cosine pairs: bounded (label, shard) blocks = deterministic same-shard sample") {
     val e = Tables.embeddings(spark, sf001)
     val full = graft.api.Dedup.embedCosinePairs(e, "vec_id", "embedding",
