@@ -126,6 +126,39 @@ case class CepPattern(steps: Seq[CepStep], withinMinutes: Option[Int] = None,
   private[graft] def withinUs: Option[Long] = withinMinutes.map(_ * 60L * 1000000L)
 }
 
+object CepPattern {
+  /** Bounded pattern-GROUP repetition — Flink
+    * `Pattern.begin(groupPattern).times(n)` — as the EXECUTABLE form of
+    * the round-6 scope note: a group repeated exactly `n` times IS its
+    * steps unrolled n times ((A B){2} ≡ A B A B, the standard regex
+    * identity), and the repeated-symbol sequential matcher
+    * ([[Cep.matchSequence]], StreamOps.cepPattern) accepts the unrolled
+    * pattern directly. `Cep.compile` does NOT (run alignment needs
+    * pairwise-distinct symbols) — which is exactly why groups unroll
+    * here instead of compiling. CepSpec cross-validates the identity
+    * against java.util.regex `(?:…){n}` GROUP-FORM repetition on random
+    * grouped patterns.
+    *
+    * Validation: `n >= 1` and bounded (UNBOUNDED group repetition stays
+    * out of scope — its match count per anchor is input-unbounded, the
+    * scope note's exclusion); the group must be non-empty; every
+    * CepPattern invariant then applies to the UNROLLED sequence, so an
+    * optional or negated group head/tail is rejected by the constructor
+    * with its usual message (every copy's head is the pattern head once
+    * for n's first copy — keep group boundaries solid).
+    */
+  def repeat(group: Seq[CepStep], n: Int, withinMinutes: Option[Int] = None,
+             skip: CepSkip = SkipPastLastRow, strict: Boolean = true,
+             anyMatch: Boolean = false): CepPattern = {
+    require(group.nonEmpty, "empty pattern group")
+    require(n >= 1,
+      s"group repetition needs a bounded n >= 1, got $n (unbounded group " +
+        "repetition has an input-unbounded match count per anchor — out of " +
+        "scope, see SURVEY.md round-6 note)")
+    CepPattern(Seq.fill(n)(group).flatten, withinMinutes, skip, strict, anyMatch)
+  }
+}
+
 /** One event for the sequential reference matcher. */
 case class CepEvent(sym: String, tsUs: Long, ord: Long)
 

@@ -194,6 +194,86 @@ class CepSpec extends SparkSuite {
     assert(nonEmpty >= 20, s"only $nonEmpty key-sequences produced matches")
   }
 
+  test("CepPattern.repeat: unrolled group == java.util.regex GROUP-form repetition") {
+    // validates the unroll IDENTITY, not just the matcher: the regex is
+    // written in group form `(?:g){n}` (java.util.regex implements true
+    // group repetition) while the matcher runs CepPattern.repeat's
+    // unrolled steps — agreement on random groups/counts/sequences pins
+    // (A B){n} == A B A B … under greedy AND reluctant inner
+    // quantifiers, WITHIN, and both skip strategies.
+    val rnd = new scala.util.Random(29)
+    val charOf = Map("A" -> 'a', "B" -> 'b', "C" -> 'c', "D" -> 'd', "X" -> 'x')
+    var nonEmpty = 0
+    for (trial <- 0 until 40) {
+      val gSize = 1 + rnd.nextInt(3)
+      val group = (0 until gSize).map { i =>
+        // group head/tail stay non-optional so every copy boundary is
+        // solid (the unrolled pattern's own head/tail rule)
+        val edge = i == 0 || i == gSize - 1
+        val mn = if (edge) 1 else rnd.nextInt(2)
+        val mx = rnd.nextInt(3) match {
+          case 0 => None
+          case _ => Some(math.max(math.max(mn, 1), 1 + rnd.nextInt(3)))
+        }
+        CepStep(symbols(rnd.nextInt(symbols.size)), mn, mx,
+          greedy = rnd.nextBoolean())
+      }
+      val n = 1 + rnd.nextInt(3)
+      if (gSize * n >= 2) {
+        val skip = if (rnd.nextBoolean()) SkipPastLastRow else SkipToNextRow
+        val within = if (rnd.nextBoolean()) Some(5 + rnd.nextInt(40)) else None
+        val pat = CepPattern.repeat(group, n, within, skip)
+        assert(pat.steps.size == gSize * n, "unroll must concatenate n copies")
+        val groupRx = group.map { s =>
+          val q = s.maxRep.map(m => s"{${s.minRep},$m}").getOrElse(s"{${s.minRep},}") +
+            (if (s.greedy) "" else "?")
+          s"${charOf(s.symbol)}$q"
+        }.mkString
+        val rx = java.util.regex.Pattern.compile(s"(?:$groupRx){$n}")
+        randomEvents(rnd, 3).groupBy(_._1).foreach { case (k, rows) =>
+          val sorted = rows.sortBy(r => (r._3, r._4))
+          val seq = sorted.map(r => CepEvent(r._2, r._3, r._4)).toIndexedSeq
+          val str = sorted.map(r => charOf(r._2)).mkString
+          val wantBuf = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+          val m = rx.matcher(str)
+          var from = 0
+          while (from <= str.length && m.find(from)) {
+            val (s0, e0) = (m.start, m.end - 1)
+            val ok = within.forall(w =>
+              seq(e0).tsUs - seq(s0).tsUs <= w * 60L * 1000000L)
+            if (ok) {
+              wantBuf += ((s0, e0))
+              from = skip match {
+                case SkipPastLastRow => e0 + 1
+                case SkipToNextRow => s0 + 1
+              }
+            } else from = s0 + 1
+          }
+          val got = Cep.matchSequence(seq, pat)
+          if (got.nonEmpty) nonEmpty += 1
+          assert(got.map(mm => (mm.startIdx, mm.endIdx)) == wantBuf.toSeq,
+            s"trial $trial key $k group $group n=$n:\n got=$got\n want=${wantBuf.toSeq}\n str=$str")
+          // strict contiguity: per-unrolled-step counts tile the span
+          got.foreach(mm => assert(mm.nRows == mm.endIdx - mm.startIdx + 1,
+            s"counts must tile the span: $mm"))
+        }
+      }
+    }
+    assert(nonEmpty >= 20, s"only $nonEmpty key-sequences produced matches")
+  }
+
+  test("CepPattern.repeat validates its inputs") {
+    val g = Seq(CepStep("A"), CepStep("B"))
+    intercept[IllegalArgumentException](CepPattern.repeat(g, 0))
+    intercept[IllegalArgumentException](CepPattern.repeat(Seq.empty, 2))
+    // an optional group head is the unrolled pattern's optional head —
+    // rejected by the CepPattern invariant itself
+    intercept[IllegalArgumentException](
+      CepPattern.repeat(Seq(CepStep("A", minRep = 0), CepStep("B")), 2))
+    assert(CepPattern.repeat(g, 3).steps.map(_.symbol) ==
+      Seq("A", "B", "A", "B", "A", "B"))
+  }
+
   test("seal-aware incremental scan == batch reference over random batch splits") {
     // simulate StreamOps.cepPattern's state loop (buffer tail carry +
     // sealedScan per batch) over random in-order batch splits; with a
