@@ -54,14 +54,37 @@ object Bench {
     // one-off noisy run be told apart from a code regression without a
     // re-measurement (VERDICT r5 item 7: the driver's contended r5 run
     // showed one query 3.7x its clean time on unchanged code).
-    val trials = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      System.err.println(s"[bench] timing $name")
-      val (a, b) = (timeOne(fn), timeOne(fn))
-      (name, math.min(a, b), math.max(a, b))
+    //
+    // INTERLEAVED A-B ordering (VERDICT r6 item 5): the two trials run
+    // in two separate full passes over the inventory, not back-to-back
+    // — a host-contention window then lands on DIFFERENT keys in each
+    // pass, so the per-key min survives it. Back-to-back trials sat
+    // inside the same spike (r6: agg_hash 0.33 s -> 0.84 s min-of-two
+    // with spread 1.27 on unchanged, plan-asserted code). Keys whose
+    // spread is still large after both passes get ONE targeted third
+    // trial (the A-B-A completion); `retried` in the stats line counts
+    // them, so the artifact itself shows where noise was adjudicated.
+    val keys = SparkEntry.queries.toSeq.sortBy(_._1)
+    def runPass(label: String): Map[String, Double] =
+      keys.map { case (name, fn) =>
+        System.err.println(s"[bench] $label $name")
+        name -> timeOne(fn)
+      }.toMap
+    val (passA, passB) = (runPass("passA"), runPass("passB"))
+    val trials = keys.map { case (name, fn) =>
+      val two = Seq(passA(name), passB(name))
+      val (mn, mx) = (two.min, two.max)
+      // retry only where the disagreement is both relative AND absolute
+      // (micro-keys flip large relative spreads on scheduler jitter)
+      if (mn > 1e-9 && (mx - mn) / mn > 0.5 && mx - mn > 0.15) {
+        System.err.println(s"[bench] retry $name (spread ${(mx - mn) / mn})")
+        (name, two :+ timeOne(fn))
+      } else (name, two)
     }
-    val results = trials.map(t => t._1 -> t._2)
-    val spreads = trials.map(t =>
-      t._1 -> (if (t._2 > 1e-9) (t._3 - t._2) / t._2 else 0.0))
+    val nRetried = trials.count(_._2.size > 2)
+    val results = trials.map { case (name, ts) => name -> ts.min }
+    val spreads = trials.map { case (name, ts) =>
+      name -> (if (ts.min > 1e-9) (ts.max - ts.min) / ts.min else 0.0) }
     // Locale.ROOT: the f-interpolator uses the JVM default locale, which
     // renders a comma decimal separator (invalid JSON) under e.g. de_DE.
     def fmt(v: Double): String =
@@ -73,7 +96,7 @@ object Bench {
     val sortedSpreads = spreads.map(_._2).sorted
     val spreadP50 = sortedSpreads(sortedSpreads.size / 2)
     val spreadMax = sortedSpreads.last
-    val spreadStats = s""""trials":2,"spread_p50":${fmt(spreadP50)},"spread_max":${fmt(spreadMax)}"""
+    val spreadStats = s""""trials":2,"trial_order":"interleaved","retried":$nRetried,"spread_p50":${fmt(spreadP50)},"spread_max":${fmt(spreadMax)}"""
     val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$spreadStats,"baseline":${jsonMap(baseline)},"queries":${jsonMap(results)},"spread":${jsonMap(spreads)},"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
