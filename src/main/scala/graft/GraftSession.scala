@@ -19,23 +19,67 @@ object GraftSession {
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false")
 
+  /** Denies the one benign ERROR-with-stack Spark emits under a
+    * many-query single-JVM session: DAGScheduler.updateAccumulators
+    * logs a "Failed to update accumulator"/accessNonExistentAccumulator
+    * error when a task-completion event races ContextCleaner's GC of an
+    * already-finished query's accumulators (rc=0, results unaffected —
+    * the job it belongs to already returned). Filtering BY MESSAGE on
+    * the DAGScheduler logger keeps every other scheduler ERROR (job
+    * aborts, stage-failure diagnostics) in the log — the round-6 review
+    * point against the previous Level.FATAL cap, which silenced those
+    * too. Only the LogEvent overload matters here: LoggerConfig-attached
+    * filters are consulted post-event via isFiltered(event).
+    */
+  private object AccumulatorRaceFilter
+      extends org.apache.logging.log4j.core.filter.AbstractFilter(
+        org.apache.logging.log4j.core.Filter.Result.DENY,
+        org.apache.logging.log4j.core.Filter.Result.NEUTRAL) {
+    override def filter(event: org.apache.logging.log4j.core.LogEvent)
+        : org.apache.logging.log4j.core.Filter.Result = {
+      val msg = event.getMessage.getFormattedMessage
+      if (msg != null && msg.toLowerCase(java.util.Locale.ROOT).contains("accumulator"))
+        org.apache.logging.log4j.core.Filter.Result.DENY
+      else org.apache.logging.log4j.core.Filter.Result.NEUTRAL
+    }
+  }
+
+  @volatile private var logFilterInstalled = false
+
+  /** Attaches [[AccumulatorRaceFilter]] to a dedicated DAGScheduler
+    * LoggerConfig (created if the logger currently inherits root's).
+    * Idempotent — repeated local() calls in one JVM install it once.
+    */
+  private[graft] def installLogFilter(): Unit = synchronized {
+    if (logFilterInstalled) return
+    val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+      .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+    val cfg = ctx.getConfiguration
+    val name = "org.apache.spark.scheduler.DAGScheduler"
+    val own = cfg.getLoggerConfig(name) match {
+      case lc if lc.getName == name => lc
+      case _ =>
+        val nl = new org.apache.logging.log4j.core.config.LoggerConfig(
+          name, org.apache.logging.log4j.Level.WARN, true)
+        cfg.addLogger(name, nl)
+        nl
+    }
+    own.addFilter(AccumulatorRaceFilter)
+    ctx.updateLoggers()
+    logFilterInstalled = true
+  }
+
   def local(cores: Int): SparkSession = {
     val s = builder(cores).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    // Quiet the one benign ERROR-with-stack Spark emits under a
-    // many-query single-JVM session: DAGScheduler.updateAccumulators
-    // logs accessNonExistentAccumulatorError when a task-completion
-    // event races ContextCleaner's GC of an already-finished query's
-    // accumulators (observed intermittently under host contention;
-    // rc=0 and results are unaffected — the job it belongs to has
-    // already returned). A bench/verify log must not end in a stack
-    // trace for a non-failure, so this logger is capped to FATAL;
-    // real failures still propagate as exceptions to the caller.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.scheduler.DAGScheduler",
-      org.apache.logging.log4j.Level.FATAL)
+    // A bench/verify log must not end in a stack trace for a
+    // non-failure: the benign accumulator-GC race is filtered BY
+    // MESSAGE (not by logger level) so real DAGScheduler errors still
+    // log — see AccumulatorRaceFilter.
+    installLogFilter()
     // same race, WARN flavor ("Attempted to access garbage collected
-    // accumulator N") — one line, no stack, still noise in a green tail
+    // accumulator N") — one line, no stack; that logger only ever
+    // speaks about accumulators, so a level cap loses nothing
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.util.AccumulatorContext",
       org.apache.logging.log4j.Level.ERROR)
