@@ -87,6 +87,33 @@ object Windows {
       .withColumn("window_end", col("window_start") + expr(s"INTERVAL '$slide' * $slots"))
   }
 
+  /** Flink DataStream coGroup
+    * (`a.coGroup(b).where(k).equalTo(k).window(Tumbling).apply(fn)`):
+    * unlike the inner window join, the CoGroupFunction fires for every
+    * (key, window) present on EITHER side, receiving both sides' groups
+    * — one possibly EMPTY. Spark-first form: tag the two sides into one
+    * union and run ONE windowed aggregation — one shuffle, no join, and
+    * the identical expressions stream under readStream (union of two
+    * watermarked streams + windowed agg; Spark's multipleWatermarkPolicy
+    * takes the min across legs, Flink's two-input watermark rule).
+    *
+    * Every non-key, non-ts column of `left` reappears as `l_<name>`, of
+    * `right` as `r_<name>`; each is null on the other side's rows, so
+    * null-skipping aggregates written over the prefixed columns are
+    * side-scoped BY CONSTRUCTION (`count(l_id)` counts only left rows —
+    * coalesce a side's sum to zero for Flink's empty-iterable case).
+    */
+  def coGroup(left: DataFrame, right: DataFrame, keys: Seq[String],
+              tsCol: String, size: String, aggs: Seq[Column]): DataFrame = {
+    def tag(df: DataFrame, p: String): DataFrame = {
+      val payload = df.columns.filterNot(c => keys.contains(c) || c == tsCol)
+      df.select((keys :+ tsCol).map(col) ++ payload.map(c => col(c).as(s"$p$c")): _*)
+    }
+    val u = tag(left, "l_").unionByName(tag(right, "r_"), allowMissingColumns = true)
+    projectWindow(u.groupBy(window(col(tsCol), size) +: keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*), "window")
+  }
+
   /** Running-max event time over arrival order — the batch analogue of
     * the streaming high-watermark — computed WITHOUT a global window.
     *

@@ -278,6 +278,27 @@ object EventTime {
       p.join(c, col("user_id") === col("c_user") && col("w") === col("c_w"))
         .select(col("p_id"), col("c_id"), col("user_id"), col("w").as("window_start"))
         .orderBy("p_id", "c_id")
+    }),
+
+    // Flink DataStream coGroup: per (user, 1 h window) present on EITHER
+    // side, both sides' aggregates — a window where a user only clicked
+    // still emits (n_purchases = 0, sum 0.0), the empty-iterable case the
+    // inner wnd_join never fires for. One union-tag shuffle, no join
+    // (Windows.coGroup).
+    "wnd_cogroup" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      val c = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id", "value")
+      Windows.coGroup(p, c, Seq("user_id"), "ts", "1 hour", Seq(
+          count(col("l_event_id")).as("n_purchases"),
+          coalesce(Det.sumMoney(col("l_value")), lit(0.0)).as("sum_purchase"),
+          count(col("r_event_id")).as("n_clicks"),
+          coalesce(Det.sumMoney(col("r_value")), lit(0.0)).as("sum_click")))
+        .select("user_id", "window_start", "n_purchases", "sum_purchase",
+          "n_clicks", "sum_click")
+        .orderBy("user_id", "window_start")
     })
   )
 
@@ -478,6 +499,21 @@ object EventTime {
         |  min(ts) AS first_ts, max(ts) AS last_ts
         |FROM r GROUP BY user_id, (rn - 1) // 20
         |ORDER BY user_id, win_id""".stripMargin,
+
+    // FILTER-scoped aggregates replay the side-tagged union; coalesce 0
+    // covers the empty-iterable side exactly like the Spark coalesce.
+    "wnd_cogroup" ->
+      """SELECT user_id, date_trunc('hour', ts::TIMESTAMP)::TIMESTAMP AS window_start,
+        |       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+        |       CAST(coalesce(sum(CAST(value AS DECIMAL(12,2)))
+        |                       FILTER (WHERE event_type = 'purchase'), 0) AS DOUBLE)
+        |         AS sum_purchase,
+        |       count(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+        |       CAST(coalesce(sum(CAST(value AS DECIMAL(12,2)))
+        |                       FILTER (WHERE event_type = 'click'), 0) AS DOUBLE)
+        |         AS sum_click
+        |FROM events WHERE event_type IN ('purchase', 'click')
+        |GROUP BY 1, 2 ORDER BY user_id, window_start""".stripMargin,
 
     "wnd_join" ->
       """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id,

@@ -836,6 +836,37 @@ class StreamingSpec extends SparkSuite {
     assert(batch == rows.toSet, s"batch replay diverged: $batch vs $rows")
   }
 
+  test("coGroup streams: a (key, window) fires on EITHER side's presence") {
+    import org.apache.spark.sql.functions._
+    val mp = MemoryStream[Ev]
+    val mc = MemoryStream[Ev]
+    def leg(m: MemoryStream[Ev]) = m.toDF().withWatermark("ts", "10 minutes")
+      .select("user_id", "ts", "event_id", "value")
+    val q = graft.api.Windows.coGroup(leg(mp), leg(mc), Seq("user_id"), "ts", "1 hour",
+        Seq(count(col("l_event_id")).as("n_purchases"),
+          coalesce(Det.sumMoney(col("l_value")), lit(0.0)).as("sum_purchase"),
+          count(col("r_event_id")).as("n_clicks"),
+          coalesce(Det.sumMoney(col("r_value")), lit(0.0)).as("sum_click")))
+      .select("user_id", "window_start", "n_purchases", "sum_purchase",
+        "n_clicks", "sum_click")
+      .writeStream.format("memory").queryName("cog").outputMode("append").start()
+    mp.addData(Ev(1, ts("2024-01-01 10:05:00"), 1, "purchase", 10.0))
+    mc.addData(
+      Ev(2, ts("2024-01-01 10:10:00"), 1, "click", 1.5),
+      Ev(3, ts("2024-01-01 10:20:00"), 2, "click", 2.0)) // user 2: click ONLY
+    q.processAllAvailable()
+    // min-of-legs watermark closes the 10:00 window once BOTH advance
+    mp.addData(Ev(8, ts("2024-01-01 13:00:00"), 9, "purchase", 1.0))
+    mc.addData(Ev(9, ts("2024-01-01 13:00:00"), 9, "click", 1.0))
+    drain(q)
+    val rows = spark.table("cog")
+      .as[(Long, Timestamp, Long, Double, Long, Double)].collect().toSet
+    assert(rows.contains((1L, ts("2024-01-01 10:00:00"), 1L, 10.0, 1L, 1.5)),
+      s"both-sides row missing: $rows")
+    assert(rows.contains((2L, ts("2024-01-01 10:00:00"), 0L, 0.0, 1L, 2.0)),
+      s"click-only (key, window) must still fire with an empty purchase side: $rows")
+  }
+
   test("full-outer interval join: watermark certifies null emission on BOTH sides") {
     val mp = MemoryStream[Ev]
     val mc = MemoryStream[Ev]
