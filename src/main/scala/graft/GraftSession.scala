@@ -31,7 +31,7 @@ object GraftSession {
     * too. Only the LogEvent overload matters here: LoggerConfig-attached
     * filters are consulted post-event via isFiltered(event).
     */
-  private object AccumulatorRaceFilter
+  private[graft] object AccumulatorRaceFilter
       extends org.apache.logging.log4j.core.filter.AbstractFilter(
         org.apache.logging.log4j.core.Filter.Result.DENY,
         org.apache.logging.log4j.core.Filter.Result.NEUTRAL) {

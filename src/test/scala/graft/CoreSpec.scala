@@ -258,4 +258,21 @@ class CoreSpec extends SparkSuite {
     val e = SparkEntry.queries("set_except")(spark, sf001).as[Long].collect().toSet
     assert(i.subsetOf(u) && e.subsetOf(u) && (i & e).isEmpty)
   }
+
+  test("log filter denies only the accumulator-race message, not other scheduler errors") {
+    import org.apache.logging.log4j.Level
+    import org.apache.logging.log4j.core.Filter.Result
+    import org.apache.logging.log4j.core.impl.Log4jLogEvent
+    import org.apache.logging.log4j.message.SimpleMessage
+    def ev(msg: String) = Log4jLogEvent.newBuilder()
+      .setLoggerName("org.apache.spark.scheduler.DAGScheduler")
+      .setLevel(Level.ERROR).setMessage(new SimpleMessage(msg)).build()
+    val f = GraftSession.AccumulatorRaceFilter
+    assert(f.filter(ev("Failed to update accumulator 42 (internal.metrics.x) " +
+      "for task 7")) == Result.DENY, "the benign race message must be denied")
+    assert(f.filter(ev("Job 3 failed: stage 5.0 aborted due to executor loss"))
+      == Result.NEUTRAL, "real scheduler errors must pass through")
+    assert(f.filter(ev("ShuffleMapStage 9 has failed the maximum allowable " +
+      "number of times")) == Result.NEUTRAL)
+  }
 }
