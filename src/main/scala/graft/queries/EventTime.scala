@@ -150,6 +150,32 @@ object EventTime {
         .orderBy("user_id", "win_id")
     }),
 
+    // Flink countWindow(size=20, slide=5) — the SLIDING count window
+    // (GlobalWindows + CountTrigger.of(5) + CountEvictor.of(20)): every
+    // 5th event per user fires the aggregate over the last
+    // min(arrivals, 20) events. Pure window-frame arithmetic: one
+    // shuffle on user_id, a ROWS frame sampled at rn % 5 = 0 —
+    // whole-stage codegen end to end, and the frame bound keeps the
+    // per-row work O(size) regardless of key history length. Cents are
+    // summed as exact integers in both engines (same gate stance as
+    // stream_evictor), and the streaming form of the identical
+    // semantics is StreamOps.countSlideWindow (stream_count_slide).
+    "wnd_count_sliding" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val f = w.rowsBetween(-19, 0)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_in_window", count(lit(1)).over(f))
+        .withColumn("sum_value",
+          (sum(round(col("value") * 100)).over(f) / 100).cast("double"))
+        .withColumn("first_id", first(col("event_id")).over(f))
+        .filter(col("rn") % 5 === 0)
+        .select(col("user_id"), expr("cast(rn div 5 as bigint)").as("fire_seq"),
+          col("n_in_window"), col("sum_value"), col("first_id"),
+          col("event_id").as("last_id"))
+        .orderBy("user_id", "fire_seq")
+    }),
+
     // Flink SQL CUMULATE window TVF: cumulative windows sharing a 6 h
     // period start, growing by a 1 h step — [p, p+1h), [p, p+2h), ...,
     // [p, p+6h). Early partial results of the full-period aggregate
@@ -499,6 +525,25 @@ object EventTime {
         |  min(ts) AS first_ts, max(ts) AS last_ts
         |FROM r GROUP BY user_id, (rn - 1) // 20
         |ORDER BY user_id, win_id""".stripMargin,
+
+    // Sliding count window: the ROWS frame sampled at rn % 5 = 0.
+    // Cents sum as exact integers (round(value*100)) so segment-tree
+    // vs sequential window summation cannot diverge; round-half-up vs
+    // half-away agree because values are non-negative.
+    "wnd_count_sliding" ->
+      """WITH r AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, CAST(rn // 5 AS BIGINT) AS fire_seq,
+        |  count(*) OVER f AS n_in_window,
+        |  CAST(sum(round(value * 100)) OVER f AS DOUBLE) / 100 AS sum_value,
+        |  first_value(event_id) OVER f AS first_id,
+        |  event_id AS last_id
+        |FROM r
+        |WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |QUALIFY rn % 5 = 0
+        |ORDER BY user_id, fire_seq""".stripMargin,
 
     // FILTER-scoped aggregates replay the side-tagged union; coalesce 0
     // covers the empty-iterable side exactly like the Spark coalesce.

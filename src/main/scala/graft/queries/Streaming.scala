@@ -185,6 +185,26 @@ object Streaming {
         .orderBy("user_id", "window_start")
     }),
 
+    // Flink sliding count window (countWindow(20, 5) = GlobalWindows +
+    // CountTrigger.of(5) + CountEvictor.of(20)): every 5th event per
+    // user fires the aggregate over the last min(arrivals, 20) events.
+    // Batch replay of the bounded trigger/evictor fold
+    // (StreamOps.countSlideWindow); the streaming form
+    // (transformWithState ListState buffer + counter, data-driven
+    // firing under TimeMode.None on RocksDB) is covered by
+    // StreamingSpec. Same oracle as the wnd_count_sliding frame form —
+    // the fold and the frame are provably the same function.
+    "stream_count_slide" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Ev]
+      StreamOps.countSlideWindow(ev, size = 20, slide = 5, streaming = false)
+        .toDF()
+        .orderBy("user_id", "fire_seq")
+    }),
+
     // Flink broadcast-state pattern: a rule stream carrying dynamic
     // thresholds joined to the event stream — alerts where the event
     // value exceeds the threshold in effect at its event time. Rules
@@ -364,6 +384,23 @@ object Streaming {
         |FROM r WHERE rn <= 3
         |GROUP BY user_id, window_start
         |ORDER BY user_id, window_start""".stripMargin,
+
+    // Identical text to the wnd_count_sliding oracle: the batch fold
+    // and the SQL frame are the same function, so one oracle pins both.
+    "stream_count_slide" ->
+      """WITH r AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, CAST(rn // 5 AS BIGINT) AS fire_seq,
+        |  count(*) OVER f AS n_in_window,
+        |  CAST(sum(round(value * 100)) OVER f AS DOUBLE) / 100 AS sum_value,
+        |  first_value(event_id) OVER f AS first_id,
+        |  event_id AS last_id
+        |FROM r
+        |WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |QUALIFY rn % 5 = 0
+        |ORDER BY user_id, fire_seq""".stripMargin,
 
     // Broadcast as-of join formulation: every alertable event resolves
     // the latest rule for its type at or before its ts (ties: highest

@@ -92,6 +92,12 @@ private[streaming] case class RuleOrEv(is_rule: Boolean, id: Long,
                                        ts: java.sql.Timestamp, typ: String,
                                        value: Double, threshold: Double)
 
+/** One firing of the sliding count window (StreamOps.countSlideWindow):
+  * per user, every `slide`-th arrival aggregates the last
+  * min(arrivals, size) events. */
+case class CountSlide(user_id: Long, fire_seq: Long, n_in_window: Long,
+                      sum_value: Double, first_id: Long, last_id: Long)
+
 /** Flink `Evictor` analog (CountEvictor.of(N) before the window
   * function): a 1 h tumbling event-time window per user that KEEPS ONLY
   * THE LAST N ELEMENTS by event time — the aggregate fires over the
@@ -140,6 +146,59 @@ private[streaming] class EvictorProcessor(keepN: Int)
     Iterator(WindowEvict(key._1, new java.sql.Timestamp(key._2), n, tail.length.toLong,
       tail.map(_.cents).sum / 100.0, tail.head.event_id, tail.last.event_id))
   }
+}
+
+/** Flink sliding count window (`keyBy(..).countWindow(size, slide)` =
+  * GlobalWindows + CountTrigger.of(slide) + CountEvictor.of(size)): per
+  * key, every `slide`-th arrival fires the aggregate over the last
+  * min(arrivals, size) elements. Firing is DATA-driven (no timers, no
+  * watermark — TimeMode.None): the emission happens inside
+  * handleInputRows the moment the per-key arrival counter crosses a
+  * slide boundary, exactly Flink's CountTrigger. State per key is
+  * BOUNDED at `size` buffered elements plus one counter — the
+  * CountEvictor invariant held incrementally. Within a batch, rows
+  * process in (ts, event_id) order so single-batch replay is
+  * deterministic and equals the batch SQL-frame form; cross-batch,
+  * arrival order governs which elements share a firing — the same
+  * documented arrival-order stance as the CEP matchers (a count
+  * trigger has no event-time completeness to wait for, in Flink or
+  * here).
+  */
+private[streaming] class CountSlideProcessor(size: Int, slide: Int)
+    extends StatefulProcessor[Long, Ev, CountSlide] {
+  @transient private var buf: org.apache.spark.sql.streaming.ListState[KeptEv] = _
+  @transient private var cnt: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    buf = getHandle.getListState[KeptEv]("buf", Encoders.product[KeptEv], TTLConfig.NONE)
+    cnt = getHandle.getValueState[Long]("cnt", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, events: Iterator[Ev],
+                               timers: TimerValues): Iterator[CountSlide] = {
+    val rows = events.toArray.sortBy(e => (StreamOps.tsMicros(e.ts), e.event_id))
+    // ListState preserves append order = arrival order; load once,
+    // fold in memory, write back once (state I/O off the per-row path)
+    val buffer = scala.collection.mutable.ArrayBuffer.from(buf.get())
+    var c = if (cnt.exists()) cnt.get() else 0L
+    val out = scala.collection.mutable.ArrayBuffer.empty[CountSlide]
+    rows.foreach { e =>
+      c += 1
+      buffer += KeptEv(StreamOps.tsMicros(e.ts), e.event_id, math.round(e.value * 100))
+      if (buffer.length > size) buffer.remove(0, buffer.length - size)
+      if (c % slide == 0)
+        out += CountSlide(key, c / slide, buffer.length.toLong,
+          buffer.map(_.cents).sum / 100.0, buffer.head.event_id, buffer.last.event_id)
+    }
+    buf.clear()
+    buffer.foreach(buf.appendValue)
+    cnt.update(c)
+    out.iterator
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                  expired: ExpiredTimerInfo): Iterator[CountSlide] =
+    Iterator.empty
 }
 
 /** Flink `ContinuousEventTimeTrigger` analog: a tumbling event-time
@@ -730,6 +789,35 @@ object StreamOps extends Serializable {
             evs.length.toLong, tail.length.toLong,
             tail.map(e => math.round(e.value * 100)).sum / 100.0,
             tail.head.event_id, tail.last.event_id))
+      }
+  }
+
+  /** Flink `countWindow(size, slide)` — see [[CountSlideProcessor]] for
+    * the streaming semantics. Batch replay folds each key's rows in
+    * (ts, event_id) order through the identical trigger/evictor logic:
+    * a firing at position p covers rows (p-size, p], i.e. the SQL
+    * ROWS BETWEEN size-1 PRECEDING AND CURRENT ROW frame sampled at
+    * rn % slide = 0 — which is exactly the generated oracle (and the
+    * `wnd_count_sliding` DataFrame form). Cents are summed as exact
+    * integers so the fold and both SQL engines agree bit-for-bit.
+    */
+  def countSlideWindow(ev: Dataset[Ev], size: Int, slide: Int,
+                       streaming: Boolean): Dataset[CountSlide] = {
+    import ev.sparkSession.implicits._
+    if (streaming)
+      ev.groupByKey(_.user_id)
+        .transformWithState(new CountSlideProcessor(size, slide),
+          TimeMode.None(), OutputMode.Append())
+    else
+      ev.groupByKey(_.user_id).flatMapGroups { (key: Long, events: Iterator[Ev]) =>
+        val evs = events.toArray.sortBy(e => (tsMicros(e.ts), e.event_id))
+        evs.indices.collect { case i if (i + 1) % slide == 0 =>
+          val from = math.max(0, i + 1 - size)
+          val win = evs.slice(from, i + 1)
+          CountSlide(key, (i + 1).toLong / slide, win.length.toLong,
+            win.map(e => math.round(e.value * 100)).sum / 100.0,
+            win.head.event_id, win.last.event_id)
+        }.iterator
       }
   }
 

@@ -250,6 +250,32 @@ object GraftProps extends Properties("graft") {
       got == want
     }
 
+  property("sliding count window fires equal the frame-slice reimplementation") =
+    forAll(eventsGen) { rows =>
+      val sp = spark
+      import sp.implicits._
+      val evs = rows.zipWithIndex.map { case ((u, o, c), i) =>
+        graft.streaming.Ev(i.toLong, new Timestamp(base + o * 1000), u,
+          "click", c / 100.0)
+      }
+      val got = graft.streaming.StreamOps
+        .countSlideWindow(evs.toDS(), size = 4, slide = 2, streaming = false)
+        .collect().map(f => (f.user_id, f.fire_seq, f.n_in_window,
+          math.round(f.sum_value * 100), f.first_id, f.last_id)).toSet
+      // independent reimplementation: every slide-th position of the
+      // (ts, id)-sorted group takes the trailing min(pos, size) slice
+      val want = evs.groupBy(_.user_id).flatMap { case (u, es) =>
+        val sorted = es.sortBy(e => (e.ts.getTime, e.event_id))
+        (2 to sorted.size by 2).map { p =>
+          val win = sorted.slice(math.max(0, p - 4), p)
+          (u, p.toLong / 2, win.size.toLong,
+            win.map(e => math.round(e.value * 100)).sum,
+            win.head.event_id, win.last.event_id)
+        }
+      }.toSet
+      got == want
+    }
+
   property("broadcast-state alerts equal the latest-rule-at-event-time reimplementation") =
     forAll(eventsGen, eventsGen) { (evRows, ruleRows) =>
       val sp = spark

@@ -181,6 +181,47 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("sliding count window fires every slide-th arrival across batches") {
+    import graft.streaming.CountSlide
+    // transformWithState needs the multi-column-family store
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sixEvents = Seq(
+        Ev(1, ts("2024-01-01 10:00:00"), 5, "click", 1.00),
+        Ev(2, ts("2024-01-01 10:01:00"), 5, "view", 2.00),
+        Ev(3, ts("2024-01-01 10:02:00"), 5, "click", 3.00),
+        Ev(4, ts("2024-01-01 10:03:00"), 5, "view", 4.00),
+        Ev(5, ts("2024-01-01 10:04:00"), 5, "click", 5.00),
+        Ev(6, ts("2024-01-01 10:05:00"), 5, "purchase", 6.00))
+      val ms = MemoryStream[Ev]
+      val q = StreamOps.countSlideWindow(ms.toDS(), size = 4, slide = 2, streaming = true)
+        .writeStream.format("memory").queryName("cslide").outputMode("append").start()
+      // buffer (bounded at 4) and the arrival counter must survive the
+      // batch boundary: fire 2 closes in batch 2 over ids 1..4
+      ms.addData(sixEvents.take(3): _*)
+      q.processAllAvailable()
+      ms.addData(sixEvents.drop(3): _*)
+      drain(q)
+      val rows = spark.table("cslide").as[CountSlide].collect().toSet
+      val expected = Set(
+        CountSlide(5L, 1L, 2L, 3.0, 1L, 2L),   // fire at count 2: ids 1-2
+        CountSlide(5L, 2L, 4L, 10.0, 1L, 4L),  // count 4: ids 1-4 (all fit)
+        CountSlide(5L, 3L, 4L, 18.0, 3L, 6L))  // count 6: evicted to ids 3-6
+      assert(rows == expected, s"streaming fires mismatch: $rows")
+      // batch replay folds the same rows through the same trigger/evictor
+      val batch = StreamOps.countSlideWindow(sixEvents.toDS(),
+        size = 4, slide = 2, streaming = false).collect().toSet
+      assert(batch == expected, s"batch replay mismatch: $batch")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("value-predicate CEP streams via the derived-symbol route (SimpleCondition)") {
     // context-free predicates need no new streaming machinery: the
     // pattern's CASE derivation runs on the stream and the ordinary
