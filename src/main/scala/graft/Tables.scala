@@ -29,25 +29,45 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  /** `events` with the nanos `ts` normalized to a micros TimestampType.
+  /** `events` with `ts` normalized to a micros TimestampType, whatever
+    * the file's physical representation is (FIXTURES.md "GOTCHA").
     *
-    * Spark 4.1.2 rejects Parquet TIMESTAMP(NANOS); with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` the column arrives as a
-    * LongType of epoch-nanos. `ts div 1000` is exact integer division
-    * (never a double round-trip — epoch-nanos exceeds a double's 53-bit
-    * mantissa), and the data is microsecond-aligned (verified: 0 rows with
-    * sub-microsecond components), so no precision is lost vs DuckDB's
-    * native TIMESTAMP_NS read.
+    * The driver has shipped two generations of the fixture: Parquet
+    * TIMESTAMP(NANOS) — which Spark 4.1.2 rejects unless
+    * `spark.sql.legacy.parquet.nanosAsLong=true` turns it into a LongType
+    * of epoch-nanos — and plain `timestamp[us]` (naive), which Spark reads
+    * as TIMESTAMP_NTZ. [[normalizeTs]] dispatches on the arrived type, so
+    * every operator sees one canonical TimestampType `ts` regardless of
+    * which generation is on disk. The nanos path is exact integer
+    * division (never a double round-trip — epoch-nanos exceeds a double's
+    * 53-bit mantissa); the NTZ path is a wall-clock-preserving cast under
+    * the fixed UTC session zone. DuckDB reads the same file natively
+    * (TIMESTAMP_NS / TIMESTAMP), so both engines agree to the microsecond.
     */
   def events(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normalizeTs(load(spark, dir, "events"))
 
-  /** `events` with `ts` kept as raw epoch-nanos LongType (for operators
-    * that want integer time arithmetic, e.g. range frames).
+  /** Normalize an events-shaped frame's `ts` to TimestampType (micros).
+    * Handles all three arrival forms: epoch-nanos LongType (legacy nanos
+    * fixture under nanosAsLong), TIMESTAMP_NTZ (naive `timestamp[us]`
+    * fixture — cast is wall-clock-preserving under the UTC session zone),
+    * and TimestampType (already canonical).
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
+  /** `events` with `ts` as raw epoch-MICROS LongType (for operators that
+    * want integer time arithmetic, e.g. range frames) — derived from the
+    * normalized TimestampType, so it is representation-independent.
     */
   def eventsRawTs(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events")
+    events(spark, dir).withColumn("ts", expr("unix_micros(ts)"))
 }
 
 /** Cross-engine determinism helpers (SURVEY.md §5.4).
