@@ -205,6 +205,44 @@ object Streaming {
         .orderBy("user_id", "fire_seq")
     }),
 
+    // Flink SQL event-time OVER aggregation (`sum(..) OVER (PARTITION BY
+    // user ORDER BY rowtime RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND
+    // CURRENT ROW)` — RowTimeRangeBoundedPrecedingFunction): every event
+    // row emits its user's trailing-7-day count and exact-cents sum.
+    // Batch replay of the per-timestamp-group fold (StreamOps.overAgg);
+    // the incremental streaming form (pending buffer + per-ms event-time
+    // timers + frame-bounded retained state on RocksDB) is covered by
+    // StreamingSpec. Equal-ts rows are RANGE peers in both engines.
+    "stream_over_agg" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Ev]
+      StreamOps.overAgg(ev, frameUs = 7L * 24 * 3600 * 1000000L, streaming = false)
+        .toDF()
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Flink SQL continuous Top-N (`row_number() OVER (PARTITION BY type
+    // ORDER BY sum(value) DESC) <= 3` maintained over an update stream):
+    // the per-type top-3 users by running exact-cents total. Batch
+    // replay emits the final ranking (fire_seq dropped — it numbers the
+    // streaming update emissions, covered by StreamingSpec along with
+    // cross-batch MapState carry). See StreamOps.topNByType for the
+    // rank-operator placement law and the 100 TB pre-aggregation note.
+    "stream_topn" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Ev]
+      StreamOps.topNByType(ev, k = 3, streaming = false)
+        .toDF()
+        .select("event_type", "rnk", "user_id", "total")
+        .orderBy("event_type", "rnk")
+    }),
+
     // Flink broadcast-state pattern: a rule stream carrying dynamic
     // thresholds joined to the event stream — alerts where the event
     // value exceeds the threshold in effect at its event time. Rules
@@ -401,6 +439,31 @@ object Streaming {
         |             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
         |QUALIFY rn % 5 = 0
         |ORDER BY user_id, fire_seq""".stripMargin,
+
+    // The SQL RANGE frame IS the batch semantics of the OVER operator;
+    // epoch_us integers make the frame bound exact micro arithmetic in
+    // both engines (no interval/precision coercion in the comparison).
+    "stream_over_agg" ->
+      """SELECT user_id, event_id,
+        |  count(*) OVER w AS n_7d,
+        |  CAST(sum(round(value * 100)) OVER w AS DOUBLE) / 100 AS sum_7d
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP)
+        |             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    // Final ranking of the running per-(type, user) totals — ties break
+    // by user_id ascending, the processor's deterministic order.
+    "stream_topn" ->
+      """SELECT event_type, rnk, user_id, total FROM (
+        |  SELECT event_type, user_id,
+        |         CAST(total_cents AS DOUBLE) / 100 AS total,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY total_cents DESC, user_id) AS rnk
+        |  FROM (SELECT event_type, user_id, sum(round(value * 100)) AS total_cents
+        |        FROM events GROUP BY 1, 2))
+        |WHERE rnk <= 3
+        |ORDER BY event_type, rnk""".stripMargin,
 
     // Broadcast as-of join formulation: every alertable event resolves
     // the latest rule for its type at or before its ts (ties: highest

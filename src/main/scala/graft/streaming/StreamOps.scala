@@ -39,7 +39,7 @@ case class WindowEvict(user_id: Long, window_start: java.sql.Timestamp,
                        first_kept_id: Long, last_kept_id: Long)
 
 /** One buffered element of the evictor's bounded window state. */
-private[streaming] case class KeptEv(ts_us: Long, event_id: Long, cents: Long)
+private[graft] case class KeptEv(ts_us: Long, event_id: Long, cents: Long)
 
 /** A dynamic-threshold rule update (StreamOps.ruleAlerts): from
   * `rule_ts` on, events of `target_type` alert when value exceeds
@@ -97,6 +97,16 @@ private[streaming] case class RuleOrEv(is_rule: Boolean, id: Long,
   * min(arrivals, size) events. */
 case class CountSlide(user_id: Long, fire_seq: Long, n_in_window: Long,
                       sum_value: Double, first_id: Long, last_id: Long)
+
+/** One per-row emission of the event-time OVER aggregation
+  * (StreamOps.overAgg): the row's RANGE-frame-preceding count and
+  * exact-cents sum (7-day frame in the declared key). */
+case class OverAgg(user_id: Long, event_id: Long, n_7d: Long, sum_7d: Double)
+
+/** One row of the continuous Top-N emission (StreamOps.topNByType):
+  * the current rank-`rnk` user by running total within `event_type`. */
+case class TopNRow(event_type: String, fire_seq: Long, rnk: Long,
+                   user_id: Long, total: Double)
 
 /** Flink `Evictor` analog (CountEvictor.of(N) before the window
   * function): a 1 h tumbling event-time window per user that KEEPS ONLY
@@ -199,6 +209,104 @@ private[streaming] class CountSlideProcessor(size: Int, slide: Int)
   override def handleExpiredTimer(key: Long, timers: TimerValues,
                                   expired: ExpiredTimerInfo): Iterator[CountSlide] =
     Iterator.empty
+}
+
+/** Flink SQL event-time OVER aggregation — the incremental form of
+  * `agg OVER (PARTITION BY key ORDER BY rowtime RANGE BETWEEN <frame>
+  * PRECEDING AND CURRENT ROW)` (Flink's
+  * RowTimeRangeBoundedPrecedingFunction): every input row emits the
+  * aggregate over the key's rows inside [row.ts − frame, row.ts].
+  * Arrived rows buffer in `pending` until the watermark passes their
+  * event time (one event-time timer per pending millisecond — Flink
+  * registers the same per-timestamp timers), then emit in
+  * (ts, event_id) order; `window` retains only rows within `frame` of
+  * the newest emitted timestamp, evicted as the frame slides — state
+  * per key is O(rows in frame + watermark horizon), Flink's
+  * OVER-aggregation state law, never the key's full history. Rows with
+  * identical timestamps are RANGE-frame peers: each emits with the
+  * aggregate INCLUDING the others (the SQL peer rule, identical in
+  * DuckDB), which is why ripe rows fold per timestamp group. Late rows
+  * (behind the watermark) are dropped by the event-time mode — the same
+  * behavior as Flink's OVER operator.
+  */
+private[streaming] class OverAggProcessor(frameUs: Long)
+    extends StatefulProcessor[Long, Ev, OverAgg] {
+  @transient private var pending: org.apache.spark.sql.streaming.ListState[KeptEv] = _
+  @transient private var window: org.apache.spark.sql.streaming.ListState[KeptEv] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    pending = getHandle.getListState[KeptEv]("pending", Encoders.product[KeptEv], TTLConfig.NONE)
+    window = getHandle.getListState[KeptEv]("window", Encoders.product[KeptEv], TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, events: Iterator[Ev],
+                               timers: TimerValues): Iterator[OverAgg] = {
+    val fresh = scala.collection.mutable.Set.empty[Long]
+    events.foreach { e =>
+      pending.appendValue(
+        KeptEv(StreamOps.tsMicros(e.ts), e.event_id, math.round(e.value * 100)))
+      fresh += StreamOps.tsMicros(e.ts) / 1000L
+    }
+    fresh.foreach(getHandle.registerTimer)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                  expired: ExpiredTimerInfo): Iterator[OverAgg] = {
+    val t = expired.getExpiryTimeInMs()
+    val (ripe, rest) = pending.get().toArray.partition(_.ts_us / 1000L <= t)
+    if (ripe.isEmpty) return Iterator.empty
+    pending.clear()
+    rest.foreach(pending.appendValue)
+    val win = scala.collection.mutable.ArrayBuffer.from(window.get())
+    val out = StreamOps.overFold(key, ripe, win, frameUs)
+    window.clear()
+    win.foreach(window.appendValue)
+    out.iterator
+  }
+}
+
+/** Flink SQL continuous Top-N (`ROW_NUMBER() OVER (PARTITION BY type
+  * ORDER BY sum(value) DESC) <= N` on an update stream): per partition
+  * key, MapState holds every contributor's running exact-cents total —
+  * the SAME state Flink's RetractableTopNFunction retains, because a
+  * contributor outside today's top N can climb into it — and each input
+  * batch merges its (pre-reduced) deltas then re-emits the current
+  * top N with ranks (the update-stream re-emission analog of Flink's
+  * retract/insert pairs; `fire_seq` numbers the emissions so consumers
+  * and tests can isolate one). Ties break by user_id ascending — the
+  * deterministic total order the oracle replays.
+  */
+private[streaming] class TopNProcessor(k: Int)
+    extends StatefulProcessor[String, Ev, TopNRow] {
+  @transient private var sums: org.apache.spark.sql.streaming.MapState[Long, Long] = _
+  @transient private var fires: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    sums = getHandle.getMapState[Long, Long]("sums",
+      Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+    fires = getHandle.getValueState[Long]("fires", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(typ: String, events: Iterator[Ev],
+                               timers: TimerValues): Iterator[TopNRow] = {
+    // pre-reduce the invocation's rows so MapState sees one update per
+    // contributor, not one per row
+    val delta = scala.collection.mutable.Map.empty[Long, Long]
+    events.foreach(e =>
+      delta.update(e.user_id, delta.getOrElse(e.user_id, 0L) + math.round(e.value * 100)))
+    if (delta.isEmpty) return Iterator.empty
+    delta.foreach { case (u, c) =>
+      val cur = if (sums.containsKey(u)) sums.getValue(u) else 0L
+      sums.updateValue(u, cur + c)
+    }
+    val seq = (if (fires.exists()) fires.get() else 0L) + 1L
+    fires.update(seq)
+    val top = sums.iterator().toArray.sortBy(p => (-p._2, p._1)).take(k)
+    top.iterator.zipWithIndex.map { case ((u, cents), i) =>
+      TopNRow(typ, seq, i + 1L, u, cents / 100.0)
+    }
+  }
 }
 
 /** Flink `ContinuousEventTimeTrigger` analog: a tumbling event-time
@@ -337,22 +445,19 @@ private[streaming] class ProfileProcessor
   */
 object StreamOps extends Serializable {
 
-  /** Raw schema of the events parquet (ts as epoch-nanos long — requires
-    * spark.sql.legacy.parquet.nanosAsLong=true on the session).
-    */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   /** `events` as an unbounded stream from the parquet path, ts normalized
-    * exactly like Tables.events.
+    * exactly like Tables.events. A stream source needs an explicit schema;
+    * it is taken from the file's own footer (one cheap batch-read of
+    * metadata) so the source tracks whichever fixture generation is on
+    * disk (epoch-nanos long vs naive timestamp[us] — FIXTURES.md GOTCHA),
+    * then [[Tables.normalizeTs]] canonicalizes exactly like the batch path.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.readStream.schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet") // the source wants a directory
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val fileSchema = spark.read.parquet(graft.Tables.path(dir, "events")).schema
+    graft.Tables.normalizeTs(
+      spark.readStream.schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet") // the source wants a directory
+        .parquet(dir))
   }
 
   /** 1 h tumbling event-time aggregation with a 10 min watermark.
@@ -1084,6 +1189,96 @@ object StreamOps extends Serializable {
     * side for full_outer). `user_id` coalesces the two sides so an
     * unmatched click still carries its user.
     */
+  /** Shared fold of the event-time OVER aggregation (see
+    * [[OverAggProcessor]]): emits one [[OverAgg]] per ripe row in
+    * (ts, event_id) order, folding per-timestamp GROUPS so equal-ts
+    * rows emit as RANGE-frame peers (each includes the others), and
+    * trims `win` — the retained frame buffer, kept ts-ascending — to
+    * [group ts − frame, group ts] as it advances. Mutates `win` to the
+    * post-fold retained buffer (the processor writes it back to
+    * ListState; the batch path discards it). O(|win|) per group.
+    */
+  private[graft] def overFold(user: Long, ripe: Array[KeptEv],
+      win: scala.collection.mutable.ArrayBuffer[KeptEv],
+      frameUs: Long): Seq[OverAgg] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[OverAgg]
+    val sorted = ripe.sortBy(k => (k.ts_us, k.event_id))
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j).ts_us == sorted(i).ts_us) j += 1
+      win ++= sorted.slice(i, j)
+      val lo = sorted(i).ts_us - frameUs
+      if (win.nonEmpty && win.head.ts_us < lo) {
+        val keep = win.filter(_.ts_us >= lo)
+        win.clear()
+        win ++= keep
+      }
+      val n = win.length.toLong
+      val sum = win.iterator.map(_.cents).sum / 100.0
+      var p = i
+      while (p < j) { out += OverAgg(user, sorted(p).event_id, n, sum); p += 1 }
+      i = j
+    }
+    out.toSeq
+  }
+
+  /** Flink SQL event-time OVER aggregation (RANGE frame PRECEDING —
+    * see [[OverAggProcessor]] for the incremental streaming semantics
+    * and state law). Batch replay folds each key's rows in
+    * (ts, event_id) order through the identical per-timestamp-group
+    * logic with an initially empty frame buffer — exactly the SQL
+    * `RANGE BETWEEN <frame> PRECEDING AND CURRENT ROW` window, which is
+    * the generated oracle. One shuffle on the partition key either way.
+    */
+  def overAgg(ev: Dataset[Ev], frameUs: Long, streaming: Boolean): Dataset[OverAgg] = {
+    import ev.sparkSession.implicits._
+    if (streaming)
+      ev.withWatermark("ts", "10 minutes")
+        .groupByKey(_.user_id)
+        .transformWithState(new OverAggProcessor(frameUs),
+          TimeMode.EventTime(), OutputMode.Append())
+    else
+      ev.groupByKey(_.user_id).flatMapGroups { (user: Long, events: Iterator[Ev]) =>
+        val rows = events.map(e =>
+          KeptEv(tsMicros(e.ts), e.event_id, math.round(e.value * 100))).toArray
+        overFold(user, rows,
+          scala.collection.mutable.ArrayBuffer.empty[KeptEv], frameUs).iterator
+      }
+  }
+
+  /** Flink SQL continuous Top-N — see [[TopNProcessor]]. Batch replay
+    * (one invocation per partition key) emits exactly the final ranking,
+    * which is the `row_number() <= k` oracle.
+    *
+    * Scale shape: the rank operator is keyed by the rank's PARTITION BY
+    * column in BOTH engines (Flink's RetractableTopNFunction has the
+    * identical placement and the identical per-contributor state law —
+    * a contributor outside today's top N can climb into it, so the
+    * running totals must be retained per partition key). The declared
+    * batch form therefore carries the honest caveat: at 100 TB the
+    * input to this operator should be a pre-aggregated update stream
+    * (per-shard partial sums), not raw rows — the distributed two-stage
+    * plan `topk_per_group` declares; this key pins the incremental rank
+    * maintenance itself.
+    */
+  def topNByType(ev: Dataset[Ev], k: Int, streaming: Boolean): Dataset[TopNRow] = {
+    import ev.sparkSession.implicits._
+    if (streaming)
+      ev.groupByKey(_.event_type)
+        .transformWithState(new TopNProcessor(k),
+          TimeMode.None(), OutputMode.Append())
+    else
+      ev.groupByKey(_.event_type).flatMapGroups { (typ: String, events: Iterator[Ev]) =>
+        val sums = scala.collection.mutable.Map.empty[Long, Long]
+        events.foreach(e =>
+          sums.update(e.user_id, sums.getOrElse(e.user_id, 0L) + math.round(e.value * 100)))
+        sums.toArray.sortBy(p => (-p._2, p._1)).take(k).iterator.zipWithIndex.map {
+          case ((u, cents), i) => TopNRow(typ, 1L, i + 1L, u, cents / 100.0)
+        }
+      }
+  }
+
   def intervalJoinPairs(purchases: DataFrame, clicks: DataFrame,
                         joinType: String = "inner"): DataFrame = {
     val p0 = purchases.select(col("event_id").as("p_id"), col("user_id").as("p_user"),

@@ -308,4 +308,56 @@ object GraftProps extends Properties("graft") {
       }.toSet
       got == want
     }
+
+  property("OVER fold equals brute-force RANGE frame; chunked == one-shot") =
+    forAll(for {
+      rows <- Gen.nonEmptyListOf(for {
+        offSec <- Gen.choose(0L, 300L) // small domain -> frequent equal-ts peers
+        cents <- Gen.choose(0L, 9999L)
+      } yield (offSec, cents))
+      frameSec <- Gen.choose(1L, 120L)
+    } yield (rows, frameSec)) { case (rows, frameSec) =>
+      import graft.streaming.{KeptEv, OverAgg, StreamOps}
+      val frameUs = frameSec * 1000000L
+      val evs = rows.zipWithIndex.map { case ((o, c), i) =>
+        KeptEv(o * 1000000L, i.toLong, c)
+      }
+      val oneShot = StreamOps.overFold(1L, evs.toArray,
+        scala.collection.mutable.ArrayBuffer.empty[KeptEv], frameUs).toSet
+      // brute force: the SQL RANGE frame, peers included via <= both ways
+      val brute = evs.map { e =>
+        val in = evs.filter(x => x.ts_us >= e.ts_us - frameUs && x.ts_us <= e.ts_us)
+        OverAgg(1L, e.event_id, in.size.toLong, in.map(_.cents).sum / 100.0)
+      }.toSet
+      // incremental: feed timestamp groups through a shared window buffer
+      // two groups at a time — the processor's timer-chunked call pattern
+      val win = scala.collection.mutable.ArrayBuffer.empty[KeptEv]
+      val chunked = evs.sortBy(k => (k.ts_us, k.event_id))
+        .groupBy(_.ts_us).toSeq.sortBy(_._1).map(_._2)
+        .grouped(2)
+        .flatMap(ch => StreamOps.overFold(1L, ch.flatten.toArray, win, frameUs))
+        .toSet
+      oneShot == brute && chunked == brute
+    }
+
+  property("continuous Top-N batch fold equals the rank-over-sums reimplementation") =
+    forAll(eventsGen) { rows =>
+      val sp = spark
+      import sp.implicits._
+      val types = Vector("purchase", "click")
+      val evs = rows.zipWithIndex.map { case ((u, o, c), i) =>
+        graft.streaming.Ev(i.toLong, new Timestamp(base + o * 1000), u,
+          types(i % 2), c / 100.0)
+      }
+      val got = graft.streaming.StreamOps.topNByType(evs.toDS(), k = 3, streaming = false)
+        .collect().map(r => (r.event_type, r.rnk, r.user_id,
+          math.round(r.total * 100))).toSet
+      val want = evs.groupBy(_.event_type).flatMap { case (typ, es) =>
+        es.groupBy(_.user_id).view
+          .mapValues(_.map(e => math.round(e.value * 100)).sum).toSeq
+          .sortBy { case (u, cents) => (-cents, u) }.take(3).zipWithIndex
+          .map { case ((u, cents), i) => (typ, i + 1L, u, cents) }
+      }.toSet
+      got == want
+    }
 }

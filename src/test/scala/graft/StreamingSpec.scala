@@ -934,4 +934,105 @@ class StreamingSpec extends SparkSuite {
     assert(got.contains((None, Some(11L), 3L)),
       s"click-side null row missing (user_id must coalesce): $got")
   }
+
+  test("event-time OVER agg: watermark-gated emission, peers, frame eviction, batch == stream") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val hourUs = 3600L * 1000000L
+      val q = StreamOps.overAgg(ms.toDS(), frameUs = hourUs, streaming = true)
+        .writeStream.format("memory").queryName("overagg").outputMode("append").start()
+      // e2/e3 share a timestamp — RANGE peers, must emit with each other
+      ms.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 5, "click", 1.00),
+        Ev(2, ts("2024-01-01 10:30:00"), 5, "view", 2.00),
+        Ev(3, ts("2024-01-01 10:30:00"), 5, "click", 3.00))
+      q.processAllAvailable()
+      // out-of-order but ahead of the watermark: must still buffer+emit
+      ms.addData(
+        Ev(4, ts("2024-01-01 11:45:00"), 5, "purchase", 4.00),
+        Ev(5, ts("2024-01-01 10:45:00"), 5, "click", 5.00))
+      q.processAllAvailable()
+      // advance the watermark (12:30 - 10 min) past 10:30/10:45 so those
+      // timers fire; 11:45 stays pending
+      ms.addData(Ev(90, ts("2024-01-01 12:30:00"), 8, "view", 1.0))
+      q.processAllAvailable()
+      // and past 11:45 (13:00 - 10 min) for the final row; its frame
+      // [10:45, 11:45] keeps e5 at the INCLUSIVE lower bound, evicts the rest
+      ms.addData(Ev(91, ts("2024-01-01 13:00:00"), 8, "view", 1.0))
+      drain(q)
+      val got = spark.table("overagg").as[(Long, Long, Long, Double)]
+        .collect().filter(_._1 == 5L).toSet
+      val want = Set(
+        (5L, 1L, 1L, 1.00),           // [09:00,10:00] -> e1
+        (5L, 2L, 3L, 6.00),           // [09:30,10:30] -> e1,e2,e3 (peers)
+        (5L, 3L, 3L, 6.00),
+        (5L, 5L, 4L, 11.00),          // [09:45,10:45] -> e1,e2,e3,e5
+        (5L, 4L, 2L, 9.00))           // [10:45,11:45] -> e5 (inclusive bound), e4
+      assert(got == want, s"streaming OVER emissions wrong:\n got  $got\n want $want")
+      // batch replay through the same fold must agree row-for-row
+      val batch = StreamOps.overAgg(
+        Seq(Ev(1, ts("2024-01-01 10:00:00"), 5, "click", 1.00),
+          Ev(2, ts("2024-01-01 10:30:00"), 5, "view", 2.00),
+          Ev(3, ts("2024-01-01 10:30:00"), 5, "click", 3.00),
+          Ev(4, ts("2024-01-01 11:45:00"), 5, "purchase", 4.00),
+          Ev(5, ts("2024-01-01 10:45:00"), 5, "click", 5.00)).toDS(),
+        frameUs = hourUs, streaming = false)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(batch == want, s"batch fold disagrees: $batch")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("continuous Top-N: rank updates across batches, ties by user_id, final == batch") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = StreamOps.topNByType(ms.toDS(), k = 3, streaming = true)
+        .writeStream.format("memory").queryName("topn").outputMode("append").start()
+      ms.addData(
+        Ev(1, ts("2024-01-02 09:00:00"), 1, "click", 10.00),
+        Ev(2, ts("2024-01-02 09:01:00"), 2, "click", 5.00),
+        Ev(3, ts("2024-01-02 09:02:00"), 3, "click", 1.00))
+      q.processAllAvailable()
+      // u3 climbs from rank 3 to rank 1 (MapState must retain sub-top-N
+      // contributors); u4 ties u2 at 5.00 -> user_id breaks the tie
+      ms.addData(
+        Ev(4, ts("2024-01-02 09:10:00"), 3, "click", 9.50),
+        Ev(5, ts("2024-01-02 09:11:00"), 4, "click", 5.00))
+      drain(q)
+      val rows = spark.table("topn")
+        .as[(String, Long, Long, Long, Double)].collect()
+      val first = rows.filter(_._2 == 1L).map(r => (r._3, r._4, r._5)).toSet
+      assert(first == Set((1L, 1L, 10.00), (2L, 2L, 5.00), (3L, 3L, 1.00)),
+        s"first emission wrong: $first")
+      val last = rows.filter(_._2 == rows.map(_._2).max).map(r => (r._3, r._4, r._5)).toSet
+      assert(last == Set((1L, 3L, 10.50), (2L, 1L, 10.00), (3L, 2L, 5.00)),
+        s"updated ranking wrong (u3 climbed, u2 beats u4 tie): $last")
+      // batch replay = the final ranking
+      val batch = StreamOps.topNByType(
+        Seq(Ev(1, ts("2024-01-02 09:00:00"), 1, "click", 10.00),
+          Ev(2, ts("2024-01-02 09:01:00"), 2, "click", 5.00),
+          Ev(3, ts("2024-01-02 09:02:00"), 3, "click", 1.00),
+          Ev(4, ts("2024-01-02 09:10:00"), 3, "click", 9.50),
+          Ev(5, ts("2024-01-02 09:11:00"), 4, "click", 5.00)).toDS(),
+        k = 3, streaming = false)
+        .as[(String, Long, Long, Long, Double)].collect()
+        .map(r => (r._3, r._4, r._5)).toSet
+      assert(batch == last, s"batch replay disagrees with final streaming ranking: $batch")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
