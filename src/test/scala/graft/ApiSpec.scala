@@ -22,6 +22,31 @@ class ApiSpec extends SparkSuite {
     assert(salted == plain)
   }
 
+  test("normalizeTs canonicalizes all three fixture ts representations identically") {
+    // the driver has shipped two physical ts generations (FIXTURES.md
+    // GOTCHA); this pins the adaptive dispatch so a future flip back to
+    // nanos-long (or a pre-normalized TimestampType) cannot regress
+    val usTs = java.sql.Timestamp.valueOf("2024-01-05 10:30:00.123456")
+    val micros = usTs.getTime / 1000 * 1000000 + usTs.getNanos / 1000
+    val dir = Files.createTempDirectory("normts").toString
+    // epoch-nanos LongType (the legacy nanosAsLong arrival form)
+    Seq((1L, micros * 1000L)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/long")
+    // naive TIMESTAMP_NTZ (the r7 timestamp[us] arrival form)
+    Seq((1L, java.time.LocalDateTime.parse("2024-01-05T10:30:00.123456")))
+      .toDF("event_id", "ts").write.mode("overwrite").parquet(s"$dir/ntz")
+    // already-canonical TimestampType
+    Seq((1L, usTs)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/tz")
+    val got = Seq("long", "ntz", "tz").map { f =>
+      val df = Tables.normalizeTs(spark.read.parquet(s"$dir/$f"))
+      assert(df.schema("ts").dataType == org.apache.spark.sql.types.TimestampType,
+        s"$f form must canonicalize to TimestampType")
+      df.select("ts").as[java.sql.Timestamp].head()
+    }
+    assert(got.toSet == Set(usTs), s"all three forms must yield $usTs; got $got")
+  }
+
   test("bandedRangeJoin returns exactly the naive theta-join rows, without a nested loop") {
     val li = Tables.lineitem(spark, sf001).filter(col("l_orderkey") <= 200)
       .select(col("l_orderkey"), col("l_linenumber"),
