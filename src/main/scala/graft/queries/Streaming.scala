@@ -224,6 +224,43 @@ object Streaming {
         .orderBy("user_id", "event_id")
     }),
 
+    // Flink SQL event-time OVER aggregation, ROWS flavor
+    // (RowTimeRowsBoundedPrecedingFunction): each event row emits the
+    // count/exact-cents sum over itself and its user's previous 9 rows
+    // in (ts, event_id) order — the canonical last-N-transactions
+    // feature. Ties are NOT peers (unlike stream_over_agg's RANGE
+    // form); retained streaming state is the last ≤10 rows per key, a
+    // constant bound. Batch replay of the same fold (StreamOps
+    // .overRows); incremental form covered by StreamingSpec.
+    "stream_over_rows" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Ev]
+      StreamOps.overRows(ev, n = 10, streaming = false)
+        .toDF()
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Flink SQL event-time OVER aggregation, UNBOUNDED-preceding flavor
+    // (RowTimeUnboundedPrecedingFunction): each event row emits its
+    // user's running count/exact-cents sum from the first row, in
+    // (ts, event_id) order. The O(1)-state member of the OVER family —
+    // retained state is one (count, cents) pair per key. Batch replay
+    // of the same running fold (StreamOps.overUnbounded); incremental
+    // form covered by StreamingSpec.
+    "stream_over_unbounded" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Ev]
+      StreamOps.overUnbounded(ev, streaming = false)
+        .toDF()
+        .orderBy("user_id", "event_id")
+    }),
+
     // Flink SQL continuous Top-N (`row_number() OVER (PARTITION BY type
     // ORDER BY sum(value) DESC) <= 3` maintained over an update stream):
     // the per-type top-3 users by running exact-cents total. Batch
@@ -450,6 +487,28 @@ object Streaming {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP)
         |             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    // The running ROWS UNBOUNDED PRECEDING frame in the (ts, event_id)
+    // total order.
+    "stream_over_unbounded" ->
+      """SELECT user_id, event_id,
+        |  count(*) OVER w AS n_run,
+        |  CAST(sum(round(value * 100)) OVER w AS DOUBLE) / 100 AS sum_run
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS UNBOUNDED PRECEDING)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    // The SQL ROWS frame in the (ts, event_id) total order — event_id
+    // tie-break makes the frame content deterministic cross-engine.
+    "stream_over_rows" ->
+      """SELECT user_id, event_id,
+        |  count(*) OVER w AS n_last10,
+        |  CAST(sum(round(value * 100)) OVER w AS DOUBLE) / 100 AS sum_last10
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
 
     // Final ranking of the running per-(type, user) totals — ties break

@@ -108,6 +108,19 @@ case class OverAgg(user_id: Long, event_id: Long, n_7d: Long, sum_7d: Double)
 case class TopNRow(event_type: String, fire_seq: Long, rnk: Long,
                    user_id: Long, total: Double)
 
+/** One per-row emission of the ROWS-frame OVER aggregation
+  * (StreamOps.overRows): the row's last-10-rows count and exact-cents
+  * sum in the key's (ts, event_id) total order. */
+case class OverRows(user_id: Long, event_id: Long, n_last10: Long, sum_last10: Double)
+
+/** One per-row emission of the UNBOUNDED-preceding OVER aggregation
+  * (StreamOps.overUnbounded): the row's running count and exact-cents
+  * sum from the key's first row, in (ts, event_id) order. */
+case class OverRun(user_id: Long, event_id: Long, n_run: Long, sum_run: Double)
+
+/** Running (count, cents) pair — the O(1) unbounded-OVER state. */
+private[streaming] case class RunAgg(n: Long, cents: Long)
+
 /** Flink `Evictor` analog (CountEvictor.of(N) before the window
   * function): a 1 h tumbling event-time window per user that KEEPS ONLY
   * THE LAST N ELEMENTS by event time — the aggregate fires over the
@@ -262,6 +275,109 @@ private[streaming] class OverAggProcessor(frameUs: Long)
     val out = StreamOps.overFold(key, ripe, win, frameUs)
     window.clear()
     win.foreach(window.appendValue)
+    out.iterator
+  }
+}
+
+/** Flink SQL event-time OVER aggregation, ROWS flavor
+  * (RowTimeRowsBoundedPrecedingFunction — `agg OVER (PARTITION BY key
+  * ORDER BY rowtime ROWS BETWEEN n-1 PRECEDING AND CURRENT ROW)`):
+  * every row emits the aggregate over itself and the previous n−1 rows
+  * of its key in (ts, event_id) order. Same watermark-gating scaffold
+  * as [[OverAggProcessor]] — rows buffer in `pending` until the
+  * watermark passes their event time, so an out-of-order row inside
+  * the horizon lands at its correct position in the total order before
+  * anything downstream of it emits — but the retained state is the
+  * last ≤ n rows themselves (the ROWS frame content), a CONSTANT
+  * bound per key vs the RANGE form's frame-span bound. Unlike RANGE,
+  * equal-ts rows are NOT peers: each emits over exactly its own
+  * predecessors, event_id breaking ties — the deterministic total
+  * order the oracle replays.
+  */
+private[streaming] class OverRowsProcessor(n: Int)
+    extends StatefulProcessor[Long, Ev, OverRows] {
+  @transient private var pending: org.apache.spark.sql.streaming.ListState[KeptEv] = _
+  @transient private var window: org.apache.spark.sql.streaming.ListState[KeptEv] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    pending = getHandle.getListState[KeptEv]("pending", Encoders.product[KeptEv], TTLConfig.NONE)
+    window = getHandle.getListState[KeptEv]("window", Encoders.product[KeptEv], TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, events: Iterator[Ev],
+                               timers: TimerValues): Iterator[OverRows] = {
+    val fresh = scala.collection.mutable.Set.empty[Long]
+    events.foreach { e =>
+      pending.appendValue(
+        KeptEv(StreamOps.tsMicros(e.ts), e.event_id, math.round(e.value * 100)))
+      fresh += StreamOps.tsMicros(e.ts) / 1000L
+    }
+    fresh.foreach(getHandle.registerTimer)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                  expired: ExpiredTimerInfo): Iterator[OverRows] = {
+    val t = expired.getExpiryTimeInMs()
+    val (ripe, rest) = pending.get().toArray.partition(_.ts_us / 1000L <= t)
+    if (ripe.isEmpty) return Iterator.empty
+    pending.clear()
+    rest.foreach(pending.appendValue)
+    val win = scala.collection.mutable.ArrayBuffer.from(window.get())
+    val out = StreamOps.rowsFold(key, ripe, win, n)
+    window.clear()
+    win.foreach(window.appendValue)
+    out.iterator
+  }
+}
+
+/** Flink SQL event-time OVER aggregation, UNBOUNDED-preceding flavor
+  * (RowTimeUnboundedPrecedingFunction — `agg OVER (PARTITION BY key
+  * ORDER BY rowtime ROWS UNBOUNDED PRECEDING)`): every row emits the
+  * running aggregate from the key's first row. The same watermark
+  * gate as the bounded forms (rows buffer in `pending` until the
+  * watermark passes their event time, so out-of-order rows inside the
+  * horizon fold at their order position), but the retained state
+  * collapses to ONE (count, cents) pair per key — O(1), nothing to
+  * evict; the cheapest member of the OVER family and the reason Flink
+  * ships it as its own operator instead of a degenerate bounded frame.
+  * Ties are not peers (ROWS semantics, event_id tie-break).
+  */
+private[streaming] class OverRunProcessor
+    extends StatefulProcessor[Long, Ev, OverRun] {
+  @transient private var pending: org.apache.spark.sql.streaming.ListState[KeptEv] = _
+  @transient private var run: ValueState[RunAgg] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    pending = getHandle.getListState[KeptEv]("pending", Encoders.product[KeptEv], TTLConfig.NONE)
+    run = getHandle.getValueState[RunAgg]("run", Encoders.product[RunAgg], TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, events: Iterator[Ev],
+                               timers: TimerValues): Iterator[OverRun] = {
+    val fresh = scala.collection.mutable.Set.empty[Long]
+    events.foreach { e =>
+      pending.appendValue(
+        KeptEv(StreamOps.tsMicros(e.ts), e.event_id, math.round(e.value * 100)))
+      fresh += StreamOps.tsMicros(e.ts) / 1000L
+    }
+    fresh.foreach(getHandle.registerTimer)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                  expired: ExpiredTimerInfo): Iterator[OverRun] = {
+    val t = expired.getExpiryTimeInMs()
+    val (ripe, rest) = pending.get().toArray.partition(_.ts_us / 1000L <= t)
+    if (ripe.isEmpty) return Iterator.empty
+    pending.clear()
+    rest.foreach(pending.appendValue)
+    var st = if (run.exists()) run.get() else RunAgg(0L, 0L)
+    val out = ripe.sortBy(k => (k.ts_us, k.event_id)).map { e =>
+      st = RunAgg(st.n + 1, st.cents + e.cents)
+      OverRun(key, e.event_id, st.n, st.cents / 100.0)
+    }
+    run.update(st)
     out.iterator
   }
 }
@@ -1244,6 +1360,72 @@ object StreamOps extends Serializable {
           KeptEv(tsMicros(e.ts), e.event_id, math.round(e.value * 100))).toArray
         overFold(user, rows,
           scala.collection.mutable.ArrayBuffer.empty[KeptEv], frameUs).iterator
+      }
+  }
+
+  /** Shared fold of the ROWS-frame OVER aggregation (see
+    * [[OverRowsProcessor]]): emits one [[OverRows]] per ripe row in
+    * (ts, event_id) order — ties are NOT peers; each row aggregates
+    * itself plus the previous n−1 rows only — and trims `win` (the
+    * retained frame content) to the last ≤ n rows. Mutates `win`.
+    */
+  private[graft] def rowsFold(user: Long, ripe: Array[KeptEv],
+      win: scala.collection.mutable.ArrayBuffer[KeptEv], n: Int): Seq[OverRows] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[OverRows]
+    ripe.sortBy(k => (k.ts_us, k.event_id)).foreach { e =>
+      win += e
+      if (win.length > n) win.remove(0, win.length - n)
+      out += OverRows(user, e.event_id, win.length.toLong,
+        win.iterator.map(_.cents).sum / 100.0)
+    }
+    out.toSeq
+  }
+
+  /** Flink SQL event-time OVER aggregation, ROWS flavor — see
+    * [[OverRowsProcessor]] for the incremental semantics and the
+    * constant per-key state bound. Batch replay folds each key's rows
+    * in (ts, event_id) order through the identical logic — exactly the
+    * SQL `ROWS BETWEEN n-1 PRECEDING AND CURRENT ROW` frame, which is
+    * the oracle. One shuffle on the partition key either way.
+    */
+  def overRows(ev: Dataset[Ev], n: Int, streaming: Boolean): Dataset[OverRows] = {
+    import ev.sparkSession.implicits._
+    if (streaming)
+      ev.withWatermark("ts", "10 minutes")
+        .groupByKey(_.user_id)
+        .transformWithState(new OverRowsProcessor(n),
+          TimeMode.EventTime(), OutputMode.Append())
+    else
+      ev.groupByKey(_.user_id).flatMapGroups { (user: Long, events: Iterator[Ev]) =>
+        val rows = events.map(e =>
+          KeptEv(tsMicros(e.ts), e.event_id, math.round(e.value * 100))).toArray
+        rowsFold(user, rows,
+          scala.collection.mutable.ArrayBuffer.empty[KeptEv], n).iterator
+      }
+  }
+
+  /** Flink SQL event-time OVER aggregation, UNBOUNDED-preceding flavor
+    * — see [[OverRunProcessor]] for the O(1)-state incremental
+    * semantics. Batch replay folds each key's rows in (ts, event_id)
+    * order through the identical running pair — the SQL
+    * `ROWS UNBOUNDED PRECEDING` frame, which is the oracle.
+    */
+  def overUnbounded(ev: Dataset[Ev], streaming: Boolean): Dataset[OverRun] = {
+    import ev.sparkSession.implicits._
+    if (streaming)
+      ev.withWatermark("ts", "10 minutes")
+        .groupByKey(_.user_id)
+        .transformWithState(new OverRunProcessor,
+          TimeMode.EventTime(), OutputMode.Append())
+    else
+      ev.groupByKey(_.user_id).flatMapGroups { (user: Long, events: Iterator[Ev]) =>
+        var st = RunAgg(0L, 0L)
+        events.map(e =>
+          KeptEv(tsMicros(e.ts), e.event_id, math.round(e.value * 100))).toArray
+          .sortBy(k => (k.ts_us, k.event_id)).iterator.map { e =>
+            st = RunAgg(st.n + 1, st.cents + e.cents)
+            OverRun(user, e.event_id, st.n, st.cents / 100.0)
+          }
       }
   }
 

@@ -340,6 +340,37 @@ object GraftProps extends Properties("graft") {
       oneShot == brute && chunked == brute
     }
 
+  property("ROWS fold equals brute-force ROWS frame; chunked == one-shot") =
+    forAll(for {
+      rows <- Gen.nonEmptyListOf(for {
+        offSec <- Gen.choose(0L, 300L) // small domain -> frequent equal-ts ties
+        cents <- Gen.choose(0L, 9999L)
+      } yield (offSec, cents))
+      n <- Gen.choose(1, 8)
+    } yield (rows, n)) { case (rows, n) =>
+      import graft.streaming.{KeptEv, OverRows, StreamOps}
+      val evs = rows.zipWithIndex.map { case ((o, c), i) =>
+        KeptEv(o * 1000000L, i.toLong, c)
+      }
+      val oneShot = StreamOps.rowsFold(1L, evs.toArray,
+        scala.collection.mutable.ArrayBuffer.empty[KeptEv], n).toSet
+      // brute force: position in the (ts, event_id) total order, frame =
+      // the previous min(pos, n-1) rows plus the row itself
+      val ordered = evs.sortBy(k => (k.ts_us, k.event_id))
+      val brute = ordered.zipWithIndex.map { case (e, pos) =>
+        val frame = ordered.slice(math.max(0, pos - n + 1), pos + 1)
+        OverRows(1L, e.event_id, frame.size.toLong, frame.map(_.cents).sum / 100.0)
+      }.toSet
+      // incremental: timestamp groups through a shared window buffer, two
+      // groups per call — the processor's timer-chunked pattern
+      val win = scala.collection.mutable.ArrayBuffer.empty[KeptEv]
+      val chunked = ordered.groupBy(_.ts_us).toSeq.sortBy(_._1).map(_._2)
+        .grouped(2)
+        .flatMap(ch => StreamOps.rowsFold(1L, ch.flatten.toArray, win, n))
+        .toSet
+      oneShot == brute && chunked == brute
+    }
+
   property("continuous Top-N batch fold equals the rank-over-sums reimplementation") =
     forAll(eventsGen) { rows =>
       val sp = spark

@@ -990,6 +990,87 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("ROWS-frame OVER agg: out-of-order rows land at their order position, batch == stream") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = StreamOps.overRows(ms.toDS(), n = 2, streaming = true)
+        .writeStream.format("memory").queryName("overrows").outputMode("append").start()
+      // e1 and e3 arrive first; e2 arrives later but SORTS between them —
+      // the watermark gate must emit e3 over (e2, e3), not (e1, e3).
+      // e2 sits at 10:11, strictly AHEAD of the batch-1 watermark
+      // (10:20 − 10 min); at or behind it the event-time mode drops the
+      // row, Flink's late-row behavior (documented on OverAggProcessor)
+      ms.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 5, "click", 1.00),
+        Ev(3, ts("2024-01-01 10:20:00"), 5, "view", 3.00))
+      q.processAllAvailable()
+      ms.addData(Ev(2, ts("2024-01-01 10:11:00"), 5, "click", 2.00))
+      q.processAllAvailable()
+      // watermark past 10:20 fires all three in (ts, event_id) order
+      ms.addData(Ev(90, ts("2024-01-01 11:00:00"), 8, "view", 1.0))
+      drain(q)
+      val got = spark.table("overrows").as[(Long, Long, Long, Double)]
+        .collect().filter(_._1 == 5L).toSet
+      val want = Set(
+        (5L, 1L, 1L, 1.00),  // frame [e1]
+        (5L, 2L, 2L, 3.00),  // frame [e1, e2]
+        (5L, 3L, 2L, 5.00))  // frame [e2, e3] — e1 evicted by the ROWS bound
+      assert(got == want, s"streaming ROWS emissions wrong:\n got  $got\n want $want")
+      val batch = StreamOps.overRows(
+        Seq(Ev(1, ts("2024-01-01 10:00:00"), 5, "click", 1.00),
+          Ev(3, ts("2024-01-01 10:20:00"), 5, "view", 3.00),
+          Ev(2, ts("2024-01-01 10:11:00"), 5, "click", 2.00)).toDS(),
+        n = 2, streaming = false)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(batch == want, s"batch fold disagrees: $batch")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("unbounded OVER agg: running pair carries across batches, batch == stream") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = StreamOps.overUnbounded(ms.toDS(), streaming = true)
+        .writeStream.format("memory").queryName("overrun").outputMode("append").start()
+      ms.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 5, "click", 1.00),
+        Ev(2, ts("2024-01-01 10:20:00"), 5, "view", 2.00))
+      q.processAllAvailable()
+      // batch 2: the RunAgg pair (n=2, 300 cents after the watermark
+      // fires e1/e2) must seed e3's running values
+      ms.addData(Ev(3, ts("2024-01-01 11:00:00"), 5, "click", 3.00))
+      q.processAllAvailable()
+      ms.addData(Ev(90, ts("2024-01-01 12:00:00"), 8, "view", 1.0))
+      drain(q)
+      val got = spark.table("overrun").as[(Long, Long, Long, Double)]
+        .collect().filter(_._1 == 5L).toSet
+      val want = Set((5L, 1L, 1L, 1.00), (5L, 2L, 2L, 3.00), (5L, 3L, 3L, 6.00))
+      assert(got == want, s"running emissions wrong:\n got  $got\n want $want")
+      val batch = StreamOps.overUnbounded(
+        Seq(Ev(1, ts("2024-01-01 10:00:00"), 5, "click", 1.00),
+          Ev(2, ts("2024-01-01 10:20:00"), 5, "view", 2.00),
+          Ev(3, ts("2024-01-01 11:00:00"), 5, "click", 3.00)).toDS(),
+        streaming = false)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(batch == want, s"batch fold disagrees: $batch")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("continuous Top-N: rank updates across batches, ties by user_id, final == batch") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
