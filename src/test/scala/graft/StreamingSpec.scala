@@ -1071,6 +1071,55 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("OVER agg checkpoint restart: pending and frame ListStates survive into run 2") {
+    import graft.api.Sinks
+    import java.nio.file.Files
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = Files.createTempDirectory("graft_over_out").toString
+      val ckpt = Files.createTempDirectory("graft_over_ckpt").toString
+      val hourUs = 3600L * 1000000L
+      val ms = MemoryStream[Ev]
+      def start(): StreamingQuery =
+        Sinks.streamToParquet(
+          StreamOps.overAgg(ms.toDS(), frameUs = hourUs, streaming = true).toDF(),
+          out, ckpt).start()
+      // run 1: e1/e2 emit (watermark 10:42 passes their timers); e3@10:45
+      // stays PENDING at shutdown, e1/e2 stay in the frame ListState
+      val q1 = start()
+      ms.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 5, "click", 1.00),
+        Ev(2, ts("2024-01-01 10:30:00"), 5, "view", 2.00))
+      q1.processAllAvailable()
+      ms.addData(
+        Ev(3, ts("2024-01-01 10:45:00"), 5, "click", 5.00),
+        Ev(90, ts("2024-01-01 10:52:00"), 8, "view", 1.0))
+      q1.processAllAvailable()
+      q1.stop()
+      // run 2, same checkpoint: the watermark advance must fire e3 over
+      // the RESTORED frame [e1, e2] plus the RESTORED pending row itself
+      val q2 = start()
+      ms.addData(Ev(91, ts("2024-01-01 12:00:00"), 8, "view", 1.0))
+      q2.processAllAvailable()
+      q2.stop()
+      val rows = spark.read.parquet(out)
+        .as[(Long, Long, Long, Double)].collect().filter(_._1 == 5L).toSeq
+      assert(rows.size == rows.distinct.size, s"duplicate emissions: $rows")
+      assert(rows.toSet == Set(
+        (5L, 1L, 1L, 1.00),
+        (5L, 2L, 2L, 3.00),
+        (5L, 3L, 3L, 8.00)),  // [09:45,10:45] -> e1,e2,e3 across the restart
+        s"restart lost pending or frame state: $rows")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("continuous Top-N: rank updates across batches, ties by user_id, final == batch") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
