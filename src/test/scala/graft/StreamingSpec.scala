@@ -1086,22 +1086,23 @@ class StreamingSpec extends SparkSuite {
         Sinks.streamToParquet(
           StreamOps.overAgg(ms.toDS(), frameUs = hourUs, streaming = true).toDF(),
           out, ckpt).start()
-      // run 1: e1/e2 emit (watermark 10:42 passes their timers); e3@10:45
-      // stays PENDING at shutdown, e1/e2 stay in the frame ListState
-      val q1 = start()
+      // run 1: e1/e2 emit (the post-batch watermark 10:42 passes their
+      // timers in the trailing no-data batch); e3@10:45 stays PENDING at
+      // shutdown, e1/e2 stay in the frame ListState. Data goes in BEFORE
+      // start(): AvailableNow snapshots the available offsets when the
+      // query starts
       ms.addData(
         Ev(1, ts("2024-01-01 10:00:00"), 5, "click", 1.00),
-        Ev(2, ts("2024-01-01 10:30:00"), 5, "view", 2.00))
-      q1.processAllAvailable()
-      ms.addData(
+        Ev(2, ts("2024-01-01 10:30:00"), 5, "view", 2.00),
         Ev(3, ts("2024-01-01 10:45:00"), 5, "click", 5.00),
         Ev(90, ts("2024-01-01 10:52:00"), 8, "view", 1.0))
+      val q1 = start()
       q1.processAllAvailable()
       q1.stop()
       // run 2, same checkpoint: the watermark advance must fire e3 over
       // the RESTORED frame [e1, e2] plus the RESTORED pending row itself
-      val q2 = start()
       ms.addData(Ev(91, ts("2024-01-01 12:00:00"), 8, "view", 1.0))
+      val q2 = start()
       q2.processAllAvailable()
       q2.stop()
       val rows = spark.read.parquet(out)
@@ -1112,6 +1113,51 @@ class StreamingSpec extends SparkSuite {
         (5L, 2L, 2L, 3.00),
         (5L, 3L, 3L, 8.00)),  // [09:45,10:45] -> e1,e2,e3 across the restart
         s"restart lost pending or frame state: $rows")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("Top-N checkpoint restart: sub-top-N MapState entries survive into run 2") {
+    import graft.api.Sinks
+    import java.nio.file.Files
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = Files.createTempDirectory("graft_topn_out").toString
+      val ckpt = Files.createTempDirectory("graft_topn_ckpt").toString
+      val ms = MemoryStream[Ev]
+      def start(): StreamingQuery =
+        Sinks.streamToParquet(
+          StreamOps.topNByType(ms.toDS(), k = 2, streaming = true).toDF(),
+          out, ckpt).start()
+      // run 1: u3's 1.00 lands OUTSIDE the emitted top-2 — it exists only
+      // in the MapState. Data goes in BEFORE start(): AvailableNow
+      // snapshots the available offsets when the query starts
+      ms.addData(
+        Ev(1, ts("2024-01-02 09:00:00"), 1, "click", 10.00),
+        Ev(2, ts("2024-01-02 09:01:00"), 2, "click", 5.00),
+        Ev(3, ts("2024-01-02 09:02:00"), 3, "click", 1.00))
+      val q1 = start()
+      q1.processAllAvailable()
+      q1.stop()
+      // run 2, same checkpoint: u3 climbs to rank 1 at 10.50 — possible
+      // only if its pre-restart 1.00 survived in the restored MapState
+      ms.addData(Ev(4, ts("2024-01-02 09:10:00"), 3, "click", 9.50))
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.stop()
+      val rows = spark.read.parquet(out)
+        .as[(String, Long, Long, Long, Double)].collect()
+      val first = rows.filter(_._2 == 1L).map(r => (r._3, r._4, r._5)).toSet
+      assert(first == Set((1L, 1L, 10.00), (2L, 2L, 5.00)), s"run-1 ranking wrong: $first")
+      val last = rows.filter(_._2 == 2L).map(r => (r._3, r._4, r._5)).toSet
+      assert(last == Set((1L, 3L, 10.50), (2L, 1L, 10.00)),
+        s"restart lost u3's sub-top-N state: $last")
     } finally {
       prev match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
