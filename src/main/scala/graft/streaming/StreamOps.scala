@@ -224,36 +224,37 @@ private[streaming] class CountSlideProcessor(size: Int, slide: Int)
     Iterator.empty
 }
 
-/** Flink SQL event-time OVER aggregation — the incremental form of
-  * `agg OVER (PARTITION BY key ORDER BY rowtime RANGE BETWEEN <frame>
-  * PRECEDING AND CURRENT ROW)` (Flink's
-  * RowTimeRangeBoundedPrecedingFunction): every input row emits the
-  * aggregate over the key's rows inside [row.ts − frame, row.ts].
-  * Arrived rows buffer in `pending` until the watermark passes their
-  * event time (one event-time timer per pending millisecond — Flink
-  * registers the same per-timestamp timers), then emit in
-  * (ts, event_id) order; `window` retains only rows within `frame` of
-  * the newest emitted timestamp, evicted as the frame slides — state
-  * per key is O(rows in frame + watermark horizon), Flink's
-  * OVER-aggregation state law, never the key's full history. Rows with
-  * identical timestamps are RANGE-frame peers: each emits with the
-  * aggregate INCLUDING the others (the SQL peer rule, identical in
-  * DuckDB), which is why ripe rows fold per timestamp group. Late rows
-  * (behind the watermark) are dropped by the event-time mode — the same
-  * behavior as Flink's OVER operator.
+/** Shared scaffold of the watermark-gated OVER-family processors —
+  * the piece all three of Flink's event-time OVER operators
+  * (Row(Time){RangeBounded,RowsBounded,Unbounded}PrecedingFunction)
+  * have in common: arrived rows buffer in a `pending` ListState with
+  * one event-time timer per distinct pending millisecond (Flink
+  * registers the same per-timestamp timers), and when the watermark
+  * passes a boundary the ripe prefix is handed to [[foldRipe]] in one
+  * call, in which each subclass folds its own retained aggregation
+  * state. Late rows (at/behind the watermark) are dropped by the
+  * event-time mode — the same behavior as Flink's OVER operators;
+  * rows ahead of the watermark land at their (ts, event_id) order
+  * position before anything downstream of them emits.
   */
-private[streaming] class OverAggProcessor(frameUs: Long)
-    extends StatefulProcessor[Long, Ev, OverAgg] {
+private[streaming] abstract class OverFamilyProcessor[O]
+    extends StatefulProcessor[Long, Ev, O] {
   @transient private var pending: org.apache.spark.sql.streaming.ListState[KeptEv] = _
-  @transient private var window: org.apache.spark.sql.streaming.ListState[KeptEv] = _
+
+  /** Subclass state registration (runs inside init, getHandle live). */
+  protected def initState(): Unit
+
+  /** Fold the watermark-certified rows (unsorted) into the subclass's
+    * retained state, returning the emissions. */
+  protected def foldRipe(key: Long, ripe: Array[KeptEv]): Iterator[O]
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     pending = getHandle.getListState[KeptEv]("pending", Encoders.product[KeptEv], TTLConfig.NONE)
-    window = getHandle.getListState[KeptEv]("window", Encoders.product[KeptEv], TTLConfig.NONE)
+    initState()
   }
 
   override def handleInputRows(key: Long, events: Iterator[Ev],
-                               timers: TimerValues): Iterator[OverAgg] = {
+                               timers: TimerValues): Iterator[O] = {
     val fresh = scala.collection.mutable.Set.empty[Long]
     events.foreach { e =>
       pending.appendValue(
@@ -265,12 +266,37 @@ private[streaming] class OverAggProcessor(frameUs: Long)
   }
 
   override def handleExpiredTimer(key: Long, timers: TimerValues,
-                                  expired: ExpiredTimerInfo): Iterator[OverAgg] = {
+                                  expired: ExpiredTimerInfo): Iterator[O] = {
     val t = expired.getExpiryTimeInMs()
     val (ripe, rest) = pending.get().toArray.partition(_.ts_us / 1000L <= t)
     if (ripe.isEmpty) return Iterator.empty
     pending.clear()
     rest.foreach(pending.appendValue)
+    foldRipe(key, ripe)
+  }
+}
+
+/** Flink SQL event-time OVER aggregation — the incremental form of
+  * `agg OVER (PARTITION BY key ORDER BY rowtime RANGE BETWEEN <frame>
+  * PRECEDING AND CURRENT ROW)` (Flink's
+  * RowTimeRangeBoundedPrecedingFunction): every input row emits the
+  * aggregate over the key's rows inside [row.ts − frame, row.ts].
+  * `window` retains only rows within `frame` of the newest emitted
+  * timestamp, evicted as the frame slides — state per key is
+  * O(rows in frame + watermark horizon), Flink's OVER-aggregation
+  * state law, never the key's full history. Rows with identical
+  * timestamps are RANGE-frame peers: each emits with the aggregate
+  * INCLUDING the others (the SQL peer rule, identical in DuckDB),
+  * which is why ripe rows fold per timestamp group (StreamOps.overFold).
+  */
+private[streaming] class OverAggProcessor(frameUs: Long)
+    extends OverFamilyProcessor[OverAgg] {
+  @transient private var window: org.apache.spark.sql.streaming.ListState[KeptEv] = _
+
+  override protected def initState(): Unit =
+    window = getHandle.getListState[KeptEv]("window", Encoders.product[KeptEv], TTLConfig.NONE)
+
+  override protected def foldRipe(key: Long, ripe: Array[KeptEv]): Iterator[OverAgg] = {
     val win = scala.collection.mutable.ArrayBuffer.from(window.get())
     val out = StreamOps.overFold(key, ripe, win, frameUs)
     window.clear()
@@ -283,46 +309,21 @@ private[streaming] class OverAggProcessor(frameUs: Long)
   * (RowTimeRowsBoundedPrecedingFunction — `agg OVER (PARTITION BY key
   * ORDER BY rowtime ROWS BETWEEN n-1 PRECEDING AND CURRENT ROW)`):
   * every row emits the aggregate over itself and the previous n−1 rows
-  * of its key in (ts, event_id) order. Same watermark-gating scaffold
-  * as [[OverAggProcessor]] — rows buffer in `pending` until the
-  * watermark passes their event time, so an out-of-order row inside
-  * the horizon lands at its correct position in the total order before
-  * anything downstream of it emits — but the retained state is the
-  * last ≤ n rows themselves (the ROWS frame content), a CONSTANT
-  * bound per key vs the RANGE form's frame-span bound. Unlike RANGE,
-  * equal-ts rows are NOT peers: each emits over exactly its own
-  * predecessors, event_id breaking ties — the deterministic total
-  * order the oracle replays.
+  * of its key in (ts, event_id) order. The retained state is the last
+  * ≤ n rows themselves (the ROWS frame content, StreamOps.rowsFold) —
+  * a CONSTANT bound per key vs the RANGE form's frame-span bound.
+  * Unlike RANGE, equal-ts rows are NOT peers: each emits over exactly
+  * its own predecessors, event_id breaking ties — the deterministic
+  * total order the oracle replays.
   */
 private[streaming] class OverRowsProcessor(n: Int)
-    extends StatefulProcessor[Long, Ev, OverRows] {
-  @transient private var pending: org.apache.spark.sql.streaming.ListState[KeptEv] = _
+    extends OverFamilyProcessor[OverRows] {
   @transient private var window: org.apache.spark.sql.streaming.ListState[KeptEv] = _
 
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-    pending = getHandle.getListState[KeptEv]("pending", Encoders.product[KeptEv], TTLConfig.NONE)
+  override protected def initState(): Unit =
     window = getHandle.getListState[KeptEv]("window", Encoders.product[KeptEv], TTLConfig.NONE)
-  }
 
-  override def handleInputRows(key: Long, events: Iterator[Ev],
-                               timers: TimerValues): Iterator[OverRows] = {
-    val fresh = scala.collection.mutable.Set.empty[Long]
-    events.foreach { e =>
-      pending.appendValue(
-        KeptEv(StreamOps.tsMicros(e.ts), e.event_id, math.round(e.value * 100)))
-      fresh += StreamOps.tsMicros(e.ts) / 1000L
-    }
-    fresh.foreach(getHandle.registerTimer)
-    Iterator.empty
-  }
-
-  override def handleExpiredTimer(key: Long, timers: TimerValues,
-                                  expired: ExpiredTimerInfo): Iterator[OverRows] = {
-    val t = expired.getExpiryTimeInMs()
-    val (ripe, rest) = pending.get().toArray.partition(_.ts_us / 1000L <= t)
-    if (ripe.isEmpty) return Iterator.empty
-    pending.clear()
-    rest.foreach(pending.appendValue)
+  override protected def foldRipe(key: Long, ripe: Array[KeptEv]): Iterator[OverRows] = {
     val win = scala.collection.mutable.ArrayBuffer.from(window.get())
     val out = StreamOps.rowsFold(key, ripe, win, n)
     window.clear()
@@ -334,44 +335,20 @@ private[streaming] class OverRowsProcessor(n: Int)
 /** Flink SQL event-time OVER aggregation, UNBOUNDED-preceding flavor
   * (RowTimeUnboundedPrecedingFunction — `agg OVER (PARTITION BY key
   * ORDER BY rowtime ROWS UNBOUNDED PRECEDING)`): every row emits the
-  * running aggregate from the key's first row. The same watermark
-  * gate as the bounded forms (rows buffer in `pending` until the
-  * watermark passes their event time, so out-of-order rows inside the
-  * horizon fold at their order position), but the retained state
+  * running aggregate from the key's first row. The retained state
   * collapses to ONE (count, cents) pair per key — O(1), nothing to
   * evict; the cheapest member of the OVER family and the reason Flink
   * ships it as its own operator instead of a degenerate bounded frame.
   * Ties are not peers (ROWS semantics, event_id tie-break).
   */
 private[streaming] class OverRunProcessor
-    extends StatefulProcessor[Long, Ev, OverRun] {
-  @transient private var pending: org.apache.spark.sql.streaming.ListState[KeptEv] = _
+    extends OverFamilyProcessor[OverRun] {
   @transient private var run: ValueState[RunAgg] = _
 
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-    pending = getHandle.getListState[KeptEv]("pending", Encoders.product[KeptEv], TTLConfig.NONE)
+  override protected def initState(): Unit =
     run = getHandle.getValueState[RunAgg]("run", Encoders.product[RunAgg], TTLConfig.NONE)
-  }
 
-  override def handleInputRows(key: Long, events: Iterator[Ev],
-                               timers: TimerValues): Iterator[OverRun] = {
-    val fresh = scala.collection.mutable.Set.empty[Long]
-    events.foreach { e =>
-      pending.appendValue(
-        KeptEv(StreamOps.tsMicros(e.ts), e.event_id, math.round(e.value * 100)))
-      fresh += StreamOps.tsMicros(e.ts) / 1000L
-    }
-    fresh.foreach(getHandle.registerTimer)
-    Iterator.empty
-  }
-
-  override def handleExpiredTimer(key: Long, timers: TimerValues,
-                                  expired: ExpiredTimerInfo): Iterator[OverRun] = {
-    val t = expired.getExpiryTimeInMs()
-    val (ripe, rest) = pending.get().toArray.partition(_.ts_us / 1000L <= t)
-    if (ripe.isEmpty) return Iterator.empty
-    pending.clear()
-    rest.foreach(pending.appendValue)
+  override protected def foldRipe(key: Long, ripe: Array[KeptEv]): Iterator[OverRun] = {
     var st = if (run.exists()) run.get() else RunAgg(0L, 0L)
     val out = ripe.sortBy(k => (k.ts_us, k.event_id)).map { e =>
       st = RunAgg(st.n + 1, st.cents + e.cents)
