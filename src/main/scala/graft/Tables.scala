@@ -6,7 +6,9 @@ import org.apache.spark.sql.types.DecimalType
 
 /** Centralized loaders for the driver-generated parquet tables
   * (TESTDATA.md / FIXTURES.md). All queries go through here so the
-  * nanos-timestamp fix (FIXTURES.md "GOTCHA") lives in exactly one place.
+  * ts-representation normalization (FIXTURES.md "GOTCHA" — the physical
+  * timestamp type varies by fixture generation) lives in exactly one
+  * place.
   *
   * Scale note: these are plain `spark.read.parquet` scans — at 100 TB the
   * same call reads a partitioned directory tree and Catalyst handles
