@@ -19,6 +19,19 @@ class CoreSpec extends SparkSuite {
     assert(missing.isEmpty, s"PLANS.md is stale — missing plans for: $missing")
   }
 
+  test("ORACLES.md header matches the declared oracle/query counts") {
+    // same staleness discipline as the PLANS.md gate: the no-oracle
+    // allowance table must state the live inventory, not a past round's
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("ORACLES.md")))
+    val expected = s"(${SparkEntry.oracleSql.size} of ${SparkEntry.queries.size}"
+    assert(text.contains(expected),
+      s"ORACLES.md is stale — expected the header to contain '$expected'")
+    val rowsOnly = SparkEntry.queries.size - SparkEntry.oracleSql.size
+    assert(text.contains(s"the $rowsOnly keys declared without a DuckDB oracle"),
+      s"ORACLES.md title count != $rowsOnly rows-only keys")
+  }
+
   test("every declared query runs and returns rows on sf0.001") {
     val empty = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val n = fn(spark, sf001).count()
