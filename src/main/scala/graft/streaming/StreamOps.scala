@@ -108,6 +108,13 @@ case class OverAgg(user_id: Long, event_id: Long, n_7d: Long, sum_7d: Double)
 case class TopNRow(event_type: String, fire_seq: Long, rnk: Long,
                    user_id: Long, total: Double)
 
+/** One pre-aggregated contribution to the continuous Top-N
+  * (StreamOps.topNFromDeltas): `cents` ADDS to `user_id`'s running
+  * total within `event_type` — the update-stream input shape the rank
+  * operator consumes at 100 TB (per-shard partial sums), instead of
+  * raw rows. */
+case class TypeDelta(event_type: String, user_id: Long, cents: Long)
+
 /** One per-row emission of the ROWS-frame OVER aggregation
   * (StreamOps.overRows): the row's last-10-rows count and exact-cents
   * sum in the key's (ts, event_id) total order. */
@@ -371,7 +378,7 @@ private[streaming] class OverRunProcessor
   * deterministic total order the oracle replays.
   */
 private[streaming] class TopNProcessor(k: Int)
-    extends StatefulProcessor[String, Ev, TopNRow] {
+    extends StatefulProcessor[String, TypeDelta, TopNRow] {
   @transient private var sums: org.apache.spark.sql.streaming.MapState[Long, Long] = _
   @transient private var fires: ValueState[Long] = _
 
@@ -381,13 +388,13 @@ private[streaming] class TopNProcessor(k: Int)
     fires = getHandle.getValueState[Long]("fires", Encoders.scalaLong, TTLConfig.NONE)
   }
 
-  override def handleInputRows(typ: String, events: Iterator[Ev],
+  override def handleInputRows(typ: String, rows: Iterator[TypeDelta],
                                timers: TimerValues): Iterator[TopNRow] = {
     // pre-reduce the invocation's rows so MapState sees one update per
     // contributor, not one per row
     val delta = scala.collection.mutable.Map.empty[Long, Long]
-    events.foreach(e =>
-      delta.update(e.user_id, delta.getOrElse(e.user_id, 0L) + math.round(e.value * 100)))
+    rows.foreach(r =>
+      delta.update(r.user_id, delta.getOrElse(r.user_id, 0L) + r.cents))
     if (delta.isEmpty) return Iterator.empty
     delta.foreach { case (u, c) =>
       val cur = if (sums.containsKey(u)) sums.getValue(u) else 0L
@@ -1423,18 +1430,37 @@ object StreamOps extends Serializable {
     */
   def topNByType(ev: Dataset[Ev], k: Int, streaming: Boolean): Dataset[TopNRow] = {
     import ev.sparkSession.implicits._
+    topNFromDeltas(
+      ev.map(e => TypeDelta(e.event_type, e.user_id, math.round(e.value * 100))),
+      k, streaming)
+  }
+
+  /** The pre-aggregated entry point of the continuous Top-N — the
+    * 100 TB input shape made concrete: any upstream reduction (per-shard
+    * partial sums, a windowed rollup, a changelog of increments) feeds
+    * the rank operator as [[TypeDelta]] increments, so the one
+    * partition-key shuffle carries contributors' deltas, not raw rows.
+    * Feeding raw per-row deltas (what [[topNByType]] does) and feeding
+    * any per-batch pre-reduction of the same rows produce identical
+    * rankings — addition is associative, and the MapState merge is the
+    * same fold (pinned by StreamingSpec's equivalence test).
+    */
+  def topNFromDeltas(deltas: Dataset[TypeDelta], k: Int,
+                     streaming: Boolean): Dataset[TopNRow] = {
+    import deltas.sparkSession.implicits._
     if (streaming)
-      ev.groupByKey(_.event_type)
+      deltas.groupByKey(_.event_type)
         .transformWithState(new TopNProcessor(k),
           TimeMode.None(), OutputMode.Append())
     else
-      ev.groupByKey(_.event_type).flatMapGroups { (typ: String, events: Iterator[Ev]) =>
-        val sums = scala.collection.mutable.Map.empty[Long, Long]
-        events.foreach(e =>
-          sums.update(e.user_id, sums.getOrElse(e.user_id, 0L) + math.round(e.value * 100)))
-        sums.toArray.sortBy(p => (-p._2, p._1)).take(k).iterator.zipWithIndex.map {
-          case ((u, cents), i) => TopNRow(typ, 1L, i + 1L, u, cents / 100.0)
-        }
+      deltas.groupByKey(_.event_type).flatMapGroups {
+        (typ: String, rows: Iterator[TypeDelta]) =>
+          val sums = scala.collection.mutable.Map.empty[Long, Long]
+          rows.foreach(r =>
+            sums.update(r.user_id, sums.getOrElse(r.user_id, 0L) + r.cents))
+          sums.toArray.sortBy(p => (-p._2, p._1)).take(k).iterator.zipWithIndex.map {
+            case ((u, cents), i) => TopNRow(typ, 1L, i + 1L, u, cents / 100.0)
+          }
       }
   }
 

@@ -1121,6 +1121,26 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("Top-N: pre-aggregated deltas produce the identical ranking as raw rows") {
+    import graft.streaming.TypeDelta
+    val evs = Seq(
+      Ev(1, ts("2024-01-02 09:00:00"), 1, "click", 4.00),
+      Ev(2, ts("2024-01-02 09:01:00"), 1, "click", 6.00),
+      Ev(3, ts("2024-01-02 09:02:00"), 2, "click", 5.00),
+      Ev(4, ts("2024-01-02 09:03:00"), 3, "click", 1.00),
+      Ev(5, ts("2024-01-02 09:04:00"), 3, "view", 2.50))
+    val raw = StreamOps.topNByType(evs.toDS(), k = 2, streaming = false)
+      .collect().map(r => (r.event_type, r.rnk, r.user_id, r.total)).toSet
+    // the 100 TB input shape: one pre-summed delta per (type, user)
+    val deltas = evs.groupBy(e => (e.event_type, e.user_id)).map { case ((t, u), es) =>
+      TypeDelta(t, u, es.map(e => math.round(e.value * 100)).sum)
+    }.toSeq
+    val pre = StreamOps.topNFromDeltas(deltas.toDS(), k = 2, streaming = false)
+      .collect().map(r => (r.event_type, r.rnk, r.user_id, r.total)).toSet
+    assert(raw == pre, s"pre-aggregated input diverged:\n raw $raw\n pre $pre")
+    assert(raw.contains(("click", 1L, 1L, 10.00)), s"expected u1 rank 1 at 10.00: $raw")
+  }
+
   test("Top-N checkpoint restart: sub-top-N MapState entries survive into run 2") {
     import graft.api.Sinks
     import java.nio.file.Files
