@@ -128,6 +128,10 @@ case class OverRun(user_id: Long, event_id: Long, n_run: Long, sum_run: Double)
 /** Running (count, cents) pair — the O(1) unbounded-OVER state. */
 private[streaming] case class RunAgg(n: Long, cents: Long)
 
+/** The pending rows of one event-time millisecond (the OVER family's
+  * per-timestamp buffer entry — see OverFamilyProcessor). */
+private[streaming] case class PendGroup(rows: Seq[KeptEv])
+
 /** Flink `Evictor` analog (CountEvictor.of(N) before the window
   * function): a 1 h tumbling event-time window per user that KEEPS ONLY
   * THE LAST N ELEMENTS by event time — the aggregate fires over the
@@ -246,7 +250,13 @@ private[streaming] class CountSlideProcessor(size: Int, slide: Int)
   */
 private[streaming] abstract class OverFamilyProcessor[O]
     extends StatefulProcessor[Long, Ev, O] {
-  @transient private var pending: org.apache.spark.sql.streaming.ListState[KeptEv] = _
+  // pending rows keyed by their event-time MILLISECOND (the timer
+  // granularity) — Flink's Row(Time)*Function design: a fired timer
+  // removes exactly its own timestamp entries, instead of rewriting
+  // the whole buffer (a ListState clear+re-append would be O(pending)
+  // RocksDB writes PER TIMER — O(timers × pending) per micro-batch on
+  // a hot key; this is O(fired rows))
+  @transient private var pending: org.apache.spark.sql.streaming.MapState[Long, PendGroup] = _
 
   /** Subclass state registration (runs inside init, getHandle live). */
   protected def initState(): Unit
@@ -256,29 +266,32 @@ private[streaming] abstract class OverFamilyProcessor[O]
   protected def foldRipe(key: Long, ripe: Array[KeptEv]): Iterator[O]
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-    pending = getHandle.getListState[KeptEv]("pending", Encoders.product[KeptEv], TTLConfig.NONE)
+    pending = getHandle.getMapState[Long, PendGroup]("pending",
+      Encoders.scalaLong, Encoders.product[PendGroup], TTLConfig.NONE)
     initState()
   }
 
   override def handleInputRows(key: Long, events: Iterator[Ev],
                                timers: TimerValues): Iterator[O] = {
-    val fresh = scala.collection.mutable.Set.empty[Long]
-    events.foreach { e =>
-      pending.appendValue(
+    val byMs = events.map(e =>
         KeptEv(StreamOps.tsMicros(e.ts), e.event_id, math.round(e.value * 100)))
-      fresh += StreamOps.tsMicros(e.ts) / 1000L
+      .toArray.groupBy(_.ts_us / 1000L)
+    byMs.foreach { case (ms, rows) =>
+      val existing =
+        if (pending.containsKey(ms)) pending.getValue(ms).rows else Seq.empty
+      pending.updateValue(ms, PendGroup(existing ++ rows))
+      getHandle.registerTimer(ms)
     }
-    fresh.foreach(getHandle.registerTimer)
     Iterator.empty
   }
 
   override def handleExpiredTimer(key: Long, timers: TimerValues,
                                   expired: ExpiredTimerInfo): Iterator[O] = {
     val t = expired.getExpiryTimeInMs()
-    val (ripe, rest) = pending.get().toArray.partition(_.ts_us / 1000L <= t)
-    if (ripe.isEmpty) return Iterator.empty
-    pending.clear()
-    rest.foreach(pending.appendValue)
+    val ripeKeys = pending.keys().filter(_ <= t).toArray
+    if (ripeKeys.isEmpty) return Iterator.empty
+    val ripe = ripeKeys.flatMap(ms => pending.getValue(ms).rows)
+    ripeKeys.foreach(pending.removeKey)
     foldRipe(key, ripe)
   }
 }
