@@ -1071,7 +1071,7 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
-  test("OVER agg checkpoint restart: pending and frame ListStates survive into run 2") {
+  test("OVER agg checkpoint restart: pending and frame state survive into run 2") {
     import graft.api.Sinks
     import java.nio.file.Files
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
