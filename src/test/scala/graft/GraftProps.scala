@@ -309,6 +309,42 @@ object GraftProps extends Properties("graft") {
       got == want
     }
 
+  property("keyed connect equals the per-user as-of-limit reimplementation") =
+    forAll(eventsGen, eventsGen) { (evRows, limRows) =>
+      val sp = spark
+      import sp.implicits._
+      val evs = evRows.zipWithIndex.map { case ((u, o, c), i) =>
+        graft.streaming.Ev(i.toLong, new Timestamp(base + o * 1000), u,
+          "click", c / 100.0)
+      }
+      val lims = limRows.zipWithIndex.map { case ((u, o, c), i) =>
+        graft.streaming.Limit(100000L + i, new Timestamp(base + o * 1000),
+          u, c / 100.0)
+      }
+      val got = graft.streaming.StreamOps
+        .connectGate(evs.toDS(), lims.toDS(), streaming = false)
+        .collect().map(a => (a.event_id, a.limit_id, a.n_over)).toSet
+      // independent reimplementation: per user, in (ts, event_id) order,
+      // the latest limit with limit_ts <= ts (ties: higher limit_id)
+      // gates the event; n_over counts the user's alerts so far
+      val want = evs.groupBy(_.user_id).flatMap { case (u, es) =>
+        var nOver = 0L
+        es.sortBy(e => (e.ts.getTime, e.event_id)).flatMap { e =>
+          val applicable = lims.filter(l =>
+            l.user_id == u && l.limit_ts.getTime <= e.ts.getTime)
+          if (applicable.isEmpty) None
+          else {
+            val live = applicable.maxBy(l => (l.limit_ts.getTime, l.limit_id))
+            if (e.value > live.limit_value) {
+              nOver += 1
+              Some((e.event_id, live.limit_id, nOver))
+            } else None
+          }
+        }
+      }.toSet
+      got == want
+    }
+
   property("OVER fold equals brute-force RANGE frame; chunked == one-shot") =
     forAll(for {
       rows <- Gen.nonEmptyListOf(for {
