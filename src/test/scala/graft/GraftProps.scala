@@ -345,6 +345,38 @@ object GraftProps extends Properties("graft") {
       got == want
     }
 
+  property("side-output routing equals the arrival-order max-ts reimplementation") =
+    forAll(eventsGen) { rows =>
+      val sp = spark
+      import sp.implicits._
+      val types = Vector("click", "error")
+      val evs = rows.zipWithIndex.map { case ((u, o, c), i) =>
+        graft.streaming.Ev(i.toLong, new Timestamp(base + o * 1000), u,
+          types(i % 2), c / 100.0)
+      }
+      // deterministic arrival scramble (Knuth multiplicative hash) so the
+      // late route actually triggers on the time-ordered generator
+      def arrival(e: graft.streaming.Ev): String =
+        f"${(e.event_id * 2654435761L) % 1000003L}%07d"
+      val horizonMin = 60
+      val got = graft.streaming.StreamOps
+        .sideOutputs(evs.toDS(), arrival, horizonMin, "error", streaming = false)
+        .collect().map(r => (r.event_id, r.route)).toSet
+      val want = evs.groupBy(_.user_id).flatMap { case (_, es) =>
+        var maxTs = Long.MinValue
+        es.sortBy(arrival).map { e =>
+          val t = e.ts.getTime * 1000L
+          val route =
+            if (maxTs != Long.MinValue && t < maxTs - horizonMin * 60L * 1000000L) "late"
+            else if (e.event_type == "error") "fail"
+            else "pass"
+          maxTs = math.max(maxTs, t)
+          (e.event_id, route)
+        }
+      }.toSet
+      got == want && got.size == evs.size // every event routed exactly once
+    }
+
   property("OVER fold equals brute-force RANGE frame; chunked == one-shot") =
     forAll(for {
       rows <- Gen.nonEmptyListOf(for {
