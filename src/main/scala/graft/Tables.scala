@@ -64,12 +64,11 @@ object Tables {
       case _ => df
     }
 
-  /** `events` with `ts` as raw epoch-MICROS LongType (for operators that
-    * want integer time arithmetic, e.g. range frames) — derived from the
-    * normalized TimestampType, so it is representation-independent.
-    */
-  def eventsRawTs(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir).withColumn("ts", expr("unix_micros(ts)"))
+  // NOTE: an eventsRawTs loader (epoch-micros LongType ts) used to live
+  // here; it silently changed units across fixture generations and had no
+  // remaining callers, so it was REMOVED rather than renamed — operators
+  // that want integer time arithmetic derive it inline with
+  // `unix_micros(ts)` from the normalized frame (representation-free).
 }
 
 /** Cross-engine determinism helpers (SURVEY.md §5.4).
@@ -89,6 +88,16 @@ object Tables {
   *     answer, whereas `round(double, 2)` differs between Spark
   *     (BigDecimal of shortest-repr, HALF_UP) and DuckDB on .xx5-printing
   *     values.
+  *
+  * NON-NEGATIVE-VALUE ASSUMPTION (the streaming folds' cents idiom): the
+  * stateful operators derive exact cents as Scala `math.round(value*100)`
+  * and their oracles as DuckDB `round(value*100)`. Scala rounds half-UP
+  * (toward +∞) while DuckDB rounds half-AWAY-FROM-ZERO — identical for
+  * values >= 0, divergent on negative exact-.5-cent values (-0.005 →
+  * 0 vs -1). Every money-like fixture column is non-negative, which the
+  * sf0.001/0.01/0.1 hash matches confirm; an operator fed negative
+  * money values must first switch both sides to one explicit rule
+  * (e.g. floor(x*100 + 0.5) on both engines).
   */
 object Det {
   /** Cast a 2-decimal-valued double to exact decimal for summation. */

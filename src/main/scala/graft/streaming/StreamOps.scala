@@ -257,6 +257,12 @@ private[streaming] abstract class OverFamilyProcessor[O]
   // RocksDB writes PER TIMER — O(timers × pending) per micro-batch on
   // a hot key; this is O(fired rows))
   @transient private var pending: org.apache.spark.sql.streaming.MapState[Long, PendGroup] = _
+  // smallest pending millisecond, so a no-op timer firing (everything
+  // at or below it already drained by an earlier timer in the same
+  // micro-batch) returns without iterating every surviving MapState
+  // key — keeps the READ path at the advertised O(fired rows) when
+  // many timers fire at once on a hot key
+  @transient private var minPend: ValueState[Long] = _
 
   /** Subclass state registration (runs inside init, getHandle live). */
   protected def initState(): Unit
@@ -268,19 +274,27 @@ private[streaming] abstract class OverFamilyProcessor[O]
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     pending = getHandle.getMapState[Long, PendGroup]("pending",
       Encoders.scalaLong, Encoders.product[PendGroup], TTLConfig.NONE)
+    minPend = getHandle.getValueState[Long]("minPend", Encoders.scalaLong, TTLConfig.NONE)
     initState()
   }
 
   override def handleInputRows(key: Long, events: Iterator[Ev],
                                timers: TimerValues): Iterator[O] = {
+    // floorDiv, not /: truncating division rounds toward zero for
+    // pre-epoch (negative) micros, which would bucket a -1.5 ms row
+    // into ms -1 and register its timer AFTER its actual event time
     val byMs = events.map(e =>
         KeptEv(StreamOps.tsMicros(e.ts), e.event_id, math.round(e.value * 100)))
-      .toArray.groupBy(_.ts_us / 1000L)
+      .toArray.groupBy(k => Math.floorDiv(k.ts_us, 1000L))
     byMs.foreach { case (ms, rows) =>
       val existing =
         if (pending.containsKey(ms)) pending.getValue(ms).rows else Seq.empty
       pending.updateValue(ms, PendGroup(existing ++ rows))
       getHandle.registerTimer(ms)
+    }
+    if (byMs.nonEmpty) {
+      val lo = byMs.keysIterator.min
+      if (!minPend.exists() || lo < minPend.get()) minPend.update(lo)
     }
     Iterator.empty
   }
@@ -288,10 +302,17 @@ private[streaming] abstract class OverFamilyProcessor[O]
   override def handleExpiredTimer(key: Long, timers: TimerValues,
                                   expired: ExpiredTimerInfo): Iterator[O] = {
     val t = expired.getExpiryTimeInMs()
+    // no-op firing (an earlier timer in this batch already drained
+    // everything at or below t): one ValueState read, no key scan
+    if (minPend.exists() && minPend.get() > t) return Iterator.empty
     val ripeKeys = pending.keys().filter(_ <= t).toArray
-    if (ripeKeys.isEmpty) return Iterator.empty
+    if (ripeKeys.isEmpty) { minPend.clear(); return Iterator.empty }
     val ripe = ripeKeys.flatMap(ms => pending.getValue(ms).rows)
     ripeKeys.foreach(pending.removeKey)
+    // recompute the floor only on REAL fires (O(surviving keys), the
+    // cost the batched drain already paid) — no-op fires never reach here
+    val rest = pending.keys()
+    if (rest.hasNext) minPend.update(rest.min) else minPend.clear()
     foldRipe(key, ripe)
   }
 }
@@ -558,15 +579,26 @@ private[streaming] class ProfileProcessor
   */
 object StreamOps extends Serializable {
 
+  /** Resolved footer schemas by path — [[eventsStream]]'s schema probe is
+    * a BLOCKING batch read at stream-definition time (it lists the path
+    * and reads parquet footers); cached so each fixture dir pays it once
+    * per JVM. At scale, prefer passing an explicit schema (or read one
+    * file's footer) instead of footer-probing a large partitioned tree.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   /** `events` as an unbounded stream from the parquet path, ts normalized
     * exactly like Tables.events. A stream source needs an explicit schema;
-    * it is taken from the file's own footer (one cheap batch-read of
-    * metadata) so the source tracks whichever fixture generation is on
-    * disk (epoch-nanos long vs naive timestamp[us] — FIXTURES.md GOTCHA),
-    * then [[Tables.normalizeTs]] canonicalizes exactly like the batch path.
+    * it is taken from the file's own footer (one metadata batch-read,
+    * cached per dir — see [[schemaCache]] for the cost note) so the source
+    * tracks whichever fixture generation is on disk (epoch-nanos long vs
+    * naive timestamp[us] — FIXTURES.md GOTCHA), then [[Tables.normalizeTs]]
+    * canonicalizes exactly like the batch path.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val fileSchema = spark.read.parquet(graft.Tables.path(dir, "events")).schema
+    val path = graft.Tables.path(dir, "events")
+    val fileSchema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
     graft.Tables.normalizeTs(
       spark.readStream.schema(fileSchema)
         .option("pathGlobFilter", "events.parquet") // the source wants a directory
@@ -1443,9 +1475,21 @@ object StreamOps extends Serializable {
     */
   def topNByType(ev: Dataset[Ev], k: Int, streaming: Boolean): Dataset[TopNRow] = {
     import ev.sparkSession.implicits._
-    topNFromDeltas(
-      ev.map(e => TypeDelta(e.event_type, e.user_id, math.round(e.value * 100))),
-      k, streaming)
+    val deltas = ev.map(e => TypeDelta(e.event_type, e.user_id, math.round(e.value * 100)))
+    // Batch default IS the scaladoc's 100 TB contract: pre-reduce per
+    // (type, user) BEFORE the rank fold, so the partition-key shuffle
+    // carries one contributor row per (type, user) — with a map-side
+    // partial aggregate below it — instead of raw event rows. Addition
+    // is associative, so the ranking is identical to the raw-delta feed
+    // (pinned by StreamingSpec's equivalence test and the shared oracle).
+    // Streaming keeps per-row deltas: a cross-batch pre-aggregation
+    // would change WHAT a batch contributes (running totals, not
+    // increments); TopNProcessor already pre-reduces within each batch.
+    val fed =
+      if (streaming) deltas
+      else deltas.groupBy(col("event_type"), col("user_id"))
+        .agg(sum(col("cents")).as("cents")).as[TypeDelta]
+    topNFromDeltas(fed, k, streaming)
   }
 
   /** The pre-aggregated entry point of the continuous Top-N — the
@@ -1453,10 +1497,12 @@ object StreamOps extends Serializable {
     * partial sums, a windowed rollup, a changelog of increments) feeds
     * the rank operator as [[TypeDelta]] increments, so the one
     * partition-key shuffle carries contributors' deltas, not raw rows.
-    * Feeding raw per-row deltas (what [[topNByType]] does) and feeding
-    * any per-batch pre-reduction of the same rows produce identical
-    * rankings — addition is associative, and the MapState merge is the
-    * same fold (pinned by StreamingSpec's equivalence test).
+    * Feeding raw per-row deltas and feeding any per-batch pre-reduction
+    * of the same rows produce identical rankings — addition is
+    * associative, and the MapState merge is the same fold (pinned by
+    * StreamingSpec's equivalence test). [[topNByType]]'s batch path
+    * pre-reduces by default; its streaming path feeds per-row deltas
+    * (TopNProcessor pre-reduces within each batch invocation).
     */
   def topNFromDeltas(deltas: Dataset[TypeDelta], k: Int,
                      streaming: Boolean): Dataset[TopNRow] = {

@@ -105,6 +105,20 @@ class PlanSpec extends SparkSuite {
         s"${nExchanges(wherePlan)} vs symbolic ${nExchanges(symPlan)}")
   }
 
+  test("stream_topn's rank fold consumes pre-reduced contributor deltas, not raw rows") {
+    import org.apache.spark.sql.execution.MapGroupsExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // The 100 TB contract made the default (VERDICT r7 item 4): the
+    // event_type-keyed fold must sit ABOVE a (type, user) aggregate —
+    // whose partial stage is the map-side combine — so the rank
+    // operator's shuffle carries one row per contributor.
+    val p = SparkEntry.queries("stream_topn")(spark, sf001).queryExecution.sparkPlan
+    val folds = p.collect { case m: MapGroupsExec => m }
+    assert(folds.nonEmpty, s"expected a MapGroups rank fold:\n$p")
+    assert(folds.exists(_.collect { case a: BaseAggregateExec => a }.nonEmpty),
+      s"rank fold consumes raw rows — no pre-reducing aggregate below it:\n$p")
+  }
+
   test("no declared query funnels raw rows through an Exchange SinglePartition") {
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
