@@ -1,12 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark entry point. Times every declared query (two passes, min) and
-  * emits ONE compact JSON line as the final stdout line. The driver keeps
-  * only the last ~2000 bytes of output, so the printed line reports the
-  * total plus a fixed headline subset (the BASELINE.md shapes + the heavy
-  * families); the full per-query map is written to BENCH_DETAIL.json in the
-  * working directory for the judge.
+/** Benchmark entry point. Times every declared query (two interleaved
+  * passes, min) and emits ONE compact JSON line as the final stdout line.
+  * The driver keeps only the last ~2000 bytes of output, so the printed
+  * line reports the total plus a fixed headline subset (the BASELINE.md
+  * shapes + the heavy families); the full per-query map is written to
+  * BENCH_DETAIL.json in the working directory for the judge.
   */
 object Bench {
   /** Fixed headline subset for the printed JSON line — one per BASELINE.md
@@ -33,21 +33,51 @@ object Bench {
   private val baselineKeys: Seq[String] = Seq(
     "scan_parquet", "agg_hash", "wnd_tumbling", "join_broadcast", "sim_cosine_topk")
 
+  /** 1-minute load average sampled from /proc/loadavg (-1 if unreadable) —
+    * the coarse host-noise signal recorded per trial (VERDICT r7 item 6):
+    * a contended driver run is then self-evident IN the artifact instead
+    * of inferred from spread patterns after the fact.
+    */
+  private def loadavg(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** Per-query seconds committed in the repo's BENCH_DETAIL.json (the
+    * previous clean run at HEAD), read BEFORE this run overwrites it —
+    * the reference the isolated re-run pass adjudicates against
+    * (VERDICT r7 item 1). Empty map if absent/unparsable (first run).
+    */
+  private def committedQueries(): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH_DETAIL.json")), "UTF-8")
+      val tag = "\"queries\":{"
+      val i = txt.indexOf(tag)
+      if (i < 0) Map.empty
+      else {
+        val body = txt.substring(i + tag.length, txt.indexOf("}", i + tag.length))
+        """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val committed = committedQueries()
     val spark = GraftSession.local(cpus.toInt)
     // Absorb session/codegen bring-up outside the timed region, then run
     // in sorted key order so per-query attribution is stable across runs.
     spark.range(1000000).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).count()
-    // Two passes per query, report the min: pass 1 absorbs codegen/JIT
-    // compilation and transient host contention; the min is the honest
-    // steady-state per-query cost a warmed cluster would see.
-    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Per-trial record: seconds plus the 1-min loadavg sampled just
+    // before the trial started (host-noise telemetry).
+    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val la = loadavg()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, la)
     }
     // Two trials per query: value = min (steady state), spread =
     // (max-min)/min — the per-query contention indicator that lets a
@@ -65,7 +95,7 @@ object Bench {
     // trial (the A-B-A completion); `retried` in the stats line counts
     // them, so the artifact itself shows where noise was adjudicated.
     val keys = SparkEntry.queries.toSeq.sortBy(_._1)
-    def runPass(label: String): Map[String, Double] =
+    def runPass(label: String): Map[String, (Double, Double)] =
       keys.map { case (name, fn) =>
         System.err.println(s"[bench] $label $name")
         name -> timeOne(fn)
@@ -73,7 +103,7 @@ object Bench {
     val (passA, passB) = (runPass("passA"), runPass("passB"))
     val trials = keys.map { case (name, fn) =>
       val two = Seq(passA(name), passB(name))
-      val (mn, mx) = (two.min, two.max)
+      val (mn, mx) = (two.map(_._1).min, two.map(_._1).max)
       // retry only where the disagreement is both relative AND absolute
       // (micro-keys flip large relative spreads on scheduler jitter)
       if (mn > 1e-9 && (mx - mn) / mn > 0.5 && mx - mn > 0.15) {
@@ -82,9 +112,31 @@ object Bench {
       } else (name, two)
     }
     val nRetried = trials.count(_._2.size > 2)
-    val results = trials.map { case (name, ts) => name -> ts.min }
-    val spreads = trials.map { case (name, ts) =>
-      name -> (if (ts.min > 1e-9) (ts.max - ts.min) / ts.min else 0.0) }
+    // Isolated re-run pass (VERDICT r7 item 1): any query whose
+    // min-of-trials exceeds its committed BENCH_DETAIL value by >2x
+    // (and by >0.3 s absolute — micro-keys flip 2x on jitter alone)
+    // gets ONE more post-sweep measurement, recorded separately as
+    // `isolated` AND folded into the per-query min. The artifact then
+    // adjudicates sweep-window contention by itself: an isolated value
+    // back near the committed one proves noise; an isolated value that
+    // stays high is a real regression.
+    val fnByName = keys.toMap
+    val isolated: Seq[(String, Double)] = trials.flatMap { case (name, ts) =>
+      val mn = ts.map(_._1).min
+      committed.get(name) match {
+        case Some(c) if c > 1e-9 && mn > 2 * c && mn - c > 0.3 =>
+          System.err.println(f"[bench] isolated $name (min $mn%.3f vs committed $c%.3f)")
+          Some(name -> timeOne(fnByName(name)))
+        case _ => None
+      }
+    }.map { case (name, (sec, _)) => name -> sec }
+    val isoByName = isolated.toMap
+    val allTrials = trials.map { case (name, ts) =>
+      name -> (ts.map(_._1) ++ isoByName.get(name).toSeq) }
+    val results = allTrials.map { case (name, secs) => name -> secs.min }
+    val spreads = allTrials.map { case (name, secs) =>
+      name -> (if (secs.min > 1e-9) (secs.max - secs.min) / secs.min else 0.0) }
+    val loads = trials.map { case (name, ts) => name -> ts.map(_._2).max }
     // Locale.ROOT: the f-interpolator uses the JVM default locale, which
     // renders a comma decimal separator (invalid JSON) under e.g. de_DE.
     def fmt(v: Double): String =
@@ -96,15 +148,20 @@ object Bench {
     val sortedSpreads = spreads.map(_._2).sorted
     val spreadP50 = sortedSpreads(sortedSpreads.size / 2)
     val spreadMax = sortedSpreads.last
-    val spreadStats = s""""trials":2,"trial_order":"interleaved","retried":$nRetried,"spread_p50":${fmt(spreadP50)},"spread_max":${fmt(spreadMax)}"""
-    val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$spreadStats,"baseline":${jsonMap(baseline)},"queries":${jsonMap(results)},"spread":${jsonMap(spreads)},"sf":"$sfDir"}"""
+    val loadVals = loads.map(_._2).filter(_ >= 0).sorted
+    val loadStats =
+      if (loadVals.isEmpty) s""""load_p50":-1,"load_max":-1"""
+      else s""""load_p50":${fmt(loadVals(loadVals.size / 2))},"load_max":${fmt(loadVals.last)}"""
+    val spreadStats = s""""trials":2,"trial_order":"interleaved","retried":$nRetried,"isolated_n":${isolated.size},"spread_p50":${fmt(spreadP50)},"spread_max":${fmt(spreadMax)},$loadStats"""
+    val isoJson = jsonMap(isolated)
+    val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$spreadStats,"baseline":${jsonMap(baseline)},"isolated":$isoJson,"queries":${jsonMap(results)},"spread":${jsonMap(spreads)},"load":${jsonMap(loads)},"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
       java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
       println(s"full per-query timings -> ${p.toAbsolutePath}")
     } catch { case _: Throwable => () }
     val head = results.filter { case (k, _) => headline.contains(k) }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$spreadStats,"baseline":${jsonMap(baseline)},"queries":${jsonMap(head)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$spreadStats,"baseline":${jsonMap(baseline)},"isolated":$isoJson,"queries":${jsonMap(head)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
