@@ -25,6 +25,22 @@ object Streaming {
       StreamOps.dedupByEventId(Tables.events(s, d))
         .orderBy("event_type")),
 
+    // Keep-LAST-row dedup (Flink SQL dedup's other half — ROW_NUMBER
+    // ORDER BY rowtime DESC = 1): the newest row per user by
+    // (ts, event_id). Batch replay is the declarative per-key max_by
+    // (map-side-combining aggregate); the watermark-sealed streaming
+    // emission with cross-batch replacement is covered by StreamingSpec.
+    "stream_dedup_last" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Ev]
+      StreamOps.dedupKeepLast(ev, streaming = false)
+        .toDF()
+        .orderBy("user_id")
+    }),
+
     // The namesake two-level pane optimization as a chained streaming
     // aggregation (StreamOps.paneTwoLevel) — batch replay must equal
     // wnd_sliding bit-for-bit, so it shares that oracle; streaming
@@ -360,6 +376,16 @@ object Streaming {
         |  SELECT DISTINCT ON (event_id) event_id, event_type FROM events
         |  ORDER BY event_id, event_type
         |) GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // The newest row per user, ties broken by event_id descending —
+    // exactly the keep-last ROW_NUMBER formulation.
+    "stream_dedup_last" ->
+      """SELECT user_id, event_id, ts, event_type, value FROM (
+        |  SELECT user_id, event_id, ts::TIMESTAMP AS ts, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "stream_custom_trigger" ->
       """SELECT user_id, count(*) AS n_events,

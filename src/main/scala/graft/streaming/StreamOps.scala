@@ -128,6 +128,18 @@ case class OverRun(user_id: Long, event_id: Long, n_run: Long, sum_run: Double)
 /** Running (count, cents) pair — the O(1) unbounded-OVER state. */
 private[streaming] case class RunAgg(n: Long, cents: Long)
 
+/** The surviving LAST row per user from keep-last streaming dedup
+  * (StreamOps.dedupKeepLast): the key's newest event by (ts, event_id). */
+case class LastRow(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+                   event_type: String, value: Double)
+
+/** Keep-last dedup state: the current best row plus whether it has
+  * already been emitted (so a watermark advance without a newer row
+  * does not re-emit the same survivor). */
+private[streaming] case class LastState(ts_us: Long, event_id: Long,
+                                        event_type: String, value: Double,
+                                        emitted: Boolean)
+
 /** The pending rows of one event-time millisecond (the OVER family's
   * per-timestamp buffer entry — see OverFamilyProcessor). */
 private[streaming] case class PendGroup(rows: Seq[KeptEv])
@@ -489,6 +501,61 @@ private[streaming] class EarlyFireProcessor(windowMs: Long, fireEveryMs: Long)
   }
 }
 
+/** Flink SQL keep-LAST-row deduplication (`ROW_NUMBER() OVER
+  * (PARTITION BY key ORDER BY rowtime DESC) = 1` on an update stream) —
+  * the other half of the dedup pair whose keep-first flavor is
+  * `stream_dedup_watermark`: per key, the newest row by (ts, event_id)
+  * survives. Emission is WATERMARK-SEALED: the current best is held in
+  * ValueState and emitted only when the watermark passes its event time
+  * (one event-time timer, re-armed as newer rows replace the best), so
+  * a row is never emitted while an earlier-timestamped competitor could
+  * still arrive inside the watermark horizon. A row newer than an
+  * already-emitted survivor re-opens the key and emits a REPLACEMENT
+  * once sealed in turn — the append-mode analog of Flink's retract
+  * stream (the last emission per key is the answer; StreamingSpec pins
+  * the cross-batch replacement). State per key is one small tuple —
+  * O(keys), the same law as Flink's deduplication operator.
+  */
+private[streaming] class DedupLastProcessor
+    extends StatefulProcessor[Long, Ev, LastRow] {
+  @transient private var best: ValueState[LastState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    best = getHandle.getValueState[LastState]("best", Encoders.product[LastState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, events: Iterator[Ev],
+                               timers: TimerValues): Iterator[LastRow] = {
+    var st = if (best.exists()) best.get() else LastState(Long.MinValue, Long.MinValue, "", 0.0, emitted = true)
+    var changed = false
+    events.foreach { e =>
+      val t = StreamOps.tsMicros(e.ts)
+      if (t > st.ts_us || (t == st.ts_us && e.event_id > st.event_id)) {
+        st = LastState(t, e.event_id, e.event_type, e.value, emitted = false)
+        changed = true
+      }
+    }
+    if (changed) {
+      best.update(st)
+      // single live seal timer at the best row's event time: emission
+      // happens once the watermark proves nothing can displace it from
+      // BELOW (a newer row re-arms and later re-emits the replacement)
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(Math.floorDiv(st.ts_us, 1000L))
+    }
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                  expired: ExpiredTimerInfo): Iterator[LastRow] = {
+    if (!best.exists()) return Iterator.empty
+    val st = best.get()
+    if (st.emitted) return Iterator.empty
+    best.update(st.copy(emitted = true))
+    Iterator(LastRow(key, st.event_id, StreamOps.microsTs(st.ts_us),
+      st.event_type, st.value))
+  }
+}
+
 /** transformWithState form of the custom trigger (SURVEY §2.J / §2.L
   * "stateful processor" surface) — Spark 4's StatefulProcessor is the
   * direct analog of Flink's KeyedProcessFunction: explicit keyed
@@ -713,6 +780,33 @@ object StreamOps extends Serializable {
       }
   }
 
+  /** Keep-LAST-row dedup per user — see [[DedupLastProcessor]] for the
+    * watermark-sealed streaming semantics (RocksDB store; StreamingSpec
+    * covers cross-batch replacement). Batch replay — the oracle-gated
+    * surface — is the per-key `max_by` over (ts, event_id): one shuffle
+    * on the key, O(1) fold state per key, survivor output O(keys).
+    */
+  def dedupKeepLast(ev: Dataset[Ev], streaming: Boolean): Dataset[LastRow] = {
+    import ev.sparkSession.implicits._
+    if (streaming)
+      ev.withWatermark("ts", "10 minutes")
+        .groupByKey(_.user_id)
+        .transformWithState(new DedupLastProcessor,
+          TimeMode.EventTime(), OutputMode.Append())
+    else
+      // declarative max_by over the (ts, event_id) struct order — a real
+      // aggregate, so the map-side partial combines before the shuffle
+      // (the fold-in-mapGroups alternative would ship every raw row)
+      ev.toDF().groupBy(col("user_id"))
+        .agg(max_by(
+          struct(col("event_id"), col("ts"), col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("r"))
+        .select(col("user_id"), col("r.event_id").as("event_id"),
+          col("r.ts").as("ts"), col("r.event_type").as("event_type"),
+          col("r.value").as("value"))
+        .as[LastRow]
+  }
+
   /** transformWithState profile accumulator over MapState + ListState —
     * see ProfileProcessor. Streaming only (RocksDB store), exercised by
     * StreamingSpec.
@@ -730,7 +824,7 @@ object StreamOps extends Serializable {
     */
   private[streaming] def tsMicros(t: java.sql.Timestamp): Long =
     (t.getTime - t.getNanos / 1000000) * 1000L + t.getNanos / 1000
-  private def microsTs(us: Long): java.sql.Timestamp = {
+  private[streaming] def microsTs(us: Long): java.sql.Timestamp = {
     val t = new java.sql.Timestamp(us / 1000)
     t.setNanos((us % 1000000).toInt * 1000)
     t

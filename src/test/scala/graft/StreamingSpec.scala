@@ -1231,4 +1231,59 @@ class StreamingSpec extends SparkSuite {
       }
     }
   }
+
+  test("keep-last dedup: watermark seals the survivor; a newer cross-batch row re-emits a replacement") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = StreamOps.dedupKeepLast(ms.toDS(), streaming = true)
+        .writeStream.format("memory").queryName("dlast").outputMode("append").start()
+      // two rows for user 5 in one batch: only the newer is the best
+      ms.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 5, "click", 1.0),
+        Ev(2, ts("2024-01-01 10:05:00"), 5, "view", 2.0))
+      q.processAllAvailable()
+      // advance the watermark past 10:05, then one more batch so the
+      // seal timer fires (timers use the PREVIOUS batch's watermark)
+      ms.addData(Ev(3, ts("2024-01-01 11:00:00"), 9, "click", 1.0))
+      q.processAllAvailable()
+      ms.addData(Ev(4, ts("2024-01-01 11:00:01"), 9, "click", 1.0))
+      q.processAllAvailable()
+      val sealed5 = spark.table("dlast")
+        .as[(Long, Long, Timestamp, String, Double)].collect()
+        .filter(_._1 == 5L).map(r => (r._2, r._4, r._5)).toSeq
+      assert(sealed5 == Seq((2L, "view", 2.0)),
+        s"expected the sealed survivor (id 2) exactly once, got $sealed5")
+      // a NEWER user-5 row in a later batch replaces the emitted
+      // survivor once the watermark seals it in turn
+      ms.addData(Ev(6, ts("2024-01-01 12:00:00"), 5, "purchase", 3.0))
+      q.processAllAvailable()
+      ms.addData(Ev(7, ts("2024-01-01 13:00:00"), 9, "view", 1.0))
+      q.processAllAvailable()
+      ms.addData(Ev(8, ts("2024-01-01 13:30:00"), 9, "view", 1.0))
+      drain(q)
+      val rows5 = spark.table("dlast")
+        .as[(Long, Long, Timestamp, String, Double)].collect()
+        .filter(_._1 == 5L).map(r => (r._2, r._4, r._5)).sortBy(_._1).toSeq
+      assert(rows5 == Seq((2L, "view", 2.0), (6L, "purchase", 3.0)),
+        s"expected the replacement emission after the original, got $rows5")
+      // the last emission per key equals the batch replay's answer
+      val batch = StreamOps.dedupKeepLast(
+        Seq(Ev(1, ts("2024-01-01 10:00:00"), 5, "click", 1.0),
+          Ev(2, ts("2024-01-01 10:05:00"), 5, "view", 2.0),
+          Ev(6, ts("2024-01-01 12:00:00"), 5, "purchase", 3.0)).toDS(),
+        streaming = false)
+        .as[(Long, Long, Timestamp, String, Double)].collect()
+        .map(r => (r._1, r._2, r._4, r._5)).toSet
+      assert(batch == Set((5L, 6L, "purchase", 3.0)),
+        s"batch replay disagrees with the final survivor: $batch")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
