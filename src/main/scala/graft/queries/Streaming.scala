@@ -130,6 +130,24 @@ object Streaming {
         .orderBy("user_id", "window_start")
     }),
 
+    // FIRE_AND_PURGE periodic firing (PurgingTrigger analog): state
+    // cleared on every 15 min event-time fire, so emissions are
+    // per-interval DELTAS of the 1 h window instead of growing
+    // partials. Batch replay — the oracle-gated surface — is the
+    // per-interval aggregation with exact-micros boundaries; the
+    // streaming pane emission and the delta-vs-partial identity are
+    // covered by StreamingSpec.
+    "stream_early_fire_purge" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Ev]
+      StreamOps.earlyFirePurgeWindow(ev, streaming = false)
+        .toDF()
+        .orderBy("user_id", "window_start", "fire_ts")
+    }),
+
     // Single-pass side-output routing (OutputTag analog): every event
     // exactly once with a route label — 'late' from the stateful
     // per-user out-of-order detector (14-day horizon under the
@@ -447,6 +465,24 @@ object Streaming {
         |       CAST(sum(round(value * 100)) AS DOUBLE) / 100 AS sum_value,
         |       'final' AS emit_kind
         |FROM events GROUP BY 1, 2 ORDER BY user_id, window_start""".stripMargin,
+
+    // Interval-end boundary in exact integer micros on both engines:
+    // fires cover (b - 15 min, b], a row at the exact window start
+    // rides the first fire (GREATEST(1, ...)). Cents derive exactly
+    // like the Scala fold.
+    "stream_early_fire_purge" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS us, value FROM events),
+        |k AS (SELECT user_id, (us // 3600000000) * 3600000000 AS ws_us,
+        |             us - (us // 3600000000) * 3600000000 AS off_us, value
+        |      FROM e)
+        |SELECT user_id,
+        |  make_timestamp(ws_us) AS window_start,
+        |  make_timestamp(ws_us + GREATEST(1, (off_us + 900000000 - 1) // 900000000)
+        |                 * 900000000) AS fire_ts,
+        |  count(*) AS n_events,
+        |  CAST(sum(round(value * 100)) AS DOUBLE) / 100 AS sum_value
+        |FROM k GROUP BY 1, 2, 3
+        |ORDER BY user_id, window_start, fire_ts""".stripMargin,
 
     // The md5(event_id) scramble IS the arrival order on both engines.
     "stream_side_outputs" ->

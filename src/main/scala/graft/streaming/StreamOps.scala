@@ -78,6 +78,12 @@ case class EarlyFire(user_id: Long, window_start: java.sql.Timestamp,
 
 private[streaming] case class FireAgg(n_events: Long, sum_cents: Long)
 
+/** One per-interval DELTA emission from the purging early-fire window
+  * (StreamOps.earlyFirePurgeWindow): the (count, sum) of the window's
+  * rows inside the 15 min firing interval ending at `fire_ts`. */
+case class FirePurge(user_id: Long, window_start: java.sql.Timestamp,
+                     fire_ts: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
 /** One routed event from the single-pass side-output split
   * (StreamOps.sideOutputs). */
 case class Routed(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -498,6 +504,67 @@ private[streaming] class EarlyFireProcessor(windowMs: Long, fireEveryMs: Long)
     if (isFinal) agg.clear()
     Iterator(EarlyFire(key._1, new java.sql.Timestamp(key._2), st.n_events,
       st.sum_cents / 100.0, if (isFinal) "final" else "partial"))
+  }
+}
+
+/** Flink FIRE_AND_PURGE trigger semantics
+  * (`PurgingTrigger.of(ContinuousEventTimeTrigger.of(15 min))` on a 1 h
+  * tumbling window): every periodic firing EMITS AND CLEARS, so
+  * emissions are per-interval DELTAS instead of growing partials —
+  * [[EarlyFireProcessor]]'s accumulate-and-retain turned into
+  * emit-and-forget. One deliberate refinement over Flink's trigger:
+  * deltas partition by EVENT time, not arrival time — each row
+  * accumulates into the pane of its own firing interval (MapState
+  * keyed by the interval-end millisecond), and a timer firing at
+  * boundary b emits and purges exactly pane b. Flink's PurgingTrigger
+  * fires whatever has ARRIVED since the last purge, so a single burst
+  * spanning two boundaries smears into one delta; the pane form is
+  * deterministic under any batch packing (it equals Flink's behavior
+  * whenever arrival respects boundaries) and is what the batch oracle
+  * replays. A fired pane can never be reopened: its timer fires only
+  * once the watermark passes the boundary, and rows at or behind the
+  * watermark are dropped by event-time mode before reaching the
+  * processor. State per open (key, window) is at most
+  * window/interval (count, cents) pairs — stricter than the retained
+  * single aggregate only by that constant factor, still O(1).
+  */
+private[streaming] class PurgeFireProcessor(windowMs: Long, fireEveryMs: Long)
+    extends StatefulProcessor[(Long, Long), Ev, FirePurge] {
+  @transient private var panes: org.apache.spark.sql.streaming.MapState[Long, FireAgg] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    panes = getHandle.getMapState[Long, FireAgg]("panes",
+      Encoders.scalaLong, Encoders.product[FireAgg], TTLConfig.NONE)
+
+  override def handleInputRows(key: (Long, Long), events: Iterator[Ev],
+                               timers: TimerValues): Iterator[FirePurge] = {
+    events.foreach { e =>
+      val tMs = Math.floorDiv(StreamOps.tsMicros(e.ts), 1000L)
+      val off = tMs - key._2
+      // interval-end boundary: fires cover (b - interval, b], a row at
+      // the exact window start rides the first fire
+      val k = math.max(1L, (off + fireEveryMs - 1) / fireEveryMs)
+      val fireMs = key._2 + math.min(k * fireEveryMs, windowMs)
+      if (panes.containsKey(fireMs)) {
+        val cur = panes.getValue(fireMs)
+        panes.updateValue(fireMs,
+          FireAgg(cur.n_events + 1, cur.sum_cents + math.round(e.value * 100)))
+      } else {
+        panes.updateValue(fireMs, FireAgg(1L, math.round(e.value * 100)))
+        getHandle.registerTimer(fireMs) // first row of the pane arms its fire
+      }
+    }
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: (Long, Long), timers: TimerValues,
+                                  expired: ExpiredTimerInfo): Iterator[FirePurge] = {
+    val fireMs = expired.getExpiryTimeInMs()
+    if (!panes.containsKey(fireMs)) return Iterator.empty
+    val st = panes.getValue(fireMs)
+    panes.removeKey(fireMs) // FIRE_AND_PURGE: the fired pane's state is gone
+    Iterator(FirePurge(key._1, new java.sql.Timestamp(key._2),
+      new java.sql.Timestamp(fireMs), st.n_events, st.sum_cents / 100.0))
   }
 }
 
@@ -1312,6 +1379,42 @@ object StreamOps extends Serializable {
           EarlyFire(key._1, new java.sql.Timestamp(key._2), st.n_events,
             st.sum_cents / 100.0, "final")
       }
+  }
+
+  /** FIRE_AND_PURGE periodic firing over 1 h tumbling per-user windows
+    * (Flink `PurgingTrigger(ContinuousEventTimeTrigger.of(15 min))`) —
+    * see [[PurgeFireProcessor]] for the event-time pane semantics.
+    * Emissions are per-interval deltas; their per-(key, window) sum
+    * equals [[earlyFireWindow]]'s retained final (addition is
+    * associative — StreamingSpec asserts the identity). Batch replay —
+    * the oracle-gated surface — is the per-interval tumbling
+    * aggregation itself: one composite-key groupBy with a map-side
+    * partial, interval boundaries computed in exact micros.
+    */
+  def earlyFirePurgeWindow(ev: Dataset[Ev], streaming: Boolean): Dataset[FirePurge] = {
+    import ev.sparkSession.implicits._
+    val winUs = 3600000000L
+    val fireUs = 900000000L
+    if (streaming)
+      ev.withWatermark("ts", "10 minutes")
+        .groupByKey(e =>
+          (e.user_id, Math.floorDiv(tsMicros(e.ts), winUs) * (winUs / 1000L)))
+        .transformWithState(new PurgeFireProcessor(3600000L, 900000L),
+          TimeMode.EventTime(), OutputMode.Append())
+    else
+      ev.map { e =>
+        val us = tsMicros(e.ts)
+        val ws = Math.floorDiv(us, winUs) * winUs
+        val off = us - ws
+        val k = math.max(1L, (off + fireUs - 1) / fireUs)
+        (e.user_id, ws, ws + k * fireUs, math.round(e.value * 100))
+      }.toDF("user_id", "ws_us", "fire_us", "cents")
+        .groupBy("user_id", "ws_us", "fire_us")
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sc"))
+        .select(col("user_id"), expr("timestamp_micros(ws_us)").as("window_start"),
+          expr("timestamp_micros(fire_us)").as("fire_ts"), col("n_events"),
+          (col("sc").cast("double") / 100).as("sum_value"))
+        .as[FirePurge]
   }
 
   /** Single-pass side-output routing (Flink `OutputTag` beyond late

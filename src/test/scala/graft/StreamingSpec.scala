@@ -1232,6 +1232,56 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("FIRE_AND_PURGE: per-interval deltas, fired panes purge, deltas sum to the retained final") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val data = Seq(
+        Ev(1, ts("2024-01-01 10:01:00"), 7, "click", 1.25),
+        Ev(2, ts("2024-01-01 10:05:00"), 7, "click", 2.00),
+        Ev(3, ts("2024-01-01 10:20:00"), 7, "click", 3.00))
+      val ms = MemoryStream[Ev]
+      val q = StreamOps.earlyFirePurgeWindow(ms.toDS(), streaming = true)
+        .writeStream.format("memory").queryName("purge").outputMode("append").start()
+      ms.addData(data: _*)
+      q.processAllAvailable()
+      // advance the watermark past 10:30, then one more batch so both
+      // pane timers (10:15, 10:30) fire
+      ms.addData(Ev(4, ts("2024-01-01 10:45:00"), 9, "view", 1.0))
+      q.processAllAvailable()
+      ms.addData(Ev(5, ts("2024-01-01 10:46:00"), 9, "view", 1.0))
+      drain(q)
+      val deltas = spark.table("purge")
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect()
+        .filter(_._1 == 7L).sortBy(_._3.getTime).toSeq
+      // event-time panes: (10:01, 10:05] ride the 10:15 fire, 10:20 the
+      // 10:30 one — each fire emitted its pane's DELTA and purged it
+      assert(deltas == Seq(
+        (7L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:15:00"), 2L, 3.25),
+        (7L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00"), 1L, 3.00)),
+        s"expected two purged pane deltas, got $deltas")
+      // delta-vs-partial: the deltas sum to the retained-state final the
+      // non-purging trigger emits (addition is associative)
+      val fin = StreamOps.earlyFireWindow(data.toDS(), streaming = false)
+        .collect().filter(_.user_id == 7L)
+      assert(fin.map(f => (f.n_events, f.sum_value)).toSeq == Seq((3L, 6.25)) &&
+        deltas.map(_._4).sum == fin.head.n_events &&
+        math.abs(deltas.map(_._5).sum - fin.head.sum_value) < 1e-9,
+        s"pane deltas ${deltas} do not sum to the retained final ${fin.toSeq}")
+      // event-time determinism: streaming emission == batch replay row-set
+      val batch = StreamOps.earlyFirePurgeWindow(data.toDS(), streaming = false)
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+      assert(batch == deltas.toSet,
+        s"batch replay disagrees with streaming panes: $batch vs $deltas")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("keep-last dedup: watermark seals the survivor; a newer cross-batch row re-emits a replacement") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
