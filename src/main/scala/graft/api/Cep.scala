@@ -321,6 +321,27 @@ object Cep {
       (si, ei, ctx) => conds(si)(events(ei), ctx.map(_.toIndexedSeq.map(events))))
   }
 
+  /** MATCH_RECOGNIZE MEASURES support (Flink CEP's
+    * `PatternProcessFunction` match map / SQL `MEASURES avg(C.value),
+    * last(P.ts)`): run the sequential matcher and return, per match,
+    * each ORIGINAL step's consumed rows in consumption order, so the
+    * caller projects arbitrary per-step aggregates of the matched rows
+    * into the output. Absent optional steps report an empty seq; in
+    * relaxed modes the rows of one step are contiguous but steps may be
+    * separated by skipped gap rows (exactly the rows `stepCounts`
+    * counts). Semantics are [[matchSequence]]'s — same anchors, same
+    * greedy resolution, same skip/WITHIN — with the consumption context
+    * the matcher already threads snapshotted at emission instead of
+    * discarded. The distributed form is a per-key flatMapGroups (e.g.
+    * graft.queries.Analytic's event_cep_measures), the same placement
+    * as every other per-key CEP path here.
+    */
+  def matchSequenceMeasures[E](events: IndexedSeq[E], tsUs: E => Long, sym: E => String,
+                               pattern: CepPattern): Seq[(CepSeqMatch, IndexedSeq[IndexedSeq[E]])] =
+    matchCoreRows(events.size, i => tsUs(events(i)), pattern,
+      (si, ei, _) => sym(events(ei)) == pattern.steps(si).symbol)
+      .map { case (m, rows) => (m, rows.map(_.map(events))) }
+
   /** Generalized sequential matcher: all contiguity modes (strict,
     * relaxed first-run, relaxed any-run), quantifiers, negation, WITHIN
     * and skip strategies over an abstract step-satisfaction oracle.
@@ -332,7 +353,19 @@ object Cep {
     * cross-validation and compile property gates pin that reduction.
     */
   private[graft] def matchCore(n: Int, tsUsAt: Int => Long, pattern: CepPattern,
-                               sat: CepSat): Seq[CepSeqMatch] = {
+                               sat: CepSat): Seq[CepSeqMatch] =
+    matchCoreRows(n, tsUsAt, pattern, sat).map(_._1)
+
+  /** [[matchCore]] with the consumption context SNAPSHOTTED at each
+    * emission: per match, each ORIGINAL step's consumed event indices in
+    * consumption order (absent optional steps report an empty seq) —
+    * the structure MATCH_RECOGNIZE MEASURES projects per-step aggregates
+    * from ([[matchSequenceMeasures]]). The snapshot is taken exactly
+    * when a match resolves, so backtracking and the any-run DFS never
+    * alias into an emitted match's rows.
+    */
+  private[graft] def matchCoreRows(n: Int, tsUsAt: Int => Long, pattern: CepPattern,
+                                   sat: CepSat): Seq[(CepSeqMatch, IndexedSeq[IndexedSeq[Int]])] = {
     val steps = pattern.steps
     val withinUs = pattern.withinUs
     def withinOk(m: CepSeqMatch): Boolean =
@@ -342,11 +375,13 @@ object Cep {
       val consumed = Array.fill(steps.size)(scala.collection.mutable.ArrayBuffer.empty[Int])
       (consumed, scala.collection.immutable.ArraySeq.unsafeWrapArray(consumed))
     }
+    def snap(consumed: Array[scala.collection.mutable.ArrayBuffer[Int]]): IndexedSeq[IndexedSeq[Int]] =
+      consumed.toIndexedSeq.map(_.toIndexedSeq)
     // strict: greedy backtracking over contiguous rows; within is a
     // post-check on the single greedy resolution. Rows are accepted one
     // by one so each acceptance test sees the rows consumed before it
     // (context prefix-closure keeps backtracked prefixes valid).
-    def tryStrict(p: Int): Option[CepSeqMatch] = {
+    def tryStrict(p: Int): Option[(CepSeqMatch, IndexedSeq[IndexedSeq[Int]])] = {
       val (consumed, ctx) = newCtx()
       val counts = Array.fill(steps.size)(0)
       def go(si: Int, pos: Int): Int = {
@@ -375,7 +410,10 @@ object Cep {
       }
       val e = go(0, p)
       if (e < 0) None
-      else Some(CepSeqMatch(p, e - 1, counts.toIndexedSeq)).filter(withinOk)
+      else {
+        val m = CepSeqMatch(p, e - 1, counts.toIndexedSeq)
+        if (withinOk(m)) Some((m, snap(consumed))) else None
+      }
     }
     // relaxed head consumption, shared by first-run and any-run walks:
     // capped greedy contiguous prefix from the anchor. Returns the
@@ -396,7 +434,7 @@ object Cep {
     // between steps, capped contiguous consumption per step aligned to
     // the FIRST satisfying run); within is part of each alternative's
     // success; presence-priority order wins
-    def walkAlt(p: Int, presentIdx: Seq[Int]): Option[CepSeqMatch] = {
+    def walkAlt(p: Int, presentIdx: Seq[Int]): Option[(CepSeqMatch, IndexedSeq[IndexedSeq[Int]])] = {
       val (consumed, ctx) = newCtx()
       val counts = Array.fill(steps.size)(0)
       val c1 = consumeHead(p, presentIdx.head, consumed, ctx)
@@ -426,17 +464,17 @@ object Cep {
         end = q + t2 - 1
         i += 1
       }
-      Some(CepSeqMatch(p, end, counts.toIndexedSeq))
+      Some((CepSeqMatch(p, end, counts.toIndexedSeq), snap(consumed)))
     }
-    def tryRelaxed(p: Int): Option[CepSeqMatch] =
+    def tryRelaxed(p: Int): Option[(CepSeqMatch, IndexedSeq[IndexedSeq[Int]])] =
       pattern.alternatives.iterator
-        .flatMap(walkAlt(p, _).filter(withinOk).iterator).nextOption()
+        .flatMap(walkAlt(p, _).filter(r => withinOk(r._1)).iterator).nextOption()
     // relaxed ANY (followedByAny): later steps align to EVERY following
     // satisfying run (DFS over run choices), each consuming its capped
     // greedy prefix; a negated gap row blocks all later alignments of
     // that step. Emits every combination passing quantifiers + WITHIN.
     def walkAltAny(p: Int, presentIdx: Seq[Int],
-                   out: scala.collection.mutable.ArrayBuffer[CepSeqMatch]): Unit = {
+                   out: scala.collection.mutable.ArrayBuffer[(CepSeqMatch, IndexedSeq[IndexedSeq[Int]])]): Unit = {
       val (consumed, ctx) = newCtx()
       val counts = Array.fill(steps.size)(0)
       val c1 = consumeHead(p, presentIdx.head, consumed, ctx)
@@ -445,7 +483,7 @@ object Cep {
       def rec(i: Int, pos: Int): Unit = {
         if (i == presentIdx.size) {
           val m = CepSeqMatch(p, pos - 1, counts.toIndexedSeq)
-          if (withinOk(m)) out += m
+          if (withinOk(m)) out += ((m, snap(consumed)))
           return
         }
         val stIdx = presentIdx(i)
@@ -476,7 +514,7 @@ object Cep {
       }
       rec(1, p + c1)
     }
-    val out = scala.collection.mutable.ArrayBuffer.empty[CepSeqMatch]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(CepSeqMatch, IndexedSeq[IndexedSeq[Int]])]
     var p = 0
     if (pattern.anyMatch) {
       while (p < n) {
@@ -484,12 +522,12 @@ object Cep {
         p += 1
       }
     } else {
-      def tryAt(q: Int): Option[CepSeqMatch] =
+      def tryAt(q: Int): Option[(CepSeqMatch, IndexedSeq[IndexedSeq[Int]])] =
         if (pattern.strict) tryStrict(q) else tryRelaxed(q)
       while (p < n) {
         (tryAt(p), pattern.skip) match {
-          case (Some(m), SkipPastLastRow) => out += m; p = m.endIdx + 1
-          case (Some(m), SkipToNextRow) => out += m; p += 1
+          case (Some(r), SkipPastLastRow) => out += r; p = r._1.endIdx + 1
+          case (Some(r), SkipToNextRow) => out += r; p += 1
           case _ => p += 1
         }
       }

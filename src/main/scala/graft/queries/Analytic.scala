@@ -140,6 +140,25 @@ object Analytic {
           col("first_run_ts").as("first_click_ts"))
         .orderBy("user_id", "purchase_id")),
 
+    // MATCH_RECOGNIZE MEASURES over pattern variables: the same C+ P
+    // WITHIN 10 min matches as event_cep, each projecting per-step row
+    // aggregates — click-run count/first/last plus exact-cents
+    // sum/avg/max of the run's values and the purchase row's value —
+    // from the sequential matcher's consumption context
+    // (Cep.matchSequenceMeasures; the strict WITHIN anchor-advance
+    // consumes exactly the run's qualifying suffix, so the oracle is
+    // the event_cep islands rewrite extended with the aggregates).
+    "event_cep_measures" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Ev]
+      StreamOps.cepMeasures(ev, withinMinutes = 10)
+        .toDF()
+        .orderBy("user_id", "purchase_id")
+    }),
+
     // ---- general CEP pattern compiler (api.Cep.compile) ----
     // Each key compiles a CepPattern spec to the distributed
     // gaps-and-islands form; the oracle below is GENERATED from the same
@@ -526,6 +545,34 @@ object Analytic {
         |c AS (SELECT user_id, blk, ts AS cts FROM t WHERE event_type = 'click')
         |SELECT p.user_id, purchase_id, purchase_ts,
         |       count(*) AS n_clicks, min(cts) AS first_click_ts
+        |FROM p JOIN c ON c.user_id = p.user_id AND c.blk = p.pblk
+        |WHERE cts >= purchase_ts - INTERVAL 10 MINUTE
+        |GROUP BY p.user_id, purchase_id, purchase_ts
+        |ORDER BY p.user_id, purchase_id""".stripMargin,
+
+    // event_cep's islands rewrite extended with the MEASURES
+    // aggregates; cents derive exactly like the Scala fold
+    // (round(cval*100), summed/compared as exact integers), and avg is
+    // one double division of exact operands on both engines.
+    "event_cep_measures" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    sum(CASE WHEN event_type != 'click' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS blk
+        |  FROM events),
+        |p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id,
+        |             value AS pval, blk - 1 AS pblk
+        |      FROM t WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, blk, ts AS cts, value AS cval
+        |      FROM t WHERE event_type = 'click')
+        |SELECT p.user_id, purchase_id, purchase_ts,
+        |       count(*) AS n_clicks,
+        |       min(cts) AS first_click_ts, max(cts) AS last_click_ts,
+        |       CAST(sum(round(cval * 100)) AS DOUBLE) / 100 AS sum_click,
+        |       CAST(sum(round(cval * 100)) AS DOUBLE) / (100 * count(*)) AS avg_click,
+        |       CAST(max(round(cval * 100)) AS DOUBLE) / 100 AS max_click,
+        |       any_value(pval) AS purchase_value
         |FROM p JOIN c ON c.user_id = p.user_id AND c.blk = p.pblk
         |WHERE cts >= purchase_ts - INTERVAL 10 MINUTE
         |GROUP BY p.user_id, purchase_id, purchase_ts

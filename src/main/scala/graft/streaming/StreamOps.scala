@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateT
   OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 import org.apache.spark.sql.types._
 import graft.Det
-import graft.api.{Cep, CepEvent, CepPattern, CepSeqMatch, SkipPastLastRow, SkipToNextRow}
+import graft.api.{Cep, CepEvent, CepPattern, CepSeqMatch, CepStep, SkipPastLastRow, SkipToNextRow}
 
 /** Event row after ts normalization (micros timestamp). */
 case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -21,6 +21,14 @@ case class CepMatch(user_id: Long, purchase_id: Long, purchase_ts: java.sql.Time
 
 /** CEP keyed state: epoch-micros of the clicks in the current run. */
 private[streaming] case class CepState(run: Seq[Long])
+
+/** One `C+ P` match with MEASURES (StreamOps.cepMeasures): the per-step
+  * row aggregates MATCH_RECOGNIZE projects — click-run count/span plus
+  * sum/avg/max of the run's values and the purchase row's own value. */
+case class CepMeasured(user_id: Long, purchase_id: Long, purchase_ts: java.sql.Timestamp,
+                       n_clicks: Long, first_click_ts: java.sql.Timestamp,
+                       last_click_ts: java.sql.Timestamp, sum_click: Double,
+                       avg_click: Double, max_click: Double, purchase_value: Double)
 
 /** One general-pattern CEP match (StreamOps.cepPattern / api.Cep.compile —
   * same schema as the compiled batch form). */
@@ -1499,6 +1507,46 @@ object StreamOps extends Serializable {
           CepPatMatch(user, evs(m.startIdx).event_id, evs(m.startIdx).ts,
             evs(m.endIdx).event_id, evs(m.endIdx).ts,
             m.nRows.toLong, m.stepCounts.mkString(","))
+        }
+    }
+  }
+
+  /** CEP MEASURES over pattern variables (SQL MATCH_RECOGNIZE
+    * `MEASURES sum(C.value), avg(C.value), last(P.ts)`; Flink CEP's
+    * match map handed to PatternProcessFunction): the `C+ P WITHIN n`
+    * pattern with per-step row AGGREGATES projected into each match —
+    * count/first/last of the click run, exact-cents sum/avg/max of its
+    * values, and the purchase row's value. Runs on
+    * [[graft.api.Cep.matchSequenceMeasures]] — the sequential matcher
+    * with its consumption context snapshotted at emission — one
+    * flatMapGroups per key, per-key linear, the same placement as every
+    * other per-key CEP path.
+    *
+    * The strict matcher's WITHIN (span check with anchor advance)
+    * consumes exactly the run's qualifying SUFFIX — the rows with
+    * `ts >= purchase_ts - within` — because a run is time-ordered, so
+    * the aggregates equal the event_cep contract semantics (WITHIN
+    * filters run rows) and the oracle is the same islands rewrite
+    * extended with the per-step aggregates. Cross-checked against an
+    * independent sequential fold on random sequences in CepSpec.
+    */
+  def cepMeasures(ev: Dataset[Ev], withinMinutes: Int): Dataset[CepMeasured] = {
+    import ev.sparkSession.implicits._
+    val pattern = CepPattern(
+      Seq(CepStep("click", 1, None), CepStep("purchase", 1, Some(1))),
+      Some(withinMinutes), SkipPastLastRow, strict = true)
+    ev.groupByKey(_.user_id).flatMapGroups { (user: Long, events: Iterator[Ev]) =>
+      val evs = events.toIndexedSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+      Cep.matchSequenceMeasures[Ev](evs, e => tsMicros(e.ts), _.event_type, pattern)
+        .iterator.map { case (_, stepRows) =>
+          val clicks = stepRows(0)
+          val pur = stepRows(1).head
+          val cents = clicks.map(c => math.round(c.value * 100))
+          val sc = cents.sum
+          CepMeasured(user, pur.event_id, pur.ts, clicks.size.toLong,
+            clicks.head.ts, clicks.last.ts,
+            sc / 100.0, sc.toDouble / (100.0 * clicks.size),
+            cents.max / 100.0, pur.value)
         }
     }
   }

@@ -455,6 +455,65 @@ class CepSpec extends SparkSuite {
     assert(nonEmpty >= 15, s"only $nonEmpty/20 iterative trials produced matches")
   }
 
+  test("MEASURES projection == independent run fold (C+ P WITHIN, per-step row aggregates)") {
+    // event_cep_measures' semantics reimplemented from scratch: scan in
+    // (ts, ord) order keeping the current contiguous click run; at a
+    // purchase, the qualifying suffix is the run rows within the bound,
+    // and the measures are computed DIRECTLY from that filter — never
+    // via the matcher's consumption context, which is what this pins
+    // (matchSequenceMeasures must consume exactly those rows).
+    val rnd = new scala.util.Random(131)
+    val withinUs = 10L * 60L * 1000000L
+    val pat = CepPattern(
+      Seq(CepStep("click", 1, None), CepStep("purchase", 1, Some(1))),
+      Some(10), SkipPastLastRow, strict = true)
+    val syms = Vector("click", "click", "click", "purchase", "view")
+    type E = (String, Long, Long, Double) // sym, tsUs, ord, value
+    def meas(k: Long, clicks: Seq[E], p: E) = {
+      val cents = clicks.map(c => math.round(c._4 * 100))
+      val sc = cents.sum
+      (k, p._3, clicks.size, clicks.head._2, clicks.last._2,
+        sc, sc.toDouble / (100.0 * clicks.size), cents.max, p._4)
+    }
+    var nonEmpty = 0
+    for (trial <- 0 until 30) {
+      var ord = 0L
+      val byKey = (0 until 3).map { k =>
+        var tsUs = 0L
+        k.toLong -> (0 until 50).map { _ =>
+          tsUs += (1 + rnd.nextInt(8)) * 60L * 1000000L // some clicks age out of the bound
+          ord += 1
+          (syms(rnd.nextInt(syms.size)), tsUs, ord, rnd.nextInt(10000) / 100.0)
+        }.toIndexedSeq
+      }
+      val want = byKey.flatMap { case (k, rows) =>
+        var run = Vector.empty[E]
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Int, Long, Long, Long, Double, Long, Double)]
+        rows.foreach { e =>
+          e._1 match {
+            case "click" => run :+= e
+            case "purchase" =>
+              val hits = run.filter(c => c._2 >= e._2 - withinUs)
+              if (hits.nonEmpty) out += meas(k, hits, e)
+              run = Vector.empty
+            case _ => run = Vector.empty
+          }
+        }
+        out
+      }.toSet
+      val got = byKey.flatMap { case (k, rows) =>
+        Cep.matchSequenceMeasures[E](rows, _._2, _._1, pat).map { case (_, stepRows) =>
+          meas(k, stepRows(0), stepRows(1).head)
+        }
+      }.toSet
+      if (want.nonEmpty) nonEmpty += 1
+      assert(got == want,
+        s"trial $trial:\n missing=${(want -- got).take(3)}\n extra=${(got -- want).take(3)}")
+    }
+    assert(nonEmpty >= 25, s"only $nonEmpty/30 measure trials produced matches")
+  }
+
   test("declared event_cep_* patterns match the reference on the sf0.001 fixture") {
     val ev = Tables.events(spark, sf001)
     val raw = ev.select(col("user_id"), col("event_type"),
