@@ -159,6 +159,22 @@ object Analytic {
         .orderBy("user_id", "purchase_id")
     }),
 
+    // ALL ROWS PER MATCH (SQL-standard MATCH_RECOGNIZE output mode,
+    // beyond Flink CEP): every consumed row of every C+ P match,
+    // tagged with match identity (ending purchase), step symbol, and
+    // consumption position — the row-level companion of
+    // event_cep_measures, same matches, same per-key placement.
+    "event_cep_all_rows" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Ev]
+      StreamOps.cepAllRows(ev, withinMinutes = 10)
+        .toDF()
+        .orderBy("user_id", "purchase_id", "pos")
+    }),
+
     // ---- general CEP pattern compiler (api.Cep.compile) ----
     // Each key compiles a CepPattern spec to the distributed
     // gaps-and-islands form; the oracle below is GENERATED from the same
@@ -577,6 +593,39 @@ object Analytic {
         |WHERE cts >= purchase_ts - INTERVAL 10 MINUTE
         |GROUP BY p.user_id, purchase_id, purchase_ts
         |ORDER BY p.user_id, purchase_id""".stripMargin,
+
+    // The islands rewrite's matches exploded back to their consumed
+    // rows: qualifying clicks plus the ending purchase, positioned by
+    // per-match (ts, event_id) row_number = consumption order.
+    "event_cep_all_rows" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    sum(CASE WHEN event_type != 'click' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS blk
+        |  FROM events),
+        |p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id,
+        |             value AS pval, blk - 1 AS pblk
+        |      FROM t WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, blk, ts AS cts, event_id AS c_id, value AS cval
+        |      FROM t WHERE event_type = 'click'),
+        |m AS (SELECT p.user_id, purchase_id, any_value(purchase_ts) AS purchase_ts,
+        |             any_value(pval) AS pval, any_value(p.pblk) AS pblk
+        |      FROM p JOIN c ON c.user_id = p.user_id AND c.blk = p.pblk
+        |      WHERE cts >= purchase_ts - INTERVAL 10 MINUTE
+        |      GROUP BY p.user_id, purchase_id),
+        |r AS (SELECT m.user_id, m.purchase_id, c.c_id AS event_id, c.cts AS ts,
+        |             'click' AS step, c.cval AS value
+        |      FROM m JOIN c ON c.user_id = m.user_id AND c.blk = m.pblk
+        |       AND c.cts >= m.purchase_ts - INTERVAL 10 MINUTE
+        |      UNION ALL
+        |      SELECT user_id, purchase_id, purchase_id, purchase_ts,
+        |             'purchase', pval FROM m)
+        |SELECT user_id, purchase_id,
+        |       row_number() OVER (PARTITION BY user_id, purchase_id
+        |                          ORDER BY ts, event_id) AS pos,
+        |       event_id, ts, step, value
+        |FROM r ORDER BY user_id, purchase_id, pos""".stripMargin,
 
     "topk_per_group" ->
       """SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM (

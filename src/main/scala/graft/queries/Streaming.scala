@@ -360,6 +360,21 @@ object Streaming {
         .orderBy("user_id", "start_id")
     }),
 
+    // MEASURES under seal-aware incremental emission: the stateful
+    // sibling of event_cep_measures — batch replay shares its oracle;
+    // cross-batch sealed emission with value-carrying buffer state is
+    // covered by StreamingSpec (StreamOps.cepMeasuresStream).
+    "stream_cep_measures" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Ev]
+      StreamOps.cepMeasuresStream(ev, withinMinutes = 10, streaming = false)
+        .toDF()
+        .orderBy("user_id", "purchase_id")
+    }),
+
     // Stateful CEP (Flink CEP `C+ P WITHIN 10 min`): batch replay of the
     // flatMapGroupsWithState pattern matcher — row-identical to the
     // event_cep gaps-and-islands rewrite, which is what the oracle pins.
@@ -378,6 +393,7 @@ object Streaming {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_cep_measures" -> Analytic.oracles("event_cep_measures"),
     "stream_cep_pattern" -> graft.api.Cep.oracleSql(Analytic.CepPatterns.quant),
     "stream_cep_relaxed" -> graft.api.Cep.oracleSql(Analytic.CepPatterns.relaxed),
     "stream_cep_where" -> graft.api.Cep.oracleSqlWhere(Analytic.CepPatterns.where),

@@ -30,6 +30,12 @@ case class CepMeasured(user_id: Long, purchase_id: Long, purchase_ts: java.sql.T
                        last_click_ts: java.sql.Timestamp, sum_click: Double,
                        avg_click: Double, max_click: Double, purchase_value: Double)
 
+/** One consumed row of the ALL ROWS PER MATCH projection
+  * (StreamOps.cepAllRows): the row itself plus its match identity
+  * (the ending purchase), step symbol, and consumption position. */
+case class CepMatchRow(user_id: Long, purchase_id: Long, pos: Long, event_id: Long,
+                       ts: java.sql.Timestamp, step: String, value: Double)
+
 /** One general-pattern CEP match (StreamOps.cepPattern / api.Cep.compile —
   * same schema as the compiled batch form). */
 case class CepPatMatch(user_id: Long, start_id: Long, start_ts: java.sql.Timestamp,
@@ -38,6 +44,12 @@ case class CepPatMatch(user_id: Long, start_id: Long, start_ts: java.sql.Timesta
 
 /** General-CEP keyed state: the unconsumed (sym, tsUs, ord) buffer tail. */
 private[streaming] case class CepPatState(syms: Seq[String], ts: Seq[Long], ords: Seq[Long])
+
+/** CEP buffer state carrying row VALUES too — the MEASURES streaming
+  * matcher must re-derive per-step aggregates from retained rows
+  * (StreamOps.cepMeasuresStream). */
+private[streaming] case class CepValState(syms: Seq[String], ts: Seq[Long],
+                                          ids: Seq[Long], vals: Seq[Double])
 
 private[streaming] case class UserAgg(n_events: Long, sum_cents: Long, max_ts_ms: Long)
 
@@ -1547,6 +1559,84 @@ object StreamOps extends Serializable {
             clicks.head.ts, clicks.last.ts,
             sc / 100.0, sc.toDouble / (100.0 * clicks.size),
             cents.max / 100.0, pur.value)
+        }
+    }
+  }
+
+  /** MEASURES under seal-aware INCREMENTAL streaming emission — the
+    * stateful sibling of [[cepMeasures]], running the same C+ P WITHIN
+    * pattern through [[sealedScan]] with the buffer retaining row
+    * VALUES ([[CepValState]]). Under STRICT contiguity a sealed match's
+    * consumed rows are exactly the contiguous buffer block
+    * startIdx..endIdx partitioned by stepCounts in step order, so the
+    * measures slice directly off the retained rows — no separate
+    * consumption context is needed incrementally (the batch path uses
+    * the context-snapshot form; both are pinned to the same oracle).
+    * State bounds, arrival-order stance, and cross-batch carry are
+    * [[cepPattern]]'s, unchanged.
+    */
+  def cepMeasuresStream(ev: Dataset[Ev], withinMinutes: Int,
+                        streaming: Boolean): Dataset[CepMeasured] = {
+    import ev.sparkSession.implicits._
+    if (!streaming) cepMeasures(ev, withinMinutes)
+    else {
+      val pattern = CepPattern(
+        Seq(CepStep("click", 1, None), CepStep("purchase", 1, Some(1))),
+        Some(withinMinutes), SkipPastLastRow, strict = true)
+      ev.groupByKey(_.user_id)
+        .flatMapGroupsWithState[CepValState, CepMeasured](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (user: Long, events: Iterator[Ev], state: GroupState[CepValState]) =>
+            val buf0: Seq[Ev] = state.getOption.map(s => s.ids.indices.map(i =>
+                Ev(s.ids(i), microsTs(s.ts(i)), user, s.syms(i), s.vals(i))))
+              .getOrElse(Seq.empty)
+            val evs = (buf0 ++ events).toIndexedSeq
+              .sortBy(e => (tsMicros(e.ts), e.event_id))
+            val cepEvs = evs.map(e => CepEvent(e.event_type, tsMicros(e.ts), e.event_id))
+            val (matches, resume) = sealedScan(cepEvs, pattern)
+            val keep = evs.drop(resume)
+            if (keep.isEmpty) state.remove()
+            else state.update(CepValState(keep.map(_.event_type),
+              keep.map(e => tsMicros(e.ts)), keep.map(_.event_id), keep.map(_.value)))
+            matches.iterator.map { m =>
+              val clicks = evs.slice(m.startIdx, m.startIdx + m.stepCounts(0))
+              val pur = evs(m.startIdx + m.stepCounts(0))
+              val cents = clicks.map(c => math.round(c.value * 100))
+              val sc = cents.sum
+              CepMeasured(user, pur.event_id, pur.ts, clicks.size.toLong,
+                clicks.head.ts, clicks.last.ts, sc / 100.0,
+                sc.toDouble / (100.0 * clicks.size), cents.max / 100.0, pur.value)
+            }
+        }
+    }
+  }
+
+  /** ALL ROWS PER MATCH (the SQL-standard MATCH_RECOGNIZE output mode
+    * Flink's CEP does not offer — a beyond-Flink completion of the
+    * MEASURES surface): instead of one summary row per match, emit
+    * EVERY consumed row, tagged with its match identity (the ending
+    * purchase), its step symbol, and its 1-based consumption position.
+    * Same matches as [[cepMeasures]] / event_cep (C+ P WITHIN n,
+    * SKIP PAST LAST ROW), same per-key placement; output is O(consumed
+    * rows), each row emitted at most once because matches never
+    * overlap under PAST LAST ROW. Consumption order equals the
+    * (ts, event_id) order over the match's rows — which is what the
+    * oracle's per-match row_number replays.
+    */
+  def cepAllRows(ev: Dataset[Ev], withinMinutes: Int): Dataset[CepMatchRow] = {
+    import ev.sparkSession.implicits._
+    val pattern = CepPattern(
+      Seq(CepStep("click", 1, None), CepStep("purchase", 1, Some(1))),
+      Some(withinMinutes), SkipPastLastRow, strict = true)
+    ev.groupByKey(_.user_id).flatMapGroups { (user: Long, events: Iterator[Ev]) =>
+      val evs = events.toIndexedSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+      Cep.matchSequenceMeasures[Ev](evs, e => tsMicros(e.ts), _.event_type, pattern)
+        .iterator.flatMap { case (_, stepRows) =>
+          val pur = stepRows(1).head
+          (stepRows(0) ++ stepRows(1)).iterator.zipWithIndex.map { case (r, i) =>
+            CepMatchRow(user, pur.event_id, i + 1L, r.event_id, r.ts,
+              r.event_type, r.value)
+          }
         }
     }
   }

@@ -1282,6 +1282,47 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("CEP MEASURES streaming: sealed incremental emission with cross-batch value carry == batch") {
+    val data = Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.00),
+      Ev(2, ts("2024-01-01 10:02:00"), 1, "click", 2.50),
+      Ev(3, ts("2024-01-01 10:04:00"), 1, "click", 0.50),
+      Ev(4, ts("2024-01-01 10:05:00"), 1, "purchase", 9.99),
+      Ev(5, ts("2024-01-01 10:20:00"), 1, "click", 4.00),
+      Ev(6, ts("2024-01-01 10:21:00"), 1, "purchase", 1.11))
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.cepMeasuresStream(ms.toDS(), withinMinutes = 10, streaming = true)
+      .writeStream.format("memory").queryName("cepmeas").outputMode("append").start()
+    // clicks 1-2 arrive first: the run stays PENDING (no purchase yet,
+    // nothing emits), its VALUES carried in state across the batch
+    ms.addData(data(0), data(1))
+    q.processAllAvailable()
+    assert(spark.table("cepmeas").count() == 0, "pending run must not emit")
+    // click 3 + purchase seal the first match — measures must include
+    // the values buffered in the PREVIOUS batch
+    ms.addData(data(2), data(3))
+    q.processAllAvailable()
+    val first = spark.table("cepmeas")
+      .as[(Long, Long, Timestamp, Long, Timestamp, Timestamp, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(first == Seq((1L, 4L, ts("2024-01-01 10:05:00"), 3L,
+      ts("2024-01-01 10:00:00"), ts("2024-01-01 10:04:00"),
+      4.00, 400.0 / 300.0, 2.50, 9.99)),
+      s"first sealed match measures wrong: $first")
+    ms.addData(data(4), data(5))
+    drain(q)
+    val all = spark.table("cepmeas")
+      .as[(Long, Long, Timestamp, Long, Timestamp, Timestamp, Double, Double, Double, Double)]
+      .collect().sortBy(_._2).toSeq
+    // streaming == batch replay (same oracle as event_cep_measures)
+    val batch = StreamOps.cepMeasuresStream(data.toDS(), withinMinutes = 10, streaming = false)
+      .as[(Long, Long, Timestamp, Long, Timestamp, Timestamp, Double, Double, Double, Double)]
+      .collect().sortBy(_._2).toSeq
+    assert(all == batch, s"streaming $all != batch $batch")
+    assert(all.size == 2 && all(1)._4 == 1L && all(1)._10 == 1.11,
+      s"second match wrong: $all")
+  }
+
   test("keep-last dedup: watermark seals the survivor; a newer cross-batch row re-emits a replacement") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
