@@ -455,6 +455,54 @@ class CepSpec extends SparkSuite {
     assert(nonEmpty >= 15, s"only $nonEmpty/20 iterative trials produced matches")
   }
 
+  test("consumption snapshots are consistent across ALL matcher modes (strict/relaxed/any)") {
+    // matchCoreRows' snapshot must agree with the match it annotates on
+    // every code path — the measures key only exercises strict C+ P, so
+    // this pins the relaxed, optional-alternative, negated, and any-run
+    // snapshot paths on random patterns: per-step row counts equal
+    // stepCounts, every consumed row carries its step's symbol, rows
+    // are in (ts, ord) consumption order, the first/last consumed rows
+    // are the match boundaries, and under STRICT contiguity the
+    // concatenation is exactly the contiguous block startIdx..endIdx.
+    val rnd = new scala.util.Random(173)
+    for (trial <- 0 until 40) {
+      val strictMode = trial % 3 == 0
+      val pat0 =
+        if (strictMode) randomPattern(rnd)
+        else if (trial % 3 == 1) randomRelaxedPattern(rnd)
+        else randomRelaxedPattern(rnd) match { // any-run flavor
+          case p if p.steps.exists(_.negated) => p.copy(anyMatch = true)
+          case p => p.copy(anyMatch = true)
+        }
+      val evs = randomEvents(rnd, 3)
+      evs.groupBy(_._1).foreach { case (_, rows) =>
+        val sorted = rows.sortBy(r => (r._3, r._4))
+          .map(r => CepEvent(r._2, r._3, r._4)).toIndexedSeq
+        val plain = Cep.matchSequence(sorted, pat0)
+        val withRows = Cep.matchSequenceMeasures[CepEvent](
+          sorted, _.tsUs, _.sym, pat0)
+        assert(withRows.map(_._1) == plain,
+          s"trial $trial: rows variant changed the match list")
+        withRows.foreach { case (m, stepRows) =>
+          m.stepCounts.indices.foreach { si =>
+            assert(stepRows(si).size == m.stepCounts(si),
+              s"trial $trial: step $si rows ${stepRows(si).size} != count ${m.stepCounts(si)}")
+            assert(stepRows(si).forall(_.sym == pat0.steps(si).symbol),
+              s"trial $trial: step $si snapshot has foreign symbols")
+          }
+          val flat = stepRows.flatten
+          assert(flat == flat.sortBy(e => (e.tsUs, e.ord)),
+            s"trial $trial: consumption order broken")
+          assert(flat.head == sorted(m.startIdx) && flat.last == sorted(m.endIdx),
+            s"trial $trial: snapshot boundaries disagree with the match")
+          if (pat0.strict)
+            assert(flat == sorted.slice(m.startIdx, m.endIdx + 1),
+              s"trial $trial: strict consumption not the contiguous block")
+        }
+      }
+    }
+  }
+
   test("MEASURES projection == independent run fold (C+ P WITHIN, per-step row aggregates)") {
     // event_cep_measures' semantics reimplemented from scratch: scan in
     // (ts, ord) order keeping the current contiguous click run; at a

@@ -49,6 +49,33 @@ object GraftProps extends Properties("graft") {
       total == rows.size.toLong * 4
     }
 
+  property("FIRE_AND_PURGE panes lie on the 15 min grid and partition each window exactly") =
+    forAll(eventsGen) { rows =>
+      val sp = spark
+      import sp.implicits._
+      import graft.streaming.{Ev, StreamOps}
+      val evs = rows.zipWithIndex.map { case ((u, o, c), i) =>
+        Ev(i.toLong, new Timestamp(base + o * 1000), u, "click", c / 100.0)
+      }.toDS()
+      val deltas = StreamOps.earlyFirePurgeWindow(evs, streaming = false).collect()
+      // every fire boundary is a strict 15 min multiple inside its window
+      val okBounds = deltas.forall { d =>
+        val ws = d.window_start.getTime
+        val b = d.fire_ts.getTime
+        b > ws && b <= ws + 3600000L && (b - ws) % 900000L == 0
+      }
+      // the pane deltas PARTITION each (user, hour window): counts and
+      // exact cents re-sum to the plain per-window totals
+      val got = deltas.groupBy(d => (d.user_id, d.window_start.getTime))
+        .view.mapValues(ds =>
+          (ds.map(_.n_events).sum, ds.map(d => math.round(d.sum_value * 100)).sum))
+        .toMap
+      val want = rows.zipWithIndex.groupBy { case ((u, o, _), _) =>
+        (u, Math.floorDiv(base + o * 1000, 3600000L) * 3600000L)
+      }.view.mapValues(g => (g.size.toLong, g.map(_._1._3).sum)).toMap
+      okBounds && got == want
+    }
+
   property("pane-based two-level sliding equals direct sliding") =
     forAll(eventsGen) { rows =>
       val df = toDf(rows)
