@@ -119,6 +119,16 @@ class PlanSpec extends SparkSuite {
       s"rank fold consumes raw rows — no pre-reducing aggregate below it:\n$p")
   }
 
+  test("stream_dedup_last's batch replay is a declarative partial+final aggregate") {
+    // keep-last as max_by over the (ts, event_id) struct order: the
+    // map-side partial must combine before the one key shuffle (a
+    // fold-in-mapGroups form would ship every raw row)
+    val p = plan("stream_dedup_last")
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregate pair in:\n$p")
+    assert(!p.contains("MapGroups"), s"keep-last replay fell back to a raw-row fold:\n$p")
+  }
+
   test("no declared query funnels raw rows through an Exchange SinglePartition") {
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
