@@ -49,18 +49,32 @@ object Bench {
     * (VERDICT r7 item 1). Empty map if absent/unparsable (first run).
     */
   private def committedQueries(): Map[String, Double] =
-    try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("BENCH_DETAIL.json")), "UTF-8")
-      val tag = "\"queries\":{"
-      val i = txt.indexOf(tag)
-      if (i < 0) Map.empty
-      else {
-        val body = txt.substring(i + tag.length, txt.indexOf("}", i + tag.length))
-        """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(body)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
-    } catch { case _: Throwable => Map.empty }
+    try parseQueriesBlock(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("BENCH_DETAIL.json")), "UTF-8"))
+    catch { case _: Throwable => Map.empty }
+
+  /** Extract the flat `"queries":{...}` block from a BENCH_DETAIL JSON
+    * line (no JSON lib on the classpath; the block is flat numbers by
+    * construction). Unit-tested in CoreSpec alongside
+    * [[isolationNeeded]] so the adjudication mechanism is pinned even
+    * though a clean local run never triggers it.
+    */
+  private[graft] def parseQueriesBlock(txt: String): Map[String, Double] = {
+    val tag = "\"queries\":{"
+    val i = txt.indexOf(tag)
+    if (i < 0) Map.empty
+    else {
+      val body = txt.substring(i + tag.length, txt.indexOf("}", i + tag.length))
+      """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
+  /** The isolated re-run trigger (VERDICT r7 item 1): min-of-trials
+    * exceeds the committed value by MORE than 2x AND by 0.3 s absolute
+    * (micro-keys flip 2x on scheduler jitter alone). */
+  private[graft] def isolationNeeded(minOfTrials: Double, committed: Option[Double]): Boolean =
+    committed.exists(c => c > 1e-9 && minOfTrials > 2 * c && minOfTrials - c > 0.3)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -123,12 +137,10 @@ object Bench {
     val fnByName = keys.toMap
     val isolated: Seq[(String, Double)] = trials.flatMap { case (name, ts) =>
       val mn = ts.map(_._1).min
-      committed.get(name) match {
-        case Some(c) if c > 1e-9 && mn > 2 * c && mn - c > 0.3 =>
-          System.err.println(f"[bench] isolated $name (min $mn%.3f vs committed $c%.3f)")
-          Some(name -> timeOne(fnByName(name)))
-        case _ => None
-      }
+      if (isolationNeeded(mn, committed.get(name))) {
+        System.err.println(f"[bench] isolated $name (min $mn%.3f vs committed ${committed(name)}%.3f)")
+        Some(name -> timeOne(fnByName(name)))
+      } else None
     }.map { case (name, (sec, _)) => name -> sec }
     val isoByName = isolated.toMap
     val allTrials = trials.map { case (name, ts) =>

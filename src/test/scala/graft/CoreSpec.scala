@@ -288,4 +288,24 @@ class CoreSpec extends SparkSuite {
     assert(f.filter(ev("ShuffleMapStage 9 has failed the maximum allowable " +
       "number of times")) == Result.NEUTRAL)
   }
+
+  test("bench isolated-pass machinery: committed-value parse and trigger rule") {
+    // The adjudication path only fires on a contended host, so a clean
+    // local run never exercises it — pin both halves here (VERDICT r7
+    // item 1: the artifact itself must settle sweep-window contention).
+    val detail = """{"metric":"total","value":9.9,"unit":"sec","n_queries":2,""" +
+      """"baseline":{"agg_hash":0.300},"isolated":{},""" +
+      """"queries":{"agg_hash":0.302,"dedup_containment":3.524},""" +
+      """"spread":{"agg_hash":0.100,"dedup_containment":0.200},"sf":"x"}"""
+    val parsed = Bench.parseQueriesBlock(detail)
+    assert(parsed == Map("agg_hash" -> 0.302, "dedup_containment" -> 3.524),
+      s"queries block parse wrong (must not read baseline/spread blocks): $parsed")
+    assert(Bench.parseQueriesBlock("""{"no":"queries"}""").isEmpty)
+    // trigger: >2x committed AND >0.3 s absolute, never without a reference
+    assert(Bench.isolationNeeded(10.6, Some(3.524)), "the r7 dispute case must trigger")
+    assert(!Bench.isolationNeeded(4.0, Some(3.524)), "in-band values must not")
+    assert(!Bench.isolationNeeded(0.25, Some(0.1)),
+      "micro-key 2.5x jitter under the absolute floor must not")
+    assert(!Bench.isolationNeeded(10.0, None), "new keys have no reference")
+  }
 }
