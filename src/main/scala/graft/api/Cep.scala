@@ -566,42 +566,102 @@ object Cep {
     * comes from [[oracleSql]].
     */
   def compile(df: DataFrame, keyCol: String, tsCol: String, ordCol: String,
-              symCol: String, pattern: CepPattern): DataFrame = {
+              symCol: String, pattern: CepPattern): DataFrame =
+    compileImpl(df, keyCol, tsCol, ordCol, symCol, None, pattern)
+
+  /** Compiled MEASURES — per-step VALUE aggregates generated into the
+    * gaps-and-islands plan itself: the output gains `step_sums`, the
+    * per-original-step exact-cents sums (`round(valCol*100)` summed as
+    * longs, comma-joined like `step_counts`; absent optional steps
+    * report 0). Fully declarative — no per-key matcher, whole-stage
+    * codegen, the same key-/run-partitioned stages as [[compile]] —
+    * so MEASURES run distributed at any scale for any STRICT pattern:
+    *
+    *  - middle steps consume their whole run → the run table carries
+    *    per-run cents sums, lead-aligned like `len`;
+    *  - the last step consumes a greedy/reluctant PREFIX → the end-row
+    *    lookup carries the run's prefix-cumulative sum at the consumed
+    *    position;
+    *  - the first step consumes a SUFFIX → under SKIP PAST LAST ROW the
+    *    qualifying anchor rows ARE the consumed suffix (both the WITHIN
+    *    and maxRep constraints select suffixes of a time-ordered run),
+    *    so their group-sum is the step's sum; under SKIP TO NEXT ROW
+    *    each anchor reads its precomputed suffix-cumulative sum.
+    *
+    * Relaxed patterns use [[matchSequenceMeasures]] /
+    * StreamOps.cepMeasures instead (the same split as relaxed + PAST
+    * LAST ROW, which compile also declines). Property-tested against
+    * the sequential reference on random strict patterns (CepSpec); the
+    * DuckDB replay comes from [[oracleSqlMeasures]].
+    */
+  def compileMeasures(df: DataFrame, keyCol: String, tsCol: String, ordCol: String,
+                      symCol: String, valCol: String, pattern: CepPattern): DataFrame = {
+    require(pattern.strict,
+      "compiled MEASURES cover strict contiguity (run-aligned value " +
+        "aggregation); use Cep.matchSequenceMeasures / StreamOps.cepMeasures " +
+        "for relaxed patterns")
+    compileImpl(df, keyCol, tsCol, ordCol, symCol, Some(valCol), pattern)
+  }
+
+  private def compileImpl(df: DataFrame, keyCol: String, tsCol: String, ordCol: String,
+                          symCol: String, valCol: Option[String],
+                          pattern: CepPattern): DataFrame = {
     require(pattern.strict || pattern.skip == SkipToNextRow,
       "relaxed contiguity compiles under SKIP TO NEXT ROW only (matches " +
         "can overlap arbitrary spans, so PAST LAST ROW suppression is a " +
         "sequential scan — use StreamOps.cepPattern's batch replay for it)")
     requireDistinctSymbols(pattern)
     val steps = pattern.steps
+    val measured = valCol.isDefined
     val wOrd = W.partitionBy(col("k")).orderBy(col("ts"), col("ord"))
+    val wRun = W.partitionBy(col("k"), col("rid")).orderBy(col("ts"), col("ord"))
     // lazily checkpoint the annotated row table: the run table, the
     // end-position lookup, and the anchor-suffix lookup all reuse it,
     // and without materialization each branch re-scans and re-windows
     // the source (measured 3 FileScans per pattern; at a 100 TB event
     // volume the scan is the dominant cost). Lazy keeps plan building
     // (and .explain) job-free; the first action materializes once.
-    val rows = df.select(col(keyCol).as("k"), col(tsCol).as("ts"),
-        col(ordCol).as("ord"), col(symCol).cast("string").as("sym"))
+    val baseSel = Seq(col(keyCol).as("k"), col(tsCol).as("ts"),
+      col(ordCol).as("ord"), col(symCol).cast("string").as("sym")) ++
+      valCol.map(v => expr(s"round($v * 100)").cast("long").as("cents")).toSeq
+    var rows0 = df.select(baseSel: _*)
       .withColumn("chg", when(lag(col("sym"), 1).over(wOrd).isNull ||
         lag(col("sym"), 1).over(wOrd) =!= col("sym"), 1).otherwise(0))
       .withColumn("rid", sum(col("chg")).over(
         wOrd.rowsBetween(W.unboundedPreceding, W.currentRow)))
-      .withColumn("pos", row_number().over(
-        W.partitionBy(col("k"), col("rid")).orderBy(col("ts"), col("ord"))))
-      .select("k", "ts", "ord", "sym", "rid", "pos")
+      .withColumn("pos", row_number().over(wRun))
+    if (measured) rows0 = rows0
+      // prefix / suffix cumulative cents within the run — the last
+      // step's prefix consumption and the first step's suffix
+      // consumption read these directly (same sort, no extra shuffle)
+      .withColumn("pcum", sum(col("cents")).over(
+        wRun.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("scum", sum(col("cents")).over(
+        wRun.rowsBetween(W.currentRow, W.unboundedFollowing)))
+    val keepCols = Seq("k", "ts", "ord", "sym", "rid", "pos") ++
+      (if (measured) Seq("cents", "pcum", "scum") else Nil)
+    val rows = rows0.select(keepCols.head, keepCols.tail: _*)
       .localCheckpoint(eager = false)
+    val runAggs = Seq(count(lit(1)).as("len")) ++
+      (if (measured) Seq(sum(col("cents")).as("rsum")) else Nil)
     val runs = rows.groupBy("k", "rid")
-      .agg(min(col("sym")).as("sym"), count(lit(1)).as("len"))
+      .agg(min(col("sym")).as("sym"), runAggs: _*)
     val maxJ = pattern.alternatives.map(_.size).max
     val wSeq = W.partitionBy(col("k")).orderBy(col("rid"))
     val seq = (2 to maxJ).foldLeft(runs) { (d, i) =>
-      d.withColumn(s"sym_$i", lead(col("sym"), i - 1).over(wSeq))
-       .withColumn(s"len_$i", lead(col("len"), i - 1).over(wSeq))
+      val d2 = d.withColumn(s"sym_$i", lead(col("sym"), i - 1).over(wSeq))
+        .withColumn(s"len_$i", lead(col("len"), i - 1).over(wSeq))
+      if (measured) d2.withColumn(s"vsum_$i", lead(col("rsum"), i - 1).over(wSeq))
+      else d2
     }
-    val endRows = rows.select(col("k"), col("rid").as("erid"),
-      col("pos").as("epos"), col("ts").as("end_ts"), col("ord").as("end_id"))
-    val r1 = rows.select(col("k"), col("rid").as("arid"), col("pos").as("apos"),
-      col("ts").as("a_ts"), col("ord").as("a_ord"))
+    val endSel = Seq(col("k"), col("rid").as("erid"),
+      col("pos").as("epos"), col("ts").as("end_ts"), col("ord").as("end_id")) ++
+      (if (measured) Seq(col("pcum").as("end_pref")) else Nil)
+    val endRows = rows.select(endSel: _*)
+    val r1Sel = Seq(col("k"), col("rid").as("arid"), col("pos").as("apos"),
+      col("ts").as("a_ts"), col("ord").as("a_ord")) ++
+      (if (measured) Seq(col("cents").as("a_cents"), col("scum").as("a_scum")) else Nil)
+    val r1 = rows.select(r1Sel: _*)
     if (pattern.anyMatch)
       return compileRelaxedAny(keyCol, pattern, rows, runs, endRows, r1)
     if (!pattern.strict)
@@ -627,7 +687,10 @@ object Cep {
         else lit(alt.last.minRep.toLong)
       val mids = (2 until j).map(i => col(s"len_$i"))
       val midTotal = if (mids.isEmpty) lit(0L) else mids.reduce(_ + _)
-      val midSel = (2 until j).map(i => col(s"len_$i").as(s"mc_${presentIdx(i - 1)}"))
+      val midSel = (2 until j).map(i => col(s"len_$i").as(s"mc_${presentIdx(i - 1)}")) ++
+        (if (measured)
+          (2 until j).map(i => col(s"vsum_$i").as(s"ms_${presentIdx(i - 1)}"))
+        else Nil)
       val cand = seq.filter(cond).select(
         Seq(col("k"), col("rid").as("arid"), col("len").as("len1"),
           (col("rid") + lit((j - 1).toLong)).as("erid"),
@@ -641,17 +704,26 @@ object Cep {
         j1 = j1.filter(col("a_ts") >= col("end_ts") - expr(s"INTERVAL $w MINUTES")))
       val matched = pattern.skip match {
         case SkipPastLastRow =>
+          // the qualifying anchor rows ARE the consumed first-step
+          // suffix (WITHIN and maxRep both select suffixes of the
+          // time-ordered run), so count/sum over the group are the
+          // step's consumed count and cents
           val gcols = Seq("k", "arid", "erid", "len1", "clast", "mid_total",
-            "end_ts", "end_id") ++ (2 until j).map(i => s"mc_${presentIdx(i - 1)}")
+            "end_ts", "end_id") ++
+            (if (measured) Seq("end_pref") else Nil) ++
+            (2 until j).map(i => s"mc_${presentIdx(i - 1)}") ++
+            (if (measured) (2 until j).map(i => s"ms_${presentIdx(i - 1)}") else Nil)
+          val aggs = Seq(min(struct(col("a_ts").as("t"), col("a_ord").as("o"))).as("st")) ++
+            (if (measured) Seq(sum(col("a_cents")).as("s1")) else Nil)
           j1.groupBy(gcols.head, gcols.tail: _*)
-            .agg(count(lit(1)).as("c1"),
-              min(struct(col("a_ts").as("t"), col("a_ord").as("o"))).as("st"))
+            .agg(count(lit(1)).as("c1"), aggs: _*)
             .filter(col("c1") >= alt.head.minRep)
             .withColumn("start_ts", col("st.t")).withColumn("start_id", col("st.o"))
         case SkipToNextRow =>
-          j1.withColumn("c1", col("len1") - col("apos") + 1)
+          val base = j1.withColumn("c1", col("len1") - col("apos") + 1)
             .filter(col("c1") >= alt.head.minRep)
             .withColumn("start_ts", col("a_ts")).withColumn("start_id", col("a_ord"))
+          if (measured) base.withColumn("s1", col("a_scum")) else base
       }
       val countCols = steps.indices.map { oi =>
         if (!presentIdx.contains(oi)) lit(0L)
@@ -659,10 +731,20 @@ object Cep {
         else if (oi == presentIdx.last) col("clast")
         else col(s"mc_$oi")
       }
-      matched.select(col("k").as(keyCol), col("start_id"), col("start_ts"),
+      val outCols = Seq(col("k").as(keyCol), col("start_id"), col("start_ts"),
         col("end_id"), col("end_ts"),
         (col("c1") + col("mid_total") + col("clast")).as("n_rows"),
-        concat_ws(",", countCols.map(_.cast("string")): _*).as("step_counts"))
+        concat_ws(",", countCols.map(_.cast("string")): _*).as("step_counts")) ++
+        (if (measured) {
+          val sumCols = steps.indices.map { oi =>
+            if (!presentIdx.contains(oi)) lit(0L)
+            else if (oi == presentIdx.head) col("s1")
+            else if (oi == presentIdx.last) col("end_pref")
+            else col(s"ms_$oi")
+          }
+          Seq(concat_ws(",", sumCols.map(_.cast("string")): _*).as("step_sums"))
+        } else Nil)
+      matched.select(outCols: _*)
     }
     alts.reduce(_ union _)
   }
@@ -868,23 +950,52 @@ object Cep {
     */
   def oracleSql(pattern: CepPattern, table: String = "events",
                 keyCol: String = "user_id", tsCol: String = "ts",
-                ordCol: String = "event_id", symCol: String = "event_type"): String = {
+                ordCol: String = "event_id", symCol: String = "event_type"): String =
+    oracleSqlImpl(pattern, table, keyCol, tsCol, ordCol, symCol, None)
+
+  /** The DuckDB replay of [[compileMeasures]] — the same generated
+    * construction extended with per-run / prefix- / suffix-cumulative
+    * cents, mirroring the Spark plan stage for stage. */
+  def oracleSqlMeasures(pattern: CepPattern, valCol: String,
+                        table: String = "events", keyCol: String = "user_id",
+                        tsCol: String = "ts", ordCol: String = "event_id",
+                        symCol: String = "event_type"): String = {
+    require(pattern.strict, "compiled MEASURES are strict-only (see compileMeasures)")
+    oracleSqlImpl(pattern, table, keyCol, tsCol, ordCol, symCol, Some(valCol))
+  }
+
+  private def oracleSqlImpl(pattern: CepPattern, table: String, keyCol: String,
+                            tsCol: String, ordCol: String, symCol: String,
+                            valCol: Option[String]): String = {
     requireDistinctSymbols(pattern)
     val steps = pattern.steps
+    val measured = valCol.isDefined
     val maxJ = pattern.alternatives.map(_.size).max
     val leadSel = (2 to maxJ).flatMap(i => Seq(
       s"lead(sym, ${i - 1}) OVER wseq AS sym_$i",
-      s"lead(len, ${i - 1}) OVER wseq AS len_$i")).mkString(", ")
+      s"lead(len, ${i - 1}) OVER wseq AS len_$i") ++
+      (if (measured) Seq(s"lead(rsum, ${i - 1}) OVER wseq AS vsum_$i") else Nil))
+      .mkString(", ")
+    val centsSel = valCol.map(v =>
+      s",\n            CAST(round($v * 100) AS BIGINT) AS cents").getOrElse("")
+    val cumSel = if (measured)
+      """,
+        |            sum(cents) OVER (PARTITION BY k, rid ORDER BY ts, ord
+        |                             ROWS UNBOUNDED PRECEDING) AS pcum,
+        |            sum(cents) OVER (PARTITION BY k, rid ORDER BY ts, ord
+        |                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS scum""".stripMargin
+      else ""
+    val rsumSel = if (measured) ", sum(cents) AS rsum" else ""
     val header =
       s"""WITH e AS (SELECT $keyCol AS k, $tsCol::TIMESTAMP AS ts, $ordCol AS ord,
-         |            $symCol AS sym FROM $table),
+         |            $symCol AS sym$centsSel FROM $table),
          |f AS (SELECT *, CASE WHEN lag(sym) OVER (PARTITION BY k ORDER BY ts, ord)
          |                     IS DISTINCT FROM sym THEN 1 ELSE 0 END AS chg FROM e),
          |r AS (SELECT *, sum(chg) OVER (PARTITION BY k ORDER BY ts, ord
          |                               ROWS UNBOUNDED PRECEDING) AS rid FROM f),
-         |p AS (SELECT *, row_number() OVER (PARTITION BY k, rid ORDER BY ts, ord) AS pos
+         |p AS (SELECT *, row_number() OVER (PARTITION BY k, rid ORDER BY ts, ord) AS pos$cumSel
          |      FROM r),
-         |runs AS (SELECT k, rid, any_value(sym) AS sym, count(*) AS len
+         |runs AS (SELECT k, rid, any_value(sym) AS sym, count(*) AS len$rsumSel
          |         FROM p GROUP BY k, rid),
          |seq AS (SELECT *, $leadSel FROM runs
          |        WINDOW wseq AS (PARTITION BY k ORDER BY rid))""".stripMargin
@@ -909,23 +1020,32 @@ object Cep {
         else alt.last.minRep.toString
       val mids = (2 until j).map(i => s"len_$i")
       val midTotal = if (mids.isEmpty) "0" else mids.mkString(" + ")
-      val midSel = (2 until j).map(i => s", len_$i AS mc_${presentIdx(i - 1)}").mkString
+      val midSel = (2 until j).map(i => s", len_$i AS mc_${presentIdx(i - 1)}").mkString +
+        (if (measured)
+          (2 until j).map(i => s", vsum_$i AS ms_${presentIdx(i - 1)}").mkString
+        else "")
       val w1 = alt.head.maxRep.map(m => s" AND r1.pos >= w.len1 - $m + 1").getOrElse("")
       val ww = pattern.withinMinutes
         .map(w => s" AND r1.ts >= w.end_ts - INTERVAL $w MINUTE").getOrElse("")
-      val mcCols = (2 until j).map(i => s"mc_${presentIdx(i - 1)}")
+      val mcCols = (2 until j).map(i => s"mc_${presentIdx(i - 1)}") ++
+        (if (measured) (2 until j).map(i => s"ms_${presentIdx(i - 1)}") else Nil)
+      val endPrefSel = if (measured) ", pe.pcum AS end_pref" else ""
       val matchSql = pattern.skip match {
         case SkipPastLastRow =>
           val g = (Seq("w.k", "w.arid", "w.erid", "w.len1", "w.clast", "w.mid_total",
-            "w.end_ts", "w.end_id") ++ mcCols.map("w." + _)).mkString(", ")
-          s"""SELECT $g, count(*) AS c1, arg_min(r1.ts, r1.pos) AS start_ts,
+            "w.end_ts", "w.end_id") ++
+            (if (measured) Seq("w.end_pref") else Nil) ++
+            mcCols.map("w." + _)).mkString(", ")
+          val s1 = if (measured) ", sum(r1.cents) AS s1" else ""
+          s"""SELECT $g, count(*) AS c1$s1, arg_min(r1.ts, r1.pos) AS start_ts,
              |        arg_min(r1.ord, r1.pos) AS start_id
              |FROM wend_$ai w JOIN p r1 ON r1.k = w.k AND r1.rid = w.arid
              |WHERE 1=1$w1$ww
              |GROUP BY $g HAVING count(*) >= ${alt.head.minRep}""".stripMargin
         case SkipToNextRow =>
+          val s1 = if (measured) ", r1.scum AS s1" else ""
           s"""SELECT w.*, r1.ts AS start_ts, r1.ord AS start_id,
-             |        w.len1 - r1.pos + 1 AS c1
+             |        w.len1 - r1.pos + 1 AS c1$s1
              |FROM wend_$ai w JOIN p r1 ON r1.k = w.k AND r1.rid = w.arid
              |WHERE w.len1 - r1.pos + 1 >= ${alt.head.minRep}$w1$ww""".stripMargin
       }
@@ -935,16 +1055,25 @@ object Cep {
         else if (oi == presentIdx.last) "clast"
         else s"mc_$oi"
       }.mkString(", ")
+      val sumsOut = if (measured) {
+        val sumExprs = steps.indices.map { oi =>
+          if (!presentIdx.contains(oi)) "0"
+          else if (oi == presentIdx.head) "s1"
+          else if (oi == presentIdx.last) "end_pref"
+          else s"ms_$oi"
+        }.mkString(", ")
+        s",\n            concat_ws(',', $sumExprs) AS step_sums"
+      } else ""
       s"""cand_$ai AS (SELECT k, rid AS arid, len AS len1, rid + ${j - 1} AS erid,
          |             $clast AS clast, $midTotal AS mid_total$midSel
          |             FROM seq WHERE ${conds.mkString(" AND ")}),
-         |wend_$ai AS (SELECT c.*, pe.ts AS end_ts, pe.ord AS end_id
+         |wend_$ai AS (SELECT c.*, pe.ts AS end_ts, pe.ord AS end_id$endPrefSel
          |             FROM cand_$ai c JOIN p pe ON pe.k = c.k AND pe.rid = c.erid
          |                                      AND pe.pos = c.clast),
          |m_$ai AS ($matchSql),
          |out_$ai AS (SELECT k AS $keyCol, start_id, start_ts, end_id, end_ts,
          |            c1 + mid_total + clast AS n_rows,
-         |            concat_ws(',', $countExprs) AS step_counts FROM m_$ai)""".stripMargin
+         |            concat_ws(',', $countExprs) AS step_counts$sumsOut FROM m_$ai)""".stripMargin
     }
     val unions = pattern.alternatives.indices
       .map(i => s"SELECT * FROM out_$i").mkString(" UNION ALL ")

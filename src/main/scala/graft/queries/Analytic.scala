@@ -190,6 +190,17 @@ object Analytic {
           "event_type", CepPatterns.quant)
         .orderBy("user_id", "start_id")),
 
+    // COMPILED MEASURES: per-step exact-cents value sums generated
+    // into the gaps-and-islands plan itself (Cep.compileMeasures) —
+    // MEASURES without a per-key matcher, whole-stage codegen, for the
+    // same signup{2,} view{1,2} purchase{1,} pattern as
+    // event_cep_quant; the oracle is GENERATED from the same pattern
+    // object with the same per-run / prefix / suffix cumulative cents.
+    "event_cep_quant_measures" -> ((s, d) =>
+      Cep.compileMeasures(Tables.events(s, d), "user_id", "ts", "event_id",
+          "event_type", "value", CepPatterns.quant)
+        .orderBy("user_id", "start_id")),
+
     // optional middle step — click{1,} error{0,1} signup{1,}: the
     // compiler expands the optional into mutually exclusive
     // alternatives and unions them
@@ -446,6 +457,7 @@ object Analytic {
 
   val oracles: Map[String, String] = Map(
     "event_cep_quant" -> Cep.oracleSql(CepPatterns.quant),
+    "event_cep_quant_measures" -> Cep.oracleSqlMeasures(CepPatterns.quant, "value"),
     "event_cep_optional" -> Cep.oracleSql(CepPatterns.optional),
     "event_cep_tonext" -> Cep.oracleSql(CepPatterns.tonext),
     "event_cep_relaxed" -> Cep.oracleSql(CepPatterns.relaxed),

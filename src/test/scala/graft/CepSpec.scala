@@ -455,6 +455,40 @@ class CepSpec extends SparkSuite {
     assert(nonEmpty >= 15, s"only $nonEmpty/20 iterative trials produced matches")
   }
 
+  test("compiled MEASURES == sequential reference per-step cents sums on random strict patterns") {
+    // compileMeasures' three value paths (suffix group-sum / scum for
+    // the first step, lead-aligned run sums for middles, prefix pcum
+    // for the last) against matchSequenceMeasures' consumption
+    // snapshots — both skip strategies, reluctant tails included.
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.timestamp_micros
+    val rnd = new scala.util.Random(211)
+    for (trial <- 0 until 6) {
+      val pat = randomPattern(rnd)
+      val evs = randomEvents(rnd, 3)
+      val withVal = evs.map { case (k, sym, ts, ord) =>
+        (k, sym, ts, ord, ((ord * 37) % 9999).toDouble / 100.0) }
+      val df = withVal.toDF("k", "sym", "ts_us", "ord", "value")
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+      val got = Cep.compileMeasures(df, "k", "ts", "ord", "sym", "value", pat)
+        .select(col("k"), col("start_id"), col("end_id"),
+          col("step_counts"), col("step_sums"))
+        .as[(Long, Long, Long, String, String)].collect().toSet
+      val want = withVal.groupBy(_._1).flatMap { case (k, rows) =>
+        val sorted = rows.sortBy(r => (r._3, r._4)).toIndexedSeq
+        Cep.matchSequenceMeasures[(Long, String, Long, Long, Double)](
+          sorted, _._3, _._2, pat).map { case (m, stepRows) =>
+          (k, sorted(m.startIdx)._4, sorted(m.endIdx)._4,
+            m.stepCounts.mkString(","),
+            stepRows.map(_.map(r => math.round(r._5 * 100)).sum).mkString(","))
+        }
+      }.toSet
+      assert(got == want,
+        s"trial $trial pattern $pat:\n missing=${(want -- got).take(3)}\n extra=${(got -- want).take(3)}")
+    }
+  }
+
   test("consumption snapshots are consistent across ALL matcher modes (strict/relaxed/any)") {
     // matchCoreRows' snapshot must agree with the match it annotates on
     // every code path — the measures key only exercises strict C+ P, so
