@@ -943,6 +943,25 @@ object Cep {
       s"(SELECT *, ${pattern.caseSql} AS __dsym FROM $table)",
       keyCol, tsCol, ordCol, "__dsym")
 
+  /** Predicate-step MEASURES: [[compileMeasures]] over the derived
+    * first-match-wins symbol column — per-step exact-cents sums for
+    * value-predicate patterns (strict, mutually-exclusive predicates:
+    * the [[CepCondPattern]] compile contract), still one fused
+    * projection plus the symbolic plan. */
+  def compileWhereMeasures(df: DataFrame, keyCol: String, tsCol: String,
+                           ordCol: String, valCol: String,
+                           pattern: CepCondPattern): DataFrame =
+    compileMeasures(df.withColumn("__dsym", expr(pattern.caseSql)),
+      keyCol, tsCol, ordCol, "__dsym", valCol, pattern.symbolic)
+
+  /** The DuckDB replay of [[compileWhereMeasures]]. */
+  def oracleSqlWhereMeasures(pattern: CepCondPattern, valCol: String,
+                             table: String = "events", keyCol: String = "user_id",
+                             tsCol: String = "ts", ordCol: String = "event_id"): String =
+    oracleSqlMeasures(pattern.symbolic, valCol,
+      s"(SELECT *, ${pattern.caseSql} AS __dsym FROM $table)",
+      keyCol, tsCol, ordCol, "__dsym")
+
   /** The DuckDB replay of [[compile]] — the SAME gaps-and-islands
     * construction generated from the SAME pattern object, so the whole
     * algorithm (runs, alignment, greedy prefix/suffix, WITHIN, skip

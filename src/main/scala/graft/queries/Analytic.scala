@@ -256,6 +256,17 @@ object Analytic {
           CepPatterns.where)
         .orderBy("user_id", "start_id")),
 
+    // predicate-step COMPILED MEASURES (compileWhereMeasures): per-step
+    // cents sums for a value-predicate pattern — browse-run (the
+    // predicate merges views and clicks into one derived symbol, so
+    // the "run" spans types no symbolic pattern could) then qualifying
+    // purchase; one fused CASE projection plus the symbolic measures
+    // plan, oracle generated with the same predicates spliced in.
+    "event_cep_where_measures" -> ((s, d) =>
+      Cep.compileWhereMeasures(Tables.events(s, d), "user_id", "ts", "event_id",
+          "value", CepPatterns.whereMeasures)
+        .orderBy("user_id", "start_id")),
+
     // followedByAny (Flink's non-deterministic relaxed contiguity):
     // signup{1,} ...any click{1,2} ...any purchase{1,} WITHIN 24 h —
     // every qualifying combination of later runs emits, not just the
@@ -441,6 +452,14 @@ object Analytic {
       CepCondStep("hi_view", "event_type = 'view' AND value >= 50", 1, Some(2)),
       CepCondStep("buy", "event_type = 'purchase' AND value >= 20", 1, None)),
       Some(1440), SkipToNextRow, strict = false)
+    // strict value-predicate pattern for the compiled-MEASURES route:
+    // a browse run (views/clicks, merged by the predicate into ONE
+    // derived symbol) ended by a qualifying purchase — mutually
+    // exclusive predicates, strict contiguity, PAST LAST ROW
+    val whereMeasures = CepCondPattern(Seq(
+      CepCondStep("browse", "event_type IN ('view', 'click')", 1, None),
+      CepCondStep("buy", "event_type = 'purchase' AND value >= 10", 1, Some(1))),
+      Some(1440))
     // followedByAny over the same steps as `relaxed`
     val any = CepPattern(Seq(CepStep("signup", 1, None),
       CepStep("click", 1, Some(2)), CepStep("purchase", 1, None)),
@@ -458,6 +477,8 @@ object Analytic {
   val oracles: Map[String, String] = Map(
     "event_cep_quant" -> Cep.oracleSql(CepPatterns.quant),
     "event_cep_quant_measures" -> Cep.oracleSqlMeasures(CepPatterns.quant, "value"),
+    "event_cep_where_measures" ->
+      Cep.oracleSqlWhereMeasures(CepPatterns.whereMeasures, "value"),
     "event_cep_optional" -> Cep.oracleSql(CepPatterns.optional),
     "event_cep_tonext" -> Cep.oracleSql(CepPatterns.tonext),
     "event_cep_relaxed" -> Cep.oracleSql(CepPatterns.relaxed),
