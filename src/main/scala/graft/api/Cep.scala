@@ -179,13 +179,41 @@ case class CepSeqMatch(startIdx: Int, endIdx: Int, stepCounts: IndexedSeq[Int]) 
   * query — the same single-source splicing discipline as the md5
   * constants elsewhere in this library. `name` labels the step and
   * becomes its derived symbol.
+  *
+  * `untilSql` (Flink `Pattern.oneOrMore().until(stop)`): a STOP
+  * condition on a looping step — the loop stops accepting rows at the
+  * first row satisfying it. Flink evaluates the stop condition BEFORE
+  * the accept condition, so a row matching both is NOT consumed into
+  * the loop; it is still offered to the rest of the pattern (it may
+  * begin the next step) or becomes a gap/blocker row. Because every
+  * loop here consumes a CONTIGUOUS same-symbol run prefix (the
+  * CepPattern contiguity model), that row-level rule is exactly the
+  * predicate rewrite `(predicateSql) AND NOT (untilSql)` — the first
+  * stop row breaks the derived-symbol run, and a later accept-run can
+  * never rejoin the same step's consumption (relaxed alignment reads
+  * only the FIRST run, any-mode enumerates runs whole). The rewrite is
+  * pinned against stop-gated sequential evaluation on random
+  * stop/accept predicate pairs in CepSpec. Flink-like validity: a stop
+  * condition needs a step that can actually loop (`maxRep != Some(1)`),
+  * and a negated step has no loop to stop.
   */
 case class CepCondStep(name: String, predicateSql: String, minRep: Int = 1,
                        maxRep: Option[Int] = Some(1), negated: Boolean = false,
-                       greedy: Boolean = true) {
+                       greedy: Boolean = true, untilSql: Option[String] = None) {
   require(name.nonEmpty && !name.contains("'") && name != "__other",
     s"step name '$name' must be non-empty, quote-free, and not the reserved gap label")
   require(predicateSql.trim.nonEmpty, "empty predicate")
+  require(untilSql.forall(_.trim.nonEmpty), "empty until condition")
+  require(untilSql.isEmpty || maxRep != Some(1),
+    "until() needs a looping step (Flink allows it on oneOrMore/timesOrMore " +
+      "only — a single-row step has no loop to stop)")
+  require(untilSql.isEmpty || !negated,
+    "until() cannot apply to a negated step (notFollowedBy consumes nothing)")
+
+  /** The effective row-acceptance predicate: accept gated by NOT stop
+    * (stop-first evaluation — see the class scaladoc). */
+  def effectiveSql: String =
+    untilSql.fold(predicateSql)(u => s"($predicateSql) AND NOT ($u)")
 }
 
 /** A CEP pattern over value predicates. Compiled via a DERIVED SYMBOL
@@ -212,10 +240,15 @@ case class CepCondPattern(steps: Seq[CepCondStep], withinMinutes: Option[Int] = 
     steps.map(s => CepStep(s.name, s.minRep, s.maxRep, s.negated, s.greedy)),
     withinMinutes, skip, strict, anyMatch)
 
-  /** The first-match-wins symbol derivation, valid on both engines. */
+  /** The first-match-wins symbol derivation, valid on both engines.
+    * Steps with an until() stop condition contribute their EFFECTIVE
+    * predicate (accept AND NOT stop) — a stop row falls through to the
+    * later steps' predicates (it may begin the next step, exactly
+    * Flink's re-offer of the stop event to subsequent states) and
+    * otherwise lands in '__other'. */
   def caseSql: String =
     "CASE " +
-      steps.map(s => s"WHEN (${s.predicateSql}) THEN '${s.name}'").mkString(" ") +
+      steps.map(s => s"WHEN (${s.effectiveSql}) THEN '${s.name}'").mkString(" ") +
       " ELSE '__other' END"
 }
 

@@ -256,6 +256,22 @@ object Analytic {
           CepPatterns.where)
         .orderBy("user_id", "start_id")),
 
+    // UNTIL stop condition (Flink `oneOrMore().until(stop)`): the
+    // browse loop (views/clicks, merged by the predicate) stops
+    // accepting at the FIRST row with value >= 80 — stop evaluated
+    // before accept, so the stop row is never consumed into the loop;
+    // it falls through the first-match-wins derivation (a qualifying
+    // purchase could still start the next step) or becomes a gap row.
+    // With contiguous-run loops this is exactly the stop-gated
+    // predicate (accept AND NOT stop) — compileWhere runs unchanged on
+    // it, the oracle splices the SAME stop-gated CASE, and CepSpec pins
+    // the rewrite against stop-gated sequential evaluation on random
+    // stop/accept pairs.
+    "event_cep_until" -> ((s, d) =>
+      Cep.compileWhere(Tables.events(s, d), "user_id", "ts", "event_id",
+          CepPatterns.untilPat)
+        .orderBy("user_id", "start_id")),
+
     // predicate-step COMPILED MEASURES (compileWhereMeasures): per-step
     // cents sums for a value-predicate pattern — browse-run (the
     // predicate merges views and clicks into one derived symbol, so
@@ -452,6 +468,14 @@ object Analytic {
       CepCondStep("hi_view", "event_type = 'view' AND value >= 50", 1, Some(2)),
       CepCondStep("buy", "event_type = 'purchase' AND value >= 20", 1, None)),
       Some(1440), SkipToNextRow, strict = false)
+    // until() stop condition (see event_cep_until): a browse loop over
+    // views/clicks stopped at the first value >= 80 row — stop checked
+    // BEFORE accept, the stop row never consumed — then a purchase run.
+    val untilPat = CepCondPattern(Seq(
+      CepCondStep("browse", "event_type IN ('view', 'click')", 1, None,
+        untilSql = Some("value >= 80")),
+      CepCondStep("buy", "event_type = 'purchase' AND value >= 20", 1, Some(2))),
+      Some(1440), SkipToNextRow, strict = false)
     // strict value-predicate pattern for the compiled-MEASURES route:
     // a browse run (views/clicks, merged by the predicate into ONE
     // derived symbol) ended by a qualifying purchase — mutually
@@ -484,6 +508,7 @@ object Analytic {
     "event_cep_relaxed" -> Cep.oracleSql(CepPatterns.relaxed),
     "event_cep_negated" -> Cep.oracleSql(CepPatterns.negated),
     "event_cep_where" -> Cep.oracleSqlWhere(CepPatterns.where),
+    "event_cep_until" -> Cep.oracleSqlWhere(CepPatterns.untilPat),
     "event_cep_any" -> Cep.oracleSql(CepPatterns.any),
     "event_cep_reluctant" -> Cep.oracleSql(CepPatterns.reluctant),
 

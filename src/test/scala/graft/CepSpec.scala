@@ -407,6 +407,72 @@ class CepSpec extends SparkSuite {
     assert(nonEmpty >= 8, s"only $nonEmpty/20 predicate trials produced matches")
   }
 
+  test("until() stop condition == stop-first sequential evaluation, and the stop bites") {
+    // random accept band with an OVERLAPPING stop threshold on the
+    // looping step: the stop-gated derivation (compileWhere over
+    // effectiveSql) must equal a sequential reference that implements
+    // Flink's evaluation ORDER literally — stop checked FIRST, a row
+    // satisfying it never enters the loop even when the accept band
+    // matches. A vacuity guard requires the stop to change the output
+    // vs the ungated pattern on most trials.
+    val rnd = new scala.util.Random(211)
+    var nonEmpty = 0
+    var differs = 0
+    for (trial <- 0 until 20) {
+      val t1 = 30 + rnd.nextInt(30) // loop accepts value < t1
+      val stop = 5 + rnd.nextInt(t1 - 5) // stop at value >= stop — inside the band
+      val finCap = 1 + rnd.nextInt(2)
+      val mkSteps = (u: Option[String]) => Seq(
+        CepCondStep("run", s"value < $t1", 1, None, untilSql = u),
+        CepCondStep("fin", s"value >= $t1", 1, Some(finCap)))
+      val strict = rnd.nextBoolean()
+      val skip = if (strict && rnd.nextBoolean()) SkipPastLastRow else SkipToNextRow
+      val within = Some(200 + rnd.nextInt(300))
+      val pat = CepCondPattern(mkSteps(Some(s"value >= $stop")), within, skip, strict)
+      var ord = 0L
+      val evs = (0 until 3).flatMap { k =>
+        var tsUs = 0L
+        (0 until 30 + rnd.nextInt(40)).map { _ =>
+          tsUs += (1 + rnd.nextInt(12)) * 60L * 1000000L
+          ord += 1
+          (k.toLong, rnd.nextInt(100), tsUs, ord)
+        }
+      }
+      val df = evs.toDF("k", "value", "ts_us", "ord")
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+      val got = Cep.compileWhere(df, "k", "ts", "ord", pat)
+        .select(col("k"), col("start_id"), col("end_id"), col("n_rows"), col("step_counts"))
+        .as[(Long, Long, Long, Long, String)].collect().toSeq.sorted
+      // stop-FIRST reference: mirror Flink's order structurally, not
+      // the rewrite — if the stop condition holds, refuse before the
+      // accept condition is even consulted
+      type E = (Long, Int, Long, Long)
+      val stopFirst: (E, IndexedSeq[Seq[E]]) => Boolean =
+        (e, _) => if (e._2 >= stop) false else e._2 < t1
+      val conds = IndexedSeq[(E, IndexedSeq[Seq[E]]) => Boolean](
+        stopFirst, (e, _) => e._2 >= t1)
+      def seqMatches(cs: IndexedSeq[(E, IndexedSeq[Seq[E]]) => Boolean],
+                     p: CepCondPattern): Seq[(Long, Long, Long, Long, String)] =
+        evs.groupBy(_._1).toSeq.flatMap { case (k, rows) =>
+          val sorted = rows.sortBy(r => (r._3, r._4)).toIndexedSeq
+          Cep.matchSequenceIter(sorted, (e: E) => e._3, p.symbolic, cs)
+            .map(m => (k, sorted(m.startIdx)._4, sorted(m.endIdx)._4,
+              m.nRows.toLong, m.stepCounts.mkString(",")))
+        }.sorted.toSeq
+      val want = seqMatches(conds, pat)
+      if (want.nonEmpty) nonEmpty += 1
+      assert(got == want,
+        s"trial $trial pattern $pat:\n missing=${(want.diff(got)).take(5)}\n extra=${(got.diff(want)).take(5)}")
+      // vacuity guard: the ungated pattern must disagree somewhere
+      val patNo = CepCondPattern(mkSteps(None), within, skip, strict)
+      val condsNo = IndexedSeq[(E, IndexedSeq[Seq[E]]) => Boolean](
+        (e, _) => e._2 < t1, (e, _) => e._2 >= t1)
+      if (want != seqMatches(condsNo, patNo)) differs += 1
+    }
+    assert(nonEmpty >= 8, s"only $nonEmpty/20 until trials produced matches")
+    assert(differs >= 5, s"the stop condition changed output on only $differs/20 trials")
+  }
+
   test("iterative condition matcher == independent brute force (next-higher-value shape)") {
     // the declared event_cep_iterative semantics, reimplemented from
     // scratch: every anchor row A satisfying p0; B = FIRST later row
