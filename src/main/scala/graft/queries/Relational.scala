@@ -379,6 +379,27 @@ object Relational {
           count(lit(1)).as("n_events"))
         .orderBy("user_id")),
 
+    // JSON aggregation (Flink SQL / SQL:2016 JSON_OBJECTAGG and
+    // JSON_ARRAYAGG): per nation, a JSON object of mktsegment -> customer
+    // count and a JSON array of the counts. The standard leaves member
+    // order unspecified; both sides impose an explicit deterministic
+    // order (object by key, array ascending) — the same determinism
+    // discipline as agg_collect. Spark builds REAL JSON values
+    // (map_from_entries + to_json, codegen'd); the oracle replays the
+    // byte format with ordered string_agg. Two-level aggregate: the
+    // inner count partial-aggregates map-side, the outer collect runs
+    // on the already-reduced (nation, segment) rows — O(distinct pairs).
+    "agg_jsonagg" -> ((s, d) =>
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("c_nationkey")
+        .agg(
+          to_json(map_from_entries(array_sort(
+            collect_list(struct(col("c_mktsegment"), col("cnt")))))).as("seg_counts_json"),
+          to_json(array_sort(collect_list(col("cnt")))).as("counts_json"))
+        .orderBy("c_nationkey")),
+
     // LATERAL correlated subquery (Flink SQL LATERAL TABLE / SQL:1999
     // lateral derived tables): per customer, the top-2 orders by price.
     // Catalyst de-correlates the ORDER BY + LIMIT into a partitioned
@@ -754,6 +775,15 @@ object Relational {
       """SELECT user_id, string_agg(event_type, ',' ORDER BY event_type) AS types,
         |       count(*) AS n_events
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "agg_jsonagg" ->
+      """WITH seg AS (SELECT c_nationkey, c_mktsegment, count(*) AS cnt
+        |             FROM customer GROUP BY 1, 2)
+        |SELECT c_nationkey,
+        |       '{' || string_agg('"' || c_mktsegment || '":' || cnt,
+        |                         ',' ORDER BY c_mktsegment) || '}' AS seg_counts_json,
+        |       '[' || string_agg(cnt, ',' ORDER BY cnt) || ']' AS counts_json
+        |FROM seg GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "q_composite_revenue" ->
       """SELECT o_orderkey, o_orderdate, o_orderpriority,
