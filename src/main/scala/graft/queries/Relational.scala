@@ -379,6 +379,22 @@ object Relational {
           count(lit(1)).as("n_events"))
         .orderBy("user_id")),
 
+    // UNNEST WITH ORDINALITY (Flink SQL `CROSS JOIN UNNEST(arr) WITH
+    // ORDINALITY`, SQL:2016 lateral array expansion): each embedding
+    // row explodes to one row per cell with its 1-based ordinal.
+    // posexplode plans as the codegen'd Generate operator — the lateral
+    // view shape, no join, no shuffle; the vec_id predicate pushes to
+    // the scan. Cells ship as the library's scaled-int discipline
+    // (floor(x*10000+0.5) as BIGINT) so cross-engine float formatting
+    // never reaches the hash.
+    "join_unnest" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .filter(col("vec_id") <= 100)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "x")))
+        .select(col("vec_id"), (col("pos0") + 1).as("pos"),
+          expr("cast(floor(cast(x as double) * 10000 + 0.5) as bigint)").as("xs"))
+        .orderBy("vec_id", "pos")),
+
     // JSON aggregation (Flink SQL / SQL:2016 JSON_OBJECTAGG and
     // JSON_ARRAYAGG): per nation, a JSON object of mktsegment -> customer
     // count and a JSON array of the counts. The standard leaves member
@@ -775,6 +791,11 @@ object Relational {
       """SELECT user_id, string_agg(event_type, ',' ORDER BY event_type) AS types,
         |       count(*) AS n_events
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "join_unnest" ->
+      """SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+        |       CAST(floor(unnest(embedding)::DOUBLE * 10000 + 0.5) AS BIGINT) AS xs
+        |FROM embeddings WHERE vec_id <= 100 ORDER BY vec_id, pos""".stripMargin,
 
     "agg_jsonagg" ->
       """WITH seg AS (SELECT c_nationkey, c_mktsegment, count(*) AS cnt
