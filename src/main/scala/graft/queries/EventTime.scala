@@ -47,6 +47,20 @@ object EventTime {
 
     "wnd_sliding" -> (wndSliding _),
 
+    // Flink windowAll semantics (non-keyed event-time windows): one 1 h
+    // tumbling window stream over ALL events, no key. Flink executes
+    // windowAll at parallelism 1 by definition (its docs carry the
+    // warning); the Spark translation is grouped by the window struct
+    // itself — a partial+final HashAggregate distributed across however
+    // many windows the data spans, no single-task funnel (the SURVEY
+    // scope note's "global TIME windows as ordinary ungrouped window
+    // aggregation", made a declared key). The distinct-user count rides
+    // the same Expand-based rewrite as agg_distinct, also partial.
+    "wnd_global" -> ((s, d) =>
+      Windows.tumbling(Tables.events(s, d), "ts", "1 hour", Seq.empty,
+          stdAggs :+ countDistinct(col("user_id")).as("n_users"))
+        .orderBy("window_start")),
+
     // Session windows, 30 min gap; strict->= gap flag in the oracle
     // matches Spark's merge rule (FIXTURES.md: 946 sessions at sf0.001).
     "wnd_session" -> ((s, d) =>
@@ -436,6 +450,14 @@ object EventTime {
         |       event_type, count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
+
+    "wnd_global" ->
+      """SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start,
+        |       (date_trunc('hour', ts) + INTERVAL 1 HOUR)::TIMESTAMP AS window_end,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY window_start""".stripMargin,
 
     "wnd_sliding" -> slidingOracle,
 

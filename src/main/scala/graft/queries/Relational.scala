@@ -372,6 +372,27 @@ object Relational {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // Filtered aggregates (SQL:2003 `agg FILTER (WHERE ...)`; Flink SQL
+    // supports the clause on every aggregate, where it also drives the
+    // distinct-agg split optimization). One pass over orders computes
+    // unconditional and three conditionally-filtered aggregates — the
+    // FILTER predicates evaluate inside the partial HashAggregate
+    // (Spark rewrites them to conditional update, not a pre-filter
+    // join), so the scan stays single and map-side combine still
+    // applies; the filtered count(DISTINCT) joins the same Expand
+    // rewrite as agg_distinct.
+    "agg_filtered" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_all"),
+          expr("count(*) FILTER (WHERE o_orderstatus = 'F')").as("n_finished"),
+          expr("cast(sum(cast(o_totalprice as decimal(12,2))) " +
+            "FILTER (WHERE o_orderstatus = 'O') as double)").as("open_price"),
+          expr("count(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 150000)")
+            .as("big_custs"))
+        .orderBy("o_orderpriority")),
+
     "agg_collect" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy("user_id")
@@ -786,6 +807,15 @@ object Relational {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
         |ORDER BY priority, status""".stripMargin,
+
+    "agg_filtered" ->
+      """SELECT o_orderpriority, count(*) AS n_all,
+        |       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+        |            FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_price,
+        |       count(DISTINCT o_custkey)
+        |            FILTER (WHERE o_totalprice > 150000) AS big_custs
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "agg_collect" ->
       """SELECT user_id, string_agg(event_type, ',' ORDER BY event_type) AS types,
