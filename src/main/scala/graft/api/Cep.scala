@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.{Window => W}
 import org.apache.spark.sql.functions._
 
@@ -34,6 +34,25 @@ sealed trait CepSkip
 case object SkipPastLastRow extends CepSkip
 /** Resume at the row after the match start — overlapping matches emit. */
 case object SkipToNextRow extends CepSkip
+/** Resume the scan AT the first row the named step consumed (Flink
+  * `AfterMatchSkipStrategy.skipToFirst(name)`, MATCH_RECOGNIZE
+  * `AFTER MATCH SKIP TO FIRST name`): matches anchored before that row
+  * are suppressed, later overlaps emit. The named step must be a
+  * unique-symbol, non-first, non-negated, non-optional step — Flink
+  * likewise rejects skipping to the leading variable, which could
+  * re-anchor the same row forever. Under STRICT contiguity with
+  * pairwise-distinct step symbols this is provably equivalent to
+  * SKIP PAST LAST ROW (the consumed span contains no first-step-symbol
+  * row after the named step's rows, so the next anchor found is the
+  * one past the match either way); the distinct behavior lives in
+  * relaxed mode, where gap rows of the first step's symbol inside the
+  * span can anchor overlapping matches.
+  */
+case class SkipToFirst(symbol: String) extends CepSkip
+/** Resume the scan AT the last row the named step consumed (Flink
+  * `skipToLast(name)`, `AFTER MATCH SKIP TO LAST name`). Same
+  * restrictions and strict-mode equivalence as [[SkipToFirst]]. */
+case class SkipToLast(symbol: String) extends CepSkip
 
 /** A CEP pattern over a per-key event sequence ordered by (ts, ord):
   * ordered steps with greedy quantifiers, an optional WITHIN bound on
@@ -93,6 +112,16 @@ case class CepPattern(steps: Seq[CepStep], withinMinutes: Option[Int] = None,
   require(steps.forall(s => !s.negated) || steps.forall(s => s.negated || s.minRep >= 1),
     "negated and optional steps cannot be combined (an absent optional " +
       "merges adjacent gaps, making the negation scope ambiguous)")
+  skipTargetSymbol.foreach { s =>
+    require(steps.count(_.symbol == s) == 1,
+      s"skip-to target '$s' must name exactly one step")
+    val i = steps.indexWhere(_.symbol == s)
+    require(i > 0, s"skip-to target '$s' must not be the first step " +
+      "(resuming at the match anchor would loop — Flink rejects it too)")
+    require(!steps(i).negated && steps(i).minRep >= 1,
+      s"skip-to target '$s' must be a non-negated, non-optional step " +
+        "(an absent or forbidden step has no consumed row to resume at)")
+  }
   // NOTE: repeated step symbols are legal at the PATTERN level — the
   // sequential matcher (matchSequence, StreamOps.cepPattern) handles
   // them; only Cep.compile/oracleSql require pairwise-distinct symbols
@@ -117,6 +146,17 @@ case class CepPattern(steps: Seq[CepStep], withinMinutes: Option[Int] = None,
       else if (steps(i).minRep == 0) acc.flatMap(pre => Seq(pre :+ i, pre))
       else acc.map(_ :+ i)
     }
+
+  /** The skip-to target symbol, when the strategy names one. */
+  private[graft] def skipTargetSymbol: Option[String] = skip match {
+    case SkipToFirst(s) => Some(s)
+    case SkipToLast(s) => Some(s)
+    case _ => None
+  }
+
+  /** Original index of the skip-to target step. */
+  private[graft] def skipTargetIdx: Option[Int] =
+    skipTargetSymbol.map(s => steps.indexWhere(_.symbol == s))
 
   /** Negated original step indices lying between original positions
     * `a` and `b` — the notFollowedBy constraints of that gap. */
@@ -557,10 +597,17 @@ object Cep {
     } else {
       def tryAt(q: Int): Option[(CepSeqMatch, IndexedSeq[IndexedSeq[Int]])] =
         if (pattern.strict) tryStrict(q) else tryRelaxed(q)
+      val skipIdx = pattern.skipTargetIdx.getOrElse(-1)
       while (p < n) {
         (tryAt(p), pattern.skip) match {
           case (Some(r), SkipPastLastRow) => out += r; p = r._1.endIdx + 1
           case (Some(r), SkipToNextRow) => out += r; p += 1
+          // skip-to resumes AT the named step's first/last consumed row
+          // (inclusive — the next attempt starts there). The target step
+          // is non-first and non-optional, so its consumed rows are
+          // non-empty and strictly after the anchor: progress holds.
+          case (Some(r), SkipToFirst(_)) => out += r; p = r._2(skipIdx).head
+          case (Some(r), SkipToLast(_)) => out += r; p = r._2(skipIdx).last
           case _ => p += 1
         }
       }
@@ -638,11 +685,27 @@ object Cep {
 
   private def compileImpl(df: DataFrame, keyCol: String, tsCol: String, ordCol: String,
                           symCol: String, valCol: Option[String],
-                          pattern: CepPattern): DataFrame = {
-    require(pattern.strict || pattern.skip == SkipToNextRow,
-      "relaxed contiguity compiles under SKIP TO NEXT ROW only (matches " +
-        "can overlap arbitrary spans, so PAST LAST ROW suppression is a " +
-        "sequential scan — use StreamOps.cepPattern's batch replay for it)")
+                          pattern0: CepPattern): DataFrame = {
+    // Strict-mode SKIP TO FIRST/LAST is provably SKIP PAST LAST ROW
+    // under the compiler's pairwise-distinct-symbols precondition
+    // ([[SkipToFirst]] scaladoc; equivalence property-pinned in
+    // CepSpec) — compile the equivalent form.
+    val pattern =
+      if (pattern0.strict && pattern0.skipTargetIdx.isDefined)
+        pattern0.copy(skip = SkipPastLastRow)
+      else pattern0
+    require(pattern.strict || pattern.skip != SkipPastLastRow,
+      "relaxed contiguity compiles under SKIP TO NEXT ROW or SKIP TO " +
+        "FIRST/LAST only (PAST LAST ROW suppression over arbitrary " +
+        "overlapping spans is a sequential scan — use " +
+        "StreamOps.cepPattern's batch replay for it)")
+    require(pattern.strict || pattern.skipTargetIdx.isEmpty ||
+        pattern.alternatives.size == 1,
+      "relaxed SKIP TO FIRST/LAST compiles without optional steps " +
+        "(the resume row must come from a step present in every match)")
+    require(pattern.skipTargetIdx.isEmpty || valCol.isEmpty,
+      "SKIP TO FIRST/LAST with MEASURES is not compiled (combine " +
+        "matchSequenceMeasures per key if needed)")
     requireDistinctSymbols(pattern)
     val steps = pattern.steps
     val measured = valCol.isDefined
@@ -736,7 +799,9 @@ object Cep {
       pattern.withinMinutes.foreach(w =>
         j1 = j1.filter(col("a_ts") >= col("end_ts") - expr(s"INTERVAL $w MINUTES")))
       val matched = pattern.skip match {
-        case SkipPastLastRow =>
+        // strict SKIP TO FIRST/LAST ≡ PAST LAST ROW (rewritten at
+        // entry; the grouping below is the correct plan for them too)
+        case SkipPastLastRow | SkipToFirst(_) | SkipToLast(_) =>
           // the qualifying anchor rows ARE the consumed first-step
           // suffix (WITHIN and maxRep both select suffixes of the
           // time-ordered run), so count/sum over the group are the
@@ -838,10 +903,18 @@ object Cep {
             cand = cand.withColumnRenamed(s"ngx_$g", s"ng_$g"))
         }
       }
+      // SKIP TO FIRST/LAST: carry the target step's aligned run id so
+      // the resume row (its first / last consumed row) can join back
+      // after candidate generation. Single alternative (compile
+      // precondition) but negated steps are absent from presentIdx, so
+      // the rid_* column index is the target's POSITION in the
+      // alternative, not its original step index.
+      val skipVi = pattern.skipTargetIdx
       val candSel = cand.select(
         Seq(col("k"), col("arid"), col("len1"),
           col(s"rid_${j - 1}").as("erid"),
           capped(col(s"len_${j - 1}"), alt.last).as("clast")) ++
+          skipVi.map(vi => col(s"rid_${presentIdx.indexOf(vi)}").as("vrid")).toSeq ++
           (1 until j).map(i =>
             capped(col(s"len_$i"), alt(i)).as(s"cc_${presentIdx(i)}")): _*)
       val withEnd = candSel.join(endRows, Seq("k", "erid"))
@@ -857,17 +930,80 @@ object Cep {
         else if (oi == presentIdx.head) col("c1")
         else col(s"cc_$oi")
       }
-      j1.select(col("k").as(keyCol), col("a_ord").as("start_id"),
+      j1.select(Seq(col("k").as(keyCol), col("a_ord").as("start_id"),
         col("a_ts").as("start_ts"), col("end_id"), col("end_ts"),
         (col("c1") +: (1 until j).map(i => col(s"cc_${presentIdx(i)}")))
           .reduce(_ + _).as("n_rows"),
         concat_ws(",", countCols.map(_.cast("string")): _*).as("step_counts"),
-        lit(ai).as("alt"))
+        lit(ai).as("alt")) ++
+        skipVi.toSeq.flatMap(vi => Seq(col("vrid"), col(s"cc_$vi").as("vcnt"))): _*)
     }
     val wp = W.partitionBy(col(keyCol), col("start_id")).orderBy(col("alt"))
-    alts.reduce(_ union _)
+    val out0 = alts.reduce(_ union _)
       .withColumn("prn", row_number().over(wp)).filter(col("prn") === 1)
       .drop("prn", "alt")
+    pattern.skipTargetIdx match {
+      case None => out0
+      case Some(_) =>
+        // resume row: the target run's row at pos 1 (SKIP TO FIRST) or
+        // at the consumed count (SKIP TO LAST — consumption is a run
+        // prefix, so the last consumed row sits at pos = vcnt)
+        val vpos = pattern.skip match {
+          case SkipToFirst(_) => lit(1L)
+          case _ => col("vcnt")
+        }
+        val resRows = rows.select(col("k").as("rk"), col("rid").as("rrid"),
+          col("pos").as("rpos"), col("ts").as("res_ts"), col("ord").as("res_ord"))
+        val withRes = out0.join(resRows,
+            col(keyCol) === col("rk") && col("vrid") === col("rrid") &&
+              col("rpos") === vpos)
+          .drop("rk", "rrid", "rpos", "vrid", "vcnt")
+        chainSkipSelect(withRes, keyCol)
+    }
+  }
+
+  /** Greedy AFTER MATCH SKIP TO FIRST/LAST selection over the candidate
+    * table: walk a key's candidates in anchor order, emit one whose
+    * anchor is at/after the current resume point, and jump the resume
+    * point to the emitted match's `res` row — exactly the reference
+    * matcher's scan. The fold is inherently sequential PER KEY (each
+    * emission decides the next resume point), so it runs as ONE hash
+    * shuffle on the key plus a linear `flatMapGroups` walk over that
+    * key's CANDIDATES — bounded by the per-key match count (WITHIN- and
+    * quantifier-bounded), never raw rows. This replaces a recursive-CTE
+    * formulation whose depth-N iteration cost N global stages (each a
+    * whole-cluster barrier — wrong at scale, and measurably 6x slower
+    * at sf0.1); the DuckDB oracle still replays the identical selection
+    * as WITH RECURSIVE, where single-node recursion is the natural
+    * form, so the two engines pin each other.
+    */
+  private def chainSkipSelect(cands: DataFrame, keyCol: String): DataFrame = {
+    val prepped = cands
+      .withColumn("start_us", unix_micros(col("start_ts").cast("timestamp")))
+      .withColumn("res_us", unix_micros(col("res_ts").cast("timestamp")))
+    val schema = prepped.schema
+    val iKey = schema.fieldIndex(keyCol)
+    val iSid = schema.fieldIndex("start_id")
+    val iSus = schema.fieldIndex("start_us")
+    val iRus = schema.fieldIndex("res_us")
+    val iRord = schema.fieldIndex("res_ord")
+    def lv(r: Row, i: Int): Long = r.getAs[Number](i).longValue
+    val walked = prepped
+      .groupByKey(r => String.valueOf(r.get(iKey)))(Encoders.STRING)
+      .flatMapGroups { (_: String, it: Iterator[Row]) =>
+        val ms = it.toArray.sortBy(r => (r.getLong(iSus), lv(r, iSid)))
+        var resUs = 0L
+        var resOrd = 0L
+        var first = true
+        ms.iterator.filter { r =>
+          val emit = first || r.getLong(iSus) > resUs ||
+            (r.getLong(iSus) == resUs && lv(r, iSid) >= resOrd)
+          if (emit) { resUs = r.getLong(iRus); resOrd = lv(r, iRord); first = false }
+          emit
+        }
+      }(Encoders.row(schema))
+    walked.select(col(keyCol), col("start_id"), col("start_ts"),
+      col("end_id"), col("end_ts"), col("n_rows"), col("step_counts"))
   }
 
   /** followedByAny compilation (relaxed + `anyMatch`): later steps join
@@ -1016,9 +1152,15 @@ object Cep {
     oracleSqlImpl(pattern, table, keyCol, tsCol, ordCol, symCol, Some(valCol))
   }
 
-  private def oracleSqlImpl(pattern: CepPattern, table: String, keyCol: String,
+  private def oracleSqlImpl(pattern0: CepPattern, table: String, keyCol: String,
                             tsCol: String, ordCol: String, symCol: String,
                             valCol: Option[String]): String = {
+    // same strict-mode SKIP TO FIRST/LAST ≡ SKIP PAST LAST ROW
+    // rewrite as compileImpl
+    val pattern =
+      if (pattern0.strict && pattern0.skipTargetIdx.isDefined)
+        pattern0.copy(skip = SkipPastLastRow)
+      else pattern0
     requireDistinctSymbols(pattern)
     val steps = pattern.steps
     val measured = valCol.isDefined
@@ -1083,7 +1225,8 @@ object Cep {
         (if (measured) (2 until j).map(i => s"ms_${presentIdx(i - 1)}") else Nil)
       val endPrefSel = if (measured) ", pe.pcum AS end_pref" else ""
       val matchSql = pattern.skip match {
-        case SkipPastLastRow =>
+        // strict SKIP TO FIRST/LAST ≡ PAST LAST ROW (rewritten at entry)
+        case SkipPastLastRow | SkipToFirst(_) | SkipToLast(_) =>
           val g = (Seq("w.k", "w.arid", "w.erid", "w.len1", "w.clast", "w.mid_total",
             "w.end_ts", "w.end_id") ++
             (if (measured) Seq("w.end_pref") else Nil) ++
@@ -1176,8 +1319,12 @@ object Cep {
         else if (oi == presentIdx.head) "c1"
         else s"cc_$oi"
       }.mkString(", ")
+      val vSel = pattern.skipTargetIdx
+        .map(vi => s", vrid, cc_$vi AS vcnt").getOrElse("")
+      val vCand = pattern.skipTargetIdx
+        .map(vi => s", r${presentIdx.indexOf(vi) + 1}.rid AS vrid").getOrElse("")
       s"""cand_$ai AS (SELECT r1.k, r1.rid AS arid, r1.len AS len1,
-         |             r$j.rid AS erid, $clast AS clast, $ccSel
+         |             r$j.rid AS erid, $clast AS clast, $ccSel$vCand
          |             FROM runsx r1
          |             $joins
          |             WHERE r1.sym = '${alt.head.symbol}' AND $lenConds),
@@ -1190,19 +1337,51 @@ object Cep {
          |          WHERE w.len1 - r1r.pos + 1 >= ${alt.head.minRep}$w1),
          |out_$ai AS (SELECT k AS $keyCol, start_id, start_ts, end_id, end_ts,
          |            c1 + ${ccCols.mkString(" + ")} AS n_rows,
-         |            concat_ws(',', $countExprs) AS step_counts, $ai AS alt
+         |            concat_ws(',', $countExprs) AS step_counts, $ai AS alt$vSel
          |            FROM m_$ai)""".stripMargin
     }
     val unions = pattern.alternatives.indices
       .map(i => s"SELECT * FROM out_$i").mkString(" UNION ALL ")
-    header + ",\n" + runsx + ",\n" + altSql.mkString(",\n") +
-      s"""
-         |SELECT $keyCol, start_id, start_ts, end_id, end_ts, n_rows, step_counts
-         |FROM (SELECT *, row_number() OVER (PARTITION BY $keyCol, start_id
-         |                                   ORDER BY alt) AS prn
-         |      FROM ($unions))
-         |WHERE prn = 1
-         |ORDER BY $keyCol, start_id""".stripMargin
+    val body = header + ",\n" + runsx + ",\n" + altSql.mkString(",\n")
+    pattern.skipTargetIdx match {
+      case None =>
+        body +
+          s"""
+             |SELECT $keyCol, start_id, start_ts, end_id, end_ts, n_rows, step_counts
+             |FROM (SELECT *, row_number() OVER (PARTITION BY $keyCol, start_id
+             |                                   ORDER BY alt) AS prn
+             |      FROM ($unions))
+             |WHERE prn = 1
+             |ORDER BY $keyCol, start_id""".stripMargin
+      case Some(_) =>
+        // resume row join + the greedy skip-chain recursion — the same
+        // construction chainSkipSelect compiles on the Spark side
+        val vposSql = pattern.skip match {
+          case SkipToFirst(_) => "1"
+          case _ => "o.vcnt"
+        }
+        val ge = "c2.start_ts > ch.cres_ts OR " +
+          "(c2.start_ts = ch.cres_ts AND c2.start_id >= ch.cres_ord)"
+        body.replaceFirst("^WITH ", "WITH RECURSIVE ") + ",\n" +
+          s"""res AS (SELECT o.*, pr.ts AS res_ts, pr.ord AS res_ord
+             |        FROM ($unions) o JOIN p pr ON pr.k = o.$keyCol
+             |             AND pr.rid = o.vrid AND pr.pos = $vposSql),
+             |c AS (SELECT *, row_number() OVER (PARTITION BY $keyCol
+             |               ORDER BY start_ts, start_id) AS rn FROM res),
+             |chain (ck, crn, cres_ts, cres_ord, emit) AS (
+             |  SELECT $keyCol, rn, res_ts, res_ord, true FROM c WHERE rn = 1
+             |  UNION ALL
+             |  SELECT c2.$keyCol, c2.rn,
+             |         CASE WHEN $ge THEN c2.res_ts ELSE ch.cres_ts END,
+             |         CASE WHEN $ge THEN c2.res_ord ELSE ch.cres_ord END,
+             |         $ge
+             |  FROM chain ch JOIN c c2 ON c2.$keyCol = ch.ck AND c2.rn = ch.crn + 1)
+             |SELECT c.$keyCol, c.start_id, c.start_ts, c.end_id, c.end_ts,
+             |       c.n_rows, c.step_counts
+             |FROM c JOIN chain ch2 ON ch2.ck = c.$keyCol AND ch2.crn = c.rn
+             |WHERE ch2.emit
+             |ORDER BY c.$keyCol, c.start_id""".stripMargin
+    }
   }
 
   /** DuckDB replay of [[compileRelaxedAny]] — any-run chaining via rid

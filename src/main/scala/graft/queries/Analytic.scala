@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Det, Tables}
-import graft.api.{Cep, CepCondPattern, CepCondStep, CepPattern, CepStep, SkipToNextRow}
+import graft.api.{Cep, CepCondPattern, CepCondStep, CepPattern, CepStep, SkipToFirst, SkipToLast, SkipToNextRow}
 import graft.streaming.{Ev, StreamOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -294,6 +294,28 @@ object Analytic {
           "event_type", CepPatterns.any)
         .orderBy("user_id", "start_id", "end_id", "n_rows", "step_counts")),
 
+    // AFTER MATCH SKIP TO FIRST (Flink skipToFirst / MATCH_RECOGNIZE
+    // AFTER MATCH SKIP TO FIRST var): the relaxed signup → click →
+    // purchase funnel resuming the scan AT the click run's first
+    // consumed row — overlapping matches anchored at signup gap rows
+    // inside the previous span emit, thinned to the greedy resume
+    // chain. Candidates compile exactly like event_cep_relaxed; the
+    // chain is a WITH RECURSIVE walk over CANDIDATES (depth = per-key
+    // match count, never raw rows), replayed identically by DuckDB.
+    "event_cep_skip_first" -> ((s, d) =>
+      Cep.compile(Tables.events(s, d), "user_id", "ts", "event_id",
+          "event_type", CepPatterns.skipFirst)
+        .orderBy("user_id", "start_id")),
+
+    // AFTER MATCH SKIP TO LAST: same funnel, resume at the click run's
+    // LAST consumed row — a strictly later resume point than skip-to-
+    // first, so its match set sits between skip-to-first's and
+    // skip-past-last's.
+    "event_cep_skip_last" -> ((s, d) =>
+      Cep.compile(Tables.events(s, d), "user_id", "ts", "event_id",
+          "event_type", CepPatterns.skipLast)
+        .orderBy("user_id", "start_id")),
+
     // ITERATIVE condition (Flink IterativeCondition): purchase anchor
     // followed by the FIRST later purchase whose value EXCEEDS THE
     // ANCHOR'S — the predicate reads the rows already matched in the
@@ -484,6 +506,16 @@ object Analytic {
       CepCondStep("browse", "event_type IN ('view', 'click')", 1, None),
       CepCondStep("buy", "event_type = 'purchase' AND value >= 10", 1, Some(1))),
       Some(1440))
+    // AFTER MATCH SKIP TO FIRST/LAST (see event_cep_skip_first/_last):
+    // a relaxed signup{1,2} → click{1,2} → purchase{1,} funnel WITHIN
+    // 24 h, resuming the scan at the click run's first / last consumed
+    // row. Signup gap rows inside a match's span can anchor overlapping
+    // matches that PAST LAST ROW would miss, while TO NEXT ROW's full
+    // overlap set is thinned to the greedy resume chain.
+    val skipFirst = CepPattern(Seq(CepStep("signup", 1, Some(2)),
+      CepStep("click", 1, Some(2)), CepStep("purchase", 1, None)),
+      Some(1440), SkipToFirst("click"), strict = false)
+    val skipLast = skipFirst.copy(skip = SkipToLast("click"))
     // followedByAny over the same steps as `relaxed`
     val any = CepPattern(Seq(CepStep("signup", 1, None),
       CepStep("click", 1, Some(2)), CepStep("purchase", 1, None)),
@@ -510,6 +542,8 @@ object Analytic {
     "event_cep_where" -> Cep.oracleSqlWhere(CepPatterns.where),
     "event_cep_until" -> Cep.oracleSqlWhere(CepPatterns.untilPat),
     "event_cep_any" -> Cep.oracleSql(CepPatterns.any),
+    "event_cep_skip_first" -> Cep.oracleSql(CepPatterns.skipFirst),
+    "event_cep_skip_last" -> Cep.oracleSql(CepPatterns.skipLast),
     "event_cep_reluctant" -> Cep.oracleSql(CepPatterns.reluctant),
 
     // Independent SQL formulation of the iterative-condition semantics

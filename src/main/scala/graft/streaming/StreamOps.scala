@@ -1133,6 +1133,9 @@ object StreamOps extends Serializable {
           p = pattern.skip match {
             case SkipPastLastRow => m.endIdx + 1
             case SkipToNextRow => p + 1
+            // rejected at operator construction (cepPattern's require):
+            // the sealing matcher does not track per-step consumption
+            case other => sys.error(s"unsupported streaming skip $other")
           }
         case SealedFail => p += 1
         case PendingNeedsFuture
@@ -1166,6 +1169,13 @@ object StreamOps extends Serializable {
   def cepPattern(ev: Dataset[Ev], pattern: CepPattern,
                  streaming: Boolean): Dataset[CepPatMatch] = {
     import ev.sparkSession.implicits._
+    require(!streaming || pattern.skipTargetIdx.isEmpty,
+      "streaming CEP supports SKIP PAST LAST ROW / TO NEXT ROW only: " +
+        "SKIP TO FIRST/LAST needs each sealed match's per-step " +
+        "consumption snapshot, which the sealing matcher does not " +
+        "track — port path: thread matchCoreRows' consumption context " +
+        "through walkAlt's Sealed results. Batch (Cep.compile and " +
+        "this operator's batch replay) supports both today.")
     def mk(user: Long, evs: IndexedSeq[CepEvent], m: CepSeqMatch): CepPatMatch =
       CepPatMatch(user, evs(m.startIdx).ord, microsTs(evs(m.startIdx).tsUs),
         evs(m.endIdx).ord, microsTs(evs(m.endIdx).tsUs),

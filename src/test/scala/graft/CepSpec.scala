@@ -129,6 +129,92 @@ class CepSpec extends SparkSuite {
     assert(nonEmpty >= 10, s"only $nonEmpty/25 relaxed trials produced matches")
   }
 
+  /** Random relaxed pattern eligible for the SKIP TO FIRST/LAST compile:
+    * optionals solidified (single alternative) and the target a random
+    * non-first positive step. */
+  private def randomSkipPattern(rnd: scala.util.Random): CepPattern = {
+    val base = randomRelaxedPattern(rnd)
+    val p = base.copy(steps = base.steps.map(s =>
+      if (!s.negated && s.minRep == 0) s.copy(minRep = 1) else s))
+    val targets = p.steps.drop(1).filterNot(_.negated)
+    val t = targets(rnd.nextInt(targets.size)).symbol
+    p.copy(skip = if (rnd.nextBoolean()) SkipToFirst(t) else SkipToLast(t))
+  }
+
+  test("SKIP TO FIRST/LAST compiled chain == sequential reference, and the chain bites") {
+    val rnd = new scala.util.Random(13)
+    var nonEmpty = 0
+    var thinned = 0
+    for (trial <- 0 until 25) {
+      val pat = randomSkipPattern(rnd)
+      val evs = randomEvents(rnd, 4)
+      val (got, want) = (compiledSet(evs, pat), referenceSet(evs, pat))
+      assert(got == want,
+        s"trial $trial pattern $pat:\n missing=${(want -- got).take(5)}\n extra=${(got -- want).take(5)}")
+      if (want.nonEmpty) nonEmpty += 1
+      // non-vacuity of the strategy itself: across the trials the skip
+      // chain must actually differ from BOTH neighbouring strategies
+      // (TO NEXT ROW's full overlap set and PAST LAST ROW's
+      // non-overlapping set — the sequential matcher runs all three)
+      val next = referenceSet(evs, pat.copy(skip = SkipToNextRow))
+      val past = referenceSet(evs, pat.copy(skip = SkipPastLastRow))
+      if (want != next && want != past) thinned += 1
+    }
+    assert(nonEmpty >= 10, s"only $nonEmpty/25 skip trials produced matches")
+    assert(thinned >= 1,
+      s"skip chain never sat strictly between TO NEXT and PAST LAST ($thinned/25)")
+  }
+
+  test("SKIP TO FIRST/LAST sits strictly between TO NEXT and PAST LAST (deterministic)") {
+    // A A B A B C on one key, relaxed A -> B -> C unbounded greedy:
+    //   PAST LAST ROW: one match {A1 A2 B3 _ _ C6}, resume past row 6.
+    //   TO NEXT ROW: three matches (anchors 1, 2, 4).
+    //   TO FIRST/LAST "B": resume AT B3 -> the gap row A4 anchors the
+    //   overlap {A4 B5 C6}, but the anchor-2 overlap is suppressed ->
+    //   exactly two matches. B runs have length 1 here, so FIRST and
+    //   LAST coincide (they always do under the compiler's distinct-
+    //   symbols precondition: rows between a run's first and last
+    //   consumed row are all the target symbol, never an anchor).
+    val evs = Seq("A", "A", "B", "A", "B", "C").zipWithIndex.map {
+      case (s, i) => (1L, s, (i + 1) * 60L * 1000000L, (i + 1).toLong)
+    }
+    val base = CepPattern(Seq(CepStep("A", 1, None), CepStep("B", 1, None),
+      CepStep("C", 1, None)), None, SkipToNextRow, strict = false)
+    val next = referenceSet(evs, base)
+    val past = referenceSet(evs, base.copy(skip = SkipPastLastRow))
+    assert(past.size == 1 && next.size == 3, s"scenario drifted: $past / $next")
+    for (sk <- Seq(SkipToFirst("B"), SkipToLast("B"))) {
+      val pat = base.copy(skip = sk)
+      val want = referenceSet(evs, pat)
+      assert(want.size == 2 && past.subsetOf(want) && want.subsetOf(next),
+        s"$sk chain not strictly between: $want")
+      assert(compiledSet(evs, pat) == want, s"compiled $sk diverged")
+    }
+  }
+
+  test("strict SKIP TO FIRST/LAST == SKIP PAST LAST ROW (the scaladoc theorem)") {
+    val rnd = new scala.util.Random(99)
+    var checked = 0
+    for (_ <- 0 until 20) {
+      val pat0 = randomPattern(rnd)
+      val targets = pat0.steps.drop(1).filter(_.minRep >= 1)
+      if (targets.nonEmpty) {
+        val t = targets(rnd.nextInt(targets.size)).symbol
+        val evs = randomEvents(rnd, 3)
+        val past = referenceSet(evs, pat0.copy(skip = SkipPastLastRow))
+        for (sk <- Seq(SkipToFirst(t), SkipToLast(t))) {
+          val pat = pat0.copy(skip = sk)
+          assert(referenceSet(evs, pat) == past,
+            s"sequential strict $sk diverged from PAST LAST ROW on $pat0")
+          assert(compiledSet(evs, pat) == past,
+            s"compiled strict $sk diverged from PAST LAST ROW on $pat0")
+        }
+        checked += 1
+      }
+    }
+    assert(checked >= 10, s"only $checked/20 strict-theorem trials eligible")
+  }
+
   test("strict reference matcher == java.util.regex greedy semantics (repeated symbols too)") {
     // an INDEPENDENT implementation of the strict semantics: map symbols
     // to chars, compile greedy quantifier groups, scan with Matcher —
@@ -668,7 +754,8 @@ class CepSpec extends SparkSuite {
         unix_micros(col("ts")).as("ts_us"), col("event_id"))
       .as[(Long, String, Long, Long)].collect()
     val pats = graft.queries.Analytic.CepPatterns
-    for (pat <- Seq(pats.quant, pats.optional, pats.tonext, pats.relaxed, pats.negated)) {
+    for (pat <- Seq(pats.quant, pats.optional, pats.tonext, pats.relaxed,
+        pats.negated, pats.skipFirst, pats.skipLast)) {
       val got = Cep.compile(ev, "user_id", "ts", "event_id", "event_type", pat)
         .select(col("user_id"), col("start_id"), col("end_id"), col("n_rows"), col("step_counts"))
         .as[(Long, Long, Long, Long, String)].collect().toSet
