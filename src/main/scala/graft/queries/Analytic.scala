@@ -516,6 +516,14 @@ object Analytic {
       CepStep("click", 1, Some(2)), CepStep("purchase", 1, None)),
       Some(1440), SkipToFirst("click"), strict = false)
     val skipLast = skipFirst.copy(skip = SkipToLast("click"))
+    // Pattern GROUP repetition (Flink Pattern.begin(sub).times(2)):
+    // (view+ click+){2} strict — the bounded-unroll identity makes the
+    // group executable as view+ click+ view+ click+ (repeated symbols,
+    // so only the sequential matcher runs it — Cep.compile's run
+    // alignment declines). TO NEXT ROW so every in-run anchor of the
+    // first view run emits its own match.
+    val group = CepPattern.repeat(Seq(CepStep("view", 1, None),
+      CepStep("click", 1, None)), 2, skip = SkipToNextRow)
     // followedByAny over the same steps as `relaxed`
     val any = CepPattern(Seq(CepStep("signup", 1, None),
       CepStep("click", 1, Some(2)), CepStep("purchase", 1, None)),

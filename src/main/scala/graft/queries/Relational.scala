@@ -400,6 +400,21 @@ object Relational {
           count(lit(1)).as("n_events"))
         .orderBy("user_id")),
 
+    // LISTAGG (SQL:2016 / Flink SQL `LISTAGG(expr, sep)`): ordered
+    // string aggregation per group. Spark 4's native ListAgg aggregate
+    // with WITHIN GROUP (ORDER BY) makes the member order explicit —
+    // the same determinism discipline as agg_collect, but producing the
+    // standard's string form directly instead of array_sort+concat_ws.
+    // The custkey predicate pushes to the scan; the aggregate is
+    // partial+final over (mktsegment) — bounded groups, bounded strings.
+    "agg_listagg" -> ((s, d) =>
+      Tables.customer(s, d)
+        .filter(col("c_custkey") <= 500)
+        .groupBy(col("c_mktsegment"))
+        .agg(expr("listagg(c_name, '|') within group (order by c_name)").as("names"),
+          count(lit(1)).as("n_cust"))
+        .orderBy("c_mktsegment")),
+
     // UNNEST WITH ORDINALITY (Flink SQL `CROSS JOIN UNNEST(arr) WITH
     // ORDINALITY`, SQL:2016 lateral array expansion): each embedding
     // row explodes to one row per cell with its 1-based ordinal.
@@ -821,6 +836,12 @@ object Relational {
       """SELECT user_id, string_agg(event_type, ',' ORDER BY event_type) AS types,
         |       count(*) AS n_events
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "agg_listagg" ->
+      """SELECT c_mktsegment, string_agg(c_name, '|' ORDER BY c_name) AS names,
+        |       count(*) AS n_cust
+        |FROM customer WHERE c_custkey <= 500
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "join_unnest" ->
       """SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,

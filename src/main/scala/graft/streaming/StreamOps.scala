@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateT
   OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 import org.apache.spark.sql.types._
 import graft.Det
-import graft.api.{Cep, CepEvent, CepPattern, CepSeqMatch, CepStep, SkipPastLastRow, SkipToNextRow}
+import graft.api.{Cep, CepEvent, CepPattern, CepSeqMatch, CepStep, SkipPastLastRow, SkipToFirst, SkipToLast, SkipToNextRow}
 
 /** Event row after ts normalization (micros timestamp). */
 case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -973,9 +973,15 @@ object StreamOps extends Serializable {
       }
   }
 
-  /** Per-anchor outcome of the seal-aware matcher. */
+  /** Per-anchor outcome of the seal-aware matcher. `skipRes` is the
+    * absolute buffer index to resume the scan at under SKIP TO
+    * FIRST/LAST (the target step's first/last consumed row; -1 when the
+    * strategy names no target). Always strictly after the anchor: the
+    * pattern head is non-optional and non-negated (CepPattern
+    * invariants), so at least one anchor row precedes the target's
+    * consumption — progress holds. */
   private sealed trait SealRes
-  private case class Sealed(m: CepSeqMatch) extends SealRes
+  private case class Sealed(m: CepSeqMatch, skipRes: Int = -1) extends SealRes
   private case object SealedFail extends SealRes
   /** A complete resolution exists on present rows but a greedier branch
     * could still extend — must wait for a breaking row (bounded by run
@@ -997,6 +1003,13 @@ object StreamOps extends Serializable {
     * (in-order streams: any future completion would end later still and
     * violate WITHIN anyway) — without WITHIN, an "A then eventually B"
     * relaxed pattern waits unboundedly, as any CEP engine must.
+    *
+    * All four after-match strategies are supported: PAST LAST ROW and
+    * TO NEXT ROW move the scan forward; SKIP TO FIRST/LAST resume AT
+    * the named step's first/last consumed row, which each Sealed result
+    * carries (strict: prefix-sum of contiguous counts; relaxed: the
+    * target run's recorded range) — sealing itself is per-anchor and
+    * unaffected by where the previous match resumed.
     */
   private[graft] def sealedScan(evs: IndexedSeq[CepEvent],
                                 pattern: CepPattern): (Seq[CepSeqMatch], Int) = {
@@ -1007,6 +1020,12 @@ object StreamOps extends Serializable {
     val steps = pattern.steps
     val n = evs.size
     val maxTs = if (n == 0) Long.MinValue else evs(n - 1).tsUs
+    val skipTi = pattern.skipTargetIdx.getOrElse(-1)
+    def skipResOf(tFirst: Int, tLast: Int): Int = pattern.skip match {
+      case SkipToFirst(_) => tFirst
+      case SkipToLast(_) => tLast
+      case _ => -1
+    }
     def withinOk(m: CepSeqMatch): Boolean =
       pattern.withinUs.forall(w => evs(m.endIdx).tsUs - evs(m.startIdx).tsUs <= w)
     // strict: backtracking with pending flavors. Candidates iterate in
@@ -1048,7 +1067,13 @@ object StreamOps extends Serializable {
         case -3 => PendingNeedsFuture
         case e =>
           val m = CepSeqMatch(p, e - 1, counts.toIndexedSeq)
-          if (withinOk(m)) Sealed(m) else SealedFail
+          // strict consumption is contiguous from the anchor, so the
+          // target step's rows sit at p + prefix-sum of earlier counts
+          val sr = if (skipTi < 0) -1 else {
+            val tFirst = p + counts.take(skipTi).sum
+            skipResOf(tFirst, tFirst + counts(skipTi) - 1)
+          }
+          if (withinOk(m)) Sealed(m, sr) else SealedFail
       }
     }
     // relaxed: deterministic per-alternative walk with pending flavors
@@ -1063,6 +1088,10 @@ object StreamOps extends Serializable {
       var pos = p + alt.head.maxRep.map(math.min(tail, _)).getOrElse(tail)
       counts(presentIdx.head) = pos - p
       var end = pos - 1
+      // the skip-to target's consumed range (it is never the alternative
+      // head: the pattern head is non-optional so always present first)
+      var tFirst = -1
+      var tLast = -1
       var i = 1
       while (i < alt.size) {
         val st = alt(i)
@@ -1080,6 +1109,7 @@ object StreamOps extends Serializable {
           return if (q + t2 == n) PendingNeedsFuture else SealedFail
         val ci = st.maxRep.map(math.min(t2, _)).getOrElse(t2)
         counts(presentIdx(i)) = ci
+        if (presentIdx(i) == skipTi) { tFirst = q; tLast = q + ci - 1 }
         pos = q + ci
         end = q + ci - 1
         // final step with open-ended consumption at the buffer edge: a
@@ -1095,7 +1125,7 @@ object StreamOps extends Serializable {
         i += 1
       }
       val m = CepSeqMatch(p, end, counts.toIndexedSeq)
-      if (withinOk(m)) Sealed(m) else SealedFail
+      if (withinOk(m)) Sealed(m, skipResOf(tFirst, tLast)) else SealedFail
     }
     def tryRelaxed(p: Int): SealRes = {
       // presence-priority: a pending higher-priority alternative blocks
@@ -1128,14 +1158,15 @@ object StreamOps extends Serializable {
     var resume = -1
     while (p < n && resume < 0) {
       tryAt(p) match {
-        case Sealed(m) =>
+        case Sealed(m, skipRes) =>
           out += m
           p = pattern.skip match {
             case SkipPastLastRow => m.endIdx + 1
             case SkipToNextRow => p + 1
-            // rejected at operator construction (cepPattern's require):
-            // the sealing matcher does not track per-step consumption
-            case other => sys.error(s"unsupported streaming skip $other")
+            // resume AT the target step's first/last consumed row
+            // (inclusive); strictly after the anchor (see SealRes), so
+            // the scan progresses
+            case _ => skipRes
           }
         case SealedFail => p += 1
         case PendingNeedsFuture
@@ -1169,13 +1200,6 @@ object StreamOps extends Serializable {
   def cepPattern(ev: Dataset[Ev], pattern: CepPattern,
                  streaming: Boolean): Dataset[CepPatMatch] = {
     import ev.sparkSession.implicits._
-    require(!streaming || pattern.skipTargetIdx.isEmpty,
-      "streaming CEP supports SKIP PAST LAST ROW / TO NEXT ROW only: " +
-        "SKIP TO FIRST/LAST needs each sealed match's per-step " +
-        "consumption snapshot, which the sealing matcher does not " +
-        "track — port path: thread matchCoreRows' consumption context " +
-        "through walkAlt's Sealed results. Batch (Cep.compile and " +
-        "this operator's batch replay) supports both today.")
     def mk(user: Long, evs: IndexedSeq[CepEvent], m: CepSeqMatch): CepPatMatch =
       CepPatMatch(user, evs(m.startIdx).ord, microsTs(evs(m.startIdx).tsUs),
         evs(m.endIdx).ord, microsTs(evs(m.endIdx).tsUs),

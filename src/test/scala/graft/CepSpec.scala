@@ -141,6 +141,18 @@ class CepSpec extends SparkSuite {
     p.copy(skip = if (rnd.nextBoolean()) SkipToFirst(t) else SkipToLast(t))
   }
 
+  /** Strict variant (optionals and reluctant flags kept — only the
+    * target must be a non-first minRep>=1 step; randomPattern's edge
+    * steps always qualify). Exercises the sealing matcher's contiguous
+    * prefix-sum resume path; compile normalizes these to PAST LAST ROW
+    * (the strict theorem). */
+  private def randomStrictSkipPattern(rnd: scala.util.Random): CepPattern = {
+    val p = randomPattern(rnd)
+    val targets = p.steps.drop(1).filter(_.minRep >= 1)
+    val t = targets(rnd.nextInt(targets.size)).symbol
+    p.copy(skip = if (rnd.nextBoolean()) SkipToFirst(t) else SkipToLast(t))
+  }
+
   test("SKIP TO FIRST/LAST compiled chain == sequential reference, and the chain bites") {
     val rnd = new scala.util.Random(13)
     var nonEmpty = 0
@@ -365,11 +377,17 @@ class CepSpec extends SparkSuite {
     // sealedScan per batch) over random in-order batch splits; with a
     // final sealing sentinel the accumulated emissions must equal the
     // batch matcher on the full stream — for strict AND relaxed
-    // patterns, both skip strategies
+    // patterns, all four skip strategies (every third trial a relaxed
+    // SKIP TO FIRST/LAST pattern, the strategies whose resume point is
+    // carried inside each Sealed result)
     val rnd = new scala.util.Random(23)
     var nonEmpty = 0
-    for (trial <- 0 until 40) {
-      val pat = if (trial % 2 == 0) randomPattern(rnd) else randomRelaxedPattern(rnd)
+    for (trial <- 0 until 60) {
+      val pat =
+        if (trial % 6 == 2) randomStrictSkipPattern(rnd)
+        else if (trial % 3 == 2) randomSkipPattern(rnd)
+        else if (trial % 2 == 0) randomPattern(rnd)
+        else randomRelaxedPattern(rnd)
       val evs = randomEvents(rnd, 2)
       evs.groupBy(_._1).foreach { case (_, rows) =>
         val sorted = rows.sortBy(r => (r._3, r._4))

@@ -554,6 +554,36 @@ class StreamingSpec extends SparkSuite {
       s"gap row 2 skipped, signup->click->purchase consumed: $got")
   }
 
+  test("SKIP TO FIRST stateful CEP: overlap anchored at a gap row emits, sealed across batches") {
+    // signup{1,2} click{1,2} purchase{1,} W24h, resume AT the click
+    // run's first consumed row: the signup gap row 4 inside match 1's
+    // span anchors an overlap that PAST LAST ROW would suppress, while
+    // the anchor-2 overlap TO NEXT ROW would emit is suppressed
+    val pat = graft.queries.Analytic.CepPatterns.skipFirst
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.cepPattern(ms.toDS(), pat, streaming = true)
+      .writeStream.format("memory").queryName("cepsf").outputMode("append").start()
+    ms.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "signup", 0.0),
+      Ev(2, ts("2024-01-01 10:05:00"), 1, "signup", 0.0),
+      Ev(3, ts("2024-01-01 10:10:00"), 1, "click", 0.0))
+    q.processAllAvailable()
+    assert(spark.table("cepsf").isEmpty, "chain needs a purchase — pending")
+    ms.addData(
+      Ev(4, ts("2024-01-01 10:15:00"), 1, "signup", 0.0),
+      Ev(5, ts("2024-01-01 10:20:00"), 1, "click", 0.0),
+      Ev(6, ts("2024-01-01 10:30:00"), 1, "purchase", 0.0))
+    q.processAllAvailable()
+    assert(spark.table("cepsf").isEmpty, "greedy purchase run still open — not sealed")
+    ms.addData(Ev(7, ts("2024-01-01 11:00:00"), 1, "error", 0.0))
+    drain(q)
+    val got = spark.table("cepsf")
+      .select("user_id", "start_id", "end_id", "n_rows", "step_counts")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(got == Set((1L, 1L, 6L, 4L, "2,1,1"), (1L, 4L, 6L, 3L, "1,1,1")),
+      s"match 1 (signups 1-2, click 3, purchase 6) and the gap-row-4 overlap: $got")
+  }
+
   test("negated stateful CEP: a notFollowedBy symbol in the gap kills the match") {
     val pat = graft.queries.Analytic.CepPatterns.negated // view+ !click purchase+ W24h
     val ms = MemoryStream[Ev]
