@@ -176,4 +176,104 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("probe_id"), col("rnk"), col(idCol).as("neighbor_id"), col("cos"))
   }
+
+  /** Product-quantization codebooks: `m` subspaces x `k` centroids x
+    * `subDim` integer components in [-1000, 1000], derived from
+    * md5("pq_{sub}_{cent}_{dim}") exactly like [[lshPlanes]] — the
+    * DuckDB oracle regenerates the SAME codebook from the same formula.
+    * Deterministic stand-ins for k-means-trained centroids: the
+    * training pass is engine-dependent float iteration (the round-6
+    * scope note's oracle objection, which still stands), but the
+    * SERVING side — encode, asymmetric-distance tables, top-k — is
+    * exact integer arithmetic once the codebook is fixed, so a user
+    * plugs real trained codebooks into the same operator unchanged.
+    * Flattened [ (sub*k + cent)*subDim + d ].
+    */
+  def pqCodebooks(m: Int, k: Int, subDim: Int): IndexedSeq[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for {
+      s <- 0 until m; c <- 0 until k; d <- 0 until subDim
+    } yield {
+      val hex = md.digest(s"pq_${s}_${c}_${d}".getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
+    }
+  }
+
+  /** Product-quantization top-`k` nearest neighbors (IVFADC's ADC half,
+    * Jegou et al. 2011): corpus vectors ENCODE to `m` centroid indices
+    * (8 longs replacing 64 floats — the compression that makes 100 TB
+    * of embeddings scannable), probes precompute their `m*kCent`
+    * asymmetric-distance table, and a row scores as the sum of `m`
+    * table lookups — no per-pair vector math at scan time.
+    *
+    * 100 TB shape: encode is map-only fused codegen over the corpus
+    * scan (codes would be precomputed and STORED in a real deployment —
+    * this operator shows the full pipeline); the probe ADC tables
+    * broadcast; scoring + per-probe top-k is one scan with a
+    * (probe, k)-bounded shuffle, exactly [[cosineTopK]]'s baseline
+    * shape but touching 8 longs per row instead of the vector. All
+    * arithmetic is exact 64-bit integers (quantize -> squared L2), so
+    * scores and ranks are engine-independent; ties break by
+    * neighbor id.
+    */
+  def pqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int = 8, kCent: Int = 16,
+             subDim: Int = 8): DataFrame = {
+    val cb = pqCodebooks(m, kCent, subDim)
+    val enc = corpus.select(col(idCol),
+      graft.functions.Signatures.pq_code_sig(col(vecCol), cb, m, kCent, subDim).as("codes"))
+    val p = probes.select(col(idCol).as("probe_id"),
+      graft.functions.Signatures.pq_adc_sig(col(vecCol), cb, m, kCent, subDim).as("adc"))
+    // score = sum over subs of adc[sub*kCent + codes[sub]] — m native
+    // element_at lookups, codegen'd, no lambda dispatch
+    val score = (0 until m).map(s =>
+      element_at(col("adc"), element_at(col("codes"), s + 1).cast("int") + lit(s * kCent) + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("score"), col(idCol))
+    enc.join(broadcast(p), col(idCol) =!= col("probe_id"))
+      .withColumn("score", score)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col(idCol).as("neighbor_id"), col("score"))
+  }
+
+  /** The DuckDB replay of [[pqTopK]], spliced with the same md5-derived
+    * codebook literals — integer encode/ADC arithmetic is exact on both
+    * engines, so scores and ranks hash-match.
+    */
+  def pqTopKOracleSql(k: Int, m: Int = 8, kCent: Int = 16, subDim: Int = 8,
+                      probeIdBound: Long = 10): String = {
+    val cb = pqCodebooks(m, kCent, subDim)
+    val rows = (for (s <- 0 until m; c <- 0 until kCent) yield {
+      val base = (s * kCent + c) * subDim
+      s"(${s}, ${c}, [${(0 until subDim).map(d => cb(base + d)).mkString(",")}]::BIGINT[])"
+    }).mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000.0 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |cb(sub, cent, cv) AS (VALUES ${rows}),
+       |dist AS (
+       |  SELECT e.vec_id, cb.sub, cb.cent,
+       |    list_aggregate(list_transform(list_zip(e.q[cb.sub * ${subDim} + 1 : (cb.sub + 1) * ${subDim}], cb.cv),
+       |      x -> (x[1] - x[2]) * (x[1] - x[2])), 'sum') AS d2
+       |  FROM e CROSS JOIN cb),
+       |codes AS (
+       |  SELECT vec_id, sub, cent AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+       |                                 ORDER BY d2, cent) AS rn FROM dist)
+       |  WHERE rn = 1),
+       |scored AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, sum(pd.d2) AS score
+       |  FROM codes c
+       |  JOIN e p ON p.vec_id < ${probeIdBound} AND p.vec_id != c.vec_id
+       |  JOIN dist pd ON pd.vec_id = p.vec_id AND pd.sub = c.sub AND pd.cent = c.code
+       |  GROUP BY 1, 2)
+       |SELECT probe_id, rnk, neighbor_id, score FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+       |              ORDER BY score, neighbor_id) AS INTEGER) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= ${k} ORDER BY probe_id, rnk""".stripMargin
+  }
 }

@@ -495,6 +495,126 @@ case class LshBucketSig(child: Expression, planes: IndexedSeq[IndexedSeq[Long]],
   override def prettyName: String = "lsh_bucket_sig"
 }
 
+/** Product-quantization distances against a fixed integer codebook:
+  * the vector quantizes to q[j] = floor(x*1000+0.5) (the LshBucketSig
+  * idiom — exact 64-bit arithmetic from here on), splits into `m`
+  * subvectors of `subDim` components, and for each (subspace, centroid)
+  * the squared L2 distance to the codebook entry is summed in longs.
+  *
+  * `codesOnly = true` (the corpus-encode path): output is the `m`
+  * argmin centroid indices — the PQ code, ties to the LOWEST index
+  * (strict `<` scan order), 8 longs replacing the 64-float vector.
+  * `codesOnly = false` (the probe path): output is the full `m*k`
+  * asymmetric-distance table, laid out [sub*k + cent], against which
+  * a corpus code scores as sum over subs of adc[sub*k + code[sub]].
+  * One fused pass, identical eval/codegen, exact on both engines.
+  */
+case class PqDistSig(child: Expression, codebook: IndexedSeq[Long],
+                     m: Int, k: Int, subDim: Int,
+                     codesOnly: Boolean) extends UnaryExpression {
+  require(codebook.length == m * k * subDim, "codebook size mismatch")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_dist_sig expects array<float|double>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val cb: Array[Long] = codebook.toArray
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val dim = m * subDim
+    val q = new Array[Long](dim)
+    val n = math.min(arr.numElements(), dim)
+    var j = 0
+    while (j < n) {
+      val x = if (arr.isNullAt(j)) 0.0
+        else if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
+      q(j) = math.floor(x * 1000.0 + 0.5).toLong
+      j += 1
+    }
+    val out = new Array[Long](if (codesOnly) m else m * k)
+    var s = 0
+    while (s < m) {
+      var best = Long.MaxValue
+      var bestC = 0L
+      var c = 0
+      while (c < k) {
+        var dist = 0L
+        var d = 0
+        while (d < subDim) {
+          val diff = q(s * subDim + d) - cb((s * k + c) * subDim + d)
+          dist += diff * diff
+          d += 1
+        }
+        if (codesOnly) {
+          if (dist < best) { best = dist; bestC = c.toLong }
+        } else out(s * k + c) = dist
+        c += 1
+      }
+      if (codesOnly) out(s) = bestC
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, cIn => {
+      val cbRef = ctx.addReferenceObj("pqCodebook", cb, "long[]")
+      val q = ctx.freshName("q")
+      val out = ctx.freshName("out")
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
+      val dist = ctx.freshName("dist")
+      val diff = ctx.freshName("diff")
+      val best = ctx.freshName("best")
+      val bestC = ctx.freshName("bestC")
+      val dim = m * subDim
+      val get = if (isFloat) s"(double) $cIn.getFloat($j)" else s"$cIn.getDouble($j)"
+      val inner =
+        if (codesOnly)
+          s"if ($dist < $best) { $best = $dist; $bestC = (long) $c; }"
+        else s"$out[$s * $k + $c] = $dist;"
+      val after = if (codesOnly) s"$out[$s] = $bestC;" else ""
+      s"""
+         |final int $n = Math.min($cIn.numElements(), $dim);
+         |long[] $q = new long[$dim];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  $q[$j] = $cIn.isNullAt($j) ? 0L : (long) Math.floor($get * 1000.0 + 0.5);
+         |}
+         |long[] $out = new long[${if (codesOnly) m else m * k}];
+         |for (int $s = 0; $s < $m; $s++) {
+         |  long $best = Long.MAX_VALUE; long $bestC = 0L;
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    long $dist = 0L;
+         |    for (int $d = 0; $d < $subDim; $d++) {
+         |      final long $diff = $q[$s * $subDim + $d] - $cbRef[($s * $k + $c) * $subDim + $d];
+         |      $dist += $diff * $diff;
+         |    }
+         |    $inner
+         |  }
+         |  $after
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqDistSig =
+    copy(child = newChild)
+
+  override def prettyName: String =
+    if (codesOnly) "pq_code_sig" else "pq_adc_sig"
+}
+
 object Signatures {
   def minhash_sig(hashes: Column, numPerms: Int = 64): Column =
     Bridge.toCol(MinHashSig(Bridge.toExpr(hashes), numPerms))
@@ -510,4 +630,10 @@ object Signatures {
   def lsh_bucket_sig(vec: Column, planes: IndexedSeq[IndexedSeq[Long]],
                      tables: Int, bits: Int): Column =
     Bridge.toCol(LshBucketSig(Bridge.toExpr(vec), planes, tables, bits))
+  def pq_code_sig(vec: Column, codebook: IndexedSeq[Long],
+                  m: Int, k: Int, subDim: Int): Column =
+    Bridge.toCol(PqDistSig(Bridge.toExpr(vec), codebook, m, k, subDim, codesOnly = true))
+  def pq_adc_sig(vec: Column, codebook: IndexedSeq[Long],
+                 m: Int, k: Int, subDim: Int): Column =
+    Bridge.toCol(PqDistSig(Bridge.toExpr(vec), codebook, m, k, subDim, codesOnly = false))
 }

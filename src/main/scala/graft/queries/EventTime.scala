@@ -149,6 +149,24 @@ object EventTime {
         .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
         .orderBy("window_start", "event_type")),
 
+    // Flink SQL Window Deduplication TVF (row_number over the window
+    // TVF's partition = 1): each user's FIRST event per 1 h tumbling
+    // window, ordered by (ts, event_id) — Flink's keep-first-row
+    // flavor, the windowed sibling of stream_dedup_watermark. One
+    // shuffle on (window, user); row_number + rank=1 plans as a
+    // per-partition min-heap of size 1, no second pass.
+    "wnd_dedup" -> ((s, d) => {
+      val w = Window.partitionBy(col("window_start"), col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("window_start", date_trunc("hour", col("ts")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("window_start"), col("user_id"), col("event_id"),
+          col("event_type"), col("value"))
+        .orderBy("window_start", "user_id")
+    }),
+
     // Flink countWindow(20): per-key tumbling COUNT windows — every 20
     // events per user form one window. Flink's form is processing-order
     // (nondeterministic); this is the deterministic event-time-order
@@ -536,6 +554,15 @@ object EventTime {
       """SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start, event_type,
         |       count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "wnd_dedup" ->
+      """SELECT window_start, user_id, event_id, event_type, value FROM (
+        |  SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start, user_id,
+        |         event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY date_trunc('hour', ts), user_id
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY window_start, user_id""".stripMargin,
 
     "wnd_count_tumbling" ->
       """WITH r AS (SELECT user_id, ts, event_id, value,

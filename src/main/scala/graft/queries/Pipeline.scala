@@ -231,6 +231,19 @@ object Pipeline {
         .orderBy("probe_id", "rnk")
     }),
 
+    // Product-quantization ANN (IVFADC's ADC half): corpus vectors
+    // encode to 8 centroid indices against md5-derived integer
+    // codebooks (deterministic stand-ins for k-means output — the
+    // training pass stays excluded, the SERVING pipeline is real and
+    // exact; Similarity.pqTopK scaladoc), probes broadcast their
+    // asymmetric-distance tables, rows score by m table lookups.
+    "sim_pq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.pqTopK(e, e.filter(col("vec_id") < LshProbeBound), "vec_id",
+          "embedding", 5)
+        .orderBy("probe_id", "rnk")
+    }),
+
     // PII redaction. The fixture corpus contains no PII (word-soup, zero
     // digits), so the query first splices a DETERMINISTIC synthetic
     // email + phone per doc (derived from doc_id — same concat in the
@@ -868,6 +881,8 @@ object Pipeline {
 
     "sim_lsh_bucketed" -> Similarity.lshTopKOracleSql(5, tables = 8, bits = 6,
       probeIdBound = LshProbeBound),
+
+    "sim_pq" -> Similarity.pqTopKOracleSql(5, probeIdBound = LshProbeBound),
 
     // Bigram logs re-summed in token order (list(... ORDER BY pos) then
     // a sequential left fold) so the float sum is bit-identical.

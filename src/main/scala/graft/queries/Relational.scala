@@ -571,7 +571,24 @@ object Relational {
       urgentKeys(s, d).intersect(richKeys(s, d)).orderBy("custkey")),
 
     "set_except" -> ((s, d) =>
-      urgentKeys(s, d).except(richKeys(s, d)).orderBy("custkey"))
+      urgentKeys(s, d).except(richKeys(s, d)).orderBy("custkey")),
+
+    // INTERSECT ALL / EXCEPT ALL (SQL:1999 bag semantics, Flink SQL
+    // supports both): multiplicity-aware set ops — a custkey with 3
+    // urgent orders and acctbal > 5000 appears min(3,1) times in the
+    // intersection, max(3-1,0) times in the difference. Spark plans
+    // both as the generated-count aggregate rewrite (no join explosion);
+    // count columns make the multiset output hash-comparable under the
+    // driver's sorted compare.
+    "set_intersect_all" -> ((s, d) =>
+      urgentKeys(s, d).intersectAll(richKeys(s, d))
+        .groupBy("custkey").agg(count(lit(1)).as("n"))
+        .orderBy("custkey")),
+
+    "set_except_all" -> ((s, d) =>
+      urgentKeys(s, d).exceptAll(richKeys(s, d))
+        .groupBy("custkey").agg(count(lit(1)).as("n"))
+        .orderBy("custkey"))
   )
 
   private def urgentKeys(s: SparkSession, d: String): DataFrame =
@@ -889,6 +906,20 @@ object Relational {
       """SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         |EXCEPT
         |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
-        |ORDER BY custkey""".stripMargin
+        |ORDER BY custkey""".stripMargin,
+
+    "set_intersect_all" ->
+      """SELECT custkey, count(*) AS n FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  INTERSECT ALL
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000)
+        |GROUP BY custkey ORDER BY custkey""".stripMargin,
+
+    "set_except_all" ->
+      """SELECT custkey, count(*) AS n FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  EXCEPT ALL
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000)
+        |GROUP BY custkey ORDER BY custkey""".stripMargin
   )
 }

@@ -75,6 +75,39 @@ class FunctionsSpec extends SparkSuite {
     assert(both.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("pq_code_sig / pq_adc_sig are bit-identical to the HOF formulation, codes = argmin of table") {
+    import graft.api.Similarity
+    import graft.functions.Signatures
+    val (m, kc, sd) = (8, 16, 8)
+    val cb = Similarity.pqCodebooks(m, kc, sd)
+    val e = Tables.embeddings(spark, sf001)
+      .withColumn("q",
+        expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000.0 + 0.5) as bigint))"))
+    // independent HOF reference: per (sub, cent) squared L2 on the
+    // quantized ints, codes as strict-< argmin scan
+    def hofDist(s: Int, c: Int) = {
+      val cv = (0 until sd).map(d => cb((s * kc + c) * sd + d)).mkString(",")
+      expr(s"aggregate(zip_with(slice(q, ${s * sd + 1}, $sd), array($cv), " +
+        s"(x, y) -> (x - y) * (x - y)), cast(0 as bigint), (a, x) -> a + x)")
+    }
+    val adcRef = array((for (s <- 0 until m; c <- 0 until kc) yield hofDist(s, c)): _*)
+    val both = e.select(
+      Signatures.pq_code_sig(col("embedding"), cb, m, kc, sd).as("codes"),
+      Signatures.pq_adc_sig(col("embedding"), cb, m, kc, sd).as("adc"),
+      adcRef.as("adc_ref"))
+    assert(both.filter(col("adc") =!= col("adc_ref")).count() == 0,
+      "native ADC table diverged from the HOF fold")
+    // codes must be the argmin (lowest index on ties) of the ADC table
+    val codeCheck = both.withColumn("bad",
+      (0 until m).map { s =>
+        val want = expr(s"array_position(slice(adc, ${s * kc + 1}, $kc), " +
+          s"array_min(slice(adc, ${s * kc + 1}, $kc))) - 1")
+        when(element_at(col("codes"), s + 1) =!= want, lit(1)).otherwise(lit(0))
+      }.reduce(_ + _))
+    assert(codeCheck.filter(col("bad") > 0).count() == 0,
+      "native codes diverged from the ADC argmin")
+  }
+
   test("MoneyStatsAgg: partial/merge equals single-pass reduce, any split") {
     import graft.functions.MoneyStatsAgg
     val vs = Seq(12.34, 0.01, 999.99, 500.00, 3.30, 77.70, 12.34)
