@@ -372,6 +372,28 @@ class CepSpec extends SparkSuite {
       Seq("A", "B", "A", "B", "A", "B"))
   }
 
+  test("SKIP TO FIRST/LAST target validation mirrors Flink's construction guards") {
+    def mk(steps: Seq[CepStep], sk: CepSkip) =
+      CepPattern(steps, None, sk, strict = false)
+    val ab = Seq(CepStep("A"), CepStep("B"), CepStep("C"))
+    // fine: unique, non-first, positive target
+    mk(ab, SkipToFirst("B")); mk(ab, SkipToLast("C"))
+    // unknown symbol
+    intercept[IllegalArgumentException](mk(ab, SkipToFirst("Z")))
+    // the first step (re-anchoring the match start would loop)
+    intercept[IllegalArgumentException](mk(ab, SkipToFirst("A")))
+    // an optional step (no guaranteed consumed row to resume at)
+    intercept[IllegalArgumentException](mk(
+      Seq(CepStep("A"), CepStep("B", minRep = 0), CepStep("C")), SkipToLast("B")))
+    // a negated step (forbidden rows are never consumed)
+    intercept[IllegalArgumentException](mk(
+      Seq(CepStep("A"), CepStep("X", negated = true), CepStep("C")), SkipToFirst("X")))
+    // a repeated symbol (ambiguous target) — legal pattern, illegal target
+    intercept[IllegalArgumentException](CepPattern(
+      Seq(CepStep("A"), CepStep("B"), CepStep("A"), CepStep("C")),
+      None, SkipToFirst("A"), strict = true))
+  }
+
   test("seal-aware incremental scan == batch reference over random batch splits") {
     // simulate StreamOps.cepPattern's state loop (buffer tail carry +
     // sealedScan per batch) over random in-order batch splits; with a

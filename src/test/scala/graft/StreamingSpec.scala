@@ -776,6 +776,44 @@ class StreamingSpec extends SparkSuite {
     assert(rows.size == rows.distinct.size, s"duplicate emissions: $rows")
   }
 
+  test("skip-CEP checkpoint restart: an unsealed anchor's buffer survives into run 2") {
+    import graft.api.Sinks
+    import java.nio.file.Files
+    val pat = graft.queries.Analytic.CepPatterns.skipFirst
+    val out = Files.createTempDirectory("graft_cep_ckpt_out").toString
+    val ckpt = Files.createTempDirectory("graft_cep_ckpt_meta").toString
+    val ms = MemoryStream[Ev]
+    // AvailableNow sink: each run drains what is queued AT START, then
+    // self-terminates — so queue BEFORE each start and await termination
+    def runOnce(): Unit = {
+      val q = Sinks.streamToParquet(
+        StreamOps.cepPattern(ms.toDS(), pat, streaming = true).toDF(), out, ckpt).start()
+      q.awaitTermination()
+    }
+    // run 1: anchor + first click arrive, chain pending on the purchase
+    ms.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "signup", 0.0),
+      Ev(2, ts("2024-01-01 10:05:00"), 1, "signup", 0.0),
+      Ev(3, ts("2024-01-01 10:10:00"), 1, "click", 0.0))
+    runOnce()
+    // run 2, same checkpoint: still unsealed (purchase run open at edge)
+    ms.addData(
+      Ev(4, ts("2024-01-01 10:15:00"), 1, "signup", 0.0),
+      Ev(5, ts("2024-01-01 10:20:00"), 1, "click", 0.0),
+      Ev(6, ts("2024-01-01 10:30:00"), 1, "purchase", 0.0))
+    runOnce()
+    // run 3: the breaking row seals BOTH the run-1 anchor's match and
+    // the skip-to-first overlap anchored at run 2's gap row 4 — state
+    // carried across TWO restarts
+    ms.addData(Ev(7, ts("2024-01-01 11:00:00"), 1, "error", 0.0))
+    runOnce()
+    val rows = spark.read.parquet(out)
+      .select("user_id", "start_id", "end_id", "n_rows", "step_counts")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(rows == Set((1L, 1L, 6L, 4L, "2,1,1"), (1L, 4L, 6L, 3L, "1,1,1")),
+      s"restart lost the pending anchor's buffer or re-emitted: $rows")
+  }
+
   test("keyed connect: per-user limits gate events with per-side state") {
     import graft.streaming.Limit
     val me = MemoryStream[Ev]
