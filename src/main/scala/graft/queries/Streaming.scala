@@ -61,6 +61,25 @@ object Streaming {
         .orderBy("user_id")
     }),
 
+    // Flink DeltaTrigger (GlobalWindows + DeltaTrigger.of — the
+    // TopSpeedWindowing shape): fire whenever the value moved more than
+    // 80.00 vs the LAST fire, emitting the running aggregate. The
+    // last-fired comparison chain is inherently sequential per key
+    // (each fire decides the next baseline), so batch replay is the
+    // per-key (ts, event_id)-ordered fold — one key shuffle, O(1)
+    // state — and the oracle walks the identical chain with
+    // WITH RECURSIVE (depth = per-key row count, 99 max here).
+    "stream_delta_trigger" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Ev]
+      StreamOps.deltaTrigger(ev, thresholdCents = 8000L, streaming = false)
+        .toDF()
+        .orderBy("user_id", "event_id")
+    }),
+
     "stream_interval_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
       StreamOps.intervalJoinPairs(
@@ -435,6 +454,32 @@ object Streaming {
     "stream_cep_pattern" -> graft.api.Cep.oracleSql(Analytic.CepPatterns.quant),
     "stream_cep_relaxed" -> graft.api.Cep.oracleSql(Analytic.CepPatterns.relaxed),
     "stream_cep_skip" -> graft.api.Cep.oracleSql(Analytic.CepPatterns.skipFirst),
+
+    // DeltaTrigger chain replay: the last-fired baseline updates only on
+    // fires, so the oracle walks each key's rows in (ts, event_id) order
+    // with WITH RECURSIVE — same integer-cents arithmetic as the fold
+    "stream_delta_trigger" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id AS u, ts::TIMESTAMP AS ts, event_id,
+        |         CAST(round(value * 100) AS BIGINT) AS cents,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |r AS (SELECT *, sum(cents) OVER (PARTITION BY u ORDER BY rn
+        |                                 ROWS UNBOUNDED PRECEDING) AS csum FROM e),
+        |chain(u, rn, lastf, fired) AS (
+        |  SELECT u, rn, cents, false FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r2.u, r2.rn,
+        |         CASE WHEN abs(r2.cents - ch.lastf) > 8000
+        |              THEN r2.cents ELSE ch.lastf END,
+        |         abs(r2.cents - ch.lastf) > 8000
+        |  FROM chain ch JOIN r r2 ON r2.u = ch.u AND r2.rn = ch.rn + 1)
+        |SELECT r.u AS user_id, r.event_id, r.ts, r.rn AS n_events,
+        |       CAST(r.csum AS DOUBLE) / 100 AS sum_value,
+        |       CAST(r.cents AS DOUBLE) / 100 AS fired_value
+        |FROM r JOIN chain ch ON ch.u = r.u AND ch.rn = r.rn
+        |WHERE ch.fired
+        |ORDER BY user_id, event_id""".stripMargin,
     // hand-written group-repetition replay: four consecutive runs with
     // the unrolled alternation, one match per anchoring-run position
     "event_cep_group" ->

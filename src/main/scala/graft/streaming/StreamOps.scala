@@ -166,6 +166,18 @@ private[streaming] case class LastState(ts_us: Long, event_id: Long,
                                         event_type: String, value: Double,
                                         emitted: Boolean)
 
+/** One DeltaTrigger firing (StreamOps.deltaTrigger): the firing event's
+  * identity plus the running aggregate up to and including it. */
+case class DeltaFire(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+                     n_events: Long, sum_value: Double, fired_value: Double)
+
+/** DeltaTrigger fold state: the value CENTS of the last firing (or the
+  * key's first element before any fire — Flink's DeltaTrigger seeds its
+  * lastElement state the same way, without firing on it) plus the
+  * running (count, cents). */
+private[streaming] case class DeltaState(last_cents: Long, n: Long,
+                                         sum_cents: Long)
+
 /** The pending rows of one event-time millisecond (the OVER family's
   * per-timestamp buffer entry — see OverFamilyProcessor). */
 private[streaming] case class PendGroup(rows: Seq[KeptEv])
@@ -864,6 +876,62 @@ object StreamOps extends Serializable {
               Iterator(UserEmit(user, st.n_events, st.sum_cents / 100.0, "final"))
             }
           }
+      }
+  }
+
+  /** Flink DeltaTrigger over a per-key global window
+    * (`GlobalWindows + DeltaTrigger.of(threshold, deltaFn)` — the
+    * TopSpeedWindowing shape): the window FIRES whenever the current
+    * element's value differs from the LAST FIRING's value by more than
+    * `thresholdCents` (|Δcents| strictly greater, exact integers), and
+    * each fire emits the running aggregate up to and including the
+    * firing element. The comparison state seeds with the key's first
+    * element WITHOUT firing, exactly like Flink's DeltaTrigger
+    * (`lastElementState` initialized on first onElement, updated only
+    * on FIRE). GlobalWindows never purge, so the aggregate keeps
+    * running across fires.
+    *
+    * Flink's DeltaTrigger evaluates in ARRIVAL order (onElement — no
+    * watermark gating), so the deterministic contract here is the
+    * in-order replay: batch (the oracle-gated surface) sorts each key
+    * by (ts, event_id) and folds; streaming folds arrival order with
+    * in-batch (ts, ord) sorting and carries (last-fired, running) state
+    * across batches — same documented stance as [[cepPattern]].
+    * State is O(1) per key (three longs); one shuffle on the key.
+    */
+  def deltaTrigger(ev: Dataset[Ev], thresholdCents: Long,
+                   streaming: Boolean): Dataset[DeltaFire] = {
+    import ev.sparkSession.implicits._
+    def fold(st0: Option[DeltaState], rows: Seq[Ev]): (DeltaState, Seq[DeltaFire]) = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[DeltaFire]
+      var st = st0.orNull
+      rows.foreach { e =>
+        val c = math.round(e.value * 100)
+        if (st == null) st = DeltaState(c, 1L, c)
+        else {
+          val n = DeltaState(st.last_cents, st.n + 1, st.sum_cents + c)
+          st = if (math.abs(c - st.last_cents) > thresholdCents) {
+            out += DeltaFire(e.user_id, e.event_id, e.ts, n.n,
+              n.sum_cents / 100.0, c / 100.0)
+            n.copy(last_cents = c)
+          } else n
+        }
+      }
+      (st, out.toSeq)
+    }
+    if (streaming)
+      ev.groupByKey(_.user_id)
+        .flatMapGroupsWithState[DeltaState, DeltaFire](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (_: Long, events: Iterator[Ev], state: GroupState[DeltaState]) =>
+            val batch = events.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+            val (st, fires) = fold(state.getOption, batch)
+            if (st != null) state.update(st)
+            fires.iterator
+        }
+    else
+      ev.groupByKey(_.user_id).flatMapGroups { (_: Long, events: Iterator[Ev]) =>
+        fold(None, events.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)))._2.iterator
       }
   }
 

@@ -814,6 +814,30 @@ class StreamingSpec extends SparkSuite {
       s"restart lost the pending anchor's buffer or re-emitted: $rows")
   }
 
+  test("DeltaTrigger: last-fired baseline carries across batches, first element seeds silently") {
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.deltaTrigger(ms.toDS(), thresholdCents = 8000L, streaming = true)
+      .writeStream.format("memory").queryName("deltat").outputMode("append").start()
+    // batch 1: seed 10.00 (no fire), 50.00 (|Δ|=40.00 <= 80.00 -> no fire)
+    ms.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "view", 10.0),
+      Ev(2, ts("2024-01-01 10:05:00"), 1, "view", 50.0))
+    q.processAllAvailable()
+    assert(spark.table("deltat").isEmpty, "below-threshold deltas must not fire")
+    // batch 2: 95.00 fires vs the SEED 10.00 (|Δ|=85.00), baseline -> 95;
+    // 20.00 does not fire vs 95 (75.00); 180.00 fires vs 95 (85.00)
+    ms.addData(
+      Ev(3, ts("2024-01-01 10:10:00"), 1, "view", 95.0),
+      Ev(4, ts("2024-01-01 10:15:00"), 1, "view", 20.0),
+      Ev(5, ts("2024-01-01 10:20:00"), 1, "view", 180.0))
+    drain(q)
+    val got = spark.table("deltat")
+      .select("event_id", "n_events", "sum_value", "fired_value")
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(got == Set((3L, 3L, 155.0, 95.0), (5L, 5L, 355.0, 180.0)),
+      s"fires must compare against the last FIRING's value across batches: $got")
+  }
+
   test("keyed connect: per-user limits gate events with per-side state") {
     import graft.streaming.Limit
     val me = MemoryStream[Ev]
