@@ -303,6 +303,67 @@ object GraftProps extends Properties("graft") {
       got == want
     }
 
+  property("delta-trigger fires equal the sequential last-fired-chain reimplementation") =
+    forAll(eventsGen) { rows =>
+      val sp = spark
+      import sp.implicits._
+      val th = 20000L
+      val evs = rows.zipWithIndex.map { case ((u, o, c), i) =>
+        graft.streaming.Ev(i.toLong, new Timestamp(base + o * 1000), u,
+          "click", c / 100.0)
+      }
+      val got = graft.streaming.StreamOps
+        .deltaTrigger(evs.toDS(), thresholdCents = th, streaming = false)
+        .collect().map(f => (f.user_id, f.event_id, f.n_events,
+          math.round(f.sum_value * 100), math.round(f.fired_value * 100))).toSet
+      // independent reimplementation: per-key (ts, id)-ordered scan with
+      // a baseline that updates ONLY on fires, seeded silently
+      val want = evs.groupBy(_.user_id).flatMap { case (u, es) =>
+        val sorted = es.sortBy(e => (e.ts.getTime, e.event_id))
+        var last = math.round(sorted.head.value * 100)
+        var sum = last
+        sorted.tail.zipWithIndex.flatMap { case (e, i) =>
+          val c = math.round(e.value * 100)
+          sum += c
+          if (math.abs(c - last) > th) {
+            last = c
+            Some((u, e.event_id, i.toLong + 2, sum, c))
+          } else None
+        }
+      }.toSet
+      got == want
+    }
+
+  property("pq signatures equal a pure-Scala codebook reimplementation on random vectors") =
+    forAll(Gen.nonEmptyListOf(Gen.listOfN(64, Gen.choose(-2.0f, 2.0f)))) { vecs =>
+      val sp = spark
+      import sp.implicits._
+      val (m, kc, sd) = (4, 8, 16)
+      val cb = graft.api.Similarity.pqCodebooks(m, kc, sd)
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "vec")
+        .withColumn("vec", col("vec").cast("array<float>"))
+      val got = df.select(col("id"),
+          graft.functions.Signatures.pq_code_sig(col("vec"), cb, m, kc, sd).as("codes"),
+          graft.functions.Signatures.pq_adc_sig(col("vec"), cb, m, kc, sd).as("adc"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getSeq[Long](1).toList, r.getSeq[Long](2).toList)).toMap
+      vecs.zipWithIndex.forall { case (v, i) =>
+        val q = v.map(x => math.floor(x.toDouble * 1000.0 + 0.5).toLong)
+        val dists = (0 until m).map { s =>
+          (0 until kc).map { c =>
+            (0 until sd).map { d =>
+              val diff = q(s * sd + d) - cb((s * kc + c) * sd + d)
+              diff * diff
+            }.sum
+          }
+        }
+        val codes = dists.map(row => row.indexOf(row.min).toLong).toList
+        val (gc, ga) = (got(i.toLong)._1, got(i.toLong)._2)
+        gc == codes && ga == dists.flatten.toList
+      }
+    }
+
   property("broadcast-state alerts equal the latest-rule-at-event-time reimplementation") =
     forAll(eventsGen, eventsGen) { (evRows, ruleRows) =>
       val sp = spark
