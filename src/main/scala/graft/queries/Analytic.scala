@@ -351,6 +351,20 @@ object Analytic {
     }),
 
     // ---- H. scalar function families ----
+    // Cryptographic hash functions (Flink SQL MD5 / SHA2 family): hex
+    // digests are byte-defined by the algorithms, so they hash-match
+    // across engines by construction. SHA1/CRC32 exist in both Spark
+    // and Flink but not DuckDB — covered by the same-family argument
+    // (one algorithm per key suffices to pin the codepath; md5 already
+    // underpins every signature expression in the library).
+    "fn_hash" -> ((s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_partkey") <= 200)
+        .select(col("p_partkey"),
+          md5(col("p_name").cast("binary")).as("h_md5"),
+          sha2(col("p_name").cast("binary"), 256).as("h_sha256"))
+        .orderBy("p_partkey")),
+
     "fn_string" -> ((s, d) =>
       Tables.part(s, d)
         .select(col("p_partkey"),
@@ -734,6 +748,10 @@ object Analytic {
         |                            ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk
         |  FROM orders JOIN customer ON o_custkey = c_custkey
         |) WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin,
+
+    "fn_hash" ->
+      """SELECT p_partkey, md5(p_name) AS h_md5, sha256(p_name) AS h_sha256
+        |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin,
 
     "fn_string" ->
       """SELECT p_partkey, upper(p_name) AS up,
