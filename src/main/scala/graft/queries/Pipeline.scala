@@ -115,6 +115,24 @@ object Pipeline {
     // order are laid head-to-tail and a doc belongs to the 512-token
     // pack its first token lands in. Per-stratum window cumsum — the
     // partition key keeps the window distributed (never a global sort).
+    // Fixed-stride token chunking (the pretraining/RAG chunker: each
+    // document splits into 32-token chunks at stride 24 — 8 tokens of
+    // overlap — one output row per chunk with its position and text).
+    // Distinct from corpus_pack (docs -> fixed sequences) and
+    // text_chunk_share (chunk-level dup stats): this is the exploding
+    // transform that FEEDS those. Map-only: split + sequence +
+    // posexplode + slice, all codegen'd, no shuffle before the output
+    // sort; output rows ~= tokens/stride, linear at any corpus size.
+    "corpus_chunk" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("st", explode(expr(
+          "sequence(0, greatest(size(toks) - 1, 0), 24)")))
+        .select(col("doc_id"), expr("st div 24").as("chunk_id"),
+          expr("size(slice(toks, st + 1, 32))").cast("long").as("chunk_tok"),
+          expr("array_join(slice(toks, st + 1, 32), ' ')").as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")),
+
     "corpus_pack" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("lang")).orderBy(col("doc_id"))
@@ -850,6 +868,16 @@ object Pipeline {
         |  FROM (SELECT * FROM e WHERE vec_id < 10) p
         |  JOIN e c ON c.vec_id != p.vec_id
         |) WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin),
+
+    "corpus_chunk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |             unnest(generate_series(0, greatest(len(toks) - 1, 0), 24)) AS st
+        |      FROM d)
+        |SELECT doc_id, st // 24 AS chunk_id,
+        |       CAST(len(toks[st + 1 : least(st + 32, len(toks))]) AS BIGINT) AS chunk_tok,
+        |       array_to_string(toks[st + 1 : least(st + 32, len(toks))], ' ') AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
 
     "corpus_pack" ->
       """WITH t AS (SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok
