@@ -13,6 +13,11 @@ case class MediaFeatures(doc_id: Long, n_bytes: Int, first_byte: Int, byte_fp: L
 /** One sampled frame from a media payload (see Multimodal.frameSample). */
 case class FrameFeature(doc_id: Long, frame_idx: Int, frame_bytes: Int, frame_fp: Long)
 
+/** A strided-downsample "resize" of a media payload (see
+  * Multimodal.resize): original size, resized size, and a fingerprint
+  * of the resized bytes. */
+case class MediaResized(doc_id: Long, n_bytes: Int, resized_bytes: Int, resized_fp: Long)
+
 /** Multimodal columns: media as opaque `binary` + typed metadata in a
   * struct column, with decode/feature-extraction as a partition-wise
   * operator.
@@ -64,6 +69,33 @@ object Multimodal {
             val fp = fr.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
             FrameFeature(id, f, fr.length, fp)
           }
+        }
+      }
+  }
+
+  /** Resize (image-style payloads): a strided byte downsample — every
+    * `stride`-th byte of the payload survives — standing in for a real
+    * resampling kernel the same way the stub decoder stands in for a
+    * codec: the mapPartitions batch shape, binary-in/binary-derived-out
+    * row contract, and per-partition init point are the real plumbing,
+    * and the stub arithmetic is deterministic so the operator is
+    * oracle-verifiable end to end. Emits sizes + a fingerprint of the
+    * resized bytes rather than the bytes themselves, keeping declared
+    * output hash-friendly.
+    */
+  def resize(df: DataFrame, idCol: String, payloadCol: String,
+             stride: Int = 4): Dataset[MediaResized] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // >>> STUB RESAMPLER <<< (real impl: init resize kernel once per
+        // partition, then resample each payload)
+        it.map { case (id, bytes) =>
+          val sampled = bytes.indices.by(stride).map(bytes(_))
+          val fp = sampled.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+          MediaResized(id, bytes.length, sampled.length, fp)
         }
       }
   }

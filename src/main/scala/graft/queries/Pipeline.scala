@@ -580,7 +580,14 @@ object Pipeline {
           Tables.documents(s, d).withColumn("payload", col("text").cast("binary")),
           "doc_id", "payload")
         .toDF()
-        .orderBy("doc_id", "frame_idx"))
+        .orderBy("doc_id", "frame_idx")),
+
+    "multimodal_resize" -> ((s, d) =>
+      Multimodal.resize(
+          Tables.documents(s, d).withColumn("payload", col("text").cast("binary")),
+          "doc_id", "payload")
+        .toDF()
+        .orderBy("doc_id"))
   )
 
   /** DuckDB replay of Dedup.shingles: distinct 3-token shingles as
@@ -1232,6 +1239,20 @@ object Pipeline {
         |  list_reduce(list_prepend(0::BIGINT,
         |    list_transform(string_split(fr, ''), c -> ascii(c)::BIGINT)),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS frame_fp
-        |FROM s ORDER BY doc_id, frame_idx""".stripMargin
+        |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // ASCII text: every 4th char == every 4th byte, so the strided
+    // downsample and its fingerprint replay exactly.
+    "multimodal_resize" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST(length(text) AS INTEGER) AS n_bytes,
+        |    list_transform(
+        |      range(1, length(text) + 1, 4),
+        |      i -> ascii(substr(text, CAST(i AS INTEGER), 1))::BIGINT) AS sampled
+        |  FROM documents)
+        |SELECT doc_id, n_bytes, CAST(len(sampled) AS INTEGER) AS resized_bytes,
+        |  list_reduce(list_prepend(0::BIGINT, sampled),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS resized_fp
+        |FROM s ORDER BY doc_id""".stripMargin
   )
 }
