@@ -983,6 +983,12 @@ object Cep {
       .withColumn("res_us", unix_micros(col("res_ts").cast("timestamp")))
     val schema = prepped.schema
     val iKey = schema.fieldIndex(keyCol)
+    // the JVM-side grouping key is the key's string form, which must be
+    // VALUE-based: a binary key's Array[Byte].toString is identity-based
+    // and would silently split one key's candidate chain
+    require(!schema(iKey).dataType.simpleString.contains("binary"),
+      s"SKIP TO FIRST/LAST chain selection needs a value-comparable key " +
+        s"column; '$keyCol' is/contains BINARY — cast it (e.g. to hex) first")
     val iSid = schema.fieldIndex("start_id")
     val iSus = schema.fieldIndex("start_us")
     val iRus = schema.fieldIndex("res_us")
