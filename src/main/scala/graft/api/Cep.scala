@@ -703,9 +703,9 @@ object Cep {
         pattern.alternatives.size == 1,
       "relaxed SKIP TO FIRST/LAST compiles without optional steps " +
         "(the resume row must come from a step present in every match)")
-    require(pattern.skipTargetIdx.isEmpty || valCol.isEmpty,
-      "SKIP TO FIRST/LAST with MEASURES is not compiled (combine " +
-        "matchSequenceMeasures per key if needed)")
+    // NOTE: skip-to + MEASURES cannot co-occur here — compileMeasures is
+    // strict-only and the strict rewrite above already cleared the skip
+    // target; if MEASURES ever relaxes, add the guard back.
     requireDistinctSymbols(pattern)
     val steps = pattern.steps
     val measured = valCol.isDefined
@@ -799,9 +799,11 @@ object Cep {
       pattern.withinMinutes.foreach(w =>
         j1 = j1.filter(col("a_ts") >= col("end_ts") - expr(s"INTERVAL $w MINUTES")))
       val matched = pattern.skip match {
-        // strict SKIP TO FIRST/LAST ≡ PAST LAST ROW (rewritten at
-        // entry; the grouping below is the correct plan for them too)
-        case SkipPastLastRow | SkipToFirst(_) | SkipToLast(_) =>
+        // strict SKIP TO FIRST/LAST was rewritten to PAST LAST ROW at
+        // entry, so this arm is the only suppression plan ever built
+        case SkipToFirst(_) | SkipToLast(_) =>
+          sys.error("unreachable: strict skip-to rewritten at compile entry")
+        case SkipPastLastRow =>
           // the qualifying anchor rows ARE the consumed first-step
           // suffix (WITHIN and maxRep both select suffixes of the
           // time-ordered run), so count/sum over the group are the
@@ -1168,6 +1170,18 @@ object Cep {
         pattern0.copy(skip = SkipPastLastRow)
       else pattern0
     requireDistinctSymbols(pattern)
+    // mirror compileImpl's relaxed-mode guards: an oracle for a pattern
+    // the compiler rejects would silently pin the WRONG semantics (the
+    // relaxed skip branch has no presence-priority dedup, so a
+    // multi-alternative anchor would contribute duplicate chain rows
+    // with nondeterministic row_number tie-breaks)
+    require(pattern.strict || pattern.skip != SkipPastLastRow,
+      "relaxed contiguity oracles cover SKIP TO NEXT ROW and SKIP TO " +
+        "FIRST/LAST only (same restriction as Cep.compile)")
+    require(pattern.strict || pattern.skipTargetIdx.isEmpty ||
+        pattern.alternatives.size == 1,
+      "relaxed SKIP TO FIRST/LAST oracles require no optional steps " +
+        "(same restriction as Cep.compile)")
     val steps = pattern.steps
     val measured = valCol.isDefined
     val maxJ = pattern.alternatives.map(_.size).max
@@ -1231,8 +1245,10 @@ object Cep {
         (if (measured) (2 until j).map(i => s"ms_${presentIdx(i - 1)}") else Nil)
       val endPrefSel = if (measured) ", pe.pcum AS end_pref" else ""
       val matchSql = pattern.skip match {
-        // strict SKIP TO FIRST/LAST ≡ PAST LAST ROW (rewritten at entry)
-        case SkipPastLastRow | SkipToFirst(_) | SkipToLast(_) =>
+        // strict SKIP TO FIRST/LAST was rewritten to PAST LAST ROW at entry
+        case SkipToFirst(_) | SkipToLast(_) =>
+          sys.error("unreachable: strict skip-to rewritten at oracle entry")
+        case SkipPastLastRow =>
           val g = (Seq("w.k", "w.arid", "w.erid", "w.len1", "w.clast", "w.mid_total",
             "w.end_ts", "w.end_id") ++
             (if (measured) Seq("w.end_pref") else Nil) ++

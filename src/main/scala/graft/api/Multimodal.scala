@@ -85,6 +85,9 @@ object Multimodal {
     */
   def resize(df: DataFrame, idCol: String, payloadCol: String,
              stride: Int = 4): Dataset[MediaResized] = {
+    require(stride >= 1, s"resize stride must be >= 1, got $stride " +
+      "(a non-positive stride would silently emit empty resamples or " +
+      "crash inside an executor task)")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
