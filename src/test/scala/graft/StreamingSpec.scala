@@ -776,9 +776,15 @@ class StreamingSpec extends SparkSuite {
     assert(rows.size == rows.distinct.size, s"duplicate emissions: $rows")
   }
 
-  test("skip-CEP checkpoint restart: an unsealed anchor's buffer survives into run 2") {
+  test("skip-CEP checkpoint restart: an unsealed anchor's buffer survives into run 2 (RocksDB)") {
     import graft.api.Sinks
     import java.nio.file.Files
+    // restart + skip-to on the RocksDB provider: the carried CepPatState
+    // must round-trip the store's serialization across process restarts
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
     val pat = graft.queries.Analytic.CepPatterns.skipFirst
     val out = Files.createTempDirectory("graft_cep_ckpt_out").toString
     val ckpt = Files.createTempDirectory("graft_cep_ckpt_meta").toString
@@ -812,6 +818,12 @@ class StreamingSpec extends SparkSuite {
       .as[(Long, Long, Long, Long, String)].collect().toSet
     assert(rows == Set((1L, 1L, 6L, 4L, "2,1,1"), (1L, 4L, 6L, 3L, "1,1,1")),
       s"restart lost the pending anchor's buffer or re-emitted: $rows")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 
   test("DeltaTrigger: last-fired baseline carries across batches, first element seeds silently") {
