@@ -38,6 +38,39 @@ def norm(v):
     return ("s", v) if isinstance(v, str) else (type(v).__name__, v)
 
 
+def type_class(t):
+    """Collapse an Arrow type to the class the driver's type-strict hash
+    distinguishes. DuckDB's Python fetchall() silently narrows HUGEINT to
+    int (which hid the sim_pq widening bug in round 8); over Arrow,
+    HUGEINT surfaces as decimal128(38,0) and stays distinguishable."""
+    import pyarrow as pa
+    if pa.types.is_integer(t):
+        return str(t)  # exact width: int32 vs int64 is a driver mismatch
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{type_class(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{t.field(i).name}:{type_class(t.field(i).type)}"
+                         for i in range(t.num_fields))
+        return f"struct<{inner}>"
+    if pa.types.is_map(t):
+        return f"map<{type_class(t.key_type)},{type_class(t.item_type)}>"
+    return str(t)
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -83,6 +116,24 @@ def main():
         if sorted(spark_cols) != sorted(oracle_cols):
             failures.append((key, f"schema mismatch spark={sorted(spark_cols)} oracle={sorted(oracle_cols)}"))
             print(f"[FAIL] {key}: schema mismatch\n  spark : {sorted(spark_cols)}\n  oracle: {sorted(oracle_cols)}")
+            continue
+        # Type gate over Arrow: catches DuckDB implicit widening
+        # (sum(BIGINT) -> HUGEINT, avg -> DOUBLE vs DECIMAL, ...) that
+        # fetchall() hides but the driver's hash rejects. LIMIT 0 wrap
+        # gets the result schema without rerunning the oracle.
+        s_schema = con.sql(
+            f"SELECT * FROM read_parquet('{files[0]}') LIMIT 0").arrow().schema
+        o_schema = con.sql(
+            f"SELECT * FROM ({oracles[key]}) LIMIT 0").arrow().schema
+        s_types = {f.name: type_class(f.type) for f in s_schema}
+        o_types = {f.name: type_class(f.type) for f in o_schema}
+        type_diffs = [(c, s_types[c], o_types[c])
+                      for c in sorted(spark_cols)
+                      if s_types.get(c) != o_types.get(c)]
+        if type_diffs:
+            failures.append((key, f"type mismatch {type_diffs}"))
+            for c, st, ot in type_diffs:
+                print(f"[FAIL] {key}: column `{c}` type spark={st} oracle={ot}")
             continue
         # reorder both to sorted column order (driver sorts columns by name)
         sperm = [spark_cols.index(c) for c in sorted(spark_cols)]

@@ -265,7 +265,8 @@ object Similarity {
        |                                 ORDER BY d2, cent) AS rn FROM dist)
        |  WHERE rn = 1),
        |scored AS (
-       |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, sum(pd.d2) AS score
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |    CAST(sum(pd.d2) AS BIGINT) AS score
        |  FROM codes c
        |  JOIN e p ON p.vec_id < ${probeIdBound} AND p.vec_id != c.vec_id
        |  JOIN dist pd ON pd.vec_id = p.vec_id AND pd.sub = c.sub AND pd.cent = c.code
