@@ -1,0 +1,594 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+
+/** One parsed PATTERN element: a pattern variable with its quantifier.
+  * `isGap` marks an UNDEFINED `var*` element — the MATCH_RECOGNIZE
+  * idiom for relaxed contiguity (an undefined variable matches any
+  * row, so `A g1* B` is exactly Flink CEP's `followedBy`: irrelevant
+  * rows between the steps are skipped). Gap elements carry no step.
+  */
+case class MrElem(variable: String, minRep: Int, maxRep: Option[Int],
+                  greedy: Boolean, negated: Boolean, isGap: Boolean)
+
+/** One MEASURES entry: verbatim expression text and its alias. */
+case class MrMeasure(exprSql: String, alias: String)
+
+/** A parsed MATCH_RECOGNIZE clause, resolved against this library's
+  * CEP model ([[CepPattern]]/[[CepCondPattern]]).
+  *
+  *  - `strict` came from the gap analysis: a pattern whose consecutive
+  *    defined steps are ALL separated by gap elements (or by negated
+  *    steps, which constrain the gap they sit in) is relaxed
+  *    contiguity; no separators anywhere is strict (the SQL:2016
+  *    default); a mix is rejected at parse time.
+  *  - `skip`'s target names the pattern VARIABLE; [[toSymbolic]] maps
+  *    it to the step symbol when the defines are symbol equalities.
+  */
+case class MrSpec(partitionBy: Seq[String], orderBy: Seq[String],
+                  measures: Seq[MrMeasure], allRows: Boolean,
+                  skip: CepSkip, withinMinutes: Option[Int],
+                  elems: Seq[MrElem], defines: Seq[(String, String)],
+                  strict: Boolean, fromTable: Option[String]) {
+
+  private def defMap = defines.toMap
+
+  /** The defined elements, in pattern order — the steps. */
+  def stepElems: Seq[MrElem] = elems.filterNot(_.isGap)
+
+  /** When every DEFINE is a bare symbol equality `col = 'lit'` on ONE
+    * common column, the pattern is symbolic: returns (symbol column,
+    * [[CepPattern]] over the literals). Otherwise None → [[toCond]].
+    */
+  def toSymbolic: Option[(String, CepPattern)] = {
+    val SymEq = """^\s*([A-Za-z_]\w*)\s*=\s*'((?:[^']|'')*)'\s*$""".r
+    val parsed = defines.map { case (v, p) =>
+      p match {
+        case SymEq(c, lit) => Some((v, c, lit.replace("''", "'")))
+        case _ => None
+      }
+    }
+    if (parsed.exists(_.isEmpty)) return None
+    val cols = parsed.flatten.map(_._2).distinct
+    if (cols.size != 1) return None
+    val lit = parsed.flatten.map(t => t._1 -> t._3).toMap
+    val steps = stepElems.map(e =>
+      CepStep(lit(e.variable), e.minRep, e.maxRep, e.negated, e.greedy))
+    val skipMapped = skip match {
+      case SkipToFirst(v) => SkipToFirst(lit(v))
+      case SkipToLast(v) => SkipToLast(lit(v))
+      case s => s
+    }
+    Some((cols.head, CepPattern(steps, withinMinutes, skipMapped, strict)))
+  }
+
+  /** The value-predicate form: each step's DEFINE text becomes its
+    * [[CepCondStep]] predicate verbatim (variable prefixes already
+    * stripped by the parser) — [[Cep.compileWhere]]'s input. */
+  def toCond: CepCondPattern = CepCondPattern(
+    stepElems.map(e => CepCondStep(e.variable, defMap(e.variable),
+      e.minRep, e.maxRep, e.negated, e.greedy)),
+    withinMinutes, skip, strict)
+
+  /** The compiled-MEASURES value column, when the MEASURES clause is
+    * the one supported form `SUM(<col>) AS step_sums` (this library's
+    * compiled MEASURES aggregate exact cents of ONE value column per
+    * step into `step_sums` — see [[Cep.compileMeasures]]). */
+  def measuresValCol: Option[String] = {
+    if (measures.isEmpty) return None
+    val Sum = """(?i)^\s*SUM\s*\(\s*(?:[A-Za-z_]\w*\s*\.\s*)?([A-Za-z_]\w*)\s*\)\s*$""".r
+    measures match {
+      case Seq(MrMeasure(Sum(c), "step_sums")) => Some(c)
+      case _ => throw new IllegalArgumentException(
+        "unsupported MEASURES: this engine's compiled MEASURES form is " +
+          "exactly `MEASURES SUM(<valueCol>) AS step_sums` (per-step " +
+          "exact-cents sums — Cep.compileMeasures); for arbitrary " +
+          "per-step aggregates use Cep.matchSequenceMeasures / " +
+          s"StreamOps.cepMeasures. Got: $measures")
+    }
+  }
+}
+
+/** SQL `MATCH_RECOGNIZE` front door for the CEP engine: parses the
+  * standard clause text (SQL:2016 subset + Flink's `WITHIN`) into the
+  * library's [[CepPattern]]/[[CepCondPattern]] model, so a Flink SQL
+  * user ports their MATCH_RECOGNIZE query as TEXT instead of
+  * hand-translating it to `CepStep(...)` calls. The matcher, compiler,
+  * and generated DuckDB oracles are untouched — this is a front end.
+  *
+  * Supported surface:
+  * {{{
+  * [SELECT * FROM <table>]
+  * MATCH_RECOGNIZE (
+  *   PARTITION BY key
+  *   ORDER BY ts, ord                      -- tiebreak column REQUIRED
+  *   [MEASURES SUM(valCol) AS step_sums]   -- compiled MEASURES form
+  *   [ONE ROW PER MATCH]
+  *   [AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW
+  *                     | TO FIRST var | TO LAST var]
+  *   PATTERN ( elem... )
+  *   [WITHIN INTERVAL 'n' MINUTE|HOUR|DAY]
+  *   DEFINE var AS predicate [, ...]
+  * )
+  * }}}
+  * Pattern elements: `var` with quantifier `+ * ? {m} {m,} {m,n}`,
+  * each optionally reluctant (`+?`, `{m,n}?` — the SQL:2016
+  * non-greedy marker); `!var` is this library's extension for Flink
+  * CEP's `notFollowedBy` (absent from SQL MATCH_RECOGNIZE — Flink SQL
+  * cannot express it either). An UNDEFINED variable with a greedy `*`
+  * is a GAP marker: `A g* B` means relaxed contiguity (`followedBy`) —
+  * the standard MATCH_RECOGNIZE idiom for "anything in between", and
+  * the only role undefined variables may play here (contiguity is
+  * pattern-global in [[CepPattern]], so gaps must separate either ALL
+  * consecutive steps or none; negated steps count as separators since
+  * they constrain the gap they sit in). Not supported, by documented
+  * design: `ALL ROWS PER MATCH` execution (parsed, rejected with a
+  * pointer at the per-key row-level form), SQL exclusion syntax
+  * `{- -}`, `SUBSET`, alternation `|`, and `followedByAny` (no SQL
+  * surface exists). [[render]] is the inverse — it emits canonical
+  * clause text from a DSL pattern, and round-tripping is
+  * property-tested over every declared pattern in CepSqlSpec.
+  */
+object MatchRecognize {
+
+  // ---------- tokenizer ----------
+
+  private sealed trait Tok { def text: String; def a: Int; def b: Int }
+  private case class TId(text: String, a: Int, b: Int) extends Tok
+  private case class TNum(text: String, a: Int, b: Int) extends Tok
+  private case class TStr(text: String, a: Int, b: Int) extends Tok
+  private case class TSym(text: String, a: Int, b: Int) extends Tok
+
+  private def tokenize(s: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c.isWhitespace) i += 1
+      else if (c.isLetter || c == '_') {
+        val st = i
+        while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_')) i += 1
+        out += TId(s.substring(st, i), st, i)
+      } else if (c.isDigit) {
+        val st = i
+        while (i < s.length && (s(i).isDigit || s(i) == '.')) i += 1
+        out += TNum(s.substring(st, i), st, i)
+      } else if (c == '\'') {
+        val st = i
+        i += 1
+        var done = false
+        while (!done) {
+          if (i >= s.length) throw new IllegalArgumentException(
+            s"unterminated string literal at offset $st")
+          if (s(i) == '\'') {
+            if (i + 1 < s.length && s(i + 1) == '\'') i += 2 // '' escape
+            else { i += 1; done = true }
+          } else i += 1
+        }
+        out += TStr(s.substring(st, i), st, i)
+      } else {
+        out += TSym(c.toString, i, i + 1)
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  private def kw(t: Tok, w: String): Boolean =
+    t.isInstanceOf[TId] && t.text.equalsIgnoreCase(w)
+
+  // ---------- parser ----------
+
+  /** Parse a MATCH_RECOGNIZE clause (bare, or embedded in a
+    * `SELECT * FROM t MATCH_RECOGNIZE (...)` statement). */
+  def parse(sql: String): MrSpec = {
+    val toks = tokenize(sql)
+    val mrIdx = toks.indexWhere(kw(_, "MATCH_RECOGNIZE"))
+    require(mrIdx >= 0, "no MATCH_RECOGNIZE keyword in input")
+    // optional `FROM <table>` before the clause
+    val fromTable = (0 until mrIdx).collectFirst {
+      case i if kw(toks(i), "FROM") && i + 1 < mrIdx =>
+        toks(i + 1).text
+    }
+    require(mrIdx + 1 < toks.length && toks(mrIdx + 1).text == "(",
+      "MATCH_RECOGNIZE must be followed by a parenthesized clause body")
+    // body = tokens to the matching close paren
+    var depth = 0
+    var end = -1
+    var j = mrIdx + 1
+    while (end < 0 && j < toks.length) {
+      toks(j).text match {
+        case "(" => depth += 1
+        case ")" => depth -= 1; if (depth == 0) end = j
+        case _ =>
+      }
+      j += 1
+    }
+    require(end > 0, "unbalanced parens around MATCH_RECOGNIZE body")
+    val body = toks.slice(mrIdx + 2, end)
+    parseBody(sql, body, fromTable)
+  }
+
+  private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
+
+  private def parseBody(src: String, ts: Vector[Tok],
+                        fromTable: Option[String]): MrSpec = {
+    var p = 0
+    def peek: Option[Tok] = if (p < ts.length) Some(ts(p)) else None
+    def at(w: String): Boolean = peek.exists(kw(_, w))
+    def eatKw(w: String): Unit =
+      if (at(w)) p += 1 else fail(s"expected $w, got ${peek.map(_.text).getOrElse("<end>")}")
+    def eatSym(c: String): Unit =
+      if (peek.exists(_.text == c)) p += 1
+      else fail(s"expected '$c', got ${peek.map(_.text).getOrElse("<end>")}")
+    def ident(): String = peek match {
+      case Some(TId(t, _, _)) => p += 1; t
+      case o => fail(s"expected identifier, got ${o.map(_.text).getOrElse("<end>")}")
+    }
+
+    // PARTITION BY col [, col...]
+    eatKw("PARTITION"); eatKw("BY")
+    val partition = Vector.newBuilder[String]
+    partition += ident()
+    while (peek.exists(_.text == ",") && p + 1 < ts.length &&
+           !kw(ts(p + 1), "ORDER")) { p += 1; partition += ident() }
+
+    // ORDER BY col [ASC] [, col [ASC]...]
+    eatKw("ORDER"); eatKw("BY")
+    val order = Vector.newBuilder[String]
+    def orderItem(): Unit = { order += ident(); if (at("ASC")) p += 1 }
+    orderItem()
+    while (peek.exists(_.text == ",")) { p += 1; orderItem() }
+
+    // MEASURES expr AS alias [, ...]
+    val clauseStarts = Set("ONE", "ALL", "AFTER", "PATTERN", "WITHIN", "DEFINE")
+    val measures = Vector.newBuilder[MrMeasure]
+    if (at("MEASURES")) {
+      p += 1
+      var more = true
+      while (more) {
+        val st = p
+        var d = 0
+        while (p < ts.length &&
+               !(d == 0 && (ts(p).text == "," ||
+                 clauseStarts.exists(kw(ts(p), _))))) {
+          if (ts(p).text == "(") d += 1
+          if (ts(p).text == ")") d -= 1
+          p += 1
+        }
+        val entry = ts.slice(st, p)
+        require(entry.length >= 3 && kw(entry(entry.length - 2), "AS"),
+          s"MEASURES entry needs `expr AS alias`: ${entry.map(_.text).mkString(" ")}")
+        val alias = entry.last.text
+        val exprTxt = src.substring(entry.head.a, entry(entry.length - 3).b)
+        measures += MrMeasure(exprTxt, alias)
+        if (peek.exists(_.text == ",")) p += 1 else more = false
+      }
+    }
+
+    // ONE ROW PER MATCH | ALL ROWS PER MATCH
+    var allRows = false
+    if (at("ONE")) { p += 1; eatKw("ROW"); eatKw("PER"); eatKw("MATCH") }
+    else if (at("ALL")) { p += 1; eatKw("ROWS"); eatKw("PER"); eatKw("MATCH"); allRows = true }
+
+    // AFTER MATCH SKIP ...
+    var skip: CepSkip = SkipPastLastRow
+    if (at("AFTER")) {
+      p += 1; eatKw("MATCH"); eatKw("SKIP")
+      if (at("PAST")) { p += 1; eatKw("LAST"); eatKw("ROW") }
+      else {
+        eatKw("TO")
+        if (at("NEXT")) { p += 1; eatKw("ROW"); skip = SkipToNextRow }
+        else if (at("FIRST")) { p += 1; skip = SkipToFirst(ident()) }
+        else if (at("LAST")) { p += 1; skip = SkipToLast(ident()) }
+        else fail("AFTER MATCH SKIP TO needs NEXT ROW | FIRST var | LAST var")
+      }
+    }
+
+    // PATTERN ( elem... )
+    eatKw("PATTERN"); eatSym("(")
+    val elems = Vector.newBuilder[MrElem]
+    while (peek.exists(_.text != ")")) {
+      if (peek.exists(t => t.text == "{" || t.text == "|")) fail(
+        s"'${peek.get.text}' in PATTERN: SQL exclusion {- -} and " +
+          "alternation | are not supported (see MatchRecognize scaladoc)")
+      val negated = peek.exists(_.text == "!")
+      if (negated) p += 1
+      val v = ident()
+      // quantifier
+      var (mn, mx): (Int, Option[Int]) = (1, Some(1))
+      var greedy = true
+      var sawQuant = false
+      peek.map(_.text) match {
+        case Some("+") => p += 1; mn = 1; mx = None; sawQuant = true
+        case Some("*") => p += 1; mn = 0; mx = None; sawQuant = true
+        case Some("?") => p += 1; mn = 0; mx = Some(1); sawQuant = true
+        case Some("{") =>
+          p += 1; sawQuant = true
+          def num(): Int = peek match {
+            case Some(TNum(t, _, _)) => p += 1; t.toInt
+            case o => fail(s"expected number in quantifier, got ${o.map(_.text).getOrElse("<end>")}")
+          }
+          val lo = num()
+          if (peek.exists(_.text == ",")) {
+            p += 1
+            if (peek.exists(_.text == "}")) { mn = lo; mx = None }
+            else { mn = lo; mx = Some(num()) }
+          } else { mn = lo; mx = Some(lo) }
+          eatSym("}")
+        case _ =>
+      }
+      if (sawQuant && peek.exists(_.text == "?")) { p += 1; greedy = false }
+      require(!negated || (!sawQuant),
+        s"!$v: a negated step (notFollowedBy) takes no quantifier")
+      elems += MrElem(v, mn, mx, greedy, negated, isGap = false)
+    }
+    eatSym(")")
+
+    // WITHIN INTERVAL 'n' unit
+    var within: Option[Int] = None
+    if (at("WITHIN")) {
+      p += 1; eatKw("INTERVAL")
+      val n = peek match {
+        case Some(TStr(t, _, _)) => p += 1; t.stripPrefix("'").stripSuffix("'").trim.toInt
+        case Some(TNum(t, _, _)) => p += 1; t.toInt
+        case o => fail(s"expected INTERVAL value, got ${o.map(_.text).getOrElse("<end>")}")
+      }
+      val unit = ident().toUpperCase
+      within = Some(unit match {
+        case "MINUTE" | "MINUTES" => n
+        case "HOUR" | "HOURS" => n * 60
+        case "DAY" | "DAYS" => n * 1440
+        case u => fail(s"unsupported WITHIN unit $u (MINUTE/HOUR/DAY)")
+      })
+    }
+
+    // DEFINE var AS predicate [, ...]  — predicates kept verbatim
+    val defines = Vector.newBuilder[(String, String)]
+    if (at("DEFINE")) {
+      p += 1
+      var more = true
+      while (more) {
+        val v = ident()
+        eatKw("AS")
+        val st = p
+        var d = 0
+        while (p < ts.length && !(d == 0 && ts(p).text == ",")) {
+          if (ts(p).text == "(") d += 1
+          if (ts(p).text == ")") d -= 1
+          p += 1
+        }
+        require(p > st, s"empty DEFINE predicate for $v")
+        defines += ((v, stripVarPrefixes(src, ts.slice(st, p))))
+        if (peek.exists(_.text == ",")) p += 1 else more = false
+      }
+    }
+    require(p == ts.length,
+      s"unexpected trailing tokens: ${ts.drop(p).map(_.text).mkString(" ")}")
+
+    finish(partition.result(), order.result(), measures.result(), allRows,
+      skip, within, elems.result(), defines.result(), fromTable)
+  }
+
+  /** Rewrite `var.col` to `col` in a predicate, VERBATIM otherwise —
+    * this model has no per-variable row references beyond the current
+    * row, and both engines then read the bare column. Token-guided
+    * splicing, so dots inside string literals are untouched. */
+  private def stripVarPrefixes(src: String, toks: Vector[Tok]): String = {
+    if (toks.isEmpty) return ""
+    val cuts = toks.indices.dropRight(2).collect {
+      case i if toks(i).isInstanceOf[TId] && toks(i + 1).text == "." &&
+                toks(i + 2).isInstanceOf[TId] =>
+        (toks(i).a, toks(i + 1).b)
+    }
+    val lo = toks.head.a
+    val hi = toks.last.b
+    val sb = new StringBuilder
+    var pos = lo
+    for ((a, b) <- cuts) { sb.append(src.substring(pos, a)); pos = b }
+    sb.append(src.substring(pos, hi))
+    sb.toString.trim
+  }
+
+  private def finish(partition: Seq[String], order: Seq[String],
+                     measures: Seq[MrMeasure], allRows: Boolean, skip: CepSkip,
+                     within: Option[Int], elems: Seq[MrElem],
+                     defines: Seq[(String, String)],
+                     fromTable: Option[String]): MrSpec = {
+    val defined = defines.map(_._1).toSet
+    // classify gaps: undefined vars are legal ONLY as greedy `*` gaps
+    val tagged = elems.map { e =>
+      if (defined(e.variable)) e
+      else {
+        require(!e.negated, s"!${e.variable}: a negated variable must be DEFINEd")
+        require(e.minRep == 0 && e.maxRep.isEmpty && e.greedy,
+          s"undefined variable ${e.variable} matches every row — only the " +
+            s"relaxed-gap form `${e.variable}*` is meaningful (DEFINE it, " +
+            "or quantify it with *)")
+        e.copy(isGap = true)
+      }
+    }
+    require(tagged.exists(!_.isGap), "PATTERN has no defined steps")
+    require(!tagged.head.isGap && !tagged.last.isGap,
+      "a gap variable cannot lead or trail the pattern (drop it — " +
+        "matches are anchored at the first and last steps)")
+    // contiguity: consecutive POSITIVE steps are separated iff a gap or
+    // a negated step lies between them; all separated -> relaxed,
+    // none -> strict, mixed -> reject (contiguity is pattern-global)
+    val posIdx = tagged.indices.filter(i => !tagged(i).isGap && !tagged(i).negated)
+    val pairSep = posIdx.zip(posIdx.tail).map { case (a, b) =>
+      (a + 1 until b).exists(i => tagged(i).isGap || tagged(i).negated)
+    }
+    val strict =
+      if (pairSep.isEmpty || pairSep.forall(!_)) true
+      else if (pairSep.forall(identity)) false
+      else fail("mixed contiguity: gap variables separate some step " +
+        "pairs but not others — CepPattern contiguity is pattern-global " +
+        "(put a gap `g*` between EVERY pair of steps, or none)")
+    require(!tagged.exists(t => t.isGap && strict),
+      "internal: gap implies relaxed") // unreachable; documents intent
+    // unknown DEFINEs (defined but never used in PATTERN) are an error —
+    // catches typos between DEFINE and PATTERN
+    val used = tagged.filterNot(_.isGap).map(_.variable).toSet
+    val unused = defines.map(_._1).filterNot(used)
+    require(unused.isEmpty, s"DEFINEd but not in PATTERN: ${unused.mkString(", ")}")
+    skip match {
+      case SkipToFirst(v) => require(used(v), s"SKIP TO FIRST $v: unknown variable")
+      case SkipToLast(v) => require(used(v), s"SKIP TO LAST $v: unknown variable")
+      case _ =>
+    }
+    MrSpec(partition, order, measures, allRows, skip, within,
+      tagged, defines, strict, fromTable)
+  }
+
+  // ---------- executor ----------
+
+  /** Run a MATCH_RECOGNIZE text against a DataFrame: parses, resolves
+    * to the symbolic or value-predicate compiled form, and dispatches
+    * to the existing distributed plans ([[Cep.compile]] /
+    * [[Cep.compileWhere]], `...Measures` with the supported MEASURES
+    * clause). Output schema is the compiler's: key, start/end row ids
+    * and timestamps, n_rows, step_counts [, step_sums].
+    */
+  def run(df: DataFrame, sql: String): DataFrame = {
+    val spec = parse(sql)
+    require(!spec.allRows,
+      "ALL ROWS PER MATCH: use the per-key row-level form " +
+        "(StreamOps.cepAllRows) — the compiled plans emit one row per match")
+    require(spec.partitionBy.size == 1,
+      s"PARTITION BY must name exactly one key column, got ${spec.partitionBy}")
+    require(spec.orderBy.size == 2,
+      "ORDER BY must name the event-time column AND a deterministic " +
+        s"tiebreak column (e.g. `ORDER BY ts, event_id`), got ${spec.orderBy}")
+    val (key, tsC, ordC) = (spec.partitionBy.head, spec.orderBy(0), spec.orderBy(1))
+    (spec.toSymbolic, spec.measuresValCol) match {
+      case (Some((symCol, pat)), None) => Cep.compile(df, key, tsC, ordC, symCol, pat)
+      case (Some((symCol, pat)), Some(v)) =>
+        Cep.compileMeasures(df, key, tsC, ordC, symCol, v, pat)
+      case (None, None) => Cep.compileWhere(df, key, tsC, ordC, spec.toCond)
+      case (None, Some(v)) =>
+        Cep.compileWhereMeasures(df, key, tsC, ordC, v, spec.toCond)
+    }
+  }
+
+  /** The DuckDB replay of [[run]] on the same text — generated from
+    * the SAME parsed spec via the existing oracle generators, so the
+    * parse itself is pinned cross-engine. `table` overrides the
+    * statement's `FROM` table (default `events`). */
+  def oracleFor(sql: String, table: String = ""): String = {
+    val spec = parse(sql)
+    val t = if (table.nonEmpty) table else spec.fromTable.getOrElse("events")
+    val (key, tsC, ordC) = (spec.partitionBy.head, spec.orderBy(0), spec.orderBy(1))
+    (spec.toSymbolic, spec.measuresValCol) match {
+      case (Some((symCol, pat)), None) => Cep.oracleSql(pat, t, key, tsC, ordC, symCol)
+      case (Some((symCol, pat)), Some(v)) =>
+        Cep.oracleSqlMeasures(pat, v, t, key, tsC, ordC, symCol)
+      case (None, None) => Cep.oracleSqlWhere(spec.toCond, t, key, tsC, ordC)
+      case (None, Some(v)) =>
+        Cep.oracleSqlWhereMeasures(spec.toCond, v, t, key, tsC, ordC)
+    }
+  }
+
+  // ---------- renderer (canonical text from the DSL) ----------
+
+  private def quantTxt(mn: Int, mx: Option[Int], greedy: Boolean): String = {
+    val q = (mn, mx) match {
+      case (1, Some(1)) => ""
+      case (1, None) => "+"
+      case (0, None) => "*"
+      case (0, Some(1)) => "?"
+      case (m, Some(n)) if m == n => s"{$m}"
+      case (m, None) => s"{$m,}"
+      case (m, Some(n)) => s"{$m,$n}"
+    }
+    if (greedy) q else q + "?"
+  }
+
+  private def renderClauses(keyCol: String, tsCol: String, ordCol: String,
+                            skip: CepSkip, within: Option[Int],
+                            patternTxt: String, defineTxt: String,
+                            measuresValCol: Option[String],
+                            skipName: String => String): String = {
+    val skipTxt = skip match {
+      case SkipPastLastRow => "PAST LAST ROW"
+      case SkipToNextRow => "TO NEXT ROW"
+      case SkipToFirst(s) => s"TO FIRST ${skipName(s)}"
+      case SkipToLast(s) => s"TO LAST ${skipName(s)}"
+    }
+    val measuresTxt = measuresValCol
+      .map(v => s"\n  MEASURES SUM($v) AS step_sums").getOrElse("")
+    val withinTxt = within.map(m => s"\n  WITHIN INTERVAL '$m' MINUTE").getOrElse("")
+    s"""MATCH_RECOGNIZE (
+       |  PARTITION BY $keyCol
+       |  ORDER BY $tsCol, $ordCol$measuresTxt
+       |  ONE ROW PER MATCH
+       |  AFTER MATCH SKIP $skipTxt
+       |  PATTERN ($patternTxt)$withinTxt
+       |  DEFINE $defineTxt
+       |)""".stripMargin
+  }
+
+  private def requireRenderable(anyMatch: Boolean): Unit =
+    require(!anyMatch,
+      "followedByAny has no MATCH_RECOGNIZE surface (Flink SQL cannot " +
+        "express it either) — use the CepPattern DSL")
+
+  /** Canonical MATCH_RECOGNIZE text for a symbolic pattern: variables
+    * are the step symbols, DEFINEs are `symCol = 'symbol'` equalities
+    * (deduplicated — the same symbol may repeat in PATTERN), relaxed
+    * contiguity renders gap variables `__g<i>*` between step pairs not
+    * already separated by a negated step. `parse(render(p))` recovers
+    * `p` exactly (CepSqlSpec round-trips every declared pattern). */
+  def render(pattern: CepPattern, keyCol: String = "user_id",
+             tsCol: String = "ts", ordCol: String = "event_id",
+             symCol: String = "event_type",
+             measuresValCol: Option[String] = None): String = {
+    requireRenderable(pattern.anyMatch)
+    pattern.steps.foreach(s => require(s.symbol.matches("[A-Za-z_]\\w*"),
+      s"symbol '${s.symbol}' is not renderable as a pattern variable"))
+    val parts = Vector.newBuilder[String]
+    var g = 0
+    for (i <- pattern.steps.indices) {
+      val s = pattern.steps(i)
+      parts += (if (s.negated) s"!${s.symbol}"
+                else s.symbol + quantTxt(s.minRep, s.maxRep, s.greedy))
+      val needGap = !pattern.strict && i + 1 < pattern.steps.size &&
+        !s.negated && !pattern.steps(i + 1).negated
+      if (needGap) { g += 1; parts += s"__g$g*" }
+    }
+    val defs = pattern.steps.map(_.symbol).distinct.map(sym =>
+      s"$sym AS $symCol = '${sym.replace("'", "''")}'")
+    renderClauses(keyCol, tsCol, ordCol, pattern.skip, pattern.withinMinutes,
+      parts.result().mkString(" "), defs.mkString(",\n         "),
+      measuresValCol, identity)
+  }
+
+  /** Canonical text for a value-predicate pattern: variables are the
+    * step names, DEFINEs carry each step's EFFECTIVE predicate (the
+    * until() stop fold `(accept) AND NOT (stop)` — [[CepCondStep
+    * .effectiveSql]]), so `parse(render(p)).toCond.caseSql ==
+    * p.caseSql` and the compiled plans and generated oracles are
+    * bit-identical even though the parsed form carries no separate
+    * untilSql. */
+  def render(pattern: CepCondPattern, keyCol: String, tsCol: String,
+             ordCol: String, measuresValCol: Option[String]): String = {
+    requireRenderable(pattern.anyMatch)
+    val parts = Vector.newBuilder[String]
+    var g = 0
+    for (i <- pattern.steps.indices) {
+      val s = pattern.steps(i)
+      parts += (if (s.negated) s"!${s.name}"
+                else s.name + quantTxt(s.minRep, s.maxRep, s.greedy))
+      val needGap = !pattern.strict && i + 1 < pattern.steps.size &&
+        !s.negated && !pattern.steps(i + 1).negated
+      if (needGap) { g += 1; parts += s"__g$g*" }
+    }
+    val defs = pattern.steps.map(s => s"${s.name} AS ${s.effectiveSql}")
+    renderClauses(keyCol, tsCol, ordCol, pattern.skip, pattern.withinMinutes,
+      parts.result().mkString(" "), defs.mkString(",\n         "),
+      measuresValCol, identity)
+  }
+
+  def render(pattern: CepCondPattern): String =
+    render(pattern, "user_id", "ts", "event_id", None)
+}

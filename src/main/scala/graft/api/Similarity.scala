@@ -219,8 +219,16 @@ object Similarity {
     */
   def pqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
              vecCol: String, k: Int, m: Int = 8, kCent: Int = 16,
-             subDim: Int = 8): DataFrame = {
-    val cb = pqCodebooks(m, kCent, subDim)
+             subDim: Int = 8): DataFrame =
+    pqTopKWith(pqCodebooks(m, kCent, subDim), corpus, probes, idCol,
+      vecCol, k, m, kCent, subDim)
+
+  /** [[pqTopK]] against a caller-supplied codebook — the serving half
+    * shared by the md5 stand-in route and the trained route
+    * ([[pqTrainCodebooks]]). */
+  def pqTopKWith(cb: IndexedSeq[Long], corpus: DataFrame, probes: DataFrame,
+                 idCol: String, vecCol: String, k: Int, m: Int = 8,
+                 kCent: Int = 16, subDim: Int = 8): DataFrame = {
     val enc = corpus.select(col(idCol),
       graft.functions.Signatures.pq_code_sig(col(vecCol), cb, m, kCent, subDim).as("codes"))
     val p = probes.select(col(idCol).as("probe_id"),
@@ -254,7 +262,15 @@ object Similarity {
        |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000.0 + 0.5) AS BIGINT)) AS q
        |  FROM embeddings),
        |cb(sub, cent, cv) AS (VALUES ${rows}),
-       |dist AS (
+       |${pqServeSqlTail(k, subDim, probeIdBound)}""".stripMargin
+  }
+
+  /** The ADC serving stages of the PQ oracle (encode -> score -> top-k),
+    * shared between the VALUES-codebook and trained-codebook forms.
+    * Assumes CTEs `e(vec_id, q)` and `cb(sub, cent, cv)` are in scope.
+    */
+  private def pqServeSqlTail(k: Int, subDim: Int, probeIdBound: Long): String =
+    s"""dist AS (
        |  SELECT e.vec_id, cb.sub, cb.cent,
        |    list_aggregate(list_transform(list_zip(e.q[cb.sub * ${subDim} + 1 : (cb.sub + 1) * ${subDim}], cb.cv),
        |      x -> (x[1] - x[2]) * (x[1] - x[2])), 'sum') AS d2
@@ -276,5 +292,138 @@ object Similarity {
        |              ORDER BY score, neighbor_id) AS INTEGER) AS rnk
        |  FROM scored)
        |WHERE rnk <= ${k} ORDER BY probe_id, rnk""".stripMargin
+
+  /** Round-half-up offset used to make the centroid-mean division
+    * portable: DuckDB's `//` TRUNCATES toward zero while the trainer
+    * uses floor division, so the oracle shifts the numerator positive
+    * (where trunc == floor) by `MeanOffset * count` and shifts back.
+    * Valid while |coordinate| < MeanOffset — quantized embeddings are
+    * floor(x*1000+0.5) of unit-scale floats, so |q| stays ~1e3. */
+  private val MeanOffset = 1048576L
+
+  /** Deterministic integer k-means PQ codebook training — replaces the
+    * md5 stand-in codebooks with centroids actually fit to the corpus,
+    * while staying exactly replayable in any engine (the round-6
+    * objection to float k-means):
+    *
+    *  - operates on the QUANTIZED vectors (the serving pipeline's
+    *    floor(x*1000+0.5) longs), so every distance is exact 64-bit;
+    *  - seeded deterministic init: the `kCent` corpus rows with the
+    *    smallest md5(id) (hex-string order, id tiebreak) donate their
+    *    subvectors — an order both engines reproduce bit-for-bit;
+    *  - FIXED iteration count (no data-dependent convergence test);
+    *    each Lloyd round assigns by exact squared L2 (ties to the
+    *    lowest centroid index — the [[graft.functions.Signatures
+    *    .pq_code_sig]] scan order) and recomputes centroids as the
+    *    round-half-up integer mean (Math.floorDiv(2*sum+n, 2*n));
+    *    empty clusters keep their previous centroid.
+    *
+    * Scale shape: one aggregate pass per round (map-side partial sums
+    * of m*kCent*subDim cells), centroids broadcast back; the init is a
+    * takeOrdered(kCent) — never a global sort. The per-round driver
+    * step handles m*kCent rows, like the convergence aggregates of
+    * dedup_clusters. A 100 TB deployment would train on a sample
+    * partition and broadcast the result; the full-corpus pass here is
+    * what the cross-engine oracle replays.
+    */
+  def pqTrainCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                       m: Int = 8, kCent: Int = 16, subDim: Int = 8,
+                       iters: Int = 3): IndexedSeq[Long] = {
+    val qCol = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(1000.0) + lit(0.5)).cast("long"))
+    val base = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      qCol.as("__q"))
+    val seed = base
+      .withColumn("__r", md5(col("__id").cast("string")))
+      .orderBy(col("__r"), col("__id")).limit(kCent)
+      .select("__q").collect().map(_.getSeq[Long](0).toArray)
+    require(seed.length == kCent,
+      s"corpus has ${seed.length} rows < kCent=$kCent — nothing to train on")
+    var cb = new Array[Long](m * kCent * subDim)
+    for (c <- 0 until kCent; s <- 0 until m; d <- 0 until subDim)
+      cb((s * kCent + c) * subDim + d) = seed(c)(s * subDim + d)
+    val sums = (0 until subDim).map(d =>
+      sum(element_at(col("__sv"), d + 1)).as(s"d$d"))
+    for (_ <- 0 until iters) {
+      val stats = base
+        .select(col("__q"), posexplode(graft.functions.Signatures
+          .pq_code_sig(col("__v"), cb.toIndexedSeq, m, kCent, subDim))
+          .as(Seq("__s", "__c")))
+        .withColumn("__sv",
+          slice(col("__q"), (col("__s") * subDim + 1).cast("int"), lit(subDim)))
+        .groupBy("__s", "__c")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+      val next = cb.clone()
+      stats.foreach { r =>
+        val s = r.getInt(0)
+        val c = r.getLong(1).toInt
+        val n = r.getLong(2)
+        var d = 0
+        while (d < subDim) {
+          next((s * kCent + c) * subDim + d) =
+            Math.floorDiv(2L * r.getLong(3 + d) + n, 2L * n)
+          d += 1
+        }
+      }
+      cb = next
+    }
+    cb.toIndexedSeq
+  }
+
+  /** The DuckDB replay of [[pqTrainCodebooks]] + [[pqTopKWith]] as ONE
+    * query: the fixed-count Lloyd rounds UNROLL into chained CTEs (no
+    * recursion needed — `iters` is a constant), each reproducing the
+    * trainer's assignment (argmin by exact d2, ties to the lowest
+    * centroid) and integer-mean update (see [[MeanOffset]] for the
+    * floor-vs-trunc division portability), with empty clusters keeping
+    * the previous centroid via the COALESCE left join. The final CTE
+    * is named `cb`, feeding the same serving tail as [[pqTopKOracleSql]]
+    * — so init, every training round, the encode, and the ADC top-k
+    * are all pinned cross-engine from the same constants.
+    */
+  def pqTrainedOracleSql(k: Int, m: Int = 8, kCent: Int = 16, subDim: Int = 8,
+                         iters: Int = 3, probeIdBound: Long = 10): String = {
+    val K = MeanOffset
+    val meanExprs = (1 to subDim).map(d =>
+      s"CAST((2 * (sum(sv[$d]) + $K * count(*)) + count(*)) // (2 * count(*)) - $K AS BIGINT)")
+      .mkString(", ")
+    val rounds = (1 to iters).map { i =>
+      val prev = if (i == 1) "cb0" else s"cb${i - 1}"
+      s"""d$i AS (
+         |  SELECT e.vec_id, p.sub, p.cent,
+         |    list_aggregate(list_transform(list_zip(e.q[p.sub * ${subDim} + 1 : (p.sub + 1) * ${subDim}], p.cv),
+         |      x -> (x[1] - x[2]) * (x[1] - x[2])), 'sum') AS d2
+         |  FROM e CROSS JOIN $prev p),
+         |a$i AS (
+         |  SELECT vec_id, sub, cent AS code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+         |                                 ORDER BY d2, cent) AS rn FROM d$i)
+         |  WHERE rn = 1),
+         |m$i AS (
+         |  SELECT t.sub, t.code AS cent, list_value(${meanExprs}) AS cv
+         |  FROM (SELECT a.sub, a.code,
+         |          e.q[a.sub * ${subDim} + 1 : (a.sub + 1) * ${subDim}] AS sv
+         |        FROM a$i a JOIN e USING (vec_id)) t
+         |  GROUP BY t.sub, t.code),
+         |cb$i AS (
+         |  SELECT p.sub, p.cent, COALESCE(mm.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN m$i mm ON mm.sub = p.sub AND mm.cent = p.cent)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000.0 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |init AS (
+       |  SELECT q, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c
+       |  FROM e),
+       |cb0 AS (
+       |  SELECT s.s AS sub, i.c AS cent,
+       |    i.q[s.s * ${subDim} + 1 : (s.s + 1) * ${subDim}] AS cv
+       |  FROM init i CROSS JOIN (SELECT unnest(range(${m})) AS s) s
+       |  WHERE i.c < ${kCent}),
+       |$rounds,
+       |cb AS (SELECT sub, cent, cv FROM cb${iters}),
+       |${pqServeSqlTail(k, subDim, probeIdBound)}""".stripMargin
   }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Det, Tables}
-import graft.api.{Cep, CepCondPattern, CepCondStep, CepPattern, CepStep, SkipToFirst, SkipToLast, SkipToNextRow}
+import graft.api.{Cep, CepCondPattern, CepCondStep, CepPattern, CepStep, MatchRecognize, SkipToFirst, SkipToLast, SkipToNextRow}
 import graft.streaming.{Ev, StreamOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -336,6 +336,33 @@ object Analytic {
         .orderBy("user_id", "start_id")
     }),
 
+    // ---- SQL MATCH_RECOGNIZE front door (api.MatchRecognize) ----
+    // Each key compiles from CLAUSE TEXT, not DSL calls: the parser
+    // resolves the text to the CepPattern/CepCondPattern model and the
+    // oracle below is generated FROM THE SAME TEXT (oracleFor), so the
+    // parse itself is pinned cross-engine. Round-trips over every
+    // declared DSL pattern live in CepSqlSpec.
+
+    // relaxed symbolic funnel (gap variables) with bounded quantifiers,
+    // SKIP TO NEXT ROW, WITHIN in HOUR units (parser converts to
+    // minutes); the strict path from text is event_cep_sql_measures
+    "event_cep_sql" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.funnel)
+        .orderBy("user_id", "start_id")),
+
+    // value-predicate text with relaxed-contiguity gap variables and
+    // Flink-style `var.col` prefixes (parser strips them); resolves to
+    // the compileWhere route
+    "event_cep_sql_where" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.hotBuy)
+        .orderBy("user_id", "start_id")),
+
+    // MEASURES clause -> the compiled per-step exact-cents sums
+    // (Cep.compileMeasures), fully codegen'd, from text
+    "event_cep_sql_measures" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.measured)
+        .orderBy("user_id", "start_id")),
+
     "topk_per_group" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d)
@@ -552,7 +579,52 @@ object Analytic {
         e.value > ctx(0).head.value)
   }
 
+  /** MATCH_RECOGNIZE clause texts for the `event_cep_sql*` keys — the
+    * single source both the Spark plan (MatchRecognize.run) and the
+    * DuckDB oracle (MatchRecognize.oracleFor) compile from.
+    */
+  object CepSql {
+    val funnel: String =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (v{1,3} g1* c+ g2* p{1,2})
+        |  WITHIN INTERVAL '12' HOUR
+        |  DEFINE v AS event_type = 'view',
+        |         c AS event_type = 'click',
+        |         p AS event_type = 'purchase'
+        |)""".stripMargin
+    val hotBuy: String =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (hot{1,2} g1* buy+)
+        |  WITHIN INTERVAL '1' DAY
+        |  DEFINE hot AS hot.event_type IN ('view', 'click') AND hot.value >= 60,
+        |         buy AS buy.event_type = 'purchase' AND buy.value >= 30
+        |)""".stripMargin
+    val measured: String =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES SUM(value) AS step_sums
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (c{1,2} p+)
+        |  WITHIN INTERVAL '360' MINUTE
+        |  DEFINE c AS event_type = 'click',
+        |         p AS event_type = 'purchase'
+        |)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "event_cep_sql" -> MatchRecognize.oracleFor(CepSql.funnel),
+    "event_cep_sql_where" -> MatchRecognize.oracleFor(CepSql.hotBuy),
+    "event_cep_sql_measures" -> MatchRecognize.oracleFor(CepSql.measured),
     "event_cep_quant" -> Cep.oracleSql(CepPatterns.quant),
     "event_cep_quant_measures" -> Cep.oracleSqlMeasures(CepPatterns.quant, "value"),
     "event_cep_where_measures" ->

@@ -262,6 +262,21 @@ object Pipeline {
         .orderBy("probe_id", "rnk")
     }),
 
+    // TRAINED product quantization: the codebooks come from the
+    // deterministic integer k-means (Similarity.pqTrainCodebooks —
+    // md5-seeded init, fixed Lloyd rounds, exact integer means), then
+    // the identical ADC serving path runs against them. The oracle
+    // replays init + every training round + serving as one unrolled
+    // query, so this closes the "md5 stand-in codebook" caveat with
+    // full cross-engine pinning.
+    "sim_pq_trained" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cb = Similarity.pqTrainCodebooks(e, "vec_id", "embedding")
+      Similarity.pqTopKWith(cb, e, e.filter(col("vec_id") < LshProbeBound),
+          "vec_id", "embedding", 5)
+        .orderBy("probe_id", "rnk")
+    }),
+
     // PII redaction. The fixture corpus contains no PII (word-soup, zero
     // digits), so the query first splices a DETERMINISTIC synthetic
     // email + phone per doc (derived from doc_id — same concat in the
@@ -918,6 +933,7 @@ object Pipeline {
       probeIdBound = LshProbeBound),
 
     "sim_pq" -> Similarity.pqTopKOracleSql(5, probeIdBound = LshProbeBound),
+    "sim_pq_trained" -> Similarity.pqTrainedOracleSql(5, probeIdBound = LshProbeBound),
 
     // Bigram logs re-summed in token order (list(... ORDER BY pos) then
     // a sequential left fold) so the float sum is bit-identical.

@@ -1,0 +1,181 @@
+package graft
+
+import graft.api._
+
+/** MATCH_RECOGNIZE front door: render/parse round-trips over every
+  * declared pattern, hand-written Flink-style text, executed equality
+  * against the DSL-built plans, and the documented rejections.
+  */
+class CepSqlSpec extends SparkSuite {
+
+  private val pats = graft.queries.Analytic.CepPatterns
+  private val symbolic = Seq(
+    "quant" -> pats.quant, "optional" -> pats.optional,
+    "tonext" -> pats.tonext, "relaxed" -> pats.relaxed,
+    "negated" -> pats.negated, "reluctant" -> pats.reluctant,
+    "skipFirst" -> pats.skipFirst, "skipLast" -> pats.skipLast,
+    "group" -> pats.group, "iter" -> pats.iter)
+  private val cond = Seq(
+    "where" -> pats.where, "untilPat" -> pats.untilPat,
+    "whereMeasures" -> pats.whereMeasures)
+
+  test("render -> parse round-trips every declared symbolic pattern") {
+    for ((name, p) <- symbolic) {
+      val txt = MatchRecognize.render(p)
+      val spec = MatchRecognize.parse(txt)
+      assert(spec.toSymbolic === Some(("event_type", p)), s"$name:\n$txt")
+      assert(spec.partitionBy === Seq("user_id") && spec.orderBy === Seq("ts", "event_id"))
+    }
+  }
+
+  test("render -> parse round-trips every declared predicate pattern") {
+    for ((name, p) <- cond) {
+      val txt = MatchRecognize.render(p)
+      val spec = MatchRecognize.parse(txt)
+      assert(spec.toSymbolic.isEmpty, s"$name resolved symbolic:\n$txt")
+      val rt = spec.toCond
+      // untilSql folds into the effective predicate on render, so the
+      // comparison surface is the compiled derivation + step structure
+      assert(rt.caseSql === p.caseSql, s"$name caseSql:\n$txt")
+      assert(rt.symbolic === p.symbolic, s"$name symbolic:\n$txt")
+    }
+  }
+
+  test("followedByAny has no SQL surface (render rejects)") {
+    val e = intercept[IllegalArgumentException](MatchRecognize.render(pats.any))
+    assert(e.getMessage.contains("followedByAny"))
+  }
+
+  test("parsed text executes identically to the DSL-built plan") {
+    val ev = Tables.events(spark, sf001)
+    for ((name, p) <- Seq("quant" -> pats.quant, "tonext" -> pats.tonext,
+                          "relaxed" -> pats.relaxed)) {
+      val viaSql = MatchRecognize.run(ev, MatchRecognize.render(p))
+        .orderBy("user_id", "start_id").collect()
+      val viaDsl = Cep.compile(ev, "user_id", "ts", "event_id", "event_type", p)
+        .orderBy("user_id", "start_id").collect()
+      assert(viaSql.toSeq === viaDsl.toSeq, name)
+    }
+    val cp = pats.where
+    val viaSql = MatchRecognize.run(ev, MatchRecognize.render(cp))
+      .orderBy("user_id", "start_id").collect()
+    val viaDsl = Cep.compileWhere(ev, "user_id", "ts", "event_id", cp)
+      .orderBy("user_id", "start_id").collect()
+    assert(viaSql.toSeq === viaDsl.toSeq, "where")
+  }
+
+  test("oracleFor generates the DSL pattern's oracle from the text") {
+    assert(MatchRecognize.oracleFor(MatchRecognize.render(pats.quant)) ===
+      Cep.oracleSql(pats.quant))
+    assert(MatchRecognize.oracleFor(MatchRecognize.render(pats.where)) ===
+      Cep.oracleSqlWhere(pats.where))
+  }
+
+  test("hand-written Flink-style text: var prefixes, units, measures") {
+    val txt =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES SUM(A.value) AS step_sums
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (A{1,2} B+)
+        |  WITHIN INTERVAL '2' HOUR
+        |  DEFINE A AS A.event_type = 'view' AND A.value >= 50,
+        |         B AS B.event_type = 'purchase'
+        |)""".stripMargin
+    val spec = MatchRecognize.parse(txt)
+    assert(spec.fromTable === Some("events"))
+    assert(spec.withinMinutes === Some(120))
+    assert(spec.measuresValCol === Some("value"))
+    assert(spec.strict, "no gap variables -> strict contiguity")
+    val cp = spec.toCond
+    assert(cp.steps.map(_.predicateSql) ===
+      Seq("event_type = 'view' AND value >= 50", "event_type = 'purchase'"))
+    assert(cp.steps.map(s => (s.minRep, s.maxRep)) ===
+      Seq((1, Some(2)), (1, None)))
+    assert(cp.skip === SkipToNextRow)
+  }
+
+  test("gap variables mark relaxed contiguity; WITHIN DAY converts") {
+    val txt =
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  PATTERN (s+ g1* c{1,2} g2* p+)
+        |  WITHIN INTERVAL '1' DAY
+        |  DEFINE s AS event_type = 'signup',
+        |         c AS event_type = 'click',
+        |         p AS event_type = 'purchase'
+        |)""".stripMargin
+    val spec = MatchRecognize.parse(txt)
+    assert(!spec.strict)
+    assert(spec.withinMinutes === Some(1440))
+    val Some((sym, p)) = spec.toSymbolic
+    assert(sym === "event_type")
+    assert(p.steps === Seq(CepStep("signup", 1, None),
+      CepStep("click", 1, Some(2)), CepStep("purchase", 1, None)))
+    // reluctant quantifiers are strict-only in the model: the parser
+    // surfaces the CepPattern require as-is on `p+?` with gaps
+    val e = intercept[IllegalArgumentException](
+      MatchRecognize.parse(txt.replace("p+", "p+?")).toSymbolic)
+    assert(e.getMessage.contains("reluctant"))
+  }
+
+  test("documented rejections") {
+    def body(pattern: String, defines: String = "a AS event_type = 'view', b AS event_type = 'click'") =
+      s"""MATCH_RECOGNIZE (
+         |  PARTITION BY user_id
+         |  ORDER BY ts, event_id
+         |  PATTERN ($pattern)
+         |  DEFINE $defines
+         |)""".stripMargin
+    // undefined variable without the gap form
+    assert(intercept[IllegalArgumentException](
+      MatchRecognize.parse(body("a x+ b"))).getMessage.contains("undefined"))
+    // mixed contiguity
+    assert(intercept[IllegalArgumentException](
+      MatchRecognize.parse(body("a g* b c",
+        "a AS event_type = 'view', b AS event_type = 'click', c AS event_type = 'purchase'")))
+      .getMessage.contains("mixed contiguity"))
+    // leading gap
+    assert(intercept[IllegalArgumentException](
+      MatchRecognize.parse(body("g* a g2* b"))).getMessage.contains("lead or trail"))
+    // skip-to unknown variable
+    assert(intercept[IllegalArgumentException](MatchRecognize.parse(
+      s"""MATCH_RECOGNIZE (
+         |  PARTITION BY user_id
+         |  ORDER BY ts, event_id
+         |  AFTER MATCH SKIP TO FIRST nosuch
+         |  PATTERN (a b)
+         |  DEFINE a AS event_type = 'view', b AS event_type = 'click'
+         |)""".stripMargin)).getMessage.contains("unknown variable"))
+    // DEFINEd but absent from PATTERN (typo guard)
+    assert(intercept[IllegalArgumentException](
+      MatchRecognize.parse(body("a b",
+        "a AS event_type = 'view', b AS event_type = 'click', zz AS event_type = 'x'")))
+      .getMessage.contains("not in PATTERN"))
+    // ALL ROWS PER MATCH parses but does not execute on the compiled path
+    val allRows =
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ALL ROWS PER MATCH
+        |  PATTERN (a b)
+        |  DEFINE a AS event_type = 'view', b AS event_type = 'click'
+        |)""".stripMargin
+    assert(MatchRecognize.parse(allRows).allRows)
+    assert(intercept[IllegalArgumentException](
+      MatchRecognize.run(Tables.events(spark, sf001), allRows))
+      .getMessage.contains("cepAllRows"))
+    // unsupported MEASURES shape
+    assert(intercept[IllegalArgumentException](MatchRecognize.parse(
+      s"""MATCH_RECOGNIZE (
+         |  PARTITION BY user_id
+         |  ORDER BY ts, event_id
+         |  MEASURES AVG(value) AS m
+         |  PATTERN (a b)
+         |  DEFINE a AS event_type = 'view', b AS event_type = 'click'
+         |)""".stripMargin).measuresValCol).getMessage.contains("unsupported MEASURES"))
+  }
+}

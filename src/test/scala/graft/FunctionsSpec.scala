@@ -249,4 +249,32 @@ class FunctionsSpec extends SparkSuite {
       .agg(max("rel")).as[Double].head()
     assert(offBy <= 0.05, s"HLL estimate off by $offBy > 5%")
   }
+
+  test("pqTrainCodebooks: deterministic, and beats the md5 stand-in on its training corpus") {
+    import graft.api.Similarity
+    import graft.functions.Signatures
+    val (m, kc, sd) = (8, 16, 8)
+    val e = Tables.embeddings(spark, sf001)
+    val trained = Similarity.pqTrainCodebooks(e, "vec_id", "embedding", m, kc, sd)
+    // determinism: seeded init + fixed rounds + exact integer means
+    assert(trained === Similarity.pqTrainCodebooks(e, "vec_id", "embedding", m, kc, sd))
+    // fit: total squared quantization error (sum over rows and subspaces
+    // of the distance to the assigned centroid = min of the ADC table)
+    // must beat the data-blind md5 codebooks on the training corpus
+    def sqErr(cb: IndexedSeq[Long]): Long = {
+      val minSum = (0 until m).map(s =>
+        expr(s"array_min(slice(adc, ${s * kc + 1}, $kc))")).reduce(_ + _)
+      e.select(Signatures.pq_adc_sig(col("embedding"), cb, m, kc, sd).as("adc"))
+        .select(minSum.as("err")).agg(sum("err")).head().getLong(0)
+    }
+    val (errTrained, errStandin) = (sqErr(trained), sqErr(Similarity.pqCodebooks(m, kc, sd)))
+    assert(errTrained < errStandin,
+      s"k-means must fit its corpus better: trained=$errTrained standin=$errStandin")
+    // three rounds must not be worse than one (Lloyd monotonicity on
+    // the same init, exactly representable in integer arithmetic up to
+    // the rounding of means -- allow equality)
+    val one = Similarity.pqTrainCodebooks(e, "vec_id", "embedding", m, kc, sd, iters = 1)
+    assert(sqErr(trained) <= sqErr(one),
+      "more Lloyd rounds must not increase training error")
+  }
 }
