@@ -413,6 +413,61 @@ object Pipeline {
         .orderBy("lang", "rnk")
     }),
 
+    // Composite LLM-pipeline flagship (the corpus-side sibling of
+    // q_composite_revenue): normalize -> quality gate -> exact dedup ->
+    // chunk -> split routing -> pack -> per-(split, lang) summary, all
+    // ONE plan. Stage fusion is the point: the normalize pass and all
+    // four gate rules are a single codegen'd projection over the scan
+    // (no gate shuffle — dup_tok_frac is per-row arithmetic), exact
+    // dedup is the only content shuffle (by sha256 of the normalized
+    // text), chunking + split routing are map-side over the survivors,
+    // and the pack window's (split, lang) partitioning is REUSED by the
+    // final aggregate — so the whole pipeline is exactly two exchanges
+    // at any corpus size (PlanSpec pins that). n_packs rides as
+    // max(pack_id)+1 (pack ids are contiguous from 0 per stratum by
+    // construction) and n_docs counts st=0 rows — both avoid a
+    // distinct-aggregate Expand.
+    "q_composite_corpus" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val stopArr = array(stopEn.map(lit): _*)
+      val gated = TextOps.normalize(Tables.documents(s, d), "text")
+        .withColumn("tk", split(col("text"), " "))
+        .withColumn("n_tok", size(col("tk")))
+        .filter(col("n_tok").between(20, 90) &&
+          size(filter(col("tk"), t => array_contains(stopArr, t)))
+            .cast("double") / col("n_tok") >= 0.02 &&
+          length(regexp_replace(col("text"), "[^a-z]", ""))
+            .cast("double") / length(col("text")) >= 0.81 &&
+          (col("n_tok") - size(array_distinct(col("tk"))))
+            .cast("double") / col("n_tok") <= 0.6)
+        .select("doc_id", "lang", "norm_text")
+      val wDup = W.partitionBy(sha2(col("norm_text"), 256)).orderBy(col("doc_id"))
+      val uniq = gated.withColumn("rn", row_number().over(wDup))
+        .filter(col("rn") === 1)
+      val chunks = uniq
+        .withColumn("toks", split(col("norm_text"), " "))
+        .withColumn("st", explode(expr(
+          "sequence(0, greatest(size(toks) - 1, 0), 24)")))
+        .withColumn("chunk_tok", expr("size(slice(toks, st + 1, 32))").cast("long"))
+        .withColumn("bucket", pmod(element_at(
+          graft.functions.Signatures.md5_prefix(
+            array(col("doc_id").cast("string")), 15), 1), lit(100L)))
+        .withColumn("split", when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test"))
+      val wPack = W.partitionBy("split", "lang")
+        .orderBy(col("doc_id"), col("st"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      chunks
+        .withColumn("cum", sum(col("chunk_tok")).over(wPack))
+        .withColumn("pack_id", expr("cast((cum - chunk_tok) div 512 as bigint)"))
+        .groupBy("split", "lang")
+        .agg(count(when(col("st") === 0, true)).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          (max(col("pack_id")) + 1).as("n_packs"),
+          sum(col("chunk_tok")).as("n_tokens"))
+        .orderBy("split", "lang")
+    }),
+
     "text_normalize" -> ((s, d) =>
       TextOps.normalize(Tables.documents(s, d), "text")
         .select(col("doc_id"), col("norm_text"),
@@ -994,6 +1049,55 @@ object Pipeline {
         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM documents
         |GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+
+    // Stage-for-stage replay of the composite: the same normalize
+    // regexes, the same four gate rules (quality_gate's), sha256
+    // min-doc dedup (dedup_exact's), corpus_chunk's stride slicing,
+    // corpus_split's md5 bucket routing, and corpus_pack's cumsum —
+    // composed exactly as the Spark plan composes them.
+    "q_composite_corpus" ->
+      """WITH n AS (
+        |  SELECT doc_id, lang,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |                        '  +', ' ', 'g')) AS norm_text,
+        |    str_split(text, ' ') AS tk,
+        |    length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / length(text) AS alpha_ratio
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, norm_text FROM n
+        |  WHERE len(tk) BETWEEN 20 AND 90
+        |    AND len(list_filter(tk, t -> list_contains(['the','a','of','and','to'], t)))::DOUBLE
+        |        / len(tk) >= 0.02
+        |    AND alpha_ratio >= 0.81
+        |    AND (len(tk) - len(list_distinct(tk)))::DOUBLE / len(tk) <= 0.6),
+        |u AS (
+        |  SELECT doc_id, lang, norm_text FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY sha256(norm_text)
+        |                                 ORDER BY doc_id) AS rn FROM g)
+        |  WHERE rn = 1),
+        |c AS (
+        |  SELECT doc_id, lang, toks,
+        |    unnest(generate_series(0, greatest(len(toks) - 1, 0), 24)) AS st
+        |  FROM (SELECT doc_id, lang, string_split(norm_text, ' ') AS toks FROM u)),
+        |r AS (
+        |  SELECT doc_id, lang, st,
+        |    CAST(len(toks[st + 1 : least(st + 32, len(toks))]) AS BIGINT) AS chunk_tok,
+        |    CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80
+        |         THEN 'train'
+        |         WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90
+        |         THEN 'val' ELSE 'test' END AS split
+        |  FROM c),
+        |p AS (
+        |  SELECT split, lang, doc_id, st, chunk_tok,
+        |    sum(chunk_tok) OVER (PARTITION BY split, lang ORDER BY doc_id, st
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM r)
+        |SELECT split, lang,
+        |  CAST(count(*) FILTER (WHERE st = 0) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(max((cum - chunk_tok) // 512) + 1 AS BIGINT) AS n_packs,
+        |  CAST(sum(chunk_tok) AS BIGINT) AS n_tokens
+        |FROM p GROUP BY split, lang ORDER BY split, lang""".stripMargin,
 
     "text_normalize" ->
       """SELECT doc_id,

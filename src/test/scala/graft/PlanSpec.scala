@@ -167,4 +167,20 @@ class PlanSpec extends SparkSuite {
           bad.mkString("\n"))
     }
   }
+
+  test("q_composite_corpus runs the whole pipeline in exactly two data shuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // normalize + gate fuse into the scan projection (no shuffle), the
+    // dedup hash shuffle and the (split, lang) pack-window shuffle are
+    // the only data exchanges, and the final aggregate REUSES the
+    // window's partitioning; the only other exchange is the range
+    // partitioning of the tiny ordered summary output.
+    val _ = classOf[ShuffleExchangeExec] // exchanges appear post-EnsureRequirements
+    val txt = graft.queries.Pipeline.queries("q_composite_corpus")(spark, sf001)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val nHash = "Arguments: hashpartitioning".r.findAllIn(txt).size
+    assert(nHash == 2,
+      s"expected 2 hash exchanges (dedup, pack window), got $nHash:\n$txt")
+  }
 }
