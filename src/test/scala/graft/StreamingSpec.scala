@@ -1481,4 +1481,201 @@ class StreamingSpec extends SparkSuite {
       }
     }
   }
+
+  // ---- checkpoint-restart matrix ----
+  // One restart-recovery test per stateful processor class (RocksDB
+  // provider): run 1 leaves state that MUST survive into run 2 for the
+  // asserted output to be possible — each scenario is designed so that
+  // lost state produces a DIFFERENT (wrong) answer, not a missing test.
+  // Shared harness: same MemoryStream, same checkpoint, two
+  // AvailableNow runs into one parquet sink.
+
+  private def restartReplay(run1: Seq[Ev], run2: Seq[Ev])(
+      build: MemoryStream[Ev] => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.api.Sinks
+    import java.nio.file.Files
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = Files.createTempDirectory("graft_restart_out").toString
+      val ckpt = Files.createTempDirectory("graft_restart_ckpt").toString
+      val ms = MemoryStream[Ev]
+      def go(data: Seq[Ev]): Unit = {
+        ms.addData(data: _*) // before start(): AvailableNow snapshots offsets
+        val q = Sinks.streamToParquet(build(ms), out, ckpt).start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      go(run1)
+      go(run2)
+      spark.read.parquet(out)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("OVER ROWS checkpoint restart: pending rows and the n-row frame survive into run 2") {
+    // e3 stays pending at shutdown; its run-2 emission needs the
+    // RESTORED [e1, e2] frame buffer (lost state -> n_last10 = 1)
+    val rows = restartReplay(
+      Seq(Ev(1, ts("2024-01-01 10:00:00"), 5, "click", 1.00),
+        Ev(2, ts("2024-01-01 10:30:00"), 5, "view", 2.00),
+        Ev(3, ts("2024-01-01 10:45:00"), 5, "click", 5.00),
+        Ev(90, ts("2024-01-01 10:52:00"), 8, "view", 1.0)),
+      Seq(Ev(91, ts("2024-01-01 12:00:00"), 8, "view", 1.0))) { ms =>
+      StreamOps.overRows(ms.toDS(), n = 3, streaming = true).toDF()
+    }.as[(Long, Long, Long, Double)].collect().filter(_._1 == 5L).toSeq
+    assert(rows.size == rows.distinct.size, s"duplicate emissions: $rows")
+    assert(rows.toSet == Set((5L, 1L, 1L, 1.00), (5L, 2L, 2L, 3.00), (5L, 3L, 3L, 8.00)),
+      s"restart lost pending or frame state: $rows")
+  }
+
+  test("OVER UNBOUNDED checkpoint restart: the running (n, cents) pair survives into run 2") {
+    // lost RunAgg would restart e3's running sum at 5.00 instead of 8.00
+    val rows = restartReplay(
+      Seq(Ev(1, ts("2024-01-01 10:00:00"), 5, "click", 1.00),
+        Ev(2, ts("2024-01-01 10:30:00"), 5, "view", 2.00),
+        Ev(3, ts("2024-01-01 10:45:00"), 5, "click", 5.00),
+        Ev(90, ts("2024-01-01 10:52:00"), 8, "view", 1.0)),
+      Seq(Ev(91, ts("2024-01-01 12:00:00"), 8, "view", 1.0))) { ms =>
+      StreamOps.overUnbounded(ms.toDS(), streaming = true).toDF()
+    }.as[(Long, Long, Long, Double)].collect().filter(_._1 == 5L).toSeq
+    assert(rows.toSet == Set((5L, 1L, 1L, 1.00), (5L, 2L, 2L, 3.00), (5L, 3L, 3L, 8.00)),
+      s"restart lost the running aggregate: $rows")
+  }
+
+  test("keep-LAST dedup checkpoint restart: the unsealed best row and its seal timer survive") {
+    // run 1 best = e2@10:50, unsealed (wm 10:42). Run 2's e3@10:45 is
+    // OLDER: with restored state it must NOT displace e2 (lost state
+    // would make e3 the best and emit it instead); the emission itself
+    // rides the RESTORED timer (e3 does not re-arm — changed = false)
+    val rows = restartReplay(
+      Seq(Ev(1, ts("2024-01-01 10:00:00"), 5, "click", 1.00),
+        Ev(2, ts("2024-01-01 10:50:00"), 5, "view", 2.00),
+        Ev(90, ts("2024-01-01 10:52:00"), 8, "view", 1.0)),
+      Seq(Ev(3, ts("2024-01-01 10:45:00"), 5, "click", 3.00),
+        Ev(91, ts("2024-01-01 12:00:00"), 8, "view", 1.0))) { ms =>
+      StreamOps.dedupKeepLast(ms.toDS(), streaming = true).toDF()
+    }.as[(Long, Long, Timestamp, String, Double)].collect().filter(_._1 == 5L).toSeq
+    assert(rows == Seq((5L, 2L, ts("2024-01-01 10:50:00"), "view", 2.00)),
+      s"restart lost the unsealed best row (or let an older row displace it): $rows")
+  }
+
+  test("early-fire window checkpoint restart: the retained aggregate keeps firing after restart") {
+    // run 1 fires partials at 10:15/10:30 (wm 10:42); the 10:45 partial
+    // and the 11:00 final fire in run 2 FROM THE RESTORED ValueState —
+    // lost state would fire nothing (agg.exists() false)
+    val rows = restartReplay(
+      Seq(Ev(1, ts("2024-01-01 10:05:00"), 5, "click", 1.00),
+        Ev(2, ts("2024-01-01 10:40:00"), 5, "view", 2.00),
+        Ev(90, ts("2024-01-01 10:52:00"), 8, "view", 1.0)),
+      Seq(Ev(91, ts("2024-01-01 12:00:00"), 8, "view", 1.0))) { ms =>
+      StreamOps.earlyFireWindow(ms.toDS(), streaming = true).toDF()
+    }.as[(Long, Timestamp, Long, Double, String)].collect().filter(_._1 == 5L).toSeq
+    val (partials, finals) = rows.partition(_._5 == "partial")
+    assert(partials.size == 3 && partials.forall(r =>
+      r._2 == ts("2024-01-01 10:00:00") && r._3 == 2L && r._4 == 3.00),
+      s"expected 3 identical partials (10:15, 10:30 pre-restart; 10:45 post): $rows")
+    assert(finals == Seq((5L, ts("2024-01-01 10:00:00"), 2L, 3.00, "final")),
+      s"restart lost the retained window aggregate: $rows")
+  }
+
+  test("fire-and-purge checkpoint restart: unfired panes survive, fired panes never re-fire") {
+    // pane 10:15 fires and PURGES in run 1; pane 10:45 (e2@10:40) is
+    // armed but unfired at shutdown and must fire its delta in run 2
+    // from the restored MapState — without re-firing 10:15
+    val rows = restartReplay(
+      Seq(Ev(1, ts("2024-01-01 10:05:00"), 5, "click", 1.00),
+        Ev(2, ts("2024-01-01 10:40:00"), 5, "view", 2.00),
+        Ev(90, ts("2024-01-01 10:52:00"), 8, "view", 1.0)),
+      Seq(Ev(91, ts("2024-01-01 12:00:00"), 8, "view", 1.0))) { ms =>
+      StreamOps.earlyFirePurgeWindow(ms.toDS(), streaming = true).toDF()
+    }.as[(Long, Timestamp, Timestamp, Long, Double)].collect().filter(_._1 == 5L).toSeq
+    assert(rows.size == rows.distinct.size, s"a purged pane re-fired: $rows")
+    assert(rows.toSet == Set(
+      (5L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:15:00"), 1L, 1.00),
+      (5L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:45:00"), 1L, 2.00)),
+      s"restart lost the unfired pane: $rows")
+  }
+
+  test("custom-trigger TWS checkpoint restart: the inactivity timer and aggregate survive") {
+    // u5's timeout deadline (10:30) is beyond run 1's watermark (10:15);
+    // the run-2 timeout emission needs BOTH the restored timer and the
+    // restored UserAgg — lost state emits nothing for u5
+    val rows = restartReplay(
+      Seq(Ev(1, ts("2024-01-01 10:00:00"), 5, "click", 1.00),
+        Ev(90, ts("2024-01-01 10:25:00"), 8, "view", 1.0)),
+      Seq(Ev(91, ts("2024-01-01 12:00:00"), 8, "view", 1.0))) { ms =>
+      StreamOps.customTriggerTws(ms.toDS(), earlyEvery = 2).toDF()
+    }.as[(Long, Long, Double, String)].collect().filter(_._1 == 5L).toSeq
+    assert(rows == Seq((5L, 1L, 1.00, "timeout")),
+      s"restart lost the inactivity timer or its aggregate: $rows")
+  }
+
+  test("delta-trigger checkpoint restart: the last-fired baseline survives into run 2") {
+    // run 1 seeds the baseline at 10.00 silently; run 2's 95.00 fires
+    // against the RESTORED baseline (n = 3, sum = 155). Lost state
+    // would make 95.00 a fresh silent seed — no fire at all.
+    val rows = restartReplay(
+      Seq(Ev(1, ts("2024-01-01 10:00:00"), 5, "view", 10.0),
+        Ev(2, ts("2024-01-01 10:05:00"), 5, "view", 50.0)),
+      Seq(Ev(3, ts("2024-01-01 10:10:00"), 5, "view", 95.0))) { ms =>
+      StreamOps.deltaTrigger(ms.toDS(), thresholdCents = 8000L, streaming = true).toDF()
+        .select("user_id", "event_id", "n_events", "sum_value", "fired_value")
+    }.as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(rows == Seq((5L, 3L, 3L, 155.0, 95.0)),
+      s"restart lost the delta baseline: $rows")
+  }
+
+  test("profile TWS checkpoint restart: MapState counts and the ListState recents survive") {
+    // run 2's single click must snapshot as (2 types, 3 events,
+    // "1,2,3") — possible only with the restored map + list (lost
+    // state snapshots (1, 1, "3"))
+    val rows = restartReplay(
+      Seq(Ev(1, ts("2024-01-01 10:00:00"), 5, "click", 1.0),
+        Ev(2, ts("2024-01-01 10:01:00"), 5, "view", 1.0)),
+      Seq(Ev(3, ts("2024-01-01 10:02:00"), 5, "click", 1.0))) { ms =>
+      StreamOps.profileTws(ms.toDS()).toDF()
+    }.as[(Long, Long, Long, String)].collect().toSeq
+    assert(rows.contains((5L, 2L, 2L, "1,2")), s"run-1 snapshot wrong: $rows")
+    assert(rows.contains((5L, 2L, 3L, "1,2,3")),
+      s"restart lost MapState counts or ListState recents: $rows")
+  }
+
+  test("evictor window checkpoint restart: the trimmed buffer, seen count, and window timer survive") {
+    // the whole emission happens in run 2 (window end 11:00 > run-1 wm
+    // 10:42): n_seen = 3 with only the last-2 kept proves the trimmed
+    // ListState AND the full-count ValueState both round-tripped
+    val rows = restartReplay(
+      Seq(Ev(1, ts("2024-01-01 10:05:00"), 5, "click", 1.00),
+        Ev(2, ts("2024-01-01 10:10:00"), 5, "view", 2.00),
+        Ev(3, ts("2024-01-01 10:20:00"), 5, "click", 5.00),
+        Ev(90, ts("2024-01-01 10:52:00"), 8, "view", 1.0)),
+      Seq(Ev(91, ts("2024-01-01 12:00:00"), 8, "view", 1.0))) { ms =>
+      StreamOps.evictorWindow(ms.toDS(), keepN = 2, streaming = true).toDF()
+    }.as[(Long, Timestamp, Long, Long, Double, Long, Long)].collect().filter(_._1 == 5L).toSeq
+    assert(rows == Seq((5L, ts("2024-01-01 10:00:00"), 3L, 2L, 7.00, 2L, 3L)),
+      s"restart lost the evictor buffer or seen count: $rows")
+  }
+
+  test("count-slide checkpoint restart: the element buffer and arrival counter survive") {
+    // fire 2 happens on run 2's second arrival (c = 4) over the last 3
+    // RESTORED-plus-new elements [e2, e3, e4]; lost state would reset
+    // c to 0 and fire [e3, e4] as fire 1
+    val rows = restartReplay(
+      Seq(Ev(1, ts("2024-01-02 09:00:00"), 5, "click", 1.00),
+        Ev(2, ts("2024-01-02 09:01:00"), 5, "click", 2.00)),
+      Seq(Ev(3, ts("2024-01-02 09:02:00"), 5, "click", 4.00),
+        Ev(4, ts("2024-01-02 09:03:00"), 5, "click", 8.00))) { ms =>
+      StreamOps.countSlideWindow(ms.toDS(), size = 3, slide = 2, streaming = true).toDF()
+    }.as[(Long, Long, Long, Double, Long, Long)].collect().toSeq
+    assert(rows.toSet == Set(
+      (5L, 1L, 2L, 3.00, 1L, 2L),
+      (5L, 2L, 3L, 14.00, 2L, 4L)),
+      s"restart lost the count-window buffer or counter: $rows")
+  }
 }
