@@ -23,7 +23,8 @@ object Bench {
     "dedup_containment", "dedup_clusters",
     "sim_cosine_topk", "sim_ann_partitioned", "sim_lsh_bucketed",
     "text_stats", "text_tfidf", "pipeline_corpus", "corpus_pack",
-    "event_cep", "quality_gate")
+    "event_cep", "quality_gate", "q_composite_corpus", "sim_pq_trained",
+    "event_cep_sql")
 
   /** The 5 BASELINE.md operator shapes, emitted as their OWN `baseline`
     * JSON block in both the printed line and BENCH_DETAIL.json so

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-evidence sweep (VERDICT r8 item 5): measures one DECADE of
+  * scaling for the heavy-tail keys by generating a `factor`x slice of
+  * the sf0.1 fixtures under /tmp and timing each key on both sizes.
+  *
+  * The slice is `factor` ISOLATED copies of the corpus, so the
+  * workload characteristic per copy is identical to sf0.1 and the
+  * expected cost model is linear (exponent ~1.0 in log10 time over
+  * log10 volume). Isolation is what makes the probe honest:
+  *
+  *  - documents: non-stopword tokens get a copy-specific letter
+  *    suffix, so copies share no shingles — near-dup candidate sets
+  *    stay within-copy (verbatim copies would make every LSH/prefix
+  *    bucket 10x denser and the PAIR OUTPUT quadratic, measuring an
+  *    artifact, not the operator). Stopwords stay verbatim so the
+  *    quality-gate ratios keep their sf0.1 distribution; n_chars is
+  *    recomputed for the rewritten text.
+  *  - events: user/event ids offset per copy — per-key CEP/window
+  *    sequences replicate exactly.
+  *  - embeddings: ids offset and dimensions ROTATED per copy (a
+  *    norm-preserving decorrelation: rotated copies are no longer
+  *    near-duplicates of their source, which would otherwise create
+  *    cos~1 cross-copy pairs in every bucket).
+  *  - lineitem/orders: join keys offset per copy, FKs preserved.
+  *
+  * Output: BENCH_SCALE.json in the cwd — per key t_small/t_big (min of
+  * two interleaved passes each) and the scaling exponent
+  * log10(t_big/t_small); plus the same as the final stdout line.
+  */
+object BenchScale {
+  private val Factor = 10
+  private val Stride = 100000000L // above any fixture id, small enough for composite-ordinal arithmetic
+
+  private val keysUnderTest = Seq(
+    "dedup_clusters", "dedup_containment", "dedup_ngram_jaccard",
+    "dedup_minhash", "dedup_simhash", "text_tfidf", "q_composite_corpus",
+    "event_cep", "event_cep_relaxed", "recursive_chain", "wnd_late_drop",
+    "join_skew_salted", "sim_ann_partitioned")
+
+  private def gen(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+    val done = new java.io.File(s"$outDir/_GEN_DONE")
+    if (done.exists()) return
+    val copies = spark.range(Factor).select(col("id").cast("int").as("c"))
+    def src(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.repartition(32).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+
+    val suffixed = // copy-0 verbatim; stopwords verbatim (gate ratios)
+      """array_join(transform(split(text, ' '), t ->
+        |  CASE WHEN c = 0 OR t IN ('the', 'a', 'of', 'and', 'to') THEN t
+        |       ELSE concat(t, 'q', substring('abcdefghij', c + 1, 1)) END), ' ')"""
+        .stripMargin
+    write(src("documents").crossJoin(copies).select(
+      (col("doc_id") + col("c") * Stride).as("doc_id"),
+      expr(suffixed).as("text"), col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long")), "documents")
+
+    write(src("events").crossJoin(copies).select(
+      (col("event_id") + col("c") * Stride).as("event_id"), col("ts"),
+      (col("user_id") + col("c") * Stride).as("user_id"),
+      col("event_type"), col("value"), col("props")), "events")
+
+    val rot = // norm-preserving per-copy dimension rotation
+      """CASE WHEN c = 0 THEN embedding
+        |     ELSE concat(slice(embedding, pmod(c * 7, 64) + 1, 64 - pmod(c * 7, 64)),
+        |                 slice(embedding, 1, pmod(c * 7, 64))) END""".stripMargin
+    write(src("embeddings").crossJoin(copies).select(
+      (col("vec_id") + col("c") * Stride).as("vec_id"),
+      expr(rot).as("embedding"), col("label")), "embeddings")
+
+    write(src("lineitem").crossJoin(copies).select(
+      (col("l_orderkey") + col("c") * Stride).as("l_orderkey"),
+      (col("l_partkey") + col("c") * Stride).as("l_partkey"),
+      col("l_suppkey"), col("l_linenumber"), col("l_quantity"),
+      col("l_extendedprice"), col("l_discount"), col("l_tax"),
+      col("l_returnflag"), col("l_linestatus"), col("l_shipdate")), "lineitem")
+
+    write(src("orders").crossJoin(copies).select(
+      (col("o_orderkey") + col("c") * Stride).as("o_orderkey"),
+      (col("o_custkey") + col("c") * Stride).as("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+      col("o_orderpriority")), "orders")
+
+    done.createNewFile()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale_sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.local(cpus.toInt)
+    spark.sparkContext.setLogLevel("WARN")
+    gen(spark, srcDir, outDir)
+
+    spark.range(1000000).selectExpr("sum(id)").collect() // JIT bring-up
+    SparkEntry.entry(spark).count()
+    def timeOne(name: String, dir: String): Double = {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      fn(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // two interleaved passes, min per (key, size) — same noise stance
+    // as Bench's A-B ordering
+    def pass(label: String): Map[(String, String), Double] =
+      (for (name <- keysUnderTest; dir <- Seq(srcDir, outDir)) yield {
+        System.err.println(s"[bench-scale] $label $name @ $dir")
+        (name, dir) -> timeOne(name, dir)
+      }).toMap
+    val (a, b) = (pass("passA"), pass("passB"))
+    val rows = keysUnderTest.map { name =>
+      val tS = math.min(a((name, srcDir)), b((name, srcDir)))
+      val tB = math.min(a((name, outDir)), b((name, outDir)))
+      val exp = math.log10(tB / tS) // one decade of volume -> exponent
+      (name, tS, tB, exp)
+    }
+    val json = rows.map { case (n, tS, tB, e) =>
+      f""""$n":{"t_small":$tS%.3f,"t_big":$tB%.3f,"exponent":$e%.3f}"""
+    }.mkString(s"""{"factor":$Factor,"src":"$srcDir","keys":{""", ",", "}}")
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE.json"),
+      json.getBytes("UTF-8"))
+    println(json)
+  }
+}

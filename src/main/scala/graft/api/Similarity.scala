@@ -383,7 +383,19 @@ object Similarity {
     * are all pinned cross-engine from the same constants.
     */
   def pqTrainedOracleSql(k: Int, m: Int = 8, kCent: Int = 16, subDim: Int = 8,
-                         iters: Int = 3, probeIdBound: Long = 10): String = {
+                         iters: Int = 3, probeIdBound: Long = 10): String =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000.0 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |${kmeansCtesSql(m, kCent, subDim, iters)},
+       |${pqServeSqlTail(k, subDim, probeIdBound)}""".stripMargin
+
+  /** The training CTE chain of [[pqTrainedOracleSql]] (init through the
+    * final codebook CTE `cb`), shared with the IVF-assignment oracle.
+    * Assumes a CTE `e(vec_id, q)` with the quantized vectors in scope.
+    */
+  private def kmeansCtesSql(m: Int, kCent: Int, subDim: Int, iters: Int): String = {
     val K = MeanOffset
     val meanExprs = (1 to subDim).map(d =>
       s"CAST((2 * (sum(sv[$d]) + $K * count(*)) + count(*)) // (2 * count(*)) - $K AS BIGINT)")
@@ -410,11 +422,7 @@ object Similarity {
          |  SELECT p.sub, p.cent, COALESCE(mm.cv, p.cv) AS cv
          |  FROM $prev p LEFT JOIN m$i mm ON mm.sub = p.sub AND mm.cent = p.cent)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (
-       |  SELECT vec_id,
-       |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000.0 + 0.5) AS BIGINT)) AS q
-       |  FROM embeddings),
-       |init AS (
+    s"""init AS (
        |  SELECT q, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c
        |  FROM e),
        |cb0 AS (
@@ -423,7 +431,65 @@ object Similarity {
        |  FROM init i CROSS JOIN (SELECT unnest(range(${m})) AS s) s
        |  WHERE i.c < ${kCent}),
        |$rounds,
-       |cb AS (SELECT sub, cent, cv FROM cb${iters}),
-       |${pqServeSqlTail(k, subDim, probeIdBound)}""".stripMargin
+       |cb AS (SELECT sub, cent, cv FROM cb${iters})""".stripMargin
   }
+
+  /** The DuckDB replay of the TRAINED IVF route: the integer k-means
+    * (m = 1 subspace over the whole vector) assigns each corpus vector
+    * a coarse cluster, and [[annTopK]]'s partition-pruned search runs
+    * over that assignment — same DECIMAL-exact within-cluster
+    * centroids, same nProbe routing, same cosine top-k as the
+    * label-partitioned oracle, with `label` replaced by the trained
+    * `part`. Closes the "partitioning column is a given, not trained"
+    * caveat on the IVF family with full cross-engine pinning.
+    */
+  def annTrainedOracleSql(k: Int = 5, kCent: Int = 8, subDim: Int = 64,
+                          iters: Int = 2, nProbe: Int = 2,
+                          probeIdBound: Long = 10): String =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000.0 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |${kmeansCtesSql(1, kCent, subDim, iters)},
+       |fd AS (
+       |  SELECT e.vec_id, p.cent,
+       |    list_aggregate(list_transform(list_zip(e.q[p.sub * ${subDim} + 1 : (p.sub + 1) * ${subDim}], p.cv),
+       |      x -> (x[1] - x[2]) * (x[1] - x[2])), 'sum') AS d2
+       |  FROM e CROSS JOIN cb p),
+       |fa AS (
+       |  SELECT vec_id, cent AS part FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent) AS rn FROM fd)
+       |  WHERE rn = 1),
+       |ev AS (
+       |  SELECT emb.vec_id, fa.part,
+       |    list_transform(emb.embedding, x -> x::DOUBLE) AS v,
+       |    sqrt(list_aggregate(list_transform(emb.embedding, x -> x::DOUBLE * x::DOUBLE), 'sum')) AS nrm
+       |  FROM embeddings emb JOIN fa ON fa.vec_id = emb.vec_id),
+       |ex AS (SELECT part, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM ev),
+       |cagg AS (SELECT part, pos,
+       |           CAST(sum(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / count(*) AS cx
+       |         FROM ex GROUP BY part, pos),
+       |centv AS (SELECT part, list(cx ORDER BY pos) AS cv FROM cagg GROUP BY part),
+       |cent2 AS (SELECT part, cv,
+       |            sqrt(list_aggregate(list_transform(cv, y -> y * y), 'sum')) AS cnrm
+       |          FROM centv),
+       |probes AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pn FROM ev
+       |           WHERE vec_id < ${probeIdBound}),
+       |lsel AS (
+       |  SELECT probe_id, pv, pn, part FROM (
+       |    SELECT p.probe_id, p.pv, p.pn, c.part,
+       |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+       |        list_aggregate(list_transform(list_zip(p.pv, c.cv), x -> x[1] * x[2]), 'sum')
+       |          / (p.pn * c.cnrm) DESC, c.part) AS lrnk
+       |    FROM probes p CROSS JOIN cent2 c
+       |  ) WHERE lrnk <= ${nProbe})
+       |SELECT probe_id, rnk, neighbor_id, floor(cos * 10000 + 0.5) / 10000 AS cos FROM (
+       |  SELECT s.probe_id, n.vec_id AS neighbor_id,
+       |    list_aggregate(list_transform(list_zip(s.pv, n.v), x -> x[1] * x[2]), 'sum')
+       |      / (s.pn * n.nrm) AS cos,
+       |    CAST(row_number() OVER (PARTITION BY s.probe_id ORDER BY
+       |      list_aggregate(list_transform(list_zip(s.pv, n.v), x -> x[1] * x[2]), 'sum')
+       |        / (s.pn * n.nrm) DESC, n.vec_id) AS INTEGER) AS rnk
+       |  FROM lsel s JOIN ev n ON n.part = s.part AND n.vec_id != s.probe_id
+       |) WHERE rnk <= ${k} ORDER BY probe_id, rnk""".stripMargin
 }

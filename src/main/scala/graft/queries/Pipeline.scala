@@ -208,6 +208,26 @@ object Pipeline {
         .orderBy("probe_id", "rnk")
     }),
 
+    // TRAINED IVF: the coarse partition comes from the deterministic
+    // integer k-means (one subspace over the whole vector) instead of
+    // the given label column — closing the "partitioning is a given"
+    // caveat on the IVF family. Same partition-pruned search, same
+    // DECIMAL-exact in-cluster centroids, same nProbe routing; the
+    // oracle replays training + assignment + search as one query.
+    "sim_ann_trained" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cb = Similarity.pqTrainCodebooks(e, "vec_id", "embedding",
+        m = 1, kCent = 8, subDim = 64, iters = 2)
+      val part = element_at(graft.functions.Signatures.pq_code_sig(
+        col("embedding"), cb, 1, 8, 64), 1)
+      val e2 = e.withColumn("part", part)
+      Similarity.annTopK(e2, e2.filter(col("vec_id") < 10), "vec_id",
+          "embedding", "part", 5, nProbe = 2)
+        .select(col("probe_id"), col("rnk"), col("neighbor_id"),
+          Det.round4(col("cos")).as("cos"))
+        .orderBy("probe_id", "rnk")
+    }),
+
     // Benchmark decontamination: flag training docs that share any
     // 5-token shingle with an eval/benchmark doc (here: doc_id < 100
     // stands in for the benchmark). The eval side is tiny BY NATURE, so
@@ -989,6 +1009,7 @@ object Pipeline {
 
     "sim_pq" -> Similarity.pqTopKOracleSql(5, probeIdBound = LshProbeBound),
     "sim_pq_trained" -> Similarity.pqTrainedOracleSql(5, probeIdBound = LshProbeBound),
+    "sim_ann_trained" -> Similarity.annTrainedOracleSql(5, probeIdBound = LshProbeBound),
 
     // Bigram logs re-summed in token order (list(... ORDER BY pos) then
     // a sequential left fold) so the float sum is bit-identical.
