@@ -493,7 +493,9 @@ object MatchRecognize {
 
   private def quantTxt(mn: Int, mx: Option[Int], greedy: Boolean): String = {
     val q = (mn, mx) match {
-      case (1, Some(1)) => ""
+      // a reluctant exactly-one step must NOT render as a bare `?`
+      // (that's the optional quantifier) — spell the bounds out
+      case (1, Some(1)) => if (greedy) "" else "{1,1}"
       case (1, None) => "+"
       case (0, None) => "*"
       case (0, Some(1)) => "?"

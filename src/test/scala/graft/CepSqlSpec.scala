@@ -178,4 +178,55 @@ class CepSqlSpec extends SparkSuite {
          |  DEFINE a AS event_type = 'view', b AS event_type = 'click'
          |)""".stripMargin).measuresValCol).getMessage.contains("unsupported MEASURES"))
   }
+
+  test("property: render -> parse round-trips 300 random patterns") {
+    val rnd = new scala.util.Random(20260814L)
+    val syms = Vector("alpha", "beta", "gamma", "delta", "eps")
+    var negCount = 0
+    var skipToCount = 0
+    for (i <- 0 until 300) {
+      val relaxed = rnd.nextBoolean()
+      val nSteps = 2 + rnd.nextInt(3)
+      val names = rnd.shuffle(syms).take(nSteps)
+      val withNeg = relaxed && nSteps >= 2 && rnd.nextBoolean()
+      var steps = names.zipWithIndex.map { case (s, j) =>
+        val edge = j == 0 || j == nSteps - 1
+        // negated patterns reject optional steps (gap-merge ambiguity)
+        val mn = if (edge || withNeg) 1 + rnd.nextInt(2) else rnd.nextInt(3)
+        val mx = rnd.nextInt(3) match {
+          case 0 => None
+          case _ => Some(math.max(math.max(mn, 1), 1 + rnd.nextInt(3)))
+        }
+        // reluctant quantifiers are strict-only in the model
+        CepStep(s, mn, mx, greedy = relaxed || rnd.nextBoolean())
+      }
+      if (withNeg) {
+        negCount += 1
+        val at = 1 + rnd.nextInt(steps.size - 1)
+        val free = syms.filterNot(names.contains)
+        steps = steps.take(at) ++
+          Seq(CepStep(free(rnd.nextInt(free.size)), negated = true)) ++ steps.drop(at)
+      }
+      val skip =
+        if (!relaxed) { if (rnd.nextBoolean()) SkipPastLastRow else SkipToNextRow }
+        else {
+          val targets = steps.zipWithIndex.drop(1)
+            .filter { case (s, _) => !s.negated && s.minRep >= 1 &&
+              steps.count(_.symbol == s.symbol) == 1 }
+          if (targets.nonEmpty && rnd.nextInt(3) == 0) {
+            skipToCount += 1
+            val t = targets(rnd.nextInt(targets.size))._1.symbol
+            if (rnd.nextBoolean()) SkipToFirst(t) else SkipToLast(t)
+          } else SkipToNextRow
+        }
+      val within = if (rnd.nextBoolean()) Some(5 + rnd.nextInt(2000)) else None
+      val p = CepPattern(steps, within, skip, strict = !relaxed)
+      val txt = MatchRecognize.render(p)
+      val back = MatchRecognize.parse(txt).toSymbolic
+      assert(back === Some(("event_type", p)), s"iteration $i:\n$txt")
+    }
+    // the generator must actually exercise the interesting arms
+    assert(negCount > 20 && skipToCount > 10,
+      s"generator degenerate: neg=$negCount skipTo=$skipToCount")
+  }
 }
