@@ -259,6 +259,28 @@ object Streaming {
         .orderBy("user_id", "start_id")
     }),
 
+    // MATCH_RECOGNIZE text -> the SEQUENTIAL matcher: the same grouped
+    // pattern as event_cep_group, but built by PARSING clause text with
+    // repeated variables (`PATTERN (view+ click+ view+ click+)`), which
+    // Cep.compile's run alignment declines — proving the SQL front door
+    // reaches the per-key matcher (the streaming engine's semantics),
+    // not just the compiled gaps-and-islands route. Oracle shared with
+    // event_cep_group (the renderer round-trips the group pattern, so
+    // the parsed steps are identical — CepSqlSpec pins that).
+    "stream_cep_sql" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val pat = graft.api.MatchRecognize
+        .parse(graft.api.MatchRecognize.render(Analytic.CepPatterns.group))
+        .toSymbolic.get._2
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Ev]
+      StreamOps.cepPattern(ev, pat, streaming = false)
+        .toDF()
+        .orderBy("user_id", "start_id")
+    }),
+
     // Flink Evictor analog (window + CountEvictor.of(3)): per (user, 1 h
     // tumbling window), the aggregate over only the LAST 3 events by
     // event time, plus the full seen count. Batch replay of the bounded
@@ -449,6 +471,39 @@ object Streaming {
     })
   )
 
+  /** Hand-written group-repetition replay for (view+ click+){2} — four
+    * consecutive runs with the unrolled alternation, one match per
+    * anchoring-run position. Shared by event_cep_group (DSL-built) and
+    * stream_cep_sql (the same pattern PARSED from MATCH_RECOGNIZE text).
+    */
+  private val groupOracle: String =
+    """WITH e AS (SELECT user_id AS k, ts::TIMESTAMP AS ts, event_id AS ord,
+        |            event_type AS sym FROM events),
+        |f AS (SELECT *, CASE WHEN lag(sym) OVER (PARTITION BY k ORDER BY ts, ord)
+        |                     IS DISTINCT FROM sym THEN 1 ELSE 0 END AS chg FROM e),
+        |r AS (SELECT *, sum(chg) OVER (PARTITION BY k ORDER BY ts, ord
+        |                               ROWS UNBOUNDED PRECEDING) AS rid FROM f),
+        |p AS (SELECT *, row_number() OVER (PARTITION BY k, rid ORDER BY ts, ord) AS pos
+        |      FROM r),
+        |runs AS (SELECT k, rid, any_value(sym) AS sym, count(*) AS len
+        |         FROM p GROUP BY k, rid),
+        |seq AS (SELECT *, lead(sym, 1) OVER w AS sym_2, lead(len, 1) OVER w AS len_2,
+        |               lead(sym, 2) OVER w AS sym_3, lead(len, 2) OVER w AS len_3,
+        |               lead(sym, 3) OVER w AS sym_4, lead(len, 3) OVER w AS len_4
+        |        FROM runs WINDOW w AS (PARTITION BY k ORDER BY rid)),
+        |cand AS (SELECT * FROM seq WHERE sym = 'view' AND sym_2 = 'click'
+        |                            AND sym_3 = 'view' AND sym_4 = 'click'),
+        |ends AS (SELECT c.*, pe.ord AS end_id, pe.ts AS end_ts
+        |         FROM cand c JOIN p pe ON pe.k = c.k AND pe.rid = c.rid + 3
+        |                              AND pe.pos = c.len_4)
+        |SELECT en.k AS user_id, pa.ord AS start_id, pa.ts AS start_ts,
+        |       en.end_id, en.end_ts,
+        |       (en.len - pa.pos + 1) + en.len_2 + en.len_3 + en.len_4 AS n_rows,
+        |       concat_ws(',', en.len - pa.pos + 1, en.len_2, en.len_3, en.len_4)
+        |         AS step_counts
+        |FROM ends en JOIN p pa ON pa.k = en.k AND pa.rid = en.rid
+        |ORDER BY user_id, start_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "stream_cep_measures" -> Analytic.oracles("event_cep_measures"),
     "stream_cep_pattern" -> graft.api.Cep.oracleSql(Analytic.CepPatterns.quant),
@@ -482,33 +537,9 @@ object Streaming {
         |ORDER BY user_id, event_id""".stripMargin,
     // hand-written group-repetition replay: four consecutive runs with
     // the unrolled alternation, one match per anchoring-run position
-    "event_cep_group" ->
-      """WITH e AS (SELECT user_id AS k, ts::TIMESTAMP AS ts, event_id AS ord,
-        |            event_type AS sym FROM events),
-        |f AS (SELECT *, CASE WHEN lag(sym) OVER (PARTITION BY k ORDER BY ts, ord)
-        |                     IS DISTINCT FROM sym THEN 1 ELSE 0 END AS chg FROM e),
-        |r AS (SELECT *, sum(chg) OVER (PARTITION BY k ORDER BY ts, ord
-        |                               ROWS UNBOUNDED PRECEDING) AS rid FROM f),
-        |p AS (SELECT *, row_number() OVER (PARTITION BY k, rid ORDER BY ts, ord) AS pos
-        |      FROM r),
-        |runs AS (SELECT k, rid, any_value(sym) AS sym, count(*) AS len
-        |         FROM p GROUP BY k, rid),
-        |seq AS (SELECT *, lead(sym, 1) OVER w AS sym_2, lead(len, 1) OVER w AS len_2,
-        |               lead(sym, 2) OVER w AS sym_3, lead(len, 2) OVER w AS len_3,
-        |               lead(sym, 3) OVER w AS sym_4, lead(len, 3) OVER w AS len_4
-        |        FROM runs WINDOW w AS (PARTITION BY k ORDER BY rid)),
-        |cand AS (SELECT * FROM seq WHERE sym = 'view' AND sym_2 = 'click'
-        |                            AND sym_3 = 'view' AND sym_4 = 'click'),
-        |ends AS (SELECT c.*, pe.ord AS end_id, pe.ts AS end_ts
-        |         FROM cand c JOIN p pe ON pe.k = c.k AND pe.rid = c.rid + 3
-        |                              AND pe.pos = c.len_4)
-        |SELECT en.k AS user_id, pa.ord AS start_id, pa.ts AS start_ts,
-        |       en.end_id, en.end_ts,
-        |       (en.len - pa.pos + 1) + en.len_2 + en.len_3 + en.len_4 AS n_rows,
-        |       concat_ws(',', en.len - pa.pos + 1, en.len_2, en.len_3, en.len_4)
-        |         AS step_counts
-        |FROM ends en JOIN p pa ON pa.k = en.k AND pa.rid = en.rid
-        |ORDER BY user_id, start_id""".stripMargin,
+    "stream_cep_sql" -> groupOracle,  // same parsed pattern (CepSqlSpec pins)
+    "event_cep_group" -> groupOracle,
+
     "stream_cep_where" -> graft.api.Cep.oracleSqlWhere(Analytic.CepPatterns.where),
     "stream_pane_twolevel" -> EventTime.oracles("wnd_sliding"),
     "stream_tumbling_append" ->
