@@ -392,46 +392,49 @@ object Similarity {
        |${pqServeSqlTail(k, subDim, probeIdBound)}""".stripMargin
 
   /** The training CTE chain of [[pqTrainedOracleSql]] (init through the
-    * final codebook CTE `cb`), shared with the IVF-assignment oracle.
-    * Assumes a CTE `e(vec_id, q)` with the quantized vectors in scope.
+    * final codebook CTE `${p}cb`), shared by the PQ, IVF-assignment and
+    * IVFADC oracles. `src` names the in-scope CTE holding
+    * (vec_id, q) — the quantized training vectors; `p` prefixes every
+    * generated CTE name so two chains can coexist in one query.
     */
-  private def kmeansCtesSql(m: Int, kCent: Int, subDim: Int, iters: Int): String = {
+  private def kmeansCtesSql(m: Int, kCent: Int, subDim: Int, iters: Int,
+                            src: String = "e", p: String = ""): String = {
     val K = MeanOffset
     val meanExprs = (1 to subDim).map(d =>
       s"CAST((2 * (sum(sv[$d]) + $K * count(*)) + count(*)) // (2 * count(*)) - $K AS BIGINT)")
       .mkString(", ")
     val rounds = (1 to iters).map { i =>
-      val prev = if (i == 1) "cb0" else s"cb${i - 1}"
-      s"""d$i AS (
+      val prev = if (i == 1) s"${p}cb0" else s"${p}cb${i - 1}"
+      s"""${p}d$i AS (
          |  SELECT e.vec_id, p.sub, p.cent,
          |    list_aggregate(list_transform(list_zip(e.q[p.sub * ${subDim} + 1 : (p.sub + 1) * ${subDim}], p.cv),
          |      x -> (x[1] - x[2]) * (x[1] - x[2])), 'sum') AS d2
-         |  FROM e CROSS JOIN $prev p),
-         |a$i AS (
+         |  FROM $src e CROSS JOIN $prev p),
+         |${p}a$i AS (
          |  SELECT vec_id, sub, cent AS code FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
-         |                                 ORDER BY d2, cent) AS rn FROM d$i)
+         |                                 ORDER BY d2, cent) AS rn FROM ${p}d$i)
          |  WHERE rn = 1),
-         |m$i AS (
+         |${p}m$i AS (
          |  SELECT t.sub, t.code AS cent, list_value(${meanExprs}) AS cv
          |  FROM (SELECT a.sub, a.code,
          |          e.q[a.sub * ${subDim} + 1 : (a.sub + 1) * ${subDim}] AS sv
-         |        FROM a$i a JOIN e USING (vec_id)) t
+         |        FROM ${p}a$i a JOIN $src e USING (vec_id)) t
          |  GROUP BY t.sub, t.code),
-         |cb$i AS (
+         |${p}cb$i AS (
          |  SELECT p.sub, p.cent, COALESCE(mm.cv, p.cv) AS cv
-         |  FROM $prev p LEFT JOIN m$i mm ON mm.sub = p.sub AND mm.cent = p.cent)""".stripMargin
+         |  FROM $prev p LEFT JOIN ${p}m$i mm ON mm.sub = p.sub AND mm.cent = p.cent)""".stripMargin
     }.mkString(",\n")
-    s"""init AS (
+    s"""${p}init AS (
        |  SELECT q, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c
-       |  FROM e),
-       |cb0 AS (
+       |  FROM $src),
+       |${p}cb0 AS (
        |  SELECT s.s AS sub, i.c AS cent,
        |    i.q[s.s * ${subDim} + 1 : (s.s + 1) * ${subDim}] AS cv
-       |  FROM init i CROSS JOIN (SELECT unnest(range(${m})) AS s) s
+       |  FROM ${p}init i CROSS JOIN (SELECT unnest(range(${m})) AS s) s
        |  WHERE i.c < ${kCent}),
        |$rounds,
-       |cb AS (SELECT sub, cent, cv FROM cb${iters})""".stripMargin
+       |${p}cb AS (SELECT sub, cent, cv FROM ${p}cb${iters})""".stripMargin
   }
 
   /** The DuckDB replay of the TRAINED IVF route: the integer k-means
@@ -443,6 +446,158 @@ object Similarity {
     * `part`. Closes the "partitioning column is a given, not trained"
     * caveat on the IVF family with full cross-engine pinning.
     */
+  /** Full IVFADC (Jegou et al. 2011, the billion-vector serving shape):
+    * a trained coarse quantizer partitions the corpus, PQ codebooks are
+    * trained on the RESIDUALS (vector minus its coarse centroid — the
+    * refinement that makes 8-byte codes accurate), and a probe searches
+    * only its `nProbe` nearest coarse cells with one asymmetric-distance
+    * table per probed cell. All training and serving arithmetic is
+    * exact 64-bit integer (both k-means passes are
+    * [[pqTrainCodebooks]]; residuals are integer differences; scores
+    * are sums of integer squared L2), so the whole pipeline — two
+    * trainings, assignment, residual encode, routing, ADC top-k —
+    * replays bit-for-bit in the generated oracle
+    * ([[ivfAdcOracleSql]]).
+    *
+    * The residual float view (`(q - centroid) / 1000.0`) exists only to
+    * reuse the fused quantize-first PQ expressions: their internal
+    * `floor(x * 1000 + 0.5)` recovers the INTEGER residual exactly
+    * (|ulp error of r/1000*1000| << 0.5), which the oracle exploits by
+    * working on the integer residuals directly.
+    *
+    * 100 TB shape: both trainings are fixed-round aggregate passes
+    * (sampled in a real deployment); encode is map-only; the probe side
+    * (nProbe ADC tables per probe) broadcasts; candidates are
+    * partition-pruned to the probed cells — the scan touches
+    * |corpus| * nProbe / kCoarse rows of 8 longs each.
+    */
+  def ivfAdcTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+                 vecCol: String, k: Int, kCoarse: Int = 8, nProbe: Int = 2,
+                 m: Int = 8, kCent: Int = 16, subDim: Int = 8,
+                 coarseIters: Int = 2, pqIters: Int = 2): DataFrame = {
+    import graft.functions.Signatures.{pq_code_sig, pq_adc_sig}
+    val dim = m * subDim
+    val coarseCb = pqTrainCodebooks(corpus, idCol, vecCol, 1, kCoarse, dim, coarseIters)
+    // centroid lookup literal: array[part] -> 64-long centroid vector
+    val centLit = array((0 until kCoarse).map(c =>
+      array((0 until dim).map(d => lit(coarseCb(c * dim + d))): _*)): _*)
+    val qCol = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(1000.0) + lit(0.5)).cast("long"))
+    def withResidual(df: DataFrame): DataFrame = df
+      .withColumn("__part",
+        element_at(pq_code_sig(col(vecCol), coarseCb, 1, kCoarse, dim), 1))
+      .withColumn("__cv", element_at(centLit, col("__part").cast("int") + 1))
+      .withColumn("__rvf", zip_with(qCol, col("__cv"),
+        (a, b) => (a - b).cast("double") / lit(1000.0)))
+    val corpusR = withResidual(corpus)
+    val pqCb = pqTrainCodebooks(
+      corpusR.select(col(idCol), col("__rvf")), idCol, "__rvf",
+      m, kCent, subDim, pqIters)
+    val enc = corpusR.select(col(idCol), col("__part"),
+      pq_code_sig(col("__rvf"), pqCb, m, kCent, subDim).as("codes"))
+    // probe routing: exact integer d2 to every coarse centroid (the
+    // m=1 ADC table IS that distance vector), rank, keep nProbe cells
+    val pr = probes
+      .withColumn("__cd", pq_adc_sig(col(vecCol), coarseCb, 1, kCoarse, dim))
+      .select(col(idCol).as("probe_id"), col(vecCol).as("__pv"),
+        posexplode(col("__cd")).as(Seq("__p0", "__cd2")))
+    val wp = Window.partitionBy(col("probe_id")).orderBy(col("__cd2"), col("__p0"))
+    val probed = pr.withColumn("__prnk", row_number().over(wp))
+      .filter(col("__prnk") <= nProbe)
+      .withColumn("__part", col("__p0").cast("long"))
+      .withColumn("__cv", element_at(centLit, col("__p0") + 1))
+      .withColumn("__rvf", zip_with(
+        transform(col("__pv"), x => floor(x.cast("double") * lit(1000.0) + lit(0.5)).cast("long")),
+        col("__cv"), (a, b) => (a - b).cast("double") / lit(1000.0)))
+      .select(col("probe_id"), col("__part"),
+        pq_adc_sig(col("__rvf"), pqCb, m, kCent, subDim).as("adc"))
+    val score = (0 until m).map(s =>
+      element_at(col("adc"), element_at(col("codes"), s + 1).cast("int") + lit(s * kCent) + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("score"), col(idCol))
+    enc.join(broadcast(probed),
+        enc("__part") === probed("__part") && col(idCol) =!= col("probe_id"))
+      .withColumn("score", score)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col(idCol).as("neighbor_id"), col("score"))
+  }
+
+  /** The DuckDB replay of [[ivfAdcTopK]] as ONE query: the coarse
+    * k-means chain (prefix `c`), assignment, integer residuals, the
+    * residual-PQ k-means chain (prefix `p`, trained on the residual
+    * table), corpus encode, probe routing to `nProbe` cells, per-cell
+    * probe ADC tables, and the pruned top-k — every stage generated
+    * from the same constants the Spark plan uses.
+    */
+  def ivfAdcOracleSql(k: Int = 5, kCoarse: Int = 8, nProbe: Int = 2,
+                      m: Int = 8, kCent: Int = 16, subDim: Int = 8,
+                      coarseIters: Int = 2, pqIters: Int = 2,
+                      probeIdBound: Long = 10): String = {
+    val dim = m * subDim
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000.0 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |${kmeansCtesSql(1, kCoarse, dim, coarseIters, src = "e", p = "c")},
+       |cfd AS (
+       |  SELECT e.vec_id, p.cent,
+       |    list_aggregate(list_transform(list_zip(e.q, p.cv),
+       |      x -> (x[1] - x[2]) * (x[1] - x[2])), 'sum') AS d2
+       |  FROM e CROSS JOIN ccb p),
+       |cfa AS (
+       |  SELECT vec_id, cent AS part FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent) AS rn FROM cfd)
+       |  WHERE rn = 1),
+       |re AS (
+       |  SELECT e.vec_id, cfa.part,
+       |    list_transform(list_zip(e.q, p.cv), x -> x[1] - x[2]) AS q
+       |  FROM e JOIN cfa USING (vec_id) JOIN ccb p ON p.cent = cfa.part),
+       |${kmeansCtesSql(m, kCent, subDim, pqIters, src = "re", p = "p")},
+       |dist AS (
+       |  SELECT re.vec_id, p.sub, p.cent,
+       |    list_aggregate(list_transform(list_zip(re.q[p.sub * ${subDim} + 1 : (p.sub + 1) * ${subDim}], p.cv),
+       |      x -> (x[1] - x[2]) * (x[1] - x[2])), 'sum') AS d2
+       |  FROM re CROSS JOIN pcb p),
+       |codes AS (
+       |  SELECT vec_id, sub, cent AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+       |                                 ORDER BY d2, cent) AS rn FROM dist)
+       |  WHERE rn = 1),
+       |pp AS (
+       |  SELECT probe_id, part FROM (
+       |    SELECT e.vec_id AS probe_id, p.cent AS part,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_aggregate(list_transform(list_zip(e.q, p.cv),
+       |          x -> (x[1] - x[2]) * (x[1] - x[2])), 'sum'), p.cent) AS prnk
+       |    FROM e CROSS JOIN ccb p
+       |    WHERE e.vec_id < ${probeIdBound})
+       |  WHERE prnk <= ${nProbe}),
+       |prv AS (
+       |  SELECT pp.probe_id, pp.part,
+       |    list_transform(list_zip(e.q, c.cv), x -> x[1] - x[2]) AS r
+       |  FROM pp JOIN e ON e.vec_id = pp.probe_id
+       |          JOIN ccb c ON c.cent = pp.part),
+       |padc AS (
+       |  SELECT prv.probe_id, prv.part, p.sub, p.cent,
+       |    list_aggregate(list_transform(list_zip(prv.r[p.sub * ${subDim} + 1 : (p.sub + 1) * ${subDim}], p.cv),
+       |      x -> (x[1] - x[2]) * (x[1] - x[2])), 'sum') AS d2
+       |  FROM prv CROSS JOIN pcb p),
+       |scored AS (
+       |  SELECT pd.probe_id, co.vec_id AS neighbor_id,
+       |    CAST(sum(pd.d2) AS BIGINT) AS score
+       |  FROM cfa ca
+       |  JOIN codes co ON co.vec_id = ca.vec_id
+       |  JOIN padc pd ON pd.part = ca.part AND pd.sub = co.sub AND pd.cent = co.code
+       |  WHERE pd.probe_id != ca.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT probe_id, rnk, neighbor_id, score FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+       |              ORDER BY score, neighbor_id) AS INTEGER) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= ${k} ORDER BY probe_id, rnk""".stripMargin
+  }
+
   def annTrainedOracleSql(k: Int = 5, kCent: Int = 8, subDim: Int = 64,
                           iters: Int = 2, nProbe: Int = 2,
                           probeIdBound: Long = 10): String =

@@ -208,6 +208,19 @@ object Pipeline {
         .orderBy("probe_id", "rnk")
     }),
 
+    // Full IVFADC (coarse k-means partition + PQ trained on RESIDUALS +
+    // nProbe-pruned ADC scan — Jegou et al. 2011, the billion-vector
+    // serving shape). Both trainings, assignment, residual encode,
+    // routing and scoring are exact integer arithmetic; the oracle
+    // replays the ENTIRE pipeline (two k-means chains included) as one
+    // query. See Similarity.ivfAdcTopK for the 100 TB scan shape.
+    "sim_ivfadc" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfAdcTopK(e, e.filter(col("vec_id") < LshProbeBound),
+          "vec_id", "embedding", 5)
+        .orderBy("probe_id", "rnk")
+    }),
+
     // TRAINED IVF: the coarse partition comes from the deterministic
     // integer k-means (one subspace over the whole vector) instead of
     // the given label column — closing the "partitioning is a given"
@@ -1010,6 +1023,7 @@ object Pipeline {
     "sim_pq" -> Similarity.pqTopKOracleSql(5, probeIdBound = LshProbeBound),
     "sim_pq_trained" -> Similarity.pqTrainedOracleSql(5, probeIdBound = LshProbeBound),
     "sim_ann_trained" -> Similarity.annTrainedOracleSql(5, probeIdBound = LshProbeBound),
+    "sim_ivfadc" -> Similarity.ivfAdcOracleSql(5, probeIdBound = LshProbeBound),
 
     // Bigram logs re-summed in token order (list(... ORDER BY pos) then
     // a sequential left fold) so the float sum is bit-identical.
