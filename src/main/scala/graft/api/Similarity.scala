@@ -523,6 +523,63 @@ object Similarity {
       .select(col("probe_id"), col("rnk"), col(idCol).as("neighbor_id"), col("score"))
   }
 
+  /** Two-stage IVFADC serving (the standard production shape): the ADC
+    * scan produces a `shortlist` of candidates per probe, then the
+    * EXACT integer squared-L2 on the full quantized vectors re-ranks
+    * the shortlist to the final top-`k` — compressed-domain recall,
+    * exact-domain precision. The re-rank touches only
+    * |probes| * shortlist full vectors (both sides broadcast against
+    * the corpus scan), so the exact pass costs O(shortlist) per probe
+    * regardless of corpus size.
+    */
+  def ivfAdcRerankTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+                       vecCol: String, k: Int, shortlist: Int = 20,
+                       kCoarse: Int = 8, nProbe: Int = 2, m: Int = 8,
+                       kCent: Int = 16, subDim: Int = 8): DataFrame = {
+    val cand = ivfAdcTopK(corpus, probes, idCol, vecCol, shortlist,
+        kCoarse, nProbe, m, kCent, subDim)
+      .select(col("probe_id"), col("neighbor_id"))
+    val qCol = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(1000.0) + lit(0.5)).cast("long"))
+    val qs = corpus.select(col(idCol).as("__qid"), qCol.as("__q"))
+    val pq = probes.select(col(idCol).as("__pid"), qCol.as("__pq"))
+    val exactD2 = expr(
+      "aggregate(zip_with(__pq, __q, (a, b) -> (a - b) * (a - b)), " +
+        "cast(0 as bigint), (acc, x) -> acc + x)")
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score"), col("neighbor_id"))
+    qs.join(broadcast(cand), col("__qid") === col("neighbor_id"))
+      .join(broadcast(pq), col("probe_id") === col("__pid"))
+      .withColumn("score", exactD2)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("neighbor_id"), col("score"))
+  }
+
+  /** The DuckDB replay of [[ivfAdcRerankTopK]]: the full IVFADC oracle
+    * as the shortlist CTE (nested WITH), then the exact integer
+    * re-rank. */
+  def ivfAdcRerankOracleSql(k: Int = 5, shortlist: Int = 20,
+                            probeIdBound: Long = 10): String =
+    s"""WITH cand AS (
+       |${ivfAdcOracleSql(shortlist, probeIdBound = probeIdBound)}
+       |),
+       |eq AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000.0 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |rr AS (
+       |  SELECT c.probe_id, c.neighbor_id,
+       |    CAST(list_aggregate(list_transform(list_zip(pn.q, nn.q),
+       |      x -> (x[1] - x[2]) * (x[1] - x[2])), 'sum') AS BIGINT) AS score
+       |  FROM cand c JOIN eq pn ON pn.vec_id = c.probe_id
+       |              JOIN eq nn ON nn.vec_id = c.neighbor_id)
+       |SELECT probe_id, rnk, neighbor_id, score FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+       |              ORDER BY score, neighbor_id) AS INTEGER) AS rnk
+       |  FROM rr)
+       |WHERE rnk <= ${k} ORDER BY probe_id, rnk""".stripMargin
+
   /** The DuckDB replay of [[ivfAdcTopK]] as ONE query: the coarse
     * k-means chain (prefix `c`), assignment, integer residuals, the
     * residual-PQ k-means chain (prefix `p`, trained on the residual

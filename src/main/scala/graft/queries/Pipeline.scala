@@ -221,6 +221,18 @@ object Pipeline {
         .orderBy("probe_id", "rnk")
     }),
 
+    // Two-stage IVFADC serving: ADC shortlist (top-20 per probe in the
+    // compressed domain) re-ranked by EXACT integer squared-L2 on the
+    // full quantized vectors — compressed recall, exact precision, the
+    // standard production pattern. The exact pass touches only
+    // |probes| * shortlist vectors.
+    "sim_ivfadc_rerank" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfAdcRerankTopK(e, e.filter(col("vec_id") < LshProbeBound),
+          "vec_id", "embedding", 5)
+        .orderBy("probe_id", "rnk")
+    }),
+
     // TRAINED IVF: the coarse partition comes from the deterministic
     // integer k-means (one subspace over the whole vector) instead of
     // the given label column — closing the "partitioning is a given"
@@ -1024,6 +1036,8 @@ object Pipeline {
     "sim_pq_trained" -> Similarity.pqTrainedOracleSql(5, probeIdBound = LshProbeBound),
     "sim_ann_trained" -> Similarity.annTrainedOracleSql(5, probeIdBound = LshProbeBound),
     "sim_ivfadc" -> Similarity.ivfAdcOracleSql(5, probeIdBound = LshProbeBound),
+    "sim_ivfadc_rerank" ->
+      Similarity.ivfAdcRerankOracleSql(5, probeIdBound = LshProbeBound),
 
     // Bigram logs re-summed in token order (list(... ORDER BY pos) then
     // a sequential left fold) so the float sum is bit-identical.
