@@ -523,6 +523,109 @@ object Similarity {
       .select(col("probe_id"), col("rnk"), col(idCol).as("neighbor_id"), col("score"))
   }
 
+  /** Hybrid retrieval with Reciprocal Rank Fusion (the BM25 + vector
+    * pattern every RAG stack runs): the lexical side ranks documents by
+    * BM25 against a fixed term set, the dense side ranks by cosine to a
+    * query embedding, and candidates fuse by
+    * `1/(60 + rank_lex) + 1/(60 + rank_vec)` over the UNION of the two
+    * top-`shortK` lists (a missing side contributes 0 — standard RRF).
+    *
+    * Scale + determinism shape: each side's global top-`shortK` is an
+    * orderBy().limit() — TakeOrderedAndProject, never a global sort or
+    * an unpartitioned window — and the ranks come from a better-count
+    * self-join over the two bounded lists (O(shortK^2) constant work),
+    * so NO window runs at all. RRF terms are 1.0/BIGINT divisions —
+    * bit-identical IEEE on both engines; ordering uses the unrounded
+    * fused score with id tiebreak.
+    */
+  def hybridRrf(docs: DataFrame, embeds: DataFrame, terms: Seq[String],
+                queryVecId: Long, k: Int = 10, shortK: Int = 50): DataFrame = {
+    val bm = TextOps.bm25(docs, "doc_id", "text", terms)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(shortK)
+    val brank = bm.as("x").join(broadcast(bm.as("y")),
+        col("y.score") > col("x.score") ||
+          (col("y.score") === col("x.score") && col("y.doc_id") < col("x.doc_id")),
+        "left_outer")
+      .groupBy(col("x.doc_id").as("doc_id"))
+      .agg((count(col("y.doc_id")) + 1).as("brank"))
+    val e = withNorm(embeds, "embedding")
+    val probe = e.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("pv"), col("nrm").as("pn"))
+    val cos = e.filter(col("vec_id") =!= queryVecId).crossJoin(broadcast(probe))
+      .withColumn("cos", vec_dot(col("pv"), col("embedding")) / (col("pn") * col("nrm")))
+      .select(col("vec_id"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(shortK)
+    val vrank = cos.as("x").join(broadcast(cos.as("y")),
+        col("y.cos") > col("x.cos") ||
+          (col("y.cos") === col("x.cos") && col("y.vec_id") < col("x.vec_id")),
+        "left_outer")
+      .groupBy(col("x.vec_id").as("vec_id"))
+      .agg((count(col("y.vec_id")) + 1).as("vrank"))
+    val fused = brank.join(vrank, brank("doc_id") === vrank("vec_id"), "full_outer")
+      .select(coalesce(brank("doc_id"), vrank("vec_id")).as("id"),
+        col("brank"), col("vrank"),
+        (coalesce(lit(1.0) / (lit(60L) + col("brank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60L) + col("vrank")), lit(0.0))).as("rrf"))
+    fused.orderBy(col("rrf").desc, col("id")).limit(k)
+      .select(col("id"), col("brank"), col("vrank"),
+        (floor(col("rrf") * 1e4 + lit(0.5)) / 1e4).as("rrf4"))
+  }
+
+  /** The DuckDB replay of [[hybridRrf]]: the text_bm25 oracle's raw
+    * per-term CTEs (unrounded), the cosine shortlist, the same
+    * better-count ranks and RRF fusion — ordered by the unrounded fused
+    * score exactly as the Spark plan orders. */
+  def hybridRrfOracleSql(terms: Seq[String], queryVecId: Long,
+                         k: Int = 10, shortK: Int = 50): String = {
+    require(terms.size == 3, "oracle splices exactly the declared 3-term query")
+    val Seq(t1, t2, t3) = terms
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |dlen AS (SELECT doc_id, len(tk) AS dl FROM t),
+       |st AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dlen),
+       |tok AS (SELECT doc_id, unnest(tk) AS term FROM t),
+       |tf AS (SELECT k.doc_id, d.dl, k.term, count(*) AS tf
+       |       FROM tok k JOIN dlen d USING (doc_id)
+       |       WHERE k.term IN ('${t1}', '${t2}', '${t3}')
+       |       GROUP BY 1, 2, 3),
+       |dfq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+       |sc AS (SELECT tf.doc_id, tf.term,
+       |         ln(1.0 + (st.n - dfq.df_t + 0.5) / (dfq.df_t + 0.5)) *
+       |           (tf.tf * 2.2) /
+       |           (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) * st.n / st.sumdl))) AS s
+       |       FROM tf JOIN dfq USING (term) CROSS JOIN st),
+       |p AS (SELECT doc_id,
+       |        max(CASE WHEN term = '${t1}' THEN s END) AS s1,
+       |        max(CASE WHEN term = '${t2}' THEN s END) AS s2,
+       |        max(CASE WHEN term = '${t3}' THEN s END) AS s3
+       |      FROM sc GROUP BY doc_id),
+       |bk AS (SELECT doc_id,
+       |         coalesce(s1, 0.0) + coalesce(s2, 0.0) + coalesce(s3, 0.0) AS score
+       |       FROM p ORDER BY score DESC, doc_id LIMIT ${shortK}),
+       |br AS (SELECT x.doc_id, count(y.doc_id) + 1 AS brank
+       |       FROM bk x LEFT JOIN bk y ON y.score > x.score
+       |         OR (y.score = x.score AND y.doc_id < x.doc_id)
+       |       GROUP BY x.doc_id),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+       |        sqrt(list_aggregate(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum')) AS nrm
+       |      FROM embeddings),
+       |pr AS (SELECT v AS pv, nrm AS pn FROM e WHERE vec_id = ${queryVecId}),
+       |ck AS (SELECT e.vec_id,
+       |         list_aggregate(list_transform(list_zip(pr.pv, e.v), x -> x[1] * x[2]), 'sum')
+       |           / (pr.pn * e.nrm) AS cos
+       |       FROM e CROSS JOIN pr WHERE e.vec_id != ${queryVecId}
+       |       ORDER BY cos DESC, vec_id LIMIT ${shortK}),
+       |vr AS (SELECT x.vec_id, count(y.vec_id) + 1 AS vrank
+       |       FROM ck x LEFT JOIN ck y ON y.cos > x.cos
+       |         OR (y.cos = x.cos AND y.vec_id < x.vec_id)
+       |       GROUP BY x.vec_id),
+       |f AS (SELECT coalesce(br.doc_id, vr.vec_id) AS id, brank, vrank,
+       |        coalesce(1.0 / (60 + brank), 0.0) + coalesce(1.0 / (60 + vrank), 0.0) AS rrf
+       |      FROM br FULL OUTER JOIN vr ON br.doc_id = vr.vec_id)
+       |SELECT id, brank, vrank, floor(rrf * 10000 + 0.5) / 10000 AS rrf4
+       |FROM f ORDER BY f.rrf DESC, id LIMIT ${k}""".stripMargin
+  }
+
   /** Two-stage IVFADC serving (the standard production shape): the ADC
     * scan produces a `shortlist` of candidates per probe, then the
     * EXACT integer squared-L2 on the full quantized vectors re-ranks

@@ -221,6 +221,16 @@ object Pipeline {
         .orderBy("probe_id", "rnk")
     }),
 
+    // Hybrid retrieval (RAG's BM25 + dense pattern): lexical BM25
+    // against the fixed 3-term query fused with cosine-to-query-vector
+    // ranking by Reciprocal Rank Fusion over the union of both top-50
+    // lists. Both shortlists are TakeOrdered (never a global sort);
+    // ranks come from better-count self-joins on the bounded lists, so
+    // the whole key plans ZERO windows.
+    "sim_hybrid_rrf" -> ((s, d) =>
+      Similarity.hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d),
+          Bm25Terms, queryVecId = 0L)),
+
     // Two-stage IVFADC serving: ADC shortlist (top-20 per probe in the
     // compressed domain) re-ranked by EXACT integer squared-L2 on the
     // full quantized vectors — compressed recall, exact precision, the
@@ -1038,6 +1048,7 @@ object Pipeline {
     "sim_ivfadc" -> Similarity.ivfAdcOracleSql(5, probeIdBound = LshProbeBound),
     "sim_ivfadc_rerank" ->
       Similarity.ivfAdcRerankOracleSql(5, probeIdBound = LshProbeBound),
+    "sim_hybrid_rrf" -> Similarity.hybridRrfOracleSql(Bm25Terms, queryVecId = 0L),
 
     // Bigram logs re-summed in token order (list(... ORDER BY pos) then
     // a sequential left fold) so the float sum is bit-identical.
