@@ -221,6 +221,31 @@ object Pipeline {
         .orderBy("probe_id", "rnk")
     }),
 
+    // Embedding-space decontamination (the dense sibling of
+    // decontaminate_ngram): training vectors whose cosine to ANY
+    // eval/benchmark vector (vec_id < 10 stands in for the benchmark)
+    // reaches 0.3 — semantic near-matches that shingle overlap misses
+    // (paraphrases, translations). Eval side broadcast, corpus scanned
+    // once map-side, output only the contaminated rows.
+    "decontaminate_embed" -> ((s, d) => {
+      import graft.functions.GraftFunctions.vec_norm
+      val e = Tables.embeddings(s, d)
+      val ev = e.filter(col("vec_id") < LshProbeBound)
+        .select(col("vec_id").as("eval_id"), col("embedding").as("ev"),
+          vec_norm(col("embedding")).as("en"))
+      e.filter(col("vec_id") >= LshProbeBound)
+        .withColumn("nrm", vec_norm(col("embedding")))
+        .crossJoin(broadcast(ev))
+        .withColumn("cos",
+          graft.functions.GraftFunctions.vec_dot(col("embedding"), col("ev")) /
+            (col("nrm") * col("en")))
+        .filter(col("cos") >= 0.3)
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n_eval_hits"), max(col("cos")).as("mc"))
+        .select(col("vec_id"), col("n_eval_hits"), Det.round4(col("mc")).as("max_cos"))
+        .orderBy("vec_id")
+    }),
+
     // Hybrid retrieval (RAG's BM25 + dense pattern): lexical BM25
     // against the fixed 3-term query fused with cosine-to-query-vector
     // ranking by Reciprocal Rank Fusion over the union of both top-50
@@ -646,6 +671,46 @@ object Pipeline {
         .select(col("doc_id"), col("pred_lang"), Det.round4(col("s_en")).as("score_en"))
         .orderBy("doc_id")),
 
+    // Lang-ID evaluation: the confusion matrix of the declared label
+    // vs the n-gram classifier's prediction — the accuracy-audit step
+    // any language-filtering pipeline runs before trusting the filter.
+    // One partial+final aggregate over the classifier's map-only
+    // projection; output O(langs^2).
+    "text_langid_confusion" -> ((s, d) =>
+      TextOps.langId(Tables.documents(s, d), "text", langProfiles)
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "pred_lang")),
+
+    // Content-defined chunking (the FastCDC/Rabin idea at token
+    // granularity): a chunk boundary falls after token `pos` when the
+    // 60-bit md5 of the last-4-token window ends in 0 mod 8 — so
+    // boundaries depend only on LOCAL content, and an insertion early
+    // in a document shifts chunk ids but not the chunk CONTENTS
+    // downstream of the next boundary (the dedup-stability property
+    // fixed-stride chunking lacks; compare corpus_chunk). Map +
+    // per-doc window only — linear, no cross-doc state.
+    "corpus_cdc_chunk" -> ((s, d) => {
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), col("toks"),
+          posexplode(col("toks")).as(Seq("pos", "tok")))
+        .withColumn("bd", when(col("pos") >= 3 &&
+          pmod(element_at(graft.functions.Signatures.md5_prefix(
+            array(array_join(slice(col("toks"), col("pos") - 2, lit(4)), " ")), 15), 1),
+            lit(8L)) === 0, 1L).otherwise(0L))
+        .withColumn("chunk_id", coalesce(sum(col("bd")).over(
+          wDoc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .groupBy("doc_id", "chunk_id")
+        .agg(count(lit(1)).as("n_tok"), min(col("pos")).as("first_pos"),
+          array_join(transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ").as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     "text_quality" -> ((s, d) =>
       TextOps.quality(Tables.documents(s, d), "text", stopEn)
         .select(col("doc_id"), col("n_tok"),
@@ -1049,6 +1114,61 @@ object Pipeline {
     "sim_ivfadc_rerank" ->
       Similarity.ivfAdcRerankOracleSql(5, probeIdBound = LshProbeBound),
     "sim_hybrid_rrf" -> Similarity.hybridRrfOracleSql(Bm25Terms, queryVecId = 0L),
+
+    "text_langid_confusion" ->
+      """WITH t AS (SELECT doc_id, lang, str_split(text, ' ') AS tk FROM documents),
+        |sc AS (SELECT doc_id, lang,
+        |  len(list_filter(tk, t -> list_contains(['the','a','of','and','to'], t)))::DOUBLE / len(tk) AS s_en,
+        |  len(list_filter(tk, t -> list_contains(['der','die','das','und','ist'], t)))::DOUBLE / len(tk) AS s_de,
+        |  len(list_filter(tk, t -> list_contains(['le','la','et','les','des'], t)))::DOUBLE / len(tk) AS s_fr,
+        |  len(list_filter(tk, t -> list_contains(['el','los','las','y','es'], t)))::DOUBLE / len(tk) AS s_es,
+        |  len(list_filter(tk, t -> list_contains(['de','shi','bu','wo','zhe'], t)))::DOUBLE / len(tk) AS s_zh
+        |  FROM t),
+        |p AS (SELECT lang,
+        |  CASE WHEN s_en >= greatest(s_de, s_fr, s_es, s_zh) THEN 'en'
+        |       WHEN s_de >= greatest(s_fr, s_es, s_zh) THEN 'de'
+        |       WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr'
+        |       WHEN s_es >= s_zh THEN 'es'
+        |       ELSE 'zh' END AS pred_lang
+        |  FROM sc)
+        |SELECT lang, pred_lang, count(*) AS n_docs
+        |FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
+
+    "corpus_cdc_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |x AS (SELECT doc_id, toks,
+        |        unnest(generate_series(0, len(toks) - 1)) AS pos
+        |      FROM t),
+        |b AS (SELECT doc_id, pos, toks[pos + 1] AS tok,
+        |        CASE WHEN pos >= 3 AND
+        |          CAST(concat('0x', substr(md5(array_to_string(toks[greatest(pos - 2, 1) : pos + 1], ' ')), 1, 15)) AS BIGINT) % 8 = 0
+        |        THEN 1 ELSE 0 END AS bd
+        |      FROM x),
+        |c AS (SELECT doc_id, pos, tok,
+        |        coalesce(sum(bd) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+        |      FROM b)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(count(*) AS BIGINT) AS n_tok,
+        |  CAST(min(pos) AS INTEGER) AS first_pos,
+        |  array_to_string(list(tok ORDER BY pos), ' ') AS chunk_text
+        |FROM c GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "decontaminate_embed" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+        |    sqrt(list_aggregate(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum')) AS nrm
+        |  FROM embeddings),
+        |ev AS (SELECT vec_id AS eval_id, v AS pv, nrm AS pn FROM e WHERE vec_id < 10),
+        |hits AS (
+        |  SELECT c.vec_id,
+        |    list_aggregate(list_transform(list_zip(c.v, ev.pv), x -> x[1] * x[2]), 'sum')
+        |      / (c.nrm * ev.pn) AS cos
+        |  FROM e c CROSS JOIN ev WHERE c.vec_id >= 10)
+        |SELECT vec_id, count(*) AS n_eval_hits,
+        |  floor(max(cos) * 10000 + 0.5) / 10000 AS max_cos
+        |FROM hits WHERE cos >= 0.3
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     // Bigram logs re-summed in token order (list(... ORDER BY pos) then
     // a sequential left fold) so the float sum is bit-identical.
