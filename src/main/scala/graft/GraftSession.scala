@@ -13,6 +13,7 @@ object GraftSession {
   def builder(cores: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cores]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

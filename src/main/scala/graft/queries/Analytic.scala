@@ -363,6 +363,16 @@ object Analytic {
       MatchRecognize.run(Tables.events(s, d), CepSql.measured)
         .orderBy("user_id", "start_id")),
 
+    // The spark.sql(...) route: the SAME statement text through the
+    // injected parser front end (GraftExtensions/MatchRecognizeSqlParser
+    // — spark.sql.extensions wiring), resolving the FROM table as a
+    // temp view. Must be row-identical to event_cep_sql, so it shares
+    // that oracle.
+    "event_cep_sql_native" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events")
+      s.sql(CepSql.funnel).orderBy("user_id", "start_id")
+    }),
+
     "topk_per_group" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d)
@@ -623,6 +633,7 @@ object Analytic {
 
   val oracles: Map[String, String] = Map(
     "event_cep_sql" -> MatchRecognize.oracleFor(CepSql.funnel),
+    "event_cep_sql_native" -> MatchRecognize.oracleFor(CepSql.funnel),
     "event_cep_sql_where" -> MatchRecognize.oracleFor(CepSql.hotBuy),
     "event_cep_sql_measures" -> MatchRecognize.oracleFor(CepSql.measured),
     "event_cep_quant" -> Cep.oracleSql(CepPatterns.quant),

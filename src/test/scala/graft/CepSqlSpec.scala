@@ -229,4 +229,19 @@ class CepSqlSpec extends SparkSuite {
     assert(negCount > 20 && skipToCount > 10,
       s"generator degenerate: neg=$negCount skipTo=$skipToCount")
   }
+
+  test("spark.sql runs MATCH_RECOGNIZE through the injected parser front end") {
+    val txt = graft.queries.Analytic.CepSql.funnel
+    Tables.events(spark, sf001).createOrReplaceTempView("events")
+    val viaSql = spark.sql(txt).orderBy("user_id", "start_id").collect()
+    val viaApi = MatchRecognize.run(Tables.events(spark, sf001), txt)
+      .orderBy("user_id", "start_id").collect()
+    assert(viaSql.toSeq === viaApi.toSeq)
+    // ordinary SQL still delegates to the stock parser
+    assert(spark.sql("SELECT 1 + 1 AS two").collect().map(_.getInt(0)).toSeq === Seq(2))
+    // clause body without a FROM table is a clear error, not a mis-parse
+    val e = intercept[IllegalArgumentException](spark.sql(
+      txt.replace("SELECT * FROM events ", "")))
+    assert(e.getMessage.contains("FROM"))
+  }
 }
