@@ -10,14 +10,7 @@ object RunOne {
     val key = args(0)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.local(cpus.toInt)
     val df = SparkEntry.queries(key)(spark, dir)
     if (args.contains("explain")) df.explain("formatted")
     val t0 = System.nanoTime()

@@ -16,11 +16,12 @@ object GraftProps extends Properties("graft") {
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
     p.withMinSuccessfulTests(8).withWorkers(1)
 
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+  // MUST build through GraftSession: in a shared-JVM suite run the
+  // FIRST builder wins getOrCreate, and a bare builder here would hand
+  // every later suite a session without the engine's static confs
+  // (spark.sql.extensions — the MATCH_RECOGNIZE parser — in particular)
+  private lazy val spark: SparkSession = GraftSession.builder(4)
     .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
     .getOrCreate()
 
   private val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
