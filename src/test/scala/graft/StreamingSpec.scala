@@ -1678,4 +1678,38 @@ class StreamingSpec extends SparkSuite {
       (5L, 2L, 3L, 14.00, 2L, 4L)),
       s"restart lost the count-window buffer or counter: $rows")
   }
+
+  test("MATCH_RECOGNIZE text drives the STREAMING matcher (parsed pattern, live stream)") {
+    // the SQL front door is not batch-only: a pattern parsed from
+    // clause text runs through the same stateful per-key matcher, with
+    // the same seal-aware incremental emission across batches
+    val txt =
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (c+ e? s+)
+        |  DEFINE c AS event_type = 'click',
+        |         e AS event_type = 'error',
+        |         s AS event_type = 'signup'
+        |)""".stripMargin
+    val Some((_, pat)) = graft.api.MatchRecognize.parse(txt).toSymbolic
+    assert(pat === graft.queries.Analytic.CepPatterns.optional,
+      "text must resolve to the exact DSL pattern the DSL test runs")
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.cepPattern(ms.toDS(), pat, streaming = true)
+      .writeStream.format("memory").queryName("cepsqlstream").outputMode("append").start()
+    ms.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 0.0),
+      Ev(2, ts("2024-01-01 10:05:00"), 1, "error", 0.0),
+      Ev(3, ts("2024-01-01 10:10:00"), 1, "signup", 0.0))
+    q.processAllAvailable()
+    assert(spark.table("cepsqlstream").isEmpty, "greedy signup tail unsealed")
+    ms.addData(Ev(4, ts("2024-01-01 10:15:00"), 1, "view", 0.0))
+    drain(q)
+    val got = spark.table("cepsqlstream")
+      .select("user_id", "start_id", "end_id", "n_rows", "step_counts")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(got == Set((1L, 1L, 3L, 3L, "1,1,1")), s"got $got")
+  }
 }
