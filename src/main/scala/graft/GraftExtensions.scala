@@ -1,6 +1,5 @@
 package graft
 
-import java.util.Locale
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
@@ -22,7 +21,7 @@ import graft.functions._
 class MatchRecognizeSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
-    if (sqlText.toUpperCase(Locale.ROOT).contains("MATCH_RECOGNIZE")) {
+    if (graft.api.MatchRecognize.hasClause(sqlText)) {
       val spec = graft.api.MatchRecognize.parse(sqlText)
       val tbl = spec.fromTable.getOrElse(throw new IllegalArgumentException(
         "MATCH_RECOGNIZE via spark.sql needs `SELECT * FROM <table> " +

@@ -179,6 +179,16 @@ object MatchRecognize {
 
   // ---------- parser ----------
 
+  /** Does the statement contain MATCH_RECOGNIZE as a real KEYWORD —
+    * not inside a string literal? The parser front end's divert guard:
+    * tokenizes (string-literal-aware) and looks for the identifier, so
+    * `SELECT 'MATCH_RECOGNIZE'` stays with the stock parser. Returns
+    * false (never throws) on text our tokenizer cannot scan — such a
+    * statement belongs to the stock parser by definition. */
+  def hasClause(sql: String): Boolean =
+    try tokenize(sql).exists(kw(_, "MATCH_RECOGNIZE"))
+    catch { case _: Exception => false }
+
   /** Parse a MATCH_RECOGNIZE clause (bare, or embedded in a
     * `SELECT * FROM t MATCH_RECOGNIZE (...)` statement). */
   def parse(sql: String): MrSpec = {

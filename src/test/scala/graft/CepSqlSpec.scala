@@ -243,5 +243,8 @@ class CepSqlSpec extends SparkSuite {
     val e = intercept[IllegalArgumentException](spark.sql(
       txt.replace("SELECT * FROM events ", "")))
     assert(e.getMessage.contains("FROM"))
+    // the keyword INSIDE a string literal must not divert: stock parser
+    assert(spark.sql("SELECT 'MATCH_RECOGNIZE (' AS s").collect()
+      .map(_.getString(0)).toSeq === Seq("MATCH_RECOGNIZE ("))
   }
 }
