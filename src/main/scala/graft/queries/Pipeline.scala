@@ -699,7 +699,11 @@ object Pipeline {
           posexplode(col("toks")).as(Seq("pos", "tok")))
         .withColumn("bd", when(col("pos") >= 3 &&
           pmod(element_at(graft.functions.Signatures.md5_prefix(
-            array(array_join(slice(col("toks"), col("pos") - 2, lit(4)), " ")), 15), 1),
+            // greatest-clamp keeps the slice start valid even if the
+            // guard's short-circuit is ever reordered (same clamp as
+            // the oracle; inert for pos >= 3)
+            array(array_join(slice(col("toks"),
+              greatest(col("pos") - 2, lit(1)), lit(4)), " ")), 15), 1),
             lit(8L)) === 0, 1L).otherwise(0L))
         .withColumn("chunk_id", coalesce(sum(col("bd")).over(
           wDoc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
