@@ -405,6 +405,11 @@ object MatchRecognize {
                      within: Option[Int], elems: Seq[MrElem],
                      defines: Seq[(String, String)],
                      fromTable: Option[String]): MrSpec = {
+    val dupDefs = defines.map(_._1).groupBy(identity).collect {
+      case (v, occ) if occ.size > 1 => v
+    }
+    require(dupDefs.isEmpty,
+      s"variable DEFINEd more than once: ${dupDefs.mkString(", ")}")
     val defined = defines.map(_._1).toSet
     // classify gaps: undefined vars are legal ONLY as greedy `*` gaps
     val tagged = elems.map { e =>

@@ -762,6 +762,20 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // Media-bytes exact dedup (the image/audio dedup step — identical
+    // payloads collapse regardless of metadata): sha2 over the packed
+    // BINARY payload, min-id survivor per digest. Because pack's
+    // text->binary cast is lossless UTF-8, the result must equal
+    // dedup_exact's — the shared oracle pins payload byte fidelity
+    // through the struct/parquet path, not just the dedup algebra.
+    "multimodal_dedup" -> ((s, d) =>
+      Multimodal.pack(Tables.documents(s, d), payloadFrom = "text",
+          metaCols = Seq("doc_id"))
+        .groupBy(sha2(col("m.payload"), 256).as("h"))
+        .agg(min(col("m.doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+        .select("doc_id", "h", "n_dups")
+        .orderBy("doc_id")),
+
     "multimodal_decode" -> ((s, d) =>
       Multimodal.decodeFeatures(
           Tables.documents(s, d).withColumn("payload", col("text").cast("binary")),
@@ -845,6 +859,12 @@ object Pipeline {
         |ORDER BY doc_a, doc_b""".stripMargin),
 
     "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, sha256(text) AS h, count(*) AS n_dups
+        |FROM documents GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,
+
+    // same digest algebra as dedup_exact, reached through the packed
+    // BINARY payload — sha256 of the UTF-8 bytes either way
+    "multimodal_dedup" ->
       """SELECT min(doc_id) AS doc_id, sha256(text) AS h, count(*) AS n_dups
         |FROM documents GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,
 

@@ -150,6 +150,11 @@ class CepSqlSpec extends SparkSuite {
          |  PATTERN (a b)
          |  DEFINE a AS event_type = 'view', b AS event_type = 'click'
          |)""".stripMargin)).getMessage.contains("unknown variable"))
+    // duplicate DEFINE for one variable
+    assert(intercept[IllegalArgumentException](
+      MatchRecognize.parse(body("a b",
+        "a AS event_type = 'view', b AS event_type = 'click', a AS event_type = 'x'")))
+      .getMessage.contains("more than once"))
     // DEFINEd but absent from PATTERN (typo guard)
     assert(intercept[IllegalArgumentException](
       MatchRecognize.parse(body("a b",
