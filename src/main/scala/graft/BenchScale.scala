@@ -39,7 +39,10 @@ object BenchScale {
     "dedup_clusters", "dedup_containment", "dedup_ngram_jaccard",
     "dedup_minhash", "dedup_simhash", "text_tfidf", "q_composite_corpus",
     "event_cep", "event_cep_relaxed", "recursive_chain", "wnd_late_drop",
-    "join_skew_salted", "sim_ann_partitioned")
+    "join_skew_salted", "sim_ann_partitioned",
+    // round-9 additions: the trained-quantizer serving path (two
+    // k-means passes + pruned ADC scan) and the CDC chunker
+    "sim_ivfadc", "corpus_cdc_chunk")
 
   private def gen(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     val done = new java.io.File(s"$outDir/_GEN_DONE")
