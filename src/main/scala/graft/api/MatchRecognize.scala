@@ -145,7 +145,19 @@ object MatchRecognize {
     while (i < s.length) {
       val c = s(i)
       if (c.isWhitespace) i += 1
-      else if (c.isLetter || c == '_') {
+      // SQL comments: `--` to end of line, `/* */` block. Skipped like
+      // whitespace, so MATCH_RECOGNIZE inside a comment neither diverts
+      // the session parser nor reaches the clause parser.
+      else if (c == '-' && i + 1 < s.length && s(i + 1) == '-') {
+        while (i < s.length && s(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < s.length && s(i + 1) == '*') {
+        val st = i
+        i += 2
+        while (i + 1 < s.length && !(s(i) == '*' && s(i + 1) == '/')) i += 1
+        if (i + 1 >= s.length) throw new IllegalArgumentException(
+          s"unterminated block comment at offset $st")
+        i += 2
+      } else if (c.isLetter || c == '_') {
         val st = i
         while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_')) i += 1
         out += TId(s.substring(st, i), st, i)
@@ -179,15 +191,20 @@ object MatchRecognize {
 
   // ---------- parser ----------
 
-  /** Does the statement contain MATCH_RECOGNIZE as a real KEYWORD —
-    * not inside a string literal? The parser front end's divert guard:
-    * tokenizes (string-literal-aware) and looks for the identifier, so
-    * `SELECT 'MATCH_RECOGNIZE'` stays with the stock parser. Returns
-    * false (never throws) on text our tokenizer cannot scan — such a
-    * statement belongs to the stock parser by definition. */
+  /** Does the statement contain a MATCH_RECOGNIZE CLAUSE — the keyword
+    * as a real token (not inside a string literal or comment — the
+    * tokenizer skips both) immediately followed by `(`? The parser
+    * front end's divert guard: `SELECT 'MATCH_RECOGNIZE'`, commented-out
+    * clauses, and a column that merely NAMES match_recognize all stay
+    * with the stock parser. Returns false (never throws) on text our
+    * tokenizer cannot scan — such a statement belongs to the stock
+    * parser by definition. */
   def hasClause(sql: String): Boolean =
-    try tokenize(sql).exists(kw(_, "MATCH_RECOGNIZE"))
-    catch { case _: Exception => false }
+    try {
+      val ts = tokenize(sql)
+      ts.indices.exists(i => kw(ts(i), "MATCH_RECOGNIZE") &&
+        i + 1 < ts.length && ts(i + 1).text == "(")
+    } catch { case _: Exception => false }
 
   /** Parse a MATCH_RECOGNIZE clause (bare, or embedded in a
     * `SELECT * FROM t MATCH_RECOGNIZE (...)` statement). */
@@ -195,10 +212,24 @@ object MatchRecognize {
     val toks = tokenize(sql)
     val mrIdx = toks.indexWhere(kw(_, "MATCH_RECOGNIZE"))
     require(mrIdx >= 0, "no MATCH_RECOGNIZE keyword in input")
-    // optional `FROM <table>` before the clause
-    val fromTable = (0 until mrIdx).collectFirst {
-      case i if kw(toks(i), "FROM") && i + 1 < mrIdx =>
-        toks(i + 1).text
+    // The statement context must be EXACTLY `SELECT * FROM <tbl>` (or
+    // nothing — the bare clause form). Anything else — a select list,
+    // INSERT INTO prefix, WHERE/ORDER BY/LIMIT after the clause — would
+    // be silently discarded if accepted, returning wrong rows/columns
+    // with no error; reject with a pointer at the supported surface.
+    val prefix = toks.take(mrIdx)
+    val fromTable = prefix.map(_.text.toUpperCase) match {
+      case Vector() => None
+      case Vector("SELECT", "*", "FROM", _) =>
+        prefix(3) match {
+          case TId(t, _, _) => Some(t)
+          case o => fail(s"FROM needs a table identifier, got '${o.text}'")
+        }
+      case _ => fail("unsupported statement shape before MATCH_RECOGNIZE: " +
+        "this front end runs exactly `SELECT * FROM <table> " +
+        "MATCH_RECOGNIZE (...)` (or the bare clause) — a select list, " +
+        "INSERT context, or subquery prefix would be silently dropped. " +
+        s"Got: ${prefix.map(_.text).mkString(" ")}")
     }
     require(mrIdx + 1 < toks.length && toks(mrIdx + 1).text == "(",
       "MATCH_RECOGNIZE must be followed by a parenthesized clause body")
@@ -215,6 +246,11 @@ object MatchRecognize {
       j += 1
     }
     require(end > 0, "unbalanced parens around MATCH_RECOGNIZE body")
+    require(end == toks.length - 1,
+      "unsupported tokens after the MATCH_RECOGNIZE clause (WHERE / " +
+        "ORDER BY / LIMIT / aliases are not run by this front end — " +
+        "apply them to the returned DataFrame instead): " +
+        toks.drop(end + 1).map(_.text).mkString(" "))
     val body = toks.slice(mrIdx + 2, end)
     parseBody(sql, body, fromTable)
   }
@@ -250,8 +286,23 @@ object MatchRecognize {
     orderItem()
     while (peek.exists(_.text == ",")) { p += 1; orderItem() }
 
+    // A clause boundary, not just a keyword: ONE/ALL/AFTER/PATTERN/
+    // WITHIN/DEFINE terminate MEASURES scanning only when they BEGIN a
+    // syntactically valid clause (ONE ROW PER, AFTER MATCH SKIP,
+    // PATTERN (, ...), so a measure referencing a column named e.g.
+    // `pattern` or `all` does not mis-split the clause.
+    def clauseStartAt(i: Int): Boolean = {
+      def nx(j: Int, w: String) = j < ts.length && kw(ts(j), w)
+      (kw(ts(i), "ONE") && nx(i + 1, "ROW") && nx(i + 2, "PER")) ||
+      (kw(ts(i), "ALL") && nx(i + 1, "ROWS") && nx(i + 2, "PER")) ||
+      (kw(ts(i), "AFTER") && nx(i + 1, "MATCH") && nx(i + 2, "SKIP")) ||
+      (kw(ts(i), "PATTERN") && i + 1 < ts.length && ts(i + 1).text == "(") ||
+      (kw(ts(i), "WITHIN") && nx(i + 1, "INTERVAL")) ||
+      (kw(ts(i), "DEFINE") && i + 1 < ts.length &&
+        ts(i + 1).isInstanceOf[TId] && nx(i + 2, "AS"))
+    }
+
     // MEASURES expr AS alias [, ...]
-    val clauseStarts = Set("ONE", "ALL", "AFTER", "PATTERN", "WITHIN", "DEFINE")
     val measures = Vector.newBuilder[MrMeasure]
     if (at("MEASURES")) {
       p += 1
@@ -260,8 +311,7 @@ object MatchRecognize {
         val st = p
         var d = 0
         while (p < ts.length &&
-               !(d == 0 && (ts(p).text == "," ||
-                 clauseStarts.exists(kw(ts(p), _))))) {
+               !(d == 0 && (ts(p).text == "," || clauseStartAt(p)))) {
           if (ts(p).text == "(") d += 1
           if (ts(p).text == ")") d -= 1
           p += 1
@@ -427,6 +477,13 @@ object MatchRecognize {
     require(!tagged.head.isGap && !tagged.last.isGap,
       "a gap variable cannot lead or trail the pattern (drop it — " +
         "matches are anchored at the first and last steps)")
+    // Negated-step placement, validated BEFORE the contiguity analysis
+    // (mirroring CepPattern's constructor) — otherwise e.g. `a g* !b`
+    // reaches the gap analysis with no positive step pair and surfaces
+    // an internal-invariant error instead of this message.
+    require(!tagged.head.negated && !tagged.last.negated,
+      "a negated step (!var) must sit between two positive steps " +
+        "(Flink's notFollowedBy cannot start or end a pattern either)")
     // contiguity: consecutive POSITIVE steps are separated iff a gap or
     // a negated step lies between them; all separated -> relaxed,
     // none -> strict, mixed -> reject (contiguity is pattern-global)

@@ -184,6 +184,78 @@ class CepSqlSpec extends SparkSuite {
          |)""".stripMargin).measuresValCol).getMessage.contains("unsupported MEASURES"))
   }
 
+  test("statement-shape strictness: discarded context is rejected, not ignored") {
+    val clause =
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  PATTERN (a b)
+        |  DEFINE a AS event_type = 'view', b AS event_type = 'click'
+        |)""".stripMargin
+    // exact supported prefix parses
+    assert(MatchRecognize.parse(s"SELECT * FROM events $clause")
+      .fromTable === Some("events"))
+    // a select list would be silently dropped -> rejected
+    assert(intercept[IllegalArgumentException](
+      MatchRecognize.parse(s"SELECT user_id, ts FROM events $clause"))
+      .getMessage.contains("unsupported statement shape"))
+    // an INSERT context would be silently dropped -> rejected
+    assert(intercept[IllegalArgumentException](
+      MatchRecognize.parse(s"INSERT INTO t SELECT * FROM events $clause"))
+      .getMessage.contains("unsupported statement shape"))
+    // trailing clauses would be silently dropped -> rejected
+    assert(intercept[IllegalArgumentException](
+      MatchRecognize.parse(s"SELECT * FROM events $clause LIMIT 5"))
+      .getMessage.contains("after the MATCH_RECOGNIZE clause"))
+    assert(intercept[IllegalArgumentException](
+      MatchRecognize.parse(s"SELECT * FROM events $clause WHERE user_id = 1"))
+      .getMessage.contains("after the MATCH_RECOGNIZE clause"))
+  }
+
+  test("comments and keyword-shaped identifiers do not divert or mis-split") {
+    // the keyword inside a comment is NOT a clause — stock parser keeps it
+    assert(!MatchRecognize.hasClause(
+      "SELECT 1 -- MATCH_RECOGNIZE (commented out)\nFROM t"))
+    assert(!MatchRecognize.hasClause(
+      "SELECT 1 /* MATCH_RECOGNIZE ( */ FROM t"))
+    // a column merely NAMED match_recognize (no clause body) stays stock
+    assert(!MatchRecognize.hasClause("SELECT match_recognize FROM t"))
+    // comments INSIDE a real clause are skipped like whitespace
+    val commented =
+      """MATCH_RECOGNIZE ( -- the funnel
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id /* tiebreak required */
+        |  PATTERN (a b)
+        |  DEFINE a AS event_type = 'view', b AS event_type = 'click'
+        |)""".stripMargin
+    assert(MatchRecognize.hasClause(commented))
+    assert(MatchRecognize.parse(commented).toSymbolic.map(_._1) === Some("event_type"))
+    // a measure referencing a column named `pattern` does not mis-split
+    // the MEASURES scan (clause starts need their full keyword shape)
+    val kwMeasure =
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES value + pattern AS m
+        |  ONE ROW PER MATCH
+        |  PATTERN (a b)
+        |  DEFINE a AS event_type = 'view', b AS event_type = 'click'
+        |)""".stripMargin
+    assert(MatchRecognize.parse(kwMeasure).measures ===
+      Seq(MrMeasure("value + pattern", "m")))
+  }
+
+  test("negated-step placement is a user-facing rejection, not an internal error") {
+    val e = intercept[IllegalArgumentException](MatchRecognize.parse(
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  PATTERN (a g* !b)
+        |  DEFINE a AS event_type = 'view', b AS event_type = 'click'
+        |)""".stripMargin))
+    assert(e.getMessage.contains("between two positive steps"), e.getMessage)
+  }
+
   test("property: render -> parse round-trips 300 random patterns") {
     val rnd = new scala.util.Random(20260814L)
     val syms = Vector("alpha", "beta", "gamma", "delta", "eps")
