@@ -103,7 +103,7 @@ case class MrSpec(partitionBy: Seq[String], orderBy: Seq[String],
   *   PARTITION BY key
   *   ORDER BY ts, ord                      -- tiebreak column REQUIRED
   *   [MEASURES SUM(valCol) AS step_sums]   -- compiled MEASURES form
-  *   [ONE ROW PER MATCH]
+  *   [ONE ROW PER MATCH | ALL ROWS PER MATCH]
   *   [AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW
   *                     | TO FIRST var | TO LAST var]
   *   PATTERN ( elem... )
@@ -121,11 +121,13 @@ case class MrSpec(partitionBy: Seq[String], orderBy: Seq[String],
   * the only role undefined variables may play here (contiguity is
   * pattern-global in [[CepPattern]], so gaps must separate either ALL
   * consecutive steps or none; negated steps count as separators since
-  * they constrain the gap they sit in). Not supported, by documented
-  * design: `ALL ROWS PER MATCH` execution (parsed, rejected with a
-  * pointer at the per-key row-level form), SQL exclusion syntax
-  * `{- -}`, `SUBSET`, alternation `|`, and `followedByAny` (no SQL
-  * surface exists). [[render]] is the inverse — it emits canonical
+  * they constrain the gap they sit in). `ALL ROWS PER MATCH` routes to
+  * the per-key row-level executor (StreamOps.cepAllRowsPattern — one
+  * output row per CONSUMED row; see [[runAllRows]] for its schema and
+  * input requirements). Not supported, by documented design: SQL
+  * exclusion syntax `{- -}`, `SUBSET`, alternation `|`, and
+  * `followedByAny` (no SQL surface exists). [[render]] is the inverse
+  * — it emits canonical
   * clause text from a DSL pattern, and round-tripping is
   * property-tested over every declared pattern in CepSqlSpec.
   */
@@ -524,15 +526,13 @@ object MatchRecognize {
     */
   def run(df: DataFrame, sql: String): DataFrame = {
     val spec = parse(sql)
-    require(!spec.allRows,
-      "ALL ROWS PER MATCH: use the per-key row-level form " +
-        "(StreamOps.cepAllRows) — the compiled plans emit one row per match")
     require(spec.partitionBy.size == 1,
       s"PARTITION BY must name exactly one key column, got ${spec.partitionBy}")
     require(spec.orderBy.size == 2,
       "ORDER BY must name the event-time column AND a deterministic " +
         s"tiebreak column (e.g. `ORDER BY ts, event_id`), got ${spec.orderBy}")
     val (key, tsC, ordC) = (spec.partitionBy.head, spec.orderBy(0), spec.orderBy(1))
+    if (spec.allRows) return runAllRows(df, spec, key, tsC, ordC)
     (spec.toSymbolic, spec.measuresValCol) match {
       case (Some((symCol, pat)), None) => Cep.compile(df, key, tsC, ordC, symCol, pat)
       case (Some((symCol, pat)), Some(v)) =>
@@ -541,6 +541,46 @@ object MatchRecognize {
       case (None, Some(v)) =>
         Cep.compileWhereMeasures(df, key, tsC, ordC, v, spec.toCond)
     }
+  }
+
+  /** `ALL ROWS PER MATCH` execution: the per-key sequential matcher
+    * with its consumption context snapshotted at emission
+    * (StreamOps.cepAllRowsPattern), one row per CONSUMED row. Output
+    * columns: key, start_id/end_id (match identity — start_id unique
+    * per match under every skip strategy), pos (1-based consumption
+    * position), ordCol, tsCol, step (the consuming step's symbol —
+    * pattern-variable name on the value-predicate route), value.
+    * Value-predicate DEFINEs route through the same first-match-wins
+    * derived-symbol CASE as the ONE-ROW compiled path, so both DEFINE
+    * forms execute. The key and ord columns must be integral and the
+    * input must carry a numeric `value` column to project (the engine's
+    * CEP event model — absent one, 0.0 is carried). */
+  private def runAllRows(df: DataFrame, spec: MrSpec, key: String,
+                         tsC: String, ordC: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(spec.measures.isEmpty,
+      "ALL ROWS PER MATCH does not combine with the compiled MEASURES " +
+        "form (per-step aggregates summarize a match to ONE row) — drop " +
+        "the MEASURES clause, every consumed row's value is in the output")
+    val (symExpr, pat) = spec.toSymbolic match {
+      case Some((symCol, p)) => (col(symCol), p)
+      case None =>
+        (org.apache.spark.sql.functions.expr(spec.toCond.caseSql),
+          spec.toCond.symbolic)
+    }
+    val sp = df.sparkSession
+    import sp.implicits._
+    val valueCol =
+      if (df.columns.contains("value")) col("value").cast("double")
+      else lit(0.0)
+    val ev = df.select(col(ordC).cast("long").as("event_id"), col(tsC).as("ts"),
+        col(key).cast("long").as("user_id"), symExpr.as("event_type"),
+        valueCol.as("value"))
+      .as[graft.streaming.Ev]
+    graft.streaming.StreamOps.cepAllRowsPattern(ev, pat).toDF()
+      .withColumnRenamed("user_id", key)
+      .withColumnRenamed("event_id", ordC)
+      .withColumnRenamed("ts", tsC)
   }
 
   /** The DuckDB replay of [[run]] on the same text — generated from

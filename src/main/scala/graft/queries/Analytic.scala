@@ -373,6 +373,18 @@ object Analytic {
       s.sql(CepSql.funnel).orderBy("user_id", "start_id")
     }),
 
+    // ALL ROWS PER MATCH through the SQL route (the round-9 front-door
+    // gap): the same C+ P WITHIN 10 min shape as event_cep_all_rows,
+    // compiled from CLAUSE TEXT and executed by the general per-key
+    // row-level executor (StreamOps.cepAllRowsPattern via
+    // MatchRecognize.runAllRows). Must be row-identical to the DSL key,
+    // so it shares that oracle (end_id = the ending purchase).
+    "event_cep_sql_allrows" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.allRows)
+        .select(col("user_id"), col("end_id").as("purchase_id"), col("pos"),
+          col("event_id"), col("ts"), col("step"), col("value"))
+        .orderBy("user_id", "purchase_id", "pos")),
+
     "topk_per_group" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d)
@@ -629,7 +641,54 @@ object Analytic {
         |  DEFINE c AS event_type = 'click',
         |         p AS event_type = 'purchase'
         |)""".stripMargin
+    // ALL ROWS PER MATCH from text: variables NAMED by the symbols they
+    // define, so the executor's `step` column equals event_cep_all_rows'
+    // (which emits event_type) and the two keys share one oracle.
+    val allRows: String =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ALL ROWS PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (click+ purchase)
+        |  WITHIN INTERVAL '10' MINUTE
+        |  DEFINE click AS event_type = 'click',
+        |         purchase AS event_type = 'purchase'
+        |)""".stripMargin
   }
+
+  /** The islands-rewrite ALL ROWS oracle, shared by the DSL key
+    * (event_cep_all_rows) and the SQL-route key (event_cep_sql_allrows
+    * — row-identical by construction, same matcher, same pattern). */
+  private val AllRowsOracle: String =
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    sum(CASE WHEN event_type != 'click' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS blk
+        |  FROM events),
+        |p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id,
+        |             value AS pval, blk - 1 AS pblk
+        |      FROM t WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, blk, ts AS cts, event_id AS c_id, value AS cval
+        |      FROM t WHERE event_type = 'click'),
+        |m AS (SELECT p.user_id, purchase_id, any_value(purchase_ts) AS purchase_ts,
+        |             any_value(pval) AS pval, any_value(p.pblk) AS pblk
+        |      FROM p JOIN c ON c.user_id = p.user_id AND c.blk = p.pblk
+        |      WHERE cts >= purchase_ts - INTERVAL 10 MINUTE
+        |      GROUP BY p.user_id, purchase_id),
+        |r AS (SELECT m.user_id, m.purchase_id, c.c_id AS event_id, c.cts AS ts,
+        |             'click' AS step, c.cval AS value
+        |      FROM m JOIN c ON c.user_id = m.user_id AND c.blk = m.pblk
+        |       AND c.cts >= m.purchase_ts - INTERVAL 10 MINUTE
+        |      UNION ALL
+        |      SELECT user_id, purchase_id, purchase_id, purchase_ts,
+        |             'purchase', pval FROM m)
+        |SELECT user_id, purchase_id,
+        |       row_number() OVER (PARTITION BY user_id, purchase_id
+        |                          ORDER BY ts, event_id) AS pos,
+        |       event_id, ts, step, value
+        |FROM r ORDER BY user_id, purchase_id, pos""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "event_cep_sql" -> MatchRecognize.oracleFor(CepSql.funnel),
@@ -794,35 +853,8 @@ object Analytic {
     // The islands rewrite's matches exploded back to their consumed
     // rows: qualifying clicks plus the ending purchase, positioned by
     // per-match (ts, event_id) row_number = consumption order.
-    "event_cep_all_rows" ->
-      """WITH t AS (
-        |  SELECT user_id, ts, event_id, event_type, value,
-        |    sum(CASE WHEN event_type != 'click' THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |            ROWS UNBOUNDED PRECEDING) AS blk
-        |  FROM events),
-        |p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id,
-        |             value AS pval, blk - 1 AS pblk
-        |      FROM t WHERE event_type = 'purchase'),
-        |c AS (SELECT user_id, blk, ts AS cts, event_id AS c_id, value AS cval
-        |      FROM t WHERE event_type = 'click'),
-        |m AS (SELECT p.user_id, purchase_id, any_value(purchase_ts) AS purchase_ts,
-        |             any_value(pval) AS pval, any_value(p.pblk) AS pblk
-        |      FROM p JOIN c ON c.user_id = p.user_id AND c.blk = p.pblk
-        |      WHERE cts >= purchase_ts - INTERVAL 10 MINUTE
-        |      GROUP BY p.user_id, purchase_id),
-        |r AS (SELECT m.user_id, m.purchase_id, c.c_id AS event_id, c.cts AS ts,
-        |             'click' AS step, c.cval AS value
-        |      FROM m JOIN c ON c.user_id = m.user_id AND c.blk = m.pblk
-        |       AND c.cts >= m.purchase_ts - INTERVAL 10 MINUTE
-        |      UNION ALL
-        |      SELECT user_id, purchase_id, purchase_id, purchase_ts,
-        |             'purchase', pval FROM m)
-        |SELECT user_id, purchase_id,
-        |       row_number() OVER (PARTITION BY user_id, purchase_id
-        |                          ORDER BY ts, event_id) AS pos,
-        |       event_id, ts, step, value
-        |FROM r ORDER BY user_id, purchase_id, pos""".stripMargin,
+    "event_cep_all_rows" -> AllRowsOracle,
+    "event_cep_sql_allrows" -> AllRowsOracle,
 
     "topk_per_group" ->
       """SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM (

@@ -42,6 +42,16 @@ case class CepPatMatch(user_id: Long, start_id: Long, start_ts: java.sql.Timesta
                        end_id: Long, end_ts: java.sql.Timestamp,
                        n_rows: Long, step_counts: String)
 
+/** One consumed row of the GENERAL ALL ROWS PER MATCH projection
+  * (StreamOps.cepAllRowsPattern — any symbolic pattern, vs
+  * [[CepMatchRow]]'s fixed C+ P shape): match identity is the match's
+  * start/end consumed rows (start_id is unique per match under every
+  * skip strategy — anchors strictly advance), `step` is the consuming
+  * step's symbol, `pos` the 1-based consumption position. */
+case class CepAllRow(user_id: Long, start_id: Long, end_id: Long, pos: Long,
+                     event_id: Long, ts: java.sql.Timestamp, step: String,
+                     value: Double)
+
 /** General-CEP keyed state: the unconsumed (sym, tsUs, ord) buffer tail. */
 private[streaming] case class CepPatState(syms: Seq[String], ts: Seq[Long], ords: Seq[Long])
 
@@ -1738,6 +1748,41 @@ object StreamOps extends Serializable {
           (stepRows(0) ++ stepRows(1)).iterator.zipWithIndex.map { case (r, i) =>
             CepMatchRow(user, pur.event_id, i + 1L, r.event_id, r.ts,
               r.event_type, r.value)
+          }
+        }
+    }
+  }
+
+  /** ALL ROWS PER MATCH for an ARBITRARY symbolic pattern — the general
+    * executor behind the SQL front door's `ALL ROWS PER MATCH` clause
+    * (api.MatchRecognize.run), generalizing [[cepAllRows]]'s fixed C+ P
+    * shape: every consumed row of every match of `pattern`, tagged with
+    * match identity (start_id/end_id — start_id is unique per match
+    * under every skip strategy, since anchors strictly advance), its
+    * consuming step's symbol, and its 1-based consumption position.
+    * Runs [[graft.api.Cep.matchSequenceMeasures]] (the sequential
+    * matcher with its consumption context snapshotted at emission) one
+    * flatMapGroups per key — per-key linear in events × pattern, the
+    * same placement and cost shape as every other per-key CEP path.
+    * Output is O(consumed rows); overlapping-skip strategies (TO NEXT
+    * ROW / TO FIRST / TO LAST) may emit one input row into several
+    * matches — each carries its own (start_id, pos). Step flattening is
+    * original-step order, which IS consumption order (steps consume
+    * time-ordered, disjoint row sets; negated steps consume nothing).
+    */
+  def cepAllRowsPattern(ev: Dataset[Ev], pattern: CepPattern): Dataset[CepAllRow] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.user_id).flatMapGroups { (user: Long, events: Iterator[Ev]) =>
+      val evs = events.toIndexedSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+      Cep.matchSequenceMeasures[Ev](evs, e => tsMicros(e.ts), _.event_type, pattern)
+        .iterator.flatMap { case (m, stepRows) =>
+          val startId = evs(m.startIdx).event_id
+          val endId = evs(m.endIdx).event_id
+          var pos = 0L
+          for (si <- stepRows.indices.iterator; r <- stepRows(si).iterator) yield {
+            pos += 1
+            CepAllRow(user, startId, endId, pos, r.event_id, r.ts,
+              pattern.steps(si).symbol, r.value)
           }
         }
     }

@@ -160,19 +160,21 @@ class CepSqlSpec extends SparkSuite {
       MatchRecognize.parse(body("a b",
         "a AS event_type = 'view', b AS event_type = 'click', zz AS event_type = 'x'")))
       .getMessage.contains("not in PATTERN"))
-    // ALL ROWS PER MATCH parses but does not execute on the compiled path
-    val allRows =
+    // ALL ROWS PER MATCH + MEASURES: the combination is rejected (the
+    // compiled MEASURES form summarizes a match to one row)
+    val allRowsMeasures =
       """MATCH_RECOGNIZE (
         |  PARTITION BY user_id
         |  ORDER BY ts, event_id
+        |  MEASURES SUM(value) AS step_sums
         |  ALL ROWS PER MATCH
         |  PATTERN (a b)
         |  DEFINE a AS event_type = 'view', b AS event_type = 'click'
         |)""".stripMargin
-    assert(MatchRecognize.parse(allRows).allRows)
+    assert(MatchRecognize.parse(allRowsMeasures).allRows)
     assert(intercept[IllegalArgumentException](
-      MatchRecognize.run(Tables.events(spark, sf001), allRows))
-      .getMessage.contains("cepAllRows"))
+      MatchRecognize.run(Tables.events(spark, sf001), allRowsMeasures))
+      .getMessage.contains("does not combine"))
     // unsupported MEASURES shape
     assert(intercept[IllegalArgumentException](MatchRecognize.parse(
       s"""MATCH_RECOGNIZE (
@@ -182,6 +184,41 @@ class CepSqlSpec extends SparkSuite {
          |  PATTERN (a b)
          |  DEFINE a AS event_type = 'view', b AS event_type = 'click'
          |)""".stripMargin).measuresValCol).getMessage.contains("unsupported MEASURES"))
+  }
+
+  test("ALL ROWS PER MATCH executes through the SQL route") {
+    import org.apache.spark.sql.functions.col
+    val sp = spark
+    import sp.implicits._
+    val evDf = Tables.events(spark, sf001)
+    // the C+ P WITHIN 10 min shape — must equal the fixed-shape DSL key
+    val viaSql = MatchRecognize.run(evDf, graft.queries.Analytic.CepSql.allRows)
+      .select(col("user_id"), col("end_id").as("purchase_id"), col("pos"),
+        col("event_id"), col("ts"), col("step"), col("value"))
+      .orderBy("user_id", "purchase_id", "pos").collect()
+    val ev = evDf.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value")).as[graft.streaming.Ev]
+    val viaDsl = graft.streaming.StreamOps.cepAllRows(ev, withinMinutes = 10)
+      .toDF().orderBy("user_id", "purchase_id", "pos").collect()
+    assert(viaSql.nonEmpty)
+    assert(viaSql.toSeq === viaDsl.toSeq)
+    // a value-predicate DEFINE routes through the derived-symbol CASE:
+    // step labels are the variable names, consumed rows satisfy them
+    val predTxt =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ALL ROWS PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (hot+ buy)
+        |  WITHIN INTERVAL '1' DAY
+        |  DEFINE hot AS event_type IN ('view', 'click') AND value >= 60,
+        |         buy AS event_type = 'purchase'
+        |)""".stripMargin
+    val rows = MatchRecognize.run(evDf, predTxt)
+      .orderBy("user_id", "start_id", "pos").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[String]("step")).toSet === Set("hot", "buy"))
   }
 
   test("statement-shape strictness: discarded context is rejected, not ignored") {
