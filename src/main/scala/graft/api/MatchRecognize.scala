@@ -14,6 +14,44 @@ case class MrElem(variable: String, minRep: Int, maxRep: Option[Int],
 /** One MEASURES entry: verbatim expression text and its alias. */
 case class MrMeasure(exprSql: String, alias: String)
 
+/** One parsed DEFINE navigation call — `PREV(var.col [, n])` /
+  * `FIRST(var.col [, n])` / `LAST(var.col [, n])` (SQL:2016 row-pattern
+  * navigation; Flink SQL supports the same three in DEFINE).
+  *  - `PREV` navigates the PARTITION: the row `n` before the current
+  *    row in (orderBy) order, whatever variable matched it — the
+  *    standard's physical navigation (default n = 1). The variable
+  *    only scopes the expression, exactly as in Flink.
+  *  - `FIRST`/`LAST` navigate the MATCH: the (n+1)-th / n-th-from-last
+  *    row CONSUMED by `variable` in the current attempt (default
+  *    n = 0) — Flink `IterativeCondition.getEventsForPattern`.
+  * A navigation whose target row does not (yet) exist evaluates to
+  * SQL null, so its comparison is false — both engines agree. */
+case class MrNav(fn: String, variable: String, colName: String, n: Int) {
+  require(Set("PREV", "FIRST", "LAST")(fn), s"unknown navigation $fn")
+  require(n >= 0, s"negative navigation offset $n")
+}
+
+/** One navigation conjunct of a DEFINE predicate, normalized to
+  * `<current-row column> <op> <navigation>` (a nav-first conjunct is
+  * stored with the comparison flipped; `<>` canonicalizes to `!=`).
+  * Navigation columns are read as doubles — the engine's CEP value
+  * model — so navigation comparisons are numeric. */
+case class MrNavCond(leftCol: String, op: String, nav: MrNav)
+
+/** One prepared input row of the navigation executor
+  * ([[MatchRecognize.run]] on a nav-bearing spec): the per-step
+  * CONTEXT-FREE predicate results (`cf`, evaluated by Catalyst before
+  * the per-key matcher — the declarative part stays codegen'd) plus the
+  * navigation columns as doubles (`nv`, null → NaN → comparison false,
+  * SQL's unknown). */
+private[graft] case class MrIterRow(k: Long, ts: java.sql.Timestamp, ord: Long,
+                                    cf: Seq[Boolean], nv: Seq[Double])
+
+/** One resolved navigation condition of the executor: positions into
+  * [[MrIterRow]].nv plus the navigated step's pattern index. */
+private[graft] case class MrNavExec(leftIdx: Int, op: String, fn: String,
+                                    navStepIdx: Int, navColIdx: Int, n: Int)
+
 /** A parsed MATCH_RECOGNIZE clause, resolved against this library's
   * CEP model ([[CepPattern]]/[[CepCondPattern]]).
   *
@@ -29,9 +67,10 @@ case class MrSpec(partitionBy: Seq[String], orderBy: Seq[String],
                   measures: Seq[MrMeasure], allRows: Boolean,
                   skip: CepSkip, withinMinutes: Option[Int],
                   elems: Seq[MrElem], defines: Seq[(String, String)],
-                  strict: Boolean, fromTable: Option[String]) {
+                  strict: Boolean, fromTable: Option[String],
+                  navConds: Map[String, Seq[MrNavCond]] = Map.empty) {
 
-  private def defMap = defines.toMap
+  private[graft] def defMap = defines.toMap
 
   /** The defined elements, in pattern order — the steps. */
   def stepElems: Seq[MrElem] = elems.filterNot(_.isGap)
@@ -41,6 +80,7 @@ case class MrSpec(partitionBy: Seq[String], orderBy: Seq[String],
     * [[CepPattern]] over the literals). Otherwise None → [[toCond]].
     */
   def toSymbolic: Option[(String, CepPattern)] = {
+    if (navConds.nonEmpty) return None // nav DEFINEs are match-relative
     val SymEq = """^\s*([A-Za-z_]\w*)\s*=\s*'((?:[^']|'')*)'\s*$""".r
     val parsed = defines.map { case (v, p) =>
       p match {
@@ -65,10 +105,16 @@ case class MrSpec(partitionBy: Seq[String], orderBy: Seq[String],
   /** The value-predicate form: each step's DEFINE text becomes its
     * [[CepCondStep]] predicate verbatim (variable prefixes already
     * stripped by the parser) — [[Cep.compileWhere]]'s input. */
-  def toCond: CepCondPattern = CepCondPattern(
-    stepElems.map(e => CepCondStep(e.variable, defMap(e.variable),
-      e.minRep, e.maxRep, e.negated, e.greedy)),
-    withinMinutes, skip, strict)
+  def toCond: CepCondPattern = {
+    require(navConds.isEmpty,
+      "DEFINE navigation (PREV/FIRST/LAST) is match-relative — no " +
+        "derived-symbol CASE can express it; MatchRecognize.run routes " +
+        "such specs to the per-key iterative matcher automatically")
+    CepCondPattern(
+      stepElems.map(e => CepCondStep(e.variable, defMap(e.variable),
+        e.minRep, e.maxRep, e.negated, e.greedy)),
+      withinMinutes, skip, strict)
+  }
 
   /** The compiled-MEASURES value column, when the MEASURES clause is
     * the one supported form `SUM(<col>) AS step_sums` (this library's
@@ -405,8 +451,12 @@ object MatchRecognize {
       })
     }
 
-    // DEFINE var AS predicate [, ...]  — predicates kept verbatim
+    // DEFINE var AS predicate [, ...]  — context-free predicates kept
+    // verbatim; navigation conjuncts (PREV/FIRST/LAST) parsed to
+    // structured [[MrNavCond]]s, the rest re-joined as the variable's
+    // context-free part
     val defines = Vector.newBuilder[(String, String)]
+    val navByVar = Map.newBuilder[String, Seq[MrNavCond]]
     if (at("DEFINE")) {
       p += 1
       var more = true
@@ -421,7 +471,9 @@ object MatchRecognize {
           p += 1
         }
         require(p > st, s"empty DEFINE predicate for $v")
-        defines += ((v, stripVarPrefixes(src, ts.slice(st, p))))
+        val (cfSql, navs) = splitNavDefine(src, ts.slice(st, p))
+        defines += ((v, cfSql))
+        if (navs.nonEmpty) navByVar += ((v, navs))
         if (peek.exists(_.text == ",")) p += 1 else more = false
       }
     }
@@ -429,7 +481,114 @@ object MatchRecognize {
       s"unexpected trailing tokens: ${ts.drop(p).map(_.text).mkString(" ")}")
 
     finish(partition.result(), order.result(), measures.result(), allRows,
-      skip, within, elems.result(), defines.result(), fromTable)
+      skip, within, elems.result(), defines.result(), fromTable,
+      navByVar.result())
+  }
+
+  private val NavFns = Set("PREV", "FIRST", "LAST")
+
+  /** Split a DEFINE predicate into its context-free SQL (var prefixes
+    * stripped, kept verbatim when no navigation is present) and its
+    * parsed navigation conjuncts. The supported navigation surface is a
+    * top-level AND of conjuncts, each either navigation-free SQL or
+    * exactly `[var.]col <op> NAV(var.col [, n])` (either side — a
+    * nav-first conjunct stores the flipped comparison). A navigation
+    * call nested anywhere else is rejected with this grammar spelled
+    * out. A nav-only DEFINE gets context-free part `TRUE`. */
+  private def splitNavDefine(src: String,
+                             toks: Vector[Tok]): (String, Seq[MrNavCond]) = {
+    def isNavCall(p: Vector[Tok], i: Int): Boolean =
+      p(i).isInstanceOf[TId] && NavFns(p(i).text.toUpperCase) &&
+        i + 1 < p.length && p(i + 1).text == "("
+    if (!toks.indices.exists(isNavCall(toks, _)))
+      return (stripVarPrefixes(src, toks), Nil)
+    // split on top-level AND
+    val parts = Vector.newBuilder[Vector[Tok]]
+    var cur = Vector.newBuilder[Tok]
+    var d = 0
+    for (t <- toks) {
+      if (t.text == "(") d += 1
+      if (t.text == ")") d -= 1
+      if (d == 0 && kw(t, "AND")) { parts += cur.result(); cur = Vector.newBuilder[Tok] }
+      else cur += t
+    }
+    parts += cur.result()
+    val all = parts.result()
+    all.foreach(c => require(c.nonEmpty, "empty AND conjunct in DEFINE"))
+    val (navParts, cfParts) = all.partition(c => c.indices.exists(isNavCall(c, _)))
+    val navs = navParts.map(parseNavConjunct(_))
+    val cf =
+      if (cfParts.isEmpty) "TRUE"
+      else if (cfParts.size == 1) stripVarPrefixes(src, cfParts.head)
+      else cfParts.map(c => stripVarPrefixes(src, c)).mkString("(", ") AND (", ")")
+    (cf, navs)
+  }
+
+  /** Parse one navigation conjunct — see [[splitNavDefine]] for the
+    * grammar. */
+  private def parseNavConjunct(toks: Vector[Tok]): MrNavCond = {
+    val grammar = "supported navigation conjunct grammar is exactly " +
+      "`[var.]col <op> PREV|FIRST|LAST(var.col [, n])` (either side) " +
+      s"under a top-level AND; got: ${toks.map(_.text).mkString(" ")}"
+    var i = 0
+    def more = i < toks.length
+    def ident(): String = toks(i) match {
+      case TId(t, _, _) => i += 1; t
+      case _ => fail(grammar)
+    }
+    // current-row reference: one or two dotted identifiers -> bare col
+    def curRef(): String = {
+      val a = ident()
+      if (more && toks(i).text == ".") { i += 1; ident() } else a
+    }
+    def op(): String = {
+      require(more && toks(i).isInstanceOf[TSym], grammar)
+      val a = toks(i).text; i += 1
+      val b = if (more && toks(i).isInstanceOf[TSym]) toks(i).text else ""
+      (a, b) match {
+        case ("<", "=") => i += 1; "<="
+        case (">", "=") => i += 1; ">="
+        case ("!", "=") => i += 1; "!="
+        case ("<", ">") => i += 1; "!="
+        case ("=", _) => "="
+        case ("<", _) => "<"
+        case (">", _) => ">"
+        case _ => fail(grammar)
+      }
+    }
+    def nav(): MrNav = {
+      val fn = ident().toUpperCase
+      require(NavFns(fn), grammar)
+      require(more && toks(i).text == "(", grammar); i += 1
+      val v = ident()
+      require(more && toks(i).text == ".", grammar); i += 1
+      val c = ident()
+      val n = if (more && toks(i).text == ",") {
+        i += 1
+        require(more, grammar)
+        toks(i) match {
+          case TNum(t, _, _) if !t.contains(".") => i += 1; t.toInt
+          case _ => fail(grammar)
+        }
+      } else if (fn == "PREV") 1 else 0
+      require(more && toks(i).text == ")", grammar); i += 1
+      MrNav(fn, v, c, n)
+    }
+    def flip(o: String): String = o match {
+      case "<" => ">"
+      case ">" => "<"
+      case "<=" => ">="
+      case ">=" => "<="
+      case other => other
+    }
+    val navFirst = toks.head.isInstanceOf[TId] &&
+      NavFns(toks.head.text.toUpperCase) &&
+      toks.length > 1 && toks(1).text == "("
+    val out =
+      if (navFirst) { val nv = nav(); val o = op(); MrNavCond(curRef(), flip(o), nv) }
+      else { val l = curRef(); val o = op(); MrNavCond(l, o, nav()) }
+    require(i == toks.length, grammar)
+    out
   }
 
   /** Rewrite `var.col` to `col` in a predicate, VERBATIM otherwise —
@@ -456,7 +615,8 @@ object MatchRecognize {
                      measures: Seq[MrMeasure], allRows: Boolean, skip: CepSkip,
                      within: Option[Int], elems: Seq[MrElem],
                      defines: Seq[(String, String)],
-                     fromTable: Option[String]): MrSpec = {
+                     fromTable: Option[String],
+                     navConds: Map[String, Seq[MrNavCond]] = Map.empty): MrSpec = {
     val dupDefs = defines.map(_._1).groupBy(identity).collect {
       case (v, occ) if occ.size > 1 => v
     }
@@ -511,8 +671,14 @@ object MatchRecognize {
       case SkipToLast(v) => require(used(v), s"SKIP TO LAST $v: unknown variable")
       case _ =>
     }
+    // navigation targets must be DEFINEd pattern steps (a gap variable
+    // consumes no rows FIRST/LAST could navigate to)
+    for ((onVar, ncs) <- navConds; nc <- ncs)
+      require(used(nc.nav.variable),
+        s"DEFINE $onVar navigates ${nc.nav.fn}(${nc.nav.variable}.…) but " +
+          s"'${nc.nav.variable}' is not a defined pattern step")
     MrSpec(partition, order, measures, allRows, skip, within,
-      tagged, defines, strict, fromTable)
+      tagged, defines, strict, fromTable, navConds)
   }
 
   // ---------- executor ----------
@@ -532,6 +698,15 @@ object MatchRecognize {
       "ORDER BY must name the event-time column AND a deterministic " +
         s"tiebreak column (e.g. `ORDER BY ts, event_id`), got ${spec.orderBy}")
     val (key, tsC, ordC) = (spec.partitionBy.head, spec.orderBy(0), spec.orderBy(1))
+    if (spec.navConds.nonEmpty) {
+      require(!spec.allRows, "ALL ROWS PER MATCH with DEFINE navigation " +
+        "is not supported (the row-level executor is symbolic) — use ONE " +
+        "ROW PER MATCH, or the DSL (Cep.matchSequenceIter) for row output")
+      require(spec.measures.isEmpty, "MEASURES with DEFINE navigation is " +
+        "not supported — project aggregates from the DSL " +
+        "(Cep.matchSequenceMeasures) instead")
+      return runIter(df, spec, key, tsC, ordC)
+    }
     if (spec.allRows) return runAllRows(df, spec, key, tsC, ordC)
     (spec.toSymbolic, spec.measuresValCol) match {
       case (Some((symCol, pat)), None) => Cep.compile(df, key, tsC, ordC, symCol, pat)
@@ -583,12 +758,99 @@ object MatchRecognize {
       .withColumnRenamed("ts", tsC)
   }
 
+  private def tsUs(t: java.sql.Timestamp): Long =
+    (t.getTime - t.getNanos / 1000000) * 1000L + t.getNanos / 1000
+
+  /** DEFINE-navigation execution (`PREV`/`FIRST`/`LAST` — see
+    * [[MrNav]]): the per-key generalized sequential matcher
+    * ([[Cep.matchCore]]) with a step-satisfaction oracle combining
+    *  - the CONTEXT-FREE part of each DEFINE, evaluated by Catalyst as
+    *    a boolean column BEFORE the shuffle (the declarative predicate
+    *    stays whole-stage-codegen'd; the matcher only reads bits), and
+    *  - the navigation conjuncts, evaluated in the matcher against the
+    *    partition (`PREV`) or the attempt's consumption context
+    *    (`FIRST`/`LAST` — Flink `IterativeCondition`, the
+    *    event_cep_iterative machinery).
+    * One flatMapGroups per key, per-key linear in events × pattern —
+    * the same placement and 100 TB cost shape as every other per-key
+    * CEP path here. Output schema is the compiled forms' (key,
+    * start_id/start_ts, end_id/end_ts, n_rows, step_counts). A
+    * navigation to a row that does not (yet) exist is false; navigation
+    * columns compare as doubles (null → NaN → false). */
+  private def runIter(df: DataFrame, spec: MrSpec, key: String,
+                      tsC: String, ordC: String): DataFrame = {
+    import org.apache.spark.sql.functions.{array, coalesce, col, expr, lit}
+    val sp = df.sparkSession
+    import sp.implicits._
+    val steps = spec.stepElems
+    val defMap = spec.defMap
+    val pat = CepPattern(
+      steps.map(e => CepStep(e.variable, e.minRep, e.maxRep, e.negated, e.greedy)),
+      spec.withinMinutes, spec.skip, spec.strict)
+    val navCols = spec.navConds.values.flatten.toSeq
+      .flatMap(nc => Seq(nc.leftCol, nc.nav.colName)).distinct
+    val colIdx = navCols.zipWithIndex.toMap
+    val stepIdxByVar = steps.map(_.variable).zipWithIndex.toMap
+    val stepNavs: IndexedSeq[IndexedSeq[MrNavExec]] = steps.map(e =>
+      spec.navConds.getOrElse(e.variable, Nil).map(nc =>
+        MrNavExec(colIdx(nc.leftCol), nc.op, nc.nav.fn,
+          stepIdxByVar(nc.nav.variable), colIdx(nc.nav.colName),
+          nc.nav.n)).toIndexedSeq).toIndexedSeq
+    val cfArr = array(steps.map(e =>
+      coalesce(expr(defMap(e.variable)).cast("boolean"), lit(false))): _*)
+    val nvArr = array(navCols.map(c =>
+      coalesce(col(c).cast("double"), lit(Double.NaN))): _*)
+    val rows = df.select(col(key).cast("long").as("k"), col(tsC).as("ts"),
+        col(ordC).cast("long").as("ord"), cfArr.as("cf"), nvArr.as("nv"))
+      .as[MrIterRow]
+    def cmp(op: String, l: Double, r: Double): Boolean =
+      if (l.isNaN || r.isNaN) false
+      else op match {
+        case "=" => l == r
+        case "!=" => l != r
+        case "<" => l < r
+        case ">" => l > r
+        case "<=" => l <= r
+        case _ => l >= r
+      }
+    rows.groupByKey(_.k).flatMapGroups { (user: Long, it: Iterator[MrIterRow]) =>
+      val evs = it.toIndexedSeq.sortBy(r => (tsUs(r.ts), r.ord))
+      val tsArr = evs.map(r => tsUs(r.ts))
+      val sat: Cep.CepSat = (si, ei, ctx) =>
+        evs(ei).cf(si) && stepNavs(si).forall { ne =>
+          val left = evs(ei).nv(ne.leftIdx)
+          val right: Double = ne.fn match {
+            case "PREV" =>
+              if (ei - ne.n >= 0) evs(ei - ne.n).nv(ne.navColIdx) else Double.NaN
+            case "FIRST" =>
+              val c = ctx(ne.navStepIdx)
+              if (c.size > ne.n) evs(c(ne.n)).nv(ne.navColIdx) else Double.NaN
+            case _ => // LAST
+              val c = ctx(ne.navStepIdx)
+              if (c.size > ne.n) evs(c(c.size - 1 - ne.n)).nv(ne.navColIdx)
+              else Double.NaN
+          }
+          cmp(ne.op, left, right)
+        }
+      Cep.matchCore(evs.size, i => tsArr(i), pat, sat).iterator.map { m =>
+        graft.streaming.CepPatMatch(user, evs(m.startIdx).ord, evs(m.startIdx).ts,
+          evs(m.endIdx).ord, evs(m.endIdx).ts, m.nRows.toLong,
+          m.stepCounts.mkString(","))
+      }
+    }.toDF().withColumnRenamed("user_id", key)
+  }
+
   /** The DuckDB replay of [[run]] on the same text — generated from
     * the SAME parsed spec via the existing oracle generators, so the
     * parse itself is pinned cross-engine. `table` overrides the
     * statement's `FROM` table (default `events`). */
   def oracleFor(sql: String, table: String = ""): String = {
     val spec = parse(sql)
+    require(spec.navConds.isEmpty,
+      "no generated oracle for DEFINE navigation — the predicate is " +
+        "match-relative, so the derivation route cannot express it; " +
+        "hand-formulate the semantics independently (see the " +
+        "event_cep_iterative oracle's row_number-first-successor shape)")
     val t = if (table.nonEmpty) table else spec.fromTable.getOrElse("events")
     val (key, tsC, ordC) = (spec.partitionBy.head, spec.orderBy(0), spec.orderBy(1))
     (spec.toSymbolic, spec.measuresValCol) match {

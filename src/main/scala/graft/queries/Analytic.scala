@@ -385,6 +385,23 @@ object Analytic {
           col("event_id"), col("ts"), col("step"), col("value"))
         .orderBy("user_id", "purchase_id", "pos")),
 
+    // DEFINE navigation from TEXT (the round-9 top-next item): FIRST()
+    // routes the clause to the per-key iterative matcher — the
+    // event_cep_iterative machinery — with the context-free predicate
+    // parts still evaluated by Catalyst before the shuffle. Must match
+    // the DSL key's independent oracle (first qualifying successor via
+    // row_number + WITHIN post-filter).
+    "event_cep_sql_iter" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.iterHigher)
+        .orderBy("user_id", "start_id")),
+
+    // PREV() navigation from text: physical-partition row navigation,
+    // oracle = one lag/lead window formulation (independent of the
+    // matcher — strict contiguity makes the match a 2-row adjacency).
+    "event_cep_sql_prev" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.prevRise)
+        .orderBy("user_id", "start_id")),
+
     "topk_per_group" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d)
@@ -641,6 +658,40 @@ object Analytic {
         |  DEFINE c AS event_type = 'click',
         |         p AS event_type = 'purchase'
         |)""".stripMargin
+    // DEFINE navigation (FIRST — match-relative): the iterative-condition
+    // semantics of event_cep_iterative from clause TEXT — purchase
+    // anchor, then the first later purchase whose value EXCEEDS THE
+    // ANCHOR'S (FIRST(a.value) = the anchor row, a is {1,1}). Routes to
+    // the per-key generalized matcher; same matches as the DSL key, so
+    // the oracle is shared (independent row_number-first-successor
+    // formulation, NOT generated from the pattern).
+    val iterHigher: String =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (a g1* b)
+        |  WITHIN INTERVAL '1440' MINUTE
+        |  DEFINE a AS a.event_type = 'purchase',
+        |         b AS b.event_type = 'purchase' AND b.value > FIRST(a.value)
+        |)""".stripMargin
+    // DEFINE navigation (PREV — physical-partition relative): a click
+    // whose value exceeds the PREVIOUS PARTITION ROW's value (whatever
+    // event that was — the SQL:2016/Flink PREV semantics), immediately
+    // followed by a purchase, within 60 min. Strict contiguity, so the
+    // oracle is one lag + lead window over the partition order.
+    val prevRise: String =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (r p)
+        |  WITHIN INTERVAL '60' MINUTE
+        |  DEFINE r AS r.event_type = 'click' AND r.value > PREV(r.value),
+        |         p AS p.event_type = 'purchase'
+        |)""".stripMargin
     // ALL ROWS PER MATCH from text: variables NAMED by the symbols they
     // define, so the executor's `step` column equals event_cep_all_rows'
     // (which emits event_type) and the two keys share one oracle.
@@ -656,6 +707,29 @@ object Analytic {
         |         purchase AS event_type = 'purchase'
         |)""".stripMargin
   }
+
+  /** Independent SQL formulation of the iterative-condition semantics
+    * (NOT generated from the pattern — the predicate references the
+    * matched anchor row, so the derivation route cannot express it):
+    * per purchase anchor, the first later purchase of the same user
+    * with a strictly higher value, in (ts, event_id) order, kept when
+    * the span fits WITHIN 24 h. Shared by the DSL key
+    * (event_cep_iterative) and the SQL-route key (event_cep_sql_iter —
+    * FIRST(a.value) navigation resolves to the same machinery). */
+  private val IterOracle: String =
+    """WITH p AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id, value
+      |           FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT a.user_id, a.event_id AS start_id, a.ts AS start_ts,
+      |             b.event_id AS end_id, b.ts AS end_ts,
+      |             row_number() OVER (PARTITION BY a.user_id, a.event_id
+      |                                ORDER BY b.ts, b.event_id) AS rn
+      |      FROM p a JOIN p b ON b.user_id = a.user_id
+      |        AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+      |        AND b.value > a.value)
+      |SELECT user_id, start_id, start_ts, end_id, end_ts,
+      |       CAST(2 AS BIGINT) AS n_rows, '1,1' AS step_counts
+      |FROM c WHERE rn = 1 AND end_ts <= start_ts + INTERVAL 1440 MINUTE
+      |ORDER BY user_id, start_id""".stripMargin
 
   /** The islands-rewrite ALL ROWS oracle, shared by the DSL key
     * (event_cep_all_rows) and the SQL-route key (event_cep_sql_allrows
@@ -716,19 +790,27 @@ object Analytic {
     // per purchase anchor, the first later purchase of the same user
     // with a strictly higher value, in (ts, event_id) order, kept when
     // the span fits WITHIN 24 h.
-    "event_cep_iterative" ->
-      """WITH p AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id, value
-        |           FROM events WHERE event_type = 'purchase'),
-        |c AS (SELECT a.user_id, a.event_id AS start_id, a.ts AS start_ts,
-        |             b.event_id AS end_id, b.ts AS end_ts,
-        |             row_number() OVER (PARTITION BY a.user_id, a.event_id
-        |                                ORDER BY b.ts, b.event_id) AS rn
-        |      FROM p a JOIN p b ON b.user_id = a.user_id
-        |        AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
-        |        AND b.value > a.value)
-        |SELECT user_id, start_id, start_ts, end_id, end_ts,
+    "event_cep_iterative" -> IterOracle,
+    "event_cep_sql_iter" -> IterOracle,
+
+    // PREV navigation replay: the strict 2-step match is a row adjacency,
+    // so lag (the PREV value) + lead (the immediate successor) over the
+    // partition order formulate it with no matcher at all.
+    "event_cep_sql_prev" ->
+      """WITH t AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type, value,
+        |    lag(value) OVER w AS pv,
+        |    lead(event_id) OVER w AS nid,
+        |    lead(ts::TIMESTAMP) OVER w AS nts,
+        |    lead(event_type) OVER w AS nty
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id AS start_id, ts AS start_ts,
+        |       nid AS end_id, nts AS end_ts,
         |       CAST(2 AS BIGINT) AS n_rows, '1,1' AS step_counts
-        |FROM c WHERE rn = 1 AND end_ts <= start_ts + INTERVAL 1440 MINUTE
+        |FROM t
+        |WHERE event_type = 'click' AND pv IS NOT NULL AND value > pv
+        |  AND nty = 'purchase' AND nts <= ts + INTERVAL 60 MINUTE
         |ORDER BY user_id, start_id""".stripMargin,
     "win_rank" ->
       """SELECT c_nationkey, c_custkey, c_acctbal,

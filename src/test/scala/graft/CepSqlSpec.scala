@@ -221,6 +221,120 @@ class CepSqlSpec extends SparkSuite {
     assert(rows.map(_.getAs[String]("step")).toSet === Set("hot", "buy"))
   }
 
+  test("DEFINE navigation: FIRST routes to the iterative matcher (vs DSL)") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val evDf = Tables.events(spark, sf001)
+    val viaSql = MatchRecognize.run(evDf, graft.queries.Analytic.CepSql.iterHigher)
+      .orderBy("user_id", "start_id").collect()
+    val ev = evDf.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value")).as[graft.streaming.Ev]
+    val viaDsl = graft.streaming.StreamOps.cepPatternIter(ev,
+        pats.iter, pats.iterConds)
+      .toDF().orderBy("user_id", "start_id").collect()
+    assert(viaSql.nonEmpty)
+    assert(viaSql.toSeq === viaDsl.toSeq)
+  }
+
+  test("DEFINE navigation: PREV matches a brute-force partition scan") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val evDf = Tables.events(spark, sf001)
+    val got = MatchRecognize.run(evDf, graft.queries.Analytic.CepSql.prevRise)
+      .orderBy("user_id", "start_id")
+      .select("user_id", "start_id", "end_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val evs = evDf.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[graft.streaming.Ev].collect()
+    def us(t: java.sql.Timestamp) =
+      (t.getTime - t.getNanos / 1000000) * 1000L + t.getNanos / 1000
+    val want = evs.groupBy(_.user_id).toSeq.flatMap { case (u, rows) =>
+      val s = rows.sortBy(e => (us(e.ts), e.event_id))
+      (1 until s.length - 1).flatMap { i =>
+        val (pv, r, p) = (s(i - 1), s(i), s(i + 1))
+        if (r.event_type == "click" && r.value > pv.value &&
+            p.event_type == "purchase" && us(p.ts) <= us(r.ts) + 60L * 60000000L)
+          Some((u, r.event_id, p.event_id))
+        else None
+      }
+    }.sorted
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
+  test("property: navigation DEFINEs parse structurally (200 random)") {
+    val rnd = new scala.util.Random(20260814L)
+    val fns = Vector("PREV", "FIRST", "LAST")
+    val rawOps = Vector("=", "<", ">", "<=", ">=", "!=", "<>")
+    def canon(o: String) = if (o == "<>") "!=" else o
+    def flip(o: String) = o match {
+      case "<" => ">"; case ">" => "<"
+      case "<=" => ">="; case ">=" => "<="; case other => other
+    }
+    for (i <- 0 until 200) {
+      val fn = fns(rnd.nextInt(fns.size))
+      val op = rawOps(rnd.nextInt(rawOps.size))
+      val n = rnd.nextInt(3)
+      val withN = rnd.nextBoolean()
+      val navTxt = if (withN) s"$fn(a.value, $n)" else s"$fn(a.value)"
+      val navFirst = rnd.nextBoolean()
+      val left = if (rnd.nextBoolean()) "b.value" else "value"
+      val conj = if (navFirst) s"$navTxt $op $left" else s"$left $op $navTxt"
+      val withCf = rnd.nextBoolean()
+      val pred =
+        if (withCf) s"b.event_type = 'purchase' AND $conj" else conj
+      val txt =
+        s"""MATCH_RECOGNIZE (
+           |  PARTITION BY user_id
+           |  ORDER BY ts, event_id
+           |  AFTER MATCH SKIP TO NEXT ROW
+           |  PATTERN (a g1* b)
+           |  WITHIN INTERVAL '500' MINUTE
+           |  DEFINE a AS event_type = 'purchase', b AS $pred
+           |)""".stripMargin
+      val spec = MatchRecognize.parse(txt)
+      val expN = if (withN) n else if (fn == "PREV") 1 else 0
+      val expOp = if (navFirst) flip(canon(op)) else canon(op)
+      assert(spec.navConds("b") ===
+        Seq(MrNavCond("value", expOp, MrNav(fn, "a", "value", expN))),
+        s"iteration $i:\n$txt")
+      assert(spec.defines.toMap.apply("b") ===
+        (if (withCf) "event_type = 'purchase'" else "TRUE"),
+        s"iteration $i CF part:\n$txt")
+      assert(spec.toSymbolic.isEmpty, s"iteration $i resolved symbolic")
+    }
+  }
+
+  test("navigation rejections and guards") {
+    def body(define: String, extra: String = "") =
+      s"""MATCH_RECOGNIZE (
+         |  PARTITION BY user_id
+         |  ORDER BY ts, event_id$extra
+         |  PATTERN (a g1* b)
+         |  DEFINE a AS event_type = 'view', b AS $define
+         |)""".stripMargin
+    // navigation to an undefined (gap) variable
+    assert(intercept[IllegalArgumentException](
+      MatchRecognize.parse(body("value > FIRST(g1.value)")))
+      .getMessage.contains("not a defined pattern step"))
+    // nav nested outside the supported conjunct grammar
+    assert(intercept[IllegalArgumentException](
+      MatchRecognize.parse(body("abs(FIRST(a.value)) > 1")))
+      .getMessage.contains("navigation conjunct grammar"))
+    // no generated oracle for nav specs
+    assert(intercept[IllegalArgumentException](
+      MatchRecognize.oracleFor(body("value > LAST(a.value)")))
+      .getMessage.contains("no generated oracle"))
+    // nav + MEASURES is rejected at run
+    assert(intercept[IllegalArgumentException](
+      MatchRecognize.run(Tables.events(spark, sf001),
+        body("value > LAST(a.value)",
+          "\n  MEASURES SUM(value) AS step_sums")))
+      .getMessage.contains("MEASURES with DEFINE navigation"))
+  }
+
   test("statement-shape strictness: discarded context is rejected, not ignored") {
     val clause =
       """MATCH_RECOGNIZE (
