@@ -7,9 +7,14 @@ import org.apache.spark.sql.DataFrame
   * idiom for relaxed contiguity (an undefined variable matches any
   * row, so `A g1* B` is exactly Flink CEP's `followedBy`: irrelevant
   * rows between the steps are skipped). Gap elements carry no step.
+  * `altVars` non-empty marks a bounded ALTERNATION group `(a | b)` —
+  * one step consuming exactly one row of ONE alternative; `variable`
+  * then holds the first (preferred) alternative and the spec expands
+  * to per-branch patterns ([[MrSpec.expandBranches]]).
   */
 case class MrElem(variable: String, minRep: Int, maxRep: Option[Int],
-                  greedy: Boolean, negated: Boolean, isGap: Boolean)
+                  greedy: Boolean, negated: Boolean, isGap: Boolean,
+                  altVars: Seq[String] = Nil)
 
 /** One MEASURES entry: verbatim expression text and its alias. */
 case class MrMeasure(exprSql: String, alias: String)
@@ -75,12 +80,42 @@ case class MrSpec(partitionBy: Seq[String], orderBy: Seq[String],
   /** The defined elements, in pattern order — the steps. */
   def stepElems: Seq[MrElem] = elems.filterNot(_.isGap)
 
+  /** Does the pattern carry an alternation group `(a | b)`? Such a
+    * spec executes as the UNION of its expanded branches. */
+  def hasAlternation: Boolean = elems.exists(_.altVars.nonEmpty)
+
+  /** The per-branch single-variable specs of an alternation pattern:
+    * the cross product of every group's alternatives, in LEFTMOST-
+    * PREFERENCE order (branch 0 = every group's first alternative —
+    * the regex alternation priority; the union dedupes overlapping
+    * anchors by this order). Each branch keeps only the DEFINEs and
+    * navigation conjuncts its own variables use, so per-branch
+    * validation and resolution (symbolic / value-predicate) run
+    * unchanged. Identity when no alternation is present. */
+  def expandBranches: Seq[MrSpec] = {
+    if (!hasAlternation) return Seq(this)
+    val choices = elems.foldLeft(Seq(Seq.empty[MrElem])) { (acc, e) =>
+      if (e.altVars.isEmpty) acc.map(_ :+ e)
+      else acc.flatMap(pre => e.altVars.map(v =>
+        pre :+ e.copy(variable = v, altVars = Nil)))
+    }
+    choices.map { es =>
+      val usedVars = es.filterNot(_.isGap).map(_.variable).toSet
+      copy(elems = es, defines = defines.filter(d => usedVars(d._1)),
+        navConds = navConds.filter(c => usedVars(c._1)))
+    }
+  }
+
   /** When every DEFINE is a bare symbol equality `col = 'lit'` on ONE
     * common column, the pattern is symbolic: returns (symbol column,
     * [[CepPattern]] over the literals). Otherwise None → [[toCond]].
     */
   def toSymbolic: Option[(String, CepPattern)] = {
     if (navConds.nonEmpty) return None // nav DEFINEs are match-relative
+    require(!hasAlternation,
+      "an alternation pattern has no single compiled form — " +
+        "MatchRecognize.run expands it to per-branch patterns " +
+        "(expandBranches) and unions them")
     val SymEq = """^\s*([A-Za-z_]\w*)\s*=\s*'((?:[^']|'')*)'\s*$""".r
     val parsed = defines.map { case (v, p) =>
       p match {
@@ -106,6 +141,10 @@ case class MrSpec(partitionBy: Seq[String], orderBy: Seq[String],
     * [[CepCondStep]] predicate verbatim (variable prefixes already
     * stripped by the parser) — [[Cep.compileWhere]]'s input. */
   def toCond: CepCondPattern = {
+    require(!hasAlternation,
+      "an alternation pattern has no single compiled form — " +
+        "MatchRecognize.run expands it to per-branch patterns " +
+        "(expandBranches) and unions them")
     require(navConds.isEmpty,
       "DEFINE navigation (PREV/FIRST/LAST) is match-relative — no " +
         "derived-symbol CASE can express it; MatchRecognize.run routes " +
@@ -170,8 +209,12 @@ case class MrSpec(partitionBy: Seq[String], orderBy: Seq[String],
   * they constrain the gap they sit in). `ALL ROWS PER MATCH` routes to
   * the per-key row-level executor (StreamOps.cepAllRowsPattern — one
   * output row per CONSUMED row; see [[runAllRows]] for its schema and
-  * input requirements). Not supported, by documented design: SQL
-  * exclusion syntax `{- -}`, `SUBSET`, alternation `|`, and
+  * input requirements). Bounded alternation is the GROUP form
+  * `(a | b)` over single DEFINEd variables (executed as the union of
+  * expanded branches with leftmost-branch anchor dedup, SKIP TO NEXT
+  * ROW only — see [[runAlternation]]; Flink SQL rejects alternation
+  * entirely). Not supported, by documented design: SQL exclusion
+  * syntax `{- -}`, `SUBSET`, top-level sequence alternation, and
   * `followedByAny` (no SQL surface exists). [[render]] is the inverse
   * — it emits canonical
   * clause text from a DSL pattern, and round-tripping is
@@ -399,7 +442,31 @@ object MatchRecognize {
     while (peek.exists(_.text != ")")) {
       if (peek.exists(t => t.text == "{" || t.text == "|")) fail(
         s"'${peek.get.text}' in PATTERN: SQL exclusion {- -} and " +
-          "alternation | are not supported (see MatchRecognize scaladoc)")
+          "top-level sequence alternation are not supported; bounded " +
+          "alternation is the GROUP form `(a | b)` over single " +
+          "variables (see MatchRecognize scaladoc)")
+      // bounded alternation group `(a | b [| c...])` — single variables,
+      // one row each, no group quantifier (each branch is one expanded
+      // pattern; a quantified or nested group multiplies branches
+      // without a distinct-symbol compiled form)
+      if (peek.exists(_.text == "(")) {
+        p += 1
+        val vs = Vector.newBuilder[String]
+        vs += ident()
+        while (peek.exists(_.text == "|")) { p += 1; vs += ident() }
+        eatSym(")")
+        val alts = vs.result()
+        require(alts.size >= 2,
+          "a parenthesized PATTERN group must be an alternation " +
+            "`(a | b)` — a single-variable group is redundant")
+        require(alts.distinct.size == alts.size,
+          s"duplicate variable in alternation: ${alts.mkString(" | ")}")
+        if (peek.exists(t => Set("+", "*", "?", "{")(t.text))) fail(
+          "a quantifier on an alternation group is not supported — " +
+            "each group consumes exactly one row of one alternative")
+        elems += MrElem(alts.head, 1, Some(1), greedy = true,
+          negated = false, isGap = false, altVars = alts)
+      } else {
       val negated = peek.exists(_.text == "!")
       if (negated) p += 1
       val v = ident()
@@ -430,6 +497,7 @@ object MatchRecognize {
       require(!negated || (!sawQuant),
         s"!$v: a negated step (notFollowedBy) takes no quantifier")
       elems += MrElem(v, mn, mx, greedy, negated, isGap = false)
+      }
     }
     eatSym(")")
 
@@ -623,6 +691,23 @@ object MatchRecognize {
     require(dupDefs.isEmpty,
       s"variable DEFINEd more than once: ${dupDefs.mkString(", ")}")
     val defined = defines.map(_._1).toSet
+    // alternation groups: every alternative must be a DEFINEd step, and
+    // the expansion must stay bounded; overlap-dedup (leftmost branch
+    // preference at one anchor) is only well-defined when every anchor
+    // emits independently — SKIP TO NEXT ROW (PAST LAST ROW's
+    // cross-branch greedy chain would need a sequential walk)
+    val nBranches = elems.map(e => math.max(e.altVars.size, 1)).product
+    require(nBranches <= 16,
+      s"alternation expands to $nBranches branches (cap 16 — bounded " +
+        "alternation only; restructure the pattern)")
+    for (e <- elems if e.altVars.nonEmpty; v <- e.altVars)
+      require(defined(v),
+        s"alternation variable $v must be DEFINEd (a gap cannot be an " +
+          "alternative — it matches every row)")
+    require(elems.forall(_.altVars.isEmpty) || skip == SkipToNextRow,
+      "alternation requires AFTER MATCH SKIP TO NEXT ROW (per-anchor " +
+        "emission makes the union's leftmost-branch dedup exact; a " +
+        "cross-branch PAST-LAST-ROW chain would be a sequential scan)")
     // classify gaps: undefined vars are legal ONLY as greedy `*` gaps
     val tagged = elems.map { e =>
       if (defined(e.variable)) e
@@ -663,7 +748,8 @@ object MatchRecognize {
       "internal: gap implies relaxed") // unreachable; documents intent
     // unknown DEFINEs (defined but never used in PATTERN) are an error —
     // catches typos between DEFINE and PATTERN
-    val used = tagged.filterNot(_.isGap).map(_.variable).toSet
+    val used = tagged.filterNot(_.isGap)
+      .flatMap(e => if (e.altVars.nonEmpty) e.altVars else Seq(e.variable)).toSet
     val unused = defines.map(_._1).filterNot(used)
     require(unused.isEmpty, s"DEFINEd but not in PATTERN: ${unused.mkString(", ")}")
     skip match {
@@ -698,6 +784,7 @@ object MatchRecognize {
       "ORDER BY must name the event-time column AND a deterministic " +
         s"tiebreak column (e.g. `ORDER BY ts, event_id`), got ${spec.orderBy}")
     val (key, tsC, ordC) = (spec.partitionBy.head, spec.orderBy(0), spec.orderBy(1))
+    if (spec.hasAlternation) return runAlternation(df, spec, key, tsC, ordC)
     if (spec.navConds.nonEmpty) {
       require(!spec.allRows, "ALL ROWS PER MATCH with DEFINE navigation " +
         "is not supported (the row-level executor is symbolic) — use ONE " +
@@ -756,6 +843,43 @@ object MatchRecognize {
       .withColumnRenamed("user_id", key)
       .withColumnRenamed("event_id", ordC)
       .withColumnRenamed("ts", tsC)
+  }
+
+  /** Bounded alternation `(a | b)` execution: the UNION of the
+    * expanded per-branch compiled plans ([[MrSpec.expandBranches]] —
+    * each branch is an ordinary single-variable pattern planned by the
+    * same gaps-and-islands compilers), deduplicated per anchor by
+    * LEFTMOST BRANCH PREFERENCE (the regex alternation priority): a
+    * (key, start_id) window keeps the lowest branch index. Exact under
+    * SKIP TO NEXT ROW because every anchor emits independently —
+    * enforced at parse. Scale: each branch is the usual key-partitioned
+    * compiled plan; the dedup window is key+anchor-partitioned, so
+    * nothing global is added. */
+  private def runAlternation(df: DataFrame, spec: MrSpec, key: String,
+                             tsC: String, ordC: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, row_number}
+    require(spec.navConds.isEmpty,
+      "alternation with DEFINE navigation is not supported — expand the " +
+        "branches by hand (Cep.matchSequenceIter per branch)")
+    require(spec.measures.isEmpty,
+      "alternation with MEASURES is not supported — branch step_sums " +
+        "have no single cross-branch alignment; project per-branch")
+    require(!spec.allRows,
+      "ALL ROWS PER MATCH with alternation is not supported — run the " +
+        "branches separately (each is an ordinary pattern)")
+    val parts = spec.expandBranches.zipWithIndex.map { case (b, i) =>
+      val r = b.toSymbolic match {
+        case Some((symCol, pat)) => Cep.compile(df, key, tsC, ordC, symCol, pat)
+        case None => Cep.compileWhere(df, key, tsC, ordC, b.toCond)
+      }
+      r.withColumn("__br", lit(i))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key), col("start_id")).orderBy(col("__br"))
+    parts.reduce(_.unionByName(_))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__br", "__rn")
   }
 
   private def tsUs(t: java.sql.Timestamp): Long =
@@ -852,6 +976,29 @@ object MatchRecognize {
         "hand-formulate the semantics independently (see the " +
         "event_cep_iterative oracle's row_number-first-successor shape)")
     val t = if (table.nonEmpty) table else spec.fromTable.getOrElse("events")
+    if (spec.hasAlternation) {
+      // the same branch expansion + leftmost-preference dedup as
+      // runAlternation, each branch replayed by its own generated oracle
+      val keyCol = spec.partitionBy.head
+      val bs = spec.expandBranches.map(b => oracleForSpec(b, t))
+      val ctes = bs.zipWithIndex
+        .map { case (q, i) => s"__alt$i AS (\n$q)" }
+        .mkString("WITH ", ",\n", "")
+      val unions = bs.indices
+        .map(i => s"SELECT *, $i AS __br FROM __alt$i")
+        .mkString("\n      UNION ALL\n      ")
+      return s"""$ctes
+                |SELECT $keyCol, start_id, start_ts, end_id, end_ts,
+                |       n_rows, step_counts
+                |FROM (SELECT *, row_number() OVER (PARTITION BY $keyCol,
+                |        start_id ORDER BY __br) AS __rn
+                |      FROM ($unions))
+                |WHERE __rn = 1 ORDER BY $keyCol, start_id""".stripMargin
+    }
+    oracleForSpec(spec, t)
+  }
+
+  private def oracleForSpec(spec: MrSpec, t: String): String = {
     val (key, tsC, ordC) = (spec.partitionBy.head, spec.orderBy(0), spec.orderBy(1))
     (spec.toSymbolic, spec.measuresValCol) match {
       case (Some((symCol, pat)), None) => Cep.oracleSql(pat, t, key, tsC, ordC, symCol)

@@ -402,6 +402,15 @@ object Analytic {
       MatchRecognize.run(Tables.events(s, d), CepSql.prevRise)
         .orderBy("user_id", "start_id")),
 
+    // Bounded alternation `(c | v)` from text: per-branch compiled
+    // plans unioned, anchors deduped by leftmost branch preference
+    // (regex alternation priority) — property-pinned against the
+    // sequential matcher per branch in CepSqlSpec; oracle generated
+    // from the same text (branch oracles + the same dedup window).
+    "event_cep_alt" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.altFunnel)
+        .orderBy("user_id", "start_id")),
+
     "topk_per_group" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d)
@@ -692,6 +701,24 @@ object Analytic {
         |  DEFINE r AS r.event_type = 'click' AND r.value > PREV(r.value),
         |         p AS p.event_type = 'purchase'
         |)""".stripMargin
+    // Bounded alternation `(c | v)`: the relaxed signup -> click-or-view
+    // -> purchase funnel — two expanded branches compiled and unioned,
+    // overlapping anchors deduped by leftmost branch preference. The
+    // oracle is GENERATED from the same text (per-branch generated
+    // oracles + the same dedup window).
+    val altFunnel: String =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (s g1* (c | v) g2* p)
+        |  WITHIN INTERVAL '1440' MINUTE
+        |  DEFINE s AS event_type = 'signup',
+        |         c AS event_type = 'click',
+        |         v AS event_type = 'view',
+        |         p AS event_type = 'purchase'
+        |)""".stripMargin
     // ALL ROWS PER MATCH from text: variables NAMED by the symbols they
     // define, so the executor's `step` column equals event_cep_all_rows'
     // (which emits event_type) and the two keys share one oracle.
@@ -769,6 +796,7 @@ object Analytic {
     "event_cep_sql_native" -> MatchRecognize.oracleFor(CepSql.funnel),
     "event_cep_sql_where" -> MatchRecognize.oracleFor(CepSql.hotBuy),
     "event_cep_sql_measures" -> MatchRecognize.oracleFor(CepSql.measured),
+    "event_cep_alt" -> MatchRecognize.oracleFor(CepSql.altFunnel),
     "event_cep_quant" -> Cep.oracleSql(CepPatterns.quant),
     "event_cep_quant_measures" -> Cep.oracleSqlMeasures(CepPatterns.quant, "value"),
     "event_cep_where_measures" ->

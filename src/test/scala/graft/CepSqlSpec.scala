@@ -335,6 +335,82 @@ class CepSqlSpec extends SparkSuite {
       .getMessage.contains("MEASURES with DEFINE navigation"))
   }
 
+  test("alternation (a | b): union semantics match the sequential reference") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    val syms = Vector("signup", "click", "view", "purchase", "other")
+    val rows = (for {
+      u <- 0 until 40
+      i <- 0 until (10 + rnd.nextInt(25))
+    } yield (u.toLong,
+        new java.sql.Timestamp(1700000000000L + u * 10000000L + rnd.nextInt(5000000)),
+        (u * 1000 + i).toLong, syms(rnd.nextInt(syms.size)))).toVector
+    val df = rows.toDF("user_id", "ts", "event_id", "event_type")
+    val got = MatchRecognize.run(df, graft.queries.Analytic.CepSql.altFunnel)
+      .orderBy("user_id", "start_id").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_id"),
+        r.getAs[Long]("end_id"), r.getAs[Long]("n_rows"),
+        r.getAs[String]("step_counts"))).toSeq
+    // reference: per-branch sequential matcher + leftmost-branch dedup
+    def branch(mid: String) = CepPattern(
+      Seq(CepStep("signup"), CepStep(mid), CepStep("purchase")),
+      Some(1440), SkipToNextRow, strict = false)
+    def us(t: java.sql.Timestamp) =
+      (t.getTime - t.getNanos / 1000000) * 1000L + t.getNanos / 1000
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (u, rs) =>
+      val s = rs.sortBy(r => (us(r._2), r._3))
+      val evs = s.map(r => CepEvent(r._4, us(r._2), r._3)).toIndexedSeq
+      Seq(branch("click"), branch("view")).zipWithIndex
+        .flatMap { case (p, bi) => Cep.matchSequence(evs, p).map(m => (bi, m)) }
+        .groupBy(_._2.startIdx).values.map(_.minBy(_._1)).map { case (_, m) =>
+          (u, s(m.startIdx)._3, s(m.endIdx)._3, m.nRows.toLong,
+            m.stepCounts.mkString(","))
+        }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.nonEmpty, "degenerate fixture: no alternation matches")
+    assert(got === want)
+  }
+
+  test("alternation parse structure and rejections") {
+    def body(pattern: String, skip: String = "AFTER MATCH SKIP TO NEXT ROW",
+             defines: String = "s AS event_type = 'signup', c AS event_type = 'click', " +
+               "v AS event_type = 'view', p AS event_type = 'purchase'") =
+      s"""MATCH_RECOGNIZE (
+         |  PARTITION BY user_id
+         |  ORDER BY ts, event_id
+         |  $skip
+         |  PATTERN ($pattern)
+         |  DEFINE $defines
+         |)""".stripMargin
+    val spec = MatchRecognize.parse(body("s g1* (c | v) g2* p"))
+    val alt = spec.elems.find(_.altVars.nonEmpty).get
+    assert(alt.altVars === Seq("c", "v") && alt.variable === "c")
+    assert(spec.expandBranches.size === 2)
+    assert(spec.expandBranches.map(_.defines.map(_._1)) ===
+      Seq(Seq("s", "c", "p"), Seq("s", "v", "p")))
+    // PAST LAST ROW with alternation is rejected
+    assert(intercept[IllegalArgumentException](
+      MatchRecognize.parse(body("s g1* (c | v) g2* p", "")))
+      .getMessage.contains("SKIP TO NEXT ROW"))
+    // quantified group is rejected
+    assert(intercept[IllegalArgumentException](
+      MatchRecognize.parse(body("s g1* (c | v)+ g2* p")))
+      .getMessage.contains("quantifier on an alternation group"))
+    // single-variable group is redundant -> rejected
+    assert(intercept[IllegalArgumentException](
+      MatchRecognize.parse(body("s g1* (c) g2* p")))
+      .getMessage.contains("alternation"))
+    // an undefined alternative is rejected
+    assert(intercept[IllegalArgumentException](
+      MatchRecognize.parse(body("s g1* (c | zz) g2* p")))
+      .getMessage.contains("must be DEFINEd"))
+    // top-level sequence alternation still rejected with a pointer
+    assert(intercept[IllegalArgumentException](
+      MatchRecognize.parse(body("s | c")))
+      .getMessage.contains("GROUP form"))
+  }
+
   test("statement-shape strictness: discarded context is rejected, not ignored") {
     val clause =
       """MATCH_RECOGNIZE (
