@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Det, Tables}
-import graft.api.{Dedup, Embeddings, Multimodal, Sampling, Similarity, TextOps}
+import graft.api.{Bpe, Dedup, Embeddings, Multimodal, Sampling, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -38,6 +38,11 @@ object Pipeline {
     * the two sides cannot silently diverge.
     */
   private val LshProbeBound = 10L
+
+  /** BPE merge rounds for the text_bpe_vocab / corpus_chunk_bpe keys —
+    * deep enough to fuse real multi-character subwords out of the
+    * fixture vocabulary, bounded so the unrolled oracle stays readable. */
+  private val BpeMergeRounds = 12
 
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> ((s, d) =>
@@ -132,6 +137,36 @@ object Pipeline {
           expr("size(slice(toks, st + 1, 32))").cast("long").as("chunk_tok"),
           expr("array_join(slice(toks, st + 1, 32), ' ')").as("chunk_text"))
         .orderBy("doc_id", "chunk_id")),
+
+    // Deterministic BPE TRAINING (Sennrich subword tokenization — the
+    // step that makes the chunk/pack/mix family representative of real
+    // training-data pipelines): 12 merge rounds over the corpus
+    // word-frequency table, winner = max weighted overlapping-pair
+    // count with lexicographic tie-break. Scale: ONE corpus-sized
+    // aggregation, then vocabulary-sized rounds with a one-row driver
+    // collect each (api.Bpe scaladoc); the oracle replays the whole
+    // loop as a chained-CTE unroll — same algorithm, same delimiters,
+    // same replace() greedy-merge semantics on both engines.
+    "text_bpe_vocab" -> ((s, d) =>
+      Bpe.vocabDf(Tables.documents(s, d), "text", BpeMergeRounds)
+        .orderBy("rank")),
+
+    // corpus_chunk on SUBWORD tokens: each document's BPE token stream
+    // (the trained merge chain applied as codegen'd replace() calls —
+    // no UDF) chunked exactly like corpus_chunk (32 tokens, stride
+    // 24). The oracle re-trains AND re-encodes in SQL, so the key pins
+    // train + encode + chunk end-to-end.
+    "corpus_chunk_bpe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.train(docs, "text", BpeMergeRounds)
+      docs.withColumn("toks", Bpe.docTokens(col("text"), merges))
+        .withColumn("st", explode(expr(
+          "sequence(0, greatest(size(toks) - 1, 0), 24)")))
+        .select(col("doc_id"), expr("st div 24").as("chunk_id"),
+          expr("size(slice(toks, st + 1, 32))").cast("long").as("chunk_tok"),
+          expr("array_join(slice(toks, st + 1, 32), ' ')").as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    }),
 
     "corpus_pack" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -1113,6 +1148,9 @@ object Pipeline {
         |ORDER BY lang, pack_id""".stripMargin,
 
     "dedup_embed_lsh" -> Dedup.embedLshPairsOracleSql(0.3),
+
+    "text_bpe_vocab" -> Bpe.vocabOracleSql(BpeMergeRounds),
+    "corpus_chunk_bpe" -> Bpe.chunkOracleSql(BpeMergeRounds, 32, 24),
 
     "decontaminate_ngram" ->
       """WITH tk0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

@@ -629,4 +629,35 @@ class PipelineSpec extends SparkSuite {
     assert(bySplit("train") > bySplit.getOrElse("test", 0L))
     assert(out.collect().toSeq == Pipeline.queries("corpus_split")(spark, sf001).collect().toSeq)
   }
+
+  test("BPE: deterministic training, lossless greedy encoding") {
+    import graft.api.{Bpe, BpeMerge}
+    val docs = Tables.documents(spark, sf001)
+    val merges = Bpe.train(docs, "text", 8)
+    assert(merges.size === 8)
+    assert(merges.map(_.rank) === (0 until 8))
+    assert(merges.forall(_.cnt > 0))
+    // retraining is bit-identical (exact integer counts, fixed ties)
+    assert(Bpe.train(docs, "text", 8) === merges)
+    // losslessness: the BPE tokens of every corpus word concatenate
+    // back to the word (merges only fuse, never drop or alter chars)
+    val bad = Bpe.wordFreq(docs, "text")
+      .select(col("word"),
+        concat_ws("", Bpe.encodeWord(col("word"), merges)).as("back"))
+      .filter(col("word") =!= col("back")).count()
+    assert(bad === 0L)
+    // greedy left-to-right application: (a,a) over "aaaa" -> [aa, aa],
+    // over "aaa" -> [aa, a] (the overlap is NOT re-merged)
+    val m = Seq(BpeMerge(0, "a", "a", 1L))
+    val enc = Seq("aaaa", "aaa").toDF("word")
+      .select(Bpe.encodeWord(col("word"), m).as("t"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(enc === List(List("aa", "aa"), List("aa", "a")))
+    // rank order matters: (a,a) then (aa,aa) fuses "aaaa" completely
+    val m2 = Seq(BpeMerge(0, "a", "a", 1L), BpeMerge(1, "aa", "aa", 1L))
+    val enc2 = Seq("aaaa").toDF("word")
+      .select(Bpe.encodeWord(col("word"), m2).as("t"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(enc2 === List(List("aaaa")))
+  }
 }
