@@ -323,6 +323,43 @@ object Pipeline {
         .orderBy("probe_id", "rnk")
     }),
 
+    // ANN recall AUDIT (the round-9 evidence item): recall@5 of the two
+    // trained ANN serving paths vs the exact brute-force top-5, per
+    // probe, computed ENGINE-SIDE — n_hits is an exact integer
+    // (top-list intersection via equi-join), recall one n/5 double
+    // division. Turns the property-test-only recall claims into a
+    // driver-visible, oracle-gated number (the oracle joins the same
+    // generated exact/approx formulations the audited keys verify
+    // against). Scale: the audit is probe-bounded by construction —
+    // top-lists are |probes| x 5 rows regardless of corpus size.
+    "sim_recall_audit" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val probes = e.filter(col("vec_id") < LshProbeBound)
+      val exact = Similarity.cosineTopK(e, probes, "vec_id", "embedding", 5)
+        .select(col("probe_id"), col("neighbor_id"))
+      def audit(method: String, approx: DataFrame): DataFrame =
+        exact.join(
+            approx.select(col("probe_id"), col("neighbor_id"), lit(1).as("hit")),
+            Seq("probe_id", "neighbor_id"), "left")
+          .groupBy("probe_id")
+          .agg(count(col("hit")).as("n_hits"))
+          .select(lit(method).as("method"), col("probe_id"), col("n_hits"),
+            (col("n_hits").cast("double") / 5).as("recall"))
+      val cb = Similarity.pqTrainCodebooks(e, "vec_id", "embedding",
+        m = 1, kCent = 8, subDim = 64, iters = 2)
+      val part = element_at(graft.functions.Signatures.pq_code_sig(
+        col("embedding"), cb, 1, 8, 64), 1)
+      val e2 = e.withColumn("part", part)
+      val annTrained = Similarity.annTopK(e2,
+        e2.filter(col("vec_id") < LshProbeBound), "vec_id", "embedding",
+        "part", 5, nProbe = 2)
+      val ivfRerank = Similarity.ivfAdcRerankTopK(e, probes,
+        "vec_id", "embedding", 5)
+      audit("ann_trained", annTrained)
+        .unionByName(audit("ivfadc_rerank", ivfRerank))
+        .orderBy("method", "probe_id")
+    }),
+
     // Benchmark decontamination: flag training docs that share any
     // 5-token shingle with an eval/benchmark doc (here: doc_id < 100
     // stands in for the benchmark). The eval side is tiny BY NATURE, so
@@ -864,7 +901,7 @@ object Pipeline {
       |  FROM embeddings
       |)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "dedup_minhash_pairs" -> Dedup.minhashPairsOracleSql(0.7),
 
     "dedup_simhash_pairs" ->
@@ -1617,4 +1654,31 @@ object Pipeline {
         |    (a, b) -> (a * 31 + b) % 1000000007) AS resized_fp
         |FROM s ORDER BY doc_id""".stripMargin
   )
+
+  /** sim_recall_audit oracle: the exact and approximate oracle
+    * formulations (the SAME generated texts the audited keys verify
+    * against — materialized, their nested CTEs would re-evaluate
+    * otherwise) joined per probe. n_hits is an exact integer; recall is
+    * one n/5 double division of exact operands on both engines. */
+  private def recallAuditOracle: String = {
+    def cte(name: String, sql: String) = s"$name AS MATERIALIZED (\n$sql)"
+    def arm(method: String, aprx: String) =
+      s"""SELECT '$method' AS method, e.probe_id,
+         |       CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+         |       CAST(count(a.neighbor_id) AS DOUBLE) / 5 AS recall
+         |FROM exact_r e LEFT JOIN $aprx a
+         |  ON a.probe_id = e.probe_id AND a.neighbor_id = e.neighbor_id
+         |GROUP BY e.probe_id""".stripMargin
+    s"""WITH ${cte("exact_r", baseOracles("sim_cosine_topk"))},
+       |${cte("aprx_ivf", baseOracles("sim_ivfadc_rerank"))},
+       |${cte("aprx_ann", baseOracles("sim_ann_trained"))}
+       |SELECT method, probe_id, n_hits, recall FROM (
+       |${arm("ann_trained", "aprx_ann")}
+       |UNION ALL
+       |${arm("ivfadc_rerank", "aprx_ivf")}
+       |) ORDER BY method, probe_id""".stripMargin
+  }
+
+  val oracles: Map[String, String] =
+    baseOracles + ("sim_recall_audit" -> recallAuditOracle)
 }

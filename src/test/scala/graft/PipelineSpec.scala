@@ -660,4 +660,18 @@ class PipelineSpec extends SparkSuite {
       .collect().map(_.getSeq[String](0).toList).toList
     assert(enc2 === List(List("aaaa")))
   }
+
+  test("sim_recall_audit agrees with the independent set-intersection recall") {
+    val audit = Pipeline.queries("sim_recall_audit")(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val exact = Pipeline.queries("sim_cosine_topk")(spark, sf001)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val aprx = Pipeline.queries("sim_ivfadc_rerank")(spark, sf001)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for ((probe, ex) <- exact)
+      assert(audit(("ivfadc_rerank", probe)) ===
+        (ex & aprx.getOrElse(probe, Set.empty)).size.toLong, s"probe $probe")
+  }
 }
