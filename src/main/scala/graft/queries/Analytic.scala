@@ -506,13 +506,29 @@ object Analytic {
             "aggregate(zip_with(embedding, embedding, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, x) -> acc + x)")).as("dot_self"))
         .orderBy("vec_id")),
 
+    // Map function family: construction, keys/values, map_concat,
+    // map_filter, transform_values (the round-9 "oracle depth" item).
+    // DuckDB has no map_filter/transform_values — the oracle replays
+    // the semantics over the ENTRIES ARRAY (ordered struct list), which
+    // is exactly Spark's map entry order for literal-built maps (insert
+    // order, preserved by concat/filter/transform).
     "fn_map" -> ((s, d) => {
       val k = get_json_object(col("props"), "$.k").cast("int")
       Tables.events(s, d)
-        .select(col("event_id"), map(lit("k"), k).as("m"))
+        .select(col("event_id"),
+          map(lit("k"), k, lit("k2"), k * 2).as("m"),
+          map(lit("k3"), k + 1).as("m3"))
         .select(col("event_id"),
           concat_ws(",", map_keys(col("m"))).as("mkeys"),
-          concat_ws(",", expr("transform(map_values(m), v -> cast(v as string))")).as("mvals"))
+          concat_ws(",", expr("transform(map_values(m), v -> cast(v as string))")).as("mvals"),
+          concat_ws(",", map_keys(map_concat(col("m"), col("m3")))).as("ckeys"),
+          concat_ws(",", expr(
+            "transform(map_values(map_concat(m, m3)), v -> cast(v as string))")).as("cvals"),
+          concat_ws(",", map_keys(expr(
+            "map_filter(m, (kk, v) -> v % 2 = 0)"))).as("fkeys"),
+          concat_ws(",", expr(
+            "transform(map_values(transform_values(m, (kk, v) -> v * 10)), " +
+              "v -> cast(v as string))")).as("tvals"))
         .orderBy("event_id")
     }),
 
@@ -1033,11 +1049,29 @@ object Analytic {
         |        * 10000 + 0.5) / 10000 AS dot_self
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
+    // map_filter / transform_values replayed over the ordered ENTRIES
+    // ARRAY (struct list) — DuckDB has no map higher-order functions;
+    // entry order = Spark's literal-map insert order, preserved by
+    // concat/filter/transform on both representations.
     "fn_map" ->
-      """SELECT event_id,
-        |  array_to_string(map_keys(map(['k'], [CAST(json_extract_string(props, '$.k') AS INTEGER)])), ',') AS mkeys,
-        |  array_to_string(map_values(map(['k'], [CAST(json_extract_string(props, '$.k') AS INTEGER)])), ',') AS mvals
-        |FROM events ORDER BY event_id""".stripMargin,
+      """WITH b AS (SELECT event_id,
+        |             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |           FROM events),
+        |e AS (SELECT event_id, k,
+        |        [struct_pack(kk := 'k', vv := k),
+        |         struct_pack(kk := 'k2', vv := k * 2)] AS ents
+        |      FROM b),
+        |c AS (SELECT *, list_append(ents,
+        |        struct_pack(kk := 'k3', vv := k + 1)) AS cents FROM e)
+        |SELECT event_id,
+        |  array_to_string(list_transform(ents, x -> x.kk), ',') AS mkeys,
+        |  array_to_string(list_transform(ents, x -> CAST(x.vv AS VARCHAR)), ',') AS mvals,
+        |  array_to_string(list_transform(cents, x -> x.kk), ',') AS ckeys,
+        |  array_to_string(list_transform(cents, x -> CAST(x.vv AS VARCHAR)), ',') AS cvals,
+        |  array_to_string(list_transform(list_filter(ents, x -> x.vv % 2 = 0),
+        |                                 x -> x.kk), ',') AS fkeys,
+        |  array_to_string(list_transform(ents, x -> CAST(x.vv * 10 AS VARCHAR)), ',') AS tvals
+        |FROM c ORDER BY event_id""".stripMargin,
 
     "fn_json" ->
       """SELECT event_id,
