@@ -77,6 +77,15 @@ object Bench {
   private[graft] def isolationNeeded(minOfTrials: Double, committed: Option[Double]): Boolean =
     committed.exists(c => c > 1e-9 && minOfTrials > 2 * c && minOfTrials - c > 0.3)
 
+  /** The spread-forced isolated trial (VERDICT r9 bench-hygiene note):
+    * a POST-RETRY spread above 1.0 means three trials still disagree by
+    * more than 2x — whatever the committed comparison says, one more
+    * post-sweep measurement makes the artifact self-certifying (the
+    * committed-min trigger alone missed r9's q_composite_corpus 1.50 /
+    * text_pii_luhn 1.35 spreads). */
+  private[graft] def spreadForcesIsolation(postRetrySpread: Double): Boolean =
+    postRetrySpread > 1.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -137,9 +146,14 @@ object Bench {
     // stays high is a real regression.
     val fnByName = keys.toMap
     val isolated: Seq[(String, Double)] = trials.flatMap { case (name, ts) =>
-      val mn = ts.map(_._1).min
+      val secs = ts.map(_._1)
+      val mn = secs.min
+      val postRetrySpread = if (mn > 1e-9) (secs.max - mn) / mn else 0.0
       if (isolationNeeded(mn, committed.get(name))) {
         System.err.println(f"[bench] isolated $name (min $mn%.3f vs committed ${committed(name)}%.3f)")
+        Some(name -> timeOne(fnByName(name)))
+      } else if (spreadForcesIsolation(postRetrySpread)) {
+        System.err.println(f"[bench] isolated $name (post-retry spread $postRetrySpread%.2f > 1.0)")
         Some(name -> timeOne(fnByName(name)))
       } else None
     }.map { case (name, (sec, _)) => name -> sec }

@@ -44,6 +44,36 @@ object BenchScale {
     // k-means passes + pruned ADC scan) and the CDC chunker
     "sim_ivfadc", "corpus_cdc_chunk")
 
+  /** Second measured decade (VERDICT r9 item 6): the three STEEPEST
+    * keys of the 10x sweep re-measured over a 100x-documents slice, so
+    * their exponents are confirmed once sf0.1's fixed costs stop
+    * dominating. All three read ONLY the documents table, so the 100x
+    * generator writes nothing else. Exponents here are PER DECADE
+    * (log10(t_big/t_small) / 2 over the two decades). */
+  private val keys100 = Seq("dedup_containment", "dedup_ngram_jaccard", "text_tfidf")
+  private val Factor100 = 100
+
+  /** 100 isolated documents copies — same isolation scheme as [[gen]]
+    * (copy-specific token suffixes keep every near-dup candidate set
+    * within-copy; stopwords verbatim), numeric two-digit suffixes since
+    * 100 copies outgrow the letter table. */
+  private def gen100(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+    val done = new java.io.File(s"$outDir/_GEN_DONE")
+    if (done.exists()) return
+    val copies = spark.range(Factor100).select(col("id").cast("int").as("c"))
+    val suffixed =
+      """array_join(transform(split(text, ' '), t ->
+        |  CASE WHEN c = 0 OR t IN ('the', 'a', 'of', 'and', 'to') THEN t
+        |       ELSE concat(t, 'q', lpad(cast(c as string), 2, '0')) END), ' ')"""
+        .stripMargin
+    spark.read.parquet(s"$srcDir/documents.parquet").crossJoin(copies).select(
+        (col("doc_id") + col("c") * Stride).as("doc_id"),
+        expr(suffixed).as("text"), col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(64).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    done.createNewFile()
+  }
+
   private def gen(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     val done = new java.io.File(s"$outDir/_GEN_DONE")
     if (done.exists()) return
@@ -121,9 +151,30 @@ object BenchScale {
       val exp = math.log10(tB / tS) // one decade of volume -> exponent
       (name, tS, tB, exp)
     }
-    val json = rows.map { case (n, tS, tB, e) =>
-      f""""$n":{"t_small":$tS%.3f,"t_big":$tB%.3f,"exponent":$e%.3f}"""
-    }.mkString(s"""{"factor":$Factor,"src":"$srcDir","keys":{""", ",", "}}")
+    // second decade: the steepest documents-only keys at 100x, two
+    // interleaved passes, PER-DECADE exponent over the two decades
+    val outDir100 = sys.env.getOrElse("SPARK_GRAFT_SCALE100_DIR", "/tmp/graft_scale_sf10")
+    gen100(spark, srcDir, outDir100)
+    def pass100(label: String): Map[String, Double] =
+      keys100.map { name =>
+        System.err.println(s"[bench-scale] $label $name @ $outDir100")
+        name -> timeOne(name, outDir100)
+      }.toMap
+    val (a100, b100) = (pass100("passA100"), pass100("passB100"))
+    val rows100 = keys100.map { name =>
+      val tS = math.min(a((name, srcDir)), b((name, srcDir)))
+      val tB = math.min(a100(name), b100(name))
+      val exp = math.log10(tB / tS) / 2.0
+      (name, tS, tB, exp)
+    }
+    def block(rs: Seq[(String, Double, Double, Double)]): String =
+      rs.map { case (n, tS, tB, e) =>
+        f""""$n":{"t_small":$tS%.3f,"t_big":$tB%.3f,"exponent":$e%.3f}"""
+      }.mkString("{", ",", "}")
+    val json =
+      s"""{"factor":$Factor,"src":"$srcDir","keys":${block(rows)},""" +
+        s""""factor100":{"factor":$Factor100,"exponent_per_decade":true,""" +
+        s""""keys":${block(rows100)}}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE.json"),
       json.getBytes("UTF-8"))
     println(json)

@@ -178,20 +178,29 @@ object Bpe {
           s"chr(31) || m$r.lft || m$r.rgt || chr(30))"
     }
 
-  /** `corpus_chunk_bpe` oracle: training unroll, then each document's
-    * BPE token stream (list-level, document order preserved) chunked
-    * exactly like corpus_chunk (32-token chunks at stride 24). */
-  def chunkOracleSql(nMerges: Int, chunk: Int, stride: Int): String = {
-    val aliases = (0 until nMerges).map(r => s"b$r AS m$r").mkString(", ")
+  /** The document BPE-token-stream list expression (list-level —
+    * document word order preserved) over the cross-joined single-row
+    * winner tables `m0..m{n-1}`. */
+  private def docToksListSql(nMerges: Int): String = {
     val enc = encodeOracleExpr("w", nMerges)
-    s"""${trainOracleCtes(nMerges)},
-       |d AS MATERIALIZED (SELECT doc_id,
-       |        flatten(list_transform(
+    s"""flatten(list_transform(
        |          list_filter(string_split(text, ' '), w -> w <> ''),
        |          w -> list_filter(list_transform(
        |                 string_split($enc, chr(30)), x -> x[2:]),
-       |               x -> x <> ''))) AS toks
-       |      FROM documents, $aliases),
+       |               x -> x <> '')))""".stripMargin
+  }
+
+  private def winnerAliases(nMerges: Int): String =
+    (0 until nMerges).map(r => s"b$r AS m$r").mkString(", ")
+
+  /** `corpus_chunk_bpe` oracle: training unroll, then each document's
+    * BPE token stream chunked exactly like corpus_chunk (32-token
+    * chunks at stride 24). */
+  def chunkOracleSql(nMerges: Int, chunk: Int, stride: Int): String = {
+    s"""${trainOracleCtes(nMerges)},
+       |d AS MATERIALIZED (SELECT doc_id,
+       |        ${docToksListSql(nMerges)} AS toks
+       |      FROM documents, ${winnerAliases(nMerges)}),
        |s AS (SELECT doc_id, toks,
        |             unnest(generate_series(0, greatest(len(toks) - 1, 0), $stride)) AS st
        |      FROM d)
@@ -199,5 +208,22 @@ object Bpe {
        |       CAST(len(toks[st + 1 : least(st + $chunk, len(toks))]) AS BIGINT) AS chunk_tok,
        |       array_to_string(toks[st + 1 : least(st + $chunk, len(toks))], ' ') AS chunk_text
        |FROM s ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
+  /** `corpus_pack_bpe` oracle: training unroll, then corpus_pack's
+    * per-language head-to-tail packing over BPE token COUNTS. */
+  def packOracleSql(nMerges: Int, packTokens: Int): String = {
+    s"""${trainOracleCtes(nMerges)},
+       |d AS MATERIALIZED (SELECT doc_id, lang,
+       |        len(${docToksListSql(nMerges)}) AS n_tok
+       |      FROM documents, ${winnerAliases(nMerges)}),
+       |c AS (SELECT lang, doc_id, n_tok,
+       |        sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      FROM d)
+       |SELECT lang, CAST((cum - n_tok) // $packTokens AS BIGINT) AS pack_id,
+       |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+       |FROM c GROUP BY lang, (cum - n_tok) // $packTokens
+       |ORDER BY lang, pack_id""".stripMargin
   }
 }

@@ -360,6 +360,25 @@ object Pipeline {
         .orderBy("method", "probe_id")
     }),
 
+    // corpus_pack on SUBWORD token counts: the same per-language
+    // head-to-tail 512-token packing, sized by each document's BPE
+    // token count (trained merge chain, codegen'd — see
+    // corpus_chunk_bpe). Oracle re-trains and re-counts in SQL.
+    "corpus_pack_bpe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.train(docs, "text", BpeMergeRounds)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      docs.withColumn("n_tok", size(Bpe.docTokens(col("text"), merges)))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("pack_id", expr("cast((cum - n_tok) div 512 as bigint)"))
+        .groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("pack_tokens"))
+        .orderBy("lang", "pack_id")
+    }),
+
     // Benchmark decontamination: flag training docs that share any
     // 5-token shingle with an eval/benchmark doc (here: doc_id < 100
     // stands in for the benchmark). The eval side is tiny BY NATURE, so
@@ -1188,6 +1207,7 @@ object Pipeline {
 
     "text_bpe_vocab" -> Bpe.vocabOracleSql(BpeMergeRounds),
     "corpus_chunk_bpe" -> Bpe.chunkOracleSql(BpeMergeRounds, 32, 24),
+    "corpus_pack_bpe" -> Bpe.packOracleSql(BpeMergeRounds, 512),
 
     "decontaminate_ngram" ->
       """WITH tk0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

@@ -307,5 +307,11 @@ class CoreSpec extends SparkSuite {
     assert(!Bench.isolationNeeded(0.25, Some(0.1)),
       "micro-key 2.5x jitter under the absolute floor must not")
     assert(!Bench.isolationNeeded(10.0, None), "new keys have no reference")
+    // spread-forced trigger (VERDICT r9): post-retry spread > 1.0 forces
+    // an isolated trial regardless of the committed comparison
+    assert(Bench.spreadForcesIsolation(1.50), "the r9 q_composite_corpus case")
+    assert(Bench.spreadForcesIsolation(1.01))
+    assert(!Bench.spreadForcesIsolation(1.0))
+    assert(!Bench.spreadForcesIsolation(0.9))
   }
 }
