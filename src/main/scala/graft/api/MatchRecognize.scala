@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** One parsed PATTERN element: a pattern variable with its quantifier.
   * `isGap` marks an UNDEFINED `var*` element — the MATCH_RECOGNIZE
@@ -56,6 +56,36 @@ private[graft] case class MrIterRow(k: Long, ts: java.sql.Timestamp, ord: Long,
   * [[MrIterRow]].nv plus the navigated step's pattern index. */
 private[graft] case class MrNavExec(leftIdx: Int, op: String, fn: String,
                                     navStepIdx: Int, navColIdx: Int, n: Int)
+
+/** A MEASURES entry resolved by the GENERAL measures routes (beyond
+  * the single compiled `SUM(col) AS step_sums` form):
+  * `MATCH_NUMBER()` (SQL:2016 — the match's 1-based sequence number
+  * within its partition, in anchor order), `CLASSIFIER()` (the
+  * consuming pattern variable — see [[MrClassifier]]), or
+  * `[RUNNING|FINAL] AGG([var.]col | var.* | *)` with AGG one of
+  * COUNT / SUM / AVG / MIN / MAX / FIRST / LAST.
+  *  - `variable` scopes the aggregate to the rows CONSUMED BY that
+  *    pattern variable (Flink/SQL:2016 `SUM(A.value)`); absent, it
+  *    ranges over every consumed row of the match.
+  *  - `running = None` means the mode default of SQL:2016 §R(7):
+  *    RUNNING in ALL ROWS PER MATCH, FINAL in ONE ROW PER MATCH
+  *    (where the two coincide anyway — the output row IS the final
+  *    row). RUNNING aggregates range over consumed rows up to and
+  *    including the current row; FINAL over the whole match.
+  *  - `FIRST`/`LAST` return the named column of the variable's
+  *    first / last consumed row (offset-less form only). */
+sealed trait MrResolvedMeasure { def alias: String }
+case class MrMatchNumber(alias: String) extends MrResolvedMeasure
+/** SQL:2016 `CLASSIFIER()`: the pattern variable that consumed the
+  * row — per consumed row in ALL ROWS PER MATCH, the LAST row's
+  * variable in ONE ROW PER MATCH (the output row is the final row). */
+case class MrClassifier(alias: String) extends MrResolvedMeasure
+case class MrAggMeasure(func: String, variable: Option[String],
+                        colName: Option[String], running: Option[Boolean],
+                        alias: String) extends MrResolvedMeasure {
+  require(Set("COUNT", "SUM", "AVG", "MIN", "MAX", "FIRST", "LAST")(func),
+    s"unknown measure aggregate $func")
+}
 
 /** A parsed MATCH_RECOGNIZE clause, resolved against this library's
   * CEP model ([[CepPattern]]/[[CepCondPattern]]).
@@ -164,12 +194,46 @@ case class MrSpec(partitionBy: Seq[String], orderBy: Seq[String],
     val Sum = """(?i)^\s*SUM\s*\(\s*(?:[A-Za-z_]\w*\s*\.\s*)?([A-Za-z_]\w*)\s*\)\s*$""".r
     measures match {
       case Seq(MrMeasure(Sum(c), "step_sums")) => Some(c)
-      case _ => throw new IllegalArgumentException(
-        "unsupported MEASURES: this engine's compiled MEASURES form is " +
-          "exactly `MEASURES SUM(<valueCol>) AS step_sums` (per-step " +
-          "exact-cents sums — Cep.compileMeasures); for arbitrary " +
-          "per-step aggregates use Cep.matchSequenceMeasures / " +
-          s"StreamOps.cepMeasures. Got: $measures")
+      case _ => None
+    }
+  }
+
+  /** The GENERAL measures resolution ([[MrResolvedMeasure]]) — every
+    * MEASURES entry must be `MATCH_NUMBER()`, `CLASSIFIER()`, or
+    * `[RUNNING|FINAL] AGG([var.]col | var.* | *)`; any other text
+    * rejects here with a pointer. Variable scopes must be DEFINEd
+    * pattern steps (a gap consumes rows no measure should see — it is
+    * not a variable the standard lets you reference either). */
+  def resolveMeasures: Seq[MrResolvedMeasure] = {
+    val MatchNum = """(?i)^\s*MATCH_NUMBER\s*\(\s*\)\s*$""".r
+    val Classifier = """(?i)^\s*CLASSIFIER\s*\(\s*\)\s*$""".r
+    val Agg = ("""(?i)^\s*(?:(RUNNING|FINAL)\s+)?""" +
+      """(COUNT|SUM|AVG|MIN|MAX|FIRST|LAST)\s*\(\s*""" +
+      """(?:([A-Za-z_]\w*)\s*\.\s*)?([A-Za-z_]\w*|\*)\s*\)\s*$""").r
+    val stepVars = stepElems.map(_.variable).toSet
+    measures.map { m =>
+      m.exprSql match {
+        case MatchNum() => MrMatchNumber(m.alias)
+        case Classifier() => MrClassifier(m.alias)
+        case Agg(rf, fn, v, c) =>
+          val func = fn.toUpperCase
+          val variable = Option(v)
+          val colName = if (c == "*") None else Some(c)
+          variable.foreach(vv => require(stepVars(vv),
+            s"MEASURES $func($vv.$c): '$vv' is not a defined pattern step"))
+          require(colName.nonEmpty || func == "COUNT",
+            s"MEASURES $func(*): only COUNT takes *")
+          require(colName.nonEmpty || variable.isEmpty || func == "COUNT",
+            s"MEASURES $func: $func(var.*) is only meaningful for COUNT")
+          MrAggMeasure(func, variable, colName,
+            Option(rf).map(_.equalsIgnoreCase("RUNNING")), m.alias)
+        case other => throw new IllegalArgumentException(
+          "unsupported MEASURES entry: expected MATCH_NUMBER(), " +
+            "CLASSIFIER(), or [RUNNING|FINAL] COUNT/SUM/AVG/MIN/MAX/" +
+            "FIRST/LAST([var.]col), got: " + other + " — arbitrary measure " +
+            "expressions are not planned (compose them over the " +
+            "output columns instead)")
+      }
     }
   }
 }
@@ -187,7 +251,7 @@ case class MrSpec(partitionBy: Seq[String], orderBy: Seq[String],
   * MATCH_RECOGNIZE (
   *   PARTITION BY key
   *   ORDER BY ts, ord                      -- tiebreak column REQUIRED
-  *   [MEASURES SUM(valCol) AS step_sums]   -- compiled MEASURES form
+  *   [MEASURES measure AS alias [, ...]]   -- see MEASURES forms below
   *   [ONE ROW PER MATCH | ALL ROWS PER MATCH]
   *   [AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW
   *                     | TO FIRST var | TO LAST var]
@@ -196,6 +260,19 @@ case class MrSpec(partitionBy: Seq[String], orderBy: Seq[String],
   *   DEFINE var AS predicate [, ...]
   * )
   * }}}
+  * MEASURES forms: exactly `SUM(<col>) AS step_sums` compiles the
+  * per-step exact-cents sums INTO the gaps-and-islands plan
+  * ([[Cep.compileMeasures]] — fully codegen'd, ONE ROW PER MATCH
+  * only). Every other clause takes the GENERAL route: each entry is
+  * `MATCH_NUMBER()`, `CLASSIFIER()`, or
+  * `[RUNNING|FINAL] AGG([var.]col | var.* | *)`
+  * with AGG ∈ COUNT/SUM/AVG/MIN/MAX/FIRST/LAST
+  * ([[MrSpec.resolveMeasures]]), executed over the matcher's
+  * consumed-row projection by one per-match hash aggregation (ONE ROW
+  * — [[runMeasures]]) or per-match windows (ALL ROWS —
+  * [[runAllRowsMeasures]], where RUNNING is the default and frames
+  * end at the current consumption position).
+  *
   * Pattern elements: `var` with quantifier `+ * ? {m} {m,} {m,n}`,
   * each optionally reluctant (`+?`, `{m,n}?` — the SQL:2016
   * non-greedy marker); `!var` is this library's extension for Flink
@@ -794,6 +871,18 @@ object MatchRecognize {
         "(Cep.matchSequenceMeasures) instead")
       return runIter(df, spec, key, tsC, ordC)
     }
+    // GENERAL MEASURES route: any MEASURES clause beyond the compiled
+    // `SUM(col) AS step_sums` form (and every MEASURES clause under ALL
+    // ROWS PER MATCH, where the compiled per-step-sums summary does not
+    // apply) resolves to [[MrResolvedMeasure]]s and executes over the
+    // matcher's consumed-row projection with ordinary Spark aggregation
+    // (ONE ROW: groupBy per match) or windows (ALL ROWS: running/final
+    // frames) — see [[runMeasures]] / [[runAllRowsMeasures]].
+    if (spec.measures.nonEmpty && (spec.allRows || spec.measuresValCol.isEmpty)) {
+      val resolved = spec.resolveMeasures
+      return if (spec.allRows) runAllRowsMeasures(df, spec, resolved, key, tsC, ordC)
+             else runMeasures(df, spec, resolved, key, tsC, ordC)
+    }
     if (spec.allRows) return runAllRows(df, spec, key, tsC, ordC)
     (spec.toSymbolic, spec.measuresValCol) match {
       case (Some((symCol, pat)), None) => Cep.compile(df, key, tsC, ordC, symCol, pat)
@@ -821,9 +910,8 @@ object MatchRecognize {
                          tsC: String, ordC: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     require(spec.measures.isEmpty,
-      "ALL ROWS PER MATCH does not combine with the compiled MEASURES " +
-        "form (per-step aggregates summarize a match to ONE row) — drop " +
-        "the MEASURES clause, every consumed row's value is in the output")
+      "internal: ALL ROWS PER MATCH with a MEASURES clause routes to " +
+        "runAllRowsMeasures") // unreachable — run() dispatches it there
     val (symExpr, pat) = spec.toSymbolic match {
       case Some((symCol, p)) => (col(symCol), p)
       case None =>
@@ -840,6 +928,198 @@ object MatchRecognize {
         valueCol.as("value"))
       .as[graft.streaming.Ev]
     graft.streaming.StreamOps.cepAllRowsPattern(ev, pat).toDF()
+      .withColumnRenamed("user_id", key)
+      .withColumnRenamed("event_id", ordC)
+      .withColumnRenamed("ts", tsC)
+  }
+
+  /** The consumed-rows projection shared by the general MEASURES
+    * executors: the per-key sequential matcher's row-level output
+    * (StreamOps.cepAllRowsPattern) on the VALUE-PREDICATE compiled form
+    * — [[MrSpec.toCond]] works for both DEFINE shapes (a symbol
+    * equality is just a predicate), and its first-match-wins derived
+    * CASE labels each consumed row's `step` with the PATTERN VARIABLE
+    * name, which is exactly the scope `SUM(var.col)` aggregates over.
+    * Columns: user_id (the key, cast long), start_id/end_id (match
+    * identity), pos (1-based consumption position), event_id (the ord
+    * column, cast long), ts, step, value. */
+  private def consumedRows(df: DataFrame, spec: MrSpec, key: String,
+                           tsC: String, ordC: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    val sp = df.sparkSession
+    import sp.implicits._
+    val cond = spec.toCond
+    val valueCol =
+      if (df.columns.contains("value")) col("value").cast("double") else lit(0.0)
+    val ev = df.select(col(ordC).cast("long").as("event_id"), col(tsC).as("ts"),
+        col(key).cast("long").as("user_id"), expr(cond.caseSql).as("event_type"),
+        valueCol.as("value"))
+      .as[graft.streaming.Ev]
+    graft.streaming.StreamOps.cepAllRowsPattern(ev, cond.symbolic).toDF()
+  }
+
+  /** Measured columns beyond the matcher's own projection (anything
+    * other than `value`, the ord column, and the ts column) are
+    * recovered by an equi-join back to the input on (key, ord) — the
+    * join is key-partitioned like every other stage of the plan, and a
+    * row consumed by several overlapping matches fans out exactly as
+    * the match projection did (many-to-one on the input side). */
+  private def joinMeasuredCols(df: DataFrame, consumed: DataFrame,
+                               resolved: Seq[MrResolvedMeasure], key: String,
+                               tsC: String, ordC: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val extra = resolved.collect {
+      case MrAggMeasure(_, _, Some(c), _, _) => c
+    }.distinct.filterNot(c => c == "value" || c == tsC || c == ordC)
+    if (extra.isEmpty) return consumed
+    val clash = extra.filter(consumed.columns.contains)
+    require(clash.isEmpty,
+      s"measured column(s) ${clash.mkString(", ")} collide with the " +
+        "match projection's own columns (user_id, start_id, end_id, pos, " +
+        "event_id, ts, step, value) — alias them in the input first")
+    val sideCols = Seq(col(key).cast("long").as("user_id"),
+      col(ordC).cast("long").as("event_id")) ++ extra.map(col)
+    val side = df.select(sideCols: _*)
+    consumed.join(side, Seq("user_id", "event_id"))
+  }
+
+  /** A measured column reference inside the consumed-row projection:
+    * the ord / ts columns live under the matcher's fixed names. */
+  private def measureColRef(c: String, tsC: String,
+                            ordC: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.col
+    if (c == ordC) col("event_id") else if (c == tsC) col("ts") else col(c)
+  }
+
+  private def checkMeasureAliases(resolved: Seq[MrResolvedMeasure],
+                                  reserved: Seq[String]): Unit = {
+    val aliases = resolved.map(_.alias)
+    require(aliases.distinct.size == aliases.size,
+      s"duplicate MEASURES alias: ${aliases.diff(aliases.distinct).mkString(", ")}")
+    val clash = aliases.filter(a => reserved.exists(_.equalsIgnoreCase(a)))
+    require(clash.isEmpty,
+      s"MEASURES alias(es) ${clash.mkString(", ")} collide with the " +
+        s"output's own columns (${reserved.mkString(", ")})")
+  }
+
+  /** General MEASURES under ONE ROW PER MATCH: the matcher emits each
+    * match's consumed rows ([[consumedRows]]), and the measures are
+    * ONE ordinary hash aggregation per match — `groupBy(key, start_id)`
+    * with conditional aggregates (`SUM(var.col)` =
+    * `sum(when(step = var, col))`, `FIRST`/`LAST` = `min_by`/`max_by`
+    * on the variable-scoped consumption position; a scope the match
+    * never consumed yields SQL null). RUNNING and FINAL coincide in
+    * this mode (the output row IS the final row — SQL:2016), so the
+    * modifier is accepted and ignored. `MATCH_NUMBER()` is a
+    * key-partitioned row_number over anchor order (start_ts, start_id)
+    * added after the aggregation. Output: key, start_id, start_ts,
+    * end_id, end_ts, n_rows, then one column per measure in declared
+    * order. Scale: matcher shuffle + one co-partitioned aggregation +
+    * (only if MATCH_NUMBER is asked for) one key-partitioned window —
+    * nothing global, nothing driver-side. */
+  private def runMeasures(df: DataFrame, spec: MrSpec,
+                          resolved: Seq[MrResolvedMeasure], key: String,
+                          tsC: String, ordC: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val meta = Seq(key, "start_id", "start_ts", "end_id", "end_ts", "n_rows")
+    checkMeasureAliases(resolved, meta)
+    val consumed =
+      joinMeasuredCols(df, consumedRows(df, spec, key, tsC, ordC),
+        resolved, key, tsC, ordC)
+    def scoped(v: Option[String], c: Column): Column =
+      v.map(vv => when(col("step") === vv, c)).getOrElse(c)
+    val aggs = resolved.collect {
+      case MrClassifier(a) =>
+        // ONE ROW PER MATCH: the final row's consuming variable
+        max_by(col("step"), col("pos")).as(a)
+      case m: MrAggMeasure =>
+        val cRef = m.colName.map(measureColRef(_, tsC, ordC))
+        val e = m.func match {
+          case "COUNT" => count(scoped(m.variable, cRef.getOrElse(lit(1))))
+          case "SUM" => sum(scoped(m.variable, cRef.get))
+          case "AVG" => avg(scoped(m.variable, cRef.get))
+          case "MIN" => min(scoped(m.variable, cRef.get))
+          case "MAX" => max(scoped(m.variable, cRef.get))
+          // FIRST/LAST: the variable's first/last consumed row — min_by/
+          // max_by on the SCOPED position (rows outside the scope carry a
+          // null ordering value, which both engines' arg-extremes skip)
+          case "FIRST" => min_by(cRef.get, scoped(m.variable, col("pos")))
+          case _ => max_by(cRef.get, scoped(m.variable, col("pos")))
+        }
+        e.as(m.alias)
+    }
+    val metaAggs = Seq(min(col("ts")).as("start_ts"),
+      max(col("end_id")).as("end_id"), max(col("ts")).as("end_ts"),
+      count(lit(1)).as("n_rows"))
+    val all = metaAggs ++ aggs
+    val grouped = consumed.groupBy(col("user_id"), col("start_id"))
+      .agg(all.head, all.tail: _*)
+    val wMn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("start_ts"), col("start_id"))
+    val withMn = resolved.foldLeft(grouped) {
+      case (d, MrMatchNumber(a)) =>
+        d.withColumn(a, row_number().over(wMn).cast("long"))
+      case (d, _) => d
+    }
+    withMn.select((Seq("user_id", "start_id", "start_ts", "end_id", "end_ts",
+        "n_rows") ++ resolved.map(_.alias)).map(col): _*)
+      .withColumnRenamed("user_id", key)
+  }
+
+  /** General MEASURES under ALL ROWS PER MATCH: every consumed row,
+    * with each measure a WINDOW over the match — RUNNING (the mode's
+    * default) aggregates the frame up to and including the current
+    * consumption position, FINAL the whole match
+    * (`rowsBetween(unboundedPreceding, unboundedFollowing)`); both
+    * windows are (key, start_id)-partitioned, so nothing beyond the
+    * matcher's own key partitioning is shuffled. `FIRST`/`LAST` are
+    * ignore-nulls first/last over the variable-scoped column.
+    * `MATCH_NUMBER()` is a dense_rank over anchor order. Output: the
+    * consumed-row projection (key, start_id, end_id, pos, ordC, tsC,
+    * step, value) plus one column per measure. */
+  private def runAllRowsMeasures(df: DataFrame, spec: MrSpec,
+                                 resolved: Seq[MrResolvedMeasure], key: String,
+                                 tsC: String, ordC: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val base = Seq(key, "start_id", "end_id", "pos", ordC, tsC, "step", "value")
+    checkMeasureAliases(resolved, base)
+    val consumed =
+      joinMeasuredCols(df, consumedRows(df, spec, key, tsC, ordC),
+        resolved, key, tsC, ordC)
+    val wMatch = Window.partitionBy(col("user_id"), col("start_id"))
+    val wRun = wMatch.orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFin = wMatch.orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def scoped(v: Option[String], c: Column): Column =
+      v.map(vv => when(col("step") === vv, c)).getOrElse(c)
+    val withMeasures = resolved.foldLeft(consumed) {
+      case (d, MrClassifier(a)) =>
+        // ALL ROWS PER MATCH: the current row's consuming variable
+        d.withColumn(a, col("step"))
+      case (d, MrMatchNumber(a)) =>
+        // anchor order: first consumed ts, then the anchor row id —
+        // dense_rank numbers the matches 1..n per key in that order
+        d.withColumn("__mts", min(col("ts")).over(wMatch))
+          .withColumn(a, dense_rank().over(Window.partitionBy(col("user_id"))
+            .orderBy(col("__mts"), col("start_id"))).cast("long"))
+          .drop("__mts")
+      case (d, m: MrAggMeasure) =>
+        val cRef = m.colName.map(measureColRef(_, tsC, ordC))
+        val w = if (m.running.getOrElse(true)) wRun else wFin
+        val e = m.func match {
+          case "COUNT" => count(scoped(m.variable, cRef.getOrElse(lit(1)))).over(w)
+          case "SUM" => sum(scoped(m.variable, cRef.get)).over(w)
+          case "AVG" => avg(scoped(m.variable, cRef.get)).over(w)
+          case "MIN" => min(scoped(m.variable, cRef.get)).over(w)
+          case "MAX" => max(scoped(m.variable, cRef.get)).over(w)
+          case "FIRST" => first(scoped(m.variable, cRef.get), ignoreNulls = true).over(w)
+          case _ => last(scoped(m.variable, cRef.get), ignoreNulls = true).over(w)
+        }
+        d.withColumn(m.alias, e)
+    }
+    withMeasures
       .withColumnRenamed("user_id", key)
       .withColumnRenamed("event_id", ordC)
       .withColumnRenamed("ts", tsC)
@@ -975,6 +1255,11 @@ object MatchRecognize {
         "match-relative, so the derivation route cannot express it; " +
         "hand-formulate the semantics independently (see the " +
         "event_cep_iterative oracle's row_number-first-successor shape)")
+    require(spec.measures.isEmpty || (!spec.allRows && spec.measuresValCol.nonEmpty),
+      "no generated oracle for the general MEASURES route — " +
+        "hand-formulate it over an independent consumed-rows rewrite " +
+        "(see the event_cep_sql_agg / event_cep_sql_runagg oracles, " +
+        "which aggregate / window the AllRowsOracle islands CTEs)")
     val t = if (table.nonEmpty) table else spec.fromTable.getOrElse("events")
     if (spec.hasAlternation) {
       // the same branch expansion + leftmost-preference dedup as

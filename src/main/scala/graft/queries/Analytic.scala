@@ -402,6 +402,31 @@ object Analytic {
       MatchRecognize.run(Tables.events(s, d), CepSql.prevRise)
         .orderBy("user_id", "start_id")),
 
+    // General MEASURES from text, ONE ROW PER MATCH: MATCH_NUMBER +
+    // match-wide and click-scoped aggregates + FIRST/LAST, executed as
+    // one per-match hash aggregation over the matcher's consumed rows
+    // (MatchRecognize.runMeasures). click_sum bit-stable-rounded to
+    // cents on both sides (Det.round2 / floor(x*100+0.5)/100 — double
+    // summation order differs across engines).
+    "event_cep_sql_agg" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.aggMeasures)
+        .withColumn("click_sum", Det.round2(col("click_sum")))
+        .orderBy("user_id", "start_id")),
+
+    // General MEASURES from text, ALL ROWS PER MATCH: RUNNING/FINAL
+    // window frames per consumed row (MatchRecognize.runAllRowsMeasures)
+    // — RUNNING sums/counts grow with consumption position, FINAL spans
+    // the match, MATCH_NUMBER dense_ranks anchors per key.
+    "event_cep_sql_runagg" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.runningMeasures)
+        .select(col("user_id"), col("end_id").as("purchase_id"), col("pos"),
+          col("event_id"), col("ts"), col("step"), col("value"),
+          col("match_no"), col("run_rows"),
+          Det.round2(col("run_sum")).as("run_sum"),
+          col("match_rows"), col("match_max"), col("first_click_v"),
+          col("var_name"))
+        .orderBy("user_id", "purchase_id", "pos")),
+
     // Bounded alternation `(c | v)` from text: per-branch compiled
     // plans unioned, anchors deduped by leftmost branch preference
     // (regex alternation priority) — property-pinned against the
@@ -749,6 +774,50 @@ object Analytic {
         |  DEFINE click AS event_type = 'click',
         |         purchase AS event_type = 'purchase'
         |)""".stripMargin
+    // General MEASURES, ONE ROW PER MATCH: MATCH_NUMBER, match-wide and
+    // variable-scoped aggregates, FIRST/LAST over the click run — the
+    // same C+ P WITHIN 10 min matches as allRows, so the oracle
+    // aggregates the same islands CTE chain.
+    val aggMeasures: String =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES MATCH_NUMBER() AS match_no,
+        |           COUNT(*) AS n_consumed,
+        |           COUNT(click.*) AS n_clicks,
+        |           SUM(click.value) AS click_sum,
+        |           FIRST(click.value) AS first_click_v,
+        |           LAST(click.value) AS last_click_v,
+        |           MAX(value) AS max_v,
+        |           CLASSIFIER() AS last_step
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (click+ purchase)
+        |  WITHIN INTERVAL '10' MINUTE
+        |  DEFINE click AS event_type = 'click',
+        |         purchase AS event_type = 'purchase'
+        |)""".stripMargin
+    // General MEASURES, ALL ROWS PER MATCH: RUNNING (the mode default)
+    // vs explicit FINAL frames, plus MATCH_NUMBER and a variable-scoped
+    // ignore-nulls FIRST — every consumed row annotated.
+    val runningMeasures: String =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES MATCH_NUMBER() AS match_no,
+        |           RUNNING COUNT(*) AS run_rows,
+        |           RUNNING SUM(value) AS run_sum,
+        |           FINAL COUNT(*) AS match_rows,
+        |           FINAL MAX(value) AS match_max,
+        |           FIRST(click.value) AS first_click_v,
+        |           CLASSIFIER() AS var_name
+        |  ALL ROWS PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (click+ purchase)
+        |  WITHIN INTERVAL '10' MINUTE
+        |  DEFINE click AS event_type = 'click',
+        |         purchase AS event_type = 'purchase'
+        |)""".stripMargin
   }
 
   /** Independent SQL formulation of the iterative-condition semantics
@@ -774,10 +843,13 @@ object Analytic {
       |FROM c WHERE rn = 1 AND end_ts <= start_ts + INTERVAL 1440 MINUTE
       |ORDER BY user_id, start_id""".stripMargin
 
-  /** The islands-rewrite ALL ROWS oracle, shared by the DSL key
-    * (event_cep_all_rows) and the SQL-route key (event_cep_sql_allrows
-    * — row-identical by construction, same matcher, same pattern). */
-  private val AllRowsOracle: String =
+  /** The islands-rewrite consumed-rows CTE chain (ending in `ar`, the
+    * per-match consumed rows of the C+ P WITHIN 10 min shape): the
+    * independent formulation [[AllRowsOracle]] selects from directly,
+    * and the general-MEASURES oracles aggregate (event_cep_sql_agg)
+    * or window (event_cep_sql_runagg) — one reconstruction, three
+    * cross-checked surfaces. */
+  private val AllRowsCtes: String =
       """WITH t AS (
         |  SELECT user_id, ts, event_id, event_type, value,
         |    sum(CASE WHEN event_type != 'click' THEN 1 ELSE 0 END)
@@ -800,12 +872,83 @@ object Analytic {
         |       AND c.cts >= m.purchase_ts - INTERVAL 10 MINUTE
         |      UNION ALL
         |      SELECT user_id, purchase_id, purchase_id, purchase_ts,
-        |             'purchase', pval FROM m)
-        |SELECT user_id, purchase_id,
-        |       row_number() OVER (PARTITION BY user_id, purchase_id
-        |                          ORDER BY ts, event_id) AS pos,
-        |       event_id, ts, step, value
-        |FROM r ORDER BY user_id, purchase_id, pos""".stripMargin
+        |             'purchase', pval FROM m),
+        |ar AS (
+        |  SELECT user_id, purchase_id,
+        |         row_number() OVER (PARTITION BY user_id, purchase_id
+        |                            ORDER BY ts, event_id) AS pos,
+        |         event_id, ts, step, value
+        |  FROM r)""".stripMargin
+
+  /** The islands-rewrite ALL ROWS oracle, shared by the DSL key
+    * (event_cep_all_rows) and the SQL-route key (event_cep_sql_allrows
+    * — row-identical by construction, same matcher, same pattern). */
+  private val AllRowsOracle: String = AllRowsCtes +
+    "\nSELECT user_id, purchase_id, pos, event_id, ts, step, value" +
+    "\nFROM ar ORDER BY user_id, purchase_id, pos"
+
+  /** General-MEASURES (ONE ROW PER MATCH) oracle: the SAME consumed
+    * rows as [[AllRowsCtes]], aggregated per match with DuckDB's
+    * conditional aggregates / arg-extremes — independently formulating
+    * what [[graft.api.MatchRecognize]]'s runMeasures executor computes
+    * with groupBy + min_by/max_by (MATCH_NUMBER = anchor-order
+    * row_number per key). click_sum is bit-stable-rounded to cents on
+    * BOTH sides (floor(x*100+0.5)/100, the Det.round2 idiom — double
+    * summation order differs across engines). */
+  private val AggMeasuresOracle: String = AllRowsCtes +
+    """,
+      |g AS (
+      |  SELECT user_id,
+      |         arg_min(event_id, pos) AS start_id,
+      |         arg_min(ts, pos) AS start_ts,
+      |         purchase_id AS end_id,
+      |         arg_max(ts, pos) AS end_ts,
+      |         count(*) AS n_rows,
+      |         count(*) AS n_consumed,
+      |         count(CASE WHEN step = 'click' THEN 1 END) AS n_clicks,
+      |         floor(sum(CASE WHEN step = 'click' THEN value END)*100 + 0.5)/100 AS click_sum,
+      |         arg_min(CASE WHEN step = 'click' THEN value END,
+      |                 CASE WHEN step = 'click' THEN pos END) AS first_click_v,
+      |         arg_max(CASE WHEN step = 'click' THEN value END,
+      |                 CASE WHEN step = 'click' THEN pos END) AS last_click_v,
+      |         max(value) AS max_v,
+      |         arg_max(step, pos) AS last_step
+      |  FROM ar GROUP BY user_id, purchase_id)
+      |SELECT user_id, start_id, start_ts, end_id, end_ts, n_rows,
+      |       row_number() OVER (PARTITION BY user_id
+      |                          ORDER BY start_ts, start_id) AS match_no,
+      |       n_consumed, n_clicks, click_sum, first_click_v, last_click_v,
+      |       max_v, last_step
+      |FROM g ORDER BY user_id, start_id""".stripMargin
+
+  /** General-MEASURES (ALL ROWS PER MATCH) oracle: the same consumed
+    * rows with RUNNING frames (`ROWS UNBOUNDED PRECEDING` in pos
+    * order), FINAL frames (whole-match window), ignore-nulls
+    * first_value for the variable-scoped FIRST, and anchor-order
+    * dense_rank for MATCH_NUMBER — the window formulation of
+    * runAllRowsMeasures. run_sum bit-stable-rounded to cents on both
+    * sides (the Det.round2 idiom). */
+  private val RunMeasuresOracle: String = AllRowsCtes +
+    """,
+      |e AS (
+      |  SELECT *,
+      |         min(ts) OVER wm AS mts,
+      |         arg_min(event_id, pos) OVER wm AS sid,
+      |         count(*) OVER wr AS run_rows,
+      |         floor(sum(value) OVER wr*100 + 0.5)/100 AS run_sum,
+      |         count(*) OVER wm AS match_rows,
+      |         max(value) OVER wm AS match_max,
+      |         first_value(CASE WHEN step = 'click' THEN value END IGNORE NULLS)
+      |           OVER wr AS first_click_v
+      |  FROM ar
+      |  WINDOW wm AS (PARTITION BY user_id, purchase_id),
+      |         wr AS (PARTITION BY user_id, purchase_id ORDER BY pos
+      |                ROWS UNBOUNDED PRECEDING))
+      |SELECT user_id, purchase_id, pos, event_id, ts, step, value,
+      |       dense_rank() OVER (PARTITION BY user_id ORDER BY mts, sid) AS match_no,
+      |       run_rows, run_sum, match_rows, match_max, first_click_v,
+      |       step AS var_name
+      |FROM e ORDER BY user_id, purchase_id, pos""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "event_cep_sql" -> MatchRecognize.oracleFor(CepSql.funnel),
@@ -981,6 +1124,8 @@ object Analytic {
     // per-match (ts, event_id) row_number = consumption order.
     "event_cep_all_rows" -> AllRowsOracle,
     "event_cep_sql_allrows" -> AllRowsOracle,
+    "event_cep_sql_agg" -> AggMeasuresOracle,
+    "event_cep_sql_runagg" -> RunMeasuresOracle,
 
     "topk_per_group" ->
       """SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM (

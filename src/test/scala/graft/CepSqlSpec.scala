@@ -160,30 +160,48 @@ class CepSqlSpec extends SparkSuite {
       MatchRecognize.parse(body("a b",
         "a AS event_type = 'view', b AS event_type = 'click', zz AS event_type = 'x'")))
       .getMessage.contains("not in PATTERN"))
-    // ALL ROWS PER MATCH + MEASURES: the combination is rejected (the
-    // compiled MEASURES form summarizes a match to one row)
-    val allRowsMeasures =
-      """MATCH_RECOGNIZE (
-        |  PARTITION BY user_id
-        |  ORDER BY ts, event_id
-        |  MEASURES SUM(value) AS step_sums
-        |  ALL ROWS PER MATCH
-        |  PATTERN (a b)
-        |  DEFINE a AS event_type = 'view', b AS event_type = 'click'
-        |)""".stripMargin
-    assert(MatchRecognize.parse(allRowsMeasures).allRows)
-    assert(intercept[IllegalArgumentException](
-      MatchRecognize.run(Tables.events(spark, sf001), allRowsMeasures))
-      .getMessage.contains("does not combine"))
-    // unsupported MEASURES shape
-    assert(intercept[IllegalArgumentException](MatchRecognize.parse(
+    // a MEASURES clause beyond the compiled `SUM(col) AS step_sums`
+    // form is NOT the compiled route (measuresValCol empty) — it
+    // resolves on the general route instead
+    val avgSpec = MatchRecognize.parse(
       s"""MATCH_RECOGNIZE (
          |  PARTITION BY user_id
          |  ORDER BY ts, event_id
          |  MEASURES AVG(value) AS m
          |  PATTERN (a b)
          |  DEFINE a AS event_type = 'view', b AS event_type = 'click'
-         |)""".stripMargin).measuresValCol).getMessage.contains("unsupported MEASURES"))
+         |)""".stripMargin)
+    assert(avgSpec.measuresValCol.isEmpty)
+    assert(avgSpec.resolveMeasures ===
+      Seq(MrAggMeasure("AVG", None, Some("value"), None, "m")))
+    // an arbitrary measure EXPRESSION rejects at resolution with the
+    // supported grammar spelled out
+    def meas(m: String) = MatchRecognize.parse(
+      s"""MATCH_RECOGNIZE (
+         |  PARTITION BY user_id
+         |  ORDER BY ts, event_id
+         |  MEASURES $m
+         |  PATTERN (a b)
+         |  DEFINE a AS event_type = 'view', b AS event_type = 'click'
+         |)""".stripMargin).resolveMeasures
+    assert(intercept[IllegalArgumentException](meas("SUM(value) * 2 AS m"))
+      .getMessage.contains("unsupported MEASURES entry"))
+    // scope variable must be a DEFINEd pattern step
+    assert(intercept[IllegalArgumentException](meas("SUM(zz.value) AS m"))
+      .getMessage.contains("not a defined pattern step"))
+    // `*` only under COUNT
+    assert(intercept[IllegalArgumentException](meas("SUM(*) AS m"))
+      .getMessage.contains("only COUNT takes *"))
+    // duplicate aliases reject at execution
+    assert(intercept[IllegalArgumentException](
+      MatchRecognize.run(Tables.events(spark, sf001),
+        s"""SELECT * FROM events MATCH_RECOGNIZE (
+           |  PARTITION BY user_id
+           |  ORDER BY ts, event_id
+           |  MEASURES COUNT(*) AS m, MAX(value) AS m
+           |  PATTERN (a b)
+           |  DEFINE a AS event_type = 'view', b AS event_type = 'click'
+           |)""".stripMargin)).getMessage.contains("duplicate MEASURES alias"))
   }
 
   test("ALL ROWS PER MATCH executes through the SQL route") {
@@ -219,6 +237,118 @@ class CepSqlSpec extends SparkSuite {
       .orderBy("user_id", "start_id", "pos").collect()
     assert(rows.nonEmpty)
     assert(rows.map(_.getAs[String]("step")).toSet === Set("hot", "buy"))
+  }
+
+  test("general MEASURES (ONE ROW): aggregates match the independent DSL matcher") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val evDf = Tables.events(spark, sf001)
+    val got = MatchRecognize.run(evDf, graft.queries.Analytic.CepSql.aggMeasures)
+      .withColumn("click_sum", Det.round2(col("click_sum")))
+      .orderBy("user_id", "end_id").collect()
+    assert(got.nonEmpty)
+    // independent check: StreamOps.cepMeasures is a SEPARATE sequential
+    // implementation of the same C+ P WITHIN 10 min measures
+    val ev = evDf.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value")).as[graft.streaming.Ev]
+    val dsl = graft.streaming.StreamOps.cepMeasures(ev, withinMinutes = 10)
+      .collect().map(m => (m.user_id, m.purchase_id) -> m).toMap
+    assert(got.length === dsl.size)
+    for (r <- got) {
+      val m = dsl((r.getAs[Long]("user_id"), r.getAs[Long]("end_id")))
+      assert(r.getAs[Long]("n_clicks") === m.n_clicks)
+      assert(r.getAs[Long]("n_consumed") === m.n_clicks + 1)
+      assert(r.getAs[Long]("n_rows") === m.n_clicks + 1)
+      assert(r.getAs[Double]("click_sum") ===
+        math.floor(m.sum_click * 100 + 0.5) / 100)
+      assert(r.getAs[Double]("max_v") === math.max(m.max_click, m.purchase_value))
+      assert(r.getAs[java.sql.Timestamp]("end_ts") === m.purchase_ts)
+      // CLASSIFIER() in ONE ROW mode: the final row's variable — the
+      // pattern ends in `purchase`, so it is constant here
+      assert(r.getAs[String]("last_step") === "purchase")
+    }
+    // MATCH_NUMBER: consecutive 1..n per key in anchor order
+    for ((_, rs) <- got.groupBy(_.getAs[Long]("user_id"))) {
+      val byAnchor = rs.sortBy(r =>
+        (r.getAs[java.sql.Timestamp]("start_ts").getTime, r.getAs[Long]("start_id")))
+      assert(byAnchor.map(_.getAs[Long]("match_no")).toSeq ===
+        (1L to rs.length).toSeq)
+    }
+  }
+
+  test("general MEASURES (ONE ROW): RUNNING ≡ FINAL, and the join-back path") {
+    import org.apache.spark.sql.functions.{col, round}
+    val evDf = Tables.events(spark, sf001)
+    def one(measures: String) = MatchRecognize.run(evDf,
+      s"""SELECT * FROM events MATCH_RECOGNIZE (
+         |  PARTITION BY user_id
+         |  ORDER BY ts, event_id
+         |  MEASURES $measures
+         |  ONE ROW PER MATCH
+         |  AFTER MATCH SKIP PAST LAST ROW
+         |  PATTERN (click+ purchase)
+         |  WITHIN INTERVAL '10' MINUTE
+         |  DEFINE click AS event_type = 'click',
+         |         purchase AS event_type = 'purchase'
+         |)""".stripMargin)
+    // SQL:2016: in ONE ROW PER MATCH the output row IS the final row,
+    // so RUNNING and FINAL coincide — the modifier parses and is inert
+    val plain = one("SUM(value) AS s").orderBy("user_id", "start_id").collect()
+    val runMod = one("RUNNING SUM(value) AS s").orderBy("user_id", "start_id").collect()
+    val finMod = one("FINAL SUM(value) AS s").orderBy("user_id", "start_id").collect()
+    assert(plain.nonEmpty && plain.toSeq === runMod.toSeq && plain.toSeq === finMod.toSeq)
+    // a measured column OUTSIDE the matcher's projection (value/ts/ord)
+    // is recovered by the key-partitioned join-back: v2 = 2*value
+    val df2 = evDf.withColumn("v2", col("value") * 2)
+    val both = MatchRecognize.run(df2,
+      s"""SELECT * FROM events MATCH_RECOGNIZE (
+         |  PARTITION BY user_id
+         |  ORDER BY ts, event_id
+         |  MEASURES SUM(click.value) AS sv, SUM(click.v2) AS sv2,
+         |           LAST(click.v2) AS lv2, LAST(click.value) AS lv
+         |  ONE ROW PER MATCH
+         |  AFTER MATCH SKIP PAST LAST ROW
+         |  PATTERN (click+ purchase)
+         |  WITHIN INTERVAL '10' MINUTE
+         |  DEFINE click AS event_type = 'click',
+         |         purchase AS event_type = 'purchase'
+         |)""".stripMargin)
+      .select(round(col("sv") * 2, 2).as("a"), round(col("sv2"), 2).as("b"),
+        (col("lv") * 2).as("c"), col("lv2").as("d"))
+      .collect()
+    assert(both.nonEmpty)
+    for (r <- both) {
+      assert(r.getAs[Double]("a") === r.getAs[Double]("b"))
+      assert(r.getAs[Double]("c") === r.getAs[Double]("d"))
+    }
+  }
+
+  test("general MEASURES (ALL ROWS): RUNNING frames grow, FINAL spans the match") {
+    val evDf = Tables.events(spark, sf001)
+    val rows = MatchRecognize.run(evDf, graft.queries.Analytic.CepSql.runningMeasures)
+      .orderBy("user_id", "start_id", "pos").collect()
+    assert(rows.nonEmpty)
+    for ((_, rs) <- rows.groupBy(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_id")))) {
+      val seq = rs.sortBy(_.getAs[Long]("pos"))
+      // RUNNING COUNT(*) is exactly the consumption position
+      assert(seq.map(_.getAs[Long]("run_rows")).toSeq === seq.map(_.getAs[Long]("pos")).toSeq)
+      // FINAL COUNT(*) is the match size on EVERY row
+      assert(seq.map(_.getAs[Long]("match_rows")).distinct.toSeq === Seq(seq.length.toLong))
+      // RUNNING SUM reaches the match total at the last row
+      val total = seq.map(_.getAs[Double]("value")).sum
+      assert(math.abs(seq.last.getAs[Double]("run_sum") - total) < 1e-6)
+      // FIRST(click.value) defaults to RUNNING and pos 1 is a click,
+      // so it equals the first row's value everywhere
+      assert(seq.map(_.getAs[Double]("first_click_v")).distinct.toSeq ===
+        Seq(seq.head.getAs[Double]("value")))
+      // FINAL MAX(value) is the match-wide max on every row
+      assert(seq.map(_.getAs[Double]("match_max")).distinct.toSeq ===
+        Seq(seq.map(_.getAs[Double]("value")).max))
+      // CLASSIFIER() in ALL ROWS mode is the current row's variable
+      assert(seq.map(_.getAs[String]("var_name")).toSeq ===
+        seq.map(_.getAs[String]("step")).toSeq)
+    }
   }
 
   test("DEFINE navigation: FIRST routes to the iterative matcher (vs DSL)") {
