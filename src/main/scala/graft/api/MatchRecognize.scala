@@ -103,7 +103,8 @@ case class MrSpec(partitionBy: Seq[String], orderBy: Seq[String],
                   skip: CepSkip, withinMinutes: Option[Int],
                   elems: Seq[MrElem], defines: Seq[(String, String)],
                   strict: Boolean, fromTable: Option[String],
-                  navConds: Map[String, Seq[MrNavCond]] = Map.empty) {
+                  navConds: Map[String, Seq[MrNavCond]] = Map.empty,
+                  subsets: Seq[(String, Seq[String])] = Nil) {
 
   private[graft] def defMap = defines.toMap
 
@@ -185,6 +186,12 @@ case class MrSpec(partitionBy: Seq[String], orderBy: Seq[String],
       withinMinutes, skip, strict)
   }
 
+  /** The step variables a measure scope name covers: the SUBSET's
+    * members when `v` names one (SQL:2016 union variables — measure
+    * scopes only in this engine), else `v` itself. */
+  def scopeMembers(v: String): Seq[String] =
+    subsets.collectFirst { case (n, ms) if n == v => ms }.getOrElse(Seq(v))
+
   /** The compiled-MEASURES value column, when the MEASURES clause is
     * the one supported form `SUM(<col>) AS step_sums` (this library's
     * compiled MEASURES aggregate exact cents of ONE value column per
@@ -210,7 +217,7 @@ case class MrSpec(partitionBy: Seq[String], orderBy: Seq[String],
     val Agg = ("""(?i)^\s*(?:(RUNNING|FINAL)\s+)?""" +
       """(COUNT|SUM|AVG|MIN|MAX|FIRST|LAST)\s*\(\s*""" +
       """(?:([A-Za-z_]\w*)\s*\.\s*)?([A-Za-z_]\w*|\*)\s*\)\s*$""").r
-    val stepVars = stepElems.map(_.variable).toSet
+    val stepVars = stepElems.map(_.variable).toSet ++ subsets.map(_._1)
     measures.map { m =>
       m.exprSql match {
         case MatchNum() => MrMatchNumber(m.alias)
@@ -220,7 +227,8 @@ case class MrSpec(partitionBy: Seq[String], orderBy: Seq[String],
           val variable = Option(v)
           val colName = if (c == "*") None else Some(c)
           variable.foreach(vv => require(stepVars(vv),
-            s"MEASURES $func($vv.$c): '$vv' is not a defined pattern step"))
+            s"MEASURES $func($vv.$c): '$vv' is not a defined pattern " +
+              "step or SUBSET name"))
           require(colName.nonEmpty || func == "COUNT",
             s"MEASURES $func(*): only COUNT takes *")
           require(colName.nonEmpty || variable.isEmpty || func == "COUNT",
@@ -257,6 +265,7 @@ case class MrSpec(partitionBy: Seq[String], orderBy: Seq[String],
   *                     | TO FIRST var | TO LAST var]
   *   PATTERN ( elem... )
   *   [WITHIN INTERVAL 'n' MINUTE|HOUR|DAY]
+  *   [SUBSET name = (var [, var...]) [, ...]]
   *   DEFINE var AS predicate [, ...]
   * )
   * }}}
@@ -267,7 +276,9 @@ case class MrSpec(partitionBy: Seq[String], orderBy: Seq[String],
   * `MATCH_NUMBER()`, `CLASSIFIER()`, or
   * `[RUNNING|FINAL] AGG([var.]col | var.* | *)`
   * with AGG ∈ COUNT/SUM/AVG/MIN/MAX/FIRST/LAST
-  * ([[MrSpec.resolveMeasures]]), executed over the matcher's
+  * ([[MrSpec.resolveMeasures]]; a scope may also name a SUBSET union
+  * variable — the aggregate then ranges over the members' combined
+  * consumed rows), executed over the matcher's
   * consumed-row projection by one per-match hash aggregation (ONE ROW
   * — [[runMeasures]]) or per-match windows (ALL ROWS —
   * [[runAllRowsMeasures]], where RUNNING is the default and frames
@@ -578,6 +589,29 @@ object MatchRecognize {
     }
     eatSym(")")
 
+    // SUBSET name = (var [, var...]) [, ...] — SQL:2016 union
+    // variables; this engine resolves them as MEASURES scopes
+    // (`SUM(u.col)` over the union's consumed rows). Accepted before
+    // or after WITHIN (the standard places SUBSET directly after
+    // PATTERN; Flink's WITHIN extension sits between).
+    val subsets = Vector.newBuilder[(String, Seq[String])]
+    def parseSubsets(): Unit = if (at("SUBSET")) {
+      p += 1
+      var more = true
+      while (more) {
+        val name = ident()
+        eatSym("=")
+        eatSym("(")
+        val ms = Vector.newBuilder[String]
+        ms += ident()
+        while (peek.exists(_.text == ",")) { p += 1; ms += ident() }
+        eatSym(")")
+        subsets += ((name, ms.result()))
+        if (peek.exists(_.text == ",")) p += 1 else more = false
+      }
+    }
+    parseSubsets()
+
     // WITHIN INTERVAL 'n' unit
     var within: Option[Int] = None
     if (at("WITHIN")) {
@@ -595,6 +629,8 @@ object MatchRecognize {
         case u => fail(s"unsupported WITHIN unit $u (MINUTE/HOUR/DAY)")
       })
     }
+
+    parseSubsets()
 
     // DEFINE var AS predicate [, ...]  — context-free predicates kept
     // verbatim; navigation conjuncts (PREV/FIRST/LAST) parsed to
@@ -627,7 +663,7 @@ object MatchRecognize {
 
     finish(partition.result(), order.result(), measures.result(), allRows,
       skip, within, elems.result(), defines.result(), fromTable,
-      navByVar.result())
+      navByVar.result(), subsets.result())
   }
 
   private val NavFns = Set("PREV", "FIRST", "LAST")
@@ -761,7 +797,8 @@ object MatchRecognize {
                      within: Option[Int], elems: Seq[MrElem],
                      defines: Seq[(String, String)],
                      fromTable: Option[String],
-                     navConds: Map[String, Seq[MrNavCond]] = Map.empty): MrSpec = {
+                     navConds: Map[String, Seq[MrNavCond]] = Map.empty,
+                     subsets: Seq[(String, Seq[String])] = Nil): MrSpec = {
     val dupDefs = defines.map(_._1).groupBy(identity).collect {
       case (v, occ) if occ.size > 1 => v
     }
@@ -840,8 +877,22 @@ object MatchRecognize {
       require(used(nc.nav.variable),
         s"DEFINE $onVar navigates ${nc.nav.fn}(${nc.nav.variable}.…) but " +
           s"'${nc.nav.variable}' is not a defined pattern step")
+    // SUBSET union variables: names distinct and disjoint from the
+    // DEFINEd variables, members DEFINEd pattern steps (a gap consumes
+    // rows no scope should see; duplicates would double-scope)
+    val subsetNames = subsets.map(_._1)
+    require(subsetNames.distinct.size == subsetNames.size,
+      s"SUBSET name declared more than once: " +
+        subsetNames.diff(subsetNames.distinct).mkString(", "))
+    for ((n, ms) <- subsets) {
+      require(!defined(n) && !used(n),
+        s"SUBSET $n collides with a pattern variable")
+      require(ms.distinct.size == ms.size, s"duplicate member in SUBSET $n")
+      for (m <- ms) require(used(m),
+        s"SUBSET $n member '$m' is not a defined pattern step")
+    }
     MrSpec(partition, order, measures, allRows, skip, within,
-      tagged, defines, strict, fromTable, navConds)
+      tagged, defines, strict, fromTable, navConds, subsets)
   }
 
   // ---------- executor ----------
@@ -1027,7 +1078,13 @@ object MatchRecognize {
       joinMeasuredCols(df, consumedRows(df, spec, key, tsC, ordC),
         resolved, key, tsC, ordC)
     def scoped(v: Option[String], c: Column): Column =
-      v.map(vv => when(col("step") === vv, c)).getOrElse(c)
+      v.map { vv =>
+        // a SUBSET name scopes to the union of its members' rows
+        spec.scopeMembers(vv) match {
+          case Seq(one) => when(col("step") === one, c)
+          case ms => when(col("step").isin(ms.map(x => x: Any): _*), c)
+        }
+      }.getOrElse(c)
     val aggs = resolved.collect {
       case MrClassifier(a) =>
         // ONE ROW PER MATCH: the final row's consuming variable
@@ -1093,7 +1150,13 @@ object MatchRecognize {
     val wFin = wMatch.orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     def scoped(v: Option[String], c: Column): Column =
-      v.map(vv => when(col("step") === vv, c)).getOrElse(c)
+      v.map { vv =>
+        // a SUBSET name scopes to the union of its members' rows
+        spec.scopeMembers(vv) match {
+          case Seq(one) => when(col("step") === one, c)
+          case ms => when(col("step").isin(ms.map(x => x: Any): _*), c)
+        }
+      }.getOrElse(c)
     val withMeasures = resolved.foldLeft(consumed) {
       case (d, MrClassifier(a)) =>
         // ALL ROWS PER MATCH: the current row's consuming variable

@@ -427,6 +427,16 @@ object Analytic {
           col("var_name"))
         .orderBy("user_id", "purchase_id", "pos")),
 
+    // SUBSET union variables from text: `cp = (click, purchase)`
+    // scopes aggregates to the union's consumed rows (the whole match
+    // here — pinned against the member-scoped n_clicks in the same
+    // clause). Oracle: the same islands CTE chain, union scope = no
+    // CASE filter.
+    "event_cep_sql_subset" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.subsetMeasures)
+        .withColumn("sum_cp", Det.round2(col("sum_cp")))
+        .orderBy("user_id", "start_id")),
+
     // Bounded alternation `(c | v)` from text: per-branch compiled
     // plans unioned, anchors deduped by leftmost branch preference
     // (regex alternation priority) — property-pinned against the
@@ -797,6 +807,27 @@ object Analytic {
         |  DEFINE click AS event_type = 'click',
         |         purchase AS event_type = 'purchase'
         |)""".stripMargin
+    // SUBSET union variables (SQL:2016): `cp` covers both steps, so
+    // its aggregates range over every consumed row — declared next to
+    // a member-scoped aggregate (n_clicks) to pin that the isin()
+    // scope is genuinely the union, not a single variable.
+    val subsetMeasures: String =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES COUNT(cp.*) AS n_cp,
+        |           SUM(cp.value) AS sum_cp,
+        |           MIN(cp.value) AS min_cp,
+        |           COUNT(click.*) AS n_clicks,
+        |           LAST(cp.value) AS last_cp_v
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (click+ purchase)
+        |  WITHIN INTERVAL '10' MINUTE
+        |  SUBSET cp = (click, purchase)
+        |  DEFINE click AS event_type = 'click',
+        |         purchase AS event_type = 'purchase'
+        |)""".stripMargin
     // General MEASURES, ALL ROWS PER MATCH: RUNNING (the mode default)
     // vs explicit FINAL frames, plus MATCH_NUMBER and a variable-scoped
     // ignore-nulls FIRST — every consumed row annotated.
@@ -949,6 +980,29 @@ object Analytic {
       |       run_rows, run_sum, match_rows, match_max, first_click_v,
       |       step AS var_name
       |FROM e ORDER BY user_id, purchase_id, pos""".stripMargin
+
+  /** SUBSET-scoped measures replay: `cp` = both steps, so its scope is
+    * every consumed row of the match (no CASE filter); n_clicks keeps
+    * the member-scoped contrast. Same islands CTE chain as the
+    * all-rows / agg / runagg oracles. */
+  private val SubsetMeasuresOracle: String = AllRowsCtes +
+    """,
+      |g AS (
+      |  SELECT user_id,
+      |         arg_min(event_id, pos) AS start_id,
+      |         arg_min(ts, pos) AS start_ts,
+      |         purchase_id AS end_id,
+      |         arg_max(ts, pos) AS end_ts,
+      |         count(*) AS n_rows,
+      |         count(*) AS n_cp,
+      |         floor(sum(value)*100 + 0.5)/100 AS sum_cp,
+      |         min(value) AS min_cp,
+      |         count(CASE WHEN step = 'click' THEN 1 END) AS n_clicks,
+      |         arg_max(value, pos) AS last_cp_v
+      |  FROM ar GROUP BY user_id, purchase_id)
+      |SELECT user_id, start_id, start_ts, end_id, end_ts, n_rows,
+      |       n_cp, sum_cp, min_cp, n_clicks, last_cp_v
+      |FROM g ORDER BY user_id, start_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "event_cep_sql" -> MatchRecognize.oracleFor(CepSql.funnel),
@@ -1126,6 +1180,7 @@ object Analytic {
     "event_cep_sql_allrows" -> AllRowsOracle,
     "event_cep_sql_agg" -> AggMeasuresOracle,
     "event_cep_sql_runagg" -> RunMeasuresOracle,
+    "event_cep_sql_subset" -> SubsetMeasuresOracle,
 
     "topk_per_group" ->
       """SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM (

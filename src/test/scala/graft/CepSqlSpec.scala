@@ -351,6 +351,75 @@ class CepSqlSpec extends SparkSuite {
     }
   }
 
+  test("SUBSET union variables: scope = sum of member scopes") {
+    import org.apache.spark.sql.functions.col
+    val evDf = Tables.events(spark, sf001)
+    // 3-step funnel; `vc` unions the first two steps, so its aggregates
+    // must equal the member aggregates combined — and differ from both
+    val rows = MatchRecognize.run(evDf,
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES COUNT(vc.*) AS n_vc, SUM(vc.value) AS sum_vc,
+        |           COUNT(v.*) AS n_v, SUM(v.value) AS sum_v,
+        |           COUNT(c.*) AS n_c, SUM(c.value) AS sum_c
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (v g1* c g2* p)
+        |  WITHIN INTERVAL '1440' MINUTE
+        |  SUBSET vc = (v, c)
+        |  DEFINE v AS event_type = 'view',
+        |         c AS event_type = 'click',
+        |         p AS event_type = 'purchase'
+        |)""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_vc") === r.getAs[Long]("n_v") + r.getAs[Long]("n_c"))
+      assert(math.abs(r.getAs[Double]("sum_vc") -
+        (r.getAs[Double]("sum_v") + r.getAs[Double]("sum_c"))) < 1e-6)
+    }
+    // SUBSET accepted BEFORE WITHIN too (the SQL:2016 position)
+    val spec = MatchRecognize.parse(
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  PATTERN (a b)
+        |  SUBSET u = (a, b)
+        |  WITHIN INTERVAL '60' MINUTE
+        |  DEFINE a AS event_type = 'view', b AS event_type = 'click'
+        |)""".stripMargin)
+    assert(spec.subsets === Seq(("u", Seq("a", "b"))))
+    assert(spec.scopeMembers("u") === Seq("a", "b"))
+    assert(spec.scopeMembers("a") === Seq("a"))
+    // rejections: unknown member / name collision / duplicate name
+    def sub(s: String) = MatchRecognize.parse(
+      s"""MATCH_RECOGNIZE (
+         |  PARTITION BY user_id
+         |  ORDER BY ts, event_id
+         |  PATTERN (a b)
+         |  SUBSET $s
+         |  DEFINE a AS event_type = 'view', b AS event_type = 'click'
+         |)""".stripMargin)
+    assert(intercept[IllegalArgumentException](sub("u = (a, zz)"))
+      .getMessage.contains("not a defined pattern step"))
+    assert(intercept[IllegalArgumentException](sub("a = (b)"))
+      .getMessage.contains("collides with a pattern variable"))
+    assert(intercept[IllegalArgumentException](sub("u = (a), u = (b)"))
+      .getMessage.contains("more than once"))
+    // a measure scoped to an unknown name still rejects with the
+    // subset-aware message
+    assert(intercept[IllegalArgumentException](MatchRecognize.parse(
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES SUM(w.value) AS s
+        |  PATTERN (a b)
+        |  SUBSET u = (a, b)
+        |  DEFINE a AS event_type = 'view', b AS event_type = 'click'
+        |)""".stripMargin).resolveMeasures)
+      .getMessage.contains("not a defined pattern step or SUBSET name"))
+  }
+
   test("DEFINE navigation: FIRST routes to the iterative matcher (vs DSL)") {
     val sp = spark
     import sp.implicits._
