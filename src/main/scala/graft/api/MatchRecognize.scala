@@ -72,8 +72,11 @@ private[graft] case class MrNavExec(leftIdx: Int, op: String, fn: String,
   *    (where the two coincide anyway — the output row IS the final
   *    row). RUNNING aggregates range over consumed rows up to and
   *    including the current row; FINAL over the whole match.
-  *  - `FIRST`/`LAST` return the named column of the variable's
-  *    first / last consumed row (offset-less form only). */
+  *  - `FIRST`/`LAST` return the named column of the scope's first /
+  *    last consumed row; the optional offset (`FIRST(a.col, n)` —
+  *    SQL:2016 logical navigation, also Flink's measure surface) moves
+  *    n rows inward (FIRST: the (n+1)-th consumed row, LAST: the
+  *    n-th from last). A scope with too few rows yields SQL null. */
 sealed trait MrResolvedMeasure { def alias: String }
 case class MrMatchNumber(alias: String) extends MrResolvedMeasure
 /** SQL:2016 `CLASSIFIER()`: the pattern variable that consumed the
@@ -82,9 +85,12 @@ case class MrMatchNumber(alias: String) extends MrResolvedMeasure
 case class MrClassifier(alias: String) extends MrResolvedMeasure
 case class MrAggMeasure(func: String, variable: Option[String],
                         colName: Option[String], running: Option[Boolean],
-                        alias: String) extends MrResolvedMeasure {
+                        alias: String, n: Int = 0) extends MrResolvedMeasure {
   require(Set("COUNT", "SUM", "AVG", "MIN", "MAX", "FIRST", "LAST")(func),
     s"unknown measure aggregate $func")
+  require(n == 0 || func == "FIRST" || func == "LAST",
+    s"measure offset is only meaningful for FIRST/LAST, got $func(..., $n)")
+  require(n >= 0, s"negative measure offset $n")
 }
 
 /** A parsed MATCH_RECOGNIZE clause, resolved against this library's
@@ -216,16 +222,18 @@ case class MrSpec(partitionBy: Seq[String], orderBy: Seq[String],
     val Classifier = """(?i)^\s*CLASSIFIER\s*\(\s*\)\s*$""".r
     val Agg = ("""(?i)^\s*(?:(RUNNING|FINAL)\s+)?""" +
       """(COUNT|SUM|AVG|MIN|MAX|FIRST|LAST)\s*\(\s*""" +
-      """(?:([A-Za-z_]\w*)\s*\.\s*)?([A-Za-z_]\w*|\*)\s*\)\s*$""").r
+      """(?:([A-Za-z_]\w*)\s*\.\s*)?([A-Za-z_]\w*|\*)""" +
+      """(?:\s*,\s*(\d+))?\s*\)\s*$""").r
     val stepVars = stepElems.map(_.variable).toSet ++ subsets.map(_._1)
     measures.map { m =>
       m.exprSql match {
         case MatchNum() => MrMatchNumber(m.alias)
         case Classifier() => MrClassifier(m.alias)
-        case Agg(rf, fn, v, c) =>
+        case Agg(rf, fn, v, c, nOff) =>
           val func = fn.toUpperCase
           val variable = Option(v)
           val colName = if (c == "*") None else Some(c)
+          val n = Option(nOff).map(_.toInt).getOrElse(0)
           variable.foreach(vv => require(stepVars(vv),
             s"MEASURES $func($vv.$c): '$vv' is not a defined pattern " +
               "step or SUBSET name"))
@@ -234,7 +242,7 @@ case class MrSpec(partitionBy: Seq[String], orderBy: Seq[String],
           require(colName.nonEmpty || variable.isEmpty || func == "COUNT",
             s"MEASURES $func: $func(var.*) is only meaningful for COUNT")
           MrAggMeasure(func, variable, colName,
-            Option(rf).map(_.equalsIgnoreCase("RUNNING")), m.alias)
+            Option(rf).map(_.equalsIgnoreCase("RUNNING")), m.alias, n)
         case other => throw new IllegalArgumentException(
           "unsupported MEASURES entry: expected MATCH_NUMBER(), " +
             "CLASSIFIER(), or [RUNNING|FINAL] COUNT/SUM/AVG/MIN/MAX/" +
@@ -275,7 +283,8 @@ case class MrSpec(partitionBy: Seq[String], orderBy: Seq[String],
   * only). Every other clause takes the GENERAL route: each entry is
   * `MATCH_NUMBER()`, `CLASSIFIER()`, or
   * `[RUNNING|FINAL] AGG([var.]col | var.* | *)`
-  * with AGG ∈ COUNT/SUM/AVG/MIN/MAX/FIRST/LAST
+  * with AGG ∈ COUNT/SUM/AVG/MIN/MAX/FIRST/LAST (FIRST/LAST take an
+  * optional SQL:2016 offset, `FIRST(a.col, n)`)
   * ([[MrSpec.resolveMeasures]]; a scope may also name a SUBSET union
   * variable — the aggregate then ranges over the members' combined
   * consumed rows), executed over the matcher's
@@ -1020,7 +1029,7 @@ object MatchRecognize {
                                tsC: String, ordC: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     val extra = resolved.collect {
-      case MrAggMeasure(_, _, Some(c), _, _) => c
+      case MrAggMeasure(_, _, Some(c), _, _, _) => c
     }.distinct.filterNot(c => c == "value" || c == tsC || c == ordC)
     if (extra.isEmpty) return consumed
     val clash = extra.filter(consumed.columns.contains)
@@ -1097,11 +1106,24 @@ object MatchRecognize {
           case "AVG" => avg(scoped(m.variable, cRef.get))
           case "MIN" => min(scoped(m.variable, cRef.get))
           case "MAX" => max(scoped(m.variable, cRef.get))
-          // FIRST/LAST: the variable's first/last consumed row — min_by/
+          // FIRST/LAST: the scope's first/last consumed row — min_by/
           // max_by on the SCOPED position (rows outside the scope carry a
           // null ordering value, which both engines' arg-extremes skip)
-          case "FIRST" => min_by(cRef.get, scoped(m.variable, col("pos")))
-          case _ => max_by(cRef.get, scoped(m.variable, col("pos")))
+          case "FIRST" if m.n == 0 =>
+            min_by(cRef.get, scoped(m.variable, col("pos")))
+          case "LAST" if m.n == 0 =>
+            max_by(cRef.get, scoped(m.variable, col("pos")))
+          // offset form (SQL:2016 logical navigation): the scope's rows
+          // in consumption order as a sorted (pos, value) array; `get`
+          // is null on out-of-range (too few scoped rows → SQL null).
+          // Match sizes bound the array — the per-key matcher already
+          // holds a match in memory, so this adds no new scale risk.
+          case f =>
+            val arr = sort_array(collect_list(scoped(m.variable,
+              struct(col("pos").as("p"), cRef.get.as("v")))))
+            val idx = if (f == "FIRST") lit(m.n)
+                      else size(arr) - 1 - lit(m.n)
+            get(arr, idx).getField("v")
         }
         e.as(m.alias)
     }
@@ -1177,8 +1199,19 @@ object MatchRecognize {
           case "AVG" => avg(scoped(m.variable, cRef.get)).over(w)
           case "MIN" => min(scoped(m.variable, cRef.get)).over(w)
           case "MAX" => max(scoped(m.variable, cRef.get)).over(w)
-          case "FIRST" => first(scoped(m.variable, cRef.get), ignoreNulls = true).over(w)
-          case _ => last(scoped(m.variable, cRef.get), ignoreNulls = true).over(w)
+          case "FIRST" if m.n == 0 =>
+            first(scoped(m.variable, cRef.get), ignoreNulls = true).over(w)
+          case "LAST" if m.n == 0 =>
+            last(scoped(m.variable, cRef.get), ignoreNulls = true).over(w)
+          // offset form over the frame (RUNNING: rows so far; FINAL:
+          // the whole match): sorted (pos, value) array of the scope's
+          // frame rows, `get` null on out-of-range
+          case f =>
+            val arr = sort_array(collect_list(scoped(m.variable,
+              struct(col("pos").as("p"), cRef.get.as("v")))).over(w))
+            val idx = if (f == "FIRST") lit(m.n)
+                      else size(arr) - 1 - lit(m.n)
+            get(arr, idx).getField("v")
         }
         d.withColumn(m.alias, e)
     }

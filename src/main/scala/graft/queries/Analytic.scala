@@ -799,6 +799,8 @@ object Analytic {
         |           FIRST(click.value) AS first_click_v,
         |           LAST(click.value) AS last_click_v,
         |           MAX(value) AS max_v,
+        |           FIRST(click.value, 1) AS click2_v,
+        |           LAST(click.value, 1) AS click_penult_v,
         |           CLASSIFIER() AS last_step
         |  ONE ROW PER MATCH
         |  AFTER MATCH SKIP PAST LAST ROW
@@ -928,6 +930,15 @@ object Analytic {
     * summation order differs across engines). */
   private val AggMeasuresOracle: String = AllRowsCtes +
     """,
+      |ar2 AS (
+      |  SELECT *,
+      |         CASE WHEN step = 'click' THEN row_number() OVER
+      |           (PARTITION BY user_id, purchase_id, step ORDER BY pos)
+      |         END AS crn,
+      |         CASE WHEN step = 'click' THEN count(*) OVER
+      |           (PARTITION BY user_id, purchase_id, step)
+      |         END AS ccnt
+      |  FROM ar),
       |g AS (
       |  SELECT user_id,
       |         arg_min(event_id, pos) AS start_id,
@@ -943,13 +954,15 @@ object Analytic {
       |         arg_max(CASE WHEN step = 'click' THEN value END,
       |                 CASE WHEN step = 'click' THEN pos END) AS last_click_v,
       |         max(value) AS max_v,
+      |         max(CASE WHEN crn = 2 THEN value END) AS click2_v,
+      |         max(CASE WHEN crn = ccnt - 1 THEN value END) AS click_penult_v,
       |         arg_max(step, pos) AS last_step
-      |  FROM ar GROUP BY user_id, purchase_id)
+      |  FROM ar2 GROUP BY user_id, purchase_id)
       |SELECT user_id, start_id, start_ts, end_id, end_ts, n_rows,
       |       row_number() OVER (PARTITION BY user_id
       |                          ORDER BY start_ts, start_id) AS match_no,
       |       n_consumed, n_clicks, click_sum, first_click_v, last_click_v,
-      |       max_v, last_step
+      |       max_v, click2_v, click_penult_v, last_step
       |FROM g ORDER BY user_id, start_id""".stripMargin
 
   /** General-MEASURES (ALL ROWS PER MATCH) oracle: the same consumed

@@ -351,6 +351,55 @@ class CepSqlSpec extends SparkSuite {
     }
   }
 
+  test("general MEASURES: FIRST/LAST offsets navigate the scope's rows") {
+    val evDf = Tables.events(spark, sf001)
+    // ALL ROWS + offsets under RUNNING and FINAL, checked row-by-row
+    // against the consumed-row projection itself
+    val rows = MatchRecognize.run(evDf,
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES RUNNING LAST(click.value, 1) AS run_penult,
+        |           FINAL FIRST(click.value, 1) AS fin_second
+        |  ALL ROWS PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (click+ g1* purchase)
+        |  WITHIN INTERVAL '1440' MINUTE
+        |  DEFINE click AS event_type = 'click',
+        |         purchase AS event_type = 'purchase'
+        |)""".stripMargin)
+      .orderBy("user_id", "start_id", "pos").collect()
+    assert(rows.nonEmpty)
+    var sawPenult = false
+    for ((_, rs) <- rows.groupBy(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_id")))) {
+      val seq = rs.sortBy(_.getAs[Long]("pos"))
+      val clickVals = seq.filter(_.getAs[String]("step") == "click")
+        .map(_.getAs[Double]("value"))
+      for ((r, i) <- seq.zipWithIndex) {
+        // RUNNING LAST(click.value, 1): penultimate click consumed so far
+        val soFar = seq.take(i + 1).filter(_.getAs[String]("step") == "click")
+          .map(_.getAs[Double]("value"))
+        val expPenult = if (soFar.size >= 2) Some(soFar(soFar.size - 2)) else None
+        assert(Option(r.getAs[Any]("run_penult")).map(_.asInstanceOf[Double]) === expPenult)
+        if (expPenult.nonEmpty) sawPenult = true
+        // FINAL FIRST(click.value, 1): the match's 2nd click, everywhere
+        val expSecond = clickVals.lift(1)
+        assert(Option(r.getAs[Any]("fin_second")).map(_.asInstanceOf[Double]) === expSecond)
+      }
+    }
+    assert(sawPenult, "fixture degenerate: no match with >=2 clicks")
+    // offsets reject on non-navigating aggregates
+    assert(intercept[IllegalArgumentException](MatchRecognize.parse(
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES SUM(value, 1) AS s
+        |  PATTERN (a b)
+        |  DEFINE a AS event_type = 'view', b AS event_type = 'click'
+        |)""".stripMargin).resolveMeasures)
+      .getMessage.contains("only meaningful for FIRST/LAST"))
+  }
+
   test("SUBSET union variables: scope = sum of member scopes") {
     import org.apache.spark.sql.functions.col
     val evDf = Tables.events(spark, sf001)
