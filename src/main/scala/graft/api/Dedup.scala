@@ -680,4 +680,46 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
+
+  /** Cross-document duplicated-SPAN coverage — SUBSTRING-level exact
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better": the memorization-prone unit is the
+    * repeated SPAN, which document-level dedup cannot see when the
+    * surrounding text differs). Every `w`-token window of every
+    * document — occurrence positions, NOT distinct spans, so coverage
+    * counts are exact — is keyed by its 60-bit md5 prefix (the fused
+    * [[graft.functions.Signatures.md5_prefix]] pass: 8-byte shuffle
+    * keys, DuckDB-replayable) and checked for presence in >= 2 DISTINCT
+    * documents. Output, one row per input document: `n_spans` (window
+    * positions), `n_dup_spans` (positions whose span also occurs in
+    * another document), `max_span_docs` (the widest such span's
+    * document count; 0 when the document shares no span).
+    *
+    * Scale shape: explode → (span, doc) partial-count → (span) count →
+    * hash-keyed join back → per-doc sum. No all-pairs stage and no
+    * per-span document LISTS are ever materialized (the head of the
+    * span-frequency distribution is exactly where a collect would
+    * blow up); frequency skew on stop-word spans is two COUNTS under
+    * AQE, not a row explosion. */
+  def duplicatedSpanStats(df: DataFrame, idCol: String, textCol: String,
+                          w: Int): DataFrame = {
+    val base = df
+      .withColumn("tk", split(col(textCol), " "))
+      .withColumn("sph", graft.functions.Signatures.md5_prefix(expr(
+        s"transform(sequence(1, greatest(size(tk) - ${w - 1}, 1)), " +
+          s"i -> concat_ws(' ', slice(tk, i, $w)))"), 15))
+      .select(col(idCol), col("sph"))
+    val totals = base.select(col(idCol), size(col("sph")).cast("long").as("n_spans"))
+    val occ = base.select(col(idCol), explode(col("sph")).as("sp"))
+      .groupBy(col("sp"), col(idCol)).agg(count(lit(1)).as("occ"))
+    val dupSpans = occ.groupBy(col("sp")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    val perDoc = occ.join(dupSpans, "sp")
+      .groupBy(col(idCol)).agg(sum(col("occ")).as("n_dup_spans"),
+        max(col("n_docs")).as("max_span_docs"))
+    totals.join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("max_span_docs"), lit(0L)).as("max_span_docs"))
+  }
 }

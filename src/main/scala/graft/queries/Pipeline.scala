@@ -49,6 +49,18 @@ object Pipeline {
       Dedup.exactSurvivors(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // SUBSTRING-level exact dedup (Lee et al. 2022): per document, the
+    // 5-token window positions whose span also occurs in another
+    // document — the repeated-span coverage document-level dedup
+    // cannot see. Span keys are 60-bit md5 prefixes (8-byte shuffle
+    // keys); see Dedup.duplicatedSpanStats for the no-all-pairs,
+    // no-span-lists scale shape.
+    "dedup_span" -> ((s, d) =>
+      Dedup.duplicatedSpanStats(Tables.documents(s, d), "doc_id", "text", 5)
+        .withColumn("dup_ratio",
+          Det.round4(col("n_dup_spans").cast("double") / col("n_spans")))
+        .orderBy("doc_id")),
+
     // GLOBAL prefix-filtered 3-shingle Jaccard — no metadata blocking
     // (near-dup copies change lang/source: 24 of 25 true pairs cross
     // blocks on this corpus; see Dedup.jaccardPairs).
@@ -958,6 +970,31 @@ object Pipeline {
     "multimodal_dedup" ->
       """SELECT min(doc_id) AS doc_id, sha256(text) AS h, count(*) AS n_dups
         |FROM documents GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,
+
+    // duplicated-span coverage replay: the same 5-token windows
+    // (occurrence positions, not distinct spans), the same 60-bit md5
+    // prefix keys, grouped and joined back exactly as the engine does.
+    "dedup_span" ->
+      """WITH tk0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sp0 AS (SELECT doc_id, greatest(len(tk) - 4, 1) AS n_spans, tk FROM tk0),
+        |sp AS (SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(array_to_string(tk[i:i+4], ' ')), 1, 15))
+        |           AS BIGINT) AS sph
+        |       FROM (SELECT doc_id, tk,
+        |               unnest(range(1, greatest(len(tk) - 4, 1) + 1)) AS i
+        |             FROM sp0)),
+        |o AS (SELECT sph, doc_id, count(*) AS occ FROM sp GROUP BY 1, 2),
+        |dup AS (SELECT sph, count(*) AS n_docs FROM o GROUP BY 1
+        |        HAVING count(*) >= 2),
+        |pd AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_dup_spans,
+        |              max(n_docs) AS max_span_docs
+        |       FROM o JOIN dup USING (sph) GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(t.n_spans AS BIGINT) AS n_spans,
+        |       coalesce(pd.n_dup_spans, 0) AS n_dup_spans,
+        |       coalesce(pd.max_span_docs, 0) AS max_span_docs,
+        |       floor(coalesce(pd.n_dup_spans, 0)::DOUBLE / t.n_spans * 10000 + 0.5)
+        |         / 10000 AS dup_ratio
+        |FROM sp0 t LEFT JOIN pd USING (doc_id) ORDER BY t.doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       (s"WITH $hashedShingleCte" + """

@@ -789,6 +789,13 @@ class CepSqlSpec extends SparkSuite {
     val viaApi = MatchRecognize.run(Tables.events(spark, sf001), txt)
       .orderBy("user_id", "start_id").collect()
     assert(viaSql.toSeq === viaApi.toSeq)
+    // general MEASURES (MATCH_NUMBER/CLASSIFIER/aggregates/SUBSET)
+    // flow through the injected parser unchanged — same rows as the
+    // DataFrame route
+    val aggTxt = graft.queries.Analytic.CepSql.aggMeasures
+    assert(spark.sql(aggTxt).orderBy("user_id", "start_id").collect().toSeq ===
+      MatchRecognize.run(Tables.events(spark, sf001), aggTxt)
+        .orderBy("user_id", "start_id").collect().toSeq)
     // ordinary SQL still delegates to the stock parser
     assert(spark.sql("SELECT 1 + 1 AS two").collect().map(_.getInt(0)).toSeq === Seq(2))
     // clause body without a FROM table is a clear error, not a mis-parse

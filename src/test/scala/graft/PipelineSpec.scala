@@ -155,6 +155,31 @@ class PipelineSpec extends SparkSuite {
       s"missed: ${(brute -- got).take(5)}; extra: ${(got -- brute).take(5)}")
   }
 
+  test("dedup_span: cross-document span coverage on a hand fixture") {
+    // doc1 windows: abcde bcdef cdefg defgh; doc2: xabcd abcde bcdef
+    // cdefy — shared spans abcde + bcdef cover 2 positions in each;
+    // doc3 shares nothing
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x a b c d e f y"),
+      (3L, "p q r s t")).toDF("doc_id", "text")
+    val out = graft.api.Dedup.duplicatedSpanStats(docs, "doc_id", "text", 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, 4L, 2L, 2L), (2L, 4L, 2L, 2L), (3L, 1L, 0L, 0L)))
+    // occurrence MULTIPLICITY: doc2 contains the shared span at two
+    // positions (1 and 7) — both count; and a span repeated only
+    // WITHIN one document (doc3) is not a cross-document duplicate
+    val rep = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e z a b c d e"),
+      (3L, "m m m m m m")).toDF("doc_id", "text")
+    val out2 = graft.api.Dedup.duplicatedSpanStats(rep, "doc_id", "text", 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out2.toSeq === Seq((1L, 1L, 1L, 2L), (2L, 7L, 2L, 2L), (3L, 2L, 0L, 0L)))
+  }
+
   test("connected components: min-id labels on chains, pairs, singletons") {
     // chain 1-2-3 (needs 2 propagation rounds), pair 10-11, singleton 99
     val nodes = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("id")
