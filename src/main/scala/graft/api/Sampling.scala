@@ -94,4 +94,45 @@ object Sampling {
       .withColumn("cum_tok", sum(col(tokCol).cast("long")).over(w))
       .filter(col("cum_tok") - col(tokCol) < col("alloc_tok"))
   }
+
+  /** The TOKEN-BUDGET table a mixture plan starts from: per stratum,
+    * document and whitespace-token totals, the stratum's share of the
+    * corpus, and the big-strata-first CUMULATIVE share (rank order:
+    * n_tokens desc, then the stratum columns — the "how many strata
+    * cover 90% of tokens" read). Strata cardinality is BOUNDED
+    * (lang × source — metadata, not content), so the cumulative sum is
+    * a broadcast better-count self-join over the aggregated table, the
+    * same zero-window idiom as the RRF ranks (Similarity.hybridRrf):
+    * one corpus-wide aggregation shuffle, nothing global afterwards.
+    * Shares divide exact longs, so the doubles are bit-identical
+    * cross-engine before the round4 guard. */
+  def tokenBudget(df: DataFrame, strataCols: Seq[String],
+                  textCol: String): DataFrame = {
+    require(strataCols.nonEmpty, "tokenBudget needs at least one stratum column")
+    val g = df
+      .withColumn("__nt", size(split(col(textCol), " ")).cast("long"))
+      .groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
+    val tot = g.agg(sum(col("n_tokens")).as("tot"))
+    val other = g.select(strataCols.map(c => col(c).as(s"__o_$c")) :+
+      col("n_tokens").as("__o_tokens"): _*)
+    // b ranks before-or-equal a: more tokens, or equal tokens and
+    // lexicographically <= on the stratum columns (self joins self, so
+    // every stratum keeps a row and cum_tokens >= n_tokens)
+    val tieLe = strataCols.foldRight(lit(true)) { (c, rest) =>
+      (col(s"__o_$c") < col(c)) ||
+        (col(s"__o_$c") === col(c) && rest)
+    }
+    val before = (col("__o_tokens") > col("n_tokens")) ||
+      (col("__o_tokens") === col("n_tokens") && tieLe)
+    g.crossJoin(broadcast(tot))
+      .join(broadcast(other), before)
+      .groupBy((strataCols.map(col) :+ col("n_docs") :+ col("n_tokens") :+
+        col("tot")): _*)
+      .agg(sum(col("__o_tokens")).as("cum_tokens"))
+      .select(strataCols.map(col) ++ Seq(col("n_docs"), col("n_tokens"),
+        graft.Det.round4(col("n_tokens").cast("double") / col("tot")).as("token_share"),
+        col("cum_tokens"),
+        graft.Det.round4(col("cum_tokens").cast("double") / col("tot")).as("cum_share")): _*)
+  }
 }

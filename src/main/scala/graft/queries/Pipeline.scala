@@ -119,6 +119,15 @@ object Pipeline {
 
     // Training-mix construction: per language, best-quality docs first
     // until a 3000-token budget fills.
+    // The mixture-planning TOKEN BUDGET: per (lang, source) stratum,
+    // doc/token totals, corpus share, and big-strata-first cumulative
+    // share — computed with the zero-window broadcast better-count
+    // idiom (Sampling.tokenBudget; strata cardinality is bounded
+    // metadata, so nothing global is planned).
+    "corpus_token_budget" -> ((s, d) =>
+      Sampling.tokenBudget(Tables.documents(s, d), Seq("lang", "source"), "text")
+        .orderBy(desc("n_tokens"), col("lang"), col("source"))),
+
     "corpus_mix" -> ((s, d) => {
       val q = TextOps.quality(Tables.documents(s, d), "text", stopEn)
       Sampling.budgetMix(q, "doc_id", Seq("lang"), "n_tok", "score", 3000L)
@@ -1048,6 +1057,29 @@ object Pipeline {
         |      FROM documents)
         |SELECT r.lang, rn, doc_id, n_stratum FROM r JOIN c USING (lang)
         |WHERE rn <= ceil(n_stratum * 0.2) ORDER BY lang, rn""".stripMargin,
+
+    // token-budget replay: same aggregation, same better-count
+    // cumulative rank (big strata first, lexicographic tiebreak), same
+    // exact-long divisions under the round4 guard.
+    "corpus_token_budget" ->
+      """WITH d AS (SELECT lang, source, len(string_split(text, ' ')) AS n_tok
+        |           FROM documents),
+        |g AS (SELECT lang, source, count(*) AS n_docs,
+        |             CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |      FROM d GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM g),
+        |c AS (SELECT a.lang, a.source, a.n_docs, a.n_tokens,
+        |             any_value(t.tot) AS tot,
+        |             CAST(sum(b.n_tokens) AS BIGINT) AS cum_tokens
+        |      FROM g a, t, g b
+        |      WHERE b.n_tokens > a.n_tokens OR (b.n_tokens = a.n_tokens AND
+        |            (b.lang < a.lang OR (b.lang = a.lang AND b.source <= a.source)))
+        |      GROUP BY 1, 2, 3, 4)
+        |SELECT lang, source, n_docs, n_tokens,
+        |       floor(n_tokens::DOUBLE / tot * 10000 + 0.5) / 10000 AS token_share,
+        |       cum_tokens,
+        |       floor(cum_tokens::DOUBLE / tot * 10000 + 0.5) / 10000 AS cum_share
+        |FROM c ORDER BY n_tokens DESC, lang, source""".stripMargin,
 
     "corpus_mix" ->
       """WITH t AS (SELECT doc_id, lang, text, str_split(text, ' ') AS tk FROM documents),

@@ -180,6 +180,19 @@ class PipelineSpec extends SparkSuite {
     assert(out2.toSeq === Seq((1L, 1L, 1L, 2L), (2L, 7L, 2L, 2L), (3L, 2L, 0L, 0L)))
   }
 
+  test("corpus_token_budget: shares sum to 1, cumulative is monotone to 1") {
+    val rows = Pipeline.queries("corpus_token_budget")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val shares = rows.map(_.getAs[Double]("token_share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-2) // round4 per-row drift only
+    val cum = rows.map(_.getAs[Double]("cum_share"))
+    assert(cum.zip(cum.tail).forall { case (a, b) => a <= b + 1e-12 },
+      "cum_share not monotone in rank order")
+    assert(math.abs(cum.last - 1.0) < 1e-9, s"last cum_share ${cum.last}")
+    // cum_tokens of the first (largest) stratum is its own n_tokens
+    assert(rows.head.getAs[Long]("cum_tokens") === rows.head.getAs[Long]("n_tokens"))
+  }
+
   test("connected components: min-id labels on chains, pairs, singletons") {
     // chain 1-2-3 (needs 2 propagation rounds), pair 10-11, singleton 99
     val nodes = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("id")
