@@ -42,7 +42,12 @@ object BenchScale {
     "join_skew_salted", "sim_ann_partitioned",
     // round-9 additions: the trained-quantizer serving path (two
     // k-means passes + pruned ADC scan) and the CDC chunker
-    "sim_ivfadc", "corpus_cdc_chunk")
+    "sim_ivfadc", "corpus_cdc_chunk",
+    // round-10 additions: span-level dedup (span-hash shuffles; the
+    // copy-suffix isolation keeps duplicated spans within-copy), the
+    // BPE chunker (vocab train + merge-encode), and the ANN recall
+    // audit (brute-force truth join + rerank on the rotated copies)
+    "dedup_span", "corpus_chunk_bpe", "sim_recall_audit")
 
   /** Second measured decade (VERDICT r9 item 6): the three STEEPEST
     * keys of the 10x sweep re-measured over a 100x-documents slice, so
