@@ -703,14 +703,18 @@ object Dedup {
     * AQE, not a row explosion. */
   def duplicatedSpanStats(df: DataFrame, idCol: String, textCol: String,
                           w: Int): DataFrame = {
-    val base = df
+    // totals need only the WINDOW COUNT, so they come straight from the
+    // token count — deriving them from the hashed span array would run
+    // the tokenize + md5 pass over the whole corpus a second time
+    val totals = df.select(col(idCol),
+      greatest(size(split(col(textCol), " ")) - (w - 1), lit(1))
+        .cast("long").as("n_spans"))
+    val occ = df
       .withColumn("tk", split(col(textCol), " "))
       .withColumn("sph", graft.functions.Signatures.md5_prefix(expr(
         s"transform(sequence(1, greatest(size(tk) - ${w - 1}, 1)), " +
           s"i -> concat_ws(' ', slice(tk, i, $w)))"), 15))
-      .select(col(idCol), col("sph"))
-    val totals = base.select(col(idCol), size(col("sph")).cast("long").as("n_spans"))
-    val occ = base.select(col(idCol), explode(col("sph")).as("sp"))
+      .select(col(idCol), explode(col("sph")).as("sp"))
       .groupBy(col("sp"), col(idCol)).agg(count(lit(1)).as("occ"))
     val dupSpans = occ.groupBy(col("sp")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2)

@@ -238,9 +238,8 @@ case class MrSpec(partitionBy: Seq[String], orderBy: Seq[String],
             s"MEASURES $func($vv.$c): '$vv' is not a defined pattern " +
               "step or SUBSET name"))
           require(colName.nonEmpty || func == "COUNT",
-            s"MEASURES $func(*): only COUNT takes *")
-          require(colName.nonEmpty || variable.isEmpty || func == "COUNT",
-            s"MEASURES $func: $func(var.*) is only meaningful for COUNT")
+            s"MEASURES $func(${variable.map(_ + ".").getOrElse("")}*): " +
+              "only COUNT takes *")
           MrAggMeasure(func, variable, colName,
             Option(rf).map(_.equalsIgnoreCase("RUNNING")), m.alias, n)
         case other => throw new IllegalArgumentException(
@@ -1028,9 +1027,18 @@ object MatchRecognize {
                                resolved: Seq[MrResolvedMeasure], key: String,
                                tsC: String, ordC: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val extra = resolved.collect {
+    val measured = resolved.collect {
       case MrAggMeasure(_, _, Some(c), _, _, _) => c
-    }.distinct.filterNot(c => c == "value" || c == tsC || c == ordC)
+    }.distinct
+    // every measured column must EXIST on the input — the matcher's
+    // `value` projection substitutes 0.0 when the input has no value
+    // column (the CEP event model), and a measure silently aggregating
+    // that placeholder would be a wrong result, not a convenience
+    val missing = measured.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"MEASURES reference column(s) ${missing.mkString(", ")} that the " +
+        "input DataFrame does not have")
+    val extra = measured.filterNot(c => c == "value" || c == tsC || c == ordC)
     if (extra.isEmpty) return consumed
     val clash = extra.filter(consumed.columns.contains)
     require(clash.isEmpty,
@@ -1049,6 +1057,22 @@ object MatchRecognize {
                             ordC: String): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.col
     if (c == ordC) col("event_id") else if (c == tsC) col("ts") else col(c)
+  }
+
+  /** Scope a measured column to a pattern variable (or SUBSET union —
+    * the aggregate then ranges over the members' combined rows): rows
+    * outside the scope become null, which every aggregate here skips.
+    * Shared by the ONE ROW and ALL ROWS routes so scope resolution can
+    * never diverge between them. */
+  private def scopedCol(spec: MrSpec, v: Option[String],
+                        c: Column): Column = {
+    import org.apache.spark.sql.functions.{col, when}
+    v.map { vv =>
+      spec.scopeMembers(vv) match {
+        case Seq(one) => when(col("step") === one, c)
+        case ms => when(col("step").isin(ms.map(x => x: Any): _*), c)
+      }
+    }.getOrElse(c)
   }
 
   private def checkMeasureAliases(resolved: Seq[MrResolvedMeasure],
@@ -1081,19 +1105,16 @@ object MatchRecognize {
                           resolved: Seq[MrResolvedMeasure], key: String,
                           tsC: String, ordC: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val meta = Seq(key, "start_id", "start_ts", "end_id", "end_ts", "n_rows")
+    // reserve the output names AND the internal projection names — a
+    // MATCH_NUMBER alias of e.g. "user_id" would otherwise overwrite
+    // the internal group-key column via withColumn before the rename
+    val meta = Seq(key, "user_id", "start_id", "start_ts", "end_id",
+      "end_ts", "n_rows", "pos", "event_id", "ts", "step", "value")
     checkMeasureAliases(resolved, meta)
     val consumed =
       joinMeasuredCols(df, consumedRows(df, spec, key, tsC, ordC),
         resolved, key, tsC, ordC)
-    def scoped(v: Option[String], c: Column): Column =
-      v.map { vv =>
-        // a SUBSET name scopes to the union of its members' rows
-        spec.scopeMembers(vv) match {
-          case Seq(one) => when(col("step") === one, c)
-          case ms => when(col("step").isin(ms.map(x => x: Any): _*), c)
-        }
-      }.getOrElse(c)
+    def scoped(v: Option[String], c: Column): Column = scopedCol(spec, v, c)
     val aggs = resolved.collect {
       case MrClassifier(a) =>
         // ONE ROW PER MATCH: the final row's consuming variable
@@ -1166,19 +1187,15 @@ object MatchRecognize {
     val consumed =
       joinMeasuredCols(df, consumedRows(df, spec, key, tsC, ordC),
         resolved, key, tsC, ordC)
+    // the ALL ROWS output carries the joined measured columns too — an
+    // alias equal to one would silently overwrite it via withColumn
+    checkMeasureAliases(resolved, consumed.columns.toSeq)
     val wMatch = Window.partitionBy(col("user_id"), col("start_id"))
     val wRun = wMatch.orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wFin = wMatch.orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    def scoped(v: Option[String], c: Column): Column =
-      v.map { vv =>
-        // a SUBSET name scopes to the union of its members' rows
-        spec.scopeMembers(vv) match {
-          case Seq(one) => when(col("step") === one, c)
-          case ms => when(col("step").isin(ms.map(x => x: Any): _*), c)
-        }
-      }.getOrElse(c)
+    def scoped(v: Option[String], c: Column): Column = scopedCol(spec, v, c)
     val withMeasures = resolved.foldLeft(consumed) {
       case (d, MrClassifier(a)) =>
         // ALL ROWS PER MATCH: the current row's consuming variable

@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -110,7 +110,8 @@ object Sampling {
                   textCol: String): DataFrame = {
     require(strataCols.nonEmpty, "tokenBudget needs at least one stratum column")
     val g = df
-      .withColumn("__nt", size(split(col(textCol), " ")).cast("long"))
+      .withColumn("__nt",
+        size(split(coalesce(col(textCol), lit("")), " ")).cast("long"))
       .groupBy(strataCols.map(col): _*)
       .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
     val tot = g.agg(sum(col("n_tokens")).as("tot"))
@@ -119,9 +120,13 @@ object Sampling {
     // b ranks before-or-equal a: more tokens, or equal tokens and
     // lexicographically <= on the stratum columns (self joins self, so
     // every stratum keeps a row and cum_tokens >= n_tokens)
+    // null-safe lexicographic order (nulls first): a NULL stratum value
+    // must still self-join, or its row vanishes and cum_share breaks
+    def ltNf(a: Column, b: Column): Column =
+      (a.isNull && b.isNotNull) || (a < b)
     val tieLe = strataCols.foldRight(lit(true)) { (c, rest) =>
-      (col(s"__o_$c") < col(c)) ||
-        (col(s"__o_$c") === col(c) && rest)
+      ltNf(col(s"__o_$c"), col(c)) ||
+        (col(s"__o_$c") <=> col(c) && rest)
     }
     val before = (col("__o_tokens") > col("n_tokens")) ||
       (col("__o_tokens") === col("n_tokens") && tieLe)

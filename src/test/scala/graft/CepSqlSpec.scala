@@ -192,6 +192,18 @@ class CepSqlSpec extends SparkSuite {
     // `*` only under COUNT
     assert(intercept[IllegalArgumentException](meas("SUM(*) AS m"))
       .getMessage.contains("only COUNT takes *"))
+    // a measure referencing a column the input does not HAVE rejects
+    // loudly (the matcher's value projection substitutes 0.0 when the
+    // input lacks `value` — silently aggregating it would be wrong)
+    assert(intercept[IllegalArgumentException](
+      MatchRecognize.run(Tables.events(spark, sf001).drop("value"),
+        s"""SELECT * FROM events MATCH_RECOGNIZE (
+           |  PARTITION BY user_id
+           |  ORDER BY ts, event_id
+           |  MEASURES SUM(value) AS s
+           |  PATTERN (a b)
+           |  DEFINE a AS event_type = 'view', b AS event_type = 'click'
+           |)""".stripMargin)).getMessage.contains("does not have"))
     // duplicate aliases reject at execution
     assert(intercept[IllegalArgumentException](
       MatchRecognize.run(Tables.events(spark, sf001),

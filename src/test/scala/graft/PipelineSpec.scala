@@ -193,6 +193,20 @@ class PipelineSpec extends SparkSuite {
     assert(rows.head.getAs[Long]("cum_tokens") === rows.head.getAs[Long]("n_tokens"))
   }
 
+  test("tokenBudget: NULL stratum values still self-join (invariants hold)") {
+    val docs = Seq(
+      (1L, "en", "a b c d e f g h"),
+      (2L, null.asInstanceOf[String], "x y z w v u t s r q p o n m l k"),
+      (3L, "de", "k l m")).toDF("doc_id", "lang", "text")
+    val out = graft.api.Sampling.tokenBudget(docs, Seq("lang"), "text")
+      .orderBy(desc("n_tokens"), col("lang")).collect()
+    assert(out.length === 3, "a NULL stratum vanished from the budget table")
+    assert(out.map(_.getAs[Long]("n_tokens")).toSeq === Seq(16L, 8L, 3L))
+    val cum = out.map(_.getAs[Double]("cum_share"))
+    assert(math.abs(cum.last - 1.0) < 1e-9)
+    assert(out.head.getAs[Long]("cum_tokens") === out.head.getAs[Long]("n_tokens"))
+  }
+
   test("connected components: min-id labels on chains, pairs, singletons") {
     // chain 1-2-3 (needs 2 propagation rounds), pair 10-11, singleton 99
     val nodes = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("id")
