@@ -259,4 +259,30 @@ object TextOps {
     val score = terms.map(tm => coalesce(col(s"`$tm`"), lit(0.0))).reduceLeft(_ + _)
     perDoc.select(col(idCol) +: terms.map(tm => col(s"`$tm`")) :+ score.as("score"): _*)
   }
+
+  /** Character-distribution signals (the gibberish / boilerplate
+    * filter the length-and-stopword heuristics miss): per document,
+    * the Shannon entropy of the CHARACTER distribution in bits
+    * (`log2(n) - (Σ c·log2(c))/n` — low for repeated-character spam
+    * and template boilerplate, ~4.1 for natural English) and the most
+    * frequent character's share. Determinism follows the lmScore
+    * discipline: the per-char term sum is a SEQUENTIAL left fold over
+    * the counts sorted by character (both engines fold the identical
+    * sequence; log2 ulp differences sit ~1e-13 under the round4 guard
+    * the callers apply). Per-doc state is bounded by the character
+    * set, and both shuffles — (doc, char) counts, then per-doc — are
+    * doc-keyed; nothing global. */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cc = df
+      .select(col(idCol), explode(split(col(textCol), "")).as("c"))
+      .groupBy(col(idCol), col("c")).agg(count(lit(1)).as("cnt"))
+    cc.groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n"), max(col("cnt")).as("max_cnt"),
+        sort_array(collect_list(struct(col("c"), col("cnt")))).as("arr"))
+      .withColumn("__s",
+        expr("aggregate(arr, 0D, (a, x) -> a + x.cnt * log2(x.cnt))"))
+      .select(col(idCol), col("n").as("n_chars_split"),
+        (log2(col("n").cast("double")) - col("__s") / col("n")).as("char_entropy"),
+        (col("max_cnt").cast("double") / col("n")).as("top_char_ratio"))
+  }
 }

@@ -836,6 +836,16 @@ object Pipeline {
           Det.round4(col("score")).as("quality"))
         .orderBy("doc_id")),
 
+    // Character-distribution entropy + top-char share (gibberish /
+    // template-boilerplate signal — low entropy = repeated-character
+    // or template text). Sequential char-sorted fold, round4 guard.
+    "text_entropy" -> ((s, d) =>
+      TextOps.charEntropy(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("n_chars_split"),
+          Det.round4(col("char_entropy")).as("char_entropy"),
+          Det.round4(col("top_char_ratio")).as("top_char_ratio"))
+        .orderBy("doc_id")),
+
     "text_tokens" -> ((s, d) =>
       TextOps.tokenCounts(Tables.documents(s, d), "text")
         .select("doc_id", "n_ws", "n_alpha", "approx_bpe")
@@ -1360,6 +1370,26 @@ object Pipeline {
 
     // Bigram logs re-summed in token order (list(... ORDER BY pos) then
     // a sequential left fold) so the float sum is bit-identical.
+    // char-entropy replay: same (doc, char) counts, same char-sorted
+    // sequential fold (list(... ORDER BY c) + list_aggregate 'sum' —
+    // the verified left-fold), same round4 guard.
+    "text_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+        |           FROM documents),
+        |cc AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+        |               CAST(max(cnt) AS BIGINT) AS max_cnt,
+        |               list(cnt ORDER BY c) AS cnts
+        |        FROM cc GROUP BY doc_id),
+        |e AS (SELECT doc_id, n, max_cnt,
+        |        list_aggregate(list_transform(cnts,
+        |          x -> x::DOUBLE * log2(x::DOUBLE)), 'sum') AS s
+        |      FROM agg)
+        |SELECT doc_id, n AS n_chars_split,
+        |       floor((log2(n::DOUBLE) - s / n) * 10000 + 0.5) / 10000 AS char_entropy,
+        |       floor(max_cnt::DOUBLE / n * 10000 + 0.5) / 10000 AS top_char_ratio
+        |FROM e ORDER BY doc_id""".stripMargin,
+
     "text_lm_score" ->
       """WITH tok AS (
         |  SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos, unnest(tk) AS tok

@@ -207,6 +207,18 @@ class PipelineSpec extends SparkSuite {
     assert(out.head.getAs[Long]("cum_tokens") === out.head.getAs[Long]("n_tokens"))
   }
 
+  test("charEntropy: known distributions") {
+    val docs = Seq((1L, "aabb"), (2L, "aaaa"), (3L, "abcd")).toDF("doc_id", "text")
+    val out = graft.api.TextOps.charEntropy(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // uniform over 2 chars -> 1 bit; constant -> 0; uniform over 4 -> 2
+    assert(out.map(_.getAs[Long]("n_chars_split")).toSeq === Seq(4L, 4L, 4L))
+    val ent = out.map(_.getAs[Double]("char_entropy"))
+    assert(math.abs(ent(0) - 1.0) < 1e-9 && math.abs(ent(1)) < 1e-9 &&
+      math.abs(ent(2) - 2.0) < 1e-9, ent.toSeq.toString)
+    assert(out.map(_.getAs[Double]("top_char_ratio")).toSeq === Seq(0.5, 1.0, 0.25))
+  }
+
   test("connected components: min-id labels on chains, pairs, singletons") {
     // chain 1-2-3 (needs 2 propagation rounds), pair 10-11, singleton 99
     val nodes = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("id")
