@@ -726,4 +726,52 @@ object Dedup {
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
         coalesce(col("max_span_docs"), lit(0L)).as("max_span_docs"))
   }
+
+  /** SUBSTRING-level dedup REMOVAL (the Lee et al. 2022 cleanup step
+    * that [[duplicatedSpanStats]] only diagnoses): every occurrence of
+    * a `w`-token span appearing in >= 2 DISTINCT documents is excised
+    * except the corpus-wide first occurrence (lexicographic min over
+    * (id, start) — a deterministic survivor with no tie ambiguity),
+    * and the surviving tokens are re-joined in order. Removal is the
+    * UNION of non-survivor occurrence windows, so a survivor's tokens
+    * can still fall to a DIFFERENT overlapping duplicated span — that
+    * union semantics is what keeps the result order-independent and
+    * hash-stable. Output per input document: `n_tokens`, `n_removed`,
+    * `text_clean`.
+    *
+    * Scale shape: the occurrence table is the stats pass's explode
+    * with positions kept (same fused 60-bit md5-prefix keys, 8-byte
+    * shuffles); the survivor choice is a per-span `min(struct)` — no
+    * per-span document lists, no all-pairs stage. Removed positions
+    * explode only the duplicated-coverage subgraph (`w` rows per
+    * excised occurrence), and assembly is one doc-keyed join of a
+    * bounded positions array back to the token array — every shuffle
+    * is keyed by span hash or document id, nothing global. */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                            w: Int): DataFrame = {
+    val base = df
+      .withColumn("tk", split(col(textCol), " "))
+      .withColumn("sph", graft.functions.Signatures.md5_prefix(expr(
+        s"transform(sequence(1, greatest(size(tk) - ${w - 1}, 1)), " +
+          s"i -> concat_ws(' ', slice(tk, i, $w)))"), 15))
+    val occ = base.select(col(idCol), posexplode(col("sph")))
+      .select(col(idCol), (col("pos") + 1).as("i"), col("col").as("sp"))
+    val dup = occ.groupBy(col("sp"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        min(struct(col(idCol), col("i"))).as("keep"))
+      .filter(col("n_docs") >= 2)
+    val removedPos = occ.join(dup, "sp")
+      .filter(!(col(idCol) === col(s"keep.$idCol") && col("i") === col("keep.i")))
+      .select(col(idCol), explode(expr(s"sequence(i, i + ${w - 1})")).as("p"))
+      .distinct()
+      .groupBy(col(idCol)).agg(sort_array(collect_list(col("p"))).as("rem"))
+    base.join(removedPos, Seq(idCol), "left")
+      .withColumn("rem", coalesce(col("rem"), expr("cast(array() as array<int>)")))
+      .withColumn("kept", expr(
+        "filter(transform(tk, (t, j) -> if(array_contains(rem, j + 1), null, t)), " +
+          "x -> x is not null)"))
+      .select(col(idCol), size(col("tk")).cast("long").as("n_tokens"),
+        (size(col("tk")) - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("kept")).as("text_clean"))
+  }
 }

@@ -61,6 +61,15 @@ object Pipeline {
           Det.round4(col("n_dup_spans").cast("double") / col("n_spans")))
         .orderBy("doc_id")),
 
+    // The REMOVAL step dedup_span only diagnoses (Lee et al. 2022):
+    // excise every occurrence of a cross-document duplicated 5-token
+    // span except the corpus-wide (doc_id, start)-lexicographic first,
+    // re-join the survivors. Deterministic survivor, union removal
+    // windows; see Dedup.removeDuplicatedSpans for the scale shape.
+    "dedup_span_removal" -> ((s, d) =>
+      Dedup.removeDuplicatedSpans(Tables.documents(s, d), "doc_id", "text", 5)
+        .orderBy("doc_id")),
+
     // GLOBAL prefix-filtered 3-shingle Jaccard — no metadata blocking
     // (near-dup copies change lang/source: 24 of 25 true pairs cross
     // blocks on this corpus; see Dedup.jaccardPairs).
@@ -1014,6 +1023,38 @@ object Pipeline {
         |       floor(coalesce(pd.n_dup_spans, 0)::DOUBLE / t.n_spans * 10000 + 0.5)
         |         / 10000 AS dup_ratio
         |FROM sp0 t LEFT JOIN pd USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+
+    // span-removal replay: same windows/keys as dedup_span, survivor =
+    // row_number()=1 over (doc_id, i) per span, removal positions =
+    // union of non-survivor windows, assembly = position filter over
+    // the token array.
+    "dedup_span_removal" ->
+      """WITH tk0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |occ AS (SELECT doc_id, i,
+        |          CAST(concat('0x', substr(md5(array_to_string(tk[i:i+4], ' ')), 1, 15))
+        |            AS BIGINT) AS sp
+        |        FROM (SELECT doc_id, tk,
+        |                unnest(range(1, greatest(len(tk) - 4, 1) + 1)) AS i
+        |              FROM tk0)),
+        |dupsp AS (SELECT sp FROM occ GROUP BY sp
+        |          HAVING count(DISTINCT doc_id) >= 2),
+        |ranked AS (SELECT occ.*, row_number() OVER
+        |             (PARTITION BY sp ORDER BY doc_id, i) AS rn
+        |           FROM occ JOIN dupsp USING (sp)),
+        |rempos AS (SELECT DISTINCT doc_id, i + g.off AS p
+        |           FROM ranked, (SELECT unnest(range(0, 5)) AS off) g
+        |           WHERE rn > 1),
+        |ra AS (SELECT doc_id, list(p ORDER BY p) AS rem
+        |       FROM rempos GROUP BY doc_id),
+        |fin AS (SELECT t.doc_id, len(t.tk) AS n_tokens, t.tk AS tk,
+        |          list_filter(range(1, len(t.tk) + 1),
+        |            j -> NOT list_contains(coalesce(ra.rem, CAST([] AS BIGINT[])), j)) AS keep
+        |        FROM tk0 t LEFT JOIN ra USING (doc_id))
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(n_tokens - len(keep) AS BIGINT) AS n_removed,
+        |       coalesce(array_to_string(list_transform(keep, j -> tk[j]), ' '), '')
+        |         AS text_clean
+        |FROM fin ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       (s"WITH $hashedShingleCte" + """

@@ -207,6 +207,24 @@ class PipelineSpec extends SparkSuite {
     assert(out.head.getAs[Long]("cum_tokens") === out.head.getAs[Long]("n_tokens"))
   }
 
+  test("removeDuplicatedSpans: survivor keeps, non-survivors excised, unions") {
+    // docs 1/2 share "a b c d e": survivor is (1,1), doc 2 loses
+    // positions 2..6; doc 3 shares nothing; doc 4 repeats the span
+    // it shares with doc 5 — survivor (4,1), removals (4,6) and (5,1)
+    val docs = Seq(
+      (1L, "a b c d e x"),
+      (2L, "z a b c d e"),
+      (3L, "q r s t u v"),
+      (4L, "m n o p q m n o p q"),
+      (5L, "m n o p q")).toDF("doc_id", "text")
+    val out = graft.api.Dedup.removeDuplicatedSpans(docs, "doc_id", "text", 5)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[String]("text_clean")).toSeq ===
+      Seq("a b c d e x", "z", "q r s t u v", "m n o p q", ""))
+    assert(out.map(_.getAs[Long]("n_removed")).toSeq === Seq(0L, 5L, 0L, 5L, 5L))
+    assert(out.map(_.getAs[Long]("n_tokens")).toSeq === Seq(6L, 6L, 6L, 10L, 5L))
+  }
+
   test("charEntropy: known distributions") {
     val docs = Seq((1L, "aabb"), (2L, "aaaa"), (3L, "abcd")).toDF("doc_id", "text")
     val out = graft.api.TextOps.charEntropy(docs, "doc_id", "text")
