@@ -47,7 +47,11 @@ object BenchScale {
     // copy-suffix isolation keeps duplicated spans within-copy), the
     // BPE chunker (vocab train + merge-encode), and the ANN recall
     // audit (brute-force truth join + rerank on the rotated copies)
-    "dedup_span", "corpus_chunk_bpe", "sim_recall_audit")
+    "dedup_span", "corpus_chunk_bpe", "sim_recall_audit",
+    // span REMOVAL: the span-hash shuffles of dedup_span plus the
+    // removed-position explode and the doc-keyed reassembly join;
+    // winnowing: doc-keyed window min + the sharing join
+    "dedup_span_removal", "dedup_winnow")
 
   /** Second measured decade (VERDICT r9 item 6): the three STEEPEST
     * keys of the 10x sweep re-measured over a 100x-documents slice, so

@@ -727,6 +727,55 @@ object Dedup {
         coalesce(col("max_span_docs"), lit(0L)).as("max_span_docs"))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
+    * algorithm): hash every `k`-token gram, slide a `w`-gram window,
+    * select each window's MINIMUM hash — the selected set is the
+    * document's fingerprint. Guarantee: any shared token run of
+    * length >= w + k - 1 produces a shared fingerprint; expected
+    * density is 2/(w+1), which is the 100 TB point — the index holds
+    * a ~2/(w+1) sample of positions with a detection GUARANTEE,
+    * where dedup_span must key every window. The selected-hash SET
+    * equals the set of window minima, so no positions need tracking
+    * for set-level stats (the rightmost-tie rule only disambiguates
+    * positions, never values).
+    *
+    * Output per document: `n_grams`, `n_fp` (distinct fingerprints),
+    * `n_shared_fp` (fingerprints also selected by >= 1 other
+    * document), `density` (n_fp / full windows, round4).
+    *
+    * Scale shape: gram explode is linear; the window min and the
+    * whole-partition count are doc-keyed windows; the sharing pass is
+    * the dedup_span groupBy-join shape over 8-byte hash keys — no
+    * per-fingerprint document lists, no all-pairs stage. */
+  def winnowFingerprintStats(df: DataFrame, idCol: String, textCol: String,
+                             k: Int, w: Int): DataFrame = {
+    val grams = df
+      .withColumn("tk", split(col(textCol), " "))
+      .withColumn("gh", graft.functions.Signatures.md5_prefix(expr(
+        s"transform(sequence(1, greatest(size(tk) - ${k - 1}, 1)), " +
+          s"i -> concat_ws(' ', slice(tk, i, $k)))"), 15))
+      .select(col(idCol), posexplode(col("gh")))
+      .select(col(idCol), (col("pos") + 1).as("i"), col("col").as("gh"))
+    val overDoc = W.partitionBy(col(idCol))
+    val winMin = W.partitionBy(col(idCol)).orderBy(col("i"))
+      .rowsBetween(W.currentRow, w - 1)
+    val fp = grams
+      .withColumn("m", count(lit(1)).over(overDoc))
+      .withColumn("fh", min(col("gh")).over(winMin))
+      .filter(col("i") <= greatest(col("m") - (w - 1), lit(1)))
+      .select(col(idCol), col("m"), col("fh")).distinct()
+    val shared = fp.groupBy(col("fh"))
+      .agg(countDistinct(col(idCol)).as("n_docs")).filter(col("n_docs") >= 2)
+    val perDoc = fp.join(shared, "fh")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared_fp"))
+    fp.groupBy(col(idCol), col("m")).agg(count(lit(1)).as("n_fp"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("m").as("n_grams"), col("n_fp"),
+        coalesce(col("n_shared_fp"), lit(0L)).as("n_shared_fp"),
+        (col("n_fp").cast("double") /
+          greatest(col("m") - (w - 1), lit(1))).as("density"))
+  }
+
   /** SUBSTRING-level dedup REMOVAL (the Lee et al. 2022 cleanup step
     * that [[duplicatedSpanStats]] only diagnoses): every occurrence of
     * a `w`-token span appearing in >= 2 DISTINCT documents is excised

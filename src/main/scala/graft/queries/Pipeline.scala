@@ -70,6 +70,17 @@ object Pipeline {
       Dedup.removeDuplicatedSpans(Tables.documents(s, d), "doc_id", "text", 5)
         .orderBy("doc_id")),
 
+    // Winnowing fingerprints (Schleimer et al. 2003 / MOSS): 4-gram
+    // hashes, 4-gram window minima — a ~2/(w+1)-density sample of
+    // positions with a detection GUARANTEE for shared runs >= w+k-1
+    // tokens. See Dedup.winnowFingerprintStats for the scale stance
+    // vs dedup_span's every-window keying.
+    "dedup_winnow" -> ((s, d) =>
+      Dedup.winnowFingerprintStats(Tables.documents(s, d), "doc_id", "text", 4, 4)
+        .select(col("doc_id"), col("n_grams"), col("n_fp"), col("n_shared_fp"),
+          Det.round4(col("density")).as("density"))
+        .orderBy("doc_id")),
+
     // GLOBAL prefix-filtered 3-shingle Jaccard — no metadata blocking
     // (near-dup copies change lang/source: 24 of 25 true pairs cross
     // blocks on this corpus; see Dedup.jaccardPairs).
@@ -1055,6 +1066,36 @@ object Pipeline {
         |       coalesce(array_to_string(list_transform(keep, j -> tk[j]), ' '), '')
         |         AS text_clean
         |FROM fin ORDER BY doc_id""".stripMargin,
+
+    // winnowing replay: same 4-gram md5-prefix hashes, the same
+    // 4-wide window MIN (full windows only), distinct selected set,
+    // then the dedup_span sharing shape.
+    "dedup_winnow" ->
+      """WITH tk0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |g AS (SELECT doc_id, i,
+        |        CAST(concat('0x', substr(md5(array_to_string(tk[i:i+3], ' ')), 1, 15))
+        |          AS BIGINT) AS gh
+        |      FROM (SELECT doc_id, tk,
+        |              unnest(range(1, greatest(len(tk) - 3, 1) + 1)) AS i
+        |            FROM tk0)),
+        |gm AS (SELECT doc_id, max(i) AS m FROM g GROUP BY doc_id),
+        |sel AS (SELECT g.doc_id, i, gm.m,
+        |          min(gh) OVER (PARTITION BY g.doc_id ORDER BY i
+        |                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fh
+        |        FROM g JOIN gm USING (doc_id)),
+        |fp AS (SELECT DISTINCT doc_id, m, fh FROM sel
+        |       WHERE i <= greatest(m - 3, 1)),
+        |sh AS (SELECT fh FROM fp GROUP BY fh
+        |       HAVING count(DISTINCT doc_id) >= 2),
+        |pd AS (SELECT doc_id, count(*) AS n_shared
+        |       FROM fp JOIN sh USING (fh) GROUP BY doc_id),
+        |st AS (SELECT doc_id, m, count(*) AS n_fp FROM fp GROUP BY doc_id, m)
+        |SELECT st.doc_id, CAST(st.m AS BIGINT) AS n_grams,
+        |       CAST(st.n_fp AS BIGINT) AS n_fp,
+        |       CAST(coalesce(pd.n_shared, 0) AS BIGINT) AS n_shared_fp,
+        |       floor(st.n_fp::DOUBLE / greatest(st.m - 3, 1) * 10000 + 0.5) / 10000
+        |         AS density
+        |FROM st LEFT JOIN pd USING (doc_id) ORDER BY st.doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       (s"WITH $hashedShingleCte" + """

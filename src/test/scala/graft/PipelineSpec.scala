@@ -225,6 +225,29 @@ class PipelineSpec extends SparkSuite {
     assert(out.map(_.getAs[Long]("n_tokens")).toSeq === Seq(6L, 6L, 6L, 10L, 5L))
   }
 
+  test("winnowFingerprintStats: detection guarantee, identity, disjointness") {
+    // docs 1/3 identical; doc 2 shares the 7-token run "a b c d e f g"
+    // with them (= w + k - 1, the winnowing guarantee threshold);
+    // doc 4 shares no 4-gram with anyone
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y z a b c d e f g q r"),
+      (3L, "a b c d e f g h i j"),
+      (4L, "p q r s t u v w")).toDF("doc_id", "text")
+    val out = graft.api.Dedup.winnowFingerprintStats(docs, "doc_id", "text", 4, 4)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("n_grams")).toSeq === Seq(7L, 9L, 7L, 5L))
+    // identical docs: same fingerprint set, fully shared
+    assert(out(0).getAs[Long]("n_fp") === out(2).getAs[Long]("n_fp"))
+    assert(out(0).getAs[Long]("n_shared_fp") === out(0).getAs[Long]("n_fp"))
+    assert(out(2).getAs[Long]("n_shared_fp") === out(2).getAs[Long]("n_fp"))
+    // the shared >= w+k-1 run guarantees doc 2 shares a fingerprint
+    assert(out(1).getAs[Long]("n_shared_fp") >= 1L)
+    // disjoint doc shares nothing; density is n_fp over full windows
+    assert(out(3).getAs[Long]("n_shared_fp") === 0L)
+    assert(out.forall(r => r.getAs[Long]("n_fp") <= r.getAs[Long]("n_grams") - 3))
+  }
+
   test("charEntropy: known distributions") {
     val docs = Seq((1L, "aabb"), (2L, "aaaa"), (3L, "abcd")).toDF("doc_id", "text")
     val out = graft.api.TextOps.charEntropy(docs, "doc_id", "text")
