@@ -260,6 +260,42 @@ object TextOps {
     perDoc.select(col(idCol) +: terms.map(tm => col(s"`$tm`")) :+ score.as("score"): _*)
   }
 
+  /** Zipf rank-frequency fit per group: least-squares slope/intercept
+    * of ln(freq) over ln(rank) across the group's `topR` most frequent
+    * terms (count desc, term asc — deterministic ranking). Natural
+    * corpora sit near slope -1; a flatter slope flags templated or
+    * synthetic text, a steeper one a collapsed vocabulary — the
+    * corpus-distribution health check that per-document signals
+    * (text_quality, text_repetition) cannot see.
+    *
+    * Determinism: the four regression sums are SEQUENTIAL left folds
+    * over the rank-sorted (rank, count) list — both engines fold the
+    * identical sequence with identical IEEE op order, leaving only ln
+    * ulp differences (~1e-13) under the callers' round4 guard. The
+    * term count is the only corpus-sized shuffle (group+term keyed);
+    * ranking is a group-keyed window over the bounded vocabulary and
+    * the fold list holds at most `topR` entries per group. */
+  def zipfFit(df: DataFrame, groupCol: String, textCol: String,
+              topR: Int): DataFrame = {
+    val tc = df.select(col(groupCol), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col(groupCol), col("term")).agg(count(lit(1)).as("cnt"))
+    val wr = Window.partitionBy(col(groupCol)).orderBy(col("cnt").desc, col("term"))
+    tc.withColumn("r", row_number().over(wr)).filter(col("r") <= topR)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_terms"),
+        sort_array(collect_list(struct(col("r"), col("cnt")))).as("arr"))
+      .withColumn("sx", expr("aggregate(arr, 0D, (a, e) -> a + ln(e.r))"))
+      .withColumn("sy", expr("aggregate(arr, 0D, (a, e) -> a + ln(e.cnt))"))
+      .withColumn("sxy", expr("aggregate(arr, 0D, (a, e) -> a + ln(e.r) * ln(e.cnt))"))
+      .withColumn("sx2", expr("aggregate(arr, 0D, (a, e) -> a + ln(e.r) * ln(e.r))"))
+      .withColumn("nd", col("n_terms").cast("double"))
+      .withColumn("slope",
+        (col("nd") * col("sxy") - col("sx") * col("sy")) /
+          (col("nd") * col("sx2") - col("sx") * col("sx")))
+      .select(col(groupCol), col("n_terms"), col("slope"),
+        ((col("sy") - col("slope") * col("sx")) / col("nd")).as("intercept"))
+  }
+
   /** Character-distribution signals (the gibberish / boilerplate
     * filter the length-and-stopword heuristics miss): per document,
     * the Shannon entropy of the CHARACTER distribution in bits

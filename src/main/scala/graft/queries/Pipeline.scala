@@ -866,6 +866,17 @@ object Pipeline {
           Det.round4(col("top_char_ratio")).as("top_char_ratio"))
         .orderBy("doc_id")),
 
+    // Zipf rank-frequency fit per language (least-squares over the
+    // top-100 terms' (ln rank, ln freq)): the corpus-distribution
+    // health check — flat slope = templated text, steep = collapsed
+    // vocabulary. Sequential rank-ordered folds, round4 guard.
+    "text_zipf" -> ((s, d) =>
+      TextOps.zipfFit(Tables.documents(s, d), "lang", "text", 100)
+        .select(col("lang"), col("n_terms"),
+          Det.round4(col("slope")).as("slope"),
+          Det.round4(col("intercept")).as("intercept"))
+        .orderBy("lang")),
+
     "text_tokens" -> ((s, d) =>
       TextOps.tokenCounts(Tables.documents(s, d), "text")
         .select("doc_id", "n_ws", "n_alpha", "approx_bpe")
@@ -1455,6 +1466,37 @@ object Pipeline {
     // char-entropy replay: same (doc, char) counts, same char-sorted
     // sequential fold (list(... ORDER BY c) + list_aggregate 'sum' —
     // the verified left-fold), same round4 guard.
+    // zipf replay: same deterministic ranking (cnt desc, term asc),
+    // same four rank-ordered sequential sums (list(... ORDER BY r) +
+    // list_aggregate 'sum'), same slope/intercept expression order,
+    // round4 guard.
+    "text_zipf" ->
+      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |tc AS (SELECT lang, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |rk AS (SELECT lang, cnt, row_number() OVER
+        |         (PARTITION BY lang ORDER BY cnt DESC, term) AS r
+        |       FROM tc),
+        |ag AS (SELECT lang, count(*) AS n, list(r ORDER BY r) AS rs,
+        |              list(cnt ORDER BY r) AS cs
+        |       FROM rk WHERE r <= 100 GROUP BY lang),
+        |s AS (SELECT lang, n,
+        |        list_aggregate(list_transform(rs, x -> ln(x::DOUBLE)), 'sum') AS sx,
+        |        list_aggregate(list_transform(cs, x -> ln(x::DOUBLE)), 'sum') AS sy,
+        |        list_aggregate(list_transform(range(1, n + 1),
+        |          i -> ln(rs[i]::DOUBLE) * ln(cs[i]::DOUBLE)), 'sum') AS sxy,
+        |        list_aggregate(list_transform(rs,
+        |          x -> ln(x::DOUBLE) * ln(x::DOUBLE)), 'sum') AS sx2
+        |      FROM ag),
+        |f AS (SELECT lang, n,
+        |        (n::DOUBLE * sxy - sx * sy) / (n::DOUBLE * sx2 - sx * sx) AS slope,
+        |        sx, sy
+        |      FROM s)
+        |SELECT lang, CAST(n AS BIGINT) AS n_terms,
+        |       floor(slope * 10000 + 0.5) / 10000 AS slope,
+        |       floor((sy - slope * sx) / n::DOUBLE * 10000 + 0.5) / 10000 AS intercept
+        |FROM f ORDER BY lang""".stripMargin,
+
     "text_entropy" ->
       """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
         |           FROM documents),

@@ -248,6 +248,16 @@ class PipelineSpec extends SparkSuite {
     assert(out.forall(r => r.getAs[Long]("n_fp") <= r.getAs[Long]("n_grams") - 3))
   }
 
+  test("zipfFit: exact power law fits slope -1, intercept ln(c)") {
+    // counts 6/3/2 at ranks 1/2/3 lie exactly on ln(f) = ln(6) - ln(r)
+    val docs = Seq((1L, "en", "a a a a a a b b b c c")).toDF("doc_id", "lang", "text")
+    val out = graft.api.TextOps.zipfFit(docs, "lang", "text", 100).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("n_terms") === 3L)
+    assert(math.abs(out.head.getAs[Double]("slope") + 1.0) < 1e-9)
+    assert(math.abs(out.head.getAs[Double]("intercept") - math.log(6.0)) < 1e-9)
+  }
+
   test("charEntropy: known distributions") {
     val docs = Seq((1L, "aabb"), (2L, "aaaa"), (3L, "abcd")).toDF("doc_id", "text")
     val out = graft.api.TextOps.charEntropy(docs, "doc_id", "text")
