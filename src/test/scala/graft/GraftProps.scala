@@ -26,6 +26,9 @@ object GraftProps extends Properties("graft") {
 
   private val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
 
+  /** Small-alphabet tokens — repeats within and across docs are the point. */
+  private val winTokGen: Gen[String] = Gen.choose(0, 25).map(i => s"t$i")
+
   /** (user, ts-offset-seconds, cents) event rows over a ~2 day span. */
   private val eventsGen: Gen[List[(Long, Long, Long)]] =
     Gen.nonEmptyListOf(for {
@@ -547,5 +550,25 @@ object GraftProps extends Properties("graft") {
           .map { case ((u, cents), i) => (typ, i + 1L, u, cents) }
       }.toSet
       got == want
+    }
+
+  property("winnowing guarantee: a shared w+k-1 token run implies a shared fingerprint") =
+    forAll(Gen.listOfN(7, winTokGen), Gen.listOf(winTokGen), Gen.listOf(winTokGen),
+      Gen.listOf(winTokGen), Gen.listOf(winTokGen)) { (run, a1, a2, b1, b2) =>
+      // k=4, w=4: any shared run of w+k-1=7 consecutive tokens spans one
+      // FULL gram window whose contents are identical in both docs, so
+      // its minimum is selected by both (Schleimer et al. 2003, §2)
+      val sp = spark
+      import sp.implicits._
+      val out = Dedup.winnowFingerprintStats(
+        Seq((1L, (a1 ++ run ++ a2).mkString(" ")),
+          (2L, (b1 ++ run ++ b2).mkString(" "))).toDF("doc_id", "text"),
+        "doc_id", "text", 4, 4)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+      out.values.forall { r =>
+        val wins = math.max(r.getAs[Long]("n_grams") - 3, 1L)
+        r.getAs[Long]("n_shared_fp") >= 1 &&
+          r.getAs[Long]("n_fp") >= 1 && r.getAs[Long]("n_fp") <= wins
+      }
     }
 }
