@@ -807,4 +807,34 @@ object Similarity {
        |        / (s.pn * n.nrm) DESC, n.vec_id) AS INTEGER) AS rnk
        |  FROM lsel s JOIN ev n ON n.part = s.part AND n.vec_id != s.probe_id
        |) WHERE rnk <= ${k} ORDER BY probe_id, rnk""".stripMargin
+
+  /** DuckDB replay of the IVF partition-BALANCE audit: the same trained
+    * coarse assignment as [[annTrainedOracleSql]] (integer k-means +
+    * argmin-by-exact-d2, ties to the lowest centroid), aggregated to
+    * per-partition sizes with corpus share and load factor
+    * (n · kCent / total — 1.0 = perfectly balanced inverted lists).
+    */
+  def ivfBalanceOracleSql(kCent: Int = 8, subDim: Int = 64,
+                          iters: Int = 2): String =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000.0 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |${kmeansCtesSql(1, kCent, subDim, iters)},
+       |fd AS (
+       |  SELECT e.vec_id, p.cent,
+       |    list_aggregate(list_transform(list_zip(e.q[p.sub * ${subDim} + 1 : (p.sub + 1) * ${subDim}], p.cv),
+       |      x -> (x[1] - x[2]) * (x[1] - x[2])), 'sum') AS d2
+       |  FROM e CROSS JOIN cb p),
+       |fa AS (
+       |  SELECT vec_id, cent AS part FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent) AS rn FROM fd)
+       |  WHERE rn = 1),
+       |sz AS (SELECT part, count(*) AS n_vecs FROM fa GROUP BY part),
+       |tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS total FROM sz)
+       |SELECT CAST(sz.part AS BIGINT) AS part, CAST(sz.n_vecs AS BIGINT) AS n_vecs,
+       |       floor(sz.n_vecs::DOUBLE / tot.total * 10000 + 0.5) / 10000 AS share,
+       |       floor(sz.n_vecs::DOUBLE * ${kCent}.0 / tot.total * 10000 + 0.5) / 10000
+       |         AS load
+       |FROM sz CROSS JOIN tot ORDER BY part""".stripMargin
 }

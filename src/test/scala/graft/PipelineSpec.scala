@@ -225,6 +225,15 @@ class PipelineSpec extends SparkSuite {
     assert(out.map(_.getAs[Long]("n_tokens")).toSeq === Seq(6L, 6L, 6L, 10L, 5L))
   }
 
+  test("sim_ivf_balance: partitions cover the corpus, load factors average 1") {
+    val out = Pipeline.queries("sim_ivf_balance")(spark, sf001).collect()
+    assert(out.map(_.getAs[Long]("n_vecs")).sum === 500L)
+    assert(out.map(_.getAs[Long]("part")).distinct.length === out.length)
+    val loads = out.map(_.getAs[Double]("load"))
+    assert(math.abs(loads.sum / loads.length - 1.0) < 0.01, loads.toSeq.toString)
+    assert(out.map(_.getAs[Double]("share")).sum > 0.999)
+  }
+
   test("winnowFingerprintStats: detection guarantee, identity, disjointness") {
     // docs 1/3 identical; doc 2 shares the 7-token run "a b c d e f g"
     // with them (= w + k - 1, the winnowing guarantee threshold);
