@@ -359,6 +359,21 @@ object Dedup {
     // array_min(transform(...)) lambdas computing the same minima
     // measured 38.7 s at sf0.1 vs ~1 s fused; the mod-p family is what
     // keeps every step exact in 64-bit for the DuckDB replay).
+    val (sig, cand) = minhashMd5Candidates(df, idCol, textCol)
+    val ta = sig.select(col(idCol).as("doc_a"), col("toks").as("toks_a"))
+    val tb = sig.select(col(idCol).as("doc_b"), col("toks").as("toks_b"))
+    cand.join(ta, "doc_a").join(tb, "doc_b")
+      .withColumn("ninter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("jac", col("ninter").cast("double") /
+        (size(col("toks_a")) + size(col("toks_b")) - col("ninter")))
+      .filter(col("jac") >= threshold)
+      .select("doc_a", "doc_b", "jac")
+  }
+
+  /** Shared md5-route candidate generation: per-doc (toks, sig) plus
+    * the banded candidate pair set. */
+  private def minhashMd5Candidates(df: DataFrame, idCol: String,
+                                   textCol: String): (DataFrame, DataFrame) = {
     val sig = shingles(df, textCol, 3)
       .select(col(idCol), col("toks"),
         graft.functions.Signatures.minhash_sig_mod(
@@ -375,23 +390,46 @@ object Dedup {
         Seq("band", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val ta = sig.select(col(idCol).as("doc_a"), col("toks").as("toks_a"))
-    val tb = sig.select(col(idCol).as("doc_b"), col("toks").as("toks_b"))
+    (sig, cand)
+  }
+
+  /** MinHash ESTIMATION-ERROR audit (the dedup counterpart of the ANN
+    * recall audit): for every banded candidate pair, the fraction of
+    * agreeing signature components (the unbiased Jaccard estimator the
+    * LSH routing acts on) against the EXACT shingle Jaccard, with the
+    * absolute error — turns the property-test-only "MinHash tracks
+    * Jaccard" claim into a driver-visible, oracle-gated number. The
+    * candidate set is the banding's own output, so the audit is
+    * bounded by it — no all-pairs stage; `n_agree` is an exact
+    * integer and est/jac/abs_err are single IEEE divisions from
+    * integers (bit-stable cross-engine). */
+  def minhashEstimationAudit(df: DataFrame, idCol: String,
+                             textCol: String): DataFrame = {
+    val (sig, cand) = minhashMd5Candidates(df, idCol, textCol)
+    val ta = sig.select(col(idCol).as("doc_a"), col("toks").as("toks_a"),
+      col("sig").as("sig_a"))
+    val tb = sig.select(col(idCol).as("doc_b"), col("toks").as("toks_b"),
+      col("sig").as("sig_b"))
     cand.join(ta, "doc_a").join(tb, "doc_b")
+      .withColumn("n_agree",
+        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"))
       .withColumn("ninter", size(array_intersect(col("toks_a"), col("toks_b"))))
       .withColumn("jac", col("ninter").cast("double") /
         (size(col("toks_a")) + size(col("toks_b")) - col("ninter")))
-      .filter(col("jac") >= threshold)
-      .select("doc_a", "doc_b", "jac")
+      .withColumn("est", col("n_agree") / lit(64.0))
+      .select(col("doc_a"), col("doc_b"),
+        col("n_agree").cast("long").as("n_agree"), col("jac"), col("est"),
+        abs(col("est") - col("jac")).as("abs_err"))
   }
 
-  /** The DuckDB replay of [[minhashPairsMd5]], spliced with the same
-    * permutation literals.
+  /** The shared CTE chain of the minhash oracles: shingles → md5 token
+    * hashes → per-permutation minima → band keys → candidate pairs,
+    * with the engine's permutation constants spliced as literals.
     */
-  def minhashPairsOracleSql(threshold: Double = 0.7): String = {
+  private def minhashCtesSql: String = {
     val permValues = (0 until 64)
       .map(i => s"(${i}, ${minhashA(i)}, ${minhashB(i)})").mkString(", ")
-    s"""WITH tk0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    s"""tk0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        |t AS (SELECT doc_id,
        |        list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
        |          i -> array_to_string(tk[i:i+2], ' '))) AS toks
@@ -409,7 +447,14 @@ object Dedup {
        |         FROM sigrow GROUP BY doc_id, i // 4),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM band a JOIN band b ON a.band = b.band AND a.bkey = b.bkey
-       |                                AND a.doc_id < b.doc_id),
+       |                                AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** The DuckDB replay of [[minhashPairsMd5]], spliced with the same
+    * permutation literals.
+    */
+  def minhashPairsOracleSql(threshold: Double = 0.7): String =
+    s"""WITH ${minhashCtesSql},
        |pairs AS (
        |  SELECT c.doc_a, c.doc_b,
        |    CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
@@ -419,7 +464,30 @@ object Dedup {
        |SELECT doc_a, doc_b, floor(jac * 10000 + 0.5) / 10000 AS jac
        |FROM pairs WHERE jac >= ${threshold}
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
+
+  /** The DuckDB replay of [[minhashEstimationAudit]]: the same
+    * candidate chain plus rank-ordered signature lists, agreement
+    * counted by position, estimate/error arithmetic in the engine's
+    * expression order.
+    */
+  def minhashAuditOracleSql: String =
+    s"""WITH ${minhashCtesSql},
+       |sigl AS (SELECT doc_id, list(m ORDER BY i) AS sig
+       |         FROM sigrow GROUP BY doc_id),
+       |o AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    len(list_filter(range(1, 65), j -> sa.sig[j] = sb.sig[j])) AS n_agree,
+       |    CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
+       |      (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))) AS jac
+       |  FROM cand c JOIN t ta ON c.doc_a = ta.doc_id
+       |              JOIN t tb ON c.doc_b = tb.doc_id
+       |              JOIN sigl sa ON c.doc_a = sa.doc_id
+       |              JOIN sigl sb ON c.doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, CAST(n_agree AS BIGINT) AS n_agree,
+       |       floor(jac * 10000 + 0.5) / 10000 AS jac,
+       |       floor(n_agree::DOUBLE / 64.0 * 10000 + 0.5) / 10000 AS est,
+       |       floor(abs(n_agree::DOUBLE / 64.0 - jac) * 10000 + 0.5) / 10000 AS abs_err
+       |FROM o ORDER BY doc_a, doc_b""".stripMargin
 
   /** Near-duplicate CLUSTERS: connected components over a verified
     * near-dup pair set; every node gets `cluster_id` = min reachable id,

@@ -115,6 +115,18 @@ object Pipeline {
         .select(col("doc_a"), col("doc_b"), Det.round4(col("jac")).as("jac"))
         .orderBy("doc_a", "doc_b")),
 
+    // MinHash estimation-error AUDIT (the dedup counterpart of
+    // sim_recall_audit): per banded candidate pair, signature
+    // agreement (the estimator LSH routing acts on) vs exact shingle
+    // Jaccard, with the absolute error — bounded by the banding's own
+    // candidate output.
+    "dedup_minhash_audit" -> ((s, d) =>
+      Dedup.minhashEstimationAudit(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_a"), col("doc_b"), col("n_agree"),
+          Det.round4(col("jac")).as("jac"), Det.round4(col("est")).as("est"),
+          Det.round4(col("abs_err")).as("abs_err"))
+        .orderBy("doc_a", "doc_b")),
+
     // The oracle-replayable simhash: md5-derived 60-bit signatures (see
     // Dedup.simhashPairsMd5) — the full near-dup pair set hash-matches
     // DuckDB, pinning the algorithm cross-engine.
@@ -1006,6 +1018,7 @@ object Pipeline {
 
   private val baseOracles: Map[String, String] = Map(
     "dedup_minhash_pairs" -> Dedup.minhashPairsOracleSql(0.7),
+    "dedup_minhash_audit" -> Dedup.minhashAuditOracleSql,
 
     "dedup_simhash_pairs" ->
       (s"WITH $shingleCte," + """

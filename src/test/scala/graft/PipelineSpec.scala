@@ -225,6 +225,22 @@ class PipelineSpec extends SparkSuite {
     assert(out.map(_.getAs[Long]("n_tokens")).toSeq === Seq(6L, 6L, 6L, 10L, 5L))
   }
 
+  test("minhashEstimationAudit: identical docs estimate exactly 1, disjoint never pair") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),
+      (3L, "q r s t u v w x")).toDF("doc_id", "text")
+    val out = graft.api.Dedup.minhashEstimationAudit(docs, "doc_id", "text").collect()
+    val p = out.find(r =>
+      r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(p.isDefined, out.mkString(";"))
+    assert(p.get.getAs[Long]("n_agree") === 64L)
+    assert(p.get.getAs[Double]("est") === 1.0)
+    assert(p.get.getAs[Double]("jac") === 1.0)
+    assert(p.get.getAs[Double]("abs_err") === 0.0)
+    assert(!out.exists(r => r.getAs[Long]("doc_b") == 3L))
+  }
+
   test("sim_ivf_balance: partitions cover the corpus, load factors average 1") {
     val out = Pipeline.queries("sim_ivf_balance")(spark, sf001).collect()
     assert(out.map(_.getAs[Long]("n_vecs")).sum === 500L)
