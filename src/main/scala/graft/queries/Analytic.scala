@@ -124,6 +124,28 @@ object Analytic {
         .orderBy("user_id")
     }),
 
+    // Event-type TRANSITION MATRIX (the per-user Markov-chain estimate
+    // behind path/flow analytics): consecutive-event (prev -> cur)
+    // counts in the (ts, event_id) total order, with the
+    // row-normalized transition probability. The lag is a user-keyed
+    // window; normalization joins per-prev totals from one aggregation
+    // over the type-bounded count table — nothing global, and the
+    // output is |types|^2 rows regardless of corpus size.
+    "event_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val c = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("cur_type"))
+        .withColumn("prev_type", lag(col("cur_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("cur_type")).agg(count(lit(1)).as("n"))
+      val tot = c.groupBy(col("prev_type")).agg(sum(col("n")).as("tot"))
+      c.join(broadcast(tot), "prev_type")
+        .select(col("prev_type"), col("cur_type"), col("n"),
+          Det.round4(col("n") / col("tot")).as("p"))
+        .orderBy("prev_type", "cur_type")
+    }),
+
     // CEP pattern matching (Flink CEP / SQL MATCH_RECOGNIZE): greedy
     // `C+ P` — a maximal run of consecutive clicks immediately followed
     // by a purchase, WITHIN 10 minutes of the purchase, AFTER MATCH SKIP
@@ -1139,6 +1161,21 @@ object Analytic {
         |SELECT user_id, t_view, t_click, t_purchase,
         |       epoch_us(t_purchase) - epoch_us(t_view) AS funnel_us
         |FROM p ORDER BY user_id""".stripMargin,
+
+    "event_transitions" ->
+      """WITH tr AS (
+        |  SELECT event_type AS cur_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |c AS (SELECT prev_type, cur_type, count(*) AS n FROM tr
+        |      WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS tot
+        |      FROM c GROUP BY prev_type)
+        |SELECT c.prev_type, c.cur_type, CAST(c.n AS BIGINT) AS n,
+        |       floor(c.n::DOUBLE / t.tot * 10000 + 0.5) / 10000 AS p
+        |FROM c JOIN t USING (prev_type)
+        |ORDER BY prev_type, cur_type""".stripMargin,
 
     "event_cep" ->
       """WITH t AS (
