@@ -146,6 +146,30 @@ object Analytic {
         .orderBy("prev_type", "cur_type")
     }),
 
+    // Cohort RETENTION (the week-over-week comeback table behind every
+    // growth dashboard): users bucketed by first-active week, distinct
+    // activity per (cohort, week) with the rate over the cohort size.
+    // Shapes: distinct (user, week) is user-keyed, cohort assignment is
+    // one per-user min, sizes broadcast back — the output is bounded by
+    // weeks², never corpus size.
+    "event_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .distinct()
+      val cohort = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+      val sizes = cohort.groupBy("cohort_wk")
+        .agg(countDistinct(col("user_id")).as("n_cohort"))
+      ev.join(cohort, "user_id")
+        .groupBy(col("cohort_wk"), col("wk"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .join(broadcast(sizes), "cohort_wk")
+        .select(col("cohort_wk").cast("date").as("cohort_week"),
+          expr("CAST(datediff(wk, cohort_wk) / 7 AS INT)").as("week_offset"),
+          col("n_active"), col("n_cohort"),
+          Det.round4(col("n_active") / col("n_cohort")).as("rate"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // CEP pattern matching (Flink CEP / SQL MATCH_RECOGNIZE): greedy
     // `C+ P` — a maximal run of consecutive clicks immediately followed
     // by a purchase, WITHIN 10 minutes of the purchase, AFTER MATCH SKIP
@@ -1161,6 +1185,23 @@ object Analytic {
         |SELECT user_id, t_view, t_click, t_purchase,
         |       epoch_us(t_purchase) - epoch_us(t_view) AS funnel_us
         |FROM p ORDER BY user_id""".stripMargin,
+
+    "event_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+        |            FROM events),
+        |coh AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id),
+        |sz AS (SELECT cohort_wk, count(DISTINCT user_id) AS n_cohort
+        |       FROM coh GROUP BY cohort_wk),
+        |a AS (SELECT c.cohort_wk, e.wk, count(DISTINCT e.user_id) AS n_active
+        |      FROM ev e JOIN coh c USING (user_id) GROUP BY 1, 2)
+        |SELECT CAST(a.cohort_wk AS DATE) AS cohort_week,
+        |       CAST(date_diff('day', a.cohort_wk, a.wk) // 7 AS INTEGER)
+        |         AS week_offset,
+        |       CAST(a.n_active AS BIGINT) AS n_active,
+        |       CAST(sz.n_cohort AS BIGINT) AS n_cohort,
+        |       floor(a.n_active::DOUBLE / sz.n_cohort * 10000 + 0.5) / 10000 AS rate
+        |FROM a JOIN sz USING (cohort_wk)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
 
     "event_transitions" ->
       """WITH tr AS (
