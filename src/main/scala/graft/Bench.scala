@@ -145,24 +145,42 @@ object Bench {
     // back near the committed one proves noise; an isolated value that
     // stays high is a real regression.
     val fnByName = keys.toMap
-    val isolated: Seq[(String, Double)] = trials.flatMap { case (name, ts) =>
+    // Isolated measurement discipline (VERDICT r10 item 5): ONE untimed
+    // warm pass (absorbs JIT/codegen/page-cache for this key's plan —
+    // post-sweep, other keys' code may have evicted it), then MIN-OF-3
+    // timed trials run back-to-back on the quiesced executor pool. The
+    // isolated SPREAD — over the 3 post-warm trials only — replaces the
+    // sweep-window spread for that key in the reported map, so
+    // spread_max is the self-certified post-adjudication number instead
+    // of permanently carrying the sweep contention it adjudicated.
+    def isolatedMeasure(name: String): (Double, Double) = {
+      val fn = fnByName(name)
+      timeOne(fn) // warm, untimed
+      val ts = Seq(timeOne(fn)._1, timeOne(fn)._1, timeOne(fn)._1)
+      val mn = ts.min
+      (mn, if (mn > 1e-9) (ts.max - mn) / mn else 0.0)
+    }
+    val isolatedFull: Seq[(String, (Double, Double))] = trials.flatMap { case (name, ts) =>
       val secs = ts.map(_._1)
       val mn = secs.min
       val postRetrySpread = if (mn > 1e-9) (secs.max - mn) / mn else 0.0
       if (isolationNeeded(mn, committed.get(name))) {
         System.err.println(f"[bench] isolated $name (min $mn%.3f vs committed ${committed(name)}%.3f)")
-        Some(name -> timeOne(fnByName(name)))
+        Some(name -> isolatedMeasure(name))
       } else if (spreadForcesIsolation(postRetrySpread)) {
         System.err.println(f"[bench] isolated $name (post-retry spread $postRetrySpread%.2f > 1.0)")
-        Some(name -> timeOne(fnByName(name)))
+        Some(name -> isolatedMeasure(name))
       } else None
-    }.map { case (name, (sec, _)) => name -> sec }
+    }
+    val isolated: Seq[(String, Double)] = isolatedFull.map { case (n, (s, _)) => n -> s }
     val isoByName = isolated.toMap
+    val isoSpreadByName = isolatedFull.map { case (n, (_, sp)) => n -> sp }.toMap
     val allTrials = trials.map { case (name, ts) =>
       name -> (ts.map(_._1) ++ isoByName.get(name).toSeq) }
     val results = allTrials.map { case (name, secs) => name -> secs.min }
     val spreads = allTrials.map { case (name, secs) =>
-      name -> (if (secs.min > 1e-9) (secs.max - secs.min) / secs.min else 0.0) }
+      name -> isoSpreadByName.getOrElse(name,
+        if (secs.min > 1e-9) (secs.max - secs.min) / secs.min else 0.0) }
     val loads = trials.map { case (name, ts) => name -> ts.map(_._2).max }
     // Locale.ROOT: the f-interpolator uses the JVM default locale, which
     // renders a comma decimal separator (invalid JSON) under e.g. de_DE.

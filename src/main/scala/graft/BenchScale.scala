@@ -53,13 +53,16 @@ object BenchScale {
     // winnowing: doc-keyed window min + the sharing join
     "dedup_span_removal", "dedup_winnow")
 
-  /** Second measured decade (VERDICT r9 item 6): the three STEEPEST
-    * keys of the 10x sweep re-measured over a 100x-documents slice, so
-    * their exponents are confirmed once sf0.1's fixed costs stop
-    * dominating. All three read ONLY the documents table, so the 100x
-    * generator writes nothing else. Exponents here are PER DECADE
-    * (log10(t_big/t_small) / 2 over the two decades). */
-  private val keys100 = Seq("dedup_containment", "dedup_ngram_jaccard", "text_tfidf")
+  /** Second measured decade (VERDICT r9 item 6): the STEEPEST keys of
+    * the 10x sweep re-measured over a 100x-documents slice, so their
+    * exponents are confirmed once sf0.1's fixed costs stop dominating.
+    * All read ONLY the documents table, so the 100x generator writes
+    * nothing else. Exponents here are PER DECADE
+    * (log10(t_big/t_small) / 2 over the two decades). dedup_clusters
+    * joined in round 11 (VERDICT r10 item 8) — the iterative CC is the
+    * remaining heavy dedup key without a confirmed second decade. */
+  private val keys100 = Seq("dedup_containment", "dedup_ngram_jaccard",
+    "text_tfidf", "dedup_clusters")
   private val Factor100 = 100
 
   /** 100 isolated documents copies — same isolation scheme as [[gen]]

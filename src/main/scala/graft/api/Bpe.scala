@@ -43,10 +43,22 @@ object Bpe {
   private val US = "\u001F" // symbol-start delimiter (ASCII unit sep)
   private val RS = "\u001E" // symbol-end delimiter (ASCII record sep)
 
+  /** The wrapped-encoding scheme reserves U+001E/U+001F as symbol
+    * delimiters; input text containing either would corrupt symsOf's
+    * split SILENTLY (mis-merged symbols, not an error). Guard every
+    * entry point: a violating document fails the job loudly with this
+    * message instead of breaking the bit-identical-replay guarantee. */
+  private def guardDelims(text: Column): Column =
+    when(text.contains(US) || text.contains(RS),
+      raise_error(lit("BPE input contains a reserved delimiter code " +
+        "point (U+001E/U+001F) — strip control characters before " +
+        "training/encoding (the wrapped-symbol scheme reserves them)")))
+      .otherwise(text)
+
   /** Corpus word-frequency table: whitespace tokens, empties dropped.
     * The ONE corpus-sized aggregation of the whole trainer. */
   def wordFreq(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(split(col(textCol), " ")).as("word"))
+    docs.select(explode(split(guardDelims(col(textCol)), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
@@ -115,7 +127,7 @@ object Bpe {
     * BPE tokens, concatenated in document order. Pure column
     * expressions — flatten/transform/filter — no UDF, no shuffle. */
   def docTokens(text: Column, merges: Seq[BpeMerge]): Column =
-    flatten(transform(filter(split(text, " "), w => w =!= ""),
+    flatten(transform(filter(split(guardDelims(text), " "), w => w =!= ""),
       w => encodeWord(w, merges)))
 
   // ---------- DuckDB oracle generators ----------

@@ -844,6 +844,98 @@ object Dedup {
           greatest(col("m") - (w - 1), lit(1))).as("density"))
   }
 
+  /** VARIABLE-LENGTH shared-run reporting on top of winnowing — the
+    * Lee et al. (2022) suffix-array result (maximal cross-document
+    * duplicated substrings) WITHOUT the suffix array: winnowing
+    * fingerprints ([[winnowFingerprintStats]]) anchor candidate
+    * positions (the guarantee: any shared token run of length
+    * >= w + k - 1 selects the SAME fingerprint at corresponding
+    * positions in both documents — the windows inside the run are
+    * identical, so their rightmost-tie minima align), and each anchor
+    * pair extends OUTWARD along its diagonal by k-gram-hash equality
+    * until the first mismatch — an anchor-local computation over the
+    * two documents' bounded gram arrays, never an all-pairs scan.
+    * Extension recovers the MAXIMAL run containing the anchor, so
+    * filtering to run length >= w + k - 1 makes the result exact (the
+    * guarantee finds every qualifying run; coincidental sub-threshold
+    * fingerprint matches are filtered), hence DuckDB-replayable by the
+    * independent ground-truth formulation (gram join + per-diagonal
+    * gaps-and-islands).
+    *
+    * Output, one row per input document: `max_run` (tokens, the
+    * longest run >= w+k-1 shared with ANY other document; 0 when
+    * none), `n_partners` (distinct other documents sharing such a
+    * run).
+    *
+    * Scale shape: gram explode linear; fingerprint selection doc-keyed
+    * windows; the anchor join is keyed by the 8-byte fingerprint hash
+    * (fan-out bounded by fingerprint sharing — the winnow density
+    * 2/(w+1) sample, NOT every window); extension is two doc-keyed
+    * array joins + one pass over each anchor's diagonal. Redundant
+    * anchors inside one run recompute the same extension and collapse
+    * in the per-doc max — extra bounded work, no correctness risk. */
+  def maxSharedRunStats(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, w: Int): DataFrame = {
+    val minRun = w + k - 1
+    val base = df
+      .withColumn("tk", split(col(textCol), " "))
+      .withColumn("garr", graft.functions.Signatures.md5_prefix(expr(
+        s"transform(sequence(1, greatest(size(tk) - ${k - 1}, 1)), " +
+          s"i -> concat_ws(' ', slice(tk, i, $k)))"), 15))
+      .select(col(idCol), col("garr"))
+    val grams = base.select(col(idCol), posexplode(col("garr")))
+      .select(col(idCol), (col("pos") + 1).as("i"), col("col").as("gh"))
+    // winnow-SELECTED positions: per full window the RIGHTMOST minimum
+    // gram (min over (gh, -i): min hash, then max position) — value AND
+    // position, because the anchor diagonal needs where it was selected
+    val winSel = W.partitionBy(col(idCol)).orderBy(col("i"))
+      .rowsBetween(W.currentRow, w - 1)
+    val sel = grams
+      .withColumn("m", count(lit(1)).over(W.partitionBy(col(idCol))))
+      .withColumn("s", min(struct(col("gh"), (-col("i")).as("ni"))).over(winSel))
+      .filter(col("i") <= greatest(col("m") - (w - 1), lit(1)))
+      .select(col(idCol), col("s.gh").as("fh"), (-col("s.ni")).as("fi"))
+      .distinct()
+    val anchors = sel.select(col(idCol).as("ida"), col("fh"), col("fi").as("ia"))
+      .join(sel.select(col(idCol).as("idb"), col("fh"), col("fi").as("ib")), "fh")
+      .filter(col("ida") < col("idb"))
+      .select("ida", "ia", "idb", "ib").distinct()
+    // diagonal extension over the two gram arrays: first mismatch each
+    // way bounds the maximal run through the anchor. sequence() guards:
+    // Spark's sequence(1, 0) DESCENDS, so empty ranges short-circuit.
+    def firstMismatch(maxCol: String, ga: String, ia: String,
+                      gb: String, ib: String, sign: String): String =
+      s"array_min(filter(transform(" +
+        s"if($maxCol >= 1, sequence(1, $maxCol), array()), j -> " +
+        s"if(element_at($ga, $ia $sign j) = element_at($gb, $ib $sign j), " +
+        s"cast(null as int), j)), x -> x is not null))"
+    val ext = anchors
+      .join(base.select(col(idCol).as("ida"), col("garr").as("ga")), "ida")
+      .join(base.select(col(idCol).as("idb"), col("garr").as("gb")), "idb")
+      .withColumn("maxf", least(size(col("ga")) - col("ia"),
+        size(col("gb")) - col("ib")))
+      .withColumn("maxb", least(col("ia") - 1, col("ib") - 1))
+      .withColumn("fmm", expr(firstMismatch("maxf", "ga", "ia", "gb", "ib", "+")))
+      .withColumn("bmm", expr(firstMismatch("maxb", "ga", "ia", "gb", "ib", "-")))
+      .withColumn("fwd", coalesce(col("fmm") - 1, col("maxf")))
+      .withColumn("bwd", coalesce(col("bmm") - 1, col("maxb")))
+      // (bwd + 1 + fwd) matching grams -> + k - 1 tokens
+      .withColumn("run_tokens", (col("bwd") + col("fwd") + lit(k)).cast("long"))
+      .filter(col("run_tokens") >= minRun)
+      .select(col("ida"), col("idb"), col("run_tokens"))
+    val both = ext.select(col("ida").as("__id"), col("idb").as("partner"),
+        col("run_tokens"))
+      .unionByName(ext.select(col("idb").as("__id"), col("ida").as("partner"),
+        col("run_tokens")))
+    val perDoc = both.groupBy(col("__id"))
+      .agg(max(col("run_tokens")).as("max_run"),
+        countDistinct(col("partner")).as("n_partners"))
+    df.select(col(idCol))
+      .join(perDoc, col(idCol) === col("__id"), "left")
+      .select(col(idCol), coalesce(col("max_run"), lit(0L)).as("max_run"),
+        coalesce(col("n_partners"), lit(0L)).as("n_partners"))
+  }
+
   /** SUBSTRING-level dedup REMOVAL (the Lee et al. 2022 cleanup step
     * that [[duplicatedSpanStats]] only diagnoses): every occurrence of
     * a `w`-token span appearing in >= 2 DISTINCT documents is excised

@@ -43,6 +43,25 @@ case class MrNav(fn: String, variable: String, colName: String, n: Int) {
   * model — so navigation comparisons are numeric. */
 case class MrNavCond(leftCol: String, op: String, nav: MrNav)
 
+/** One AGGREGATE conjunct of a DEFINE predicate (Flink SQL's
+  * `SUM(A.price) < 100` — an aggregate over the rows a pattern
+  * variable has consumed SO FAR in the current attempt, the
+  * IterativeCondition surface), normalized to
+  * `AGG(var.col) <op> <numeric literal>` (a literal-first conjunct is
+  * stored flipped). SQL:2016 evaluates DEFINE aggregates with RUNNING
+  * semantics: when the aggregate's variable IS the step being tested,
+  * the current row is included tentatively. `colName` None is
+  * `COUNT(var.*)`. Values compare as doubles; NULL columns are skipped
+  * by the aggregate (SQL), and an empty scope makes SUM/AVG/MIN/MAX
+  * NULL → comparison false. */
+case class MrAggCond(func: String, variable: String, colName: Option[String],
+                     op: String, rhs: Double) {
+  require(Set("COUNT", "SUM", "AVG", "MIN", "MAX")(func),
+    s"unknown DEFINE aggregate $func")
+  require(colName.nonEmpty || func == "COUNT",
+    s"DEFINE $func($variable.*): only COUNT takes *")
+}
+
 /** One prepared input row of the navigation executor
   * ([[MatchRecognize.run]] on a nav-bearing spec): the per-step
   * CONTEXT-FREE predicate results (`cf`, evaluated by Catalyst before
@@ -50,12 +69,19 @@ case class MrNavCond(leftCol: String, op: String, nav: MrNav)
   * navigation columns as doubles (`nv`, null → NaN → comparison false,
   * SQL's unknown). */
 private[graft] case class MrIterRow(k: Long, ts: java.sql.Timestamp, ord: Long,
-                                    cf: Seq[Boolean], nv: Seq[Double])
+                                    cf: Seq[Boolean], nv: Seq[Double],
+                                    vl: Double)
 
 /** One resolved navigation condition of the executor: positions into
   * [[MrIterRow]].nv plus the navigated step's pattern index. */
 private[graft] case class MrNavExec(leftIdx: Int, op: String, fn: String,
                                     navStepIdx: Int, navColIdx: Int, n: Int)
+
+/** One resolved aggregate condition of the executor: the scoped
+  * step's pattern index, the aggregated column's position into
+  * [[MrIterRow]].nv (-1 = COUNT(var.*)), and the comparison. */
+private[graft] case class MrAggExec(func: String, aggStepIdx: Int,
+                                    colIdx: Int, op: String, rhs: Double)
 
 /** A MEASURES entry resolved by the GENERAL measures routes (beyond
   * the single compiled `SUM(col) AS step_sums` form):
@@ -93,6 +119,18 @@ case class MrAggMeasure(func: String, variable: Option[String],
   require(n >= 0, s"negative measure offset $n")
 }
 
+/** A measure pre-resolved for the SEAL-AWARE STREAMING matcher
+  * (StreamOps.cepPatternMeasures): plain serializable data the
+  * executor evaluates per sealed match at emission.
+  *  - `func`: COUNT/SUM/AVG/MIN/MAX/FIRST/LAST over the event `value`
+  *    (the CEP event model's one numeric column), or MATCH_NUMBER /
+  *    CLASSIFIER.
+  *  - `scopeSteps`: the ORIGINAL-step indices the scope covers (a
+  *    variable or SUBSET union), None = every consumed row.
+  *  - `n`: the FIRST/LAST logical-navigation offset. */
+case class MrStreamMeasure(func: String, scopeSteps: Option[Set[Int]],
+                           alias: String, n: Int = 0)
+
 /** A parsed MATCH_RECOGNIZE clause, resolved against this library's
   * CEP model ([[CepPattern]]/[[CepCondPattern]]).
   *
@@ -110,12 +148,18 @@ case class MrSpec(partitionBy: Seq[String], orderBy: Seq[String],
                   elems: Seq[MrElem], defines: Seq[(String, String)],
                   strict: Boolean, fromTable: Option[String],
                   navConds: Map[String, Seq[MrNavCond]] = Map.empty,
-                  subsets: Seq[(String, Seq[String])] = Nil) {
+                  subsets: Seq[(String, Seq[String])] = Nil,
+                  aggConds: Map[String, Seq[MrAggCond]] = Map.empty) {
 
   private[graft] def defMap = defines.toMap
 
   /** The defined elements, in pattern order — the steps. */
   def stepElems: Seq[MrElem] = elems.filterNot(_.isGap)
+
+  /** Does the spec need the per-key ITERATIVE matcher — a DEFINE whose
+    * predicate is match-relative (navigation) or attempt-relative
+    * (aggregate condition)? Such specs have no compiled symbolic form. */
+  def isIterative: Boolean = navConds.nonEmpty || aggConds.nonEmpty
 
   /** Does the pattern carry an alternation group `(a | b)`? Such a
     * spec executes as the UNION of its expanded branches. */
@@ -139,7 +183,8 @@ case class MrSpec(partitionBy: Seq[String], orderBy: Seq[String],
     choices.map { es =>
       val usedVars = es.filterNot(_.isGap).map(_.variable).toSet
       copy(elems = es, defines = defines.filter(d => usedVars(d._1)),
-        navConds = navConds.filter(c => usedVars(c._1)))
+        navConds = navConds.filter(c => usedVars(c._1)),
+        aggConds = aggConds.filter(c => usedVars(c._1)))
     }
   }
 
@@ -148,7 +193,7 @@ case class MrSpec(partitionBy: Seq[String], orderBy: Seq[String],
     * [[CepPattern]] over the literals). Otherwise None → [[toCond]].
     */
   def toSymbolic: Option[(String, CepPattern)] = {
-    if (navConds.nonEmpty) return None // nav DEFINEs are match-relative
+    if (isIterative) return None // nav/agg DEFINEs are match-relative
     require(!hasAlternation,
       "an alternation pattern has no single compiled form — " +
         "MatchRecognize.run expands it to per-branch patterns " +
@@ -182,10 +227,11 @@ case class MrSpec(partitionBy: Seq[String], orderBy: Seq[String],
       "an alternation pattern has no single compiled form — " +
         "MatchRecognize.run expands it to per-branch patterns " +
         "(expandBranches) and unions them")
-    require(navConds.isEmpty,
-      "DEFINE navigation (PREV/FIRST/LAST) is match-relative — no " +
-        "derived-symbol CASE can express it; MatchRecognize.run routes " +
-        "such specs to the per-key iterative matcher automatically")
+    require(!isIterative,
+      "DEFINE navigation (PREV/FIRST/LAST) and aggregate conditions " +
+        "are match-relative — no derived-symbol CASE can express them; " +
+        "MatchRecognize.run routes such specs to the per-key iterative " +
+        "matcher automatically")
     CepCondPattern(
       stepElems.map(e => CepCondStep(e.variable, defMap(e.variable),
         e.minRep, e.maxRep, e.negated, e.greedy)),
@@ -224,7 +270,12 @@ case class MrSpec(partitionBy: Seq[String], orderBy: Seq[String],
       """(COUNT|SUM|AVG|MIN|MAX|FIRST|LAST)\s*\(\s*""" +
       """(?:([A-Za-z_]\w*)\s*\.\s*)?([A-Za-z_]\w*|\*)""" +
       """(?:\s*,\s*(\d+))?\s*\)\s*$""").r
-    val stepVars = stepElems.map(_.variable).toSet ++ subsets.map(_._1)
+    // alternation alternatives are scopable too — a measure over `c`
+    // in PATTERN (s (c | v) p) ranges over rows the winning branch's
+    // c step consumed (null when the v branch won)
+    val stepVars = stepElems.flatMap(e =>
+      if (e.altVars.nonEmpty) e.altVars else Seq(e.variable)).toSet ++
+      subsets.map(_._1)
     measures.map { m =>
       m.exprSql match {
         case MatchNum() => MrMatchNumber(m.alias)
@@ -309,8 +360,22 @@ case class MrSpec(partitionBy: Seq[String], orderBy: Seq[String],
   * `(a | b)` over single DEFINEd variables (executed as the union of
   * expanded branches with leftmost-branch anchor dedup, SKIP TO NEXT
   * ROW only — see [[runAlternation]]; Flink SQL rejects alternation
-  * entirely). Not supported, by documented design: SQL exclusion
-  * syntax `{- -}`, `SUBSET`, top-level sequence alternation, and
+  * entirely).
+  *
+  * COMPOSITION (round 11): the three match-relative DEFINE surfaces —
+  * navigation (`PREV`/`FIRST`/`LAST`), aggregate conditions
+  * (`SUM(A.price) <= 100`, Flink's IterativeCondition), and
+  * alternation — each compose with general MEASURES and with ALL ROWS
+  * PER MATCH: every route produces the SAME consumed-row projection
+  * (symbolic → [[consumedRows]], iterative → [[runIterConsumed]],
+  * alternation → [[alternationConsumed]]) and the measures executors
+  * run over whichever one the spec needs. The only excluded cross:
+  * the compiled `SUM(col) AS step_sums` shape on the iterative /
+  * alternation routes (its per-step semantics belong to the compiled
+  * plan — rejected with the general-measures alternative named).
+  *
+  * Not supported, by documented design: SQL exclusion
+  * syntax `{- -}`, top-level sequence alternation, and
   * `followedByAny` (no SQL surface exists). [[render]] is the inverse
   * — it emits canonical
   * clause text from a DSL pattern, and round-tripping is
@@ -646,6 +711,7 @@ object MatchRecognize {
     // context-free part
     val defines = Vector.newBuilder[(String, String)]
     val navByVar = Map.newBuilder[String, Seq[MrNavCond]]
+    val aggByVar = Map.newBuilder[String, Seq[MrAggCond]]
     if (at("DEFINE")) {
       p += 1
       var more = true
@@ -660,9 +726,10 @@ object MatchRecognize {
           p += 1
         }
         require(p > st, s"empty DEFINE predicate for $v")
-        val (cfSql, navs) = splitNavDefine(src, ts.slice(st, p))
+        val (cfSql, navs, aggs) = splitNavDefine(src, ts.slice(st, p))
         defines += ((v, cfSql))
         if (navs.nonEmpty) navByVar += ((v, navs))
+        if (aggs.nonEmpty) aggByVar += ((v, aggs))
         if (peek.exists(_.text == ",")) p += 1 else more = false
       }
     }
@@ -671,26 +738,49 @@ object MatchRecognize {
 
     finish(partition.result(), order.result(), measures.result(), allRows,
       skip, within, elems.result(), defines.result(), fromTable,
-      navByVar.result(), subsets.result())
+      navByVar.result(), subsets.result(), aggByVar.result())
   }
 
   private val NavFns = Set("PREV", "FIRST", "LAST")
+  private val AggFns = Set("COUNT", "SUM", "AVG", "MIN", "MAX")
 
   /** Split a DEFINE predicate into its context-free SQL (var prefixes
-    * stripped, kept verbatim when no navigation is present) and its
-    * parsed navigation conjuncts. The supported navigation surface is a
-    * top-level AND of conjuncts, each either navigation-free SQL or
-    * exactly `[var.]col <op> NAV(var.col [, n])` (either side — a
-    * nav-first conjunct stores the flipped comparison). A navigation
-    * call nested anywhere else is rejected with this grammar spelled
-    * out. A nav-only DEFINE gets context-free part `TRUE`. */
-  private def splitNavDefine(src: String,
-                             toks: Vector[Tok]): (String, Seq[MrNavCond]) = {
-    def isNavCall(p: Vector[Tok], i: Int): Boolean =
-      p(i).isInstanceOf[TId] && NavFns(p(i).text.toUpperCase) &&
+    * stripped, kept verbatim when no navigation/aggregate is present),
+    * its parsed navigation conjuncts, and its parsed AGGREGATE
+    * conjuncts (Flink's IterativeCondition surface, `SUM(A.price) <
+    * 100`). The supported match-relative surface is a top-level AND of
+    * conjuncts, each either plain SQL, exactly
+    * `[var.]col <op> NAV(var.col [, n])`, or exactly
+    * `AGG(var.col | var.*) <op> <number>` (either side — a call-first
+    * conjunct stores the flipped comparison). A navigation/aggregate
+    * call nested anywhere else is rejected with the grammar spelled
+    * out. A DEFINE with only such conjuncts gets context-free part
+    * `TRUE`. */
+  private def splitNavDefine(
+      src: String,
+      toks: Vector[Tok]): (String, Seq[MrNavCond], Seq[MrAggCond]) = {
+    def isCall(fns: Set[String])(p: Vector[Tok], i: Int): Boolean =
+      p(i).isInstanceOf[TId] && fns(p(i).text.toUpperCase) &&
         i + 1 < p.length && p(i + 1).text == "("
-    if (!toks.indices.exists(isNavCall(toks, _)))
-      return (stripVarPrefixes(src, toks), Nil)
+    val isNavCall = isCall(NavFns) _
+    val isAggCall = isCall(AggFns) _
+    if (!toks.indices.exists(i => isNavCall(toks, i) || isAggCall(toks, i)))
+      return (stripVarPrefixes(src, toks), Nil, Nil)
+    // A top-level OR would make the AND-conjunct split silently
+    // reassociate SQL's precedence (`x OR y AND PREV(v) < 3` is
+    // `x OR (y AND ...)`, not `(x OR y) AND ...`) — reject loudly,
+    // like every other unsupported navigation shape. Parenthesized
+    // ORs inside a navigation-free conjunct stay supported (depth>0).
+    var dOr = 0
+    for (t <- toks) {
+      if (t.text == "(") dOr += 1
+      if (t.text == ")") dOr -= 1
+      if (dOr == 0 && kw(t, "OR")) fail(
+        "top-level OR in a navigation/aggregate-bearing DEFINE is not " +
+          "supported — the match-relative grammar is a top-level AND of " +
+          "conjuncts (parenthesize the OR inside one plain conjunct, " +
+          s"or split the pattern): ${toks.map(_.text).mkString(" ")}")
+    }
     // split on top-level AND
     val parts = Vector.newBuilder[Vector[Tok]]
     var cur = Vector.newBuilder[Tok]
@@ -704,13 +794,93 @@ object MatchRecognize {
     parts += cur.result()
     val all = parts.result()
     all.foreach(c => require(c.nonEmpty, "empty AND conjunct in DEFINE"))
-    val (navParts, cfParts) = all.partition(c => c.indices.exists(isNavCall(c, _)))
-    val navs = navParts.map(parseNavConjunct(_))
+    val navs = Vector.newBuilder[MrNavCond]
+    val aggs = Vector.newBuilder[MrAggCond]
+    val cfParts = Vector.newBuilder[Vector[Tok]]
+    for (c <- all) {
+      val hasNav = c.indices.exists(isNavCall(c, _))
+      val hasAgg = c.indices.exists(isAggCall(c, _))
+      if (hasNav && hasAgg) fail(
+        "a DEFINE conjunct mixing navigation and an aggregate call is " +
+          "not supported — split it into separate AND conjuncts: " +
+          c.map(_.text).mkString(" "))
+      if (hasNav) navs += parseNavConjunct(c)
+      else if (hasAgg) aggs += parseAggConjunct(c)
+      else cfParts += c
+    }
+    val cfs = cfParts.result()
     val cf =
-      if (cfParts.isEmpty) "TRUE"
-      else if (cfParts.size == 1) stripVarPrefixes(src, cfParts.head)
-      else cfParts.map(c => stripVarPrefixes(src, c)).mkString("(", ") AND (", ")")
-    (cf, navs)
+      if (cfs.isEmpty) "TRUE"
+      else if (cfs.size == 1) stripVarPrefixes(src, cfs.head)
+      else cfs.map(c => stripVarPrefixes(src, c)).mkString("(", ") AND (", ")")
+    (cf, navs.result(), aggs.result())
+  }
+
+  /** Parse one aggregate conjunct — grammar in [[splitNavDefine]]. */
+  private def parseAggConjunct(toks: Vector[Tok]): MrAggCond = {
+    val grammar = "supported DEFINE aggregate conjunct grammar is " +
+      "exactly `COUNT|SUM|AVG|MIN|MAX(var.col | var.*) <op> <number>` " +
+      s"(either side) under a top-level AND; got: ${toks.map(_.text).mkString(" ")}"
+    var i = 0
+    def more = i < toks.length
+    def ident(): String = toks(i) match {
+      case TId(t, _, _) => i += 1; t
+      case _ => fail(grammar)
+    }
+    def op(): String = {
+      require(more && toks(i).isInstanceOf[TSym], grammar)
+      val a = toks(i).text; i += 1
+      val b = if (more && toks(i).isInstanceOf[TSym]) toks(i).text else ""
+      (a, b) match {
+        case ("<", "=") => i += 1; "<="
+        case (">", "=") => i += 1; ">="
+        case ("!", "=") => i += 1; "!="
+        case ("<", ">") => i += 1; "!="
+        case ("=", _) => "="
+        case ("<", _) => "<"
+        case (">", _) => ">"
+        case _ => fail(grammar)
+      }
+    }
+    def num(): Double = {
+      val neg = more && toks(i).text == "-"
+      if (neg) i += 1
+      require(more, grammar)
+      toks(i) match {
+        case TNum(t, _, _) => i += 1; val v = t.toDouble; if (neg) -v else v
+        case _ => fail(grammar)
+      }
+    }
+    def aggCall(): (String, String, Option[String]) = {
+      val fn = ident().toUpperCase
+      require(AggFns(fn), grammar)
+      require(more && toks(i).text == "(", grammar); i += 1
+      val v = ident()
+      require(more && toks(i).text == ".", grammar); i += 1
+      val c = if (more && toks(i).text == "*") { i += 1; None }
+              else Some(ident())
+      require(more && toks(i).text == ")", grammar); i += 1
+      (fn, v, c)
+    }
+    def flip(o: String): String = o match {
+      case "<" => ">"
+      case ">" => "<"
+      case "<=" => ">="
+      case ">=" => "<="
+      case other => other
+    }
+    val callFirst = toks.head.isInstanceOf[TId] &&
+      AggFns(toks.head.text.toUpperCase) &&
+      toks.length > 1 && toks(1).text == "("
+    val out =
+      if (callFirst) {
+        val (fn, v, c) = aggCall(); val o = op(); MrAggCond(fn, v, c, o, num())
+      } else {
+        val n = num(); val o = op(); val (fn, v, c) = aggCall()
+        MrAggCond(fn, v, c, flip(o), n)
+      }
+    require(i == toks.length, grammar)
+    out
   }
 
   /** Parse one navigation conjunct — see [[splitNavDefine]] for the
@@ -806,7 +976,8 @@ object MatchRecognize {
                      defines: Seq[(String, String)],
                      fromTable: Option[String],
                      navConds: Map[String, Seq[MrNavCond]] = Map.empty,
-                     subsets: Seq[(String, Seq[String])] = Nil): MrSpec = {
+                     subsets: Seq[(String, Seq[String])] = Nil,
+                     aggConds: Map[String, Seq[MrAggCond]] = Map.empty): MrSpec = {
     val dupDefs = defines.map(_._1).groupBy(identity).collect {
       case (v, occ) if occ.size > 1 => v
     }
@@ -885,6 +1056,15 @@ object MatchRecognize {
       require(used(nc.nav.variable),
         s"DEFINE $onVar navigates ${nc.nav.fn}(${nc.nav.variable}.…) but " +
           s"'${nc.nav.variable}' is not a defined pattern step")
+    // aggregate-condition scopes must be DEFINEd pattern steps too (a
+    // gap consumes rows no condition should aggregate over)
+    for ((onVar, acs) <- aggConds; ac <- acs)
+      require(used(ac.variable),
+        s"DEFINE $onVar aggregates ${ac.func}(${ac.variable}.…) but " +
+          s"'${ac.variable}' is not a defined pattern step")
+    require(aggConds.isEmpty || elems.forall(_.altVars.isEmpty),
+      "aggregate conditions in DEFINE combined with alternation are " +
+        "not supported — expand the branches by hand")
     // SUBSET union variables: names distinct and disjoint from the
     // DEFINEd variables, members DEFINEd pattern steps (a gap consumes
     // rows no scope should see; duplicates would double-scope)
@@ -900,7 +1080,7 @@ object MatchRecognize {
         s"SUBSET $n member '$m' is not a defined pattern step")
     }
     MrSpec(partition, order, measures, allRows, skip, within,
-      tagged, defines, strict, fromTable, navConds, subsets)
+      tagged, defines, strict, fromTable, navConds, subsets, aggConds)
   }
 
   // ---------- executor ----------
@@ -921,13 +1101,29 @@ object MatchRecognize {
         s"tiebreak column (e.g. `ORDER BY ts, event_id`), got ${spec.orderBy}")
     val (key, tsC, ordC) = (spec.partitionBy.head, spec.orderBy(0), spec.orderBy(1))
     if (spec.hasAlternation) return runAlternation(df, spec, key, tsC, ordC)
-    if (spec.navConds.nonEmpty) {
-      require(!spec.allRows, "ALL ROWS PER MATCH with DEFINE navigation " +
-        "is not supported (the row-level executor is symbolic) — use ONE " +
-        "ROW PER MATCH, or the DSL (Cep.matchSequenceIter) for row output")
-      require(spec.measures.isEmpty, "MEASURES with DEFINE navigation is " +
-        "not supported — project aggregates from the DSL " +
-        "(Cep.matchSequenceMeasures) instead")
+    if (spec.isIterative) {
+      // nav/agg DEFINEs run on the per-key iterative matcher; its
+      // consumed-row projection ([[runIterConsumed]]) feeds the SAME
+      // general MEASURES executors as the symbolic route, so MEASURES /
+      // ALL ROWS PER MATCH compose with navigation and aggregate
+      // conditions instead of being rejected.
+      if (spec.measures.nonEmpty) {
+        require(spec.measuresValCol.isEmpty,
+          "`SUM(col) AS step_sums` is the compiled PER-STEP summary — " +
+            "the iterative route's general MEASURES aggregate the whole " +
+            "match (alias differently, e.g. SUM(value) AS total_v, or " +
+            "scope per variable: SUM(a.value) AS a_sum)")
+        val resolved = spec.resolveMeasures
+        val consumed = runIterConsumed(df, spec, key, tsC, ordC)
+        return if (spec.allRows)
+                 runAllRowsMeasures(df, spec, resolved, key, tsC, ordC, consumed)
+               else runMeasures(df, spec, resolved, key, tsC, ordC, consumed)
+      }
+      if (spec.allRows)
+        return runIterConsumed(df, spec, key, tsC, ordC)
+          .withColumnRenamed("user_id", key)
+          .withColumnRenamed("event_id", ordC)
+          .withColumnRenamed("ts", tsC)
       return runIter(df, spec, key, tsC, ordC)
     }
     // GENERAL MEASURES route: any MEASURES clause beyond the compiled
@@ -939,8 +1135,10 @@ object MatchRecognize {
     // frames) — see [[runMeasures]] / [[runAllRowsMeasures]].
     if (spec.measures.nonEmpty && (spec.allRows || spec.measuresValCol.isEmpty)) {
       val resolved = spec.resolveMeasures
-      return if (spec.allRows) runAllRowsMeasures(df, spec, resolved, key, tsC, ordC)
-             else runMeasures(df, spec, resolved, key, tsC, ordC)
+      val consumed = consumedRows(df, spec, key, tsC, ordC)
+      return if (spec.allRows)
+               runAllRowsMeasures(df, spec, resolved, key, tsC, ordC, consumed)
+             else runMeasures(df, spec, resolved, key, tsC, ordC, consumed)
     }
     if (spec.allRows) return runAllRows(df, spec, key, tsC, ordC)
     (spec.toSymbolic, spec.measuresValCol) match {
@@ -1103,7 +1301,8 @@ object MatchRecognize {
     * nothing global, nothing driver-side. */
   private def runMeasures(df: DataFrame, spec: MrSpec,
                           resolved: Seq[MrResolvedMeasure], key: String,
-                          tsC: String, ordC: String): DataFrame = {
+                          tsC: String, ordC: String,
+                          consumedRaw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     // reserve the output names AND the internal projection names — a
     // MATCH_NUMBER alias of e.g. "user_id" would otherwise overwrite
@@ -1111,9 +1310,7 @@ object MatchRecognize {
     val meta = Seq(key, "user_id", "start_id", "start_ts", "end_id",
       "end_ts", "n_rows", "pos", "event_id", "ts", "step", "value")
     checkMeasureAliases(resolved, meta)
-    val consumed =
-      joinMeasuredCols(df, consumedRows(df, spec, key, tsC, ordC),
-        resolved, key, tsC, ordC)
+    val consumed = joinMeasuredCols(df, consumedRaw, resolved, key, tsC, ordC)
     def scoped(v: Option[String], c: Column): Column = scopedCol(spec, v, c)
     val aggs = resolved.collect {
       case MrClassifier(a) =>
@@ -1179,14 +1376,13 @@ object MatchRecognize {
     * step, value) plus one column per measure. */
   private def runAllRowsMeasures(df: DataFrame, spec: MrSpec,
                                  resolved: Seq[MrResolvedMeasure], key: String,
-                                 tsC: String, ordC: String): DataFrame = {
+                                 tsC: String, ordC: String,
+                                 consumedRaw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     val base = Seq(key, "start_id", "end_id", "pos", ordC, tsC, "step", "value")
     checkMeasureAliases(resolved, base)
-    val consumed =
-      joinMeasuredCols(df, consumedRows(df, spec, key, tsC, ordC),
-        resolved, key, tsC, ordC)
+    val consumed = joinMeasuredCols(df, consumedRaw, resolved, key, tsC, ordC)
     // the ALL ROWS output carries the joined measured columns too — an
     // alias equal to one would silently overwrite it via withColumn
     checkMeasureAliases(resolved, consumed.columns.toSeq)
@@ -1216,10 +1412,19 @@ object MatchRecognize {
           case "AVG" => avg(scoped(m.variable, cRef.get)).over(w)
           case "MIN" => min(scoped(m.variable, cRef.get)).over(w)
           case "MAX" => max(scoped(m.variable, cRef.get)).over(w)
+          // FIRST/LAST: scope via a (pos, value) sentinel struct and
+          // take the value field of the frame's min/max scoped pos —
+          // out-of-scope rows are skipped (their struct is null) but an
+          // in-scope row whose measured value is NULL is returned as
+          // that null, matching SQL:2016 and the ONE ROW route's
+          // min_by/max_by (ignore-nulls first/last over the scoped
+          // column would skip in-scope nulls instead).
           case "FIRST" if m.n == 0 =>
-            first(scoped(m.variable, cRef.get), ignoreNulls = true).over(w)
+            min(scoped(m.variable, struct(col("pos").as("p"),
+              cRef.get.as("v")))).over(w).getField("v")
           case "LAST" if m.n == 0 =>
-            last(scoped(m.variable, cRef.get), ignoreNulls = true).over(w)
+            max(scoped(m.variable, struct(col("pos").as("p"),
+              cRef.get.as("v")))).over(w).getField("v")
           // offset form over the frame (RUNNING: rows so far; FINAL:
           // the whole match): sorted (pos, value) array of the scope's
           // frame rows, `get` null on out-of-range
@@ -1238,6 +1443,66 @@ object MatchRecognize {
       .withColumnRenamed("ts", tsC)
   }
 
+  /** Resolve a parsed spec's MEASURES for the SEAL-AWARE STREAMING
+    * matcher (StreamOps.cepPatternMeasures — general measures computed
+    * at each sealed match's emission, so the aggregates flow
+    * incrementally instead of needing a second stateful stage). The
+    * streaming surface is the STRICT symbolic subset: a strict match's
+    * consumed rows are exactly its span, so the sealed match +
+    * step_counts determine every scope without a re-walk; measures
+    * aggregate the event `value` column (the CEP event model). Every
+    * violation rejects loudly with the batch alternative named. */
+  def streamMeasures(spec: MrSpec): Seq[MrStreamMeasure] = {
+    require(!spec.allRows,
+      "streaming general MEASURES are ONE ROW PER MATCH (per-match " +
+        "emission); use the batch route for ALL ROWS")
+    require(!spec.hasAlternation && !spec.isIterative,
+      "streaming general MEASURES cover plain strict patterns — " +
+        "alternation / navigation / aggregate conditions run on the " +
+        "batch routes")
+    require(spec.strict,
+      "streaming general MEASURES need STRICT contiguity (the sealed " +
+        "match's consumed rows are exactly its span); relaxed patterns " +
+        "run on the batch route")
+    require(spec.stepElems.forall(!_.negated),
+      "streaming general MEASURES do not cover negated steps")
+    val stepIdxByVar = spec.stepElems.map(_.variable).zipWithIndex.toMap
+    spec.resolveMeasures.map {
+      case MrMatchNumber(a) => MrStreamMeasure("MATCH_NUMBER", None, a)
+      case MrClassifier(a) => MrStreamMeasure("CLASSIFIER", None, a)
+      case m: MrAggMeasure =>
+        require(m.colName.forall(_ == "value"),
+          s"streaming MEASURES aggregate the event `value` column only " +
+            s"(the CEP event model), got ${m.func}(${m.colName.get}) — " +
+            "use the batch route for other columns")
+        val scope = m.variable.map(v =>
+          spec.scopeMembers(v).map(stepIdxByVar).toSet)
+        MrStreamMeasure(m.func, scope, m.alias, m.n)
+    }
+  }
+
+  /** Project the streaming measures matcher's generic emission
+    * (longs/nums/strs maps) to the declared column-per-measure schema —
+    * the same output shape as [[runMeasures]]: key, start_id, start_ts,
+    * end_id, end_ts, n_rows, then one typed column per measure in
+    * declared order (COUNT/MATCH_NUMBER long, value aggregates double,
+    * CLASSIFIER string; an absent map key — e.g. an out-of-range
+    * FIRST/LAST offset — selects as SQL null). */
+  def streamMeasuresSelect(df: DataFrame, spec: MrSpec,
+                           key: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val cols = streamMeasures(spec).map { m =>
+      val src = m.func match {
+        case "MATCH_NUMBER" | "COUNT" => col("longs")
+        case "CLASSIFIER" => col("strs")
+        case _ => col("nums")
+      }
+      src.getItem(m.alias).as(m.alias)
+    }
+    df.select(Seq(col("user_id").as(key), col("start_id"), col("start_ts"),
+      col("end_id"), col("end_ts"), col("n_rows")) ++ cols: _*)
+  }
+
   /** Bounded alternation `(a | b)` execution: the UNION of the
     * expanded per-branch compiled plans ([[MrSpec.expandBranches]] —
     * each branch is an ordinary single-variable pattern planned by the
@@ -1254,12 +1519,28 @@ object MatchRecognize {
     require(spec.navConds.isEmpty,
       "alternation with DEFINE navigation is not supported — expand the " +
         "branches by hand (Cep.matchSequenceIter per branch)")
-    require(spec.measures.isEmpty,
-      "alternation with MEASURES is not supported — branch step_sums " +
-        "have no single cross-branch alignment; project per-branch")
-    require(!spec.allRows,
-      "ALL ROWS PER MATCH with alternation is not supported — run the " +
-        "branches separately (each is an ordinary pattern)")
+    // MEASURES / ALL ROWS PER MATCH compose with alternation through
+    // the consumed-row projection: per-branch consumed rows, the same
+    // leftmost-branch anchor dedup as the match-level union
+    // ([[alternationConsumed]]), then the SAME general MEASURES
+    // executors as every other route.
+    if (spec.measures.nonEmpty) {
+      require(spec.measuresValCol.isEmpty,
+        "alternation with the compiled `SUM(col) AS step_sums` MEASURES " +
+          "is not supported — branch step_sums have no single " +
+          "cross-branch alignment; use general measures (e.g. " +
+          "SUM(value) AS total_v, SUM(c.value) AS c_sum) instead")
+      val resolved = spec.resolveMeasures
+      val consumed = alternationConsumed(df, spec, key, tsC, ordC)
+      return if (spec.allRows)
+               runAllRowsMeasures(df, spec, resolved, key, tsC, ordC, consumed)
+             else runMeasures(df, spec, resolved, key, tsC, ordC, consumed)
+    }
+    if (spec.allRows)
+      return alternationConsumed(df, spec, key, tsC, ordC)
+        .withColumnRenamed("user_id", key)
+        .withColumnRenamed("event_id", ordC)
+        .withColumnRenamed("ts", tsC)
     val parts = spec.expandBranches.zipWithIndex.map { case (b, i) =>
       val r = b.toSymbolic match {
         case Some((symCol, pat)) => Cep.compile(df, key, tsC, ordC, symCol, pat)
@@ -1273,6 +1554,27 @@ object MatchRecognize {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__br", "__rn")
+  }
+
+  /** Per-branch consumed rows, unioned and deduplicated per anchor by
+    * LEFTMOST BRANCH PREFERENCE — the same rule as the match-level
+    * union, applied to whole matches: every row of the winning
+    * branch's match survives, every row of a losing branch's match at
+    * the same anchor drops. Exact under SKIP TO NEXT ROW (one match
+    * per anchor per branch). The dedup window is key+anchor
+    * partitioned — nothing global. */
+  private def alternationConsumed(df: DataFrame, spec: MrSpec, key: String,
+                                  tsC: String, ordC: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, min}
+    val parts = spec.expandBranches.zipWithIndex.map { case (b, i) =>
+      consumedRows(df, b, key, tsC, ordC).withColumn("__br", lit(i))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("start_id"))
+    parts.reduce(_.unionByName(_))
+      .withColumn("__minbr", min(col("__br")).over(w))
+      .filter(col("__br") === col("__minbr"))
+      .drop("__br", "__minbr")
   }
 
   private def tsUs(t: java.sql.Timestamp): Long =
@@ -1294,8 +1596,29 @@ object MatchRecognize {
     * start_id/start_ts, end_id/end_ts, n_rows, step_counts). A
     * navigation to a row that does not (yet) exist is false; navigation
     * columns compare as doubles (null → NaN → false). */
-  private def runIter(df: DataFrame, spec: MrSpec, key: String,
-                      tsC: String, ordC: String): DataFrame = {
+  /** The iterative matcher's shared preparation: the Catalyst-side
+    * input projection (context-free bits codegen'd BEFORE the shuffle,
+    * nav/agg columns as doubles, the event's `value` for row-level
+    * output), the compiled pattern, and a per-key step-satisfaction
+    * oracle builder closing over the sorted event array. */
+  private case class IterPrep(pat: CepPattern,
+                              rows: org.apache.spark.sql.Dataset[MrIterRow],
+                              satFor: IndexedSeq[MrIterRow] => Cep.CepSat,
+                              stepNames: IndexedSeq[String])
+
+  private def cmpD(op: String, l: Double, r: Double): Boolean =
+    if (l.isNaN || r.isNaN) false
+    else op match {
+      case "=" => l == r
+      case "!=" => l != r
+      case "<" => l < r
+      case ">" => l > r
+      case "<=" => l <= r
+      case _ => l >= r
+    }
+
+  private def iterPrep(df: DataFrame, spec: MrSpec, key: String,
+                       tsC: String, ordC: String): IterPrep = {
     import org.apache.spark.sql.functions.{array, coalesce, col, expr, lit}
     val sp = df.sparkSession
     import sp.implicits._
@@ -1304,8 +1627,9 @@ object MatchRecognize {
     val pat = CepPattern(
       steps.map(e => CepStep(e.variable, e.minRep, e.maxRep, e.negated, e.greedy)),
       spec.withinMinutes, spec.skip, spec.strict)
-    val navCols = spec.navConds.values.flatten.toSeq
-      .flatMap(nc => Seq(nc.leftCol, nc.nav.colName)).distinct
+    val navCols = (spec.navConds.values.flatten.toSeq
+        .flatMap(nc => Seq(nc.leftCol, nc.nav.colName)) ++
+      spec.aggConds.values.flatten.toSeq.flatMap(_.colName)).distinct
     val colIdx = navCols.zipWithIndex.toMap
     val stepIdxByVar = steps.map(_.variable).zipWithIndex.toMap
     val stepNavs: IndexedSeq[IndexedSeq[MrNavExec]] = steps.map(e =>
@@ -1313,48 +1637,123 @@ object MatchRecognize {
         MrNavExec(colIdx(nc.leftCol), nc.op, nc.nav.fn,
           stepIdxByVar(nc.nav.variable), colIdx(nc.nav.colName),
           nc.nav.n)).toIndexedSeq).toIndexedSeq
+    val stepAggs: IndexedSeq[IndexedSeq[MrAggExec]] = steps.map(e =>
+      spec.aggConds.getOrElse(e.variable, Nil).map(ac =>
+        MrAggExec(ac.func, stepIdxByVar(ac.variable),
+          ac.colName.map(colIdx).getOrElse(-1), ac.op,
+          ac.rhs)).toIndexedSeq).toIndexedSeq
     val cfArr = array(steps.map(e =>
       coalesce(expr(defMap(e.variable)).cast("boolean"), lit(false))): _*)
     val nvArr = array(navCols.map(c =>
       coalesce(col(c).cast("double"), lit(Double.NaN))): _*)
+    val valueCol =
+      if (df.columns.contains("value")) coalesce(col("value").cast("double"), lit(0.0))
+      else lit(0.0)
     val rows = df.select(col(key).cast("long").as("k"), col(tsC).as("ts"),
-        col(ordC).cast("long").as("ord"), cfArr.as("cf"), nvArr.as("nv"))
+        col(ordC).cast("long").as("ord"), cfArr.as("cf"), nvArr.as("nv"),
+        valueCol.as("vl"))
       .as[MrIterRow]
-    def cmp(op: String, l: Double, r: Double): Boolean =
-      if (l.isNaN || r.isNaN) false
-      else op match {
-        case "=" => l == r
-        case "!=" => l != r
-        case "<" => l < r
-        case ">" => l > r
-        case "<=" => l <= r
-        case _ => l >= r
+    def satFor(evs: IndexedSeq[MrIterRow]): Cep.CepSat = (si, ei, ctx) =>
+      evs(ei).cf(si) && stepNavs(si).forall { ne =>
+        val left = evs(ei).nv(ne.leftIdx)
+        val right: Double = ne.fn match {
+          case "PREV" =>
+            if (ei - ne.n >= 0) evs(ei - ne.n).nv(ne.navColIdx) else Double.NaN
+          case "FIRST" =>
+            val c = ctx(ne.navStepIdx)
+            if (c.size > ne.n) evs(c(ne.n)).nv(ne.navColIdx) else Double.NaN
+          case _ => // LAST
+            val c = ctx(ne.navStepIdx)
+            if (c.size > ne.n) evs(c(c.size - 1 - ne.n)).nv(ne.navColIdx)
+            else Double.NaN
+        }
+        cmpD(ne.op, left, right)
+      } && stepAggs(si).forall { ae =>
+        // SQL:2016 RUNNING semantics: the aggregate ranges over the rows
+        // the scoped variable has consumed SO FAR in this attempt, plus
+        // the current row when it is being tested FOR that variable
+        // (Flink IterativeCondition + the current event). NULL column
+        // values (NaN here) are skipped; an empty scope makes
+        // SUM/AVG/MIN/MAX NULL → comparison false.
+        val sofar = ctx(ae.aggStepIdx)
+        val withCur = ae.aggStepIdx == si
+        val lhs: Double =
+          if (ae.colIdx < 0) { // COUNT(var.*): every scoped row counts
+            sofar.size + (if (withCur) 1 else 0)
+          } else {
+            var n = 0
+            var sum = 0.0
+            var mn = Double.PositiveInfinity
+            var mx = Double.NegativeInfinity
+            def add(v: Double): Unit = if (!v.isNaN) {
+              n += 1; sum += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+            }
+            sofar.foreach(i => add(evs(i).nv(ae.colIdx)))
+            if (withCur) add(evs(ei).nv(ae.colIdx))
+            ae.func match {
+              case "COUNT" => n
+              case _ if n == 0 => Double.NaN // empty scope → SQL null
+              case "SUM" => sum
+              case "AVG" => sum / n
+              case "MIN" => mn
+              case _ => mx
+            }
+          }
+        cmpD(ae.op, lhs, ae.rhs)
       }
-    rows.groupByKey(_.k).flatMapGroups { (user: Long, it: Iterator[MrIterRow]) =>
+    IterPrep(pat, rows, satFor, steps.map(_.variable).toIndexedSeq)
+  }
+
+  private def runIter(df: DataFrame, spec: MrSpec, key: String,
+                      tsC: String, ordC: String): DataFrame = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    val prep = iterPrep(df, spec, key, tsC, ordC)
+    prep.rows.groupByKey(_.k).flatMapGroups { (user: Long, it: Iterator[MrIterRow]) =>
       val evs = it.toIndexedSeq.sortBy(r => (tsUs(r.ts), r.ord))
       val tsArr = evs.map(r => tsUs(r.ts))
-      val sat: Cep.CepSat = (si, ei, ctx) =>
-        evs(ei).cf(si) && stepNavs(si).forall { ne =>
-          val left = evs(ei).nv(ne.leftIdx)
-          val right: Double = ne.fn match {
-            case "PREV" =>
-              if (ei - ne.n >= 0) evs(ei - ne.n).nv(ne.navColIdx) else Double.NaN
-            case "FIRST" =>
-              val c = ctx(ne.navStepIdx)
-              if (c.size > ne.n) evs(c(ne.n)).nv(ne.navColIdx) else Double.NaN
-            case _ => // LAST
-              val c = ctx(ne.navStepIdx)
-              if (c.size > ne.n) evs(c(c.size - 1 - ne.n)).nv(ne.navColIdx)
-              else Double.NaN
-          }
-          cmp(ne.op, left, right)
-        }
-      Cep.matchCore(evs.size, i => tsArr(i), pat, sat).iterator.map { m =>
+      val sat = prep.satFor(evs)
+      Cep.matchCore(evs.size, i => tsArr(i), prep.pat, sat).iterator.map { m =>
         graft.streaming.CepPatMatch(user, evs(m.startIdx).ord, evs(m.startIdx).ts,
           evs(m.endIdx).ord, evs(m.endIdx).ts, m.nRows.toLong,
           m.stepCounts.mkString(","))
       }
     }.toDF().withColumnRenamed("user_id", key)
+  }
+
+  /** The iterative matcher's CONSUMED-ROW projection — the same
+    * columns as [[consumedRows]] (user_id, start_id, end_id, pos,
+    * event_id, ts, step, value), so nav/agg-bearing specs feed the
+    * SAME general MEASURES executors and ALL ROWS output path as the
+    * symbolic route. `pos` follows the cepAllRowsPattern convention:
+    * steps in pattern order, each step's rows in consumption order
+    * (equal to event order — steps consume sequentially). Placement:
+    * one flatMapGroups per key, identical shuffle shape to
+    * [[runIter]]. */
+  private def runIterConsumed(df: DataFrame, spec: MrSpec, key: String,
+                              tsC: String, ordC: String): DataFrame = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    val prep = iterPrep(df, spec, key, tsC, ordC)
+    prep.rows.groupByKey(_.k).flatMapGroups { (user: Long, it: Iterator[MrIterRow]) =>
+      val evs = it.toIndexedSeq.sortBy(r => (tsUs(r.ts), r.ord))
+      val tsArr = evs.map(r => tsUs(r.ts))
+      val sat = prep.satFor(evs)
+      Cep.matchCoreRows(evs.size, i => tsArr(i), prep.pat, sat)
+        .iterator.flatMap { case (m, consumed) =>
+          val startId = evs(m.startIdx).ord
+          val endId = evs(m.endIdx).ord
+          var pos = 0L
+          for (si <- consumed.indices.iterator; i <- consumed(si).iterator) yield {
+            pos += 1
+            val r = evs(i)
+            graft.streaming.CepAllRow(user, startId, endId, pos, r.ord, r.ts,
+              prep.stepNames(si), r.vl)
+          }
+        }
+    }.toDF()
   }
 
   /** The DuckDB replay of [[run]] on the same text — generated from
@@ -1363,11 +1762,12 @@ object MatchRecognize {
     * statement's `FROM` table (default `events`). */
   def oracleFor(sql: String, table: String = ""): String = {
     val spec = parse(sql)
-    require(spec.navConds.isEmpty,
-      "no generated oracle for DEFINE navigation — the predicate is " +
-        "match-relative, so the derivation route cannot express it; " +
-        "hand-formulate the semantics independently (see the " +
-        "event_cep_iterative oracle's row_number-first-successor shape)")
+    require(!spec.isIterative,
+      "no generated oracle for DEFINE navigation / aggregate " +
+        "conditions — the predicate is match-relative, so the " +
+        "derivation route cannot express it; hand-formulate the " +
+        "semantics independently (see the event_cep_iterative oracle's " +
+        "row_number-first-successor shape)")
     require(spec.measures.isEmpty || (!spec.allRows && spec.measuresValCol.nonEmpty),
       "no generated oracle for the general MEASURES route — " +
         "hand-formulate it over an independent consumed-rows rewrite " +

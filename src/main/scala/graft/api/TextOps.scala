@@ -284,6 +284,11 @@ object TextOps {
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_terms"),
         sort_array(collect_list(struct(col("r"), col("cnt")))).as("arr"))
+      // a single-term group has only rank 1 (ln(1)=0), so the slope
+      // denominator n*sx2 - sx² is exactly 0 — the fit is undefined.
+      // Drop such degenerate groups deliberately (the oracle mirrors
+      // this with HAVING count(*) >= 2) instead of emitting NaN rows.
+      .filter(col("n_terms") >= 2)
       .withColumn("sx", expr("aggregate(arr, 0D, (a, e) -> a + ln(e.r))"))
       .withColumn("sy", expr("aggregate(arr, 0D, (a, e) -> a + ln(e.cnt))"))
       .withColumn("sxy", expr("aggregate(arr, 0D, (a, e) -> a + ln(e.r) * ln(e.cnt))"))

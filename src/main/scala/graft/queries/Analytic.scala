@@ -492,6 +492,52 @@ object Analytic {
       MatchRecognize.run(Tables.events(s, d), CepSql.altFunnel)
         .orderBy("user_id", "start_id")),
 
+    // MEASURES × DEFINE navigation (round-10 top-next item): the
+    // FIRST(a.value) iterative pattern WITH a general MEASURES clause —
+    // the per-key matcher's consumed-row projection feeds the same
+    // per-match hash aggregation as the symbolic route. Independent
+    // oracle: the row_number-first-successor chain carrying both rows'
+    // values, aggregated literally (total_v cents-rounded both sides).
+    "event_cep_sql_iter_agg" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.iterAggMeasures)
+        .withColumn("total_v", Det.round2(col("total_v")))
+        .orderBy("user_id", "start_id")),
+
+    // ALL ROWS PER MATCH × DEFINE navigation: the same pattern emitting
+    // each match's two consumed rows (anchor purchase pos 1, higher
+    // successor pos 2) — the other half of the old rejection at the
+    // front door. Oracle: the same first-successor chain exploded to
+    // two rows per match.
+    "event_cep_sql_iter_allrows" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.iterAllRows)
+        .orderBy("user_id", "start_id", "pos")),
+
+    // Aggregate condition in DEFINE from text (Flink IterativeCondition
+    // `SUM(A.price) < 100`): RUNNING value-sum-capped click run then a
+    // purchase, greedy with backtracking. Oracle: explicit lead()
+    // chains replaying the exact left-to-right summation and the
+    // greedy-then-backtrack position choice.
+    "event_cep_sql_defagg" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.defAgg)
+        .orderBy("user_id", "start_id")),
+
+    // Alternation × general MEASURES (round-10 item 2): per-branch
+    // consumed rows, leftmost-branch anchor dedup, ONE aggregation.
+    // Oracle: per-branch first-successor chains carrying consumed
+    // values, same dedup, aggregated literally.
+    "event_cep_sql_alt_agg" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.altAggMeasures)
+        .withColumn("total_v", Det.round2(col("total_v")))
+        .orderBy("user_id", "start_id")),
+
+    // Alternation × ALL ROWS PER MATCH: the winning branch's three
+    // consumed rows per match (signup, click-or-view with the branch
+    // VARIABLE as step, purchase). Oracle: the same deduped match set
+    // exploded to rows.
+    "event_cep_sql_alt_allrows" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.altAllRows)
+        .orderBy("user_id", "start_id", "pos")),
+
     "topk_per_group" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d)
@@ -798,6 +844,100 @@ object Analytic {
         |  DEFINE r AS r.event_type = 'click' AND r.value > PREV(r.value),
         |         p AS p.event_type = 'purchase'
         |)""".stripMargin
+    // MEASURES composed WITH DEFINE navigation (the round-10 top-next
+    // seam): the iterHigher FIRST(a.value) pattern plus a general
+    // MEASURES clause — the iterative matcher's consumed-row projection
+    // feeds the same runMeasures aggregation as the symbolic route.
+    // Matches consume exactly the anchor and successor purchases (gap
+    // rows are skipped, not consumed), so every aggregate ranges over
+    // those two rows.
+    val iterAggMeasures: String =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES MATCH_NUMBER() AS match_no,
+        |           COUNT(*) AS n_consumed,
+        |           SUM(value) AS total_v,
+        |           FIRST(b.value) AS b_value,
+        |           MAX(value) AS max_v,
+        |           CLASSIFIER() AS last_step
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (a g1* b)
+        |  WITHIN INTERVAL '1440' MINUTE
+        |  DEFINE a AS a.event_type = 'purchase',
+        |         b AS b.event_type = 'purchase' AND b.value > FIRST(a.value)
+        |)""".stripMargin
+    // ALL ROWS PER MATCH composed WITH DEFINE navigation (the other
+    // half of the old rejection): the same pattern emitting each
+    // match's two consumed rows through the iterative matcher's
+    // consumed-row projection.
+    val iterAllRows: String =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ALL ROWS PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (a g1* b)
+        |  WITHIN INTERVAL '1440' MINUTE
+        |  DEFINE a AS a.event_type = 'purchase',
+        |         b AS b.event_type = 'purchase' AND b.value > FIRST(a.value)
+        |)""".stripMargin
+    // AGGREGATE condition in DEFINE (Flink SQL's IterativeCondition
+    // surface, `SUM(A.price) < 100`): a click run capped by its own
+    // RUNNING value sum (each acceptance test includes the tentative
+    // current row — SQL:2016 RUNNING semantics), then a purchase.
+    // Bounded repetition keeps the independent oracle expressible as
+    // explicit lead() chains with the engine's exact left-to-right
+    // IEEE summation order.
+    val defAgg: String =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (a{1,4} b)
+        |  DEFINE a AS a.event_type = 'click' AND SUM(a.value) <= 200,
+        |         b AS b.event_type = 'purchase'
+        |)""".stripMargin
+    // Alternation composed WITH general MEASURES (round-10 item 2):
+    // per-branch consumed rows, leftmost-branch anchor dedup, then ONE
+    // runMeasures aggregation — branch-scoped COUNTs pin which
+    // alternative won.
+    val altAggMeasures: String =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES COUNT(*) AS n_consumed,
+        |           SUM(value) AS total_v,
+        |           COUNT(c.*) AS n_c,
+        |           COUNT(v.*) AS n_v,
+        |           CLASSIFIER() AS last_step
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (s g1* (c | v) g2* p)
+        |  WITHIN INTERVAL '1440' MINUTE
+        |  DEFINE s AS event_type = 'signup',
+        |         c AS event_type = 'click',
+        |         v AS event_type = 'view',
+        |         p AS event_type = 'purchase'
+        |)""".stripMargin
+    // Alternation composed WITH ALL ROWS PER MATCH: the same funnel
+    // emitting each winning branch's three consumed rows (the
+    // alternationConsumed union + leftmost-branch dedup, row output).
+    val altAllRows: String =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ALL ROWS PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (s g1* (c | v) g2* p)
+        |  WITHIN INTERVAL '1440' MINUTE
+        |  DEFINE s AS event_type = 'signup',
+        |         c AS event_type = 'click',
+        |         v AS event_type = 'view',
+        |         p AS event_type = 'purchase'
+        |)""".stripMargin
     // Bounded alternation `(c | v)`: the relaxed signup -> click-or-view
     // -> purchase funnel — two expanded branches compiled and unioned,
     // overlapping anchors deduped by leftmost branch preference. The
@@ -921,6 +1061,201 @@ object Analytic {
       |       CAST(2 AS BIGINT) AS n_rows, '1,1' AS step_counts
       |FROM c WHERE rn = 1 AND end_ts <= start_ts + INTERVAL 1440 MINUTE
       |ORDER BY user_id, start_id""".stripMargin
+
+  /** The iter match set WITH both consumed rows' values (the
+    * [[IterOracle]] chain plus av/bv) — the base for the
+    * MEASURES-with-navigation and ALL-ROWS-with-navigation oracles:
+    * matches consume exactly the anchor purchase and its first
+    * strictly-higher successor (gap rows are skipped, not consumed). */
+  private val IterValueCtes: String =
+    """WITH p AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id, value
+      |           FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT a.user_id, a.event_id AS start_id, a.ts AS start_ts,
+      |             a.value AS av,
+      |             b.event_id AS end_id, b.ts AS end_ts, b.value AS bv,
+      |             row_number() OVER (PARTITION BY a.user_id, a.event_id
+      |                                ORDER BY b.ts, b.event_id) AS rn
+      |      FROM p a JOIN p b ON b.user_id = a.user_id
+      |        AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+      |        AND b.value > a.value),
+      |m AS (SELECT * FROM c
+      |      WHERE rn = 1 AND end_ts <= start_ts + INTERVAL 1440 MINUTE)""".stripMargin
+
+  /** MEASURES × DEFINE navigation oracle: the iter match set
+    * aggregated literally — each match's scope is its two consumed
+    * rows, so the aggregates are closed-form over (av, bv). total_v
+    * cents-rounded on both sides (two-term IEEE addition is
+    * order-independent, but the rounding keeps the discipline
+    * uniform). */
+  private val IterAggOracle: String = IterValueCtes +
+    """
+      |SELECT user_id, start_id, start_ts, end_id, end_ts,
+      |       CAST(2 AS BIGINT) AS n_rows,
+      |       CAST(row_number() OVER (PARTITION BY user_id
+      |              ORDER BY start_ts, start_id) AS BIGINT) AS match_no,
+      |       CAST(2 AS BIGINT) AS n_consumed,
+      |       floor((av + bv)*100 + 0.5)/100 AS total_v,
+      |       bv AS b_value,
+      |       greatest(av, bv) AS max_v,
+      |       'b' AS last_step
+      |FROM m ORDER BY user_id, start_id""".stripMargin
+
+  /** ALL ROWS × DEFINE navigation oracle: the iter match set exploded
+    * to its two consumed rows (anchor pos 1, successor pos 2). */
+  private val IterAllRowsOracle: String = IterValueCtes +
+    """
+      |SELECT user_id, start_id, end_id, CAST(1 AS BIGINT) AS pos,
+      |       start_id AS event_id, start_ts AS ts, 'a' AS step, av AS value
+      |FROM m
+      |UNION ALL
+      |SELECT user_id, start_id, end_id, CAST(2 AS BIGINT) AS pos,
+      |       end_id, end_ts, 'b', bv
+      |FROM m
+      |ORDER BY user_id, start_id, pos""".stripMargin
+
+  /** Aggregate-condition-in-DEFINE oracle (a{1,4} with RUNNING
+    * SUM(a.value) <= 200, then b = purchase, strict contiguity, SKIP
+    * TO NEXT ROW): explicit lead() chains replay the matcher exactly —
+    * ok_k gates each prefix with the SAME left-to-right IEEE sum
+    * (value + v1 + ... parses left-associative, the engine's
+    * sequential fold), L is the greedy run length, and the
+    * backtracking choice is the LARGEST c <= L whose next row is a
+    * purchase. NULL leads at the partition tail make ok_k NULL ->
+    * CASE-false, matching the matcher's bounds checks. */
+  private val DefAggOracle: String =
+    """WITH t AS (
+      |  SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type, value,
+      |    lead(event_type, 1) OVER w AS ty1, lead(value, 1) OVER w AS v1,
+      |    lead(event_id, 1) OVER w AS id1, lead(ts::TIMESTAMP, 1) OVER w AS ts1,
+      |    lead(event_type, 2) OVER w AS ty2, lead(value, 2) OVER w AS v2,
+      |    lead(event_id, 2) OVER w AS id2, lead(ts::TIMESTAMP, 2) OVER w AS ts2,
+      |    lead(event_type, 3) OVER w AS ty3, lead(value, 3) OVER w AS v3,
+      |    lead(event_id, 3) OVER w AS id3, lead(ts::TIMESTAMP, 3) OVER w AS ts3,
+      |    lead(event_type, 4) OVER w AS ty4,
+      |    lead(event_id, 4) OVER w AS id4, lead(ts::TIMESTAMP, 4) OVER w AS ts4
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |r AS (
+      |  SELECT *,
+      |    CASE WHEN CASE WHEN event_type = 'click' AND value <= 200
+      |                   AND ty3 = 'click' AND ty2 = 'click' AND ty1 = 'click'
+      |                   AND value + v1 <= 200 AND value + v1 + v2 <= 200
+      |                   AND value + v1 + v2 + v3 <= 200 THEN TRUE END THEN 4
+      |         WHEN CASE WHEN event_type = 'click' AND value <= 200
+      |                   AND ty2 = 'click' AND ty1 = 'click'
+      |                   AND value + v1 <= 200 AND value + v1 + v2 <= 200
+      |                   THEN TRUE END THEN 3
+      |         WHEN CASE WHEN event_type = 'click' AND value <= 200
+      |                   AND ty1 = 'click' AND value + v1 <= 200
+      |                   THEN TRUE END THEN 2
+      |         WHEN event_type = 'click' AND value <= 200 THEN 1
+      |         ELSE 0 END AS l
+      |  FROM t),
+      |mm AS (
+      |  SELECT *,
+      |    CASE WHEN l >= 4 AND ty4 = 'purchase' THEN 4
+      |         WHEN l >= 3 AND ty3 = 'purchase' THEN 3
+      |         WHEN l >= 2 AND ty2 = 'purchase' THEN 2
+      |         WHEN l >= 1 AND ty1 = 'purchase' THEN 1 END AS bpos
+      |  FROM r WHERE l >= 1)
+      |SELECT user_id, event_id AS start_id, ts AS start_ts,
+      |       CASE bpos WHEN 1 THEN id1 WHEN 2 THEN id2 WHEN 3 THEN id3
+      |            ELSE id4 END AS end_id,
+      |       CASE bpos WHEN 1 THEN ts1 WHEN 2 THEN ts2 WHEN 3 THEN ts3
+      |            ELSE ts4 END AS end_ts,
+      |       CAST(bpos + 1 AS BIGINT) AS n_rows,
+      |       bpos || ',1' AS step_counts
+      |FROM mm WHERE bpos IS NOT NULL
+      |ORDER BY user_id, start_id""".stripMargin
+
+  /** The alternation match set with ALL consumed rows' identities and
+    * values (ending in deduped `w`): per-branch first-successor chains
+    * (signup sv, click/view x_id/x_ts/xv, purchase pv), the same
+    * leftmost-branch anchor dedup as the engine's union — the base for
+    * BOTH the alternation × MEASURES and alternation × ALL ROWS
+    * oracles. */
+  private val AltMatchCtes: String =
+    """WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type,
+      |                  value
+      |           FROM events),
+      |s AS (SELECT user_id, ts, event_id, value FROM e
+      |      WHERE event_type = 'signup'),
+      |xcc AS (SELECT s.user_id, s.event_id AS start_id, s.ts AS start_ts,
+      |               s.value AS sv, x.event_id AS x_id, x.ts AS x_ts,
+      |               x.value AS xv,
+      |               row_number() OVER (PARTITION BY s.user_id, s.event_id
+      |                                  ORDER BY x.ts, x.event_id) AS rn
+      |        FROM s JOIN e x ON x.user_id = s.user_id
+      |          AND x.event_type = 'click'
+      |          AND (x.ts > s.ts OR (x.ts = s.ts AND x.event_id > s.event_id))),
+      |xvv AS (SELECT s.user_id, s.event_id AS start_id, s.ts AS start_ts,
+      |               s.value AS sv, x.event_id AS x_id, x.ts AS x_ts,
+      |               x.value AS xv,
+      |               row_number() OVER (PARTITION BY s.user_id, s.event_id
+      |                                  ORDER BY x.ts, x.event_id) AS rn
+      |        FROM s JOIN e x ON x.user_id = s.user_id
+      |          AND x.event_type = 'view'
+      |          AND (x.ts > s.ts OR (x.ts = s.ts AND x.event_id > s.event_id))),
+      |bc AS (SELECT c.user_id, c.start_id, c.start_ts, c.sv,
+      |              c.x_id, c.x_ts, c.xv,
+      |              p.event_id AS end_id, p.ts AS end_ts, p.value AS pv,
+      |              row_number() OVER (PARTITION BY c.user_id, c.start_id
+      |                                 ORDER BY p.ts, p.event_id) AS rn2
+      |       FROM (SELECT * FROM xcc WHERE rn = 1) c
+      |       JOIN e p ON p.user_id = c.user_id AND p.event_type = 'purchase'
+      |         AND (p.ts > c.x_ts OR (p.ts = c.x_ts AND p.event_id > c.x_id))),
+      |bv AS (SELECT c.user_id, c.start_id, c.start_ts, c.sv,
+      |              c.x_id, c.x_ts, c.xv,
+      |              p.event_id AS end_id, p.ts AS end_ts, p.value AS pv,
+      |              row_number() OVER (PARTITION BY c.user_id, c.start_id
+      |                                 ORDER BY p.ts, p.event_id) AS rn2
+      |       FROM (SELECT * FROM xvv WHERE rn = 1) c
+      |       JOIN e p ON p.user_id = c.user_id AND p.event_type = 'purchase'
+      |         AND (p.ts > c.x_ts OR (p.ts = c.x_ts AND p.event_id > c.x_id))),
+      |u AS (SELECT user_id, start_id, start_ts, sv, x_id, x_ts, xv,
+      |             end_id, end_ts, pv, 0 AS br
+      |      FROM bc WHERE rn2 = 1
+      |        AND end_ts <= start_ts + INTERVAL 1440 MINUTE
+      |      UNION ALL
+      |      SELECT user_id, start_id, start_ts, sv, x_id, x_ts, xv,
+      |             end_id, end_ts, pv, 1
+      |      FROM bv WHERE rn2 = 1
+      |        AND end_ts <= start_ts + INTERVAL 1440 MINUTE),
+      |w AS (SELECT *, min(br) OVER (PARTITION BY user_id, start_id) AS mbr
+      |      FROM u)""".stripMargin
+
+  /** Alternation × MEASURES oracle: the deduped match set aggregated
+    * literally. total_v replays the engine's pos-order summation
+    * (sv + xv) + pv — SQL's left-associative parse. */
+  private val AltAggOracle: String = AltMatchCtes +
+    """
+      |SELECT user_id, start_id, start_ts, end_id, end_ts,
+      |       CAST(3 AS BIGINT) AS n_rows,
+      |       CAST(3 AS BIGINT) AS n_consumed,
+      |       floor((sv + xv + pv)*100 + 0.5)/100 AS total_v,
+      |       CAST(CASE WHEN br = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_c,
+      |       CAST(CASE WHEN br = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_v,
+      |       'p' AS last_step
+      |FROM w WHERE br = mbr
+      |ORDER BY user_id, start_id""".stripMargin
+
+  /** Alternation × ALL ROWS oracle: the deduped match set exploded to
+    * its three consumed rows — signup pos 1, the winning branch's
+    * click/view pos 2 (step = the branch VARIABLE), purchase pos 3. */
+  private val AltAllRowsOracle: String = AltMatchCtes +
+    """
+      |SELECT user_id, start_id, end_id, CAST(1 AS BIGINT) AS pos,
+      |       start_id AS event_id, start_ts AS ts, 's' AS step, sv AS value
+      |FROM w WHERE br = mbr
+      |UNION ALL
+      |SELECT user_id, start_id, end_id, CAST(2 AS BIGINT) AS pos,
+      |       x_id, x_ts, CASE WHEN br = 0 THEN 'c' ELSE 'v' END, xv
+      |FROM w WHERE br = mbr
+      |UNION ALL
+      |SELECT user_id, start_id, end_id, CAST(3 AS BIGINT) AS pos,
+      |       end_id, end_ts, 'p', pv
+      |FROM w WHERE br = mbr
+      |ORDER BY user_id, start_id, pos""".stripMargin
 
   /** The islands-rewrite consumed-rows CTE chain (ending in `ar`, the
     * per-match consumed rows of the C+ P WITHIN 10 min shape): the
@@ -1092,6 +1427,11 @@ object Analytic {
     // the span fits WITHIN 24 h.
     "event_cep_iterative" -> IterOracle,
     "event_cep_sql_iter" -> IterOracle,
+    "event_cep_sql_iter_agg" -> IterAggOracle,
+    "event_cep_sql_iter_allrows" -> IterAllRowsOracle,
+    "event_cep_sql_defagg" -> DefAggOracle,
+    "event_cep_sql_alt_agg" -> AltAggOracle,
+    "event_cep_sql_alt_allrows" -> AltAllRowsOracle,
 
     // PREV navigation replay: the strict 2-step match is a row adjacency,
     // so lag (the PREV value) + lead (the immediate successor) over the

@@ -81,6 +81,16 @@ object Pipeline {
           Det.round4(col("density")).as("density"))
         .orderBy("doc_id")),
 
+    // Variable-length MAXIMAL shared runs on the winnow anchors (the
+    // Lee et al. suffix-array result without the suffix array): anchor
+    // pairs from shared fingerprints, diagonal extension by gram-hash
+    // equality, filtered to the guarantee threshold w+k-1 = 7 tokens —
+    // exact, so the oracle is the independent ground truth (gram join
+    // + per-diagonal gaps-and-islands). See Dedup.maxSharedRunStats.
+    "dedup_span_maxrun" -> ((s, d) =>
+      Dedup.maxSharedRunStats(Tables.documents(s, d), "doc_id", "text", 4, 4)
+        .orderBy("doc_id")),
+
     // GLOBAL prefix-filtered 3-shingle Jaccard — no metadata blocking
     // (near-dup copies change lang/source: 24 of 25 true pairs cross
     // blocks on this corpus; see Dedup.jaccardPairs).
@@ -1143,6 +1153,39 @@ object Pipeline {
         |         AS density
         |FROM st LEFT JOIN pd USING (doc_id) ORDER BY st.doc_id""".stripMargin,
 
+    // max-shared-run GROUND TRUTH (independent of winnowing): every
+    // cross-document gram match, grouped into maximal runs by the
+    // per-diagonal gaps-and-islands rewrite, filtered to the w+k-1
+    // guarantee threshold — exactly the set the anchored extension
+    // reports (guarantee: every qualifying run is anchored; extension
+    // is maximal; sub-threshold anchors are filtered on both sides).
+    "dedup_span_maxrun" ->
+      """WITH tk0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |g AS (SELECT doc_id, i, array_to_string(tk[i:i+3], ' ') AS gram
+        |      FROM (SELECT doc_id, tk,
+        |              unnest(range(1, greatest(len(tk) - 3, 1) + 1)) AS i
+        |            FROM tk0)),
+        |mt AS (SELECT a.doc_id AS da, b.doc_id AS db, a.i AS ia,
+        |              a.i - b.i AS diag
+        |       FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |isl AS (SELECT da, db, diag,
+        |          ia - row_number() OVER (PARTITION BY da, db, diag
+        |                                  ORDER BY ia) AS grp
+        |        FROM mt),
+        |runs AS (SELECT da, db, count(*) + 3 AS run_tokens
+        |         FROM isl GROUP BY da, db, diag, grp
+        |         HAVING count(*) + 3 >= 7),
+        |b2 AS (SELECT da AS doc_id, db AS partner, run_tokens FROM runs
+        |       UNION ALL
+        |       SELECT db, da, run_tokens FROM runs),
+        |pd AS (SELECT doc_id, max(run_tokens) AS max_run,
+        |              count(DISTINCT partner) AS n_partners
+        |       FROM b2 GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(max_run, 0) AS BIGINT) AS max_run,
+        |       CAST(coalesce(n_partners, 0) AS BIGINT) AS n_partners
+        |FROM documents d LEFT JOIN pd USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     "dedup_ngram_jaccard" ->
       (s"WITH $hashedShingleCte" + """
         |SELECT doc_a, doc_b, floor(jac * 10000 + 0.5) / 10000 AS jac FROM (
@@ -1209,9 +1252,16 @@ object Pipeline {
         |c AS (SELECT a.lang, a.source, a.n_docs, a.n_tokens,
         |             any_value(t.tot) AS tot,
         |             CAST(sum(b.n_tokens) AS BIGINT) AS cum_tokens
+        |      -- tie-break mirrors the engine's NULL-SAFE nulls-first
+        |      -- lexicographic order (Sampling.tokenBudget ltNf / <=>): a
+        |      -- NULL lang/source stratum must still self-join here
         |      FROM g a, t, g b
         |      WHERE b.n_tokens > a.n_tokens OR (b.n_tokens = a.n_tokens AND
-        |            (b.lang < a.lang OR (b.lang = a.lang AND b.source <= a.source)))
+        |            ((b.lang IS NULL AND a.lang IS NOT NULL) OR b.lang < a.lang
+        |             OR (b.lang IS NOT DISTINCT FROM a.lang AND
+        |                 ((b.source IS NULL AND a.source IS NOT NULL)
+        |                  OR b.source < a.source
+        |                  OR b.source IS NOT DISTINCT FROM a.source))))
         |      GROUP BY 1, 2, 3, 4)
         |SELECT lang, source, n_docs, n_tokens,
         |       floor(n_tokens::DOUBLE / tot * 10000 + 0.5) / 10000 AS token_share,
@@ -1515,7 +1565,8 @@ object Pipeline {
         |       FROM tc),
         |ag AS (SELECT lang, count(*) AS n, list(r ORDER BY r) AS rs,
         |              list(cnt ORDER BY r) AS cs
-        |       FROM rk WHERE r <= 100 GROUP BY lang),
+        |       FROM rk WHERE r <= 100 GROUP BY lang
+        |       HAVING count(*) >= 2),
         |s AS (SELECT lang, n,
         |        list_aggregate(list_transform(rs, x -> ln(x::DOUBLE)), 'sum') AS sx,
         |        list_aggregate(list_transform(cs, x -> ln(x::DOUBLE)), 'sum') AS sy,

@@ -281,6 +281,33 @@ object Streaming {
         .orderBy("user_id", "start_id")
     }),
 
+    // Streaming general MEASURES (VERDICT r10 item 7): the SAME
+    // MATCH_RECOGNIZE text as event_cep_sql_agg — MATCH_NUMBER,
+    // match-wide and variable-scoped aggregates, FIRST/LAST offsets,
+    // CLASSIFIER — resolved by MrSpec.resolveMeasures and evaluated AT
+    // EACH SEALED MATCH'S EMISSION inside the stateful matcher
+    // (StreamOps.cepPatternMeasures), so the aggregates flow
+    // incrementally with no second stateful stage. Batch replay here;
+    // hash-pinned by the SAME oracle as the batch route; streaming
+    // emission (cross-batch MATCH_NUMBER, seal-aware aggregate timing)
+    // is covered by StreamingSpec.
+    "stream_cep_sql_agg" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val spec = graft.api.MatchRecognize.parse(Analytic.CepSql.aggMeasures)
+      val (symCol, pat) = spec.toSymbolic.get
+      val sm = graft.api.MatchRecognize.streamMeasures(spec)
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col(symCol).as("event_type"), col("value"))
+        .as[Ev]
+      val m = StreamOps.cepPatternMeasures(ev, pat,
+        spec.stepElems.map(_.variable), sm, streaming = false).toDF()
+      graft.api.MatchRecognize.streamMeasuresSelect(m, spec, "user_id")
+        .withColumn("click_sum", graft.Det.round2(col("click_sum")))
+        .orderBy("user_id", "start_id")
+    }),
+
     // Flink Evictor analog (window + CountEvictor.of(3)): per (user, 1 h
     // tumbling window), the aggregate over only the LAST 3 events by
     // event time, plus the full seen count. Batch replay of the bounded
@@ -506,6 +533,9 @@ object Streaming {
 
   val oracles: Map[String, String] = Map(
     "stream_cep_measures" -> Analytic.oracles("event_cep_measures"),
+    // streaming general MEASURES: batch replay must equal the batch
+    // general-MEASURES route exactly — same hand-written islands oracle
+    "stream_cep_sql_agg" -> Analytic.oracles("event_cep_sql_agg"),
     "stream_cep_pattern" -> graft.api.Cep.oracleSql(Analytic.CepPatterns.quant),
     "stream_cep_relaxed" -> graft.api.Cep.oracleSql(Analytic.CepPatterns.relaxed),
     "stream_cep_skip" -> graft.api.Cep.oracleSql(Analytic.CepPatterns.skipFirst),

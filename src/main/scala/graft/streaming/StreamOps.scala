@@ -55,6 +55,26 @@ case class CepAllRow(user_id: Long, start_id: Long, end_id: Long, pos: Long,
 /** General-CEP keyed state: the unconsumed (sym, tsUs, ord) buffer tail. */
 private[streaming] case class CepPatState(syms: Seq[String], ts: Seq[Long], ords: Seq[Long])
 
+/** General-CEP keyed state for the MEASURES matcher: the buffer tail
+  * WITH row values (the aggregates read them at seal time) plus the
+  * per-key sealed-match counter (MATCH_NUMBER must keep counting
+  * across batches). */
+private[streaming] case class CepPatMState(syms: Seq[String], ts: Seq[Long],
+                                           ords: Seq[Long], vals: Seq[Double],
+                                           matchSeq: Long)
+
+/** One sealed match with its general MEASURES evaluated AT EMISSION
+  * (StreamOps.cepPatternMeasures): the match meta plus the measure
+  * values in three typed maps keyed by alias — COUNT/MATCH_NUMBER in
+  * `longs`, value aggregates in `nums`, CLASSIFIER in `strs`. An
+  * absent key (e.g. an out-of-range FIRST/LAST offset) selects as SQL
+  * null downstream (api.MatchRecognize.streamMeasuresSelect). */
+case class CepMeasuredSql(user_id: Long, start_id: Long,
+                          start_ts: java.sql.Timestamp, end_id: Long,
+                          end_ts: java.sql.Timestamp, n_rows: Long,
+                          longs: Map[String, Long], nums: Map[String, Double],
+                          strs: Map[String, String])
+
 /** CEP buffer state carrying row VALUES too — the MEASURES streaming
   * matcher must re-derive per-step aggregates from retained rows
   * (StreamOps.cepMeasuresStream). */
@@ -1301,6 +1321,115 @@ object StreamOps extends Serializable {
             else state.update(CepPatState(keep.map(_.sym), keep.map(_.tsUs),
               keep.map(_.ord)))
             matches.iterator.map(mk(user, evs, _))
+          }
+      }
+  }
+
+  /** General MEASURES on the SEAL-AWARE matcher (VERDICT r10 item 7 —
+    * the SQL front door's MrSpec.resolveMeasures wired onto streaming
+    * emission): per SEALED match, one output row carrying the resolved
+    * measures evaluated over the match's consumed rows, so the
+    * aggregates flow incrementally with no second stateful stage.
+    *
+    * Surface: STRICT patterns without negated steps (validated by
+    * api.MatchRecognize.streamMeasures) — a strict match's consumed
+    * rows are exactly its span, so the sealed CepSeqMatch + step_counts
+    * tile the span into per-step scopes without a re-walk. `stepVars`
+    * aligns each ORIGINAL step with its pattern-variable name
+    * (CLASSIFIER reports variables, not symbols). SUM evaluates as the
+    * sequential left fold in consumption order (the batch route's
+    * discipline). MATCH_NUMBER counts sealed matches per key ACROSS
+    * batches (the counter rides the state).
+    *
+    * Batch replay (streaming = false): one invocation per key runs the
+    * reference matcher — row-identical to the batch general-MEASURES
+    * route, pinned by the same hand-written oracle
+    * (stream_cep_sql_agg shares event_cep_sql_agg's).
+    */
+  def cepPatternMeasures(ev: Dataset[Ev], pattern: CepPattern,
+                         stepVars: Seq[String],
+                         measures: Seq[graft.api.MrStreamMeasure],
+                         streaming: Boolean): Dataset[CepMeasuredSql] = {
+    import ev.sparkSession.implicits._
+    require(pattern.strict && pattern.steps.forall(!_.negated),
+      "cepPatternMeasures covers strict patterns without negated steps " +
+        "(MatchRecognize.streamMeasures validates the SQL surface)")
+    require(stepVars.size == pattern.steps.size,
+      "stepVars must align 1:1 with pattern.steps")
+    def eval(user: Long, evs: IndexedSeq[Ev], m: CepSeqMatch,
+             matchNo: Long): CepMeasuredSql = {
+      // strict span tiling: step k's consumed rows are the next
+      // stepCounts(k) consecutive rows from the anchor
+      val stepOf = new Array[Int](m.endIdx - m.startIdx + 1)
+      var cur = 0
+      for (k <- m.stepCounts.indices; _ <- 0 until m.stepCounts(k)) {
+        stepOf(cur) = k; cur += 1
+      }
+      val allIdx = (m.startIdx to m.endIdx).toIndexedSeq
+      val longs = Map.newBuilder[String, Long]
+      val nums = Map.newBuilder[String, Double]
+      val strs = Map.newBuilder[String, String]
+      for (msr <- measures) {
+        def scoped: IndexedSeq[Int] = msr.scopeSteps match {
+          case None => allIdx
+          case Some(ss) => allIdx.filter(i => ss(stepOf(i - m.startIdx)))
+        }
+        msr.func match {
+          case "MATCH_NUMBER" => longs += msr.alias -> matchNo
+          case "CLASSIFIER" =>
+            strs += msr.alias -> stepVars(stepOf(m.endIdx - m.startIdx))
+          case "COUNT" => longs += msr.alias -> scoped.size.toLong
+          case "SUM" | "AVG" | "MIN" | "MAX" =>
+            val s = scoped
+            if (s.nonEmpty) {
+              val v = msr.func match {
+                // sequential left fold in consumption order — the
+                // summation-order discipline of the batch route
+                case "SUM" => s.foldLeft(0.0)((a, i) => a + evs(i).value)
+                case "AVG" => s.foldLeft(0.0)((a, i) => a + evs(i).value) / s.size
+                case "MIN" => s.map(i => evs(i).value).min
+                case _ => s.map(i => evs(i).value).max
+              }
+              nums += msr.alias -> v
+            }
+          case "FIRST" =>
+            val s = scoped
+            if (s.size > msr.n) nums += msr.alias -> evs(s(msr.n)).value
+          case _ => // LAST
+            val s = scoped
+            if (s.size > msr.n) nums += msr.alias -> evs(s(s.size - 1 - msr.n)).value
+        }
+      }
+      CepMeasuredSql(user, evs(m.startIdx).event_id, evs(m.startIdx).ts,
+        evs(m.endIdx).event_id, evs(m.endIdx).ts, m.nRows.toLong,
+        longs.result(), nums.result(), strs.result())
+    }
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CepPatMState, CepMeasuredSql](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[Ev], state: GroupState[CepPatMState]) =>
+          val fresh = events.toSeq
+          val buf0 = state.getOption.map(s =>
+            s.syms.indices.map(i => Ev(s.ords(i), microsTs(s.ts(i)), user,
+              s.syms(i), s.vals(i))))
+            .getOrElse(Seq.empty)
+          val seq0 = state.getOption.map(_.matchSeq).getOrElse(0L)
+          val evs = (buf0 ++ fresh).sortBy(e => (tsMicros(e.ts), e.event_id))
+            .toIndexedSeq
+          val cepEvs = evs.map(e => CepEvent(e.event_type, tsMicros(e.ts), e.event_id))
+          if (!streaming) {
+            state.remove()
+            Cep.matchSequence(cepEvs, pattern).iterator.zipWithIndex
+              .map { case (m, i) => eval(user, evs, m, seq0 + i + 1) }
+          } else {
+            val (matches, resume) = sealedScan(cepEvs, pattern)
+            val keep = evs.drop(resume)
+            if (keep.isEmpty && matches.isEmpty && seq0 == 0L) state.remove()
+            else state.update(CepPatMState(keep.map(_.event_type),
+              keep.map(e => tsMicros(e.ts)), keep.map(_.event_id),
+              keep.map(_.value), seq0 + matches.size))
+            matches.iterator.zipWithIndex
+              .map { case (m, i) => eval(user, evs, m, seq0 + i + 1) }
           }
       }
   }

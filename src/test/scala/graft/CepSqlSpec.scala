@@ -587,12 +587,208 @@ class CepSqlSpec extends SparkSuite {
     assert(intercept[IllegalArgumentException](
       MatchRecognize.oracleFor(body("value > LAST(a.value)")))
       .getMessage.contains("no generated oracle"))
-    // nav + MEASURES is rejected at run
+    // nav + the compiled step_sums MEASURES shape is rejected (its
+    // per-step semantics don't exist on the iterative route); nav +
+    // GENERAL measures runs (covered in the composition test below)
     assert(intercept[IllegalArgumentException](
       MatchRecognize.run(Tables.events(spark, sf001),
         body("value > LAST(a.value)",
           "\n  MEASURES SUM(value) AS step_sums")))
-      .getMessage.contains("MEASURES with DEFINE navigation"))
+      .getMessage.contains("compiled PER-STEP summary"))
+    // a top-level OR in a nav-bearing DEFINE would silently reassociate
+    // SQL precedence under the AND-conjunct split — loud rejection
+    assert(intercept[IllegalArgumentException](
+      MatchRecognize.parse(
+        body("value > 1 OR value > 2 AND value > PREV(b.value)")))
+      .getMessage.contains("top-level OR"))
+    // ...but an OR inside a parenthesized nav-free conjunct is fine
+    val orOk = MatchRecognize.parse(
+      body("(value > 1 OR value > 2) AND value > PREV(b.value)"))
+    assert(orOk.navConds("b").size == 1)
+    assert(orOk.defMap("b").contains("OR"))
+  }
+
+  test("MEASURES and ALL ROWS compose with DEFINE navigation (iterative route)") {
+    import org.apache.spark.sql.functions.col
+    val evDf = Tables.events(spark, sf001)
+    val CepSql = graft.queries.Analytic.CepSql
+    // the ONE-ROW summary route is the already-pinned reference: same
+    // matcher, so the match sets must coincide exactly
+    val matches = MatchRecognize.run(evDf, CepSql.iterHigher)
+      .select("user_id", "start_id", "end_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(matches.nonEmpty)
+    // values by (user_id, event_id) for the closed-form expectations
+    val vals = evDf.select(col("user_id"), col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val agg = MatchRecognize.run(evDf, CepSql.iterAggMeasures).collect()
+    assert(agg.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_id"),
+      r.getAs[Long]("end_id"))).toSet === matches)
+    for (r <- agg) {
+      val (u, sid, eid) = (r.getAs[Long]("user_id"), r.getAs[Long]("start_id"),
+        r.getAs[Long]("end_id"))
+      val (av, bv) = (vals((u, sid)), vals((u, eid)))
+      assert(r.getAs[Long]("n_consumed") === 2L)
+      assert(r.getAs[Long]("n_rows") === 2L)
+      assert(r.getAs[Double]("total_v") === av + bv)
+      assert(r.getAs[Double]("b_value") === bv)
+      assert(r.getAs[Double]("max_v") === math.max(av, bv))
+      assert(r.getAs[String]("last_step") === "b")
+    }
+    // ALL ROWS: exactly the two consumed rows per match, pos 1/2, the
+    // anchor labeled a and the successor b, values from the input
+    val ar = MatchRecognize.run(evDf, CepSql.iterAllRows).collect()
+    assert(ar.length === 2 * matches.size)
+    val byMatch = ar.groupBy(r => (r.getAs[Long]("user_id"),
+      r.getAs[Long]("start_id"), r.getAs[Long]("end_id")))
+    assert(byMatch.keySet === matches)
+    for (((u, sid, eid), rows) <- byMatch) {
+      val sorted = rows.sortBy(_.getAs[Long]("pos"))
+      assert(sorted.map(_.getAs[Long]("pos")).toSeq === Seq(1L, 2L))
+      assert(sorted.map(_.getAs[String]("step")).toSeq === Seq("a", "b"))
+      assert(sorted.map(_.getAs[Long]("event_id")).toSeq === Seq(sid, eid))
+      assert(sorted.map(_.getAs[Double]("value")).toSeq ===
+        Seq(vals((u, sid)), vals((u, eid))))
+    }
+  }
+
+  test("aggregate conditions in DEFINE match a brute-force reference") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    val syms = Vector("click", "click", "click", "purchase", "view")
+    val rows = (for {
+      u <- 0 until 40
+      i <- 0 until (12 + rnd.nextInt(20))
+    } yield (u.toLong,
+        new java.sql.Timestamp(1700000000000L + u * 10000000L + i * 60000L),
+        (u * 1000 + i).toLong, syms(rnd.nextInt(syms.size)),
+        math.floor(rnd.nextDouble() * 12000) / 100.0)).toVector
+    val df = rows.toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = MatchRecognize.run(df, graft.queries.Analytic.CepSql.defAgg)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_id"),
+        r.getAs[Long]("end_id"), r.getAs[Long]("n_rows"),
+        r.getAs[String]("step_counts"))).toSet
+    // reference: per key in (ts, event_id) order, per anchor p — greedy
+    // run length L (clicks, every prefix sum <= 200, cap 4), then the
+    // LARGEST c <= L whose next row is a purchase (backtracking)
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (u, rs) =>
+      val s = rs.sortBy(r => (r._2.getTime, r._3))
+      s.indices.flatMap { p =>
+        var l = 0
+        var sum = 0.0
+        while (l < 4 && p + l < s.size && s(p + l)._4 == "click" &&
+               { sum += s(p + l)._5; sum <= 200 }) l += 1
+        val bpos = (1 to l).reverse.find(c =>
+          p + c < s.size && s(p + c)._4 == "purchase")
+        bpos.map(c => (u, s(p)._3, s(p + c)._3, (c + 1).toLong, s"$c,1"))
+      }
+    }.toSet
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
+  test("mixed navigation + aggregate conjuncts in one DEFINE match brute force") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(20260816L)
+    val syms = Vector("click", "click", "click", "purchase", "view")
+    val rows = (for {
+      u <- 0 until 30
+      i <- 0 until (12 + rnd.nextInt(16))
+    } yield (u.toLong,
+        new java.sql.Timestamp(1700000000000L + u * 10000000L + i * 60000L),
+        (u * 1000 + i).toLong, syms(rnd.nextInt(syms.size)),
+        math.floor(rnd.nextDouble() * 9000) / 100.0)).toVector
+    val df = rows.toDF("user_id", "ts", "event_id", "event_type", "value")
+    // one DEFINE carrying a context-free conjunct, an AGGREGATE
+    // conjunct (RUNNING sum cap), and a NAVIGATION conjunct (rising vs
+    // the physical partition predecessor) — the three kinds compose
+    // under the top-level AND
+    val clause =
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (a{1,3} b)
+        |  DEFINE a AS a.event_type = 'click' AND SUM(a.value) <= 150
+        |              AND a.value > PREV(a.value),
+        |         b AS b.event_type = 'purchase'
+        |)""".stripMargin
+    val spec = MatchRecognize.parse(clause)
+    assert(spec.navConds("a").size == 1 && spec.aggConds("a").size == 1)
+    val got = MatchRecognize.run(df, clause)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_id"),
+        r.getAs[Long]("end_id"), r.getAs[Long]("n_rows"),
+        r.getAs[String]("step_counts"))).toSet
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (u, rs) =>
+      val s = rs.sortBy(r => (r._2.getTime, r._3))
+      s.indices.flatMap { p =>
+        var l = 0
+        var sum = 0.0
+        def okA(i: Int): Boolean =
+          s(i)._4 == "click" && i >= 1 && s(i)._5 > s(i - 1)._5
+        while (l < 3 && p + l < s.size && okA(p + l) &&
+               { sum += s(p + l)._5; sum <= 150 }) l += 1
+        val bpos = (1 to l).reverse.find(c =>
+          p + c < s.size && s(p + c)._4 == "purchase")
+        bpos.map(c => (u, s(p)._3, s(p + c)._3, (c + 1).toLong, s"$c,1"))
+      }
+    }.toSet
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
+  test("alternation composes with general MEASURES (branch-scoped counts)") {
+    import org.apache.spark.sql.functions.col
+    val evDf = Tables.events(spark, sf001)
+    val CepSql = graft.queries.Analytic.CepSql
+    // reference match set: the measure-free alternation key (already
+    // pinned against the per-branch sequential matcher)
+    val ref = MatchRecognize.run(evDf, CepSql.altFunnel)
+      .select("user_id", "start_id", "end_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = MatchRecognize.run(evDf, CepSql.altAggMeasures).collect()
+    assert(got.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_id"),
+      r.getAs[Long]("end_id"))).toSet === ref)
+    val types = evDf.select(col("user_id"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    for (r <- got) {
+      assert(r.getAs[Long]("n_consumed") === 3L)
+      assert(r.getAs[String]("last_step") === "p")
+      // exactly one of the alternatives consumed a row; branch c wins
+      // whenever BOTH branches matched this anchor (leftmost preference
+      // is pinned by the ref equality above — here pin the scoped count)
+      val (nc, nv) = (r.getAs[Long]("n_c"), r.getAs[Long]("n_v"))
+      assert(nc + nv === 1L, s"n_c=$nc n_v=$nv")
+    }
+    // the middle consumed row's type agrees with the winning branch:
+    // n_c = 1 iff SOME click row lies strictly between anchor and end
+    // consumed as the middle step — cross-checked via ALL ROWS
+    val ar = MatchRecognize.run(evDf,
+        CepSql.altAggMeasures.replace(
+          """MEASURES COUNT(*) AS n_consumed,
+            |           SUM(value) AS total_v,
+            |           COUNT(c.*) AS n_c,
+            |           COUNT(v.*) AS n_v,
+            |           CLASSIFIER() AS last_step
+            |  ONE ROW PER MATCH""".stripMargin,
+          "ALL ROWS PER MATCH"))
+      .collect()
+    val midStep = ar.filter(_.getAs[Long]("pos") == 2L)
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_id")) ->
+        r.getAs[String]("step")).toMap
+    for (r <- got) {
+      val k = (r.getAs[Long]("user_id"), r.getAs[Long]("start_id"))
+      val expected = if (r.getAs[Long]("n_c") == 1L) "c" else "v"
+      assert(midStep(k) === expected)
+      // and the step label agrees with the underlying event type
+      val ev = ar.find(x => x.getAs[Long]("pos") == 2L &&
+        (x.getAs[Long]("user_id"), x.getAs[Long]("start_id")) == k).get
+      val ty = types((ev.getAs[Long]("user_id"), ev.getAs[Long]("event_id")))
+      assert(ty === (if (expected == "c") "click" else "view"))
+    }
   }
 
   test("alternation (a | b): union semantics match the sequential reference") {

@@ -571,4 +571,52 @@ object GraftProps extends Properties("graft") {
           r.getAs[Long]("n_fp") >= 1 && r.getAs[Long]("n_fp") <= wins
       }
     }
+
+  property("max-shared-run extension equals the brute-force maximal runs") =
+    forAll(Gen.choose(7, 12).flatMap(n => Gen.listOfN(n, winTokGen)),
+      Gen.listOf(winTokGen), Gen.listOf(winTokGen),
+      Gen.listOf(winTokGen), Gen.listOf(winTokGen)) { (run, a1, a2, b1, b2) =>
+      // the guarantee EXTENDED to run lengths (VERDICT r10 item 6): the
+      // anchored diagonal extension must report, per document, exactly
+      // the brute-force longest >= w+k-1 = 7 token run shared with any
+      // other document, and the distinct partner count — including runs
+      // the random affixes create by collision, not just the planted one
+      val sp = spark
+      import sp.implicits._
+      val docs = Seq(
+        1L -> (a1 ++ run ++ a2).toVector,
+        2L -> (b1 ++ run ++ b2).toVector,
+        3L -> b1.toVector.take(9)) // usually run-free third doc
+      val got = Dedup.maxSharedRunStats(
+        docs.map { case (id, ts) => (id, ts.mkString(" ")) }
+          .toDF("doc_id", "text"), "doc_id", "text", 4, 4)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("max_run"), r.getAs[Long]("n_partners")))).toMap
+      // brute force: every maximal common run over every ordered pair.
+      // Token splitting collapses an empty doc to one empty token — the
+      // same convention split(text, ' ') applies engine-side.
+      val toks = docs.map { case (id, ts) =>
+        id -> (if (ts.isEmpty) Vector("") else ts) }
+      val runs = for {
+        (ida, ta) <- toks; (idb, tb) <- toks if ida < idb
+        ia <- ta.indices; ib <- tb.indices
+        if ta(ia) == tb(ib) &&
+          (ia == 0 || ib == 0 || ta(ia - 1) != tb(ib - 1))
+      } yield {
+        var l = 0
+        while (ia + l < ta.size && ib + l < tb.size && ta(ia + l) == tb(ib + l)) l += 1
+        (ida, idb, l.toLong)
+      }
+      val qual = runs.filter(_._3 >= 7)
+      val want = toks.map { case (id, _) =>
+        val mine = qual.collect {
+          case (a, b, l) if a == id => (b, l)
+          case (a, b, l) if b == id => (a, l)
+        }
+        id -> ((if (mine.isEmpty) 0L else mine.map(_._2).max,
+          mine.map(_._1).distinct.size.toLong))
+      }.toMap
+      got == want
+    }
 }

@@ -529,6 +529,58 @@ class StreamingSpec extends SparkSuite {
       s"sealed match must cover clicks 1-2, error 3, signups 4-5: $got")
   }
 
+  test("streaming general MEASURES: seal-aware emission, cross-batch MATCH_NUMBER") {
+    val spec = graft.api.MatchRecognize.parse(graft.queries.Analytic.CepSql.aggMeasures)
+    val (_, pat) = spec.toSymbolic.get
+    val sm = graft.api.MatchRecognize.streamMeasures(spec)
+    val ms = MemoryStream[Ev]
+    val out = graft.api.MatchRecognize.streamMeasuresSelect(
+      StreamOps.cepPatternMeasures(ms.toDS(), pat,
+        spec.stepElems.map(_.variable), sm, streaming = true).toDF(),
+      spec, "user_id")
+    val q = out.writeStream.format("memory").queryName("cepmsr")
+      .outputMode("append").start()
+    // open click run — unsealed, nothing may emit yet
+    ms.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 5.0),
+      Ev(2, ts("2024-01-01 10:01:00"), 1, "click", 7.0))
+    q.processAllAvailable()
+    assert(spark.table("cepmsr").isEmpty, "open click run must not emit")
+    // the purchase completes AND seals (purchase is {1,1} — no growth):
+    // measures are evaluated at emission over the sealed span
+    ms.addData(Ev(3, ts("2024-01-01 10:02:00"), 1, "purchase", 20.0))
+    q.processAllAvailable()
+    val r1 = spark.table("cepmsr").collect()
+    assert(r1.length === 1, s"purchase must seal the match: ${r1.toSeq}")
+    val m1 = r1.head
+    assert(m1.getAs[Long]("match_no") === 1L)
+    assert(m1.getAs[Long]("n_consumed") === 3L)
+    assert(m1.getAs[Long]("n_clicks") === 2L)
+    assert(m1.getAs[Double]("click_sum") === 12.0)
+    assert(m1.getAs[Double]("first_click_v") === 5.0)
+    assert(m1.getAs[Double]("last_click_v") === 7.0)
+    assert(m1.getAs[Double]("max_v") === 20.0)
+    assert(m1.getAs[Double]("click2_v") === 7.0)
+    assert(m1.getAs[Double]("click_penult_v") === 5.0)
+    assert(m1.getAs[String]("last_step") === "purchase")
+    // a second match in a LATER batch: MATCH_NUMBER keeps counting
+    // across batches (the counter rides the state), and out-of-range
+    // FIRST/LAST offsets surface as SQL null
+    ms.addData(
+      Ev(4, ts("2024-01-01 10:20:00"), 1, "click", 3.0),
+      Ev(5, ts("2024-01-01 10:21:00"), 1, "purchase", 9.0))
+    drain(q)
+    val r2 = spark.table("cepmsr").orderBy("start_id").collect()
+    assert(r2.length === 2)
+    val m2 = r2(1)
+    assert(m2.getAs[Long]("match_no") === 2L, "MATCH_NUMBER must carry across batches")
+    assert(m2.getAs[Long]("n_clicks") === 1L)
+    assert(m2.getAs[Double]("click_sum") === 3.0)
+    assert(m2.isNullAt(m2.fieldIndex("click2_v")), "one click -> FIRST(click.value, 1) is null")
+    assert(m2.isNullAt(m2.fieldIndex("click_penult_v")))
+    assert(m2.getAs[Double]("max_v") === 9.0)
+  }
+
   test("relaxed-contiguity stateful CEP: gaps skipped, seal-aware, horizon-pruned") {
     val pat = graft.queries.Analytic.CepPatterns.relaxed // signup+ click{1,2} purchase+ W24h
     val ms = MemoryStream[Ev]
