@@ -156,9 +156,13 @@ object Bench {
     def isolatedMeasure(name: String): (Double, Double) = {
       val fn = fnByName(name)
       timeOne(fn) // warm, untimed
-      val ts = Seq(timeOne(fn)._1, timeOne(fn)._1, timeOne(fn)._1)
-      val mn = ts.min
-      (mn, if (mn > 1e-9) (ts.max - mn) / mn else 0.0)
+      val ts = Seq(timeOne(fn)._1, timeOne(fn)._1, timeOne(fn)._1).sorted
+      val mn = ts.head
+      // the certificate is the agreement of the TWO FASTEST post-warm
+      // trials: one interrupted trial (a GC pause is 0.2 s — 1.5x a
+      // micro-key) must not poison it; two agreeing fast trials pin
+      // the steady state the min reports
+      (mn, if (mn > 1e-9) (ts(1) - mn) / mn else 0.0)
     }
     val isolatedFull: Seq[(String, (Double, Double))] = trials.flatMap { case (name, ts) =>
       val secs = ts.map(_._1)

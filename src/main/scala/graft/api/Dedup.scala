@@ -749,6 +749,43 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 
+  /** SEMANTIC deduplication (SemDeDup, Abbas et al. 2023: "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the embedding space with a trained
+    * coarse quantizer, then call two vectors semantic duplicates when
+    * their cosine similarity within the SAME cluster reaches
+    * `threshold`; keep one representative per duplicate relation —
+    * here the deterministic MIN-ID survivor (a vector is dropped iff
+    * some LOWER-id vector in its cluster is >= threshold similar),
+    * the same survivor rule as [[exactDedup]], replacing the paper's
+    * random keeper so the result is engine-independent and
+    * oracle-checkable.
+    *
+    * `partCol` is the trained cluster id (the caller wires the
+    * integer-k-means coarse quantizer — Similarity.pqTrainCodebooks —
+    * exactly as the IVF family does). Output, one row per vector:
+    * `part`, `n_dups` (within-cluster >= threshold partners), `kept`.
+    *
+    * Scale shape: within-cluster all-pairs via [[embedCosinePairs]]'s
+    * block join — the paper's own cost model: cluster count k is
+    * chosen ∝ corpus/targetClusterSize, so per-cluster pairs stay
+    * bounded and TOTAL work grows linearly; the survivor aggregation
+    * is one id-keyed groupBy. Nothing global, no driver-side state
+    * beyond the k-means training aggregates. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    partCol: String, threshold: Double): DataFrame = {
+    val pairs = embedCosinePairs(df, idCol, vecCol, partCol, threshold)
+    val both = pairs.select(col("vec_a").as("__id"), col("vec_b").as("other"))
+      .unionByName(pairs.select(col("vec_b").as("__id"), col("vec_a").as("other")))
+    val agg = both.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_dups"), min(col("other")).as("__mo"))
+    df.select(col(idCol), col(partCol).cast("long").as("part"))
+      .join(agg, col(idCol) === col("__id"), "left")
+      .select(col(idCol), col("part"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (col("__mo").isNull || col("__mo") > col(idCol)).as("kept"))
+  }
+
   /** Cross-document duplicated-SPAN coverage — SUBSTRING-level exact
     * dedup (Lee et al. 2022, "Deduplicating Training Data Makes
     * Language Models Better": the memorization-prone unit is the

@@ -1467,7 +1467,11 @@ object MatchRecognize {
     require(spec.stepElems.forall(!_.negated),
       "streaming general MEASURES do not cover negated steps")
     val stepIdxByVar = spec.stepElems.map(_.variable).zipWithIndex.toMap
-    spec.resolveMeasures.map {
+    val resolved = spec.resolveMeasures
+    checkMeasureAliases(resolved, Seq("user_id", "start_id", "start_ts",
+      "end_id", "end_ts", "n_rows", "longs", "nums", "strs") ++
+      spec.partitionBy)
+    resolved.map {
       case MrMatchNumber(a) => MrStreamMeasure("MATCH_NUMBER", None, a)
       case MrClassifier(a) => MrStreamMeasure("CLASSIFIER", None, a)
       case m: MrAggMeasure =>

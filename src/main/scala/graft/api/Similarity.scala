@@ -837,4 +837,45 @@ object Similarity {
        |       floor(sz.n_vecs::DOUBLE * ${kCent}.0 / tot.total * 10000 + 0.5) / 10000
        |         AS load
        |FROM sz CROSS JOIN tot ORDER BY part""".stripMargin
+
+  /** DuckDB replay of SEMANTIC dedup (Dedup.semanticDedup over the
+    * trained coarse assignment): the same integer k-means + argmin
+    * assignment as [[annTrainedOracleSql]], then within-cluster
+    * cosine pairs at the threshold (sequential-fold dot products —
+    * the embedCosinePairs discipline) and the min-id survivor rule. */
+  def semanticDedupOracleSql(threshold: Double, kCent: Int = 8,
+                             subDim: Int = 64, iters: Int = 2): String =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000.0 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |${kmeansCtesSql(1, kCent, subDim, iters)},
+       |fd AS (
+       |  SELECT e.vec_id, p.cent,
+       |    list_aggregate(list_transform(list_zip(e.q[p.sub * ${subDim} + 1 : (p.sub + 1) * ${subDim}], p.cv),
+       |      x -> (x[1] - x[2]) * (x[1] - x[2])), 'sum') AS d2
+       |  FROM e CROSS JOIN cb p),
+       |fa AS (
+       |  SELECT vec_id, cent AS part FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent) AS rn FROM fd)
+       |  WHERE rn = 1),
+       |ev AS (
+       |  SELECT emb.vec_id, fa.part,
+       |    list_transform(emb.embedding, x -> x::DOUBLE) AS v,
+       |    sqrt(list_aggregate(list_transform(emb.embedding, x -> x::DOUBLE * x::DOUBLE), 'sum')) AS nrm
+       |  FROM embeddings emb JOIN fa ON fa.vec_id = emb.vec_id),
+       |pr AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM ev a JOIN ev b ON b.part = a.part AND a.vec_id < b.vec_id
+       |  WHERE list_aggregate(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]), 'sum')
+       |          / (a.nrm * b.nrm) >= ${threshold}),
+       |bo AS (SELECT vec_a AS id, vec_b AS other FROM pr
+       |       UNION ALL SELECT vec_b, vec_a FROM pr),
+       |ag AS (SELECT id, count(*) AS n_dups, min(other) AS mo
+       |       FROM bo GROUP BY id)
+       |SELECT ev.vec_id, CAST(ev.part AS BIGINT) AS part,
+       |       CAST(coalesce(ag.n_dups, 0) AS BIGINT) AS n_dups,
+       |       (ag.mo IS NULL OR ag.mo > ev.vec_id) AS kept
+       |FROM ev LEFT JOIN ag ON ag.id = ev.vec_id
+       |ORDER BY ev.vec_id""".stripMargin
 }

@@ -81,6 +81,23 @@ object Pipeline {
           Det.round4(col("density")).as("density"))
         .orderBy("doc_id")),
 
+    // SEMANTIC dedup (SemDeDup, Abbas et al. 2023): trained coarse
+    // quantizer (the sim_ann_trained integer k-means) clusters the
+    // embedding space; within-cluster cosine >= 0.3 pairs are semantic
+    // duplicates; min-id survivor (deterministic stand-in for the
+    // paper's random keeper). See Dedup.semanticDedup for the linear
+    // cost model (k ∝ corpus / target cluster size).
+    "dedup_semantic" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cb = Similarity.pqTrainCodebooks(e, "vec_id", "embedding",
+        m = 1, kCent = 8, subDim = 64, iters = 2)
+      val part = element_at(graft.functions.Signatures.pq_code_sig(
+        col("embedding"), cb, 1, 8, 64), 1)
+      Dedup.semanticDedup(e.withColumn("part", part), "vec_id", "embedding",
+          "part", 0.3)
+        .orderBy("vec_id")
+    }),
+
     // Variable-length MAXIMAL shared runs on the winnow anchors (the
     // Lee et al. suffix-array result without the suffix array): anchor
     // pairs from shared fingerprints, diagonal extension by gram-hash
@@ -1152,6 +1169,8 @@ object Pipeline {
         |       floor(st.n_fp::DOUBLE / greatest(st.m - 3, 1) * 10000 + 0.5) / 10000
         |         AS density
         |FROM st LEFT JOIN pd USING (doc_id) ORDER BY st.doc_id""".stripMargin,
+
+    "dedup_semantic" -> Similarity.semanticDedupOracleSql(0.3),
 
     // max-shared-run GROUND TRUTH (independent of winnowing): every
     // cross-document gram match, grouped into maximal runs by the

@@ -250,6 +250,27 @@ class PipelineSpec extends SparkSuite {
     assert(out.map(_.getAs[Double]("share")).sum > 0.999)
   }
 
+  test("semanticDedup: cluster-scoped min-id survivor rule") {
+    // part 0: v1 ≡ v2 (cos 1), v3 orthogonal; part 1: v4 identical to
+    // v1 but in ANOTHER cluster — SemDeDup is cluster-scoped, so it is
+    // NOT a duplicate of v1 (the paper's design: the quantizer bounds
+    // the comparison set)
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(2.0f, 0.0f), 0), // same direction as v1 -> cos 1
+      (3L, Array(0.0f, 1.0f), 0),
+      (4L, Array(1.0f, 0.0f), 1)).toDF("vec_id", "embedding", "part")
+    val out = graft.api.Dedup.semanticDedup(vecs, "vec_id", "embedding",
+        "part", 0.9)
+      .orderBy("vec_id").collect()
+    assert(out.map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("part"),
+      r.getAs[Long]("n_dups"), r.getAs[Boolean]("kept"))).toSeq === Seq(
+      (1L, 0L, 1L, true),   // min id of the duplicate pair survives
+      (2L, 0L, 1L, false),  // has the smaller partner v1 -> dropped
+      (3L, 0L, 0L, true),   // orthogonal: no partners
+      (4L, 1L, 0L, true)))  // identical to v1 but cluster-scoped out
+  }
+
   test("winnowFingerprintStats: detection guarantee, identity, disjointness") {
     // docs 1/3 identical; doc 2 shares the 7-token run "a b c d e f g"
     // with them (= w + k - 1, the winnowing guarantee threshold);
