@@ -51,7 +51,12 @@ object BenchScale {
     // span REMOVAL: the span-hash shuffles of dedup_span plus the
     // removed-position explode and the doc-keyed reassembly join;
     // winnowing: doc-keyed window min + the sharing join
-    "dedup_span_removal", "dedup_winnow")
+    "dedup_span_removal", "dedup_winnow",
+    // round-11: maximal shared runs — fingerprint-anchored pair join +
+    // diagonal extension over doc-keyed gram arrays (the copy-suffix
+    // isolation keeps anchors within-copy, so candidates scale with
+    // the corpus, not its square)
+    "dedup_span_maxrun")
 
   /** Second measured decade (VERDICT r9 item 6): the STEEPEST keys of
     * the 10x sweep re-measured over a 100x-documents slice, so their

@@ -308,6 +308,28 @@ object Streaming {
         .orderBy("user_id", "start_id")
     }),
 
+    // ALL ROWS PER MATCH on the seal-aware matcher (the row-level
+    // sibling of stream_cep_sql_agg): the SAME clause text as
+    // event_cep_sql_allrows, rows emitted per SEALED match with the
+    // strict span tiled into per-step scopes. Batch replay shares the
+    // batch route's islands oracle; streaming emission timing is in
+    // StreamingSpec.
+    "stream_cep_allrows" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val spec = graft.api.MatchRecognize.parse(Analytic.CepSql.allRows)
+      val (symCol, pat) = spec.toSymbolic.get
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col(symCol).as("event_type"), col("value"))
+        .as[Ev]
+      StreamOps.cepPatternAllRows(ev, pat,
+          spec.stepElems.map(_.variable), streaming = false).toDF()
+        .select(col("user_id"), col("end_id").as("purchase_id"), col("pos"),
+          col("event_id"), col("ts"), col("step"), col("value"))
+        .orderBy("user_id", "purchase_id", "pos")
+    }),
+
     // Flink Evictor analog (window + CountEvictor.of(3)): per (user, 1 h
     // tumbling window), the aggregate over only the LAST 3 events by
     // event time, plus the full seen count. Batch replay of the bounded
@@ -536,6 +558,8 @@ object Streaming {
     // streaming general MEASURES: batch replay must equal the batch
     // general-MEASURES route exactly — same hand-written islands oracle
     "stream_cep_sql_agg" -> Analytic.oracles("event_cep_sql_agg"),
+    // row-level streaming CEP batch replay = the batch islands oracle
+    "stream_cep_allrows" -> Analytic.oracles("event_cep_sql_allrows"),
     "stream_cep_pattern" -> graft.api.Cep.oracleSql(Analytic.CepPatterns.quant),
     "stream_cep_relaxed" -> graft.api.Cep.oracleSql(Analytic.CepPatterns.relaxed),
     "stream_cep_skip" -> graft.api.Cep.oracleSql(Analytic.CepPatterns.skipFirst),

@@ -1434,6 +1434,63 @@ object StreamOps extends Serializable {
       }
   }
 
+  /** ALL ROWS PER MATCH on the SEAL-AWARE matcher (the row-level
+    * sibling of [[cepPatternMeasures]], Flink PatternProcessFunction's
+    * matched-rows map under streaming emission): per SEALED match, one
+    * output row per CONSUMED row — strict patterns without negated
+    * steps, where the sealed span IS the consumed set and step_counts
+    * tile it into per-step scopes (`stepVars` names the steps).
+    * Batch replay (streaming = false) is row-identical to
+    * StreamOps.cepAllRowsPattern on the same pattern. */
+  def cepPatternAllRows(ev: Dataset[Ev], pattern: CepPattern,
+                        stepVars: Seq[String],
+                        streaming: Boolean): Dataset[CepAllRow] = {
+    import ev.sparkSession.implicits._
+    require(pattern.strict && pattern.steps.forall(!_.negated),
+      "cepPatternAllRows covers strict patterns without negated steps " +
+        "(relaxed patterns: batch cepAllRowsPattern)")
+    require(stepVars.size == pattern.steps.size,
+      "stepVars must align 1:1 with pattern.steps")
+    def rows(user: Long, evs: IndexedSeq[Ev],
+             m: CepSeqMatch): Iterator[CepAllRow] = {
+      val startId = evs(m.startIdx).event_id
+      val endId = evs(m.endIdx).event_id
+      var cur = m.startIdx
+      var pos = 0L
+      (for (k <- m.stepCounts.indices.iterator; _ <- (0 until m.stepCounts(k)).iterator)
+        yield {
+          val e = evs(cur); cur += 1; pos += 1
+          CepAllRow(user, startId, endId, pos, e.event_id, e.ts,
+            stepVars(k), e.value)
+        })
+    }
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CepPatMState, CepAllRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[Ev], state: GroupState[CepPatMState]) =>
+          val fresh = events.toSeq
+          val buf0 = state.getOption.map(s =>
+            s.syms.indices.map(i => Ev(s.ords(i), microsTs(s.ts(i)), user,
+              s.syms(i), s.vals(i))))
+            .getOrElse(Seq.empty)
+          val evs = (buf0 ++ fresh).sortBy(e => (tsMicros(e.ts), e.event_id))
+            .toIndexedSeq
+          val cepEvs = evs.map(e => CepEvent(e.event_type, tsMicros(e.ts), e.event_id))
+          if (!streaming) {
+            state.remove()
+            Cep.matchSequence(cepEvs, pattern).iterator.flatMap(rows(user, evs, _))
+          } else {
+            val (matches, resume) = sealedScan(cepEvs, pattern)
+            val keep = evs.drop(resume)
+            if (keep.isEmpty) state.remove()
+            else state.update(CepPatMState(keep.map(_.event_type),
+              keep.map(e => tsMicros(e.ts)), keep.map(_.event_id),
+              keep.map(_.value), 0L))
+            matches.iterator.flatMap(rows(user, evs, _))
+          }
+      }
+  }
+
   /** Keep-last-N windowed aggregation (Flink window + CountEvictor.of(N)
     * with event-time semantics): per (user, 1 h tumbling window), the
     * aggregate over only the LAST `keepN` events by (ts, event_id),

@@ -688,6 +688,31 @@ class CepSqlSpec extends SparkSuite {
     assert(got === want)
   }
 
+  test("streamMeasures validates the streaming surface loudly") {
+    val CepSql = graft.queries.Analytic.CepSql
+    // relaxed contiguity: the sealed span is NOT the consumed set
+    assert(intercept[IllegalArgumentException](
+      MatchRecognize.streamMeasures(MatchRecognize.parse(CepSql.funnel)))
+      .getMessage.contains("STRICT contiguity"))
+    // a non-value measured column has no slot in the Ev model
+    val badCol = CepSql.aggMeasures.replace("MAX(value) AS max_v",
+      "MAX(props) AS max_v")
+    assert(intercept[IllegalArgumentException](
+      MatchRecognize.streamMeasures(MatchRecognize.parse(badCol)))
+      .getMessage.contains("`value` column only"))
+    // ALL ROWS has no streaming measures surface (per-match emission)
+    val allRowsAgg = CepSql.aggMeasures.replace("ONE ROW PER MATCH",
+      "ALL ROWS PER MATCH")
+    assert(intercept[IllegalArgumentException](
+      MatchRecognize.streamMeasures(MatchRecognize.parse(allRowsAgg)))
+      .getMessage.contains("ONE ROW PER MATCH"))
+    // an alias colliding with the matcher's own output columns
+    val badAlias = CepSql.aggMeasures.replace("AS max_v", "AS start_id")
+    assert(intercept[IllegalArgumentException](
+      MatchRecognize.streamMeasures(MatchRecognize.parse(badAlias)))
+      .getMessage.contains("collide"))
+  }
+
   test("mixed navigation + aggregate conjuncts in one DEFINE match brute force") {
     val sp = spark
     import sp.implicits._

@@ -581,6 +581,30 @@ class StreamingSpec extends SparkSuite {
     assert(m2.getAs[Double]("max_v") === 9.0)
   }
 
+  test("streaming ALL ROWS PER MATCH: consumed rows emit once sealed") {
+    val spec = graft.api.MatchRecognize.parse(graft.queries.Analytic.CepSql.allRows)
+    val (_, pat) = spec.toSymbolic.get
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.cepPatternAllRows(ms.toDS(), pat,
+        spec.stepElems.map(_.variable), streaming = true)
+      .writeStream.format("memory").queryName("cepar")
+      .outputMode("append").start()
+    ms.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 4.0),
+      Ev(2, ts("2024-01-01 10:01:00"), 1, "click", 6.0))
+    q.processAllAvailable()
+    assert(spark.table("cepar").isEmpty, "open click run must not emit rows")
+    ms.addData(Ev(3, ts("2024-01-01 10:02:00"), 1, "purchase", 9.0))
+    drain(q)
+    val got = spark.table("cepar").orderBy("pos")
+      .select("user_id", "start_id", "end_id", "pos", "event_id", "step", "value")
+      .as[(Long, Long, Long, Long, Long, String, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 3L, 1L, 1L, "click", 4.0),
+      (1L, 1L, 3L, 2L, 2L, "click", 6.0),
+      (1L, 1L, 3L, 3L, 3L, "purchase", 9.0)))
+  }
+
   test("relaxed-contiguity stateful CEP: gaps skipped, seal-aware, horizon-pruned") {
     val pat = graft.queries.Analytic.CepPatterns.relaxed // signup+ click{1,2} purchase+ W24h
     val ms = MemoryStream[Ev]
