@@ -20,19 +20,20 @@ case class MrElem(variable: String, minRep: Int, maxRep: Option[Int],
 case class MrMeasure(exprSql: String, alias: String)
 
 /** One parsed DEFINE navigation call — `PREV(var.col [, n])` /
-  * `FIRST(var.col [, n])` / `LAST(var.col [, n])` (SQL:2016 row-pattern
-  * navigation; Flink SQL supports the same three in DEFINE).
-  *  - `PREV` navigates the PARTITION: the row `n` before the current
-  *    row in (orderBy) order, whatever variable matched it — the
-  *    standard's physical navigation (default n = 1). The variable
-  *    only scopes the expression, exactly as in Flink.
+  * `NEXT(var.col [, n])` / `FIRST(var.col [, n])` /
+  * `LAST(var.col [, n])` (SQL:2016 row-pattern navigation; Flink SQL
+  * supports the same four in DEFINE).
+  *  - `PREV`/`NEXT` navigate the PARTITION: the row `n` before/after
+  *    the current row in (orderBy) order, whatever variable matched
+  *    it — the standard's physical navigation (default n = 1). The
+  *    variable only scopes the expression, exactly as in Flink.
   *  - `FIRST`/`LAST` navigate the MATCH: the (n+1)-th / n-th-from-last
   *    row CONSUMED by `variable` in the current attempt (default
   *    n = 0) — Flink `IterativeCondition.getEventsForPattern`.
   * A navigation whose target row does not (yet) exist evaluates to
   * SQL null, so its comparison is false — both engines agree. */
 case class MrNav(fn: String, variable: String, colName: String, n: Int) {
-  require(Set("PREV", "FIRST", "LAST")(fn), s"unknown navigation $fn")
+  require(Set("PREV", "NEXT", "FIRST", "LAST")(fn), s"unknown navigation $fn")
   require(n >= 0, s"negative navigation offset $n")
 }
 
@@ -363,7 +364,7 @@ case class MrSpec(partitionBy: Seq[String], orderBy: Seq[String],
   * entirely).
   *
   * COMPOSITION (round 11): the three match-relative DEFINE surfaces —
-  * navigation (`PREV`/`FIRST`/`LAST`), aggregate conditions
+  * navigation (`PREV`/`NEXT`/`FIRST`/`LAST`), aggregate conditions
   * (`SUM(A.price) <= 100`, Flink's IterativeCondition), and
   * alternation — each compose with general MEASURES and with ALL ROWS
   * PER MATCH: every route produces the SAME consumed-row projection
@@ -741,7 +742,7 @@ object MatchRecognize {
       navByVar.result(), subsets.result(), aggByVar.result())
   }
 
-  private val NavFns = Set("PREV", "FIRST", "LAST")
+  private val NavFns = Set("PREV", "NEXT", "FIRST", "LAST")
   private val AggFns = Set("COUNT", "SUM", "AVG", "MIN", "MAX")
 
   /** Split a DEFINE predicate into its context-free SQL (var prefixes
@@ -887,7 +888,7 @@ object MatchRecognize {
     * grammar. */
   private def parseNavConjunct(toks: Vector[Tok]): MrNavCond = {
     val grammar = "supported navigation conjunct grammar is exactly " +
-      "`[var.]col <op> PREV|FIRST|LAST(var.col [, n])` (either side) " +
+      "`[var.]col <op> PREV|NEXT|FIRST|LAST(var.col [, n])` (either side) " +
       s"under a top-level AND; got: ${toks.map(_.text).mkString(" ")}"
     var i = 0
     def more = i < toks.length
@@ -929,7 +930,7 @@ object MatchRecognize {
           case TNum(t, _, _) if !t.contains(".") => i += 1; t.toInt
           case _ => fail(grammar)
         }
-      } else if (fn == "PREV") 1 else 0
+      } else if (fn == "PREV" || fn == "NEXT") 1 else 0
       require(more && toks(i).text == ")", grammar); i += 1
       MrNav(fn, v, c, n)
     }
@@ -1584,7 +1585,7 @@ object MatchRecognize {
   private def tsUs(t: java.sql.Timestamp): Long =
     (t.getTime - t.getNanos / 1000000) * 1000L + t.getNanos / 1000
 
-  /** DEFINE-navigation execution (`PREV`/`FIRST`/`LAST` — see
+  /** DEFINE-navigation execution (`PREV`/`NEXT`/`FIRST`/`LAST` — see
     * [[MrNav]]): the per-key generalized sequential matcher
     * ([[Cep.matchCore]]) with a step-satisfaction oracle combining
     *  - the CONTEXT-FREE part of each DEFINE, evaluated by Catalyst as
@@ -1663,6 +1664,8 @@ object MatchRecognize {
         val right: Double = ne.fn match {
           case "PREV" =>
             if (ei - ne.n >= 0) evs(ei - ne.n).nv(ne.navColIdx) else Double.NaN
+          case "NEXT" =>
+            if (ei + ne.n < evs.size) evs(ei + ne.n).nv(ne.navColIdx) else Double.NaN
           case "FIRST" =>
             val c = ctx(ne.navStepIdx)
             if (c.size > ne.n) evs(c(ne.n)).nv(ne.navColIdx) else Double.NaN

@@ -448,6 +448,14 @@ object Analytic {
       MatchRecognize.run(Tables.events(s, d), CepSql.prevRise)
         .orderBy("user_id", "start_id")),
 
+    // NEXT() navigation from text (SQL:2016's fourth navigation
+    // function — physical FORWARD look-ahead, offset 2 reaches past
+    // the match's own purchase row): same strict 2-row adjacency,
+    // lead-window oracle.
+    "event_cep_sql_next" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.nextDrop)
+        .orderBy("user_id", "start_id")),
+
     // General MEASURES from text, ONE ROW PER MATCH: MATCH_NUMBER +
     // match-wide and click-scoped aggregates + FIRST/LAST, executed as
     // one per-match hash aggregation over the matcher's consumed rows
@@ -921,6 +929,23 @@ object Analytic {
         |         c AS event_type = 'click',
         |         v AS event_type = 'view',
         |         p AS event_type = 'purchase'
+        |)""".stripMargin
+    // DEFINE navigation (NEXT — physical FORWARD partition navigation,
+    // the fourth SQL:2016 navigation function): a click that exceeds
+    // the value TWO partition rows ahead (look-ahead past the match's
+    // own purchase), immediately followed by a purchase, within 60 min.
+    // Strict contiguity, so the oracle is lead(value, 2) + lead(·, 1)
+    // windows — no matcher at all.
+    val nextDrop: String =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (r p)
+        |  WITHIN INTERVAL '60' MINUTE
+        |  DEFINE r AS r.event_type = 'click' AND r.value > NEXT(r.value, 2),
+        |         p AS p.event_type = 'purchase'
         |)""".stripMargin
     // Alternation composed WITH ALL ROWS PER MATCH: the same funnel
     // emitting each winning branch's three consumed rows (the
@@ -1452,6 +1477,28 @@ object Analytic {
         |WHERE event_type = 'click' AND pv IS NOT NULL AND value > pv
         |  AND nty = 'purchase' AND nts <= ts + INTERVAL 60 MINUTE
         |ORDER BY user_id, start_id""".stripMargin,
+    // NEXT navigation replay: the strict 2-step match is a row
+    // adjacency; lead(value, 2) is the navigated look-ahead value and
+    // lead(·, 1) the immediate successor — window formulation, no
+    // matcher. A missing look-ahead row (partition tail) is NULL →
+    // false, matching the engine's NaN rule.
+    "event_cep_sql_next" ->
+      """WITH t AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type, value,
+        |    lead(value, 2) OVER w AS nv2,
+        |    lead(event_id) OVER w AS nid,
+        |    lead(ts::TIMESTAMP) OVER w AS nts,
+        |    lead(event_type) OVER w AS nty
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id AS start_id, ts AS start_ts,
+        |       nid AS end_id, nts AS end_ts,
+        |       CAST(2 AS BIGINT) AS n_rows, '1,1' AS step_counts
+        |FROM t
+        |WHERE event_type = 'click' AND nv2 IS NOT NULL AND value > nv2
+        |  AND nty = 'purchase' AND nts <= ts + INTERVAL 60 MINUTE
+        |ORDER BY user_id, start_id""".stripMargin,
+
     "win_rank" ->
       """SELECT c_nationkey, c_custkey, c_acctbal,
         |  CAST(row_number() OVER wtb AS INTEGER) AS rn,

@@ -526,7 +526,7 @@ class CepSqlSpec extends SparkSuite {
 
   test("property: navigation DEFINEs parse structurally (200 random)") {
     val rnd = new scala.util.Random(20260814L)
-    val fns = Vector("PREV", "FIRST", "LAST")
+    val fns = Vector("PREV", "NEXT", "FIRST", "LAST")
     val rawOps = Vector("=", "<", ">", "<=", ">=", "!=", "<>")
     def canon(o: String) = if (o == "<>") "!=" else o
     def flip(o: String) = o match {
@@ -555,7 +555,8 @@ class CepSqlSpec extends SparkSuite {
            |  DEFINE a AS event_type = 'purchase', b AS $pred
            |)""".stripMargin
       val spec = MatchRecognize.parse(txt)
-      val expN = if (withN) n else if (fn == "PREV") 1 else 0
+      val expN = if (withN) n
+        else if (fn == "PREV" || fn == "NEXT") 1 else 0
       val expOp = if (navFirst) flip(canon(op)) else canon(op)
       assert(spec.navConds("b") ===
         Seq(MrNavCond("value", expOp, MrNav(fn, "a", "value", expN))),

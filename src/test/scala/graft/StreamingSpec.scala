@@ -529,6 +529,58 @@ class StreamingSpec extends SparkSuite {
       s"sealed match must cover clicks 1-2, error 3, signups 4-5: $got")
   }
 
+  test("streaming measures/all-rows over random batch splits equal batch replay") {
+    // the seal-aware guarantee, end to end: however the in-order stream
+    // is chopped into micro-batches, the emitted matches (with their
+    // measures) and consumed rows are EXACTLY the batch replay's
+    val spec = graft.api.MatchRecognize.parse(graft.queries.Analytic.CepSql.aggMeasures)
+    val (_, pat) = spec.toSymbolic.get
+    val sm = graft.api.MatchRecognize.streamMeasures(spec)
+    val vars = spec.stepElems.map(_.variable)
+    val rnd = new scala.util.Random(20260817L)
+    val syms = Vector("click", "click", "purchase", "view")
+    val evs = (for {
+      u <- 1 to 12
+      i <- 0 until (8 + rnd.nextInt(10))
+    } yield Ev((u * 100 + i).toLong,
+        java.sql.Timestamp.valueOf(
+          ts("2024-01-01 10:00:00").toLocalDateTime.plusMinutes(i * 3L)),
+        u.toLong, syms(rnd.nextInt(syms.size)),
+        math.floor(rnd.nextDouble() * 5000) / 100.0)).toVector
+    // batch replay reference (sealer-free)
+    val batchM = StreamOps.cepPatternMeasures(evs.toDS(), pat, vars, sm,
+      streaming = false).collect().toSet
+    val batchR = StreamOps.cepPatternAllRows(evs.toDS(), pat, vars,
+      streaming = false).collect().toSet
+    // streaming: 4 random in-order splits (plus a trailing seal batch of
+    // one 'view' per user so every pending run resolves)
+    val cuts = Seq.fill(3)(rnd.nextInt(evs.size)).sorted
+    val batches = (Seq(0) ++ cuts ++ Seq(evs.size)).sliding(2)
+      .collect { case Seq(a, b) if b > a => evs.slice(a, b) }.toSeq
+    val sealer = (1 to 12).map(u => Ev(u * 100 + 99L,
+      ts("2024-01-02 10:00:00"), u.toLong, "view", 0.0))
+    val ms1 = MemoryStream[Ev]
+    val q1 = StreamOps.cepPatternMeasures(ms1.toDS(), pat, vars, sm, streaming = true)
+      .writeStream.format("memory").queryName("eqm").outputMode("append").start()
+    (batches :+ sealer).foreach { b => ms1.addData(b: _*); q1.processAllAvailable() }
+    q1.stop()
+    val ms2 = MemoryStream[Ev]
+    val q2 = StreamOps.cepPatternAllRows(ms2.toDS(), pat, vars, streaming = true)
+      .writeStream.format("memory").queryName("eqr").outputMode("append").start()
+    (batches :+ sealer).foreach { b => ms2.addData(b: _*); q2.processAllAvailable() }
+    q2.stop()
+    // the sealer rows are extra input to the reference too
+    val full = evs ++ sealer
+    val refM = StreamOps.cepPatternMeasures(full.toDS(), pat, vars, sm,
+      streaming = false).collect().toSet
+    val refR = StreamOps.cepPatternAllRows(full.toDS(), pat, vars,
+      streaming = false).collect().toSet
+    assert(spark.table("eqm").as[graft.streaming.CepMeasuredSql].collect().toSet === refM)
+    assert(spark.table("eqr").as[graft.streaming.CepAllRow].collect().toSet === refR)
+    // and the original (sealer-free) reference is a subset sanity check
+    assert(batchM.subsetOf(refM) && batchR.subsetOf(refR))
+  }
+
   test("streaming general MEASURES: seal-aware emission, cross-batch MATCH_NUMBER") {
     val spec = graft.api.MatchRecognize.parse(graft.queries.Analytic.CepSql.aggMeasures)
     val (_, pat) = spec.toSymbolic.get
