@@ -529,6 +529,16 @@ object Analytic {
       MatchRecognize.run(Tables.events(s, d), CepSql.defAgg)
         .orderBy("user_id", "start_id")),
 
+    // Aggregate condition × MEASURES from text: the defAgg matches
+    // with per-match aggregates computed over the consumed span.
+    // Oracle: the same lead-chain match derivation carrying the run's
+    // values, aggregates closed-form on the backtracked position
+    // (a_sum cents-rounded both sides — partial-agg summation order).
+    "event_cep_sql_defagg_agg" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.defAggMeasures)
+        .withColumn("a_sum", Det.round2(col("a_sum")))
+        .orderBy("user_id", "start_id")),
+
     // Alternation × general MEASURES (round-10 item 2): per-branch
     // consumed rows, leftmost-branch anchor dedup, ONE aggregation.
     // Oracle: per-branch first-successor chains carrying consumed
@@ -908,6 +918,24 @@ object Analytic {
         |  DEFINE a AS a.event_type = 'click' AND SUM(a.value) <= 200,
         |         b AS b.event_type = 'purchase'
         |)""".stripMargin
+    // Aggregate condition × general MEASURES: the RUNNING-sum-capped
+    // click run WITH a measures clause — the last unexercised
+    // composition cell (iterative-aggregate route into runMeasures).
+    val defAggMeasures: String =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES MATCH_NUMBER() AS match_no,
+        |           COUNT(*) AS n_consumed,
+        |           SUM(a.value) AS a_sum,
+        |           LAST(b.value) AS b_v,
+        |           CLASSIFIER() AS last_step
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (a{1,4} b)
+        |  DEFINE a AS a.event_type = 'click' AND SUM(a.value) <= 200,
+        |         b AS b.event_type = 'purchase'
+        |)""".stripMargin
     // Alternation composed WITH general MEASURES (round-10 item 2):
     // per-branch consumed rows, leftmost-branch anchor dedup, then ONE
     // runMeasures aggregation — branch-scoped COUNTs pin which
@@ -1249,6 +1277,69 @@ object Analytic {
       |w AS (SELECT *, min(br) OVER (PARTITION BY user_id, start_id) AS mbr
       |      FROM u)""".stripMargin
 
+  /** Aggregate-condition × MEASURES oracle: the [[DefAggOracle]]
+    * lead-chain match derivation EXTENDED with the consumed values —
+    * the greedy run length l, the backtracked b position, then every
+    * measure closed-form on bpos: a_sum is the same left-associative
+    * prefix sum the gate tested (cents-rounded on both sides — the
+    * engine aggregates per match with partial-agg order), b_v is
+    * lead(value, bpos), MATCH_NUMBER numbers the surviving anchors per
+    * key in (ts, event_id) order. */
+  private val DefAggMeasuresOracle: String =
+    """WITH t AS (
+      |  SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type, value,
+      |    lead(event_type, 1) OVER w AS ty1, lead(value, 1) OVER w AS v1,
+      |    lead(event_id, 1) OVER w AS id1, lead(ts::TIMESTAMP, 1) OVER w AS ts1,
+      |    lead(event_type, 2) OVER w AS ty2, lead(value, 2) OVER w AS v2,
+      |    lead(event_id, 2) OVER w AS id2, lead(ts::TIMESTAMP, 2) OVER w AS ts2,
+      |    lead(event_type, 3) OVER w AS ty3, lead(value, 3) OVER w AS v3,
+      |    lead(event_id, 3) OVER w AS id3, lead(ts::TIMESTAMP, 3) OVER w AS ts3,
+      |    lead(event_type, 4) OVER w AS ty4, lead(value, 4) OVER w AS v4,
+      |    lead(event_id, 4) OVER w AS id4, lead(ts::TIMESTAMP, 4) OVER w AS ts4
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |r AS (
+      |  SELECT *,
+      |    CASE WHEN CASE WHEN event_type = 'click' AND value <= 200
+      |                   AND ty3 = 'click' AND ty2 = 'click' AND ty1 = 'click'
+      |                   AND value + v1 <= 200 AND value + v1 + v2 <= 200
+      |                   AND value + v1 + v2 + v3 <= 200 THEN TRUE END THEN 4
+      |         WHEN CASE WHEN event_type = 'click' AND value <= 200
+      |                   AND ty2 = 'click' AND ty1 = 'click'
+      |                   AND value + v1 <= 200 AND value + v1 + v2 <= 200
+      |                   THEN TRUE END THEN 3
+      |         WHEN CASE WHEN event_type = 'click' AND value <= 200
+      |                   AND ty1 = 'click' AND value + v1 <= 200
+      |                   THEN TRUE END THEN 2
+      |         WHEN event_type = 'click' AND value <= 200 THEN 1
+      |         ELSE 0 END AS l
+      |  FROM t),
+      |mm AS (
+      |  SELECT *,
+      |    CASE WHEN l >= 4 AND ty4 = 'purchase' THEN 4
+      |         WHEN l >= 3 AND ty3 = 'purchase' THEN 3
+      |         WHEN l >= 2 AND ty2 = 'purchase' THEN 2
+      |         WHEN l >= 1 AND ty1 = 'purchase' THEN 1 END AS bpos
+      |  FROM r WHERE l >= 1),
+      |m2 AS (SELECT * FROM mm WHERE bpos IS NOT NULL)
+      |SELECT user_id, event_id AS start_id, ts AS start_ts,
+      |       CASE bpos WHEN 1 THEN id1 WHEN 2 THEN id2 WHEN 3 THEN id3
+      |            ELSE id4 END AS end_id,
+      |       CASE bpos WHEN 1 THEN ts1 WHEN 2 THEN ts2 WHEN 3 THEN ts3
+      |            ELSE ts4 END AS end_ts,
+      |       CAST(bpos + 1 AS BIGINT) AS n_rows,
+      |       CAST(row_number() OVER (PARTITION BY user_id
+      |              ORDER BY ts, event_id) AS BIGINT) AS match_no,
+      |       CAST(bpos + 1 AS BIGINT) AS n_consumed,
+      |       floor(CASE bpos WHEN 1 THEN value WHEN 2 THEN value + v1
+      |                  WHEN 3 THEN value + v1 + v2
+      |                  ELSE value + v1 + v2 + v3 END * 100 + 0.5) / 100 AS a_sum,
+      |       CASE bpos WHEN 1 THEN v1 WHEN 2 THEN v2 WHEN 3 THEN v3
+      |            ELSE v4 END AS b_v,
+      |       'b' AS last_step
+      |FROM m2
+      |ORDER BY user_id, start_id""".stripMargin
+
   /** Alternation × MEASURES oracle: the deduped match set aggregated
     * literally. total_v replays the engine's pos-order summation
     * (sv + xv) + pv — SQL's left-associative parse. */
@@ -1455,6 +1546,7 @@ object Analytic {
     "event_cep_sql_iter_agg" -> IterAggOracle,
     "event_cep_sql_iter_allrows" -> IterAllRowsOracle,
     "event_cep_sql_defagg" -> DefAggOracle,
+    "event_cep_sql_defagg_agg" -> DefAggMeasuresOracle,
     "event_cep_sql_alt_agg" -> AltAggOracle,
     "event_cep_sql_alt_allrows" -> AltAllRowsOracle,
 

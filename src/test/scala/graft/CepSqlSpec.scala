@@ -689,6 +689,21 @@ class CepSqlSpec extends SparkSuite {
     assert(got === want)
   }
 
+  test("every front-door route is total on EMPTY input (0 rows, no errors)") {
+    val sp = spark
+    import sp.implicits._
+    val empty = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val CepSql = graft.queries.Analytic.CepSql
+    for (clause <- Seq(CepSql.funnel, CepSql.hotBuy, CepSql.measured,
+        CepSql.allRows, CepSql.aggMeasures, CepSql.runningMeasures,
+        CepSql.subsetMeasures, CepSql.iterHigher, CepSql.prevRise,
+        CepSql.nextDrop, CepSql.defAgg, CepSql.defAggMeasures,
+        CepSql.iterAggMeasures, CepSql.iterAllRows, CepSql.altFunnel,
+        CepSql.altAggMeasures, CepSql.altAllRows))
+      assert(MatchRecognize.run(empty, clause).count() === 0L, clause.take(80))
+  }
+
   test("streamMeasures validates the streaming surface loudly") {
     val CepSql = graft.queries.Analytic.CepSql
     // relaxed contiguity: the sealed span is NOT the consumed set
