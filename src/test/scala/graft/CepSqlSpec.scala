@@ -781,6 +781,73 @@ class CepSqlSpec extends SparkSuite {
     assert(got === want)
   }
 
+  test("MAX/COUNT aggregate conditions match brute force; relaxed agg path is sound") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(20260818L)
+    val syms = Vector("click", "click", "click", "purchase", "view")
+    val rows = (for {
+      u <- 0 until 30
+      i <- 0 until (12 + rnd.nextInt(16))
+    } yield (u.toLong,
+        new java.sql.Timestamp(1700000000000L + u * 10000000L + i * 60000L),
+        (u * 1000 + i).toLong, syms(rnd.nextInt(syms.size)),
+        math.floor(rnd.nextDouble() * 9000) / 100.0)).toVector
+    val df = rows.toDF("user_id", "ts", "event_id", "event_type", "value")
+    def clause(cond: String) =
+      s"""MATCH_RECOGNIZE (
+         |  PARTITION BY user_id
+         |  ORDER BY ts, event_id
+         |  ONE ROW PER MATCH
+         |  AFTER MATCH SKIP TO NEXT ROW
+         |  PATTERN (a{1,3} b)
+         |  DEFINE a AS a.event_type = 'click' AND $cond,
+         |         b AS b.event_type = 'purchase'
+         |)""".stripMargin
+    def run(c: String) = MatchRecognize.run(df, clause(c)).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_id"),
+        r.getAs[Long]("end_id"))).toSet
+    def brute(okRun: (Vector[Double], Double) => Boolean) =
+      rows.groupBy(_._1).toSeq.flatMap { case (u, rs) =>
+        val s = rs.sortBy(r => (r._2.getTime, r._3))
+        s.indices.flatMap { p =>
+          var l = 0
+          while (l < 3 && p + l < s.size && s(p + l)._4 == "click" &&
+                 okRun(s.slice(p, p + l).map(_._5).toVector, s(p + l)._5)) l += 1
+          (1 to l).reverse.find(c => p + c < s.size && s(p + c)._4 == "purchase")
+            .map(c => (u, s(p)._3, s(p + c)._3))
+        }
+      }.toSet
+    // MAX over the running scope (incl. the tentative current row)
+    assert(run("MAX(a.value) <= 60") ===
+      brute((pre, cur) => (pre :+ cur).max <= 60))
+    // COUNT of the scope — equivalent to a tighter quantifier bound
+    assert(run("COUNT(a.value) <= 2") ===
+      brute((pre, cur) => pre.size + 1 <= 2))
+    // AVG over the running scope
+    assert(run("AVG(a.value) <= 45") ===
+      brute((pre, cur) => ((pre :+ cur).sum / (pre.size + 1)) <= 45))
+    // relaxed contiguity + aggregate condition: a trivially-true gate
+    // must not change the match set of the same gap pattern without it
+    val gapWith =
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (a g1* b)
+        |  DEFINE a AS a.event_type = 'click' AND SUM(a.value) <= 99999999,
+        |         b AS b.event_type = 'purchase'
+        |)""".stripMargin
+    val gapWithout = gapWith.replace(" AND SUM(a.value) <= 99999999", "")
+    val got = MatchRecognize.run(df, gapWith)
+      .orderBy("user_id", "start_id").collect().map(_.toSeq).toSeq
+    val want = MatchRecognize.run(df, gapWithout)
+      .orderBy("user_id", "start_id").collect().map(_.toSeq).toSeq
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
+
   test("alternation composes with general MEASURES (branch-scoped counts)") {
     import org.apache.spark.sql.functions.col
     val evDf = Tables.events(spark, sf001)
