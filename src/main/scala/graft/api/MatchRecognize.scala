@@ -258,13 +258,17 @@ case class MrSpec(partitionBy: Seq[String], orderBy: Seq[String],
     }
   }
 
-  /** The GENERAL measures resolution ([[MrResolvedMeasure]]) — every
-    * MEASURES entry must be `MATCH_NUMBER()`, `CLASSIFIER()`, or
-    * `[RUNNING|FINAL] AGG([var.]col | var.* | *)`; any other text
-    * rejects here with a pointer. Variable scopes must be DEFINEd
-    * pattern steps (a gap consumes rows no measure should see — it is
-    * not a variable the standard lets you reference either). */
-  def resolveMeasures: Seq[MrResolvedMeasure] = {
+  /** Resolve ONE measure entry of the simple grammar —
+    * `MATCH_NUMBER()`, `CLASSIFIER()`, or
+    * `[RUNNING|FINAL] AGG([var.]col | var.* | *)` — to its
+    * [[MrResolvedMeasure]]; None when the text is not one simple call
+    * (the EXPRESSION decomposer then takes over —
+    * [[MatchRecognize.resolveMeasuresWithExprs]]). Variable scopes
+    * must be DEFINEd pattern steps (a gap consumes rows no measure
+    * should see — it is not a variable the standard lets you
+    * reference either). */
+  private[graft] def resolveMeasureEntry(txt: String,
+                                         alias: String): Option[MrResolvedMeasure] = {
     val MatchNum = """(?i)^\s*MATCH_NUMBER\s*\(\s*\)\s*$""".r
     val Classifier = """(?i)^\s*CLASSIFIER\s*\(\s*\)\s*$""".r
     val Agg = ("""(?i)^\s*(?:(RUNNING|FINAL)\s+)?""" +
@@ -277,32 +281,39 @@ case class MrSpec(partitionBy: Seq[String], orderBy: Seq[String],
     val stepVars = stepElems.flatMap(e =>
       if (e.altVars.nonEmpty) e.altVars else Seq(e.variable)).toSet ++
       subsets.map(_._1)
-    measures.map { m =>
-      m.exprSql match {
-        case MatchNum() => MrMatchNumber(m.alias)
-        case Classifier() => MrClassifier(m.alias)
-        case Agg(rf, fn, v, c, nOff) =>
-          val func = fn.toUpperCase
-          val variable = Option(v)
-          val colName = if (c == "*") None else Some(c)
-          val n = Option(nOff).map(_.toInt).getOrElse(0)
-          variable.foreach(vv => require(stepVars(vv),
-            s"MEASURES $func($vv.$c): '$vv' is not a defined pattern " +
-              "step or SUBSET name"))
-          require(colName.nonEmpty || func == "COUNT",
-            s"MEASURES $func(${variable.map(_ + ".").getOrElse("")}*): " +
-              "only COUNT takes *")
-          MrAggMeasure(func, variable, colName,
-            Option(rf).map(_.equalsIgnoreCase("RUNNING")), m.alias, n)
-        case other => throw new IllegalArgumentException(
-          "unsupported MEASURES entry: expected MATCH_NUMBER(), " +
-            "CLASSIFIER(), or [RUNNING|FINAL] COUNT/SUM/AVG/MIN/MAX/" +
-            "FIRST/LAST([var.]col), got: " + other + " — arbitrary measure " +
-            "expressions are not planned (compose them over the " +
-            "output columns instead)")
-      }
+    txt match {
+      case MatchNum() => Some(MrMatchNumber(alias))
+      case Classifier() => Some(MrClassifier(alias))
+      case Agg(rf, fn, v, c, nOff) =>
+        val func = fn.toUpperCase
+        val variable = Option(v)
+        val colName = if (c == "*") None else Some(c)
+        val n = Option(nOff).map(_.toInt).getOrElse(0)
+        variable.foreach(vv => require(stepVars(vv),
+          s"MEASURES $func($vv.$c): '$vv' is not a defined pattern " +
+            "step or SUBSET name"))
+        require(colName.nonEmpty || func == "COUNT",
+          s"MEASURES $func(${variable.map(_ + ".").getOrElse("")}*): " +
+            "only COUNT takes *")
+        Some(MrAggMeasure(func, variable, colName,
+          Option(rf).map(_.equalsIgnoreCase("RUNNING")), alias, n))
+      case _ => None
     }
   }
+
+  /** The GENERAL measures resolution ([[MrResolvedMeasure]]) — every
+    * MEASURES entry must be one SIMPLE call of the grammar above; an
+    * entry that is an arithmetic EXPRESSION over such calls resolves
+    * via [[MatchRecognize.resolveMeasuresWithExprs]] (the run()
+    * routes use that), and anything else rejects with a pointer. */
+  def resolveMeasures: Seq[MrResolvedMeasure] =
+    measures.map(m => resolveMeasureEntry(m.exprSql, m.alias).getOrElse(
+      throw new IllegalArgumentException(
+        "unsupported MEASURES entry: expected MATCH_NUMBER(), " +
+          "CLASSIFIER(), [RUNNING|FINAL] COUNT/SUM/AVG/MIN/MAX/" +
+          "FIRST/LAST([var.]col), or an arithmetic expression over " +
+          "those calls (run() resolves expressions; this simple " +
+          "resolution does not), got: " + m.exprSql)))
 }
 
 /** SQL `MATCH_RECOGNIZE` front door for the CEP engine: parses the
@@ -1114,11 +1125,13 @@ object MatchRecognize {
             "the iterative route's general MEASURES aggregate the whole " +
             "match (alias differently, e.g. SUM(value) AS total_v, or " +
             "scope per variable: SUM(a.value) AS a_sum)")
-        val resolved = spec.resolveMeasures
+        val (resolved, projs) = resolveMeasuresWithExprs(spec)
         val consumed = runIterConsumed(df, spec, key, tsC, ordC)
-        return if (spec.allRows)
-                 runAllRowsMeasures(df, spec, resolved, key, tsC, ordC, consumed)
-               else runMeasures(df, spec, resolved, key, tsC, ordC, consumed)
+        return applyMeasureExprs(
+          if (spec.allRows)
+            runAllRowsMeasures(df, spec, resolved, key, tsC, ordC, consumed)
+          else runMeasures(df, spec, resolved, key, tsC, ordC, consumed),
+          projs)
       }
       if (spec.allRows)
         return runIterConsumed(df, spec, key, tsC, ordC)
@@ -1135,11 +1148,13 @@ object MatchRecognize {
     // (ONE ROW: groupBy per match) or windows (ALL ROWS: running/final
     // frames) — see [[runMeasures]] / [[runAllRowsMeasures]].
     if (spec.measures.nonEmpty && (spec.allRows || spec.measuresValCol.isEmpty)) {
-      val resolved = spec.resolveMeasures
+      val (resolved, projs) = resolveMeasuresWithExprs(spec)
       val consumed = consumedRows(df, spec, key, tsC, ordC)
-      return if (spec.allRows)
-               runAllRowsMeasures(df, spec, resolved, key, tsC, ordC, consumed)
-             else runMeasures(df, spec, resolved, key, tsC, ordC, consumed)
+      return applyMeasureExprs(
+        if (spec.allRows)
+          runAllRowsMeasures(df, spec, resolved, key, tsC, ordC, consumed)
+        else runMeasures(df, spec, resolved, key, tsC, ordC, consumed),
+        projs)
     }
     if (spec.allRows) return runAllRows(df, spec, key, tsC, ordC)
     (spec.toSymbolic, spec.measuresValCol) match {
@@ -1444,6 +1459,104 @@ object MatchRecognize {
       .withColumnRenamed("ts", tsC)
   }
 
+  private val MeasureCallFns = Set("MATCH_NUMBER", "CLASSIFIER", "COUNT",
+    "SUM", "AVG", "MIN", "MAX", "FIRST", "LAST")
+
+  /** GENERAL MEASURES with arithmetic EXPRESSIONS (Flink SQL allows
+    * `LAST(A.price) - FIRST(A.price) AS delta`): decompose every
+    * MEASURES entry into SIMPLE resolved sub-measures (hidden `__mxN`
+    * aliases) plus a post-aggregation projection. An entry that is one
+    * simple call passes through unchanged (projection None). Inside an
+    * expression: the simple calls resolve recursively, a bare
+    * `var.col` reference is SQL:2016's implicit `LAST(var.col)` (the
+    * last row of the scope — Flink's `A.price`), and everything else
+    * must be arithmetic (numbers, `+ - * /`, parens) — any other token
+    * rejects loudly. The projection is ordinary Catalyst `expr()` over
+    * the aggregated hidden columns, so the plan gains NO extra
+    * aggregation or shuffle. */
+  private[graft] def resolveMeasuresWithExprs(
+      spec: MrSpec): (Seq[MrResolvedMeasure], Seq[(String, Option[String])]) = {
+    spec.measures.foreach(m => require(!m.alias.startsWith("__mx"),
+      s"MEASURES alias ${m.alias}: the __mx prefix is reserved for " +
+        "hidden expression sub-measures"))
+    var hi = -1
+    def nextAlias(): String = { hi += 1; s"__mx$hi" }
+    val hidden = Vector.newBuilder[MrResolvedMeasure]
+    val projs = spec.measures.map { m =>
+      spec.resolveMeasureEntry(m.exprSql, m.alias) match {
+        case Some(r) => hidden += r; (m.alias, None)
+        case None =>
+          val src = m.exprSql
+          val toks = tokenize(src)
+          require(toks.nonEmpty, "empty MEASURES expression")
+          val repl = Vector.newBuilder[(Int, Int, String)]
+          var i = 0
+          while (i < toks.length) {
+            toks(i) match {
+              case TId(txt, a, _) if MeasureCallFns(txt.toUpperCase) &&
+                  i + 1 < toks.length && toks(i + 1).text == "(" =>
+                var d = 0
+                var j = i + 1
+                var end = -1
+                while (end < 0 && j < toks.length) {
+                  if (toks(j).text == "(") d += 1
+                  if (toks(j).text == ")") { d -= 1; if (d == 0) end = j }
+                  j += 1
+                }
+                require(end > 0,
+                  s"unbalanced parens in MEASURES expression: $src")
+                val sub = src.substring(a, toks(end).b)
+                val h = nextAlias()
+                hidden += spec.resolveMeasureEntry(sub, h).getOrElse(fail(
+                  s"unsupported call inside MEASURES expression: $sub — " +
+                    "expected MATCH_NUMBER() / CLASSIFIER() / " +
+                    "[RUNNING|FINAL] AGG([var.]col | var.* | *)"))
+                repl += ((a, toks(end).b, h))
+                i = end + 1
+              case TId(v, a, _) if i + 2 < toks.length &&
+                  toks(i + 1).text == "." && toks(i + 2).isInstanceOf[TId] =>
+                // bare var.col — SQL:2016 implicit LAST(var.col)
+                val c = toks(i + 2).text
+                val h = nextAlias()
+                hidden += spec.resolveMeasureEntry(s"LAST($v.$c)", h)
+                  .getOrElse(fail(s"cannot resolve bare reference $v.$c " +
+                    "in MEASURES expression (implicit LAST): " + src))
+                repl += ((a, toks(i + 2).b, h))
+                i += 3
+              case TNum(_, _, _) => i += 1
+              case TSym(s2, _, _) if Set("+", "-", "*", "/", "(", ")")(s2) =>
+                i += 1
+              case other => fail(
+                "unsupported token in MEASURES expression (allowed: the " +
+                  "simple calls, bare var.col — implicit LAST —, numbers, " +
+                  s"+ - * / and parens): '${other.text}' in: $src")
+            }
+          }
+          val sb = new StringBuilder
+          var p = toks.head.a
+          for ((a, b, h) <- repl.result()) {
+            sb.append(src.substring(p, a)); sb.append(h); p = b
+          }
+          sb.append(src.substring(p, toks.last.b))
+          (m.alias, Some(sb.toString))
+      }
+    }
+    (hidden.result(), projs)
+  }
+
+  /** Apply the expression projections of [[resolveMeasuresWithExprs]]
+    * over an aggregated measures output and drop the hidden sub-measure
+    * columns. Identity when every entry was a simple call. */
+  private def applyMeasureExprs(base: DataFrame,
+                                projs: Seq[(String, Option[String])]): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    if (projs.forall(_._2.isEmpty)) return base
+    val withExprs = projs.foldLeft(base) { case (d, (alias, sqlOpt)) =>
+      sqlOpt.map(sq => d.withColumn(alias, expr(sq))).getOrElse(d)
+    }
+    withExprs.drop(withExprs.columns.filter(_.startsWith("__mx")): _*)
+  }
+
   /** Resolve a parsed spec's MEASURES for the SEAL-AWARE STREAMING
     * matcher (StreamOps.cepPatternMeasures — general measures computed
     * at each sealed match's emission, so the aggregates flow
@@ -1535,11 +1648,13 @@ object MatchRecognize {
           "is not supported — branch step_sums have no single " +
           "cross-branch alignment; use general measures (e.g. " +
           "SUM(value) AS total_v, SUM(c.value) AS c_sum) instead")
-      val resolved = spec.resolveMeasures
+      val (resolved, projs) = resolveMeasuresWithExprs(spec)
       val consumed = alternationConsumed(df, spec, key, tsC, ordC)
-      return if (spec.allRows)
-               runAllRowsMeasures(df, spec, resolved, key, tsC, ordC, consumed)
-             else runMeasures(df, spec, resolved, key, tsC, ordC, consumed)
+      return applyMeasureExprs(
+        if (spec.allRows)
+          runAllRowsMeasures(df, spec, resolved, key, tsC, ordC, consumed)
+        else runMeasures(df, spec, resolved, key, tsC, ordC, consumed),
+        projs)
     }
     if (spec.allRows)
       return alternationConsumed(df, spec, key, tsC, ordC)

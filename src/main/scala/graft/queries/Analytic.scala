@@ -529,6 +529,16 @@ object Analytic {
       MatchRecognize.run(Tables.events(s, d), CepSql.defAgg)
         .orderBy("user_id", "start_id")),
 
+    // MEASURES expressions from text: arithmetic over the simple calls
+    // + the implicit-LAST bare reference, on the same C+ P WITHIN 10
+    // matches — hidden sub-measures aggregated once, expressions as a
+    // post-projection (no extra shuffle). Oracle: the islands CTE chain
+    // with the same closed forms (mean_v cents-rounded both sides).
+    "event_cep_sql_expr" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.exprMeasures)
+        .withColumn("mean_v", Det.round2(col("mean_v")))
+        .orderBy("user_id", "start_id")),
+
     // Aggregate condition × MEASURES from text: the defAgg matches
     // with per-match aggregates computed over the consumed span.
     // Oracle: the same lead-chain match derivation carrying the run's
@@ -917,6 +927,25 @@ object Analytic {
         |  PATTERN (a{1,4} b)
         |  DEFINE a AS a.event_type = 'click' AND SUM(a.value) <= 200,
         |         b AS b.event_type = 'purchase'
+        |)""".stripMargin
+    // MEASURES EXPRESSIONS (Flink SQL's `LAST(A.v) - FIRST(A.v)`):
+    // arithmetic over the simple calls, a bare `purchase.value`
+    // (SQL:2016 implicit LAST), and mixed long arithmetic — decomposed
+    // to hidden sub-measures + one post-aggregation projection.
+    val exprMeasures: String =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES LAST(click.value) - FIRST(click.value) AS climb,
+        |           SUM(value) / COUNT(*) AS mean_v,
+        |           purchase.value AS p_v,
+        |           MATCH_NUMBER() * 1000 + COUNT(click.*) AS tag
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (click+ purchase)
+        |  WITHIN INTERVAL '10' MINUTE
+        |  DEFINE click AS event_type = 'click',
+        |         purchase AS event_type = 'purchase'
         |)""".stripMargin
     // Aggregate condition × general MEASURES: the RUNNING-sum-capped
     // click run WITH a measures clause — the last unexercised
@@ -1462,6 +1491,38 @@ object Analytic {
       |       max_v, click2_v, click_penult_v, last_step
       |FROM g ORDER BY user_id, start_id""".stripMargin
 
+  /** MEASURES-expressions oracle: the same islands consumed-rows chain,
+    * each expression in closed form over the per-match aggregates —
+    * climb = last minus first click value (arg extremes, exact double
+    * subtraction on identical operands), mean_v = sum/count
+    * (cents-rounded both sides — summation order), p_v = the implicit
+    * LAST(purchase.value), tag = match_no*1000 + n_clicks (exact long
+    * arithmetic). */
+  private val ExprMeasuresOracle: String = AllRowsCtes +
+    """,
+      |g AS (
+      |  SELECT user_id,
+      |         arg_min(event_id, pos) AS start_id,
+      |         arg_min(ts, pos) AS start_ts,
+      |         purchase_id AS end_id,
+      |         arg_max(ts, pos) AS end_ts,
+      |         count(*) AS n_rows,
+      |         arg_max(CASE WHEN step = 'click' THEN value END,
+      |                 CASE WHEN step = 'click' THEN pos END)
+      |           - arg_min(CASE WHEN step = 'click' THEN value END,
+      |                     CASE WHEN step = 'click' THEN pos END) AS climb,
+      |         floor(sum(value) / count(*) * 100 + 0.5) / 100 AS mean_v,
+      |         arg_max(CASE WHEN step = 'purchase' THEN value END,
+      |                 CASE WHEN step = 'purchase' THEN pos END) AS p_v,
+      |         count(CASE WHEN step = 'click' THEN 1 END) AS n_clicks
+      |  FROM ar GROUP BY user_id, purchase_id)
+      |SELECT user_id, start_id, start_ts, end_id, end_ts, n_rows,
+      |       climb, mean_v, p_v,
+      |       CAST(row_number() OVER (PARTITION BY user_id
+      |              ORDER BY start_ts, start_id) * 1000 + n_clicks
+      |            AS BIGINT) AS tag
+      |FROM g ORDER BY user_id, start_id""".stripMargin
+
   /** General-MEASURES (ALL ROWS PER MATCH) oracle: the same consumed
     * rows with RUNNING frames (`ROWS UNBOUNDED PRECEDING` in pos
     * order), FINAL frames (whole-match window), ignore-nulls
@@ -1547,6 +1608,7 @@ object Analytic {
     "event_cep_sql_iter_allrows" -> IterAllRowsOracle,
     "event_cep_sql_defagg" -> DefAggOracle,
     "event_cep_sql_defagg_agg" -> DefAggMeasuresOracle,
+    "event_cep_sql_expr" -> ExprMeasuresOracle,
     "event_cep_sql_alt_agg" -> AltAggOracle,
     "event_cep_sql_alt_allrows" -> AltAllRowsOracle,
 

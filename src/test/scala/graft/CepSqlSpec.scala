@@ -689,6 +689,58 @@ class CepSqlSpec extends SparkSuite {
     assert(got === want)
   }
 
+  test("MEASURES expressions decompose to exactly the composed simple measures") {
+    val ev = Tables.events(spark, sf001)
+    val CepSql = graft.queries.Analytic.CepSql
+    val got = MatchRecognize.run(ev, CepSql.exprMeasures)
+      .orderBy("user_id", "start_id").collect()
+    val simple = CepSql.exprMeasures
+      .replace("LAST(click.value) - FIRST(click.value) AS climb",
+        "LAST(click.value) AS lc")
+      .replace("SUM(value) / COUNT(*) AS mean_v", "FIRST(click.value) AS fc")
+      .replace("purchase.value AS p_v", "SUM(value) AS sv")
+      .replace("MATCH_NUMBER() * 1000 + COUNT(click.*) AS tag",
+        "COUNT(*) AS cnt, LAST(purchase.value) AS pv, " +
+          "MATCH_NUMBER() AS mn, COUNT(click.*) AS nc")
+    val base = MatchRecognize.run(ev, simple)
+      .orderBy("user_id", "start_id").collect()
+    assert(got.nonEmpty && got.length === base.length)
+    for ((g, b) <- got.zip(base)) {
+      assert(g.getAs[Double]("climb") ===
+        b.getAs[Double]("lc") - b.getAs[Double]("fc"))
+      assert(g.getAs[Double]("mean_v") ===
+        b.getAs[Double]("sv") / b.getAs[Long]("cnt"))
+      assert(g.getAs[Double]("p_v") === b.getAs[Double]("pv"))
+      assert(g.getAs[Long]("tag") ===
+        b.getAs[Long]("mn") * 1000 + b.getAs[Long]("nc"))
+    }
+    // ALL ROWS route: a RUNNING expression per consumed row
+    val arTxt =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES SUM(value) - LAST(click.value) AS gap,
+        |           SUM(value) AS rs,
+        |           LAST(click.value) AS lc
+        |  ALL ROWS PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (click+ purchase)
+        |  WITHIN INTERVAL '10' MINUTE
+        |  DEFINE click AS event_type = 'click',
+        |         purchase AS event_type = 'purchase'
+        |)""".stripMargin
+    val ar = MatchRecognize.run(ev, arTxt).collect()
+    assert(ar.nonEmpty)
+    for (r <- ar)
+      assert(r.getAs[Double]("gap") ===
+        r.getAs[Double]("rs") - r.getAs[Double]("lc"))
+    // rejection: a token outside the whitelist stays loud
+    assert(intercept[IllegalArgumentException](
+      MatchRecognize.run(ev, CepSql.exprMeasures.replace(
+        "SUM(value) / COUNT(*)", "concat(SUM(value), 'x')")))
+      .getMessage.contains("unsupported token"))
+  }
+
   test("every front-door route is total on EMPTY input (0 rows, no errors)") {
     val sp = spark
     import sp.implicits._
