@@ -1566,7 +1566,15 @@ object MatchRecognize {
     * step_counts determine every scope without a re-walk; measures
     * aggregate the event `value` column (the CEP event model). Every
     * violation rejects loudly with the batch alternative named. */
-  def streamMeasures(spec: MrSpec): Seq[MrStreamMeasure] = {
+  def streamMeasures(spec: MrSpec): Seq[MrStreamMeasure] =
+    streamMeasuresPlan(spec)._1
+
+  /** [[streamMeasures]] plus the expression projections — MEASURES
+    * EXPRESSIONS work on the streaming route exactly as on batch: the
+    * matcher evaluates the hidden simple sub-measures at emission and
+    * [[streamMeasuresSelect]] applies the arithmetic projection. */
+  private[graft] def streamMeasuresPlan(
+      spec: MrSpec): (Seq[MrStreamMeasure], Seq[(String, Option[String])]) = {
     require(!spec.allRows,
       "streaming general MEASURES are ONE ROW PER MATCH (per-match " +
         "emission); use the batch route for ALL ROWS")
@@ -1581,11 +1589,11 @@ object MatchRecognize {
     require(spec.stepElems.forall(!_.negated),
       "streaming general MEASURES do not cover negated steps")
     val stepIdxByVar = spec.stepElems.map(_.variable).zipWithIndex.toMap
-    val resolved = spec.resolveMeasures
+    val (resolved, projs) = resolveMeasuresWithExprs(spec)
     checkMeasureAliases(resolved, Seq("user_id", "start_id", "start_ts",
       "end_id", "end_ts", "n_rows", "longs", "nums", "strs") ++
       spec.partitionBy)
-    resolved.map {
+    val sms = resolved.map {
       case MrMatchNumber(a) => MrStreamMeasure("MATCH_NUMBER", None, a)
       case MrClassifier(a) => MrStreamMeasure("CLASSIFIER", None, a)
       case m: MrAggMeasure =>
@@ -1597,6 +1605,7 @@ object MatchRecognize {
           spec.scopeMembers(v).map(stepIdxByVar).toSet)
         MrStreamMeasure(m.func, scope, m.alias, m.n)
     }
+    (sms, projs)
   }
 
   /** Project the streaming measures matcher's generic emission
@@ -1609,7 +1618,8 @@ object MatchRecognize {
   def streamMeasuresSelect(df: DataFrame, spec: MrSpec,
                            key: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val cols = streamMeasures(spec).map { m =>
+    val (sms, projs) = streamMeasuresPlan(spec)
+    val cols = sms.map { m =>
       val src = m.func match {
         case "MATCH_NUMBER" | "COUNT" => col("longs")
         case "CLASSIFIER" => col("strs")
@@ -1617,8 +1627,12 @@ object MatchRecognize {
       }
       src.getItem(m.alias).as(m.alias)
     }
-    df.select(Seq(col("user_id").as(key), col("start_id"), col("start_ts"),
-      col("end_id"), col("end_ts"), col("n_rows")) ++ cols: _*)
+    val base = df.select(Seq(col("user_id").as(key), col("start_id"),
+      col("start_ts"), col("end_id"), col("end_ts"), col("n_rows")) ++
+      cols: _*)
+    applyMeasureExprs(base, projs)
+      .select((Seq(key, "start_id", "start_ts", "end_id", "end_ts",
+        "n_rows") ++ spec.measures.map(_.alias)).map(col): _*)
   }
 
   /** Bounded alternation `(a | b)` execution: the UNION of the

@@ -308,6 +308,27 @@ object Streaming {
         .orderBy("user_id", "start_id")
     }),
 
+    // MEASURES EXPRESSIONS on the streaming route: the same clause as
+    // event_cep_sql_expr — hidden sub-measures evaluated at each sealed
+    // match's emission, arithmetic applied as a projection. Batch
+    // replay shares that key's closed-form islands oracle.
+    "stream_cep_sql_expr" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val spec = graft.api.MatchRecognize.parse(Analytic.CepSql.exprMeasures)
+      val (symCol, pat) = spec.toSymbolic.get
+      val sm = graft.api.MatchRecognize.streamMeasures(spec)
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col(symCol).as("event_type"), col("value"))
+        .as[Ev]
+      val m = StreamOps.cepPatternMeasures(ev, pat,
+        spec.stepElems.map(_.variable), sm, streaming = false).toDF()
+      graft.api.MatchRecognize.streamMeasuresSelect(m, spec, "user_id")
+        .withColumn("mean_v", graft.Det.round2(col("mean_v")))
+        .orderBy("user_id", "start_id")
+    }),
+
     // ALL ROWS PER MATCH on the seal-aware matcher (the row-level
     // sibling of stream_cep_sql_agg): the SAME clause text as
     // event_cep_sql_allrows, rows emitted per SEALED match with the
@@ -560,6 +581,8 @@ object Streaming {
     "stream_cep_sql_agg" -> Analytic.oracles("event_cep_sql_agg"),
     // row-level streaming CEP batch replay = the batch islands oracle
     "stream_cep_allrows" -> Analytic.oracles("event_cep_sql_allrows"),
+    // streaming MEASURES expressions = the batch closed-form oracle
+    "stream_cep_sql_expr" -> Analytic.oracles("event_cep_sql_expr"),
     "stream_cep_pattern" -> graft.api.Cep.oracleSql(Analytic.CepPatterns.quant),
     "stream_cep_relaxed" -> graft.api.Cep.oracleSql(Analytic.CepPatterns.relaxed),
     "stream_cep_skip" -> graft.api.Cep.oracleSql(Analytic.CepPatterns.skipFirst),
