@@ -343,13 +343,17 @@ case class MrSpec(partitionBy: Seq[String], orderBy: Seq[String],
   * per-step exact-cents sums INTO the gaps-and-islands plan
   * ([[Cep.compileMeasures]] — fully codegen'd, ONE ROW PER MATCH
   * only). Every other clause takes the GENERAL route: each entry is
-  * `MATCH_NUMBER()`, `CLASSIFIER()`, or
+  * `MATCH_NUMBER()`, `CLASSIFIER()`,
   * `[RUNNING|FINAL] AGG([var.]col | var.* | *)`
   * with AGG ∈ COUNT/SUM/AVG/MIN/MAX/FIRST/LAST (FIRST/LAST take an
   * optional SQL:2016 offset, `FIRST(a.col, n)`)
-  * ([[MrSpec.resolveMeasures]]; a scope may also name a SUBSET union
-  * variable — the aggregate then ranges over the members' combined
-  * consumed rows), executed over the matcher's
+  * ([[MrSpec.resolveMeasureEntry]]; a scope may also name a SUBSET
+  * union variable — the aggregate then ranges over the members'
+  * combined consumed rows), OR an arithmetic EXPRESSION over such
+  * calls — `LAST(a.v) - FIRST(a.v)`, `SUM(v) / COUNT(*)`, with bare
+  * `var.col` as SQL:2016's implicit LAST —
+  * ([[resolveMeasuresWithExprs]]: hidden sub-measures + one
+  * post-aggregation projection), executed over the matcher's
   * consumed-row projection by one per-match hash aggregation (ONE ROW
   * — [[runMeasures]]) or per-match windows (ALL ROWS —
   * [[runAllRowsMeasures]], where RUNNING is the default and frames
