@@ -741,6 +741,68 @@ class CepSqlSpec extends SparkSuite {
       .getMessage.contains("unsupported token"))
   }
 
+  test("property: MEASURES expression splicing is exact (300 random trees)") {
+    // the decomposer must reproduce the original expression with each
+    // call leaf replaced by its hidden alias — substituting the leaves'
+    // canonical text back must recover the source exactly (bare var.col
+    // leaves canonicalize to their implicit LAST form)
+    val spec = MatchRecognize.parse(
+      graft.queries.Analytic.CepSql.exprMeasures) // click+ purchase scopes
+    val rnd = new scala.util.Random(20260819L)
+    def renderCanonical(m: MrResolvedMeasure): String = m match {
+      case MrMatchNumber(_) => "MATCH_NUMBER()"
+      case MrClassifier(_) => "CLASSIFIER()"
+      case MrAggMeasure(f, v, c, _, _, n) =>
+        val scope = v.map(_ + ".").getOrElse("")
+        val col = c.getOrElse("*")
+        val off = if (n > 0) s", $n" else ""
+        s"$f($scope$col$off)"
+    }
+    // (surface text, canonical text) call leaves
+    def leaf(): (String, String) = rnd.nextInt(7) match {
+      case 0 => ("MATCH_NUMBER()", "MATCH_NUMBER()")
+      case 1 => ("COUNT(*)", "COUNT(*)")
+      case 2 => ("COUNT(click.*)", "COUNT(click.*)")
+      case 3 => ("SUM(value)", "SUM(value)")
+      case 4 => ("MAX(click.value)", "MAX(click.value)")
+      case 5 =>
+        val t = s"FIRST(click.value, ${1 + rnd.nextInt(3)})"
+        (t, t)
+      case _ => ("purchase.value", "LAST(purchase.value)") // implicit LAST
+    }
+    def gen(depth: Int): (String, String) =
+      if (depth <= 0 || rnd.nextInt(3) == 0) {
+        if (rnd.nextInt(4) == 0) { val v = rnd.nextInt(100).toString; (v, v) }
+        else leaf()
+      } else rnd.nextInt(3) match {
+        case 0 =>
+          val (ls, lc) = gen(depth - 1)
+          val (rs, rc) = gen(depth - 1)
+          val op = Seq("+", "-", "*", "/")(rnd.nextInt(4))
+          (s"$ls $op $rs", s"$lc $op $rc")
+        case _ =>
+          val (s1, c1) = gen(depth - 1)
+          (s"($s1)", s"($c1)")
+      }
+    for (i <- 0 until 300) {
+      val (surface, canonical) = gen(3)
+      val sp2 = spec.copy(measures = Seq(MrMeasure(surface, "x")))
+      val (hidden, projs) = MatchRecognize.resolveMeasuresWithExprs(sp2)
+      projs match {
+        case Seq(("x", None)) =>
+          // the whole text was one simple call — canonical must agree
+          assert(hidden.size == 1 &&
+            renderCanonical(hidden.head) == canonical, s"#$i: $surface")
+        case Seq(("x", Some(proj))) =>
+          val byAlias = hidden.map(h => h.alias -> renderCanonical(h)).toMap
+          val restored = "__mx\\d+".r.replaceAllIn(proj,
+            m2 => java.util.regex.Matcher.quoteReplacement(byAlias(m2.matched)))
+          assert(restored == canonical, s"#$i:\n $surface\n $proj\n $restored")
+        case other => fail(s"#$i unexpected: $other")
+      }
+    }
+  }
+
   test("every front-door route is total on EMPTY input (0 rows, no errors)") {
     val sp = spark
     import sp.implicits._
