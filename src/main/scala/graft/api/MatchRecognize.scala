@@ -349,9 +349,12 @@ case class MrSpec(partitionBy: Seq[String], orderBy: Seq[String],
   * optional SQL:2016 offset, `FIRST(a.col, n)`)
   * ([[MrSpec.resolveMeasureEntry]]; a scope may also name a SUBSET
   * union variable — the aggregate then ranges over the members'
-  * combined consumed rows), OR an arithmetic EXPRESSION over such
-  * calls — `LAST(a.v) - FIRST(a.v)`, `SUM(v) / COUNT(*)`, with bare
-  * `var.col` as SQL:2016's implicit LAST —
+  * combined consumed rows), OR a scalar EXPRESSION over such
+  * calls — arithmetic (`LAST(a.v) - FIRST(a.v)`, `SUM(v) / COUNT(*)`),
+  * comparisons, `CASE WHEN`, `||` concatenation (CLASSIFIER() may be a
+  * sub-term), literals, and whitelisted deterministic scalar wrappers
+  * (ABS/ROUND/FLOOR/CAST/COALESCE/CONCAT/...), with bare `[var.]col`
+  * as SQL:2016's implicit LAST —
   * ([[resolveMeasuresWithExprs]]: hidden sub-measures + one
   * post-aggregation projection), executed over the matcher's
   * consumed-row projection by one per-match hash aggregation (ONE ROW
@@ -1466,18 +1469,56 @@ object MatchRecognize {
   private val MeasureCallFns = Set("MATCH_NUMBER", "CLASSIFIER", "COUNT",
     "SUM", "AVG", "MIN", "MAX", "FIRST", "LAST")
 
-  /** GENERAL MEASURES with arithmetic EXPRESSIONS (Flink SQL allows
-    * `LAST(A.price) - FIRST(A.price) AS delta`): decompose every
+  /** Identifier KEYWORDS allowed verbatim inside a MEASURES expression:
+    * CASE branching, the boolean connectives, null/boolean literals,
+    * IS (for `IS [NOT] NULL`), and CAST's `AS <type>` target names.
+    * Checked before the bare-column rule, so a column that shares one
+    * of these names cannot be referenced bare — wrap it as
+    * `LAST(col)` explicitly. */
+  private val ExprKeywords = Set(
+    "CASE", "WHEN", "THEN", "ELSE", "END", "AND", "OR", "NOT", "IS",
+    "NULL", "TRUE", "FALSE", "AS",
+    "DOUBLE", "INT", "INTEGER", "BIGINT", "SMALLINT", "TINYINT",
+    "FLOAT", "REAL", "STRING", "VARCHAR", "BOOLEAN", "DECIMAL", "LONG")
+
+  /** Deterministic SCALAR functions allowed to wrap sub-terms in a
+    * MEASURES expression (evaluated post-aggregation by Catalyst —
+    * every one is a pure, codegen'd builtin). An identifier followed
+    * by `(` that is neither a simple-call aggregate nor on this list
+    * rejects loudly — an unknown call must not silently decompose as
+    * a bare-column reference. */
+  private val ExprScalarFns = Set(
+    "ABS", "ROUND", "FLOOR", "CEIL", "CEILING", "SQRT", "POWER", "POW",
+    "LN", "LOG", "EXP", "SIGN", "MOD", "LEAST", "GREATEST", "COALESCE",
+    "NULLIF", "CONCAT", "UPPER", "LOWER", "LENGTH", "SUBSTRING",
+    "SUBSTR", "TRIM", "CAST")
+
+  /** Symbols allowed in a MEASURES expression: arithmetic, parens and
+    * argument commas, the comparison operators (`>= <= <> !=` arrive
+    * as adjacent single-char tokens), and `|` so `||` concatenation
+    * works. Everything is validated again by Catalyst's parser when
+    * the projection is spliced with `expr()`. */
+  private val ExprSyms = Set(
+    "+", "-", "*", "/", "%", "(", ")", ",", ">", "<", "=", "!", "|")
+
+  /** GENERAL MEASURES with scalar EXPRESSIONS (Flink SQL allows an
+    * arbitrary expression such as `LAST(A.price) - FIRST(A.price)` or
+    * `CASE WHEN SUM(A.v) > 100 THEN 'hot' END`): decompose every
     * MEASURES entry into SIMPLE resolved sub-measures (hidden `__mxN`
     * aliases) plus a post-aggregation projection. An entry that is one
     * simple call passes through unchanged (projection None). Inside an
-    * expression: the simple calls resolve recursively, a bare
+    * expression: the simple calls (including `CLASSIFIER()` /
+    * `MATCH_NUMBER()` as sub-terms) resolve recursively, a bare
     * `var.col` reference is SQL:2016's implicit `LAST(var.col)` (the
-    * last row of the scope — Flink's `A.price`), and everything else
-    * must be arithmetic (numbers, `+ - * /`, parens) — any other token
-    * rejects loudly. The projection is ordinary Catalyst `expr()` over
-    * the aggregated hidden columns, so the plan gains NO extra
-    * aggregation or shuffle. */
+    * last row of the scope — Flink's `A.price`), a bare un-prefixed
+    * column is the implicit `LAST(col)` over the universal row
+    * variable, and the surrounding expression may use arithmetic,
+    * comparisons, `||` concatenation, string/number literals,
+    * `CASE WHEN`/boolean connectives, and the whitelisted
+    * deterministic scalar wrappers ([[ExprScalarFns]]) — any other
+    * token or unknown function call rejects loudly. The projection is
+    * ordinary Catalyst `expr()` over the aggregated hidden columns, so
+    * the plan gains NO extra aggregation or shuffle. */
   private[graft] def resolveMeasuresWithExprs(
       spec: MrSpec): (Seq[MrResolvedMeasure], Seq[(String, Option[String])]) = {
     spec.measures.foreach(m => require(!m.alias.startsWith("__mx"),
@@ -1517,6 +1558,21 @@ object MatchRecognize {
                     "[RUNNING|FINAL] AGG([var.]col | var.* | *)"))
                 repl += ((a, toks(end).b, h))
                 i = end + 1
+              case TId(txt, _, _) if ExprScalarFns(txt.toUpperCase) &&
+                  i + 1 < toks.length && toks(i + 1).text == "(" =>
+                // whitelisted scalar wrapper — its parens/args are
+                // scanned by this same loop, so call leaves inside the
+                // arguments still decompose
+                i += 1
+              case TId(txt, _, _) if ExprKeywords(txt.toUpperCase) =>
+                i += 1
+              case TId(txt, _, _) if i + 1 < toks.length &&
+                  toks(i + 1).text == "(" => fail(
+                s"unsupported function in MEASURES expression: $txt(...) " +
+                  "— allowed calls are MATCH_NUMBER/CLASSIFIER, the " +
+                  "aggregates COUNT/SUM/AVG/MIN/MAX/FIRST/LAST, and the " +
+                  "deterministic scalar wrappers " +
+                  ExprScalarFns.toSeq.sorted.mkString(" ") + s"; in: $src")
               case TId(v, a, _) if i + 2 < toks.length &&
                   toks(i + 1).text == "." && toks(i + 2).isInstanceOf[TId] =>
                 // bare var.col — SQL:2016 implicit LAST(var.col)
@@ -1527,13 +1583,25 @@ object MatchRecognize {
                     "in MEASURES expression (implicit LAST): " + src))
                 repl += ((a, toks(i + 2).b, h))
                 i += 3
-              case TNum(_, _, _) => i += 1
-              case TSym(s2, _, _) if Set("+", "-", "*", "/", "(", ")")(s2) =>
+              case TId(id, a, b) =>
+                // bare un-prefixed column — SQL:2016's universal row
+                // variable, implicit LAST over the whole match
+                val h = nextAlias()
+                hidden += spec.resolveMeasureEntry(s"LAST($id)", h)
+                  .getOrElse(fail(s"cannot resolve bare column $id in " +
+                    "MEASURES expression (implicit LAST): " + src))
+                repl += ((a, b, h))
                 i += 1
+              case TNum(_, _, _) => i += 1
+              case TStr(_, _, _) => i += 1
+              case TSym(s2, _, _) if ExprSyms(s2) => i += 1
               case other => fail(
                 "unsupported token in MEASURES expression (allowed: the " +
-                  "simple calls, bare var.col — implicit LAST —, numbers, " +
-                  s"+ - * / and parens): '${other.text}' in: $src")
+                  "simple calls, bare [var.]col — implicit LAST —, " +
+                  "number/string literals, CASE WHEN / boolean keywords, " +
+                  "whitelisted scalar wrappers, and the operator symbols " +
+                  s"+ - * / % || comparisons parens commas): " +
+                  s"'${other.text}' in: $src")
             }
           }
           val sb = new StringBuilder

@@ -539,6 +539,15 @@ object Analytic {
         .withColumn("mean_v", Det.round2(col("mean_v")))
         .orderBy("user_id", "start_id")),
 
+    // MEASURES expressions beyond arithmetic (round-12): CASE WHEN over
+    // comparisons, CAST-wrapped boolean, `||` concat with CLASSIFIER()
+    // as a sub-term, FLOOR/COALESCE wrappers — same islands matches,
+    // closed-form oracle. avg_click is bit-stable cents-rounded INSIDE
+    // the measure (the FLOOR idiom) on both sides.
+    "event_cep_sql_expr_case" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.exprCase)
+        .orderBy("user_id", "start_id")),
+
     // Aggregate condition × MEASURES from text: the defAgg matches
     // with per-match aggregates computed over the consumed span.
     // Oracle: the same lead-chain match derivation carrying the run's
@@ -940,6 +949,30 @@ object Analytic {
         |           SUM(value) / COUNT(*) AS mean_v,
         |           purchase.value AS p_v,
         |           MATCH_NUMBER() * 1000 + COUNT(click.*) AS tag
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (click+ purchase)
+        |  WITHIN INTERVAL '10' MINUTE
+        |  DEFINE click AS event_type = 'click',
+        |         purchase AS event_type = 'purchase'
+        |)""".stripMargin
+    // MEASURES expressions BEYOND arithmetic (round-12 top-next item):
+    // CASE WHEN over a comparison of navigation extremes, an integer
+    // comparison CAST to INT, string concatenation with CLASSIFIER()
+    // as a sub-term, and FLOOR/COALESCE wrappers (the bit-stable
+    // cents-rounding spelled INSIDE the measure) — all decomposed to
+    // hidden simple sub-measures + ONE post-aggregation Catalyst
+    // projection, no extra shuffle.
+    val exprCase: String =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES CASE WHEN LAST(click.value) > FIRST(click.value) THEN 'up'
+        |                WHEN LAST(click.value) < FIRST(click.value) THEN 'down'
+        |                ELSE 'flat' END AS trend,
+        |           CAST(COUNT(click.*) >= 2 AS INT) AS multi,
+        |           CLASSIFIER() || '#' || CAST(COUNT(*) AS STRING) AS tag,
+        |           FLOOR(COALESCE(SUM(click.value), 0) / COUNT(click.*) * 100 + 0.5) / 100 AS avg_click
         |  ONE ROW PER MATCH
         |  AFTER MATCH SKIP PAST LAST ROW
         |  PATTERN (click+ purchase)
@@ -1523,6 +1556,39 @@ object Analytic {
       |            AS BIGINT) AS tag
       |FROM g ORDER BY user_id, start_id""".stripMargin
 
+  /** MEASURES-expressions-beyond-arithmetic oracle (round 12): the
+    * same islands consumed-rows chain with each expression in closed
+    * form — trend = CASE over the click-value arg-extremes (exact
+    * double comparison on identical operands), multi = the integer
+    * comparison cast to INT (exact), tag = last step || '#' || row
+    * count (byte-defined string concat), avg_click = the FLOOR
+    * cents-rounding idiom applied on BOTH sides. */
+  private val ExprCaseOracle: String = AllRowsCtes +
+    """,
+      |g AS (
+      |  SELECT user_id,
+      |         arg_min(event_id, pos) AS start_id,
+      |         arg_min(ts, pos) AS start_ts,
+      |         purchase_id AS end_id,
+      |         arg_max(ts, pos) AS end_ts,
+      |         count(*) AS n_rows,
+      |         arg_max(CASE WHEN step = 'click' THEN value END,
+      |                 CASE WHEN step = 'click' THEN pos END) AS lc,
+      |         arg_min(CASE WHEN step = 'click' THEN value END,
+      |                 CASE WHEN step = 'click' THEN pos END) AS fc,
+      |         count(CASE WHEN step = 'click' THEN 1 END) AS nclk,
+      |         sum(CASE WHEN step = 'click' THEN value END) AS sclk,
+      |         arg_max(step, pos) AS last_step
+      |  FROM ar GROUP BY user_id, purchase_id)
+      |SELECT user_id, start_id, start_ts, end_id, end_ts, n_rows,
+      |       CASE WHEN lc > fc THEN 'up'
+      |            WHEN lc < fc THEN 'down'
+      |            ELSE 'flat' END AS trend,
+      |       CAST(nclk >= 2 AS INT) AS multi,
+      |       last_step || '#' || CAST(n_rows AS VARCHAR) AS tag,
+      |       floor(COALESCE(sclk, 0) / nclk * 100 + 0.5) / 100 AS avg_click
+      |FROM g ORDER BY user_id, start_id""".stripMargin
+
   /** General-MEASURES (ALL ROWS PER MATCH) oracle: the same consumed
     * rows with RUNNING frames (`ROWS UNBOUNDED PRECEDING` in pos
     * order), FINAL frames (whole-match window), ignore-nulls
@@ -1609,6 +1675,7 @@ object Analytic {
     "event_cep_sql_defagg" -> DefAggOracle,
     "event_cep_sql_defagg_agg" -> DefAggMeasuresOracle,
     "event_cep_sql_expr" -> ExprMeasuresOracle,
+    "event_cep_sql_expr_case" -> ExprCaseOracle,
     "event_cep_sql_alt_agg" -> AltAggOracle,
     "event_cep_sql_alt_allrows" -> AltAllRowsOracle,
 

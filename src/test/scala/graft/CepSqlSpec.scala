@@ -734,11 +734,89 @@ class CepSqlSpec extends SparkSuite {
     for (r <- ar)
       assert(r.getAs[Double]("gap") ===
         r.getAs[Double]("rs") - r.getAs[Double]("lc"))
-    // rejection: a token outside the whitelist stays loud
+    // rejection: an UNKNOWN function call stays loud (it must not
+    // silently decompose as a bare-column implicit LAST)
     assert(intercept[IllegalArgumentException](
       MatchRecognize.run(ev, CepSql.exprMeasures.replace(
-        "SUM(value) / COUNT(*)", "concat(SUM(value), 'x')")))
+        "SUM(value) / COUNT(*)", "my_udf(SUM(value))")))
+      .getMessage.contains("unsupported function"))
+    // rejection: a symbol outside the whitelist stays loud
+    assert(intercept[IllegalArgumentException](
+      MatchRecognize.run(ev, CepSql.exprMeasures.replace(
+        "SUM(value) / COUNT(*)", "SUM(value) ; COUNT(*)")))
       .getMessage.contains("unsupported token"))
+  }
+
+  test("MEASURES expressions beyond arithmetic: CASE / comparison / concat / wrappers") {
+    val ev = Tables.events(spark, sf001)
+    val CepSql = graft.queries.Analytic.CepSql
+    val got = MatchRecognize.run(ev, CepSql.exprCase)
+      .orderBy("user_id", "start_id").collect()
+    // composed from the simple calls on the same matches
+    val simple = CepSql.exprCase
+      .replace("CASE WHEN LAST(click.value) > FIRST(click.value) THEN 'up'",
+        "LAST(click.value) AS lc,")
+      .replace("WHEN LAST(click.value) < FIRST(click.value) THEN 'down'", "")
+      .replace("ELSE 'flat' END AS trend,", "FIRST(click.value) AS fc,")
+      .replace("CAST(COUNT(click.*) >= 2 AS INT) AS multi,",
+        "COUNT(click.*) AS nclk,")
+      .replace("CLASSIFIER() || '#' || CAST(COUNT(*) AS STRING) AS tag,",
+        "CLASSIFIER() AS cls, COUNT(*) AS cnt,")
+      .replace("FLOOR(COALESCE(SUM(click.value), 0) / COUNT(click.*) * 100 + 0.5) / 100 AS avg_click",
+        "SUM(click.value) AS sclk")
+    val base = MatchRecognize.run(ev, simple)
+      .orderBy("user_id", "start_id").collect()
+    assert(got.nonEmpty && got.length === base.length)
+    for ((g, b) <- got.zip(base)) {
+      val (lc, fc) = (b.getAs[Double]("lc"), b.getAs[Double]("fc"))
+      assert(g.getAs[String]("trend") ===
+        (if (lc > fc) "up" else if (lc < fc) "down" else "flat"))
+      assert(g.getAs[Int]("multi") ===
+        (if (b.getAs[Long]("nclk") >= 2) 1 else 0))
+      assert(g.getAs[String]("tag") ===
+        b.getAs[String]("cls") + "#" + b.getAs[Long]("cnt"))
+      assert(g.getAs[Double]("avg_click") ===
+        math.floor(b.getAs[Double]("sclk") / b.getAs[Long]("nclk")
+          * 100 + 0.5) / 100)
+    }
+    // the same beyond-arithmetic measures run on the ALL ROWS route
+    // (RUNNING frames) through the identical decomposition
+    val arTxt = CepSql.exprCase
+      .replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH")
+    val ar = MatchRecognize.run(ev, arTxt)
+    assert(ar.columns.contains("trend") && ar.count() > 0)
+    // IS NULL + boolean connectives + NULLIF survive the decomposer
+    // and evaluate: a measure that is TRUE iff the match has no view
+    // rows (it never does here — the pattern consumes clicks+purchase)
+    val boolTxt = CepSql.exprCase.replace(
+      "CAST(COUNT(click.*) >= 2 AS INT) AS multi,",
+      "CAST(NULLIF(SUM(click.value), 0) IS NOT NULL " +
+        "AND NOT (COUNT(*) = 0) AS INT) AS multi,")
+    val bt = MatchRecognize.run(ev, boolTxt)
+      .orderBy("user_id", "start_id").collect()
+    assert(bt.nonEmpty && bt.forall(_.getAs[Int]("multi") === 1))
+    // the ITERATIVE route (DEFINE navigation) and the ALTERNATION route
+    // share the same decomposer + post-projection: a CASE measure over
+    // the consumed aggregates evaluates identically to its closed form
+    val iterCase = CepSql.iterAggMeasures.replace(
+      "MAX(value) AS max_v,",
+      "CASE WHEN MAX(value) > 2 * MIN(value) THEN 'jump' ELSE 'step' " +
+        "END AS kind, MAX(value) AS max_v, MIN(value) AS min_v,")
+    val ic = MatchRecognize.run(ev, iterCase).collect()
+    assert(ic.nonEmpty)
+    for (r <- ic)
+      assert(r.getAs[String]("kind") ===
+        (if (r.getAs[Double]("max_v") > 2 * r.getAs[Double]("min_v"))
+          "jump" else "step"))
+    val altCase = CepSql.altAggMeasures.replace(
+      "CLASSIFIER() AS last_step",
+      "CASE WHEN COUNT(c.*) > 0 THEN 'click' ELSE 'view' END AS branch, " +
+        "COUNT(c.*) AS n_c2, CLASSIFIER() AS last_step")
+    val ac = MatchRecognize.run(ev, altCase).collect()
+    assert(ac.nonEmpty)
+    for (r <- ac)
+      assert(r.getAs[String]("branch") ===
+        (if (r.getAs[Long]("n_c2") > 0) "click" else "view"))
   }
 
   test("property: MEASURES expression splicing is exact (300 random trees)") {
@@ -772,14 +850,41 @@ class CepSqlSpec extends SparkSuite {
     }
     def gen(depth: Int): (String, String) =
       if (depth <= 0 || rnd.nextInt(3) == 0) {
-        if (rnd.nextInt(4) == 0) { val v = rnd.nextInt(100).toString; (v, v) }
-        else leaf()
-      } else rnd.nextInt(3) match {
+        rnd.nextInt(6) match {
+          case 0 => val v = rnd.nextInt(100).toString; (v, v)
+          case 1 => val s = s"'s${rnd.nextInt(10)}'"; (s, s) // string literal
+          case _ => leaf()
+        }
+      } else rnd.nextInt(7) match {
         case 0 =>
           val (ls, lc) = gen(depth - 1)
           val (rs, rc) = gen(depth - 1)
           val op = Seq("+", "-", "*", "/")(rnd.nextInt(4))
           (s"$ls $op $rs", s"$lc $op $rc")
+        case 1 => // comparison / boolean connective node
+          val (ls, lc) = gen(depth - 1)
+          val (rs, rc) = gen(depth - 1)
+          val op = Seq(">", "<", ">=", "<=", "=", "<>", "!=")(rnd.nextInt(7))
+          (s"$ls $op $rs", s"$lc $op $rc")
+        case 2 => // CASE WHEN cond THEN a ELSE b END
+          val (cs, cc) = gen(depth - 1)
+          val (as_, ac) = gen(depth - 1)
+          val (bs, bc) = gen(depth - 1)
+          (s"CASE WHEN $cs THEN $as_ ELSE $bs END",
+            s"CASE WHEN $cc THEN $ac ELSE $bc END")
+        case 3 => // || concatenation
+          val (ls, lc) = gen(depth - 1)
+          val (rs, rc) = gen(depth - 1)
+          (s"$ls || $rs", s"$lc || $rc")
+        case 4 => // whitelisted scalar wrapper (1- and 2-arg shapes)
+          val (s1, c1) = gen(depth - 1)
+          rnd.nextInt(3) match {
+            case 0 => (s"ABS($s1)", s"ABS($c1)")
+            case 1 => (s"CAST($s1 AS STRING)", s"CAST($c1 AS STRING)")
+            case _ =>
+              val (s2, c2) = gen(depth - 1)
+              (s"COALESCE($s1, $s2)", s"COALESCE($c1, $c2)")
+          }
         case _ =>
           val (s1, c1) = gen(depth - 1)
           (s"($s1)", s"($c1)")
