@@ -329,6 +329,30 @@ object Streaming {
         .orderBy("user_id", "start_id")
     }),
 
+    // Bounded ALTERNATION on the seal-aware stateful matcher (round-12
+    // item 2): the SAME clause text as event_cep_alt — branches
+    // expanded at parse, probed per anchor in declaration order, a
+    // sealed branch emitting only when no more-preferred branch is
+    // still pending (the stateful form of the batch leftmost-branch
+    // dedup). Batch replay here shares event_cep_alt's generated
+    // oracle; cross-batch branch resolution is pinned in StreamingSpec.
+    "stream_cep_alt" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val spec = graft.api.MatchRecognize.parse(Analytic.CepSql.altFunnel)
+      val branches = spec.expandBranches.map(_.toSymbolic.get)
+      val symCol = branches.head._1
+      require(branches.forall(_._1 == symCol),
+        "alternation branches must share one symbol column")
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col(symCol).as("event_type"), col("value"))
+        .as[Ev]
+      StreamOps.cepPatternAlt(ev, branches.map(_._2), streaming = false)
+        .toDF()
+        .orderBy("user_id", "start_id")
+    }),
+
     // ALL ROWS PER MATCH on the seal-aware matcher (the row-level
     // sibling of stream_cep_sql_agg): the SAME clause text as
     // event_cep_sql_allrows, rows emitted per SEALED match with the
@@ -583,6 +607,7 @@ object Streaming {
     "stream_cep_allrows" -> Analytic.oracles("event_cep_sql_allrows"),
     // streaming MEASURES expressions = the batch closed-form oracle
     "stream_cep_sql_expr" -> Analytic.oracles("event_cep_sql_expr"),
+    "stream_cep_alt" -> Analytic.oracles("event_cep_alt"),
     "stream_cep_pattern" -> graft.api.Cep.oracleSql(Analytic.CepPatterns.quant),
     "stream_cep_relaxed" -> graft.api.Cep.oracleSql(Analytic.CepPatterns.relaxed),
     "stream_cep_skip" -> graft.api.Cep.oracleSql(Analytic.CepPatterns.skipFirst),

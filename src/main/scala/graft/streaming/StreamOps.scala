@@ -1325,6 +1325,103 @@ object StreamOps extends Serializable {
       }
   }
 
+  /** Bounded ALTERNATION on the seal-aware stateful matcher (VERDICT
+    * r11 item 2 — `PATTERN (s g* (c | v) g* p)` on a live stream).
+    * Each expanded branch is an ordinary [[CepPattern]]; at every
+    * anchor the branches are probed in DECLARATION order and a
+    * branch's sealed match emits only when no more-preferred
+    * (lower-index) branch is still PENDING at that anchor — the
+    * stateful form of the batch union's LEFTMOST BRANCH PREFERENCE
+    * dedup (api.MatchRecognize.runAlternation keeps the lowest branch
+    * index per (key, start_id)). SKIP TO NEXT ROW only, the same
+    * restriction the batch route enforces at parse (every anchor
+    * emits independently).
+    *
+    * Scan cost: each anchor probe re-runs the per-branch seal scan on
+    * the buffered suffix — O(buffer² · branches) worst case, bounded
+    * in practice because state holds only rows from the FIRST
+    * undecided anchor (exactly like [[cepPattern]]) and each branch's
+    * WITHIN prunes dead pending anchors inside [[sealedScan]], so an
+    * in-order stream never wedges on a never-completing branch.
+    *
+    * Batch replay (streaming = false): per-branch reference matcher
+    * (Cep.matchSequence) + the same lowest-branch-per-anchor dedup —
+    * row-identical to event_cep_alt, pinned by its generated oracle.
+    */
+  def cepPatternAlt(ev: Dataset[Ev], branches: Seq[CepPattern],
+                    streaming: Boolean): Dataset[CepPatMatch] = {
+    import ev.sparkSession.implicits._
+    require(branches.nonEmpty, "alternation needs at least one branch")
+    require(branches.forall(_.skip == SkipToNextRow),
+      "streaming alternation is SKIP TO NEXT ROW only — per-anchor " +
+        "independent emission is what makes leftmost-branch preference " +
+        "a per-anchor decision (the batch route enforces the same)")
+    def mk(user: Long, evs: IndexedSeq[CepEvent], m: CepSeqMatch): CepPatMatch =
+      CepPatMatch(user, evs(m.startIdx).ord, microsTs(evs(m.startIdx).tsUs),
+        evs(m.endIdx).ord, microsTs(evs(m.endIdx).tsUs),
+        m.nRows.toLong, m.stepCounts.mkString(","))
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CepPatState, CepPatMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[Ev], state: GroupState[CepPatState]) =>
+          val fresh = events.map(e => CepEvent(e.event_type, tsMicros(e.ts), e.event_id))
+          val buf0 = state.getOption.map(s =>
+            s.syms.indices.map(i => CepEvent(s.syms(i), s.ts(i), s.ords(i))))
+            .getOrElse(Seq.empty)
+          val evs = (buf0 ++ fresh).sortBy(e => (e.tsUs, e.ord)).toIndexedSeq
+          if (!streaming) {
+            state.remove()
+            val all = branches.zipWithIndex.flatMap { case (b, i) =>
+              Cep.matchSequence(evs, b).map(m => (i, m)) }
+            all.groupBy(_._2.startIdx).values.map(_.minBy(_._1)._2)
+              .toSeq.sortBy(_.startIdx).iterator.map(mk(user, evs, _))
+          } else {
+            val n = evs.size
+            // a branch's seal status for a match anchored EXACTLY at
+            // `at`: run the branch's seal scan on the suffix and read
+            // the anchor-0 outcome (a match starting at 0 = sealed;
+            // scan held at 0 = pending; anything else = that anchor
+            // failed or is dead — sealedScan already prunes pending
+            // anchors past the branch's WITHIN horizon)
+            def probe(b: CepPattern, at: Int): SealRes = {
+              val (ms, res) = sealedScan(evs.slice(at, n), b)
+              ms.headOption match {
+                case Some(m) if m.startIdx == 0 => Sealed(m)
+                case _ => if (res == 0) PendingViable else SealedFail
+              }
+            }
+            val out = scala.collection.mutable.ArrayBuffer.empty[CepSeqMatch]
+            var p = 0
+            var resume = -1
+            while (p < n && resume < 0) {
+              var win: CepSeqMatch = null
+              var pending = false
+              var bi = 0
+              // first Sealed in branch order wins; a Pending branch
+              // blocks every lower-preference branch (it may still
+              // seal and take the anchor)
+              while (bi < branches.size && win == null && !pending) {
+                probe(branches(bi), p) match {
+                  case Sealed(m, _) => win =
+                    m.copy(startIdx = m.startIdx + p, endIdx = m.endIdx + p)
+                  case SealedFail => ()
+                  case _ => pending = true
+                }
+                bi += 1
+              }
+              if (pending) resume = p
+              else { if (win != null) out += win; p += 1 }
+            }
+            val keep = if (resume < 0) IndexedSeq.empty[CepEvent]
+                       else evs.drop(resume)
+            if (keep.isEmpty) state.remove()
+            else state.update(CepPatState(keep.map(_.sym), keep.map(_.tsUs),
+              keep.map(_.ord)))
+            out.iterator.map(mk(user, evs, _))
+          }
+      }
+  }
+
   /** General MEASURES on the SEAL-AWARE matcher (VERDICT r10 item 7 —
     * the SQL front door's MrSpec.resolveMeasures wired onto streaming
     * emission): per SEALED match, one output row carrying the resolved

@@ -257,6 +257,69 @@ class StreamingSpec extends SparkSuite {
       s"expected one sealed hi_view->buy{2} match for user 1 only; got $rows")
   }
 
+  test("streaming alternation: cross-batch branch resolution with leftmost preference") {
+    // PATTERN (s g1* (c | v) g2* p) — branch 0 = click, branch 1 = view.
+    // user 1: the VIEW branch seals in batch 1, but the CLICK branch
+    // stays pending (a click could still arrive within the horizon), so
+    // NOTHING emits until batch 3 resolves the preferred branch — which
+    // then WINS the anchor (leftmost preference), exactly like the
+    // batch union's dedup. user 2: the click branch dies at the WITHIN
+    // horizon and the sealed view branch finally emits.
+    val spec = graft.api.MatchRecognize.parse(
+      graft.queries.Analytic.CepSql.altFunnel)
+    val branches = spec.expandBranches.map(_.toSymbolic.get._2)
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.cepPatternAlt(ms.toDS(), branches, streaming = true)
+      .writeStream.format("memory").queryName("cepalt").outputMode("append").start()
+    ms.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "signup", 1.0),
+      Ev(2, ts("2024-01-01 10:05:00"), 1, "view", 2.0),
+      Ev(3, ts("2024-01-01 10:10:00"), 1, "purchase", 3.0),
+      Ev(11, ts("2024-01-01 10:00:00"), 2, "signup", 1.0),
+      Ev(12, ts("2024-01-01 10:05:00"), 2, "view", 2.0),
+      Ev(13, ts("2024-01-01 10:10:00"), 2, "purchase", 3.0))
+    q.processAllAvailable()
+    val afterB1 = spark.table("cepalt").count()
+    // user 1's click arrives — the preferred branch is now mid-walk
+    // (needs a purchase after the click); still nothing emits
+    ms.addData(Ev(4, ts("2024-01-01 10:20:00"), 1, "click", 4.0))
+    q.processAllAvailable()
+    val afterB2 = spark.table("cepalt").count()
+    // user 1: second purchase completes the CLICK branch -> it wins the
+    // anchor. user 2: a row past the 1440-min horizon kills the pending
+    // click branch -> the sealed VIEW branch emits
+    ms.addData(
+      Ev(5, ts("2024-01-01 10:30:00"), 1, "purchase", 5.0),
+      Ev(14, ts("2024-01-02 12:00:00"), 2, "view", 1.0))
+    drain(q)
+    val rows = spark.table("cepalt")
+      .as[(Long, Long, Timestamp, Long, Timestamp, Long, String)].collect().toSet
+    assert(afterB1 == 0L,
+      "view-branch match emitted while the preferred click branch was pending")
+    assert(afterB2 == 0L,
+      "match emitted while the click branch was mid-walk")
+    assert(rows == Set(
+      (1L, 1L, ts("2024-01-01 10:00:00"), 5L, ts("2024-01-01 10:30:00"), 3L, "1,1,1"),
+      (2L, 11L, ts("2024-01-01 10:00:00"), 13L, ts("2024-01-01 10:10:00"), 3L, "1,1,1")),
+      s"expected click-branch win for user 1, view-branch for user 2; got $rows")
+    // batch replay over the same rows agrees with the streaming result
+    val allEvs = Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "signup", 1.0),
+      Ev(2, ts("2024-01-01 10:05:00"), 1, "view", 2.0),
+      Ev(3, ts("2024-01-01 10:10:00"), 1, "purchase", 3.0),
+      Ev(4, ts("2024-01-01 10:20:00"), 1, "click", 4.0),
+      Ev(5, ts("2024-01-01 10:30:00"), 1, "purchase", 5.0),
+      Ev(11, ts("2024-01-01 10:00:00"), 2, "signup", 1.0),
+      Ev(12, ts("2024-01-01 10:05:00"), 2, "view", 2.0),
+      Ev(13, ts("2024-01-01 10:10:00"), 2, "purchase", 3.0),
+      Ev(14, ts("2024-01-02 12:00:00"), 2, "view", 1.0))
+    val batch = StreamOps.cepPatternAlt(allEvs.toDS(), branches,
+      streaming = false)
+      .as[(Long, Long, Timestamp, Long, Timestamp, Long, String)]
+      .collect().toSet
+    assert(batch == rows, s"batch replay diverged: $batch")
+  }
+
   test("broadcast-state rules: threshold updates from the rule stream gate event alerts") {
     import graft.streaming.{Rule, RuleAlert}
     val me = MemoryStream[Ev]
