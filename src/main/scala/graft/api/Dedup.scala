@@ -71,6 +71,24 @@ object Dedup {
     * measured. md5 is engine-identical, so the (cosmically rare, 2^-60)
     * collisions collide identically in the DuckDB replay and the output
     * stays exactly replayable.
+    *
+    * The bucket join applies the PPJoin POSITIONAL filter (round 12 —
+    * the same upgrade [[containmentPairs]] carries) against the
+    * pair-dependent Jaccard overlap requirement
+    * `α_ab = ceil(t/(1+t) · (|A|+|B|))` (J >= t ⟺ overlap >= α_ab): a
+    * shared shingle at canonical position p in a doc of |d| shingles
+    * leaves at most |d| − p + 1 shingles at or after it, so
+    * `min(lenA − posA, lenB − posB) + 1 >= α_ab` per occurrence.
+    * LOSSLESS by the same argument as containment's: the canonically
+    * smallest shared shingle w sits in both prefixes (classical prefix
+    * lemma), every shared shingle is canonically >= w — at position >=
+    * pos(w) in both docs — so the bound at w's occurrence is >= the
+    * true overlap >= α_ab and the pair survives through w's bucket.
+    * The filter's teeth are the long×long pairs sharing only common
+    * (canonically-late) shingles: their remaining-suffix bound falls
+    * short of α_ab and they die before the distinct + verify join.
+    * Float guard: α_ab subtracts 1e-9 inside ceil so rounding can only
+    * WEAKEN the filter, never drop a true pair.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    blockCols: Seq[String], threshold: Double,
@@ -79,6 +97,29 @@ object Dedup {
       .withColumn("toksh", array_distinct(
         graft.functions.Signatures.md5_prefix(col("toks"), 15)))
       .select(col(idCol) +: (blockCols :+ "toksh").map(col): _*)
+    val cand = jaccardCandidates(t, idCol, blockCols, threshold,
+      positional = true)
+    val ta = t.select(col(idCol).as("doc_a"), col("toksh").as("toks_a"))
+    val tb = t.select(col(idCol).as("doc_b"), col("toksh").as("toks_b"))
+    cand.join(ta, "doc_a").join(tb, "doc_b")
+      .withColumn("ninter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("jac", col("ninter").cast("double") /
+        (size(col("toks_a")) + size(col("toks_b")) - col("ninter")))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
+
+  /** Candidate stage of [[jaccardPairs]]: the prefix-bucket join with
+    * the length-ratio check and (when `positional`) the PPJoin
+    * positional bound against the pair-dependent overlap requirement
+    * `α_ab = ceil(t/(1+t) · (lenA+lenB))`. `positional = false` is kept
+    * accessible so losslessness AND strict candidate reduction are
+    * property-testable against each other (PipelineSpec), not just
+    * claimed in prose. */
+  private[graft] def jaccardCandidates(t: DataFrame, idCol: String,
+                                       blockCols: Seq[String],
+                                       threshold: Double,
+                                       positional: Boolean): DataFrame = {
     val tok = t.select(col(idCol) +: blockCols.map(col) :+
       size(col("toksh")).as("len") :+ explode(col("toksh")).as("tok"): _*)
     val dfq = tok.groupBy((blockCols :+ "tok").map(col): _*)
@@ -88,24 +129,24 @@ object Dedup {
       .withColumn("pos", row_number().over(byRarity))
       .filter(col("pos") <= col("len") - ceil(col("len") * threshold - lit(1e-9)) + 1)
     val pa = prefix.select(col(idCol).as("doc_a") +: blockCols.map(col) :+
-      col("tok") :+ col("len").as("len_a"): _*)
+      col("tok") :+ col("pos").as("pos_a") :+ col("len").as("len_a"): _*)
     val pb = prefix.select(col(idCol).as("doc_b") +:
       blockCols.map(c => col(c).as(s"${c}_b")) :+
-      col("tok").as("tok_b") :+ col("len").as("len_b"): _*)
+      col("tok").as("tok_b") :+ col("pos").as("pos_b") :+
+      col("len").as("len_b"): _*)
+    val posBound =
+      if (positional)
+        least(col("len_a") - col("pos_a"), col("len_b") - col("pos_b")) +
+          lit(1) >= ceil(lit(threshold) / (lit(1.0) + lit(threshold)) *
+            (col("len_a") + col("len_b")) - lit(1e-9))
+      else lit(true)
     val cond = (blockCols.map(c => col(c) === col(s"${c}_b")) :+
       (col("tok") === col("tok_b"))).reduce(_ && _) &&
       col("doc_a") < col("doc_b") &&
       least(col("len_a"), col("len_b")) >=
-        greatest(col("len_a"), col("len_b")) * threshold - lit(1e-9)
-    val cand = pa.join(pb, cond).select("doc_a", "doc_b").distinct()
-    val ta = t.select(col(idCol).as("doc_a"), col("toksh").as("toks_a"))
-    val tb = t.select(col(idCol).as("doc_b"), col("toksh").as("toks_b"))
-    cand.join(ta, "doc_a").join(tb, "doc_b")
-      .withColumn("ninter", size(array_intersect(col("toks_a"), col("toks_b"))))
-      .withColumn("jac", col("ninter").cast("double") /
-        (size(col("toks_a")) + size(col("toks_b")) - col("ninter")))
-      .filter(col("jac") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jac"))
+        greatest(col("len_a"), col("len_b")) * threshold - lit(1e-9) &&
+      posBound
+    pa.join(pb, cond).select("doc_a", "doc_b").distinct()
   }
 
   /** Exact CONTAINMENT near-dup pairs: C(A,B) = |shA ∩ shB| /

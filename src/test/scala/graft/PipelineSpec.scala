@@ -490,6 +490,57 @@ class PipelineSpec extends SparkSuite {
     assert(got == want, s"missing=${want -- got} extra=${got -- want}")
   }
 
+  test("jaccard positional filter: strict candidate reduction, lossless candidates") {
+    // Synthetic token sets with EXACT tdf control — the regime with
+    // teeth: each doc = 10 unique tokens (tdf 1, canonically first),
+    // 10 pair-shared tokens (tdf 2, mid-prefix), 30 corpus-common
+    // tokens (tdf ~20, beyond the prefix). A pair-sharing pair's
+    // overlap is 40 of union 60 (J = 0.667 < t) — its only shared
+    // PREFIX tokens sit at canonical positions 11..16, where the
+    // remaining suffix (50 − 11 + 1 = 40) falls short of the
+    // pair-dependent requirement α = ceil(0.7/1.7·100) = 42, so the
+    // positional bound kills it pre-verify; without the bound it is a
+    // (false) candidate. Planted near-copies (unique tokens shared →
+    // canonically-front occurrences) pin losslessness.
+    val sp = spark
+    import sp.implicits._
+    val common = (1L to 30L).toSeq
+    val base = (1 to 20).map { d =>
+      val pair = (d + 1) / 2
+      val uniq = (1 to 10).map(j => 1000L + d * 100L + j)
+      val shared = (1 to 10).map(j => 500L + pair * 50L + j)
+      (d.toLong, uniq ++ shared ++ common)
+    }
+    // near-copies of doc 1: its set minus two common tokens (J = 0.96)
+    val copies = Seq(101L, 102L).map(id => (id, base.head._2.dropRight(2)))
+    val all = base ++ copies
+    val t = all.toDF("doc_id", "toksh")
+    val threshold = 0.7
+    val withPos = graft.api.Dedup
+      .jaccardCandidates(t, "doc_id", Seq(), threshold, positional = true)
+      .as[(Long, Long)].collect().toSet
+    val noPos = graft.api.Dedup
+      .jaccardCandidates(t, "doc_id", Seq(), threshold, positional = false)
+      .as[(Long, Long)].collect().toSet
+    assert(withPos.subsetOf(noPos), s"positional filter added pairs: ${withPos -- noPos}")
+    assert(withPos.size < noPos.size,
+      s"positional filter must strictly reduce candidates (got ${withPos.size} vs ${noPos.size})")
+    // losslessness: every true pair (brute-force jaccard over the sets)
+    // survives the positional candidate stage
+    val sets = all.map { case (id, tk) => id -> tk.toSet }
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      j = (sa & sb).size.toDouble / (sa | sb).size if j >= threshold
+    } yield (a, b)).toSet
+    assert(want.nonEmpty, "corpus must contain true jaccard pairs")
+    assert(want.subsetOf(withPos),
+      s"true pairs lost by the positional filter: ${want -- withPos}")
+    // and the false pair-sharing candidates are exactly what the bound
+    // removed: no surviving candidate below threshold except via the
+    // copies' groups
+    assert((noPos -- withPos).nonEmpty)
+  }
+
   test("embed cosine pairs: bounded (label, shard) blocks = deterministic same-shard sample") {
     val e = Tables.embeddings(spark, sf001)
     val full = graft.api.Dedup.embedCosinePairs(e, "vec_id", "embedding",
