@@ -529,6 +529,17 @@ object Analytic {
       MatchRecognize.run(Tables.events(s, d), CepSql.defAgg)
         .orderBy("user_id", "start_id")),
 
+    // UNBOUNDED aggregate condition (`a+` under SUM(a.value) <= 200):
+    // same greedy-with-backtracking matcher route; the oracle is a
+    // WITH RECURSIVE chain walk over row-numbered events — the
+    // maximal capped click run per anchor, match iff the row after
+    // the run is a purchase (strict contiguity makes any earlier
+    // backtrack position a click, so only the run-end position can
+    // carry the purchase).
+    "event_cep_sql_defagg_unbounded" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.defAggUnbounded)
+        .orderBy("user_id", "start_id")),
+
     // MEASURES expressions from text: arithmetic over the simple calls
     // + the implicit-LAST bare reference, on the same C+ P WITHIN 10
     // matches — hidden sub-measures aggregated once, expressions as a
@@ -937,6 +948,21 @@ object Analytic {
         |  DEFINE a AS a.event_type = 'click' AND SUM(a.value) <= 200,
         |         b AS b.event_type = 'purchase'
         |)""".stripMargin
+    // UNBOUNDED aggregate condition in DEFINE (round-12 item 4): the
+    // same RUNNING-sum-capped click run with `a+` instead of `a{1,4}`
+    // — the run length is limited only by the sum cap and contiguity,
+    // so the independent oracle is a WITH RECURSIVE chain walk (the
+    // event_cep_skip_first style) instead of a closed-form lead chain.
+    val defAggUnbounded: String =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (a+ b)
+        |  DEFINE a AS a.event_type = 'click' AND SUM(a.value) <= 200,
+        |         b AS b.event_type = 'purchase'
+        |)""".stripMargin
     // MEASURES EXPRESSIONS (Flink SQL's `LAST(A.v) - FIRST(A.v)`):
     // arithmetic over the simple calls, a bare `purchase.value`
     // (SQL:2016 implicit LAST), and mixed long arithmetic — decomposed
@@ -1282,6 +1308,44 @@ object Analytic {
       |       bpos || ',1' AS step_counts
       |FROM mm WHERE bpos IS NOT NULL
       |ORDER BY user_id, start_id""".stripMargin
+
+  /** Unbounded-aggregate-condition oracle (round 12): WITH RECURSIVE
+    * chain walk over row-numbered events — per qualifying click anchor,
+    * the maximal contiguous click run whose LEFT-TO-RIGHT running sum
+    * stays <= 200 (each recursion step replays the engine's exact
+    * IEEE summation order and RUNNING acceptance test `s + v <= 200`),
+    * then a match iff the row immediately after the run is a purchase.
+    * Strict contiguity makes every earlier backtrack position a click
+    * (it was part of the maximal run), so the run-end position is the
+    * only one that can carry the purchase — the general
+    * greedy-backtrack CASE of [[DefAggOracle]] degenerates to this
+    * single check when the repetition is unbounded. */
+  private val DefAggUnboundedOracle: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type, value,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |chain AS (
+      |  SELECT user_id, rn AS start_rn, event_id AS start_id,
+      |         ts AS start_ts, rn AS cur_rn, value AS s, 1 AS l
+      |  FROM t WHERE event_type = 'click' AND value <= 200
+      |  UNION ALL
+      |  SELECT c.user_id, c.start_rn, c.start_id, c.start_ts,
+      |         n.rn, c.s + n.value, c.l + 1
+      |  FROM chain c JOIN t n ON n.user_id = c.user_id
+      |    AND n.rn = c.cur_rn + 1
+      |  WHERE n.event_type = 'click' AND c.s + n.value <= 200),
+      |g AS (
+      |  SELECT user_id, start_rn, start_id, start_ts, max(l) AS lmax
+      |  FROM chain GROUP BY user_id, start_rn, start_id, start_ts)
+      |SELECT g.user_id, g.start_id, g.start_ts,
+      |       p.event_id AS end_id, p.ts AS end_ts,
+      |       CAST(g.lmax + 1 AS BIGINT) AS n_rows,
+      |       g.lmax || ',1' AS step_counts
+      |FROM g JOIN t p ON p.user_id = g.user_id
+      |  AND p.rn = g.start_rn + g.lmax AND p.event_type = 'purchase'
+      |ORDER BY g.user_id, g.start_id""".stripMargin
 
   /** The alternation match set with ALL consumed rows' identities and
     * values (ending in deduped `w`): per-branch first-successor chains
@@ -1673,6 +1737,7 @@ object Analytic {
     "event_cep_sql_iter_agg" -> IterAggOracle,
     "event_cep_sql_iter_allrows" -> IterAllRowsOracle,
     "event_cep_sql_defagg" -> DefAggOracle,
+    "event_cep_sql_defagg_unbounded" -> DefAggUnboundedOracle,
     "event_cep_sql_defagg_agg" -> DefAggMeasuresOracle,
     "event_cep_sql_expr" -> ExprMeasuresOracle,
     "event_cep_sql_expr_case" -> ExprCaseOracle,
