@@ -11,10 +11,13 @@ import org.apache.spark.sql.{Column, DataFrame}
   * one step consuming exactly one row of ONE alternative; `variable`
   * then holds the first (preferred) alternative and the spec expands
   * to per-branch patterns ([[MrSpec.expandBranches]]).
+  * `excluded` marks an element inside SQL:2016 exclusion `{- X -}` —
+  * matched normally, omitted from ALL ROWS PER MATCH output
+  * ([[MatchRecognize.run]]'s applyExclusion filter).
   */
 case class MrElem(variable: String, minRep: Int, maxRep: Option[Int],
                   greedy: Boolean, negated: Boolean, isGap: Boolean,
-                  altVars: Seq[String] = Nil)
+                  altVars: Seq[String] = Nil, excluded: Boolean = false)
 
 /** One MEASURES entry: verbatim expression text and its alias. */
 case class MrMeasure(exprSql: String, alias: String)
@@ -150,7 +153,8 @@ case class MrSpec(partitionBy: Seq[String], orderBy: Seq[String],
                   strict: Boolean, fromTable: Option[String],
                   navConds: Map[String, Seq[MrNavCond]] = Map.empty,
                   subsets: Seq[(String, Seq[String])] = Nil,
-                  aggConds: Map[String, Seq[MrAggCond]] = Map.empty) {
+                  aggConds: Map[String, Seq[MrAggCond]] = Map.empty,
+                  permute: Boolean = false) {
 
   private[graft] def defMap = defines.toMap
 
@@ -162,9 +166,10 @@ case class MrSpec(partitionBy: Seq[String], orderBy: Seq[String],
     * (aggregate condition)? Such specs have no compiled symbolic form. */
   def isIterative: Boolean = navConds.nonEmpty || aggConds.nonEmpty
 
-  /** Does the pattern carry an alternation group `(a | b)`? Such a
-    * spec executes as the UNION of its expanded branches. */
-  def hasAlternation: Boolean = elems.exists(_.altVars.nonEmpty)
+  /** Does the pattern carry an alternation group `(a | b)` or a
+    * `PERMUTE(...)`? Such a spec executes as the UNION of its expanded
+    * branches. */
+  def hasAlternation: Boolean = elems.exists(_.altVars.nonEmpty) || permute
 
   /** The per-branch single-variable specs of an alternation pattern:
     * the cross product of every group's alternatives, in LEFTMOST-
@@ -173,8 +178,20 @@ case class MrSpec(partitionBy: Seq[String], orderBy: Seq[String],
     * anchors by this order). Each branch keeps only the DEFINEs and
     * navigation conjuncts its own variables use, so per-branch
     * validation and resolution (symbolic / value-predicate) run
-    * unchanged. Identity when no alternation is present. */
+    * unchanged. A `PERMUTE(a, b, c)` pattern expands to the n!
+    * orderings in LEXICOGRAPHIC order of the declared variable
+    * positions (SQL:2016's specified expansion order — which thereby
+    * also fixes the leftmost-preference dedup: the declared ordering
+    * wins a contested anchor). Identity when no alternation is
+    * present. */
   def expandBranches: Seq[MrSpec] = {
+    if (permute) {
+      // every branch uses every variable, so no per-branch DEFINE
+      // filtering is needed; Seq.permutations of the declared order
+      // yields the orderings lexicographically
+      return elems.permutations.map(es =>
+        copy(elems = es, permute = false)).toSeq
+    }
     if (!hasAlternation) return Seq(this)
     val choices = elems.foldLeft(Seq(Seq.empty[MrElem])) { (acc, e) =>
       if (e.altVars.isEmpty) acc.map(_ :+ e)
@@ -618,17 +635,40 @@ object MatchRecognize {
 
     // PATTERN ( elem... )
     eatKw("PATTERN"); eatSym("(")
-    val elems = Vector.newBuilder[MrElem]
-    while (peek.exists(_.text != ")")) {
-      if (peek.exists(t => t.text == "{" || t.text == "|")) fail(
-        s"'${peek.get.text}' in PATTERN: SQL exclusion {- -} and " +
-          "top-level sequence alternation are not supported; bounded " +
-          "alternation is the GROUP form `(a | b)` over single " +
-          "variables (see MatchRecognize scaladoc)")
-      // bounded alternation group `(a | b [| c...])` — single variables,
-      // one row each, no group quantifier (each branch is one expanded
-      // pattern; a quantified or nested group multiplies branches
-      // without a distinct-symbol compiled form)
+    val elems = scala.collection.mutable.ArrayBuffer.empty[MrElem]
+    var permute = false
+    // SQL:2016 PERMUTE(a, b, c) — must be the WHOLE pattern: it
+    // expands to the n! orderings (bounded alternation — Flink SQL
+    // rejects PERMUTE entirely, so this is a beyond-Flink completion),
+    // n capped at 4 because the branch count is factorial.
+    if (peek.exists(t => kw(t, "PERMUTE")) &&
+        p + 1 < ts.length && ts(p + 1).text == "(") {
+      p += 1; eatSym("(")
+      val vs = Vector.newBuilder[String]
+      vs += ident()
+      while (peek.exists(_.text == ",")) { p += 1; vs += ident() }
+      eatSym(")")
+      require(peek.exists(_.text == ")"),
+        "PERMUTE(...) must be the whole PATTERN — composing it with " +
+          "other elements would multiply the factorial branch count; " +
+          "restructure the pattern")
+      val perm = vs.result()
+      require(perm.size >= 2, "PERMUTE needs at least two variables")
+      require(perm.size <= 4,
+        s"PERMUTE over ${perm.size} variables expands to " +
+          s"${(1 to perm.size).product} branches — capped at 4 " +
+          "variables (24 branches); restructure the pattern")
+      require(perm.distinct.size == perm.size,
+        s"duplicate variable in PERMUTE: ${perm.mkString(", ")}")
+      perm.foreach(v => elems += MrElem(v, 1, Some(1), greedy = true,
+        negated = false, isGap = false))
+      permute = true
+    }
+    // bounded alternation group `(a | b [| c...])` — single variables,
+    // one row each, no group quantifier (each branch is one expanded
+    // pattern; a quantified or nested group multiplies branches
+    // without a distinct-symbol compiled form)
+    def parseOneElem(): Unit = {
       if (peek.exists(_.text == "(")) {
         p += 1
         val vs = Vector.newBuilder[String]
@@ -647,37 +687,63 @@ object MatchRecognize {
         elems += MrElem(alts.head, 1, Some(1), greedy = true,
           negated = false, isGap = false, altVars = alts)
       } else {
-      val negated = peek.exists(_.text == "!")
-      if (negated) p += 1
-      val v = ident()
-      // quantifier
-      var (mn, mx): (Int, Option[Int]) = (1, Some(1))
-      var greedy = true
-      var sawQuant = false
-      peek.map(_.text) match {
-        case Some("+") => p += 1; mn = 1; mx = None; sawQuant = true
-        case Some("*") => p += 1; mn = 0; mx = None; sawQuant = true
-        case Some("?") => p += 1; mn = 0; mx = Some(1); sawQuant = true
-        case Some("{") =>
-          p += 1; sawQuant = true
-          def num(): Int = peek match {
-            case Some(TNum(t, _, _)) => p += 1; t.toInt
-            case o => fail(s"expected number in quantifier, got ${o.map(_.text).getOrElse("<end>")}")
-          }
-          val lo = num()
-          if (peek.exists(_.text == ",")) {
-            p += 1
-            if (peek.exists(_.text == "}")) { mn = lo; mx = None }
-            else { mn = lo; mx = Some(num()) }
-          } else { mn = lo; mx = Some(lo) }
-          eatSym("}")
-        case _ =>
+        val negated = peek.exists(_.text == "!")
+        if (negated) p += 1
+        val v = ident()
+        // quantifier
+        var (mn, mx): (Int, Option[Int]) = (1, Some(1))
+        var greedy = true
+        var sawQuant = false
+        peek.map(_.text) match {
+          case Some("+") => p += 1; mn = 1; mx = None; sawQuant = true
+          case Some("*") => p += 1; mn = 0; mx = None; sawQuant = true
+          case Some("?") => p += 1; mn = 0; mx = Some(1); sawQuant = true
+          case Some("{") =>
+            p += 1; sawQuant = true
+            def num(): Int = peek match {
+              case Some(TNum(t, _, _)) => p += 1; t.toInt
+              case o => fail(s"expected number in quantifier, got ${o.map(_.text).getOrElse("<end>")}")
+            }
+            val lo = num()
+            if (peek.exists(_.text == ",")) {
+              p += 1
+              if (peek.exists(_.text == "}")) { mn = lo; mx = None }
+              else { mn = lo; mx = Some(num()) }
+            } else { mn = lo; mx = Some(lo) }
+            eatSym("}")
+          case _ =>
+        }
+        if (sawQuant && peek.exists(_.text == "?")) { p += 1; greedy = false }
+        require(!negated || (!sawQuant),
+          s"!$v: a negated step (notFollowedBy) takes no quantifier")
+        elems += MrElem(v, mn, mx, greedy, negated, isGap = false)
       }
-      if (sawQuant && peek.exists(_.text == "?")) { p += 1; greedy = false }
-      require(!negated || (!sawQuant),
-        s"!$v: a negated step (notFollowedBy) takes no quantifier")
-      elems += MrElem(v, mn, mx, greedy, negated, isGap = false)
-      }
+    }
+    while (peek.exists(_.text != ")")) {
+      // SQL:2016 exclusion `{- elems -}`: matched normally, omitted
+      // from ALL ROWS PER MATCH output (Flink SQL rejects exclusion —
+      // a beyond-Flink completion; see applyExclusion)
+      if (peek.exists(_.text == "{") &&
+          p + 1 < ts.length && ts(p + 1).text == "-") {
+        p += 2
+        val start = elems.size
+        var closed = false
+        while (!closed) {
+          if (peek.forall(_.text == ")"))
+            fail("unterminated exclusion {- ... -} in PATTERN")
+          if (peek.exists(_.text == "-") &&
+              p + 1 < ts.length && ts(p + 1).text == "}") { p += 2; closed = true }
+          else parseOneElem()
+        }
+        require(elems.size > start, "empty exclusion {- -} in PATTERN")
+        for (i <- start until elems.size)
+          elems(i) = elems(i).copy(excluded = true)
+      } else if (peek.exists(t => t.text == "{" || t.text == "|")) fail(
+        s"'${peek.get.text}' in PATTERN: top-level sequence alternation " +
+          "is not supported (bounded alternation is the GROUP form " +
+          "`(a | b)` over single variables) and a bare '{' is only a " +
+          "quantifier after a variable or the exclusion opener '{-'")
+      else parseOneElem()
     }
     eatSym(")")
 
@@ -756,8 +822,8 @@ object MatchRecognize {
       s"unexpected trailing tokens: ${ts.drop(p).map(_.text).mkString(" ")}")
 
     finish(partition.result(), order.result(), measures.result(), allRows,
-      skip, within, elems.result(), defines.result(), fromTable,
-      navByVar.result(), subsets.result(), aggByVar.result())
+      skip, within, elems.toVector, defines.result(), fromTable,
+      navByVar.result(), subsets.result(), aggByVar.result(), permute)
   }
 
   private val NavFns = Set("PREV", "NEXT", "FIRST", "LAST")
@@ -996,13 +1062,29 @@ object MatchRecognize {
                      fromTable: Option[String],
                      navConds: Map[String, Seq[MrNavCond]] = Map.empty,
                      subsets: Seq[(String, Seq[String])] = Nil,
-                     aggConds: Map[String, Seq[MrAggCond]] = Map.empty): MrSpec = {
+                     aggConds: Map[String, Seq[MrAggCond]] = Map.empty,
+                     permute: Boolean = false): MrSpec = {
     val dupDefs = defines.map(_._1).groupBy(identity).collect {
       case (v, occ) if occ.size > 1 => v
     }
     require(dupDefs.isEmpty,
       s"variable DEFINEd more than once: ${dupDefs.mkString(", ")}")
     val defined = defines.map(_._1).toSet
+    // PERMUTE: every variable must be DEFINEd (an undefined one would
+    // be gap-classified with a misleading error), anchors must emit
+    // independently for the per-anchor leftmost dedup, and the
+    // match-relative DEFINE surfaces have no cross-ordering alignment
+    if (permute) {
+      for (e <- elems) require(defined(e.variable),
+        s"PERMUTE variable ${e.variable} must be DEFINEd")
+      require(skip == SkipToNextRow,
+        "PERMUTE requires AFTER MATCH SKIP TO NEXT ROW (same rule as " +
+          "alternation: per-anchor emission makes the declared-order " +
+          "branch dedup exact)")
+      require(navConds.isEmpty && aggConds.isEmpty,
+        "PERMUTE with DEFINE navigation / aggregate conditions is not " +
+          "supported — expand the orderings by hand")
+    }
     // alternation groups: every alternative must be a DEFINEd step, and
     // the expansion must stay bounded; overlap-dedup (leftmost branch
     // preference at one anchor) is only well-defined when every anchor
@@ -1099,7 +1181,8 @@ object MatchRecognize {
         s"SUBSET $n member '$m' is not a defined pattern step")
     }
     MrSpec(partition, order, measures, allRows, skip, within,
-      tagged, defines, strict, fromTable, navConds, subsets, aggConds)
+      tagged, defines, strict, fromTable, navConds, subsets, aggConds,
+      permute)
   }
 
   // ---------- executor ----------
@@ -1118,6 +1201,37 @@ object MatchRecognize {
     require(spec.orderBy.size == 2,
       "ORDER BY must name the event-time column AND a deterministic " +
         s"tiebreak column (e.g. `ORDER BY ts, event_id`), got ${spec.orderBy}")
+    applyExclusion(dispatch(df, spec), spec)
+  }
+
+  /** SQL:2016 pattern exclusion `{- X -}` (Flink SQL rejects it — a
+    * beyond-Flink completion): the excluded variables' CONSUMED rows
+    * are omitted from ALL ROWS PER MATCH output. Matching, MEASURES,
+    * and the ONE-ROW match summary are UNAFFECTED — the standard's
+    * semantics make exclusion an output filter, not a matching change —
+    * so n_rows / RUNNING frames still count excluded rows and `pos`
+    * keeps the original consumption numbering. Applied uniformly after
+    * every ALL-ROWS route: the row's step label is the consuming
+    * SYMBOL on the plain compiled symbolic route and the pattern
+    * VARIABLE name on the value-predicate / measures / iterative /
+    * alternation routes, so excluded variables map through the same
+    * labeling the route emits. */
+  private def applyExclusion(out: DataFrame, spec: MrSpec): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val exVars = spec.elems.filter(e => e.excluded && !e.isGap)
+      .flatMap(e => if (e.altVars.nonEmpty) e.altVars else Seq(e.variable))
+    if (exVars.isEmpty || !spec.allRows) return out
+    val symbolicPlain = !spec.isIterative && !spec.hasAlternation &&
+      spec.measures.isEmpty && spec.toSymbolic.isDefined
+    val labelByVar: Map[String, String] =
+      if (symbolicPlain) {
+        val (_, pat) = spec.toSymbolic.get
+        spec.stepElems.map(_.variable).zip(pat.steps.map(_.symbol)).toMap
+      } else exVars.map(v => v -> v).toMap
+    out.filter(!col("step").isin(exVars.map(labelByVar): _*))
+  }
+
+  private def dispatch(df: DataFrame, spec: MrSpec): DataFrame = {
     val (key, tsC, ordC) = (spec.partitionBy.head, spec.orderBy(0), spec.orderBy(1))
     if (spec.hasAlternation) return runAlternation(df, spec, key, tsC, ordC)
     if (spec.isIterative) {

@@ -431,6 +431,16 @@ object Analytic {
           col("event_id"), col("ts"), col("step"), col("value"))
         .orderBy("user_id", "purchase_id", "pos")),
 
+    // SQL:2016 exclusion {- click+ -}: the allRows matches with only
+    // the un-excluded purchase rows emitted (pos keeps the original
+    // consumption numbering). Shares the islands CTE chain with the
+    // symbol filter applied in SQL.
+    "event_cep_sql_exclude" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.exclAllRows)
+        .select(col("user_id"), col("end_id").as("purchase_id"), col("pos"),
+          col("event_id"), col("ts"), col("step"), col("value"))
+        .orderBy("user_id", "purchase_id", "pos")),
+
     // DEFINE navigation from TEXT (the round-9 top-next item): FIRST()
     // routes the clause to the per-key iterative matcher — the
     // event_cep_iterative machinery — with the context-free predicate
@@ -498,6 +508,14 @@ object Analytic {
     // from the same text (branch oracles + the same dedup window).
     "event_cep_alt" -> ((s, d) =>
       MatchRecognize.run(Tables.events(s, d), CepSql.altFunnel)
+        .orderBy("user_id", "start_id")),
+
+    // SQL:2016 PERMUTE(c, v, p) from text: the 3! orderings as
+    // expanded branches through the same union + leftmost-preference
+    // dedup as alternation (earliest declared ordering wins a
+    // contested anchor). Oracle generated from the same text.
+    "event_cep_sql_permute" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.permuteFunnel)
         .orderBy("user_id", "start_id")),
 
     // MEASURES × DEFINE navigation (round-10 top-next item): the
@@ -948,6 +966,25 @@ object Analytic {
         |  DEFINE a AS a.event_type = 'click' AND SUM(a.value) <= 200,
         |         b AS b.event_type = 'purchase'
         |)""".stripMargin
+    // SQL:2016 PERMUTE (round-12 item 5 — a beyond-Flink completion:
+    // Flink SQL rejects PERMUTE entirely): any ordering of a strict
+    // click/view/purchase triple within 2 h. Expands to the 3! branch
+    // orderings in lexicographic declared order; contested anchors go
+    // to the earliest ordering (the same leftmost-preference dedup as
+    // alternation). Oracle GENERATED from this text (per-permutation
+    // branch oracles + the same dedup window).
+    val permuteFunnel: String =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (PERMUTE(c, v, p))
+        |  WITHIN INTERVAL '120' MINUTE
+        |  DEFINE c AS event_type = 'click',
+        |         v AS event_type = 'view',
+        |         p AS event_type = 'purchase'
+        |)""".stripMargin
     // UNBOUNDED aggregate condition in DEFINE (round-12 item 4): the
     // same RUNNING-sum-capped click run with `a+` instead of `a{1,4}`
     // — the run length is limited only by the sum cap and contiguity,
@@ -1096,6 +1133,23 @@ object Analytic {
         |         c AS event_type = 'click',
         |         v AS event_type = 'view',
         |         p AS event_type = 'purchase'
+        |)""".stripMargin
+    // SQL:2016 pattern exclusion (round-12 item 6 — Flink SQL rejects
+    // `{- X -}` too, so this is a beyond-Flink completion): the same
+    // C+ P islands matches as allRows, with the click run EXCLUDED
+    // from the row output — matching unchanged, only the purchase rows
+    // emit, `pos` keeping the original consumption numbering. Oracle:
+    // the shared islands CTE chain with the symbol filter in SQL.
+    val exclAllRows: String =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ALL ROWS PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN ({- click+ -} purchase)
+        |  WITHIN INTERVAL '10' MINUTE
+        |  DEFINE click AS event_type = 'click',
+        |         purchase AS event_type = 'purchase'
         |)""".stripMargin
     // ALL ROWS PER MATCH from text: variables NAMED by the symbols they
     // define, so the executor's `step` column equals event_cep_all_rows'
@@ -1711,6 +1765,7 @@ object Analytic {
     "event_cep_sql_where" -> MatchRecognize.oracleFor(CepSql.hotBuy),
     "event_cep_sql_measures" -> MatchRecognize.oracleFor(CepSql.measured),
     "event_cep_alt" -> MatchRecognize.oracleFor(CepSql.altFunnel),
+    "event_cep_sql_permute" -> MatchRecognize.oracleFor(CepSql.permuteFunnel),
     "event_cep_quant" -> Cep.oracleSql(CepPatterns.quant),
     "event_cep_quant_measures" -> Cep.oracleSqlMeasures(CepPatterns.quant, "value"),
     "event_cep_where_measures" ->
@@ -1942,6 +1997,11 @@ object Analytic {
     // per-match (ts, event_id) row_number = consumption order.
     "event_cep_all_rows" -> AllRowsOracle,
     "event_cep_sql_allrows" -> AllRowsOracle,
+    // exclusion = the SAME islands chain with the symbol filter in SQL
+    "event_cep_sql_exclude" -> (AllRowsCtes +
+      "\nSELECT user_id, purchase_id, pos, event_id, ts, step, value" +
+      "\nFROM ar WHERE step = 'purchase'" +
+      "\nORDER BY user_id, purchase_id, pos"),
     "event_cep_sql_agg" -> AggMeasuresOracle,
     "event_cep_sql_runagg" -> RunMeasuresOracle,
     "event_cep_sql_subset" -> SubsetMeasuresOracle,

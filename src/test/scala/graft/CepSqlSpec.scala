@@ -908,6 +908,108 @@ class CepSqlSpec extends SparkSuite {
     }
   }
 
+  test("PERMUTE expands to the n! orderings in declared-lexicographic order") {
+    val CepSql = graft.queries.Analytic.CepSql
+    val spec = MatchRecognize.parse(CepSql.permuteFunnel)
+    assert(spec.permute && spec.hasAlternation)
+    val branches = spec.expandBranches
+    assert(branches.size === 6)
+    assert(branches.map(_.elems.map(_.variable).mkString("")) ===
+      Seq("cvp", "cpv", "vcp", "vpc", "pcv", "pvc"))
+    assert(branches.forall(b => !b.permute && !b.hasAlternation))
+    // engine result == brute force: per-ordering sequential matcher,
+    // contested anchors to the earliest ordering
+    val sp = spark
+    import sp.implicits._
+    val ev = Tables.events(spark, sf001)
+    val got = MatchRecognize.run(ev, CepSql.permuteFunnel)
+      .select("user_id", "start_id", "end_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val raw = ev.select("user_id", "ts", "event_id", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    val want = raw.flatMap { case (u, evs) =>
+      val s = evs.sortBy(e => (e._2.getTime, e._3)).toIndexedSeq
+      val perms = Seq("cvp", "cpv", "vcp", "vpc", "pcv", "pvc")
+        .map(_.map { case 'c' => "click"; case 'v' => "view"; case _ => "purchase" })
+      s.indices.flatMap { i =>
+        perms.zipWithIndex.flatMap { case (ord, bi) =>
+          if (i + 2 < s.size && (0 to 2).forall(k => s(i + k)._4 == ord(k)) &&
+              s(i + 2)._2.getTime - s(i)._2.getTime <= 120L * 60 * 1000)
+            Some((u, s(i)._3, s(i + 2)._3, bi))
+          else None
+        }.sortBy(_._4).headOption.map(m => (m._1, m._2, m._3))
+      }
+    }.toSet
+    assert(want.nonEmpty && got === want)
+    // rejections stay loud
+    assert(intercept[IllegalArgumentException](MatchRecognize.parse(
+      CepSql.permuteFunnel.replace("PERMUTE(c, v, p)", "PERMUTE(c, v, p, s, e)")))
+      .getMessage.contains("capped at 4"))
+    assert(intercept[IllegalArgumentException](MatchRecognize.parse(
+      CepSql.permuteFunnel.replace("PERMUTE(c, v, p)", "PERMUTE(c, v) p")))
+      .getMessage.contains("whole PATTERN"))
+    assert(intercept[IllegalArgumentException](MatchRecognize.parse(
+      CepSql.permuteFunnel.replace("PERMUTE(c, v, p)", "PERMUTE(c, v, q)")))
+      .getMessage.contains("must be DEFINEd"))
+    assert(intercept[IllegalArgumentException](MatchRecognize.parse(
+      CepSql.permuteFunnel.replace("SKIP TO NEXT ROW", "SKIP PAST LAST ROW")))
+      .getMessage.contains("SKIP TO NEXT ROW"))
+  }
+
+  test("pattern exclusion {- X -}: output filter only, matching and measures unchanged") {
+    val CepSql = graft.queries.Analytic.CepSql
+    val ev = Tables.events(spark, sf001)
+    // the excluded run's rows vanish; the remaining rows are EXACTLY
+    // the allRows output's purchase rows with original pos/n numbering
+    val full = MatchRecognize.run(ev, CepSql.allRows)
+      .select("user_id", "end_id", "pos", "event_id", "step")
+      .collect().toSet
+    val excl = MatchRecognize.run(ev, CepSql.exclAllRows)
+      .select("user_id", "end_id", "pos", "event_id", "step")
+      .collect().toSet
+    assert(excl.nonEmpty && excl === full.filter(_.getString(4) == "purchase"))
+    // ONE ROW PER MATCH: exclusion is a documented no-op (the standard
+    // makes it an ALL-ROWS output filter) — identical match summaries
+    val oneRowExcl = CepSql.exclAllRows
+      .replace("ALL ROWS PER MATCH", "ONE ROW PER MATCH")
+    val oneRow = MatchRecognize.run(ev, oneRowExcl).collect().toSet
+    val oneRowPlain = MatchRecognize.run(ev, CepSql.allRows
+      .replace("ALL ROWS PER MATCH", "ONE ROW PER MATCH")).collect().toSet
+    assert(oneRow === oneRowPlain)
+    // MEASURES × ALL ROWS: RUNNING/FINAL frames still aggregate the
+    // EXCLUDED rows (exclusion is an output filter, not a scope change)
+    val exclAgg = CepSql.exclAllRows.replace("ALL ROWS PER MATCH",
+      "MEASURES COUNT(*) AS m_rows, SUM(click.value) AS c_sum\n" +
+        "  ALL ROWS PER MATCH")
+    val ar = MatchRecognize.run(ev, exclAgg).collect()
+    assert(ar.nonEmpty)
+    for (r <- ar) {
+      assert(r.getAs[String]("step") === "purchase")
+      // FINAL COUNT(*) spans the whole match: pos == m_rows on the
+      // last (purchase) row, and the click sum is present even though
+      // every click row was filtered from the output
+      assert(r.getAs[Long]("pos") === r.getAs[Long]("m_rows"))
+      assert(!r.isNullAt(r.fieldIndex("c_sum")))
+    }
+    // value-predicate route (no symbolic form): step labels are
+    // VARIABLE names and the filter maps through them
+    val exclWhere = CepSql.exclAllRows.replace(
+      "DEFINE click AS event_type = 'click',",
+      "DEFINE click AS click.event_type = 'click' AND click.value >= 0,")
+    val vw = MatchRecognize.run(ev, exclWhere)
+      .select("step").distinct().collect().map(_.getString(0)).toSet
+    assert(vw === Set("purchase"))
+    // rejections stay loud
+    assert(intercept[IllegalArgumentException](MatchRecognize.parse(
+      CepSql.exclAllRows.replace("{- click+ -}", "{- click+")))
+      .getMessage.contains("unterminated exclusion"))
+    assert(intercept[IllegalArgumentException](MatchRecognize.parse(
+      CepSql.exclAllRows.replace("{- click+ -}", "{- -} click+")))
+      .getMessage.contains("empty exclusion"))
+  }
+
   test("every front-door route is total on EMPTY input (0 rows, no errors)") {
     val sp = spark
     import sp.implicits._
