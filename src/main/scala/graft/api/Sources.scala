@@ -1,6 +1,7 @@
 package graft.api
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, expr, greatest, lit, sum}
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.Row
@@ -61,6 +62,29 @@ object Sinks {
     df.write.mode("overwrite")
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(table)
+
+  /** Deterministic compaction PLAN (round-12 item 8 — the
+    * contract-gated sibling of [[compactParquet]]): per `prefixCols`
+    * group, the row count, total content bytes, and the planned
+    * rewrite file count `ceil(bytes / targetBytes)` (min 1) — PURE
+    * INTEGER arithmetic over `bytesExpr` (e.g.
+    * `octet_length(text) + overhead`), so the whole table replays
+    * bit-exactly in DuckDB. [[compactParquet]] itself sizes from
+    * engine statistics (fast, not replayable); a maintenance scheduler
+    * plans from THIS table — which prefixes are worth rewriting, into
+    * how many files — and the plan is what the correctness contract
+    * gates. Scale shape: one hash aggregation on the prefix columns,
+    * partial+final; no shuffle beyond the prefix-keyed exchange. */
+  def compactPlan(df: DataFrame, prefixCols: Seq[String],
+                  bytesExpr: Column, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    df.groupBy(prefixCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(bytesExpr.cast("long")).as("total_bytes"))
+      .withColumn("n_files",
+        greatest(lit(1L), expr(
+          s"CAST((total_bytes + ${targetBytes - 1}) DIV $targetBytes AS BIGINT)")))
+  }
 
   /** Small-file compaction: rewrite a parquet directory into
     * ceil(bytes / targetBytes) files (min 1). The post-ingest

@@ -652,6 +652,19 @@ object Pipeline {
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
         .orderBy("shard_id")),
 
+    // Lakehouse maintenance PLAN (round-12 item 8): per (source, lang)
+    // prefix, the deterministic compaction file table — row count,
+    // total content bytes (octet_length of the text), and the planned
+    // rewrite file count ceil(bytes/16KiB), pure integer arithmetic
+    // (Sinks.compactPlan). The execution sibling Sinks.compactParquet
+    // sizes from engine stats (ApiSpec); THIS plan is the
+    // contract-gated surface a maintenance scheduler reads.
+    "corpus_compact_plan" -> ((s, d) =>
+      graft.api.Sinks.compactPlan(Tables.documents(s, d),
+          Seq("source", "lang"), octet_length(col("text")).cast("long"),
+          targetBytes = 16384L)
+        .orderBy("source", "lang")),
+
     // Bigram LM self-scoring (the CCNet-style quality filter): docs with
     // improbable token sequences under the corpus's own bigram model
     // score low. Docs under 2 tokens have no bigrams and drop out.
@@ -1677,6 +1690,19 @@ object Pipeline {
         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM documents
         |GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+
+    // Pure integer replay of Sinks.compactPlan: same UTF-8 byte
+    // accounting (DuckDB strlen = byte length, Spark octet_length),
+    // same ceil-by-integer-division file count (// is integer
+    // division; sum casts from HUGEINT).
+    "corpus_compact_plan" ->
+      """SELECT source, lang,
+        |       count(*) AS n_rows,
+        |       CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+        |       CAST(greatest(1, (sum(strlen(text)) + 16383) // 16384)
+        |            AS BIGINT) AS n_files
+        |FROM documents
+        |GROUP BY source, lang ORDER BY source, lang""".stripMargin,
 
     // Stage-for-stage replay of the composite: the same normalize
     // regexes, the same four gate rules (quality_gate's), sha256

@@ -166,6 +166,29 @@ class ApiSpec extends SparkSuite {
     assert(spark.read.parquet(out).count() == Tables.events(spark, sf001).count())
   }
 
+  test("Sinks.compactPlan: ceil-by-integer-division file counts, min 1") {
+    val sp = spark
+    import sp.implicits._
+    // byte sizes chosen around the target: 100 -> exactly 1 file at
+    // target 100; 101 -> 2; tiny group -> floor 1
+    val df = Seq(
+      ("a", "x" * 60), ("a", "y" * 40),            // 100 bytes -> 1 file
+      ("b", "x" * 60), ("b", "y" * 41),            // 101 bytes -> 2 files
+      ("c", "z")                                   // 1 byte    -> 1 file
+    ).toDF("pfx", "text")
+    val m = Sinks.compactPlan(df, Seq("pfx"),
+        org.apache.spark.sql.functions.octet_length(col("text")).cast("long"),
+        targetBytes = 100L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(m("a") === ((2L, 100L, 1L)))
+    assert(m("b") === ((2L, 101L, 2L)))
+    assert(m("c") === ((1L, 1L, 1L)))
+    assert(intercept[IllegalArgumentException](
+      Sinks.compactPlan(df, Seq("pfx"), col("text"), 0L))
+      .getMessage.contains("positive"))
+  }
+
   test("dynamic partition pruning fires on a partitioned fact x filtered dim join") {
     val dir = Files.createTempDirectory("graft_dpp").toString
     // fact partitioned by event_type (stands in for a date-partitioned
