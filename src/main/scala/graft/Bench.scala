@@ -21,7 +21,7 @@ object Bench {
     "stream_tumbling_append", "stream_custom_trigger", "stream_interval_join",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_containment", "dedup_clusters",
-    "sim_cosine_topk", "sim_ann_partitioned", "sim_lsh_bucketed",
+    "sim_cosine_topk", "sim_ann_partitioned", "sim_lsh_bucketed", "sim_knn_graph",
     "text_stats", "text_tfidf", "pipeline_corpus", "corpus_pack",
     "event_cep", "quality_gate", "q_composite_corpus", "sim_pq_trained",
     "event_cep_sql")
@@ -182,6 +182,19 @@ object Bench {
     val allTrials = trials.map { case (name, ts) =>
       name -> (ts.map(_._1) ++ isoByName.get(name).toSeq) }
     val results = allTrials.map { case (name, secs) => name -> secs.min }
+    // Both spreads are reported (round-12 ADVICE — the adjudication
+    // must be auditable, not self-certified): `spread` carries the
+    // isolated post-warm spread where an isolated re-measure ran (the
+    // adjudicated number), and `sweep_spread` preserves the ORIGINAL
+    // sweep-window spread for exactly those keys, so a reader can see
+    // what the isolation replaced. spread_sweep_max in the stats line
+    // is the pre-adjudication fleet maximum.
+    val sweepSpreads = trials.map { case (name, ts) =>
+      val secs = ts.map(_._1)
+      name -> (if (secs.min > 1e-9) (secs.max - secs.min) / secs.min else 0.0)
+    }
+    val sweepByName = sweepSpreads.toMap
+    val replacedSweep = isolatedFull.map { case (n, _) => n -> sweepByName(n) }
     val spreads = allTrials.map { case (name, secs) =>
       name -> isoSpreadByName.getOrElse(name,
         if (secs.min > 1e-9) (secs.max - secs.min) / secs.min else 0.0) }
@@ -201,9 +214,10 @@ object Bench {
     val loadStats =
       if (loadVals.isEmpty) s""""load_p50":-1,"load_max":-1"""
       else s""""load_p50":${fmt(loadVals(loadVals.size / 2))},"load_max":${fmt(loadVals.last)}"""
-    val spreadStats = s""""trials":2,"trial_order":"interleaved","retried":$nRetried,"isolated_n":${isolated.size},"spread_p50":${fmt(spreadP50)},"spread_max":${fmt(spreadMax)},$loadStats"""
+    val spreadSweepMax = sweepSpreads.map(_._2).max
+    val spreadStats = s""""trials":2,"trial_order":"interleaved","retried":$nRetried,"isolated_n":${isolated.size},"spread_p50":${fmt(spreadP50)},"spread_max":${fmt(spreadMax)},"spread_sweep_max":${fmt(spreadSweepMax)},$loadStats"""
     val isoJson = jsonMap(isolated)
-    val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$spreadStats,"baseline":${jsonMap(baseline)},"isolated":$isoJson,"queries":${jsonMap(results)},"spread":${jsonMap(spreads)},"load":${jsonMap(loads)},"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$spreadStats,"baseline":${jsonMap(baseline)},"isolated":$isoJson,"sweep_spread":${jsonMap(replacedSweep)},"queries":${jsonMap(results)},"spread":${jsonMap(spreads)},"load":${jsonMap(loads)},"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
       java.nio.file.Files.write(p, detail.getBytes("UTF-8"))

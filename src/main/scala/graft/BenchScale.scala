@@ -59,23 +59,34 @@ object BenchScale {
     "dedup_span_maxrun")
 
   /** Second measured decade (VERDICT r9 item 6): the STEEPEST keys of
-    * the 10x sweep re-measured over a 100x-documents slice, so their
-    * exponents are confirmed once sf0.1's fixed costs stop dominating.
-    * All read ONLY the documents table, so the 100x generator writes
-    * nothing else. Exponents here are PER DECADE
-    * (log10(t_big/t_small) / 2 over the two decades). dedup_clusters
-    * joined in round 11 (VERDICT r10 item 8) — the iterative CC is the
-    * remaining heavy dedup key without a confirmed second decade. */
+    * the 10x sweep re-measured over a 100x slice, so their exponents
+    * are confirmed once sf0.1's fixed costs stop dominating.
+    * Exponents here are PER DECADE (log10(t_big/t_small) / 2 over the
+    * two decades). dedup_clusters joined in round 11 (VERDICT r10
+    * item 8); round 12 (VERDICT r11 item 7) adds the sketch/ANN
+    * families — dedup_winnow, dedup_minhash, dedup_span_maxrun
+    * (documents) and sim_ivfadc (embeddings; its probe set is the
+    * fixed copy-0 slice because offset ids exceed the probe bound, so
+    * the measurement is the serving shape: constant queries over a
+    * 100x corpus). */
   private val keys100 = Seq("dedup_containment", "dedup_ngram_jaccard",
-    "text_tfidf", "dedup_clusters")
+    "text_tfidf", "dedup_clusters",
+    "dedup_winnow", "dedup_minhash", "dedup_span_maxrun", "sim_ivfadc")
   private val Factor100 = 100
 
-  /** 100 isolated documents copies — same isolation scheme as [[gen]]
-    * (copy-specific token suffixes keep every near-dup candidate set
-    * within-copy; stopwords verbatim), numeric two-digit suffixes since
-    * 100 copies outgrow the letter table. */
+  /** 100 isolated documents + embeddings copies — same isolation
+    * scheme as [[gen]]: copy-specific token suffixes keep every
+    * near-dup candidate set within-copy (stopwords verbatim), numeric
+    * two-digit suffixes since 100 copies outgrow the letter table.
+    * Embeddings decorrelate with only 64 distinct rotations available
+    * in 64 dims, so copies 64..99 take the ANTIPODE of rotations
+    * 0..35 (global negation — norm-preserving, cosine -1 to the
+    * un-negated twin): all 100 transforms are distinct, so no
+    * cross-copy cos~1 pair inflates a cluster.
+    * Done-marker is versioned: _GEN_DONE_V2 invalidates round-11 dirs
+    * that carry only the documents table. */
   private def gen100(spark: SparkSession, srcDir: String, outDir: String): Unit = {
-    val done = new java.io.File(s"$outDir/_GEN_DONE")
+    val done = new java.io.File(s"$outDir/_GEN_DONE_V2")
     if (done.exists()) return
     val copies = spark.range(Factor100).select(col("id").cast("int").as("c"))
     val suffixed =
@@ -88,6 +99,16 @@ object BenchScale {
         expr(suffixed).as("text"), col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .repartition(64).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val rot100 = // rotation for c mod 64; antipode for the second lap
+      """CASE WHEN c = 0 THEN embedding ELSE
+        |  transform(
+        |    concat(slice(embedding, pmod(c * 7, 64) + 1, 64 - pmod(c * 7, 64)),
+        |           slice(embedding, 1, pmod(c * 7, 64))),
+        |    x -> CASE WHEN c >= 64 THEN -x ELSE x END) END""".stripMargin
+    spark.read.parquet(s"$srcDir/embeddings.parquet").crossJoin(copies).select(
+        (col("vec_id") + col("c") * Stride).as("vec_id"),
+        expr(rot100).as("embedding"), col("label"))
+      .repartition(64).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     done.createNewFile()
   }
 

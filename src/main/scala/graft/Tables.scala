@@ -113,4 +113,10 @@ object Det {
 
   /** Bit-stable 4-decimal rounding (for similarity scores). */
   def round4(c: Column): Column = floor(c * 10000 + lit(0.5)) / 10000
+
+  /** Bit-stable 8-decimal rounding — for sampling priorities in (0,1]
+    * whose weight fidelity needs finer than 1e-4 granularity near 1
+    * (oracle idiom: `floor(x*100000000 + 0.5)/100000000`). */
+  def round8(c: Column): Column =
+    floor(c * 100000000L + lit(0.5)) / 100000000L
 }

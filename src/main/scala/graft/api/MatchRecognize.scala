@@ -24,8 +24,9 @@ case class MrMeasure(exprSql: String, alias: String)
 
 /** One parsed DEFINE navigation call — `PREV(var.col [, n])` /
   * `NEXT(var.col [, n])` / `FIRST(var.col [, n])` /
-  * `LAST(var.col [, n])` (SQL:2016 row-pattern navigation; Flink SQL
-  * supports the same four in DEFINE).
+  * `LAST(var.col [, n])` — SQL:2016 row-pattern navigation (all four
+  * are standard; Flink SQL documents PREV/FIRST/LAST in DEFINE, so
+  * NEXT here is standard-complete rather than Flink-mirrored).
   *  - `PREV`/`NEXT` navigate the PARTITION: the row `n` before/after
   *    the current row in (orderBy) order, whatever variable matched
   *    it — the standard's physical navigation (default n = 1). The
@@ -410,9 +411,10 @@ case class MrSpec(partitionBy: Seq[String], orderBy: Seq[String],
   * alternation routes (its per-step semantics belong to the compiled
   * plan — rejected with the general-measures alternative named).
   *
-  * Not supported, by documented design: SQL exclusion
-  * syntax `{- -}`, top-level sequence alternation, and
-  * `followedByAny` (no SQL surface exists). [[render]] is the inverse
+  * Not supported, by documented design: top-level sequence
+  * alternation, and `followedByAny` (no SQL surface exists); SQL:2016
+  * exclusion `{- X -}` IS supported as an ALL-ROWS output filter (see
+  * line ~724 and [[applyExclusion]]). [[render]] is the inverse
   * — it emits canonical
   * clause text from a DSL pattern, and round-tripping is
   * property-tested over every declared pattern in CepSqlSpec.
@@ -1966,8 +1968,20 @@ object MatchRecognize {
       coalesce(expr(defMap(e.variable)).cast("boolean"), lit(false))): _*)
     val nvArr = array(navCols.map(c =>
       coalesce(col(c).cast("double"), lit(Double.NaN))): _*)
+    // A NULL `value` must fail LOUDLY, mirroring the symbolic route
+    // (whose non-nullable Ev encoder rejects NULLs): silently
+    // coalescing to 0.0 would let COUNT/AVG count the row and MIN
+    // return 0.0 — a silent SQL-null divergence between routes
+    // (round-12 ADVICE fix). coalesce short-circuits, so the
+    // raise_error branch only evaluates on an actual NULL.
     val valueCol =
-      if (df.columns.contains("value")) coalesce(col("value").cast("double"), lit(0.0))
+      if (df.columns.contains("value"))
+        coalesce(col("value").cast("double"),
+          org.apache.spark.sql.functions.raise_error(lit(
+            "iterative MATCH_RECOGNIZE route: NULL in the `value` " +
+              "column — the CEP event model needs a non-null numeric " +
+              "value (the symbolic route rejects NULLs the same way); " +
+              "filter or coalesce upstream")).cast("double"))
       else lit(0.0)
     val rows = df.select(col(key).cast("long").as("k"), col(tsC).as("ts"),
         col(ordC).cast("long").as("ord"), cfArr.as("cf"), nvArr.as("nv"),

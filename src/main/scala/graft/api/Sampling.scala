@@ -95,6 +95,46 @@ object Sampling {
       .filter(col("cum_tok") - col(tokCol) < col("alloc_tok"))
   }
 
+  /** Deterministic weighted sample WITHOUT replacement: top-`k` docs by
+    * the Efraimidis–Spirakis A-ES key `u^(1/w)` (equivalently
+    * Duffield–Lund–Thorup priority sampling under the monotone map
+    * `w/(-ln u)`): inclusion probability rises with the integer weight
+    * `w`, and the whole draw is a pure function of the ids — the
+    * "sample 1M docs token-mass-proportionally from a 100 TB corpus,
+    * reproducibly" operator (weight = token count here; any positive
+    * integer weight column works).
+    *
+    * Determinism discipline (the [[Sampling]] header contract, plus the
+    * float guard): `u = (h60 + 1) / 2^60` where h60 is the 60-bit md5
+    * prefix of the id — the long→double cast and the power-of-two
+    * division are IEEE-exact, so `u` is bit-identical on every engine;
+    * `pow(u, 1/w)` is libm (engines may differ in the last ulp), so the
+    * SORT KEY is the 8-decimal-rounded priority ([[graft.Det.round8]] —
+    * 1e-8 granularity keeps weight fidelity near the key's u→1 ceiling
+    * where 4 decimals would collapse high-weight docs into one bucket)
+    * with the id as the unique tiebreak. A ≤1-ulp libm divergence flips
+    * a rounding boundary with probability ~2^-26 per row — the same
+    * accepted-risk envelope as every round4 guard in the fleet.
+    *
+    * Scale shape: one narrow projection, then a global top-k that plans
+    * as TakeOrderedAndProject — per-partition heaps of size k feeding
+    * one k-row driver merge; NO global sort, NO window, NO shuffle of
+    * the corpus. k rows is the only thing that ever leaves an executor.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
+                     k: Int): DataFrame = {
+    require(k >= 1, "weightedSample needs k >= 1")
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("double") + lit(1.0)) / lit(1.152921504606846976e18)
+    df.withColumn("weight", weightCol.cast("long"))
+      .filter(col("weight") >= 1)
+      .withColumn("priority",
+        graft.Det.round8(pow(u, lit(1.0) / col("weight").cast("double"))))
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("weight"), col("priority"))
+  }
+
   /** The TOKEN-BUDGET table a mixture plan starts from: per stratum,
     * document and whitespace-token totals, the stratum's share of the
     * corpus, and the big-strata-first CUMULATIVE share (rank order:

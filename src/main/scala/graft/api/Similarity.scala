@@ -81,6 +81,82 @@ object Similarity {
       .select(col("probe_id"), col("rnk"), col(idCol).as("neighbor_id"), col("cos"))
   }
 
+  /** k-NN GRAPH construction — every corpus vector's top-`k` cosine
+    * neighbors among its LSH-bucket candidates (the all-sources sibling
+    * of [[lshTopK]], whose probe side is a small broadcast set). The
+    * k-NN graph is the backbone structure for semantic clustering,
+    * graph-based dedup, and NN-Descent-style refinement over a training
+    * corpus.
+    *
+    * 100 TB shape: the candidate set is a bucket SELF-join — both sides
+    * shuffle on the ~uniform (table, bucket) key, per-bucket cost
+    * O(occupancy²) with occupancy ~ n/2^bits per table (bits is the
+    * knob that keeps buckets bounded as n grows; a skewed bucket is a
+    * salting candidate like any other hot key). The exact-cosine verify
+    * joins each side's vector by id (two shuffle joins on the id key),
+    * and the top-k rank windows per SOURCE id — fully distributed,
+    * never a global sort. Output is n·k rows — linear in the corpus.
+    */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+               tables: Int = 4, bits: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = lshPlanes(tables, bits, dim)
+    val e = withNorm(corpus, vecCol)
+    val cb = corpus.select(col(idCol),
+      lshBuckets(col(vecCol), planes, tables, bits).as(Seq("tbl", "bkt")))
+    val cand = cb.join(
+        cb.select(col(idCol).as("nb_id"), col("tbl"), col("bkt")),
+        Seq("tbl", "bkt"))
+      .filter(col(idCol) =!= col("nb_id"))
+      .select(col(idCol).as("src_id"), col("nb_id")).distinct()
+    val src = e.select(col(idCol).as("src_id"), col(vecCol).as("sv"),
+      col("nrm").as("sn"))
+    val nbr = e.select(col(idCol).as("nb_id"), col(vecCol).as("nv"),
+      col("nrm").as("nn"))
+    val w = Window.partitionBy(col("src_id")).orderBy(col("cos").desc, col("nb_id"))
+    cand.join(nbr, "nb_id").join(src, "src_id")
+      .withColumn("cos", vec_dot(col("sv"), col("nv")) / (col("sn") * col("nn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("src_id"), col("rnk"), col("nb_id").as("neighbor_id"), col("cos"))
+  }
+
+  /** The DuckDB replay of [[knnGraph]] — the same md5-derived plane
+    * literals, the bucket SELF-join, and the per-source rank. */
+  def knnGraphOracleSql(k: Int, tables: Int = 4, bits: Int = 8,
+                        dim: Int = 64): String = {
+    val planes = lshPlanes(tables, bits, dim)
+    val rows = (0 until tables).flatMap { t =>
+      (0 until bits).map { j =>
+        s"(${t}, ${j}, [${planes(t * bits + j).mkString(",")}]::BIGINT[])"
+      }
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+       |    sqrt(list_aggregate(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum')) AS nrm,
+       |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000.0 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |planes(tbl, j, pl) AS (VALUES ${rows}),
+       |bk AS (
+       |  SELECT vec_id, tbl,
+       |    sum(CASE WHEN list_aggregate(list_transform(list_zip(q, pl), x -> x[1] * x[2]), 'sum') > 0
+       |             THEN 1::BIGINT << j ELSE 0 END) AS bkt
+       |  FROM e CROSS JOIN planes GROUP BY vec_id, tbl),
+       |cand AS (
+       |  SELECT DISTINCT s.vec_id AS src_id, c.vec_id AS neighbor_id
+       |  FROM bk s JOIN bk c ON c.tbl = s.tbl AND c.bkt = s.bkt
+       |                     AND c.vec_id != s.vec_id)
+       |SELECT src_id, rnk, neighbor_id, floor(cos * 10000 + 0.5) / 10000 AS cos FROM (
+       |  SELECT cd.src_id, cd.neighbor_id,
+       |    list_aggregate(list_transform(list_zip(s.v, c.v), x -> x[1] * x[2]), 'sum')
+       |      / (s.nrm * c.nrm) AS cos,
+       |    CAST(row_number() OVER (PARTITION BY cd.src_id ORDER BY
+       |      list_aggregate(list_transform(list_zip(s.v, c.v), x -> x[1] * x[2]), 'sum')
+       |        / (s.nrm * c.nrm) DESC, cd.neighbor_id) AS INTEGER) AS rnk
+       |  FROM cand cd JOIN e s ON s.vec_id = cd.src_id
+       |               JOIN e c ON c.vec_id = cd.neighbor_id
+       |) WHERE rnk <= ${k} ORDER BY src_id, rnk""".stripMargin
+  }
+
   /** The DuckDB replay of [[lshTopK]], spliced with the same md5-derived
     * plane literals (see [[lshPlanes]] — integer dots make bucket
     * assignment engine-independent; the cosine verify reuses the

@@ -1,7 +1,8 @@
 package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, expr, greatest, lit, sum}
+import org.apache.spark.sql.functions.{broadcast, col, count, expr, greatest,
+  lit, max, min, shiftleft, shiftright, sum}
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.Row
@@ -84,6 +85,69 @@ object Sinks {
       .withColumn("n_files",
         greatest(lit(1L), expr(
           s"CAST((total_bytes + ${targetBytes - 1}) DIV $targetBytes AS BIGINT)")))
+  }
+
+  /** Z-ORDER layout PLAN (the multi-dimensional clustering sibling of
+    * [[compactPlan]] — Delta/Iceberg `OPTIMIZE ZORDER BY (x, y)`):
+    * each dimension is bucketed into `2^bits` equal-width ranges from
+    * the global min/max (a tiny broadcast agg), the bucket bits are
+    * interleaved into the Morton key `z`, and the output is the
+    * per-z-cell file table — row count plus each dimension's min/max,
+    * the exact column statistics a reader's file-skipping consults.
+    * Laying files out by `z` makes a range predicate on EITHER
+    * dimension prune ~sqrt of the files (versus pruning nothing on the
+    * second dimension under a single-column sort) — the standard
+    * two-predicate lakehouse layout win.
+    *
+    * Determinism: bucketing is pure integer arithmetic
+    * (`(x-min)*2^bits div (max-min+1)` never reaches `2^bits`, no
+    * clamp needed) and the interleave is shifts/ands — the whole table
+    * replays bit-exactly in DuckDB. Scale shape: one broadcast min/max
+    * agg + one hash aggregation keyed by the 2^(2*bits)-cell z value;
+    * the actual rewrite this plan drives is a `repartitionByRange(z)`
+    * write, never a global sort of the data here. */
+  def zorderPlan(df: DataFrame, xCol: Column, yCol: Column,
+                 bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 16, s"bits must be in [1,16]: $bits")
+    val n = 1L << bits
+    val d = df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+    val mm = d.agg(min(col("x")).as("mnx"), max(col("x")).as("mxx"),
+      min(col("y")).as("mny"), max(col("y")).as("mxy"))
+    val b = d.crossJoin(broadcast(mm))
+      .withColumn("bx", expr(s"CAST((x - mnx) * $n DIV (mxx - mnx + 1) AS BIGINT)"))
+      .withColumn("by", expr(s"CAST((y - mny) * $n DIV (mxy - mny + 1) AS BIGINT)"))
+    val z = (0 until bits).map { i =>
+      shiftleft(shiftright(col("bx"), i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(col("by"), i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _)
+    b.withColumn("z", z)
+      .groupBy(col("z"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+  }
+
+  /** The DuckDB replay of [[zorderPlan]]: identical integer bucketing
+    * and the same shift/and Morton interleave, generated from the same
+    * `bits`. `xSql`/`ySql` must be integer-valued expressions over
+    * `table` matching the Spark side's cast-to-long inputs. */
+  def zorderPlanOracleSql(table: String, xSql: String, ySql: String,
+                          bits: Int): String = {
+    val n = 1L << bits
+    val z = (0 until bits).map(i =>
+      s"(((bx >> $i) & 1) << ${2 * i + 1}) + (((b_y >> $i) & 1) << ${2 * i})")
+      .mkString(" + ")
+    s"""WITH d AS (SELECT CAST($xSql AS BIGINT) AS x,
+       |                  CAST($ySql AS BIGINT) AS y FROM $table),
+       |mm AS (SELECT min(x) AS mnx, max(x) AS mxx,
+       |              min(y) AS mny, max(y) AS mxy FROM d),
+       |b AS (SELECT x, y,
+       |        CAST((x - mnx) * $n // (mxx - mnx + 1) AS BIGINT) AS bx,
+       |        CAST((y - mny) * $n // (mxy - mny + 1) AS BIGINT) AS b_y
+       |      FROM d CROSS JOIN mm)
+       |SELECT CAST($z AS BIGINT) AS z, count(*) AS n_rows,
+       |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+       |FROM b GROUP BY 1 ORDER BY z""".stripMargin
   }
 
   /** Small-file compaction: rewrite a parquet directory into

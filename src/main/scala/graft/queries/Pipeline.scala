@@ -176,6 +176,15 @@ object Pipeline {
         .select(col("lang"), col("rn"), col("doc_id"), col("n_stratum"))
         .orderBy("lang", "rn")),
 
+    // Token-mass-proportional doc sample (Efraimidis–Spirakis key on
+    // md5-uniforms, top-k as TakeOrdered — see Sampling.weightedSample
+    // for the determinism + scale argument): longer docs proportionally
+    // likelier, the draw replayable bit-for-bit by the oracle.
+    "sample_weighted" -> ((s, d) =>
+      Sampling.weightedSample(Tables.documents(s, d), "doc_id",
+          size(split(coalesce(col("text"), lit("")), " ")), 200)
+        .orderBy(desc("priority"), col("doc_id"))),
+
     // Training-mix construction: per language, best-quality docs first
     // until a 3000-token budget fills.
     // The mixture-planning TOKEN BUDGET: per (lang, source) stratum,
@@ -522,6 +531,18 @@ object Pipeline {
         .orderBy("probe_id", "rnk")
     }),
 
+    // k-NN GRAPH over the whole corpus (every vector's top-5 cosine
+    // neighbors among its LSH-bucket candidates — the clustering /
+    // graph-dedup / NN-Descent backbone; Similarity.knnGraph for the
+    // bucket-self-join scale shape). Output n·k rows, linear in the
+    // corpus; the oracle replays planes, buckets, and ranks exactly.
+    "sim_knn_graph" -> ((s, d) =>
+      Similarity.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding",
+          5, tables = 8, bits = 6)
+        .select(col("src_id"), col("rnk"), col("neighbor_id"),
+          Det.round4(col("cos")).as("cos"))
+        .orderBy("src_id", "rnk")),
+
     // Product-quantization ANN (IVFADC's ADC half): corpus vectors
     // encode to 8 centroid indices against md5-derived integer
     // codebooks (deterministic stand-ins for k-means output — the
@@ -664,6 +685,16 @@ object Pipeline {
           Seq("source", "lang"), octet_length(col("text")).cast("long"),
           targetBytes = 16384L)
         .orderBy("source", "lang")),
+
+    // Z-order layout plan over events (user_id × value-cents, 16×16
+    // cells): the Morton-keyed file table whose per-cell min/max are
+    // the skip statistics a reader prunes on — range predicates on
+    // EITHER dimension prune ~sqrt of the files (Sinks.zorderPlan for
+    // the integer-exact bucketing + interleave and the scale shape).
+    "event_zorder_plan" -> ((s, d) =>
+      graft.api.Sinks.zorderPlan(Tables.events(s, d), col("user_id"),
+          floor(coalesce(col("value"), lit(0.0)) * 100 + lit(0.5)), bits = 4)
+        .orderBy("z")),
 
     // Bigram LM self-scoring (the CCNet-style quality filter): docs with
     // improbable token sequences under the corpus's own bigram model
@@ -929,6 +960,26 @@ object Pipeline {
           Det.round4(col("alpha_ratio")).as("alpha_ratio"),
           Det.round4(col("score")).as("quality"))
         .orderBy("doc_id")),
+
+    // CORPUS-RELATIVE quality calibration: each doc's percentile of the
+    // composite score WITHIN its language (percent_rank over a unique
+    // (score, doc_id) order) — the step that turns an absolute score
+    // into the "keep the top 30% per language" filter real pipelines
+    // threshold on (absolute cutoffs drift per language/domain; a
+    // percentile doesn't). Scale: one shuffle by lang, per-stratum
+    // window — identical distribution shape to sample_stratified; the
+    // percentile is (rank-1)/(n-1) over exact longs, so the double is
+    // bit-identical cross-engine before the round4 guard.
+    "quality_calibrated" -> ((s, d) => {
+      val q = TextOps.quality(Tables.documents(s, d), "text", stopEn)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+        .orderBy(col("score"), col("doc_id"))
+      q.withColumn("pctl", percent_rank().over(w))
+        .select(col("lang"), col("doc_id"),
+          Det.round4(col("score")).as("quality"),
+          Det.round4(col("pctl")).as("quality_pctl"))
+        .orderBy("lang", "doc_id")
+    }),
 
     // Character-distribution entropy + top-char share (gibberish /
     // template-boilerplate signal — low entropy = repeated-character
@@ -1271,6 +1322,23 @@ object Pipeline {
         |SELECT r.lang, rn, doc_id, n_stratum FROM r JOIN c USING (lang)
         |WHERE rn <= ceil(n_stratum * 0.2) ORDER BY lang, rn""".stripMargin,
 
+    // weighted-sample replay: same 60-bit md5 uniform ((h+1)/2^60 —
+    // both exact float ops), same A-ES key pow(u, 1/w) under the
+    // round8 guard, same (priority desc, id) top-k order.
+    "sample_weighted" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS weight,
+        |    (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |        AS BIGINT) + 1.0) / 1152921504606846976.0 AS u
+        |  FROM documents),
+        |p AS (SELECT doc_id, weight,
+        |        floor(pow(u, 1.0 / weight) * 100000000 + 0.5) / 100000000
+        |          AS priority
+        |      FROM t WHERE weight >= 1)
+        |SELECT doc_id, weight, priority FROM p
+        |ORDER BY priority DESC, doc_id LIMIT 200""".stripMargin,
+
     // token-budget replay: same aggregation, same better-count
     // cumulative rank (big strata first, lexicographic tiebreak), same
     // exact-long divisions under the round4 guard.
@@ -1512,6 +1580,7 @@ object Pipeline {
         |JOIN (SELECT * FROM sh WHERE doc_id < 100) e USING (sh)
         |GROUP BY t.doc_id, e.doc_id ORDER BY t.doc_id, eval_id""".stripMargin,
 
+    "sim_knn_graph" -> Similarity.knnGraphOracleSql(5, tables = 8, bits = 6),
     "sim_lsh_bucketed" -> Similarity.lshTopKOracleSql(5, tables = 8, bits = 6,
       probeIdBound = LshProbeBound),
 
@@ -1695,6 +1764,11 @@ object Pipeline {
     // accounting (DuckDB strlen = byte length, Spark octet_length),
     // same ceil-by-integer-division file count (// is integer
     // division; sum casts from HUGEINT).
+    // z-order replay: generated from the same bits — identical integer
+    // bucketing, identical shift/and Morton interleave.
+    "event_zorder_plan" -> graft.api.Sinks.zorderPlanOracleSql("events",
+      "user_id", "floor(coalesce(value, 0) * 100 + 0.5)", bits = 4),
+
     "corpus_compact_plan" ->
       """SELECT source, lang,
         |       count(*) AS n_rows,
@@ -1943,6 +2017,28 @@ object Pipeline {
         |  floor((least(1.0, n_tok / 100.0) * 0.4 + stop_ratio * 0.3 + alpha_ratio * 0.3)
         |        * 10000 + 0.5) / 10000 AS quality
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // calibration replay: the same score CTE as text_quality (raw score
+    // is bit-identical cross-engine — the hash-matched proof), the same
+    // unique (score, doc_id) window order, percent_rank = (rank-1)/(n-1)
+    // over exact longs in both engines, round4 guards on output only.
+    "quality_calibrated" ->
+      """WITH t AS (SELECT doc_id, lang, text, str_split(text, ' ') AS tk
+        |           FROM documents),
+        |b AS (SELECT doc_id, lang, len(tk) AS n_tok,
+        |  len(list_filter(tk, tok -> list_contains(['the','a','of','and','to'], tok))) AS nstop,
+        |  length(regexp_replace(text, '[^a-z]', '', 'g')) AS alpha,
+        |  length(text) AS tlen
+        |  FROM t),
+        |r AS (SELECT doc_id, lang,
+        |  least(1.0, n_tok / 100.0) * 0.4 + (nstop::DOUBLE / n_tok) * 0.3
+        |    + (alpha::DOUBLE / tlen) * 0.3 AS score
+        |  FROM b)
+        |SELECT lang, doc_id,
+        |  floor(score * 10000 + 0.5) / 10000 AS quality,
+        |  floor(percent_rank() OVER (PARTITION BY lang ORDER BY score, doc_id)
+        |        * 10000 + 0.5) / 10000 AS quality_pctl
+        |FROM r ORDER BY lang, doc_id""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

@@ -353,6 +353,59 @@ object Streaming {
         .orderBy("user_id", "start_id")
     }),
 
+    // SQL:2016 PERMUTE on the seal-aware stateful matcher (the
+    // streaming sibling of event_cep_sql_permute): PERMUTE(c, v, p)
+    // IS bounded alternation over the 3! expanded orderings, so the
+    // branch-probing matcher behind stream_cep_alt executes it
+    // unchanged — expandBranches emits the orderings in the same
+    // declaration order the batch union deduplicates by, so a
+    // contested anchor resolves to the same earliest ordering. Batch
+    // replay shares event_cep_sql_permute's per-branch oracle.
+    "stream_cep_permute" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val spec = graft.api.MatchRecognize.parse(Analytic.CepSql.permuteFunnel)
+      val branches = spec.expandBranches.map(_.toSymbolic.get)
+      val symCol = branches.head._1
+      require(branches.forall(_._1 == symCol),
+        "PERMUTE branches must share one symbol column")
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col(symCol).as("event_type"), col("value"))
+        .as[Ev]
+      StreamOps.cepPatternAlt(ev, branches.map(_._2), streaming = false)
+        .toDF()
+        .orderBy("user_id", "start_id")
+    }),
+
+    // Pattern exclusion {- click+ -} on the seal-aware matcher (the
+    // streaming sibling of event_cep_sql_exclude): exclusion is an
+    // OUTPUT filter by SQL:2016 semantics — matching is unchanged, so
+    // the stateful ALL-ROWS matcher runs the un-excluded pattern and
+    // the excluded variables' rows are dropped at emission with `pos`
+    // keeping the original consumption numbering (the same post-filter
+    // MatchRecognize.applyExclusion applies on the batch routes).
+    // Batch replay shares event_cep_sql_exclude's islands oracle.
+    "stream_cep_exclude" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val spec = graft.api.MatchRecognize.parse(Analytic.CepSql.exclAllRows)
+      val (symCol, pat) = spec.toSymbolic.get
+      val exVars = spec.elems.filter(e => e.excluded && !e.isGap)
+        .flatMap(e => if (e.altVars.nonEmpty) e.altVars else Seq(e.variable))
+      require(exVars.nonEmpty, "exclAllRows must carry an exclusion")
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col(symCol).as("event_type"), col("value"))
+        .as[Ev]
+      StreamOps.cepPatternAllRows(ev, pat,
+          spec.stepElems.map(_.variable), streaming = false).toDF()
+        .filter(!col("step").isin(exVars: _*))
+        .select(col("user_id"), col("end_id").as("purchase_id"), col("pos"),
+          col("event_id"), col("ts"), col("step"), col("value"))
+        .orderBy("user_id", "purchase_id", "pos")
+    }),
+
     // ALL ROWS PER MATCH on the seal-aware matcher (the row-level
     // sibling of stream_cep_sql_agg): the SAME clause text as
     // event_cep_sql_allrows, rows emitted per SEALED match with the
@@ -608,6 +661,8 @@ object Streaming {
     // streaming MEASURES expressions = the batch closed-form oracle
     "stream_cep_sql_expr" -> Analytic.oracles("event_cep_sql_expr"),
     "stream_cep_alt" -> Analytic.oracles("event_cep_alt"),
+    "stream_cep_permute" -> Analytic.oracles("event_cep_sql_permute"),
+    "stream_cep_exclude" -> Analytic.oracles("event_cep_sql_exclude"),
     "stream_cep_pattern" -> graft.api.Cep.oracleSql(Analytic.CepPatterns.quant),
     "stream_cep_relaxed" -> graft.api.Cep.oracleSql(Analytic.CepPatterns.relaxed),
     "stream_cep_skip" -> graft.api.Cep.oracleSql(Analytic.CepPatterns.skipFirst),

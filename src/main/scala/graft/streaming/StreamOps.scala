@@ -58,7 +58,18 @@ private[streaming] case class CepPatState(syms: Seq[String], ts: Seq[Long], ords
 /** General-CEP keyed state for the MEASURES matcher: the buffer tail
   * WITH row values (the aggregates read them at seal time) plus the
   * per-key sealed-match counter (MATCH_NUMBER must keep counting
-  * across batches). */
+  * across batches).
+  *
+  * DELIBERATE UNBOUNDED-COUNTER STANCE (round-12 ADVICE note): once a
+  * key has sealed a match, a counter-only entry (empty buffer seqs +
+  * one long, ~tens of bytes) stays in the store forever under
+  * NoTimeout — dropping it would silently RESTART MATCH_NUMBER for
+  * that key, which is a correctness bug, so the sibling
+  * cepPatternAllRows (which carries no counter) drops empty-buffer
+  * state and this matcher does not. State growth is therefore bounded
+  * by KEY CARDINALITY, not event volume — the same property as any
+  * keyed aggregation; a deployment that must bound key cardinality can
+  * layer store-level TTL and accept per-key renumbering after expiry. */
 private[streaming] case class CepPatMState(syms: Seq[String], ts: Seq[Long],
                                            ords: Seq[Long], vals: Seq[Double],
                                            matchSeq: Long)

@@ -189,6 +189,37 @@ class ApiSpec extends SparkSuite {
       .getMessage.contains("positive"))
   }
 
+  test("Sinks.zorderPlan: exact Morton interleave, cells partition the table") {
+    val sp = spark
+    import sp.implicits._
+    // x, y ∈ 0..15 with both extremes present → span 16, bucket = value
+    // itself at bits=4, so z is the plain Morton code — replay locally
+    val pts = Seq((0L, 0L), (15L, 15L), (7L, 8L), (3L, 12L), (15L, 0L), (7L, 8L))
+    val df = pts.toDF("x", "y")
+    def morton(x: Long, y: Long): Long =
+      (0 until 4).map(i => (((x >> i) & 1L) << (2 * i + 1)) |
+        (((y >> i) & 1L) << (2 * i))).sum
+    val got = Sinks.zorderPlan(df, col("x"), col("y"), bits = 4)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    val want = pts.groupBy { case (x, y) => morton(x, y) }
+      .map { case (z, g) => z -> g.size.toLong }
+    assert(got == want, s"$got != $want")
+    // on the real table: cells tile the input exactly, z bounded by 2^(2*bits)
+    val ev = Tables.events(spark, sf001)
+    val plan = Sinks.zorderPlan(ev, col("user_id"),
+      org.apache.spark.sql.functions.floor(
+        org.apache.spark.sql.functions.coalesce(col("value"),
+          org.apache.spark.sql.functions.lit(0.0)) * 100 +
+          org.apache.spark.sql.functions.lit(0.5)), bits = 4)
+    val (cells, total, zmax) = plan
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum("n_rows"),
+        org.apache.spark.sql.functions.max("z"))
+      .as[(Long, Long, Long)].head()
+    assert(total == ev.count()); assert(zmax < 256 && cells > 1)
+  }
+
   test("dynamic partition pruning fires on a partitioned fact x filtered dim join") {
     val dir = Files.createTempDirectory("graft_dpp").toString
     // fact partitioned by event_type (stands in for a date-partitioned

@@ -1010,6 +1010,24 @@ class CepSqlSpec extends SparkSuite {
       .getMessage.contains("empty exclusion"))
   }
 
+  test("iterative route rejects NULL value loudly (no silent 0.0 aggregation)") {
+    val sp = spark
+    import sp.implicits._
+    val CepSql = graft.queries.Analytic.CepSql
+    val withNull = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "purchase",
+        Some(10.0)),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 2L, "purchase",
+        None: Option[Double]))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val e = intercept[Exception](
+      MatchRecognize.run(withNull, CepSql.iterHigher).collect())
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(e).contains("NULL in the `value` column"), rootMsg(e).take(300))
+  }
+
   test("every front-door route is total on EMPTY input (0 rows, no errors)") {
     val sp = spark
     import sp.implicits._

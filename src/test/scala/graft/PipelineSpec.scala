@@ -581,6 +581,50 @@ class PipelineSpec extends SparkSuite {
     assert(ids1 == ids2)
   }
 
+  test("knn graph: bucket self-join equals lshTopK probing with the whole corpus") {
+    // same planes, same candidates, same rank — the self-join path must
+    // reproduce the broadcast-probe path when every vector is a probe
+    val e = Tables.embeddings(spark, sf001)
+    val graph = graft.api.Similarity.knnGraph(e, "vec_id", "embedding",
+        5, tables = 8, bits = 6)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val probed = graft.api.Similarity.lshTopK(e, e, "vec_id", "embedding",
+        5, tables = 8, bits = 6)
+      .select(col("probe_id").as("src_id"), col("rnk"), col("neighbor_id"), col("cos"))
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(graph == probed && graph.nonEmpty)
+    // rnk is contiguous from 1 per source
+    val bySrc = graph.groupBy(_._1)
+    assert(bySrc.values.forall(g => g.map(_._2).toSeq.sorted == (1 to g.size)))
+  }
+
+  test("weighted sample: exact local A-ES replay, and top-k plans as TakeOrdered") {
+    // the engine's md5-uniform + pow key, replayed in plain Scala —
+    // pins every arithmetic step of Sampling.weightedSample
+    def key(id: Long, w: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) /
+        1.152921504606846976e18
+      math.floor(math.pow(u, 1.0 / w) * 1e8 + 0.5) / 1e8
+    }
+    val rows = (1L to 100L).map(id => (id, (id % 7) + 1))
+    val df = rows.toDF("id", "w")
+    val got = graft.api.Sampling.weightedSample(df, "id", col("w"), 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    val want = rows.map { case (id, w) => (id, w, key(id, w)) }
+      .sortBy { case (id, _, p) => (-p, id) }.take(10)
+    assert(got.sortBy(r => (-r._3, r._1)) == want)
+    // higher weight must never lower a doc's key (same id ⇒ same u)
+    assert(key(42L, 1L) <= key(42L, 100L))
+    // global top-k = per-partition heaps, never a full sort
+    val plan = Pipeline.queries("sample_weighted")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+    assert(Pipeline.queries("sample_weighted")(spark, sf001).count() == 200)
+  }
+
   test("temperature mix: sqrt damping gives tail languages a super-proportional share") {
     val docs = Tables.documents(spark, sf001)
       .withColumn("n_tok", size(split(col("text"), " ")))

@@ -819,6 +819,30 @@ class StreamingSpec extends SparkSuite {
     assert(stateful == compiled && stateful.nonEmpty)
   }
 
+  test("streaming PERMUTE and exclusion batch-replays equal the batch routes") {
+    // PERMUTE rides the alternation matcher; exclusion is an emission
+    // filter on the ALL-ROWS matcher — each must reproduce its batch
+    // MATCH_RECOGNIZE sibling row-for-row on the same input.
+    val sq = graft.queries.Streaming.queries
+    val aq = graft.queries.Analytic.queries
+    val perm = sq("stream_cep_permute")(spark, sf001)
+      .select("user_id", "start_id", "end_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val permBatch = aq("event_cep_sql_permute")(spark, sf001)
+      .select("user_id", "start_id", "end_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(perm == permBatch && perm.nonEmpty)
+    val excl = sq("stream_cep_exclude")(spark, sf001)
+      .select("user_id", "purchase_id", "pos", "event_id", "step")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    val exclBatch = aq("event_cep_sql_exclude")(spark, sf001)
+      .select("user_id", "purchase_id", "pos", "event_id", "step")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(excl == exclBatch && excl.nonEmpty)
+    // the exclusion filter must have actually dropped the click rows
+    assert(excl.forall(_._5 == "purchase"))
+  }
+
   test("CEP cross-batch out-of-order: arrival-order semantics, as documented") {
     // An event arriving a batch LATE (older ts than already-processed
     // rows) is evaluated in arrival order — the documented delta vs a
