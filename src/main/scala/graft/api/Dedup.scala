@@ -434,6 +434,96 @@ object Dedup {
     (sig, cand)
   }
 
+  /** The md5-derived (id, sig) table [[minhashIncremental]] and the
+    * streaming band rows share — same constants as
+    * [[minhashPairsMd5]]. */
+  private def minhashSigDf(df: DataFrame, idCol: String,
+                           textCol: String): DataFrame =
+    shingles(df, textCol, 3)
+      .select(col(idCol),
+        graft.functions.Signatures.minhash_sig_mod(
+          graft.functions.Signatures.md5_prefix(col("toks"), 8),
+          minhashA, minhashB, MinhashP).as("sig"))
+
+  /** One row per (doc, band): the 16 LSH bucket keys plus the full
+    * signature — the input shape of the streaming bucket-keyed matcher
+    * ([[graft.streaming.StreamOps.minhashIncrCandidates]]); the bkey
+    * construction is byte-identical to [[minhashMd5Candidates]]'s. */
+  def minhashBandRows(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    minhashSigDf(df, idCol, textCol).select(col(idCol), col("sig"),
+        explode(expr(
+          """transform(sequence(0, 15), b -> struct(b as band,
+            |  concat_ws(',', transform(slice(sig, b * 4 + 1, 4),
+            |                           x -> cast(x as string))) as bkey))""".stripMargin)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bkey").as("bkey"),
+        col("sig"))
+
+  /** INCREMENTAL (ingest-order) minhash dedup — the bounded-state
+    * dedup-on-ingest shape: each LSH band bucket remembers only its
+    * FIRST-arriving document (arrival order = ascending id, the
+    * deterministic stand-in for wall-clock ingest), and a later
+    * document is flagged against the EARLIEST qualifying bucket-first
+    * whose signature-agreement estimate `n_agree/64` reaches
+    * `threshold`. Unlike [[minhashPairsMd5]] (all banded pairs), the
+    * compare budget is ≤ 16 candidates per document and the state is
+    * one (id, signature) per occupied bucket — the shape a streaming
+    * deduplicator can actually hold at 100 TB (state ∝ distinct
+    * buckets, work ∝ corpus; nothing pairwise). The estimator-only
+    * verify is deliberate: the first's raw shingles are NOT in state,
+    * so the decision uses exactly what the state can afford — the
+    * md5-derived signatures, replayed bit-for-bit by the oracle.
+    * [[graft.streaming.StreamOps.minhashIncrCandidates]] is the same
+    * dataflow on keyed state (cross-batch bucket carryover pinned in
+    * StreamingSpec); this batch form is two shuffles (bucket groupBy +
+    * the candidate distinct) plus two id-keyed joins.
+    */
+  def minhashIncremental(df: DataFrame, idCol: String, textCol: String,
+                         threshold: Double = 0.7): DataFrame = {
+    val sig = minhashSigDf(df, idCol, textCol)
+    val banded = minhashBandRows(df, idCol, textCol)
+      .select(col(idCol), col("band"), col("bkey"))
+    val first = banded.groupBy(col("band"), col("bkey"))
+      .agg(min(col(idCol)).as("first_id"))
+    val cand = banded.join(first, Seq("band", "bkey"))
+      .filter(col(idCol) > col("first_id"))
+      .select(col(idCol), col("first_id")).distinct()
+    val sd = sig.select(col(idCol), col("sig").as("sig_d"))
+    val sf = sig.select(col(idCol).as("first_id"), col("sig").as("sig_f"))
+    cand.join(sd, Seq(idCol)).join(sf, Seq("first_id"))
+      .withColumn("est",
+        expr("size(filter(zip_with(sig_d, sig_f, (x, y) -> x = y), v -> v))")
+          .cast("double") / lit(64.0))
+      .filter(col("est") >= threshold)
+      .groupBy(col(idCol))
+      .agg(min(struct(col("first_id"), col("est"))).as("m"))
+      .select(col(idCol), col("m.first_id").as("duplicate_of"),
+        col("m.est").as("est"))
+  }
+
+  /** The DuckDB replay of [[minhashIncremental]]: the shared signature
+    * CTE chain, per-bucket min-id firsts, estimator-only verify, and
+    * the earliest-qualifying-first choice. */
+  def minhashIncrementalOracleSql(threshold: Double = 0.7): String =
+    s"""WITH ${minhashCtesSql},
+       |sigl AS (SELECT doc_id, list(m ORDER BY i) AS sig
+       |         FROM sigrow GROUP BY doc_id),
+       |firstb AS (SELECT band, bkey, min(doc_id) AS first_id
+       |           FROM band GROUP BY band, bkey),
+       |icand AS (SELECT DISTINCT b.doc_id, f.first_id
+       |          FROM band b JOIN firstb f ON b.band = f.band AND b.bkey = f.bkey
+       |          WHERE b.doc_id > f.first_id),
+       |e AS (SELECT c.doc_id, c.first_id,
+       |        len(list_filter(range(1, 65), j -> sd.sig[j] = sf.sig[j]))::DOUBLE
+       |          / 64.0 AS est
+       |      FROM icand c JOIN sigl sd ON c.doc_id = sd.doc_id
+       |                   JOIN sigl sf ON c.first_id = sf.doc_id),
+       |r AS (SELECT doc_id, first_id AS duplicate_of, est,
+       |        row_number() OVER (PARTITION BY doc_id ORDER BY first_id) AS rn
+       |      FROM e WHERE est >= ${threshold})
+       |SELECT doc_id, duplicate_of, floor(est * 10000 + 0.5) / 10000 AS est
+       |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   /** MinHash ESTIMATION-ERROR audit (the dedup counterpart of the ANN
     * recall audit): for every banded candidate pair, the fraction of
     * agreeing signature components (the unbiased Jaccard estimator the

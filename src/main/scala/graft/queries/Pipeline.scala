@@ -134,6 +134,18 @@ object Pipeline {
       Dedup.simhashSurvivors(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // INCREMENTAL dedup-on-ingest (bounded state: one (id, sig) per LSH
+    // bucket; ≤ 16 compares per doc — Dedup.minhashIncremental for the
+    // scale stance): later docs flag against their buckets' FIRSTS by
+    // the signature-agreement estimate. Oracle replays the md5
+    // signature chain + per-bucket min-id firsts exactly; the keyed
+    // streaming form is stream_dedup_minhash (same oracle).
+    "dedup_minhash_incr" -> ((s, d) =>
+      Dedup.minhashIncremental(Tables.documents(s, d), "doc_id", "text", 0.7)
+        .select(col("doc_id"), col("duplicate_of"),
+          Det.round4(col("est")).as("est"))
+        .orderBy("doc_id")),
+
     // The oracle-replayable minhash: md5-derived token hashes + literal
     // permutation constants (Dedup.minhashPairsMd5) — the banded
     // candidate pair set with exact-Jaccard verify hash-matches DuckDB.
@@ -1109,6 +1121,7 @@ object Pipeline {
 
   private val baseOracles: Map[String, String] = Map(
     "dedup_minhash_pairs" -> Dedup.minhashPairsOracleSql(0.7),
+    "dedup_minhash_incr" -> Dedup.minhashIncrementalOracleSql(0.7),
     "dedup_minhash_audit" -> Dedup.minhashAuditOracleSql,
 
     "dedup_simhash_pairs" ->

@@ -41,6 +41,30 @@ object Streaming {
         .orderBy("user_id")
     }),
 
+    // Dedup-on-INGEST (the streaming form of dedup_minhash_incr): the
+    // bucket-keyed stateful matcher emits each arriving doc's
+    // agreement count against its buckets' stored firsts
+    // (StreamOps.minhashIncrCandidates — state one (id, sig) per
+    // occupied bucket); the per-doc min-qualifying-first reduce is a
+    // plain downstream agg since a doc's candidates all emit in its
+    // arrival batch. Batch replay shares dedup_minhash_incr's oracle;
+    // cross-batch bucket carryover is pinned in StreamingSpec.
+    "stream_dedup_minhash" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val rows = graft.api.Dedup.minhashBandRows(
+          Tables.documents(s, d), "doc_id", "text")
+        .as[graft.streaming.DocBandRow]
+      StreamOps.minhashIncrCandidates(rows, streaming = false).toDF()
+        .withColumn("est", col("n_agree").cast("double") / lit(64.0))
+        .filter(col("est") >= 0.7)
+        .groupBy(col("doc_id"))
+        .agg(min(struct(col("first_id"), col("est"))).as("m"))
+        .select(col("doc_id"), col("m.first_id").as("duplicate_of"),
+          graft.Det.round4(col("m.est")).as("est"))
+        .orderBy("doc_id")
+    }),
+
     // The namesake two-level pane optimization as a chained streaming
     // aggregation (StreamOps.paneTwoLevel) — batch replay must equal
     // wnd_sliding bit-for-bit, so it shares that oracle; streaming
@@ -662,6 +686,7 @@ object Streaming {
     "stream_cep_sql_expr" -> Analytic.oracles("event_cep_sql_expr"),
     "stream_cep_alt" -> Analytic.oracles("event_cep_alt"),
     "stream_cep_permute" -> Analytic.oracles("event_cep_sql_permute"),
+    "stream_dedup_minhash" -> graft.api.Dedup.minhashIncrementalOracleSql(0.7),
     "stream_cep_exclude" -> Analytic.oracles("event_cep_sql_exclude"),
     "stream_cep_pattern" -> graft.api.Cep.oracleSql(Analytic.CepPatterns.quant),
     "stream_cep_relaxed" -> graft.api.Cep.oracleSql(Analytic.CepPatterns.relaxed),

@@ -52,6 +52,22 @@ case class CepAllRow(user_id: Long, start_id: Long, end_id: Long, pos: Long,
                      event_id: Long, ts: java.sql.Timestamp, step: String,
                      value: Double)
 
+/** One (doc, band) row entering the incremental minhash matcher —
+  * built by graft.api.Dedup.minhashBandRows (16 rows per document,
+  * each carrying the full 64-component signature). */
+case class DocBandRow(doc_id: Long, band: Int, bkey: String, sig: Seq[Long])
+
+/** A flagged candidate from the incremental minhash matcher: the
+  * arriving doc vs its bucket's stored FIRST, with the exact count of
+  * agreeing signature components (the Jaccard estimator numerator). */
+case class MinhashIncrCand(doc_id: Long, first_id: Long, n_agree: Long)
+
+/** Incremental-minhash bucket state: the first-arriving doc's id and
+  * signature — ~0.5 KB per OCCUPIED bucket, retained for the stream's
+  * lifetime by design (a bucket's first is its permanent dedup
+  * representative; state is bounded by distinct buckets, not events). */
+private[streaming] case class BucketFirst(first_id: Long, sig: Seq[Long])
+
 /** General-CEP keyed state: the unconsumed (sym, tsUs, ord) buffer tail. */
 private[streaming] case class CepPatState(syms: Seq[String], ts: Seq[Long], ords: Seq[Long])
 
@@ -1001,6 +1017,46 @@ object StreamOps extends Serializable {
           col("r.ts").as("ts"), col("r.event_type").as("event_type"),
           col("r.value").as("value"))
         .as[LastRow]
+  }
+
+  /** Ingest-order minhash dedup candidates on bucket-keyed state (the
+    * streaming form of graft.api.Dedup.minhashIncremental): each LSH
+    * band bucket's state is its FIRST-arriving doc's (id, signature);
+    * every later arrival in the bucket emits one candidate with the
+    * exact agreeing-component count, compared against THAT first only —
+    * compare budget ≤ bands per doc, state ∝ occupied buckets. Each
+    * invocation sorts its rows by doc_id, so batch replay (one
+    * invocation per bucket) is deterministic and the bucket first is
+    * the min id — exactly the batch form's `min(doc_id)` firsts.
+    * Streaming delta (the CEP arrival-order stance): a doc arriving a
+    * batch AFTER a higher-id doc claimed its bucket is compared against
+    * the stored first regardless of id order — firsts are never
+    * retroactively reassigned (dedup-on-ingest semantics; pinned in
+    * StreamingSpec). The per-doc reduce (min qualifying first) is a
+    * plain downstream aggregation — each doc's candidates all emit in
+    * its own arrival batch. */
+  def minhashIncrCandidates(rows: Dataset[DocBandRow],
+                            streaming: Boolean): Dataset[MinhashIncrCand] = {
+    import rows.sparkSession.implicits._
+    def flat(key: (Int, String), it: Iterator[DocBandRow],
+             st: GroupState[BucketFirst]): Iterator[MinhashIncrCand] = {
+      val sorted = it.toIndexedSeq.sortBy(_.doc_id)
+      val out = scala.collection.mutable.ArrayBuffer.empty[MinhashIncrCand]
+      var cur = st.getOption
+      for (r <- sorted) cur match {
+        case None => cur = Some(BucketFirst(r.doc_id, r.sig))
+        case Some(f) if r.doc_id != f.first_id =>
+          out += MinhashIncrCand(r.doc_id, f.first_id,
+            r.sig.iterator.zip(f.sig.iterator)
+              .count { case (a, b) => a == b }.toLong)
+        case Some(_) => () // redelivery of the first itself
+      }
+      cur.foreach(st.update)
+      out.iterator
+    }
+    rows.groupByKey(r => (r.band, r.bkey))
+      .flatMapGroupsWithState[BucketFirst, MinhashIncrCand](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout)(flat)
   }
 
   /** transformWithState profile accumulator over MapState + ListState —

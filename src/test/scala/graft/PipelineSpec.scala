@@ -581,6 +581,19 @@ class PipelineSpec extends SparkSuite {
     assert(ids1 == ids2)
   }
 
+  test("incremental minhash: DataFrame form equals the keyed-state replay") {
+    // two independent implementations of the same ingest-dedup
+    // semantics — the declarative two-shuffle plan and the
+    // bucket-keyed stateful matcher — must agree row-for-row
+    val batch = Pipeline.queries("dedup_minhash_incr")(spark, sf001)
+      .as[(Long, Long, Double)].collect().toSet
+    val keyed = graft.queries.Streaming.queries("stream_dedup_minhash")(spark, sf001)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(batch == keyed && batch.nonEmpty)
+    // firsts precede their dups in arrival (id) order; estimates pass τ
+    assert(batch.forall { case (doc, first, est) => first < doc && est >= 0.7 })
+  }
+
   test("knn graph: bucket self-join equals lshTopK probing with the whole corpus") {
     // same planes, same candidates, same rank — the self-join path must
     // reproduce the broadcast-probe path when every vector is a probe

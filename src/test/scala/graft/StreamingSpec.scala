@@ -819,6 +819,27 @@ class StreamingSpec extends SparkSuite {
     assert(stateful == compiled && stateful.nonEmpty)
   }
 
+  test("incremental minhash: bucket firsts persist across batches (dedup-on-ingest)") {
+    import graft.streaming.DocBandRow
+    val ms = MemoryStream[DocBandRow]
+    val q = StreamOps.minhashIncrCandidates(ms.toDS(), streaming = true)
+      .writeStream.format("memory").queryName("mh_incr")
+      .outputMode("append").start()
+    val sigA: Seq[Long] = (1L to 64L)
+    val sigB: Seq[Long] = (1L to 64L).map(i => if (i <= 32) i else -i)
+    ms.addData(DocBandRow(10, 0, "k1", sigA))
+    q.processAllAvailable()
+    // the first claims its bucket silently
+    assert(spark.table("mh_incr").count() == 0)
+    // batch 2: an identical doc and a half-agreeing doc both flag
+    // against the batch-1 FIRST — cross-batch state carryover
+    ms.addData(DocBandRow(20, 0, "k1", sigA), DocBandRow(30, 0, "k1", sigB))
+    drain(q)
+    val rows = spark.table("mh_incr")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rows == Set((20L, 10L, 64L), (30L, 10L, 32L)), rows.toString)
+  }
+
   test("streaming PERMUTE and exclusion batch-replays equal the batch routes") {
     // PERMUTE rides the alternation matcher; exclusion is an emission
     // filter on the ALL-ROWS matcher — each must reproduce its batch
