@@ -56,7 +56,14 @@ object BenchScale {
     // diagonal extension over doc-keyed gram arrays (the copy-suffix
     // isolation keeps anchors within-copy, so candidates scale with
     // the corpus, not its square)
-    "dedup_span_maxrun")
+    "dedup_span_maxrun",
+    // round-12 additions: ingest-order minhash dedup (bucket firsts +
+    // estimator verify), the LSH k-NN graph (bucket self-join), the
+    // A-ES weighted sample (TakeOrdered top-k), and the Morton layout
+    // plan (two keyed aggs). join_fuzzy_edit is excluded: it reads
+    // customer, which the slice generator does not write.
+    "dedup_minhash_incr", "sim_knn_graph", "sample_weighted",
+    "event_zorder_plan")
 
   /** Second measured decade (VERDICT r9 item 6): the STEEPEST keys of
     * the 10x sweep re-measured over a 100x slice, so their exponents

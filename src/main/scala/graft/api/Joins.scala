@@ -59,4 +59,42 @@ object Joins {
         col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop(pb("__bkt")).drop(ib("__bkt"))
   }
+
+  /** Fuzzy SELF-join at edit distance ≤ 1 via the DELETION-NEIGHBORHOOD
+    * signature (the SymSpell / FastSS scheme): each string emits itself
+    * plus its `len` single-deletion variants, and two strings are within
+    * Levenshtein 1 IFF they share a variant — equality shares the
+    * identity variant; a substitution pair shares the deletion at the
+    * differing position; an insert/delete pair shares the shorter
+    * string itself. So the variant equi-join is a LOSSLESS candidate
+    * generator and the final `levenshtein(a, b) <= 1` check only
+    * removes the false positives (e.g. two deletions landing on the
+    * same variant).
+    *
+    * 100 TB shape: candidates come from ONE shuffle on the variant hash
+    * (len+1 rows per string — bounded by string length, never an
+    * all-pairs stage or a broadcast of either side); the verify is a
+    * per-pair O(len²) DP on matched candidates only. This is the
+    * entity-resolution join (near-identical names/SKUs/URLs) that a
+    * theta-join `levenshtein(a,b) <= 1` would plan as a quadratic
+    * BroadcastNestedLoopJoin.
+    */
+  def fuzzyEditJoin(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val variants = df.select(col(idCol), col(strCol),
+        explode(array_union(array(col(strCol)), expr(
+          s"""transform(sequence(1, length($strCol)), i ->
+             |  concat(substring($strCol, 1, i - 1),
+             |         substring($strCol, i + 1, length($strCol))))""".stripMargin)))
+          .as("variant"))
+    val va = variants.select(col(idCol).as("id_a"), col(strCol).as("str_a"),
+      col("variant"))
+    val vb = variants.select(col(idCol).as("id_b"), col(strCol).as("str_b"),
+      col("variant"))
+    va.join(vb, "variant")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("str_a"), col("str_b")).distinct()
+      .withColumn("dist", levenshtein(col("str_a"), col("str_b")))
+      .filter(col("dist") <= 1)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

@@ -155,7 +155,9 @@ case class MrSpec(partitionBy: Seq[String], orderBy: Seq[String],
                   navConds: Map[String, Seq[MrNavCond]] = Map.empty,
                   subsets: Seq[(String, Seq[String])] = Nil,
                   aggConds: Map[String, Seq[MrAggCond]] = Map.empty,
-                  permute: Boolean = false) {
+                  permute: Boolean = false,
+                  anchorStart: Boolean = false,
+                  anchorEnd: Boolean = false) {
 
   private[graft] def defMap = defines.toMap
 
@@ -639,6 +641,13 @@ object MatchRecognize {
     eatKw("PATTERN"); eatSym("(")
     val elems = scala.collection.mutable.ArrayBuffer.empty[MrElem]
     var permute = false
+    // SQL:2016 anchors: `^` pins the match start to the PARTITION's
+    // first row, `$` the match end to its last (Flink SQL rejects both
+    // — a beyond-Flink completion). Anchors consume no rows and do not
+    // change matching — they are a match-level filter (applyAnchors).
+    var anchorStart = false
+    var anchorEnd = false
+    if (peek.exists(_.text == "^")) { p += 1; anchorStart = true }
     // SQL:2016 PERMUTE(a, b, c) — must be the WHOLE pattern: it
     // expands to the n! orderings (bounded alternation — Flink SQL
     // rejects PERMUTE entirely, so this is a beyond-Flink completion),
@@ -740,7 +749,14 @@ object MatchRecognize {
         require(elems.size > start, "empty exclusion {- -} in PATTERN")
         for (i <- start until elems.size)
           elems(i) = elems(i).copy(excluded = true)
-      } else if (peek.exists(t => t.text == "{" || t.text == "|")) fail(
+      } else if (peek.exists(_.text == "$")) {
+        p += 1
+        require(peek.exists(_.text == ")"),
+          "'$' anchor must be the LAST element of PATTERN")
+        anchorEnd = true
+      } else if (peek.exists(_.text == "^")) fail(
+        "'^' anchor must be the FIRST element of PATTERN")
+      else if (peek.exists(t => t.text == "{" || t.text == "|")) fail(
         s"'${peek.get.text}' in PATTERN: top-level sequence alternation " +
           "is not supported (bounded alternation is the GROUP form " +
           "`(a | b)` over single variables) and a bare '{' is only a " +
@@ -825,7 +841,8 @@ object MatchRecognize {
 
     finish(partition.result(), order.result(), measures.result(), allRows,
       skip, within, elems.toVector, defines.result(), fromTable,
-      navByVar.result(), subsets.result(), aggByVar.result(), permute)
+      navByVar.result(), subsets.result(), aggByVar.result(), permute,
+      anchorStart, anchorEnd)
   }
 
   private val NavFns = Set("PREV", "NEXT", "FIRST", "LAST")
@@ -1065,7 +1082,9 @@ object MatchRecognize {
                      navConds: Map[String, Seq[MrNavCond]] = Map.empty,
                      subsets: Seq[(String, Seq[String])] = Nil,
                      aggConds: Map[String, Seq[MrAggCond]] = Map.empty,
-                     permute: Boolean = false): MrSpec = {
+                     permute: Boolean = false,
+                     anchorStart: Boolean = false,
+                     anchorEnd: Boolean = false): MrSpec = {
     val dupDefs = defines.map(_._1).groupBy(identity).collect {
       case (v, occ) if occ.size > 1 => v
     }
@@ -1184,7 +1203,7 @@ object MatchRecognize {
     }
     MrSpec(partition, order, measures, allRows, skip, within,
       tagged, defines, strict, fromTable, navConds, subsets, aggConds,
-      permute)
+      permute, anchorStart, anchorEnd)
   }
 
   // ---------- executor ----------
@@ -1203,7 +1222,34 @@ object MatchRecognize {
     require(spec.orderBy.size == 2,
       "ORDER BY must name the event-time column AND a deterministic " +
         s"tiebreak column (e.g. `ORDER BY ts, event_id`), got ${spec.orderBy}")
-    applyExclusion(dispatch(df, spec), spec)
+    applyAnchors(df, applyExclusion(dispatch(df, spec), spec), spec)
+  }
+
+  /** SQL:2016 pattern anchors `^` / `$` (Flink SQL rejects both): keep
+    * only matches whose start row is the partition's FIRST row (`^`)
+    * and/or whose end row is its LAST row (`$`). Anchors consume no
+    * rows, so matching itself is untouched — this is a match-level
+    * filter against per-key bounds: one map-side-combining min_by /
+    * max_by aggregation on the partition key (a row per key, not per
+    * event) and one key-equi join — both distributed, nothing global. */
+  private def applyAnchors(in: DataFrame, out: DataFrame,
+                           spec: MrSpec): DataFrame = {
+    import org.apache.spark.sql.functions.{col, max_by, min_by, struct}
+    if (!spec.anchorStart && !spec.anchorEnd) return out
+    val (key, tsC, ordC) = (spec.partitionBy.head, spec.orderBy(0), spec.orderBy(1))
+    require(!spec.anchorStart || out.columns.contains("start_id"),
+      "'^' anchor needs the match's start_id in the output — this " +
+        "route does not emit the match span")
+    require(!spec.anchorEnd || out.columns.contains("end_id"),
+      "'$' anchor needs the match's end_id in the output — this " +
+        "route does not emit the match span")
+    val bounds = in.groupBy(col(key)).agg(
+      min_by(col(ordC), struct(col(tsC), col(ordC))).as("__first_ord"),
+      max_by(col(ordC), struct(col(tsC), col(ordC))).as("__last_ord"))
+    var res = out.join(bounds, key)
+    if (spec.anchorStart) res = res.filter(col("start_id") === col("__first_ord"))
+    if (spec.anchorEnd) res = res.filter(col("end_id") === col("__last_ord"))
+    res.drop("__first_ord", "__last_ord")
   }
 
   /** SQL:2016 pattern exclusion `{- X -}` (Flink SQL rejects it — a

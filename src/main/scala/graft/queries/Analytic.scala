@@ -518,6 +518,21 @@ object Analytic {
       MatchRecognize.run(Tables.events(s, d), CepSql.permuteFunnel)
         .orderBy("user_id", "start_id")),
 
+    // SQL:2016 `^` anchor (partition-start pin; Flink rejects it): the
+    // opening click streak per user. Matching unchanged; the anchor is
+    // a match filter against per-key min_by bounds (one tiny keyed agg
+    // + an equi join — MatchRecognize.applyAnchors). Oracle = the
+    // generated unanchored oracle filtered by the same first-row rule.
+    "event_cep_sql_anchor_start" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.anchorStart)
+        .orderBy("user_id", "start_id")),
+
+    // SQL:2016 `$` anchor (partition-end pin): histories ENDING in a
+    // viewed purchase. Same filter mechanics on the last row.
+    "event_cep_sql_anchor_end" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.anchorEnd)
+        .orderBy("user_id", "start_id")),
+
     // MEASURES × DEFINE navigation (round-10 top-next item): the
     // FIRST(a.value) iterative pattern WITH a general MEASURES clause —
     // the per-key matcher's consumed-row projection feeds the same
@@ -973,6 +988,32 @@ object Analytic {
     // to the earliest ordering (the same leftmost-preference dedup as
     // alternation). Oracle GENERATED from this text (per-permutation
     // branch oracles + the same dedup window).
+    // SQL:2016 anchors (Flink rejects both): `^` pins the match start
+    // to the partition's first row — "the signup-FIRST cohort that
+    // eventually purchased" (onboarding attribution); `$` pins the end
+    // to its last row — "the user's history ENDS in a viewed
+    // purchase". Anchors filter matches; they consume nothing.
+    val anchorStart: String =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (^ signup g* purchase)
+        |  DEFINE signup AS event_type = 'signup',
+        |         purchase AS event_type = 'purchase'
+        |)""".stripMargin
+    val anchorEnd: String =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (view+ purchase $)
+        |  DEFINE view AS event_type = 'view',
+        |         purchase AS event_type = 'purchase'
+        |)""".stripMargin
+
     val permuteFunnel: String =
       """SELECT * FROM events MATCH_RECOGNIZE (
         |  PARTITION BY user_id
@@ -1766,6 +1807,27 @@ object Analytic {
     "event_cep_sql_measures" -> MatchRecognize.oracleFor(CepSql.measured),
     "event_cep_alt" -> MatchRecognize.oracleFor(CepSql.altFunnel),
     "event_cep_sql_permute" -> MatchRecognize.oracleFor(CepSql.permuteFunnel),
+    // anchors replay: the generated UNANCHORED oracle (anchors change
+    // no matching) filtered by the partition's first/last row —
+    // row_number over the same (ts, event_id) order.
+    "event_cep_sql_anchor_start" -> {
+      val base = MatchRecognize.oracleFor(CepSql.anchorStart)
+      s"""WITH bd AS (SELECT user_id AS __k, event_id AS __first FROM (
+         |  SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id) AS __rn FROM events) WHERE __rn = 1)
+         |SELECT b.* FROM ($base) b
+         |JOIN bd ON b.user_id = bd.__k AND b.start_id = bd.__first
+         |ORDER BY user_id, start_id""".stripMargin
+    },
+    "event_cep_sql_anchor_end" -> {
+      val base = MatchRecognize.oracleFor(CepSql.anchorEnd)
+      s"""WITH bd AS (SELECT user_id AS __k, event_id AS __last FROM (
+         |  SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts DESC, event_id DESC) AS __rn FROM events) WHERE __rn = 1)
+         |SELECT b.* FROM ($base) b
+         |JOIN bd ON b.user_id = bd.__k AND b.end_id = bd.__last
+         |ORDER BY user_id, start_id""".stripMargin
+    },
     "event_cep_quant" -> Cep.oracleSql(CepPatterns.quant),
     "event_cep_quant_measures" -> Cep.oracleSqlMeasures(CepPatterns.quant, "value"),
     "event_cep_where_measures" ->

@@ -457,6 +457,17 @@ object Relational {
     // Catalyst de-correlates the ORDER BY + LIMIT into a partitioned
     // window rank — same distributed shape as topk_per_group, arrived
     // at from the per-row subquery formulation.
+    // FUZZY self-join at edit distance <= 1 (entity resolution on
+    // near-identical names): lossless deletion-neighborhood candidates
+    // from ONE shuffle on the variant hash, exact levenshtein verify on
+    // candidates only — the scale shape a theta `levenshtein(a,b)<=1`
+    // join lacks (it plans a quadratic BroadcastNestedLoopJoin). See
+    // Joins.fuzzyEditJoin for the iff-argument.
+    "join_fuzzy_edit" -> ((s, d) =>
+      graft.api.Joins.fuzzyEditJoin(Tables.customer(s, d),
+          "c_custkey", "c_name")
+        .orderBy("id_a", "id_b")),
+
     "join_lateral" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("orders_v")
       Tables.customer(s, d).createOrReplaceTempView("customer_v")
@@ -771,6 +782,22 @@ object Relational {
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |              JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name) ORDER BY region, nation""".stripMargin,
+
+    // deletion-variant replay: identical variant generation (identity +
+    // one deletion per position, per-string distinct), the same variant
+    // equi-join and exact levenshtein verify.
+    "join_fuzzy_edit" ->
+      """WITH v AS (
+        |  SELECT c_custkey AS id, c_name AS s,
+        |    unnest(list_distinct(list_append(
+        |      list_transform(range(1, length(c_name) + 1),
+        |        i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1)),
+        |      c_name))) AS variant
+        |  FROM customer),
+        |p AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+        |      FROM v a JOIN v b ON a.variant = b.variant AND a.id < b.id)
+        |SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS INTEGER) AS dist
+        |FROM p WHERE levenshtein(sa, sb) <= 1 ORDER BY id_a, id_b""".stripMargin,
 
     "join_lateral" ->
       """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice

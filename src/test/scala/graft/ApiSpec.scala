@@ -65,6 +65,32 @@ class ApiSpec extends SparkSuite {
       s"banded range join must be an equi-join on the bucket id:\n$plan")
   }
 
+  test("fuzzyEditJoin equals the brute-force levenshtein<=1 pair set, no nested loop") {
+    val c = Tables.customer(spark, sf001).select("c_custkey", "c_name")
+    // brute force locally — the operator's deletion-variant candidates
+    // must be lossless against the exact quadratic answer
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rows = c.as[(Long, String)].collect()
+    val naive = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib && lev(sa, sb) <= 1
+    } yield (ia, ib, lev(sa, sb))).toSet
+    val fuzzy = Joins.fuzzyEditJoin(c, "c_custkey", "c_name")
+    val got = fuzzy.as[(Long, Long, Int)].collect().toSet
+    assert(got == naive && got.nonEmpty,
+      s"fuzzy=${got.size} pairs, naive=${naive.size}")
+    val plan = fuzzy.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"fuzzy join must be a variant equi-join:\n${plan.take(400)}")
+  }
+
   test("partitioned parquet sink round-trips with partition pruning") {
     val dir = Files.createTempDirectory("graft_sink").toString
     val ev = Tables.events(spark, sf001)

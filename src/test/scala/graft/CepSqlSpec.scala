@@ -1386,6 +1386,52 @@ class CepSqlSpec extends SparkSuite {
     assert(e.getMessage.contains("between two positive steps"), e.getMessage)
   }
 
+  test("anchors ^/$ filter matches to partition bounds; placement is validated") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.{col, max, row_number, when}
+    val CepSql = graft.queries.Analytic.CepSql
+    val ev = Tables.events(spark, sf001)
+    // independent reference: run the UNANCHORED clause, filter by the
+    // partition's first/last row computed with a window (a different
+    // formulation than applyAnchors' min_by join)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val bounds = ev
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rnd", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)))
+      .groupBy("user_id")
+      .agg(max(when(col("rn") === 1, col("event_id"))).as("first_ord"),
+        max(when(col("rnd") === 1, col("event_id"))).as("last_ord"))
+    def rows(sql: String) = MatchRecognize.run(ev, sql)
+      .select("user_id", "start_id", "end_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val unanchoredStart = CepSql.anchorStart.replace("(^ ", "(")
+    val refStart = MatchRecognize.run(ev, unanchoredStart)
+      .join(bounds, "user_id")
+      .filter(col("start_id") === col("first_ord"))
+      .select("user_id", "start_id", "end_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rows(CepSql.anchorStart) == refStart && refStart.nonEmpty)
+    val unanchoredEnd = CepSql.anchorEnd.replace(" $)", ")")
+    val refEnd = MatchRecognize.run(ev, unanchoredEnd)
+      .join(bounds, "user_id")
+      .filter(col("end_id") === col("last_ord"))
+      .select("user_id", "start_id", "end_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rows(CepSql.anchorEnd) == refEnd && refEnd.nonEmpty)
+    // anchored is a strict subset on this fixture (anchors have teeth)
+    assert(refStart.size < rows(unanchoredStart).size)
+    // placement validation: ^ only first, $ only last
+    val badCaret = CepSql.anchorStart.replace("(^ signup", "(signup ^")
+    assert(intercept[IllegalArgumentException](MatchRecognize.parse(badCaret))
+      .getMessage.contains("FIRST element"))
+    val badDollar = CepSql.anchorEnd.replace("purchase $)", "$ purchase)")
+    assert(intercept[IllegalArgumentException](MatchRecognize.parse(badDollar))
+      .getMessage.contains("LAST element"))
+  }
+
   test("property: render -> parse round-trips 300 random patterns") {
     val rnd = new scala.util.Random(20260814L)
     val syms = Vector("alpha", "beta", "gamma", "delta", "eps")
