@@ -120,17 +120,60 @@ object Similarity {
       .select(col("src_id"), col("rnk"), col("nb_id").as("neighbor_id"), col("cos"))
   }
 
-  /** The DuckDB replay of [[knnGraph]] — the same md5-derived plane
-    * literals, the bucket SELF-join, and the per-source rank. */
-  def knnGraphOracleSql(k: Int, tables: Int = 4, bits: Int = 8,
-                        dim: Int = 64): String = {
+  /** One NN-DESCENT refinement iteration over [[knnGraph]] (Dong et
+    * al. 2011 — "a neighbor of a neighbor is likely a neighbor"): the
+    * UNDIRECTED base edges generate neighbor-of-neighbor candidates
+    * (a—b, b—c ⇒ try (a, c)), which union with the base edges and
+    * re-rank per source by exact cosine. Per-source top-k over a
+    * SUPERSET of the base candidates, so quality DOMINATES the base
+    * graph pointwise (property-tested) — this is the standard way a
+    * high-recall graph is built at billion scale without all-pairs.
+    *
+    * 100 TB shape: edges are n·k rows each direction; the expansion is
+    * one self-join keyed on the shared middle vertex b (degree ~2k per
+    * b → candidate volume ~n·k², bounded by the graph's own degree,
+    * not the corpus square), then the same two id-keyed verify joins
+    * and the per-source rank window as the base graph. Iterating to a
+    * fixpoint is repeating this operator; one round is the declared
+    * shape. */
+  def knnGraphRefine(corpus: DataFrame, idCol: String, vecCol: String,
+                     k: Int, tables: Int = 4, bits: Int = 8,
+                     dim: Int = 64): DataFrame = {
+    val base = knnGraph(corpus, idCol, vecCol, k, tables, bits, dim)
+      .select(col("src_id"), col("neighbor_id"))
+    val und = base.union(base.select(col("neighbor_id").as("src_id"),
+      col("src_id").as("neighbor_id")))
+    val cand = und.select(col("src_id").as("a"), col("neighbor_id").as("b"))
+      .join(und.select(col("src_id").as("b"), col("neighbor_id").as("c")), "b")
+      .filter(col("a") =!= col("c"))
+      .select(col("a").as("src_id"), col("c").as("neighbor_id"))
+      .union(base)
+      .distinct()
+    val e = withNorm(corpus, vecCol)
+    val s = e.select(col(idCol).as("src_id"), col(vecCol).as("sv"),
+      col("nrm").as("sn"))
+    val nb = e.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+      col("nrm").as("nn"))
+    val w = Window.partitionBy(col("src_id")).orderBy(col("cos").desc,
+      col("neighbor_id"))
+    cand.join(nb, "neighbor_id").join(s, "src_id")
+      .withColumn("cos", vec_dot(col("sv"), col("nv")) / (col("sn") * col("nn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("src_id"), col("rnk"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Shared CTE chain of the k-NN graph oracles: quantized vectors,
+    * md5-derived plane literals, per-table buckets, and the bucket
+    * self-join candidate set (`cand(src_id, neighbor_id)`). */
+  private def knnCtesSql(tables: Int, bits: Int, dim: Int): String = {
     val planes = lshPlanes(tables, bits, dim)
     val rows = (0 until tables).flatMap { t =>
       (0 until bits).map { j =>
         s"(${t}, ${j}, [${planes(t * bits + j).mkString(",")}]::BIGINT[])"
       }
     }.mkString(",\n")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
        |    sqrt(list_aggregate(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum')) AS nrm,
        |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000.0 + 0.5) AS BIGINT)) AS q
@@ -144,18 +187,52 @@ object Similarity {
        |cand AS (
        |  SELECT DISTINCT s.vec_id AS src_id, c.vec_id AS neighbor_id
        |  FROM bk s JOIN bk c ON c.tbl = s.tbl AND c.bkt = s.bkt
-       |                     AND c.vec_id != s.vec_id)
-       |SELECT src_id, rnk, neighbor_id, floor(cos * 10000 + 0.5) / 10000 AS cos FROM (
+       |                     AND c.vec_id != s.vec_id)""".stripMargin
+  }
+
+  /** Rank-and-emit tail shared by the k-NN graph oracles: exact cosine
+    * over `fromCand(src_id, neighbor_id)`, per-source rank, top-k. */
+  private def knnRankSql(k: Int, fromCand: String): String =
+    s"""SELECT src_id, rnk, neighbor_id, floor(cos * 10000 + 0.5) / 10000 AS cos FROM (
        |  SELECT cd.src_id, cd.neighbor_id,
        |    list_aggregate(list_transform(list_zip(s.v, c.v), x -> x[1] * x[2]), 'sum')
        |      / (s.nrm * c.nrm) AS cos,
        |    CAST(row_number() OVER (PARTITION BY cd.src_id ORDER BY
        |      list_aggregate(list_transform(list_zip(s.v, c.v), x -> x[1] * x[2]), 'sum')
        |        / (s.nrm * c.nrm) DESC, cd.neighbor_id) AS INTEGER) AS rnk
-       |  FROM cand cd JOIN e s ON s.vec_id = cd.src_id
+       |  FROM ${fromCand} cd JOIN e s ON s.vec_id = cd.src_id
        |               JOIN e c ON c.vec_id = cd.neighbor_id
        |) WHERE rnk <= ${k} ORDER BY src_id, rnk""".stripMargin
-  }
+
+  /** The DuckDB replay of [[knnGraph]] — the same md5-derived plane
+    * literals, the bucket SELF-join, and the per-source rank. */
+  def knnGraphOracleSql(k: Int, tables: Int = 4, bits: Int = 8,
+                        dim: Int = 64): String =
+    s"""WITH ${knnCtesSql(tables, bits, dim)}
+       |${knnRankSql(k, "cand")}""".stripMargin
+
+  /** The DuckDB replay of [[knnGraphRefine]]: the base graph's CTEs +
+    * rank, the undirected neighbor-of-neighbor expansion, one re-rank. */
+  def knnGraphRefineOracleSql(k: Int, tables: Int = 4, bits: Int = 8,
+                              dim: Int = 64): String =
+    s"""WITH ${knnCtesSql(tables, bits, dim)},
+       |base AS (
+       |  SELECT src_id, neighbor_id FROM (
+       |    SELECT cd.src_id, cd.neighbor_id,
+       |      CAST(row_number() OVER (PARTITION BY cd.src_id ORDER BY
+       |        list_aggregate(list_transform(list_zip(s.v, c.v), x -> x[1] * x[2]), 'sum')
+       |          / (s.nrm * c.nrm) DESC, cd.neighbor_id) AS INTEGER) AS rnk
+       |    FROM cand cd JOIN e s ON s.vec_id = cd.src_id
+       |                 JOIN e c ON c.vec_id = cd.neighbor_id
+       |  ) WHERE rnk <= ${k}),
+       |und AS (SELECT src_id, neighbor_id FROM base
+       |        UNION SELECT neighbor_id, src_id FROM base),
+       |cand2 AS (
+       |  SELECT DISTINCT u1.src_id, u2.neighbor_id
+       |  FROM und u1 JOIN und u2 ON u1.neighbor_id = u2.src_id
+       |                         AND u1.src_id != u2.neighbor_id
+       |  UNION SELECT src_id, neighbor_id FROM base)
+       |${knnRankSql(k, "cand2")}""".stripMargin
 
   /** The DuckDB replay of [[lshTopK]], spliced with the same md5-derived
     * plane literals (see [[lshPlanes]] — integer dots make bucket

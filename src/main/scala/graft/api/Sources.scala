@@ -1,8 +1,8 @@
 package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, count, expr, greatest,
-  lit, max, min, shiftleft, shiftright, sum}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, expr,
+  greatest, lit, max, min, shiftleft, shiftright, sum}
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.Row
@@ -127,6 +127,31 @@ object Sinks {
         min(col("y")).as("min_y"), max(col("y")).as("max_y"))
   }
 
+  /** File-skip EFFECTIVENESS of a [[zorderPlan]] layout: for one range
+    * predicate per dimension, the cells (= files) and rows a
+    * min/max-consulting reader would scan — the measurement that
+    * justifies the layout (each dimension's predicate should prune a
+    * large fraction of cells; a single-column sort prunes only its own
+    * column). A cell survives dimension d's predicate `[lo, hi]` iff
+    * NOT (max_d < lo OR min_d > hi) — exactly parquet row-group /
+    * manifest pruning arithmetic. Input is the (tiny) plan table, so
+    * this is two scans of ≤ 2^(2*bits) rows. */
+  def zorderPruneStats(plan: DataFrame, xLo: Long, xHi: Long,
+                       yLo: Long, yHi: Long): DataFrame = {
+    val tot = plan.agg(count(lit(1)).as("cells_total"),
+      sum(col("n_rows")).as("rows_total"))
+    def dim(name: String, mnC: String, mxC: String, lo: Long, hi: Long) =
+      plan.filter(!(col(mxC) < lo || col(mnC) > hi))
+        .agg(count(lit(1)).as("cells_scanned"),
+          coalesce(sum(col("n_rows")), lit(0L)).as("rows_scanned"))
+        .withColumn("dim", lit(name))
+    dim("x", "min_x", "max_x", xLo, xHi)
+      .unionByName(dim("y", "min_y", "max_y", yLo, yHi))
+      .crossJoin(broadcast(tot))
+      .select(col("dim"), col("cells_total"), col("cells_scanned"),
+        col("rows_total"), col("rows_scanned"))
+  }
+
   /** The DuckDB replay of [[zorderPlan]]: identical integer bucketing
     * and the same shift/and Morton interleave, generated from the same
     * `bits`. `xSql`/`ySql` must be integer-valued expressions over
@@ -148,6 +173,26 @@ object Sinks {
        |SELECT CAST($z AS BIGINT) AS z, count(*) AS n_rows,
        |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
        |FROM b GROUP BY 1 ORDER BY z""".stripMargin
+  }
+
+  /** The DuckDB replay of [[zorderPruneStats]] over [[zorderPlan]]'s
+    * replay — same survive-iff-not-disjoint arithmetic per dimension. */
+  def zorderPruneOracleSql(table: String, xSql: String, ySql: String,
+                           bits: Int, xLo: Long, xHi: Long,
+                           yLo: Long, yHi: Long): String = {
+    val planSql = zorderPlanOracleSql(table, xSql, ySql, bits)
+    s"""WITH plan AS (SELECT * FROM ($planSql)),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS cells_total,
+       |               CAST(sum(n_rows) AS BIGINT) AS rows_total FROM plan),
+       |dx AS (SELECT 'x' AS dim, CAST(count(*) AS BIGINT) AS cells_scanned,
+       |         CAST(coalesce(sum(n_rows), 0) AS BIGINT) AS rows_scanned
+       |       FROM plan WHERE NOT (max_x < $xLo OR min_x > $xHi)),
+       |dy AS (SELECT 'y' AS dim, CAST(count(*) AS BIGINT) AS cells_scanned,
+       |         CAST(coalesce(sum(n_rows), 0) AS BIGINT) AS rows_scanned
+       |       FROM plan WHERE NOT (max_y < $yLo OR min_y > $yHi)),
+       |u AS (SELECT * FROM dx UNION ALL SELECT * FROM dy)
+       |SELECT dim, cells_total, cells_scanned, rows_total, rows_scanned
+       |FROM u CROSS JOIN tot ORDER BY dim""".stripMargin
   }
 
   /** Small-file compaction: rewrite a parquet directory into

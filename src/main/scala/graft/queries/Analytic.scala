@@ -124,6 +124,36 @@ object Analytic {
         .orderBy("user_id")
     }),
 
+    // Multi-touch ATTRIBUTION (the credit-assignment table behind every
+    // marketing-analytics stack): each purchase's preceding touches
+    // (clicks/views since the user's previous purchase) share credit —
+    // linear 1/n per touch plus the last-touch indicator. The
+    // conversion id is a BACKWARD-looking window min (the next purchase
+    // ord at-or-after each row), touch counts/maxima one keyed agg —
+    // everything partitions by user, one shuffle, nothing global;
+    // credit = 1/n on exact longs (bit-identical cross-engine) under
+    // the round4 guard.
+    "event_attribution" -> ((s, d) => {
+      val wFwd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val tagged = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("conv_id",
+          min(when(col("event_type") === "purchase", col("event_id"))).over(wFwd))
+      val touches = tagged
+        .filter(col("event_type").isin("click", "view") &&
+          col("conv_id").isNotNull)
+      val per = touches.groupBy(col("user_id"), col("conv_id"))
+        .agg(count(lit(1)).as("n_touches"), max(col("event_id")).as("last_touch"))
+      touches.join(per, Seq("user_id", "conv_id"))
+        .select(col("user_id"), col("conv_id"), col("event_id"),
+          col("event_type").as("touch_type"), col("n_touches"),
+          Det.round4(lit(1.0) / col("n_touches")).as("credit_linear"),
+          (col("event_id") === col("last_touch")).as("is_last_touch"))
+        .orderBy("user_id", "conv_id", "event_id")
+    }),
+
     // Event-type TRANSITION MATRIX (the per-user Markov-chain estimate
     // behind path/flow analytics): consecutive-event (prev -> cur)
     // counts in the (ts, event_id) total order, with the
@@ -1958,6 +1988,27 @@ object Analytic {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    // attribution replay: the same backward window min, the same keyed
+    // touch counts, 1/n on exact longs under the round4 guard.
+    "event_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    min(CASE WHEN event_type = 'purchase' THEN event_id END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS conv_id
+        |  FROM events),
+        |tch AS (SELECT * FROM t
+        |        WHERE event_type IN ('click', 'view') AND conv_id IS NOT NULL),
+        |per AS (SELECT user_id, conv_id, count(*) AS n_touches,
+        |               max(event_id) AS last_touch
+        |        FROM tch GROUP BY 1, 2)
+        |SELECT tch.user_id, conv_id, event_id, event_type AS touch_type,
+        |  CAST(n_touches AS BIGINT) AS n_touches,
+        |  floor(1.0 / n_touches * 10000 + 0.5) / 10000 AS credit_linear,
+        |  event_id = last_touch AS is_last_touch
+        |FROM tch JOIN per USING (user_id, conv_id)
+        |ORDER BY user_id, conv_id, event_id""".stripMargin,
 
     "event_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events

@@ -555,6 +555,18 @@ object Pipeline {
           Det.round4(col("cos")).as("cos"))
         .orderBy("src_id", "rnk")),
 
+    // One NN-Descent iteration over the k-NN graph (neighbor-of-a-
+    // neighbor candidates, re-ranked by exact cosine): per-source
+    // quality dominates the base graph pointwise — the high-recall
+    // refinement loop billion-scale graph builds run
+    // (Similarity.knnGraphRefine for the degree-bounded cost model).
+    "sim_knn_graph_refine" -> ((s, d) =>
+      Similarity.knnGraphRefine(Tables.embeddings(s, d), "vec_id",
+          "embedding", 5, tables = 8, bits = 6)
+        .select(col("src_id"), col("rnk"), col("neighbor_id"),
+          Det.round4(col("cos")).as("cos"))
+        .orderBy("src_id", "rnk")),
+
     // Product-quantization ANN (IVFADC's ADC half): corpus vectors
     // encode to 8 centroid indices against md5-derived integer
     // codebooks (deterministic stand-ins for k-means output — the
@@ -707,6 +719,19 @@ object Pipeline {
       graft.api.Sinks.zorderPlan(Tables.events(s, d), col("user_id"),
           floor(coalesce(col("value"), lit(0.0)) * 100 + lit(0.5)), bits = 4)
         .orderBy("z")),
+
+    // The pruning the z-order layout BUYS (Sinks.zorderPruneStats):
+    // for one range predicate per dimension, the cells/rows a
+    // min-max-consulting reader scans — the same disjointness
+    // arithmetic parquet row-group and manifest pruning run. The input
+    // is the bounded plan table (≤ 256 cells), so both stats passes
+    // are metadata-sized regardless of corpus size.
+    "event_zorder_prune" -> ((s, d) =>
+      graft.api.Sinks.zorderPruneStats(
+          graft.api.Sinks.zorderPlan(Tables.events(s, d), col("user_id"),
+            floor(coalesce(col("value"), lit(0.0)) * 100 + lit(0.5)), bits = 4),
+          xLo = 0L, xHi = 3L, yLo = 0L, yHi = 2000L)
+        .orderBy("dim")),
 
     // Bigram LM self-scoring (the CCNet-style quality filter): docs with
     // improbable token sequences under the corpus's own bigram model
@@ -1594,6 +1619,8 @@ object Pipeline {
         |GROUP BY t.doc_id, e.doc_id ORDER BY t.doc_id, eval_id""".stripMargin,
 
     "sim_knn_graph" -> Similarity.knnGraphOracleSql(5, tables = 8, bits = 6),
+    "sim_knn_graph_refine" ->
+      Similarity.knnGraphRefineOracleSql(5, tables = 8, bits = 6),
     "sim_lsh_bucketed" -> Similarity.lshTopKOracleSql(5, tables = 8, bits = 6,
       probeIdBound = LshProbeBound),
 
@@ -1781,6 +1808,9 @@ object Pipeline {
     // bucketing, identical shift/and Morton interleave.
     "event_zorder_plan" -> graft.api.Sinks.zorderPlanOracleSql("events",
       "user_id", "floor(coalesce(value, 0) * 100 + 0.5)", bits = 4),
+    "event_zorder_prune" -> graft.api.Sinks.zorderPruneOracleSql("events",
+      "user_id", "floor(coalesce(value, 0) * 100 + 0.5)", bits = 4,
+      xLo = 0L, xHi = 3L, yLo = 0L, yHi = 2000L),
 
     "corpus_compact_plan" ->
       """SELECT source, lang,

@@ -91,6 +91,56 @@ class ApiSpec extends SparkSuite {
       s"fuzzy join must be a variant equi-join:\n${plan.take(400)}")
   }
 
+  test("attribution: credits sum to 1 per conversion, exactly one last touch") {
+    val out = graft.queries.Analytic.queries("event_attribution")(spark, sf001)
+    val per = out.groupBy("user_id", "conv_id")
+      .agg(org.apache.spark.sql.functions.sum("credit_linear").as("csum"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when(col("is_last_touch"), 1L)
+            .otherwise(0L)).as("nlast"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.max("n_touches").as("nt"))
+      .as[(Long, Long, Double, Long, Long, Long)].collect()
+    assert(per.nonEmpty)
+    per.foreach { case (u, cid, csum, nlast, n, nt) =>
+      assert(n == nt, s"($u,$cid): group size $n != n_touches $nt")
+      assert(nlast == 1L, s"($u,$cid): $nlast last touches")
+      // 1/n round4-ed n times: within n/2e4 of 1
+      assert(math.abs(csum - 1.0) <= nt / 2e4 + 1e-9, s"($u,$cid): csum $csum")
+    }
+    // every conversion id is a purchase row; every touch precedes it
+    val ev = Tables.events(spark, sf001)
+      .select(col("event_id"), col("event_type")).as[(Long, String)]
+      .collect().toMap
+    out.select("conv_id", "event_id").as[(Long, Long)].collect().foreach {
+      case (cid, eid) => assert(ev(cid) == "purchase" && ev(eid) != "purchase")
+    }
+  }
+
+  test("zorder prune: both dimensions prune cells, scanned truth-checked") {
+    val sp = spark
+    import sp.implicits._
+    val plan = Sinks.zorderPlan(Tables.events(spark, sf001), col("user_id"),
+      org.apache.spark.sql.functions.floor(
+        org.apache.spark.sql.functions.coalesce(col("value"),
+          org.apache.spark.sql.functions.lit(0.0)) * 100 +
+          org.apache.spark.sql.functions.lit(0.5)), bits = 4)
+    val stats = Sinks.zorderPruneStats(plan, 0L, 3L, 0L, 2000L)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val cells = plan.count()
+    for ((dim, (ct, cs, rt, rs)) <- stats) {
+      assert(ct == cells && cs > 0 && cs < ct,
+        s"$dim: scanned $cs of $ct cells — predicate must prune SOME cells")
+      assert(rs <= rt && rs > 0)
+    }
+    // truth-check x: every row with user_id in [0,3] lives in a scanned cell
+    val hit = Tables.events(spark, sf001)
+      .filter(col("user_id").between(0, 3)).count()
+    assert(stats("x")._4 >= hit, "scanned rows must cover all predicate rows")
+  }
+
   test("partitioned parquet sink round-trips with partition pruning") {
     val dir = Files.createTempDirectory("graft_sink").toString
     val ev = Tables.events(spark, sf001)

@@ -611,6 +611,38 @@ class PipelineSpec extends SparkSuite {
     assert(bySrc.values.forall(g => g.map(_._2).toSeq.sorted == (1 to g.size)))
   }
 
+  test("knn refine dominates the base graph and improves recall vs exact top-k") {
+    val e = Tables.embeddings(spark, sf001)
+    def kth(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.groupBy("src_id")
+        .agg(org.apache.spark.sql.functions.min("cos").as("worst"))
+        .as[(Long, Double)].collect().toMap
+    val base = graft.api.Similarity.knnGraph(e, "vec_id", "embedding",
+      5, tables = 8, bits = 6)
+    val refined = graft.api.Similarity.knnGraphRefine(e, "vec_id", "embedding",
+      5, tables = 8, bits = 6)
+    val (bk, rk) = (kth(base), kth(refined))
+    // top-k over a candidate SUPERSET: the per-source worst kept cosine
+    // can only rise (dominance), and every base source survives
+    assert(bk.keySet.subsetOf(rk.keySet))
+    assert(bk.forall { case (s, w) => rk(s) >= w - 1e-12 }, "dominance violated")
+    // recall vs the exact graph (brute-force, probes = whole corpus)
+    def pairs(df: org.apache.spark.sql.DataFrame, a: String, b: String) =
+      df.select(col(a), col(b)).as[(Long, Long)].collect().toSet
+    val exact = pairs(graft.api.Similarity.cosineTopK(e, e, "vec_id",
+      "embedding", 5), "probe_id", "neighbor_id")
+    val rBase = pairs(base, "src_id", "neighbor_id")
+    val rRef = pairs(refined, "src_id", "neighbor_id")
+    val recBase = (rBase & exact).size.toDouble / exact.size
+    val recRef = (rRef & exact).size.toDouble / exact.size
+    assert(recRef >= recBase, s"refine recall $recRef < base $recBase")
+    // the fixture's embeddings are random (near-uniform cosines — the
+    // LSH-hardest case), so the bar is a meaningful LIFT over base,
+    // not an absolute: the NoN expansion must buy real recall
+    assert(recRef >= recBase + 0.02 || recRef > 0.9,
+      s"refine bought no recall: base $recBase, refined $recRef")
+  }
+
   test("weighted sample: exact local A-ES replay, and top-k plans as TakeOrdered") {
     // the engine's md5-uniform + pow key, replayed in plain Scala —
     // pins every arithmetic step of Sampling.weightedSample
