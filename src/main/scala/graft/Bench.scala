@@ -164,10 +164,16 @@ object Bench {
       // the steady state the min reports
       (mn, if (mn > 1e-9) (ts(1) - mn) / mn else 0.0)
     }
+    // the one spread formula (relative max-min over min) — every
+    // spread in this file must come from here
+    def spreadOf(secs: Seq[Double]): Double = {
+      val mn = secs.min
+      if (mn > 1e-9) (secs.max - mn) / mn else 0.0
+    }
     val isolatedFull: Seq[(String, (Double, Double))] = trials.flatMap { case (name, ts) =>
       val secs = ts.map(_._1)
       val mn = secs.min
-      val postRetrySpread = if (mn > 1e-9) (secs.max - mn) / mn else 0.0
+      val postRetrySpread = spreadOf(secs)
       if (isolationNeeded(mn, committed.get(name))) {
         System.err.println(f"[bench] isolated $name (min $mn%.3f vs committed ${committed(name)}%.3f)")
         Some(name -> isolatedMeasure(name))
@@ -190,14 +196,11 @@ object Bench {
     // what the isolation replaced. spread_sweep_max in the stats line
     // is the pre-adjudication fleet maximum.
     val sweepSpreads = trials.map { case (name, ts) =>
-      val secs = ts.map(_._1)
-      name -> (if (secs.min > 1e-9) (secs.max - secs.min) / secs.min else 0.0)
-    }
+      name -> spreadOf(ts.map(_._1)) }
     val sweepByName = sweepSpreads.toMap
     val replacedSweep = isolatedFull.map { case (n, _) => n -> sweepByName(n) }
     val spreads = allTrials.map { case (name, secs) =>
-      name -> isoSpreadByName.getOrElse(name,
-        if (secs.min > 1e-9) (secs.max - secs.min) / secs.min else 0.0) }
+      name -> isoSpreadByName.getOrElse(name, spreadOf(secs)) }
     val loads = trials.map { case (name, ts) => name -> ts.map(_._2).max }
     // Locale.ROOT: the f-interpolator uses the JVM default locale, which
     // renders a comma decimal separator (invalid JSON) under e.g. de_DE.

@@ -475,22 +475,22 @@ object Dedup {
     * md5-derived signatures, replayed bit-for-bit by the oracle.
     * [[graft.streaming.StreamOps.minhashIncrCandidates]] is the same
     * dataflow on keyed state (cross-batch bucket carryover pinned in
-    * StreamingSpec); this batch form is two shuffles (bucket groupBy +
-    * the candidate distinct) plus two id-keyed joins.
+    * StreamingSpec); this batch form computes the signature pipeline
+    * ONCE per side (the band rows already carry the full signature, so
+    * the bucket-first agg keeps the first's sig via min_by and the
+    * join delivers both sigs with NO id-keyed re-join — two shuffles
+    * total: the bucket agg and the candidate distinct).
     */
   def minhashIncremental(df: DataFrame, idCol: String, textCol: String,
                          threshold: Double = 0.7): DataFrame = {
-    val sig = minhashSigDf(df, idCol, textCol)
-    val banded = minhashBandRows(df, idCol, textCol)
-      .select(col(idCol), col("band"), col("bkey"))
-    val first = banded.groupBy(col("band"), col("bkey"))
-      .agg(min(col(idCol)).as("first_id"))
-    val cand = banded.join(first, Seq("band", "bkey"))
+    val br = minhashBandRows(df, idCol, textCol)
+    val first = br.groupBy(col("band"), col("bkey"))
+      .agg(min(col(idCol)).as("first_id"),
+        min_by(col("sig"), col(idCol)).as("sig_f"))
+    br.join(first, Seq("band", "bkey"))
       .filter(col(idCol) > col("first_id"))
-      .select(col(idCol), col("first_id")).distinct()
-    val sd = sig.select(col(idCol), col("sig").as("sig_d"))
-    val sf = sig.select(col(idCol).as("first_id"), col("sig").as("sig_f"))
-    cand.join(sd, Seq(idCol)).join(sf, Seq("first_id"))
+      .select(col(idCol), col("first_id"), col("sig").as("sig_d"), col("sig_f"))
+      .distinct()
       .withColumn("est",
         expr("size(filter(zip_with(sig_d, sig_f, (x, y) -> x = y), v -> v))")
           .cast("double") / lit(64.0))

@@ -1201,9 +1201,40 @@ object MatchRecognize {
       for (m <- ms) require(used(m),
         s"SUBSET $n member '$m' is not a defined pattern step")
     }
-    MrSpec(partition, order, measures, allRows, skip, within,
+    val spec = MrSpec(partition, order, measures, allRows, skip, within,
       tagged, defines, strict, fromTable, navConds, subsets, aggConds,
       permute, anchorStart, anchorEnd)
+    // The `$` anchor is applied as a MATCH FILTER (applyAnchors), which
+    // is only equal to SQL:2016 anchored matching when each anchor
+    // position yields at most ONE candidate match END — otherwise the
+    // matcher may commit to a non-last-row end while an alternative
+    // (reluctant backtrack, a different alternation/PERMUTE branch, an
+    // aggregate-condition backtrack) would have satisfied `$`, and the
+    // filter UNDER-matches. The deterministic-end routes are: compiled
+    // symbolic patterns (disjoint symbols — maximal-munch ends are
+    // unique per anchor) with every quantifier GREEDY. Everything else
+    // rejects loudly rather than silently dropping matches. `^` needs
+    // no restriction: the match START equals the anchor position on
+    // every route, so filtering on it never discards a re-derivable
+    // match.
+    if (anchorEnd) {
+      require(spec.stepElems.forall(_.greedy),
+        "'$' anchor with a reluctant quantifier is not supported — the " +
+          "anchor is a match filter and a reluctant matcher may commit " +
+          "to a non-last-row end that a backtracking anchored matcher " +
+          "would not; make the quantifiers greedy or drop '$'")
+      require(!spec.hasAlternation && !permute,
+        "'$' anchor with alternation/PERMUTE is not supported — the " +
+          "leftmost-branch anchor dedup may keep a branch whose match " +
+          "does not end at the partition's last row while another " +
+          "branch's does")
+      require(!spec.isIterative,
+        "'$' anchor with DEFINE navigation / aggregate conditions is " +
+          "not supported — the greedy-then-backtrack matcher commits " +
+          "to one end per anchor and the anchor filter cannot recover " +
+          "the alternative that ends at the partition's last row")
+    }
+    spec
   }
 
   // ---------- executor ----------

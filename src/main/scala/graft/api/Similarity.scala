@@ -100,24 +100,36 @@ object Similarity {
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
                tables: Int = 4, bits: Int = 8, dim: Int = 64): DataFrame = {
     val planes = lshPlanes(tables, bits, dim)
-    val e = withNorm(corpus, vecCol)
     val cb = corpus.select(col(idCol),
       lshBuckets(col(vecCol), planes, tables, bits).as(Seq("tbl", "bkt")))
     val cand = cb.join(
-        cb.select(col(idCol).as("nb_id"), col("tbl"), col("bkt")),
+        cb.select(col(idCol).as("neighbor_id"), col("tbl"), col("bkt")),
         Seq("tbl", "bkt"))
-      .filter(col(idCol) =!= col("nb_id"))
-      .select(col(idCol).as("src_id"), col("nb_id")).distinct()
+      .filter(col(idCol) =!= col("neighbor_id"))
+      .select(col(idCol).as("src_id"), col("neighbor_id")).distinct()
+    knnRankTopK(corpus, idCol, vecCol, cand, k)
+  }
+
+  /** The exact-cosine verify + per-source top-k tail shared by
+    * [[knnGraph]] and [[knnGraphRefine]] (the Spark twin of the
+    * oracles' shared `knnRankSql`): `cand(src_id, neighbor_id)` pairs
+    * join each side's vector by id and rank per source — a rank
+    * convention change lands in ONE place or the refine pair's
+    * dominance property breaks its own test. */
+  private def knnRankTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                          cand: DataFrame, k: Int): DataFrame = {
+    val e = withNorm(corpus, vecCol)
     val src = e.select(col(idCol).as("src_id"), col(vecCol).as("sv"),
       col("nrm").as("sn"))
-    val nbr = e.select(col(idCol).as("nb_id"), col(vecCol).as("nv"),
+    val nbr = e.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
       col("nrm").as("nn"))
-    val w = Window.partitionBy(col("src_id")).orderBy(col("cos").desc, col("nb_id"))
-    cand.join(nbr, "nb_id").join(src, "src_id")
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.join(nbr, "neighbor_id").join(src, "src_id")
       .withColumn("cos", vec_dot(col("sv"), col("nv")) / (col("sn") * col("nn")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col("src_id"), col("rnk"), col("nb_id").as("neighbor_id"), col("cos"))
+      .select(col("src_id"), col("rnk"), col("neighbor_id"), col("cos"))
   }
 
   /** One NN-DESCENT refinement iteration over [[knnGraph]] (Dong et
@@ -149,18 +161,7 @@ object Similarity {
       .select(col("a").as("src_id"), col("c").as("neighbor_id"))
       .union(base)
       .distinct()
-    val e = withNorm(corpus, vecCol)
-    val s = e.select(col(idCol).as("src_id"), col(vecCol).as("sv"),
-      col("nrm").as("sn"))
-    val nb = e.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
-      col("nrm").as("nn"))
-    val w = Window.partitionBy(col("src_id")).orderBy(col("cos").desc,
-      col("neighbor_id"))
-    cand.join(nb, "neighbor_id").join(s, "src_id")
-      .withColumn("cos", vec_dot(col("sv"), col("nv")) / (col("sn") * col("nn")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("src_id"), col("rnk"), col("neighbor_id"), col("cos"))
+    knnRankTopK(corpus, idCol, vecCol, cand, k)
   }
 
   /** Shared CTE chain of the k-NN graph oracles: quantized vectors,

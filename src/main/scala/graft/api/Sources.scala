@@ -99,13 +99,19 @@ object Sinks {
     * second dimension under a single-column sort) — the standard
     * two-predicate lakehouse layout win.
     *
-    * Determinism: bucketing is pure integer arithmetic
-    * (`(x-min)*2^bits div (max-min+1)` never reaches `2^bits`, no
-    * clamp needed) and the interleave is shifts/ands — the whole table
-    * replays bit-exactly in DuckDB. Scale shape: one broadcast min/max
-    * agg + one hash aggregation keyed by the 2^(2*bits)-cell z value;
-    * the actual rewrite this plan drives is a `repartitionByRange(z)`
-    * write, never a global sort of the data here. */
+    * Determinism: bucketing is pure OVERFLOW-FREE integer arithmetic —
+    * bucket = `(x - min) div width` with `width = (max - min) div
+    * 2^bits + 1` (for span = k·n + r, r < n: width = k+1 and
+    * span div (k+1) = (kn+r) div (k+1) <= n-1, so the bucket never
+    * reaches `2^bits` and no clamp is needed; crucially there is NO
+    * `span * 2^bits` multiply, so a full-Long-range dimension — e.g.
+    * epoch micros — cannot overflow, where a multiply-then-divide
+    * formulation would wrap in Spark and raise in DuckDB). The
+    * interleave is shifts/ands — the whole table replays bit-exactly
+    * in DuckDB. Scale shape: one broadcast min/max agg + one hash
+    * aggregation keyed by the 2^(2*bits)-cell z value; the actual
+    * rewrite this plan drives is a `repartitionByRange(z)` write,
+    * never a global sort of the data here. */
   def zorderPlan(df: DataFrame, xCol: Column, yCol: Column,
                  bits: Int): DataFrame = {
     require(bits >= 1 && bits <= 16, s"bits must be in [1,16]: $bits")
@@ -114,8 +120,10 @@ object Sinks {
     val mm = d.agg(min(col("x")).as("mnx"), max(col("x")).as("mxx"),
       min(col("y")).as("mny"), max(col("y")).as("mxy"))
     val b = d.crossJoin(broadcast(mm))
-      .withColumn("bx", expr(s"CAST((x - mnx) * $n DIV (mxx - mnx + 1) AS BIGINT)"))
-      .withColumn("by", expr(s"CAST((y - mny) * $n DIV (mxy - mny + 1) AS BIGINT)"))
+      .withColumn("bx",
+        expr(s"CAST((x - mnx) DIV ((mxx - mnx) DIV $n + 1) AS BIGINT)"))
+      .withColumn("by",
+        expr(s"CAST((y - mny) DIV ((mxy - mny) DIV $n + 1) AS BIGINT)"))
     val z = (0 until bits).map { i =>
       shiftleft(shiftright(col("bx"), i).bitwiseAND(lit(1L)), 2 * i + 1) +
         shiftleft(shiftright(col("by"), i).bitwiseAND(lit(1L)), 2 * i)
@@ -167,8 +175,8 @@ object Sinks {
        |mm AS (SELECT min(x) AS mnx, max(x) AS mxx,
        |              min(y) AS mny, max(y) AS mxy FROM d),
        |b AS (SELECT x, y,
-       |        CAST((x - mnx) * $n // (mxx - mnx + 1) AS BIGINT) AS bx,
-       |        CAST((y - mny) * $n // (mxy - mny + 1) AS BIGINT) AS b_y
+       |        CAST((x - mnx) // ((mxx - mnx) // $n + 1) AS BIGINT) AS bx,
+       |        CAST((y - mny) // ((mxy - mny) // $n + 1) AS BIGINT) AS b_y
        |      FROM d CROSS JOIN mm)
        |SELECT CAST($z AS BIGINT) AS z, count(*) AS n_rows,
        |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y

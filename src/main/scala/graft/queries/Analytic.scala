@@ -134,23 +134,34 @@ object Analytic {
     // credit = 1/n on exact longs (bit-identical cross-engine) under
     // the round4 guard.
     "event_attribution" -> ((s, d) => {
-      val wFwd = Window.partitionBy(col("user_id"))
+      // The canonical total order is (ts, event_id) — NEVER bare ids
+      // (ids are not assumed ts-monotone): rows get a per-user ordinal
+      // rn in that order, the conversion is the MIN purchase ordinal in
+      // the forward frame, and the conversion's event id joins back by
+      // (user, rn) — so out-of-order id assignment cannot merge
+      // attribution windows or mislabel the last touch.
+      val wOrd = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val wFwd = wOrd.rowsBetween(Window.currentRow, Window.unboundedFollowing)
       val tagged = Tables.events(s, d)
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-        .withColumn("conv_id",
-          min(when(col("event_type") === "purchase", col("event_id"))).over(wFwd))
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("conv_rn",
+          min(when(col("event_type") === "purchase", col("rn"))).over(wFwd))
+      val convs = tagged.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("rn").as("conv_rn"),
+          col("event_id").as("conv_id"))
       val touches = tagged
         .filter(col("event_type").isin("click", "view") &&
-          col("conv_id").isNotNull)
+          col("conv_rn").isNotNull)
+        .join(convs, Seq("user_id", "conv_rn"))
       val per = touches.groupBy(col("user_id"), col("conv_id"))
-        .agg(count(lit(1)).as("n_touches"), max(col("event_id")).as("last_touch"))
+        .agg(count(lit(1)).as("n_touches"), max(col("rn")).as("last_rn"))
       touches.join(per, Seq("user_id", "conv_id"))
         .select(col("user_id"), col("conv_id"), col("event_id"),
           col("event_type").as("touch_type"), col("n_touches"),
           Det.round4(lit(1.0) / col("n_touches")).as("credit_linear"),
-          (col("event_id") === col("last_touch")).as("is_last_touch"))
+          (col("rn") === col("last_rn")).as("is_last_touch"))
         .orderBy("user_id", "conv_id", "event_id")
     }),
 
@@ -1989,24 +2000,33 @@ object Analytic {
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY user_id, event_id""".stripMargin,
 
-    // attribution replay: the same backward window min, the same keyed
-    // touch counts, 1/n on exact longs under the round4 guard.
+    // attribution replay: the same (ts, event_id) ordinal, the same
+    // forward-frame min over purchase ordinals, the conversion id
+    // joined back by ordinal, 1/n on exact longs under round4.
     "event_attribution" ->
-      """WITH t AS (
+      """WITH o AS (
         |  SELECT user_id, ts, event_id, event_type,
-        |    min(CASE WHEN event_type = 'purchase' THEN event_id END)
-        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS conv_id
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS rn
         |  FROM events),
-        |tch AS (SELECT * FROM t
-        |        WHERE event_type IN ('click', 'view') AND conv_id IS NOT NULL),
+        |t AS (
+        |  SELECT *,
+        |    min(CASE WHEN event_type = 'purchase' THEN rn END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS conv_rn
+        |  FROM o),
+        |cv AS (SELECT user_id, rn AS conv_rn, event_id AS conv_id
+        |       FROM t WHERE event_type = 'purchase'),
+        |tch AS (SELECT t.user_id, t.rn, t.event_id, t.event_type, cv.conv_id
+        |        FROM t JOIN cv USING (user_id, conv_rn)
+        |        WHERE t.event_type IN ('click', 'view')),
         |per AS (SELECT user_id, conv_id, count(*) AS n_touches,
-        |               max(event_id) AS last_touch
+        |               max(rn) AS last_rn
         |        FROM tch GROUP BY 1, 2)
         |SELECT tch.user_id, conv_id, event_id, event_type AS touch_type,
         |  CAST(n_touches AS BIGINT) AS n_touches,
         |  floor(1.0 / n_touches * 10000 + 0.5) / 10000 AS credit_linear,
-        |  event_id = last_touch AS is_last_touch
+        |  rn = last_rn AS is_last_touch
         |FROM tch JOIN per USING (user_id, conv_id)
         |ORDER BY user_id, conv_id, event_id""".stripMargin,
 

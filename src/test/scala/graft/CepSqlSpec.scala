@@ -1430,6 +1430,28 @@ class CepSqlSpec extends SparkSuite {
     val badDollar = CepSql.anchorEnd.replace("purchase $)", "$ purchase)")
     assert(intercept[IllegalArgumentException](MatchRecognize.parse(badDollar))
       .getMessage.contains("LAST element"))
+    // '$' is a match FILTER, correct only where the per-anchor match
+    // end is deterministic — reluctant / alternation / iterative
+    // combinations must reject loudly, not silently under-match
+    val reluctantEnd = CepSql.anchorEnd.replace("view+", "view+?")
+    assert(intercept[IllegalArgumentException](MatchRecognize.parse(reluctantEnd))
+      .getMessage.contains("reluctant"))
+    val altEnd = CepSql.anchorEnd.replace("view+ purchase $", "(view | click) purchase $")
+    assert(intercept[IllegalArgumentException] {
+      val p = MatchRecognize.parse(altEnd.replace(
+        "DEFINE view AS event_type = 'view',",
+        "DEFINE view AS event_type = 'view', click AS event_type = 'click',"))
+      p
+    }.getMessage.contains("alternation"))
+    val iterEnd = CepSql.anchorEnd.replace(
+      "view AS event_type = 'view'",
+      "view AS event_type = 'view' AND PREV(view.value) >= 0")
+    assert(intercept[IllegalArgumentException](MatchRecognize.parse(iterEnd))
+      .getMessage.contains("navigation"))
+    // '^' composes with everything ('^'-anchored match starts are the
+    // anchor position on every route) — a reluctant quantifier parses
+    assert(MatchRecognize.parse(CepSql.anchorStart
+      .replace("g* purchase)", "g* purchase{1,2}?)")).anchorStart)
   }
 
   test("property: render -> parse round-trips 300 random patterns") {
