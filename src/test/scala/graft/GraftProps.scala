@@ -619,4 +619,63 @@ object GraftProps extends Properties("graft") {
       }.toMap
       got == want
     }
+
+  /** Short strings over a 3-letter alphabet — dense edit-distance-1
+    * neighborhoods, including empty strings and repeated characters
+    * (the deletion-variant edge cases). */
+  private val fuzzyDocsGen: Gen[List[String]] = Gen.listOfN(24,
+    Gen.choose(0, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
+
+  property("fuzzy edit join equals brute-force levenshtein<=1 on random strings") =
+    forAll(fuzzyDocsGen) { strs =>
+      val sp = spark
+      import sp.implicits._
+      val docs = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val df = docs.toDF("id", "s")
+      val got = graft.api.Joins.fuzzyEditJoin(df, "id", "s")
+        .as[(Long, Long, Int)].collect().toSet
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val want = (for {
+        (ia, sa) <- docs; (ib, sb) <- docs
+        if ia < ib && lev(sa, sb) <= 1
+      } yield (ia, ib, lev(sa, sb))).toSet
+      got == want
+    }
+
+  /** Random (id, weight) rows — sparse ids (the md5 uniform must not
+    * depend on density), weights spanning four orders of magnitude. */
+  private val weightedGen: Gen[List[(Long, Long)]] = Gen.nonEmptyListOf(for {
+    id <- Gen.choose(1L, 1000000L)
+    w <- Gen.choose(1L, 10000L)
+  } yield (id, w)).map(_.distinctBy(_._1))
+
+  property("weighted sample top-k equals the local A-ES replay on random weights") =
+    forAll(weightedGen) { rows =>
+      val sp = spark
+      import sp.implicits._
+      def key(id: Long, w: Long): Double = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        val u = (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) /
+          1.152921504606846976e18
+        math.floor(math.pow(u, 1.0 / w) * 1e8 + 0.5) / 1e8
+      }
+      val k = 1 + rows.size / 3
+      val got = graft.api.Sampling.weightedSample(
+          rows.toDF("id", "w"), "id", col("w"), k)
+        .as[(Long, Long, Double)].collect().toSeq
+        .sortBy { case (id, _, p) => (-p, id) }
+      val want = rows.map { case (id, w) => (id, w, key(id, w)) }
+        .sortBy { case (id, _, p) => (-p, id) }.take(k)
+      got == want
+    }
 }
