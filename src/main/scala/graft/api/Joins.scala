@@ -60,41 +60,105 @@ object Joins {
       .drop(pb("__bkt")).drop(ib("__bkt"))
   }
 
-  /** Fuzzy SELF-join at edit distance ≤ 1 via the DELETION-NEIGHBORHOOD
-    * signature (the SymSpell / FastSS scheme): each string emits itself
-    * plus its `len` single-deletion variants, and two strings are within
-    * Levenshtein 1 IFF they share a variant — equality shares the
-    * identity variant; a substitution pair shares the deletion at the
-    * differing position; an insert/delete pair shares the shorter
-    * string itself. So the variant equi-join is a LOSSLESS candidate
-    * generator and the final `levenshtein(a, b) <= 1` check only
-    * removes the false positives (e.g. two deletions landing on the
-    * same variant).
+  /** Fuzzy SELF-join at edit distance ≤ `maxDist` (1 or 2) via the
+    * DELETION-NEIGHBORHOOD signature (the SymSpell / FastSS scheme):
+    * each string emits itself plus every variant obtained by deleting
+    * up to `maxDist` characters, and any two strings within Levenshtein
+    * `maxDist` share at least one variant (at d = 1: equality shares
+    * the identity variant, a substitution pair shares the deletion at
+    * the differing position, an insert/delete pair shares the shorter
+    * string itself; at d = 2 the same alignment argument applies with
+    * up to two deletions on each side). The variant equi-join is
+    * therefore a LOSSLESS candidate generator and the exact
+    * `levenshtein(a, b) <= maxDist` verify only removes false
+    * positives (e.g. unrelated deletions landing on the same variant).
     *
-    * 100 TB shape: candidates come from ONE shuffle on the variant hash
-    * (len+1 rows per string — bounded by string length, never an
-    * all-pairs stage or a broadcast of either side); the verify is a
-    * per-pair O(len²) DP on matched candidates only. This is the
-    * entity-resolution join (near-identical names/SKUs/URLs) that a
-    * theta-join `levenshtein(a,b) <= 1` would plan as a quadratic
-    * BroadcastNestedLoopJoin.
+    * 100 TB shape: candidates come from ONE shuffle keyed by the 60-BIT
+    * md5 PREFIX of the variant (8-byte keys — the fleet's shingle
+    * discipline; an md5 collision only adds a candidate the exact
+    * verify removes). Per string that's len+1 keys at d = 1 and
+    * O(len²/2) at d = 2 — bounded by string length, never an all-pairs
+    * stage or a broadcast of either side. Candidate pairs are pruned by
+    * the length-compatibility bound |lenA − lenB| ≤ maxDist BEFORE the
+    * pair-level distinct, and the strings themselves rejoin BY ID only
+    * for the final levenshtein verify, so the wide payload never rides
+    * the candidate shuffle. Skew note: a hot variant (e.g. the empty
+    * string shared by every length ≤ maxDist input, or a deletion
+    * variant of a very common short token) makes the bucket self-join
+    * O(occupancy²) — on real name/SKU data that bucket is a salting
+    * candidate exactly like a hot LSH band bucket (see
+    * [[Similarity.knnGraph]]'s occupancy-cap treatment).
     */
-  def fuzzyEditJoin(df: DataFrame, idCol: String, strCol: String): DataFrame = {
-    val variants = df.select(col(idCol), col(strCol),
-        explode(array_union(array(col(strCol)), expr(
-          s"""transform(sequence(1, length($strCol)), i ->
-             |  concat(substring($strCol, 1, i - 1),
-             |         substring($strCol, i + 1, length($strCol))))""".stripMargin)))
-          .as("variant"))
-    val va = variants.select(col(idCol).as("id_a"), col(strCol).as("str_a"),
-      col("variant"))
-    val vb = variants.select(col(idCol).as("id_b"), col(strCol).as("str_b"),
-      col("variant"))
-    va.join(vb, "variant")
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("str_a"), col("str_b")).distinct()
-      .withColumn("dist", levenshtein(col("str_a"), col("str_b")))
-      .filter(col("dist") <= 1)
-      .select(col("id_a"), col("id_b"), col("dist"))
+  def fuzzyEditJoin(df: DataFrame, idCol: String, strCol: String,
+                    maxDist: Int = 1): DataFrame = {
+    val cand = fuzzyCandidates(df, idCol, strCol, "a", maxDist)
+      .join(fuzzyCandidates(df, idCol, strCol, "b", maxDist), "vh")
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("len_a") - col("len_b")) <= maxDist)
+      .select(col("id_a"), col("id_b")).distinct()
+    fuzzyVerify(cand, df, idCol, strCol, df, idCol, strCol, maxDist)
   }
+
+  /** A-vs-B fuzzy join (catalog entity resolution: match each left
+    * string against a reference catalog at edit distance ≤ `maxDist`).
+    * Same deletion-neighborhood candidates, md5-prefix shuffle keys,
+    * length-compatibility prune and exact verify as [[fuzzyEditJoin]];
+    * output pairs (id_a from `left`, id_b from `right`, dist) keep
+    * every match — no self-pair ordering filter.
+    */
+  def fuzzyEditJoinAB(left: DataFrame, leftId: String, leftStr: String,
+                      right: DataFrame, rightId: String, rightStr: String,
+                      maxDist: Int = 1): DataFrame = {
+    val cand = fuzzyCandidates(left, leftId, leftStr, "a", maxDist)
+      .join(fuzzyCandidates(right, rightId, rightStr, "b", maxDist), "vh")
+      .filter(abs(col("len_a") - col("len_b")) <= maxDist)
+      .select(col("id_a"), col("id_b")).distinct()
+    fuzzyVerify(cand, left, leftId, leftStr, right, rightId, rightStr, maxDist)
+  }
+
+  /** One side's (id, len, 60-bit variant-hash) keys, deduped per side —
+    * the narrow rows the candidate shuffle carries. Deletion variants
+    * are generated positionally (ascending index sequences, guarded so
+    * short strings emit no degenerate descending ranges) and deduped
+    * per string before hashing.
+    */
+  private def fuzzyCandidates(df: DataFrame, idCol: String, strCol: String,
+                              tag: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"fuzzy edit join supports maxDist 1 or 2 (got $maxDist)")
+    val s = strCol
+    val d1 = s"""if(length($s) < 1, array(),
+                |  transform(sequence(1, length($s)), i ->
+                |    concat(substring($s, 1, i - 1),
+                |           substring($s, i + 1, length($s)))))""".stripMargin
+    val d2 = s"""if(length($s) < 2, array(),
+                |  flatten(transform(sequence(1, length($s) - 1), i ->
+                |    transform(sequence(i + 1, length($s)), j ->
+                |      concat(substring($s, 1, i - 1),
+                |             substring($s, i + 1, j - i - 1),
+                |             substring($s, j + 1, length($s)))))))""".stripMargin
+    val all =
+      if (maxDist == 1) s"array_distinct(concat(array($s), $d1))"
+      else s"array_distinct(concat(array($s), $d1, $d2))"
+    df.select(col(idCol).as(s"id_$tag"),
+        length(col(strCol)).as(s"len_$tag"), explode(expr(all)).as("__v"))
+      .select(col(s"id_$tag"), col(s"len_$tag"),
+        conv(substring(md5(col("__v")), 1, 15), 16, 10).cast("long").as("vh"))
+      .distinct()
+  }
+
+  /** Join the strings back BY ID onto the (id_a, id_b) candidate pairs
+    * and keep exactly the pairs within `maxDist` — the only stage that
+    * ever touches the wide string payload.
+    */
+  private def fuzzyVerify(cand: DataFrame,
+                          left: DataFrame, leftId: String, leftStr: String,
+                          right: DataFrame, rightId: String, rightStr: String,
+                          maxDist: Int): DataFrame =
+    cand
+      .join(left.select(col(leftId).as("id_a"), col(leftStr).as("__sa")), "id_a")
+      .join(right.select(col(rightId).as("id_b"), col(rightStr).as("__sb")), "id_b")
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
 }

@@ -106,8 +106,10 @@ object Sampling {
     *
     * Determinism discipline (the [[Sampling]] header contract, plus the
     * float guard): `u = (h60 + 1) / 2^60` where h60 is the 60-bit md5
-    * prefix of the id — the long→double cast and the power-of-two
-    * division are IEEE-exact, so `u` is bit-identical on every engine;
+    * prefix of the id — the long→double cast rounds to nearest above
+    * 2^53 and the power-of-two division is exact, and both engines
+    * apply the IDENTICAL rounding, so `u` is bit-identical on every
+    * engine (identically rounded, not exact);
     * `pow(u, 1/w)` is libm (engines may differ in the last ulp), so the
     * SORT KEY is the 8-decimal-rounded priority ([[graft.Det.round8]] —
     * 1e-8 granularity keeps weight fidelity near the key's u→1 ceiling
@@ -115,6 +117,12 @@ object Sampling {
     * with the id as the unique tiebreak. A ≤1-ulp libm divergence flips
     * a rounding boundary with probability ~2^-26 per row — the same
     * accepted-risk envelope as every round4 guard in the fleet.
+    * WEIGHT CEILING: keep weights below ~1e8 — beyond that the rounded
+    * priority saturates at 1.0 (u^(1/w) > 1 − 5e-9 for any u), so
+    * very-high-weight rows all tie and are selected by ascending id
+    * rather than by weight. Token counts and document byte sizes sit
+    * orders of magnitude under the ceiling; weights above it should be
+    * rescaled (inclusion probabilities only depend on weight ratios).
     *
     * Scale shape: one narrow projection, then a global top-k that plans
     * as TakeOrderedAndProject — per-partition heaps of size k feeding
@@ -133,6 +141,40 @@ object Sampling {
       .orderBy(col("priority").desc, col(idCol))
       .limit(k)
       .select(col(idCol), col("weight"), col("priority"))
+  }
+
+  /** STRATIFIED weighted sample: [[weightedSample]]'s Efraimidis–
+    * Spirakis draw run independently inside every stratum — k rows per
+    * stratum, inclusion probability within a stratum rising with the
+    * integer weight, the whole draw a pure function of the ids (the
+    * `corpus_mix` sibling that SAMPLES each language's share instead of
+    * budget-filling it with the best-scored docs).
+    *
+    * Same determinism discipline as [[weightedSample]] (md5 60-bit
+    * uniform, round8-guarded A-ES priority, id tiebreak — and the same
+    * ~1e8 weight ceiling). Scale shape: ONE shuffle keyed by the
+    * stratum columns and a partitioned rank window — strata process in
+    * parallel and nothing global is planned (vs [[weightedSample]]'s
+    * TakeOrderedAndProject, which this can't use because k applies per
+    * stratum, not globally; a mega-stratum serializes only its own
+    * window sort, the standard salting candidate).
+    */
+  def weightedStratified(df: DataFrame, idCol: String, strataCols: Seq[String],
+                         weightCol: Column, k: Int): DataFrame = {
+    require(k >= 1, "weightedStratified needs k >= 1")
+    require(strataCols.nonEmpty, "weightedStratified needs a stratum column")
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("double") + lit(1.0)) / lit(1.152921504606846976e18)
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(col("priority").desc, col(idCol))
+    df.withColumn("weight", weightCol.cast("long"))
+      .filter(col("weight") >= 1)
+      .withColumn("priority",
+        graft.Det.round8(pow(u, lit(1.0) / col("weight").cast("double"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(strataCols.map(col) ++
+        Seq(col("rn"), col(idCol), col("weight"), col("priority")): _*)
   }
 
   /** The TOKEN-BUDGET table a mixture plan starts from: per stratum,

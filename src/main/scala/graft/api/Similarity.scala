@@ -110,13 +110,49 @@ object Similarity {
     knnRankTopK(corpus, idCol, vecCol, cand, k)
   }
 
+  /** [[knnGraph]] with a PER-BUCKET OCCUPANCY CAP — the dense-bucket
+    * treatment that removes the Σocc² term from the candidate join
+    * (the round-12 watch item): each (table, bucket)'s NEIGHBOR-side
+    * membership keeps only its `cap` deterministic representatives
+    * (smallest md5(id), id tiebreak — both engines reproduce the
+    * selection), while the SOURCE side keeps every row, so every vector
+    * still gets candidates from all its buckets and only the supply of
+    * bucket-mates is bounded. A row beyond the cap in one bucket is
+    * still discoverable as a neighbor through its other `tables − 1`
+    * buckets (and through [[knnGraphRefine]]'s neighbor-of-neighbor
+    * expansion, which this pairs with).
+    *
+    * 100 TB shape: per-bucket join cost drops from occ² to occ · cap —
+    * total candidate volume ≤ tables · n · cap, LINEAR in the corpus at
+    * fixed cap (BENCH_SCALE measures the exponent; the fixed-bits
+    * quadratic term is gone by construction). cap (like bits) grows
+    * with log n in production to hold recall.
+    */
+  def knnGraphCapped(corpus: DataFrame, idCol: String, vecCol: String,
+                     k: Int, tables: Int = 4, bits: Int = 8, dim: Int = 64,
+                     cap: Int = 8): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1: $cap")
+    val planes = lshPlanes(tables, bits, dim)
+    val cb = corpus.select(col(idCol),
+      lshBuckets(col(vecCol), planes, tables, bits).as(Seq("tbl", "bkt")))
+    val wb = Window.partitionBy(col("tbl"), col("bkt"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val reps = cb.withColumn("__rn", row_number().over(wb))
+      .filter(col("__rn") <= cap)
+      .select(col(idCol).as("neighbor_id"), col("tbl"), col("bkt"))
+    val cand = cb.join(reps, Seq("tbl", "bkt"))
+      .filter(col(idCol) =!= col("neighbor_id"))
+      .select(col(idCol).as("src_id"), col("neighbor_id")).distinct()
+    knnRankTopK(corpus, idCol, vecCol, cand, k)
+  }
+
   /** The exact-cosine verify + per-source top-k tail shared by
     * [[knnGraph]] and [[knnGraphRefine]] (the Spark twin of the
     * oracles' shared `knnRankSql`): `cand(src_id, neighbor_id)` pairs
     * join each side's vector by id and rank per source — a rank
     * convention change lands in ONE place or the refine pair's
     * dominance property breaks its own test. */
-  private def knnRankTopK(corpus: DataFrame, idCol: String, vecCol: String,
+  private[graft] def knnRankTopK(corpus: DataFrame, idCol: String, vecCol: String,
                           cand: DataFrame, k: Int): DataFrame = {
     val e = withNorm(corpus, vecCol)
     val src = e.select(col(idCol).as("src_id"), col(vecCol).as("sv"),
@@ -150,9 +186,17 @@ object Similarity {
     * shape. */
   def knnGraphRefine(corpus: DataFrame, idCol: String, vecCol: String,
                      k: Int, tables: Int = 4, bits: Int = 8,
-                     dim: Int = 64): DataFrame = {
-    val base = knnGraph(corpus, idCol, vecCol, k, tables, bits, dim)
-      .select(col("src_id"), col("neighbor_id"))
+                     dim: Int = 64): DataFrame =
+    refineStep(corpus, idCol, vecCol, k,
+      knnGraph(corpus, idCol, vecCol, k, tables, bits, dim)
+        .select(col("src_id"), col("neighbor_id")))
+
+  /** One NN-Descent round over an arbitrary edge set: undirect, expand
+    * neighbor-of-neighbor, union the base edges, re-rank per source by
+    * exact cosine (the loop body shared by [[knnGraphRefine]] and
+    * [[knnGraphConverged]]). */
+  private[graft] def refineStep(corpus: DataFrame, idCol: String, vecCol: String,
+                         k: Int, base: DataFrame): DataFrame = {
     val und = base.union(base.select(col("neighbor_id").as("src_id"),
       col("src_id").as("neighbor_id")))
     val cand = und.select(col("src_id").as("a"), col("neighbor_id").as("b"))
@@ -164,16 +208,95 @@ object Similarity {
     knnRankTopK(corpus, idCol, vecCol, cand, k)
   }
 
+  /** NN-Descent iterated to CONVERGENCE (round-12 verdict item 4): the
+    * refine round repeats until the edge set reaches its fixpoint — no
+    * edge changed — with the same convergent-loop discipline as
+    * `Dedup.clusters` (driver holds only the per-round delta counter;
+    * each round's edges `localCheckpoint` so round N's plan never
+    * replays — or nests — rounds 1..N-1 (one refine body references its
+    * base edges five times, so an uncut lineage grows 5^N); LOUD
+    * failure if `maxIters` rounds don't converge, never a silent
+    * truncation). Because a fixpoint
+    * round is idempotent, the converged output equals ANY fixed
+    * unrolling of >= the convergence round — which is exactly what the
+    * generated oracle ([[knnGraphConvergedOracleSql]]) replays.
+    *
+    * 100 TB shape: each round is the [[knnGraphRefine]] body (candidate
+    * volume bounded by graph degree ~ n·k², never the corpus square);
+    * NN-Descent converges in a handful of rounds on real data (Dong et
+    * al. 2011 report 4-6 at billion scale), and the per-round delta
+    * count is the natural early-exit signal.
+    */
+  def knnGraphConverged(corpus: DataFrame, idCol: String, vecCol: String,
+                        k: Int, tables: Int = 4, bits: Int = 8,
+                        dim: Int = 64, maxIters: Int = 16): DataFrame = {
+    def und(e: DataFrame): DataFrame =
+      e.union(e.select(col("neighbor_id").as("src_id"),
+        col("src_id").as("neighbor_id")))
+    var edges = knnGraph(corpus, idCol, vecCol, k, tables, bits, dim)
+      .select(col("src_id"), col("neighbor_id")).localCheckpoint()
+    // Round 1 treats every edge as new — identical to the full NoN
+    // expansion (and to the oracle's unrolled round 1).
+    var fresh = edges
+    var it = 0
+    while (it < maxIters) {
+      // Dong et al.'s incremental rule, EXACT here: a candidate pair
+      // whose connecting hops are both OLD was already offered in an
+      // earlier round and lost to a per-source top-k that has only
+      // improved since (the ranked list is monotone under the
+      // (cos desc, id) order because the current edges are always in
+      // the candidate set), so it can never enter later — only pairs
+      // through at least one new edge need expanding. Late rounds cost
+      // O(delta · k), not O(n · k²).
+      val undAll = und(edges)
+      val undNew = und(fresh)
+      val non = undNew.select(col("src_id").as("a"), col("neighbor_id").as("b"))
+        .join(undAll.select(col("src_id").as("b"), col("neighbor_id").as("c")), "b")
+        .union(undAll.select(col("src_id").as("a"), col("neighbor_id").as("b"))
+          .join(undNew.select(col("src_id").as("b"), col("neighbor_id").as("c")), "b"))
+        .filter(col("a") =!= col("c"))
+        .select(col("a").as("src_id"), col("c").as("neighbor_id"))
+      val cand = non.union(edges).distinct()
+      val ranked = knnRankTopK(corpus, idCol, vecCol, cand, k)
+      val next = ranked.select(col("src_id"), col("neighbor_id")).localCheckpoint()
+      // ONE driver action per round beyond the checkpoint: the
+      // symmetric-difference size via a group-count over the union of
+      // the two (checkpointed, duplicate-free) edge sets.
+      val d = next.union(edges)
+        .groupBy(col("src_id"), col("neighbor_id")).count()
+        .filter(col("count") === 1).count()
+      // fixpoint: `ranked` plans over the CHECKPOINTED edges, so the
+      // returned frame re-runs one refine body, not the whole history
+      if (d == 0L) return ranked
+      // new edges stay a small lazy plan over the two checkpoints
+      fresh = next.except(edges)
+      edges = next
+      it += 1
+    }
+    throw new IllegalStateException(
+      s"knnGraphConverged: no fixpoint after $maxIters NN-Descent rounds " +
+        "— raise maxIters (and the oracle's unroll depth) rather than " +
+        "accepting a truncated graph")
+  }
+
   /** Shared CTE chain of the k-NN graph oracles: quantized vectors,
     * md5-derived plane literals, per-table buckets, and the bucket
-    * self-join candidate set (`cand(src_id, neighbor_id)`). */
-  private def knnCtesSql(tables: Int, bits: Int, dim: Int): String = {
+    * self-join candidate set (`cand(src_id, neighbor_id)`). With `cap`
+    * set, the neighbor side is restricted to each bucket's `cap`
+    * smallest-md5 representatives — [[knnGraphCapped]]'s selection. */
+  private def knnCtesSql(tables: Int, bits: Int, dim: Int,
+                         cap: Option[Int] = None): String = {
     val planes = lshPlanes(tables, bits, dim)
     val rows = (0 until tables).flatMap { t =>
       (0 until bits).map { j =>
         s"(${t}, ${j}, [${planes(t * bits + j).mkString(",")}]::BIGINT[])"
       }
     }.mkString(",\n")
+    val nbrSide = cap.fold("bk c")(c =>
+      s"""(SELECT vec_id, tbl, bkt FROM (
+         |    SELECT vec_id, tbl, bkt, row_number() OVER (PARTITION BY tbl, bkt
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM bk)
+         |   WHERE rn <= ${c}) c""".stripMargin)
     s"""e AS (
        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
        |    sqrt(list_aggregate(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum')) AS nrm,
@@ -187,8 +310,56 @@ object Similarity {
        |  FROM e CROSS JOIN planes GROUP BY vec_id, tbl),
        |cand AS (
        |  SELECT DISTINCT s.vec_id AS src_id, c.vec_id AS neighbor_id
-       |  FROM bk s JOIN bk c ON c.tbl = s.tbl AND c.bkt = s.bkt
+       |  FROM bk s JOIN ${nbrSide} ON c.tbl = s.tbl AND c.bkt = s.bkt
        |                     AND c.vec_id != s.vec_id)""".stripMargin
+  }
+
+  /** The DuckDB replay of [[knnGraphCapped]] — the base-graph oracle
+    * with the capped neighbor side spliced into the candidate CTE. */
+  def knnGraphCappedOracleSql(k: Int, tables: Int = 4, bits: Int = 8,
+                              dim: Int = 64, cap: Int = 8): String =
+    s"""WITH ${knnCtesSql(tables, bits, dim, Some(cap))}
+       |${knnRankSql(k, "cand")}""".stripMargin
+
+  /** The DuckDB replay of [[knnGraphConverged]]: `rounds` NN-Descent
+    * rounds UNROLLED into chained CTEs (b0 = the base graph's edges,
+    * then undirect → expand → re-rank per round). Valid whenever the
+    * Spark side's fixpoint lands at or before `rounds` — a fixpoint
+    * round is idempotent, so deeper unrolls replay the same edge set
+    * (the same argument [[pqTrainedOracleSql]] makes for its fixed
+    * Lloyd unroll). */
+  def knnGraphConvergedOracleSql(k: Int, tables: Int = 4, bits: Int = 8,
+                                 dim: Int = 64, rounds: Int = 3): String = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    // Every round CTE is MATERIALIZED: each references its predecessor
+    // three times, so default inlining copies the base scan 3^rounds
+    // times — at 8 rounds that exhausts file handles before it
+    // exhausts patience. Materialization evaluates each round once
+    // (exactly like the Spark side's localCheckpoint).
+    def rankEdges(name: String, from: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT src_id, neighbor_id FROM (
+         |    SELECT cd.src_id, cd.neighbor_id,
+         |      CAST(row_number() OVER (PARTITION BY cd.src_id ORDER BY
+         |        list_aggregate(list_transform(list_zip(s.v, c.v), x -> x[1] * x[2]), 'sum')
+         |          / (s.nrm * c.nrm) DESC, cd.neighbor_id) AS INTEGER) AS rnk
+         |    FROM $from cd JOIN e s ON s.vec_id = cd.src_id
+         |                 JOIN e c ON c.vec_id = cd.neighbor_id
+         |  ) WHERE rnk <= ${k})""".stripMargin
+    def expand(i: Int): String =
+      s"""u$i AS MATERIALIZED (SELECT src_id, neighbor_id FROM b${i - 1}
+         |        UNION SELECT neighbor_id, src_id FROM b${i - 1}),
+         |c$i AS MATERIALIZED (
+         |  SELECT DISTINCT u1.src_id, u2.neighbor_id
+         |  FROM u$i u1 JOIN u$i u2 ON u1.neighbor_id = u2.src_id
+         |                         AND u1.src_id != u2.neighbor_id
+         |  UNION SELECT src_id, neighbor_id FROM b${i - 1})""".stripMargin
+    val chain = (rankEdges("b0", "cand") +:
+      (1 until rounds).flatMap(i => Seq(expand(i), rankEdges(s"b$i", s"c$i")))
+      :+ expand(rounds)).mkString(",\n")
+    s"""WITH ${knnCtesSql(tables, bits, dim)},
+       |$chain
+       |${knnRankSql(k, s"c$rounds")}""".stripMargin
   }
 
   /** Rank-and-emit tail shared by the k-NN graph oracles: exact cosine

@@ -104,35 +104,125 @@ object Sinks {
     * 2^bits + 1` (for span = k·n + r, r < n: width = k+1 and
     * span div (k+1) = (kn+r) div (k+1) <= n-1, so the bucket never
     * reaches `2^bits` and no clamp is needed; crucially there is NO
-    * `span * 2^bits` multiply, so a full-Long-range dimension — e.g.
-    * epoch micros — cannot overflow, where a multiply-then-divide
-    * formulation would wrap in Spark and raise in DuckDB). The
+    * `span * 2^bits` multiply, the overflow source a
+    * multiply-then-divide formulation would add). PRECONDITION: each
+    * dimension's value span `max - min` must itself fit a signed Long
+    * (< 2^63) — the raw subtractions `x - min` / `max - min` wrap past
+    * that, silently corrupting bucket assignment. That holds for every
+    * realistic clustering dimension (ids, cents, epoch micros all live
+    * far inside one sign's half-range); a dimension mixing values near
+    * both Long extremes must be range-reduced by the caller first. The
     * interleave is shifts/ands — the whole table replays bit-exactly
     * in DuckDB. Scale shape: one broadcast min/max agg + one hash
     * aggregation keyed by the 2^(2*bits)-cell z value; the actual
     * rewrite this plan drives is a `repartitionByRange(z)` write,
     * never a global sort of the data here. */
   def zorderPlan(df: DataFrame, xCol: Column, yCol: Column,
-                 bits: Int): DataFrame = {
-    require(bits >= 1 && bits <= 16, s"bits must be in [1,16]: $bits")
-    val n = 1L << bits
-    val d = df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))
-    val mm = d.agg(min(col("x")).as("mnx"), max(col("x")).as("mxx"),
-      min(col("y")).as("mny"), max(col("y")).as("mxy"))
-    val b = d.crossJoin(broadcast(mm))
-      .withColumn("bx",
-        expr(s"CAST((x - mnx) DIV ((mxx - mnx) DIV $n + 1) AS BIGINT)"))
-      .withColumn("by",
-        expr(s"CAST((y - mny) DIV ((mxy - mny) DIV $n + 1) AS BIGINT)"))
-    val z = (0 until bits).map { i =>
-      shiftleft(shiftright(col("bx"), i).bitwiseAND(lit(1L)), 2 * i + 1) +
-        shiftleft(shiftright(col("by"), i).bitwiseAND(lit(1L)), 2 * i)
-    }.reduce(_ + _)
-    b.withColumn("z", z)
+                 bits: Int): DataFrame =
+    withZ(df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y")),
+        col("x"), col("y"), bits)
       .groupBy(col("z"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("x")).as("min_x"), max(col("x")).as("max_x"),
         min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+
+  /** The z-cell assignment shared by [[zorderPlan]] and [[zorderWrite]]:
+    * appends `__zx`/`__zy` (the cast dimensions) and the Morton key `z`
+    * to `df`'s rows — same overflow-free integer bucketing and shift/and
+    * interleave, so the plan and the write can never disagree on a
+    * row's cell. */
+  private def withZ(df: DataFrame, xCol: Column, yCol: Column,
+                    bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 16, s"bits must be in [1,16]: $bits")
+    val n = 1L << bits
+    val d = df.withColumn("__zx", xCol.cast("long"))
+      .withColumn("__zy", yCol.cast("long"))
+    val mm = d.agg(min(col("__zx")).as("__mnx"), max(col("__zx")).as("__mxx"),
+      min(col("__zy")).as("__mny"), max(col("__zy")).as("__mxy"))
+    val b = d.crossJoin(broadcast(mm))
+      .withColumn("__bx",
+        expr(s"CAST((__zx - __mnx) DIV ((__mxx - __mnx) DIV $n + 1) AS BIGINT)"))
+      .withColumn("__by",
+        expr(s"CAST((__zy - __mny) DIV ((__mxy - __mny) DIV $n + 1) AS BIGINT)"))
+    val z = (0 until bits).map { i =>
+      shiftleft(shiftright(col("__bx"), i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(col("__by"), i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _)
+    b.withColumn("z", z)
+      .drop("__mnx", "__mxx", "__mny", "__mxy", "__bx", "__by")
+  }
+
+  /** EXECUTE the z-order layout end-to-end (the write [[zorderPlan]]
+    * plans, round-12 verdict item 6): assign every row its Morton cell,
+    * PACK cells (in z order) into files of ~`targetRows` rows with the
+    * [[compactPlan]] cumulative arithmetic, physically write one
+    * parquet file per planned file (`repartition(zfile)` +
+    * `partitionBy(zfile)` — every zfile's rows land in exactly one
+    * task, so each directory holds exactly one part-file), then read
+    * the directory back and return the PER-FILE statistics table
+    * (zfile, n_rows, min/max per dimension) — the column min/max a
+    * footer-consulting reader's file-skip actually sees (ApiSpec
+    * additionally re-reads the raw parquet FOOTERS and pins them equal
+    * to this table, and that both range predicates prune files there).
+    *
+    * Determinism: cell assignment is [[withZ]]'s integer arithmetic;
+    * the cell→file packing is a better-count broadcast join over the
+    * ≤ 2^(2·bits) plan rows (cum_before DIV targetRows — no window, no
+    * global sort); the row payload written is immaterial to the
+    * returned stats. Scale shape: one broadcast min/max agg, one
+    * metadata-sized packing join, ONE data shuffle (the repartition by
+    * zfile — exactly the `repartitionByRange`-style clustered rewrite a
+    * lakehouse OPTIMIZE runs), and a scan of the written files for the
+    * stats read-back.
+    */
+  def zorderWrite(df: DataFrame, xCol: Column, yCol: Column, bits: Int,
+                  targetRows: Long, path: String): DataFrame = {
+    require(targetRows > 0, s"targetRows must be positive: $targetRows")
+    val spark = df.sparkSession
+    val zd = withZ(df, xCol, yCol, bits)
+    val plan = zd.groupBy(col("z")).agg(count(lit(1)).as("n_rows"))
+    val files = plan.as("a")
+      .join(broadcast(plan.as("b")), col("b.z") < col("a.z"), "left_outer")
+      .groupBy(col("a.z").as("z"))
+      .agg(coalesce(sum(col("b.n_rows")), lit(0L)).as("cum_before"))
+      .withColumn("zfile", expr(s"CAST(cum_before DIV $targetRows AS BIGINT)"))
+      .select("z", "zfile")
+    zd.join(broadcast(files), "z")
+      .repartition(col("zfile"))
+      .write.mode("overwrite").partitionBy("zfile").parquet(path)
+    spark.read.parquet(path)
+      .groupBy(col("zfile").cast("long").as("zfile"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("__zx")).as("min_x"), max(col("__zx")).as("max_x"),
+        min(col("__zy")).as("min_y"), max(col("__zy")).as("max_y"))
+  }
+
+  /** The DuckDB replay of [[zorderWrite]]'s returned stats table: the
+    * same cell assignment, the same better-count packing, the same
+    * per-file aggregation — written-layout statistics predicted purely
+    * from the data. */
+  def zorderWriteOracleSql(table: String, xSql: String, ySql: String,
+                           bits: Int, targetRows: Long): String = {
+    val n = 1L << bits
+    val z = (0 until bits).map(i =>
+      s"(((bx >> $i) & 1) << ${2 * i + 1}) + (((b_y >> $i) & 1) << ${2 * i})")
+      .mkString(" + ")
+    s"""WITH d AS (SELECT CAST($xSql AS BIGINT) AS x,
+       |                  CAST($ySql AS BIGINT) AS y FROM $table),
+       |mm AS (SELECT min(x) AS mnx, max(x) AS mxx,
+       |              min(y) AS mny, max(y) AS mxy FROM d),
+       |b AS (SELECT x, y,
+       |        CAST((x - mnx) // ((mxx - mnx) // $n + 1) AS BIGINT) AS bx,
+       |        CAST((y - mny) // ((mxy - mny) // $n + 1) AS BIGINT) AS b_y
+       |      FROM d CROSS JOIN mm),
+       |zz AS (SELECT CAST($z AS BIGINT) AS z, x, y FROM b),
+       |plan AS (SELECT z, count(*) AS n_rows FROM zz GROUP BY z),
+       |cum AS (SELECT a.z, CAST(coalesce(sum(c.n_rows), 0) AS BIGINT) AS cum_before
+       |        FROM plan a LEFT JOIN plan c ON c.z < a.z GROUP BY a.z),
+       |f AS (SELECT z, CAST(cum_before // $targetRows AS BIGINT) AS zfile FROM cum)
+       |SELECT f.zfile, count(*) AS n_rows,
+       |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+       |FROM zz JOIN f USING (z) GROUP BY f.zfile ORDER BY zfile""".stripMargin
   }
 
   /** File-skip EFFECTIVENESS of a [[zorderPlan]] layout: for one range

@@ -197,6 +197,15 @@ object Pipeline {
           size(split(coalesce(col("text"), lit("")), " ")), 200)
         .orderBy(desc("priority"), col("doc_id"))),
 
+    // Per-stratum Efraimidis–Spirakis draw (40 token-mass-weighted docs
+    // PER LANGUAGE — the sampling sibling of corpus_mix's budget fill):
+    // one stratum-keyed shuffle + partitioned rank window, replayable
+    // bit-for-bit (Sampling.weightedStratified).
+    "sample_weighted_stratified" -> ((s, d) =>
+      Sampling.weightedStratified(Tables.documents(s, d), "doc_id",
+          Seq("lang"), size(split(coalesce(col("text"), lit("")), " ")), 40)
+        .orderBy(col("lang"), col("rn"))),
+
     // Training-mix construction: per language, best-quality docs first
     // until a 3000-token budget fills.
     // The mixture-planning TOKEN BUDGET: per (lang, source) stratum,
@@ -567,6 +576,33 @@ object Pipeline {
           Det.round4(col("cos")).as("cos"))
         .orderBy("src_id", "rnk")),
 
+    // The dense-bucket treatment (round-12 watch item): per-(table,
+    // bucket) neighbor-side membership capped at 16 deterministic
+    // md5-selected representatives — candidate volume tables·n·cap,
+    // LINEAR in the corpus at fixed cap, the Σocc² term gone by
+    // construction (Similarity.knnGraphCapped; BENCH_SCALE measures
+    // the exponent drop).
+    "sim_knn_graph_capped" -> ((s, d) =>
+      Similarity.knnGraphCapped(Tables.embeddings(s, d), "vec_id",
+          "embedding", 5, tables = 8, bits = 6, cap = 16)
+        .select(col("src_id"), col("rnk"), col("neighbor_id"),
+          Det.round4(col("cos")).as("cos"))
+        .orderBy("src_id", "rnk")),
+
+    // NN-Descent to its FIXPOINT (dedup_clusters' convergent-loop
+    // discipline: per-round edge-delta counters on the driver, loud
+    // failure if maxIters rounds don't converge; Dong et al.'s
+    // new-edges-only expansion keeps late rounds O(delta·k)). The
+    // oracle unrolls 8 rounds (the fixture's measured fixpoint) —
+    // idempotence past the fixpoint makes any >= convergence unroll
+    // replay the converged edges (Similarity.knnGraphConverged).
+    "sim_knn_graph_converged" -> ((s, d) =>
+      Similarity.knnGraphConverged(Tables.embeddings(s, d), "vec_id",
+          "embedding", 5, tables = 8, bits = 6)
+        .select(col("src_id"), col("rnk"), col("neighbor_id"),
+          Det.round4(col("cos")).as("cos"))
+        .orderBy("src_id", "rnk")),
+
     // Product-quantization ANN (IVFADC's ADC half): corpus vectors
     // encode to 8 centroid indices against md5-derived integer
     // codebooks (deterministic stand-ins for k-means output — the
@@ -732,6 +768,22 @@ object Pipeline {
             floor(coalesce(col("value"), lit(0.0)) * 100 + lit(0.5)), bits = 4),
           xLo = 0L, xHi = 3L, yLo = 0L, yHi = 2000L)
         .orderBy("dim")),
+
+    // Z-order WRITE end-to-end (round-12 item 6): physically rewrite
+    // events into Morton-packed parquet files (~1024 rows each, one
+    // file per planned zfile) and return the per-FILE min/max stats
+    // read back from the written layout — the footer statistics the
+    // plan table predicts (Sinks.zorderWrite; ApiSpec pins the raw
+    // footers equal to this table and that BOTH range predicates prune
+    // files there). The oracle predicts the same table purely from the
+    // data — layout, packing, and stats all integer-deterministic.
+    "event_zorder_write" -> ((s, d) =>
+      graft.api.Sinks.zorderWrite(Tables.events(s, d), col("user_id"),
+          floor(coalesce(col("value"), lit(0.0)) * 100 + lit(0.5)), bits = 4,
+          targetRows = 1024L,
+          path = "/tmp/graft_zorder_write_" +
+            d.replaceAll("[^A-Za-z0-9]", "_"))
+        .orderBy("zfile")),
 
     // Bigram LM self-scoring (the CCNet-style quality filter): docs with
     // improbable token sequences under the corpus's own bigram model
@@ -1377,6 +1429,26 @@ object Pipeline {
         |SELECT doc_id, weight, priority FROM p
         |ORDER BY priority DESC, doc_id LIMIT 200""".stripMargin,
 
+    // stratified weighted-sample replay: identical A-ES priority chain,
+    // rank PARTITIONED BY the stratum, k per stratum.
+    "sample_weighted_stratified" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS weight,
+        |    (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |        AS BIGINT) + 1.0) / 1152921504606846976.0 AS u
+        |  FROM documents),
+        |p AS (SELECT lang, doc_id, weight,
+        |        floor(pow(u, 1.0 / weight) * 100000000 + 0.5) / 100000000
+        |          AS priority
+        |      FROM t WHERE weight >= 1),
+        |r AS (SELECT lang, doc_id, weight, priority,
+        |        CAST(row_number() OVER (PARTITION BY lang
+        |          ORDER BY priority DESC, doc_id) AS INTEGER) AS rn
+        |      FROM p)
+        |SELECT lang, rn, doc_id, weight, priority FROM r
+        |WHERE rn <= 40 ORDER BY lang, rn""".stripMargin,
+
     // token-budget replay: same aggregation, same better-count
     // cumulative rank (big strata first, lexicographic tiebreak), same
     // exact-long divisions under the round4 guard.
@@ -1621,6 +1693,10 @@ object Pipeline {
     "sim_knn_graph" -> Similarity.knnGraphOracleSql(5, tables = 8, bits = 6),
     "sim_knn_graph_refine" ->
       Similarity.knnGraphRefineOracleSql(5, tables = 8, bits = 6),
+    "sim_knn_graph_capped" ->
+      Similarity.knnGraphCappedOracleSql(5, tables = 8, bits = 6, cap = 16),
+    "sim_knn_graph_converged" ->
+      Similarity.knnGraphConvergedOracleSql(5, tables = 8, bits = 6, rounds = 8),
     "sim_lsh_bucketed" -> Similarity.lshTopKOracleSql(5, tables = 8, bits = 6,
       probeIdBound = LshProbeBound),
 
@@ -1811,6 +1887,9 @@ object Pipeline {
     "event_zorder_prune" -> graft.api.Sinks.zorderPruneOracleSql("events",
       "user_id", "floor(coalesce(value, 0) * 100 + 0.5)", bits = 4,
       xLo = 0L, xHi = 3L, yLo = 0L, yHi = 2000L),
+    "event_zorder_write" -> graft.api.Sinks.zorderWriteOracleSql("events",
+      "user_id", "floor(coalesce(value, 0) * 100 + 0.5)", bits = 4,
+      targetRows = 1024L),
 
     "corpus_compact_plan" ->
       """SELECT source, lang,

@@ -468,6 +468,30 @@ object Relational {
           "c_custkey", "c_name")
         .orderBy("id_a", "id_b")),
 
+    // Edit distance <= 2 via the full SymSpell scheme (delete up to 2
+    // chars per side; O(len^2/2) 8-byte variant keys per string) — the
+    // oracle is INDEPENDENT brute-force levenshtein over the
+    // length-compatible pairs, so the whole candidate scheme is checked
+    // against ground truth, not replayed. Supplier names keep the
+    // candidate volume proportional to the demo (d=2 neighborhoods on
+    // ID-like strings are dense by construction).
+    "join_fuzzy_edit2" -> ((s, d) =>
+      graft.api.Joins.fuzzyEditJoin(Tables.supplier(s, d),
+          "s_suppkey", "s_name", maxDist = 2)
+        .orderBy("id_a", "id_b")),
+
+    // A-vs-B catalog resolution (match new entities against a reference
+    // catalog): even customer keys resolve against the odd-key catalog
+    // at distance <= 1. Same md5-prefix candidate shuffle; no self-pair
+    // ordering — every (left, catalog) match emits. Brute-force oracle.
+    "join_fuzzy_edit_ab" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      graft.api.Joins.fuzzyEditJoinAB(
+          c.filter(col("c_custkey") % 2 === 0), "c_custkey", "c_name",
+          c.filter(col("c_custkey") % 2 === 1), "c_custkey", "c_name")
+        .orderBy("id_a", "id_b")
+    }),
+
     "join_lateral" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("orders_v")
       Tables.customer(s, d).createOrReplaceTempView("customer_v")
@@ -786,6 +810,28 @@ object Relational {
     // deletion-variant replay: identical variant generation (identity +
     // one deletion per position, per-string distinct), the same variant
     // equi-join and exact levenshtein verify.
+    // Independent ground truth for the d=2 SymSpell scheme: brute-force
+    // levenshtein over length-compatible supplier-name pairs (100 rows
+    // at sf0.01 — the quadratic oracle is cheap; the ENGINE never runs
+    // it).
+    "join_fuzzy_edit2" ->
+      """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+        |       CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS dist
+        |FROM supplier a JOIN supplier b
+        |  ON a.s_suppkey < b.s_suppkey
+        | AND abs(length(a.s_name) - length(b.s_name)) <= 2
+        |WHERE levenshtein(a.s_name, b.s_name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "join_fuzzy_edit_ab" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey % 2 = 0 AND b.c_custkey % 2 = 1
+        | AND abs(length(a.c_name) - length(b.c_name)) <= 1
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "join_fuzzy_edit" ->
       """WITH v AS (
         |  SELECT c_custkey AS id, c_name AS s,

@@ -353,6 +353,29 @@ object Streaming {
         .orderBy("user_id", "start_id")
     }),
 
+    // ITERATIVE conditions on the seal-aware streaming route (round-12
+    // verdict item 1 — lifts the round-11 exclusion for the bounded
+    // class): event_cep_iterative's purchase-anchor / first-higher-
+    // successor pattern through StreamOps.cepPatternIterStream —
+    // complete first-qualifying resolutions are arrival-fixed (the
+    // sealed-membership precondition the exclusion cited), pending
+    // anchors fail at the WITHIN horizon. Batch replay here shares the
+    // independent row_number-first-successor oracle; the cross-batch
+    // seal behavior (anchor and qualifying successor in different
+    // batches) is pinned in StreamingSpec.
+    "stream_cep_iter" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[Ev]
+      StreamOps.cepPatternIterStream(ev, Analytic.CepPatterns.iter,
+          Analytic.CepPatterns.iterConds, streaming = false)
+        .toDF()
+        .orderBy("user_id", "start_id")
+    }),
+
     // Bounded ALTERNATION on the seal-aware stateful matcher (round-12
     // item 2): the SAME clause text as event_cep_alt — branches
     // expanded at parse, probed per anchor in declaration order, a
@@ -685,6 +708,9 @@ object Streaming {
     // streaming MEASURES expressions = the batch closed-form oracle
     "stream_cep_sql_expr" -> Analytic.oracles("event_cep_sql_expr"),
     "stream_cep_alt" -> Analytic.oracles("event_cep_alt"),
+    // iterative-condition batch replay = the independent first-higher-
+    // successor oracle shared with event_cep_iterative
+    "stream_cep_iter" -> Analytic.oracles("event_cep_iterative"),
     "stream_cep_permute" -> Analytic.oracles("event_cep_sql_permute"),
     "stream_dedup_minhash" -> graft.api.Dedup.minhashIncrementalOracleSql(0.7),
     "stream_cep_exclude" -> Analytic.oracles("event_cep_sql_exclude"),

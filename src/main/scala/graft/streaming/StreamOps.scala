@@ -1961,15 +1961,14 @@ object StreamOps extends Serializable {
     * Batch surface (the oracle-gated one). Iterative conditions are
     * deliberately NOT compiled (the run table a gaps-and-islands plan
     * aligns on is condition-independent — a match-relative predicate
-    * has no run decomposition) and not offered under incremental
-    * streaming emission (the seal-aware scan's pending analysis assumes
-    * a row's step membership is fixed at arrival; under an iterative
-    * condition it depends on the attempt, so sealing would need
-    * per-anchor speculative evaluation — the same reason Flink's CEP
-    * keeps full NFA buffers for these). Documented like the
-    * relaxed+PAST-LAST-ROW compile exclusion; context-FREE predicates
-    * stream fine via the derived-symbol route (Cep.compileWhere's CASE
-    * + cepPattern).
+    * has no run decomposition). Incremental streaming emission exists
+    * for the bounded {1,1}-step relaxed TO-NEXT-ROW class via
+    * [[cepPatternIterStream]] (first-qualifying resolutions are
+    * arrival-fixed — see its seal argument); general quantifiers under
+    * iterative conditions would need per-anchor speculative evaluation
+    * (the reason Flink's CEP keeps full NFA buffers for these) and run
+    * the batch replay. Context-FREE predicates stream fine via the
+    * derived-symbol route (Cep.compileWhere's CASE + cepPattern).
     */
   def cepPatternIter(ev: Dataset[Ev], pattern: CepPattern,
                      conds: IndexedSeq[(Ev, IndexedSeq[Seq[Ev]]) => Boolean]): Dataset[CepPatMatch] = {
@@ -1981,6 +1980,87 @@ object StreamOps extends Serializable {
           CepPatMatch(user, evs(m.startIdx).event_id, evs(m.startIdx).ts,
             evs(m.endIdx).event_id, evs(m.endIdx).ts,
             m.nRows.toLong, m.stepCounts.mkString(","))
+        }
+    }
+  }
+
+  /** ITERATIVE conditions under seal-aware INCREMENTAL streaming
+    * emission (round-12 verdict item 1 — lifts the round-11 exclusion
+    * for the bounded class): relaxed-contiguity patterns whose steps
+    * are all `{1,1}` and non-negated, under AFTER MATCH SKIP TO NEXT
+    * ROW. In that class every anchor's resolution takes the FIRST
+    * qualifying row per step in (ts, id) order, so under the fleet's
+    * documented in-order arrival stance ([[cepPattern]]) a COMPLETE
+    * resolution is ARRIVAL-FIXED the moment its last row arrives —
+    * later rows sort after every consumed row and can never displace a
+    * first-qualifying choice. That is exactly the sealed-membership
+    * precondition the exclusion note cited, so each batch simply
+    * RE-WALKS the retained buffer with the batch matcher
+    * ([[graft.api.Cep.matchSequenceIter]] — the same re-walk-at-
+    * emission trick [[cepMeasuresStream]] uses on its sealed spans) and
+    * classifies anchors: a complete resolution is sealed; an anchor
+    * with no complete resolution is PENDING until the newest event
+    * passes its WITHIN horizon (any future completion would end later
+    * still and violate WITHIN — [[sealedScan]]'s early-fail rule);
+    * without WITHIN an unresolved anchor waits unboundedly, as any CEP
+    * engine must. Matches emit only once every earlier anchor is
+    * resolved (the [[sealedScan]] discipline), and state retains the
+    * buffer from the first pending anchor — everything a pending
+    * anchor can still consume lies at or after it, so no dropped row
+    * is ever needed again and no match can emit twice across batches.
+    * State is bounded by the WITHIN horizon's row count per key.
+    *
+    * Batch replay (streaming = false) is [[cepPatternIter]] — pinned by
+    * the independent first-qualifying-successor oracle.
+    */
+  def cepPatternIterStream(ev: Dataset[Ev], pattern: CepPattern,
+      conds: IndexedSeq[(Ev, IndexedSeq[Seq[Ev]]) => Boolean],
+      streaming: Boolean): Dataset[CepPatMatch] = {
+    import ev.sparkSession.implicits._
+    if (!streaming) cepPatternIter(ev, pattern, conds)
+    else {
+      require(!pattern.strict && !pattern.anyMatch &&
+        pattern.skip == SkipToNextRow &&
+        pattern.steps.forall(s => !s.negated && s.minRep == 1 &&
+          s.maxRep.contains(1)),
+        "the seal-aware iterative route covers relaxed {1,1}-step " +
+          "SKIP TO NEXT ROW patterns (first-qualifying resolutions are " +
+          "arrival-fixed); other shapes run the batch replay " +
+          "(streaming = false) or a context-free compileWhere rewrite")
+      val emptyCtx: IndexedSeq[Seq[Ev]] =
+        IndexedSeq.fill(pattern.steps.size)(Seq.empty)
+      ev.groupByKey(_.user_id)
+        .flatMapGroupsWithState[CepValState, CepPatMatch](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (user: Long, events: Iterator[Ev], state: GroupState[CepValState]) =>
+            val buf0: Seq[Ev] = state.getOption.map(s => s.ids.indices.map(i =>
+                Ev(s.ids(i), microsTs(s.ts(i)), user, s.syms(i), s.vals(i))))
+              .getOrElse(Seq.empty)
+            val evs = (buf0 ++ events).toIndexedSeq
+              .sortBy(e => (tsMicros(e.ts), e.event_id))
+            val n = evs.size
+            val maxTs = if (n == 0) Long.MinValue else tsMicros(evs(n - 1).ts)
+            val matches = Cep.matchSequenceIter[Ev](evs, e => tsMicros(e.ts),
+              pattern, conds)
+            val resolvedAnchor = matches.map(_.startIdx).toSet
+            // first PENDING anchor: satisfies the anchor condition, has
+            // no complete resolution, and its WITHIN horizon is open
+            // (a completed-but-WITHIN-violating chain implies the
+            // horizon already passed, so it classifies as sealed-fail)
+            val resume = (0 until n).find { i =>
+              !resolvedAnchor(i) && conds(0)(evs(i), emptyCtx) &&
+                pattern.withinUs.forall(w => maxTs - tsMicros(evs(i).ts) <= w)
+            }.getOrElse(n)
+            val keep = evs.drop(resume)
+            if (keep.isEmpty) state.remove()
+            else state.update(CepValState(keep.map(_.event_type),
+              keep.map(e => tsMicros(e.ts)), keep.map(_.event_id),
+              keep.map(_.value)))
+            matches.iterator.filter(_.startIdx < resume).map { m =>
+              CepPatMatch(user, evs(m.startIdx).event_id, evs(m.startIdx).ts,
+                evs(m.endIdx).event_id, evs(m.endIdx).ts,
+                m.nRows.toLong, m.stepCounts.mkString(","))
+            }
         }
     }
   }

@@ -296,6 +296,70 @@ class ApiSpec extends SparkSuite {
     assert(total == ev.count()); assert(zmax < 256 && cells > 1)
   }
 
+  test("Sinks.zorderWrite: one file per zfile, raw footers equal the stats table, both predicates prune files") {
+    val sp = spark
+    import sp.implicits._
+    val dir = Files.createTempDirectory("graft_zw").toString
+    val ev = Tables.events(spark, sf001)
+    val stats = Sinks.zorderWrite(ev, col("user_id"),
+        org.apache.spark.sql.functions.floor(
+          org.apache.spark.sql.functions.coalesce(col("value"),
+            org.apache.spark.sql.functions.lit(0.0)) * 100 +
+            org.apache.spark.sql.functions.lit(0.5)),
+        bits = 4, targetRows = 64L, path = dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(stats.size > 4, s"want a multi-file layout, got ${stats.size}")
+    // exactly one physical part-file per planned zfile
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("zfile=")).sortBy(_.getName)
+    assert(dirs.length == stats.size)
+    val files = dirs.map { d =>
+      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1, s"${d.getName}: ${parts.length} part files")
+      d.getName.stripPrefix("zfile=").toLong -> parts.head
+    }
+    // the RAW parquet footers (what a reader's file-skip consults) carry
+    // exactly the min/max the returned stats table claims
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    for ((zf, f) <- files) {
+      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      var rows = 0L
+      var mnx = Long.MaxValue; var mny = Long.MaxValue
+      var mxx = Long.MinValue; var mxy = Long.MinValue
+      rd.getFooter.getBlocks.forEach { blk =>
+        rows += blk.getRowCount
+        blk.getColumns.forEach { c =>
+          def lo = c.getStatistics.genericGetMin.asInstanceOf[java.lang.Long].longValue()
+          def hi = c.getStatistics.genericGetMax.asInstanceOf[java.lang.Long].longValue()
+          c.getPath.toDotString match {
+            case "__zx" => mnx = mnx min lo; mxx = mxx max hi
+            case "__zy" => mny = mny min lo; mxy = mxy max hi
+            case _ =>
+          }
+        }
+      }
+      rd.close()
+      assert((rows, mnx, mxx, mny, mxy) == stats(zf),
+        s"zfile=$zf: footer ($rows,$mnx,$mxx,$mny,$mxy) != table ${stats(zf)}")
+    }
+    // both range predicates prune FILES on the footer stats (the z-order
+    // win a single-column sort can't give the second dimension)
+    val xScan = stats.values.count { case (_, mnx, mxx, _, _) => !(mxx < 0L || mnx > 3L) }
+    val yScan = stats.values.count { case (_, _, _, mny, mxy) => !(mxy < 0L || mny > 2000L) }
+    info(s"files: ${stats.size}, x-predicate scans $xScan, y-predicate scans $yScan")
+    assert(xScan < stats.size, "x predicate pruned nothing")
+    assert(yScan < stats.size, "y predicate pruned nothing")
+    // soundness: every row matching each predicate lives in a scanned file
+    val xHit = ev.filter(col("user_id").between(0, 3)).count()
+    val xCovered = stats.values.collect {
+      case (n, mnx, mxx, _, _) if !(mxx < 0L || mnx > 3L) => n }.sum
+    assert(xCovered >= xHit)
+  }
+
   test("dynamic partition pruning fires on a partitioned fact x filtered dim join") {
     val dir = Files.createTempDirectory("graft_dpp").toString
     // fact partitioned by event_type (stands in for a date-partitioned

@@ -627,6 +627,16 @@ object GraftProps extends Properties("graft") {
     Gen.choose(0, 5).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
 
+  /** Reference Levenshtein DP for the fuzzy-join ground truths. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0 }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
   property("fuzzy edit join equals brute-force levenshtein<=1 on random strings") =
     forAll(fuzzyDocsGen) { strs =>
       val sp = spark
@@ -635,17 +645,40 @@ object GraftProps extends Properties("graft") {
       val df = docs.toDF("id", "s")
       val got = graft.api.Joins.fuzzyEditJoin(df, "id", "s")
         .as[(Long, Long, Int)].collect().toSet
-      def lev(a: String, b: String): Int = {
-        val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
-          if (i == 0) j else if (j == 0) i else 0 }
-        for (i <- 1 to a.length; j <- 1 to b.length)
-          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
-            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
-        d(a.length)(b.length)
-      }
       val want = (for {
         (ia, sa) <- docs; (ib, sb) <- docs
         if ia < ib && lev(sa, sb) <= 1
+      } yield (ia, ib, lev(sa, sb))).toSet
+      got == want
+    }
+
+  property("fuzzy edit join (d=2) equals brute-force levenshtein<=2 on random strings") =
+    forAll(fuzzyDocsGen) { strs =>
+      val sp = spark
+      import sp.implicits._
+      val docs = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val df = docs.toDF("id", "s")
+      val got = graft.api.Joins.fuzzyEditJoin(df, "id", "s", maxDist = 2)
+        .as[(Long, Long, Int)].collect().toSet
+      val want = (for {
+        (ia, sa) <- docs; (ib, sb) <- docs
+        if ia < ib && lev(sa, sb) <= 2
+      } yield (ia, ib, lev(sa, sb))).toSet
+      got == want
+    }
+
+  property("fuzzy A-vs-B join equals brute-force cross-side levenshtein<=1") =
+    forAll(fuzzyDocsGen) { strs =>
+      val sp = spark
+      import sp.implicits._
+      val docs = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val (l, r) = docs.partition(_._1 % 2 == 0)
+      val got = graft.api.Joins.fuzzyEditJoinAB(
+          l.toDF("id", "s"), "id", "s", r.toDF("id", "s"), "id", "s")
+        .as[(Long, Long, Int)].collect().toSet
+      val want = (for {
+        (ia, sa) <- l; (ib, sb) <- r
+        if lev(sa, sb) <= 1
       } yield (ia, ib, lev(sa, sb))).toSet
       got == want
     }
@@ -677,5 +710,62 @@ object GraftProps extends Properties("graft") {
       val want = rows.map { case (id, w) => (id, w, key(id, w)) }
         .sortBy { case (id, _, p) => (-p, id) }.take(k)
       got == want
+    }
+
+  /** The A-ES priority replayed locally (shared by the weighted-sample
+    * properties). */
+  private def aesKey(id: Long, w: Long): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    val u = (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) /
+      1.152921504606846976e18
+    math.floor(math.pow(u, 1.0 / w) * 1e8 + 0.5) / 1e8
+  }
+
+  /** Random (stratum, id, weight) rows over a 3-letter stratum space. */
+  private val stratWeightedGen: Gen[List[(String, Long, Long)]] =
+    Gen.nonEmptyListOf(for {
+      s <- Gen.oneOf("x", "y", "z")
+      id <- Gen.choose(1L, 1000000L)
+      w <- Gen.choose(1L, 10000L)
+    } yield (s, id, w)).map(_.distinctBy(_._2))
+
+  property("stratified weighted sample equals the per-stratum local A-ES replay") =
+    forAll(stratWeightedGen) { rows =>
+      val sp = spark
+      import sp.implicits._
+      val k = 1 + rows.size / 4
+      val got = graft.api.Sampling.weightedStratified(
+          rows.toDF("s", "id", "w"), "id", Seq("s"), col("w"), k)
+        .as[(String, Int, Long, Long, Double)].collect().toSet
+      val want = rows.groupBy(_._1).flatMap { case (s, rs) =>
+        rs.map { case (_, id, w) => (id, w, aesKey(id, w)) }
+          .sortBy { case (id, _, p) => (-p, id) }.take(k)
+          .zipWithIndex
+          .map { case ((id, w, p), i) => (s, i + 1, id, w, p) }
+      }.toSet
+      got == want
+    }
+
+  /** Inclusion monotonicity — the property that makes the A-ES key a
+    * WEIGHTED sample: raising one sampled row's weight (all else fixed)
+    * never pushes it out of its stratum's sample, because
+    * u^(1/w) is increasing in w for u in (0,1) and every other row's
+    * priority is unchanged. */
+  property("stratified weighted sample inclusion is monotone in weight") =
+    forAll(stratWeightedGen) { rows =>
+      val sp = spark
+      import sp.implicits._
+      val k = 1 + rows.size / 4
+      def draw(rs: List[(String, Long, Long)]): Set[(String, Long)] =
+        graft.api.Sampling.weightedStratified(
+            rs.toDF("s", "id", "w"), "id", Seq("s"), col("w"), k)
+          .select(col("s"), col("id"))
+          .as[(String, Long)].collect().toSet
+      val base = draw(rows)
+      val bumped = rows.map { case (s, id, w) =>
+        if (base((s, id))) (s, id, w * 16) else (s, id, w) }
+      base.subsetOf(draw(bumped))
     }
 }

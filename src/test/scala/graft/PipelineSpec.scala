@@ -643,6 +643,63 @@ class PipelineSpec extends SparkSuite {
       s"refine bought no recall: base $recBase, refined $recRef")
   }
 
+  test("knn graph capped: linear candidate bound holds and recall stays near uncapped") {
+    val e = Tables.embeddings(spark, sf001)
+    def pairs(df: org.apache.spark.sql.DataFrame, a: String, b: String) =
+      df.select(col(a), col(b)).as[(Long, Long)].collect().toSet
+    val full = pairs(graft.api.Similarity.knnGraph(e, "vec_id", "embedding",
+      5, tables = 8, bits = 6), "src_id", "neighbor_id")
+    val capped = pairs(graft.api.Similarity.knnGraphCapped(e, "vec_id",
+      "embedding", 5, tables = 8, bits = 6, cap = 16), "src_id", "neighbor_id")
+    // the cap only removes candidate SUPPLY, never sources: every source
+    // keeps rows, and its edges are a subset of some bucket's membership
+    assert(capped.map(_._1) == full.map(_._1), "capped graph lost sources")
+    // recall vs the uncapped graph — the cap trades the Σocc² term for
+    // bounded bucket work; on the fixture's ~n/2^bits occupancy it must
+    // keep the large majority of edges
+    val keep = (capped & full).size.toDouble / full.size
+    info(s"capped-vs-uncapped edge agreement = $keep")
+    assert(keep >= 0.85, s"cap=16 kept only $keep of uncapped edges")
+    // recall vs exact brute force must stay within a few points of the
+    // uncapped graph's
+    val exact = pairs(graft.api.Similarity.cosineTopK(e, e, "vec_id",
+      "embedding", 5), "probe_id", "neighbor_id")
+    val recFull = (full & exact).size.toDouble / exact.size
+    val recCap = (capped & exact).size.toDouble / exact.size
+    info(s"recall: uncapped $recFull, capped $recCap")
+    assert(recCap >= recFull - 0.05,
+      s"cap=16 recall $recCap fell more than 5 points under uncapped $recFull")
+  }
+
+  test("knn converged: fixpoint dominates one refine step and lifts recall") {
+    val e = Tables.embeddings(spark, sf001)
+    def kth(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.groupBy("src_id")
+        .agg(org.apache.spark.sql.functions.min("cos").as("worst"))
+        .as[(Long, Double)].collect().toMap
+    val refined = graft.api.Similarity.knnGraphRefine(e, "vec_id", "embedding",
+      5, tables = 8, bits = 6)
+    val conv = graft.api.Similarity.knnGraphConverged(e, "vec_id", "embedding",
+      5, tables = 8, bits = 6)
+    // monotone improvement transfers through every extra round: the
+    // fixpoint's per-source worst kept cosine dominates one-step refine
+    val (rk, ck) = (kth(refined), kth(conv))
+    assert(rk.keySet.subsetOf(ck.keySet))
+    assert(rk.forall { case (s, w) => ck(s) >= w - 1e-12 }, "dominance violated")
+    def pairs(df: org.apache.spark.sql.DataFrame, a: String, b: String) =
+      df.select(col(a), col(b)).as[(Long, Long)].collect().toSet
+    val exact = pairs(graft.api.Similarity.cosineTopK(e, e, "vec_id",
+      "embedding", 5), "probe_id", "neighbor_id")
+    val recRef = (pairs(refined, "src_id", "neighbor_id") & exact).size.toDouble / exact.size
+    val recConv = (pairs(conv, "src_id", "neighbor_id") & exact).size.toDouble / exact.size
+    info(s"recall: one-step refine $recRef, converged $recConv")
+    assert(recConv >= recRef, s"converged recall $recConv < one-step $recRef")
+    // iterating to the fixpoint must buy real recall over ONE step on
+    // the random fixture (it measures 2+ extra productive rounds)
+    assert(recConv >= recRef + 0.02 || recConv > 0.9,
+      s"convergence bought no recall: refine $recRef, converged $recConv")
+  }
+
   test("weighted sample: exact local A-ES replay, and top-k plans as TakeOrdered") {
     // the engine's md5-uniform + pow key, replayed in plain Scala —
     // pins every arithmetic step of Sampling.weightedSample

@@ -592,6 +592,85 @@ class StreamingSpec extends SparkSuite {
       s"sealed match must cover clicks 1-2, error 3, signups 4-5: $got")
   }
 
+  test("iterative-condition CEP: anchor and qualifying successor in different batches") {
+    val pat = graft.queries.Analytic.CepPatterns.iter
+    val conds = graft.queries.Analytic.CepPatterns.iterConds
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.cepPatternIterStream(ms.toDS(), pat, conds, streaming = true)
+      .writeStream.format("memory").queryName("cepiter").outputMode("append").start()
+    // batch 1: two purchase anchors, neither with a higher successor yet
+    ms.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "purchase", 50.0),
+      Ev(2, ts("2024-01-01 10:10:00"), 1, "purchase", 40.0),
+      Ev(3, ts("2024-01-01 10:15:00"), 1, "view", 99.0)) // gap row — never consumed
+    q.processAllAvailable()
+    assert(spark.table("cepiter").isEmpty,
+      "no higher-value successor has arrived — both anchors must stay pending")
+    // batch 2: one qualifying successor seals BOTH carried anchors
+    ms.addData(Ev(4, ts("2024-01-01 11:00:00"), 1, "purchase", 60.0))
+    q.processAllAvailable()
+    val mid = spark.table("cepiter").select("start_id", "end_id", "step_counts")
+      .as[(Long, Long, String)].collect().toSet
+    assert(mid == Set((1L, 4L, "1,1"), (2L, 4L, "1,1")),
+      s"cross-batch anchors must resolve to the batch-2 successor: $mid")
+    // batch 3: a higher value arrives OUTSIDE anchor 4's WITHIN horizon —
+    // anchor 4 seals as FAIL (any later completion violates WITHIN), and
+    // the new row opens its own pending anchor; nothing new may emit
+    ms.addData(Ev(5, ts("2024-01-02 12:00:00"), 1, "purchase", 70.0))
+    drain(q)
+    val got = spark.table("cepiter").select("start_id", "end_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 4L), (2L, 4L)), s"expired anchor must not emit: $got")
+    // the chopped stream equals the batch replay on the same rows
+    val all = Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "purchase", 50.0),
+      Ev(2, ts("2024-01-01 10:10:00"), 1, "purchase", 40.0),
+      Ev(3, ts("2024-01-01 10:15:00"), 1, "view", 99.0),
+      Ev(4, ts("2024-01-01 11:00:00"), 1, "purchase", 60.0),
+      Ev(5, ts("2024-01-02 12:00:00"), 1, "purchase", 70.0))
+    val batch = StreamOps.cepPatternIterStream(all.toDS(), pat, conds,
+        streaming = false)
+      .select("start_id", "end_id").as[(Long, Long)].collect().toSet
+    assert(got == batch, s"stream $got != batch replay $batch")
+  }
+
+  test("iterative CEP over random batch splits equals batch replay") {
+    // the seal-aware guarantee for the iterative route: however the
+    // in-order stream is chopped, emitted matches equal the batch
+    // replay's once a trailing batch pushes every anchor past WITHIN
+    val pat = graft.queries.Analytic.CepPatterns.iter
+    val conds = graft.queries.Analytic.CepPatterns.iterConds
+    val rnd = new scala.util.Random(20260818L)
+    val syms = Vector("purchase", "purchase", "view", "click")
+    val evs = (for {
+      u <- 1 to 12
+      i <- 0 until (8 + rnd.nextInt(10))
+    } yield Ev((u * 100 + i).toLong,
+        java.sql.Timestamp.valueOf(
+          ts("2024-01-01 10:00:00").toLocalDateTime.plusMinutes(i * 37L)),
+        u.toLong, syms(rnd.nextInt(syms.size)),
+        math.floor(rnd.nextDouble() * 5000) / 100.0)).toVector
+    // trailing batch two days out: past every anchor's WITHIN horizon,
+    // and too low to match anything — it only seals
+    val sealer = (1 to 12).map(u => Ev(u * 100 + 99L,
+      ts("2024-01-03 10:00:00"), u.toLong, "purchase", 0.0))
+    val full = evs ++ sealer
+    val ref = StreamOps.cepPatternIterStream(full.toDS(), pat, conds,
+        streaming = false)
+      .collect().toSet
+    val cuts = Seq.fill(3)(rnd.nextInt(evs.size)).sorted
+    val batches = (Seq(0) ++ cuts ++ Seq(evs.size)).sliding(2)
+      .collect { case Seq(a, b) if b > a => evs.slice(a, b) }.toSeq
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.cepPatternIterStream(ms.toDS(), pat, conds, streaming = true)
+      .writeStream.format("memory").queryName("eqiter").outputMode("append").start()
+    (batches :+ sealer).foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("eqiter").as[graft.streaming.CepPatMatch].collect().toSet
+    assert(got === ref, s"stream ${got.size} matches != batch ${ref.size}")
+    assert(ref.nonEmpty, "fixture must produce matches")
+  }
+
   test("streaming measures/all-rows over random batch splits equal batch replay") {
     // the seal-aware guarantee, end to end: however the in-order stream
     // is chopped into micro-batches, the emitted matches (with their
