@@ -437,10 +437,40 @@ object Cep {
     * when a match resolves, so backtracking and the any-run DFS never
     * alias into an emitted match's rows.
     */
+  /** TRUE SQL:2016 end-anchored matching (`PATTERN (... $)`): candidate
+    * ends are restricted to the partition's LAST row INSIDE the matcher
+    * — per anchor, the preferred resolution AMONG those ending at the
+    * last row — so the anchor participates in match preference and
+    * skip advancement instead of being a post-filter (a post-filter
+    * under-matches whenever the matcher commits to a non-last-row end:
+    * a reluctant backtrack, an unconsumed anchored alternative under
+    * SKIP PAST LAST ROW, an iterative condition's later candidate).
+    * Two matcher classes carry the search (matchCoreRows' requiredEnd):
+    * STRICT patterns backtrack over quantifier counts until a
+    * resolution ends exactly at the last row; RELAXED patterns with
+    * all-{1,1} non-negated steps DFS over per-step row choices
+    * (earliest-first — the first-qualifying preference) with the final
+    * step PINNED to the last row. Other relaxed shapes reject
+    * (matchCoreRows' require).
+    */
+  private[graft] def matchCoreAnchoredEnd(n: Int, tsUsAt: Int => Long,
+                                          pattern: CepPattern,
+                                          sat: CepSat): Seq[CepSeqMatch] =
+    if (n == 0) Seq.empty
+    else matchCoreRows(n, tsUsAt, pattern, sat, requiredEnd = n - 1).map(_._1)
+
   private[graft] def matchCoreRows(n: Int, tsUsAt: Int => Long, pattern: CepPattern,
-                                   sat: CepSat): Seq[(CepSeqMatch, IndexedSeq[IndexedSeq[Int]])] = {
+                                   sat: CepSat, requiredEnd: Int = -1
+                                  ): Seq[(CepSeqMatch, IndexedSeq[IndexedSeq[Int]])] = {
     val steps = pattern.steps
     val withinUs = pattern.withinUs
+    require(requiredEnd < 0 || !pattern.anyMatch,
+      "anchored matching under followedByAny is not defined (per-anchor " +
+        "emission is unbounded) — drop the anchor or anyMatch")
+    require(requiredEnd < 0 || pattern.strict ||
+      steps.forall(s => !s.negated && s.minRep == 1 && s.maxRep.contains(1)),
+      "relaxed anchored-end matching covers all-{1,1} non-negated steps " +
+        "(the pinned-final DFS); strict patterns anchor via backtracking")
     def withinOk(m: CepSeqMatch): Boolean =
       withinUs.forall(w => tsUsAt(m.endIdx) - tsUsAt(m.startIdx) <= w)
     def newCtx(): (Array[scala.collection.mutable.ArrayBuffer[Int]],
@@ -458,7 +488,12 @@ object Cep {
       val (consumed, ctx) = newCtx()
       val counts = Array.fill(steps.size)(0)
       def go(si: Int, pos: Int): Int = {
-        if (si == steps.size) return pos
+        // anchored-end: a resolution counts only if it ends exactly at
+        // the required row — rejecting here makes the backtracking
+        // explore every other candidate count in preference order,
+        // which IS anchored matching for strict patterns
+        if (si == steps.size)
+          return if (requiredEnd < 0 || pos - 1 == requiredEnd) pos else -1
         val st = steps(si)
         var maxFit = 0
         while (pos + maxFit < n && st.maxRep.forall(maxFit < _) &&
@@ -542,6 +577,37 @@ object Cep {
     def tryRelaxed(p: Int): Option[(CepSeqMatch, IndexedSeq[IndexedSeq[Int]])] =
       pattern.alternatives.iterator
         .flatMap(walkAlt(p, _).filter(r => withinOk(r._1)).iterator).nextOption()
+    // relaxed ANCHORED-END: all steps {1,1} non-negated (guarded at
+    // entry) — DFS over per-step row choices, middle steps
+    // earliest-first (the first-qualifying preference), the FINAL step
+    // PINNED to the required end; step 0 consumes the anchor row (the
+    // scan's anchor convention). Iterative conditions compose: each
+    // choice threads the consumption context like every other walk.
+    def tryRelaxedAnchored11(p: Int): Option[(CepSeqMatch, IndexedSeq[IndexedSeq[Int]])] = {
+      val k = steps.size
+      val (consumed, ctx) = newCtx()
+      def rec(si: Int, from: Int): Boolean = {
+        if (si == k) return true
+        val cands: Iterator[Int] =
+          if (si == 0 && k == 1) Iterator(p).filter(_ == requiredEnd)
+          else if (si == 0) Iterator(p)
+          else if (si == k - 1) Iterator(requiredEnd).filter(_ >= from)
+          else Iterator.range(from, requiredEnd) // strictly before the pin
+        for (q <- cands) {
+          if (sat(si, q, ctx)) {
+            consumed(si) += q
+            if (rec(si + 1, q + 1)) return true
+            consumed(si).remove(consumed(si).size - 1)
+          }
+        }
+        false
+      }
+      if (p > requiredEnd || !rec(0, p)) None
+      else {
+        val m = CepSeqMatch(p, requiredEnd, IndexedSeq.fill(k)(1))
+        if (withinOk(m)) Some((m, snap(consumed))) else None
+      }
+    }
     // relaxed ANY (followedByAny): later steps align to EVERY following
     // satisfying run (DFS over run choices), each consuming its capped
     // greedy prefix; a negated gap row blocks all later alignments of
@@ -596,7 +662,9 @@ object Cep {
       }
     } else {
       def tryAt(q: Int): Option[(CepSeqMatch, IndexedSeq[IndexedSeq[Int]])] =
-        if (pattern.strict) tryStrict(q) else tryRelaxed(q)
+        if (pattern.strict) tryStrict(q)
+        else if (requiredEnd >= 0) tryRelaxedAnchored11(q)
+        else tryRelaxed(q)
       val skipIdx = pattern.skipTargetIdx.getOrElse(-1)
       while (p < n) {
         (tryAt(p), pattern.skip) match {

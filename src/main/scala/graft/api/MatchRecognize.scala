@@ -1217,24 +1217,66 @@ object MatchRecognize {
     // no restriction: the match START equals the anchor position on
     // every route, so filtering on it never discards a re-derivable
     // match.
-    if (anchorEnd) {
-      require(spec.stepElems.forall(_.greedy),
-        "'$' anchor with a reluctant quantifier is not supported — the " +
-          "anchor is a match filter and a reluctant matcher may commit " +
-          "to a non-last-row end that a backtracking anchored matcher " +
-          "would not; make the quantifiers greedy or drop '$'")
-      require(!spec.hasAlternation && !permute,
-        "'$' anchor with alternation/PERMUTE is not supported — the " +
-          "leftmost-branch anchor dedup may keep a branch whose match " +
-          "does not end at the partition's last row while another " +
-          "branch's does")
-      require(!spec.isIterative,
-        "'$' anchor with DEFINE navigation / aggregate conditions is " +
-          "not supported — the greedy-then-backtrack matcher commits " +
-          "to one end per anchor and the anchor filter cannot recover " +
-          "the alternative that ends at the partition's last row")
-    }
+    if (anchorEnd) validateAnchorEnd(spec)
     spec
+  }
+
+  /** Round-13 lift of the round-12 `$`-anchor rejections: the
+    * previously-rejected routes now carry TRUE anchored matching —
+    * candidate ends restricted INSIDE the matcher / before the branch
+    * preference, never recovered by the post-filter — each with its
+    * own mechanism:
+    *
+    *  - RELUCTANT quantifiers (strict ONE ROW): the per-key anchored
+    *    backtracking matcher ([[Cep.matchCoreAnchoredEnd]]) explores
+    *    candidate counts in preference order until a resolution ends
+    *    at the partition's last row ([[runAnchoredSeq]]).
+    *  - ALTERNATION / PERMUTE (ONE ROW, strict branches): the end pin
+    *    applies PER BRANCH before the leftmost-branch dedup, so a
+    *    preferred branch that does not end at the last row can no
+    *    longer shadow a less-preferred branch that does
+    *    ([[runAlternation]]). Strict branches make the per-branch pin
+    *    exact: a strict segment's step decomposition is forced by the
+    *    symbol runs, so branch-match-ends-at-last-row IS the anchored
+    *    branch condition.
+    *  - ITERATIVE DEFINEs (ONE ROW, all-{1,1} relaxed steps): the
+    *    pinned-final DFS matcher — the last step is pinned to the
+    *    partition's last row and earlier steps walk earliest-first
+    *    with the consumption context ([[Cep.matchCoreAnchoredEnd]]).
+    *
+    * Shapes whose anchored search would need the full NFA (relaxed
+    * branches under alternation, general quantifiers under iterative
+    * conditions, MEASURES / ALL ROWS on the lifted routes) still
+    * reject loudly. Greedy deterministic-end routes keep the
+    * documented match-filter equivalence ([[applyAnchors]]).
+    */
+  private def validateAnchorEnd(spec: MrSpec): Unit = {
+    val oneRowPlain = !spec.allRows && spec.measures.isEmpty
+    if (spec.hasAlternation) {
+      require(oneRowPlain && spec.expandBranches.forall(_.strict),
+        "'$' anchor with alternation/PERMUTE is supported for ONE ROW " +
+          "PER MATCH with STRICT branches (the end pin applies per " +
+          "branch before the leftmost-branch dedup); relaxed branches " +
+          "or MEASURES/ALL ROWS under '$' would under-match — drop " +
+          "'$' or restructure the pattern")
+    } else if (spec.isIterative) {
+      require(oneRowPlain && spec.stepElems.forall(e =>
+          !e.negated && e.minRep == 1 && e.maxRep.contains(1)),
+        "'$' anchor with DEFINE navigation / aggregate conditions is " +
+          "supported for ONE ROW PER MATCH patterns whose steps are " +
+          "all {1,1} and non-negated (the pinned-final anchored " +
+          "matcher); general quantifiers under iterative conditions " +
+          "would need per-anchor speculative ends — drop '$' or bound " +
+          "the steps")
+    } else if (spec.stepElems.exists(!_.greedy)) {
+      require(spec.strict && oneRowPlain,
+        "'$' anchor with a reluctant quantifier is supported for " +
+          "STRICT ONE ROW PER MATCH patterns (the per-key anchored " +
+          "backtracking matcher); relaxed reluctant patterns cannot " +
+          "exist (CepPattern invariant) and MEASURES/ALL ROWS on the " +
+          "anchored backtracking route are not offered — drop '$' or " +
+          "make the quantifiers greedy")
+    }
   }
 
   // ---------- executor ----------
@@ -1358,7 +1400,14 @@ object MatchRecognize {
     }
     if (spec.allRows) return runAllRows(df, spec, key, tsC, ordC)
     (spec.toSymbolic, spec.measuresValCol) match {
-      case (Some((symCol, pat)), None) => Cep.compile(df, key, tsC, ordC, symCol, pat)
+      case (Some((symCol, pat)), None) =>
+        if (spec.anchorEnd && pat.steps.exists(!_.greedy))
+          // reluctant + '$': the per-key anchored BACKTRACKING matcher
+          // (ends pinned inside the matcher — a post-filter over the
+          // reluctant matcher's committed ends would under-match);
+          // runIter's per-key executor drives Cep.matchCoreAnchoredEnd
+          runIter(df, spec, key, tsC, ordC)
+        else Cep.compile(df, key, tsC, ordC, symCol, pat)
       case (Some((symCol, pat)), Some(v)) =>
         Cep.compileMeasures(df, key, tsC, ordC, symCol, v, pat)
       case (None, None) => Cep.compileWhere(df, key, tsC, ordC, spec.toCond)
@@ -1949,7 +1998,24 @@ object MatchRecognize {
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(key), col("start_id")).orderBy(col("__br"))
-    parts.reduce(_.unionByName(_))
+    val unioned = parts.reduce(_.unionByName(_))
+    // '$': the end pin applies PER BRANCH before the leftmost-branch
+    // preference — filtering after the dedup would let a preferred
+    // branch that does not end at the last row shadow a less-preferred
+    // branch that does (validateAnchorEnd restricts this route to
+    // strict branches, where branch-end-at-last-row IS the anchored
+    // branch condition because the segment decomposition is forced)
+    val pinned =
+      if (!spec.anchorEnd) unioned
+      else {
+        import org.apache.spark.sql.functions.{max_by, struct}
+        val bounds = df.groupBy(col(key)).agg(
+          max_by(col(ordC), struct(col(tsC), col(ordC))).as("__last_ord"))
+        unioned.join(bounds, key)
+          .filter(col("end_id") === col("__last_ord"))
+          .drop("__last_ord")
+      }
+    pinned
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__br", "__rn")
@@ -2128,7 +2194,14 @@ object MatchRecognize {
       val evs = it.toIndexedSeq.sortBy(r => (tsUs(r.ts), r.ord))
       val tsArr = evs.map(r => tsUs(r.ts))
       val sat = prep.satFor(evs)
-      Cep.matchCore(evs.size, i => tsArr(i), prep.pat, sat).iterator.map { m =>
+      // '$' pins candidate ends to the partition's last row INSIDE the
+      // matcher (validateAnchorEnd scoped the shapes); unanchored specs
+      // run the plain reference matcher
+      val ms =
+        if (spec.anchorEnd)
+          Cep.matchCoreAnchoredEnd(evs.size, i => tsArr(i), prep.pat, sat)
+        else Cep.matchCore(evs.size, i => tsArr(i), prep.pat, sat)
+      ms.iterator.map { m =>
         graft.streaming.CepPatMatch(user, evs(m.startIdx).ord, evs(m.startIdx).ts,
           evs(m.endIdx).ord, evs(m.endIdx).ts, m.nRows.toLong,
           m.stepCounts.mkString(","))
@@ -2189,21 +2262,35 @@ object MatchRecognize {
     val t = if (table.nonEmpty) table else spec.fromTable.getOrElse("events")
     if (spec.hasAlternation) {
       // the same branch expansion + leftmost-preference dedup as
-      // runAlternation, each branch replayed by its own generated oracle
+      // runAlternation, each branch replayed by its own generated
+      // oracle; under '$' the end pin filters each branch BEFORE the
+      // dedup, mirroring runAlternation's pinned union exactly
       val keyCol = spec.partitionBy.head
+      val (tsC, ordC) = (spec.orderBy(0), spec.orderBy(1))
       val bs = spec.expandBranches.map(b => oracleForSpec(b, t))
+      val bd =
+        if (!spec.anchorEnd) ""
+        else s""",
+                |__bd AS (SELECT $keyCol AS __k, $ordC AS __last FROM (
+                |  SELECT $keyCol, $ordC, row_number() OVER (PARTITION BY $keyCol
+                |    ORDER BY $tsC DESC, $ordC DESC) AS __rn FROM $t) WHERE __rn = 1)""".stripMargin
       val ctes = bs.zipWithIndex
         .map { case (q, i) => s"__alt$i AS (\n$q)" }
-        .mkString("WITH ", ",\n", "")
+        .mkString("WITH ", ",\n", "") + bd
       val unions = bs.indices
         .map(i => s"SELECT *, $i AS __br FROM __alt$i")
         .mkString("\n      UNION ALL\n      ")
+      val pinned =
+        if (!spec.anchorEnd) s"($unions)"
+        else s"""(SELECT u.* FROM ($unions) u
+                |       JOIN __bd ON u.$keyCol = __bd.__k
+                |                AND u.end_id = __bd.__last)""".stripMargin
       return s"""$ctes
                 |SELECT $keyCol, start_id, start_ts, end_id, end_ts,
                 |       n_rows, step_counts
                 |FROM (SELECT *, row_number() OVER (PARTITION BY $keyCol,
                 |        start_id ORDER BY __br) AS __rn
-                |      FROM ($unions))
+                |      FROM $pinned)
                 |WHERE __rn = 1 ORDER BY $keyCol, start_id""".stripMargin
     }
     oracleForSpec(spec, t)

@@ -574,6 +574,32 @@ object Analytic {
       MatchRecognize.run(Tables.events(s, d), CepSql.anchorEnd)
         .orderBy("user_id", "start_id")),
 
+    // '$' × RELUCTANT (round-13 lift): true anchored matching via the
+    // per-key backtracking matcher — candidate counts explored in
+    // preference order until a resolution ends at the partition's last
+    // row. Oracle: under the end pin a strict segment's decomposition
+    // is forced by the symbol runs, so the anchored reluctant set
+    // EQUALS the greedy twin's filtered set (per anchor, under TO NEXT
+    // ROW) — replayed by the twin's generated oracle + last-row filter.
+    "event_cep_sql_anchor_end_reluctant" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.anchorEndReluctant)
+        .orderBy("user_id", "start_id")),
+
+    // '$' × ALTERNATION (round-13 lift): overlapping value-predicate
+    // branches, end pin per branch BEFORE the leftmost-branch dedup.
+    // Oracle generated from the same text (oracleFor's pinned union).
+    "event_cep_sql_anchor_end_alt" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.anchorEndAlt)
+        .orderBy("user_id", "start_id")),
+
+    // '$' × ITERATIVE DEFINE (round-13 lift): the successor pinned to
+    // the partition's last row by the pinned-final anchored matcher.
+    // Independent oracle: per purchase anchor, match iff the user's
+    // LAST row is a purchase with a strictly higher value, WITHIN 24 h.
+    "event_cep_sql_anchor_end_iter" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.anchorEndIter)
+        .orderBy("user_id", "start_id")),
+
     // MEASURES × DEFINE navigation (round-10 top-next item): the
     // FIRST(a.value) iterative pattern WITH a general MEASURES clause —
     // the per-key matcher's consumed-row projection feeds the same
@@ -1053,6 +1079,55 @@ object Analytic {
         |  PATTERN (view+ purchase $)
         |  DEFINE view AS event_type = 'view',
         |         purchase AS event_type = 'purchase'
+        |)""".stripMargin
+    // RELUCTANT quantifiers + '$' (round-13 lift of the round-12
+    // rejection): both quantifiers reluctant, the end pinned to the
+    // partition's last row — runs the per-key anchored BACKTRACKING
+    // matcher (Cep.matchCoreAnchoredEnd; a post-filter would
+    // under-match because the reluctant matcher commits to minimal
+    // ends). TO NEXT ROW tries every anchor independently.
+    val anchorEndReluctant: String =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (view+? purchase{1,2}? $)
+        |  DEFINE view AS event_type = 'view',
+        |         purchase AS event_type = 'purchase'
+        |)""".stripMargin
+    // ALTERNATION + '$' (round-13 lift): OVERLAPPING value-predicate
+    // branches (hi ⊂ lo — contested anchors resolve leftmost) with the
+    // end pin applied PER BRANCH before the leftmost-branch dedup
+    // (runAlternation's pinned union; strict branches make the pin
+    // exact — the segment decomposition is forced).
+    val anchorEndAlt: String =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN ((hi | lo) buy{1,2} $)
+        |  DEFINE hi AS hi.event_type IN ('view', 'click') AND hi.value >= 50,
+        |         lo AS lo.event_type IN ('view', 'click') AND lo.value >= 10,
+        |         buy AS buy.event_type = 'purchase'
+        |)""".stripMargin
+    // ITERATIVE DEFINE + '$' (round-13 lift): the iterHigher
+    // FIRST(a.value) pattern with the SUCCESSOR PINNED to the
+    // partition's last row — the pinned-final anchored matcher
+    // (Cep.matchCoreAnchoredEnd's {1,1} DFS route). Note the anchored
+    // semantics differ from iterHigher's: b is THE last row, not the
+    // first qualifying successor.
+    val anchorEndIter: String =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (a g1* b $)
+        |  WITHIN INTERVAL '1440' MINUTE
+        |  DEFINE a AS a.event_type = 'purchase',
+        |         b AS b.event_type = 'purchase' AND b.value > FIRST(a.value)
         |)""".stripMargin
 
     val permuteFunnel: String =
@@ -1869,6 +1944,46 @@ object Analytic {
          |JOIN bd ON b.user_id = bd.__k AND b.end_id = bd.__last
          |ORDER BY user_id, start_id""".stripMargin
     },
+    // reluctant + '$' replay: the GREEDY TWIN's generated oracle + the
+    // last-row filter — equal to the anchored backtracking matcher
+    // because the end pin forces the strict segment's decomposition
+    // (greedy/reluctant preference has nothing left to choose); TO NEXT
+    // ROW makes anchors independent, so no shadowing divergence.
+    "event_cep_sql_anchor_end_reluctant" -> {
+      val twin = CepSql.anchorEndReluctant
+        .replace("view+?", "view+").replace("purchase{1,2}?", "purchase{1,2}")
+      val base = MatchRecognize.oracleFor(twin)
+      s"""WITH bd AS (SELECT user_id AS __k, event_id AS __last FROM (
+         |  SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts DESC, event_id DESC) AS __rn FROM events) WHERE __rn = 1)
+         |SELECT b.* FROM ($base) b
+         |JOIN bd ON b.user_id = bd.__k AND b.end_id = bd.__last
+         |ORDER BY user_id, start_id""".stripMargin
+    },
+    // alternation + '$': generated from the same text — oracleFor pins
+    // each branch's end to the last row BEFORE the leftmost dedup,
+    // mirroring runAlternation's pinned union.
+    "event_cep_sql_anchor_end_alt" ->
+      MatchRecognize.oracleFor(CepSql.anchorEndAlt),
+    // iterative + '$': independent formulation — per purchase anchor,
+    // the match exists iff the user's LAST row (ts desc, id desc) is a
+    // purchase with a strictly higher value within 24 h of the anchor.
+    "event_cep_sql_anchor_end_iter" ->
+      """WITH l AS (SELECT user_id, event_id, ts, value, event_type FROM (
+        |  SELECT user_id, event_id, ts::TIMESTAMP AS ts, value, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1),
+        |a AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts, value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT a.user_id, a.event_id AS start_id, a.ts AS start_ts,
+        |       l.event_id AS end_id, l.ts AS end_ts,
+        |       CAST(2 AS BIGINT) AS n_rows, '1,1' AS step_counts
+        |FROM a JOIN l ON l.user_id = a.user_id
+        |  AND (a.ts < l.ts OR (a.ts = l.ts AND a.event_id < l.event_id))
+        |  AND l.event_type = 'purchase' AND l.value > a.value
+        |  AND l.ts <= a.ts + INTERVAL 1440 MINUTE
+        |ORDER BY a.user_id, start_id""".stripMargin,
     "event_cep_quant" -> Cep.oracleSql(CepPatterns.quant),
     "event_cep_quant_measures" -> Cep.oracleSqlMeasures(CepPatterns.quant, "value"),
     "event_cep_where_measures" ->

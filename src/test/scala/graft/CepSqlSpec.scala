@@ -1430,19 +1430,17 @@ class CepSqlSpec extends SparkSuite {
     val badDollar = CepSql.anchorEnd.replace("purchase $)", "$ purchase)")
     assert(intercept[IllegalArgumentException](MatchRecognize.parse(badDollar))
       .getMessage.contains("LAST element"))
-    // '$' is a match FILTER, correct only where the per-anchor match
-    // end is deterministic — reluctant / alternation / iterative
-    // combinations must reject loudly, not silently under-match
+    // round-13 lift: reluctant + '$' on a strict ONE-ROW pattern now
+    // PARSES (the anchored backtracking matcher route)
     val reluctantEnd = CepSql.anchorEnd.replace("view+", "view+?")
-    assert(intercept[IllegalArgumentException](MatchRecognize.parse(reluctantEnd))
+    assert(MatchRecognize.parse(reluctantEnd).anchorEnd)
+    // the residual rejections stay loud: MEASURES on the anchored
+    // reluctant route, general quantifiers under iterative + '$'
+    val reluctantEndMeasures = reluctantEnd.replace("ONE ROW PER MATCH",
+      "MEASURES SUM(value) AS total_v\n  ONE ROW PER MATCH")
+    assert(intercept[IllegalArgumentException](
+      MatchRecognize.parse(reluctantEndMeasures))
       .getMessage.contains("reluctant"))
-    val altEnd = CepSql.anchorEnd.replace("view+ purchase $", "(view | click) purchase $")
-    assert(intercept[IllegalArgumentException] {
-      val p = MatchRecognize.parse(altEnd.replace(
-        "DEFINE view AS event_type = 'view',",
-        "DEFINE view AS event_type = 'view', click AS event_type = 'click',"))
-      p
-    }.getMessage.contains("alternation"))
     val iterEnd = CepSql.anchorEnd.replace(
       "view AS event_type = 'view'",
       "view AS event_type = 'view' AND PREV(view.value) >= 0")
@@ -1452,6 +1450,84 @@ class CepSqlSpec extends SparkSuite {
     // anchor position on every route) — a reluctant quantifier parses
     assert(MatchRecognize.parse(CepSql.anchorStart
       .replace("g* purchase)", "g* purchase{1,2}?)")).anchorStart)
+  }
+
+  test("'$' lift: true anchored matching on reluctant / alternation / iterative routes") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.{col, max, row_number, when}
+    import org.apache.spark.sql.expressions.Window
+    val CepSql = graft.queries.Analytic.CepSql
+    val ev = Tables.events(spark, sf001)
+    val bounds = ev
+      .withColumn("rnd", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)))
+      .groupBy("user_id")
+      .agg(max(when(col("rnd") === 1, col("event_id"))).as("last_ord"))
+    def rows(sql: String) = MatchRecognize.run(ev, sql)
+      .select("user_id", "start_id", "end_id")
+      .as[(Long, Long, Long)].collect().toSet
+    // 1. reluctant: the end pin forces the strict segment decomposition
+    // (greedy/reluctant preference has nothing left to choose), so the
+    // anchored backtracker equals the GREEDY twin filtered to last-row
+    // ends — an independent reference formulation
+    val twin = CepSql.anchorEndReluctant
+      .replace("view+?", "view+").replace("purchase{1,2}?", "purchase{1,2}")
+      .replace(" $)", ")")
+    val refRel = MatchRecognize.run(ev, twin).join(bounds, "user_id")
+      .filter(col("end_id") === col("last_ord"))
+      .select("user_id", "start_id", "end_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rows(CepSql.anchorEndReluctant) == refRel && refRel.nonEmpty)
+    // 2. the matcher-vs-filter divergence the round-12 rejection feared,
+    // resolved the right way: on V P P the reluctant matcher commits to
+    // the minimal end (row 2), so a post-filter finds NOTHING — the
+    // anchored backtracker extends the purchase tail to the last row
+    def t(m: Int) = new java.sql.Timestamp(1704067200000L + m * 60000L)
+    val tiny = Seq(
+      (1L, t(0), 7L, "view", 1.0),
+      (2L, t(1), 7L, "purchase", 1.0),
+      (3L, t(2), 7L, "purchase", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val tinyGot = MatchRecognize.run(tiny, CepSql.anchorEndReluctant)
+      .select("start_id", "end_id").as[(Long, Long)].collect().toSet
+    assert(tinyGot == Set((1L, 3L)),
+      s"anchored backtracker must extend to the last row: $tinyGot")
+    val unanchored = CepSql.anchorEndReluctant.replace(" $)", ")")
+    assert(MatchRecognize.run(tiny, unanchored)
+        .filter(col("end_id") === 3L).count() == 0L,
+      "the reluctant matcher's committed end is row 2 — a post-filter " +
+        "would have dropped the anchored match (the round-12 rejection)")
+    // 3. iterative + '$': local reference — per user, the LAST row must
+    // be a purchase; every earlier lower-value purchase within 24 h
+    // anchors a match ending there
+    val evl = ev.select("user_id", "event_id", "ts", "event_type", "value")
+      .as[(Long, Long, java.sql.Timestamp, String, Double)].collect().toSeq
+    val refIter = evl.groupBy(_._1).flatMap { case (u, rs) =>
+      val sorted = rs.sortBy(r => (r._3.getTime, r._2))
+      val last = sorted.last
+      if (last._4 != "purchase") Seq.empty
+      else sorted.init.filter(a => a._4 == "purchase" && last._5 > a._5 &&
+          last._3.getTime - a._3.getTime <= 1440L * 60000L)
+        .map(a => (u, a._2, last._2))
+    }.toSet
+    assert(rows(CepSql.anchorEndIter) == refIter && refIter.nonEmpty)
+    // 4. alternation + '$': local strict reference — anchor row is a
+    // view/click with value >= 10 (lo; hi is its subset, and both
+    // branches end identically so leftmost preference cannot change the
+    // triple), then purchases only through the partition's last row,
+    // 1 or 2 of them
+    val refAlt = evl.groupBy(_._1).flatMap { case (u, rs) =>
+      val s = rs.sortBy(r => (r._3.getTime, r._2)).toIndexedSeq
+      val lastIdx = s.size - 1
+      s.indices.collect {
+        case i if (s(i)._4 == "view" || s(i)._4 == "click") && s(i)._5 >= 10 &&
+            lastIdx - i >= 1 && lastIdx - i <= 2 &&
+            (i + 1 to lastIdx).forall(j => s(j)._4 == "purchase") =>
+          (u, s(i)._2, s(lastIdx)._2)
+      }
+    }.toSet
+    assert(rows(CepSql.anchorEndAlt) == refAlt && refAlt.nonEmpty)
   }
 
   test("property: render -> parse round-trips 300 random patterns") {
