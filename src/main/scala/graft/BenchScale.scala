@@ -63,7 +63,15 @@ object BenchScale {
     // plan (two keyed aggs). join_fuzzy_edit is excluded: it reads
     // customer, which the slice generator does not write.
     "dedup_minhash_incr", "sim_knn_graph", "sample_weighted",
-    "event_zorder_plan")
+    "event_zorder_plan",
+    // round-13: the dense-bucket treatment next to the key it fixes —
+    // the capped neighbor side bounds candidate volume at tables·n·cap,
+    // so the fixed-bits Σocc² term of sim_knn_graph (0.84/decade in
+    // r12) should drop materially here
+    "sim_knn_graph_capped",
+    // and the stratified A-ES draw (stratum-keyed window vs
+    // sample_weighted's TakeOrdered)
+    "sample_weighted_stratified")
 
   /** Second measured decade (VERDICT r9 item 6): the STEEPEST keys of
     * the 10x sweep re-measured over a 100x slice, so their exponents

@@ -229,11 +229,20 @@ object Similarity {
     */
   def knnGraphConverged(corpus: DataFrame, idCol: String, vecCol: String,
                         k: Int, tables: Int = 4, bits: Int = 8,
-                        dim: Int = 64, maxIters: Int = 16): DataFrame = {
+                        dim: Int = 64, maxIters: Int = 16,
+                        cap: Option[Int] = None): DataFrame = {
     def und(e: DataFrame): DataFrame =
       e.union(e.select(col("neighbor_id").as("src_id"),
         col("src_id").as("neighbor_id")))
-    var edges = knnGraph(corpus, idCol, vecCol, k, tables, bits, dim)
+    // `cap` composes the dense-bucket treatment into the loop — the
+    // production shape: the capped base bounds candidate volume
+    // (tables·n·cap), the NN-Descent rounds recover the recall the cap
+    // gave up (they are degree-bounded already, so no cap is needed
+    // inside the loop).
+    val base = cap.fold(
+      knnGraph(corpus, idCol, vecCol, k, tables, bits, dim))(c =>
+      knnGraphCapped(corpus, idCol, vecCol, k, tables, bits, dim, c))
+    var edges = base
       .select(col("src_id"), col("neighbor_id")).localCheckpoint()
     // Round 1 treats every edge as new — identical to the full NoN
     // expansion (and to the oracle's unrolled round 1).
@@ -321,6 +330,30 @@ object Similarity {
     s"""WITH ${knnCtesSql(tables, bits, dim, Some(cap))}
        |${knnRankSql(k, "cand")}""".stripMargin
 
+  /** The DuckDB replay of the SEMANTIC-CLUSTER composition over the
+    * capped k-NN graph (`sim_knn_clusters`): the capped graph's CTEs +
+    * rank, edges thresholded on the ROUND4 cosine (both engines filter
+    * the identically-rounded value), then the same recursive
+    * min-reachable-id closure as the dedup_clusters oracle over every
+    * embedding row. */
+  def knnClustersOracleSql(k: Int, tables: Int = 4, bits: Int = 8,
+                           dim: Int = 64, cap: Int = 8,
+                           tau: Double): String =
+    s"""WITH RECURSIVE ${knnCtesSql(tables, bits, dim, Some(cap))},
+       |g AS (
+       |${knnRankSql(k, "cand")}),
+       |pr AS (SELECT src_id, neighbor_id FROM g WHERE cos >= $tau),
+       |eg AS (SELECT src_id AS src, neighbor_id AS dst FROM pr
+       |       UNION SELECT neighbor_id, src_id FROM pr),
+       |reach AS (
+       |  SELECT vec_id AS id, vec_id AS r FROM embeddings
+       |  UNION
+       |  SELECT eg.dst AS id, reach.r FROM reach JOIN eg ON eg.src = reach.id),
+       |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+       |SELECT comp.id AS vec_id, cluster_id, cluster_size
+       |FROM comp JOIN sz USING (cluster_id) ORDER BY vec_id""".stripMargin
+
   /** The DuckDB replay of [[knnGraphConverged]]: `rounds` NN-Descent
     * rounds UNROLLED into chained CTEs (b0 = the base graph's edges,
     * then undirect → expand → re-rank per round). Valid whenever the
@@ -329,7 +362,8 @@ object Similarity {
     * (the same argument [[pqTrainedOracleSql]] makes for its fixed
     * Lloyd unroll). */
   def knnGraphConvergedOracleSql(k: Int, tables: Int = 4, bits: Int = 8,
-                                 dim: Int = 64, rounds: Int = 3): String = {
+                                 dim: Int = 64, rounds: Int = 3,
+                                 cap: Option[Int] = None): String = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     // Every round CTE is MATERIALIZED: each references its predecessor
     // three times, so default inlining copies the base scan 3^rounds
@@ -357,7 +391,7 @@ object Similarity {
     val chain = (rankEdges("b0", "cand") +:
       (1 until rounds).flatMap(i => Seq(expand(i), rankEdges(s"b$i", s"c$i")))
       :+ expand(rounds)).mkString(",\n")
-    s"""WITH ${knnCtesSql(tables, bits, dim)},
+    s"""WITH ${knnCtesSql(tables, bits, dim, cap)},
        |$chain
        |${knnRankSql(k, s"c$rounds")}""".stripMargin
   }

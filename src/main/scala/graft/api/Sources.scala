@@ -152,6 +152,71 @@ object Sinks {
       .drop("__mnx", "__mxx", "__mny", "__mxy", "__bx", "__by")
   }
 
+  /** THREE-dimension [[zorderPlan]] (`OPTIMIZE ZORDER BY (x, y, w)` —
+    * the common lakehouse shape clusters 2-4 columns): the same
+    * overflow-free equal-width bucketing per dimension (same span
+    * < 2^63 precondition), bits interleaved x→3i+2, y→3i+1, w→3i into
+    * a Morton key of ≤ 2^(3·bits) cells, aggregated to the per-cell
+    * file table with every dimension's min/max. A range predicate on
+    * ANY ONE of the three dimensions prunes ~cells^(2/3) of the files
+    * (vs nothing on the second and third under a single-column sort).
+    * Same metadata-sized scale shape as [[zorderPlan]].
+    */
+  def zorderPlan3(df: DataFrame, xCol: Column, yCol: Column, wCol: Column,
+                  bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 10, s"bits must be in [1,10]: $bits")
+    val n = 1L << bits
+    val d = df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"),
+      wCol.cast("long").as("w"))
+    val mm = d.agg(min(col("x")).as("mnx"), max(col("x")).as("mxx"),
+      min(col("y")).as("mny"), max(col("y")).as("mxy"),
+      min(col("w")).as("mnw"), max(col("w")).as("mxw"))
+    val b = d.crossJoin(broadcast(mm))
+      .withColumn("bx",
+        expr(s"CAST((x - mnx) DIV ((mxx - mnx) DIV $n + 1) AS BIGINT)"))
+      .withColumn("by",
+        expr(s"CAST((y - mny) DIV ((mxy - mny) DIV $n + 1) AS BIGINT)"))
+      .withColumn("bw",
+        expr(s"CAST((w - mnw) DIV ((mxw - mnw) DIV $n + 1) AS BIGINT)"))
+    val z = (0 until bits).flatMap { i =>
+      Seq(shiftleft(shiftright(col("bx"), i).bitwiseAND(lit(1L)), 3 * i + 2),
+        shiftleft(shiftright(col("by"), i).bitwiseAND(lit(1L)), 3 * i + 1),
+        shiftleft(shiftright(col("bw"), i).bitwiseAND(lit(1L)), 3 * i))
+    }.reduce(_ + _)
+    b.withColumn("z", z)
+      .groupBy(col("z"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"),
+        min(col("w")).as("min_w"), max(col("w")).as("max_w"))
+  }
+
+  /** The DuckDB replay of [[zorderPlan3]] — same bucketing, same
+    * 3-way shift/and interleave. */
+  def zorderPlan3OracleSql(table: String, xSql: String, ySql: String,
+                           wSql: String, bits: Int): String = {
+    val n = 1L << bits
+    val z = (0 until bits).flatMap(i => Seq(
+      s"(((bx >> $i) & 1) << ${3 * i + 2})",
+      s"(((b_y >> $i) & 1) << ${3 * i + 1})",
+      s"(((bw >> $i) & 1) << ${3 * i})")).mkString(" + ")
+    s"""WITH d AS (SELECT CAST($xSql AS BIGINT) AS x,
+       |                  CAST($ySql AS BIGINT) AS y,
+       |                  CAST($wSql AS BIGINT) AS w FROM $table),
+       |mm AS (SELECT min(x) AS mnx, max(x) AS mxx,
+       |              min(y) AS mny, max(y) AS mxy,
+       |              min(w) AS mnw, max(w) AS mxw FROM d),
+       |b AS (SELECT x, y, w,
+       |        CAST((x - mnx) // ((mxx - mnx) // $n + 1) AS BIGINT) AS bx,
+       |        CAST((y - mny) // ((mxy - mny) // $n + 1) AS BIGINT) AS b_y,
+       |        CAST((w - mnw) // ((mxw - mnw) // $n + 1) AS BIGINT) AS bw
+       |      FROM d CROSS JOIN mm)
+       |SELECT CAST($z AS BIGINT) AS z, count(*) AS n_rows,
+       |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y,
+       |  min(w) AS min_w, max(w) AS max_w
+       |FROM b GROUP BY 1 ORDER BY z""".stripMargin
+  }
+
   /** EXECUTE the z-order layout end-to-end (the write [[zorderPlan]]
     * plans, round-12 verdict item 6): assign every row its Morton cell,
     * PACK cells (in z order) into files of ~`targetRows` rows with the

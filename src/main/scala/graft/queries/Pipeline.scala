@@ -589,6 +589,23 @@ object Pipeline {
           Det.round4(col("cos")).as("cos"))
         .orderBy("src_id", "rnk")),
 
+    // SEMANTIC CLUSTERS over the capped k-NN graph (SemDeDup at graph
+    // level — the composition the graph exists for): capped-graph
+    // edges thresholded at round4(cos) >= 0.4 feed the same
+    // convergent-loop connected components as dedup_clusters; output
+    // is every vector's min-reachable-id cluster and its size. Scale:
+    // edges are n·k rows, CC rounds touch only edge-adjacent nodes.
+    "sim_knn_clusters" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val edges = Similarity.knnGraphCapped(e, "vec_id", "embedding", 5,
+          tables = 8, bits = 6, cap = 16)
+        .filter(Det.round4(col("cos")) >= 0.4)
+        .select(col("src_id"), col("neighbor_id"))
+      Dedup.clusters(e, "vec_id", edges, aCol = "src_id",
+          bCol = "neighbor_id")
+        .orderBy("vec_id")
+    }),
+
     // NN-Descent to its FIXPOINT (dedup_clusters' convergent-loop
     // discipline: per-round edge-delta counters on the driver, loud
     // failure if maxIters rounds don't converge; Dong et al.'s
@@ -599,6 +616,18 @@ object Pipeline {
     "sim_knn_graph_converged" -> ((s, d) =>
       Similarity.knnGraphConverged(Tables.embeddings(s, d), "vec_id",
           "embedding", 5, tables = 8, bits = 6)
+        .select(col("src_id"), col("rnk"), col("neighbor_id"),
+          Det.round4(col("cos")).as("cos"))
+        .orderBy("src_id", "rnk")),
+
+    // The PRODUCTION composition: the CAPPED base graph (linear
+    // candidate volume) iterated to the NN-Descent fixpoint (the
+    // rounds recover the recall the cap gave up — degree-bounded, so
+    // the loop itself needs no cap). Oracle = the capped base CTEs
+    // under the same unrolled rounds.
+    "sim_knn_graph_capped_converged" -> ((s, d) =>
+      Similarity.knnGraphConverged(Tables.embeddings(s, d), "vec_id",
+          "embedding", 5, tables = 8, bits = 6, cap = Some(16))
         .select(col("src_id"), col("rnk"), col("neighbor_id"),
           Det.round4(col("cos")).as("cos"))
         .orderBy("src_id", "rnk")),
@@ -768,6 +797,17 @@ object Pipeline {
             floor(coalesce(col("value"), lit(0.0)) * 100 + lit(0.5)), bits = 4),
           xLo = 0L, xHi = 3L, yLo = 0L, yHi = 2000L)
         .orderBy("dim")),
+
+    // THREE-column z-order plan (OPTIMIZE ZORDER BY (user, cents,
+    // hour) — the common multi-column clustering): 8×8×8 Morton cells,
+    // hour index from exact integer epoch-micros division on both
+    // engines (Sinks.zorderPlan3). Any one dimension's range predicate
+    // prunes ~cells^(2/3) of the files.
+    "event_zorder_plan3" -> ((s, d) =>
+      graft.api.Sinks.zorderPlan3(Tables.events(s, d), col("user_id"),
+          floor(coalesce(col("value"), lit(0.0)) * 100 + lit(0.5)),
+          expr("unix_micros(ts) div 3600000000"), bits = 3)
+        .orderBy("z")),
 
     // Z-order WRITE end-to-end (round-12 item 6): physically rewrite
     // events into Morton-packed parquet files (~1024 rows each, one
@@ -1695,8 +1735,13 @@ object Pipeline {
       Similarity.knnGraphRefineOracleSql(5, tables = 8, bits = 6),
     "sim_knn_graph_capped" ->
       Similarity.knnGraphCappedOracleSql(5, tables = 8, bits = 6, cap = 16),
+    "sim_knn_clusters" -> Similarity.knnClustersOracleSql(5, tables = 8,
+      bits = 6, cap = 16, tau = 0.4),
     "sim_knn_graph_converged" ->
       Similarity.knnGraphConvergedOracleSql(5, tables = 8, bits = 6, rounds = 8),
+    "sim_knn_graph_capped_converged" ->
+      Similarity.knnGraphConvergedOracleSql(5, tables = 8, bits = 6,
+        rounds = 8, cap = Some(16)),
     "sim_lsh_bucketed" -> Similarity.lshTopKOracleSql(5, tables = 8, bits = 6,
       probeIdBound = LshProbeBound),
 
@@ -1890,6 +1935,9 @@ object Pipeline {
     "event_zorder_write" -> graft.api.Sinks.zorderWriteOracleSql("events",
       "user_id", "floor(coalesce(value, 0) * 100 + 0.5)", bits = 4,
       targetRows = 1024L),
+    "event_zorder_plan3" -> graft.api.Sinks.zorderPlan3OracleSql("events",
+      "user_id", "floor(coalesce(value, 0) * 100 + 0.5)",
+      "epoch_us(ts::TIMESTAMP) // 3600000000", bits = 3),
 
     "corpus_compact_plan" ->
       """SELECT source, lang,

@@ -292,6 +292,127 @@ class CepSpec extends SparkSuite {
     assert(nonEmpty >= 20, s"only $nonEmpty key-sequences produced matches")
   }
 
+  test("anchored-end STRICT matcher == java.util.regex with '$' (greedy and reluctant)") {
+    // the independent reference for round-13's true anchored matching:
+    // the same char-mapped regex as the unanchored cross-validation,
+    // SUFFIXED '$' — java regex backtracks candidate counts until a
+    // resolution ends at the last char, exactly what matchCoreRows'
+    // requiredEnd pruning must reproduce, for greedy AND reluctant
+    // quantifiers
+    val rnd = new scala.util.Random(1300)
+    val charOf = Map("A" -> 'a', "B" -> 'b', "C" -> 'c', "D" -> 'd', "X" -> 'x')
+    var nonEmpty = 0
+    for (trial <- 0 until 40) {
+      val nSteps = 2 + rnd.nextInt(3)
+      val steps = (0 until nSteps).map { i =>
+        val edge = i == 0 || i == nSteps - 1
+        val mn = if (edge) 1 else rnd.nextInt(2)
+        val mx = rnd.nextInt(3) match {
+          case 0 => None
+          case _ => Some(math.max(math.max(mn, 1), 1 + rnd.nextInt(3)))
+        }
+        CepStep(symbols(rnd.nextInt(symbols.size)), mn, mx,
+          greedy = rnd.nextBoolean())
+      }
+      val skip = if (rnd.nextBoolean()) SkipPastLastRow else SkipToNextRow
+      val within = if (rnd.nextBoolean()) Some(60 + rnd.nextInt(200)) else None
+      val pat = CepPattern(steps, within, skip)
+      val rx = java.util.regex.Pattern.compile(steps.map { s =>
+        val q = s.maxRep.map(m => s"{${s.minRep},$m}").getOrElse(s"{${s.minRep},}") +
+          (if (s.greedy) "" else "?")
+        s"(${charOf(s.symbol)}$q)"
+      }.mkString + "$")
+      randomEvents(rnd, 3).groupBy(_._1).foreach { case (k, rows) =>
+        val base = rows.sortBy(r => (r._3, r._4))
+        // anchored matches need the SEQUENCE TAIL to fit the pattern —
+        // vanishingly rare on pure noise, so half the keys get a
+        // pattern-shaped suffix appended (minRep-or-1 rows per step);
+        // the other half stay adversarial (empty want-sets must agree
+        // too)
+        val sorted =
+          if (rnd.nextBoolean()) base
+          else {
+            var t = base.last._3
+            var o = base.last._4
+            base ++ steps.flatMap { st =>
+              (0 until math.max(st.minRep, 1)).map { _ =>
+                t += (1 + rnd.nextInt(5)) * 60L * 1000000L
+                o += 1
+                (k, st.symbol, t, o)
+              }
+            }
+          }
+        val seq = sorted.map(r => CepEvent(r._2, r._3, r._4)).toIndexedSeq
+        val str = sorted.map(r => charOf(r._2)).mkString
+        val wantBuf = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Seq[Int])]
+        val m = rx.matcher(str)
+        var from = 0
+        while (from <= str.length && m.find(from)) {
+          val (s0, e0) = (m.start, m.end - 1)
+          val ok = within.forall(w =>
+            seq(e0).tsUs - seq(s0).tsUs <= w * 60L * 1000000L)
+          if (ok) {
+            wantBuf += ((s0, e0,
+              (1 to nSteps).map(g => Option(m.group(g)).map(_.length).getOrElse(0))))
+            from = skip match {
+              case SkipPastLastRow => e0 + 1
+              case SkipToNextRow => s0 + 1
+            }
+          } else from = s0 + 1
+        }
+        val got = Cep.matchCoreAnchoredEnd(seq.size, i => seq(i).tsUs, pat,
+            (si, ei, _) => seq(ei).sym == pat.steps(si).symbol)
+          .map(mm => (mm.startIdx, mm.endIdx, mm.stepCounts.toSeq))
+        if (got.nonEmpty) nonEmpty += 1
+        assert(got == wantBuf.toSeq,
+          s"trial $trial key $k pattern $pat:\n got=$got\n want=${wantBuf.toSeq}\n str=$str")
+      }
+    }
+    assert(nonEmpty >= 15, s"only $nonEmpty key-sequences produced anchored matches")
+  }
+
+  test("anchored-end RELAXED {1,1} matcher == java.util.regex lazy-gap form with '$'") {
+    // independent reference for the pinned-final DFS: relaxed {1,1}
+    // steps with gap rows are the regex `s0(?:.*?)s1(?:.*?)...sk$` —
+    // lazy gaps prefer the earliest next step (first-qualifying) and
+    // regex backtracking grows them until the final symbol sits on the
+    // last char, exactly the anchored search order
+    val rnd = new scala.util.Random(1301)
+    val charOf = Map("A" -> 'a', "B" -> 'b', "C" -> 'c', "D" -> 'd', "X" -> 'x')
+    var nonEmpty = 0
+    for (trial <- 0 until 40) {
+      val nSteps = 2 + rnd.nextInt(3)
+      val steps = (0 until nSteps).map(_ =>
+        CepStep(symbols(rnd.nextInt(symbols.size)), 1, Some(1)))
+      val within = if (rnd.nextBoolean()) Some(120 + rnd.nextInt(300)) else None
+      val pat = CepPattern(steps, within, SkipToNextRow, strict = false)
+      val rx = java.util.regex.Pattern.compile(
+        steps.map(s => s"${charOf(s.symbol)}").mkString("(?:.*?)") + "$")
+      randomEvents(rnd, 3).groupBy(_._1).foreach { case (k, rows) =>
+        val sorted = rows.sortBy(r => (r._3, r._4))
+        val seq = sorted.map(r => CepEvent(r._2, r._3, r._4)).toIndexedSeq
+        val str = sorted.map(r => charOf(r._2)).mkString
+        val wantBuf = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        val m = rx.matcher(str)
+        var from = 0
+        while (from <= str.length && m.find(from)) {
+          val (s0, e0) = (m.start, m.end - 1)
+          val ok = within.forall(w =>
+            seq(e0).tsUs - seq(s0).tsUs <= w * 60L * 1000000L)
+          if (ok) wantBuf += ((s0, e0))
+          from = s0 + 1
+        }
+        val got = Cep.matchCoreAnchoredEnd(seq.size, i => seq(i).tsUs, pat,
+            (si, ei, _) => seq(ei).sym == pat.steps(si).symbol)
+          .map(mm => (mm.startIdx, mm.endIdx))
+        if (got.nonEmpty) nonEmpty += 1
+        assert(got == wantBuf.toSeq,
+          s"trial $trial key $k pattern $pat:\n got=$got\n want=${wantBuf.toSeq}\n str=$str")
+      }
+    }
+    assert(nonEmpty >= 15, s"only $nonEmpty key-sequences produced anchored matches")
+  }
+
   test("CepPattern.repeat: unrolled group == java.util.regex GROUP-form repetition") {
     // validates the unroll IDENTITY, not just the matcher: the regex is
     // written in group form `(?:g){n}` (java.util.regex implements true

@@ -700,6 +700,30 @@ class PipelineSpec extends SparkSuite {
       s"convergence bought no recall: refine $recRef, converged $recConv")
   }
 
+  test("capped base + convergence recovers the recall the cap gave up") {
+    val e = Tables.embeddings(spark, sf001)
+    def pairs(df: org.apache.spark.sql.DataFrame, a: String, b: String) =
+      df.select(col(a), col(b)).as[(Long, Long)].collect().toSet
+    val exact = pairs(graft.api.Similarity.cosineTopK(e, e, "vec_id",
+      "embedding", 5), "probe_id", "neighbor_id")
+    val capped = pairs(graft.api.Similarity.knnGraphCapped(e, "vec_id",
+      "embedding", 5, tables = 8, bits = 6, cap = 16), "src_id", "neighbor_id")
+    val cc = pairs(graft.api.Similarity.knnGraphConverged(e, "vec_id",
+      "embedding", 5, tables = 8, bits = 6, cap = Some(16)),
+      "src_id", "neighbor_id")
+    val uncappedBase = pairs(graft.api.Similarity.knnGraph(e, "vec_id",
+      "embedding", 5, tables = 8, bits = 6), "src_id", "neighbor_id")
+    def rec(s: Set[(Long, Long)]) = (s & exact).size.toDouble / exact.size
+    info(s"recall: capped base ${rec(capped)}, capped+converged ${rec(cc)}, " +
+      s"uncapped single-shot ${rec(uncappedBase)}")
+    // the production claim: the NN-Descent rounds recover (and exceed)
+    // what the cap gave up — the composition must beat BOTH the capped
+    // base and the uncapped single-shot graph
+    assert(rec(cc) >= rec(capped), "convergence lost recall vs its own base")
+    assert(rec(cc) >= rec(uncappedBase),
+      "capped+converged must beat the uncapped single-shot graph")
+  }
+
   test("weighted sample: exact local A-ES replay, and top-k plans as TakeOrdered") {
     // the engine's md5-uniform + pow key, replayed in plain Scala —
     // pins every arithmetic step of Sampling.weightedSample
