@@ -86,7 +86,11 @@ object BenchScale {
     * 100x corpus). */
   private val keys100 = Seq("dedup_containment", "dedup_ngram_jaccard",
     "text_tfidf", "dedup_clusters",
-    "dedup_winnow", "dedup_minhash", "dedup_span_maxrun", "sim_ivfadc")
+    "dedup_winnow", "dedup_minhash", "dedup_span_maxrun", "sim_ivfadc",
+    // round-13: confirm the cap's linear candidate bound over TWO
+    // decades (the uncapped sibling measured 0.86/decade at 10x —
+    // the deliberate fixed-bits quadratic term; capped read 0.39)
+    "sim_knn_graph_capped")
   private val Factor100 = 100
 
   /** 100 isolated documents + embeddings copies — same isolation

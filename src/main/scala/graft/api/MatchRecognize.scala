@@ -659,10 +659,13 @@ object MatchRecognize {
       vs += ident()
       while (peek.exists(_.text == ",")) { p += 1; vs += ident() }
       eatSym(")")
-      require(peek.exists(_.text == ")"),
+      // the consume-nothing '$' anchor may follow (PERMUTE(...) $) —
+      // it pins ends, never multiplies branches
+      require(peek.exists(t => t.text == ")" || t.text == "$"),
         "PERMUTE(...) must be the whole PATTERN — composing it with " +
           "other elements would multiply the factorial branch count; " +
-          "restructure the pattern")
+          "restructure the pattern (the '$' anchor is the one allowed " +
+          "suffix)")
       val perm = vs.result()
       require(perm.size >= 2, "PERMUTE needs at least two variables")
       require(perm.size <= 4,

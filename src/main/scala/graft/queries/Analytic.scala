@@ -592,6 +592,13 @@ object Analytic {
       MatchRecognize.run(Tables.events(s, d), CepSql.anchorEndAlt)
         .orderBy("user_id", "start_id")),
 
+    // '$' × PERMUTE: the partition's LAST three rows as any ordering of
+    // {click, view, purchase} — the end pin per expanded branch before
+    // the earliest-ordering dedup, same mechanics as _alt.
+    "event_cep_sql_anchor_end_permute" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.anchorEndPermute)
+        .orderBy("user_id", "start_id")),
+
     // '$' × ITERATIVE DEFINE (round-13 lift): the successor pinned to
     // the partition's last row by the pinned-final anchored matcher.
     // Independent oracle: per purchase anchor, match iff the user's
@@ -1111,6 +1118,22 @@ object Analytic {
         |  DEFINE hi AS hi.event_type IN ('view', 'click') AND hi.value >= 50,
         |         lo AS lo.event_type IN ('view', 'click') AND lo.value >= 10,
         |         buy AS buy.event_type = 'purchase'
+        |)""".stripMargin
+    // PERMUTE + '$' (the round-13 alternation lift covers PERMUTE —
+    // strict {1,1} branches): the {click, view} permutation pinned to
+    // the partition's LAST two rows, either order, within 24 h (the
+    // 3-permutation tail never occurs on this fixture, and a 2 h bound
+    // empties the sf0.001 smoke fixture).
+    val anchorEndPermute: String =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (PERMUTE(c, v) $)
+        |  WITHIN INTERVAL '1440' MINUTE
+        |  DEFINE c AS event_type = 'click',
+        |         v AS event_type = 'view'
         |)""".stripMargin
     // ITERATIVE DEFINE + '$' (round-13 lift): the iterHigher
     // FIRST(a.value) pattern with the SUCCESSOR PINNED to the
@@ -1965,6 +1988,8 @@ object Analytic {
     // mirroring runAlternation's pinned union.
     "event_cep_sql_anchor_end_alt" ->
       MatchRecognize.oracleFor(CepSql.anchorEndAlt),
+    "event_cep_sql_anchor_end_permute" ->
+      MatchRecognize.oracleFor(CepSql.anchorEndPermute),
     // iterative + '$': independent formulation — per purchase anchor,
     // the match exists iff the user's LAST row (ts desc, id desc) is a
     // purchase with a strictly higher value within 24 h of the anchor.
