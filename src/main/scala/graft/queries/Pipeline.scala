@@ -623,8 +623,12 @@ object Pipeline {
     // The PRODUCTION composition: the CAPPED base graph (linear
     // candidate volume) iterated to the NN-Descent fixpoint (the
     // rounds recover the recall the cap gave up — degree-bounded, so
-    // the loop itself needs no cap). Oracle = the capped base CTEs
-    // under the same unrolled rounds.
+    // the loop itself needs no cap; PipelineSpec measures recall 0.52
+    // vs the uncapped single-shot graph's 0.31). At sf0.1 this costs
+    // about the same as the uncapped fixpoint — the weaker base needs
+    // an extra round or two — because the cap's candidate savings are
+    // a SCALING property (0.42/decade over two decades, BENCH_SCALE),
+    // not an sf0.1 constant.
     "sim_knn_graph_capped_converged" -> ((s, d) =>
       Similarity.knnGraphConverged(Tables.embeddings(s, d), "vec_id",
           "embedding", 5, tables = 8, bits = 6, cap = Some(16))

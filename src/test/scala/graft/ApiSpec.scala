@@ -265,6 +265,39 @@ class ApiSpec extends SparkSuite {
       .getMessage.contains("positive"))
   }
 
+  test("Sinks.zorderPlan3: exact 3-way Morton interleave, cells partition the table") {
+    val sp = spark
+    import sp.implicits._
+    // x, y, w ∈ 0..7 with extremes present → span 8, bucket = value at
+    // bits=3, so z is the plain 3-way Morton code — replay locally
+    val pts = Seq((0L, 0L, 0L), (7L, 7L, 7L), (3L, 5L, 1L), (7L, 0L, 4L),
+      (2L, 2L, 2L), (3L, 5L, 1L))
+    val df = pts.toDF("x", "y", "w")
+    def morton3(x: Long, y: Long, w: Long): Long =
+      (0 until 3).map(i => (((x >> i) & 1L) << (3 * i + 2)) |
+        (((y >> i) & 1L) << (3 * i + 1)) | (((w >> i) & 1L) << (3 * i))).sum
+    val got = Sinks.zorderPlan3(df, col("x"), col("y"), col("w"), bits = 3)
+      .select("z", "n_rows").as[(Long, Long)].collect().toMap
+    val want = pts.groupBy { case (x, y, w) => morton3(x, y, w) }
+      .map { case (z, g) => z -> g.size.toLong }
+    assert(got == want, s"$got != $want")
+    // on the real table: cells tile the input, z bounded by 2^(3*bits)
+    val ev = Tables.events(spark, sf001)
+    val plan = Sinks.zorderPlan3(ev, col("user_id"),
+      org.apache.spark.sql.functions.floor(
+        org.apache.spark.sql.functions.coalesce(col("value"),
+          org.apache.spark.sql.functions.lit(0.0)) * 100 +
+          org.apache.spark.sql.functions.lit(0.5)),
+      org.apache.spark.sql.functions.expr("unix_micros(ts) div 3600000000"),
+      bits = 3)
+    val (cells, total, zmax) = plan
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum("n_rows"),
+        org.apache.spark.sql.functions.max("z"))
+      .as[(Long, Long, Long)].head()
+    assert(total == ev.count()); assert(zmax < 512 && cells > 1)
+  }
+
   test("Sinks.zorderPlan: exact Morton interleave, cells partition the table") {
     val sp = spark
     import sp.implicits._
