@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.streaming.{Ev, Limit, Rule, StreamOps}
+import graft.streaming.{EmbRow, Ev, Limit, Rule, StreamOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -351,6 +351,26 @@ object Streaming {
       graft.api.MatchRecognize.streamMeasuresSelect(m, spec, "user_id")
         .withColumn("mean_v", graft.Det.round2(col("mean_v")))
         .orderBy("user_id", "start_id")
+    }),
+
+    // Streaming ANN SERVING (StreamOps.lshServe — the RAG-ingestion
+    // shape): probe vectors stream against the STATIC corpus via a
+    // stream-static LSH bucket join, exact-cosine verify, stateless
+    // per-batch top-k. Batch replay here IS Similarity.lshTopK (same
+    // planes, same tiebreaks), so the key shares sim_lsh_bucketed's
+    // generated md5-plane oracle; chopped-stream == batch equality is
+    // pinned in StreamingSpec.
+    "stream_sim_topk" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val e = Tables.embeddings(s, d)
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding")).as[EmbRow]
+      StreamOps.lshServe(e, probes, 5, tables = 8, bits = 6, dim = 64,
+          streaming = false)
+        .select(col("probe_id"), col("rnk"), col("neighbor_id"),
+          graft.Det.round4(col("cos")).as("cos"))
+        .orderBy("probe_id", "rnk")
     }),
 
     // ITERATIVE conditions on the seal-aware streaming route (round-12
@@ -711,6 +731,10 @@ object Streaming {
     // iterative-condition batch replay = the independent first-higher-
     // successor oracle shared with event_cep_iterative
     "stream_cep_iter" -> Analytic.oracles("event_cep_iterative"),
+    // ANN serving batch replay = lshTopK's generated md5-plane oracle
+    // (the same parameters as sim_lsh_bucketed)
+    "stream_sim_topk" -> graft.api.Similarity.lshTopKOracleSql(5,
+      tables = 8, bits = 6, probeIdBound = 10),
     "stream_cep_permute" -> Analytic.oracles("event_cep_sql_permute"),
     "stream_dedup_minhash" -> graft.api.Dedup.minhashIncrementalOracleSql(0.7),
     "stream_cep_exclude" -> Analytic.oracles("event_cep_sql_exclude"),

@@ -25,6 +25,12 @@ private[streaming] case class CepState(run: Seq[Long])
 /** One `C+ P` match with MEASURES (StreamOps.cepMeasures): the per-step
   * row aggregates MATCH_RECOGNIZE projects — click-run count/span plus
   * sum/avg/max of the run's values and the purchase row's own value. */
+/** A probe vector arriving on a stream (the ANN-serving input shape). */
+case class EmbRow(vec_id: Long, embedding: Seq[Float])
+
+/** One served ANN result row ([[StreamOps.lshServe]]). */
+case class AnnHit(probe_id: Long, rnk: Int, neighbor_id: Long, cos: Double)
+
 case class CepMeasured(user_id: Long, purchase_id: Long, purchase_ts: java.sql.Timestamp,
                        n_clicks: Long, first_click_ts: java.sql.Timestamp,
                        last_click_ts: java.sql.Timestamp, sum_click: Double,
@@ -2063,6 +2069,70 @@ object StreamOps extends Serializable {
             }
         }
     }
+  }
+
+  /** Streaming ANN SERVING (the RAG-ingestion shape: every arriving
+    * probe vector gets its top-`k` cosine neighbors from a STATIC
+    * corpus): the probe stream explodes to its LSH (table, bucket)
+    * keys and STREAM-STATIC equi-joins the corpus's bucket memberships
+    * — the static side is an ordinary relation (broadcast-able,
+    * nothing buffers, no watermark needed because the corpus never
+    * changes mid-query) — then exact cosine verifies candidates and a
+    * per-probe top-k ranks them. The rank runs inside a STATELESS
+    * flatMapGroupsWithState (state is never written): a probe's
+    * candidates all arrive in the micro-batch the probe itself
+    * generated them in, so the per-batch rank is complete — append
+    * mode forbids rank windows, which is the only reason this is not
+    * [[graft.api.Similarity.lshTopK]]'s window verbatim.
+    *
+    * Batch replay (streaming = false) IS `Similarity.lshTopK` — the
+    * identical planes, candidates, cosine arithmetic and tiebreaks, so
+    * the declared key shares the generated md5-plane oracle, and
+    * StreamingSpec pins streamed == batch on chopped probe streams.
+    *
+    * 100 TB shape: the corpus side's bucket table is computed once per
+    * query (in production: stored next to the corpus); per probe the
+    * work is its `tables` bucket lookups + exact verifies —
+    * O(occupancy · tables) rows per probe, bounded by the documented
+    * bits/cap discipline regardless of probe-stream length.
+    */
+  def lshServe(corpus: DataFrame, probes: Dataset[EmbRow], k: Int,
+               tables: Int, bits: Int, dim: Int,
+               streaming: Boolean): DataFrame = {
+    import probes.sparkSession.implicits._
+    import graft.functions.GraftFunctions.{vec_dot, vec_norm}
+    if (!streaming)
+      return graft.api.Similarity.lshTopK(corpus, probes.toDF(), "vec_id",
+        "embedding", k, tables, bits, dim)
+    val planes = graft.api.Similarity.lshPlanes(tables, bits, dim)
+    val cb = corpus.select(col("vec_id").as("neighbor_id"),
+      posexplode(graft.functions.Signatures.lsh_bucket_sig(
+        col("embedding"), planes, tables, bits)).as(Seq("tbl", "bkt")))
+    val nv = corpus.select(col("vec_id").as("__nid"),
+      col("embedding").as("nv"), vec_norm(col("embedding")).as("nn"))
+    val cn = cb.join(nv, col("neighbor_id") === col("__nid")).drop("__nid")
+    val pb = probes.toDF().select(col("vec_id").as("probe_id"),
+      col("embedding").as("pv"), vec_norm(col("embedding")).as("pn"),
+      posexplode(graft.functions.Signatures.lsh_bucket_sig(
+        col("embedding"), planes, tables, bits)).as(Seq("tbl", "bkt")))
+    pb.join(cn, Seq("tbl", "bkt"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", vec_dot(col("pv"), col("nv")) / (col("pn") * col("nn")))
+      .select(col("probe_id"), col("neighbor_id"), col("cos"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, AnnHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (probe: Long, it: Iterator[(Long, Long, Double)], _: GroupState[Boolean]) =>
+          // stateless per-batch rank: dedupe the per-table bucket
+          // collisions (same pair carries the same cos), then order
+          // (cos desc, id) — Similarity.lshTopK's exact tiebreak
+          val best = it.map { case (_, nbr, cos) => (nbr, cos) }.toMap
+          best.toSeq.sortBy { case (nbr, cos) => (-cos, nbr) }
+            .take(k).zipWithIndex.iterator
+            .map { case ((nbr, cos), i) => AnnHit(probe, i + 1, nbr, cos) }
+      }
+      .toDF()
   }
 
   /** CEP MEASURES over pattern variables (SQL MATCH_RECOGNIZE

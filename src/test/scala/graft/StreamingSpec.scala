@@ -634,6 +634,35 @@ class StreamingSpec extends SparkSuite {
     assert(got == batch, s"stream $got != batch replay $batch")
   }
 
+  test("streaming ANN serving: chopped probe stream equals the batch lshTopK") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Tables.embeddings(spark, sf001)
+    val probeRows = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+      .map { case (id, v) => graft.streaming.EmbRow(id, v) }
+    val ms = MemoryStream[graft.streaming.EmbRow]
+    val q = StreamOps.lshServe(corpus, ms.toDS(), 5, tables = 8, bits = 6,
+        dim = 64, streaming = true)
+      .writeStream.format("memory").queryName("annserve")
+      .outputMode("append").start()
+    // three uneven micro-batches — each probe's results must be
+    // complete within its own batch (stream-static join, no state)
+    Seq(probeRows.take(3), probeRows.slice(3, 4), probeRows.drop(4)).foreach {
+      b => ms.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("annserve")
+      .select("probe_id", "rnk", "neighbor_id", "cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val want = StreamOps.lshServe(corpus,
+        probeRows.toDS(), 5, tables = 8, bits = 6, dim = 64, streaming = false)
+      .select("probe_id", "rnk", "neighbor_id", "cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(got == want && want.nonEmpty,
+      s"streamed ${got.size} rows != batch ${want.size}")
+  }
+
   test("iterative CEP over random batch splits equals batch replay") {
     // the seal-aware guarantee for the iterative route: however the
     // in-order stream is chopped, emitted matches equal the batch
