@@ -107,6 +107,23 @@ object Bpe {
     } finally wf.unpersist()
   }
 
+  /** Sample-train / full-encode (round-13 verdict item 4 — the
+    * standard corpus-scale BPE discipline): merges learned on a
+    * DETERMINISTIC stratified sample ([[Sampling.stratified]]'s
+    * md5-ranked per-stratum prefix, so the oracle replays the sample
+    * bit-for-bit), then applied to the FULL corpus via
+    * [[encodeWord]]/[[docTokens]]. At 100 TB this turns [[train]]'s
+    * O(nMerges × corpus-aggregate) training term into O(nMerges ×
+    * sample): every merge round's word-frequency pass sees only the
+    * sample, and the full corpus is touched exactly once by the
+    * codegen'd encode chain — BENCH_SCALE measures the training term
+    * flat across the factor-100 sweep. */
+  def trainSampled(docs: DataFrame, idCol: String, strataCols: Seq[String],
+                   textCol: String, nMerges: Int,
+                   frac: Double): Seq[BpeMerge] =
+    train(Sampling.stratified(docs, idCol, strataCols, frac),
+      textCol, nMerges)
+
   /** The learned merge table as a DataFrame — the `text_bpe_vocab`
     * shape: (rank, lft, rgt, merged, cnt). */
   def vocabDf(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
@@ -169,12 +186,14 @@ object Bpe {
   }
 
   /** Full `text_bpe_vocab` oracle: the training unroll, winners
-    * union-ed in rank order. */
-  def vocabOracleSql(nMerges: Int): String = {
+    * union-ed in rank order. `table` may be any FROM-able SQL (a
+    * parenthesized aliased subquery included) — the sample-trained
+    * keys pass the deterministic stratified sample here. */
+  def vocabOracleSql(nMerges: Int, table: String = "documents"): String = {
     val unions = (0 until nMerges).map(r =>
       s"SELECT CAST($r AS INTEGER) AS rank, lft, rgt, lft || rgt AS merged, c AS cnt FROM b$r")
       .mkString("\nUNION ALL\n")
-    s"""${trainOracleCtes(nMerges)}
+    s"""${trainOracleCtes(nMerges, table)}
        |$unions
        |ORDER BY rank""".stripMargin
   }
@@ -205,11 +224,13 @@ object Bpe {
   private def winnerAliases(nMerges: Int): String =
     (0 until nMerges).map(r => s"b$r AS m$r").mkString(", ")
 
-  /** `corpus_chunk_bpe` oracle: training unroll, then each document's
-    * BPE token stream chunked exactly like corpus_chunk (32-token
-    * chunks at stride 24). */
-  def chunkOracleSql(nMerges: Int, chunk: Int, stride: Int): String = {
-    s"""${trainOracleCtes(nMerges)},
+  /** `corpus_chunk_bpe` oracle: training unroll (over `trainTable` —
+    * the FULL corpus or a deterministic sample), then each FULL-corpus
+    * document's BPE token stream chunked exactly like corpus_chunk
+    * (32-token chunks at stride 24). */
+  def chunkOracleSql(nMerges: Int, chunk: Int, stride: Int,
+                     trainTable: String = "documents"): String = {
+    s"""${trainOracleCtes(nMerges, trainTable)},
        |d AS MATERIALIZED (SELECT doc_id,
        |        ${docToksListSql(nMerges)} AS toks
        |      FROM documents, ${winnerAliases(nMerges)}),

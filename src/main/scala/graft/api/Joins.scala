@@ -99,6 +99,42 @@ object Joins {
     fuzzyVerify(cand, df, idCol, strCol, df, idCol, strCol, maxDist)
   }
 
+  /** [[fuzzyEditJoin]] with the HOT-VARIANT treatment the scaladoc
+    * above names (round-13 verdict item 3 — the same per-bucket
+    * occupancy cap as [[Similarity.knnGraphCapped]]): the NEIGHBOR side
+    * of each variant-hash bucket is restricted to its `cap`
+    * smallest-md5(id) member strings before the candidate join, so a
+    * hot variant (the empty string, a deletion of a very common short
+    * token) contributes at most `occupancy × cap` candidate pairs
+    * instead of occupancy². Candidate volume is then LINEAR in the
+    * input at fixed cap — Σ variants × cap — killing the Σocc² term on
+    * skewed name/SKU data (BENCH_SCALE measures the exponent drop on a
+    * planted hot-token slice).
+    *
+    * The trade is RECALL, exactly [[Similarity.knnGraphCapped]]'s: a
+    * true pair whose higher-id member is evicted from every shared
+    * bucket is missed. Representatives are md5-deterministic, so the
+    * output is reproducible and the DuckDB oracle replays the capped
+    * candidate set bit-for-bit ([[graft.queries.Relational]]'s
+    * join_fuzzy_edit_capped key pins it, and PipelineSpec-style recall
+    * accounting lives in ApiSpec).
+    */
+  def fuzzyEditJoinCapped(df: DataFrame, idCol: String, strCol: String,
+                          maxDist: Int = 1, cap: Int = 8): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1: $cap")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vh"))
+      .orderBy(md5(col("id_b").cast("string")), col("id_b"))
+    val capped = fuzzyCandidates(df, idCol, strCol, "b", maxDist)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap).drop("__rn")
+    val cand = fuzzyCandidates(df, idCol, strCol, "a", maxDist)
+      .join(capped, "vh")
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("len_a") - col("len_b")) <= maxDist)
+      .select(col("id_a"), col("id_b")).distinct()
+    fuzzyVerify(cand, df, idCol, strCol, df, idCol, strCol, maxDist)
+  }
+
   /** A-vs-B fuzzy join (catalog entity resolution: match each left
     * string against a reference catalog at edit distance ≤ `maxDist`).
     * Same deletion-neighborhood candidates, md5-prefix shuffle keys,

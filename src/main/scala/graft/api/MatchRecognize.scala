@@ -1254,31 +1254,53 @@ object MatchRecognize {
     * documented match-filter equivalence ([[applyAnchors]]).
     */
   private def validateAnchorEnd(spec: MrSpec): Unit = {
-    val oneRowPlain = !spec.allRows && spec.measures.isEmpty
+    // Round-14 lift: general MEASURES (ONE ROW PER MATCH) now compose
+    // with every anchored route — the anchored matcher's CONSUMED-ROW
+    // projection feeds the same runMeasures executor as the unanchored
+    // twins ([[runIterConsumed]]'s anchored mode / the per-branch pin in
+    // [[alternationConsumed]]). ALL ROWS and the compiled `step_sums`
+    // form stay rejected: both would need the anchored search threaded
+    // through the compiled run-table plans, and a post-filter there
+    // under-matches (the round-12 lesson).
+    val oneRowGeneral = !spec.allRows && spec.measuresValCol.isEmpty
     if (spec.hasAlternation) {
-      require(oneRowPlain && spec.expandBranches.forall(_.strict),
+      // Strict alone is NOT enough: a RELUCTANT quantifier inside a
+      // strict branch commits to minimal ends, and the per-branch end
+      // pin is a post-filter over that committed end — it would
+      // silently drop matches whose anchored resolution extends the
+      // reluctant step to the last row (the round-13 ADVICE finding).
+      // Anchored alternation therefore requires every branch strict
+      // AND all-greedy, where the segment decomposition is forced by
+      // the symbol runs and branch-end-at-last-row IS the anchored
+      // branch condition.
+      require(oneRowGeneral && spec.expandBranches.forall(b =>
+          b.strict && b.stepElems.forall(_.greedy)),
         "'$' anchor with alternation/PERMUTE is supported for ONE ROW " +
-          "PER MATCH with STRICT branches (the end pin applies per " +
-          "branch before the leftmost-branch dedup); relaxed branches " +
-          "or MEASURES/ALL ROWS under '$' would under-match — drop " +
-          "'$' or restructure the pattern")
+          "PER MATCH with STRICT ALL-GREEDY branches (the end pin " +
+          "applies per branch before the leftmost-branch dedup, and " +
+          "only a forced greedy decomposition makes that pin exact); " +
+          "relaxed or reluctant branches, ALL ROWS, or the compiled " +
+          "step_sums MEASURES under '$' would under-match — drop '$' " +
+          "or restructure the pattern")
     } else if (spec.isIterative) {
-      require(oneRowPlain && spec.stepElems.forall(e =>
+      require(oneRowGeneral && spec.stepElems.forall(e =>
           !e.negated && e.minRep == 1 && e.maxRep.contains(1)),
         "'$' anchor with DEFINE navigation / aggregate conditions is " +
           "supported for ONE ROW PER MATCH patterns whose steps are " +
           "all {1,1} and non-negated (the pinned-final anchored " +
           "matcher); general quantifiers under iterative conditions " +
-          "would need per-anchor speculative ends — drop '$' or bound " +
+          "would need per-anchor speculative ends, and ALL ROWS / " +
+          "compiled step_sums are not offered — drop '$' or bound " +
           "the steps")
     } else if (spec.stepElems.exists(!_.greedy)) {
-      require(spec.strict && oneRowPlain,
+      require(spec.strict && oneRowGeneral,
         "'$' anchor with a reluctant quantifier is supported for " +
           "STRICT ONE ROW PER MATCH patterns (the per-key anchored " +
-          "backtracking matcher); relaxed reluctant patterns cannot " +
-          "exist (CepPattern invariant) and MEASURES/ALL ROWS on the " +
-          "anchored backtracking route are not offered — drop '$' or " +
-          "make the quantifiers greedy")
+          "backtracking matcher, general MEASURES included); relaxed " +
+          "reluctant patterns cannot exist (CepPattern invariant) and " +
+          "ALL ROWS / compiled step_sums on the anchored backtracking " +
+          "route are not offered — drop '$' or make the quantifiers " +
+          "greedy")
     }
   }
 
@@ -1371,7 +1393,12 @@ object MatchRecognize {
             "match (alias differently, e.g. SUM(value) AS total_v, or " +
             "scope per variable: SUM(a.value) AS a_sum)")
         val (resolved, projs) = resolveMeasuresWithExprs(spec)
-        val consumed = runIterConsumed(df, spec, key, tsC, ordC)
+        // '$': the consumed rows come from the ANCHORED matcher
+        // (pinned-final DFS) — a post-filter over the unanchored
+        // matches would under-match (validateAnchorEnd scoped the
+        // shapes to all-{1,1} non-negated, ONE ROW)
+        val consumed = runIterConsumed(df, spec, key, tsC, ordC,
+          anchoredEnd = spec.anchorEnd)
         return applyMeasureExprs(
           if (spec.allRows)
             runAllRowsMeasures(df, spec, resolved, key, tsC, ordC, consumed)
@@ -1394,7 +1421,20 @@ object MatchRecognize {
     // frames) — see [[runMeasures]] / [[runAllRowsMeasures]].
     if (spec.measures.nonEmpty && (spec.allRows || spec.measuresValCol.isEmpty)) {
       val (resolved, projs) = resolveMeasuresWithExprs(spec)
-      val consumed = consumedRows(df, spec, key, tsC, ordC)
+      // '$' × RELUCTANT (round-14 lift): the consumed rows must come
+      // from the anchored BACKTRACKING matcher — the unanchored
+      // reluctant matcher commits to minimal ends and the anchor
+      // post-filter would silently drop matches whose anchored
+      // resolution extends a reluctant step to the last row.
+      // validateAnchorEnd guarantees strict ONE ROW here, so the
+      // iterative per-key executor (raw DEFINE predicates — identical
+      // to the no-measures anchored route at the symbolic dispatch
+      // below) carries the search. Greedy deterministic-end specs keep
+      // the cheaper post-filter equivalence (applyAnchors).
+      val consumed =
+        if (spec.anchorEnd && spec.stepElems.exists(!_.greedy))
+          runIterConsumed(df, spec, key, tsC, ordC, anchoredEnd = true)
+        else consumedRows(df, spec, key, tsC, ordC)
       return applyMeasureExprs(
         if (spec.allRows)
           runAllRowsMeasures(df, spec, resolved, key, tsC, ordC, consumed)
@@ -2033,13 +2073,30 @@ object MatchRecognize {
     * partitioned — nothing global. */
   private def alternationConsumed(df: DataFrame, spec: MrSpec, key: String,
                                   tsC: String, ordC: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, min}
+    import org.apache.spark.sql.functions.{col, lit, max_by, min, struct}
     val parts = spec.expandBranches.zipWithIndex.map { case (b, i) =>
       consumedRows(df, b, key, tsC, ordC).withColumn("__br", lit(i))
     }
+    val unioned = parts.reduce(_.unionByName(_))
+    // '$' (round-14 MEASURES lift): the end pin applies PER BRANCH
+    // BEFORE the leftmost-branch dedup — the same order as
+    // runAlternation's pinned union (a post-dedup filter would let a
+    // preferred branch that does not end at the last row shadow a
+    // less-preferred branch that does). validateAnchorEnd restricts
+    // this route to strict ALL-GREEDY branches, where the pin is exact.
+    val pinned =
+      if (!spec.anchorEnd) unioned
+      else {
+        val bounds = df.groupBy(col(key).cast("long").as("user_id")).agg(
+          max_by(col(ordC).cast("long"),
+            struct(col(tsC), col(ordC))).as("__last_ord"))
+        unioned.join(bounds, "user_id")
+          .filter(col("end_id") === col("__last_ord"))
+          .drop("__last_ord")
+      }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"), col("start_id"))
-    parts.reduce(_.unionByName(_))
+    pinned
       .withColumn("__minbr", min(col("__br")).over(w))
       .filter(col("__br") === col("__minbr"))
       .drop("__br", "__minbr")
@@ -2220,9 +2277,13 @@ object MatchRecognize {
     * steps in pattern order, each step's rows in consumption order
     * (equal to event order — steps consume sequentially). Placement:
     * one flatMapGroups per key, identical shuffle shape to
-    * [[runIter]]. */
+    * [[runIter]]. With `anchoredEnd`, candidate ends are pinned to the
+    * partition's last row INSIDE the matcher (matchCoreRows'
+    * requiredEnd) — the consumed-row sets of TRUE anchored matches,
+    * never a post-filter over committed unanchored ends. */
   private def runIterConsumed(df: DataFrame, spec: MrSpec, key: String,
-                              tsC: String, ordC: String): DataFrame = {
+                              tsC: String, ordC: String,
+                              anchoredEnd: Boolean = false): DataFrame = {
     val sp = df.sparkSession
     import sp.implicits._
     val prep = iterPrep(df, spec, key, tsC, ordC)
@@ -2230,7 +2291,9 @@ object MatchRecognize {
       val evs = it.toIndexedSeq.sortBy(r => (tsUs(r.ts), r.ord))
       val tsArr = evs.map(r => tsUs(r.ts))
       val sat = prep.satFor(evs)
-      Cep.matchCoreRows(evs.size, i => tsArr(i), prep.pat, sat)
+      val reqEnd = if (anchoredEnd) evs.size - 1 else -1
+      Cep.matchCoreRows(evs.size, i => tsArr(i), prep.pat, sat,
+          requiredEnd = reqEnd)
         .iterator.flatMap { case (m, consumed) =>
           val startId = evs(m.startIdx).ord
           val endId = evs(m.endIdx).ord

@@ -230,7 +230,24 @@ object Similarity {
   def knnGraphConverged(corpus: DataFrame, idCol: String, vecCol: String,
                         k: Int, tables: Int = 4, bits: Int = 8,
                         dim: Int = 64, maxIters: Int = 16,
-                        cap: Option[Int] = None): DataFrame = {
+                        cap: Option[Int] = None): DataFrame =
+    knnGraphConvergedWithRound(corpus, idCol, vecCol, k, tables, bits,
+      dim, maxIters, cap)._1
+
+  /** [[knnGraphConverged]] plus the CONVERGENCE ROUND (the 1-based
+    * refine round whose edge delta was zero). The round is what couples
+    * the engine's fixpoint to the generated oracle's fixed unroll
+    * depth: the oracle replays the converged edges only when its
+    * unroll >= this round (idempotence past the fixpoint), so callers
+    * registering the oracle must assert `round <= unroll` LOUDLY —
+    * otherwise a data/parameter change that pushes the fixpoint past
+    * the unroll would replay a truncated graph and masquerade as an
+    * engine bug (round-13 ADVICE). */
+  def knnGraphConvergedWithRound(corpus: DataFrame, idCol: String,
+                        vecCol: String,
+                        k: Int, tables: Int = 4, bits: Int = 8,
+                        dim: Int = 64, maxIters: Int = 16,
+                        cap: Option[Int] = None): (DataFrame, Int) = {
     def und(e: DataFrame): DataFrame =
       e.union(e.select(col("neighbor_id").as("src_id"),
         col("src_id").as("neighbor_id")))
@@ -276,7 +293,7 @@ object Similarity {
         .filter(col("count") === 1).count()
       // fixpoint: `ranked` plans over the CHECKPOINTED edges, so the
       // returned frame re-runs one refine body, not the whole history
-      if (d == 0L) return ranked
+      if (d == 0L) return (ranked, it + 1)
       // new edges stay a small lazy plan over the two checkpoints
       fresh = next.except(edges)
       edges = next

@@ -585,6 +585,16 @@ object Analytic {
       MatchRecognize.run(Tables.events(s, d), CepSql.anchorEndReluctant)
         .orderBy("user_id", "start_id")),
 
+    // '$' × RELUCTANT × general MEASURES (round-14 lift): per-variable
+    // scoped aggregates over the anchored backtracking matcher's
+    // consumed rows. Oracle: the greedy twin's generated match oracle
+    // + last-row pin (decomposition forced under the pin), measures
+    // recomputed literally over each match's contiguous span.
+    "event_cep_sql_anchor_end_measures" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.anchorEndMeasures)
+        .withColumn("view_sum", Det.round2(col("view_sum")))
+        .orderBy("user_id", "start_id")),
+
     // '$' × ALTERNATION (round-13 lift): overlapping value-predicate
     // branches, end pin per branch BEFORE the leftmost-branch dedup.
     // Oracle generated from the same text (oracleFor's pinned union).
@@ -923,6 +933,20 @@ object Analytic {
       (e, _) => e.event_type == "purchase",
       (e, ctx) => e.event_type == "purchase" && ctx(0).nonEmpty &&
         e.value > ctx(0).head.value)
+    // QUANTIFIED iterative condition (round-14 — the streaming seal
+    // route's generalization target): the anchor step consumes a
+    // CONTIGUOUS purchase run of 1-2 rows (greedy), and the successor
+    // step's predicate references the run's FIRST consumed row — a
+    // genuine quantifier × IterativeCondition composition, not
+    // expressible by the {1,1} route.
+    val iterQuant = CepPattern(Seq(CepStep("p_run", 1, Some(2)),
+      CepStep("p_higher", 1, Some(1))), Some(1440), SkipToNextRow,
+      strict = false)
+    val iterQuantConds: IndexedSeq[(Ev, IndexedSeq[Seq[Ev]]) => Boolean] =
+      IndexedSeq(
+        (e, _) => e.event_type == "purchase",
+        (e, ctx) => e.event_type == "purchase" && ctx(0).nonEmpty &&
+          e.value > ctx(0).head.value)
   }
 
   /** MATCH_RECOGNIZE clause texts for the `event_cep_sql*` keys — the
@@ -1097,6 +1121,28 @@ object Analytic {
       """SELECT * FROM events MATCH_RECOGNIZE (
         |  PARTITION BY user_id
         |  ORDER BY ts, event_id
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (view+? purchase{1,2}? $)
+        |  DEFINE view AS event_type = 'view',
+        |         purchase AS event_type = 'purchase'
+        |)""".stripMargin
+    // RELUCTANT + '$' + general MEASURES (round-14 lift of the last
+    // residual rejection on this route): the anchored BACKTRACKING
+    // matcher's CONSUMED-ROW projection feeds the same runMeasures
+    // executor as the unanchored twins — per-variable scoped
+    // aggregates over true anchored matches, never a post-filter.
+    // Measure equality with the greedy twin holds for the same reason
+    // the match set does: under the end pin a strict segment's
+    // decomposition is forced by the symbol runs, so each variable's
+    // consumed rows are forced too.
+    val anchorEndMeasures: String =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES COUNT(view.*) AS n_views,
+        |           SUM(view.value) AS view_sum,
+        |           LAST(purchase.value) AS last_p_v
         |  ONE ROW PER MATCH
         |  AFTER MATCH SKIP TO NEXT ROW
         |  PATTERN (view+? purchase{1,2}? $)
@@ -1982,6 +2028,44 @@ object Analytic {
          |SELECT b.* FROM ($base) b
          |JOIN bd ON b.user_id = bd.__k AND b.end_id = bd.__last
          |ORDER BY user_id, start_id""".stripMargin
+    },
+    // reluctant + '$' + MEASURES replay: the greedy twin's generated
+    // MATCH oracle + the last-row pin gives the anchored match set
+    // (the decomposition-forcing argument above), and the measures are
+    // recomputed LITERALLY over each match's contiguous consumed span
+    // (strict pattern: rows rn_start..rn_end), variable scope =
+    // event_type (the DEFINEs are type equalities).
+    "event_cep_sql_anchor_end_measures" -> {
+      val twin = CepSql.anchorEndMeasures
+        .replace("view+?", "view+").replace("purchase{1,2}?", "purchase{1,2}")
+        .replace("""  MEASURES COUNT(view.*) AS n_views,
+                    |           SUM(view.value) AS view_sum,
+                    |           LAST(purchase.value) AS last_p_v
+                    |""".stripMargin, "")
+      val base = MatchRecognize.oracleFor(twin)
+      s"""WITH bd AS (SELECT user_id AS __k, event_id AS __last FROM (
+         |  SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts DESC, event_id DESC) AS __rn FROM events) WHERE __rn = 1),
+         |base AS ($base),
+         |p AS (SELECT b.* FROM base b
+         |      JOIN bd ON b.user_id = bd.__k AND b.end_id = bd.__last),
+         |e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts, value, event_type,
+         |        row_number() OVER (PARTITION BY user_id
+         |                           ORDER BY ts, event_id) AS rn FROM events),
+         |pr AS (SELECT p.user_id, p.start_id, p.start_ts, p.end_id, p.end_ts,
+         |              p.n_rows, s.rn AS rs, t.rn AS re
+         |       FROM p JOIN e s ON s.user_id = p.user_id AND s.event_id = p.start_id
+         |              JOIN e t ON t.user_id = p.user_id AND t.event_id = p.end_id)
+         |SELECT pr.user_id, pr.start_id, pr.start_ts, pr.end_id, pr.end_ts,
+         |       pr.n_rows,
+         |       CAST(count(CASE WHEN e.event_type = 'view' THEN 1 END) AS BIGINT)
+         |         AS n_views,
+         |       floor(sum(CASE WHEN e.event_type = 'view' THEN e.value END)
+         |         * 100 + 0.5) / 100 AS view_sum,
+         |       arg_max(e.value, e.rn) FILTER (WHERE e.event_type = 'purchase')
+         |         AS last_p_v
+         |FROM pr JOIN e ON e.user_id = pr.user_id AND e.rn BETWEEN pr.rs AND pr.re
+         |GROUP BY ALL ORDER BY pr.user_id, pr.start_id""".stripMargin
     },
     // alternation + '$': generated from the same text — oracleFor pins
     // each branch's end to the last row BEFORE the leftmost dedup,

@@ -44,6 +44,40 @@ object Pipeline {
     * fixture vocabulary, bounded so the unrolled oracle stays readable. */
   private val BpeMergeRounds = 12
 
+  /** Unroll depth of the two knnGraphConverged oracles. The oracle
+    * replays the converged edges only when the engine's fixpoint lands
+    * at or before this round (idempotence makes deeper unrolls equal),
+    * so [[convergedCoupled]] asserts that coupling at query-build time
+    * — a data/parameter change pushing the fixpoint past the unroll
+    * fails LOUDLY here instead of masquerading as a hash mismatch
+    * (round-13 ADVICE). */
+  private val ConvergedOracleRounds = 8
+
+  /** The deterministic 20% stratified document sample as FROM-able
+    * DuckDB SQL — the replay of `Sampling.stratified(documents,
+    * doc_id, [lang], 0.2)` the sample-trained BPE oracles train on
+    * (same md5-ranked per-stratum prefix as the sample_stratified
+    * oracle). */
+  private val SampledDocsSql: String =
+    """(SELECT text FROM (
+      |   SELECT text,
+      |     row_number() OVER (PARTITION BY lang
+      |       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+      |     count(*) OVER (PARTITION BY lang) AS n_stratum
+      |   FROM documents)
+      | WHERE rn <= ceil(n_stratum * 0.2)) samp""".stripMargin
+
+  private def convergedCoupled(gr: (org.apache.spark.sql.DataFrame, Int))
+      : org.apache.spark.sql.DataFrame = {
+    val (graph, round) = gr
+    require(round <= ConvergedOracleRounds,
+      s"knnGraphConverged reached its fixpoint at round $round but the " +
+        s"registered oracle unrolls only $ConvergedOracleRounds rounds — " +
+        "raise ConvergedOracleRounds (both the oracle SQL and this " +
+        "assertion) so the replay is not truncated")
+    graph
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> ((s, d) =>
       Dedup.exactSurvivors(Tables.documents(s, d), "doc_id", "text")
@@ -260,6 +294,34 @@ object Pipeline {
     "text_bpe_vocab" -> ((s, d) =>
       Bpe.vocabDf(Tables.documents(s, d), "text", BpeMergeRounds)
         .orderBy("rank")),
+
+    // SAMPLE-TRAINED BPE vocabulary (round-13 verdict item 4): the
+    // merge table learned on the deterministic 20% stratified sample
+    // (Sampling.stratified's md5-ranked per-lang prefix) instead of
+    // the full corpus — the corpus-scale training discipline
+    // (Bpe.trainSampled scaladoc). The oracle replays sample + train.
+    "text_bpe_vocab_sampled" -> ((s, d) =>
+      Bpe.vocabDf(Sampling.stratified(Tables.documents(s, d), "doc_id",
+          Seq("lang"), 0.2), "text", BpeMergeRounds)
+        .orderBy("rank")),
+
+    // Sample-train / FULL-ENCODE end-to-end: merges from the 20%
+    // sample, the whole corpus encoded + chunked with them — the
+    // production split (training term flat in corpus size; the encode
+    // chain touches the corpus once, codegen'd). Oracle re-samples,
+    // re-trains and re-encodes in SQL.
+    "corpus_chunk_bpe_sampled" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.trainSampled(docs, "doc_id", Seq("lang"), "text",
+        BpeMergeRounds, 0.2)
+      docs.withColumn("toks", Bpe.docTokens(col("text"), merges))
+        .withColumn("st", explode(expr(
+          "sequence(0, greatest(size(toks) - 1, 0), 24)")))
+        .select(col("doc_id"), expr("st div 24").as("chunk_id"),
+          expr("size(slice(toks, st + 1, 32))").cast("long").as("chunk_tok"),
+          expr("array_join(slice(toks, st + 1, 32), ' ')").as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    }),
 
     // corpus_chunk on SUBWORD tokens: each document's BPE token stream
     // (the trained merge chain applied as codegen'd replace() calls —
@@ -614,8 +676,9 @@ object Pipeline {
     // idempotence past the fixpoint makes any >= convergence unroll
     // replay the converged edges (Similarity.knnGraphConverged).
     "sim_knn_graph_converged" -> ((s, d) =>
-      Similarity.knnGraphConverged(Tables.embeddings(s, d), "vec_id",
-          "embedding", 5, tables = 8, bits = 6)
+      convergedCoupled(Similarity.knnGraphConvergedWithRound(
+          Tables.embeddings(s, d), "vec_id", "embedding", 5,
+          tables = 8, bits = 6))
         .select(col("src_id"), col("rnk"), col("neighbor_id"),
           Det.round4(col("cos")).as("cos"))
         .orderBy("src_id", "rnk")),
@@ -630,8 +693,9 @@ object Pipeline {
     // a SCALING property (0.42/decade over two decades, BENCH_SCALE),
     // not an sf0.1 constant.
     "sim_knn_graph_capped_converged" -> ((s, d) =>
-      Similarity.knnGraphConverged(Tables.embeddings(s, d), "vec_id",
-          "embedding", 5, tables = 8, bits = 6, cap = Some(16))
+      convergedCoupled(Similarity.knnGraphConvergedWithRound(
+          Tables.embeddings(s, d), "vec_id", "embedding", 5,
+          tables = 8, bits = 6, cap = Some(16)))
         .select(col("src_id"), col("rnk"), col("neighbor_id"),
           Det.round4(col("cos")).as("cos"))
         .orderBy("src_id", "rnk")),
@@ -807,10 +871,16 @@ object Pipeline {
     // hour index from exact integer epoch-micros division on both
     // engines (Sinks.zorderPlan3). Any one dimension's range predicate
     // prunes ~cells^(2/3) of the files.
+    // Hour dimension in FLOOR-division semantics on BOTH engines
+    // (round-13 ADVICE): Spark `div` truncates toward zero while
+    // DuckDB `//` floors, so the two diverge on negative (pre-1970)
+    // epochs — the integer pmod identity below floors exactly with no
+    // double-precision detour.
     "event_zorder_plan3" -> ((s, d) =>
       graft.api.Sinks.zorderPlan3(Tables.events(s, d), col("user_id"),
           floor(coalesce(col("value"), lit(0.0)) * 100 + lit(0.5)),
-          expr("unix_micros(ts) div 3600000000"), bits = 3)
+          expr("(unix_micros(ts) - pmod(unix_micros(ts), 3600000000L))" +
+            " div 3600000000L"), bits = 3)
         .orderBy("z")),
 
     // Z-order WRITE end-to-end (round-12 item 6): physically rewrite
@@ -821,12 +891,18 @@ object Pipeline {
     // footers equal to this table and that BOTH range predicates prune
     // files there). The oracle predicts the same table purely from the
     // data — layout, packing, and stats all integer-deterministic.
+    // The write path carries a PER-RUN unique component (round-13
+    // ADVICE): two concurrent runs over the same dataset would
+    // otherwise race on one overwrite-mode directory and corrupt each
+    // other's read-back stats. The stats table itself is path-free, so
+    // the oracle is untouched.
     "event_zorder_write" -> ((s, d) =>
       graft.api.Sinks.zorderWrite(Tables.events(s, d), col("user_id"),
           floor(coalesce(col("value"), lit(0.0)) * 100 + lit(0.5)), bits = 4,
           targetRows = 1024L,
           path = "/tmp/graft_zorder_write_" +
-            d.replaceAll("[^A-Za-z0-9]", "_"))
+            d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+            java.util.UUID.randomUUID().toString.take(8))
         .orderBy("zfile")),
 
     // Bigram LM self-scoring (the CCNet-style quality filter): docs with
@@ -1718,6 +1794,10 @@ object Pipeline {
 
     "text_bpe_vocab" -> Bpe.vocabOracleSql(BpeMergeRounds),
     "corpus_chunk_bpe" -> Bpe.chunkOracleSql(BpeMergeRounds, 32, 24),
+    "text_bpe_vocab_sampled" ->
+      Bpe.vocabOracleSql(BpeMergeRounds, table = SampledDocsSql),
+    "corpus_chunk_bpe_sampled" ->
+      Bpe.chunkOracleSql(BpeMergeRounds, 32, 24, trainTable = SampledDocsSql),
     "corpus_pack_bpe" -> Bpe.packOracleSql(BpeMergeRounds, 512),
 
     "decontaminate_ngram" ->
@@ -1742,10 +1822,11 @@ object Pipeline {
     "sim_knn_clusters" -> Similarity.knnClustersOracleSql(5, tables = 8,
       bits = 6, cap = 16, tau = 0.4),
     "sim_knn_graph_converged" ->
-      Similarity.knnGraphConvergedOracleSql(5, tables = 8, bits = 6, rounds = 8),
+      Similarity.knnGraphConvergedOracleSql(5, tables = 8, bits = 6,
+        rounds = ConvergedOracleRounds),
     "sim_knn_graph_capped_converged" ->
       Similarity.knnGraphConvergedOracleSql(5, tables = 8, bits = 6,
-        rounds = 8, cap = Some(16)),
+        rounds = ConvergedOracleRounds, cap = Some(16)),
     "sim_lsh_bucketed" -> Similarity.lshTopKOracleSql(5, tables = 8, bits = 6,
       probeIdBound = LshProbeBound),
 

@@ -396,6 +396,30 @@ object Streaming {
         .orderBy("user_id", "start_id")
     }),
 
+    // QUANTIFIED iterative conditions on the seal-aware streaming
+    // route (round-13 verdict item 2 — generalizes stream_cep_iter
+    // beyond all-{1,1}): a greedy contiguous purchase run of 1-2 rows
+    // anchors, the successor's predicate references the run's FIRST
+    // row. Streaming emission uses the wildcard-probe seal test
+    // (StreamOps.cepPatternIterStream) — an anchor seals when the
+    // bare re-walk agrees with the all-satisfying-future probe walk,
+    // which covers tail-touching greedy runs exactly. Batch replay
+    // here; the independent run-arithmetic oracle below; cross-batch
+    // splits THROUGH the quantified run boundary are pinned in
+    // StreamingSpec.
+    "stream_cep_iter_quant" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[Ev]
+      StreamOps.cepPatternIterStream(ev, Analytic.CepPatterns.iterQuant,
+          Analytic.CepPatterns.iterQuantConds, streaming = false)
+        .toDF()
+        .orderBy("user_id", "start_id")
+    }),
+
     // Bounded ALTERNATION on the seal-aware stateful matcher (round-12
     // item 2): the SAME clause text as event_cep_alt — branches
     // expanded at parse, probed per anchor in declaration order, a
@@ -731,6 +755,38 @@ object Streaming {
     // iterative-condition batch replay = the independent first-higher-
     // successor oracle shared with event_cep_iterative
     "stream_cep_iter" -> Analytic.oracles("event_cep_iterative"),
+    // Independent run-arithmetic replay of the QUANTIFIED iterative
+    // pattern (p_run{1,2} greedy contiguous, then the first later
+    // purchase above the run's FIRST value, WITHIN as a FILTER on that
+    // first-qualifying successor — walkAlt commits to the first
+    // satisfying run and only then checks WITHIN): acnt = 2 iff the
+    // row immediately after the anchor is a purchase (greedy cap 2),
+    // the successor scan starts after the run, and every purchase row
+    // anchors independently under SKIP TO NEXT ROW.
+    "stream_cep_iter_quant" ->
+      """WITH t AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts, value,
+        |    event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |a AS (SELECT c.user_id, c.event_id, c.ts, c.value, c.rn,
+        |        CASE WHEN n.event_type = 'purchase' THEN 2 ELSE 1 END AS acnt,
+        |        CASE WHEN n.event_type = 'purchase' THEN n.rn ELSE c.rn END
+        |          AS run_end
+        |      FROM t c LEFT JOIN t n
+        |        ON n.user_id = c.user_id AND n.rn = c.rn + 1
+        |      WHERE c.event_type = 'purchase'),
+        |b AS (SELECT a.*, s.event_id AS b_id, s.ts AS b_ts,
+        |        row_number() OVER (PARTITION BY a.user_id, a.rn
+        |                           ORDER BY s.rn) AS srn
+        |      FROM a JOIN t s ON s.user_id = a.user_id AND s.rn > a.run_end
+        |        AND s.event_type = 'purchase' AND s.value > a.value)
+        |SELECT user_id, event_id AS start_id, ts AS start_ts,
+        |       b_id AS end_id, b_ts AS end_ts,
+        |       CAST(acnt + 1 AS BIGINT) AS n_rows,
+        |       CAST(acnt AS VARCHAR) || ',1' AS step_counts
+        |FROM b WHERE srn = 1 AND b_ts <= ts + INTERVAL 1440 MINUTE
+        |ORDER BY user_id, start_id""".stripMargin,
     // ANN serving batch replay = lshTopK's generated md5-plane oracle
     // (the same parameters as sim_lsh_bucketed)
     "stream_sim_topk" -> graft.api.Similarity.lshTopKOracleSql(5,

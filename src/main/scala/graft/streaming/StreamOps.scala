@@ -1990,34 +1990,50 @@ object StreamOps extends Serializable {
     }
   }
 
+  /** Sentinel event type of the wildcard probe in
+    * [[cepPatternIterStream]]'s seal test. Carries reserved control
+    * characters so no real event_type can collide. */
+  private val ProbeSym = "__probe__"
+
   /** ITERATIVE conditions under seal-aware INCREMENTAL streaming
-    * emission (round-12 verdict item 1 — lifts the round-11 exclusion
-    * for the bounded class): relaxed-contiguity patterns whose steps
-    * are all `{1,1}` and non-negated, under AFTER MATCH SKIP TO NEXT
-    * ROW. In that class every anchor's resolution takes the FIRST
-    * qualifying row per step in (ts, id) order, so under the fleet's
-    * documented in-order arrival stance ([[cepPattern]]) a COMPLETE
-    * resolution is ARRIVAL-FIXED the moment its last row arrives —
-    * later rows sort after every consumed row and can never displace a
-    * first-qualifying choice. That is exactly the sealed-membership
-    * precondition the exclusion note cited, so each batch simply
-    * RE-WALKS the retained buffer with the batch matcher
-    * ([[graft.api.Cep.matchSequenceIter]] — the same re-walk-at-
-    * emission trick [[cepMeasuresStream]] uses on its sealed spans) and
-    * classifies anchors: a complete resolution is sealed; an anchor
-    * with no complete resolution is PENDING until the newest event
-    * passes its WITHIN horizon (any future completion would end later
-    * still and violate WITHIN — [[sealedScan]]'s early-fail rule);
-    * without WITHIN an unresolved anchor waits unboundedly, as any CEP
-    * engine must. Matches emit only once every earlier anchor is
-    * resolved (the [[sealedScan]] discipline), and state retains the
-    * buffer from the first pending anchor — everything a pending
-    * anchor can still consume lies at or after it, so no dropped row
-    * is ever needed again and no match can emit twice across batches.
-    * State is bounded by the WITHIN horizon's row count per key.
+    * emission, GENERALIZED to quantified steps (round-13 verdict item
+    * 2 — the round-12 route covered only all-{1,1}): relaxed-contiguity
+    * patterns under AFTER MATCH SKIP TO NEXT ROW, quantifiers and
+    * negated gap steps included.
+    *
+    * Sealing is decided by a WILDCARD PROBE instead of a hand-proved
+    * per-shape rule: each batch re-walks the retained buffer TWICE
+    * with the batch matcher ([[graft.api.Cep.matchSequenceIter]]) —
+    * once as-is ("bare"), once with `W` sentinel rows appended at the
+    * newest timestamp that satisfy every POSITIVE step and no NEGATED
+    * one ("probe"). Under the fleet's documented in-order arrival
+    * stance ([[cepPattern]]) every future row sorts after the buffer at
+    * ts >= the newest — so the probe world is the MOST PERMISSIVE
+    * future: the relaxed walk's scans and capped greedy runs are
+    * monotone in row availability (a scan that ran off the buffer end
+    * finds a sentinel; a tail-touching greedy run extends into them;
+    * nothing else changes, because walks never examine rows past their
+    * committed end and negation checks stop at the found row). An
+    * anchor whose bare and probe results AGREE is therefore
+    * ARRIVAL-FIXED: equal matches mean the walk never touched the
+    * buffer tail (a sentinel-consuming resolution would differ), and
+    * equal failures mean even an all-satisfying future cannot complete
+    * it — the WITHIN early-fail falls out for free since sentinels
+    * carry the minimum possible future timestamp. `W` = one row per
+    * unfilled minRep plus one (enough to complete any alternative and
+    * to extend any unsaturated tail run); disagreement leaves the
+    * anchor PENDING. Matches emit only once every earlier anchor is
+    * sealed, and state retains the buffer from the first pending
+    * anchor — anchors at or after it consume only retained rows, so no
+    * dropped row is ever needed again and no match emits twice across
+    * batches. State is bounded by the WITHIN horizon's row count per
+    * key; a quantified tail run without WITHIN waits unboundedly, as
+    * the batch semantics demand (its resolution genuinely depends on
+    * future rows).
     *
     * Batch replay (streaming = false) is [[cepPatternIter]] — pinned by
-    * the independent first-qualifying-successor oracle.
+    * the independent first-qualifying-successor oracles
+    * (event_cep_sql_iter, stream_cep_iter_quant).
     */
   def cepPatternIterStream(ev: Dataset[Ev], pattern: CepPattern,
       conds: IndexedSeq[(Ev, IndexedSeq[Seq[Ev]]) => Boolean],
@@ -2026,15 +2042,19 @@ object StreamOps extends Serializable {
     if (!streaming) cepPatternIter(ev, pattern, conds)
     else {
       require(!pattern.strict && !pattern.anyMatch &&
-        pattern.skip == SkipToNextRow &&
-        pattern.steps.forall(s => !s.negated && s.minRep == 1 &&
-          s.maxRep.contains(1)),
-        "the seal-aware iterative route covers relaxed {1,1}-step " +
-          "SKIP TO NEXT ROW patterns (first-qualifying resolutions are " +
-          "arrival-fixed); other shapes run the batch replay " +
-          "(streaming = false) or a context-free compileWhere rewrite")
-      val emptyCtx: IndexedSeq[Seq[Ev]] =
-        IndexedSeq.fill(pattern.steps.size)(Seq.empty)
+        pattern.skip == SkipToNextRow,
+        "the seal-aware iterative route covers RELAXED SKIP TO NEXT " +
+          "ROW patterns (the wildcard-probe seal test needs per-anchor " +
+          "emission and the relaxed walk's row-availability " +
+          "monotonicity); strict or followedByAny shapes run the batch " +
+          "replay (streaming = false) or a context-free compileWhere " +
+          "rewrite")
+      val probeW = pattern.steps.map(s => math.max(1, s.minRep)).sum + 1
+      val probeConds: IndexedSeq[(Ev, IndexedSeq[Seq[Ev]]) => Boolean] =
+        conds.indices.map { si => (e: Ev, ctx: IndexedSeq[Seq[Ev]]) =>
+          if (e.event_type == ProbeSym) !pattern.steps(si).negated
+          else conds(si)(e, ctx)
+        }
       ev.groupByKey(_.user_id)
         .flatMapGroupsWithState[CepValState, CepPatMatch](
           OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -2045,27 +2065,34 @@ object StreamOps extends Serializable {
             val evs = (buf0 ++ events).toIndexedSeq
               .sortBy(e => (tsMicros(e.ts), e.event_id))
             val n = evs.size
-            val maxTs = if (n == 0) Long.MinValue else tsMicros(evs(n - 1).ts)
-            val matches = Cep.matchSequenceIter[Ev](evs, e => tsMicros(e.ts),
-              pattern, conds)
-            val resolvedAnchor = matches.map(_.startIdx).toSet
-            // first PENDING anchor: satisfies the anchor condition, has
-            // no complete resolution, and its WITHIN horizon is open
-            // (a completed-but-WITHIN-violating chain implies the
-            // horizon already passed, so it classifies as sealed-fail)
-            val resume = (0 until n).find { i =>
-              !resolvedAnchor(i) && conds(0)(evs(i), emptyCtx) &&
-                pattern.withinUs.forall(w => maxTs - tsMicros(evs(i).ts) <= w)
-            }.getOrElse(n)
-            val keep = evs.drop(resume)
-            if (keep.isEmpty) state.remove()
-            else state.update(CepValState(keep.map(_.event_type),
-              keep.map(e => tsMicros(e.ts)), keep.map(_.event_id),
-              keep.map(_.value)))
-            matches.iterator.filter(_.startIdx < resume).map { m =>
-              CepPatMatch(user, evs(m.startIdx).event_id, evs(m.startIdx).ts,
-                evs(m.endIdx).event_id, evs(m.endIdx).ts,
-                m.nRows.toLong, m.stepCounts.mkString(","))
+            if (n == 0) { state.remove(); Iterator.empty }
+            else {
+              val bare = Cep.matchSequenceIter[Ev](evs, e => tsMicros(e.ts),
+                pattern, conds)
+              // sentinels: newest timestamp (the minimum any future row
+              // can carry), ids above every real id so they sort last
+              val sentinels = (0 until probeW).map(i =>
+                Ev(Long.MaxValue - probeW + i, evs(n - 1).ts, user,
+                  ProbeSym, 0.0))
+              val probe = Cep.matchSequenceIter[Ev](evs ++ sentinels,
+                e => tsMicros(e.ts), pattern, probeConds)
+              val bareBy = bare.map(m => m.startIdx -> m).toMap
+              val probeBy = probe.filter(_.startIdx < n)
+                .map(m => m.startIdx -> m).toMap
+              // sealed anchor: bare and probe agree (same match or both
+              // fail); resume at the first disagreement
+              val resume = (0 until n).find(p =>
+                bareBy.get(p) != probeBy.get(p)).getOrElse(n)
+              val keep = evs.drop(resume)
+              if (keep.isEmpty) state.remove()
+              else state.update(CepValState(keep.map(_.event_type),
+                keep.map(e => tsMicros(e.ts)), keep.map(_.event_id),
+                keep.map(_.value)))
+              bare.iterator.filter(_.startIdx < resume).map { m =>
+                CepPatMatch(user, evs(m.startIdx).event_id, evs(m.startIdx).ts,
+                  evs(m.endIdx).event_id, evs(m.endIdx).ts,
+                  m.nRows.toLong, m.stepCounts.mkString(","))
+              }
             }
         }
     }

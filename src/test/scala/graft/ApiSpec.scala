@@ -91,6 +91,46 @@ class ApiSpec extends SparkSuite {
       s"fuzzy join must be a variant equi-join:\n${plan.take(400)}")
   }
 
+  test("fuzzyEditJoinCapped: subset of the full join, bounded hot-variant candidates") {
+    import org.apache.spark.sql.functions.lit
+    val c = Tables.customer(spark, sf001).select("c_custkey", "c_name")
+    val full = Joins.fuzzyEditJoin(c, "c_custkey", "c_name")
+      .as[(Long, Long, Int)].collect().toSet
+    val capped = Joins.fuzzyEditJoinCapped(c, "c_custkey", "c_name",
+        maxDist = 1, cap = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(capped.subsetOf(full) && capped.nonEmpty,
+      s"capped (${capped.size}) must be a nonempty subset of full (${full.size})")
+    // a cap above every bucket's occupancy recovers the full join exactly
+    val uncapped = Joins.fuzzyEditJoinCapped(c, "c_custkey", "c_name",
+        maxDist = 1, cap = 1 << 20)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(uncapped == full, "a non-binding cap must equal the full join")
+    // planted HOT VARIANT: many ids sharing one short token — the full
+    // join's candidate volume is Σocc² on that bucket, the capped
+    // join's is occ × cap. Count the verified-pair upper bound: every
+    // id pairs with every other in the full join (they are all within
+    // distance 0/1 of each other? no — identical strings, distance 0),
+    // so the capped result must keep each id's pairs to <= cap partners
+    // on the hot side.
+    val hot = spark.range(0, 200)
+      .select(col("id").as("hid"), lit("aa").as("hs"))
+    val cappedHot = Joins.fuzzyEditJoinCapped(hot, "hid", "hs",
+        maxDist = 1, cap = 4)
+      .as[(Long, Long, Int)].collect()
+    // pairs only reach verification when the RIGHT member is one of
+    // the bucket's 4 md5-representatives — at most cap distinct id_b
+    val hotPartners = cappedHot.map(_._2).distinct.length
+    assert(hotPartners <= 4 && cappedHot.nonEmpty,
+      s"hot-bucket neighbor side must be capped at 4 ids, got $hotPartners")
+    val fullHot = Joins.fuzzyEditJoin(hot, "hid", "hs")
+      .as[(Long, Long, Int)].collect()
+    assert(fullHot.length == 200 * 199 / 2,
+      s"uncapped hot bucket is quadratic by construction: ${fullHot.length}")
+    assert(cappedHot.length <= 4 * 200,
+      s"capped hot bucket must be linear (occ × cap): ${cappedHot.length}")
+  }
+
   test("attribution: credits sum to 1 per conversion, exactly one last touch") {
     val out = graft.queries.Analytic.queries("event_attribution")(spark, sf001)
     val per = out.groupBy("user_id", "conv_id")

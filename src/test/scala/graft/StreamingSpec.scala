@@ -634,6 +634,103 @@ class StreamingSpec extends SparkSuite {
     assert(got == batch, s"stream $got != batch replay $batch")
   }
 
+  test("quantified iterative CEP: batch splits through the greedy run boundary") {
+    // the round-14 generalization target: a greedy p_run{1,2} whose
+    // consumed run STRADDLES micro-batches — the wildcard-probe seal
+    // must hold every tail-touching run open until content (a
+    // non-purchase row, the cap, or the WITHIN horizon) fixes it
+    val pat = graft.queries.Analytic.CepPatterns.iterQuant
+    val conds = graft.queries.Analytic.CepPatterns.iterQuantConds
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.cepPatternIterStream(ms.toDS(), pat, conds, streaming = true)
+      .writeStream.format("memory").queryName("cepiterq").outputMode("append").start()
+    // batch 1: a lone purchase at the buffer tail — its greedy run
+    // could still extend, so the anchor must stay UNSEALED
+    ms.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, "purchase", 50.0))
+    q.processAllAvailable()
+    assert(spark.table("cepiterq").isEmpty,
+      "tail-touching greedy run must not seal")
+    // batch 2: the run extends across the batch boundary (cap 2)
+    ms.addData(Ev(2, ts("2024-01-01 10:05:00"), 1, "purchase", 30.0))
+    q.processAllAvailable()
+    assert(spark.table("cepiterq").isEmpty,
+      "run sealed at cap but no successor yet — anchors must stay pending")
+    // batch 3: a higher purchase — anchor 1's run [1,2] gets its
+    // successor (2,1); anchor 2's run greedily absorbs row 3 and waits
+    ms.addData(Ev(3, ts("2024-01-01 10:10:00"), 1, "purchase", 60.0))
+    q.processAllAvailable()
+    val afterB3 = spark.table("cepiterq").select("start_id", "end_id", "step_counts")
+      .as[(Long, Long, String)].collect().toSet
+    assert(afterB3 == Set((1L, 3L, "2,1")),
+      s"cross-batch run must consume 2 rows and match the batch-3 successor: $afterB3")
+    // batch 4: a view row BREAKS the tail run by content (seals anchor
+    // 3's run at 1 row) — but no successor exists, nothing new emits
+    ms.addData(Ev(4, ts("2024-01-01 10:15:00"), 1, "view", 0.0))
+    q.processAllAvailable()
+    // batch 5: a 100-value purchase resolves both carried anchors —
+    // anchor 2 with its straddling run [2,3], anchor 3 with run [3]
+    ms.addData(Ev(5, ts("2024-01-01 10:20:00"), 1, "purchase", 100.0))
+    q.processAllAvailable()
+    val afterB5 = spark.table("cepiterq").select("start_id", "end_id", "step_counts")
+      .as[(Long, Long, String)].collect().toSet
+    assert(afterB5 == Set((1L, 3L, "2,1"), (2L, 5L, "2,1"), (3L, 5L, "1,1")),
+      s"carried quantified anchors must resolve exactly once: $afterB5")
+    // batch 6: two days out — anchor 5 passes its WITHIN horizon and
+    // seals as FAIL (the probe's best-case completion violates WITHIN)
+    ms.addData(Ev(6, ts("2024-01-03 10:00:00"), 1, "view", 0.0))
+    drain(q)
+    val got = spark.table("cepiterq").select("start_id", "end_id", "step_counts")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == afterB5, s"expired anchor must not emit: $got")
+    // the chopped stream equals the batch replay on the same rows
+    val all = Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "purchase", 50.0),
+      Ev(2, ts("2024-01-01 10:05:00"), 1, "purchase", 30.0),
+      Ev(3, ts("2024-01-01 10:10:00"), 1, "purchase", 60.0),
+      Ev(4, ts("2024-01-01 10:15:00"), 1, "view", 0.0),
+      Ev(5, ts("2024-01-01 10:20:00"), 1, "purchase", 100.0),
+      Ev(6, ts("2024-01-03 10:00:00"), 1, "view", 0.0))
+    val batch = StreamOps.cepPatternIterStream(all.toDS(), pat, conds,
+        streaming = false)
+      .select("start_id", "end_id", "step_counts")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == batch, s"stream $got != batch replay $batch")
+  }
+
+  test("quantified iterative CEP over random batch splits equals batch replay") {
+    val pat = graft.queries.Analytic.CepPatterns.iterQuant
+    val conds = graft.queries.Analytic.CepPatterns.iterQuantConds
+    val rnd = new scala.util.Random(20260814L)
+    val syms = Vector("purchase", "purchase", "purchase", "view", "click")
+    val evs = (for {
+      u <- 1 to 12
+      i <- 0 until (8 + rnd.nextInt(10))
+    } yield Ev((u * 100 + i).toLong,
+        java.sql.Timestamp.valueOf(
+          ts("2024-01-01 10:00:00").toLocalDateTime.plusMinutes(i * 37L)),
+        u.toLong, syms(rnd.nextInt(syms.size)),
+        math.floor(rnd.nextDouble() * 5000) / 100.0)).toVector
+    // trailing batch two days out: past every anchor's WITHIN horizon;
+    // a VIEW row, so it breaks any tail run without matching anything
+    val sealer = (1 to 12).map(u => Ev(u * 100 + 99L,
+      ts("2024-01-03 10:00:00"), u.toLong, "view", 0.0))
+    val full = evs ++ sealer
+    val ref = StreamOps.cepPatternIterStream(full.toDS(), pat, conds,
+        streaming = false)
+      .collect().toSet
+    val cuts = Seq.fill(4)(rnd.nextInt(evs.size)).sorted
+    val batches = (Seq(0) ++ cuts ++ Seq(evs.size)).sliding(2)
+      .collect { case Seq(a, b) if b > a => evs.slice(a, b) }.toSeq
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.cepPatternIterStream(ms.toDS(), pat, conds, streaming = true)
+      .writeStream.format("memory").queryName("eqiterq").outputMode("append").start()
+    (batches :+ sealer).foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("eqiterq").as[graft.streaming.CepPatMatch].collect().toSet
+    assert(got === ref, s"stream ${got.size} matches != batch ${ref.size}")
+    assert(ref.nonEmpty, "fixture must produce matches")
+  }
+
   test("streaming ANN serving: chopped probe stream equals the batch lshTopK") {
     import org.apache.spark.sql.functions.col
     val corpus = Tables.embeddings(spark, sf001)
