@@ -1434,18 +1434,33 @@ class CepSqlSpec extends SparkSuite {
     // PARSES (the anchored backtracking matcher route)
     val reluctantEnd = CepSql.anchorEnd.replace("view+", "view+?")
     assert(MatchRecognize.parse(reluctantEnd).anchorEnd)
-    // the residual rejections stay loud: MEASURES on the anchored
-    // reluctant route, general quantifiers under iterative + '$'
+    // round-14 lift: general MEASURES on the anchored reluctant route
+    // now PARSE too (the anchored consumed-row projection feeds
+    // runMeasures); the compiled step_sums form stays rejected
     val reluctantEndMeasures = reluctantEnd.replace("ONE ROW PER MATCH",
       "MEASURES SUM(value) AS total_v\n  ONE ROW PER MATCH")
+    assert(MatchRecognize.parse(reluctantEndMeasures).anchorEnd)
+    val reluctantEndStepSums = reluctantEnd.replace("ONE ROW PER MATCH",
+      "MEASURES SUM(value) AS step_sums\n  ONE ROW PER MATCH")
     assert(intercept[IllegalArgumentException](
-      MatchRecognize.parse(reluctantEndMeasures))
-      .getMessage.contains("reluctant"))
+      MatchRecognize.parse(reluctantEndStepSums))
+      .getMessage.contains("step_sums"))
+    // the residual rejections stay loud: general quantifiers under
+    // iterative + '$'
     val iterEnd = CepSql.anchorEnd.replace(
       "view AS event_type = 'view'",
       "view AS event_type = 'view' AND PREV(view.value) >= 0")
     assert(intercept[IllegalArgumentException](MatchRecognize.parse(iterEnd))
       .getMessage.contains("navigation"))
+    // round-13 ADVICE (high): a RELUCTANT quantifier inside an
+    // alternation under '$' must reject LOUDLY — the per-branch end
+    // pin is a post-filter over the branch matcher, and a reluctant
+    // branch's committed minimal end would make it silently
+    // under-match (strictness alone was not enough)
+    val reluctantAlt = CepSql.anchorEndAlt.replace("buy{1,2}", "buy{1,2}?")
+    assert(intercept[IllegalArgumentException](
+      MatchRecognize.parse(reluctantAlt))
+      .getMessage.contains("ALL-GREEDY"))
     // '^' composes with everything ('^'-anchored match starts are the
     // anchor position on every route) — a reluctant quantifier parses
     assert(MatchRecognize.parse(CepSql.anchorStart
@@ -1498,6 +1513,33 @@ class CepSqlSpec extends SparkSuite {
         .filter(col("end_id") === 3L).count() == 0L,
       "the reluctant matcher's committed end is row 2 — a post-filter " +
         "would have dropped the anchored match (the round-12 rejection)")
+    // round-14: the SAME divergence with a MEASURES column — the
+    // anchored MEASURES route must aggregate the BACKTRACKED match's
+    // rows (view 1, purchases 2+3), not the committed minimal end's
+    val tinyM = MatchRecognize.run(tiny, CepSql.anchorEndMeasures)
+      .select("start_id", "end_id", "n_views", "view_sum", "last_p_v")
+      .as[(Long, Long, Long, Double, Double)].collect().toSet
+    assert(tinyM == Set((1L, 3L, 1L, 1.0, 1.0)),
+      s"anchored MEASURES must project the extended match: $tinyM")
+    val unanchoredM = CepSql.anchorEndMeasures.replace(" $)", ")")
+    assert(MatchRecognize.run(tiny, unanchoredM)
+        .filter(col("end_id") === 3L).count() == 0L,
+      "the unanchored MEASURES route commits to the minimal end — " +
+        "filtering it would drop the anchored match AND its measures")
+    // and the measures equal the GREEDY twin's pinned measures on the
+    // full fixture (the decomposition-forcing argument the oracle uses)
+    val twinM = CepSql.anchorEndMeasures
+      .replace("view+?", "view+").replace("purchase{1,2}?", "purchase{1,2}")
+      .replace(" $)", ")")
+    def mRows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("start_id"), col("end_id"), col("n_views"),
+        graft.Det.round2(col("view_sum")).as("view_sum"), col("last_p_v"))
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSet
+    val refM = mRows(MatchRecognize.run(ev, twinM).join(bounds, "user_id")
+      .filter(col("end_id") === col("last_ord")))
+    val gotM = mRows(MatchRecognize.run(ev, CepSql.anchorEndMeasures))
+    assert(gotM == refM && refM.nonEmpty,
+      s"anchored reluctant measures (${gotM.size}) != pinned greedy twin (${refM.size})")
     // 3. iterative + '$': local reference — per user, the LAST row must
     // be a purchase; every earlier lower-value purchase within 24 h
     // anchors a match ending there
