@@ -110,6 +110,43 @@ class PipelineSpec extends SparkSuite {
     assert(recall >= 0.9, s"LSH recall $recall < 0.9 on clustered data")
   }
 
+  test("capped-converged kNN graph achieves >=0.9 recall@5 on clustered data") {
+    import spark.implicits._
+    // The fixture embeddings are isotropic, so the declared keys' graph
+    // recall (~0.5 capped-converged vs 0.31 single-shot) carries no
+    // regime signal — ANN exists for corpora that CLUSTER. Planted
+    // 10-cluster corpus (fixed seed, separation 5:1): the production
+    // path (capped base + NN-Descent to fixpoint) must recover >= 0.9
+    // of the exact top-5 graph.
+    val rnd = new scala.util.Random(14)
+    val centers = Array.fill(10)(Array.fill(16)(rnd.nextGaussian() * 5.0))
+    val rows = (0 until 400).map { i =>
+      val c = i % 10
+      (i.toLong, centers(c).map(x => (x + rnd.nextGaussian()).toFloat))
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val brute = graft.api.Similarity.cosineTopK(corpus, corpus,
+        "vec_id", "embedding", 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val (graphDf, round) = graft.api.Similarity.knnGraphConvergedWithRound(
+      corpus, "vec_id", "embedding", 5, tables = 8, bits = 6, dim = 16,
+      cap = Some(16))
+    val graph = graphDf.select("src_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (graph & brute).size.toDouble / brute.size
+    info(s"clustered capped-converged kNN recall@5 = $recall (fixpoint round $round)")
+    assert(recall >= 0.9,
+      s"capped-converged kNN recall $recall < 0.9 on clustered data")
+    // the single-shot capped base on the same data, for the margin note
+    val base = graft.api.Similarity.knnGraphCapped(corpus, "vec_id",
+        "embedding", 5, tables = 8, bits = 6, dim = 16, cap = 16)
+      .select("src_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val baseRecall = (base & brute).size.toDouble / brute.size
+    info(s"single-shot capped base recall@5 = $baseRecall")
+    assert(recall >= baseRecall,
+      "NN-Descent rounds must not lose recall vs the capped base")
+  }
+
   test("embed LSH pairs: subset of brute-force global pairs, recall pinned") {
     val lsh = Pipeline.queries("dedup_embed_lsh")(spark, sf001)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet

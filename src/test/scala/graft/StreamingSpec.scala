@@ -1182,6 +1182,93 @@ class StreamingSpec extends SparkSuite {
     assert(store(2L) == (ts("2024-01-01 12:00:00"), 7.0), s"got ${store(2L)}")
   }
 
+  test("lakehouse maintenance loop: streamed ingest -> compact -> z-order, footers prune") {
+    import graft.api.Sinks
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.{coalesce, col, floor, lit}
+    // The post-ingest maintenance composition a streaming table needs
+    // (round-13 verdict item 6): micro-batch appends land one-file-per-
+    // batch small files; compactParquet rewrites size-proportionally;
+    // zorderWrite re-clusters so BOTH range predicates prune at the
+    // parquet FOOTER level — the same assertions as ApiSpec's batch
+    // zorderWrite test, here on data that arrived VIA THE STREAM.
+    val landing = Files.createTempDirectory("graft_maint_land").toString
+    val evRows = Tables.events(spark, sf001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().toSeq
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.coalesce(1).write.mode("append").parquet(landing)
+        ()
+      }
+      .start()
+    // five uneven micro-batches — five append commits, five small files
+    val n = evRows.size
+    val cuts = Seq(0, n / 7, n / 3, n / 2, 2 * n / 3, n)
+    cuts.sliding(2).foreach { case Seq(a, b) =>
+      if (b > a) { ms.addData(evRows.slice(a, b): _*); q.processAllAvailable() }
+    }
+    q.stop()
+    val landedFiles = new java.io.File(landing).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(landedFiles >= 5, s"ingest must land per-batch small files: $landedFiles")
+    assert(spark.read.parquet(landing).count() == n.toLong)
+    // maintenance step 1: compaction (task count back to data size)
+    val compacted = Files.createTempDirectory("graft_maint_comp").toString
+    val nOut = Sinks.compactParquet(spark, landing, compacted)
+    assert(nOut < landedFiles, s"compaction must reduce file count: $nOut")
+    assert(spark.read.parquet(compacted).count() == n.toLong)
+    // maintenance step 2: z-order rewrite of the compacted table
+    val zdir = Files.createTempDirectory("graft_maint_z").toString
+    val stats = Sinks.zorderWrite(spark.read.parquet(compacted),
+        col("user_id"), floor(coalesce(col("value"), lit(0.0)) * 100 + lit(0.5)),
+        bits = 4, targetRows = 64L, path = zdir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(stats.size > 4, s"want a multi-file z layout, got ${stats.size}")
+    assert(stats.values.map(_._1).sum == n.toLong, "z-order must keep every row")
+    // raw FOOTERS equal the stats table — the skip metadata is real
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val zDirs = new java.io.File(zdir).listFiles()
+      .filter(_.getName.startsWith("zfile=")).sortBy(_.getName)
+    assert(zDirs.length == stats.size)
+    for (d <- zDirs) {
+      val zf = d.getName.stripPrefix("zfile=").toLong
+      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1, s"${d.getName}: ${parts.length} part files")
+      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(parts.head.getAbsolutePath), conf))
+      var rows = 0L
+      var mnx = Long.MaxValue; var mny = Long.MaxValue
+      var mxx = Long.MinValue; var mxy = Long.MinValue
+      rd.getFooter.getBlocks.forEach { blk =>
+        rows += blk.getRowCount
+        blk.getColumns.forEach { c =>
+          def lo = c.getStatistics.genericGetMin.asInstanceOf[java.lang.Long].longValue()
+          def hi = c.getStatistics.genericGetMax.asInstanceOf[java.lang.Long].longValue()
+          c.getPath.toDotString match {
+            case "__zx" => mnx = mnx min lo; mxx = mxx max hi
+            case "__zy" => mny = mny min lo; mxy = mxy max hi
+            case _ =>
+          }
+        }
+      }
+      rd.close()
+      assert((rows, mnx, mxx, mny, mxy) == stats(zf),
+        s"zfile=$zf: footer ($rows,$mnx,$mxx,$mny,$mxy) != table ${stats(zf)}")
+    }
+    // both range predicates prune files on the streamed-then-maintained
+    // layout (the z-order win over the ingest order)
+    val xScan = stats.values.count { case (_, mnx, mxx, _, _) => !(mxx < 0L || mnx > 3L) }
+    val yScan = stats.values.count { case (_, _, _, mny, mxy) => !(mxy < 0L || mny > 2000L) }
+    info(s"z files: ${stats.size}, x-predicate scans $xScan, y-predicate scans $yScan")
+    assert(xScan < stats.size, "x predicate pruned nothing")
+    assert(yScan < stats.size, "y predicate pruned nothing")
+  }
+
   test("checkpoint restart resumes exactly-once into the parquet sink") {
     import graft.api.Sinks
     import java.nio.file.Files
