@@ -71,7 +71,15 @@ object BenchScale {
     "sim_knn_graph_capped",
     // and the stratified A-ES draw (stratum-keyed window vs
     // sample_weighted's TakeOrdered)
-    "sample_weighted_stratified")
+    "sample_weighted_stratified",
+    // round-14 (VERDICT r13 item 8): the round-13 keys — SymSpell d<=2
+    // self-join on supplier names (the slice now writes an
+    // edit-isolated supplier copy: 6-char per-copy suffixes with
+    // pairwise distance >= 3 > maxDist, so candidates stay
+    // within-copy), kNN-graph + connected components, and the
+    // streaming ANN serving batch replay (fixed copy-0 probe set over
+    // a growing corpus — the serving shape, like sim_ivfadc)
+    "join_fuzzy_edit2", "sim_knn_clusters", "stream_sim_topk")
 
   /** Second measured decade (VERDICT r9 item 6): the STEEPEST keys of
     * the 10x sweep re-measured over a 100x slice, so their exponents
@@ -90,7 +98,10 @@ object BenchScale {
     // round-13: confirm the cap's linear candidate bound over TWO
     // decades (the uncapped sibling measured 0.86/decade at 10x —
     // the deliberate fixed-bits quadratic term; capped read 0.39)
-    "sim_knn_graph_capped")
+    "sim_knn_graph_capped",
+    // round-14 (VERDICT r13 item 8): the round-13 keys over the second
+    // decade — the 100x slice now writes supplier too
+    "join_fuzzy_edit2", "sim_knn_clusters", "stream_sim_topk")
   private val Factor100 = 100
 
   /** 100 isolated documents + embeddings copies — same isolation
@@ -105,7 +116,8 @@ object BenchScale {
     * Done-marker is versioned: _GEN_DONE_V2 invalidates round-11 dirs
     * that carry only the documents table. */
   private def gen100(spark: SparkSession, srcDir: String, outDir: String): Unit = {
-    val done = new java.io.File(s"$outDir/_GEN_DONE_V2")
+    // V3: round-14 adds the supplier table (join_fuzzy_edit2)
+    val done = new java.io.File(s"$outDir/_GEN_DONE_V3")
     if (done.exists()) return
     val copies = spark.range(Factor100).select(col("id").cast("int").as("c"))
     val suffixed =
@@ -128,11 +140,17 @@ object BenchScale {
         (col("vec_id") + col("c") * Stride).as("vec_id"),
         expr(rot100).as("embedding"), col("label"))
       .repartition(64).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    spark.read.parquet(s"$srcDir/supplier.parquet").crossJoin(copies).select(
+        (col("s_suppkey") + col("c") * Stride).as("s_suppkey"),
+        expr(supplierSuffixed).as("s_name"),
+        col("s_nationkey"), col("s_acctbal"))
+      .repartition(64).write.mode("overwrite").parquet(s"$outDir/supplier.parquet")
     done.createNewFile()
   }
 
   private def gen(spark: SparkSession, srcDir: String, outDir: String): Unit = {
-    val done = new java.io.File(s"$outDir/_GEN_DONE")
+    // V2: round-14 adds the supplier table (join_fuzzy_edit2)
+    val done = new java.io.File(s"$outDir/_GEN_DONE_V2")
     if (done.exists()) return
     val copies = spark.range(Factor).select(col("id").cast("int").as("c"))
     def src(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
@@ -175,8 +193,27 @@ object BenchScale {
       col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
       col("o_orderpriority")), "orders")
 
+    write(src("supplier").crossJoin(copies).select(
+      (col("s_suppkey") + col("c") * Stride).as("s_suppkey"),
+      expr(supplierSuffixed).as("s_name"),
+      col("s_nationkey"), col("s_acctbal")), "supplier")
+
     done.createNewFile()
   }
+
+  /** Edit-distance isolation for supplier names (join_fuzzy_edit2 runs
+    * SymSpell at d <= 2): copy c > 0 appends a 6-char suffix of two
+    * homogeneous 3-letter runs keyed on the copy digits, so any two
+    * DISTINCT copies' suffixes differ in >= 3 positions (one whole
+    * run) and copy 0's unsuffixed names sit >= 6 inserts away — every
+    * cross-copy pair is > maxDist, so fuzzy candidates stay
+    * within-copy and the expected cost model is linear, same stance as
+    * the documents token suffixes. Within a copy all names share the
+    * suffix, so per-copy match sets replicate sf0.1's exactly. */
+  private val supplierSuffixed =
+    """CASE WHEN c = 0 THEN s_name ELSE concat(s_name,
+      |  repeat(substring('abcdefghij', c DIV 10 + 1, 1), 3),
+      |  repeat(substring('abcdefghij', c % 10 + 1, 1), 3)) END""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -224,6 +261,43 @@ object BenchScale {
       val exp = math.log10(tB / tS) / 2.0
       (name, tS, tB, exp)
     }
+    // Round-14 (VERDICT r13 item 3's measured-exponent leg): the
+    // HOT-VARIANT skew probe for the capped fuzzy join. This slice is
+    // deliberately NOT isolated — n VERBATIM copies of the supplier
+    // names (ids offset) make every deletion-variant bucket's
+    // occupancy grow n-fold: the Σocc² regime the cap exists for.
+    // Uncapped candidates (and the true pair output itself) grow
+    // quadratically, so the uncapped arm measures one decade only —
+    // its 100x point is ~250M candidate pairs by arithmetic (25k
+    // variant buckets × 100² occupancy), the blow-up demonstrated, not
+    // worth the wall-clock. The capped arm's candidates are occ·cap =
+    // LINEAR in rows past the cap threshold; it measures BOTH decades
+    // (the first decade reads above 1.0 because cap=4 binds only once
+    // occupancy exceeds it — the 10x→100x decade is the regime claim).
+    def skewSupplier(n: Int): DataFrame =
+      spark.read.parquet(s"$srcDir/supplier.parquet")
+        .crossJoin(spark.range(n).select(col("id").cast("int").as("c")))
+        .select((col("s_suppkey") + col("c") * Stride).as("s_suppkey"),
+          col("s_name"))
+    def fuzzySkew(n: Int, capped: Boolean): Double = {
+      val df = skewSupplier(n)
+      val q =
+        if (capped) graft.api.Joins.fuzzyEditJoinCapped(
+          df, "s_suppkey", "s_name", maxDist = 1, cap = 4)
+        else graft.api.Joins.fuzzyEditJoin(df, "s_suppkey", "s_name", maxDist = 1)
+      val t0 = System.nanoTime()
+      q.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def best2(f: => Double): Double = math.min(f, f)
+    val skewRows = Seq(
+      ("fuzzy_skew_uncapped", best2(fuzzySkew(1, false)),
+        best2(fuzzySkew(10, false)), 1.0),
+      ("fuzzy_skew_capped", best2(fuzzySkew(1, true)),
+        best2(fuzzySkew(10, true)), 1.0),
+      ("fuzzy_skew_capped_decade2", best2(fuzzySkew(10, true)),
+        best2(fuzzySkew(100, true)), 1.0))
+      .map { case (nm, tS, tB, dec) => (nm, tS, tB, math.log10(tB / tS) / dec) }
     def block(rs: Seq[(String, Double, Double, Double)]): String =
       rs.map { case (n, tS, tB, e) =>
         f""""$n":{"t_small":$tS%.3f,"t_big":$tB%.3f,"exponent":$e%.3f}"""
@@ -231,7 +305,9 @@ object BenchScale {
     val json =
       s"""{"factor":$Factor,"src":"$srcDir","keys":${block(rows)},""" +
         s""""factor100":{"factor":$Factor100,"exponent_per_decade":true,""" +
-        s""""keys":${block(rows100)}}}"""
+        s""""keys":${block(rows100)}},""" +
+        s""""fuzzy_skew":{"base_rows":1000,"cap":4,"maxDist":1,""" +
+        s""""keys":${block(skewRows)}}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE.json"),
       json.getBytes("UTF-8"))
     println(json)

@@ -1264,34 +1264,48 @@ object MatchRecognize {
     // under-matches (the round-12 lesson).
     val oneRowGeneral = !spec.allRows && spec.measuresValCol.isEmpty
     if (spec.hasAlternation) {
-      // Strict alone is NOT enough: a RELUCTANT quantifier inside a
-      // strict branch commits to minimal ends, and the per-branch end
-      // pin is a post-filter over that committed end — it would
-      // silently drop matches whose anchored resolution extends the
-      // reluctant step to the last row (the round-13 ADVICE finding).
-      // Anchored alternation therefore requires every branch strict
-      // AND all-greedy, where the segment decomposition is forced by
-      // the symbol runs and branch-end-at-last-row IS the anchored
-      // branch condition.
-      require(oneRowGeneral && spec.expandBranches.forall(b =>
-          b.strict && b.stepElems.forall(_.greedy)),
+      // Round-14 lift of the round-13 ADVICE finding: a RELUCTANT
+      // quantifier inside a strict branch commits to minimal ends, so
+      // the per-branch end pin (a post-filter over that committed end)
+      // would silently drop matches whose anchored resolution extends
+      // the reluctant step to the last row. Such branches now route
+      // through the per-key anchored BACKTRACKING matcher
+      // (runAlternation / alternationConsumed branch dispatch —
+      // Cep.matchCoreAnchoredEnd explores candidate counts in
+      // preference order until a resolution ends at the last row), the
+      // exact non-alternation reluctant-'$' mechanism. STRICTNESS is
+      // still required on every branch: the all-greedy branches keep
+      // the forced-decomposition pin, and the backtracking matcher's
+      // anchored search is defined for strict patterns (a RELAXED
+      // branch's anchored search would need the full NFA).
+      require(oneRowGeneral && spec.expandBranches.forall(_.strict),
         "'$' anchor with alternation/PERMUTE is supported for ONE ROW " +
-          "PER MATCH with STRICT ALL-GREEDY branches (the end pin " +
-          "applies per branch before the leftmost-branch dedup, and " +
-          "only a forced greedy decomposition makes that pin exact); " +
-          "relaxed or reluctant branches, ALL ROWS, or the compiled " +
-          "step_sums MEASURES under '$' would under-match — drop '$' " +
-          "or restructure the pattern")
+          "PER MATCH with STRICT branches (all-greedy branches pin " +
+          "per branch before the leftmost-branch dedup — the forced " +
+          "greedy decomposition makes that pin exact; reluctant " +
+          "branches run the anchored backtracking matcher); relaxed " +
+          "branches, ALL ROWS, or the compiled step_sums MEASURES " +
+          "under '$' would under-match — drop '$' or restructure the " +
+          "pattern")
     } else if (spec.isIterative) {
-      require(oneRowGeneral && spec.stepElems.forall(e =>
-          !e.negated && e.minRep == 1 && e.maxRep.contains(1)),
+      // Round-14 lift: STRICT iterative patterns take the anchored
+      // BACKTRACKING matcher with the consumption context — general
+      // quantifiers included (tryStrict's candidate counts are
+      // prefix-closed, so truncating a step's consumed rows keeps the
+      // context consistent; the end check participates in the count
+      // exploration). RELAXED iterative patterns keep the pinned-final
+      // DFS, which is defined for all-{1,1} non-negated steps only.
+      require(oneRowGeneral && (spec.strict || spec.stepElems.forall(e =>
+          !e.negated && e.minRep == 1 && e.maxRep.contains(1))),
         "'$' anchor with DEFINE navigation / aggregate conditions is " +
-          "supported for ONE ROW PER MATCH patterns whose steps are " +
-          "all {1,1} and non-negated (the pinned-final anchored " +
-          "matcher); general quantifiers under iterative conditions " +
-          "would need per-anchor speculative ends, and ALL ROWS / " +
-          "compiled step_sums are not offered — drop '$' or bound " +
-          "the steps")
+          "supported for ONE ROW PER MATCH patterns that are STRICT " +
+          "(the anchored backtracking matcher explores quantifier " +
+          "counts with the consumption context) or RELAXED with all " +
+          "steps {1,1} and non-negated (the pinned-final anchored " +
+          "matcher); general quantifiers under RELAXED iterative " +
+          "conditions would need per-anchor speculative ends, and " +
+          "ALL ROWS / compiled step_sums are not offered — drop '$', " +
+          "bound the steps, or make the pattern strict")
     } else if (spec.stepElems.exists(!_.greedy)) {
       require(spec.strict && oneRowGeneral,
         "'$' anchor with a reluctant quantifier is supported for " +
@@ -2032,33 +2046,43 @@ object MatchRecognize {
         .withColumnRenamed("user_id", key)
         .withColumnRenamed("event_id", ordC)
         .withColumnRenamed("ts", tsC)
+    // '$': the end pin applies PER BRANCH before the leftmost-branch
+    // preference — filtering after the dedup would let a preferred
+    // branch that does not end at the last row shadow a less-preferred
+    // branch that does. Pin-by-filter is exact only where the branch
+    // matcher's committed end is the branch's sole candidate end:
+    // strict ALL-GREEDY branches (the segment decomposition is forced
+    // by the symbol runs). A branch carrying a RELUCTANT quantifier
+    // commits to MINIMAL ends, so the pin over its committed ends
+    // would silently under-match (the round-13 ADVICE finding) — such
+    // branches get TRUE anchored matching instead (round-14 lift): the
+    // per-key anchored backtracking matcher ([[runIter]] →
+    // Cep.matchCoreAnchoredEnd), exactly the non-alternation
+    // reluctant-'$' mechanism, whose every emitted end IS the last
+    // row, so no pin applies.
+    import org.apache.spark.sql.functions.{max_by, struct}
+    lazy val bounds = df.groupBy(col(key)).agg(
+      max_by(col(ordC), struct(col(tsC), col(ordC))).as("__last_ord"))
+    def pinToLast(r: DataFrame): DataFrame =
+      r.join(bounds, key)
+        .filter(col("end_id") === col("__last_ord"))
+        .drop("__last_ord")
     val parts = spec.expandBranches.zipWithIndex.map { case (b, i) =>
-      val r = b.toSymbolic match {
-        case Some((symCol, pat)) => Cep.compile(df, key, tsC, ordC, symCol, pat)
-        case None => Cep.compileWhere(df, key, tsC, ordC, b.toCond)
-      }
+      val r =
+        if (spec.anchorEnd && b.stepElems.exists(!_.greedy))
+          runIter(df, b, key, tsC, ordC)
+        else {
+          val c = b.toSymbolic match {
+            case Some((symCol, pat)) => Cep.compile(df, key, tsC, ordC, symCol, pat)
+            case None => Cep.compileWhere(df, key, tsC, ordC, b.toCond)
+          }
+          if (spec.anchorEnd) pinToLast(c) else c
+        }
       r.withColumn("__br", lit(i))
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(key), col("start_id")).orderBy(col("__br"))
-    val unioned = parts.reduce(_.unionByName(_))
-    // '$': the end pin applies PER BRANCH before the leftmost-branch
-    // preference — filtering after the dedup would let a preferred
-    // branch that does not end at the last row shadow a less-preferred
-    // branch that does (validateAnchorEnd restricts this route to
-    // strict branches, where branch-end-at-last-row IS the anchored
-    // branch condition because the segment decomposition is forced)
-    val pinned =
-      if (!spec.anchorEnd) unioned
-      else {
-        import org.apache.spark.sql.functions.{max_by, struct}
-        val bounds = df.groupBy(col(key)).agg(
-          max_by(col(ordC), struct(col(tsC), col(ordC))).as("__last_ord"))
-        unioned.join(bounds, key)
-          .filter(col("end_id") === col("__last_ord"))
-          .drop("__last_ord")
-      }
-    pinned
+    parts.reduce(_.unionByName(_))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__br", "__rn")
@@ -2074,29 +2098,34 @@ object MatchRecognize {
   private def alternationConsumed(df: DataFrame, spec: MrSpec, key: String,
                                   tsC: String, ordC: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, max_by, min, struct}
-    val parts = spec.expandBranches.zipWithIndex.map { case (b, i) =>
-      consumedRows(df, b, key, tsC, ordC).withColumn("__br", lit(i))
-    }
-    val unioned = parts.reduce(_.unionByName(_))
     // '$' (round-14 MEASURES lift): the end pin applies PER BRANCH
     // BEFORE the leftmost-branch dedup — the same order as
     // runAlternation's pinned union (a post-dedup filter would let a
     // preferred branch that does not end at the last row shadow a
-    // less-preferred branch that does). validateAnchorEnd restricts
-    // this route to strict ALL-GREEDY branches, where the pin is exact.
-    val pinned =
-      if (!spec.anchorEnd) unioned
-      else {
-        val bounds = df.groupBy(col(key).cast("long").as("user_id")).agg(
-          max_by(col(ordC).cast("long"),
-            struct(col(tsC), col(ordC))).as("__last_ord"))
-        unioned.join(bounds, "user_id")
-          .filter(col("end_id") === col("__last_ord"))
-          .drop("__last_ord")
-      }
+    // less-preferred branch that does). The pin is exact only for
+    // strict ALL-GREEDY branches; a branch carrying a RELUCTANT
+    // quantifier routes through the anchored backtracking matcher's
+    // consumed-row projection instead ([[runIterConsumed]]'s anchored
+    // mode — true anchored matches, never a post-filter), mirroring
+    // runAlternation branch for branch.
+    lazy val bounds = df.groupBy(col(key).cast("long").as("user_id")).agg(
+      max_by(col(ordC).cast("long"),
+        struct(col(tsC), col(ordC))).as("__last_ord"))
+    def pinToLast(r: DataFrame): DataFrame =
+      r.join(bounds, "user_id")
+        .filter(col("end_id") === col("__last_ord"))
+        .drop("__last_ord")
+    val parts = spec.expandBranches.zipWithIndex.map { case (b, i) =>
+      val r =
+        if (spec.anchorEnd && b.stepElems.exists(!_.greedy))
+          runIterConsumed(df, b, key, tsC, ordC, anchoredEnd = true)
+        else if (spec.anchorEnd) pinToLast(consumedRows(df, b, key, tsC, ordC))
+        else consumedRows(df, b, key, tsC, ordC)
+      r.withColumn("__br", lit(i))
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"), col("start_id"))
-    pinned
+    parts.reduce(_.unionByName(_))
       .withColumn("__minbr", min(col("__br")).over(w))
       .filter(col("__br") === col("__minbr"))
       .drop("__br", "__minbr")

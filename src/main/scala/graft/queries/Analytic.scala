@@ -602,6 +602,29 @@ object Analytic {
       MatchRecognize.run(Tables.events(s, d), CepSql.anchorEndAlt)
         .orderBy("user_id", "start_id")),
 
+    // '$' × ALTERNATION × RELUCTANT (round-14 lift of the round-13
+    // ADVICE finding): strict branches with a reluctant tail step run
+    // the anchored BACKTRACKING matcher per branch — never the
+    // committed-end pin, which silently under-matches (the reluctant
+    // matcher commits to minimal ends). Oracle: the GREEDY twin's
+    // generated pinned-union oracle — under the pin a strict branch
+    // with distinct adjacent symbols has a FORCED decomposition, so
+    // the twin's pinned matches (step_counts included) equal the
+    // anchored reluctant resolution.
+    "event_cep_sql_anchor_end_alt_reluctant" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.anchorEndAltReluctant)
+        .orderBy("user_id", "start_id")),
+
+    // ... × general MEASURES: the winning branch's consumed rows come
+    // from the anchored matcher's consumed-row projection
+    // (alternationConsumed's branch dispatch). Oracle: the greedy
+    // twin's pinned-union match oracle, measures recomputed literally
+    // over each match's contiguous span.
+    "event_cep_sql_anchor_end_alt_measures" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.anchorEndAltMeasures)
+        .withColumn("buy_sum", Det.round2(col("buy_sum")))
+        .orderBy("user_id", "start_id")),
+
     // '$' × PERMUTE: the partition's LAST three rows as any ordering of
     // {click, view, purchase} — the end pin per expanded branch before
     // the earliest-ordering dedup, same mechanics as _alt.
@@ -615,6 +638,17 @@ object Analytic {
     // LAST row is a purchase with a strictly higher value, WITHIN 24 h.
     "event_cep_sql_anchor_end_iter" -> ((s, d) =>
       MatchRecognize.run(Tables.events(s, d), CepSql.anchorEndIter)
+        .orderBy("user_id", "start_id")),
+
+    // '$' × STRICT ITERATIVE × QUANTIFIER (round-14 lift): the
+    // anchored backtracker explores a{1,3} counts with the running-sum
+    // consumption context, the end pinned to the partition's last row.
+    // Independent oracle: the user's LAST row must be a purchase; the
+    // anchor k∈[1,3] rows above it matches iff those k rows are ALL
+    // clicks whose value sum stays <= 200 (positive values make the
+    // prefix cap equal the total cap), within 24 h.
+    "event_cep_sql_anchor_end_iter_quant" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.anchorEndIterQuant)
         .orderBy("user_id", "start_id")),
 
     // MEASURES × DEFINE navigation (round-10 top-next item): the
@@ -1165,6 +1199,41 @@ object Analytic {
         |         lo AS lo.event_type IN ('view', 'click') AND lo.value >= 10,
         |         buy AS buy.event_type = 'purchase'
         |)""".stripMargin
+    // RELUCTANT INSIDE ALTERNATION + '$' (round-14 lift of the
+    // round-13 ADVICE finding): each expanded branch is strict with a
+    // reluctant tail step — unanchored, a branch commits to ONE buy,
+    // so a pin over committed ends would drop anchors whose resolution
+    // needs the SECOND buy to reach the last row; the per-branch
+    // anchored backtracking matcher extends the reluctant step instead
+    // (runAlternation's branch dispatch → Cep.matchCoreAnchoredEnd).
+    val anchorEndAltReluctant: String =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN ((view | click) buy{1,2}? $)
+        |  DEFINE view AS event_type = 'view',
+        |         click AS event_type = 'click',
+        |         buy AS event_type = 'purchase'
+        |)""".stripMargin
+    // ... and with general MEASURES: the winning branch's consumed
+    // rows come from the anchored matcher's consumed-row projection
+    // (alternationConsumed's branch dispatch), feeding the same
+    // runMeasures executor as every other route.
+    val anchorEndAltMeasures: String =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES COUNT(buy.*) AS n_buys,
+        |           SUM(buy.value) AS buy_sum
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN ((view | click) buy{1,2}? $)
+        |  DEFINE view AS event_type = 'view',
+        |         click AS event_type = 'click',
+        |         buy AS event_type = 'purchase'
+        |)""".stripMargin
     // PERMUTE + '$' (the round-13 alternation lift covers PERMUTE —
     // strict {1,1} branches): the {click, view} permutation pinned to
     // the partition's LAST two rows, either order, within 24 h (the
@@ -1197,6 +1266,24 @@ object Analytic {
         |  WITHIN INTERVAL '1440' MINUTE
         |  DEFINE a AS a.event_type = 'purchase',
         |         b AS b.event_type = 'purchase' AND b.value > FIRST(a.value)
+        |)""".stripMargin
+
+    // STRICT ITERATIVE + '$' + QUANTIFIERS (round-14 lift): the
+    // sum-capped click run pinned to end adjacent to the partition's
+    // last row. STRICT patterns carry the anchored BACKTRACKING
+    // matcher with the consumption context, so general quantifiers
+    // compose with '$'; relaxed iterative keeps the all-{1,1}
+    // pinned-final DFS (rejected loudly otherwise).
+    val anchorEndIterQuant: String =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (a{1,3} b $)
+        |  WITHIN INTERVAL '1440' MINUTE
+        |  DEFINE a AS a.event_type = 'click' AND SUM(a.value) <= 200,
+        |         b AS b.event_type = 'purchase'
         |)""".stripMargin
 
     val permuteFunnel: String =
@@ -2072,6 +2159,45 @@ object Analytic {
     // mirroring runAlternation's pinned union.
     "event_cep_sql_anchor_end_alt" ->
       MatchRecognize.oracleFor(CepSql.anchorEndAlt),
+    // reluctant-in-alternation + '$': the GREEDY twin's generated
+    // pinned-union oracle (oracleFor pins each branch before the
+    // leftmost dedup). Under the pin, each strict branch's
+    // decomposition is forced by the distinct adjacent symbols, so the
+    // twin's pinned matches equal the anchored backtracker's reluctant
+    // resolution, step_counts included.
+    "event_cep_sql_anchor_end_alt_reluctant" ->
+      MatchRecognize.oracleFor(
+        CepSql.anchorEndAltReluctant.replace("buy{1,2}?", "buy{1,2}")),
+    // ... + MEASURES: the twin's pinned-union MATCH oracle (MEASURES
+    // stripped — no generated oracle on the general-measures route),
+    // measures recomputed literally over each match's contiguous span
+    // (strict branches: rows rn_start..rn_end; buy scope = purchase
+    // type equality).
+    "event_cep_sql_anchor_end_alt_measures" -> {
+      val twin = CepSql.anchorEndAltMeasures
+        .replace("buy{1,2}?", "buy{1,2}")
+        .replace("""  MEASURES COUNT(buy.*) AS n_buys,
+                    |           SUM(buy.value) AS buy_sum
+                    |""".stripMargin, "")
+      val base = MatchRecognize.oracleFor(twin)
+      s"""WITH base AS ($base),
+         |e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts, value, event_type,
+         |        row_number() OVER (PARTITION BY user_id
+         |                           ORDER BY ts, event_id) AS rn FROM events),
+         |pr AS (SELECT p.user_id, p.start_id, p.start_ts, p.end_id, p.end_ts,
+         |              p.n_rows, s.rn AS rs, t.rn AS re
+         |       FROM base p
+         |            JOIN e s ON s.user_id = p.user_id AND s.event_id = p.start_id
+         |            JOIN e t ON t.user_id = p.user_id AND t.event_id = p.end_id)
+         |SELECT pr.user_id, pr.start_id, pr.start_ts, pr.end_id, pr.end_ts,
+         |       pr.n_rows,
+         |       CAST(count(CASE WHEN e.event_type = 'purchase' THEN 1 END)
+         |         AS BIGINT) AS n_buys,
+         |       floor(sum(CASE WHEN e.event_type = 'purchase' THEN e.value END)
+         |         * 100 + 0.5) / 100 AS buy_sum
+         |FROM pr JOIN e ON e.user_id = pr.user_id AND e.rn BETWEEN pr.rs AND pr.re
+         |GROUP BY ALL ORDER BY pr.user_id, pr.start_id""".stripMargin
+    },
     "event_cep_sql_anchor_end_permute" ->
       MatchRecognize.oracleFor(CepSql.anchorEndPermute),
     // iterative + '$': independent formulation — per purchase anchor,
@@ -2092,6 +2218,34 @@ object Analytic {
         |  AND (a.ts < l.ts OR (a.ts = l.ts AND a.event_id < l.event_id))
         |  AND l.event_type = 'purchase' AND l.value > a.value
         |  AND l.ts <= a.ts + INTERVAL 1440 MINUTE
+        |ORDER BY a.user_id, start_id""".stripMargin,
+    // strict iterative + quantifier + '$': independent formulation —
+    // per user, the LAST row (ts desc, id desc) must be a purchase;
+    // the anchor k rows above it (k in 1..3) matches iff the k rows
+    // between are all clicks whose value sum is <= 200 (positive
+    // values: prefix cap == total cap), within 24 h of the anchor.
+    "event_cep_sql_anchor_end_iter_quant" ->
+      """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts, value,
+        |             event_type,
+        |             row_number() OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS rn
+        |           FROM events),
+        |l AS (SELECT user_id, rn AS lrn, event_id AS lid, ts AS lts FROM (
+        |        SELECT *, max(rn) OVER (PARTITION BY user_id) AS mx FROM e)
+        |      WHERE rn = mx AND event_type = 'purchase')
+        |SELECT a.user_id, a.event_id AS start_id, a.ts AS start_ts,
+        |       l.lid AS end_id, l.lts AS end_ts,
+        |       CAST(l.lrn - a.rn + 1 AS BIGINT) AS n_rows,
+        |       concat(CAST(l.lrn - a.rn AS VARCHAR), ',1') AS step_counts
+        |FROM e a JOIN l ON l.user_id = a.user_id
+        |WHERE l.lrn - a.rn BETWEEN 1 AND 3
+        |  AND l.lts <= a.ts + INTERVAL 1440 MINUTE
+        |  AND (SELECT count(*) FROM e m
+        |       WHERE m.user_id = a.user_id AND m.rn >= a.rn AND m.rn < l.lrn
+        |         AND m.event_type = 'click') = l.lrn - a.rn
+        |  AND (SELECT sum(m.value) FROM e m
+        |       WHERE m.user_id = a.user_id AND m.rn >= a.rn
+        |         AND m.rn < l.lrn) <= 200
         |ORDER BY a.user_id, start_id""".stripMargin,
     "event_cep_quant" -> Cep.oracleSql(CepPatterns.quant),
     "event_cep_quant_measures" -> Cep.oracleSqlMeasures(CepPatterns.quant, "value"),

@@ -1445,22 +1445,38 @@ class CepSqlSpec extends SparkSuite {
     assert(intercept[IllegalArgumentException](
       MatchRecognize.parse(reluctantEndStepSums))
       .getMessage.contains("step_sums"))
-    // the residual rejections stay loud: general quantifiers under
-    // iterative + '$'
+    // round-14 lift: STRICT iterative + '$' now parses — the anchored
+    // backtracking matcher threads the consumption context, general
+    // quantifiers included (event_cep_sql_anchor_end_iter_quant pins
+    // the semantics against an independent oracle)
     val iterEnd = CepSql.anchorEnd.replace(
       "view AS event_type = 'view'",
-      "view AS event_type = 'view' AND PREV(view.value) >= 0")
-    assert(intercept[IllegalArgumentException](MatchRecognize.parse(iterEnd))
-      .getMessage.contains("navigation"))
-    // round-13 ADVICE (high): a RELUCTANT quantifier inside an
-    // alternation under '$' must reject LOUDLY — the per-branch end
-    // pin is a post-filter over the branch matcher, and a reluctant
-    // branch's committed minimal end would make it silently
-    // under-match (strictness alone was not enough)
-    val reluctantAlt = CepSql.anchorEndAlt.replace("buy{1,2}", "buy{1,2}?")
+      "view AS event_type = 'view' AND view.value >= PREV(view.value)")
+    assert(MatchRecognize.parse(iterEnd).anchorEnd)
+    // RELAXED iterative with a general quantifier under '$' still
+    // rejects loudly — the pinned-final DFS is defined for all-{1,1}
+    // non-negated steps, and a quantified step's anchored search would
+    // need per-anchor speculative ends
+    val iterEndRelaxedQuant =
+      CepSql.anchorEndIter.replace("a g1* b $", "a g1* b{1,2} $")
     assert(intercept[IllegalArgumentException](
-      MatchRecognize.parse(reluctantAlt))
-      .getMessage.contains("ALL-GREEDY"))
+      MatchRecognize.parse(iterEndRelaxedQuant))
+      .getMessage.contains("STRICT"))
+    // round-14 lift of the round-13 ADVICE finding: a RELUCTANT
+    // quantifier inside an alternation under '$' now PARSES — the
+    // branch routes through the anchored backtracking matcher instead
+    // of the committed-end pin (the divergence is pinned on a tiny
+    // fixture in the "'$' lift" test below)
+    val reluctantAlt = CepSql.anchorEndAlt.replace("buy{1,2}", "buy{1,2}?")
+    assert(MatchRecognize.parse(reluctantAlt).anchorEnd)
+    // RELAXED branches under '$' still reject loudly — their anchored
+    // search would need the full NFA (gap rows decouple a branch's end
+    // from its committed match, and the backtracking matcher's
+    // anchored search is defined for strict patterns only)
+    val relaxedAlt = CepSql.anchorEndAlt.replace("buy{1,2} $", "g1* buy{1,2} $")
+    assert(intercept[IllegalArgumentException](
+      MatchRecognize.parse(relaxedAlt))
+      .getMessage.contains("STRICT"))
     // '^' composes with everything ('^'-anchored match starts are the
     // anchor position on every route) — a reluctant quantifier parses
     assert(MatchRecognize.parse(CepSql.anchorStart
@@ -1570,6 +1586,56 @@ class CepSqlSpec extends SparkSuite {
       }
     }.toSet
     assert(rows(CepSql.anchorEndAlt) == refAlt && refAlt.nonEmpty)
+    // 5. RELUCTANT INSIDE ALTERNATION + '$' (round-14 lift of the
+    // round-13 ADVICE finding): on V P P the winning branch's
+    // reluctant matcher commits to ONE buy (end row 2), so the
+    // committed-end pin finds NOTHING — the per-branch anchored
+    // backtracking matcher extends the buy tail to the last row
+    val tinyAltGot = MatchRecognize.run(tiny, CepSql.anchorEndAltReluctant)
+      .select("start_id", "end_id").as[(Long, Long)].collect().toSet
+    assert(tinyAltGot == Set((1L, 3L)),
+      s"anchored alternation branch must extend to the last row: $tinyAltGot")
+    val unanchoredAlt = CepSql.anchorEndAltReluctant.replace(" $)", ")")
+    assert(MatchRecognize.run(tiny, unanchoredAlt)
+        .filter(col("end_id") === 3L).count() == 0L,
+      "the reluctant branch's committed end is row 2 — the per-branch " +
+        "pin would have dropped the anchored match (the ADVICE finding)")
+    // the MEASURES twin aggregates the BACKTRACKED match's rows (both
+    // purchases), not the committed minimal end's single row
+    val tinyAltM = MatchRecognize.run(tiny, CepSql.anchorEndAltMeasures)
+      .select("start_id", "end_id", "n_buys", "buy_sum")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(tinyAltM == Set((1L, 3L, 2L, 2.0)),
+      s"anchored alternation MEASURES must cover the extended tail: $tinyAltM")
+    // full fixture: equals the GREEDY twin pinned to last-row ends.
+    // (view | click) branches cannot contest an anchor — a row is one
+    // type — so pin-then-dedup equals this dedup-then-pin reference.
+    val twinAlt = CepSql.anchorEndAltReluctant
+      .replace("buy{1,2}?", "buy{1,2}").replace(" $)", ")")
+    val refAltRel = MatchRecognize.run(ev, twinAlt).join(bounds, "user_id")
+      .filter(col("end_id") === col("last_ord"))
+      .select("user_id", "start_id", "end_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rows(CepSql.anchorEndAltReluctant) == refAltRel && refAltRel.nonEmpty)
+    // 6. STRICT ITERATIVE + QUANTIFIER + '$' (round-14 lift): the
+    // anchored backtracker threads the running-sum context — user 9's
+    // two-click anchor dies on the cap (250 > 200) with no anchored
+    // fallback (count 1 puts b on a click), while user 8 anchors both
+    // k=2 and k=1 within the cap
+    val tinyIter = Seq(
+      (1L, t(0), 9L, "click", 150.0),
+      (2L, t(1), 9L, "click", 100.0),
+      (3L, t(2), 9L, "purchase", 10.0),
+      (4L, t(0), 8L, "click", 50.0),
+      (5L, t(1), 8L, "click", 60.0),
+      (6L, t(2), 8L, "purchase", 10.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val gotIterQ = MatchRecognize.run(tinyIter, CepSql.anchorEndIterQuant)
+      .select("user_id", "start_id", "end_id", "step_counts")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(gotIterQ == Set((9L, 2L, 3L, "1,1"),
+        (8L, 4L, 6L, "2,1"), (8L, 5L, 6L, "1,1")),
+      s"sum-capped anchored quantifier wrong: $gotIterQ")
   }
 
   test("property: render -> parse round-trips 300 random patterns") {
