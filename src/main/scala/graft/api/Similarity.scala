@@ -371,6 +371,42 @@ object Similarity {
        |SELECT comp.id AS vec_id, cluster_id, cluster_size
        |FROM comp JOIN sz USING (cluster_id) ORDER BY vec_id""".stripMargin
 
+  /** The DuckDB replay of PageRank over the capped k-NN graph
+    * ([[graft.api.Graphs.pagerank]] fed by [[knnGraphCapped]] edges):
+    * the capped graph's CTEs + rank give the edge set, then `iters`
+    * UNROLLED rank rounds in the SAME fixed-point integer arithmetic
+    * as the engine — every division a floor division, every sum an
+    * integer sum, so the replay is bit-exact with no float-order
+    * dependence. sum(BIGINT) is HUGEINT in DuckDB, hence the final
+    * CAST back to BIGINT (values stay <= 85 * scale). */
+  def knnPagerankOracleSql(k: Int, tables: Int = 4, bits: Int = 8,
+                           dim: Int = 64, cap: Int = 8, iters: Int = 8,
+                           scale: Long = 1000000000000L): String = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT n.id, (SELECT b FROM base)
+         |           + (85 * coalesce(s.s, 0)) // 100 AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT eg.dst AS id, sum(p.r // eg.outd) AS s
+         |    FROM eg JOIN r${i - 1} p ON p.id = eg.src
+         |    GROUP BY eg.dst) s ON s.id = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${knnCtesSql(tables, bits, dim, Some(cap))},
+       |g AS (
+       |${knnRankSql(k, "cand")}),
+       |eg0 AS (SELECT src_id AS src, neighbor_id AS dst FROM g),
+       |od AS (SELECT src, count(*) AS outd FROM eg0 GROUP BY src),
+       |eg AS (SELECT eg0.src, eg0.dst, od.outd FROM eg0 JOIN od USING (src)),
+       |nodes AS (SELECT vec_id AS id FROM embeddings),
+       |base AS (SELECT (15 * ($scale // count(*))) // 100 AS b,
+       |                $scale // count(*) AS rinit FROM nodes),
+       |r0 AS (SELECT id, (SELECT rinit FROM base) AS r FROM nodes),
+       |$rounds
+       |SELECT id AS vec_id, CAST(r AS BIGINT) AS rank_ppt
+       |FROM r$iters ORDER BY vec_id""".stripMargin
+  }
+
   /** The DuckDB replay of [[knnGraphConverged]]: `rounds` NN-Descent
     * rounds UNROLLED into chained CTEs (b0 = the base graph's edges,
     * then undirect → expand → re-rank per round). Valid whenever the

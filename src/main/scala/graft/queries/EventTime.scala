@@ -277,6 +277,22 @@ object EventTime {
         .orderBy("user_id", "hr")
     }),
 
+    // LINEAR interpolation (the other standard time-series gap-fill
+    // next to ts_fill_forward's step hold): `value` counts as OBSERVED
+    // on purchase rows only; every other event row interpolates
+    // between its bracketing observations at its own event time —
+    //   v = pv + (nv - pv) * (ts - pt) / (nt - pt)
+    // over microsecond epochs. Two PARTITIONED ignoreNulls windows
+    // (running last backward, first forward) — no grid explode, no
+    // self-join, per-key linear at any scale. Edge rows hold the
+    // one-sided neighbor; a user with no observation stays null. The
+    // arithmetic is ONE deterministic double expression per row (no
+    // aggregation), so both engines produce identical bits even before
+    // the round4.
+    "ts_interp_linear" -> ((s, d) =>
+      interpLinear(Tables.events(s, d).filter(col("user_id") < 50))
+        .orderBy("user_id", "event_id")),
+
     // Recursive CTE (Spark 4's WITH RECURSIVE, Flink's iterative
     // dataflow analog): per user, walk the event chain from the first
     // event while successive gaps stay <= 10 min, emitting chain length
@@ -371,6 +387,38 @@ object EventTime {
       |             AND e.ts < ws.window_start + INTERVAL 6 HOUR
       |GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin
 
+  /** The ts_interp_linear body on an arbitrary events-shaped frame
+    * (user_id, event_id, ts, event_type, value) — factored out so the
+    * spec drives hand-built fixtures through the same plan. See the
+    * key's comment for semantics; output (user_id, event_id, ts,
+    * v_interp round4). */
+  def interpLinear(events: DataFrame): DataFrame = {
+    val ev = events
+      .withColumn("obs",
+        when(col("event_type") === "purchase", col("value")))
+      .withColumn("obs_ts",
+        when(col("event_type") === "purchase", col("ts")))
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wB = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ev.withColumn("pv", last(col("obs"), ignoreNulls = true).over(wB))
+      .withColumn("pt", last(col("obs_ts"), ignoreNulls = true).over(wB))
+      .withColumn("nv", first(col("obs"), ignoreNulls = true).over(wF))
+      .withColumn("nt", first(col("obs_ts"), ignoreNulls = true).over(wF))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        Det.round4(
+          when(col("obs").isNotNull, col("obs"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .when(unix_micros(col("nt")) === unix_micros(col("pt")), col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              ((unix_micros(col("ts")) - unix_micros(col("pt")))
+                .cast("double") /
+               (unix_micros(col("nt")) - unix_micros(col("pt")))
+                .cast("double")))).as("v_interp"))
+  }
+
   val oracles: Map[String, String] = Map(
     // CUMULATE replay: epoch-aligned 6 h periods; each event lands in
     // every cumulative window end after it. Period start must TRUNCATE
@@ -434,6 +482,38 @@ object EventTime {
         |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
         |  count(*) AS n_ticks
         |FROM r GROUP BY user_id, hr ORDER BY user_id, hr""".stripMargin,
+
+    // Same bracketing-window formulation; epoch_us mirrors
+    // unix_micros, and the interpolation expression is evaluated in
+    // the same operation order, so the doubles match bit-for-bit.
+    "ts_interp_linear" ->
+      """WITH m AS (
+        |  SELECT user_id, event_id, ts::TIMESTAMP AS ts,
+        |    CASE WHEN event_type = 'purchase' THEN value END AS obs,
+        |    CASE WHEN event_type = 'purchase' THEN ts::TIMESTAMP END AS obs_ts
+        |  FROM events WHERE user_id < 50),
+        |w AS (
+        |  SELECT *,
+        |    last_value(obs IGNORE NULLS) OVER wb AS pv,
+        |    last_value(obs_ts IGNORE NULLS) OVER wb AS pt,
+        |    first_value(obs IGNORE NULLS) OVER wf AS nv,
+        |    first_value(obs_ts IGNORE NULLS) OVER wf AS nt
+        |  FROM m WINDOW
+        |    wb AS (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, event_id, ts,
+        |  floor((CASE
+        |    WHEN obs IS NOT NULL THEN obs
+        |    WHEN pv IS NULL THEN nv
+        |    WHEN nv IS NULL THEN pv
+        |    WHEN epoch_us(nt) = epoch_us(pt) THEN pv
+        |    ELSE pv + (nv - pv) *
+        |      (CAST(epoch_us(ts) - epoch_us(pt) AS DOUBLE) /
+        |       CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE))
+        |  END) * 10000 + 0.5) / 10000 AS v_interp
+        |FROM w ORDER BY user_id, event_id""".stripMargin,
 
     // Spark's max_by(value, struct(ts, event_id)) = the row_number()=1
     // pick here; generate_series and sequence are both end-inclusive.

@@ -668,6 +668,25 @@ object Pipeline {
         .orderBy("vec_id")
     }),
 
+    // PageRank CENTRALITY over the capped kNN graph (the curation
+    // ranking next to sim_knn_clusters' SemDeDup components: keep the
+    // highest-centrality member of a near-dup cluster, order audit
+    // queues by referencedness). Exact fixed-point INTEGER arithmetic
+    // (Graphs.pagerank) — every division floored, every sum integral —
+    // so the 8-round unrolled DuckDB replay is bit-equal at any
+    // parallelism; ranks are parts-per-trillion scores. Scale: one
+    // src-keyed join + one dst-keyed combine per round over O(n·k)
+    // capped edges, rounds fixed.
+    "graph_pagerank" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val edges = Similarity.knnGraphCapped(e, "vec_id", "embedding", 5,
+        tables = 8, bits = 6, cap = 16)
+      graft.api.Graphs.pagerank(e.select("vec_id"), "vec_id",
+          edges, srcCol = "src_id", dstCol = "neighbor_id", iters = 8)
+        .select(col("id").as("vec_id"), col("r").as("rank_ppt"))
+        .orderBy("vec_id")
+    }),
+
     // NN-Descent to its FIXPOINT (dedup_clusters' convergent-loop
     // discipline: per-round edge-delta counters on the driver, loud
     // failure if maxIters rounds don't converge; Dong et al.'s
@@ -1821,6 +1840,8 @@ object Pipeline {
       Similarity.knnGraphCappedOracleSql(5, tables = 8, bits = 6, cap = 16),
     "sim_knn_clusters" -> Similarity.knnClustersOracleSql(5, tables = 8,
       bits = 6, cap = 16, tau = 0.4),
+    "graph_pagerank" -> Similarity.knnPagerankOracleSql(5, tables = 8,
+      bits = 6, cap = 16, iters = 8),
     "sim_knn_graph_converged" ->
       Similarity.knnGraphConvergedOracleSql(5, tables = 8, bits = 6,
         rounds = ConvergedOracleRounds),

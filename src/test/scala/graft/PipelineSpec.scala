@@ -948,6 +948,69 @@ class PipelineSpec extends SparkSuite {
     } finally out.unpersist()
   }
 
+  test("ts_interp_linear: bracketing interpolation, edge hold, all-null user") {
+    import java.sql.Timestamp
+    def t(m: Int) = new Timestamp(1704067200000L + m * 60000L)
+    // user 1: obs 10.0 @ t10, 20.0 @ t50; probes at the quarter points
+    // plus edge rows outside the bracket; user 2: no observation
+    val rows = Seq(
+      (1L, t(0), 1L, "view", 7.0),       // before first obs -> hold 10
+      (2L, t(10), 1L, "purchase", 10.0), // observed
+      (3L, t(20), 1L, "view", 3.0),      // 1/4 of the span -> 12.5
+      (4L, t(40), 1L, "click", 3.0),     // 3/4 -> 17.5
+      (5L, t(50), 1L, "purchase", 20.0), // observed
+      (6L, t(60), 1L, "view", 9.0),      // after last obs -> hold 20
+      (7L, t(0), 2L, "view", 5.0))       // no obs anywhere -> null
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    rows.createOrReplaceTempView("ts_interp_fixture")
+    val ev = spark.table("ts_interp_fixture")
+    // replicate the key's body on the fixture (the declared key reads
+    // the events table; semantics pinned here, oracle pinned by t2)
+    val out = graft.queries.EventTime.interpLinear(ev)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Double]("v_interp")).map(_.doubleValue)).toMap
+    assert(out(1L).contains(10.0) && out(2L).contains(10.0))
+    assert(out(3L).contains(12.5) && out(4L).contains(17.5))
+    assert(out(5L).contains(20.0) && out(6L).contains(20.0))
+    assert(out(7L).isEmpty, s"user with no observation must stay null: $out")
+  }
+
+  test("pagerank: integer fixed-point equals a local reference; partition-invariant") {
+    import graft.api.Graphs
+    val scale = 1000000000000L
+    // random 24-node directed graph, fixed seed
+    val rnd = new scala.util.Random(20260816L)
+    val n = 24
+    val edges = (for {
+      s <- 0 until n; d <- 0 until n
+      if s != d && rnd.nextInt(100) < 12
+    } yield (s.toLong, d.toLong)).distinct
+    val nodesDf = spark.range(n).select(col("id").as("nid"))
+    val edgesDf = edges.toDF("src", "dst")
+    val got = Graphs.pagerank(nodesDf, "nid", edgesDf, "src", "dst",
+        iters = 8, scale = scale)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // local reference: the same integer recurrence, scalar-evaluated
+    val outd = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val r0 = scale / n
+    val base = (15L * r0) / 100L
+    var ranks = (0 until n).map(i => i.toLong -> r0).toMap
+    for (_ <- 1 to 8) {
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => ranks(s) / outd(s) }.sum).toMap
+      ranks = (0 until n).map(i =>
+        i.toLong -> (base + (85L * in.getOrElse(i.toLong, 0L)) / 100L)).toMap
+    }
+    assert(got == ranks, s"engine != scalar reference")
+    // mass never exceeds the scale (floors + dropped dangling only lose)
+    assert(got.values.sum <= scale)
+    // integer arithmetic is partition-order independent
+    val got2 = Graphs.pagerank(nodesDf.repartition(7), "nid",
+        edgesDf.repartition(5), "src", "dst", iters = 8, scale = scale)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == got)
+  }
+
   test("repetition signals: exact fractions on a hand-built doc") {
     val df = Seq((1L, "a a a b"), (2L, "x y z w")).toDF("doc_id", "text")
     val out = graft.api.TextOps.repetition(df, "doc_id", "text")
