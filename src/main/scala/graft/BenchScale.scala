@@ -267,13 +267,15 @@ object BenchScale {
     // names (ids offset) make every deletion-variant bucket's
     // occupancy grow n-fold: the Σocc² regime the cap exists for.
     // Uncapped candidates (and the true pair output itself) grow
-    // quadratically, so the uncapped arm measures one decade only —
-    // its 100x point is ~250M candidate pairs by arithmetic (25k
-    // variant buckets × 100² occupancy), the blow-up demonstrated, not
+    // quadratically — the DuckDB candidate replay (BENCH_SCALE.md)
+    // measures 36,855 -> 3,730,500 pairs over 1x->10x (x101/decade),
+    // putting the 100x point at ~3.7e8 — so the uncapped arm measures
+    // one decade only: the blow-up is demonstrated by arithmetic, not
     // worth the wall-clock. The capped arm's candidates are occ·cap =
-    // LINEAR in rows past the cap threshold; it measures BOTH decades
-    // (the first decade reads above 1.0 because cap=4 binds only once
-    // occupancy exceeds it — the 10x→100x decade is the regime claim).
+    // LINEAR in rows past the cap threshold (measured 4,606 -> 65,080
+    // -> 647,713: x14 while the cap starts binding, then x10.0 exactly
+    // linear); it measures BOTH decades — the 10x->100x decade is the
+    // regime claim.
     def skewSupplier(n: Int): DataFrame =
       spark.read.parquet(s"$srcDir/supplier.parquet")
         .crossJoin(spark.range(n).select(col("id").cast("int").as("c")))

@@ -472,6 +472,16 @@ object Analytic {
           col("event_id"), col("ts"), col("step"), col("value"))
         .orderBy("user_id", "purchase_id", "pos")),
 
+    // '$' × ALL ROWS (greedy route): the same row-level islands, kept
+    // only where the match's end row IS the partition's last row —
+    // filter ≡ anchored matching on deterministic-end greedy patterns
+    // (see CepSql.anchorEndAllRows).
+    "event_cep_sql_anchor_end_allrows" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.anchorEndAllRows)
+        .select(col("user_id"), col("end_id").as("purchase_id"), col("pos"),
+          col("event_id"), col("ts"), col("step"), col("value"))
+        .orderBy("user_id", "purchase_id", "pos")),
+
     // SQL:2016 exclusion {- click+ -}: the allRows matches with only
     // the un-excluded purchase rows emitted (pos keeps the original
     // consumption numbering). Shares the islands CTE chain with the
@@ -1478,6 +1488,25 @@ object Analytic {
         |  DEFINE click AS event_type = 'click',
         |         purchase AS event_type = 'purchase'
         |)""".stripMargin
+    // '$' × ALL ROWS PER MATCH on the GREEDY route (round-14): the end
+    // anchor is the documented match-level filter (applyAnchors) over
+    // the row-level output — every row of a match carries its end_id,
+    // and a greedy deterministic-end match's committed end is its only
+    // candidate end, so filter ≡ anchored matching here. ALL ROWS on
+    // the LIFTED routes (reluctant / alternation / iterative '$')
+    // stays rejected: there the committed end is not the only
+    // candidate and a filter under-matches.
+    val anchorEndAllRows: String =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ALL ROWS PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (click+ purchase $)
+        |  WITHIN INTERVAL '1440' MINUTE
+        |  DEFINE click AS event_type = 'click',
+        |         purchase AS event_type = 'purchase'
+        |)""".stripMargin
     // General MEASURES, ONE ROW PER MATCH: MATCH_NUMBER, match-wide and
     // variable-scoped aggregates, FIRST/LAST over the click run — the
     // same C+ P WITHIN 10 min matches as allRows, so the oracle
@@ -1872,8 +1901,11 @@ object Analytic {
     * and the general-MEASURES oracles aggregate (event_cep_sql_agg)
     * or window (event_cep_sql_runagg) — one reconstruction, three
     * cross-checked surfaces. */
-  private val AllRowsCtes: String =
-      """WITH t AS (
+  /** The click+ purchase islands chain with the WITHIN horizon as a
+    * parameter — `AllRowsCtes` keeps the original 10-minute form; the
+    * anchored-allrows key replays the same chain at its own horizon. */
+  private def allRowsCtes(withinMinutes: Int): String =
+      s"""WITH t AS (
         |  SELECT user_id, ts, event_id, event_type, value,
         |    sum(CASE WHEN event_type != 'click' THEN 1 ELSE 0 END)
         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -1887,12 +1919,12 @@ object Analytic {
         |m AS (SELECT p.user_id, purchase_id, any_value(purchase_ts) AS purchase_ts,
         |             any_value(pval) AS pval, any_value(p.pblk) AS pblk
         |      FROM p JOIN c ON c.user_id = p.user_id AND c.blk = p.pblk
-        |      WHERE cts >= purchase_ts - INTERVAL 10 MINUTE
+        |      WHERE cts >= purchase_ts - INTERVAL $withinMinutes MINUTE
         |      GROUP BY p.user_id, purchase_id),
         |r AS (SELECT m.user_id, m.purchase_id, c.c_id AS event_id, c.cts AS ts,
         |             'click' AS step, c.cval AS value
         |      FROM m JOIN c ON c.user_id = m.user_id AND c.blk = m.pblk
-        |       AND c.cts >= m.purchase_ts - INTERVAL 10 MINUTE
+        |       AND c.cts >= m.purchase_ts - INTERVAL $withinMinutes MINUTE
         |      UNION ALL
         |      SELECT user_id, purchase_id, purchase_id, purchase_ts,
         |             'purchase', pval FROM m),
@@ -1902,6 +1934,8 @@ object Analytic {
         |                            ORDER BY ts, event_id) AS pos,
         |         event_id, ts, step, value
         |  FROM r)""".stripMargin
+
+  private val AllRowsCtes: String = allRowsCtes(10)
 
   /** The islands-rewrite ALL ROWS oracle, shared by the DSL key
     * (event_cep_all_rows) and the SQL-route key (event_cep_sql_allrows
@@ -2508,6 +2542,18 @@ object Analytic {
     // per-match (ts, event_id) row_number = consumption order.
     "event_cep_all_rows" -> AllRowsOracle,
     "event_cep_sql_allrows" -> AllRowsOracle,
+    // anchored allrows = the SAME islands chain + the last-row pin on
+    // the match's end (purchase_id IS end_id in this projection)
+    "event_cep_sql_anchor_end_allrows" -> (allRowsCtes(1440) +
+      """
+        |, bd AS (SELECT user_id AS __k, event_id AS __last FROM (
+        |  SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS __rn FROM events)
+        |  WHERE __rn = 1)
+        |SELECT ar.user_id, ar.purchase_id, ar.pos, ar.event_id, ar.ts,
+        |       ar.step, ar.value
+        |FROM ar JOIN bd ON ar.user_id = bd.__k AND ar.purchase_id = bd.__last
+        |ORDER BY user_id, purchase_id, pos""".stripMargin),
     // exclusion = the SAME islands chain with the symbol filter in SQL
     "event_cep_sql_exclude" -> (AllRowsCtes +
       "\nSELECT user_id, purchase_id, pos, event_id, ts, step, value" +

@@ -65,6 +65,26 @@ object Streaming {
         .orderBy("doc_id")
     }),
 
+    // Event-time TEMPORAL join (Flink FOR SYSTEM_TIME AS OF / temporal
+    // table function join): each purchase enriched with the signup
+    // "profile version" CURRENT at its event time (latest signup
+    // strictly before it in (ts, event_id) order; nulls when none).
+    // Streaming execution is watermark-certified with Flink's
+    // state-cleanup rule (StreamOps.temporalJoin; StreamingSpec pins
+    // cross-batch version visibility + full-replay equality); batch
+    // replay is the declarative strictly-preceding window twin, and no
+    // arithmetic touches the values, so the oracle pins both.
+    "stream_temporal_join" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[Ev]
+      StreamOps.temporalJoin(ev, streaming = false).toDF()
+        .orderBy("fact_id")
+    }),
+
     // The namesake two-level pane optimization as a chained streaming
     // aggregation (StreamOps.paneTwoLevel) — batch replay must equal
     // wnd_sliding bit-for-bit, so it shares that oracle; streaming
@@ -743,6 +763,24 @@ object Streaming {
         |ORDER BY user_id, start_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // temporal join: the same strictly-preceding window formulation —
+    // last_value IGNORE NULLS over ROWS UNBOUNDED PRECEDING..1
+    // PRECEDING mirrors Spark's last(ignoreNulls).over(-1 frame)
+    "stream_temporal_join" ->
+      """WITH w AS (
+        |  SELECT user_id, event_id, ts::TIMESTAMP AS ts, event_type, value,
+        |    last_value(CASE WHEN event_type = 'signup' THEN event_id END
+        |               IGNORE NULLS) OVER win AS version_id,
+        |    last_value(CASE WHEN event_type = 'signup' THEN ts::TIMESTAMP END
+        |               IGNORE NULLS) OVER win AS version_ts,
+        |    last_value(CASE WHEN event_type = 'signup' THEN value END
+        |               IGNORE NULLS) OVER win AS version_value
+        |  FROM events WINDOW win AS (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id AS fact_id, ts AS fact_ts,
+        |       value AS fact_value, version_id, version_ts, version_value
+        |FROM w WHERE event_type = 'purchase' ORDER BY fact_id""".stripMargin,
     "stream_cep_measures" -> Analytic.oracles("event_cep_measures"),
     // streaming general MEASURES: batch replay must equal the batch
     // general-MEASURES route exactly — same hand-written islands oracle

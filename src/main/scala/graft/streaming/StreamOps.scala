@@ -116,6 +116,23 @@ private[streaming] case class CepValState(syms: Seq[String], ts: Seq[Long],
 
 private[streaming] case class UserAgg(n_events: Long, sum_cents: Long, max_ts_ms: Long)
 
+/** Output row of the event-time TEMPORAL join
+  * ([[StreamOps.temporalJoin]]): a fact row enriched with the version
+  * row that was CURRENT at the fact's event time, or nulls when no
+  * version preceded it. */
+case class TemporalJoined(user_id: Long, fact_id: Long,
+                          fact_ts: java.sql.Timestamp, fact_value: Double,
+                          version_id: Option[Long],
+                          version_ts: Option[java.sql.Timestamp],
+                          version_value: Option[Double])
+
+/** Temporal-join buffer: retained version rows (all at-or-after the
+  * watermark plus the single latest before it) and facts awaiting the
+  * watermark, parallel-array encoded like the CEP states. */
+private[streaming] case class TjState(vIds: Seq[Long], vTs: Seq[Long],
+                                      vVals: Seq[Double], fIds: Seq[Long],
+                                      fTs: Seq[Long], fVals: Seq[Double])
+
 /** One keep-last-N windowed aggregate (StreamOps.evictorWindow). */
 case class WindowEvict(user_id: Long, window_start: java.sql.Timestamp,
                        n_seen: Long, n_kept: Long, sum_kept: Double,
@@ -1023,6 +1040,99 @@ object StreamOps extends Serializable {
           col("r.ts").as("ts"), col("r.event_type").as("event_type"),
           col("r.value").as("value"))
         .as[LastRow]
+  }
+
+  /** Event-time TEMPORAL join (Flink's `FOR SYSTEM_TIME AS OF` /
+    * temporal table function join): each FACT row (`factType`) joins
+    * the VERSION row (`versionType`) of the same user that was CURRENT
+    * at the fact's event time — the latest version with (ts, event_id)
+    * strictly before the fact's (ts, event_id); a fact with no
+    * preceding version emits nulls (LEFT temporal join).
+    *
+    * Streaming: one keyed pass (flatMapGroupsWithState) over the
+    * single typed stream, both sides in one buffer. A fact emits only
+    * once the watermark passes its event time — the watermark
+    * CERTIFIES no earlier version can still arrive, the same argument
+    * the outer interval join makes for its null emissions. State is
+    * bounded two ways: facts leave on emission (watermark lag), and of
+    * the versions BEFORE the watermark only the single latest is
+    * retained — every future emittable fact has ts >= watermark, so a
+    * superseded pre-watermark version can never be current again (the
+    * Flink temporal-join state-cleanup rule). Late-beyond-watermark
+    * rows on EITHER side are dropped (the wnd_late_drop stance: a late
+    * fact might bind an already-evicted version, a late version might
+    * retroactively change an emitted fact — both violate append mode).
+    *
+    * Batch (`streaming = false`): the declarative twin — one
+    * partitioned (ts, event_id)-ordered window carrying the last
+    * version columns over a STRICTLY-preceding frame. No arithmetic
+    * touches the values, so batch, stream replay, and the oracle agree
+    * bit-for-bit.
+    */
+  def temporalJoin(ev: Dataset[Ev], factType: String = "purchase",
+                   versionType: String = "signup",
+                   streaming: Boolean): Dataset[TemporalJoined] = {
+    import ev.sparkSession.implicits._
+    if (!streaming) {
+      val ord = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      def vCol(c: org.apache.spark.sql.Column) =
+        last(when(col("event_type") === versionType, c), ignoreNulls = true)
+          .over(ord)
+      return ev.toDF()
+        .withColumn("version_id", vCol(col("event_id")))
+        .withColumn("version_ts", vCol(col("ts")))
+        .withColumn("version_value", vCol(col("value")))
+        .filter(col("event_type") === factType)
+        .select(col("user_id"), col("event_id").as("fact_id"),
+          col("ts").as("fact_ts"), col("value").as("fact_value"),
+          col("version_id"), col("version_ts"), col("version_value"))
+        .as[TemporalJoined]
+    }
+    ev.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TjState, TemporalJoined](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[Ev], state: GroupState[TjState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val st = state.getOption.getOrElse(TjState(Nil, Nil, Nil, Nil, Nil, Nil))
+          def lt(aTs: Long, aId: Long, bTs: Long, bId: Long): Boolean =
+            aTs < bTs || (aTs == bTs && aId < bId)
+          // late-beyond-watermark arrivals drop on BOTH sides
+          val fresh = it.toIndexedSeq.filter(e => tsMicros(e.ts) >= wmUs)
+          val versions = (st.vIds.indices.map(i => (st.vIds(i), st.vTs(i), st.vVals(i))) ++
+              fresh.filter(_.event_type == versionType)
+                .map(e => (e.event_id, tsMicros(e.ts), e.value)))
+            .sortBy(v => (v._2, v._1))
+          val facts = (st.fIds.indices.map(i => (st.fIds(i), st.fTs(i), st.fVals(i))) ++
+              fresh.filter(_.event_type == factType)
+                .map(e => (e.event_id, tsMicros(e.ts), e.value)))
+            .sortBy(f => (f._2, f._1))
+          // the watermark certifies completeness below it: emit
+          val (emit, keep) = facts.partition(_._2 < wmUs)
+          val out = emit.map { case (fid, fts, fv) =>
+            val v = versions.takeWhile(x => lt(x._2, x._1, fts, fid)).lastOption
+            TemporalJoined(user, fid, microsTs(fts), fv,
+              v.map(_._1), v.map(x => microsTs(x._2)), v.map(_._3))
+          }
+          // version eviction: all at-or-after the watermark, plus the
+          // single latest before it
+          val (old, cur) = versions.partition(_._2 < wmUs)
+          val kept = old.takeRight(1) ++ cur
+          if (keep.isEmpty && kept.isEmpty) state.remove()
+          else {
+            state.update(TjState(kept.map(_._1), kept.map(_._2),
+              kept.map(_._3), keep.map(_._1), keep.map(_._2), keep.map(_._3)))
+            // pending facts emit on the TIMER, not only on the key's
+            // next arrival: wake this group once the watermark passes
+            // the earliest pending fact (kept facts have ts >= wm, so
+            // the +1 ms keeps the timestamp strictly ahead as required)
+            if (keep.nonEmpty)
+              state.setTimeoutTimestamp(keep.map(_._2).min / 1000L + 1L)
+          }
+          out.iterator
+      }
   }
 
   /** Ingest-order minhash dedup candidates on bucket-keyed state (the

@@ -760,6 +760,82 @@ class StreamingSpec extends SparkSuite {
       s"streamed ${got.size} rows != batch ${want.size}")
   }
 
+  test("temporal join: cross-batch version visibility, watermark-certified emission") {
+    import graft.streaming.TemporalJoined
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.temporalJoin(ms.toDS(), streaming = true)
+      .writeStream.format("memory").queryName("tj").outputMode("append").start()
+    // batch 1: user 1's version then a fact 30 min later — the 10 min
+    // watermark stays behind the fact, so nothing emits yet
+    ms.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "signup", 1.0),
+      Ev(2, ts("2024-01-01 10:30:00"), 1, "purchase", 50.0))
+    q.processAllAvailable()
+    assert(spark.table("tj").count() == 0L,
+      "the fact must wait for the watermark to certify its versions")
+    // batch 2: a LATER version (after the fact's event time — must not
+    // bind) and a user-2 fact that advances the watermark to 10:50
+    ms.addData(
+      Ev(3, ts("2024-01-01 10:45:00"), 1, "signup", 2.0),
+      Ev(4, ts("2024-01-01 11:00:00"), 2, "purchase", 9.0))
+    q.processAllAvailable()
+    // nudges on a THIRD user push the watermark past both facts; the
+    // pending groups wake on their event-time timers, not on their own
+    // next arrival
+    ms.addData(Ev(5, ts("2024-01-01 12:00:00"), 3, "view", 0.0))
+    q.processAllAvailable()
+    ms.addData(Ev(6, ts("2024-01-01 13:00:00"), 3, "view", 0.0))
+    drain(q)
+    val rows = spark.table("tj").as[TemporalJoined].collect()
+      .map(r => r.fact_id -> r).toMap
+    assert(rows.contains(2L) &&
+        rows(2L).version_id.contains(1L) && rows(2L).version_value.contains(1.0),
+      s"fact 2 must bind the version current at its event time: ${rows.get(2L)}")
+    assert(rows.contains(4L) && rows(4L).version_id.isEmpty,
+      s"user 2 has no version — LEFT semantics: ${rows.get(4L)}")
+  }
+
+  test("temporal join over random batch splits equals batch replay") {
+    import graft.streaming.TemporalJoined
+    val rnd = new scala.util.Random(20260814L)
+    val syms = Vector("signup", "purchase", "view", "purchase")
+    // globally (ts, id)-sorted: the operator drops late-beyond-
+    // watermark rows by contract, so the equality claim is over
+    // IN-ORDER streams chopped arbitrarily (the watermark can never
+    // overtake an unseen row)
+    val evs = (for {
+      u <- 1 to 10
+      i <- 0 until (6 + rnd.nextInt(8))
+    } yield Ev((u * 100 + i).toLong,
+        java.sql.Timestamp.valueOf(
+          ts("2024-01-01 10:00:00").toLocalDateTime.plusMinutes(i * 23L)),
+        u.toLong, syms(rnd.nextInt(syms.size)),
+        math.floor(rnd.nextDouble() * 5000) / 100.0))
+      .sortBy(e => (e.ts.getTime, e.event_id)).toVector
+    // two global far-future view rows: the first advances the watermark
+    // past every fact, the second fires the woken groups' timers
+    val sealers = Seq(
+      Ev(9998L, ts("2024-01-03 10:00:00"), 99L, "view", 0.0),
+      Ev(9999L, ts("2024-01-04 10:00:00"), 99L, "view", 0.0))
+    val full = evs ++ sealers
+    val ref = StreamOps.temporalJoin(full.toDS(), streaming = false)
+      .collect().toSet
+    val cuts = Seq.fill(3)(rnd.nextInt(evs.size)).sorted
+    val batches = (Seq(0) ++ cuts ++ Seq(evs.size)).sliding(2)
+      .collect { case Seq(a, b) if b > a => evs.slice(a, b) }.toSeq
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.temporalJoin(ms.toDS(), streaming = true)
+      .writeStream.format("memory").queryName("tjeq").outputMode("append").start()
+    (batches ++ sealers.map(Seq(_))).foreach { b =>
+      ms.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("tjeq").as[TemporalJoined].collect().toSet
+    assert(got === ref, s"stream ${got.size} rows != batch ${ref.size}")
+    assert(ref.exists(_.version_id.nonEmpty) && ref.exists(_.version_id.isEmpty),
+      "fixture must exercise both matched and null-version facts")
+  }
+
   test("iterative CEP over random batch splits equals batch replay") {
     // the seal-aware guarantee for the iterative route: however the
     // in-order stream is chopped, emitted matches equal the batch
