@@ -65,6 +65,27 @@ object Streaming {
         .orderBy("doc_id")
     }),
 
+    // UPSERT-source aggregation over the RETRACT stream (Flink
+    // changelog semantics): totals per event_type over each user's
+    // LATEST event — a grouped aggregate that stays correct as keys
+    // update, maintained in streaming by folding ChangeRow deltas
+    // (StreamOps.retractDeltas; retraction rows are pinned in
+    // StreamingSpec with fold == batch over random splits). Batch
+    // replay folds the net "I" changelog — exact integer cents.
+    "stream_retract_agg" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[Ev]
+      StreamOps.retractDeltas(ev, streaming = false).toDF()
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("delta_cents")).as("total_cents"))
+        .orderBy("event_type")
+    }),
+
     // Event-time TEMPORAL join (Flink FOR SYSTEM_TIME AS OF / temporal
     // table function join): each purchase enriched with the signup
     // "profile version" CURRENT at its event time (latest signup
@@ -763,6 +784,18 @@ object Streaming {
         |ORDER BY user_id, start_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // retract-agg: totals over each user's latest row; DuckDB round()
+    // is half-away-from-zero vs Spark's HALF_UP — identical on the
+    // non-negative fixture values (the documented cents idiom)
+    "stream_retract_agg" ->
+      """WITH l AS (
+        |  SELECT user_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |  WHERE rn = 1)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
     // temporal join: the same strictly-preceding window formulation —
     // last_value IGNORE NULLS over ROWS UNBOUNDED PRECEDING..1
     // PRECEDING mirrors Spark's last(ignoreNulls).over(-1 frame)

@@ -239,6 +239,21 @@ private[streaming] case class RunAgg(n: Long, cents: Long)
 case class LastRow(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
                    event_type: String, value: Double)
 
+/** One changelog row of the UPSERT-source retraction stream
+  * (StreamOps.retractDeltas — Flink's retract stream / RowKind): when
+  * a user's latest row changes, the previous contribution LEAVES
+  * (negative `delta_cents`, kind "U-") and the new one ARRIVES
+  * (positive, kind "U+"; a first insert is kind "I"). Folding
+  * sum(delta_cents) per group at any prefix of the stream yields the
+  * group totals over each user's then-latest row — the dynamic-table /
+  * changelog duality. */
+case class ChangeRow(user_id: Long, event_type: String, delta_cents: Long,
+                     kind: String)
+
+/** Upsert state: the user's current latest row (exact cents). */
+private[streaming] case class UpsertLast(ts_us: Long, event_id: Long,
+                                         event_type: String, cents: Long)
+
 /** Keep-last dedup state: the current best row plus whether it has
   * already been emitted (so a watermark advance without a newer row
   * does not re-emit the same survivor). */
@@ -695,6 +710,47 @@ private[streaming] class PurgeFireProcessor(windowMs: Long, fireEveryMs: Long)
   * the cross-batch replacement). State per key is one small tuple —
   * O(keys), the same law as Flink's deduplication operator.
   */
+/** The retract-stream derivation (Flink dynamic-table changelog): one
+  * ValueState per user holding its latest row; each invocation whose
+  * newest input row (by (ts, event_id)) displaces it emits the NET
+  * transition — a "U-" retraction of the stored contribution and the
+  * "U+"/"I" arrival of the new one. Several updates inside one batch
+  * compact to that single net pair (Flink's mini-batch compaction);
+  * rows older than the stored latest are ignored (upsert semantics —
+  * event time wins, not arrival). Emission is arrival-EAGER like
+  * dedup-on-ingest, not watermark-gated: retractions are the
+  * correction mechanism, so nothing needs to wait. */
+private[streaming] class RetractProcessor
+    extends StatefulProcessor[Long, Ev, ChangeRow] {
+  @transient private var last: ValueState[UpsertLast] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    last = getHandle.getValueState[UpsertLast]("last",
+      Encoders.product[UpsertLast], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+                               timers: TimerValues): Iterator[ChangeRow] = {
+    val st0 = if (last.exists()) Some(last.get()) else None
+    var best = st0
+    rows.foreach { e =>
+      val t = StreamOps.tsMicros(e.ts)
+      if (best.forall(b => t > b.ts_us || (t == b.ts_us && e.event_id > b.event_id)))
+        best = Some(UpsertLast(t, e.event_id, e.event_type, math.round(e.value * 100)))
+    }
+    (st0, best) match {
+      case (_, None) => Iterator.empty
+      case (Some(a), Some(b)) if a == b => Iterator.empty
+      case (None, Some(b)) =>
+        last.update(b)
+        Iterator(ChangeRow(key, b.event_type, b.cents, "I"))
+      case (Some(a), Some(b)) =>
+        last.update(b)
+        Iterator(ChangeRow(key, a.event_type, -a.cents, "U-"),
+          ChangeRow(key, b.event_type, b.cents, "U+"))
+    }
+  }
+}
+
 private[streaming] class DedupLastProcessor
     extends StatefulProcessor[Long, Ev, LastRow] {
   @transient private var best: ValueState[LastState] = _
@@ -1040,6 +1096,41 @@ object StreamOps extends Serializable {
           col("r.ts").as("ts"), col("r.event_type").as("event_type"),
           col("r.value").as("value"))
         .as[LastRow]
+  }
+
+  /** UPSERT source → RETRACT stream (Flink's changelog / RowKind
+    * duality — the streaming-SQL mechanism Structured Streaming lacks
+    * natively): the per-user LATEST row is the dynamic table; its
+    * changes flow as [[ChangeRow]] deltas whose per-group fold
+    * maintains any sum/count over the CURRENT latest rows — grouped
+    * totals stay correct as keys are UPDATED, which an append-mode
+    * aggregate over raw rows cannot do. Streaming: one ValueState per
+    * user ([[RetractProcessor]]), arrival-eager emission (retractions
+    * ARE the correction mechanism, so nothing waits on a watermark);
+    * downstream consumers fold sum(delta_cents) per group — per batch,
+    * in foreachBatch, or through the TopNProcessor's update shape.
+    * Batch (`streaming = false`): the net changelog of the empty→final
+    * transition — one "I" row per user carrying its final latest row,
+    * the same declarative max_by as dedupKeepLast — so batch and
+    * streamed changelogs FOLD to identical totals (StreamingSpec pins
+    * it over random splits). Cents follow the documented non-negative
+    * rounding idiom (Tables.Det scaladoc).
+    */
+  def retractDeltas(ev: Dataset[Ev], streaming: Boolean): Dataset[ChangeRow] = {
+    import ev.sparkSession.implicits._
+    if (streaming)
+      ev.groupByKey(_.user_id)
+        .transformWithState(new RetractProcessor, TimeMode.None(),
+          OutputMode.Append())
+    else
+      ev.toDF().groupBy(col("user_id"))
+        .agg(max_by(
+          struct(col("event_type"),
+            round(col("value") * 100).cast("long").as("cents")),
+          struct(col("ts"), col("event_id"))).as("r"))
+        .select(col("user_id"), col("r.event_type").as("event_type"),
+          col("r.cents").as("delta_cents"), lit("I").as("kind"))
+        .as[ChangeRow]
   }
 
   /** Event-time TEMPORAL join (Flink's `FOR SYSTEM_TIME AS OF` /

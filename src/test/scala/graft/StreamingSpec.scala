@@ -760,6 +760,104 @@ class StreamingSpec extends SparkSuite {
       s"streamed ${got.size} rows != batch ${want.size}")
   }
 
+  test("retract stream: U-/U+ pairs on updates, fold equals batch totals") {
+    import graft.streaming.ChangeRow
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = StreamOps.retractDeltas(ms.toDS(), streaming = true)
+        .writeStream.format("memory").queryName("retr").outputMode("append").start()
+      // batch 1: two users insert
+      ms.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 10.00),
+        Ev(2, ts("2024-01-01 10:00:00"), 2, "view", 5.00))
+      q.processAllAvailable()
+      // batch 2: user 1 UPDATES to a different type (retraction pair);
+      // an OLDER row for user 2 must be a no-op (event time wins)
+      ms.addData(
+        Ev(3, ts("2024-01-01 11:00:00"), 1, "purchase", 20.00),
+        Ev(4, ts("2024-01-01 09:00:00"), 2, "purchase", 99.00))
+      q.processAllAvailable()
+      // batch 3: two same-batch updates for user 2 compact to ONE net pair
+      ms.addData(
+        Ev(5, ts("2024-01-01 12:00:00"), 2, "click", 1.00),
+        Ev(6, ts("2024-01-01 13:00:00"), 2, "click", 2.00))
+      drain(q)
+      val got = spark.table("retr").as[ChangeRow].collect().toSeq
+      assert(got.count(_.kind == "I") == 2 && got.count(_.kind == "U-") == 2 &&
+          got.count(_.kind == "U+") == 2, s"changelog kinds wrong: $got")
+      assert(got.contains(ChangeRow(1L, "click", -1000L, "U-")) &&
+          got.contains(ChangeRow(1L, "purchase", 2000L, "U+")),
+        s"user 1's type switch must retract the click cents: $got")
+      assert(got.contains(ChangeRow(2L, "view", -500L, "U-")) &&
+          got.contains(ChangeRow(2L, "click", 200L, "U+")) &&
+          !got.exists(r => r.delta_cents == 100L || r.delta_cents == 9900L),
+        s"user 2 must compact to the net 13:00 transition: $got")
+      // the fold equals the batch net changelog's totals
+      val fold = got.groupBy(_.event_type).view
+        .mapValues(_.map(_.delta_cents).sum).toMap.filter(_._2 != 0)
+      val all = Seq(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 10.00),
+        Ev(2, ts("2024-01-01 10:00:00"), 2, "view", 5.00),
+        Ev(3, ts("2024-01-01 11:00:00"), 1, "purchase", 20.00),
+        Ev(4, ts("2024-01-01 09:00:00"), 2, "purchase", 99.00),
+        Ev(5, ts("2024-01-01 12:00:00"), 2, "click", 1.00),
+        Ev(6, ts("2024-01-01 13:00:00"), 2, "click", 2.00))
+      val ref = StreamOps.retractDeltas(all.toDS(), streaming = false)
+        .collect().groupBy(_.event_type).view
+        .mapValues(_.map(_.delta_cents).sum).toMap.filter(_._2 != 0)
+      assert(fold == ref, s"fold $fold != batch $ref")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("retract stream over random batch splits folds to batch totals") {
+    import graft.streaming.ChangeRow
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rnd = new scala.util.Random(20260815L)
+      val syms = Vector("click", "view", "purchase", "signup")
+      val evs = (for {
+        u <- 1 to 8
+        i <- 0 until (4 + rnd.nextInt(8))
+      } yield Ev((u * 100 + i).toLong,
+          java.sql.Timestamp.valueOf(
+            ts("2024-01-01 10:00:00").toLocalDateTime.plusMinutes(i * 31L)),
+          u.toLong, syms(rnd.nextInt(syms.size)),
+          math.floor(rnd.nextDouble() * 5000) / 100.0)).toVector
+      val shuffled = rnd.shuffle(evs) // arrival order irrelevant: upsert by event time
+      val ref = StreamOps.retractDeltas(evs.toDS(), streaming = false)
+        .collect().groupBy(_.event_type).view
+        .mapValues(_.map(_.delta_cents).sum).toMap.filter(_._2 != 0)
+      val cuts = Seq.fill(3)(rnd.nextInt(shuffled.size)).sorted
+      val batches = (Seq(0) ++ cuts ++ Seq(shuffled.size)).sliding(2)
+        .collect { case Seq(a, b) if b > a => shuffled.slice(a, b) }.toSeq
+      val ms = MemoryStream[Ev]
+      val q = StreamOps.retractDeltas(ms.toDS(), streaming = true)
+        .writeStream.format("memory").queryName("retreq").outputMode("append").start()
+      batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      val fold = spark.table("retreq").as[ChangeRow].collect().toSeq
+        .groupBy(_.event_type).view
+        .mapValues(_.map(_.delta_cents).sum).toMap.filter(_._2 != 0)
+      assert(fold == ref, s"fold $fold != batch $ref")
+      assert(ref.nonEmpty)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("temporal join: cross-batch version visibility, watermark-certified emission") {
     import graft.streaming.TemporalJoined
     val ms = MemoryStream[Ev]
