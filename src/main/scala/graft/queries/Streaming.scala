@@ -65,6 +65,15 @@ object Streaming {
         .orderBy("doc_id")
     }),
 
+    // Stream-stream WINDOW join (Flink DataStream join): purchase ⋈
+    // click of the same user in the same 1 h tumbling window — the
+    // (user, window) equi-join whose streaming state Spark bounds by
+    // the watermark's open windows (StreamOps.windowJoin; cross-batch
+    // match + replay equality pinned in StreamingSpec). Batch replay
+    // is plan-identical to wnd_join, so it shares that oracle.
+    "stream_wnd_join" -> ((s, d) =>
+      StreamOps.windowJoin(Tables.events(s, d)).orderBy("p_id", "c_id")),
+
     // UPSERT-source aggregation over the RETRACT stream (Flink
     // changelog semantics): totals per event_type over each user's
     // LATEST event — a grouped aggregate that stays correct as keys
@@ -784,6 +793,8 @@ object Streaming {
         |ORDER BY user_id, start_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // window join: plan-identical to the batch wnd_join key
+    "stream_wnd_join" -> EventTime.oracles("wnd_join"),
     // retract-agg: totals over each user's latest row; DuckDB round()
     // is half-away-from-zero vs Spark's HALF_UP — identical on the
     // non-negative fixture values (the documented cents idiom)

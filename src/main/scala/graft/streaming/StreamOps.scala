@@ -1098,6 +1098,31 @@ object StreamOps extends Serializable {
         .as[LastRow]
   }
 
+  /** Flink DataStream window JOIN under streaming: purchase ⋈ click of
+    * the same user inside the same 1 h tumbling window — the
+    * stream-stream self-join on (user, window) equality. Spark's
+    * window-equality state cleanup applies: with the watermark on both
+    * branches, each side retains only rows of windows the watermark
+    * has not closed, so state is bounded by open-window volume (the
+    * interval join's argument, keyed by window instead of a range).
+    * INNER join semantics emit eagerly as matches arrive — no
+    * watermark wait (only outer joins need the certificate). Batch:
+    * identical plan algebra = the wnd_join key, whose oracle the
+    * declared key shares.
+    */
+  def windowJoin(ev: DataFrame): DataFrame = {
+    val src = if (ev.isStreaming) ev.withWatermark("ts", "10 minutes") else ev
+    val w = window(col("ts"), "1 hour")
+    val p = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), w.as("w"))
+    val c = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        w.as("c_w"))
+    p.join(c, col("user_id") === col("c_user") && col("w") === col("c_w"))
+      .select(col("p_id"), col("c_id"), col("user_id"),
+        col("w.start").as("window_start"))
+  }
+
   /** UPSERT source → RETRACT stream (Flink's changelog / RowKind
     * duality — the streaming-SQL mechanism Structured Streaming lacks
     * natively): the per-user LATEST row is the dynamic table; its

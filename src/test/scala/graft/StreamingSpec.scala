@@ -760,6 +760,70 @@ class StreamingSpec extends SparkSuite {
       s"streamed ${got.size} rows != batch ${want.size}")
   }
 
+  test("stream-stream window join: cross-batch match, replay equals batch") {
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.windowJoin(ms.toDF())
+      .writeStream.format("memory").queryName("swj").outputMode("append").start()
+    // purchase arrives first; its click lands in a LATER batch but the
+    // same hour window — the buffered side must still match it
+    ms.addData(Ev(1, ts("2024-01-01 10:05:00"), 1, "purchase", 1.0))
+    q.processAllAvailable()
+    assert(spark.table("swj").count() == 0L)
+    ms.addData(
+      Ev(2, ts("2024-01-01 10:40:00"), 1, "click", 1.0),
+      Ev(3, ts("2024-01-01 11:10:00"), 1, "click", 1.0)) // next window: no match
+    drain(q)
+    val rows = spark.table("swj")
+      .as[(Long, Long, Long, Timestamp)].collect().toSet
+    assert(rows == Set((1L, 2L, 1L, ts("2024-01-01 10:00:00"))),
+      s"cross-batch window match wrong: $rows")
+    // full replay on the fixture equals the batch form
+    val q2 = StreamOps.windowJoin(StreamOps.eventsStream(spark, sf001))
+      .writeStream.format("memory").queryName("swj_replay").outputMode("append").start()
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.table("swj_replay").collect().toSet
+    val want = StreamOps.windowJoin(Tables.events(spark, sf001)).collect().toSet
+    assert(got == want && want.nonEmpty,
+      s"stream replay ${got.size} rows != batch ${want.size}")
+  }
+
+  test("retract stream checkpoint restart: the upsert state survives into run 2 (RocksDB)") {
+    import graft.api.Sinks
+    import graft.streaming.ChangeRow
+    import java.nio.file.Files
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = Files.createTempDirectory("graft_retr_ckpt_out").toString
+      val ckpt = Files.createTempDirectory("graft_retr_ckpt_meta").toString
+      val ms = MemoryStream[Ev]
+      def runOnce(): Unit = {
+        val q = Sinks.streamToParquet(
+          StreamOps.retractDeltas(ms.toDS(), streaming = true).toDF(), out, ckpt).start()
+        q.awaitTermination()
+      }
+      // run 1: the insert
+      ms.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 10.00))
+      runOnce()
+      // run 2, same checkpoint: the update MUST retract run 1's cents —
+      // only possible if the ValueState round-tripped the restart
+      ms.addData(Ev(2, ts("2024-01-01 11:00:00"), 1, "purchase", 20.00))
+      runOnce()
+      val rows = spark.read.parquet(out).as[ChangeRow].collect().toSet
+      assert(rows == Set(
+          ChangeRow(1L, "click", 1000L, "I"),
+          ChangeRow(1L, "click", -1000L, "U-"),
+          ChangeRow(1L, "purchase", 2000L, "U+")),
+        s"restart lost the upsert state or re-emitted: $rows")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("retract stream: U-/U+ pairs on updates, fold equals batch totals") {
     import graft.streaming.ChangeRow
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
