@@ -1254,15 +1254,17 @@ object MatchRecognize {
     * documented match-filter equivalence ([[applyAnchors]]).
     */
   private def validateAnchorEnd(spec: MrSpec): Unit = {
-    // Round-14 lift: general MEASURES (ONE ROW PER MATCH) now compose
-    // with every anchored route — the anchored matcher's CONSUMED-ROW
-    // projection feeds the same runMeasures executor as the unanchored
-    // twins ([[runIterConsumed]]'s anchored mode / the per-branch pin in
-    // [[alternationConsumed]]). ALL ROWS and the compiled `step_sums`
-    // form stay rejected: both would need the anchored search threaded
-    // through the compiled run-table plans, and a post-filter there
-    // under-matches (the round-12 lesson).
-    val oneRowGeneral = !spec.allRows && spec.measuresValCol.isEmpty
+    // Round-14 lift: general MEASURES — and, since the same
+    // consumed-row projections carry it, ALL ROWS PER MATCH — now
+    // compose with every anchored route: the anchored matchers'
+    // CONSUMED-ROW projections ([[runIterConsumed]]'s anchored mode /
+    // the per-branch dispatch in [[alternationConsumed]]) feed the
+    // same runMeasures / runAllRowsMeasures / row-level executors as
+    // the unanchored twins — true anchored rows, never a post-filter
+    // over committed ends. Only the compiled `step_sums` MEASURES form
+    // stays rejected: it lives in the compiled run-table plans, where
+    // the anchored search does not thread.
+    val noStepSums = spec.measuresValCol.isEmpty
     if (spec.hasAlternation) {
       // Round-14 lift of the round-13 ADVICE finding: a RELUCTANT
       // quantifier inside a strict branch commits to minimal ends, so
@@ -1278,15 +1280,15 @@ object MatchRecognize {
       // the forced-decomposition pin, and the backtracking matcher's
       // anchored search is defined for strict patterns (a RELAXED
       // branch's anchored search would need the full NFA).
-      require(oneRowGeneral && spec.expandBranches.forall(_.strict),
-        "'$' anchor with alternation/PERMUTE is supported for ONE ROW " +
-          "PER MATCH with STRICT branches (all-greedy branches pin " +
-          "per branch before the leftmost-branch dedup — the forced " +
-          "greedy decomposition makes that pin exact; reluctant " +
-          "branches run the anchored backtracking matcher); relaxed " +
-          "branches, ALL ROWS, or the compiled step_sums MEASURES " +
-          "under '$' would under-match — drop '$' or restructure the " +
-          "pattern")
+      require(noStepSums && spec.expandBranches.forall(_.strict),
+        "'$' anchor with alternation/PERMUTE is supported for STRICT " +
+          "branches, ONE ROW or ALL ROWS, general MEASURES included " +
+          "(all-greedy branches pin per branch before the " +
+          "leftmost-branch dedup — the forced greedy decomposition " +
+          "makes that pin exact; reluctant branches run the anchored " +
+          "backtracking matcher); relaxed branches or the compiled " +
+          "step_sums MEASURES under '$' would under-match — drop '$' " +
+          "or restructure the pattern")
     } else if (spec.isIterative) {
       // Round-14 lift: STRICT iterative patterns take the anchored
       // BACKTRACKING matcher with the consumption context — general
@@ -1295,26 +1297,26 @@ object MatchRecognize {
       // context consistent; the end check participates in the count
       // exploration). RELAXED iterative patterns keep the pinned-final
       // DFS, which is defined for all-{1,1} non-negated steps only.
-      require(oneRowGeneral && (spec.strict || spec.stepElems.forall(e =>
+      require(noStepSums && (spec.strict || spec.stepElems.forall(e =>
           !e.negated && e.minRep == 1 && e.maxRep.contains(1))),
         "'$' anchor with DEFINE navigation / aggregate conditions is " +
-          "supported for ONE ROW PER MATCH patterns that are STRICT " +
-          "(the anchored backtracking matcher explores quantifier " +
-          "counts with the consumption context) or RELAXED with all " +
-          "steps {1,1} and non-negated (the pinned-final anchored " +
-          "matcher); general quantifiers under RELAXED iterative " +
-          "conditions would need per-anchor speculative ends, and " +
-          "ALL ROWS / compiled step_sums are not offered — drop '$', " +
-          "bound the steps, or make the pattern strict")
+          "supported for patterns that are STRICT (the anchored " +
+          "backtracking matcher explores quantifier counts with the " +
+          "consumption context) or RELAXED with all steps {1,1} and " +
+          "non-negated (the pinned-final anchored matcher) — ONE ROW " +
+          "or ALL ROWS, general MEASURES included; general " +
+          "quantifiers under RELAXED iterative conditions would need " +
+          "per-anchor speculative ends, and the compiled step_sums " +
+          "form is not offered — drop '$', bound the steps, or make " +
+          "the pattern strict")
     } else if (spec.stepElems.exists(!_.greedy)) {
-      require(spec.strict && oneRowGeneral,
+      require(spec.strict && noStepSums,
         "'$' anchor with a reluctant quantifier is supported for " +
-          "STRICT ONE ROW PER MATCH patterns (the per-key anchored " +
-          "backtracking matcher, general MEASURES included); relaxed " +
-          "reluctant patterns cannot exist (CepPattern invariant) and " +
-          "ALL ROWS / compiled step_sums on the anchored backtracking " +
-          "route are not offered — drop '$' or make the quantifiers " +
-          "greedy")
+          "STRICT patterns (the per-key anchored backtracking " +
+          "matcher) — ONE ROW or ALL ROWS, general MEASURES included; " +
+          "relaxed reluctant patterns cannot exist (CepPattern " +
+          "invariant) and the compiled step_sums form is not offered " +
+          "— drop '$' or make the quantifiers greedy")
     }
   }
 
@@ -1420,7 +1422,10 @@ object MatchRecognize {
           projs)
       }
       if (spec.allRows)
-        return runIterConsumed(df, spec, key, tsC, ordC)
+        // '$' (round-14): consumed rows from the anchored matcher
+        // (pinned-final DFS / strict backtracking), never a filter
+        return runIterConsumed(df, spec, key, tsC, ordC,
+            anchoredEnd = spec.anchorEnd)
           .withColumnRenamed("user_id", key)
           .withColumnRenamed("event_id", ordC)
           .withColumnRenamed("ts", tsC)
@@ -1455,6 +1460,17 @@ object MatchRecognize {
         else runMeasures(df, spec, resolved, key, tsC, ordC, consumed),
         projs)
     }
+    // '$' × RELUCTANT × ALL ROWS (round-14): the row-level output must
+    // come from the anchored BACKTRACKING matcher's consumed-row
+    // projection — runAllRows' post-anchor filter would drop matches
+    // whose anchored resolution extends a reluctant step (the same
+    // argument as the ONE-ROW route). Greedy specs keep runAllRows +
+    // the documented filter equivalence.
+    if (spec.allRows && spec.anchorEnd && spec.stepElems.exists(!_.greedy))
+      return runIterConsumed(df, spec, key, tsC, ordC, anchoredEnd = true)
+        .withColumnRenamed("user_id", key)
+        .withColumnRenamed("event_id", ordC)
+        .withColumnRenamed("ts", tsC)
     if (spec.allRows) return runAllRows(df, spec, key, tsC, ordC)
     (spec.toSymbolic, spec.measuresValCol) match {
       case (Some((symCol, pat)), None) =>

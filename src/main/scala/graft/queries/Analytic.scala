@@ -642,6 +642,37 @@ object Analytic {
       MatchRecognize.run(Tables.events(s, d), CepSql.anchorEndPermute)
         .orderBy("user_id", "start_id")),
 
+    // '$' × RELUCTANT × ALL ROWS (round-14): the anchored backtracking
+    // matcher's consumed-row projection, one row per consumed row.
+    // Oracle: the greedy twin's pinned match oracle expanded over each
+    // match's contiguous span (strict: rows rn_start..rn_end; step =
+    // the row's type-mapped variable).
+    "event_cep_sql_anchor_end_reluctant_allrows" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.anchorEndReluctantAllRows)
+        .select("user_id", "start_id", "end_id", "pos", "event_id", "ts",
+          "step", "value")
+        .orderBy("user_id", "start_id", "pos")),
+
+    // '$' × ALTERNATION(reluctant branch) × ALL ROWS: the winning
+    // branch's anchored consumed rows (alternationConsumed's branch
+    // dispatch). Oracle: the greedy twin's pinned-union match oracle,
+    // span-expanded; 'purchase' rows map to the branch variable 'buy'.
+    "event_cep_sql_anchor_end_alt_allrows" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.anchorEndAltAllRows)
+        .select("user_id", "start_id", "end_id", "pos", "event_id", "ts",
+          "step", "value")
+        .orderBy("user_id", "start_id", "pos")),
+
+    // '$' × ITERATIVE × ALL ROWS: the pinned-final anchored matcher's
+    // two consumed rows per match (the relaxed gap rows are skipped,
+    // not consumed). Independent oracle: the anchor_end_iter match
+    // formulation exploded to (anchor, last-row) pairs.
+    "event_cep_sql_anchor_end_iter_allrows" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.anchorEndIterAllRows)
+        .select("user_id", "start_id", "end_id", "pos", "event_id", "ts",
+          "step", "value")
+        .orderBy("user_id", "start_id", "pos")),
+
     // '$' × ITERATIVE DEFINE (round-13 lift): the successor pinned to
     // the partition's last row by the pinned-final anchored matcher.
     // Independent oracle: per purchase anchor, match iff the user's
@@ -1295,6 +1326,18 @@ object Analytic {
         |  DEFINE a AS a.event_type = 'click' AND SUM(a.value) <= 200,
         |         b AS b.event_type = 'purchase'
         |)""".stripMargin
+
+    // ALL ROWS twins of the lifted anchored routes (round-14): the
+    // same anchored matchers' consumed-row projections, one row per
+    // consumed row — never a filter over committed unanchored ends.
+    // (Declared AFTER every base fixture — object vals initialize in
+    // declaration order.)
+    val anchorEndReluctantAllRows: String =
+      anchorEndReluctant.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH")
+    val anchorEndAltAllRows: String =
+      anchorEndAltReluctant.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH")
+    val anchorEndIterAllRows: String =
+      anchorEndIter.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH")
 
     val permuteFunnel: String =
       """SELECT * FROM events MATCH_RECOGNIZE (
@@ -2234,6 +2277,80 @@ object Analytic {
     },
     "event_cep_sql_anchor_end_permute" ->
       MatchRecognize.oracleFor(CepSql.anchorEndPermute),
+    // reluctant + '$' + ALL ROWS: the greedy twin's pinned match
+    // oracle expanded over each match's contiguous span (strict
+    // pattern — rows rn_start..rn_end; forced decomposition makes the
+    // twin's pinned spans the anchored reluctant spans, and each row's
+    // step is its type-mapped variable)
+    "event_cep_sql_anchor_end_reluctant_allrows" -> {
+      val twin = CepSql.anchorEndReluctant
+        .replace("view+?", "view+").replace("purchase{1,2}?", "purchase{1,2}")
+      val base = MatchRecognize.oracleFor(twin)
+      s"""WITH bd AS (SELECT user_id AS __k, event_id AS __last FROM (
+         |  SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts DESC, event_id DESC) AS __rn FROM events) WHERE __rn = 1),
+         |base AS ($base),
+         |p AS (SELECT b.* FROM base b
+         |      JOIN bd ON b.user_id = bd.__k AND b.end_id = bd.__last),
+         |e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts, value, event_type,
+         |        row_number() OVER (PARTITION BY user_id
+         |                           ORDER BY ts, event_id) AS rn FROM events),
+         |pr AS (SELECT p.user_id, p.start_id, p.end_id, s.rn AS rs, t.rn AS re
+         |       FROM p JOIN e s ON s.user_id = p.user_id AND s.event_id = p.start_id
+         |              JOIN e t ON t.user_id = p.user_id AND t.event_id = p.end_id)
+         |SELECT pr.user_id, pr.start_id, pr.end_id,
+         |       CAST(e.rn - pr.rs + 1 AS BIGINT) AS pos, e.event_id, e.ts,
+         |       CASE WHEN e.event_type = 'view' THEN 'view'
+         |            ELSE 'purchase' END AS step, e.value
+         |FROM pr JOIN e ON e.user_id = pr.user_id AND e.rn BETWEEN pr.rs AND pr.re
+         |ORDER BY pr.user_id, pr.start_id, pos""".stripMargin
+    },
+    // alternation(reluctant branch) + '$' + ALL ROWS: the greedy
+    // twin's pinned-union match oracle, span-expanded; the branch
+    // variable for purchase rows is 'buy'
+    "event_cep_sql_anchor_end_alt_allrows" -> {
+      val twin = CepSql.anchorEndAltReluctant.replace("buy{1,2}?", "buy{1,2}")
+      val base = MatchRecognize.oracleFor(twin)
+      s"""WITH base AS ($base),
+         |e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts, value, event_type,
+         |        row_number() OVER (PARTITION BY user_id
+         |                           ORDER BY ts, event_id) AS rn FROM events),
+         |pr AS (SELECT p.user_id, p.start_id, p.end_id, s.rn AS rs, t.rn AS re
+         |       FROM base p
+         |            JOIN e s ON s.user_id = p.user_id AND s.event_id = p.start_id
+         |            JOIN e t ON t.user_id = p.user_id AND t.event_id = p.end_id)
+         |SELECT pr.user_id, pr.start_id, pr.end_id,
+         |       CAST(e.rn - pr.rs + 1 AS BIGINT) AS pos, e.event_id, e.ts,
+         |       CASE WHEN e.event_type = 'purchase' THEN 'buy'
+         |            ELSE e.event_type END AS step, e.value
+         |FROM pr JOIN e ON e.user_id = pr.user_id AND e.rn BETWEEN pr.rs AND pr.re
+         |ORDER BY pr.user_id, pr.start_id, pos""".stripMargin
+    },
+    // iterative + '$' + ALL ROWS: the independent anchor_end_iter
+    // match formulation exploded to its two consumed rows (relaxed gap
+    // rows are skipped, not consumed)
+    "event_cep_sql_anchor_end_iter_allrows" ->
+      """WITH l AS (SELECT user_id, event_id, ts, value FROM (
+        |  SELECT user_id, event_id, ts::TIMESTAMP AS ts, value, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 AND event_type = 'purchase'),
+        |a AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts, value
+        |      FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT a.user_id, a.event_id AS start_id, a.ts AS start_ts,
+        |             a.value AS av, l.event_id AS end_id, l.ts AS end_ts,
+        |             l.value AS bv
+        |      FROM a JOIN l ON l.user_id = a.user_id
+        |        AND (a.ts < l.ts OR (a.ts = l.ts AND a.event_id < l.event_id))
+        |        AND l.value > a.value
+        |        AND l.ts <= a.ts + INTERVAL 1440 MINUTE)
+        |SELECT user_id, start_id, end_id, CAST(1 AS BIGINT) AS pos,
+        |       start_id AS event_id, start_ts AS ts, 'a' AS step, av AS value
+        |FROM m
+        |UNION ALL
+        |SELECT user_id, start_id, end_id, CAST(2 AS BIGINT) AS pos,
+        |       end_id, end_ts, 'b', bv FROM m
+        |ORDER BY user_id, start_id, pos""".stripMargin,
     // iterative + '$': independent formulation — per purchase anchor,
     // the match exists iff the user's LAST row (ts desc, id desc) is a
     // purchase with a strictly higher value within 24 h of the anchor.

@@ -1636,6 +1636,22 @@ class CepSqlSpec extends SparkSuite {
     assert(gotIterQ == Set((9L, 2L, 3L, "1,1"),
         (8L, 4L, 6L, "2,1"), (8L, 5L, 6L, "1,1")),
       s"sum-capped anchored quantifier wrong: $gotIterQ")
+    // 7. ALL ROWS on the lifted routes (round-14): on V P P the
+    // anchored consumed-row projection emits the EXTENDED match's
+    // three rows — the unanchored matcher has no match ending at row 3
+    // to post-filter, so a filter route would emit nothing
+    val tinyAR = MatchRecognize.run(tiny, CepSql.anchorEndReluctantAllRows)
+      .select("pos", "event_id", "step")
+      .as[(Long, Long, String)].collect().toSet
+    assert(tinyAR == Set((1L, 1L, "view"), (2L, 2L, "purchase"),
+        (3L, 3L, "purchase")),
+      s"anchored reluctant ALL ROWS must emit the extended rows: $tinyAR")
+    val tinyARAlt = MatchRecognize.run(tiny, CepSql.anchorEndAltAllRows)
+      .select("pos", "event_id", "step")
+      .as[(Long, Long, String)].collect().toSet
+    assert(tinyARAlt == Set((1L, 1L, "view"), (2L, 2L, "buy"),
+        (3L, 3L, "buy")),
+      s"anchored alternation ALL ROWS wrong: $tinyARAlt")
   }
 
   test("property: render -> parse round-trips 300 random patterns") {
