@@ -1383,8 +1383,16 @@ object MatchRecognize {
     val exVars = spec.elems.filter(e => e.excluded && !e.isGap)
       .flatMap(e => if (e.altVars.nonEmpty) e.altVars else Seq(e.variable))
     if (exVars.isEmpty || !spec.allRows) return out
+    // symbolicPlain must mirror dispatch's routing exactly: a plain
+    // symbolic ALL-ROWS spec runs runAllRows (SYMBOL step labels)
+    // EXCEPT the anchored-reluctant shape, which routes through the
+    // anchored consumed-row projection (VARIABLE-NAME labels) — the
+    // exclusion filter must use the labels the route actually emits
+    // (round-14 review fix; divergence only when a variable name
+    // differs from its DEFINE literal).
     val symbolicPlain = !spec.isIterative && !spec.hasAlternation &&
-      spec.measures.isEmpty && spec.toSymbolic.isDefined
+      spec.measures.isEmpty && spec.toSymbolic.isDefined &&
+      !(spec.anchorEnd && spec.stepElems.exists(!_.greedy))
     val labelByVar: Map[String, String] =
       if (symbolicPlain) {
         val (_, pat) = spec.toSymbolic.get
@@ -1392,6 +1400,16 @@ object MatchRecognize {
       } else exVars.map(v => v -> v).toMap
     out.filter(!col("step").isin(exVars.map(labelByVar): _*))
   }
+
+  /** The consumed-row projections emit the matcher's fixed column
+    * names (user_id / event_id / ts); rename them back to the caller's
+    * key / ord / ts columns — one helper, one place to follow a schema
+    * change. */
+  private def renameConsumed(df: DataFrame, key: String, tsC: String,
+                             ordC: String): DataFrame =
+    df.withColumnRenamed("user_id", key)
+      .withColumnRenamed("event_id", ordC)
+      .withColumnRenamed("ts", tsC)
 
   private def dispatch(df: DataFrame, spec: MrSpec): DataFrame = {
     val (key, tsC, ordC) = (spec.partitionBy.head, spec.orderBy(0), spec.orderBy(1))
@@ -1410,9 +1428,10 @@ object MatchRecognize {
             "scope per variable: SUM(a.value) AS a_sum)")
         val (resolved, projs) = resolveMeasuresWithExprs(spec)
         // '$': the consumed rows come from the ANCHORED matcher
-        // (pinned-final DFS) — a post-filter over the unanchored
-        // matches would under-match (validateAnchorEnd scoped the
-        // shapes to all-{1,1} non-negated, ONE ROW)
+        // (pinned-final DFS for relaxed all-{1,1}, backtracking for
+        // strict) — a post-filter over the unanchored matches would
+        // under-match. ONE ROW and ALL ROWS both flow through here
+        // (round-14: validateAnchorEnd admits ALL ROWS too).
         val consumed = runIterConsumed(df, spec, key, tsC, ordC,
           anchoredEnd = spec.anchorEnd)
         return applyMeasureExprs(
@@ -1424,11 +1443,8 @@ object MatchRecognize {
       if (spec.allRows)
         // '$' (round-14): consumed rows from the anchored matcher
         // (pinned-final DFS / strict backtracking), never a filter
-        return runIterConsumed(df, spec, key, tsC, ordC,
-            anchoredEnd = spec.anchorEnd)
-          .withColumnRenamed("user_id", key)
-          .withColumnRenamed("event_id", ordC)
-          .withColumnRenamed("ts", tsC)
+        return renameConsumed(runIterConsumed(df, spec, key, tsC, ordC,
+          anchoredEnd = spec.anchorEnd), key, tsC, ordC)
       return runIter(df, spec, key, tsC, ordC)
     }
     // GENERAL MEASURES route: any MEASURES clause beyond the compiled
@@ -1445,11 +1461,12 @@ object MatchRecognize {
       // reluctant matcher commits to minimal ends and the anchor
       // post-filter would silently drop matches whose anchored
       // resolution extends a reluctant step to the last row.
-      // validateAnchorEnd guarantees strict ONE ROW here, so the
-      // iterative per-key executor (raw DEFINE predicates — identical
-      // to the no-measures anchored route at the symbolic dispatch
-      // below) carries the search. Greedy deterministic-end specs keep
-      // the cheaper post-filter equivalence (applyAnchors).
+      // validateAnchorEnd guarantees STRICTNESS here (ONE ROW and
+      // ALL ROWS both flow through since round-14), so the iterative
+      // per-key executor (raw DEFINE predicates — identical to the
+      // no-measures anchored route at the symbolic dispatch below)
+      // carries the search. Greedy deterministic-end specs keep the
+      // cheaper post-filter equivalence (applyAnchors).
       val consumed =
         if (spec.anchorEnd && spec.stepElems.exists(!_.greedy))
           runIterConsumed(df, spec, key, tsC, ordC, anchoredEnd = true)
@@ -1467,10 +1484,9 @@ object MatchRecognize {
     // argument as the ONE-ROW route). Greedy specs keep runAllRows +
     // the documented filter equivalence.
     if (spec.allRows && spec.anchorEnd && spec.stepElems.exists(!_.greedy))
-      return runIterConsumed(df, spec, key, tsC, ordC, anchoredEnd = true)
-        .withColumnRenamed("user_id", key)
-        .withColumnRenamed("event_id", ordC)
-        .withColumnRenamed("ts", tsC)
+      return renameConsumed(
+        runIterConsumed(df, spec, key, tsC, ordC, anchoredEnd = true),
+        key, tsC, ordC)
     if (spec.allRows) return runAllRows(df, spec, key, tsC, ordC)
     (spec.toSymbolic, spec.measuresValCol) match {
       case (Some((symCol, pat)), None) =>
@@ -2058,10 +2074,8 @@ object MatchRecognize {
         projs)
     }
     if (spec.allRows)
-      return alternationConsumed(df, spec, key, tsC, ordC)
-        .withColumnRenamed("user_id", key)
-        .withColumnRenamed("event_id", ordC)
-        .withColumnRenamed("ts", tsC)
+      return renameConsumed(alternationConsumed(df, spec, key, tsC, ordC),
+        key, tsC, ordC)
     // '$': the end pin applies PER BRANCH before the leftmost-branch
     // preference — filtering after the dedup would let a preferred
     // branch that does not end at the last row shadow a less-preferred

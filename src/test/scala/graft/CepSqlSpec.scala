@@ -1654,6 +1654,49 @@ class CepSqlSpec extends SparkSuite {
       s"anchored alternation ALL ROWS wrong: $tinyARAlt")
   }
 
+  test("'$' lift: ALL ROWS composes with exclusion and MEASURES on the anchored routes") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val CepSql = graft.queries.Analytic.CepSql
+    def t(m: Int) = new java.sql.Timestamp(1704067200000L + m * 60000L)
+    val tiny = Seq(
+      (1L, t(0), 7L, "view", 2.0),
+      (2L, t(1), 7L, "purchase", 3.0),
+      (3L, t(2), 7L, "purchase", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    // exclusion with variable != DEFINE literal: the anchored
+    // consumed-row route emits VARIABLE step labels, and the exclusion
+    // filter must use those (the review fix — the symbol-label map
+    // would silently keep the excluded rows)
+    val exclSql =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ALL ROWS PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN ({- v -} p{1,2}? $)
+        |  DEFINE v AS event_type = 'view',
+        |         p AS event_type = 'purchase'
+        |)""".stripMargin
+    val exclRows = MatchRecognize.run(tiny, exclSql)
+      .select("pos", "event_id", "step")
+      .as[(Long, Long, String)].collect().toSet
+    assert(exclRows == Set((2L, 2L, "p"), (3L, 3L, "p")),
+      s"exclusion must drop the v row by its VARIABLE label: $exclRows")
+    // ALL ROWS + general MEASURES on the anchored reluctant route:
+    // the RUNNING per-variable sum must grow over the EXTENDED match
+    // (the committed-end route would have no match at all on V P P)
+    val mSql = CepSql.anchorEndReluctant
+      .replace("ONE ROW PER MATCH",
+        "MEASURES SUM(purchase.value) AS p_sum\n  ALL ROWS PER MATCH")
+    val mRows = MatchRecognize.run(tiny, mSql)
+      .select(col("pos"), col("p_sum"))
+      .as[(Long, Option[Double])].collect().toSet
+    assert(mRows == Set((1L, None), (2L, Some(3.0)), (3L, Some(8.0))),
+      s"anchored ALL ROWS MEASURES must run over the extended match: $mRows")
+  }
+
   test("property: render -> parse round-trips 300 random patterns") {
     val rnd = new scala.util.Random(20260814L)
     val syms = Vector("alpha", "beta", "gamma", "delta", "eps")
