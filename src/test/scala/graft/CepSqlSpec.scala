@@ -1697,6 +1697,44 @@ class CepSqlSpec extends SparkSuite {
       s"anchored ALL ROWS MEASURES must run over the extended match: $mRows")
   }
 
+  test("property: anchored ALL ROWS is the row expansion of anchored ONE ROW (60 random sequences)") {
+    // route-consistency for the lifted '$' reluctant route: on random
+    // typed sequences, the ALL ROWS output's distinct (start, end)
+    // spans must equal the ONE ROW match set, every match's rows must
+    // be the full contiguous span (strict pattern), and pos must
+    // number them 1..n — so the two routes cannot drift apart
+    val sp = spark
+    import sp.implicits._
+    val CepSql = graft.queries.Analytic.CepSql
+    val rnd = new scala.util.Random(20260816L)
+    val types = Vector("view", "purchase", "click")
+    for (trial <- 0 until 60) {
+      val n = 3 + rnd.nextInt(8)
+      val rows = (0 until n).map { i =>
+        (i + 1L, new java.sql.Timestamp(1704067200000L + i * 60000L),
+          100L + trial, types(rnd.nextInt(types.size)), 1.0 + i)
+      }
+      val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val one = MatchRecognize.run(df, CepSql.anchorEndReluctant)
+        .select("start_id", "end_id", "n_rows")
+        .as[(Long, Long, Long)].collect().toSet
+      val all = MatchRecognize.run(df, CepSql.anchorEndReluctantAllRows)
+        .select("start_id", "end_id", "pos", "event_id")
+        .as[(Long, Long, Long, Long)].collect()
+      val spans = all.map(r => (r._1, r._2)).toSet
+      assert(spans == one.map(t => (t._1, t._2)),
+        s"trial $trial: ALL ROWS spans $spans != ONE ROW ${one}")
+      one.foreach { case (s, e, nr) =>
+        val ms = all.filter(r => r._1 == s && r._2 == e).sortBy(_._3)
+        assert(ms.length == nr.toInt &&
+            ms.map(_._3).toSeq == (1L to nr).toSeq &&
+            ms.map(_._4).toSeq == (s to e).toSeq,
+          s"trial $trial: match ($s,$e) rows must be the contiguous " +
+            s"span with pos 1..$nr: ${ms.toSeq}")
+      }
+    }
+  }
+
   test("property: render -> parse round-trips 300 random patterns") {
     val rnd = new scala.util.Random(20260814L)
     val syms = Vector("alpha", "beta", "gamma", "delta", "eps")
