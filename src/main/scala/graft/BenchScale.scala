@@ -79,7 +79,13 @@ object BenchScale {
     // within-copy), kNN-graph + connected components, and the
     // streaming ANN serving batch replay (fixed copy-0 probe set over
     // a growing corpus — the serving shape, like sim_ivfadc)
-    "join_fuzzy_edit2", "sim_knn_clusters", "stream_sim_topk")
+    "join_fuzzy_edit2", "sim_knn_clusters", "stream_sim_topk",
+    // round-14: PageRank over the capped kNN graph — 8 fixed
+    // integer-arithmetic rounds of src-keyed join + dst-keyed combine
+    // over O(n*k) capped edges; expected ~linear per decade (edge
+    // volume), the iterative-loop shape audited like the converged
+    // kNN family
+    "graph_pagerank")
 
   /** Second measured decade (VERDICT r9 item 6): the STEEPEST keys of
     * the 10x sweep re-measured over a 100x slice, so their exponents
@@ -101,7 +107,9 @@ object BenchScale {
     "sim_knn_graph_capped",
     // round-14 (VERDICT r13 item 8): the round-13 keys over the second
     // decade — the 100x slice now writes supplier too
-    "join_fuzzy_edit2", "sim_knn_clusters", "stream_sim_topk")
+    "join_fuzzy_edit2", "sim_knn_clusters", "stream_sim_topk",
+    // and the kNN-graph PageRank loop's second decade
+    "graph_pagerank")
   private val Factor100 = 100
 
   /** 100 isolated documents + embeddings copies — same isolation
