@@ -1261,10 +1261,15 @@ object MatchRecognize {
     // the per-branch dispatch in [[alternationConsumed]]) feed the
     // same runMeasures / runAllRowsMeasures / row-level executors as
     // the unanchored twins — true anchored rows, never a post-filter
-    // over committed ends. Only the compiled `step_sums` MEASURES form
-    // stays rejected: it lives in the compiled run-table plans, where
-    // the anchored search does not thread.
-    val noStepSums = spec.measuresValCol.isEmpty
+    // over committed ends. Round-15 lift: the compiled `step_sums`
+    // MEASURES form — the one previously-rejected cell of the anchored
+    // matrix — now rides the SAME anchored consumed rows: the per-step
+    // exact-cents sums are ONE scoped hash aggregation over them
+    // ([[stepSumsFromConsumed]]), never the compiled run-table plans
+    // (where the anchored search does not thread). Only PERMUTE keeps
+    // the step_sums rejection: its branches consume the steps in
+    // DIFFERENT orders, so a per-step alignment does not exist
+    // (enforced where the route dispatches, [[runAlternation]]).
     if (spec.hasAlternation) {
       // Round-14 lift of the round-13 ADVICE finding: a RELUCTANT
       // quantifier inside a strict branch commits to minimal ends, so
@@ -1280,15 +1285,15 @@ object MatchRecognize {
       // the forced-decomposition pin, and the backtracking matcher's
       // anchored search is defined for strict patterns (a RELAXED
       // branch's anchored search would need the full NFA).
-      require(noStepSums && spec.expandBranches.forall(_.strict),
+      require(spec.expandBranches.forall(_.strict),
         "'$' anchor with alternation/PERMUTE is supported for STRICT " +
-          "branches, ONE ROW or ALL ROWS, general MEASURES included " +
-          "(all-greedy branches pin per branch before the " +
-          "leftmost-branch dedup — the forced greedy decomposition " +
-          "makes that pin exact; reluctant branches run the anchored " +
-          "backtracking matcher); relaxed branches or the compiled " +
-          "step_sums MEASURES under '$' would under-match — drop '$' " +
-          "or restructure the pattern")
+          "branches, ONE ROW or ALL ROWS, MEASURES included — general " +
+          "and the compiled step_sums form (all-greedy branches pin " +
+          "per branch before the leftmost-branch dedup — the forced " +
+          "greedy decomposition makes that pin exact; reluctant " +
+          "branches run the anchored backtracking matcher); relaxed " +
+          "branches under '$' would under-match — drop '$' or " +
+          "restructure the pattern")
     } else if (spec.isIterative) {
       // Round-14 lift: STRICT iterative patterns take the anchored
       // BACKTRACKING matcher with the consumption context — general
@@ -1297,26 +1302,26 @@ object MatchRecognize {
       // context consistent; the end check participates in the count
       // exploration). RELAXED iterative patterns keep the pinned-final
       // DFS, which is defined for all-{1,1} non-negated steps only.
-      require(noStepSums && (spec.strict || spec.stepElems.forall(e =>
-          !e.negated && e.minRep == 1 && e.maxRep.contains(1))),
+      require(spec.strict || spec.stepElems.forall(e =>
+          !e.negated && e.minRep == 1 && e.maxRep.contains(1)),
         "'$' anchor with DEFINE navigation / aggregate conditions is " +
           "supported for patterns that are STRICT (the anchored " +
           "backtracking matcher explores quantifier counts with the " +
           "consumption context) or RELAXED with all steps {1,1} and " +
           "non-negated (the pinned-final anchored matcher) — ONE ROW " +
-          "or ALL ROWS, general MEASURES included; general " +
-          "quantifiers under RELAXED iterative conditions would need " +
-          "per-anchor speculative ends, and the compiled step_sums " +
-          "form is not offered — drop '$', bound the steps, or make " +
-          "the pattern strict")
+          "or ALL ROWS, MEASURES included (general and the compiled " +
+          "step_sums form); general quantifiers under RELAXED " +
+          "iterative conditions would need per-anchor speculative " +
+          "ends — drop '$', bound the steps, or make the pattern " +
+          "strict")
     } else if (spec.stepElems.exists(!_.greedy)) {
-      require(spec.strict && noStepSums,
+      require(spec.strict,
         "'$' anchor with a reluctant quantifier is supported for " +
           "STRICT patterns (the per-key anchored backtracking " +
-          "matcher) — ONE ROW or ALL ROWS, general MEASURES included; " +
-          "relaxed reluctant patterns cannot exist (CepPattern " +
-          "invariant) and the compiled step_sums form is not offered " +
-          "— drop '$' or make the quantifiers greedy")
+          "matcher) — ONE ROW or ALL ROWS, MEASURES included " +
+          "(general and the compiled step_sums form); relaxed " +
+          "reluctant patterns cannot exist (CepPattern invariant) — " +
+          "drop '$' or make the quantifiers greedy")
     }
   }
 
@@ -1411,6 +1416,72 @@ object MatchRecognize {
       .withColumnRenamed("event_id", ordC)
       .withColumnRenamed("ts", tsC)
 
+  /** The compiled `SUM(col) AS step_sums` summary rebuilt from a
+    * CONSUMED-ROW projection (round-15 lift of the last rejected cell
+    * of the anchored-`$` matrix): the anchored matchers already emit
+    * each match's true consumed rows ([[runIterConsumed]]'s anchored
+    * mode / [[alternationConsumed]]'s per-branch dispatch), so the
+    * per-step exact-cents sums are ONE ordinary hash aggregation over
+    * them — `groupBy(key, start_id, end_id)` with per-step scoped
+    * conditional sums of `round(col*100)::long`, comma-joined exactly
+    * like [[Cep.compileMeasures]]'s output (steps a match never
+    * consumed report 0, matching the compiled absent-step convention).
+    * Output schema is the compiled forms': key, start_id/start_ts,
+    * end_id/end_ts, n_rows, step_counts, step_sums. An alternation
+    * element scopes over its alternatives' COMBINED labels (the
+    * winning branch's rows carry only its own variable, so the union
+    * scope reads the branch sums exactly); scopes must be pairwise
+    * disjoint — the same precondition as the compiled route's
+    * pairwise-distinct symbols. Placement: key-partitioned groupBy on
+    * the matcher's own shuffle keys — nothing global. */
+  private def stepSumsFromConsumed(df: DataFrame, spec: MrSpec,
+                                   consumed: DataFrame, key: String,
+                                   tsC: String, ordC: String): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, concat_ws, count,
+      lit, max_by, min_by, round, sum, when}
+    val v = spec.measuresValCol.get
+    val scopes = spec.stepElems.map(e =>
+      if (e.altVars.nonEmpty) e.altVars else Seq(e.variable))
+    val flat = scopes.flatten
+    require(flat.distinct.size == flat.size,
+      "the compiled `SUM(col) AS step_sums` summary needs pairwise-" +
+        "distinct step variables (the per-step fold credits each " +
+        "consumed row to exactly one step — the same precondition as " +
+        "the compiled route's distinct symbols)")
+    // recover the measured column when it is not in the matcher's own
+    // projection — the same (key, ord) equi-join as joinMeasuredCols,
+    // key-partitioned like every other stage
+    val withVal =
+      if (v == "value" || v == tsC || v == ordC) consumed
+      else {
+        require(df.columns.contains(v),
+          s"MEASURES SUM($v): the input DataFrame has no column '$v'")
+        consumed.join(df.select(col(key).cast("long").as("user_id"),
+          col(ordC).cast("long").as("event_id"), col(v)),
+          Seq("user_id", "event_id"))
+      }
+    val cents = round(measureColRef(v, tsC, ordC) * 100).cast("long")
+    val aggs = scopes.zipWithIndex.flatMap { case (ms, i) =>
+      val inScope =
+        if (ms.size == 1) col("step") === ms.head
+        else col("step").isin(ms.map(x => x: Any): _*)
+      Seq(count(when(inScope, 1)).as(s"__c_$i"),
+        coalesce(sum(when(inScope, cents)), lit(0L)).as(s"__s_$i"))
+    } ++ Seq(
+      min_by(col("ts"), col("pos")).as("start_ts"),
+      max_by(col("ts"), col("pos")).as("end_ts"))
+    withVal.groupBy(col("user_id"), col("start_id"), col("end_id"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .select(col("user_id").as(key), col("start_id"), col("start_ts"),
+        col("end_id"), col("end_ts"), col("n_rows"),
+        concat_ws(",",
+          scopes.indices.map(i => col(s"__c_$i").cast("string")): _*)
+          .as("step_counts"),
+        concat_ws(",",
+          scopes.indices.map(i => col(s"__s_$i").cast("string")): _*)
+          .as("step_sums"))
+  }
+
   private def dispatch(df: DataFrame, spec: MrSpec): DataFrame = {
     val (key, tsC, ordC) = (spec.partitionBy.head, spec.orderBy(0), spec.orderBy(1))
     if (spec.hasAlternation) return runAlternation(df, spec, key, tsC, ordC)
@@ -1421,11 +1492,20 @@ object MatchRecognize {
       // ALL ROWS PER MATCH compose with navigation and aggregate
       // conditions instead of being rejected.
       if (spec.measures.nonEmpty) {
+        // '$' + step_sums (round-15 lift): the anchored matcher's
+        // consumed rows carry the per-step fold — one scoped hash
+        // aggregation rebuilds the compiled summary exactly
+        // ([[stepSumsFromConsumed]]).
+        if (spec.measuresValCol.nonEmpty && !spec.allRows && spec.anchorEnd)
+          return stepSumsFromConsumed(df, spec,
+            runIterConsumed(df, spec, key, tsC, ordC, anchoredEnd = true),
+            key, tsC, ordC)
         require(spec.measuresValCol.isEmpty,
           "`SUM(col) AS step_sums` is the compiled PER-STEP summary — " +
             "the iterative route's general MEASURES aggregate the whole " +
             "match (alias differently, e.g. SUM(value) AS total_v, or " +
-            "scope per variable: SUM(a.value) AS a_sum)")
+            "scope per variable: SUM(a.value) AS a_sum; under the '$' " +
+            "anchor the per-step summary IS offered, ONE ROW)")
         val (resolved, projs) = resolveMeasuresWithExprs(spec)
         // '$': the consumed rows come from the ANCHORED matcher
         // (pinned-final DFS for relaxed all-{1,1}, backtracking for
@@ -1488,6 +1568,18 @@ object MatchRecognize {
         runIterConsumed(df, spec, key, tsC, ordC, anchoredEnd = true),
         key, tsC, ordC)
     if (spec.allRows) return runAllRows(df, spec, key, tsC, ordC)
+    // '$' × RELUCTANT × compiled step_sums (round-15 lift): the
+    // compiled measures plans commit to minimal reluctant ends, so the
+    // anchor post-filter would under-match — the anchored backtracking
+    // matcher's consumed rows carry the per-step fold instead
+    // (validateAnchorEnd guarantees STRICTNESS here). Greedy
+    // deterministic-end specs keep the compiled plans + the documented
+    // post-filter equivalence below.
+    if (spec.anchorEnd && spec.measuresValCol.nonEmpty &&
+        spec.stepElems.exists(!_.greedy))
+      return stepSumsFromConsumed(df, spec,
+        runIterConsumed(df, spec, key, tsC, ordC, anchoredEnd = true),
+        key, tsC, ordC)
     (spec.toSymbolic, spec.measuresValCol) match {
       case (Some((symCol, pat)), None) =>
         if (spec.anchorEnd && pat.steps.exists(!_.greedy))
@@ -2060,11 +2152,25 @@ object MatchRecognize {
     // ([[alternationConsumed]]), then the SAME general MEASURES
     // executors as every other route.
     if (spec.measures.nonEmpty) {
+      // '$' + step_sums (round-15 lift): the pinned per-branch
+      // consumed rows ([[alternationConsumed]]) carry the per-step
+      // fold — an alternation ELEMENT scopes over its alternatives'
+      // combined labels, which reads the winning branch's sums
+      // exactly (branches share the element order, so the per-step
+      // alignment that does not exist cross-branch in the compiled
+      // plans DOES exist element-wise). PERMUTE branches consume the
+      // steps in different ORDERS, so the rejection stands there.
+      if (spec.measuresValCol.nonEmpty && !spec.allRows &&
+          spec.anchorEnd && !spec.permute)
+        return stepSumsFromConsumed(df, spec,
+          alternationConsumed(df, spec, key, tsC, ordC), key, tsC, ordC)
       require(spec.measuresValCol.isEmpty,
         "alternation with the compiled `SUM(col) AS step_sums` MEASURES " +
           "is not supported — branch step_sums have no single " +
           "cross-branch alignment; use general measures (e.g. " +
-          "SUM(value) AS total_v, SUM(c.value) AS c_sum) instead")
+          "SUM(value) AS total_v, SUM(c.value) AS c_sum) instead " +
+          "(under the '$' anchor the per-step summary IS offered for " +
+          "non-PERMUTE groups, ONE ROW)")
       val (resolved, projs) = resolveMeasuresWithExprs(spec)
       val consumed = alternationConsumed(df, spec, key, tsC, ordC)
       return applyMeasureExprs(
@@ -2410,9 +2516,15 @@ object MatchRecognize {
         else s"""(SELECT u.* FROM ($unions) u
                 |       JOIN __bd ON u.$keyCol = __bd.__k
                 |                AND u.end_id = __bd.__last)""".stripMargin
+      // branches share the element order (each group picks one
+      // variable in place), so the winning branch's per-step sums ARE
+      // the element-wise step_sums — carry them through when the spec
+      // declares the compiled measures form (PERMUTE never reaches
+      // here with it: the engine rejects that combination)
+      val sumsCol = if (spec.measuresValCol.isEmpty) "" else ", step_sums"
       return s"""$ctes
                 |SELECT $keyCol, start_id, start_ts, end_id, end_ts,
-                |       n_rows, step_counts
+                |       n_rows, step_counts$sumsCol
                 |FROM (SELECT *, row_number() OVER (PARTITION BY $keyCol,
                 |        start_id ORDER BY __br) AS __rn
                 |      FROM $pinned)

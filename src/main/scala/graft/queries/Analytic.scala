@@ -692,6 +692,36 @@ object Analytic {
       MatchRecognize.run(Tables.events(s, d), CepSql.anchorEndIterQuant)
         .orderBy("user_id", "start_id")),
 
+    // '$' × RELUCTANT × compiled step_sums (round-15 lift of the last
+    // rejected cell of the anchored matrix): the per-step exact-cents
+    // summary is ONE scoped hash aggregation over the anchored
+    // backtracking matcher's consumed rows. Oracle: the greedy twin's
+    // GENERATED compiled-measures oracle (step_sums included) + the
+    // last-row pin — under the pin the strict decomposition is forced,
+    // so each step's consumed rows (hence cents sums) are forced too.
+    "event_cep_sql_anchor_end_sums" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.anchorEndSums)
+        .orderBy("user_id", "start_id")),
+
+    // '$' × ALTERNATION(reluctant branch) × compiled step_sums: the
+    // pinned per-branch consumed rows (alternationConsumed) folded
+    // element-wise — the alternation element scopes over {view, click}
+    // combined, reading the winning branch's sums exactly. Oracle: the
+    // greedy twin's generated pinned-union oracle, step_sums carried
+    // through the leftmost-branch dedup.
+    "event_cep_sql_anchor_end_alt_sums" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.anchorEndAltSums)
+        .orderBy("user_id", "start_id")),
+
+    // '$' × STRICT ITERATIVE × QUANTIFIER × compiled step_sums: the
+    // anchored backtracker's consumed rows under the SUM(a.value)
+    // running cap, folded per step. Independent oracle: the
+    // iter_quant formulation extended with the same exact-cents
+    // per-step sums (clicks-run cents, last-purchase cents).
+    "event_cep_sql_anchor_end_iter_sums" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.anchorEndIterSums)
+        .orderBy("user_id", "start_id")),
+
     // MEASURES × DEFINE navigation (round-10 top-next item): the
     // FIRST(a.value) iterative pattern WITH a general MEASURES clause —
     // the per-key matcher's consumed-row projection feeds the same
@@ -1338,6 +1368,22 @@ object Analytic {
       anchorEndAltReluctant.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH")
     val anchorEndIterAllRows: String =
       anchorEndIter.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH")
+
+    // Compiled `SUM(value) AS step_sums` under '$' (round-15 lift of
+    // the LAST rejected cell of the anchored matrix): the per-step
+    // exact-cents summary folded over the anchored matchers' consumed
+    // rows (MatchRecognize.stepSumsFromConsumed) — one twin per lifted
+    // route: reluctant backtracking, per-branch alternation dispatch,
+    // strict-iterative backtracking with the consumption context.
+    val anchorEndSums: String =
+      anchorEndReluctant.replace("ONE ROW PER MATCH",
+        "MEASURES SUM(value) AS step_sums\n  ONE ROW PER MATCH")
+    val anchorEndAltSums: String =
+      anchorEndAltReluctant.replace("ONE ROW PER MATCH",
+        "MEASURES SUM(value) AS step_sums\n  ONE ROW PER MATCH")
+    val anchorEndIterSums: String =
+      anchorEndIterQuant.replace("ONE ROW PER MATCH",
+        "MEASURES SUM(value) AS step_sums\n  ONE ROW PER MATCH")
 
     val permuteFunnel: String =
       """SELECT * FROM events MATCH_RECOGNIZE (
@@ -2388,6 +2434,67 @@ object Analytic {
         |       l.lid AS end_id, l.lts AS end_ts,
         |       CAST(l.lrn - a.rn + 1 AS BIGINT) AS n_rows,
         |       concat(CAST(l.lrn - a.rn AS VARCHAR), ',1') AS step_counts
+        |FROM e a JOIN l ON l.user_id = a.user_id
+        |WHERE l.lrn - a.rn BETWEEN 1 AND 3
+        |  AND l.lts <= a.ts + INTERVAL 1440 MINUTE
+        |  AND (SELECT count(*) FROM e m
+        |       WHERE m.user_id = a.user_id AND m.rn >= a.rn AND m.rn < l.lrn
+        |         AND m.event_type = 'click') = l.lrn - a.rn
+        |  AND (SELECT sum(m.value) FROM e m
+        |       WHERE m.user_id = a.user_id AND m.rn >= a.rn
+        |         AND m.rn < l.lrn) <= 200
+        |ORDER BY a.user_id, start_id""".stripMargin,
+    // reluctant + '$' + compiled step_sums replay (round-15): the
+    // GREEDY twin's GENERATED compiled-measures oracle (step_sums
+    // included — oracleSqlMeasures) + the last-row pin. Under the pin
+    // the strict decomposition is forced, so each step's consumed
+    // rows — hence its exact-cents sum — equal the anchored reluctant
+    // resolution's.
+    "event_cep_sql_anchor_end_sums" -> {
+      val twin = CepSql.anchorEndSums
+        .replace("view+?", "view+").replace("purchase{1,2}?", "purchase{1,2}")
+      val base = MatchRecognize.oracleFor(twin)
+      s"""WITH bd AS (SELECT user_id AS __k, event_id AS __last FROM (
+         |  SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts DESC, event_id DESC) AS __rn FROM events) WHERE __rn = 1)
+         |SELECT b.* FROM ($base) b
+         |JOIN bd ON b.user_id = bd.__k AND b.end_id = bd.__last
+         |ORDER BY user_id, start_id""".stripMargin
+    },
+    // alternation(reluctant branch) + '$' + compiled step_sums: the
+    // greedy twin's generated pinned-union oracle with step_sums
+    // carried through the leftmost-branch dedup (branches share the
+    // element order, so the winning branch's per-step sums ARE the
+    // element-wise step_sums).
+    "event_cep_sql_anchor_end_alt_sums" ->
+      MatchRecognize.oracleFor(
+        CepSql.anchorEndAltSums.replace("buy{1,2}?", "buy{1,2}")),
+    // strict iterative + quantifier + '$' + compiled step_sums: the
+    // iter_quant independent formulation extended with the same
+    // per-step exact-cents sums — per-row floor(value*100+0.5) cents
+    // (positive values: identical to the engine's HALF_UP round)
+    // summed over the k-click run, then the last purchase's cents.
+    "event_cep_sql_anchor_end_iter_sums" ->
+      """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts, value,
+        |             event_type,
+        |             row_number() OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS rn
+        |           FROM events),
+        |l AS (SELECT user_id, rn AS lrn, event_id AS lid, ts AS lts,
+        |             value AS lv FROM (
+        |        SELECT *, max(rn) OVER (PARTITION BY user_id) AS mx FROM e)
+        |      WHERE rn = mx AND event_type = 'purchase')
+        |SELECT a.user_id, a.event_id AS start_id, a.ts AS start_ts,
+        |       l.lid AS end_id, l.lts AS end_ts,
+        |       CAST(l.lrn - a.rn + 1 AS BIGINT) AS n_rows,
+        |       concat(CAST(l.lrn - a.rn AS VARCHAR), ',1') AS step_counts,
+        |       concat(CAST((SELECT sum(CAST(floor(m.value * 100 + 0.5)
+        |                                     AS BIGINT)) FROM e m
+        |                    WHERE m.user_id = a.user_id AND m.rn >= a.rn
+        |                      AND m.rn < l.lrn) AS VARCHAR),
+        |              ',',
+        |              CAST(CAST(floor(l.lv * 100 + 0.5) AS BIGINT)
+        |                   AS VARCHAR)) AS step_sums
         |FROM e a JOIN l ON l.user_id = a.user_id
         |WHERE l.lrn - a.rn BETWEEN 1 AND 3
         |  AND l.lts <= a.ts + INTERVAL 1440 MINUTE

@@ -1436,15 +1436,15 @@ class CepSqlSpec extends SparkSuite {
     assert(MatchRecognize.parse(reluctantEnd).anchorEnd)
     // round-14 lift: general MEASURES on the anchored reluctant route
     // now PARSE too (the anchored consumed-row projection feeds
-    // runMeasures); the compiled step_sums form stays rejected
+    // runMeasures); round-15 lift: the compiled step_sums form parses
+    // as well (stepSumsFromConsumed folds the anchored consumed rows)
     val reluctantEndMeasures = reluctantEnd.replace("ONE ROW PER MATCH",
       "MEASURES SUM(value) AS total_v\n  ONE ROW PER MATCH")
     assert(MatchRecognize.parse(reluctantEndMeasures).anchorEnd)
     val reluctantEndStepSums = reluctantEnd.replace("ONE ROW PER MATCH",
       "MEASURES SUM(value) AS step_sums\n  ONE ROW PER MATCH")
-    assert(intercept[IllegalArgumentException](
-      MatchRecognize.parse(reluctantEndStepSums))
-      .getMessage.contains("step_sums"))
+    assert(MatchRecognize.parse(reluctantEndStepSums).anchorEnd &&
+      MatchRecognize.parse(reluctantEndStepSums).measuresValCol.nonEmpty)
     // round-14 lift: STRICT iterative + '$' now parses — the anchored
     // backtracking matcher threads the consumption context, general
     // quantifiers included (event_cep_sql_anchor_end_iter_quant pins
@@ -1652,6 +1652,51 @@ class CepSqlSpec extends SparkSuite {
     assert(tinyARAlt == Set((1L, 1L, "view"), (2L, 2L, "buy"),
         (3L, 3L, "buy")),
       s"anchored alternation ALL ROWS wrong: $tinyARAlt")
+    // 8. COMPILED step_sums on the lifted routes (round-15 — the last
+    // rejected cell of the anchored matrix): on V P P the anchored
+    // fold must report the EXTENDED match's per-step cents (view 100;
+    // purchases 100+100=200) — the unanchored compiled-measures route
+    // commits to the minimal end (row 2), so filtering its output to
+    // the last row finds nothing
+    val tinySums = MatchRecognize.run(tiny, CepSql.anchorEndSums)
+      .select("start_id", "end_id", "n_rows", "step_counts", "step_sums")
+      .as[(Long, Long, Long, String, String)].collect().toSet
+    assert(tinySums == Set((1L, 3L, 3L, "1,2", "100,200")),
+      s"anchored step_sums must fold the extended match: $tinySums")
+    val unanchoredSums = CepSql.anchorEndSums.replace(" $)", ")")
+    assert(MatchRecognize.run(tiny, unanchoredSums)
+        .filter(col("end_id") === 3L).count() == 0L,
+      "the unanchored compiled step_sums route commits to the minimal " +
+        "end — a post-filter would drop the match and its sums")
+    // full fixture: equals the GREEDY twin's compiled step_sums pinned
+    // to last-row ends (forced decomposition — the oracle's argument)
+    val twinSums = CepSql.anchorEndSums
+      .replace("view+?", "view+").replace("purchase{1,2}?", "purchase{1,2}")
+      .replace(" $)", ")")
+    def sRows(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "start_id", "end_id", "step_counts", "step_sums")
+      .as[(Long, Long, Long, String, String)].collect().toSet
+    val refSums = sRows(MatchRecognize.run(ev, twinSums).join(bounds, "user_id")
+      .filter(col("end_id") === col("last_ord")))
+    val gotSums = sRows(MatchRecognize.run(ev, CepSql.anchorEndSums))
+    assert(gotSums == refSums && refSums.nonEmpty,
+      s"anchored step_sums (${gotSums.size}) != pinned greedy twin (${refSums.size})")
+    // alternation twin: the winning branch's extended tail is folded
+    // element-wise (alt element scope {view, click} reads the view row)
+    val tinyAltSums = MatchRecognize.run(tiny, CepSql.anchorEndAltSums)
+      .select("start_id", "end_id", "step_counts", "step_sums")
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(tinyAltSums == Set((1L, 3L, "1,2", "100,200")),
+      s"anchored alternation step_sums wrong: $tinyAltSums")
+    // iterative twin: the running-sum context still gates the anchors
+    // (user 9's k=2 dies on the cap), and the fold reports the clicks'
+    // cents then the purchase's
+    val gotIterSums = MatchRecognize.run(tinyIter, CepSql.anchorEndIterSums)
+      .select("user_id", "start_id", "step_counts", "step_sums")
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(gotIterSums == Set((9L, 2L, "1,1", "10000,1000"),
+        (8L, 4L, "2,1", "11000,1000"), (8L, 5L, "1,1", "6000,1000")),
+      s"anchored iterative step_sums wrong: $gotIterSums")
   }
 
   test("'$' lift: ALL ROWS composes with exclusion and MEASURES on the anchored routes") {
