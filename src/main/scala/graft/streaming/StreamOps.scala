@@ -254,6 +254,25 @@ case class ChangeRow(user_id: Long, event_type: String, delta_cents: Long,
 private[streaming] case class UpsertLast(ts_us: Long, event_id: Long,
                                          event_type: String, cents: Long)
 
+/** One changelog row of the UPDATING-TABLE JOIN
+  * (StreamOps.retractJoin — Flink's join of two changelog streams):
+  * the per-user latest FACT row joined to the per-user latest VERSION
+  * row. When either side UPDATES, the previously-joined row leaves
+  * (kind "U-", sign -1) and the new combination arrives (kind "U+",
+  * sign +1; the first complete pair is kind "I"). Folding
+  * sign-weighted rows at any prefix of the stream yields the joined
+  * dynamic table over each user's then-latest rows — retractions flow
+  * THROUGH the join, which an append-mode stream join cannot do. */
+case class JoinChange(user_id: Long, fact_id: Long, fact_cents: Long,
+                      version_id: Long, version_cents: Long,
+                      kind: String, sign: Long)
+
+/** Updating-join state: the user's current latest fact and version
+  * rows (exact cents; `hasF`/`hasV` gate the join's completeness). */
+private[streaming] case class RJState(hasF: Boolean, fTs: Long, fId: Long,
+                                      fCents: Long, hasV: Boolean,
+                                      vTs: Long, vId: Long, vCents: Long)
+
 /** Keep-last dedup state: the current best row plus whether it has
   * already been emitted (so a watermark advance without a newer row
   * does not re-emit the same survivor). */
@@ -751,6 +770,63 @@ private[streaming] class RetractProcessor
   }
 }
 
+/** The updating-table JOIN processor (Flink's two-changelog join,
+  * specialized to the 1:1 case): both inputs are UPSERT dynamic tables
+  * keyed by user_id — the latest `factType` row and the latest
+  * `versionType` row — so the join state is ONE small tuple per key
+  * ([[RJState]]), not the per-key row indexes Flink's general N:M
+  * updating join must hold. Each invocation upserts both sides by
+  * (ts, event_id) event-time order (arrival order irrelevant) and
+  * emits the NET transition of the JOINED row: "U-" of the previously
+  * complete pair and "U+"/"I" of the new one; several updates inside
+  * one batch compact to that single net pair (mini-batch compaction,
+  * the [[RetractProcessor]] discipline). Emission is arrival-EAGER:
+  * retractions are the correction mechanism, so nothing waits on a
+  * watermark. */
+private[streaming] class RetractJoinProcessor(factType: String,
+                                              versionType: String)
+    extends StatefulProcessor[Long, Ev, JoinChange] {
+  @transient private var st: ValueState[RJState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[RJState]("rj",
+      Encoders.product[RJState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+                               timers: TimerValues): Iterator[JoinChange] = {
+    val s0 = if (st.exists()) st.get()
+      else RJState(hasF = false, 0L, 0L, 0L, hasV = false, 0L, 0L, 0L)
+    var s = s0
+    rows.foreach { e =>
+      val t = StreamOps.tsMicros(e.ts)
+      val cents = math.round(e.value * 100)
+      if (e.event_type == factType &&
+          (!s.hasF || t > s.fTs || (t == s.fTs && e.event_id > s.fId)))
+        s = s.copy(hasF = true, fTs = t, fId = e.event_id, fCents = cents)
+      else if (e.event_type == versionType &&
+          (!s.hasV || t > s.vTs || (t == s.vTs && e.event_id > s.vId)))
+        s = s.copy(hasV = true, vTs = t, vId = e.event_id, vCents = cents)
+    }
+    if (s == s0) return Iterator.empty
+    st.update(s)
+    def joined(x: RJState): Option[(Long, Long, Long, Long)] =
+      if (x.hasF && x.hasV) Some((x.fId, x.fCents, x.vId, x.vCents)) else None
+    (joined(s0), joined(s)) match {
+      case (a, b) if a == b => Iterator.empty // incomplete or unchanged pair
+      case (None, None) => Iterator.empty // (subsumed above; exhaustiveness)
+      case (None, Some((fi, fc, vi, vc))) =>
+        Iterator(JoinChange(key, fi, fc, vi, vc, "I", 1L))
+      case (Some((fi, fc, vi, vc)), None) =>
+        // unreachable with upsert inputs (sides never delete); kept for
+        // totality should a delete-capable source ever feed this
+        Iterator(JoinChange(key, fi, fc, vi, vc, "D", -1L))
+      case (Some((fi0, fc0, vi0, vc0)), Some((fi, fc, vi, vc))) =>
+        Iterator(JoinChange(key, fi0, fc0, vi0, vc0, "U-", -1L),
+          JoinChange(key, fi, fc, vi, vc, "U+", 1L))
+    }
+  }
+}
+
 private[streaming] class DedupLastProcessor
     extends StatefulProcessor[Long, Ev, LastRow] {
   @transient private var best: ValueState[LastState] = _
@@ -1158,12 +1234,78 @@ object StreamOps extends Serializable {
         .as[ChangeRow]
   }
 
+  /** UPDATING-TABLE JOIN over two retract streams (Flink's join of
+    * changelog/dynamic tables — the missing half of [[retractDeltas]],
+    * whose output this consumes conceptually): the per-user latest
+    * `factType` row (an upsert dynamic table) INNER-joined to the
+    * per-user latest `versionType` row (a second upsert dynamic
+    * table), emitted as a CHANGELOG — when either side updates, the
+    * previously-joined row is RETRACTED ("U-") and the new combination
+    * arrives ("U+"/"I"), so downstream folds of sign-weighted rows
+    * stay correct as both tables update. This is exactly what an
+    * append-mode stream join cannot express (Spark's stream-stream
+    * joins bind rows permanently once emitted).
+    *
+    * Streaming: one [[RetractJoinProcessor]] ValueState per user —
+    * both sides keyed by the JOIN KEY, so the state is one tuple per
+    * key and the shuffle is the join-key partition (the 1:1
+    * primary-key case; Flink's general N:M updating join holds
+    * per-key row indexes instead). Arrival-eager, mini-batch
+    * compacted; rows older than the stored latest are no-ops (event
+    * time wins, not arrival — StreamingSpec pins the cross-batch
+    * retraction where a version update lands AFTER the join emitted
+    * the old pair, and that random batch splits fold to the batch
+    * table).
+    *
+    * Batch (`streaming = false`): the net changelog of the
+    * empty→final transition — one "I" row per user joining the two
+    * declarative max_by latest tables; exact integer cents, so batch
+    * and streamed-fold agree bit-for-bit. */
+  def retractJoin(ev: Dataset[Ev], factType: String = "purchase",
+                  versionType: String = "signup",
+                  streaming: Boolean): Dataset[JoinChange] = {
+    import ev.sparkSession.implicits._
+    if (streaming)
+      ev.groupByKey(_.user_id)
+        .transformWithState(new RetractJoinProcessor(factType, versionType),
+          TimeMode.None(), OutputMode.Append())
+    else {
+      def latest(t: String, idc: String, cc: String) =
+        ev.toDF().filter(col("event_type") === t)
+          .groupBy(col("user_id"))
+          .agg(max_by(
+            struct(col("event_id"),
+              round(col("value") * 100).cast("long").as("cents")),
+            struct(col("ts"), col("event_id"))).as("r"))
+          .select(col("user_id"), col("r.event_id").as(idc),
+            col("r.cents").as(cc))
+      latest(factType, "fact_id", "fact_cents")
+        .join(latest(versionType, "version_id", "version_cents"), "user_id")
+        .select(col("user_id"), col("fact_id"), col("fact_cents"),
+          col("version_id"), col("version_cents"),
+          lit("I").as("kind"), lit(1L).as("sign"))
+        .as[JoinChange]
+    }
+  }
+
   /** Event-time TEMPORAL join (Flink's `FOR SYSTEM_TIME AS OF` /
     * temporal table function join): each FACT row (`factType`) joins
     * the VERSION row (`versionType`) of the same user that was CURRENT
     * at the fact's event time — the latest version with (ts, event_id)
     * strictly before the fact's (ts, event_id); a fact with no
     * preceding version emits nulls (LEFT temporal join).
+    *
+    * DIVERGENCE from the SQL-standard surface (round-14 ADVICE — read
+    * this before porting queries): `FOR SYSTEM_TIME AS OF fact.ts`
+    * binds versions INCLUSIVELY (`version.ts <= fact.ts`), so a
+    * version sharing the fact's exact timestamp binds there but NOT
+    * here — this engine orders same-timestamp rows by the (ts,
+    * event_id) tiebreak and binds STRICTLY before, which keeps the
+    * binding deterministic when a fact and a version share `ts`
+    * (inclusive binding would make it depend on event_id assignment).
+    * Queries ported from an inclusive engine must shift version
+    * timestamps back one tick, or treat same-instant facts as seeing
+    * the PREVIOUS version (documented in SURVEY §2.J).
     *
     * Streaming: one keyed pass (flatMapGroupsWithState) over the
     * single typed stream, both sides in one buffer. A fact emits only
@@ -1246,6 +1388,17 @@ object StreamOps extends Serializable {
             // the +1 ms keeps the timestamp strictly ahead as required)
             if (keep.nonEmpty)
               state.setTimeoutTimestamp(keep.map(_._2).min / 1000L + 1L)
+            else if (kept.size > 1)
+              // idle-key compaction (round-14 ADVICE): with no pending
+              // facts this key may never be invoked again, leaving
+              // superseded at-or-after-watermark versions in state
+              // forever — wake once the watermark passes the earliest
+              // retained at-or-after-watermark version (kept.size > 1
+              // implies one exists), at which point the partition
+              // above trims it; re-armed until the key reaches the
+              // one-version cleanup invariant
+              state.setTimeoutTimestamp(
+                kept.map(_._2).filter(_ >= wmUs).min / 1000L + 1L)
           }
           out.iterator
       }

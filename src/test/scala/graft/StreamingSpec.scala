@@ -922,6 +922,148 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("retract join: an update after emission retracts the joined row; fold equals batch") {
+    import graft.streaming.JoinChange
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = StreamOps.retractJoin(ms.toDS(), streaming = true)
+        .writeStream.format("memory").queryName("rjoin").outputMode("append").start()
+      // batch 1: user 1 completes a pair (I emitted); user 2 has only
+      // the fact side — nothing emits until its version arrives
+      ms.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "signup", 10.00),
+        Ev(2, ts("2024-01-01 10:30:00"), 1, "purchase", 20.00),
+        Ev(3, ts("2024-01-01 10:00:00"), 2, "purchase", 5.00))
+      q.processAllAvailable()
+      // batch 2: user 1's NEW signup arrives AFTER the join emitted the
+      // old pair — the retraction must flow THROUGH the join (U- of the
+      // old joined row, U+ with the new version and the UNCHANGED
+      // fact); user 2's version completes its join (I)
+      ms.addData(
+        Ev(4, ts("2024-01-01 11:00:00"), 1, "signup", 30.00),
+        Ev(5, ts("2024-01-01 09:00:00"), 2, "signup", 7.00))
+      q.processAllAvailable()
+      // batch 3: two same-batch fact updates for user 1 compact to ONE
+      // net pair; an OLDER fact for user 2 is a no-op (event time wins)
+      ms.addData(
+        Ev(6, ts("2024-01-01 12:00:00"), 1, "purchase", 40.00),
+        Ev(7, ts("2024-01-01 13:00:00"), 1, "purchase", 50.00),
+        Ev(8, ts("2024-01-01 08:00:00"), 2, "purchase", 99.00))
+      drain(q)
+      val got = spark.table("rjoin").as[JoinChange].collect().toSeq
+      assert(got.count(_.kind == "I") == 2 && got.count(_.kind == "U-") == 2 &&
+          got.count(_.kind == "U+") == 2, s"changelog kinds wrong: $got")
+      assert(got.contains(JoinChange(1L, 2L, 2000L, 1L, 1000L, "U-", -1L)) &&
+          got.contains(JoinChange(1L, 2L, 2000L, 4L, 3000L, "U+", 1L)),
+        s"the version update must retract the emitted joined row: $got")
+      assert(got.contains(JoinChange(1L, 2L, 2000L, 4L, 3000L, "U-", -1L)) &&
+          got.contains(JoinChange(1L, 7L, 5000L, 4L, 3000L, "U+", 1L)) &&
+          !got.exists(_.fact_id == 6L),
+        s"user 1's fact updates must compact to the net 13:00 pair: $got")
+      assert(got.contains(JoinChange(2L, 3L, 500L, 5L, 700L, "I", 1L)) &&
+          !got.exists(_.fact_id == 8L),
+        s"user 2: late version completes the join; older fact is a no-op: $got")
+      // the sign-weighted fold nets to the batch joined table
+      val all = Seq(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "signup", 10.00),
+        Ev(2, ts("2024-01-01 10:30:00"), 1, "purchase", 20.00),
+        Ev(3, ts("2024-01-01 10:00:00"), 2, "purchase", 5.00),
+        Ev(4, ts("2024-01-01 11:00:00"), 1, "signup", 30.00),
+        Ev(5, ts("2024-01-01 09:00:00"), 2, "signup", 7.00),
+        Ev(6, ts("2024-01-01 12:00:00"), 1, "purchase", 40.00),
+        Ev(7, ts("2024-01-01 13:00:00"), 1, "purchase", 50.00),
+        Ev(8, ts("2024-01-01 08:00:00"), 2, "purchase", 99.00))
+      def tup(r: JoinChange) =
+        (r.user_id, r.fact_id, r.fact_cents, r.version_id, r.version_cents)
+      val net = got.groupBy(tup).view.mapValues(_.map(_.sign).sum)
+        .filter(_._2 != 0L).keySet
+      val ref = StreamOps.retractJoin(all.toDS(), streaming = false)
+        .collect().map(tup).toSet
+      assert(net == ref && ref.size == 2, s"fold $net != batch $ref")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("retract join over random batch splits folds to the batch joined table") {
+    import graft.streaming.JoinChange
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rnd = new scala.util.Random(20260816L)
+      val syms = Vector("click", "purchase", "signup")
+      val evs = (for {
+        u <- 1 to 8
+        i <- 0 until (4 + rnd.nextInt(8))
+      } yield Ev((u * 100 + i).toLong,
+          java.sql.Timestamp.valueOf(
+            ts("2024-01-01 10:00:00").toLocalDateTime.plusMinutes(i * 31L)),
+          u.toLong, syms(rnd.nextInt(syms.size)),
+          math.floor(rnd.nextDouble() * 5000) / 100.0)).toVector
+      val shuffled = rnd.shuffle(evs) // arrival order irrelevant: upsert by event time
+      def tup(r: JoinChange) =
+        (r.user_id, r.fact_id, r.fact_cents, r.version_id, r.version_cents)
+      val ref = StreamOps.retractJoin(evs.toDS(), streaming = false)
+        .collect().map(tup).toSet
+      val cuts = Seq.fill(3)(rnd.nextInt(shuffled.size)).sorted
+      val batches = (Seq(0) ++ cuts ++ Seq(shuffled.size)).sliding(2)
+        .collect { case Seq(a, b) if b > a => shuffled.slice(a, b) }.toSeq
+      val ms = MemoryStream[Ev]
+      val q = StreamOps.retractJoin(ms.toDS(), streaming = true)
+        .writeStream.format("memory").queryName("rjoineq").outputMode("append").start()
+      batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      val net = spark.table("rjoineq").as[JoinChange].collect().toSeq
+        .groupBy(tup).view.mapValues(_.map(_.sign).sum)
+        .filter(_._2 != 0L).keySet
+      assert(net == ref, s"fold $net != batch $ref")
+      assert(ref.nonEmpty)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("temporal join: idle keys compact retained versions via the re-armed timer") {
+    val ckpt = java.nio.file.Files.createTempDirectory("tjidle").toString
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.temporalJoin(ms.toDS(), streaming = true)
+      .writeStream.format("memory").queryName("tjidle")
+      .option("checkpointLocation", ckpt).start()
+    // batch 1: user 1 accumulates THREE versions and no facts — with
+    // the fact-only timer (the round-14 ADVICE finding) this key would
+    // never be invoked again and hold all three forever
+    ms.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "signup", 1.0),
+      Ev(2, ts("2024-01-01 10:10:00"), 1, "signup", 2.0),
+      Ev(3, ts("2024-01-01 10:20:00"), 1, "signup", 3.0))
+    q.processAllAvailable()
+    // traffic on ANOTHER key advances the watermark far past user 1's
+    // versions; only the re-armed compaction timer touches user 1
+    for ((h, id) <- Seq(("12:00:00", 10L), ("14:00:00", 11L), ("16:00:00", 12L)))
+      { ms.addData(Ev(id, ts(s"2024-01-01 $h"), 2, "click", 0.0)); q.processAllAvailable() }
+    drain(q)
+    // state store: user 1 must have compacted to the single latest
+    // version (the one-version cleanup invariant for idle keys)
+    val st = spark.read.format("statestore").load(ckpt)
+    val u1 = st
+      .selectExpr("key.value AS user", "value.groupState.vIds AS v_ids")
+      .where("user = 1")
+      .select("v_ids").as[Seq[Long]].collect()
+    assert(u1.nonEmpty && u1.head == Seq(3L),
+      s"idle user 1 must retain exactly the latest version (id 3): " +
+        s"${u1.toSeq}")
+  }
+
   test("temporal join: cross-batch version visibility, watermark-certified emission") {
     import graft.streaming.TemporalJoined
     val ms = MemoryStream[Ev]
