@@ -465,6 +465,38 @@ class StreamingSpec extends SparkSuite {
       s"unexpected user-2 session: $rows")
   }
 
+  test("session windows: a late-but-in-watermark event merges two open sessions across batches") {
+    import graft.api.Windows
+    import org.apache.spark.sql.functions._
+    val aggs = Seq(count(lit(1)).as("n_events"), Det.sumMoney(col("value")).as("sum_value"))
+    val ms = MemoryStream[Ev]
+    val q = Windows.session(ms.toDF().withWatermark("ts", "10 minutes"),
+        "ts", "30 minutes", Seq(col("user_id")), aggs)
+      .writeStream.format("memory").queryName("sessmerge").outputMode("append").start()
+    // batch 1: two events 35 min apart — TWO open sessions
+    // ([10:00,10:30) and [10:35,11:05)); watermark moves to 10:25
+    ms.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 10:35:00"), 1, "click", 2.0))
+    q.processAllAvailable()
+    // batch 2: a LATE event at 10:27 — behind batch 1's max event time
+    // but inside the watermark (10:25) — lands between the two open
+    // sessions and bridges them: [10:00,10:57) now overlaps [10:35,...)
+    ms.addData(Ev(3, ts("2024-01-01 10:27:00"), 1, "click", 4.0))
+    q.processAllAvailable()
+    // batch 3: another user far ahead closes user 1's merged session
+    ms.addData(Ev(4, ts("2024-01-01 13:00:00"), 2, "view", 1.0))
+    drain(q)
+    val rows = spark.table("sessmerge")
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSeq
+      .filter(_._1 == 1L)
+    assert(rows == Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:05:00"), 3L, 7.0)),
+      s"the in-watermark bridge event must merge both open sessions " +
+        s"into ONE emission: $rows")
+  }
+
   test("dynamic-gap session windows under readStream: per-event gap respected") {
     import graft.api.Windows
     import org.apache.spark.sql.functions._
