@@ -381,7 +381,9 @@ object Similarity {
     * CAST back to BIGINT (values stay <= 85 * scale). */
   def knnPagerankOracleSql(k: Int, tables: Int = 4, bits: Int = 8,
                            dim: Int = 64, cap: Int = 8, iters: Int = 8,
-                           scale: Long = 1000000000000L): String = {
+                           scale: Long = 1000000000000L,
+                           rankCol: String = "rank_ppt",
+                           seedBottom: Boolean = false): String = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     val rounds = (1 to iters).map { i =>
       s"""r$i AS MATERIALIZED (
@@ -401,9 +403,10 @@ object Similarity {
        |nodes AS (SELECT vec_id AS id FROM embeddings),
        |base AS (SELECT (15 * ($scale // count(*))) // 100 AS b,
        |                $scale // count(*) AS rinit FROM nodes),
-       |r0 AS (SELECT id, (SELECT rinit FROM base) AS r FROM nodes),
+       |r0 AS (SELECT id, (SELECT ${if (seedBottom) "b" else "rinit"}
+       |                   FROM base) AS r FROM nodes),
        |$rounds
-       |SELECT id AS vec_id, CAST(r AS BIGINT) AS rank_ppt
+       |SELECT id AS vec_id, CAST(r AS BIGINT) AS $rankCol
        |FROM r$iters ORDER BY vec_id""".stripMargin
   }
 

@@ -53,6 +53,14 @@ object Pipeline {
     * (round-13 ADVICE). */
   private val ConvergedOracleRounds = 8
 
+  /** Unroll depth of the graph_pagerank_converged oracle (same
+    * idempotence coupling as [[ConvergedOracleRounds]]: the engine's
+    * integer fixpoint must land at or before this round, asserted at
+    * query-build time). ppm ranks put the fixpoint near
+    * log_{100/85}(scale/n) ≈ 46 at n=500; 64 leaves headroom for the
+    * fixture's sizes while keeping the unrolled CTE chain bounded. */
+  private val PagerankOracleRounds = 64
+
   /** The deterministic 20% stratified document sample as FROM-able
     * DuckDB SQL — the replay of `Sampling.stratified(documents,
     * doc_id, [lang], 0.2)` the sample-trained BPE oracles train on
@@ -684,6 +692,31 @@ object Pipeline {
       graft.api.Graphs.pagerank(e.select("vec_id"), "vec_id",
           edges, srcCol = "src_id", dstCol = "neighbor_id", iters = 8)
         .select(col("id").as("vec_id"), col("r").as("rank_ppt"))
+        .orderBy("vec_id")
+    }),
+
+    // PageRank iterated to its integer-rank FIXPOINT (round-14 verdict
+    // item — the knnGraphConverged discipline applied one file over):
+    // rounds repeat until no node's rank changes; the convergence
+    // round couples to the oracle's fixed unroll (round <=
+    // PagerankOracleRounds asserted here at build time, idempotence
+    // past the fixpoint makes the >= unroll replay exact). ppm ranks
+    // (scale 1e6) put the fixpoint near log_{100/85}(scale/n) rounds —
+    // the converged score needs no more precision than its own
+    // 1-integer-unit stopping threshold.
+    "graph_pagerank_converged" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val edges = Similarity.knnGraphCapped(e, "vec_id", "embedding", 5,
+        tables = 8, bits = 6, cap = 16)
+      val (ranks, round) = graft.api.Graphs.pagerankConvergedWithRound(
+        e.select("vec_id"), "vec_id", edges,
+        srcCol = "src_id", dstCol = "neighbor_id")
+      require(round <= PagerankOracleRounds,
+        s"pagerankConverged reached its fixpoint at round $round but " +
+          s"the registered oracle unrolls only $PagerankOracleRounds " +
+          "rounds — raise PagerankOracleRounds (both the oracle SQL " +
+          "and this assertion) so the replay is not truncated")
+      ranks.select(col("id").as("vec_id"), col("r").as("rank_ppm"))
         .orderBy("vec_id")
     }),
 
@@ -1842,6 +1875,13 @@ object Pipeline {
       bits = 6, cap = 16, tau = 0.4),
     "graph_pagerank" -> Similarity.knnPagerankOracleSql(5, tables = 8,
       bits = 6, cap = 16, iters = 8),
+    // converged pagerank: the same unrolled integer replay at the
+    // coupling depth — idempotence past the engine's fixpoint (round
+    // <= PagerankOracleRounds, asserted in the query) makes the fixed
+    // unroll replay the converged ppm ranks exactly
+    "graph_pagerank_converged" -> Similarity.knnPagerankOracleSql(5,
+      tables = 8, bits = 6, cap = 16, iters = PagerankOracleRounds,
+      scale = 1000000L, rankCol = "rank_ppm", seedBottom = true),
     "sim_knn_graph_converged" ->
       Similarity.knnGraphConvergedOracleSql(5, tables = 8, bits = 6,
         rounds = ConvergedOracleRounds),

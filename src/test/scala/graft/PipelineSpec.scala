@@ -1011,6 +1011,46 @@ class PipelineSpec extends SparkSuite {
     assert(got2 == got)
   }
 
+  test("pagerankConverged: Kleene least fixpoint equals the scalar bottom iteration") {
+    import graft.api.Graphs
+    val scale = 1000000L
+    val rnd = new scala.util.Random(20260816L)
+    val n = 24
+    val edges = (for {
+      s <- 0 until n; d <- 0 until n
+      if s != d && rnd.nextInt(100) < 12
+    } yield (s.toLong, d.toLong)).distinct
+    val nodesDf = spark.range(n).select(col("id").as("nid"))
+    val edgesDf = edges.toDF("src", "dst")
+    val (ranksDf, round) = Graphs.pagerankConvergedWithRound(
+      nodesDf, "nid", edgesDf, "src", "dst", scale = scale)
+    val got = ranksDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // scalar reference: the same bottom-seeded monotone iteration to
+    // ITS fixpoint — both must land on the unique least fixpoint
+    val outd = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = (15L * (scale / n)) / 100L
+    var ranks = (0 until n).map(i => i.toLong -> base).toMap
+    var refRound = 0
+    var done = false
+    while (!done) {
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => ranks(s) / outd(s) }.sum).toMap
+      val next = (0 until n).map(i =>
+        i.toLong -> (base + (85L * in.getOrElse(i.toLong, 0L)) / 100L)).toMap
+      refRound += 1
+      if (next == ranks) done = true else ranks = next
+      assert(refRound <= 256, "scalar reference failed to converge")
+    }
+    assert(got == ranks, "engine fixpoint != scalar least fixpoint")
+    assert(round == refRound, s"engine round $round != scalar $refRound")
+    // the fixpoint verifies: applying the update once more is identity
+    val in1 = edges.groupBy(_._2).view.mapValues(
+      _.map { case (s, _) => ranks(s) / outd(s) }.sum).toMap
+    val once = (0 until n).map(i =>
+      i.toLong -> (base + (85L * in1.getOrElse(i.toLong, 0L)) / 100L)).toMap
+    assert(once == ranks, "F(fixpoint) != fixpoint")
+  }
+
   test("repetition signals: exact fractions on a hand-built doc") {
     val df = Seq((1L, "a a a b"), (2L, "x y z w")).toDF("doc_id", "text")
     val out = graft.api.TextOps.repetition(df, "doc_id", "text")
