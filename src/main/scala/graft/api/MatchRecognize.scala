@@ -1285,14 +1285,28 @@ object MatchRecognize {
       // the forced-decomposition pin, and the backtracking matcher's
       // anchored search is defined for strict patterns (a RELAXED
       // branch's anchored search would need the full NFA).
-      require(spec.expandBranches.forall(_.strict),
+      // Round-15 lift of the round-14 residual: RELAXED branches are
+      // admitted when every (de-gapped) step is {1,1} and non-negated
+      // — such branches route per branch through the pinned-final
+      // anchored DFS ([[Cep.matchCoreAnchoredEnd]]'s relaxed mode,
+      // exactly the iterative-'$' mechanism one guard below), never
+      // the committed-end pin (a relaxed walk commits to
+      // first-qualifying alignments, so pinning its committed ends
+      // would under-match). Quantified relaxed branches still reject:
+      // their anchored search would need per-anchor speculative ends.
+      require(spec.expandBranches.forall(b => b.strict ||
+          b.stepElems.forall(e =>
+            !e.negated && e.minRep == 1 && e.maxRep.contains(1))),
         "'$' anchor with alternation/PERMUTE is supported for STRICT " +
-          "branches, ONE ROW or ALL ROWS, MEASURES included — general " +
+          "branches — ONE ROW or ALL ROWS, MEASURES included, general " +
           "and the compiled step_sums form (all-greedy branches pin " +
           "per branch before the leftmost-branch dedup — the forced " +
           "greedy decomposition makes that pin exact; reluctant " +
-          "branches run the anchored backtracking matcher); relaxed " +
-          "branches under '$' would under-match — drop '$' or " +
+          "branches run the anchored backtracking matcher) — and for " +
+          "RELAXED branches whose steps are all {1,1} and non-negated " +
+          "(the pinned-final anchored matcher per branch); a " +
+          "quantified relaxed branch under '$' would need per-anchor " +
+          "speculative ends — drop '$', bound the steps, or " +
           "restructure the pattern")
     } else if (spec.isIterative) {
       // Round-14 lift: STRICT iterative patterns take the anchored
@@ -2204,8 +2218,13 @@ object MatchRecognize {
         .filter(col("end_id") === col("__last_ord"))
         .drop("__last_ord")
     val parts = spec.expandBranches.zipWithIndex.map { case (b, i) =>
+      // '$' routes OFF the committed-end pin per branch: RELUCTANT
+      // branches backtrack, RELAXED branches (all-{1,1} — guarded at
+      // parse) take the pinned-final DFS; both commit to ends the pin
+      // cannot recover, so only strict all-greedy branches (forced
+      // decomposition) keep the cheap pin-by-filter
       val r =
-        if (spec.anchorEnd && b.stepElems.exists(!_.greedy))
+        if (spec.anchorEnd && (b.stepElems.exists(!_.greedy) || !b.strict))
           runIter(df, b, key, tsC, ordC)
         else {
           val c = b.toSymbolic match {
@@ -2253,7 +2272,7 @@ object MatchRecognize {
         .drop("__last_ord")
     val parts = spec.expandBranches.zipWithIndex.map { case (b, i) =>
       val r =
-        if (spec.anchorEnd && b.stepElems.exists(!_.greedy))
+        if (spec.anchorEnd && (b.stepElems.exists(!_.greedy) || !b.strict))
           runIterConsumed(df, b, key, tsC, ordC, anchoredEnd = true)
         else if (spec.anchorEnd) pinToLast(consumedRows(df, b, key, tsC, ordC))
         else consumedRows(df, b, key, tsC, ordC)
@@ -2498,6 +2517,20 @@ object MatchRecognize {
       // dedup, mirroring runAlternation's pinned union exactly
       val keyCol = spec.partitionBy.head
       val (tsC, ordC) = (spec.orderBy(0), spec.orderBy(1))
+      // under '$' the generated per-branch replay is the COMMITTED
+      // (greedy, first-qualifying) walk + an end pin — exact only for
+      // strict all-greedy branches (forced decomposition); reluctant
+      // or relaxed branches anchor via backtracking / pinned-final
+      // search the replay cannot express, so their oracles must be
+      // hand-formulated (or generated from the greedy twin, as the
+      // declared _alt_reluctant / _alt_sums keys do)
+      require(!spec.anchorEnd || spec.expandBranches.forall(b =>
+          b.strict && b.stepElems.forall(_.greedy)),
+        "no generated oracle for reluctant or relaxed branches under " +
+          "the '$' anchor — the pinned replay under-matches the " +
+          "anchored search; hand-formulate, or generate from the " +
+          "all-greedy strict twin where the decomposition-forcing " +
+          "argument applies")
       val bs = spec.expandBranches.map(b => oracleForSpec(b, t))
       val bd =
         if (!spec.anchorEnd) ""

@@ -692,6 +692,17 @@ object Analytic {
       MatchRecognize.run(Tables.events(s, d), CepSql.anchorEndIterQuant)
         .orderBy("user_id", "start_id")),
 
+    // '$' × ALTERNATION × RELAXED branches (round-15 lift): anchor at
+    // a view-or-click, any gap, a purchase pinned to the partition's
+    // last row — the pinned-final anchored DFS per branch. Independent
+    // oracle: per user whose LAST row is a purchase, every earlier
+    // view/click row within 24 h anchors a match (branches cannot
+    // contest an anchor — a row is one type — so the leftmost dedup
+    // is the identity here).
+    "event_cep_sql_anchor_end_alt_relaxed" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.anchorEndAltRelaxed)
+        .orderBy("user_id", "start_id")),
+
     // '$' × RELUCTANT × compiled step_sums (round-15 lift of the last
     // rejected cell of the anchored matrix): the per-step exact-cents
     // summary is ONE scoped hash aggregation over the anchored
@@ -1368,6 +1379,26 @@ object Analytic {
       anchorEndAltReluctant.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH")
     val anchorEndIterAllRows: String =
       anchorEndIter.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH")
+
+    // RELAXED branches under ALTERNATION + '$' (round-15 lift of the
+    // round-14 residual): every branch is relaxed with all-{1,1}
+    // steps, so each routes through the pinned-final anchored DFS
+    // per branch (Cep.matchCoreAnchoredEnd's relaxed mode) — never
+    // the committed-end pin, which would under-match whenever the
+    // anchored resolution needs a LATER gap alignment than the
+    // unanchored walk's first-qualifying one.
+    val anchorEndAltRelaxed: String =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN ((view | click) g1* buy $)
+        |  WITHIN INTERVAL '1440' MINUTE
+        |  DEFINE view AS event_type = 'view',
+        |         click AS event_type = 'click',
+        |         buy AS event_type = 'purchase'
+        |)""".stripMargin
 
     // Compiled `SUM(value) AS step_sums` under '$' (round-15 lift of
     // the LAST rejected cell of the anchored matrix): the per-step
@@ -2443,6 +2474,25 @@ object Analytic {
         |  AND (SELECT sum(m.value) FROM e m
         |       WHERE m.user_id = a.user_id AND m.rn >= a.rn
         |         AND m.rn < l.lrn) <= 200
+        |ORDER BY a.user_id, start_id""".stripMargin,
+    // relaxed-branch alternation + '$': independent formulation — the
+    // user's LAST row (ts desc, id desc) must be a purchase; every
+    // earlier view/click row within 24 h anchors one match ending
+    // there (gap rows are skipped, not consumed: n_rows = 2)
+    "event_cep_sql_anchor_end_alt_relaxed" ->
+      """WITH l AS (SELECT user_id, event_id AS lid, ts AS lts FROM (
+        |  SELECT user_id, event_id, ts::TIMESTAMP AS ts, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 AND event_type = 'purchase'),
+        |a AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts
+        |      FROM events WHERE event_type IN ('view', 'click'))
+        |SELECT a.user_id, a.event_id AS start_id, a.ts AS start_ts,
+        |       l.lid AS end_id, l.lts AS end_ts,
+        |       CAST(2 AS BIGINT) AS n_rows, '1,1' AS step_counts
+        |FROM a JOIN l ON l.user_id = a.user_id
+        |  AND (a.ts < l.lts OR (a.ts = l.lts AND a.event_id < l.lid))
+        |  AND l.lts <= a.ts + INTERVAL 1440 MINUTE
         |ORDER BY a.user_id, start_id""".stripMargin,
     // reluctant + '$' + compiled step_sums replay (round-15): the
     // GREEDY twin's GENERATED compiled-measures oracle (step_sums

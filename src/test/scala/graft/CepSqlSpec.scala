@@ -1469,13 +1469,15 @@ class CepSqlSpec extends SparkSuite {
     // fixture in the "'$' lift" test below)
     val reluctantAlt = CepSql.anchorEndAlt.replace("buy{1,2}", "buy{1,2}?")
     assert(MatchRecognize.parse(reluctantAlt).anchorEnd)
-    // RELAXED branches under '$' still reject loudly — their anchored
-    // search would need the full NFA (gap rows decouple a branch's end
-    // from its committed match, and the backtracking matcher's
-    // anchored search is defined for strict patterns only)
-    val relaxedAlt = CepSql.anchorEndAlt.replace("buy{1,2} $", "g1* buy{1,2} $")
+    // round-15 lift: RELAXED branches under '$' parse when every
+    // (de-gapped) step is {1,1} non-negated — the pinned-final
+    // anchored DFS per branch; QUANTIFIED relaxed branches still
+    // reject loudly (their anchored search would need per-anchor
+    // speculative ends)
+    assert(MatchRecognize.parse(CepSql.anchorEndAltRelaxed).anchorEnd)
+    val relaxedAltQuant = CepSql.anchorEndAlt.replace("buy{1,2} $", "g1* buy{1,2} $")
     assert(intercept[IllegalArgumentException](
-      MatchRecognize.parse(relaxedAlt))
+      MatchRecognize.parse(relaxedAltQuant))
       .getMessage.contains("STRICT"))
     // '^' composes with everything ('^'-anchored match starts are the
     // anchor position on every route) — a reluctant quantifier parses
@@ -1697,6 +1699,19 @@ class CepSqlSpec extends SparkSuite {
     assert(gotIterSums == Set((9L, 2L, "1,1", "10000,1000"),
         (8L, 4L, "2,1", "11000,1000"), (8L, 5L, "1,1", "6000,1000")),
       s"anchored iterative step_sums wrong: $gotIterSums")
+    // 9. RELAXED branches under '$' (round-15): on V P P the
+    // unanchored relaxed walk binds buy to its FIRST qualifying row
+    // (row 2), so a committed-end pin finds nothing — the pinned-final
+    // anchored DFS binds the LAST row instead
+    val tinyRelAlt = MatchRecognize.run(tiny, CepSql.anchorEndAltRelaxed)
+      .select("start_id", "end_id").as[(Long, Long)].collect().toSet
+    assert(tinyRelAlt == Set((1L, 3L)),
+      s"relaxed anchored branch must bind the last row: $tinyRelAlt")
+    val unanchoredRelAlt = CepSql.anchorEndAltRelaxed.replace(" $)", ")")
+    assert(MatchRecognize.run(tiny, unanchoredRelAlt)
+        .filter(col("end_id") === 3L).count() == 0L,
+      "the relaxed walk's committed end is row 2 — a pin over it " +
+        "would have dropped the anchored match")
   }
 
   test("'$' lift: ALL ROWS composes with exclusion and MEASURES on the anchored routes") {
@@ -1777,6 +1792,51 @@ class CepSqlSpec extends SparkSuite {
           s"trial $trial: match ($s,$e) rows must be the contiguous " +
             s"span with pos 1..$nr: ${ms.toSeq}")
       }
+    }
+  }
+
+  test("property: anchored alternation with mixed strict/relaxed branches (60 random sequences)") {
+    // the round-15 relaxed-branch lift against brute force: on random
+    // typed sequences, the RELAXED alternation `((view|click) g* buy $)`
+    // must match every view/click anchor of a partition whose LAST row
+    // is a purchase (within 24 h), and the STRICT twin
+    // `((view|click) buy $)` must keep only the anchor immediately
+    // before it — the strict/relaxed pair cannot drift apart except by
+    // exactly the gap rows
+    val sp = spark
+    import sp.implicits._
+    val CepSql = graft.queries.Analytic.CepSql
+    val rnd = new scala.util.Random(20260815L)
+    val types = Vector("view", "purchase", "click")
+    val strictTwin = CepSql.anchorEndAltRelaxed.replace(" g1*", "")
+    for (trial <- 0 until 60) {
+      val n = 3 + rnd.nextInt(8)
+      val rows = (0 until n).map { i =>
+        (i + 1L, new java.sql.Timestamp(1704067200000L + i * 60000L),
+          200L + trial, types(rnd.nextInt(types.size)), 1.0 + i)
+      }
+      val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      def got(sql: String) = MatchRecognize.run(df, sql)
+        .select("start_id", "end_id")
+        .as[(Long, Long)].collect().toSet
+      val lastIsBuy = rows.last._4 == "purchase"
+      val refRelaxed =
+        if (!lastIsBuy) Set.empty[(Long, Long)]
+        else rows.init.filter(r => r._4 == "view" || r._4 == "click")
+          .map(r => (r._1, rows.last._1)).toSet // 24 h never binds here
+      assert(got(CepSql.anchorEndAltRelaxed) == refRelaxed,
+        s"trial $trial: relaxed anchored alternation != brute force")
+      val refStrict =
+        if (!lastIsBuy || n < 2) Set.empty[(Long, Long)]
+        else {
+          val a = rows(n - 2)
+          if (a._4 == "view" || a._4 == "click")
+            Set((a._1, rows.last._1)) else Set.empty[(Long, Long)]
+        }
+      assert(got(strictTwin) == refStrict,
+        s"trial $trial: strict anchored alternation != brute force")
+      assert(refStrict.subsetOf(refRelaxed),
+        s"trial $trial: strict must be the gap-free subset")
     }
   }
 
