@@ -85,7 +85,16 @@ object BenchScale {
     // over O(n*k) capped edges; expected ~linear per decade (edge
     // volume), the iterative-loop shape audited like the converged
     // kNN family
-    "graph_pagerank")
+    "graph_pagerank",
+    // round-15 (VERDICT r14 item 8): the round-14 event-time keys —
+    // per-user linear interpolation (partitioned windows, no global
+    // sort), the temporal join's batch replay (strictly-preceding
+    // window), the retract changelog fold (per-user max_by + grouped
+    // sum) — plus the round-15 additions: the updating-table join
+    // (two latest tables + key join) and the bottom-seeded converged
+    // PageRank (rounds SHRINK as n grows — base = scale div n div ~7)
+    "ts_interp_linear", "stream_temporal_join", "stream_retract_agg",
+    "stream_retract_join", "graph_pagerank_converged")
 
   /** Second measured decade (VERDICT r9 item 6): the STEEPEST keys of
     * the 10x sweep re-measured over a 100x slice, so their exponents
@@ -109,7 +118,13 @@ object BenchScale {
     // decade — the 100x slice now writes supplier too
     "join_fuzzy_edit2", "sim_knn_clusters", "stream_sim_topk",
     // and the kNN-graph PageRank loop's second decade
-    "graph_pagerank")
+    "graph_pagerank",
+    // round-15 (VERDICT r14 item 8): the event-time keys over the
+    // second decade — the 100x slice now writes events too (V4).
+    // graph_pagerank_converged stays at one decade by design: its ppm
+    // scale floors base to 0 past n ~ 6.7e4 nodes (the API rejects
+    // that loudly; production raises scale with n)
+    "ts_interp_linear", "stream_temporal_join", "stream_retract_agg")
   private val Factor100 = 100
 
   /** 100 isolated documents + embeddings copies — same isolation
@@ -124,8 +139,9 @@ object BenchScale {
     * Done-marker is versioned: _GEN_DONE_V2 invalidates round-11 dirs
     * that carry only the documents table. */
   private def gen100(spark: SparkSession, srcDir: String, outDir: String): Unit = {
-    // V3: round-14 adds the supplier table (join_fuzzy_edit2)
-    val done = new java.io.File(s"$outDir/_GEN_DONE_V3")
+    // V3: round-14 adds the supplier table (join_fuzzy_edit2);
+    // V4: round-15 adds events (ts_interp_linear / temporal / retract)
+    val done = new java.io.File(s"$outDir/_GEN_DONE_V4")
     if (done.exists()) return
     val copies = spark.range(Factor100).select(col("id").cast("int").as("c"))
     val suffixed =
@@ -153,6 +169,13 @@ object BenchScale {
         expr(supplierSuffixed).as("s_name"),
         col("s_nationkey"), col("s_acctbal"))
       .repartition(64).write.mode("overwrite").parquet(s"$outDir/supplier.parquet")
+    // events: ids offset per copy — per-key sequences replicate sf0.1's
+    // exactly (the same isolation as the 10x slice)
+    spark.read.parquet(s"$srcDir/events.parquet").crossJoin(copies).select(
+        (col("event_id") + col("c") * Stride).as("event_id"), col("ts"),
+        (col("user_id") + col("c") * Stride).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(64).write.mode("overwrite").parquet(s"$outDir/events.parquet")
     done.createNewFile()
   }
 
@@ -299,14 +322,21 @@ object BenchScale {
       q.count()
       (System.nanoTime() - t0) / 1e9
     }
-    def best2(f: => Double): Double = math.min(f, f)
+    // min of TWO runs (by-name parameter evaluated twice — renamed per
+    // the round-14 ADVICE: the old `best2(f) = math.min(f, f)` read as
+    // a no-op and invited a refactor to a plain value)
+    def minOf2Runs(trial: => Double): Double = math.min(trial, trial)
+    // the 10x capped point is SHARED between the fuzzy_skew_capped
+    // t_big and the decade-2 t_small (round-14 ADVICE: measuring it
+    // twice made the committed artifact carry two different times for
+    // the same nominal point, breaking the chained-decade reading)
+    val capped10x = minOf2Runs(fuzzySkew(10, true))
     val skewRows = Seq(
-      ("fuzzy_skew_uncapped", best2(fuzzySkew(1, false)),
-        best2(fuzzySkew(10, false)), 1.0),
-      ("fuzzy_skew_capped", best2(fuzzySkew(1, true)),
-        best2(fuzzySkew(10, true)), 1.0),
-      ("fuzzy_skew_capped_decade2", best2(fuzzySkew(10, true)),
-        best2(fuzzySkew(100, true)), 1.0))
+      ("fuzzy_skew_uncapped", minOf2Runs(fuzzySkew(1, false)),
+        minOf2Runs(fuzzySkew(10, false)), 1.0),
+      ("fuzzy_skew_capped", minOf2Runs(fuzzySkew(1, true)), capped10x, 1.0),
+      ("fuzzy_skew_capped_decade2", capped10x,
+        minOf2Runs(fuzzySkew(100, true)), 1.0))
       .map { case (nm, tS, tB, dec) => (nm, tS, tB, math.log10(tB / tS) / dec) }
     def block(rs: Seq[(String, Double, Double, Double)]): String =
       rs.map { case (n, tS, tB, e) =>

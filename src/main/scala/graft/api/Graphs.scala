@@ -116,6 +116,13 @@ object Graphs {
     val n = ids.count()
     require(n > 0, "pagerankConverged over an empty node set")
     val base = (15L * (scale / n)) / 100L
+    // a floored-to-zero base makes every rank 0 and the "fixpoint"
+    // degenerate — the scale must grow with n (pick scale >= ~100*n
+    // so ranks keep at least two digits of headroom)
+    require(base >= 1L,
+      s"pagerankConverged: scale=$scale is too coarse for n=$n nodes " +
+        "(the per-node base floors to 0, so every rank would be 0) — " +
+        "raise scale proportionally to n")
     var ranks = ids.select(col("id"), lit(base).as("r")).localCheckpoint()
     var it = 0
     while (it < maxIters) {

@@ -307,11 +307,15 @@ class CoreSpec extends SparkSuite {
     assert(!Bench.isolationNeeded(0.25, Some(0.1)),
       "micro-key 2.5x jitter under the absolute floor must not")
     assert(!Bench.isolationNeeded(10.0, None), "new keys have no reference")
-    // spread-forced trigger (VERDICT r9): post-retry spread > 1.0 forces
-    // an isolated trial regardless of the committed comparison
+    // the r14 contended-sweep movers must trigger at the 1.4x band
+    assert(Bench.isolationNeeded(1.316, Some(0.835)), "r14 dedup_simhash x1.58")
+    assert(Bench.isolationNeeded(0.865, Some(0.592)), "r14 event_cep x1.46")
+    // spread-forced trigger (VERDICT r9, tightened r15): post-retry
+    // spread > 0.6 forces an isolated trial regardless of the
+    // committed comparison
     assert(Bench.spreadForcesIsolation(1.50), "the r9 q_composite_corpus case")
-    assert(Bench.spreadForcesIsolation(1.01))
-    assert(!Bench.spreadForcesIsolation(1.0))
-    assert(!Bench.spreadForcesIsolation(0.9))
+    assert(Bench.spreadForcesIsolation(0.61))
+    assert(!Bench.spreadForcesIsolation(0.6))
+    assert(!Bench.spreadForcesIsolation(0.5))
   }
 }
