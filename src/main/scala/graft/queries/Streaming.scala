@@ -153,6 +153,43 @@ object Streaming {
         .orderBy("fact_id")
     }),
 
+    // Inclusive-binding temporal join (round-15 — the reference
+    // `FOR SYSTEM_TIME AS OF` parity the strict default documents as a
+    // divergence): a version sharing the fact's exact timestamp BINDS
+    // (latest version with ts <= fact ts; at equal ts the highest
+    // version id wins). Batch replay sorts versions before facts
+    // inside the same strictly-preceding frame; the streaming form
+    // adjusts only the binding comparator, watermark certificate
+    // unchanged (StreamOps.temporalJoin(inclusive = true);
+    // StreamingSpec pins the same-timestamp binding divergence).
+    "stream_temporal_join_inclusive" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[Ev]
+      StreamOps.temporalJoin(ev, streaming = false, inclusive = true).toDF()
+        .orderBy("fact_id")
+    }),
+
+    // Dynamic-gap session windows under readStream (Flink
+    // EventTimeSessionWindows.withDynamicGap's streaming twin —
+    // purchases hold a session open 40 min, everything else 20):
+    // plan-identical to wnd_session_dynamic in batch, so it shares
+    // that oracle; the streaming merge is covered by StreamingSpec's
+    // dynamic-gap test.
+    "stream_session_dynamic" -> ((s, d) =>
+      graft.api.Windows.sessionDynamic(Tables.events(s, d), "ts",
+          when(col("event_type") === "purchase", "40 minutes")
+            .otherwise("20 minutes"),
+          Seq(col("user_id")),
+          Seq(count(lit(1)).as("n_events"),
+            graft.Det.sumMoney(col("value")).as("sum_value")))
+        .select("user_id", "session_start", "session_end", "n_events",
+          "sum_value")
+        .orderBy("user_id", "session_start")),
+
     // The namesake two-level pane optimization as a chained streaming
     // aggregation (StreamOps.paneTwoLevel) — batch replay must equal
     // wnd_sliding bit-for-bit, so it shares that oracle; streaming
@@ -888,6 +925,28 @@ object Streaming {
         |SELECT user_id, event_id AS fact_id, ts AS fact_ts,
         |       value AS fact_value, version_id, version_ts, version_value
         |FROM w WHERE event_type = 'purchase' ORDER BY fact_id""".stripMargin,
+    // inclusive temporal join: versions sort BEFORE facts at equal ts
+    // (the flag column), so the same strictly-preceding ROWS frame
+    // binds a same-timestamp version — the FOR SYSTEM_TIME AS OF rule
+    "stream_temporal_join_inclusive" ->
+      """WITH w AS (
+        |  SELECT user_id, event_id, ts::TIMESTAMP AS ts, event_type, value,
+        |    last_value(CASE WHEN event_type = 'signup' THEN event_id END
+        |               IGNORE NULLS) OVER win AS version_id,
+        |    last_value(CASE WHEN event_type = 'signup' THEN ts::TIMESTAMP END
+        |               IGNORE NULLS) OVER win AS version_ts,
+        |    last_value(CASE WHEN event_type = 'signup' THEN value END
+        |               IGNORE NULLS) OVER win AS version_value
+        |  FROM events WINDOW win AS (PARTITION BY user_id
+        |    ORDER BY ts, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END,
+        |             event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id AS fact_id, ts AS fact_ts,
+        |       value AS fact_value, version_id, version_ts, version_value
+        |FROM w WHERE event_type = 'purchase' ORDER BY fact_id""".stripMargin,
+    // dynamic-gap streaming sessions: batch replay is plan-identical
+    // to wnd_session_dynamic, so the oracle is shared
+    "stream_session_dynamic" -> EventTime.oracles("wnd_session_dynamic"),
     "stream_cep_measures" -> Analytic.oracles("event_cep_measures"),
     // streaming general MEASURES: batch replay must equal the batch
     // general-MEASURES route exactly — same hand-written islands oracle

@@ -1299,13 +1299,17 @@ object StreamOps extends Serializable {
     * this before porting queries): `FOR SYSTEM_TIME AS OF fact.ts`
     * binds versions INCLUSIVELY (`version.ts <= fact.ts`), so a
     * version sharing the fact's exact timestamp binds there but NOT
-    * here — this engine orders same-timestamp rows by the (ts,
-    * event_id) tiebreak and binds STRICTLY before, which keeps the
-    * binding deterministic when a fact and a version share `ts`
-    * (inclusive binding would make it depend on event_id assignment).
-    * Queries ported from an inclusive engine must shift version
-    * timestamps back one tick, or treat same-instant facts as seeing
-    * the PREVIOUS version (documented in SURVEY §2.J).
+    * under this function's DEFAULT — the default orders same-timestamp
+    * rows by the (ts, event_id) tiebreak and binds STRICTLY before,
+    * which keeps the binding independent of id assignment when a fact
+    * and a version share `ts`. Queries ported from an inclusive engine
+    * pass `inclusive = true` (round-15): versions then bind at
+    * `version.ts <= fact.ts` — at equal ts the LATEST version by id
+    * wins, batch replays it by sorting versions before facts inside
+    * the same strictly-preceding frame, and the streaming watermark
+    * certificate still holds (any version with ts <= the emitted
+    * fact's ts is past the watermark, hence already arrived or
+    * droppable-late on both surfaces). Documented in SURVEY §2.J.
     *
     * Streaming: one keyed pass (flatMapGroupsWithState) over the
     * single typed stream, both sides in one buffer. A fact emits only
@@ -1329,11 +1333,20 @@ object StreamOps extends Serializable {
     */
   def temporalJoin(ev: Dataset[Ev], factType: String = "purchase",
                    versionType: String = "signup",
-                   streaming: Boolean): Dataset[TemporalJoined] = {
+                   streaming: Boolean,
+                   inclusive: Boolean = false): Dataset[TemporalJoined] = {
     import ev.sparkSession.implicits._
     if (!streaming) {
+      // inclusive (`FOR SYSTEM_TIME AS OF` parity): versions sort
+      // BEFORE facts at equal ts, so the strictly-preceding ROWS frame
+      // sees a same-timestamp version; strict keeps the plain
+      // (ts, event_id) composite order
+      val ordCols =
+        if (inclusive) Seq(col("ts"),
+          (col("event_type") === factType).cast("int"), col("event_id"))
+        else Seq(col("ts"), col("event_id"))
       val ord = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .partitionBy(col("user_id")).orderBy(ordCols: _*)
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
       def vCol(c: org.apache.spark.sql.Column) =
         last(when(col("event_type") === versionType, c), ignoreNulls = true)
@@ -1356,7 +1369,7 @@ object StreamOps extends Serializable {
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val st = state.getOption.getOrElse(TjState(Nil, Nil, Nil, Nil, Nil, Nil))
           def lt(aTs: Long, aId: Long, bTs: Long, bId: Long): Boolean =
-            aTs < bTs || (aTs == bTs && aId < bId)
+            aTs < bTs || (aTs == bTs && (inclusive || aId < bId))
           // late-beyond-watermark arrivals drop on BOTH sides
           val fresh = it.toIndexedSeq.filter(e => tsMicros(e.ts) >= wmUs)
           val versions = (st.vIds.indices.map(i => (st.vIds(i), st.vTs(i), st.vVals(i))) ++

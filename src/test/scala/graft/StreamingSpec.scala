@@ -1065,6 +1065,44 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("temporal join: inclusive binding takes the same-timestamp version, strict does not") {
+    import graft.streaming.TemporalJoined
+    // version 1 at 10:00; the fact (id 2) and version 3 BOTH at 10:30
+    // with the version's id ABOVE the fact's: strict binds version 1
+    // (the composite (ts, id) order puts id 3 after the fact),
+    // inclusive binds version 3 (ts <= fact ts, latest id wins) — the
+    // FOR SYSTEM_TIME AS OF rule
+    val evs = Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "signup", 10.0),
+      Ev(2, ts("2024-01-01 10:30:00"), 1, "purchase", 5.0),
+      Ev(3, ts("2024-01-01 10:30:00"), 1, "signup", 20.0))
+    def vid(df: org.apache.spark.sql.Dataset[TemporalJoined]): Option[Long] =
+      df.collect().head.version_id
+    assert(vid(StreamOps.temporalJoin(evs.toDS(), streaming = false))
+        .contains(1L), "strict batch must bind the 10:00 version")
+    assert(vid(StreamOps.temporalJoin(evs.toDS(), streaming = false,
+        inclusive = true)).contains(3L),
+      "inclusive batch must bind the same-timestamp version")
+    // streaming: same divergence through the stateful path
+    for (incl <- Seq(false, true)) {
+      val ms = MemoryStream[Ev]
+      val q = StreamOps.temporalJoin(ms.toDS(), streaming = true,
+          inclusive = incl)
+        .writeStream.format("memory").queryName(s"tjincl$incl")
+        .outputMode("append").start()
+      ms.addData(evs: _*)
+      q.processAllAvailable()
+      // advance the watermark past the fact so it emits
+      ms.addData(Ev(9, ts("2024-01-01 12:00:00"), 2, "click", 0.0))
+      drain(q)
+      val got = spark.table(s"tjincl$incl").as[TemporalJoined]
+        .filter(_.user_id == 1L).collect()
+      assert(got.length == 1 &&
+          got.head.version_id.contains(if (incl) 3L else 1L),
+        s"streaming inclusive=$incl bound ${got.toSeq}")
+    }
+  }
+
   test("temporal join: idle keys compact retained versions via the re-armed timer") {
     val ckpt = java.nio.file.Files.createTempDirectory("tjidle").toString
     val ms = MemoryStream[Ev]
