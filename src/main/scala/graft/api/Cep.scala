@@ -447,11 +447,12 @@ object Cep {
     * SKIP PAST LAST ROW, an iterative condition's later candidate).
     * Two matcher classes carry the search (matchCoreRows' requiredEnd):
     * STRICT patterns backtrack over quantifier counts until a
-    * resolution ends exactly at the last row; RELAXED patterns with
-    * all-{1,1} non-negated steps DFS over per-step row choices
-    * (earliest-first — the first-qualifying preference) with the final
-    * step PINNED to the last row. Other relaxed shapes reject
-    * (matchCoreRows' require).
+    * resolution ends exactly at the last row; RELAXED patterns DFS
+    * over per-step (alignment, count) choices — alignments
+    * earliest-first (the first-qualifying preference), counts
+    * greedy-descending, negated gap rows blocking later alignments —
+    * with the final step PINNED to land exactly on the last row
+    * (round-15: general quantifiers; previously all-{1,1} only).
     */
   private[graft] def matchCoreAnchoredEnd(n: Int, tsUsAt: Int => Long,
                                           pattern: CepPattern,
@@ -467,10 +468,9 @@ object Cep {
     require(requiredEnd < 0 || !pattern.anyMatch,
       "anchored matching under followedByAny is not defined (per-anchor " +
         "emission is unbounded) — drop the anchor or anyMatch")
-    require(requiredEnd < 0 || pattern.strict ||
-      steps.forall(s => !s.negated && s.minRep == 1 && s.maxRep.contains(1)),
-      "relaxed anchored-end matching covers all-{1,1} non-negated steps " +
-        "(the pinned-final DFS); strict patterns anchor via backtracking")
+    // round-15: relaxed anchored-end matching is GENERAL — quantified
+    // and negated steps ride the preference-ordered pinned-final DFS
+    // (tryRelaxedAnchoredAlt); strict patterns anchor via backtracking.
     def withinOk(m: CepSeqMatch): Boolean =
       withinUs.forall(w => tsUsAt(m.endIdx) - tsUsAt(m.startIdx) <= w)
     def newCtx(): (Array[scala.collection.mutable.ArrayBuffer[Int]],
@@ -577,37 +577,97 @@ object Cep {
     def tryRelaxed(p: Int): Option[(CepSeqMatch, IndexedSeq[IndexedSeq[Int]])] =
       pattern.alternatives.iterator
         .flatMap(walkAlt(p, _).filter(r => withinOk(r._1)).iterator).nextOption()
-    // relaxed ANCHORED-END: all steps {1,1} non-negated (guarded at
-    // entry) — DFS over per-step row choices, middle steps
-    // earliest-first (the first-qualifying preference), the FINAL step
-    // PINNED to the required end; step 0 consumes the anchor row (the
-    // scan's anchor convention). Iterative conditions compose: each
-    // choice threads the consumption context like every other walk.
-    def tryRelaxedAnchored11(p: Int): Option[(CepSeqMatch, IndexedSeq[IndexedSeq[Int]])] = {
-      val k = steps.size
+    // relaxed ANCHORED-END, GENERAL quantifiers (round-15 — the
+    // "per-anchor speculative ends" search the earlier rounds
+    // rejected): per alternative (presence-priority order), a DFS over
+    // per-step (alignment, count) choices in PREFERENCE order —
+    // alignments earliest-first (the first-qualifying preference),
+    // counts greedy-descending within an alignment (relaxed reluctant
+    // patterns cannot exist, CepPattern invariant) — with the FINAL
+    // step constrained to END exactly at the required row. The head
+    // step consumes a contiguous prefix from the anchor itself (the
+    // scan's anchor convention), counts greedy-descending. A scanned
+    // gap row matching a negated step between two positive steps
+    // blocks all later alignments of that step (walkAlt's rule; a row
+    // the step CONSUMES is not a gap row, so negation is not tested
+    // on it). Iterative conditions compose: every acceptance threads
+    // the consumption context, and acceptance is prefix-closed so
+    // count truncation keeps the context consistent (tryStrict's
+    // argument). With all-{1,1} non-negated steps this reduces
+    // exactly to the round-13 pinned-final DFS (same candidates, same
+    // order). Worst case is exponential in the step count like every
+    // backtracking matcher here — per key, bounded steps, never
+    // cross-key.
+    def tryRelaxedAnchoredAlt(p: Int, presentIdx: Seq[Int]
+                             ): Option[(CepSeqMatch, IndexedSeq[IndexedSeq[Int]])] = {
       val (consumed, ctx) = newCtx()
-      def rec(si: Int, from: Int): Boolean = {
-        if (si == k) return true
-        val cands: Iterator[Int] =
-          if (si == 0 && k == 1) Iterator(p).filter(_ == requiredEnd)
-          else if (si == 0) Iterator(p)
-          else if (si == k - 1) Iterator(requiredEnd).filter(_ >= from)
-          else Iterator.range(from, requiredEnd) // strictly before the pin
-        for (q <- cands) {
-          if (sat(si, q, ctx)) {
-            consumed(si) += q
-            if (rec(si + 1, q + 1)) return true
-            consumed(si).remove(consumed(si).size - 1)
+      val counts = Array.fill(steps.size)(0)
+      def clearStep(si: Int): Unit = { consumed(si).clear(); counts(si) = 0 }
+      // greedy contiguous prefix of step `si` from row `q`, capped at
+      // the required end; returns the accepted rows (consumed holds
+      // them afterwards)
+      def acceptPrefix(si: Int, q: Int): IndexedSeq[Int] = {
+        val cap = steps(si).maxRep.getOrElse(Int.MaxValue)
+        var t = 0
+        while (q + t <= requiredEnd && t < cap && sat(si, q + t, ctx)) {
+          consumed(si) += (q + t); t += 1
+        }
+        consumed(si).toIndexedSeq.takeRight(t)
+      }
+      def rec(i: Int, pos: Int): Boolean = {
+        if (i == presentIdx.size) return pos - 1 == requiredEnd
+        val stIdx = presentIdx(i)
+        val st = steps(stIdx)
+        val negIdxs = pattern.negsBetween(presentIdx(i - 1), stIdx)
+        val isLast = i == presentIdx.size - 1
+        var q = pos
+        var blocked = false
+        while (q <= requiredEnd && !blocked) {
+          if (sat(stIdx, q, ctx)) {
+            val accepted = acceptPrefix(stIdx, q)
+            var c = accepted.size
+            while (c >= st.minRep) {
+              // only a count landing exactly on the pin can close the
+              // final step; interior steps try every greedy-ordered c
+              if (!isLast || q + c - 1 == requiredEnd) {
+                consumed(stIdx).clear()
+                consumed(stIdx) ++= accepted.take(c)
+                counts(stIdx) = c
+                if (rec(i + 1, q + c)) return true
+              }
+              c -= 1
+            }
+            clearStep(stIdx)
           }
+          if (negIdxs.exists(g => sat(g, q, ctx))) blocked = true
+          q += 1
         }
         false
       }
-      if (p > requiredEnd || !rec(0, p)) None
-      else {
-        val m = CepSeqMatch(p, requiredEnd, IndexedSeq.fill(k)(1))
-        if (withinOk(m)) Some((m, snap(consumed))) else None
+      if (p > requiredEnd) return None
+      val hIdx = presentIdx.head
+      val headAccepted = acceptPrefix(hIdx, p)
+      if (headAccepted.size < steps(hIdx).minRep) { clearStep(hIdx); return None }
+      var c1 = headAccepted.size
+      while (c1 >= steps(hIdx).minRep) {
+        consumed(hIdx).clear()
+        consumed(hIdx) ++= headAccepted.take(c1)
+        counts(hIdx) = c1
+        val ok =
+          if (presentIdx.size == 1) p + c1 - 1 == requiredEnd
+          else rec(1, p + c1)
+        if (ok) {
+          val m = CepSeqMatch(p, requiredEnd, counts.toIndexedSeq)
+          return if (withinOk(m)) Some((m, snap(consumed))) else None
+        }
+        c1 -= 1
       }
+      clearStep(hIdx)
+      None
     }
+    def tryRelaxedAnchored(p: Int): Option[(CepSeqMatch, IndexedSeq[IndexedSeq[Int]])] =
+      pattern.alternatives.iterator
+        .flatMap(tryRelaxedAnchoredAlt(p, _).iterator).nextOption()
     // relaxed ANY (followedByAny): later steps align to EVERY following
     // satisfying run (DFS over run choices), each consuming its capped
     // greedy prefix; a negated gap row blocks all later alignments of
@@ -663,7 +723,7 @@ object Cep {
     } else {
       def tryAt(q: Int): Option[(CepSeqMatch, IndexedSeq[IndexedSeq[Int]])] =
         if (pattern.strict) tryStrict(q)
-        else if (requiredEnd >= 0) tryRelaxedAnchored11(q)
+        else if (requiredEnd >= 0) tryRelaxedAnchored(q)
         else tryRelaxed(q)
       val skipIdx = pattern.skipTargetIdx.getOrElse(-1)
       while (p < n) {

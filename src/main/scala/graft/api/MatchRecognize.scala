@@ -1207,137 +1207,53 @@ object MatchRecognize {
     val spec = MrSpec(partition, order, measures, allRows, skip, within,
       tagged, defines, strict, fromTable, navConds, subsets, aggConds,
       permute, anchorStart, anchorEnd)
-    // The `$` anchor is applied as a MATCH FILTER (applyAnchors), which
-    // is only equal to SQL:2016 anchored matching when each anchor
-    // position yields at most ONE candidate match END — otherwise the
-    // matcher may commit to a non-last-row end while an alternative
-    // (reluctant backtrack, a different alternation/PERMUTE branch, an
-    // aggregate-condition backtrack) would have satisfied `$`, and the
-    // filter UNDER-matches. The deterministic-end routes are: compiled
-    // symbolic patterns (disjoint symbols — maximal-munch ends are
-    // unique per anchor) with every quantifier GREEDY. Everything else
-    // rejects loudly rather than silently dropping matches. `^` needs
-    // no restriction: the match START equals the anchor position on
-    // every route, so filtering on it never discards a re-derivable
-    // match.
+    // The `$` anchor executes either as a MATCH FILTER (applyAnchors —
+    // exact for STRICT all-greedy specs, whose maximal-munch end is
+    // the latest any resolution of an anchor can reach) or through the
+    // per-key ANCHORED matchers (everything else — ends pinned inside
+    // the search; see anchoredNeedsMatcher and validateAnchorEnd's
+    // support-matrix scaladoc; as of round 15 no `$` shape rejects).
+    // `^` needs no restriction: the match START equals the anchor
+    // position on every route, so filtering on it never discards a
+    // re-derivable match.
     if (anchorEnd) validateAnchorEnd(spec)
     spec
   }
 
-  /** Round-13 lift of the round-12 `$`-anchor rejections: the
-    * previously-rejected routes now carry TRUE anchored matching —
-    * candidate ends restricted INSIDE the matcher / before the branch
-    * preference, never recovered by the post-filter — each with its
-    * own mechanism:
+  /** The `$` anchor's support matrix is COMPLETE as of round 15 —
+    * every parseable spec carries TRUE anchored matching; this method
+    * documents the mechanisms (it no longer rejects anything; the
+    * round 12-14 rejections are all lifted):
     *
-    *  - RELUCTANT quantifiers (strict ONE ROW): the per-key anchored
-    *    backtracking matcher ([[Cep.matchCoreAnchoredEnd]]) explores
-    *    candidate counts in preference order until a resolution ends
-    *    at the partition's last row ([[runAnchoredSeq]]).
-    *  - ALTERNATION / PERMUTE (ONE ROW, strict branches): the end pin
-    *    applies PER BRANCH before the leftmost-branch dedup, so a
-    *    preferred branch that does not end at the last row can no
-    *    longer shadow a less-preferred branch that does
-    *    ([[runAlternation]]). Strict branches make the per-branch pin
-    *    exact: a strict segment's step decomposition is forced by the
-    *    symbol runs, so branch-match-ends-at-last-row IS the anchored
-    *    branch condition.
-    *  - ITERATIVE DEFINEs (ONE ROW, all-{1,1} relaxed steps): the
-    *    pinned-final DFS matcher — the last step is pinned to the
-    *    partition's last row and earlier steps walk earliest-first
-    *    with the consumption context ([[Cep.matchCoreAnchoredEnd]]).
-    *
-    * Shapes whose anchored search would need the full NFA (relaxed
-    * branches under alternation, general quantifiers under iterative
-    * conditions, MEASURES / ALL ROWS on the lifted routes) still
-    * reject loudly. Greedy deterministic-end routes keep the
-    * documented match-filter equivalence ([[applyAnchors]]).
+    *  - STRICT all-greedy specs (no alternation): the compiled plans +
+    *    the match filter ([[applyAnchors]]) — exact because the last
+    *    step's maximal-munch prefix is the latest end any resolution
+    *    of an anchor can reach ([[anchoredNeedsMatcher]]).
+    *  - STRICT specs with RELUCTANT quantifiers, or iterative
+    *    conditions: the per-key anchored BACKTRACKING matcher
+    *    ([[Cep.matchCoreAnchoredEnd]]) explores candidate counts in
+    *    preference order (the consumption context threads through —
+    *    prefix-closed acceptance keeps truncation consistent) until a
+    *    resolution ends at the partition's last row.
+    *  - RELAXED specs — general quantifiers and negated steps included
+    *    (round-15; previously all-{1,1} only): the preference-ordered
+    *    pinned-final DFS (alignments earliest-first, counts
+    *    greedy-descending, the final step landing exactly on the last
+    *    row — Cep.tryRelaxedAnchoredAlt).
+    *  - ALTERNATION / PERMUTE: the mechanisms above apply PER BRANCH
+    *    before the leftmost-branch dedup ([[runAlternation]] /
+    *    [[alternationConsumed]]): strict all-greedy branches pin by
+    *    filter (forced decomposition), everything else runs the
+    *    anchored matcher.
+    *  - MEASURES (general and the compiled `step_sums` fold,
+    *    [[stepSumsFromConsumed]]) and ALL ROWS ride the anchored
+    *    consumed-row projections on every route. The ONE remaining
+    *    rejection in the '$' neighborhood is PERMUTE × step_sums
+    *    (branches consume steps in different ORDERS, so no per-step
+    *    alignment exists — rejected in [[runAlternation]], anchored or
+    *    not).
     */
-  private def validateAnchorEnd(spec: MrSpec): Unit = {
-    // Round-14 lift: general MEASURES — and, since the same
-    // consumed-row projections carry it, ALL ROWS PER MATCH — now
-    // compose with every anchored route: the anchored matchers'
-    // CONSUMED-ROW projections ([[runIterConsumed]]'s anchored mode /
-    // the per-branch dispatch in [[alternationConsumed]]) feed the
-    // same runMeasures / runAllRowsMeasures / row-level executors as
-    // the unanchored twins — true anchored rows, never a post-filter
-    // over committed ends. Round-15 lift: the compiled `step_sums`
-    // MEASURES form — the one previously-rejected cell of the anchored
-    // matrix — now rides the SAME anchored consumed rows: the per-step
-    // exact-cents sums are ONE scoped hash aggregation over them
-    // ([[stepSumsFromConsumed]]), never the compiled run-table plans
-    // (where the anchored search does not thread). Only PERMUTE keeps
-    // the step_sums rejection: its branches consume the steps in
-    // DIFFERENT orders, so a per-step alignment does not exist
-    // (enforced where the route dispatches, [[runAlternation]]).
-    if (spec.hasAlternation) {
-      // Round-14 lift of the round-13 ADVICE finding: a RELUCTANT
-      // quantifier inside a strict branch commits to minimal ends, so
-      // the per-branch end pin (a post-filter over that committed end)
-      // would silently drop matches whose anchored resolution extends
-      // the reluctant step to the last row. Such branches now route
-      // through the per-key anchored BACKTRACKING matcher
-      // (runAlternation / alternationConsumed branch dispatch —
-      // Cep.matchCoreAnchoredEnd explores candidate counts in
-      // preference order until a resolution ends at the last row), the
-      // exact non-alternation reluctant-'$' mechanism. STRICTNESS is
-      // still required on every branch: the all-greedy branches keep
-      // the forced-decomposition pin, and the backtracking matcher's
-      // anchored search is defined for strict patterns (a RELAXED
-      // branch's anchored search would need the full NFA).
-      // Round-15 lift of the round-14 residual: RELAXED branches are
-      // admitted when every (de-gapped) step is {1,1} and non-negated
-      // — such branches route per branch through the pinned-final
-      // anchored DFS ([[Cep.matchCoreAnchoredEnd]]'s relaxed mode,
-      // exactly the iterative-'$' mechanism one guard below), never
-      // the committed-end pin (a relaxed walk commits to
-      // first-qualifying alignments, so pinning its committed ends
-      // would under-match). Quantified relaxed branches still reject:
-      // their anchored search would need per-anchor speculative ends.
-      require(spec.expandBranches.forall(b => b.strict ||
-          b.stepElems.forall(e =>
-            !e.negated && e.minRep == 1 && e.maxRep.contains(1))),
-        "'$' anchor with alternation/PERMUTE is supported for STRICT " +
-          "branches — ONE ROW or ALL ROWS, MEASURES included, general " +
-          "and the compiled step_sums form (all-greedy branches pin " +
-          "per branch before the leftmost-branch dedup — the forced " +
-          "greedy decomposition makes that pin exact; reluctant " +
-          "branches run the anchored backtracking matcher) — and for " +
-          "RELAXED branches whose steps are all {1,1} and non-negated " +
-          "(the pinned-final anchored matcher per branch); a " +
-          "quantified relaxed branch under '$' would need per-anchor " +
-          "speculative ends — drop '$', bound the steps, or " +
-          "restructure the pattern")
-    } else if (spec.isIterative) {
-      // Round-14 lift: STRICT iterative patterns take the anchored
-      // BACKTRACKING matcher with the consumption context — general
-      // quantifiers included (tryStrict's candidate counts are
-      // prefix-closed, so truncating a step's consumed rows keeps the
-      // context consistent; the end check participates in the count
-      // exploration). RELAXED iterative patterns keep the pinned-final
-      // DFS, which is defined for all-{1,1} non-negated steps only.
-      require(spec.strict || spec.stepElems.forall(e =>
-          !e.negated && e.minRep == 1 && e.maxRep.contains(1)),
-        "'$' anchor with DEFINE navigation / aggregate conditions is " +
-          "supported for patterns that are STRICT (the anchored " +
-          "backtracking matcher explores quantifier counts with the " +
-          "consumption context) or RELAXED with all steps {1,1} and " +
-          "non-negated (the pinned-final anchored matcher) — ONE ROW " +
-          "or ALL ROWS, MEASURES included (general and the compiled " +
-          "step_sums form); general quantifiers under RELAXED " +
-          "iterative conditions would need per-anchor speculative " +
-          "ends — drop '$', bound the steps, or make the pattern " +
-          "strict")
-    } else if (spec.stepElems.exists(!_.greedy)) {
-      require(spec.strict,
-        "'$' anchor with a reluctant quantifier is supported for " +
-          "STRICT patterns (the per-key anchored backtracking " +
-          "matcher) — ONE ROW or ALL ROWS, MEASURES included " +
-          "(general and the compiled step_sums form); relaxed " +
-          "reluctant patterns cannot exist (CepPattern invariant) — " +
-          "drop '$' or make the quantifiers greedy")
-    }
-  }
+  private def validateAnchorEnd(spec: MrSpec): Unit = ()
 
   // ---------- executor ----------
 
@@ -1404,14 +1320,15 @@ object MatchRecognize {
     if (exVars.isEmpty || !spec.allRows) return out
     // symbolicPlain must mirror dispatch's routing exactly: a plain
     // symbolic ALL-ROWS spec runs runAllRows (SYMBOL step labels)
-    // EXCEPT the anchored-reluctant shape, which routes through the
-    // anchored consumed-row projection (VARIABLE-NAME labels) — the
-    // exclusion filter must use the labels the route actually emits
-    // (round-14 review fix; divergence only when a variable name
-    // differs from its DEFINE literal).
+    // EXCEPT the shapes needing TRUE anchored matching
+    // ([[anchoredNeedsMatcher]] — reluctant or relaxed under '$'),
+    // which route through the anchored consumed-row projection
+    // (VARIABLE-NAME labels) — the exclusion filter must use the
+    // labels the route actually emits (round-14 review fix; divergence
+    // only when a variable name differs from its DEFINE literal).
     val symbolicPlain = !spec.isIterative && !spec.hasAlternation &&
       spec.measures.isEmpty && spec.toSymbolic.isDefined &&
-      !(spec.anchorEnd && spec.stepElems.exists(!_.greedy))
+      !anchoredNeedsMatcher(spec)
     val labelByVar: Map[String, String] =
       if (symbolicPlain) {
         val (_, pat) = spec.toSymbolic.get
@@ -1496,6 +1413,21 @@ object MatchRecognize {
           .as("step_sums"))
   }
 
+  /** Does the '$' anchor require TRUE anchored matching (the per-key
+    * anchored matcher) instead of the compiled-plan + post-filter
+    * equivalence? Exactly when the spec's committed ends are not its
+    * only candidate ends: any RELUCTANT quantifier (minimal-end
+    * commitment) or RELAXED contiguity (first-qualifying alignment
+    * commitment — round-15; a deviating later alignment can reach the
+    * last row, e.g. `a g* b` on A B B, where the committed walk binds
+    * b to the first B and the filter would drop the anchored match).
+    * STRICT all-greedy specs keep the filter: the last step's
+    * maximal-munch prefix is the latest end any resolution of that
+    * anchor can reach (its run is contiguous), so end == last-row
+    * survives the filter iff ANY resolution ends there. */
+  private def anchoredNeedsMatcher(spec: MrSpec): Boolean =
+    spec.anchorEnd && (!spec.strict || spec.stepElems.exists(!_.greedy))
+
   private def dispatch(df: DataFrame, spec: MrSpec): DataFrame = {
     val (key, tsC, ordC) = (spec.partitionBy.head, spec.orderBy(0), spec.orderBy(1))
     if (spec.hasAlternation) return runAlternation(df, spec, key, tsC, ordC)
@@ -1550,19 +1482,18 @@ object MatchRecognize {
     // frames) — see [[runMeasures]] / [[runAllRowsMeasures]].
     if (spec.measures.nonEmpty && (spec.allRows || spec.measuresValCol.isEmpty)) {
       val (resolved, projs) = resolveMeasuresWithExprs(spec)
-      // '$' × RELUCTANT (round-14 lift): the consumed rows must come
-      // from the anchored BACKTRACKING matcher — the unanchored
-      // reluctant matcher commits to minimal ends and the anchor
-      // post-filter would silently drop matches whose anchored
-      // resolution extends a reluctant step to the last row.
-      // validateAnchorEnd guarantees STRICTNESS here (ONE ROW and
-      // ALL ROWS both flow through since round-14), so the iterative
-      // per-key executor (raw DEFINE predicates — identical to the
-      // no-measures anchored route at the symbolic dispatch below)
-      // carries the search. Greedy deterministic-end specs keep the
-      // cheaper post-filter equivalence (applyAnchors).
+      // '$' × RELUCTANT or RELAXED (rounds 14/15): the consumed rows
+      // must come from the anchored matcher — the unanchored matcher
+      // commits to minimal ends (reluctant) or first-qualifying
+      // alignments (relaxed) and the anchor post-filter would silently
+      // drop matches whose anchored resolution differs
+      // ([[anchoredNeedsMatcher]]); the iterative per-key executor
+      // (raw DEFINE predicates — identical to the no-measures anchored
+      // route at the symbolic dispatch below) carries the search.
+      // Strict all-greedy specs keep the cheaper post-filter
+      // equivalence (applyAnchors).
       val consumed =
-        if (spec.anchorEnd && spec.stepElems.exists(!_.greedy))
+        if (anchoredNeedsMatcher(spec))
           runIterConsumed(df, spec, key, tsC, ordC, anchoredEnd = true)
         else consumedRows(df, spec, key, tsC, ordC)
       return applyMeasureExprs(
@@ -1571,41 +1502,47 @@ object MatchRecognize {
         else runMeasures(df, spec, resolved, key, tsC, ordC, consumed),
         projs)
     }
-    // '$' × RELUCTANT × ALL ROWS (round-14): the row-level output must
-    // come from the anchored BACKTRACKING matcher's consumed-row
-    // projection — runAllRows' post-anchor filter would drop matches
-    // whose anchored resolution extends a reluctant step (the same
-    // argument as the ONE-ROW route). Greedy specs keep runAllRows +
-    // the documented filter equivalence.
-    if (spec.allRows && spec.anchorEnd && spec.stepElems.exists(!_.greedy))
+    // '$' × (RELUCTANT or RELAXED) × ALL ROWS (rounds 14/15): the
+    // row-level output must come from the anchored matcher's
+    // consumed-row projection — runAllRows' post-anchor filter would
+    // drop matches whose anchored resolution differs from the
+    // committed one (the same argument as the ONE-ROW route). Strict
+    // all-greedy specs keep runAllRows + the documented filter
+    // equivalence.
+    if (spec.allRows && anchoredNeedsMatcher(spec))
       return renameConsumed(
         runIterConsumed(df, spec, key, tsC, ordC, anchoredEnd = true),
         key, tsC, ordC)
     if (spec.allRows) return runAllRows(df, spec, key, tsC, ordC)
-    // '$' × RELUCTANT × compiled step_sums (round-15 lift): the
-    // compiled measures plans commit to minimal reluctant ends, so the
-    // anchor post-filter would under-match — the anchored backtracking
-    // matcher's consumed rows carry the per-step fold instead
-    // (validateAnchorEnd guarantees STRICTNESS here). Greedy
-    // deterministic-end specs keep the compiled plans + the documented
-    // post-filter equivalence below.
-    if (spec.anchorEnd && spec.measuresValCol.nonEmpty &&
-        spec.stepElems.exists(!_.greedy))
+    // '$' × (RELUCTANT or RELAXED) × compiled step_sums (round-15
+    // lift): the compiled measures plans commit their ends, so the
+    // anchor post-filter would under-match — the anchored matcher's
+    // consumed rows carry the per-step fold instead. Strict all-greedy
+    // specs keep the compiled plans + the documented post-filter
+    // equivalence below.
+    if (spec.measuresValCol.nonEmpty && anchoredNeedsMatcher(spec))
       return stepSumsFromConsumed(df, spec,
         runIterConsumed(df, spec, key, tsC, ordC, anchoredEnd = true),
         key, tsC, ordC)
     (spec.toSymbolic, spec.measuresValCol) match {
       case (Some((symCol, pat)), None) =>
-        if (spec.anchorEnd && pat.steps.exists(!_.greedy))
-          // reluctant + '$': the per-key anchored BACKTRACKING matcher
-          // (ends pinned inside the matcher — a post-filter over the
-          // reluctant matcher's committed ends would under-match);
-          // runIter's per-key executor drives Cep.matchCoreAnchoredEnd
+        if (anchoredNeedsMatcher(spec))
+          // reluctant or relaxed + '$': the per-key anchored matcher
+          // (ends pinned INSIDE the search — a post-filter over the
+          // committed ends would under-match); runIter's per-key
+          // executor drives Cep.matchCoreAnchoredEnd (backtracking for
+          // strict, the general pinned-final DFS for relaxed)
           runIter(df, spec, key, tsC, ordC)
         else Cep.compile(df, key, tsC, ordC, symCol, pat)
       case (Some((symCol, pat)), Some(v)) =>
         Cep.compileMeasures(df, key, tsC, ordC, symCol, v, pat)
-      case (None, None) => Cep.compileWhere(df, key, tsC, ordC, spec.toCond)
+      case (None, None) =>
+        if (anchoredNeedsMatcher(spec))
+          // the value-predicate twin of the case above — compileWhere's
+          // committed ends have the same under-match (round-15: this
+          // route previously post-filtered)
+          runIter(df, spec, key, tsC, ordC)
+        else Cep.compileWhere(df, key, tsC, ordC, spec.toCond)
       case (None, Some(v)) =>
         Cep.compileWhereMeasures(df, key, tsC, ordC, v, spec.toCond)
     }
@@ -2219,12 +2156,13 @@ object MatchRecognize {
         .drop("__last_ord")
     val parts = spec.expandBranches.zipWithIndex.map { case (b, i) =>
       // '$' routes OFF the committed-end pin per branch: RELUCTANT
-      // branches backtrack, RELAXED branches (all-{1,1} — guarded at
-      // parse) take the pinned-final DFS; both commit to ends the pin
-      // cannot recover, so only strict all-greedy branches (forced
-      // decomposition) keep the cheap pin-by-filter
+      // branches backtrack, RELAXED branches take the general
+      // pinned-final DFS (round-15: quantified relaxed included);
+      // both commit to ends the pin cannot recover, so only strict
+      // all-greedy branches (forced decomposition) keep the cheap
+      // pin-by-filter
       val r =
-        if (spec.anchorEnd && (b.stepElems.exists(!_.greedy) || !b.strict))
+        if (anchoredNeedsMatcher(b))
           runIter(df, b, key, tsC, ordC)
         else {
           val c = b.toSymbolic match {
@@ -2272,7 +2210,7 @@ object MatchRecognize {
         .drop("__last_ord")
     val parts = spec.expandBranches.zipWithIndex.map { case (b, i) =>
       val r =
-        if (spec.anchorEnd && (b.stepElems.exists(!_.greedy) || !b.strict))
+        if (anchoredNeedsMatcher(b))
           runIterConsumed(df, b, key, tsC, ordC, anchoredEnd = true)
         else if (spec.anchorEnd) pinToLast(consumedRows(df, b, key, tsC, ordC))
         else consumedRows(df, b, key, tsC, ordC)

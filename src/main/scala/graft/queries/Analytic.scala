@@ -703,6 +703,19 @@ object Analytic {
       MatchRecognize.run(Tables.events(s, d), CepSql.anchorEndAltRelaxed)
         .orderBy("user_id", "start_id")),
 
+    // '$' × RELAXED × GENERAL QUANTIFIERS (round-15 — completes the
+    // anchored matrix): the pinned-final DFS with quantified steps.
+    // Independent oracle: per user whose LAST row is a purchase, the
+    // purchase block is {L-1, L} when row L-1 is also a purchase else
+    // {L} (the earliest alignment whose greedy count lands exactly on
+    // L), and every view row r before the block anchors one match
+    // consuming min(3, contiguous-views-from-r, block-start - r) views
+    // (head counts greedy-descending under the pos <= block-start
+    // constraint), within 24 h.
+    "event_cep_sql_anchor_end_relaxed_quant" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.anchorEndRelaxedQuant)
+        .orderBy("user_id", "start_id")),
+
     // '$' × RELUCTANT × compiled step_sums (round-15 lift of the last
     // rejected cell of the anchored matrix): the per-step exact-cents
     // summary is ONE scoped hash aggregation over the anchored
@@ -1398,6 +1411,24 @@ object Analytic {
         |  DEFINE view AS event_type = 'view',
         |         click AS event_type = 'click',
         |         buy AS event_type = 'purchase'
+        |)""".stripMargin
+
+    // GENERAL QUANTIFIERS under RELAXED '$' (round-15 — the final
+    // cell: the "per-anchor speculative ends" search rounds 12-14
+    // rejected): a contiguous view run (1-3), any gap, a purchase
+    // block (1-2) pinned to END at the partition's last row — the
+    // preference-ordered pinned-final DFS (alignments earliest-first,
+    // counts greedy-descending; Cep.tryRelaxedAnchoredAlt).
+    val anchorEndRelaxedQuant: String =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (a{1,3} g1* b{1,2} $)
+        |  WITHIN INTERVAL '1440' MINUTE
+        |  DEFINE a AS event_type = 'view',
+        |         b AS event_type = 'purchase'
         |)""".stripMargin
 
     // Compiled `SUM(value) AS step_sums` under '$' (round-15 lift of
@@ -2474,6 +2505,42 @@ object Analytic {
         |  AND (SELECT sum(m.value) FROM e m
         |       WHERE m.user_id = a.user_id AND m.rn >= a.rn
         |         AND m.rn < l.lrn) <= 200
+        |ORDER BY a.user_id, start_id""".stripMargin,
+    // relaxed + general quantifiers + '$': independent formulation —
+    // the purchase block bc = 2 iff the second-to-last row is also a
+    // purchase; anchors are view rows strictly before the block start
+    // q = lrn - bc + 1; the consumed view count is
+    // least(3, contiguous views from r, q - r)
+    "event_cep_sql_anchor_end_relaxed_quant" ->
+      """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts, event_type,
+        |             row_number() OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS rn
+        |           FROM events),
+        |mx AS (SELECT user_id, max(rn) AS mrn FROM e GROUP BY user_id),
+        |l AS (SELECT e.user_id, e.rn AS lrn, e.event_id AS lid, e.ts AS lts,
+        |             CASE WHEN p.event_type = 'purchase' THEN 2 ELSE 1 END AS bc
+        |      FROM e JOIN mx ON mx.user_id = e.user_id AND e.rn = mx.mrn
+        |      LEFT JOIN e p ON p.user_id = e.user_id AND p.rn = e.rn - 1
+        |      WHERE e.event_type = 'purchase'),
+        |v AS (SELECT e.user_id, e.event_id, e.ts, e.rn,
+        |        coalesce(min(CASE WHEN e.event_type <> 'view' THEN e.rn END)
+        |                   OVER (PARTITION BY e.user_id ORDER BY e.rn
+        |                         ROWS BETWEEN CURRENT ROW
+        |                                  AND UNBOUNDED FOLLOWING),
+        |                 mx.mrn + 1) - e.rn AS vrun,
+        |        e.event_type
+        |      FROM e JOIN mx ON mx.user_id = e.user_id)
+        |SELECT a.user_id, a.event_id AS start_id, a.ts AS start_ts,
+        |       l.lid AS end_id, l.lts AS end_ts,
+        |       CAST(least(3, a.vrun, l.lrn - l.bc + 1 - a.rn) + l.bc
+        |            AS BIGINT) AS n_rows,
+        |       concat(CAST(least(3, a.vrun, l.lrn - l.bc + 1 - a.rn)
+        |                   AS VARCHAR), ',',
+        |              CAST(l.bc AS VARCHAR)) AS step_counts
+        |FROM v a JOIN l ON l.user_id = a.user_id
+        |WHERE a.event_type = 'view'
+        |  AND a.rn <= l.lrn - l.bc
+        |  AND l.lts <= a.ts + INTERVAL 1440 MINUTE
         |ORDER BY a.user_id, start_id""".stripMargin,
     // relaxed-branch alternation + '$': independent formulation — the
     // user's LAST row (ts desc, id desc) must be a purchase; every

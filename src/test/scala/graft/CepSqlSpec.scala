@@ -1453,15 +1453,13 @@ class CepSqlSpec extends SparkSuite {
       "view AS event_type = 'view'",
       "view AS event_type = 'view' AND view.value >= PREV(view.value)")
     assert(MatchRecognize.parse(iterEnd).anchorEnd)
-    // RELAXED iterative with a general quantifier under '$' still
-    // rejects loudly — the pinned-final DFS is defined for all-{1,1}
-    // non-negated steps, and a quantified step's anchored search would
-    // need per-anchor speculative ends
+    // round-15: RELAXED iterative with a general quantifier under '$'
+    // now PARSES — the generalized pinned-final DFS explores per-step
+    // (alignment, count) choices (the per-anchor speculative-ends
+    // search earlier rounds rejected)
     val iterEndRelaxedQuant =
       CepSql.anchorEndIter.replace("a g1* b $", "a g1* b{1,2} $")
-    assert(intercept[IllegalArgumentException](
-      MatchRecognize.parse(iterEndRelaxedQuant))
-      .getMessage.contains("STRICT"))
+    assert(MatchRecognize.parse(iterEndRelaxedQuant).anchorEnd)
     // round-14 lift of the round-13 ADVICE finding: a RELUCTANT
     // quantifier inside an alternation under '$' now PARSES — the
     // branch routes through the anchored backtracking matcher instead
@@ -1469,16 +1467,12 @@ class CepSqlSpec extends SparkSuite {
     // fixture in the "'$' lift" test below)
     val reluctantAlt = CepSql.anchorEndAlt.replace("buy{1,2}", "buy{1,2}?")
     assert(MatchRecognize.parse(reluctantAlt).anchorEnd)
-    // round-15 lift: RELAXED branches under '$' parse when every
-    // (de-gapped) step is {1,1} non-negated — the pinned-final
-    // anchored DFS per branch; QUANTIFIED relaxed branches still
-    // reject loudly (their anchored search would need per-anchor
-    // speculative ends)
+    // round-15 lift: RELAXED branches under '$' parse — {1,1} and
+    // QUANTIFIED alike (the generalized pinned-final DFS per branch;
+    // as of round 15 no '$' shape rejects)
     assert(MatchRecognize.parse(CepSql.anchorEndAltRelaxed).anchorEnd)
     val relaxedAltQuant = CepSql.anchorEndAlt.replace("buy{1,2} $", "g1* buy{1,2} $")
-    assert(intercept[IllegalArgumentException](
-      MatchRecognize.parse(relaxedAltQuant))
-      .getMessage.contains("STRICT"))
+    assert(MatchRecognize.parse(relaxedAltQuant).anchorEnd)
     // '^' composes with everything ('^'-anchored match starts are the
     // anchor position on every route) — a reluctant quantifier parses
     assert(MatchRecognize.parse(CepSql.anchorStart
@@ -1837,6 +1831,50 @@ class CepSqlSpec extends SparkSuite {
         s"trial $trial: strict anchored alternation != brute force")
       assert(refStrict.subsetOf(refRelaxed),
         s"trial $trial: strict must be the gap-free subset")
+    }
+  }
+
+  test("property: quantified relaxed '$' equals the scalar preference reference (60 random sequences)") {
+    // the round-15 generalized pinned-final DFS against an independent
+    // scalar formulation of the preference order: the purchase block
+    // is the earliest alignment whose greedy count lands exactly on
+    // the last row (so bc = 2 iff row L-1 is a purchase), and each
+    // view anchor consumes min(3, contiguous views, block-start - r)
+    // — head counts greedy-descending under the pos <= block-start
+    // constraint. Includes the committed-walk divergence cases (a
+    // non-final purchase between anchor and block is skipped as a gap
+    // row where the unanchored walk would bind and under-match).
+    val sp = spark
+    import sp.implicits._
+    val CepSql = graft.queries.Analytic.CepSql
+    val rnd = new scala.util.Random(20260817L)
+    val types = Vector("view", "purchase", "click")
+    for (trial <- 0 until 60) {
+      val n = 3 + rnd.nextInt(8)
+      val tys = Vector.fill(n)(types(rnd.nextInt(types.size)))
+      val rows = (0 until n).map { i =>
+        (i + 1L, new java.sql.Timestamp(1704067200000L + i * 60000L),
+          300L + trial, tys(i), 1.0 + i)
+      }
+      val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val got = MatchRecognize.run(df, CepSql.anchorEndRelaxedQuant)
+        .select("start_id", "end_id", "step_counts", "n_rows")
+        .as[(Long, Long, String, Long)].collect().toSet
+      val L = n - 1
+      val ref: Set[(Long, Long, String, Long)] =
+        if (tys(L) != "purchase") Set.empty
+        else {
+          val bc = if (n >= 2 && tys(L - 1) == "purchase") 2 else 1
+          val qIdx = L - bc + 1
+          (0 until qIdx).collect {
+            case r if tys(r) == "view" =>
+              val vrun = tys.drop(r).takeWhile(_ == "view").size
+              val c1 = math.min(3, math.min(vrun, qIdx - r))
+              (r + 1L, L + 1L, s"$c1,$bc", (c1 + bc).toLong)
+          }.toSet
+        }
+      assert(got == ref,
+        s"trial $trial (${tys.mkString(",")}): engine $got != scalar $ref")
     }
   }
 
