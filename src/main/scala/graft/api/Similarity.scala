@@ -410,6 +410,33 @@ object Similarity {
        |FROM r$iters ORDER BY vec_id""".stripMargin
   }
 
+  /** The DuckDB replay of triangle counting over the capped k-NN graph
+    * ([[graft.api.Graphs.triangleCounts]] fed by [[knnGraphCapped]]
+    * edges): the capped graph's CTEs + rank give the edge set, then
+    * the SAME canonical-ordering triple join — undirect + dedupe,
+    * wedge join on the shared vertex, closing-edge EXISTS, corner
+    * explode. Exact integer counts, no float anywhere past the ranked
+    * edge set, so the replay is bit-equal at any parallelism. */
+  def knnTrianglesOracleSql(k: Int, tables: Int = 4, bits: Int = 8,
+                            dim: Int = 64, cap: Int = 8): String =
+    s"""WITH ${knnCtesSql(tables, bits, dim, Some(cap))},
+       |g AS (
+       |${knnRankSql(k, "cand")}),
+       |und AS (SELECT DISTINCT least(src_id, neighbor_id) AS a,
+       |               greatest(src_id, neighbor_id) AS b
+       |        FROM g WHERE src_id <> neighbor_id),
+       |w AS (SELECT e1.a, e1.b, e2.b AS c
+       |      FROM und e1 JOIN und e2 ON e2.a = e1.b),
+       |t AS (SELECT w.a, w.b, w.c FROM w
+       |      WHERE EXISTS (SELECT 1 FROM und u
+       |                    WHERE u.a = w.a AND u.b = w.c)),
+       |corners AS (SELECT a AS id FROM t UNION ALL SELECT b FROM t
+       |            UNION ALL SELECT c FROM t),
+       |cnt AS (SELECT id, count(*) AS n FROM corners GROUP BY id)
+       |SELECT emb.vec_id, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_triangles
+       |FROM embeddings emb LEFT JOIN cnt ON cnt.id = emb.vec_id
+       |ORDER BY emb.vec_id""".stripMargin
+
   /** The DuckDB replay of [[knnGraphConverged]]: `rounds` NN-Descent
     * rounds UNROLLED into chained CTEs (b0 = the base graph's edges,
     * then undirect → expand → re-rank per round). Valid whenever the

@@ -695,6 +695,23 @@ object Pipeline {
         .orderBy("vec_id")
     }),
 
+    // Per-node TRIANGLE counts over the capped kNN graph (round-15 —
+    // the local-clustering signal next to graph_pagerank's centrality
+    // and dedup_clusters' components: triangle-dense near-dup clusters
+    // are paraphrase nests, chains are borderline-pair artifacts).
+    // Exact integer triple-join construction (Graphs.triangleCounts);
+    // wedge volume Σ deg² is bounded by the cap. Oracle: the same
+    // canonical-ordering construction over the capped graph's CTEs.
+    "graph_triangles" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val edges = Similarity.knnGraphCapped(e, "vec_id", "embedding", 5,
+        tables = 8, bits = 6, cap = 16)
+      graft.api.Graphs.triangleCounts(e.select("vec_id"), "vec_id",
+          edges, srcCol = "src_id", dstCol = "neighbor_id")
+        .select(col("id").as("vec_id"), col("n_triangles"))
+        .orderBy("vec_id")
+    }),
+
     // PageRank iterated to its integer-rank FIXPOINT (round-14 verdict
     // item — the knnGraphConverged discipline applied one file over):
     // rounds repeat until no node's rank changes; the convergence
@@ -1875,6 +1892,8 @@ object Pipeline {
       bits = 6, cap = 16, tau = 0.4),
     "graph_pagerank" -> Similarity.knnPagerankOracleSql(5, tables = 8,
       bits = 6, cap = 16, iters = 8),
+    "graph_triangles" -> Similarity.knnTrianglesOracleSql(5, tables = 8,
+      bits = 6, cap = 16),
     // converged pagerank: the same unrolled integer replay at the
     // coupling depth — idempotence past the engine's fixpoint (round
     // <= PagerankOracleRounds, asserted in the query) makes the fixed

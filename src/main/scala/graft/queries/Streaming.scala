@@ -153,6 +153,27 @@ object Streaming {
         .orderBy("fact_id")
     }),
 
+    // N:1 UPDATING-TABLE JOIN with retraction FANOUT (round-15 — the
+    // general changelog join beyond stream_retract_join's 1:1 case):
+    // the per-user latest table joined ON ITS event_type ATTRIBUTE to
+    // the per-type latest reference table; when the reference updates,
+    // every joined user of that type retracts and re-emits
+    // (StreamOps.retractJoinFanout — three chained stateful operators,
+    // state = Flink's updating-join row index per join key;
+    // StreamingSpec pins the cross-batch fanout, the cross-key move,
+    // and random-split folds == batch). Batch replay: the net "I"
+    // changelog — the final N:1 joined table, exact cents.
+    "stream_retract_join_fanout" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[Ev]
+      StreamOps.retractJoinFanout(ev, streaming = false).toDF()
+        .orderBy("user_id")
+    }),
+
     // Inclusive-binding temporal join (round-15 — the reference
     // `FOR SYSTEM_TIME AS OF` parity the strict default documents as a
     // divergence): a version sharing the fact's exact timestamp BINDS
@@ -925,6 +946,25 @@ object Streaming {
         |SELECT user_id, event_id AS fact_id, ts AS fact_ts,
         |       value AS fact_value, version_id, version_ts, version_value
         |FROM w WHERE event_type = 'purchase' ORDER BY fact_id""".stripMargin,
+    // fanout retract join: the per-user latest table N:1-joined on
+    // event_type to the per-type latest reference row
+    "stream_retract_join_fanout" ->
+      """WITH l AS (
+        |  SELECT user_id, event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS user_cents
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |  WHERE rn = 1),
+        |r AS (
+        |  SELECT event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS type_cents
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |          ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |  WHERE rn = 1)
+        |SELECT l.user_id, l.event_type, l.user_cents, r.type_cents,
+        |       'I' AS kind, CAST(1 AS BIGINT) AS sign
+        |FROM l JOIN r ON l.event_type = r.event_type
+        |ORDER BY l.user_id""".stripMargin,
     // inclusive temporal join: versions sort BEFORE facts at equal ts
     // (the flag column), so the same strictly-preceding ROWS frame
     // binds a same-timestamp version — the FOR SYSTEM_TIME AS OF rule

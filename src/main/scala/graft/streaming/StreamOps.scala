@@ -273,6 +273,27 @@ private[streaming] case class RJState(hasF: Boolean, fTs: Long, fId: Long,
                                       fCents: Long, hasV: Boolean,
                                       vTs: Long, vId: Long, vCents: Long)
 
+/** One side-tagged changelog row feeding the N:1 updating-join
+  * processor (StreamOps.retractJoinFanout): `jkey` is the JOIN
+  * attribute (event_type), `side` "L" (the per-user latest table,
+  * pk = user_id) or "R" (the per-type reference table, pk = 0),
+  * `kind`/`cents` the upstream changelog's net transition ("U-"
+  * carries the NEGATED old contribution, the [[ChangeRow]]
+  * convention). */
+case class JoinFeed(jkey: String, side: String, pk: Long, cents: Long,
+                    kind: String)
+
+/** One changelog row of the N:1 updating join with retraction FANOUT
+  * (StreamOps.retractJoinFanout): a (user's latest row) ⋈ (its type's
+  * reference row) pair arriving ("I"/"U+", sign +1) or leaving
+  * ("U-"/"D", sign -1). When the TYPE side updates, every currently
+  * joined user of that type retracts and re-emits — the fanout an
+  * append-mode join cannot express. Folding sign-weighted rows yields
+  * the joined dynamic table at any stream prefix. */
+case class FanoutJoinChange(user_id: Long, event_type: String,
+                            user_cents: Long, type_cents: Long,
+                            kind: String, sign: Long)
+
 /** Keep-last dedup state: the current best row plus whether it has
   * already been emitted (so a watermark advance without a newer row
   * does not re-emit the same survivor). */
@@ -827,6 +848,115 @@ private[streaming] class RetractJoinProcessor(factType: String,
   }
 }
 
+/** The TYPE-keyed upsert changelog ([[RetractProcessor]]'s logic with
+  * the partition key = event_type): the latest row OF EACH TYPE by
+  * (ts, event_id) is the dynamic "type reference" table; its net
+  * transitions emit as [[ChangeRow]]s with user_id 0 (the table's own
+  * PK IS the type). Feeds [[UpdatingJoinProcessor]]'s right side. */
+private[streaming] class TypeRetractProcessor
+    extends StatefulProcessor[String, Ev, ChangeRow] {
+  @transient private var last: ValueState[UpsertLast] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    last = getHandle.getValueState[UpsertLast]("tlast",
+      Encoders.product[UpsertLast], TTLConfig.NONE)
+
+  override def handleInputRows(typ: String, rows: Iterator[Ev],
+                               timers: TimerValues): Iterator[ChangeRow] = {
+    val st0 = if (last.exists()) Some(last.get()) else None
+    var best = st0
+    rows.foreach { e =>
+      val t = StreamOps.tsMicros(e.ts)
+      if (best.forall(b => t > b.ts_us || (t == b.ts_us && e.event_id > b.event_id)))
+        best = Some(UpsertLast(t, e.event_id, typ, math.round(e.value * 100)))
+    }
+    (st0, best) match {
+      case (_, None) => Iterator.empty
+      case (Some(a), Some(b)) if a == b => Iterator.empty
+      case (None, Some(b)) =>
+        last.update(b)
+        Iterator(ChangeRow(0L, typ, b.cents, "I"))
+      case (Some(a), Some(b)) =>
+        last.update(b)
+        Iterator(ChangeRow(0L, typ, -a.cents, "U-"),
+          ChangeRow(0L, typ, b.cents, "U+"))
+    }
+  }
+}
+
+/** The N:1 UPDATING-JOIN processor (Flink's changelog join beyond the
+  * [[RetractJoinProcessor]] 1:1 case): keyed by the JOIN ATTRIBUTE
+  * (event_type), consuming the UNION of two upsert changelogs — the
+  * per-user latest table (side "L", many rows per join key) and the
+  * per-type reference table (side "R", one row per join key) — and
+  * emitting the JOINED changelog. State per join key is Flink's exact
+  * shape: a MapState row index for the N side (user -> cents) plus
+  * one value for the 1 side. Emission is the set difference of the
+  * joined pairs before/after the batch:
+  *  - a LEFT change touches only that user's pair;
+  *  - a RIGHT change FANS OUT — every currently joined user of the
+  *    type retracts ("U-") and re-emits ("U+") with the new reference
+  *    cents, the O(matching-rows) cost Flink's updating join pays for
+  *    the same event (documented; an append join cannot express it);
+  *  - a user whose latest row MOVES to another type retracts here
+  *    ("D") and arrives under the other join key ("I") — the
+  *    cross-key move consuming the changelog makes exact.
+  * Upstream changelogs are net-compacted per pk per batch
+  * (RetractProcessor / TypeRetractProcessor), so each pk contributes
+  * at most one removal and one arrival per invocation. */
+private[streaming] class UpdatingJoinProcessor
+    extends StatefulProcessor[String, JoinFeed, FanoutJoinChange] {
+  @transient private var left: org.apache.spark.sql.streaming.MapState[Long, Long] = _
+  @transient private var right: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    left = getHandle.getMapState[Long, Long]("lidx",
+      Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+    right = getHandle.getValueState[Long]("rv", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(typ: String, rows: Iterator[JoinFeed],
+                               timers: TimerValues): Iterator[FanoutJoinChange] = {
+    val rs = rows.toIndexedSeq
+    val oldR = if (right.exists()) Some(right.get()) else None
+    val lRemoved = rs.filter(r => r.side == "L" && r.kind == "U-")
+      .map(_.pk).toSet
+    val lArrived = rs.filter(r => r.side == "L" && r.kind != "U-")
+      .map(r => r.pk -> r.cents).toMap
+    val rArrived = rs.filter(r => r.side == "R" && r.kind != "U-")
+      .map(_.cents).lastOption
+    val newR = rArrived.orElse(oldR) // upsert: a removal is always paired
+    val affected = lRemoved ++ lArrived.keySet
+    val rightChanged = oldR != newR
+    // OLD pair snapshot: every currently-joined user when the right
+    // side changed (the fanout set), else only the touched users
+    def cur(u: Long): Option[Long] =
+      if (left.containsKey(u)) Some(left.getValue(u)) else None
+    val oldScope: Map[Long, Long] =
+      if (rightChanged && oldR.isDefined) left.iterator().toMap
+      else affected.flatMap(u => cur(u).map(u -> _)).toMap
+    // apply the batch to state
+    lRemoved.foreach(u => if (!lArrived.contains(u)) left.removeKey(u))
+    lArrived.foreach { case (u, c) => left.updateValue(u, c) }
+    newR.foreach(right.update)
+    val newScope: Map[Long, Long] =
+      if (rightChanged && newR.isDefined) left.iterator().toMap
+      else affected.flatMap(u => cur(u).map(u -> _)).toMap
+    val oldPairs = if (oldR.isEmpty) Map.empty[Long, (Long, Long)]
+      else oldScope.map { case (u, c) => u -> (c, oldR.get) }
+    val newPairs = if (newR.isEmpty) Map.empty[Long, (Long, Long)]
+      else newScope.map { case (u, c) => u -> (c, newR.get) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[FanoutJoinChange]
+    for ((u, (uc, tc)) <- oldPairs if newPairs.get(u) != Some((uc, tc)))
+      out += FanoutJoinChange(u, typ, uc, tc,
+        if (newPairs.contains(u)) "U-" else "D", -1L)
+    for ((u, (uc, tc)) <- newPairs if oldPairs.get(u) != Some((uc, tc)))
+      out += FanoutJoinChange(u, typ, uc, tc,
+        if (oldPairs.contains(u)) "U+" else "I", 1L)
+    out.iterator
+  }
+}
+
 private[streaming] class DedupLastProcessor
     extends StatefulProcessor[Long, Ev, LastRow] {
   @transient private var best: ValueState[LastState] = _
@@ -1285,6 +1415,79 @@ object StreamOps extends Serializable {
           col("version_id"), col("version_cents"),
           lit("I").as("kind"), lit(1L).as("sign"))
         .as[JoinChange]
+    }
+  }
+
+  /** The N:1 UPDATING-TABLE JOIN with retraction FANOUT (Flink's
+    * general changelog join, one step beyond [[retractJoin]]'s 1:1
+    * primary-key case): the per-user LATEST table (PK user_id, many
+    * rows per join key) joined on its `event_type` attribute to the
+    * per-type REFERENCE table (PK event_type — the latest row of each
+    * type), emitted as a changelog. The three behaviors an append
+    * join cannot express, all carried here:
+    *  - a user's latest row changing VALUE retracts and re-emits its
+    *    one pair;
+    *  - a user's latest row changing TYPE retracts under the old join
+    *    key ("D") and arrives under the new one ("I") — exact because
+    *    the join CONSUMES CHANGELOGS (the "U-" routes to the old
+    *    key), which is why Flink's updating join is defined over
+    *    changelog streams, not raw rows;
+    *  - the TYPE side updating FANS OUT: every currently joined user
+    *    of that type retracts and re-emits with the new reference
+    *    cents — O(matching rows) per dimension update, the price
+    *    Flink pays for the same event ([[UpdatingJoinProcessor]]).
+    *
+    * Streaming topology: two upsert-changelog stages
+    * ([[retractDeltas]] keyed by user; [[TypeRetractProcessor]] keyed
+    * by type) UNIONed and re-keyed by the join attribute into the
+    * join processor — three stateful operators in one append-mode
+    * query, each key-partitioned on its own natural key (user, type,
+    * join attribute), nothing global. State: one latest-row tuple per
+    * user + per type upstream; one (user -> cents) row index per join
+    * key + one reference value in the join — exactly Flink's
+    * updating-join state law. StreamingSpec pins the cross-batch
+    * FANOUT (a type-reference update retracts every joined user
+    * emitted in earlier batches), the cross-key move, and
+    * sign-weighted folds == the batch joined table over random
+    * splits.
+    *
+    * Batch (`streaming = false`): the net changelog of the
+    * empty→final transition — the per-user latest table inner-joined
+    * to the per-type latest table, one "I" row per user; exact
+    * integer cents, bit-equal to the streamed fold. */
+  def retractJoinFanout(ev: Dataset[Ev],
+                        streaming: Boolean): Dataset[FanoutJoinChange] = {
+    import ev.sparkSession.implicits._
+    if (streaming) {
+      val lefts = retractDeltas(ev, streaming = true)
+        .map(c => JoinFeed(c.event_type, "L", c.user_id, c.delta_cents, c.kind))
+      val rights = ev.groupByKey(_.event_type)
+        .transformWithState(new TypeRetractProcessor, TimeMode.None(),
+          OutputMode.Append())
+        .map(c => JoinFeed(c.event_type, "R", 0L, c.delta_cents, c.kind))
+      lefts.union(rights)
+        // "U-" feeds carry the NEGATED old contribution (the ChangeRow
+        // convention); the join processor wants the positive cents
+        .map(f => if (f.kind == "U-") f.copy(cents = -f.cents) else f)
+        .groupByKey(_.jkey)
+        .transformWithState(new UpdatingJoinProcessor, TimeMode.None(),
+          OutputMode.Append())
+    } else {
+      def latestBy(keyCol: String) =
+        ev.toDF().groupBy(col(keyCol))
+          .agg(max_by(
+            struct(col("user_id"), col("event_type"),
+              round(col("value") * 100).cast("long").as("cents")),
+            struct(col("ts"), col("event_id"))).as("r"))
+      val l = latestBy("user_id")
+        .select(col("user_id"), col("r.event_type").as("event_type"),
+          col("r.cents").as("user_cents"))
+      val r = latestBy("event_type")
+        .select(col("event_type"), col("r.cents").as("type_cents"))
+      l.join(r, "event_type")
+        .select(col("user_id"), col("event_type"), col("user_cents"),
+          col("type_cents"), lit("I").as("kind"), lit(1L).as("sign"))
+        .as[FanoutJoinChange]
     }
   }
 

@@ -1011,6 +1011,36 @@ class PipelineSpec extends SparkSuite {
     assert(got2 == got)
   }
 
+  test("triangleCounts: exact per-node counts equal brute force; partition-invariant") {
+    import graft.api.Graphs
+    val rnd = new scala.util.Random(20260818L)
+    val n = 20
+    val edges = (for {
+      s <- 0 until n; d <- 0 until n
+      if s != d && rnd.nextInt(100) < 18
+    } yield (s.toLong, d.toLong)).distinct
+    val nodesDf = spark.range(n).select(col("id").as("nid"))
+    val edgesDf = edges.toDF("src", "dst")
+    val got = Graphs.triangleCounts(nodesDf, "nid", edgesDf, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force over the canonical undirected edge set
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(e => e._1 != e._2).toSet
+    val tri = for {
+      a <- 0L until n.toLong; b <- a + 1 to n.toLong - 1; c <- b + 1 to n.toLong - 1
+      if und((a, b)) && und((b, c)) && und((a, c))
+    } yield (a, b, c)
+    val ref = (0L until n.toLong).map(i =>
+      i -> tri.count(t => t._1 == i || t._2 == i || t._3 == i).toLong).toMap
+    assert(got == ref, s"engine $got != brute force $ref")
+    assert(tri.nonEmpty, "fixture must contain triangles")
+    // integer counts are partition-order independent
+    val got2 = Graphs.triangleCounts(nodesDf.repartition(7), "nid",
+        edgesDf.repartition(5), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == got)
+  }
+
   test("pagerankConverged: Kleene least fixpoint equals the scalar bottom iteration") {
     import graft.api.Graphs
     val scale = 1000000L

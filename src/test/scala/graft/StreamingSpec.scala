@@ -1065,6 +1065,114 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("fanout retract join: a reference update retracts every joined user across batches") {
+    import graft.streaming.FanoutJoinChange
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = StreamOps.retractJoinFanout(ms.toDS(), streaming = true)
+        .writeStream.format("memory").queryName("rjfan").outputMode("append").start()
+      // batch 1: two click users join the click reference (= the
+      // latest click row, Ev 2's 2000 cents)
+      ms.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 10.00),
+        Ev(2, ts("2024-01-01 10:05:00"), 2, "click", 20.00))
+      q.processAllAvailable()
+      val afterB1 = spark.table("rjfan").as[FanoutJoinChange].collect().toSet
+      assert(afterB1 == Set(
+          FanoutJoinChange(1L, "click", 1000L, 2000L, "I", 1L),
+          FanoutJoinChange(2L, "click", 2000L, 2000L, "I", 1L)),
+        s"batch 1 must join both users to the click reference: $afterB1")
+      // batch 2: a NEW click (user 3) moves the click REFERENCE to
+      // 5000 — the pairs EMITTED IN BATCH 1 must retract and re-emit
+      // (the fanout), plus user 3's own insert
+      ms.addData(Ev(3, ts("2024-01-01 11:00:00"), 3, "click", 50.00))
+      q.processAllAvailable()
+      val b2 = spark.table("rjfan").as[FanoutJoinChange].collect().toSet -- afterB1
+      assert(b2 == Set(
+          FanoutJoinChange(1L, "click", 1000L, 2000L, "U-", -1L),
+          FanoutJoinChange(1L, "click", 1000L, 5000L, "U+", 1L),
+          FanoutJoinChange(2L, "click", 2000L, 2000L, "U-", -1L),
+          FanoutJoinChange(2L, "click", 2000L, 5000L, "U+", 1L),
+          FanoutJoinChange(3L, "click", 5000L, 5000L, "I", 1L)),
+        s"the reference update must fan out to every joined user: $b2")
+      // batch 3: user 1's latest MOVES to view — a retraction under
+      // the click join key ("D") and an arrival under view ("I",
+      // joined to the new view reference in the same batch)
+      ms.addData(Ev(4, ts("2024-01-01 12:00:00"), 1, "view", 30.00))
+      drain(q)
+      val b3 = spark.table("rjfan").as[FanoutJoinChange].collect().toSet --
+        afterB1 -- b2
+      assert(b3 == Set(
+          FanoutJoinChange(1L, "click", 1000L, 5000L, "D", -1L),
+          FanoutJoinChange(1L, "view", 3000L, 3000L, "I", 1L)),
+        s"the cross-key move must retract under click and arrive under view: $b3")
+      // the sign-weighted fold nets to the batch joined table
+      val all = Seq(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 10.00),
+        Ev(2, ts("2024-01-01 10:05:00"), 2, "click", 20.00),
+        Ev(3, ts("2024-01-01 11:00:00"), 3, "click", 50.00),
+        Ev(4, ts("2024-01-01 12:00:00"), 1, "view", 30.00))
+      def tup(r: FanoutJoinChange) =
+        (r.user_id, r.event_type, r.user_cents, r.type_cents)
+      val net = spark.table("rjfan").as[FanoutJoinChange].collect().toSeq
+        .groupBy(tup).view.mapValues(_.map(_.sign).sum)
+        .filter(_._2 != 0L).keySet
+      val ref = StreamOps.retractJoinFanout(all.toDS(), streaming = false)
+        .collect().map(tup).toSet
+      assert(net == ref && ref.size == 3, s"fold $net != batch $ref")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("fanout retract join over random batch splits folds to the batch table") {
+    import graft.streaming.FanoutJoinChange
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rnd = new scala.util.Random(20260818L)
+      val syms = Vector("click", "view", "purchase")
+      val evs = (for {
+        u <- 1 to 8
+        i <- 0 until (4 + rnd.nextInt(8))
+      } yield Ev((u * 100 + i).toLong,
+          java.sql.Timestamp.valueOf(
+            ts("2024-01-01 10:00:00").toLocalDateTime.plusMinutes(i * 31L)),
+          u.toLong, syms(rnd.nextInt(syms.size)),
+          math.floor(rnd.nextDouble() * 5000) / 100.0)).toVector
+      val shuffled = rnd.shuffle(evs)
+      def tup(r: FanoutJoinChange) =
+        (r.user_id, r.event_type, r.user_cents, r.type_cents)
+      val ref = StreamOps.retractJoinFanout(evs.toDS(), streaming = false)
+        .collect().map(tup).toSet
+      val cuts = Seq.fill(3)(rnd.nextInt(shuffled.size)).sorted
+      val batches = (Seq(0) ++ cuts ++ Seq(shuffled.size)).sliding(2)
+        .collect { case Seq(a, b) if b > a => shuffled.slice(a, b) }.toSeq
+      val ms = MemoryStream[Ev]
+      val q = StreamOps.retractJoinFanout(ms.toDS(), streaming = true)
+        .writeStream.format("memory").queryName("rjfaneq").outputMode("append").start()
+      batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      val net = spark.table("rjfaneq").as[FanoutJoinChange].collect().toSeq
+        .groupBy(tup).view.mapValues(_.map(_.sign).sum)
+        .filter(_._2 != 0L).keySet
+      assert(net == ref, s"fold $net != batch $ref")
+      assert(ref.nonEmpty)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("temporal join: inclusive binding takes the same-timestamp version, strict does not") {
     import graft.streaming.TemporalJoined
     // version 1 at 10:00; the fact (id 2) and version 3 BOTH at 10:30
