@@ -94,7 +94,11 @@ object BenchScale {
     // (two latest tables + key join) and the bottom-seeded converged
     // PageRank (rounds SHRINK as n grows — base = scale div n div ~7)
     "ts_interp_linear", "stream_temporal_join", "stream_retract_agg",
-    "stream_retract_join", "graph_pagerank_converged")
+    "stream_retract_join", "graph_pagerank_converged",
+    // ... and the round-15 late additions: the N:1 fanout join's batch
+    // replay (two latest tables + key join) and the capped-graph
+    // triangle count (wedge volume Σ deg² bounded by the cap)
+    "stream_retract_join_fanout", "graph_triangles")
 
   /** Second measured decade (VERDICT r9 item 6): the STEEPEST keys of
     * the 10x sweep re-measured over a 100x slice, so their exponents

@@ -716,6 +716,16 @@ object Analytic {
       MatchRecognize.run(Tables.events(s, d), CepSql.anchorEndRelaxedQuant)
         .orderBy("user_id", "start_id")),
 
+    // ... × ALL ROWS: the generalized pinned-final DFS's consumed-row
+    // projection — the head's c1 view rows then the purchase block,
+    // gap rows skipped (not consumed). Oracle: the match formulation
+    // exploded over exactly those two row ranges.
+    "event_cep_sql_anchor_end_relaxed_quant_allrows" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.anchorEndRelaxedQuantAllRows)
+        .select("user_id", "start_id", "end_id", "pos", "event_id", "ts",
+          "step", "value")
+        .orderBy("user_id", "start_id", "pos")),
+
     // '$' × RELUCTANT × compiled step_sums (round-15 lift of the last
     // rejected cell of the anchored matrix): the per-step exact-cents
     // summary is ONE scoped hash aggregation over the anchored
@@ -1430,6 +1440,9 @@ object Analytic {
         |  DEFINE a AS event_type = 'view',
         |         b AS event_type = 'purchase'
         |)""".stripMargin
+
+    val anchorEndRelaxedQuantAllRows: String =
+      anchorEndRelaxedQuant.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH")
 
     // Compiled `SUM(value) AS step_sums` under '$' (round-15 lift of
     // the LAST rejected cell of the anchored matrix): the per-step
@@ -2542,6 +2555,48 @@ object Analytic {
         |  AND a.rn <= l.lrn - l.bc
         |  AND l.lts <= a.ts + INTERVAL 1440 MINUTE
         |ORDER BY a.user_id, start_id""".stripMargin,
+    // relaxed + quantifiers + '$' + ALL ROWS: the match formulation's
+    // consumed rows — c1 head views from the anchor, then the bc-row
+    // purchase block ending at the last row (gap rows between are
+    // skipped, not consumed)
+    "event_cep_sql_anchor_end_relaxed_quant_allrows" ->
+      """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts, value,
+        |             event_type,
+        |             row_number() OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS rn
+        |           FROM events),
+        |mx AS (SELECT user_id, max(rn) AS mrn FROM e GROUP BY user_id),
+        |l AS (SELECT e.user_id, e.rn AS lrn, e.event_id AS lid, e.ts AS lts,
+        |             CASE WHEN p.event_type = 'purchase' THEN 2 ELSE 1 END AS bc
+        |      FROM e JOIN mx ON mx.user_id = e.user_id AND e.rn = mx.mrn
+        |      LEFT JOIN e p ON p.user_id = e.user_id AND p.rn = e.rn - 1
+        |      WHERE e.event_type = 'purchase'),
+        |v AS (SELECT e.user_id, e.event_id, e.ts, e.rn,
+        |        coalesce(min(CASE WHEN e.event_type <> 'view' THEN e.rn END)
+        |                   OVER (PARTITION BY e.user_id ORDER BY e.rn
+        |                         ROWS BETWEEN CURRENT ROW
+        |                                  AND UNBOUNDED FOLLOWING),
+        |                 mx.mrn + 1) - e.rn AS vrun,
+        |        e.event_type
+        |      FROM e JOIN mx ON mx.user_id = e.user_id),
+        |m AS (SELECT a.user_id, a.event_id AS start_id, a.rn AS arn,
+        |             l.lid AS end_id, l.lrn, l.bc,
+        |             least(3, a.vrun, l.lrn - l.bc + 1 - a.rn) AS c1
+        |      FROM v a JOIN l ON l.user_id = a.user_id
+        |      WHERE a.event_type = 'view' AND a.rn <= l.lrn - l.bc
+        |        AND l.lts <= a.ts + INTERVAL 1440 MINUTE)
+        |SELECT m.user_id, m.start_id, m.end_id,
+        |       CAST(e.rn - m.arn + 1 AS BIGINT) AS pos, e.event_id, e.ts,
+        |       'a' AS step, e.value
+        |FROM m JOIN e ON e.user_id = m.user_id
+        |             AND e.rn BETWEEN m.arn AND m.arn + m.c1 - 1
+        |UNION ALL
+        |SELECT m.user_id, m.start_id, m.end_id,
+        |       CAST(m.c1 + e.rn - (m.lrn - m.bc + 1) + 1 AS BIGINT) AS pos,
+        |       e.event_id, e.ts, 'b' AS step, e.value
+        |FROM m JOIN e ON e.user_id = m.user_id
+        |             AND e.rn BETWEEN m.lrn - m.bc + 1 AND m.lrn
+        |ORDER BY user_id, start_id, pos""".stripMargin,
     // relaxed-branch alternation + '$': independent formulation — the
     // user's LAST row (ts desc, id desc) must be a purchase; every
     // earlier view/click row within 24 h anchors one match ending
