@@ -626,7 +626,14 @@ object Cep {
           if (sat(stIdx, q, ctx)) {
             val accepted = acceptPrefix(stIdx, q)
             var c = accepted.size
-            while (c >= st.minRep) {
+            // presence implies consumption (walkAlt's rule): a min-0
+            // quantified step that is PRESENT must bind >= 1 row — the
+            // zero-width configuration belongs to the ABSENT
+            // alternative, where negation between the neighboring
+            // steps scopes over the rows this alignment would skip
+            // (round-16 ADVICE: a zero-width binding at alignment q
+            // would skip the notFollowedBy check on rows >= q)
+            while (c >= math.max(1, st.minRep)) {
               // only a count landing exactly on the pin can close the
               // final step; interior steps try every greedy-ordered c
               if (!isLast || q + c - 1 == requiredEnd) {

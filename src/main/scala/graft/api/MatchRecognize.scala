@@ -1211,49 +1211,13 @@ object MatchRecognize {
     // exact for STRICT all-greedy specs, whose maximal-munch end is
     // the latest any resolution of an anchor can reach) or through the
     // per-key ANCHORED matchers (everything else — ends pinned inside
-    // the search; see anchoredNeedsMatcher and validateAnchorEnd's
-    // support-matrix scaladoc; as of round 15 no `$` shape rejects).
+    // the search; see [[anchoredNeedsMatcher]]'s support-matrix
+    // scaladoc; as of round 15 no `$` shape rejects at parse time).
     // `^` needs no restriction: the match START equals the anchor
     // position on every route, so filtering on it never discards a
     // re-derivable match.
-    if (anchorEnd) validateAnchorEnd(spec)
     spec
   }
-
-  /** The `$` anchor's support matrix is COMPLETE as of round 15 —
-    * every parseable spec carries TRUE anchored matching; this method
-    * documents the mechanisms (it no longer rejects anything; the
-    * round 12-14 rejections are all lifted):
-    *
-    *  - STRICT all-greedy specs (no alternation): the compiled plans +
-    *    the match filter ([[applyAnchors]]) — exact because the last
-    *    step's maximal-munch prefix is the latest end any resolution
-    *    of an anchor can reach ([[anchoredNeedsMatcher]]).
-    *  - STRICT specs with RELUCTANT quantifiers, or iterative
-    *    conditions: the per-key anchored BACKTRACKING matcher
-    *    ([[Cep.matchCoreAnchoredEnd]]) explores candidate counts in
-    *    preference order (the consumption context threads through —
-    *    prefix-closed acceptance keeps truncation consistent) until a
-    *    resolution ends at the partition's last row.
-    *  - RELAXED specs — general quantifiers and negated steps included
-    *    (round-15; previously all-{1,1} only): the preference-ordered
-    *    pinned-final DFS (alignments earliest-first, counts
-    *    greedy-descending, the final step landing exactly on the last
-    *    row — Cep.tryRelaxedAnchoredAlt).
-    *  - ALTERNATION / PERMUTE: the mechanisms above apply PER BRANCH
-    *    before the leftmost-branch dedup ([[runAlternation]] /
-    *    [[alternationConsumed]]): strict all-greedy branches pin by
-    *    filter (forced decomposition), everything else runs the
-    *    anchored matcher.
-    *  - MEASURES (general and the compiled `step_sums` fold,
-    *    [[stepSumsFromConsumed]]) and ALL ROWS ride the anchored
-    *    consumed-row projections on every route. The ONE remaining
-    *    rejection in the '$' neighborhood is PERMUTE × step_sums
-    *    (branches consume steps in different ORDERS, so no per-step
-    *    alignment exists — rejected in [[runAlternation]], anchored or
-    *    not).
-    */
-  private def validateAnchorEnd(spec: MrSpec): Unit = ()
 
   // ---------- executor ----------
 
@@ -1413,10 +1377,110 @@ object MatchRecognize {
           .as("step_sums"))
   }
 
+  /** PERMUTE × the compiled `SUM(col) AS step_sums` summary, BRANCH-
+    * TAGGED (round 16 — closes the last matrix cell, which rounds
+    * 12-15 REJECTED): permute branches consume the steps in different
+    * ORDERS, so no single cross-branch per-step alignment exists — but
+    * per MATCH the alignment is well-defined: the winning branch's
+    * order. Output therefore carries `step_counts` / `step_sums` IN
+    * THE MATCHED BRANCH'S step order plus a `branch` column (the
+    * branch's index in [[MrSpec.expandBranches]]'s lexicographic
+    * expansion — the same index the generated per-branch oracle
+    * unions under), so two matches over the same rows that bound in
+    * different orders are distinguishable.
+    *
+    * Mechanics: [[alternationConsumed]] with the winning branch kept
+    * through the leftmost dedup, then ONE hash aggregation of
+    * per-VARIABLE exact-cents folds (PERMUTE variables are pairwise
+    * distinct by parse), and the output strings assembled per branch
+    * by a compile-time `when` chain over the branch index — pure
+    * projection, no extra shuffle beyond the matcher's own. Placement
+    * identical to [[stepSumsFromConsumed]]: key-partitioned groupBy on
+    * the matcher's shuffle keys, nothing global. */
+  private def permuteStepSums(df: DataFrame, spec: MrSpec, key: String,
+                              tsC: String, ordC: String): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, concat_ws, count,
+      lit, max_by, min_by, round, sum, when}
+    val v = spec.measuresValCol.get
+    val vars = spec.stepElems.map(_.variable)
+    require(vars.distinct.size == vars.size,
+      "PERMUTE variables must be pairwise distinct (parse enforces this)")
+    val orders = spec.expandBranches.map(_.stepElems.map(_.variable))
+    val varIdx = vars.zipWithIndex.toMap
+    val consumed = alternationConsumed(df, spec, key, tsC, ordC,
+      keepBranch = true)
+    val withVal =
+      if (v == "value" || v == tsC || v == ordC) consumed
+      else {
+        require(df.columns.contains(v),
+          s"MEASURES SUM($v): the input DataFrame has no column '$v'")
+        consumed.join(df.select(col(key).cast("long").as("user_id"),
+          col(ordC).cast("long").as("event_id"), col(v)),
+          Seq("user_id", "event_id"))
+      }
+    val cents = round(measureColRef(v, tsC, ordC) * 100).cast("long")
+    val aggs = vars.zipWithIndex.flatMap { case (vr, i) =>
+      Seq(count(when(col("step") === vr, 1)).as(s"__c_$i"),
+        coalesce(sum(when(col("step") === vr, cents)), lit(0L)).as(s"__s_$i"))
+    } ++ Seq(
+      min_by(col("ts"), col("pos")).as("start_ts"),
+      max_by(col("ts"), col("pos")).as("end_ts"))
+    // per-branch output order as a compile-time when chain over the
+    // kept branch index (n! branches, parse-capped — a projection,
+    // not a plan blowup)
+    def inOrder(pfx: String): org.apache.spark.sql.Column = {
+      def cat(o: Seq[String]) =
+        concat_ws(",", o.map(x => col(s"$pfx${varIdx(x)}").cast("string")): _*)
+      orders.zipWithIndex.tail.foldLeft(cat(orders.head)) {
+        case (acc, (o, i)) => when(col("__br") === i, cat(o)).otherwise(acc)
+      }
+    }
+    withVal.groupBy(col("user_id"), col("start_id"), col("end_id"),
+        col("__br"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .select(col("user_id").as(key), col("start_id"), col("start_ts"),
+        col("end_id"), col("end_ts"), col("n_rows"),
+        inOrder("__c_").as("step_counts"),
+        inOrder("__s_").as("step_sums"),
+        col("__br").cast("int").as("branch"))
+  }
+
   /** Does the '$' anchor require TRUE anchored matching (the per-key
     * anchored matcher) instead of the compiled-plan + post-filter
-    * equivalence? Exactly when the spec's committed ends are not its
-    * only candidate ends: any RELUCTANT quantifier (minimal-end
+    * equivalence?
+    *
+    * The `$` anchor's SUPPORT MATRIX is COMPLETE as of round 15 —
+    * every parseable spec carries true anchored matching (the round
+    * 12-14 rejections are all lifted); this predicate picks the
+    * mechanism at dispatch:
+    *
+    *  - STRICT all-greedy specs (no alternation): the compiled plans +
+    *    the match filter ([[applyAnchors]]) — exact because the last
+    *    step's maximal-munch prefix is the latest end any resolution
+    *    of an anchor can reach (this predicate returns false).
+    *  - STRICT specs with RELUCTANT quantifiers, or iterative
+    *    conditions: the per-key anchored BACKTRACKING matcher
+    *    ([[Cep.matchCoreAnchoredEnd]]) explores candidate counts in
+    *    preference order (the consumption context threads through —
+    *    prefix-closed acceptance keeps truncation consistent) until a
+    *    resolution ends at the partition's last row.
+    *  - RELAXED specs — general quantifiers and negated steps included
+    *    (round-15; previously all-{1,1} only): the preference-ordered
+    *    pinned-final DFS (alignments earliest-first, counts
+    *    greedy-descending, the final step landing exactly on the last
+    *    row — Cep.tryRelaxedAnchoredAlt).
+    *  - ALTERNATION / PERMUTE: the mechanisms above apply PER BRANCH
+    *    before the leftmost-branch dedup ([[runAlternation]] /
+    *    [[alternationConsumed]]): strict all-greedy branches pin by
+    *    filter (forced decomposition), everything else runs the
+    *    anchored matcher.
+    *  - MEASURES (general, the compiled `step_sums` fold
+    *    [[stepSumsFromConsumed]], and the branch-tagged PERMUTE form
+    *    [[permuteStepSums]] — round 16) and ALL ROWS ride the anchored
+    *    consumed-row projections on every route.
+    *
+    * Mechanism choice: exactly when the spec's committed ends are not
+    * its only candidate ends — any RELUCTANT quantifier (minimal-end
     * commitment) or RELAXED contiguity (first-qualifying alignment
     * commitment — round-15; a deviating later alignment can reach the
     * last row, e.g. `a g* b` on A B B, where the committed walk binds
@@ -2103,25 +2167,32 @@ object MatchRecognize {
     // ([[alternationConsumed]]), then the SAME general MEASURES
     // executors as every other route.
     if (spec.measures.nonEmpty) {
+      // PERMUTE × step_sums (round-16 — the matrix cell rounds 12-15
+      // rejected): branches consume the steps in different ORDERS, so
+      // no single cross-branch alignment exists, but per MATCH the
+      // winning branch's order is well-defined — emit the per-step
+      // fold IN THAT ORDER plus a `branch` tag ([[permuteStepSums]];
+      // anchored or not — alternationConsumed pins per branch).
+      if (spec.measuresValCol.nonEmpty && !spec.allRows && spec.permute)
+        return permuteStepSums(df, spec, key, tsC, ordC)
       // '$' + step_sums (round-15 lift): the pinned per-branch
       // consumed rows ([[alternationConsumed]]) carry the per-step
       // fold — an alternation ELEMENT scopes over its alternatives'
       // combined labels, which reads the winning branch's sums
       // exactly (branches share the element order, so the per-step
       // alignment that does not exist cross-branch in the compiled
-      // plans DOES exist element-wise). PERMUTE branches consume the
-      // steps in different ORDERS, so the rejection stands there.
-      if (spec.measuresValCol.nonEmpty && !spec.allRows &&
-          spec.anchorEnd && !spec.permute)
+      // plans DOES exist element-wise).
+      if (spec.measuresValCol.nonEmpty && !spec.allRows && spec.anchorEnd)
         return stepSumsFromConsumed(df, spec,
           alternationConsumed(df, spec, key, tsC, ordC), key, tsC, ordC)
       require(spec.measuresValCol.isEmpty,
         "alternation with the compiled `SUM(col) AS step_sums` MEASURES " +
-          "is not supported — branch step_sums have no single " +
-          "cross-branch alignment; use general measures (e.g. " +
-          "SUM(value) AS total_v, SUM(c.value) AS c_sum) instead " +
+          "is not supported without the '$' anchor — branch step_sums " +
+          "have no single cross-branch alignment; use general measures " +
+          "(e.g. SUM(value) AS total_v, SUM(c.value) AS c_sum) instead " +
           "(under the '$' anchor the per-step summary IS offered for " +
-          "non-PERMUTE groups, ONE ROW)")
+          "alternation groups, and PERMUTE carries the branch-tagged " +
+          "form anchored or not, ONE ROW)")
       val (resolved, projs) = resolveMeasuresWithExprs(spec)
       val consumed = alternationConsumed(df, spec, key, tsC, ordC)
       return applyMeasureExprs(
@@ -2189,7 +2260,8 @@ object MatchRecognize {
     * per anchor per branch). The dedup window is key+anchor
     * partitioned — nothing global. */
   private def alternationConsumed(df: DataFrame, spec: MrSpec, key: String,
-                                  tsC: String, ordC: String): DataFrame = {
+                                  tsC: String, ordC: String,
+                                  keepBranch: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, max_by, min, struct}
     // '$' (round-14 MEASURES lift): the end pin applies PER BRANCH
     // BEFORE the leftmost-branch dedup — the same order as
@@ -2218,10 +2290,14 @@ object MatchRecognize {
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"), col("start_id"))
-    parts.reduce(_.unionByName(_))
+    val deduped = parts.reduce(_.unionByName(_))
       .withColumn("__minbr", min(col("__br")).over(w))
       .filter(col("__br") === col("__minbr"))
-      .drop("__br", "__minbr")
+      .drop("__minbr")
+    // keepBranch (round-16 PERMUTE × step_sums): the winning branch
+    // index survives the dedup so the per-step fold can order its
+    // output by the MATCHED branch's step order
+    if (keepBranch) deduped else deduped.drop("__br")
   }
 
   private def tsUs(t: java.sql.Timestamp): Long =
@@ -2490,12 +2566,18 @@ object MatchRecognize {
       // branches share the element order (each group picks one
       // variable in place), so the winning branch's per-step sums ARE
       // the element-wise step_sums — carry them through when the spec
-      // declares the compiled measures form (PERMUTE never reaches
-      // here with it: the engine rejects that combination)
+      // declares the compiled measures form. PERMUTE branches order
+      // the steps differently, so its per-branch replay already emits
+      // step_counts/step_sums in that branch's order — the engine's
+      // branch-tagged form (round 16) additionally reports the branch
+      // index, which the union's __br IS (both sides expand branches
+      // in the same lexicographic order).
       val sumsCol = if (spec.measuresValCol.isEmpty) "" else ", step_sums"
+      val brCol = if (spec.permute && spec.measuresValCol.nonEmpty)
+        ", __br AS branch" else ""
       return s"""$ctes
                 |SELECT $keyCol, start_id, start_ts, end_id, end_ts,
-                |       n_rows, step_counts$sumsCol
+                |       n_rows, step_counts$sumsCol$brCol
                 |FROM (SELECT *, row_number() OVER (PARTITION BY $keyCol,
                 |        start_id ORDER BY __br) AS __rn
                 |      FROM $pinned)

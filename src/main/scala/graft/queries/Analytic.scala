@@ -569,6 +569,17 @@ object Analytic {
       MatchRecognize.run(Tables.events(s, d), CepSql.permuteFunnel)
         .orderBy("user_id", "start_id")),
 
+    // PERMUTE × compiled step_sums, BRANCH-TAGGED (round-16 — closes
+    // the one remaining rejection of the step_sums matrix): branches
+    // consume the steps in different orders, so no cross-branch
+    // per-step alignment exists — but per match the WINNING branch's
+    // order is well-defined, so step_counts/step_sums emit in that
+    // order plus a `branch` index column (lexicographic expansion
+    // order, shared with the generated oracle's per-branch union).
+    "event_cep_sql_permute_sums" -> ((s, d) =>
+      MatchRecognize.run(Tables.events(s, d), CepSql.permuteSums)
+        .orderBy("user_id", "start_id")),
+
     // SQL:2016 `^` anchor (partition-start pin; Flink rejects it): the
     // opening click streak per user. Matching unchanged; the anchor is
     // a match filter against per-key min_by bounds (one tiny keyed agg
@@ -1472,6 +1483,11 @@ object Analytic {
         |         v AS event_type = 'view',
         |         p AS event_type = 'purchase'
         |)""".stripMargin
+    // PERMUTE × compiled step_sums, BRANCH-TAGGED (round 16 — the last
+    // matrix cell): same funnel, MEASURES SUM(value) AS step_sums.
+    val permuteSums: String =
+      permuteFunnel.replace("ONE ROW PER MATCH",
+        "MEASURES SUM(value) AS step_sums\n  ONE ROW PER MATCH")
     // UNBOUNDED aggregate condition in DEFINE (round-12 item 4): the
     // same RUNNING-sum-capped click run with `a+` instead of `a{1,4}`
     // — the run length is limited only by the sum cap and contiguity,
@@ -2277,6 +2293,12 @@ object Analytic {
     "event_cep_sql_measures" -> MatchRecognize.oracleFor(CepSql.measured),
     "event_cep_alt" -> MatchRecognize.oracleFor(CepSql.altFunnel),
     "event_cep_sql_permute" -> MatchRecognize.oracleFor(CepSql.permuteFunnel),
+    // branch-tagged PERMUTE step_sums: the same per-branch generated
+    // replay, each branch's compiled-measures oracle already emitting
+    // step_counts/step_sums in ITS order, `__br AS branch` carried
+    // through the leftmost dedup
+    "event_cep_sql_permute_sums" ->
+      MatchRecognize.oracleFor(CepSql.permuteSums),
     // anchors replay: the generated UNANCHORED oracle (anchors change
     // no matching) filtered by the partition's first/last row —
     // row_number over the same (ts, event_id) order.

@@ -923,8 +923,20 @@ private[streaming] class UpdatingJoinProcessor
       .map(_.pk).toSet
     val lArrived = rs.filter(r => r.side == "L" && r.kind != "U-")
       .map(r => r.pk -> r.cents).toMap
-    val rArrived = rs.filter(r => r.side == "R" && r.kind != "U-")
-      .map(_.cents).lastOption
+    // the upstream per-batch NET COMPACTION invariant
+    // (TypeRetractProcessor emits at most one U+/I per key per batch)
+    // is load-bearing: with several R arrivals the "last one wins"
+    // pick would be ARRIVAL-ORDER-dependent and the emitted old/new
+    // pair sets would drift from the fold invariant — fail loudly on
+    // a miswired (non-compacted) feed instead (round-16 ADVICE)
+    val rArrivals = rs.filter(r => r.side == "R" && r.kind != "U-")
+    require(rArrivals.size <= 1,
+      s"UpdatingJoinProcessor($typ): ${rArrivals.size} reference-side " +
+        "arrivals in one batch — the feed must be a per-batch " +
+        "net-compacted changelog (TypeRetractProcessor emits at most " +
+        "one U+/I per key per batch); a non-compacted feed would make " +
+        "the joined changelog arrival-order-dependent")
+    val rArrived = rArrivals.map(_.cents).lastOption
     val newR = rArrived.orElse(oldR) // upsert: a removal is always paired
     val affected = lRemoved ++ lArrived.keySet
     val rightChanged = oldR != newR

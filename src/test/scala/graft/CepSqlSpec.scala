@@ -958,6 +958,41 @@ class CepSqlSpec extends SparkSuite {
       .getMessage.contains("SKIP TO NEXT ROW"))
   }
 
+  test("PERMUTE × step_sums: branch-tagged per-step folds in the matched branch's order") {
+    val sp = spark
+    import sp.implicits._
+    val CepSql = graft.queries.Analytic.CepSql
+    def t(m: Int) = new java.sql.Timestamp(1704067200000L + m * 60000L)
+    // user 7 binds the c v p ordering (branch 0), user 8 binds v c p
+    // (branch 2) — SAME row count, different consumption ORDER, so the
+    // per-step sums must come out in each match's own branch order and
+    // the branch tags must differ
+    val tiny = Seq(
+      (1L, t(0), 7L, "click", 1.0), (2L, t(1), 7L, "view", 2.0),
+      (3L, t(2), 7L, "purchase", 4.0),
+      (11L, t(0), 8L, "view", 3.0), (12L, t(1), 8L, "click", 5.0),
+      (13L, t(2), 8L, "purchase", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = MatchRecognize.run(tiny, CepSql.permuteSums)
+      .select("user_id", "start_id", "end_id", "n_rows", "step_counts",
+        "step_sums", "branch")
+      .as[(Long, Long, Long, Long, String, String, Int)].collect().toSet
+    assert(got == Set(
+      (7L, 1L, 3L, 3L, "1,1,1", "100,200,400", 0),
+      (8L, 11L, 13L, 3L, "1,1,1", "300,500,700", 2)),
+      s"branch-tagged permute step_sums wrong: $got")
+    // the tags came from DIFFERENT branch orders of the same rows —
+    // the cross-branch alignment that doesn't exist is disambiguated
+    // per match by the tag
+    assert(got.map(_._7).size == 2)
+    // non-PERMUTE alternation step_sums WITHOUT the '$' anchor still
+    // rejects loudly (no cross-branch alignment, no tag offered there)
+    val altNoAnchor = CepSql.anchorEndAltSums.replace(" $)", ")")
+    val e = intercept[IllegalArgumentException](
+      MatchRecognize.run(tiny, altNoAnchor))
+    assert(e.getMessage.contains("not supported without the '$' anchor"))
+  }
+
   test("pattern exclusion {- X -}: output filter only, matching and measures unchanged") {
     val CepSql = graft.queries.Analytic.CepSql
     val ev = Tables.events(spark, sf001)
