@@ -26,9 +26,24 @@ object Graphs {
     * ORDER partial sums combine in (engine- and partitioning-specific),
     * while integer sums are associative — Spark and DuckDB agree
     * bit-for-bit at any parallelism. The sub-ulp mass lost to the
-    * floors (and the dangling mass, which is NOT redistributed) makes
-    * this a centrality SCORE, not a probability distribution — the
-    * ranking use cases above never needed the simplex.
+    * floors (and, by default, the dangling mass — NOT redistributed)
+    * makes this a centrality SCORE, not a probability distribution —
+    * the ranking use cases above never needed the simplex.
+    *
+    * `redistributeDangling = true` (round-16, opt-in) restores the
+    * textbook treatment: each round adds the damped uniform share of
+    * the DANGLING mass (the rank sitting on nodes with no out-edges)
+    *
+    *   + (85 * D) div (100 * n),  D = Σ_{out(j)=0} r(j)
+    *
+    * to every node — still exact integer (one floor per node per
+    * round), so the oracle replay stays bit-exact, and total mass is
+    * conserved up to floor loss (PipelineSpec pins Σr within the
+    * per-round floor budget of `scale`). The dangling sum is ONE
+    * scalar-sized aggregate per round — a 1-row DataFrame broadcast
+    * into the rank projection (BroadcastNestedLoopJoin on one row),
+    * never a driver-side collect loop; the dangling node SET is fixed
+    * across rounds (out-degrees don't change) and computed once.
     *
     * Scale: per round, one (src-keyed) join of edges to ranks + one
     * dst-keyed partial-aggregated shuffle of the contributions + one
@@ -42,7 +57,8 @@ object Graphs {
     */
   def pagerank(nodes: DataFrame, idCol: String, edges: DataFrame,
                srcCol: String, dstCol: String, iters: Int = 8,
-               scale: Long = 1000000000000L): DataFrame = {
+               scale: Long = 1000000000000L,
+               redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     val ids = nodes.select(col(idCol).cast("long").as("id"))
     val e = edges.select(col(srcCol).cast("long").as("src"),
@@ -53,15 +69,36 @@ object Graphs {
     require(n > 0, "pagerank over an empty node set")
     val r0 = scale / n
     val base = (15L * r0) / 100L
+    // the dangling node set is round-invariant (out-degrees are a
+    // property of the edge list): computed once, reused every round
+    val dangling =
+      if (!redistributeDangling) null
+      else ids.join(eo.select(col("src").as("id")), Seq("id"), "left_anti")
+        .localCheckpoint()
     var ranks = ids.select(col("id"), lit(r0).as("r"))
     for (_ <- 1 to iters) {
       val contribs = eo.join(ranks, eo("src") === ranks("id"))
         .select(col("dst").as("id"), expr("r div outd").as("c"))
         .groupBy("id").agg(sum(col("c")).as("s"))
-      ranks = ids.join(contribs, Seq("id"), "left")
-        .select(col("id"),
-          (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
-        .localCheckpoint()
+      val next = ids.join(contribs, Seq("id"), "left")
+      ranks =
+        if (!redistributeDangling)
+          next.select(col("id"),
+              (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+            .localCheckpoint()
+        else {
+          // ONE scalar-sized aggregate: the round's dangling mass as a
+          // 1-row DataFrame, broadcast into the rank projection (a
+          // BroadcastNestedLoopJoin over one row — in-plan, never a
+          // driver collect loop)
+          val d = ranks.join(dangling, Seq("id"), "left_semi")
+            .agg(coalesce(sum(col("r")), lit(0L)).as("dsum"))
+          next.crossJoin(broadcast(d))
+            .select(col("id"),
+              (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")
+                + expr(s"(85 * dsum) div ${100L * n}")).as("r"))
+            .localCheckpoint()
+        }
     }
     ranks
   }

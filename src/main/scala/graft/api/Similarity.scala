@@ -383,26 +383,41 @@ object Similarity {
                            dim: Int = 64, cap: Int = 8, iters: Int = 8,
                            scale: Long = 1000000000000L,
                            rankCol: String = "rank_ppt",
-                           seedBottom: Boolean = false): String = {
+                           seedBottom: Boolean = false,
+                           forwardOnly: Boolean = false,
+                           dangling: Boolean = false): String = {
     require(iters >= 1, s"iters must be >= 1: $iters")
+    // dangling redistribution (round 16): each round adds the damped
+    // uniform share of the rank mass sitting on out-degree-0 nodes —
+    // (85 * D) // (100 * n), the same single floor per node as the
+    // engine's broadcast term
+    def dterm(i: Int): String =
+      if (!dangling) ""
+      else s"""
+         |           + (SELECT (85 * coalesce(sum(p.r), 0))
+         |                     // (100 * (SELECT nn FROM base))
+         |              FROM r${i - 1} p
+         |              WHERE p.id NOT IN (SELECT src FROM od))""".stripMargin
     val rounds = (1 to iters).map { i =>
       s"""r$i AS MATERIALIZED (
          |  SELECT n.id, (SELECT b FROM base)
-         |           + (85 * coalesce(s.s, 0)) // 100 AS r
+         |           + (85 * coalesce(s.s, 0)) // 100${dterm(i)} AS r
          |  FROM nodes n LEFT JOIN (
          |    SELECT eg.dst AS id, sum(p.r // eg.outd) AS s
          |    FROM eg JOIN r${i - 1} p ON p.id = eg.src
          |    GROUP BY eg.dst) s ON s.id = n.id)""".stripMargin
     }.mkString(",\n")
+    val fwd = if (forwardOnly) " WHERE src_id < neighbor_id" else ""
     s"""WITH ${knnCtesSql(tables, bits, dim, Some(cap))},
        |g AS (
        |${knnRankSql(k, "cand")}),
-       |eg0 AS (SELECT src_id AS src, neighbor_id AS dst FROM g),
+       |eg0 AS (SELECT src_id AS src, neighbor_id AS dst FROM g$fwd),
        |od AS (SELECT src, count(*) AS outd FROM eg0 GROUP BY src),
        |eg AS (SELECT eg0.src, eg0.dst, od.outd FROM eg0 JOIN od USING (src)),
        |nodes AS (SELECT vec_id AS id FROM embeddings),
        |base AS (SELECT (15 * ($scale // count(*))) // 100 AS b,
-       |                $scale // count(*) AS rinit FROM nodes),
+       |                $scale // count(*) AS rinit,
+       |                count(*) AS nn FROM nodes),
        |r0 AS (SELECT id, (SELECT ${if (seedBottom) "b" else "rinit"}
        |                   FROM base) AS r FROM nodes),
        |$rounds

@@ -695,6 +695,28 @@ object Pipeline {
         .orderBy("vec_id")
     }),
 
+    // PageRank with DANGLING-MASS redistribution (round-16, opt-in —
+    // the textbook treatment the default documents away): over the
+    // FORWARD-filtered capped kNN graph (src_id < neighbor_id — a
+    // DAG-like orientation that guarantees genuine dangling nodes:
+    // every node whose neighbors are all smaller-id, the max id
+    // always), each round adds (85 * D) div (100 * n) to every node,
+    // D = the rank mass on out-degree-0 nodes — one scalar-sized
+    // broadcast aggregate per round, still exact integer, so total
+    // mass is conserved up to floor loss (PipelineSpec pins it) and
+    // the 8-round unrolled DuckDB replay stays bit-equal.
+    "graph_pagerank_dangling" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val edges = Similarity.knnGraphCapped(e, "vec_id", "embedding", 5,
+          tables = 8, bits = 6, cap = 16)
+        .filter(col("src_id") < col("neighbor_id"))
+      graft.api.Graphs.pagerank(e.select("vec_id"), "vec_id",
+          edges, srcCol = "src_id", dstCol = "neighbor_id", iters = 8,
+          redistributeDangling = true)
+        .select(col("id").as("vec_id"), col("r").as("rank_ppt"))
+        .orderBy("vec_id")
+    }),
+
     // Per-node TRIANGLE counts over the capped kNN graph (round-15 —
     // the local-clustering signal next to graph_pagerank's centrality
     // and dedup_clusters' components: triangle-dense near-dup clusters
@@ -1892,6 +1914,12 @@ object Pipeline {
       bits = 6, cap = 16, tau = 0.4),
     "graph_pagerank" -> Similarity.knnPagerankOracleSql(5, tables = 8,
       bits = 6, cap = 16, iters = 8),
+    // dangling redistribution over the forward-oriented capped graph:
+    // the same unrolled integer replay plus the per-round
+    // (85 * D) // (100 * n) uniform share
+    "graph_pagerank_dangling" -> Similarity.knnPagerankOracleSql(5,
+      tables = 8, bits = 6, cap = 16, iters = 8, forwardOnly = true,
+      dangling = true),
     "graph_triangles" -> Similarity.knnTrianglesOracleSql(5, tables = 8,
       bits = 6, cap = 16),
     // converged pagerank: the same unrolled integer replay at the

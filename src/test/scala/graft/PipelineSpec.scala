@@ -1011,6 +1011,66 @@ class PipelineSpec extends SparkSuite {
     assert(got2 == got)
   }
 
+  test("pagerank dangling redistribution: scalar reference, mass conservation, opt-in only") {
+    import graft.api.Graphs
+    val scale = 1000000000000L
+    // a chain-with-sinks graph: nodes 20..23 have NO out-edges, so a
+    // quarter of the mass goes dangling every round without
+    // redistribution
+    val rnd = new scala.util.Random(20260816L)
+    val n = 24
+    val edges = (for {
+      s <- 0 until 20; d <- 0 until n
+      if s != d && rnd.nextInt(100) < 15
+    } yield (s.toLong, d.toLong)).distinct
+    val nodesDf = spark.range(n).select(col("id").as("nid"))
+    val edgesDf = edges.toDF("src", "dst")
+    val iters = 8
+    val got = Graphs.pagerank(nodesDf, "nid", edgesDf, "src", "dst",
+        iters = iters, scale = scale, redistributeDangling = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // scalar reference: the same integer recurrence + the damped
+    // uniform dangling share (85 * D) / (100 * n), every division a
+    // floor
+    val outd = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val r0 = scale / n
+    val base = (15L * r0) / 100L
+    var ranks = (0 until n).map(i => i.toLong -> r0).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => ranks(s) / outd(s) }.sum).toMap
+      val dsum = (0 until n).map(_.toLong)
+        .filterNot(outd.contains).map(ranks).sum
+      val share = (85L * dsum) / (100L * n)
+      ranks = (0 until n).map(i =>
+        i.toLong -> (base + (85L * in.getOrElse(i.toLong, 0L)) / 100L
+          + share)).toMap
+    }
+    assert(got == ranks, "engine != scalar dangling reference")
+    // MASS CONSERVATION (the property the default variant documents
+    // away): total rank stays within the per-round floor budget of the
+    // scale — each round floors once per edge-source, once per node on
+    // the damping, once per node on the dangling share
+    val floorBudget = iters.toLong * (edges.size + 2L * n) + 2L * n
+    val total = got.values.sum
+    assert(total <= scale, s"mass must never exceed scale: $total")
+    assert(total >= scale - floorBudget,
+      s"redistributed mass must conserve within floor loss: $total vs $scale")
+    // ... while the DEFAULT drops the dangling mass (the documented
+    // centrality-score stance): strictly less total, same node set
+    val defTotal = Graphs.pagerank(nodesDf, "nid", edgesDf, "src", "dst",
+        iters = iters, scale = scale)
+      .collect().map(_.getLong(1)).sum
+    assert(defTotal < total - scale / 100,
+      s"the default must visibly drop dangling mass: $defTotal vs $total")
+    // integer arithmetic stays partition-order independent
+    val got2 = Graphs.pagerank(nodesDf.repartition(7), "nid",
+        edgesDf.repartition(5), "src", "dst", iters = iters, scale = scale,
+        redistributeDangling = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == got)
+  }
+
   test("triangleCounts: exact per-node counts equal brute force; partition-invariant") {
     import graft.api.Graphs
     val rnd = new scala.util.Random(20260818L)
