@@ -174,6 +174,29 @@ object Streaming {
         .orderBy("user_id")
     }),
 
+    // GENERAL N:M UPDATING-TABLE JOIN (round-16 — Flink's full
+    // updating join, the capstone of the retract family): the
+    // per-user latest table of the EVEN users joined to the per-user
+    // latest table of the ODD users on their MUTABLE event_type
+    // attribute — neither side keyed by the join key, so the join
+    // holds a MapState row index on BOTH sides and ANY update fans
+    // out across every joined partner of the other side
+    // (StreamOps.retractJoinNm / NmJoinProcessor; StreamingSpec pins
+    // both fanout directions, a both-side cross-key move, and
+    // sign-weighted folds == batch over random splits). Batch replay:
+    // the net "I" changelog — the two latest tables inner-joined on
+    // event_type, exact cents.
+    "stream_retract_join_nm" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[Ev]
+      StreamOps.retractJoinNm(ev, streaming = false).toDF()
+        .orderBy("l_user", "r_user")
+    }),
+
     // Inclusive-binding temporal join (round-15 — the reference
     // `FOR SYSTEM_TIME AS OF` parity the strict default documents as a
     // divergence): a version sharing the fact's exact timestamp BINDS
@@ -965,6 +988,28 @@ object Streaming {
         |       'I' AS kind, CAST(1 AS BIGINT) AS sign
         |FROM l JOIN r ON l.event_type = r.event_type
         |ORDER BY l.user_id""".stripMargin,
+    // N:M retract join: each parity side's latest row per user,
+    // inner-joined on the mutable event_type attribute — the net
+    // changelog of the final joined table
+    "stream_retract_join_nm" ->
+      """WITH l AS (
+        |  SELECT user_id AS l_user, event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS l_cents
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events WHERE user_id % 2 = 0)
+        |  WHERE rn = 1),
+        |r AS (
+        |  SELECT user_id AS r_user, event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS r_cents
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events WHERE user_id % 2 = 1)
+        |  WHERE rn = 1)
+        |SELECT l.l_user, r.r_user, l.event_type, l.l_cents, r.r_cents,
+        |       'I' AS kind, CAST(1 AS BIGINT) AS sign
+        |FROM l JOIN r ON l.event_type = r.event_type
+        |ORDER BY l.l_user, r.r_user""".stripMargin,
     // inclusive temporal join: versions sort BEFORE facts at equal ts
     // (the flag column), so the same strictly-preceding ROWS frame
     // binds a same-timestamp version — the FOR SYSTEM_TIME AS OF rule

@@ -294,6 +294,20 @@ case class FanoutJoinChange(user_id: Long, event_type: String,
                             user_cents: Long, type_cents: Long,
                             kind: String, sign: Long)
 
+/** One changelog row of the GENERAL N:M updating join
+  * (StreamOps.retractJoinNm — round 16, the last changelog-join
+  * shape): a (left row, right row) pair of two NON-PK changelogs
+  * joined on their mutable `event_type` attribute, arriving
+  * ("I"/"U+", sign +1) or leaving ("U-"/"D", sign -1). EITHER side
+  * updating fans out across every currently joined partner of the
+  * other side; a row whose attribute MOVES retracts every pair under
+  * the old join key and arrives under the new one. Folding
+  * sign-weighted rows yields the joined dynamic table at any stream
+  * prefix. */
+case class NmJoinChange(l_user: Long, r_user: Long, event_type: String,
+                        l_cents: Long, r_cents: Long,
+                        kind: String, sign: Long)
+
 /** Keep-last dedup state: the current best row plus whether it has
   * already been emitted (so a watermark advance without a newer row
   * does not re-emit the same survivor). */
@@ -969,6 +983,100 @@ private[streaming] class UpdatingJoinProcessor
   }
 }
 
+/** The GENERAL N:M UPDATING-JOIN processor (round 16 — Flink's full
+  * updating-table join, completing the 1:1 [[RetractJoinProcessor]]
+  * and N:1 [[UpdatingJoinProcessor]] ladder): keyed by the JOIN
+  * ATTRIBUTE (event_type), consuming the UNION of TWO non-PK upsert
+  * changelogs — each a per-user latest table whose join attribute is
+  * MUTABLE — and emitting the joined changelog. State per join key is
+  * Flink's exact shape for the general case: a MapState ROW INDEX on
+  * BOTH sides (pk -> cents), which its own scaladoc names as what the
+  * N:1 specialization avoids. Emission is the set difference of the
+  * AFFECTED joined pairs before/after the batch:
+  *  - a LEFT row changing value fans out across every currently
+  *    joined RIGHT partner of its key, and vice versa — retraction
+  *    FANOUT IN BOTH DIRECTIONS, O(touched x other side) per batch,
+  *    the price Flink's general updating join pays for the same
+  *    event;
+  *  - a row whose attribute MOVES retracts every pair under the old
+  *    join key ("D") and arrives under the new one ("I") — exact
+  *    because the join consumes CHANGELOGS (the "U-" routes to the
+  *    old key);
+  *  - pairs persisting with a changed value emit "U-"/"U+", pairs
+  *    appearing/disappearing emit "I"/"D".
+  * Snapshots are restricted to what emission needs: the FULL other-
+  * side index is read only when this side was touched — an untouched
+  * side costs nothing. Upstream changelogs are net-compacted per pk
+  * per batch ([[RetractProcessor]] on each side), so each pk
+  * contributes at most one removal and one arrival per invocation. */
+private[streaming] class NmJoinProcessor
+    extends StatefulProcessor[String, JoinFeed, NmJoinChange] {
+  @transient private var left: org.apache.spark.sql.streaming.MapState[Long, Long] = _
+  @transient private var right: org.apache.spark.sql.streaming.MapState[Long, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    left = getHandle.getMapState[Long, Long]("nml",
+      Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+    right = getHandle.getMapState[Long, Long]("nmr",
+      Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(typ: String, rows: Iterator[JoinFeed],
+                               timers: TimerValues): Iterator[NmJoinChange] = {
+    val rs = rows.toIndexedSeq
+    def removed(side: String): Set[Long] =
+      rs.filter(r => r.side == side && r.kind == "U-").map(_.pk).toSet
+    def arrived(side: String): Map[Long, Long] =
+      rs.filter(r => r.side == side && r.kind != "U-")
+        .map(r => r.pk -> r.cents).toMap
+    val (lRem, lArr) = (removed("L"), arrived("L"))
+    val (rRem, rArr) = (removed("R"), arrived("R"))
+    val lTouched = lRem ++ lArr.keySet
+    val rTouched = rRem ++ rArr.keySet
+    // snapshot only what emission scopes over: the full OTHER side is
+    // needed exactly when THIS side was touched (its changes fan out
+    // across every partner); an untouched side reads only its touched
+    // pks (none)
+    def snap(ms: org.apache.spark.sql.streaming.MapState[Long, Long],
+             full: Boolean, touched: Set[Long]): Map[Long, Long] =
+      if (full) ms.iterator().toMap
+      else touched.iterator.flatMap(k =>
+        if (ms.containsKey(k)) Some(k -> ms.getValue(k)) else None).toMap
+    val oldL = snap(left, full = rTouched.nonEmpty, lTouched)
+    val oldR = snap(right, full = lTouched.nonEmpty, rTouched)
+    // apply the batch (upsert discipline: an arrival supersedes the
+    // paired removal of the same pk)
+    lRem.foreach(u => if (!lArr.contains(u)) left.removeKey(u))
+    lArr.foreach { case (u, c) => left.updateValue(u, c) }
+    rRem.foreach(u => if (!rArr.contains(u)) right.removeKey(u))
+    rArr.foreach { case (u, c) => right.updateValue(u, c) }
+    val newL = snap(left, full = rTouched.nonEmpty, lTouched)
+    val newR = snap(right, full = lTouched.nonEmpty, rTouched)
+    // affected pairs = (touched left x all right) ∪ (all left x
+    // touched right) — O(touched x other side), never all x all
+    def pairs(lm: Map[Long, Long], rm: Map[Long, Long]
+             ): Map[(Long, Long), (Long, Long)] = {
+      val a = for ((lu, lc) <- lm if lTouched(lu); (ru, rc) <- rm)
+        yield (lu, ru) -> (lc, rc)
+      val b = for ((ru, rc) <- rm if rTouched(ru); (lu, lc) <- lm)
+        yield (lu, ru) -> (lc, rc)
+      a ++ b
+    }
+    val oldPairs = pairs(oldL, oldR)
+    val newPairs = pairs(newL, newR)
+    val out = scala.collection.mutable.ArrayBuffer.empty[NmJoinChange]
+    for (((lu, ru), (lc, rc)) <- oldPairs
+         if !newPairs.get((lu, ru)).contains((lc, rc)))
+      out += NmJoinChange(lu, ru, typ, lc, rc,
+        if (newPairs.contains((lu, ru))) "U-" else "D", -1L)
+    for (((lu, ru), (lc, rc)) <- newPairs
+         if !oldPairs.get((lu, ru)).contains((lc, rc)))
+      out += NmJoinChange(lu, ru, typ, lc, rc,
+        if (oldPairs.contains((lu, ru))) "U+" else "I", 1L)
+    out.iterator
+  }
+}
+
 private[streaming] class DedupLastProcessor
     extends StatefulProcessor[Long, Ev, LastRow] {
   @transient private var best: ValueState[LastState] = _
@@ -1500,6 +1608,69 @@ object StreamOps extends Serializable {
         .select(col("user_id"), col("event_type"), col("user_cents"),
           col("type_cents"), lit("I").as("kind"), lit(1L).as("sign"))
         .as[FanoutJoinChange]
+    }
+  }
+
+  /** The GENERAL N:M UPDATING-TABLE JOIN (round 16 — Flink's full
+    * updating join, the capstone of the retract family after
+    * [[retractJoin]]'s 1:1 and [[retractJoinFanout]]'s N:1): TWO
+    * non-PK upsert changelogs — the per-user latest table of the
+    * EVEN-id users ("L") and of the ODD-id users ("R"), two disjoint
+    * dynamic tables over the same event stream — joined on their
+    * MUTABLE `event_type` attribute. Neither side is keyed by the
+    * join attribute, so the join state must hold a per-key ROW INDEX
+    * ON BOTH SIDES (Flink's own scaladoc names this as what the N:1
+    * case avoids), and ANY update fans out across every currently
+    * joined partner of the other side — retraction fanout in BOTH
+    * directions, plus cross-key moves on EITHER side
+    * ([[NmJoinProcessor]]).
+    *
+    * Streaming topology: two [[RetractProcessor]] upsert stages (each
+    * keyed by its own pk = user_id), UNIONed and re-keyed by the join
+    * attribute into the join processor — three stateful operators,
+    * each key-partitioned on its natural key, nothing global. Output
+    * volume is the join's own: O(touched x matching other side) per
+    * update — intrinsic to N:M join semantics (the batch result is
+    * Σ_k |L_k|x|R_k|), not an implementation artifact. StreamingSpec
+    * pins both fanout directions, a both-side batch with a cross-key
+    * move, and sign-weighted folds == the batch joined table over
+    * random splits.
+    *
+    * Batch (`streaming = false`): the net changelog of the
+    * empty→final transition — the two per-user latest tables
+    * inner-joined on event_type, one "I" row per joined pair; exact
+    * integer cents, bit-equal to the streamed fold. */
+  def retractJoinNm(ev: Dataset[Ev],
+                    streaming: Boolean): Dataset[NmJoinChange] = {
+    import ev.sparkSession.implicits._
+    if (streaming) {
+      def side(tag: String, parity: Int) =
+        retractDeltas(ev.filter(_.user_id % 2 == parity), streaming = true)
+          .map(c => JoinFeed(c.event_type, tag, c.user_id,
+            // "U-" feeds carry the NEGATED old contribution (the
+            // ChangeRow convention); the join wants positive cents
+            if (c.kind == "U-") -c.delta_cents else c.delta_cents,
+            c.kind))
+      side("L", 0).union(side("R", 1))
+        .groupByKey(_.jkey)
+        .transformWithState(new NmJoinProcessor, TimeMode.None(),
+          OutputMode.Append())
+    } else {
+      def latestSide(parity: Int, uCol: String, cCol: String) =
+        ev.toDF().filter(col("user_id") % 2 === parity)
+          .groupBy(col("user_id"))
+          .agg(max_by(
+            struct(col("event_type"),
+              round(col("value") * 100).cast("long").as("cents")),
+            struct(col("ts"), col("event_id"))).as("r"))
+          .select(col("user_id").as(uCol),
+            col("r.event_type").as("event_type"), col("r.cents").as(cCol))
+      latestSide(0, "l_user", "l_cents")
+        .join(latestSide(1, "r_user", "r_cents"), "event_type")
+        .select(col("l_user"), col("r_user"), col("event_type"),
+          col("l_cents"), col("r_cents"),
+          lit("I").as("kind"), lit(1L).as("sign"))
+        .as[NmJoinChange]
     }
   }
 

@@ -1131,6 +1131,145 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("N:M retract join: both fanout directions and a both-side cross-key move") {
+    import graft.streaming.NmJoinChange
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = StreamOps.retractJoinNm(ms.toDS(), streaming = true)
+        .writeStream.format("memory").queryName("rjnm").outputMode("append").start()
+      // batch 1: L = even users {2, 4}, R = odd user {1}, all click
+      ms.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 2, "click", 10.00),
+        Ev(2, ts("2024-01-01 10:05:00"), 4, "click", 20.00),
+        Ev(3, ts("2024-01-01 10:10:00"), 1, "click", 30.00))
+      q.processAllAvailable()
+      val b1 = spark.table("rjnm").as[NmJoinChange].collect().toSet
+      assert(b1 == Set(
+          NmJoinChange(2L, 1L, "click", 1000L, 3000L, "I", 1L),
+          NmJoinChange(4L, 1L, "click", 2000L, 3000L, "I", 1L)),
+        s"batch 1 must join both left users to the right row: $b1")
+      // batch 2: RIGHT value update — fans out across every joined
+      // LEFT partner (the N:1 direction)
+      ms.addData(Ev(4, ts("2024-01-01 11:00:00"), 1, "click", 50.00))
+      q.processAllAvailable()
+      val b2 = spark.table("rjnm").as[NmJoinChange].collect().toSet -- b1
+      assert(b2 == Set(
+          NmJoinChange(2L, 1L, "click", 1000L, 3000L, "U-", -1L),
+          NmJoinChange(2L, 1L, "click", 1000L, 5000L, "U+", 1L),
+          NmJoinChange(4L, 1L, "click", 2000L, 3000L, "U-", -1L),
+          NmJoinChange(4L, 1L, "click", 2000L, 5000L, "U+", 1L)),
+        s"a right update must fan out across the left side: $b2")
+      // batch 3: a SECOND right row of the same type (genuine N:M)
+      ms.addData(Ev(5, ts("2024-01-01 11:30:00"), 3, "click", 40.00))
+      q.processAllAvailable()
+      val b3 = spark.table("rjnm").as[NmJoinChange].collect().toSet -- b1 -- b2
+      assert(b3 == Set(
+          NmJoinChange(2L, 3L, "click", 1000L, 4000L, "I", 1L),
+          NmJoinChange(4L, 3L, "click", 2000L, 4000L, "I", 1L)),
+        s"a second right row must join every left user: $b3")
+      // batch 4: LEFT value update — fans out across every joined
+      // RIGHT partner (the direction the N:1 join cannot express)
+      ms.addData(Ev(6, ts("2024-01-01 12:00:00"), 2, "click", 70.00))
+      q.processAllAvailable()
+      val b4 = spark.table("rjnm").as[NmJoinChange].collect().toSet --
+        b1 -- b2 -- b3
+      assert(b4 == Set(
+          NmJoinChange(2L, 1L, "click", 1000L, 5000L, "U-", -1L),
+          NmJoinChange(2L, 1L, "click", 7000L, 5000L, "U+", 1L),
+          NmJoinChange(2L, 3L, "click", 1000L, 4000L, "U-", -1L),
+          NmJoinChange(2L, 3L, "click", 7000L, 4000L, "U+", 1L)),
+        s"a left update must fan out across the right side: $b4")
+      // batch 5: BOTH sides move cross-key in ONE batch — u4 (L) and
+      // u1 (R) both move click -> view: every click pair touching
+      // either retracts ("D"; the untouched (2,3) pair stays), and the
+      // movers join each other under view ("I")
+      ms.addData(
+        Ev(7, ts("2024-01-01 13:00:00"), 4, "view", 30.00),
+        Ev(8, ts("2024-01-01 13:05:00"), 1, "view", 60.00))
+      drain(q)
+      val b5 = spark.table("rjnm").as[NmJoinChange].collect().toSet --
+        b1 -- b2 -- b3 -- b4
+      assert(b5 == Set(
+          NmJoinChange(4L, 1L, "click", 2000L, 5000L, "D", -1L),
+          NmJoinChange(4L, 3L, "click", 2000L, 4000L, "D", -1L),
+          NmJoinChange(2L, 1L, "click", 7000L, 5000L, "D", -1L),
+          NmJoinChange(4L, 1L, "view", 3000L, 6000L, "I", 1L)),
+        s"the both-side cross-key move must retract under click and " +
+          s"rejoin under view: $b5")
+      // the sign-weighted fold nets to the batch joined table
+      val all = Seq(
+        Ev(1, ts("2024-01-01 10:00:00"), 2, "click", 10.00),
+        Ev(2, ts("2024-01-01 10:05:00"), 4, "click", 20.00),
+        Ev(3, ts("2024-01-01 10:10:00"), 1, "click", 30.00),
+        Ev(4, ts("2024-01-01 11:00:00"), 1, "click", 50.00),
+        Ev(5, ts("2024-01-01 11:30:00"), 3, "click", 40.00),
+        Ev(6, ts("2024-01-01 12:00:00"), 2, "click", 70.00),
+        Ev(7, ts("2024-01-01 13:00:00"), 4, "view", 30.00),
+        Ev(8, ts("2024-01-01 13:05:00"), 1, "view", 60.00))
+      def tup(r: NmJoinChange) =
+        (r.l_user, r.r_user, r.event_type, r.l_cents, r.r_cents)
+      val net = spark.table("rjnm").as[NmJoinChange].collect().toSeq
+        .groupBy(tup).view.mapValues(_.map(_.sign).sum)
+        .filter(_._2 != 0L).keySet
+      val ref = StreamOps.retractJoinNm(all.toDS(), streaming = false)
+        .collect().map(tup).toSet
+      assert(net == ref && ref == Set(
+          (2L, 3L, "click", 7000L, 4000L),
+          (4L, 1L, "view", 3000L, 6000L)),
+        s"fold $net != batch $ref")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("N:M retract join over random batch splits folds to the batch table") {
+    import graft.streaming.NmJoinChange
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rnd = new scala.util.Random(20260819L)
+      val syms = Vector("click", "view", "purchase")
+      val evs = (for {
+        u <- 1 to 8
+        i <- 0 until (4 + rnd.nextInt(8))
+      } yield Ev((u * 100 + i).toLong,
+          java.sql.Timestamp.valueOf(
+            ts("2024-01-01 10:00:00").toLocalDateTime.plusMinutes(i * 31L)),
+          u.toLong, syms(rnd.nextInt(syms.size)),
+          math.floor(rnd.nextDouble() * 5000) / 100.0)).toVector
+      val shuffled = rnd.shuffle(evs)
+      def tup(r: NmJoinChange) =
+        (r.l_user, r.r_user, r.event_type, r.l_cents, r.r_cents)
+      val ref = StreamOps.retractJoinNm(evs.toDS(), streaming = false)
+        .collect().map(tup).toSet
+      val cuts = Seq.fill(3)(rnd.nextInt(shuffled.size)).sorted
+      val batches = (Seq(0) ++ cuts ++ Seq(shuffled.size)).sliding(2)
+        .collect { case Seq(a, b) if b > a => shuffled.slice(a, b) }.toSeq
+      val ms = MemoryStream[Ev]
+      val q = StreamOps.retractJoinNm(ms.toDS(), streaming = true)
+        .writeStream.format("memory").queryName("rjnmeq").outputMode("append").start()
+      batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      val net = spark.table("rjnmeq").as[NmJoinChange].collect().toSeq
+        .groupBy(tup).view.mapValues(_.map(_.sign).sum)
+        .filter(_._2 != 0L).keySet
+      assert(net == ref, s"fold $net != batch $ref")
+      assert(ref.nonEmpty)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("fanout retract join over random batch splits folds to the batch table") {
     import graft.streaming.FanoutJoinChange
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
