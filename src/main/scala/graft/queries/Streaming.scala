@@ -243,6 +243,26 @@ object Streaming {
       StreamOps.paneTwoLevel(Tables.events(s, d))
         .orderBy("window_start", "event_type")),
 
+    // The CUMULATE window TVF under readStream (round-16 — Flink
+    // SQL's growing cumulative windows, each shipping as ITS OWN end
+    // passes the watermark): the slice-assigner StatefulProcessor —
+    // per-pane MapState shared by the growing windows, one event-time
+    // timer per window end, period-end state clear
+    // (StreamOps.cumulate / CumulateProcessor; StreamingSpec pins the
+    // cross-batch growth, the empty-prefix skip, the late-drop seal,
+    // and full-replay equality). Batch replay is plan-identical to
+    // wnd_cumulate, so it shares that oracle.
+    "stream_cumulate" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[Ev]
+      StreamOps.cumulate(ev, streaming = false)
+        .orderBy("period_start", "window_end", "event_type")
+    }),
+
     "stream_custom_trigger" -> ((s, d) => {
       val sp = s
       import sp.implicits._
@@ -1032,6 +1052,9 @@ object Streaming {
     // dynamic-gap streaming sessions: batch replay is plan-identical
     // to wnd_session_dynamic, so the oracle is shared
     "stream_session_dynamic" -> EventTime.oracles("wnd_session_dynamic"),
+    // streaming CUMULATE: batch replay is plan-identical to
+    // wnd_cumulate, so the oracle is shared
+    "stream_cumulate" -> EventTime.oracles("wnd_cumulate"),
     "stream_cep_measures" -> Analytic.oracles("event_cep_measures"),
     // streaming general MEASURES: batch replay must equal the batch
     // general-MEASURES route exactly — same hand-written islands oracle

@@ -749,6 +749,74 @@ private[streaming] class PurgeFireProcessor(windowMs: Long, fireEveryMs: Long)
   }
 }
 
+/** One growing CUMULATE window's emission (StreamOps.cumulate):
+  * the [p, p+k·step) prefix aggregate of period p, sealed and emitted
+  * when the watermark passes its end. */
+case class CumulateRow(period_start: java.sql.Timestamp,
+                       window_end: java.sql.Timestamp, event_type: String,
+                       n_events: Long, sum_value: Double)
+
+/** The CUMULATE slice processor (Flink's CUMULATE window TVF under
+  * readStream — StreamOps.cumulate): keyed by (period start, type),
+  * STATE IS THE SLICES, not the windows — one MapState entry per
+  * step-sized pane (Flink's SliceAssigner design: N growing windows
+  * share their panes, so storing panes keeps state O(period/step)
+  * instead of O(windows x their contents) and each input row touches
+  * exactly ONE entry). The first row of a (period, type) arms one
+  * event-time timer per cumulative window end; each timer fires when
+  * the watermark passes that end — the EARLY-emission essence of
+  * CUMULATE (the [p, p+1h) result ships five hours before the period
+  * closes) — and emits the pane-prefix sum BELOW the fired end (no
+  * row if the prefix is empty, matching the batch explode shape which
+  * emits only nonempty windows). The period-end timer additionally
+  * clears the state: beyond it every event of the period is
+  * late-beyond-watermark and dropped by the event-time filter, so the
+  * cleared key never resurrects. Exact integer cents throughout. */
+private[streaming] class CumulateProcessor(periodSec: Long = 21600L,
+                                           stepSec: Long = 3600L)
+    extends StatefulProcessor[(Long, String), Ev, CumulateRow] {
+  @transient private var panes: org.apache.spark.sql.streaming.MapState[Long, FireAgg] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    panes = getHandle.getMapState[Long, FireAgg]("cpanes",
+      Encoders.scalaLong, Encoders.product[FireAgg], TTLConfig.NONE)
+
+  override def handleInputRows(key: (Long, String), events: Iterator[Ev],
+                               timers: TimerValues): Iterator[CumulateRow] = {
+    val firstTouch = !panes.exists()
+    events.foreach { e =>
+      val sec = Math.floorDiv(StreamOps.tsMicros(e.ts), 1000000L)
+      val h = (sec - key._1) / stepSec
+      if (panes.containsKey(h)) {
+        val cur = panes.getValue(h)
+        panes.updateValue(h,
+          FireAgg(cur.n_events + 1, cur.sum_cents + math.round(e.value * 100)))
+      } else panes.updateValue(h, FireAgg(1L, math.round(e.value * 100)))
+    }
+    // the key's first row arms ALL the period's window-end timers
+    // (state cleared at period end never resurrects — see scaladoc —
+    // so "panes was empty" is exactly "never armed")
+    if (firstTouch)
+      (1L to periodSec / stepSec).foreach(k =>
+        getHandle.registerTimer((key._1 + k * stepSec) * 1000L))
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: (Long, String), timers: TimerValues,
+                                  expired: ExpiredTimerInfo): Iterator[CumulateRow] = {
+    val endSec = expired.getExpiryTimeInMs() / 1000L
+    val k = (endSec - key._1) / stepSec
+    var (n, cents) = (0L, 0L)
+    panes.iterator().foreach { case (h, p) =>
+      if (h < k) { n += p.n_events; cents += p.sum_cents }
+    }
+    if (k >= periodSec / stepSec) panes.clear() // period sealed
+    if (n == 0L) Iterator.empty // empty prefix: batch emits no row either
+    else Iterator(CumulateRow(new java.sql.Timestamp(key._1 * 1000L),
+      new java.sql.Timestamp(endSec * 1000L), key._2, n, cents / 100.0))
+  }
+}
+
 /** Flink SQL keep-LAST-row deduplication (`ROW_NUMBER() OVER
   * (PARTITION BY key ORDER BY rowtime DESC) = 1` on an update stream) —
   * the other half of the dedup pair whose keep-first flavor is
@@ -2681,6 +2749,51 @@ object StreamOps extends Serializable {
           expr("timestamp_micros(fire_us)").as("fire_ts"), col("n_events"),
           (col("sc").cast("double") / 100).as("sum_value"))
         .as[FirePurge]
+  }
+
+  /** The CUMULATE window TVF under readStream (round 16 — Flink SQL's
+    * CUMULATE(size 6 h, step 1 h): cumulative windows sharing a period
+    * start, growing by one step — the "running daily total emitted
+    * hourly" dashboard shape, each window's result shipping AS ITS OWN
+    * END passes the watermark rather than when the period closes).
+    *
+    * Streaming: ONE stateful operator — [[CumulateProcessor]], the
+    * slice design (per-pane MapState shared by the growing windows +
+    * one event-time timer per window end). A chained two-level
+    * aggregation (the stream_pane_twolevel precedent) cannot express
+    * the growing-window assignment as its second `window()` — the
+    * cumulative ends are not a tumbling/sliding family over the pane
+    * time — so the slice processor IS the honest Spark form, exactly
+    * Flink's own implementation shape.
+    *
+    * Batch (`streaming = false`): the explode-over-window-ends shape,
+    * IDENTICAL to the declared `wnd_cumulate` query so the key shares
+    * its oracle; StreamingSpec pins cross-batch growth (an early
+    * window emits in an earlier micro-batch; the later cumulative
+    * window counts the same events again), the empty-prefix skip, the
+    * late-drop seal, and full-replay equality with this batch twin. */
+  def cumulate(ev: Dataset[Ev], streaming: Boolean): DataFrame = {
+    import ev.sparkSession.implicits._
+    if (streaming)
+      ev.withWatermark("ts", "10 minutes")
+        .groupByKey(e => (Math.floorDiv(
+          Math.floorDiv(tsMicros(e.ts), 1000000L), 21600L) * 21600L,
+          e.event_type))
+        .transformWithState(new CumulateProcessor(), TimeMode.EventTime(),
+          OutputMode.Append())
+        .toDF()
+    else
+      ev.toDF()
+        .withColumn("period_start", timestamp_seconds(
+          expr("(unix_timestamp(ts) div 21600) * 21600")))
+        .withColumn("hr_in_period",
+          expr("cast((unix_timestamp(ts) - unix_timestamp(period_start)) div 3600 as int)"))
+        .withColumn("w_end_hr", explode(expr("sequence(hr_in_period + 1, 6)")))
+        .withColumn("window_end", timestamp_seconds(
+          unix_timestamp(col("period_start")) + col("w_end_hr") * 3600))
+        .groupBy("period_start", "window_end", "event_type")
+        .agg(count(lit(1)).as("n_events"),
+          Det.sumMoney(col("value")).as("sum_value"))
   }
 
   /** Single-pass side-output routing (Flink `OutputTag` beyond late

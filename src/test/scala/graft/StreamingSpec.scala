@@ -1131,6 +1131,88 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("CUMULATE under readStream: cross-batch growth, empty-prefix skip, late drop, replay equality") {
+    import graft.streaming.CumulateRow
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sp = spark
+      import sp.implicits._
+      val ms = MemoryStream[Ev]
+      val q = StreamOps.cumulate(ms.toDS(), streaming = true)
+        .writeStream.format("memory").queryName("cum").outputMode("append").start()
+      def rows() = spark.table("cum").as[CumulateRow].collect().toSet
+      val p06 = ts("2024-01-01 06:00:00")
+      val p12 = ts("2024-01-01 12:00:00")
+      // batch 1: two clicks in hour 0 of the 06:00 period — watermark
+      // (06:30) is before the first window end, nothing seals yet
+      ms.addData(
+        Ev(1, ts("2024-01-01 06:10:00"), 1, "click", 10.00),
+        Ev(2, ts("2024-01-01 06:40:00"), 2, "click", 5.00))
+      q.processAllAvailable()
+      assert(rows().isEmpty, "no window end is past the watermark yet")
+      // batch 2: hour-2 click pushes the watermark to 08:20 — the
+      // [06,07) and [06,08) windows seal EARLY (five hours before the
+      // period closes), counting only the hour-0 panes
+      ms.addData(Ev(3, ts("2024-01-01 08:30:00"), 1, "click", 20.00))
+      q.processAllAvailable()
+      val b2 = rows()
+      assert(b2 == Set(
+          CumulateRow(p06, ts("2024-01-01 07:00:00"), "click", 2L, 15.0),
+          CumulateRow(p06, ts("2024-01-01 08:00:00"), "click", 2L, 15.0)),
+        s"early cumulative windows must seal on the watermark: $b2")
+      // batch 3: next-period event seals the rest of period 06 — the
+      // GROWING windows now include batch 2's hour-2 event the early
+      // ones could not see (cross-batch growth), and k=6 clears state
+      ms.addData(Ev(4, ts("2024-01-01 12:30:00"), 1, "click", 7.00))
+      q.processAllAvailable()
+      val b3 = rows() -- b2
+      assert(b3 == Set(
+          CumulateRow(p06, ts("2024-01-01 09:00:00"), "click", 3L, 35.0),
+          CumulateRow(p06, ts("2024-01-01 10:00:00"), "click", 3L, 35.0),
+          CumulateRow(p06, ts("2024-01-01 11:00:00"), "click", 3L, 35.0),
+          CumulateRow(p06, ts("2024-01-01 12:00:00"), "click", 3L, 35.0)),
+        s"later windows must grow past the early emission: $b3")
+      // batch 4: an hour-0 event arriving BEYOND the watermark is
+      // dropped — the sealed early windows stay sealed
+      ms.addData(Ev(5, ts("2024-01-01 06:20:00"), 3, "click", 99.00))
+      q.processAllAvailable()
+      assert((rows() -- b2 -- b3).isEmpty,
+        "a late-beyond-watermark event must not reopen sealed windows")
+      // batch 5: far-future event seals period 12 (six growing windows
+      // over its single hour-0 pane); its own period's first window
+      // ends before any pane with data — the EMPTY PREFIX emits no row
+      // (the batch explode shape emits none either)
+      ms.addData(Ev(6, ts("2024-01-01 20:00:00"), 1, "click", 1.00))
+      drain(q)
+      val b5 = rows() -- b2 -- b3
+      assert(b5 == (1 to 6).map(k =>
+          CumulateRow(p12, ts(f"2024-01-01 ${12 + k}%02d:00:00"), "click",
+            1L, 7.0)).toSet,
+        s"period 12 must seal its six growing windows: $b5")
+      // full-replay equality: the streamed output equals the batch
+      // twin over the NON-LATE events, restricted to sealed ends
+      // (watermark 19:50) — wnd_cumulate's own shape, shared oracle
+      val replay = StreamOps.cumulate(Seq(
+          Ev(1, ts("2024-01-01 06:10:00"), 1, "click", 10.00),
+          Ev(2, ts("2024-01-01 06:40:00"), 2, "click", 5.00),
+          Ev(3, ts("2024-01-01 08:30:00"), 1, "click", 20.00),
+          Ev(4, ts("2024-01-01 12:30:00"), 1, "click", 7.00),
+          Ev(6, ts("2024-01-01 20:00:00"), 1, "click", 1.00)).toDS(),
+          streaming = false)
+        .filter(org.apache.spark.sql.functions.col("window_end") <=
+          org.apache.spark.sql.functions.lit(ts("2024-01-01 19:50:00")))
+        .as[CumulateRow].collect().toSet
+      assert(rows() == replay, s"stream ${rows()} != batch replay $replay")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("N:M retract join: both fanout directions and a both-side cross-key move") {
     import graft.streaming.NmJoinChange
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
