@@ -1274,6 +1274,79 @@ object Cep {
       s"(SELECT *, ${pattern.caseSql} AS __dsym FROM $table)",
       keyCol, tsCol, ordCol, "__dsym")
 
+  /** TRAILING notFollowedBy under a WITHIN window — Flink's
+    * `Pattern...notFollowedBy(x).within(w)` (legal in Flink only WITH
+    * the window, since 1.16) and, framed the other way, the CEP
+    * TIMEOUT SIDE OUTPUT (`PatternStream.select(timeoutTag,
+    * PatternTimeoutFunction, ...)`): a partial match whose window
+    * expires before the next step arrives IS a match of the positive
+    * prefix with the forbidden continuation absent until the deadline.
+    *
+    * Composition, not a matcher change: the POSITIVE pattern runs
+    * through [[compile]] unchanged (so the CepPattern constructor's
+    * "negation must sit between positive steps" guard stays — this
+    * wrapper is the one legal trailing form, and it demands the
+    * window), then matches are anti-joined against `negSymbol` rows
+    * falling STRICTLY AFTER the match's last consumed row — in the
+    * matcher's own (ts, ord) total order, so a same-timestamp
+    * forbidden row is ordered by `ordCol`, deterministically — and at
+    * or before the match-start deadline `start_ts + within`. Flink
+    * emits these matches when the watermark passes the deadline;
+    * batch over a closed dataset evaluates the same predicate
+    * directly. `deadlineCol` (the timeout framing) appends that
+    * deadline as an output column.
+    *
+    * Scale: the anti-join shuffles on the key both sides, the
+    * negSymbol side is filtered at the scan (one symbol of the event
+    * volume), and the time bounds make state per key O(window) under
+    * the streaming twin — no new quadratic term next to [[compile]]'s
+    * own stages.
+    */
+  def compileNotEnd(df: DataFrame, keyCol: String, tsCol: String,
+                    ordCol: String, symCol: String, pattern: CepPattern,
+                    negSymbol: String,
+                    deadlineCol: Option[String] = None): DataFrame = {
+    val w = pattern.withinMinutes.getOrElse(throw new IllegalArgumentException(
+      "a trailing notFollowedBy needs WITHIN: without a window the " +
+        "absence of the forbidden event is undecidable on an unbounded " +
+        "stream (Flink rejects the un-windowed shape for the same reason)"))
+    val m = compile(df, keyCol, tsCol, ordCol, symCol, pattern)
+    val neg = df.filter(col(symCol).cast("string") === negSymbol)
+      .select(col(keyCol).as("__nk"), col(tsCol).as("__nts"),
+        col(ordCol).as("__nord"))
+    val survived = m.join(neg,
+      m(keyCol) === col("__nk") &&
+        (col("__nts") > col("end_ts") ||
+          (col("__nts") === col("end_ts") && col("__nord") > col("end_id"))) &&
+        col("__nts") <= col("start_ts") + expr(s"INTERVAL $w MINUTES"),
+      "left_anti")
+    deadlineCol.fold(survived)(dc =>
+      survived.withColumn(dc, col("start_ts") + expr(s"INTERVAL $w MINUTES")))
+  }
+
+  /** The DuckDB replay of [[compileNotEnd]]: the positive pattern's
+    * generated oracle wrapped in the same (ts, ord)-ordered,
+    * deadline-bounded NOT EXISTS. */
+  def oracleSqlNotEnd(pattern: CepPattern, negSymbol: String,
+                      deadlineCol: Option[String] = None,
+                      table: String = "events", keyCol: String = "user_id",
+                      tsCol: String = "ts", ordCol: String = "event_id",
+                      symCol: String = "event_type"): String = {
+    val w = pattern.withinMinutes.getOrElse(
+      throw new IllegalArgumentException("trailing notFollowedBy needs WITHIN"))
+    val dl = deadlineCol
+      .map(dc => s", m.start_ts + INTERVAL $w MINUTE AS $dc").getOrElse("")
+    s"""SELECT m.*$dl FROM (
+       |${oracleSql(pattern, table, keyCol, tsCol, ordCol, symCol)}
+       |) m WHERE NOT EXISTS (
+       |  SELECT 1 FROM $table e
+       |  WHERE e.$keyCol = m.$keyCol AND e.$symCol = '$negSymbol'
+       |    AND (CAST(e.$tsCol AS TIMESTAMP) > m.end_ts OR
+       |         (CAST(e.$tsCol AS TIMESTAMP) = m.end_ts AND e.$ordCol > m.end_id))
+       |    AND CAST(e.$tsCol AS TIMESTAMP) <= m.start_ts + INTERVAL $w MINUTE)
+       |ORDER BY m.$keyCol, m.start_id""".stripMargin
+  }
+
   /** The DuckDB replay of [[compile]] — the SAME gaps-and-islands
     * construction generated from the SAME pattern object, so the whole
     * algorithm (runs, alignment, greedy prefix/suffix, WITHIN, skip

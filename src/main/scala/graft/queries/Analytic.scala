@@ -321,6 +321,31 @@ object Analytic {
           "event_type", CepPatterns.negated)
         .orderBy("user_id", "start_id")),
 
+    // TRAILING notFollowedBy + WITHIN (Flink allows a pattern to END
+    // in notFollowedBy only when within() bounds it — supported since
+    // Flink 1.16): view{1,} click{1,2} !purchase WITHIN 24 h, relaxed —
+    // funnels that browsed and clicked but never purchased before the
+    // deadline. Composed, not a matcher change: Cep.compileNotEnd runs
+    // the positive prefix through the gaps-and-islands compiler and
+    // anti-joins purchases in ((end_ts, end_id), start_ts + 24 h] —
+    // the matcher's own (ts, ord) order decides same-timestamp ties.
+    "event_cep_not_end" -> ((s, d) =>
+      Cep.compileNotEnd(Tables.events(s, d), "user_id", "ts", "event_id",
+          "event_type", CepPatterns.notEndPrefix, "purchase")
+        .orderBy("user_id", "start_id")),
+
+    // CEP TIMEOUT SIDE OUTPUT (Flink PatternStream.select(timeoutTag,
+    // PatternTimeoutFunction, ...)): signup followedBy purchase WITHIN
+    // 12 h — this key is the TIMED-OUT partial matches, one per signup
+    // whose window expired with no purchase, with the deadline the
+    // streaming twin's event-time timer fires at. Same composition as
+    // event_cep_not_end with a single-step positive prefix.
+    "event_cep_timeout" -> ((s, d) =>
+      Cep.compileNotEnd(Tables.events(s, d), "user_id", "ts", "event_id",
+          "event_type", CepPatterns.timeoutPrefix, "purchase",
+          deadlineCol = Some("timeout_deadline"))
+        .orderBy("user_id", "start_id")),
+
     // RELUCTANT quantifier (Flink's greedy toggle, MATCH_RECOGNIZE
     // {m,n}?): same steps as event_cep_quant but the unbounded tail
     // consumes the FEWEST purchases instead of the most — compare the
@@ -1027,6 +1052,20 @@ object Analytic {
     val negated = CepPattern(Seq(CepStep("view", 1, None),
       CepStep("click", negated = true), CepStep("purchase", 1, None)),
       Some(1440), SkipToNextRow, strict = false)
+    // TRAILING negation positive prefixes (see event_cep_not_end /
+    // event_cep_timeout): the forbidden continuation symbol lives
+    // outside the pattern object — Cep.compileNotEnd composes it as
+    // the deadline-bounded anti-join, so the constructor's
+    // interior-negation guard stays intact
+    val notEndPrefix = CepPattern(Seq(CepStep("view", 1, None),
+      CepStep("click", 1, Some(2))), Some(1440), SkipToNextRow,
+      strict = false)
+    // the timed-out partial: the first two funnel steps matched, the
+    // purchase pending when the 12 h window expires (CepPattern keeps
+    // its >= 2 steps guard — a 1-step "partial" is just a filter)
+    val timeoutPrefix = CepPattern(Seq(CepStep("signup", 1, Some(1)),
+      CepStep("click", 1, Some(1))), Some(720), SkipToNextRow,
+      strict = false)
     // quant with a reluctant tail (see event_cep_reluctant)
     val reluctant = CepPattern(Seq(CepStep("signup", 2, None),
       CepStep("view", 1, Some(2)),
@@ -2707,6 +2746,11 @@ object Analytic {
     "event_cep_tonext" -> Cep.oracleSql(CepPatterns.tonext),
     "event_cep_relaxed" -> Cep.oracleSql(CepPatterns.relaxed),
     "event_cep_negated" -> Cep.oracleSql(CepPatterns.negated),
+    "event_cep_not_end" ->
+      Cep.oracleSqlNotEnd(CepPatterns.notEndPrefix, "purchase"),
+    "event_cep_timeout" ->
+      Cep.oracleSqlNotEnd(CepPatterns.timeoutPrefix, "purchase",
+        deadlineCol = Some("timeout_deadline")),
     "event_cep_where" -> Cep.oracleSqlWhere(CepPatterns.where),
     "event_cep_until" -> Cep.oracleSqlWhere(CepPatterns.untilPat),
     "event_cep_any" -> Cep.oracleSql(CepPatterns.any),

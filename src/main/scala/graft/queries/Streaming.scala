@@ -895,6 +895,27 @@ object Streaming {
       StreamOps.cepRunThenFinal(ev, withinMinutes = 10)
         .toDF()
         .orderBy("user_id", "purchase_id")
+    }),
+
+    // CEP TIMEOUT SIDE OUTPUT under readStream (Flink
+    // PatternStream.select(timeoutTag, PatternTimeoutFunction, ...)):
+    // signup → click partial matches whose 12 h window expires with no
+    // purchase, emitted by event-time timers at their deadlines
+    // (StreamOps.cepTimeout / CepTimeoutProcessor; StreamingSpec pins
+    // the cross-batch cancellation, the timer-gated emission, the
+    // same-timestamp tie, and full-replay equality). Batch replay is
+    // row-identical to event_cep_timeout's anti-join, sharing its
+    // generated oracle.
+    "stream_cep_timeout" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Ev]
+      StreamOps.cepTimeout(ev, Analytic.CepPatterns.timeoutPrefix,
+          "purchase", streaming = false)
+        .toDF()
+        .orderBy("user_id", "start_id")
     })
   )
 
@@ -1055,6 +1076,8 @@ object Streaming {
     // streaming CUMULATE: batch replay is plan-identical to
     // wnd_cumulate, so the oracle is shared
     "stream_cumulate" -> EventTime.oracles("wnd_cumulate"),
+    // CEP timeout batch replay = the batch anti-join's generated oracle
+    "stream_cep_timeout" -> Analytic.oracles("event_cep_timeout"),
     "stream_cep_measures" -> Analytic.oracles("event_cep_measures"),
     // streaming general MEASURES: batch replay must equal the batch
     // general-MEASURES route exactly — same hand-written islands oracle

@@ -77,6 +77,27 @@ private[streaming] case class BucketFirst(first_id: Long, sig: Seq[Long])
 /** General-CEP keyed state: the unconsumed (sym, tsUs, ord) buffer tail. */
 private[streaming] case class CepPatState(syms: Seq[String], ts: Seq[Long], ords: Seq[Long])
 
+/** One TIMED-OUT partial match (StreamOps.cepTimeout / api.Cep
+  * .compileNotEnd with a deadline column — Flink's CEP timeout side
+  * output): the positive prefix's match columns plus the deadline the
+  * event-time timer fired at (start_ts + WITHIN). */
+case class CepTimeoutMatch(user_id: Long, start_id: Long,
+                           start_ts: java.sql.Timestamp, end_id: Long,
+                           end_ts: java.sql.Timestamp, n_rows: Long,
+                           step_counts: String,
+                           timeout_deadline: java.sql.Timestamp)
+
+/** A sealed positive-prefix match awaiting its timeout deadline: the
+  * match columns in micros/ord form plus the deadline; cancelled (and
+  * removed) by a forbidden-symbol row in ((end_ts, end_id),
+  * deadline], emitted by the deadline timer otherwise. One entry per
+  * pending match, keyed by start ord — O(pending) state per user,
+  * pruned at every resolution. */
+private[streaming] case class PendingTimeout(startTsUs: Long, endTsUs: Long,
+                                             endOrd: Long, nRows: Long,
+                                             stepCounts: String,
+                                             deadlineUs: Long)
+
 /** General-CEP keyed state for the MEASURES matcher: the buffer tail
   * WITH row values (the aggregates read them at seal time) plus the
   * per-key sealed-match counter (MATCH_NUMBER must keep counting
@@ -814,6 +835,106 @@ private[streaming] class CumulateProcessor(periodSec: Long = 21600L,
     if (n == 0L) Iterator.empty // empty prefix: batch emits no row either
     else Iterator(CumulateRow(new java.sql.Timestamp(key._1 * 1000L),
       new java.sql.Timestamp(endSec * 1000L), key._2, n, cents / 100.0))
+  }
+}
+
+/** The CEP TIMEOUT processor (Flink `PatternStream.select(timeoutTag,
+  * PatternTimeoutFunction, ...)` / a pattern ENDING in notFollowedBy
+  * under within() — the streaming twin of api.Cep.compileNotEnd):
+  *
+  *  - the positive prefix runs on the SAME seal-aware buffer scan as
+  *    [[StreamOps.cepPattern]] (state holds rows from the first
+  *    undecided anchor; sealedScan emits each match exactly once);
+  *  - a sealed match becomes a PENDING candidate with deadline =
+  *    start_ts + within, cancelled by any `negSymbol` row in
+  *    ((end_ts, end_id), deadline] — the (ts, ord) total order
+  *    decides same-timestamp ties, exactly as the batch anti-join;
+  *  - an uncancelled candidate emits when the EVENT-TIME TIMER at its
+  *    deadline fires (the watermark passed it — Flink's timeout
+  *    emission), or immediately at seal time if the watermark already
+  *    has.
+  *
+  * Cancellation never misses across batches: buffer trimming drops
+  * only rows BEFORE the first undecided anchor, and any cancelling
+  * row of a future candidate sits at or after that candidate's end —
+  * after every trim point — so it is either still in the buffer when
+  * the candidate seals (checked at seal) or arrives later (checked
+  * against the pending index on arrival). A negSymbol row arriving
+  * after the watermark passed a deadline is late-beyond-watermark —
+  * the emitted timeout stands, the same late-data contract as every
+  * watermarked operator here. State per user: the undecided-anchor
+  * buffer tail plus O(pending) small tuples, both pruned every
+  * resolution. */
+private[streaming] class CepTimeoutProcessor(pattern: CepPattern,
+                                             negSymbol: String)
+    extends StatefulProcessor[Long, Ev, CepTimeoutMatch] {
+  @transient private var buf: ValueState[CepPatState] = _
+  @transient private var pending: org.apache.spark.sql.streaming.MapState[Long, PendingTimeout] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    buf = getHandle.getValueState[CepPatState]("ctbuf",
+      Encoders.product[CepPatState], TTLConfig.NONE)
+    pending = getHandle.getMapState[Long, PendingTimeout]("ctpend",
+      Encoders.scalaLong, Encoders.product[PendingTimeout], TTLConfig.NONE)
+  }
+
+  private def afterEnd(tsUs: Long, ord: Long, endTsUs: Long, endOrd: Long): Boolean =
+    tsUs > endTsUs || (tsUs == endTsUs && ord > endOrd)
+
+  private def emit(key: Long, startOrd: Long, p: PendingTimeout): CepTimeoutMatch =
+    CepTimeoutMatch(key, startOrd, StreamOps.microsTs(p.startTsUs), p.endOrd,
+      StreamOps.microsTs(p.endTsUs), p.nRows, p.stepCounts,
+      StreamOps.microsTs(p.deadlineUs))
+
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+                               timers: TimerValues): Iterator[CepTimeoutMatch] = {
+    val wUs = pattern.withinUs.getOrElse(throw new IllegalArgumentException(
+      "cepTimeout needs WITHIN — an un-windowed timeout never fires"))
+    val fresh = rows.map(e =>
+      CepEvent(e.event_type, StreamOps.tsMicros(e.ts), e.event_id)).toIndexedSeq
+    val buf0 = (if (buf.exists()) Some(buf.get()) else None)
+      .map(s => s.syms.indices.map(i => CepEvent(s.syms(i), s.ts(i), s.ords(i))))
+      .getOrElse(Seq.empty)
+    val evs = (buf0 ++ fresh).sortBy(e => (e.tsUs, e.ord)).toIndexedSeq
+    // fresh forbidden rows first: they can cancel candidates pending
+    // from EARLIER batches (new candidates check the full buffer below)
+    fresh.filter(_.sym == negSymbol).foreach { r =>
+      pending.iterator().toSeq.foreach { case (sid, p) =>
+        if (afterEnd(r.tsUs, r.ord, p.endTsUs, p.endOrd) && r.tsUs <= p.deadlineUs)
+          pending.removeKey(sid)
+      }
+    }
+    val (matches, resume) = StreamOps.sealedScan(evs, pattern)
+    val out = scala.collection.mutable.ArrayBuffer.empty[CepTimeoutMatch]
+    matches.foreach { m =>
+      val (start, end) = (evs(m.startIdx), evs(m.endIdx))
+      val deadlineUs = start.tsUs + wUs
+      val cancelled = evs.exists(r => r.sym == negSymbol &&
+        afterEnd(r.tsUs, r.ord, end.tsUs, end.ord) && r.tsUs <= deadlineUs)
+      if (!cancelled) {
+        val p = PendingTimeout(start.tsUs, end.tsUs, end.ord,
+          m.nRows.toLong, m.stepCounts.mkString(","), deadlineUs)
+        if (deadlineUs / 1000L <= timers.getCurrentWatermarkInMs())
+          out += emit(key, start.ord, p) // sealed past its own deadline
+        else {
+          pending.updateValue(start.ord, p)
+          getHandle.registerTimer(deadlineUs / 1000L)
+        }
+      }
+    }
+    val keep = evs.drop(resume)
+    if (keep.isEmpty) buf.clear()
+    else buf.update(CepPatState(keep.map(_.sym), keep.map(_.tsUs), keep.map(_.ord)))
+    out.iterator
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                  expired: ExpiredTimerInfo): Iterator[CepTimeoutMatch] = {
+    val ms = expired.getExpiryTimeInMs()
+    val due = pending.iterator().filter(_._2.deadlineUs / 1000L <= ms)
+      .toSeq.sortBy(_._1)
+    due.foreach { case (sid, _) => pending.removeKey(sid) }
+    due.iterator.map { case (sid, p) => emit(key, sid, p) }
   }
 }
 
@@ -2241,6 +2362,42 @@ object StreamOps extends Serializable {
               keep.map(_.ord)))
             matches.iterator.map(mk(user, evs, _))
           }
+      }
+  }
+
+  /** CEP timeout side output under readStream (see
+    * [[CepTimeoutProcessor]]): sealed positive-prefix matches whose
+    * within-window expired with no `negSymbol` continuation, emitted
+    * by event-time timers at their deadlines. Batch replay
+    * (streaming = false): the reference matcher over the closed
+    * per-user sequence with the same deadline-bounded forbidden-row
+    * filter — row-identical to api.Cep.compileNotEnd's anti-join, so
+    * the declared key shares event_cep_timeout's generated oracle. */
+  def cepTimeout(ev: Dataset[Ev], pattern: CepPattern, negSymbol: String,
+                 streaming: Boolean): Dataset[CepTimeoutMatch] = {
+    import ev.sparkSession.implicits._
+    val wUs = pattern.withinUs.getOrElse(throw new IllegalArgumentException(
+      "cepTimeout needs WITHIN — an un-windowed timeout never fires"))
+    if (streaming)
+      ev.withWatermark("ts", "10 minutes")
+        .groupByKey(_.user_id)
+        .transformWithState(new CepTimeoutProcessor(pattern, negSymbol),
+          TimeMode.EventTime(), OutputMode.Append())
+    else
+      ev.groupByKey(_.user_id).flatMapGroups { (user: Long, it: Iterator[Ev]) =>
+        val evs = it.map(e => CepEvent(e.event_type, tsMicros(e.ts), e.event_id))
+          .toIndexedSeq.sortBy(e => (e.tsUs, e.ord))
+        Cep.matchSequence(evs, pattern).iterator.flatMap { m =>
+          val (start, end) = (evs(m.startIdx), evs(m.endIdx))
+          val deadlineUs = start.tsUs + wUs
+          val cancelled = evs.exists(r => r.sym == negSymbol &&
+            (r.tsUs > end.tsUs || (r.tsUs == end.tsUs && r.ord > end.ord)) &&
+            r.tsUs <= deadlineUs)
+          if (cancelled) None
+          else Some(CepTimeoutMatch(user, start.ord, microsTs(start.tsUs),
+            end.ord, microsTs(end.tsUs), m.nRows.toLong,
+            m.stepCounts.mkString(","), microsTs(deadlineUs)))
+        }
       }
   }
 

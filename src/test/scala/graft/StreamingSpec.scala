@@ -1131,6 +1131,89 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("CEP timeout side output: cross-batch cancellation, timer emission, tie order, replay equality") {
+    import graft.streaming.CepTimeoutMatch
+    val prefix = graft.queries.Analytic.CepPatterns.timeoutPrefix
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = StreamOps.cepTimeout(ms.toDS(), prefix, "purchase", streaming = true)
+        .writeStream.format("memory").queryName("ctimeout")
+        .outputMode("append").start()
+      def rows() = spark.table("ctimeout").as[CepTimeoutMatch].collect().toSet
+      // batch 1: user 1's partial (signup→click) seals — deadline
+      // 18:00, watermark 06:00 — nothing may emit yet
+      ms.addData(
+        Ev(1, ts("2024-01-01 06:00:00"), 1, "signup", 1.0),
+        Ev(2, ts("2024-01-01 06:10:00"), 1, "click", 2.0))
+      q.processAllAvailable()
+      assert(rows().isEmpty, "a pending partial must not emit before its deadline")
+      // batch 2: user 1's purchase CANCELS the candidate pending from
+      // batch 1 (the cross-batch pending-index path); user 2 seals its
+      // own partial (deadline 19:00); users 4/5 pin the same-timestamp
+      // tie — the purchase cancels iff its ord is AFTER the click's
+      ms.addData(
+        Ev(3, ts("2024-01-01 10:00:00"), 1, "purchase", 50.0),
+        Ev(4, ts("2024-01-01 07:00:00"), 2, "signup", 1.0),
+        Ev(5, ts("2024-01-01 07:05:00"), 2, "click", 2.0),
+        Ev(7, ts("2024-01-01 08:00:00"), 4, "signup", 1.0),
+        Ev(8, ts("2024-01-01 08:05:00"), 4, "click", 2.0),
+        Ev(9, ts("2024-01-01 08:05:00"), 4, "purchase", 3.0),
+        Ev(11, ts("2024-01-01 08:00:00"), 5, "signup", 1.0),
+        Ev(10, ts("2024-01-01 08:05:00"), 5, "purchase", 3.0),
+        Ev(12, ts("2024-01-01 08:05:00"), 5, "click", 2.0))
+      q.processAllAvailable()
+      assert(rows().isEmpty,
+        "no deadline has passed the watermark (09:50) — cancels and pendings only")
+      // batch 3: watermark 19:20 passes user 2's 19:00 deadline — its
+      // timer fires; user 5 (deadline 20:00) stays pending; users 1
+      // and 4 were cancelled and must never emit
+      ms.addData(Ev(13, ts("2024-01-01 19:30:00"), 9, "view", 0.0))
+      q.processAllAvailable()
+      val b3 = rows()
+      assert(b3 == Set(CepTimeoutMatch(2L, 4L, ts("2024-01-01 07:00:00"), 5L,
+          ts("2024-01-01 07:05:00"), 2L, "1,1", ts("2024-01-01 19:00:00"))),
+        s"only user 2's timeout is due at watermark 19:20: $b3")
+      // batch 4: watermark 21:50 passes user 5's deadline — the
+      // same-timestamp purchase with the SMALLER ord did not cancel
+      ms.addData(Ev(14, ts("2024-01-01 22:00:00"), 9, "view", 0.0))
+      drain(q)
+      val b4 = rows() -- b3
+      assert(b4 == Set(CepTimeoutMatch(5L, 11L, ts("2024-01-01 08:00:00"), 12L,
+          ts("2024-01-01 08:05:00"), 2L, "1,1", ts("2024-01-01 20:00:00"))),
+        s"user 5's tie-ordered timeout must emit once due: $b4")
+      // full-replay equality: batch twin over the same (non-late)
+      // events, restricted to deadlines the final watermark sealed
+      val all = Seq(
+        Ev(1, ts("2024-01-01 06:00:00"), 1, "signup", 1.0),
+        Ev(2, ts("2024-01-01 06:10:00"), 1, "click", 2.0),
+        Ev(3, ts("2024-01-01 10:00:00"), 1, "purchase", 50.0),
+        Ev(4, ts("2024-01-01 07:00:00"), 2, "signup", 1.0),
+        Ev(5, ts("2024-01-01 07:05:00"), 2, "click", 2.0),
+        Ev(7, ts("2024-01-01 08:00:00"), 4, "signup", 1.0),
+        Ev(8, ts("2024-01-01 08:05:00"), 4, "click", 2.0),
+        Ev(9, ts("2024-01-01 08:05:00"), 4, "purchase", 3.0),
+        Ev(11, ts("2024-01-01 08:00:00"), 5, "signup", 1.0),
+        Ev(10, ts("2024-01-01 08:05:00"), 5, "purchase", 3.0),
+        Ev(12, ts("2024-01-01 08:05:00"), 5, "click", 2.0),
+        Ev(13, ts("2024-01-01 19:30:00"), 9, "view", 0.0),
+        Ev(14, ts("2024-01-01 22:00:00"), 9, "view", 0.0))
+      val replay = StreamOps.cepTimeout(all.toDS(), prefix, "purchase",
+          streaming = false)
+        .filter(org.apache.spark.sql.functions.col("timeout_deadline") <=
+          org.apache.spark.sql.functions.lit(ts("2024-01-01 21:50:00")))
+        .collect().toSet
+      assert(rows() == replay, s"stream ${rows()} != batch replay $replay")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("CUMULATE under readStream: cross-batch growth, empty-prefix skip, late drop, replay equality") {
     import graft.streaming.CumulateRow
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
