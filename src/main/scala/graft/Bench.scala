@@ -82,9 +82,22 @@ object Bench {
     * event_cep x1.46 — both back at their committed level on the
     * same-binary BENCH_SCALE re-measure) sat UNDER the old 2x trigger;
     * at 1.4x both get adjudicated on the quiesced pool instead of
-    * shipping as movers. */
-  private[graft] def isolationNeeded(minOfTrials: Double, committed: Option[Double]): Boolean =
-    committed.exists(c => c > 1e-9 && minOfTrials > 1.4 * c && minOfTrials - c > 0.2)
+    * shipping as movers.
+    *
+    * Round-16 (VERDICT r15 item 3 — the cheap-key blind spot): six
+    * ~0.3 s keys drifted 1.4-1.8x in the contended r15 sweep but sat
+    * UNDER the 0.2 s absolute floor, so they shipped as movers
+    * un-adjudicated. The floor exists only to keep CLEAN-run scheduler
+    * jitter (trials agree, min just lands high) from triggering a
+    * pointless re-measure — but a drift whose trials DISAGREE
+    * (post-retry spread > 0.3) is the contention signature itself, so
+    * the spread waives the absolute floor: the 1.4x ratio alone sends
+    * the key to the quiesced pool. A micro-key whose two trials agree
+    * at a slightly-higher level still stays out. */
+  private[graft] def isolationNeeded(minOfTrials: Double, committed: Option[Double],
+                                     postRetrySpread: Double = 0.0): Boolean =
+    committed.exists(c => c > 1e-9 && minOfTrials > 1.4 * c &&
+      (minOfTrials - c > 0.2 || postRetrySpread > 0.3))
 
   /** The spread-forced isolated trial (VERDICT r9 bench-hygiene note,
     * tightened with r14's contended sweep): a POST-RETRY spread above
@@ -185,7 +198,7 @@ object Bench {
       val secs = ts.map(_._1)
       val mn = secs.min
       val postRetrySpread = spreadOf(secs)
-      if (isolationNeeded(mn, committed.get(name))) {
+      if (isolationNeeded(mn, committed.get(name), postRetrySpread)) {
         System.err.println(f"[bench] isolated $name (min $mn%.3f vs committed ${committed(name)}%.3f)")
         Some(name -> isolatedMeasure(name))
       } else if (spreadForcesIsolation(postRetrySpread)) {

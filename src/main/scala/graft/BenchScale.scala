@@ -98,7 +98,15 @@ object BenchScale {
     // ... and the round-15 late additions: the N:1 fanout join's batch
     // replay (two latest tables + key join) and the capped-graph
     // triangle count (wedge volume Σ deg² bounded by the cap)
-    "stream_retract_join_fanout", "graph_triangles")
+    "stream_retract_join_fanout", "graph_triangles",
+    // round-16: the N:M updating join's batch replay (two latest
+    // tables inner-joined on the mutable attribute — the join OUTPUT
+    // itself is the quadratic-risk term, bounded here by per-type
+    // group sizes replicating per copy), the CUMULATE TVF batch twin
+    // (slice panes + growing-window rollup), and dangling-mass
+    // PageRank (adds one scalar aggregate + broadcast per round to
+    // the fixed-round loop)
+    "stream_retract_join_nm", "stream_cumulate", "graph_pagerank_dangling")
 
   /** Second measured decade (VERDICT r9 item 6): the STEEPEST keys of
     * the 10x sweep re-measured over a 100x slice, so their exponents
@@ -125,10 +133,18 @@ object BenchScale {
     "graph_pagerank",
     // round-15 (VERDICT r14 item 8): the event-time keys over the
     // second decade — the 100x slice now writes events too (V4).
-    // graph_pagerank_converged stays at one decade by design: its ppm
-    // scale floors base to 0 past n ~ 6.7e4 nodes (the API rejects
-    // that loudly; production raises scale with n)
-    "ts_interp_linear", "stream_temporal_join", "stream_retract_agg")
+    "ts_interp_linear", "stream_temporal_join", "stream_retract_agg",
+    // round-16 (VERDICT r15 item 8): the changelog joins' batch
+    // replays over the second decade (per-user latest tables + key
+    // join; per-copy group sizes replicate, so the join output is
+    // linear in copies). graph_pagerank_converged's DECLARED key
+    // stays at one decade by design — its ppm scale floors base to 0
+    // past n ~ 1.4e5 nodes (the API rejects the 200k-node 100x slice
+    // loudly; production raises scale with n) — so its second decade
+    // is measured by the dedicated fixed-scale block below, which
+    // also records the shrinking round count the sub-linearity
+    // claim rests on.
+    "stream_retract_join", "stream_retract_join_fanout")
   private val Factor100 = 100
 
   /** 100 isolated documents + embeddings copies — same isolation
@@ -342,6 +358,48 @@ object BenchScale {
       ("fuzzy_skew_capped_decade2", capped10x,
         minOf2Runs(fuzzySkew(100, true)), 1.0))
       .map { case (nm, tS, tB, dec) => (nm, tS, tB, math.log10(tB / tS) / dec) }
+    // Round-16 (VERDICT r15 item 8): the converged PageRank loop's
+    // second decade. The DECLARED key fixes scale = 1e6 (ppm), which
+    // floors the per-node base to 0 past n ~ 1.4e5 nodes — the API
+    // rejects the 100x slice (n = 200k) loudly by design, and
+    // production raises scale with n. The scale-evidence question is
+    // therefore measured here at a FIXED scale = 1e7 — the smallest
+    // power of ten whose base survives 200k nodes (base =
+    // 15*(1e7/2e5)/100 = 7) — across all three sizes, recording wall
+    // time AND the certified convergence round per point. The design
+    // claim under test: rounds ~ log_{100/85}(base) SHRINK one
+    // decade's worth (~x0.6) per data decade while per-round edge
+    // volume grows x10, so wall-clock per decade stays sub-linear.
+    def pagerankConvergedAt(dir: String): (Double, Int) = {
+      System.err.println(s"[bench-scale] pagerank_converged_1e7 @ $dir")
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val t0 = System.nanoTime()
+      val edges = graft.api.Similarity.knnGraphCapped(
+        e, "vec_id", "embedding", 5, tables = 8, bits = 6, cap = 16)
+      val (ranks, round) = graft.api.Graphs.pagerankConvergedWithRound(
+        e.select("vec_id"), "vec_id", edges,
+        srcCol = "src_id", dstCol = "neighbor_id", scale = 10000000L)
+      ranks.count()
+      ((System.nanoTime() - t0) / 1e9, round)
+    }
+    // min-of-2 wall time per point; the round is deterministic (same
+    // data, same integer map) so either trial's value is THE value
+    val prPoints = Seq("1x" -> srcDir, "10x" -> outDir, "100x" -> outDir100)
+      .map { case (label, dir) =>
+        val (tA, rA) = pagerankConvergedAt(dir)
+        val (tB, rB) = pagerankConvergedAt(dir)
+        require(rA == rB,
+          s"pagerankConverged round must be deterministic: $rA vs $rB @ $dir")
+        (label, math.min(tA, tB), rA)
+      }
+    val prJson = {
+      val pts = prPoints.map { case (l, t, r) =>
+        f""""$l":{"t":$t%.3f,"round":$r}""" }.mkString("{", ",", "}")
+      val e1 = math.log10(prPoints(1)._2 / prPoints(0)._2)
+      val e2 = math.log10(prPoints(2)._2 / prPoints(1)._2)
+      f"""{"scale":10000000,"points":$pts,""" +
+        f""""exponent_decade1":$e1%.3f,"exponent_decade2":$e2%.3f}"""
+    }
     def block(rs: Seq[(String, Double, Double, Double)]): String =
       rs.map { case (n, tS, tB, e) =>
         f""""$n":{"t_small":$tS%.3f,"t_big":$tB%.3f,"exponent":$e%.3f}"""
@@ -351,7 +409,8 @@ object BenchScale {
         s""""factor100":{"factor":$Factor100,"exponent_per_decade":true,""" +
         s""""keys":${block(rows100)}},""" +
         s""""fuzzy_skew":{"base_rows":1000,"cap":4,"maxDist":1,""" +
-        s""""keys":${block(skewRows)}}}"""
+        s""""keys":${block(skewRows)}},""" +
+        s""""pagerank_converged_fixed_scale":$prJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE.json"),
       json.getBytes("UTF-8"))
     println(json)

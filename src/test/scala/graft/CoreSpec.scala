@@ -301,15 +301,28 @@ class CoreSpec extends SparkSuite {
     assert(parsed == Map("agg_hash" -> 0.302, "dedup_containment" -> 3.524),
       s"queries block parse wrong (must not read baseline/spread blocks): $parsed")
     assert(Bench.parseQueriesBlock("""{"no":"queries"}""").isEmpty)
-    // trigger: >2x committed AND >0.3 s absolute, never without a reference
+    // trigger: >1.4x committed AND (>0.2 s absolute OR trials disagree),
+    // never without a reference
     assert(Bench.isolationNeeded(10.6, Some(3.524)), "the r7 dispute case must trigger")
     assert(!Bench.isolationNeeded(4.0, Some(3.524)), "in-band values must not")
     assert(!Bench.isolationNeeded(0.25, Some(0.1)),
-      "micro-key 2.5x jitter under the absolute floor must not")
+      "micro-key 2.5x jitter with AGREEING trials under the absolute floor must not")
     assert(!Bench.isolationNeeded(10.0, None), "new keys have no reference")
     // the r14 contended-sweep movers must trigger at the 1.4x band
     assert(Bench.isolationNeeded(1.316, Some(0.835)), "r14 dedup_simhash x1.58")
     assert(Bench.isolationNeeded(0.865, Some(0.592)), "r14 event_cep x1.46")
+    // r15 cheap-key blind spot (VERDICT r15 item 3): a 1.5x drift under
+    // the 0.2 s floor is adjudicated when the post-retry trials still
+    // disagree (spread > 0.3 — the contention signature)...
+    assert(Bench.isolationNeeded(0.52, Some(0.345), postRetrySpread = 0.45),
+      "an agg_hash-class contended drift must be adjudicated")
+    // ...but NOT when the trials agree (clean-run jitter: the min just
+    // landed high; a re-measure would learn nothing)
+    assert(!Bench.isolationNeeded(0.52, Some(0.345), postRetrySpread = 0.1),
+      "an agreeing cheap-key drift under the floor stays out")
+    // the spread waiver never overrides the 1.4x ratio gate
+    assert(!Bench.isolationNeeded(0.40, Some(0.345), postRetrySpread = 0.5),
+      "in-band min with noisy trials is spreadForcesIsolation's job, not this trigger's")
     // spread-forced trigger (VERDICT r9, tightened r15): post-retry
     // spread > 0.6 forces an isolated trial regardless of the
     // committed comparison
