@@ -252,6 +252,24 @@ object Streaming {
     // cross-batch growth, the empty-prefix skip, the late-drop seal,
     // and full-replay equality). Batch replay is plan-identical to
     // wnd_cumulate, so it shares that oracle.
+    // Flink SQL Window Top-N TVF under readStream: top-3 by value per
+    // (1 h window, type), per-key state a k-bounded heap, one
+    // event-time timer per window end, append-final emission
+    // (StreamOps.wndTopk / WndTopkProcessor; StreamingSpec pins
+    // cross-batch displacement, watermark sealing, the late drop, and
+    // full-replay equality). Batch replay is plan-identical to
+    // wnd_topk_per_window, so it shares that oracle.
+    "stream_wnd_topk" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[Ev]
+      StreamOps.wndTopk(ev, streaming = false)
+        .orderBy("window_start", "event_type", "rnk")
+    }),
+
     "stream_cumulate" -> ((s, d) => {
       val sp = s
       import sp.implicits._
@@ -1078,6 +1096,9 @@ object Streaming {
     "stream_cumulate" -> EventTime.oracles("wnd_cumulate"),
     // CEP timeout batch replay = the batch anti-join's generated oracle
     "stream_cep_timeout" -> Analytic.oracles("event_cep_timeout"),
+    // streaming Window Top-N: batch replay is plan-identical to
+    // wnd_topk_per_window, so the oracle is shared
+    "stream_wnd_topk" -> EventTime.oracles("wnd_topk_per_window"),
     "stream_cep_measures" -> Analytic.oracles("event_cep_measures"),
     // streaming general MEASURES: batch replay must equal the batch
     // general-MEASURES route exactly — same hand-written islands oracle

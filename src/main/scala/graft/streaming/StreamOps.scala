@@ -777,6 +777,62 @@ case class CumulateRow(period_start: java.sql.Timestamp,
                        window_end: java.sql.Timestamp, event_type: String,
                        n_events: Long, sum_value: Double)
 
+/** One Window Top-N row (StreamOps.wndTopk): the ranked event of its
+  * sealed (1 h window, type) group — the same columns as the batch
+  * window-rank plan (wnd_topk_per_window). */
+case class WndTopkRow(window_start: java.sql.Timestamp, event_type: String,
+                      event_id: Long, value: Double, rnk: Int)
+
+/** Bounded per-(window, type) top-k state: the current best k
+  * (event_id, value) pairs, (value DESC, event_id ASC)-ordered. */
+private[streaming] case class TopkState(ids: Seq[Long], values: Seq[Double])
+
+/** Flink SQL Window Top-N under readStream (the TVF
+  * `ROW_NUMBER() OVER (PARTITION BY window_start, ... ORDER BY value
+  * DESC) <= k` — StreamOps.wndTopk): keyed by (window start, type),
+  * STATE IS THE k-BOUNDED HEAP, not the window's rows — each input
+  * row folds into the current best-k under (value DESC, event_id ASC),
+  * so state per key is k small tuples no matter how many rows the
+  * window sees (the same per-partition-heap law the batch plan's
+  * WindowGroupLimit gives the rank filter). The first row of a key
+  * arms ONE event-time timer at the window end; when the watermark
+  * passes it the heap seals, emits with ranks assigned, and clears —
+  * beyond that every event of the window is late-beyond-watermark and
+  * dropped by the event-time filter, so the cleared key never
+  * resurrects (the CumulateProcessor discipline). Append-mode output:
+  * a window's top-k ships exactly once, final. */
+private[streaming] class WndTopkProcessor(windowSec: Long, k: Int)
+    extends StatefulProcessor[(Long, String), Ev, WndTopkRow] {
+  @transient private var top: ValueState[TopkState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    top = getHandle.getValueState[TopkState]("wtopk",
+      Encoders.product[TopkState], TTLConfig.NONE)
+
+  override def handleInputRows(key: (Long, String), rows: Iterator[Ev],
+                               timers: TimerValues): Iterator[WndTopkRow] = {
+    val firstTouch = !top.exists()
+    val cur0: Seq[(Long, Double)] = if (firstTouch) Seq.empty
+      else { val s = top.get(); s.ids.zip(s.values) }
+    val best = (cur0 ++ rows.map(e => (e.event_id, e.value)))
+      .sortBy { case (id, v) => (-v, id) }.take(k)
+    top.update(TopkState(best.map(_._1), best.map(_._2)))
+    if (firstTouch)
+      getHandle.registerTimer((key._1 + windowSec) * 1000L)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: (Long, String), timers: TimerValues,
+                                  expired: ExpiredTimerInfo): Iterator[WndTopkRow] = {
+    val best = if (top.exists()) { val s = top.get(); s.ids.zip(s.values) }
+      else Seq.empty
+    top.clear()
+    best.iterator.zipWithIndex.map { case ((id, v), i) =>
+      WndTopkRow(new java.sql.Timestamp(key._1 * 1000L), key._2, id, v, i + 1)
+    }
+  }
+}
+
 /** The CUMULATE slice processor (Flink's CUMULATE window TVF under
   * readStream — StreamOps.cumulate): keyed by (period start, type),
   * STATE IS THE SLICES, not the windows — one MapState entry per
@@ -2929,6 +2985,35 @@ object StreamOps extends Serializable {
     * window emits in an earlier micro-batch; the later cumulative
     * window counts the same events again), the empty-prefix skip, the
     * late-drop seal, and full-replay equality with this batch twin. */
+  /** Flink SQL Window Top-N under readStream (see [[WndTopkProcessor]]):
+    * top-k events by (value DESC, event_id) per (1 h tumbling window,
+    * type), each window's ranking sealed and emitted once as the
+    * watermark passes its end. Batch replay (streaming = false) is the
+    * window-rank plan itself — plan-identical to wnd_topk_per_window,
+    * whose oracle the declared key shares. */
+  def wndTopk(ev: Dataset[Ev], streaming: Boolean, k: Int = 3): DataFrame = {
+    import ev.sparkSession.implicits._
+    if (streaming)
+      ev.withWatermark("ts", "10 minutes")
+        .groupByKey(e => (Math.floorDiv(
+          Math.floorDiv(tsMicros(e.ts), 1000000L), 3600L) * 3600L,
+          e.event_type))
+        .transformWithState(new WndTopkProcessor(3600L, k),
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF()
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("window_start"), col("event_type"))
+        .orderBy(col("value").desc, col("event_id"))
+      ev.toDF()
+        .withColumn("window_start", date_trunc("hour", col("ts")))
+        .select(col("window_start"), col("event_type"), col("event_id"),
+          col("value"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+    }
+  }
+
   def cumulate(ev: Dataset[Ev], streaming: Boolean): DataFrame = {
     import ev.sparkSession.implicits._
     if (streaming)

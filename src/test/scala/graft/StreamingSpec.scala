@@ -1131,6 +1131,137 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("Window Top-N under readStream: cross-batch displacement, sealing, late drop, replay equality") {
+    import graft.streaming.WndTopkRow
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = StreamOps.wndTopk(ms.toDS(), streaming = true)
+        .writeStream.format("memory").queryName("wtopk")
+        .outputMode("append").start()
+      def rows() = spark.table("wtopk").as[WndTopkRow].collect().toSet
+      val w10 = ts("2024-01-01 10:00:00")
+      // batch 1: four clicks in the 10:00 window — only the best 3 may
+      // survive in state; nothing emits before the window seals
+      ms.addData(
+        Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 10.0),
+        Ev(2, ts("2024-01-01 10:10:00"), 2, "click", 40.0),
+        Ev(3, ts("2024-01-01 10:15:00"), 3, "click", 20.0),
+        Ev(4, ts("2024-01-01 10:20:00"), 4, "click", 30.0))
+      q.processAllAvailable()
+      assert(rows().isEmpty, "an open window must not emit its ranking")
+      // batch 2: a late-window click DISPLACES the current rank 3
+      // (cross-batch heap fold) — id 1 (10.0) falls out
+      ms.addData(Ev(5, ts("2024-01-01 10:40:00"), 5, "click", 25.0))
+      q.processAllAvailable()
+      assert(rows().isEmpty, "still open — displacement happens in state")
+      // batch 3: watermark 11:50 passes the window end — the final
+      // ranking seals and ships once
+      ms.addData(Ev(6, ts("2024-01-01 12:00:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      val b3 = rows()
+      assert(b3 == Set(
+          WndTopkRow(w10, "click", 2L, 40.0, 1),
+          WndTopkRow(w10, "click", 4L, 30.0, 2),
+          WndTopkRow(w10, "click", 5L, 25.0, 3)),
+        s"the sealed window must rank its final best 3: $b3")
+      // batch 4: a 10:00-window event beyond the watermark is dropped —
+      // the sealed ranking never reopens or re-emits
+      ms.addData(Ev(7, ts("2024-01-01 10:30:00"), 9, "click", 99.0))
+      q.processAllAvailable()
+      assert(rows() == b3, "a late event must not reopen a sealed ranking")
+      // batch 5: advance far enough to seal the 12:00 view window too
+      ms.addData(Ev(8, ts("2024-01-01 14:00:00"), 1, "view", 2.0))
+      drain(q)
+      val b5 = rows() -- b3
+      assert(b5 == Set(WndTopkRow(ts("2024-01-01 12:00:00"), "view", 6L, 1.0, 1)),
+        s"the view window must seal with its single row: $b5")
+      // full-replay equality: the batch window-rank plan over the
+      // NON-LATE events, restricted to windows the watermark sealed
+      val replay = StreamOps.wndTopk(Seq(
+          Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 10.0),
+          Ev(2, ts("2024-01-01 10:10:00"), 2, "click", 40.0),
+          Ev(3, ts("2024-01-01 10:15:00"), 3, "click", 20.0),
+          Ev(4, ts("2024-01-01 10:20:00"), 4, "click", 30.0),
+          Ev(5, ts("2024-01-01 10:40:00"), 5, "click", 25.0),
+          Ev(6, ts("2024-01-01 12:00:00"), 1, "view", 1.0),
+          Ev(8, ts("2024-01-01 14:00:00"), 1, "view", 2.0)).toDS(),
+          streaming = false)
+        .filter(org.apache.spark.sql.functions.col("window_start") <
+          org.apache.spark.sql.functions.lit(ts("2024-01-01 13:00:00")))
+        .as[WndTopkRow].collect().toSet
+      assert(rows() == replay, s"stream ${rows()} != batch replay $replay")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("checkpoint recovery: state, timers, and watermark survive a stop/restart") {
+    // Flink's headline fault-tolerance contract (checkpoint/savepoint
+    // resume), exercised on Structured Streaming's own recovery path:
+    // a stateful query is STOPPED mid-stream and a NEW query restarts
+    // from the same checkpointLocation. The evidence of recovery is
+    // the sealed output AFTER restart containing rows the restarted
+    // query never received as input — they exist only in the restored
+    // state — and the window-end TIMER armed before the stop firing
+    // after it.
+    import graft.streaming.WndTopkRow
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      // the memory sink refuses checkpoint recovery by design — the
+      // file sink is the recoverable one, so the restart writes (and
+      // the assertions read) a parquet directory
+      val outDir = java.nio.file.Files.createTempDirectory("graft_rec_out").toString
+      val ms = MemoryStream[Ev]
+      val w10 = ts("2024-01-01 10:00:00")
+      val q1 = StreamOps.wndTopk(ms.toDS(), streaming = true)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      // pre-stop batch: four clicks fold into the 10:00 heap and arm
+      // the 11:00 timer; nothing seals (watermark 10:10)
+      ms.addData(
+        Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 10.0),
+        Ev(2, ts("2024-01-01 10:10:00"), 2, "click", 40.0),
+        Ev(3, ts("2024-01-01 10:15:00"), 3, "click", 20.0),
+        Ev(4, ts("2024-01-01 10:20:00"), 4, "click", 30.0))
+      q1.processAllAvailable()
+      assert(spark.read.parquet(outDir).isEmpty, "nothing seals before the stop")
+      q1.stop() // the "failure"
+      // restart from the SAME checkpoint: offsets resume after the
+      // committed batch, state store and timers restore from disk
+      val q2 = StreamOps.wndTopk(ms.toDS(), streaming = true)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      // post-restart: one displacement row (folds into the RESTORED
+      // heap) and one watermark-advancing row (fires the RESTORED timer)
+      ms.addData(Ev(5, ts("2024-01-01 10:40:00"), 5, "click", 25.0))
+      q2.processAllAvailable()
+      ms.addData(Ev(6, ts("2024-01-01 12:00:00"), 1, "view", 1.0))
+      drain(q2)
+      val out = spark.read.parquet(outDir).as[WndTopkRow].collect().toSet
+      assert(out.contains(WndTopkRow(w10, "click", 2L, 40.0, 1)) &&
+          out.contains(WndTopkRow(w10, "click", 4L, 30.0, 2)) &&
+          out.contains(WndTopkRow(w10, "click", 5L, 25.0, 3)),
+        s"the sealed ranking must mix restored (ids 2, 4) and post-restart " +
+          s"(id 5) rows — state did not survive the restart: $out")
+      assert(!out.exists(r => r.event_id == 1L),
+        s"the restored heap must still bound at k=3 (id 1 was displaced): $out")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("CEP timeout side output: cross-batch cancellation, timer emission, tie order, replay equality") {
     import graft.streaming.CepTimeoutMatch
     val prefix = graft.queries.Analytic.CepPatterns.timeoutPrefix
