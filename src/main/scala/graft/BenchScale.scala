@@ -106,7 +106,11 @@ object BenchScale {
     // (slice panes + growing-window rollup), and dangling-mass
     // PageRank (adds one scalar aggregate + broadcast per round to
     // the fixed-round loop)
-    "stream_retract_join_nm", "stream_cumulate", "graph_pagerank_dangling")
+    "stream_retract_join_nm", "stream_cumulate", "graph_pagerank_dangling",
+    // ... and multi-source BFS over the capped kNN graph: O(E) total
+    // edge visits across all rounds, rounds bounded by the (slowly
+    // growing) diameter — expected sub-linear wall per decade
+    "graph_sssp")
 
   /** Second measured decade (VERDICT r9 item 6): the STEEPEST keys of
     * the 10x sweep re-measured over a 100x slice, so their exponents

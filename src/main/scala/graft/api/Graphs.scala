@@ -256,4 +256,68 @@ object Graphs {
         "raise maxIters (and the oracle's unroll depth) rather than " +
         "accepting a truncated iteration")
   }
+
+  /** Multi-source SHORTEST PATHS (unit weights — BFS levels) to the
+    * least fixpoint, with the certified round: frontier-based
+    * Bellman-Ford in the (min, +) semiring, the OTHER classic Kleene
+    * iteration next to [[pagerankConvergedWithRound]]'s (+ , x) one.
+    * The pipeline reading: distance-to-nearest-SEED over the kNN
+    * graph — "how many hops is this document from the labeled set" —
+    * the graph-proximity feature curation pipelines use for
+    * label-spreading and crawl-frontier prioritization.
+    *
+    * Unit weights make levels FINAL: a node first reached in round r
+    * has shortest distance exactly r, so the frontier is the
+    * anti-join of the round's min-combined candidates against every
+    * already-reached node, and each round's work is O(edges out of
+    * the frontier) — the delta optimization that turns Bellman-Ford's
+    * O(V·E) into BFS's O(E). Termination is by construction: the
+    * reached set grows monotonically and is bounded by n, and an
+    * empty frontier IS the least fixpoint (no relaxation can ever
+    * fire again). Rounds run in lazily-chained BLOCKS of `blockSize`
+    * with one localCheckpoint + one count per block (the
+    * pagerankConverged discipline); rounds past an in-block empty
+    * frontier are no-ops, so the reported round is an upper bound
+    * within blockSize - 1 of the exact emptying round, and every
+    * distance in the output is < that round. Unreached nodes emit no
+    * row (infinite distance), matching the oracle's recursive
+    * closure. LOUD failure past `maxIters` — never a silently
+    * truncated frontier.
+    *
+    * Scale: per round one src-keyed join of the (shrinking) frontier
+    * to edges, one dst-keyed min-combine, one anti-join against the
+    * reached set — all key-partitioned; total work across ALL rounds
+    * is O(E) edge visits, and rounds are bounded by the graph
+    * diameter (small for kNN graphs, which are expander-like). */
+  def ssspWithRound(seeds: DataFrame, idCol: String, edges: DataFrame,
+                    srcCol: String, dstCol: String, maxIters: Int = 64,
+                    blockSize: Int = 4): (DataFrame, Int) = {
+    require(blockSize >= 1, s"blockSize must be >= 1: $blockSize")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).localCheckpoint(false)
+    var dist = seeds.select(col(idCol).cast("long").as("id"),
+      lit(0).cast("int").as("dist")).localCheckpoint()
+    var frontier = dist
+    var it = 0
+    while (it < maxIters) {
+      val k = math.min(blockSize, maxIters - it)
+      var (d, f) = (dist, frontier)
+      for (_ <- 1 to k) {
+        val nf = e.join(f, e("src") === f("id"))
+          .select(col("dst").as("id"), (col("dist") + 1).as("nd"))
+          .groupBy("id").agg(min(col("nd")).cast("int").as("dist"))
+          .join(d.select("id"), Seq("id"), "left_anti")
+        d = d.union(nf)
+        f = nf
+      }
+      dist = d.localCheckpoint()
+      frontier = f.localCheckpoint()
+      it += k
+      if (frontier.isEmpty) return (dist, it)
+    }
+    throw new IllegalStateException(
+      s"sssp: the frontier is still growing after $maxIters rounds — " +
+        "raise maxIters (and the oracle's depth bound) rather than " +
+        "accepting truncated distances")
+  }
 }

@@ -425,6 +425,31 @@ object Similarity {
        |FROM r$iters ORDER BY vec_id""".stripMargin
   }
 
+  /** The DuckDB replay of multi-source shortest paths over the capped
+    * k-NN graph ([[graft.api.Graphs.ssspWithRound]] fed by
+    * [[knnGraphCapped]] edges, seeds = vec_id % `seedMod` = 0): the
+    * capped graph's CTEs + rank give the DIRECTED edge set, then a
+    * recursive (id, dist) closure bounded at `maxDepth` hops with
+    * min(dist) per node — BFS levels, exact integers, no float past
+    * the ranked edge set. The engine asserts its certified round stays
+    * <= `maxDepth` at build time, so the bound never truncates a
+    * genuine distance; unreached nodes appear in neither output. */
+  def knnSsspOracleSql(k: Int, tables: Int = 4, bits: Int = 8,
+                       dim: Int = 64, cap: Int = 8, seedMod: Long = 97L,
+                       maxDepth: Int = 32): String =
+    s"""WITH RECURSIVE ${knnCtesSql(tables, bits, dim, Some(cap))},
+       |g AS (
+       |${knnRankSql(k, "cand")}),
+       |sse AS (SELECT src_id AS src, neighbor_id AS dst FROM g),
+       |r AS (
+       |  SELECT vec_id AS id, 0 AS dist FROM embeddings
+       |  WHERE vec_id % $seedMod = 0
+       |  UNION
+       |  SELECT sse.dst, r.dist + 1 FROM r JOIN sse ON sse.src = r.id
+       |  WHERE r.dist < $maxDepth)
+       |SELECT id AS vec_id, CAST(min(dist) AS INTEGER) AS dist
+       |FROM r GROUP BY id ORDER BY vec_id""".stripMargin
+
   /** The DuckDB replay of triangle counting over the capped k-NN graph
     * ([[graft.api.Graphs.triangleCounts]] fed by [[knnGraphCapped]]
     * edges): the capped graph's CTEs + rank give the edge set, then

@@ -61,6 +61,14 @@ object Pipeline {
     * fixture's sizes while keeping the unrolled CTE chain bounded. */
   private val PagerankOracleRounds = 64
 
+  /** Hop bound of the graph_sssp oracle's recursive closure (the same
+    * build-time coupling as [[PagerankOracleRounds]]): the engine's
+    * frontier must empty at or before this round. kNN graphs are
+    * expander-like — the fixture's eccentricity from the % 97 seed set
+    * is single-digit — so 32 is generous headroom while keeping the
+    * DuckDB (id, dist) closure bounded at n·32 rows. */
+  private val SsspOracleDepth = 32
+
   /** The deterministic 20% stratified document sample as FROM-able
     * DuckDB SQL — the replay of `Sampling.stratified(documents,
     * doc_id, [lang], 0.2)` the sample-trained BPE oracles train on
@@ -743,6 +751,29 @@ object Pipeline {
     // (scale 1e6) put the fixpoint near log_{100/85}(scale/n) rounds —
     // the converged score needs no more precision than its own
     // 1-integer-unit stopping threshold.
+    // Multi-source SHORTEST PATHS over the capped kNN graph (the
+    // min-plus Kleene fixpoint next to PageRank's plus-times one):
+    // hop distance from the vec_id % 97 = 0 seed set — the
+    // distance-to-labeled-set proximity feature, frontier-based BFS
+    // with one shuffle round per level and O(E) total edge visits.
+    // The certified emptying round must stay within the oracle's
+    // 32-hop recursive closure, asserted at build time; unreached
+    // nodes emit no row on either engine.
+    "graph_sssp" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val edges = Similarity.knnGraphCapped(e, "vec_id", "embedding", 5,
+        tables = 8, bits = 6, cap = 16)
+      val (dist, round) = graft.api.Graphs.ssspWithRound(
+        e.filter(col("vec_id") % 97 === 0).select("vec_id"), "vec_id",
+        edges, srcCol = "src_id", dstCol = "neighbor_id")
+      require(round <= SsspOracleDepth,
+        s"sssp emptied its frontier at round $round but the registered " +
+          s"oracle's recursive closure explores only $SsspOracleDepth " +
+          "hops — raise SsspOracleDepth (both the oracle SQL and this " +
+          "assertion) so the replay is not truncated")
+      dist.select(col("id").as("vec_id"), col("dist")).orderBy("vec_id")
+    }),
+
     "graph_pagerank_converged" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val edges = Similarity.knnGraphCapped(e, "vec_id", "embedding", 5,
@@ -1929,6 +1960,8 @@ object Pipeline {
     "graph_pagerank_converged" -> Similarity.knnPagerankOracleSql(5,
       tables = 8, bits = 6, cap = 16, iters = PagerankOracleRounds,
       scale = 1000000L, rankCol = "rank_ppm", seedBottom = true),
+    "graph_sssp" -> Similarity.knnSsspOracleSql(5, tables = 8, bits = 6,
+      cap = 16, seedMod = 97L, maxDepth = SsspOracleDepth),
     "sim_knn_graph_converged" ->
       Similarity.knnGraphConvergedOracleSql(5, tables = 8, bits = 6,
         rounds = ConvergedOracleRounds),

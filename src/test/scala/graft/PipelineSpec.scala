@@ -1145,6 +1145,49 @@ class PipelineSpec extends SparkSuite {
     assert(once == ranks, "F(fixpoint) != fixpoint")
   }
 
+  test("sssp: BFS levels equal a scalar reference; closure and round certified") {
+    import graft.api.Graphs
+    val rnd = new scala.util.Random(20260817L)
+    val n = 40
+    val edges = (for {
+      s <- 0 until n; d <- 0 until n
+      if s != d && rnd.nextInt(100) < 6
+    } yield (s.toLong, d.toLong)).distinct
+    val seeds = Seq(0L, 17L)
+    val seedsDf = seeds.toDF("nid")
+    val edgesDf = edges.toDF("src", "dst")
+    val (distDf, round) = Graphs.ssspWithRound(
+      seedsDf, "nid", edgesDf, "src", "dst", blockSize = 3)
+    val got = distDf.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // scalar reference: textbook multi-source BFS
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var ref = seeds.map(_ -> 0).toMap
+    var frontier = seeds
+    var level = 0
+    while (frontier.nonEmpty) {
+      level += 1
+      val next = frontier.flatMap(u => adj.getOrElse(u, Seq.empty))
+        .distinct.filterNot(ref.contains)
+      next.foreach(v => ref += v -> level)
+      frontier = next
+    }
+    assert(got == ref, s"engine BFS levels != scalar reference")
+    // unreached nodes emit no row, and the reached set is CLOSED:
+    // no edge leaves it (otherwise the frontier was not a fixpoint)
+    val reached = got.keySet
+    assert(!edges.exists { case (s, d) => reached(s) && !reached(d) },
+      "an edge escapes the reached set — the fixpoint is not least")
+    // certified round: an upper bound within blockSize-1 of the exact
+    // frontier-emptying round (= eccentricity + 1)
+    assert(round >= level && round <= level + 2,
+      s"round bound $round outside [$level, ${level + 2}]")
+    // partition invariance: a different input layout lands bit-equal
+    val got2 = Graphs.ssspWithRound(seedsDf.repartition(5), "nid",
+      edgesDf.repartition(7), "src", "dst", blockSize = 3)._1
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got2 == got, "sssp is partitioning-dependent")
+  }
+
   test("repetition signals: exact fractions on a hand-built doc") {
     val df = Seq((1L, "a a a b"), (2L, "x y z w")).toDF("doc_id", "text")
     val out = graft.api.TextOps.repetition(df, "doc_id", "text")
