@@ -293,6 +293,36 @@ object EventTime {
       interpLinear(Tables.events(s, d).filter(col("user_id") < 50))
         .orderBy("user_id", "event_id")),
 
+    // SCD TYPE 2 dimension build (the VERSIONED TABLE Flink temporal
+    // joins bind against — here materialized from the changelog
+    // itself): per user, consecutive same-type rows collapse into one
+    // version row with its [valid_from, valid_to) interval —
+    // valid_to = the next version's start, NULL for the current
+    // version. Gaps-and-islands: one partitioned lag for the change
+    // marker, one running sum for the version id, one grouped
+    // min/count per version, one lead to close the interval — every
+    // stage partitioned by user_id, no self-join, per-key linear at
+    // any scale. user_id < 50 bounds the declared output like the
+    // other ts_* keys.
+    "ts_scd2_intervals" -> ((s, d) => {
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wVer = Window.partitionBy(col("user_id")).orderBy(col("version"))
+      Tables.events(s, d).filter(col("user_id") < 50)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(wOrd).isNull ||
+            lag(col("event_type"), 1).over(wOrd) =!= col("event_type"), 1)
+            .otherwise(0))
+        .withColumn("version", sum(col("chg")).over(wOrd))
+        .groupBy("user_id", "version")
+        .agg(min(col("event_type")).as("event_type"),
+          min(col("ts")).as("valid_from"),
+          count(lit(1)).as("n_events"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(wVer))
+        .orderBy("user_id", "version")
+    }),
+
     // Recursive CTE (Spark 4's WITH RECURSIVE, Flink's iterative
     // dataflow analog): per user, walk the event chain from the first
     // event while successive gaps stay <= 10 min, emitting chain length
@@ -541,6 +571,29 @@ object EventTime {
         |    / 10000 AS value_ff,
         |  CAST(n_obs AS BIGINT) AS n_obs
         |FROM j ORDER BY user_id, hr""".stripMargin,
+
+    // the same gaps-and-islands construction; ROWS framing is explicit
+    // where Spark's default RANGE frame coincides (unique (ts,
+    // event_id) ordering), sums cast back from HUGEINT
+    "ts_scd2_intervals" ->
+      """WITH ev AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type
+        |            FROM events WHERE user_id < 50),
+        |f AS (SELECT *, CASE WHEN lag(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |      OR lag(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id) <> event_type
+        |      THEN 1 ELSE 0 END AS chg FROM ev),
+        |r AS (SELECT *, CAST(sum(chg) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version FROM f),
+        |v AS (SELECT user_id, version, min(event_type) AS event_type,
+        |             min(ts) AS valid_from, count(*) AS n_events
+        |      FROM r GROUP BY user_id, version)
+        |SELECT user_id, version, event_type, valid_from,
+        |       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+        |         AS valid_to,
+        |       CAST(n_events AS BIGINT) AS n_events
+        |FROM v ORDER BY user_id, version""".stripMargin,
 
     "wnd_tumbling" ->
       """SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start,

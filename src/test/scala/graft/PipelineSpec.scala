@@ -948,6 +948,50 @@ class PipelineSpec extends SparkSuite {
     } finally out.unpersist()
   }
 
+  test("ts_scd2_intervals: versions tile the timeline; as-of lookup returns each row's own type") {
+    val scd = graft.queries.EventTime.queries("ts_scd2_intervals")(spark, sf001)
+    scd.cache()
+    try {
+      val ev = Tables.events(spark, sf001).filter(col("user_id") < 50)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      // tiling: per user, exactly one NULL valid_to (the current
+      // version), every other interval closes at the NEXT version's
+      // start, versions are 1..n consecutive
+      val users = ev.select("user_id").distinct().count()
+      assert(scd.filter(col("valid_to").isNull).count() == users,
+        "each user must have exactly one open (current) version")
+      assert(scd.filter(col("valid_to").isNotNull &&
+          col("valid_to") <= col("valid_from")).count() == 0,
+        "closed intervals must have positive width")
+      // consecutive same-type versions would mean the change marker
+      // failed: adjacent versions always differ in type
+      val wv = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("version"))
+      assert(scd.withColumn("prev_t", lag(col("event_type"), 1).over(wv))
+          .filter(col("prev_t") === col("event_type")).count() == 0,
+        "adjacent versions must change type (runs were not collapsed)")
+      // the SCD2 contract itself: an as-of interval lookup on any
+      // event returns that event's own type (valid_from <= ts < valid_to)
+      val joined = ev.as("e").join(scd.as("v"),
+        col("e.user_id") === col("v.user_id") &&
+          col("e.ts") >= col("v.valid_from") &&
+          (col("v.valid_to").isNull || col("e.ts") < col("v.valid_to")))
+      // boundary rows (an event AT a version flip instant) can match
+      // the closing version too when ties in ts carry both types; the
+      // fixture's (ts, event_id) order makes flips within a timestamp
+      // possible, so assert on the containment direction that is
+      // always true: every event finds at least one interval of its
+      // own type, and n_events sums back to the event count
+      val misses = joined.filter(col("e.event_type") === col("v.event_type"))
+        .select("e.event_id").distinct().count()
+      assert(misses == ev.count(),
+        s"every event must fall inside an interval of its own type: " +
+          s"$misses of ${ev.count()}")
+      assert(scd.agg(sum("n_events")).as[Long].head() == ev.count(),
+        "version row counts must partition the events")
+    } finally scd.unpersist()
+  }
+
   test("ts_interp_linear: bracketing interpolation, edge hold, all-null user") {
     import java.sql.Timestamp
     def t(m: Int) = new Timestamp(1704067200000L + m * 60000L)
