@@ -252,6 +252,28 @@ object Streaming {
     // cross-batch growth, the empty-prefix skip, the late-drop seal,
     // and full-replay equality). Batch replay is plan-identical to
     // wnd_cumulate, so it shares that oracle.
+    // SCD2 changelog materialization under readStream (Flink's
+    // versioned dynamic table — the table temporal joins bind
+    // against): each type change CLOSES the open version and emits
+    // its [valid_from, valid_to) row exactly once, arrival-eager
+    // (closures are final under the in-order contract, which a
+    // disordered feed violates LOUDLY); open versions live in one
+    // small tuple per user (StreamOps.scd2 / Scd2Processor;
+    // StreamingSpec pins cross-batch folding, the loud disorder
+    // rejection, and replay equality). Batch replay is
+    // ts_scd2_intervals restricted to closed rows — the same
+    // construction's oracle wrapped in the closed filter.
+    "stream_scd2" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val ev = Tables.events(s, d).filter(col("user_id") < 50)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[Ev]
+      StreamOps.scd2(ev, streaming = false)
+        .orderBy("user_id", "version")
+    }),
+
     // Flink SQL Window Top-N TVF under readStream: top-3 by value per
     // (1 h window, type), per-key state a k-bounded heap, one
     // event-time timer per window end, append-final emission
@@ -1099,6 +1121,12 @@ object Streaming {
     // streaming Window Top-N: batch replay is plan-identical to
     // wnd_topk_per_window, so the oracle is shared
     "stream_wnd_topk" -> EventTime.oracles("wnd_topk_per_window"),
+    // SCD2 materialization: the batch construction's oracle restricted
+    // to CLOSED versions (open versions live in state, not output)
+    "stream_scd2" ->
+      s"""SELECT * FROM (
+         |${EventTime.oracles("ts_scd2_intervals")}
+         |) WHERE valid_to IS NOT NULL ORDER BY user_id, version""".stripMargin,
     "stream_cep_measures" -> Analytic.oracles("event_cep_measures"),
     // streaming general MEASURES: batch replay must equal the batch
     // general-MEASURES route exactly — same hand-written islands oracle

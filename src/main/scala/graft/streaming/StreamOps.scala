@@ -777,6 +777,74 @@ case class CumulateRow(period_start: java.sql.Timestamp,
                        window_end: java.sql.Timestamp, event_type: String,
                        n_events: Long, sum_value: Double)
 
+/** One CLOSED SCD2 version row (StreamOps.scd2 — the streaming
+  * materialization of ts_scd2_intervals): emitted when the user's
+  * next type change closes the interval. Open (current) versions live
+  * only in state — append output is final by construction. */
+case class Scd2Row(user_id: Long, version: Long, event_type: String,
+                   valid_from: java.sql.Timestamp,
+                   valid_to: java.sql.Timestamp, n_events: Long)
+
+/** The open (current) SCD2 version per user: its number, type, start,
+  * row count, and the last folded (ts, ord) — the in-order contract's
+  * high-water mark. One small tuple per user. */
+private[streaming] case class Scd2Open(version: Long, event_type: String,
+                                       validFromUs: Long, n: Long,
+                                       lastTsUs: Long, lastOrd: Long)
+
+/** SCD TYPE 2 materialization from a changelog under readStream
+  * (Flink's versioned dynamic table, the one temporal joins bind
+  * against — StreamOps.scd2): per user, the open version folds
+  * same-type rows; a type change CLOSES it — the closed interval
+  * [valid_from, valid_to) emits exactly once, arrival-eager (closures
+  * are FINAL under the in-order contract, so nothing waits on a
+  * watermark) — and opens the next version. Rows are folded in
+  * (ts, event_id) order; an input older than the open version's
+  * high-water mark would silently rewrite closed history, so a
+  * disordered cross-batch feed FAILS LOUDLY instead (the
+  * UpdatingJoinProcessor invariant discipline — route late streams
+  * through a watermark-sorting stage first). State per user is one
+  * small tuple; output is append-final. */
+private[streaming] class Scd2Processor
+    extends StatefulProcessor[Long, Ev, Scd2Row] {
+  @transient private var open: ValueState[Scd2Open] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    open = getHandle.getValueState[Scd2Open]("scd2open",
+      Encoders.product[Scd2Open], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+                               timers: TimerValues): Iterator[Scd2Row] = {
+    val sorted = rows.toIndexedSeq.sortBy(e => (StreamOps.tsMicros(e.ts), e.event_id))
+    var cur = if (open.exists()) Some(open.get()) else None
+    val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Row]
+    sorted.foreach { e =>
+      val tUs = StreamOps.tsMicros(e.ts)
+      cur match {
+        case None =>
+          cur = Some(Scd2Open(1L, e.event_type, tUs, 1L, tUs, e.event_id))
+        case Some(o) =>
+          require(tUs > o.lastTsUs ||
+              (tUs == o.lastTsUs && e.event_id > o.lastOrd),
+            s"scd2($key): row (ts=${e.ts}, id=${e.event_id}) arrives " +
+              "behind the open version's high-water mark — an " +
+              "out-of-order cross-batch feed would rewrite closed " +
+              "history; sort/seal the stream upstream")
+          if (e.event_type == o.event_type)
+            cur = Some(o.copy(n = o.n + 1, lastTsUs = tUs, lastOrd = e.event_id))
+          else {
+            out += Scd2Row(key, o.version, o.event_type,
+              StreamOps.microsTs(o.validFromUs), StreamOps.microsTs(tUs), o.n)
+            cur = Some(Scd2Open(o.version + 1, e.event_type, tUs, 1L,
+              tUs, e.event_id))
+          }
+      }
+    }
+    cur.foreach(open.update)
+    out.iterator
+  }
+}
+
 /** One Window Top-N row (StreamOps.wndTopk): the ranked event of its
   * sealed (1 h window, type) group — the same columns as the batch
   * window-rank plan (wnd_topk_per_window). */
@@ -2985,6 +3053,42 @@ object StreamOps extends Serializable {
     * window emits in an earlier micro-batch; the later cumulative
     * window counts the same events again), the empty-prefix skip, the
     * late-drop seal, and full-replay equality with this batch twin. */
+  /** SCD2 changelog materialization (see [[Scd2Processor]]): closed
+    * version intervals, emitted as each type change seals one. Batch
+    * replay (streaming = false): the ts_scd2_intervals
+    * gaps-and-islands plan restricted to CLOSED versions — identical
+    * rows, so the declared key carries the same construction's oracle
+    * with the valid_to IS NOT NULL filter. */
+  def scd2(ev: Dataset[Ev], streaming: Boolean): DataFrame = {
+    import ev.sparkSession.implicits._
+    if (streaming)
+      ev.groupByKey(_.user_id)
+        .transformWithState(new Scd2Processor(), TimeMode.None(),
+          OutputMode.Append())
+        .toDF()
+    else {
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wVer = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("version"))
+      ev.toDF()
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(wOrd).isNull ||
+            lag(col("event_type"), 1).over(wOrd) =!= col("event_type"), 1)
+            .otherwise(0))
+        .withColumn("version", sum(col("chg")).over(wOrd))
+        .groupBy("user_id", "version")
+        .agg(min(col("event_type")).as("event_type"),
+          min(col("ts")).as("valid_from"),
+          count(lit(1)).as("n_events"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(wVer))
+        .filter(col("valid_to").isNotNull)
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("valid_from"), col("valid_to"), col("n_events"))
+    }
+  }
+
   /** Flink SQL Window Top-N under readStream (see [[WndTopkProcessor]]):
     * top-k events by (value DESC, event_id) per (1 h tumbling window,
     * type), each window's ranking sealed and emitted once as the

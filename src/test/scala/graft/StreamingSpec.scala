@@ -1131,6 +1131,68 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("SCD2 under readStream: cross-batch folding, eager closure, loud disorder, replay equality") {
+    import graft.streaming.Scd2Row
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = StreamOps.scd2(ms.toDS(), streaming = true)
+        .writeStream.format("memory").queryName("scd2")
+        .outputMode("append").start()
+      def rows() = spark.table("scd2").as[Scd2Row].collect().toSet
+      // batch 1: two clicks then a view — the click version closes
+      // EAGERLY on the change; the view version stays open in state
+      ms.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(2, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+        Ev(3, ts("2024-01-01 10:10:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      val b1 = rows()
+      assert(b1 == Set(Scd2Row(1L, 1L, "click", ts("2024-01-01 10:00:00"),
+          ts("2024-01-01 10:10:00"), 2L)),
+        s"the click version must close on the type change, view stays open: $b1")
+      // batch 2: another view folds into the OPEN version restored
+      // from batch 1, then a purchase closes it — n_events must count
+      // both view rows across the batch boundary
+      ms.addData(
+        Ev(4, ts("2024-01-01 10:20:00"), 1, "view", 1.0),
+        Ev(5, ts("2024-01-01 10:30:00"), 1, "purchase", 1.0))
+      q.processAllAvailable()
+      val b2 = rows() -- b1
+      assert(b2 == Set(Scd2Row(1L, 2L, "view", ts("2024-01-01 10:10:00"),
+          ts("2024-01-01 10:30:00"), 2L)),
+        s"the view version must fold across batches before closing: $b2")
+      // replay equality: the batch gaps-and-islands plan over the same
+      // in-order rows, restricted to closed versions
+      val replay = StreamOps.scd2(Seq(
+          Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+          Ev(2, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+          Ev(3, ts("2024-01-01 10:10:00"), 1, "view", 1.0),
+          Ev(4, ts("2024-01-01 10:20:00"), 1, "view", 1.0),
+          Ev(5, ts("2024-01-01 10:30:00"), 1, "purchase", 1.0)).toDS(),
+          streaming = false)
+        .as[Scd2Row].collect().toSet
+      assert(rows() == replay, s"stream ${rows()} != batch replay $replay")
+      // a cross-batch DISORDERED row (behind the open version's
+      // high-water mark) must fail loudly, not rewrite closed history
+      ms.addData(Ev(6, ts("2024-01-01 10:15:00"), 1, "click", 1.0))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("high-water") ||
+          Option(ex.getCause).exists(_.getMessage.contains("high-water")),
+        s"disorder must surface the high-water contract: ${ex.getMessage}")
+      try q.stop() catch { case _: Throwable => () }
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("Window Top-N under readStream: cross-batch displacement, sealing, late drop, replay equality") {
     import graft.streaming.WndTopkRow
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
