@@ -210,6 +210,48 @@ object Relational {
         .orderBy("p_id")
     }),
 
+    // as-of with a TOLERANCE (pandas merge_asof's bound, QuestDB ASOF
+    // ... WITHIN): the nearest click at most 10 min before each
+    // purchase, NULL past the bound — the tolerance is also the scale
+    // lever: it bounds each key's candidate history, so at 100 TB the
+    // join buckets by (user, 10-min grain) instead of scanning the
+    // full per-user past.
+    "join_asof_tolerance" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      val w = Window.partitionBy(col("p_id"))
+        .orderBy(col("c_ts").desc_nulls_last, col("c_id").desc_nulls_last)
+      p.join(c, col("user_id") === col("c_user") && col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES"), "left_outer")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("p_id"), col("user_id"), col("p_ts"),
+          col("c_id").as("matched_click_id"), col("c_ts").as("matched_click_ts"))
+        .orderBy("p_id")
+    }),
+
+    // as-of with direction = FORWARD (merge_asof's other direction):
+    // the EARLIEST click at or after each purchase — the "next
+    // observation" binding used for forward-looking attribution.
+    "join_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      val w = Window.partitionBy(col("p_id"))
+        .orderBy(col("c_ts").asc_nulls_last, col("c_id").asc_nulls_last)
+      p.join(c, col("user_id") === col("c_user") && col("c_ts") >= col("p_ts"), "left_outer")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("p_id"), col("user_id"), col("p_ts"),
+          col("c_id").as("matched_click_id"), col("c_ts").as("matched_click_ts"))
+        .orderBy("p_id")
+    }),
+
     // ---- D. aggregations ----
     "agg_hash" -> ((s, d) => {
       val li = Tables.lineitem(s, d).filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
@@ -769,6 +811,29 @@ object Relational {
         |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |    ON p.user_id = c.user_id AND c.ts <= p.ts
+        |) WHERE rn = 1 ORDER BY p_id""".stripMargin,
+
+    "join_asof_tolerance" ->
+      """SELECT p_id, user_id, p_ts, matched_click_id, matched_click_ts FROM (
+        |  SELECT p.event_id AS p_id, p.user_id, p.ts::TIMESTAMP AS p_ts,
+        |         c.event_id AS matched_click_id, c.ts::TIMESTAMP AS matched_click_ts,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id AND c.ts <= p.ts
+        |   AND c.ts >= p.ts - INTERVAL 10 MINUTE
+        |) WHERE rn = 1 ORDER BY p_id""".stripMargin,
+
+    "join_asof_forward" ->
+      """SELECT p_id, user_id, p_ts, matched_click_id, matched_click_ts FROM (
+        |  SELECT p.event_id AS p_id, p.user_id, p.ts::TIMESTAMP AS p_ts,
+        |         c.event_id AS matched_click_id, c.ts::TIMESTAMP AS matched_click_ts,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |                            ORDER BY c.ts ASC, c.event_id ASC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id AND c.ts >= p.ts
         |) WHERE rn = 1 ORDER BY p_id""".stripMargin,
 
     "agg_hash" ->

@@ -252,6 +252,26 @@ object Streaming {
     // cross-batch growth, the empty-prefix skip, the late-drop seal,
     // and full-replay equality). Batch replay is plan-identical to
     // wnd_cumulate, so it shares that oracle.
+    // followedByAny under readStream — the one CEP emission mode the
+    // seal-aware scan rejects, closed by the TIMER route: an anchor's
+    // full alternative set is enumerated exactly once when the
+    // watermark passes its WITHIN deadline (StreamOps.cepAny /
+    // CepAnyProcessor; StreamingSpec pins the window-close emission,
+    // the multi-alternative fan-out, and replay equality). Batch
+    // replay is row-identical to event_cep_any's compiled route, so
+    // the generated oracle is shared.
+    "stream_cep_any" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[Ev]
+      StreamOps.cepAny(ev, Analytic.CepPatterns.any, streaming = false)
+        .toDF()
+        .orderBy("user_id", "start_id", "end_id", "n_rows", "step_counts")
+    }),
+
     // SCD2 changelog materialization under readStream (Flink's
     // versioned dynamic table — the table temporal joins bind
     // against): each type change CLOSES the open version and emits
@@ -1121,6 +1141,9 @@ object Streaming {
     // streaming Window Top-N: batch replay is plan-identical to
     // wnd_topk_per_window, so the oracle is shared
     "stream_wnd_topk" -> EventTime.oracles("wnd_topk_per_window"),
+    // streaming followedByAny: batch replay = the batch compiled
+    // route's generated oracle
+    "stream_cep_any" -> Analytic.oracles("event_cep_any"),
     // SCD2 materialization: the batch construction's oracle restricted
     // to CLOSED versions (open versions live in state, not output)
     "stream_scd2" ->

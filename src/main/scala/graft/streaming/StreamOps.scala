@@ -777,6 +777,81 @@ case class CumulateRow(period_start: java.sql.Timestamp,
                        window_end: java.sql.Timestamp, event_type: String,
                        n_events: Long, sum_value: Double)
 
+/** followedByAny under readStream (StreamOps.cepAny — the one CEP
+  * emission mode the seal-aware scan rejects, closed here by the
+  * TIMER route): anyMatch emissions per anchor are unbounded only
+  * while the anchor's WITHIN window is open — once the watermark
+  * passes anchor_ts + within, every row a match from that anchor
+  * could consume has either arrived or is late-beyond-watermark, so
+  * the anchor's FULL alternative set is enumerable exactly once.
+  * Each arriving first-step row arms an event-time timer at its own
+  * deadline; the timer runs the reference matcher over the buffer and
+  * emits the matches of every anchor whose window just closed.
+  *
+  * Buffer trim is watermark-sound, not merely in-order-sound: a row
+  * is dropped only when it precedes both the first still-pending
+  * anchor AND the watermark (a yet-unseen anchor must carry
+  * ts >= watermark, and consumption never reaches behind its anchor,
+  * so a sub-watermark row ahead of every pending anchor is provably
+  * unreachable). Emitted anchors are dropped by that same trim —
+  * re-emission is impossible without a separate mark. State per key:
+  * the pending-anchor window span of rows. */
+private[streaming] class CepAnyProcessor(pattern: CepPattern)
+    extends StatefulProcessor[Long, Ev, CepPatMatch] {
+  @transient private var buf: ValueState[CepPatState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    buf = getHandle.getValueState[CepPatState]("anybuf",
+      Encoders.product[CepPatState], TTLConfig.NONE)
+
+  private def load(): IndexedSeq[CepEvent] =
+    (if (buf.exists()) Some(buf.get()) else None)
+      .map(s => s.syms.indices.map(i => CepEvent(s.syms(i), s.ts(i), s.ords(i))))
+      .getOrElse(IndexedSeq.empty)
+
+  private def store(evs: IndexedSeq[CepEvent]): Unit =
+    if (evs.isEmpty) buf.clear()
+    else buf.update(CepPatState(evs.map(_.sym), evs.map(_.tsUs), evs.map(_.ord)))
+
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+                               timers: TimerValues): Iterator[CepPatMatch] = {
+    val wUs = pattern.withinUs.getOrElse(throw new IllegalArgumentException(
+      "streaming followedByAny needs WITHIN — an open window never " +
+        "finishes enumerating an anchor's alternatives"))
+    val fresh = rows.map(e =>
+      CepEvent(e.event_type, StreamOps.tsMicros(e.ts), e.event_id)).toIndexedSeq
+    val head = pattern.steps.head.symbol
+    // ceil to ms: the expiry must reach the exact micros deadline,
+    // else the fired timer's own anchor fails its <= expiry filter
+    fresh.filter(_.sym == head).foreach(a =>
+      getHandle.registerTimer((a.tsUs + wUs + 999L) / 1000L))
+    store((load() ++ fresh).sortBy(e => (e.tsUs, e.ord)))
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                  expired: ExpiredTimerInfo): Iterator[CepPatMatch] = {
+    val wUs = pattern.withinUs.get
+    val eUs = expired.getExpiryTimeInMs() * 1000L
+    val wmUs = math.max(timers.getCurrentWatermarkInMs() * 1000L, eUs)
+    val evs = load()
+    val head = pattern.steps.head.symbol
+    val out = Cep.matchSequence(evs, pattern)
+      .filter(m => evs(m.startIdx).tsUs + wUs <= eUs)
+      .map(m => CepPatMatch(key, evs(m.startIdx).ord,
+        StreamOps.microsTs(evs(m.startIdx).tsUs), evs(m.endIdx).ord,
+        StreamOps.microsTs(evs(m.endIdx).tsUs), m.nRows.toLong,
+        m.stepCounts.mkString(",")))
+    val pendingAnchor = evs.indexWhere(r => r.sym == head && r.tsUs + wUs > eUs)
+    val keepFrom = evs.indexWhere(r => r.tsUs >= wmUs) match {
+      case -1 => pendingAnchor
+      case i => if (pendingAnchor < 0) i else math.min(i, pendingAnchor)
+    }
+    store(if (keepFrom < 0) IndexedSeq.empty else evs.drop(keepFrom))
+    out.iterator
+  }
+}
+
 /** One CLOSED SCD2 version row (StreamOps.scd2 — the streaming
   * materialization of ts_scd2_intervals): emitted when the user's
   * next type change closes the interval. Open (current) versions live
@@ -3053,6 +3128,32 @@ object StreamOps extends Serializable {
     * window emits in an earlier micro-batch; the later cumulative
     * window counts the same events again), the empty-prefix skip, the
     * late-drop seal, and full-replay equality with this batch twin. */
+  /** followedByAny under readStream (see [[CepAnyProcessor]]): every
+    * alternative continuation per anchor, emitted exactly once when
+    * the watermark closes the anchor's WITHIN window. Batch replay
+    * (streaming = false): the reference matcher over the closed
+    * per-user sequence — row-identical to event_cep_any's compiled
+    * route, whose generated oracle the declared key shares. */
+  def cepAny(ev: Dataset[Ev], pattern: CepPattern,
+             streaming: Boolean): Dataset[CepPatMatch] = {
+    import ev.sparkSession.implicits._
+    require(pattern.anyMatch, "cepAny runs followedByAny patterns only")
+    if (streaming)
+      ev.withWatermark("ts", "10 minutes")
+        .groupByKey(_.user_id)
+        .transformWithState(new CepAnyProcessor(pattern),
+          TimeMode.EventTime(), OutputMode.Append())
+    else
+      ev.groupByKey(_.user_id).flatMapGroups { (user: Long, it: Iterator[Ev]) =>
+        val evs = it.map(e => CepEvent(e.event_type, tsMicros(e.ts), e.event_id))
+          .toIndexedSeq.sortBy(e => (e.tsUs, e.ord))
+        Cep.matchSequence(evs, pattern).iterator.map(m =>
+          CepPatMatch(user, evs(m.startIdx).ord, microsTs(evs(m.startIdx).tsUs),
+            evs(m.endIdx).ord, microsTs(evs(m.endIdx).tsUs), m.nRows.toLong,
+            m.stepCounts.mkString(",")))
+      }
+  }
+
   /** SCD2 changelog materialization (see [[Scd2Processor]]): closed
     * version intervals, emitted as each type change seals one. Batch
     * replay (streaming = false): the ts_scd2_intervals

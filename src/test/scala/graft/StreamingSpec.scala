@@ -1131,6 +1131,60 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("followedByAny under readStream: per-anchor window-close emission, fan-out, replay equality") {
+    import graft.streaming.CepPatMatch
+    val pat = graft.queries.Analytic.CepPatterns.any
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = StreamOps.cepAny(ms.toDS(), pat, streaming = true)
+        .writeStream.format("memory").queryName("cany")
+        .outputMode("append").start()
+      def rows() = spark.table("cany").as[CepPatMatch].collect().toSet
+      // two anchors an hour apart, each with clicks and purchases
+      // inside both 24 h windows — a rich alternative set per anchor
+      val evs = Seq(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "signup", 1.0),
+        Ev(2, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+        Ev(4, ts("2024-01-01 10:15:00"), 1, "purchase", 1.0),
+        Ev(5, ts("2024-01-01 11:00:00"), 1, "signup", 1.0),
+        Ev(6, ts("2024-01-01 11:05:00"), 1, "click", 1.0),
+        Ev(7, ts("2024-01-01 11:10:00"), 1, "purchase", 1.0))
+      ms.addData(evs: _*)
+      q.processAllAvailable()
+      assert(rows().isEmpty,
+        "no anchor's 24 h window has closed — anyMatch must not emit early")
+      // watermark 01-02 10:20 closes ONLY the 10:00 anchor's window —
+      // its full alternative set emits at once, the 11:00 anchor waits
+      ms.addData(Ev(8, ts("2024-01-02 10:30:00"), 9, "view", 0.0))
+      q.processAllAvailable()
+      val b2 = rows()
+      assert(b2.nonEmpty && b2.forall(_.start_id == 1L),
+        s"only the closed 10:00 anchor may emit: $b2")
+      assert(b2.size >= 2,
+        s"followedByAny must fan out alternatives per anchor: $b2")
+      // watermark 01-02 11:50 closes the second anchor
+      ms.addData(Ev(9, ts("2024-01-02 12:00:00"), 9, "view", 0.0))
+      drain(q)
+      assert(rows().exists(_.start_id == 5L),
+        s"the 11:00 anchor must emit once its window closes: ${rows()}")
+      // full-replay equality with the batch reference matcher
+      val replay = StreamOps.cepAny((evs ++ Seq(
+          Ev(8, ts("2024-01-02 10:30:00"), 9, "view", 0.0),
+          Ev(9, ts("2024-01-02 12:00:00"), 9, "view", 0.0))).toDS(),
+          pat, streaming = false)
+        .collect().toSet
+      assert(rows() == replay, s"stream ${rows()} != batch replay $replay")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("SCD2 under readStream: cross-batch folding, eager closure, loud disorder, replay equality") {
     import graft.streaming.Scd2Row
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
