@@ -325,4 +325,63 @@ object Graphs {
         "raise maxIters (and the oracle's depth bound) rather than " +
         "accepting truncated distances")
   }
+
+  /** WEIGHTED multi-source shortest paths to the least fixpoint —
+    * genuine (min, +) relaxation over positive integer edge weights,
+    * where [[ssspWithRound]]'s BFS shortcut (levels final) no longer
+    * holds: a node's distance can IMPROVE after first discovery, so
+    * the frontier is the per-round IMPROVED set (delta-stepping's
+    * simplest form: Bellman-Ford relaxing only edges out of nodes
+    * whose distance changed). Termination is by construction for
+    * positive integer weights: every improvement strictly decreases
+    * an integer bounded below, and an empty improved set means no
+    * relaxation can ever fire again — the least fixpoint. The
+    * certified round is an upper bound within blockSize - 1 of the
+    * exact emptying round, which itself is (max shortest-path HOP
+    * count) + 1 — the coupling the oracle's hop-bounded recursive
+    * closure asserts against at build time.
+    *
+    * Scale: per round one src-keyed join of the improved set to the
+    * edges, one dst-keyed min-combine, and one key-partitioned
+    * merge-fold of the distance table (union + min per id — the
+    * relaxation step Bellman-Ford cannot avoid once improvements
+    * re-open settled nodes); all partitioned by id, rounds bounded by
+    * the hop radius of the shortest-path forest. */
+  def ssspWeightedWithRound(seeds: DataFrame, idCol: String,
+                            edges: DataFrame, srcCol: String,
+                            dstCol: String, wCol: String,
+                            maxIters: Int = 64,
+                            blockSize: Int = 4): (DataFrame, Int) = {
+    require(blockSize >= 1, s"blockSize must be >= 1: $blockSize")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"), col(wCol).cast("int").as("w"))
+      .localCheckpoint()
+    var dist = seeds.select(col(idCol).cast("long").as("id"),
+      lit(0).cast("int").as("dist")).localCheckpoint()
+    var frontier = dist
+    var it = 0
+    while (it < maxIters) {
+      val k = math.min(blockSize, maxIters - it)
+      var (d, f) = (dist, frontier)
+      for (_ <- 1 to k) {
+        val cand = e.join(f, e("src") === f("id"))
+          .select(col("dst").as("id"), (col("dist") + col("w")).as("nd"))
+          .groupBy("id").agg(min(col("nd")).cast("int").as("nd"))
+        val improved = cand.join(d, Seq("id"), "left")
+          .filter(col("dist").isNull || col("nd") < col("dist"))
+          .select(col("id"), col("nd").cast("int").as("dist"))
+        d = d.union(improved).groupBy("id")
+          .agg(min(col("dist")).cast("int").as("dist"))
+        f = improved
+      }
+      dist = d.localCheckpoint()
+      frontier = f.localCheckpoint()
+      it += k
+      if (frontier.isEmpty) return (dist, it)
+    }
+    throw new IllegalStateException(
+      s"ssspWeighted: improvements persist after $maxIters rounds — " +
+        "raise maxIters (and the oracle's hop bound) rather than " +
+        "accepting truncated distances")
+  }
 }

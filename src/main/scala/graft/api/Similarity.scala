@@ -450,6 +450,37 @@ object Similarity {
        |SELECT id AS vec_id, CAST(min(dist) AS INTEGER) AS dist
        |FROM r GROUP BY id ORDER BY vec_id""".stripMargin
 
+  /** The DuckDB replay of WEIGHTED multi-source shortest paths over
+    * the capped k-NN graph ([[graft.api.Graphs.ssspWeightedWithRound]]
+    * with weights derived arithmetically from the edge ids — both
+    * engines compute w = (src + dst) % 2 + 1 on the same edge set):
+    * a hop-bounded recursive (id, dist, hops) closure with min(dist)
+    * per node. The triple space is bounded — dist <= 2·maxHops,
+    * hops <= maxHops — and UNION dedups revisits, so path
+    * proliferation cannot blow the recursion up. The engine asserts
+    * its certified round <= `maxHops` at build time (the emptying
+    * round is max shortest-path hops + 1, so the bound never
+    * truncates a genuine distance). */
+  def knnSsspWeightedOracleSql(k: Int, tables: Int = 4, bits: Int = 8,
+                               dim: Int = 64, cap: Int = 8,
+                               seedMod: Long = 97L,
+                               maxHops: Int = 32): String =
+    s"""WITH RECURSIVE ${knnCtesSql(tables, bits, dim, Some(cap))},
+       |g AS (
+       |${knnRankSql(k, "cand")}),
+       |sse AS (SELECT src_id AS src, neighbor_id AS dst,
+       |               CAST((src_id + neighbor_id) % 2 + 1 AS INTEGER) AS w
+       |        FROM g),
+       |r AS (
+       |  SELECT vec_id AS id, 0 AS dist, 0 AS hops FROM embeddings
+       |  WHERE vec_id % $seedMod = 0
+       |  UNION
+       |  SELECT sse.dst, r.dist + sse.w, r.hops + 1
+       |  FROM r JOIN sse ON sse.src = r.id
+       |  WHERE r.hops < $maxHops)
+       |SELECT id AS vec_id, CAST(min(dist) AS INTEGER) AS dist
+       |FROM r GROUP BY id ORDER BY vec_id""".stripMargin
+
   /** The DuckDB replay of triangle counting over the capped k-NN graph
     * ([[graft.api.Graphs.triangleCounts]] fed by [[knnGraphCapped]]
     * edges): the capped graph's CTEs + rank give the edge set, then

@@ -774,6 +774,26 @@ object Pipeline {
       dist.select(col("id").as("vec_id"), col("dist")).orderBy("vec_id")
     }),
 
+    // WEIGHTED shortest paths — genuine (min, +) relaxation where
+    // BFS's levels-final shortcut fails (a settled node can improve):
+    // Bellman-Ford with the improved-set frontier over integer edge
+    // weights w = (src + dst) % 2 + 1, derived arithmetically so both
+    // engines compute identical weights on the identical edge set.
+    "graph_sssp_weighted" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val edges = Similarity.knnGraphCapped(e, "vec_id", "embedding", 5,
+          tables = 8, bits = 6, cap = 16)
+        .withColumn("w", expr("CAST((src_id + neighbor_id) % 2 + 1 AS INT)"))
+      val (dist, round) = graft.api.Graphs.ssspWeightedWithRound(
+        e.filter(col("vec_id") % 97 === 0).select("vec_id"), "vec_id",
+        edges, srcCol = "src_id", dstCol = "neighbor_id", wCol = "w")
+      require(round <= SsspOracleDepth,
+        s"ssspWeighted settled at round $round but the oracle's " +
+          s"recursive closure explores only $SsspOracleDepth hops — " +
+          "raise SsspOracleDepth so the replay is not truncated")
+      dist.select(col("id").as("vec_id"), col("dist")).orderBy("vec_id")
+    }),
+
     "graph_pagerank_converged" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val edges = Similarity.knnGraphCapped(e, "vec_id", "embedding", 5,
@@ -1962,6 +1982,9 @@ object Pipeline {
       scale = 1000000L, rankCol = "rank_ppm", seedBottom = true),
     "graph_sssp" -> Similarity.knnSsspOracleSql(5, tables = 8, bits = 6,
       cap = 16, seedMod = 97L, maxDepth = SsspOracleDepth),
+    "graph_sssp_weighted" -> Similarity.knnSsspWeightedOracleSql(5,
+      tables = 8, bits = 6, cap = 16, seedMod = 97L,
+      maxHops = SsspOracleDepth),
     "sim_knn_graph_converged" ->
       Similarity.knnGraphConvergedOracleSql(5, tables = 8, bits = 6,
         rounds = ConvergedOracleRounds),

@@ -1232,6 +1232,53 @@ class PipelineSpec extends SparkSuite {
     assert(got2 == got, "sssp is partitioning-dependent")
   }
 
+  test("ssspWeighted: Bellman-Ford fixpoint equals a scalar reference; improvement after discovery") {
+    import graft.api.Graphs
+    val rnd = new scala.util.Random(20260818L)
+    val n = 36
+    // weights 1..3 — small enough that long cheap paths beat short
+    // expensive ones, forcing post-discovery improvements
+    val edges = (for {
+      s <- 0 until n; d <- 0 until n
+      if s != d && rnd.nextInt(100) < 8
+    } yield (s.toLong, d.toLong, 1 + (s + d) % 3)).distinct
+    val seeds = Seq(0L, 11L)
+    val (distDf, round) = Graphs.ssspWeightedWithRound(
+      seeds.toDF("nid"), "nid", edges.toDF("src", "dst", "w"),
+      "src", "dst", "w", blockSize = 3)
+    val got = distDf.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // scalar reference: textbook Bellman-Ford to fixpoint
+    var ref = seeds.map(_ -> 0).toMap
+    var changed = true
+    var rounds = 0
+    while (changed) {
+      changed = false
+      rounds += 1
+      assert(rounds <= n + 2, "scalar Bellman-Ford failed to settle")
+      edges.foreach { case (s, d, w) =>
+        ref.get(s).foreach { ds =>
+          if (ref.get(d).forall(_ > ds + w)) { ref += d -> (ds + w); changed = true }
+        }
+      }
+    }
+    assert(got == ref, "engine fixpoint != scalar Bellman-Ford")
+    // the fixpoint verifies: no edge can relax further (least fixpoint)
+    assert(!edges.exists { case (s, d, w) =>
+        ref.contains(s) && ref.get(d).forall(_ > ref(s) + w) },
+      "a relaxable edge remains — not a fixpoint")
+    // the weighted semiring genuinely differs from BFS here: some
+    // node's weighted-shortest distance must disagree with hop count
+    val (bfsDf, _) = Graphs.ssspWithRound(
+      seeds.toDF("nid"), "nid",
+      edges.map(e => (e._1, e._2)).toDF("src", "dst"), "src", "dst")
+    val bfs = bfsDf.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.keySet == bfs.keySet, "reachability must agree across semirings")
+    assert(got.exists { case (id, dv) => bfs(id) != dv },
+      "fixture too small: weighted distances all equal hop counts")
+    // round stays within the certified band of the scalar settling
+    assert(round <= rounds + 3, s"round bound $round vs scalar $rounds")
+  }
+
   test("repetition signals: exact fractions on a hand-built doc") {
     val df = Seq((1L, "a a a b"), (2L, "x y z w")).toDF("doc_id", "text")
     val out = graft.api.TextOps.repetition(df, "doc_id", "text")
