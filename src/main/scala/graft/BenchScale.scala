@@ -110,7 +110,11 @@ object BenchScale {
     // ... and multi-source BFS over the capped kNN graph: O(E) total
     // edge visits across all rounds, rounds bounded by the (slowly
     // growing) diameter — expected sub-linear wall per decade
-    "graph_sssp")
+    "graph_sssp",
+    // ... and its weighted Bellman-Ford sibling, which adds the
+    // per-round distance merge-fold (improvements re-open settled
+    // nodes) — the term worth watching at 10x
+    "graph_sssp_weighted")
 
   /** Second measured decade (VERDICT r9 item 6): the STEEPEST keys of
     * the 10x sweep re-measured over a 100x slice, so their exponents
