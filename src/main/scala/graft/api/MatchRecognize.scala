@@ -2064,7 +2064,7 @@ object MatchRecognize {
     val withExprs = projs.foldLeft(base) { case (d, (alias, sqlOpt)) =>
       sqlOpt.map(sq => d.withColumn(alias, expr(sq))).getOrElse(d)
     }
-    withExprs.drop(withExprs.columns.filter(_.startsWith("__mx")): _*)
+    withExprs.drop(withExprs.columns.filter(_.startsWith("__mx")).toIndexedSeq: _*)
   }
 
   /** Resolve a parsed spec's MEASURES for the SEAL-AWARE STREAMING

@@ -15,7 +15,7 @@ object Windows {
 
   private def projectWindow(agged: DataFrame, windowCol: String): DataFrame = {
     val rest = agged.columns.filter(_ != windowCol).map(col)
-    agged.select(Array(col(s"$windowCol.start").as("window_start"),
+    agged.select(Seq(col(s"$windowCol.start").as("window_start"),
       col(s"$windowCol.end").as("window_end")) ++ rest: _*)
   }
 
@@ -54,7 +54,7 @@ object Windows {
     val agged = df.groupBy(session_window(col(tsCol), gap) +: keys: _*)
       .agg(aggs.head, aggs.tail: _*)
     val rest = agged.columns.filter(_ != "session_window").map(col)
-    agged.select(Array(col("session_window.start").as("session_start"),
+    agged.select(Seq(col("session_window.start").as("session_start"),
       col("session_window.end").as("session_end")) ++ rest: _*)
   }
 
