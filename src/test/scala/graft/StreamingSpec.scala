@@ -1185,6 +1185,69 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("followedByAny trim soundness: an out-of-order anchor after a trim still finds its rows") {
+    // the watermark-sound half of the CepAnyProcessor trim rule: after
+    // an anchor's timer fires and trims the buffer, rows AT or ABOVE
+    // the watermark survive — so a LATER-arriving anchor whose ts is
+    // below already-buffered rows (out-of-order within the watermark)
+    // still consumes everything its window covers
+    import graft.streaming.CepPatMatch
+    val pat = graft.queries.Analytic.CepPatterns.any
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = StreamOps.cepAny(ms.toDS(), pat, streaming = true)
+        .writeStream.format("memory").queryName("canytrim")
+        .outputMode("append").start()
+      def rows() = spark.table("canytrim").as[CepPatMatch].collect().toSet
+      // anchor A and its rows, then a watermark push past A's deadline
+      ms.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "signup", 1.0),
+        Ev(2, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+        Ev(3, ts("2024-01-01 10:10:00"), 1, "purchase", 1.0))
+      q.processAllAvailable()
+      ms.addData(Ev(4, ts("2024-01-02 10:30:00"), 1, "view", 0.0))
+      q.processAllAvailable()
+      val afterA = rows()
+      assert(afterA.nonEmpty && afterA.forall(_.start_id == 1L),
+        s"anchor A must emit on its window close: $afterA")
+      // anchor B arrives OUT OF ORDER: its ts (10:25) is below the
+      // already-buffered view row (10:30) but above the watermark
+      // (01-02 10:20) — the trim must not have dropped anything B
+      // needs, and B's same-batch continuation rows complete a match
+      ms.addData(
+        Ev(5, ts("2024-01-02 10:25:00"), 1, "signup", 1.0),
+        Ev(6, ts("2024-01-02 10:40:00"), 1, "click", 1.0),
+        Ev(7, ts("2024-01-02 10:45:00"), 1, "purchase", 1.0))
+      q.processAllAvailable()
+      ms.addData(Ev(8, ts("2024-01-03 11:00:00"), 1, "view", 0.0))
+      drain(q)
+      val bMatches = rows().filter(_.start_id == 5L)
+      assert(bMatches.nonEmpty,
+        s"the post-trim out-of-order anchor must still match: ${rows()}")
+      // and the stream agrees with the batch reference over everything
+      val replay = StreamOps.cepAny(Seq(
+          Ev(1, ts("2024-01-01 10:00:00"), 1, "signup", 1.0),
+          Ev(2, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+          Ev(3, ts("2024-01-01 10:10:00"), 1, "purchase", 1.0),
+          Ev(4, ts("2024-01-02 10:30:00"), 1, "view", 0.0),
+          Ev(5, ts("2024-01-02 10:25:00"), 1, "signup", 1.0),
+          Ev(6, ts("2024-01-02 10:40:00"), 1, "click", 1.0),
+          Ev(7, ts("2024-01-02 10:45:00"), 1, "purchase", 1.0),
+          Ev(8, ts("2024-01-03 11:00:00"), 1, "view", 0.0)).toDS(),
+          pat, streaming = false)
+        .collect().toSet
+      assert(rows() == replay, s"stream ${rows()} != batch replay $replay")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("SCD2 under readStream: cross-batch folding, eager closure, loud disorder, replay equality") {
     import graft.streaming.Scd2Row
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
