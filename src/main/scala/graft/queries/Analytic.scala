@@ -72,6 +72,20 @@ object Analytic {
         .orderBy("o_orderkey")
     }),
 
+    // NTILE bucketing (the one classic window function the family
+    // lacked): quartiles of order value per priority. Tie hazard:
+    // ntile assignment depends on ROW order, so the ORDER BY carries
+    // the unique o_orderkey tiebreak — without it equal prices split
+    // engine-dependently and the hash match is luck.
+    "win_ntile" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("o_orderkey")
+    }),
+
     // RANGE frame: per customer, order value in the 30 days preceding
     // each order. Spark needs a numeric range key → epoch seconds.
     "win_range_frame" -> ((s, d) => {
@@ -2854,6 +2868,15 @@ object Analytic {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
         |ORDER BY o_orderkey""".stripMargin,
+
+    // ntile is BIGINT in DuckDB, IntegerType in Spark — cast; the
+    // unique tiebreak makes the bucket split deterministic
+    "win_ntile" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+        |                      ORDER BY o_totalprice, o_orderkey) AS INTEGER)
+        |    AS quartile
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "win_range_frame" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
