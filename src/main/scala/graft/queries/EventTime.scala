@@ -403,6 +403,60 @@ object EventTime {
         .select("user_id", "window_start", "n_purchases", "sum_purchase",
           "n_clicks", "sum_click")
         .orderBy("user_id", "window_start")
+    }),
+
+    // Bounded exponential moving average with EXACT integer arithmetic
+    // (the smoothing step next to ts_ohlc/ts_fill_forward in a metrics
+    // pipeline): per user, the alpha=1/2 EWMA truncated to the last 8
+    // ticks — weights 2^0 (oldest in window) .. 2^(m-1) (current),
+    // normalized by the present-weight sum 2^m - 1, all in BIGINT cents
+    // with one floor division at the end. A true unbounded EWMA is a
+    // recursive fold whose float rounding diverges cross-engine; the
+    // truncated form is mathematically within 2^-8 of it and
+    // hash-exact. Eight partitioned lags + one projection — per-key
+    // linear, no self-join, same scale shape as the other ts_* keys.
+    "ts_ewma" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val base = Tables.events(s, d).filter(col("user_id") < 50)
+        .withColumn("cents", (Det.dec2(col("value")) * 100).cast("long"))
+        .withColumn("m", least(row_number().over(w), lit(8)))
+      val withLags = (1 until 8).foldLeft(base) { (df, j) =>
+        df.withColumn(s"lag_$j", lag(col("cents"), j).over(w))
+      }
+      val terms = "cents * shiftleft(CAST(1 AS BIGINT), m - 1)" +:
+        (1 until 8).map(j =>
+          s"coalesce(lag_$j * shiftleft(CAST(1 AS BIGINT), greatest(m - 1 - $j, 0)), CAST(0 AS BIGINT))")
+      withLags
+        .withColumn("ewma_cents",
+          expr(s"(${terms.mkString(" + ")}) div (shiftleft(CAST(1 AS BIGINT), m) - 1)"))
+        .select(col("user_id"), col("event_id"), col("value"),
+          (col("ewma_cents") / 100.0).as("ewma"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Rolling z-score anomaly flag with EXACT integer arithmetic: over
+    // each user's last 16 ticks, flag |x - mean| > 2*stddev without ever
+    // forming a float — z^2 > 4 rearranges to
+    //   (n*x - s)^2 > 4 * (n*q - s^2)
+    // in BIGINT cents (s = window sum, q = window sum of squares; worst
+    // case ~6e15, well inside 64 bits). n >= 8 guards the cold-start
+    // rows where the window variance is meaningless. Three partitioned
+    // window aggregates + one integer predicate — per-key linear.
+    "ts_anomaly" -> ((s, d) => {
+      val w16 = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-15, 0)
+      Tables.events(s, d).filter(col("user_id") < 50)
+        .withColumn("cents", (Det.dec2(col("value")) * 100).cast("long"))
+        .withColumn("n", count(lit(1)).over(w16))
+        .withColumn("sm", sum(col("cents")).over(w16))
+        .withColumn("sq", sum(col("cents") * col("cents")).over(w16))
+        .select(col("user_id"), col("event_id"), col("value"), col("n"),
+          (col("n") >= 8 &&
+            (col("n") * col("cents") - col("sm")) *
+              (col("n") * col("cents") - col("sm")) >
+            lit(4L) * (col("n") * col("sq") - col("sm") * col("sm")))
+            .as("is_anomaly"))
+        .orderBy("user_id", "event_id")
     })
   )
 
@@ -543,6 +597,49 @@ object EventTime {
         |      (CAST(epoch_us(ts) - epoch_us(pt) AS DOUBLE) /
         |       CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE))
         |  END) * 10000 + 0.5) / 10000 AS v_interp
+        |FROM w ORDER BY user_id, event_id""".stripMargin,
+
+    // Same truncated-weight formulation: `<<` mirrors shiftleft and
+    // `//` mirrors div (operands are non-negative, so floor ==
+    // truncation); the per-row weighted sum stays under 2^24 cents so
+    // even the final /100.0 double is exact.
+    "ts_ewma" ->
+      ("""WITH ev AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE user_id < 50),
+        |l AS (
+        |  SELECT user_id, event_id, value, cents,
+        |    least(row_number() OVER w, 8) AS m,
+        |""".stripMargin +
+        (1 until 8).map(j => s"    lag(cents, $j) OVER w AS lag_$j")
+          .mkString(",\n") + "\n" +
+        """  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id, value,
+        |  ((cents * (CAST(1 AS BIGINT) << (m - 1))
+        |""".stripMargin +
+        (1 until 8).map(j =>
+          s"    + coalesce(lag_$j * (CAST(1 AS BIGINT) << greatest(m - 1 - $j, 0)), 0)")
+          .mkString("\n") + "\n" +
+        """   ) // ((CAST(1 AS BIGINT) << m) - 1)) / 100.0 AS ewma
+        |FROM l ORDER BY user_id, event_id""".stripMargin),
+
+    // DuckDB's integer sums widen to HUGEINT — cast back to BIGINT so
+    // the predicate arithmetic (and the emitted n) match Spark's types.
+    "ts_anomaly" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE user_id < 50),
+        |w AS (
+        |  SELECT user_id, event_id, value, cents,
+        |    CAST(count(*) OVER win AS BIGINT) AS n,
+        |    CAST(sum(cents) OVER win AS BIGINT) AS sm,
+        |    CAST(sum(cents * cents) OVER win AS BIGINT) AS sq
+        |  FROM ev WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                         ROWS BETWEEN 15 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, value, n,
+        |  (n >= 8 AND (n*cents - sm)*(n*cents - sm) > 4*(n*sq - sm*sm)) AS is_anomaly
         |FROM w ORDER BY user_id, event_id""".stripMargin,
 
     // Spark's max_by(value, struct(ts, event_id)) = the row_number()=1

@@ -623,6 +623,22 @@ object Relational {
         .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
         .orderBy("l_returnflag")),
 
+    // Unpivot (long-form melt, the inverse of agg_pivot): the wide
+    // per-returnflag aggregate becomes (metric, amount) rows — the shape
+    // feature stores and metric sinks want. Spark 4's native `unpivot`
+    // is a zero-shuffle projection-side Expand over the (tiny) aggregate
+    // output; the only shuffle is the aggregation's own.
+    "agg_unpivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(Det.sumMoney(col("l_quantity")).as("sum_qty"),
+          Det.sumMoney(col("l_extendedprice")).as("sum_price"),
+          Det.sumMoney(col("l_discount")).as("sum_disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "metric", "amount")
+        .orderBy("l_returnflag", "metric")),
+
     // Composite flagship (TPC-H Q3 shape): selective dim filter →
     // three-table join → revenue agg → top-10. The plan the whole engine
     // exists for: both filters push to the scans, customer broadcasts
@@ -763,6 +779,19 @@ object Relational {
         |  CAST(sum(CASE WHEN l_linestatus = 'O'
         |                THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // DuckDB UNPIVOT emits the source column NAME as the metric value,
+    // matching Spark's unpivot variable column.
+    "agg_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, amount
+        |FROM wide UNPIVOT (amount FOR metric IN (sum_qty, sum_price, sum_disc))
+        |ORDER BY l_returnflag, metric""".stripMargin,
 
     "join_semi" ->
       """SELECT c_custkey, c_name FROM customer

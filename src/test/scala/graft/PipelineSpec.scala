@@ -1019,6 +1019,67 @@ class PipelineSpec extends SparkSuite {
     assert(out(7L).isEmpty, s"user with no observation must stay null: $out")
   }
 
+  /** The declared ts_ewma/ts_anomaly window order is (ts, event_id) —
+    * replay the same per-user order from the source table. */
+  private def orderedCents(): Map[Long, Seq[(Long, Long)]] =
+    graft.Tables.events(spark, sf001).filter(col("user_id") < 50)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        (r.getAs[Long]("ts_us"), r.getAs[Long]("event_id")),
+        math.round(r.getAs[Double]("value") * 100)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(t => (t._2._2, t._3)).toSeq).toMap
+
+  test("ts_ewma: matches a scalar replay of the truncated integer fold") {
+    val got = SparkEntry.queries("ts_ewma")(spark, sf001)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")) ->
+        r.getAs[Double]("ewma")).toMap
+    orderedCents().foreach { case (u, rows) =>
+      val cents = rows.map(_._2)
+      // scalar reference: weights 2^0 (oldest in window) .. 2^(m-1) (current)
+      rows.zipWithIndex.foreach { case ((eid, _), i) =>
+        val wnd = cents.slice(math.max(0, i - 7), i + 1)
+        val m = wnd.length
+        val num = wnd.zipWithIndex.map { case (c, j) => c << j }.sum
+        val expect = (num / ((1L << m) - 1)) / 100.0
+        assert(got((u, eid)) == expect,
+          s"user $u event $eid: got ${got((u, eid))} want $expect")
+        if (i == 0) assert(expect == cents.head / 100.0, "first row holds its value")
+      }
+    }
+  }
+
+  test("ts_anomaly: integer predicate == float z-score; cold start unflagged") {
+    val got = SparkEntry.queries("ts_anomaly")(spark, sf001)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")) ->
+        (r.getAs[Long]("n"), r.getAs[Boolean]("is_anomaly"))).toMap
+    assert(got.valuesIterator.exists(_._2), "fixture should contain at least one anomaly")
+    got.valuesIterator.filter(_._1 < 8).foreach { case (n, flag) =>
+      assert(!flag, s"cold-start row (n=$n) must be unflagged")
+    }
+    // replay: flag iff |x - mean| > 2*sigma over the same 16-row window
+    orderedCents().foreach { case (u, rows) =>
+      val cents = rows.map(_._2)
+      rows.zipWithIndex.foreach { case ((eid, _), i) =>
+        val wnd = cents.slice(math.max(0, i - 15), i + 1).map(_.toDouble)
+        val n = wnd.length
+        val mean = wnd.sum / n
+        val varr = wnd.map(x => (x - mean) * (x - mean)).sum / n
+        val z2 = if (varr == 0) Double.PositiveInfinity
+          else (cents(i) - mean) * (cents(i) - mean) / varr
+        val expect = n >= 8 && z2 > 4.0 + 1e-9
+        // the integer predicate is exact; the float replay could only
+        // disagree within 1e-9 of the boundary, which the fixture avoids
+        assert(got((u, eid))._2 == expect,
+          s"user $u row $i: got ${got((u, eid))._2}, z2=$z2 n=$n")
+      }
+    }
+  }
+
   test("pagerank: integer fixed-point equals a local reference; partition-invariant") {
     import graft.api.Graphs
     val scale = 1000000000000L
