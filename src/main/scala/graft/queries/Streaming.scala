@@ -880,6 +880,38 @@ object Streaming {
         .orderBy("event_type", "rnk")
     }),
 
+    // Retract-stream continuous Top-N (the changelog twin of
+    // stream_topn — Flink's RetractableTopNFunction into a retract
+    // sink): each fire emits only the CHANGED rank slots as U-/U+
+    // pairs (I on first fill), so a materializing consumer applies
+    // |changed| rows, not k. Batch replay = the final ranking as "I"
+    // rows; per-slot diff emission and sign-weighted reconstruction
+    // are StreamingSpec's. See StreamOps.topNRetract.
+    "stream_topn_retract" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Ev]
+      StreamOps.topNRetract(ev, k = 3, streaming = false)
+        .toDF()
+        .orderBy("event_type", "rnk")
+    }),
+
+    // Flink LOOKUP JOIN (FOR SYSTEM_TIME AS OF proctime): facts resolve
+    // against the dim's CURRENT contents. Batch replay is the broadcast
+    // left join (fixture user_ids all resolve; StreamingSpec pins the
+    // miss->null row and the per-batch dim refresh via foreachBatch —
+    // see StreamOps.lookupJoin for the freshness contract). The dim
+    // broadcasts — the fact side never shuffles, the 100 TB lookup
+    // shape.
+    "stream_lookup_join" -> ((s, d) =>
+      StreamOps.lookupJoin(
+        Tables.events(s, d)
+          .select("event_id", "user_id", "event_type", "value"),
+        Tables.customer(s, d))
+        .orderBy("event_id")),
+
     // Flink broadcast-state pattern: a rule stream carrying dynamic
     // thresholds joined to the event stream — alerts where the event
     // value exceeds the threshold in effect at its event time. Rules
@@ -1440,6 +1472,26 @@ object Streaming {
         |        FROM events GROUP BY 1, 2))
         |WHERE rnk <= 3
         |ORDER BY event_type, rnk""".stripMargin,
+
+    // Batch replay of the retract Top-N: one invocation from empty
+    // state emits the final ranking as first-fill "I" rows.
+    "stream_topn_retract" ->
+      """SELECT event_type, CAST(1 AS BIGINT) AS fire_seq, rnk, user_id, total,
+        |       'I' AS kind, CAST(1 AS BIGINT) AS sign
+        |FROM (
+        |  SELECT event_type, user_id,
+        |         CAST(total_cents AS DOUBLE) / 100 AS total,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY total_cents DESC, user_id) AS rnk
+        |  FROM (SELECT event_type, user_id, sum(round(value * 100)) AS total_cents
+        |        FROM events GROUP BY 1, 2))
+        |WHERE rnk <= 3
+        |ORDER BY event_type, rnk""".stripMargin,
+
+    "stream_lookup_join" ->
+      """SELECT e.event_id, e.user_id, e.event_type, e.value, c.c_name, c.c_nationkey
+        |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+        |ORDER BY e.event_id""".stripMargin,
 
     // Broadcast as-of join formulation: every alertable event resolves
     // the latest rule for its type at or before its ts (ties: highest

@@ -242,6 +242,19 @@ case class TopNRow(event_type: String, fire_seq: Long, rnk: Long,
   * raw rows. */
 case class TypeDelta(event_type: String, user_id: Long, cents: Long)
 
+/** One CHANGELOG row of the retract-stream Top-N
+  * (StreamOps.topNRetract): the rank-`rnk` slot's occupant transition —
+  * kind "I" (slot first filled), "U-" (previous occupant/total
+  * retracted) or "U+" (new occupant/total asserted), `sign` ±1 so a
+  * sign-weighted fold per (event_type, rnk) reconstructs the current
+  * ranking. */
+case class TopNChange(event_type: String, fire_seq: Long, rnk: Long,
+                      user_id: Long, total: Double, kind: String, sign: Long)
+
+/** One emitted rank slot retained for diffing (the retract Top-N's
+  * prev-ranking MapState value). */
+private[streaming] case class PrevRank(user_id: Long, cents: Long)
+
 /** One per-row emission of the ROWS-frame OVER aggregation
   * (StreamOps.overRows): the row's last-10-rows count and exact-cents
   * sum in the key's (ts, event_id) total order. */
@@ -659,6 +672,69 @@ private[streaming] class TopNProcessor(k: Int)
     val top = sums.iterator().toArray.sortBy(p => (-p._2, p._1)).take(k)
     top.iterator.zipWithIndex.map { case ((u, cents), i) =>
       TopNRow(typ, seq, i + 1L, u, cents / 100.0)
+    }
+  }
+}
+
+/** Retract-STREAM continuous Top-N (the changelog twin of
+  * [[TopNProcessor]] — Flink's RetractableTopNFunction wired to a
+  * retract sink instead of an update re-emission): per partition key,
+  * the same per-contributor MapState of running exact-cents totals,
+  * PLUS a MapState of the last EMITTED occupant per rank slot. Each
+  * input batch merges its (pre-reduced) deltas, recomputes the top N,
+  * and emits only the DIFF per rank slot: "U-" of the slot's previous
+  * (occupant, total) and "U+" of the new one where they differ, "I"
+  * where the slot fills for the first time — so a downstream
+  * materialization applies |changed slots| rows per fire instead of k.
+  * Slots never empty (totals only grow), so no "D" arises; ties break
+  * by user_id ascending like the update twin. */
+private[streaming] class TopNRetractProcessor(k: Int)
+    extends StatefulProcessor[String, TypeDelta, TopNChange] {
+  @transient private var sums: org.apache.spark.sql.streaming.MapState[Long, Long] = _
+  @transient private var prev: org.apache.spark.sql.streaming.MapState[Long, PrevRank] = _
+  @transient private var fires: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    sums = getHandle.getMapState[Long, Long]("sums",
+      Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+    prev = getHandle.getMapState[Long, PrevRank]("prev",
+      Encoders.scalaLong, Encoders.product[PrevRank], TTLConfig.NONE)
+    fires = getHandle.getValueState[Long]("fires", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(typ: String, rows: Iterator[TypeDelta],
+                               timers: TimerValues): Iterator[TopNChange] = {
+    val delta = scala.collection.mutable.Map.empty[Long, Long]
+    rows.foreach(r =>
+      delta.update(r.user_id, delta.getOrElse(r.user_id, 0L) + r.cents))
+    if (delta.isEmpty) return Iterator.empty
+    delta.foreach { case (u, c) =>
+      val cur = if (sums.containsKey(u)) sums.getValue(u) else 0L
+      sums.updateValue(u, cur + c)
+    }
+    val top = sums.iterator().toArray.sortBy(p => (-p._2, p._1)).take(k)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, PrevRank, Option[PrevRank])]
+    top.zipWithIndex.foreach { case ((u, cents), i) =>
+      val r = i + 1L
+      val now = PrevRank(u, cents)
+      val old = if (prev.containsKey(r)) Some(prev.getValue(r)) else None
+      if (!old.contains(now)) {
+        out += ((r, now, old))
+        prev.updateValue(r, now)
+      }
+    }
+    if (out.isEmpty) return Iterator.empty
+    val seq = (if (fires.exists()) fires.get() else 0L) + 1L
+    fires.update(seq)
+    out.iterator.flatMap { case (r, now, old) =>
+      old match {
+        case None =>
+          Iterator(TopNChange(typ, seq, r, now.user_id, now.cents / 100.0, "I", 1L))
+        case Some(o) =>
+          Iterator(
+            TopNChange(typ, seq, r, o.user_id, o.cents / 100.0, "U-", -1L),
+            TopNChange(typ, seq, r, now.user_id, now.cents / 100.0, "U+", 1L))
+      }
     }
   }
 }
@@ -3869,6 +3945,63 @@ object StreamOps extends Serializable {
           }
       }
   }
+
+  /** Retract-stream continuous Top-N — see [[TopNRetractProcessor]].
+    * Input is the same [[TypeDelta]] update stream as
+    * [[topNFromDeltas]]; output is a per-rank-slot CHANGELOG (kind
+    * I/U-/U+, sign ±1) instead of a full re-emission, so a fire that
+    * moves one contributor touches 2 slots' rows, not k. Batch replay
+    * (one invocation, empty prev) emits exactly the final ranking as
+    * "I" rows — the `row_number() <= k` oracle with constant
+    * kind/sign. The batch path pre-reduces per (type, user) like
+    * [[topNByType]]; same 100 TB contract (feed pre-aggregated
+    * partial sums, the rank fold is identical by associativity). */
+  def topNRetract(ev: Dataset[Ev], k: Int, streaming: Boolean): Dataset[TopNChange] = {
+    import ev.sparkSession.implicits._
+    val deltas = ev.map(e => TypeDelta(e.event_type, e.user_id, math.round(e.value * 100)))
+    if (streaming)
+      deltas.groupByKey(_.event_type)
+        .transformWithState(new TopNRetractProcessor(k),
+          TimeMode.None(), OutputMode.Append())
+    else
+      deltas.groupBy(col("event_type"), col("user_id"))
+        .agg(sum(col("cents")).as("cents")).as[TypeDelta]
+        .groupByKey(_.event_type).flatMapGroups {
+          (typ: String, rows: Iterator[TypeDelta]) =>
+            val sums = scala.collection.mutable.Map.empty[Long, Long]
+            rows.foreach(r =>
+              sums.update(r.user_id, sums.getOrElse(r.user_id, 0L) + r.cents))
+            sums.toArray.sortBy(p => (-p._2, p._1)).take(k).iterator.zipWithIndex.map {
+              case ((u, cents), i) =>
+                TopNChange(typ, 1L, i + 1L, u, cents / 100.0, "I", 1L)
+            }
+        }
+  }
+
+  /** Flink LOOKUP JOIN (`JOIN dim FOR SYSTEM_TIME AS OF proctime`):
+    * each fact row resolves its key against the dimension table's
+    * CURRENT contents at processing time — unlike
+    * `stream_temporal_join`, which binds each fact to the dim version
+    * at its EVENT time. LEFT join: a missing dim key emits the fact
+    * with null attributes rather than dropping it — the Flink default
+    * that keeps fact streams loss-free. The dim side broadcasts
+    * (dimension tables are the small side at any scale); the fact side
+    * never shuffles.
+    *
+    * Streaming freshness contract (StreamingSpec pins it): a plain
+    * stream-static join re-EXECUTES the dim plan per micro-batch but a
+    * path-based parquet dim PINS its file listing at query start, so
+    * it serves a snapshot; the refreshable-dim production pattern is
+    * `foreachBatch` constructing a fresh dim DataFrame per batch
+    * (fresh listing — the lookup-cache-expiry analog), or a
+    * manifest-backed table format whose snapshot resolution is
+    * per-read. The join body is identical in all three modes. */
+  def lookupJoin(facts: DataFrame, dim: DataFrame): DataFrame =
+    facts.join(
+      broadcast(dim.select(col("c_custkey"), col("c_name"), col("c_nationkey"))),
+      facts("user_id") === col("c_custkey"), "left")
+      .select(facts("event_id"), facts("user_id"), facts("event_type"),
+        facts("value"), col("c_name"), col("c_nationkey"))
 
   def intervalJoinPairs(purchases: DataFrame, clicks: DataFrame,
                         joinType: String = "inner"): DataFrame = {

@@ -3036,6 +3036,109 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("retract Top-N: per-slot diffs, quiet fire suppressed, fold == batch ranking") {
+    import graft.streaming.TopNChange
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = StreamOps.topNRetract(ms.toDS(), k = 2, streaming = true)
+        .writeStream.format("memory").queryName("topn_rtr").outputMode("append").start()
+      ms.addData(
+        Ev(1, ts("2024-01-02 09:00:00"), 1, "click", 10.00),
+        Ev(2, ts("2024-01-02 09:01:00"), 2, "click", 5.00),
+        Ev(3, ts("2024-01-02 09:02:00"), 3, "click", 1.00))
+      q.processAllAvailable()
+      // u3 climbs to rank 1: BOTH slots change -> two U-/U+ pairs
+      ms.addData(Ev(4, ts("2024-01-02 09:10:00"), 3, "click", 9.50))
+      q.processAllAvailable()
+      // u2 grows but stays OUTSIDE the top 2 -> no slot changes, no fire
+      ms.addData(Ev(5, ts("2024-01-02 09:11:00"), 2, "click", 0.50))
+      drain(q)
+      val rows = spark.table("topn_rtr").as[TopNChange].collect()
+      val f1 = rows.filter(_.fire_seq == 1L)
+        .map(r => (r.rnk, r.user_id, r.total, r.kind, r.sign)).toSet
+      assert(f1 == Set((1L, 1L, 10.00, "I", 1L), (2L, 2L, 5.00, "I", 1L)),
+        s"first fire must I-fill both slots: $f1")
+      val f2 = rows.filter(_.fire_seq == 2L)
+        .map(r => (r.rnk, r.user_id, r.total, r.kind, r.sign)).toSet
+      assert(f2 == Set(
+        (1L, 1L, 10.00, "U-", -1L), (1L, 3L, 10.50, "U+", 1L),
+        (2L, 2L, 5.00, "U-", -1L), (2L, 1L, 10.00, "U+", 1L)),
+        s"climb must retract both displaced slots: $f2")
+      assert(rows.map(_.fire_seq).max == 2L,
+        "a batch that changes no slot must not fire")
+      // sign-weighted fold: the surviving (slot, occupant, total) set ==
+      // the batch replay's final ranking
+      val survived = rows.groupBy(r => (r.event_type, r.rnk, r.user_id, r.total))
+        .view.mapValues(_.map(_.sign).sum).filter(_._2 > 0).keys
+        .map(k => (k._2, k._3, k._4)).toSet
+      val batch = StreamOps.topNRetract(
+        Seq(Ev(1, ts("2024-01-02 09:00:00"), 1, "click", 10.00),
+          Ev(2, ts("2024-01-02 09:01:00"), 2, "click", 5.00),
+          Ev(3, ts("2024-01-02 09:02:00"), 3, "click", 1.00),
+          Ev(4, ts("2024-01-02 09:10:00"), 3, "click", 9.50),
+          Ev(5, ts("2024-01-02 09:11:00"), 2, "click", 0.50)).toDS(),
+        k = 2, streaming = false)
+        .collect().map(r => (r.rnk, r.user_id, r.total)).toSet
+      assert(survived == batch,
+        s"sign-weighted fold diverged from batch ranking:\n $survived\n $batch")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("lookup join: current-table binding per micro-batch, miss emits null row") {
+    import org.apache.spark.sql.functions.col
+    import java.nio.file.Files
+    val dimDir = Files.createTempDirectory("graft_lookup_dim").toString
+    def writeDim(name1: String): Unit =
+      Seq((1L, name1, 10L), (2L, "Beta", 20L))
+        .toDF("c_custkey", "c_name", "c_nationkey")
+        .repartition(1).write.mode("overwrite").parquet(dimDir)
+    writeDim("Alpha")
+    val ms = MemoryStream[Ev]
+    val facts = ms.toDS().toDF()
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    // the refreshable-dim production pattern: foreachBatch re-reads the
+    // dim per micro-batch (a FRESH DataFrame, so a fresh file listing —
+    // a plain stream-static join would pin the listing at query start
+    // and snapshot the dim instead; see StreamOps.lookupJoin scaladoc)
+    val acc = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, String, Double, Option[String], Option[Long])]
+    val q = facts.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        acc.synchronized {
+          acc ++= StreamOps.lookupJoin(batch, spark.read.parquet(dimDir))
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+              r.getDouble(3), Option(r.get(4)).map(_.toString),
+              Option(r.get(5)).map(_.asInstanceOf[Long])))
+        }
+        ()
+    }.start()
+    ms.addData(
+      Ev(1, ts("2024-01-02 09:00:00"), 1, "purchase", 5.00),
+      Ev(2, ts("2024-01-02 09:01:00"), 99, "purchase", 6.00)) // no dim row
+    q.processAllAvailable()
+    val b1 = acc.synchronized(acc.toSet)
+    assert(b1 == Set(
+      (1L, 1L, "purchase", 5.00, Some("Alpha"), Some(10L)),
+      (2L, 99L, "purchase", 6.00, None, None)),
+      s"batch-1 lookup wrong (miss must keep the fact with nulls): $b1")
+    // dim refresh between batches: the NEXT batch's fresh read binds
+    // the new contents — the FOR SYSTEM_TIME AS OF proctime contract
+    writeDim("Alpha2")
+    ms.addData(Ev(3, ts("2024-01-02 09:02:00"), 1, "purchase", 7.00))
+    drain(q)
+    val b2 = acc.synchronized(acc.filter(_._1 == 3L).toSet)
+    assert(b2 == Set((3L, 1L, "purchase", 7.00, Some("Alpha2"), Some(10L))),
+      s"batch-2 must see the refreshed dim: $b2")
+  }
+
   test("FIRE_AND_PURGE: per-interval deltas, fired panes purge, deltas sum to the retained final") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
