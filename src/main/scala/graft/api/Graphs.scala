@@ -262,6 +262,95 @@ object Graphs {
         "accepting a truncated iteration")
   }
 
+  /** K-CORE of an undirected graph — the maximal induced subgraph in
+    * which every node keeps degree >= `k` — by iterative PEELING to
+    * the (unique) fixpoint, with the certified peel-round count. The
+    * pipeline reading: the densest backbone of the kNN graph — the
+    * k-core filter curation uses to keep documents with at least k
+    * mutually-near neighbors (tight semantic clusters) and shed
+    * dangling chains that survive a plain degree threshold one hop at
+    * a time.
+    *
+    * The peel is the FRONTIER-DELTA form, not a per-round full degree
+    * recompute: when the round's removed set R drops out, only
+    * NEIGHBORS of R lose degree, so each round joins the (shrinking)
+    * frontier to the static symmetrized edge list, discounts the lost
+    * edges from the maintained degree table, and the nodes that fall
+    * below k become the next frontier. Every edge is discounted
+    * exactly once per endpoint removal, so total work across ALL
+    * rounds is O(E) edge visits — the same discipline that turns
+    * [[ssspWithRound]] into BFS — while the naive form pays O(E) per
+    * round. The k-core is removal-order-independent (peeling is a
+    * confluent chaotic iteration), so the synchronous rounds here and
+    * the oracle's unrolled alive-set replay reach the identical
+    * fixpoint. An empty frontier IS the fixpoint: no remaining node
+    * can ever fall below k. Rounds run in lazily-chained BLOCKS of
+    * `blockSize` with one localCheckpoint + one emptiness probe per
+    * block (the pagerankConverged discipline); LOUD failure past
+    * `maxIters`, never a silently truncated peel.
+    *
+    * Output: the full ONION DECOMPOSITION (id, layer) — layer = the
+    * synchronous peel round that removed the node (1 = fell below k in
+    * the raw graph, 2 = fell after layer 1 dropped out, …), layer 0 =
+    * k-core member (never removed). Every node WITH an edge gets
+    * exactly one row — the layer is the node's depth inside the
+    * graph's dense backbone, the feature graph-curation ranks by —
+    * and a possibly-EMPTY core is still a meaningful (and total)
+    * answer. Isolated nodes emit no row on either engine.
+    *
+    * Scale: the degree table and frontier are id-partitioned; the
+    * static edge list is checkpointed once; per round one frontier
+    * join + one dst-keyed discount aggregate + one key-partitioned
+    * merge — nothing global, rounds bounded by the peel cascade depth
+    * (short for expander-like kNN graphs). */
+  def kcoreWithRound(edges: DataFrame, srcCol: String, dstCol: String,
+                     k: Int, maxIters: Int = 64,
+                     blockSize: Int = 4): (DataFrame, Int) = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(blockSize >= 1, s"blockSize must be >= 1: $blockSize")
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    // symmetrize + dedup: degree = out-degree in the undirected edge set
+    val eg = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(false)
+    var deg = eg.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg")).localCheckpoint()
+    var frontier = deg.filter(col("deg") < k).select("id").localCheckpoint()
+    var layers = frontier.select(col("id"), lit(1).cast("int").as("layer"))
+      .localCheckpoint()
+    var it = 0
+    while (it < maxIters) {
+      val blk = math.min(blockSize, maxIters - it)
+      var (d, f, lay) = (deg, frontier, layers)
+      for (j <- 1 to blk) {
+        val alive = d.join(f, Seq("id"), "left_anti")
+        // edges whose dst just dropped: each alive src loses that many
+        val lost = eg.join(f, eg("dst") === f("id"))
+          .groupBy("src").agg(count(lit(1)).as("lostn"))
+          .select(col("src").as("id"), col("lostn"))
+        val nd = alive.join(lost, Seq("id"), "left")
+          .select(col("id"), (col("deg") - coalesce(col("lostn"), lit(0L))).as("deg"))
+        f = nd.filter(col("deg") < k).select("id")
+        lay = lay.union(f.select(col("id"), lit(it + j + 1).cast("int").as("layer")))
+        // keep below-k nodes in the table until NEXT round's anti-join —
+        // their edges still need discounting from their neighbors
+        d = nd
+      }
+      deg = d.localCheckpoint()
+      frontier = f.localCheckpoint()
+      layers = lay.localCheckpoint()
+      it += blk
+      if (frontier.isEmpty)
+        return (layers.union(
+          deg.filter(col("deg") >= k)
+            .select(col("id"), lit(0).cast("int").as("layer"))), it)
+    }
+    throw new IllegalStateException(
+      s"kcore: the peel cascade is still running after $maxIters rounds — " +
+        "raise maxIters (and the oracle's unroll depth) rather than " +
+        "accepting a truncated core")
+  }
+
   /** Multi-source SHORTEST PATHS (unit weights — BFS levels) to the
     * least fixpoint, with the certified round: frontier-based
     * Bellman-Ford in the (min, +) semiring, the OTHER classic Kleene

@@ -425,6 +425,52 @@ object Similarity {
        |FROM r$iters ORDER BY vec_id""".stripMargin
   }
 
+  /** The DuckDB replay of the K-CORE over the capped k-NN graph
+    * ([[graft.api.Graphs.kcoreWithRound]] fed by [[knnGraphCapped]]
+    * edges): the capped graph's CTEs + rank give the directed edge
+    * set, symmetrized and de-self-looped into the undirected `eg`;
+    * then `rounds` UNROLLED synchronous peel rounds — alive_i = the
+    * alive_{i-1} nodes whose induced degree stays >= `k` — and the
+    * final ONION projection: the node removed between a_{i-1} and a_i
+    * carries layer i, the a_`rounds` survivors layer 0. Peeling is
+    * confluent (the k-core is removal-order-independent), so the
+    * engine's frontier-delta peel and this full-recompute replay
+    * reach the identical fixpoint and layer assignment; the engine
+    * asserts its certified round stays inside `rounds` at build time,
+    * and rounds past the fixpoint are idempotent (their removed sets
+    * are empty). */
+  def knnKcoreOracleSql(k: Int, tables: Int = 4, bits: Int = 8,
+                        dim: Int = 64, cap: Int = 8, coreK: Int = 4,
+                        rounds: Int = 24): String = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val peels = (1 to rounds).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |  SELECT eg.src AS id FROM eg
+         |  JOIN a${i - 1} s ON s.id = eg.src
+         |  JOIN a${i - 1} t ON t.id = eg.dst
+         |  GROUP BY eg.src HAVING count(*) >= $coreK)""".stripMargin
+    }.mkString(",\n")
+    val layers = (1 to rounds).map { i =>
+      s"""  SELECT s.id, $i AS layer FROM a${i - 1} s
+         |  LEFT JOIN a$i t ON t.id = s.id WHERE t.id IS NULL""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH ${knnCtesSql(tables, bits, dim, Some(cap))},
+       |g AS (
+       |${knnRankSql(k, "cand")}),
+       |eg AS (SELECT DISTINCT src, dst FROM (
+       |         SELECT src_id AS src, neighbor_id AS dst FROM g
+       |         UNION SELECT neighbor_id, src_id FROM g)
+       |       WHERE src <> dst),
+       |a0 AS (SELECT DISTINCT src AS id FROM eg),
+       |$peels,
+       |onion AS (
+       |$layers
+       |  UNION ALL
+       |  SELECT id, 0 AS layer FROM a$rounds)
+       |SELECT id AS vec_id, CAST(layer AS INTEGER) AS layer
+       |FROM onion ORDER BY vec_id""".stripMargin
+  }
+
   /** The DuckDB replay of multi-source shortest paths over the capped
     * k-NN graph ([[graft.api.Graphs.ssspWithRound]] fed by
     * [[knnGraphCapped]] edges, seeds = vec_id % `seedMod` = 0): the

@@ -69,6 +69,15 @@ object Pipeline {
     * DuckDB (id, dist) closure bounded at n·32 rows. */
   private val SsspOracleDepth = 32
 
+  /** Unroll depth of the graph_kcore oracle's synchronous peel (the
+    * same build-time coupling as [[SsspOracleDepth]]): the engine's
+    * peel frontier must empty at or before this round. Peel cascades
+    * on the capped kNN graph are shallow (each round removes a whole
+    * below-k layer; the fixture converges in single digits) — 24 is
+    * generous headroom while keeping the unrolled alive-set chain
+    * bounded. */
+  private val KcoreOracleRounds = 24
+
   /** The deterministic 20% stratified document sample as FROM-able
     * DuckDB SQL — the replay of `Sampling.stratified(documents,
     * doc_id, [lang], 0.2)` the sample-trained BPE oracles train on
@@ -740,6 +749,33 @@ object Pipeline {
           edges, srcCol = "src_id", dstCol = "neighbor_id")
         .select(col("id").as("vec_id"), col("n_triangles"))
         .orderBy("vec_id")
+    }),
+
+    // K-CORE ONION DECOMPOSITION of the kNN graph under k = 6: every
+    // node's peel layer — 1 = fewer than 6 mutually-near neighbors in
+    // the raw graph, deeper layers fall only after shallower ones drop
+    // out, 0 = 6-core member (never removed). The layer is the depth
+    // inside the graph's dense backbone — the curation feature a plain
+    // degree threshold cannot see (it only trims one hop). k = 6 sits
+    // just above the kNN out-degree of 5, so the cascade genuinely
+    // runs on the fixture (4 synchronous rounds at sf0.01) instead of
+    // trivially keeping everything. Frontier-delta peel, O(E) total
+    // edge visits across all rounds (Graphs.kcoreWithRound); the
+    // certified peel round (+1 for the block-boundary layer) must stay
+    // within the oracle's unrolled synchronous replay, asserted at
+    // build time.
+    "graph_kcore" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val edges = Similarity.knnGraphCapped(e, "vec_id", "embedding", 5,
+        tables = 8, bits = 6, cap = 16)
+      val (onion, round) = graft.api.Graphs.kcoreWithRound(
+        edges, srcCol = "src_id", dstCol = "neighbor_id", k = 6)
+      require(round + 1 <= KcoreOracleRounds,
+        s"kcore emptied its peel frontier at round $round but the " +
+          s"registered oracle unrolls only $KcoreOracleRounds synchronous " +
+          "rounds — raise KcoreOracleRounds (both the oracle SQL and this " +
+          "assertion) so the replay is not truncated")
+      onion.select(col("id").as("vec_id"), col("layer")).orderBy("vec_id")
     }),
 
     // PageRank iterated to its integer-rank FIXPOINT (round-14 verdict
@@ -1980,6 +2016,9 @@ object Pipeline {
     "graph_pagerank_converged" -> Similarity.knnPagerankOracleSql(5,
       tables = 8, bits = 6, cap = 16, iters = PagerankOracleRounds,
       scale = 1000000L, rankCol = "rank_ppm", seedBottom = true),
+    "graph_kcore" -> Similarity.knnKcoreOracleSql(5, tables = 8, bits = 6,
+      cap = 16, coreK = 6, rounds = 24),
+
     "graph_sssp" -> Similarity.knnSsspOracleSql(5, tables = 8, bits = 6,
       cap = 16, seedMod = 97L, maxDepth = SsspOracleDepth),
     "graph_sssp_weighted" -> Similarity.knnSsspWeightedOracleSql(5,

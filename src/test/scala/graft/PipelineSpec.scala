@@ -1080,6 +1080,35 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("kcore onion: layers match the synchronous peel; partition-invariant") {
+    import graft.api.Graphs
+    // path 1-2-3-4-5 + triangle 5-6-7: under k=2 the path peels one
+    // node per round (1, then 2, then 3, then 4) while the triangle
+    // (and 5) hold degree 2 — the multi-round cascade a plain degree
+    // threshold cannot see
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (5L, 7L), (6L, 7L))
+    val want = Map(1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4,
+      5L -> 0, 6L -> 0, 7L -> 0)
+    for (parts <- Seq(1, 7)) {
+      val df = edges.toDF("s", "t").repartition(parts)
+      val (onion, round) = Graphs.kcoreWithRound(df, "s", "t", k = 2,
+        blockSize = 3)
+      val got = onion.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == want, s"parts=$parts: got $got")
+      assert(round >= 4 && round <= 6,
+        s"cascade is 4 rounds; block-certified bound must sit in [4, 6]: $round")
+    }
+    // core soundness: every layer-0 node keeps >= k neighbors in layer 0
+    val (onion, _) = Graphs.kcoreWithRound(edges.toDF("s", "t"), "s", "t", k = 2)
+    val layer0 = onion.filter(col("layer") === 0).collect().map(_.getLong(0)).toSet
+    val sym = edges ++ edges.map(e => (e._2, e._1))
+    layer0.foreach { v =>
+      val n = sym.count { case (s, t) => s == v && layer0(t) }
+      assert(n >= 2, s"core member $v has only $n core neighbors")
+    }
+  }
+
   test("pagerank: integer fixed-point equals a local reference; partition-invariant") {
     import graft.api.Graphs
     val scale = 1000000000000L
