@@ -880,6 +880,25 @@ object Streaming {
         .orderBy("event_type", "rnk")
     }),
 
+    // DELETE/TOMBSTONE propagation (GDPR erasure through a keyed
+    // aggregate — the changelog axis the upsert-fed retract family
+    // never fires): a sparse delete marker retracts the user's entire
+    // prior contribution as "D" rows and blocks future ones. Batch
+    // replay = the compacted changelog (tombstoned users net to
+    // nothing; clean users one "I" per type); arrival-order streaming
+    // emission and the zero-net-fold property are StreamingSpec's.
+    // See StreamOps.tombstoneChangelog.
+    "stream_tombstone" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Ev]
+      StreamOps.tombstoneChangelog(ev, streaming = false)
+        .toDF()
+        .orderBy("user_id", "event_type")
+    }),
+
     // Retract-stream continuous Top-N (the changelog twin of
     // stream_topn — Flink's RetractableTopNFunction into a retract
     // sink): each fire emits only the CHANGED rank slots as U-/U+
@@ -1472,6 +1491,20 @@ object Streaming {
         |        FROM events GROUP BY 1, 2))
         |WHERE rnk <= 3
         |ORDER BY event_type, rnk""".stripMargin,
+
+    // Compacted tombstone changelog: users carrying a delete marker
+    // (signup with event_id % 19 = 0) vanish entirely; the rest emit
+    // one exact-cents "I" per contributed type.
+    "stream_tombstone" ->
+      """SELECT user_id, event_type,
+        |  CAST(CAST(sum(round(value * 100)) AS BIGINT) AS DOUBLE) / 100 AS contributed,
+        |  'I' AS kind, CAST(1 AS BIGINT) AS sign
+        |FROM events
+        |WHERE event_type IN ('purchase', 'click')
+        |  AND user_id NOT IN (SELECT DISTINCT user_id FROM events
+        |                      WHERE event_type = 'signup' AND event_id % 19 = 0)
+        |GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
 
     // Batch replay of the retract Top-N: one invocation from empty
     // state emits the final ranking as first-fill "I" rows.

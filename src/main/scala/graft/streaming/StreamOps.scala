@@ -255,6 +255,14 @@ case class TopNChange(event_type: String, fire_seq: Long, rnk: Long,
   * prev-ranking MapState value). */
 private[streaming] case class PrevRank(user_id: Long, cents: Long)
 
+/** One row of the tombstone-propagation changelog
+  * (StreamOps.tombstoneChangelog): a user's net contribution to the
+  * per-type aggregate — kind "I" (contribution asserted, sign +1) or
+  * "D" (a delete marker retracted the user's whole prior contribution,
+  * sign -1). */
+case class TombChange(user_id: Long, event_type: String,
+                      contributed: Double, kind: String, sign: Long)
+
 /** One per-row emission of the ROWS-frame OVER aggregation
   * (StreamOps.overRows): the row's last-10-rows count and exact-cents
   * sum in the key's (ts, event_id) total order. */
@@ -734,6 +742,62 @@ private[streaming] class TopNRetractProcessor(k: Int)
           Iterator(
             TopNChange(typ, seq, r, o.user_id, o.cents / 100.0, "U-", -1L),
             TopNChange(typ, seq, r, now.user_id, now.cents / 100.0, "U+", 1L))
+      }
+    }
+  }
+}
+
+/** DELETE/TOMBSTONE propagation through a keyed contribution state —
+  * the changelog axis the retract family's upsert inputs never
+  * exercise ([[RetractJoinProcessor]]'s "D" branch is unreachable
+  * there): a delete marker (GDPR erasure, account closure) RETRACTS
+  * the user's entire prior contribution to downstream aggregates and
+  * BLOCKS all future ones. State per user: the net contributed cents
+  * per event type (MapState) and a deleted flag; a contributing row
+  * adds and emits "I", the FIRST tombstone emits one "D" per
+  * contributed type carrying the exact prior total and clears the
+  * map; everything after the tombstone — including contributions in
+  * the tombstone's own batch (the tombstone dominates its batch, the
+  * one deterministic convention under unordered per-batch iterators)
+  * — is ignored. Net-fold invariant: a tombstoned user's sign-weighted
+  * changelog sums to zero per type, so the surviving fold equals the
+  * batch replay over never-tombstoned users. */
+private[streaming] class TombstoneProcessor(
+    contributing: Set[String], isTombstone: Ev => Boolean)
+    extends StatefulProcessor[Long, Ev, TombChange] {
+  @transient private var contrib: org.apache.spark.sql.streaming.MapState[String, Long] = _
+  @transient private var deleted: ValueState[Boolean] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    contrib = getHandle.getMapState[String, Long]("contrib",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    deleted = getHandle.getValueState[Boolean]("deleted",
+      Encoders.scalaBoolean, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(user: Long, rows: Iterator[Ev],
+                               timers: TimerValues): Iterator[TombChange] = {
+    if (deleted.exists() && deleted.get()) return Iterator.empty
+    var tomb = false
+    val delta = scala.collection.mutable.Map.empty[String, Long]
+    rows.foreach { e =>
+      if (isTombstone(e)) tomb = true
+      else if (contributing(e.event_type))
+        delta.update(e.event_type,
+          delta.getOrElse(e.event_type, 0L) + math.round(e.value * 100))
+    }
+    if (tomb) {
+      val prior = contrib.iterator().toArray.sortBy(_._1)
+      deleted.update(true)
+      contrib.clear()
+      prior.iterator.map { case (t, c) =>
+        TombChange(user, t, c / 100.0, "D", -1L)
+      }
+    } else {
+      delta.toArray.sortBy(_._1).iterator.map { case (t, c) =>
+        val cur = if (contrib.containsKey(t)) contrib.getValue(t) else 0L
+        contrib.updateValue(t, cur + c)
+        TombChange(user, t, c / 100.0, "I", 1L)
       }
     }
   }
@@ -3976,6 +4040,45 @@ object StreamOps extends Serializable {
                 TopNChange(typ, 1L, i + 1L, u, cents / 100.0, "I", 1L)
             }
         }
+  }
+
+  /** Tombstone propagation — see [[TombstoneProcessor]]. The delete
+    * marker is `signup` with event_id % 19 == 0 (a deterministic
+    * sparse subset of the fixture's account events); contributions are
+    * purchase/click values in exact cents. Batch replay (one
+    * invocation per user): a tombstoned user nets to NOTHING (the
+    * compacted changelog — their I and D rows cancel), a clean user
+    * emits one "I" per contributed type with the exact total — the
+    * NOT-IN-deleted SQL oracle. Streaming emission (arrival-order
+    * intermediates, the same net) is StreamingSpec's.
+    *
+    * Scale: the changelog is user-keyed — one shuffle of (pre-reduced)
+    * contributions; the tombstone path touches only the marked user's
+    * state. Downstream aggregates consume the sign-weighted rows the
+    * same way as the retract-agg family. */
+  def tombstoneChangelog(ev: Dataset[Ev], streaming: Boolean): Dataset[TombChange] = {
+    import ev.sparkSession.implicits._
+    val contributing = Set("purchase", "click")
+    val isTomb = (e: Ev) => e.event_type == "signup" && e.event_id % 19 == 0
+    if (streaming)
+      ev.groupByKey(_.user_id)
+        .transformWithState(new TombstoneProcessor(contributing, isTomb),
+          TimeMode.None(), OutputMode.Append())
+    else
+      ev.groupByKey(_.user_id).flatMapGroups { (user: Long, rows: Iterator[Ev]) =>
+        var tomb = false
+        val net = scala.collection.mutable.Map.empty[String, Long]
+        rows.foreach { e =>
+          if (isTomb(e)) tomb = true
+          else if (contributing(e.event_type))
+            net.update(e.event_type,
+              net.getOrElse(e.event_type, 0L) + math.round(e.value * 100))
+        }
+        if (tomb) Iterator.empty
+        else net.toArray.sortBy(_._1).iterator.map { case (t, c) =>
+          TombChange(user, t, c / 100.0, "I", 1L)
+        }
+      }
   }
 
   /** Flink LOOKUP JOIN (`JOIN dim FOR SYSTEM_TIME AS OF proctime`):

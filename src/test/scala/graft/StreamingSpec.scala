@@ -3036,6 +3036,64 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("tombstone: D retracts prior exactly, blocks future and same-batch, fold == batch") {
+    import graft.streaming.TombChange
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = StreamOps.tombstoneChangelog(ms.toDS(), streaming = true)
+        .writeStream.format("memory").queryName("tomb").outputMode("append").start()
+      ms.addData(
+        Ev(1, ts("2024-01-02 09:00:00"), 1, "purchase", 10.00),
+        Ev(2, ts("2024-01-02 09:01:00"), 1, "click", 2.00),
+        Ev(3, ts("2024-01-02 09:02:00"), 2, "purchase", 5.00))
+      q.processAllAvailable()
+      // event_id 19 = the delete marker; the same-batch purchase of
+      // 7.00 is dominated by it (blocked, not contributed-then-retracted)
+      ms.addData(
+        Ev(19, ts("2024-01-02 09:10:00"), 1, "signup", 0.50),
+        Ev(20, ts("2024-01-02 09:10:30"), 1, "purchase", 7.00))
+      q.processAllAvailable()
+      // post-tombstone contribution ignored; clean user still flows
+      ms.addData(
+        Ev(21, ts("2024-01-02 09:20:00"), 1, "purchase", 3.00),
+        Ev(22, ts("2024-01-02 09:21:00"), 2, "click", 1.00))
+      drain(q)
+      val rows = spark.table("tomb").as[TombChange].collect()
+      val dRows = rows.filter(_.kind == "D")
+        .map(r => (r.user_id, r.event_type, r.contributed, r.sign)).toSet
+      assert(dRows == Set((1L, "click", 2.00, -1L), (1L, "purchase", 10.00, -1L)),
+        s"tombstone must retract exactly the prior per-type totals: $dRows")
+      assert(!rows.exists(r => r.user_id == 1L && r.kind == "I" &&
+          (r.contributed == 7.00 || r.contributed == 3.00)),
+        s"same-batch and post-tombstone contributions must be blocked: ${rows.toSeq}")
+      // sign-weighted fold == compacted batch replay
+      val fold = rows.groupBy(r => (r.user_id, r.event_type))
+        .view.mapValues(_.map(r => r.sign * math.round(r.contributed * 100)).sum)
+        .filter(_._2 != 0L).toMap
+      val batch = StreamOps.tombstoneChangelog(
+        Seq(Ev(1, ts("2024-01-02 09:00:00"), 1, "purchase", 10.00),
+          Ev(2, ts("2024-01-02 09:01:00"), 1, "click", 2.00),
+          Ev(3, ts("2024-01-02 09:02:00"), 2, "purchase", 5.00),
+          Ev(19, ts("2024-01-02 09:10:00"), 1, "signup", 0.50),
+          Ev(20, ts("2024-01-02 09:10:30"), 1, "purchase", 7.00),
+          Ev(21, ts("2024-01-02 09:20:00"), 1, "purchase", 3.00),
+          Ev(22, ts("2024-01-02 09:21:00"), 2, "click", 1.00)).toDS(),
+        streaming = false)
+        .collect().map(r => (r.user_id, r.event_type) ->
+          math.round(r.contributed * 100)).toMap
+      assert(fold == batch,
+        s"sign-weighted fold diverged from compacted batch:\n $fold\n $batch")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("retract Top-N: per-slot diffs, quiet fire suppressed, fold == batch ranking") {
     import graft.streaming.TopNChange
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
