@@ -114,7 +114,16 @@ object BenchScale {
     // ... and its weighted Bellman-Ford sibling, which adds the
     // per-round distance merge-fold (improvements re-open settled
     // nodes) — the term worth watching at 10x
-    "graph_sssp_weighted")
+    "graph_sssp_weighted",
+    // round-16 late additions: the k-core onion peel (frontier-delta —
+    // O(E) total edge discounts across all rounds; cascade depth is
+    // the term worth watching as copies multiply), the retract Top-N's
+    // batch replay (per-(type,user) pre-agg + rank fold — the
+    // pre-aggregated update-stream shape), and the tombstone
+    // changelog (user-keyed net fold + the sparse-marker anti-join).
+    // stream_lookup_join is excluded like join_fuzzy_edit: it reads
+    // customer, which the slice generator does not write.
+    "graph_kcore", "stream_topn_retract", "stream_tombstone")
 
   /** Second measured decade (VERDICT r9 item 6): the STEEPEST keys of
     * the 10x sweep re-measured over a 100x slice, so their exponents

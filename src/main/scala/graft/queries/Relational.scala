@@ -623,6 +623,21 @@ object Relational {
         .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
         .orderBy("l_returnflag")),
 
+    // Aggregate bit/bool ops (the AGGREGATE surface next to fn_bit's
+    // scalar one): per-priority bitwise AND/OR/XOR folds over the
+    // customer keys and the bool_and/bool_or quantifiers over a
+    // predicate — all associative+commutative, so map-side partials
+    // combine exactly like sums.
+    "agg_bitbool" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(bit_and(col("o_custkey")).as("band"),
+          bit_or(col("o_custkey")).as("bor"),
+          bit_xor(col("o_custkey")).as("bxor"),
+          bool_and(col("o_totalprice") > 1000.0).as("all_over_1k"),
+          bool_or(col("o_totalprice") > 400000.0).as("any_over_400k"))
+        .orderBy("o_orderpriority")),
+
     // Unpivot (long-form melt, the inverse of agg_pivot): the wide
     // per-returnflag aggregate becomes (metric, amount) rows — the shape
     // feature stores and metric sinks want. Spark 4's native `unpivot`
@@ -779,6 +794,15 @@ object Relational {
         |  CAST(sum(CASE WHEN l_linestatus = 'O'
         |                THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_bitbool" ->
+      """SELECT o_orderpriority,
+        |  CAST(bit_and(o_custkey) AS BIGINT) AS band,
+        |  CAST(bit_or(o_custkey) AS BIGINT) AS bor,
+        |  CAST(bit_xor(o_custkey) AS BIGINT) AS bxor,
+        |  bool_and(o_totalprice > 1000.0) AS all_over_1k,
+        |  bool_or(o_totalprice > 400000.0) AS any_over_400k
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // DuckDB UNPIVOT emits the source column NAME as the metric value,
     // matching Spark's unpivot variable column.
