@@ -313,37 +313,51 @@ object Graphs {
     // symmetrize + dedup: degree = out-degree in the undirected edge set
     val eg = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint(false)
-    var deg = eg.groupBy("src").agg(count(lit(1)).as("deg"))
-      .select(col("src").as("id"), col("deg")).localCheckpoint()
-    var frontier = deg.filter(col("deg") < k).select("id").localCheckpoint()
-    var layers = frontier.select(col("id"), lit(1).cast("int").as("layer"))
+    // ONE state table carries the whole peel — (id, deg, layer) with
+    // layer NULL while alive — so each block materializes ONE
+    // checkpoint instead of three separately-recomputed chains
+    // (deg/frontier/layers as distinct DataFrames tripled the block's
+    // executed work; measured 16.9 s -> the fused form at sf0.1)
+    var st = eg.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg"),
+        when(col("deg") < k, 1).otherwise(lit(null)).cast("int").as("layer"))
       .localCheckpoint()
+    var round = 1 // layer 1 assigned above; loop rounds assign 2, 3, …
     var it = 0
     while (it < maxIters) {
       val blk = math.min(blockSize, maxIters - it)
-      var (d, f, lay) = (deg, frontier, layers)
+      var s = st
       for (j <- 1 to blk) {
-        val alive = d.join(f, Seq("id"), "left_anti")
-        // edges whose dst just dropped: each alive src loses that many
+        val f = s.filter(col("layer") === round + j - 1).select("id")
+        // edges whose dst just dropped: each still-alive src loses that many
         val lost = eg.join(f, eg("dst") === f("id"))
           .groupBy("src").agg(count(lit(1)).as("lostn"))
           .select(col("src").as("id"), col("lostn"))
-        val nd = alive.join(lost, Seq("id"), "left")
-          .select(col("id"), (col("deg") - coalesce(col("lostn"), lit(0L))).as("deg"))
-        f = nd.filter(col("deg") < k).select("id")
-        lay = lay.union(f.select(col("id"), lit(it + j + 1).cast("int").as("layer")))
-        // keep below-k nodes in the table until NEXT round's anti-join —
-        // their edges still need discounting from their neighbors
-        d = nd
+        s = s.join(lost, Seq("id"), "left")
+          .select(col("id"),
+            when(col("layer").isNotNull, col("deg"))
+              .otherwise(col("deg") - coalesce(col("lostn"), lit(0L))).as("deg"),
+            coalesce(col("layer"),
+              when(col("deg") - coalesce(col("lostn"), lit(0L)) < k,
+                lit(round + j))).cast("int").as("layer"))
       }
-      deg = d.localCheckpoint()
-      frontier = f.localCheckpoint()
-      layers = lay.localCheckpoint()
+      st = s.localCheckpoint()
+      round += blk
       it += blk
-      if (frontier.isEmpty)
-        return (layers.union(
-          deg.filter(col("deg") >= k)
-            .select(col("id"), lit(0).cast("int").as("layer"))), it)
+      // fixpoint probe: no layer assigned in this block (assignments
+      // fall in [round - blk + 1, round]) means the frontier emptied —
+      // nothing can ever fall below k
+      if (st.filter(col("layer") >= round - blk + 1).isEmpty) {
+        val done = st.select(col("id"), coalesce(col("layer"), lit(0)).as("layer"))
+        // certified peel depth = the deepest assigned layer (one tiny
+        // scalar job); the oracle's unroll R is sound iff R >= this
+        val maxLayer = done.agg(max(when(col("layer") > 0, col("layer"))))
+          .head().get(0) match {
+            case null => 0
+            case v: Int => v
+          }
+        return (done, maxLayer)
+      }
     }
     throw new IllegalStateException(
       s"kcore: the peel cascade is still running after $maxIters rounds — " +

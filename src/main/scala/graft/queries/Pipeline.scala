@@ -770,8 +770,8 @@ object Pipeline {
         tables = 8, bits = 6, cap = 16)
       val (onion, round) = graft.api.Graphs.kcoreWithRound(
         edges, srcCol = "src_id", dstCol = "neighbor_id", k = 6)
-      require(round + 1 <= KcoreOracleRounds,
-        s"kcore emptied its peel frontier at round $round but the " +
+      require(round <= KcoreOracleRounds,
+        s"kcore peeled to depth $round but the " +
           s"registered oracle unrolls only $KcoreOracleRounds synchronous " +
           "rounds — raise KcoreOracleRounds (both the oracle SQL and this " +
           "assertion) so the replay is not truncated")

@@ -1096,8 +1096,7 @@ class PipelineSpec extends SparkSuite {
         blockSize = 3)
       val got = onion.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
       assert(got == want, s"parts=$parts: got $got")
-      assert(round >= 4 && round <= 6,
-        s"cascade is 4 rounds; block-certified bound must sit in [4, 6]: $round")
+      assert(round == 4, s"the cascade's deepest layer is exactly 4: $round")
     }
     // core soundness: every layer-0 node keeps >= k neighbors in layer 0
     val (onion, _) = Graphs.kcoreWithRound(edges.toDF("s", "t"), "s", "t", k = 2)
