@@ -344,10 +344,10 @@ object Graphs {
       st = s.localCheckpoint()
       round += blk
       it += blk
-      // fixpoint probe: no layer assigned in this block (assignments
-      // fall in [round - blk + 1, round]) means the frontier emptied —
-      // nothing can ever fall below k
-      if (st.filter(col("layer") >= round - blk + 1).isEmpty) {
+      // fixpoint probe: the LAST round assigned no layer => the next
+      // frontier is empty — nothing can ever fall below k (mid-block
+      // emptying leaves later in-block rounds as no-ops)
+      if (st.filter(col("layer") === round).isEmpty) {
         val done = st.select(col("id"), coalesce(col("layer"), lit(0)).as("layer"))
         // certified peel depth = the deepest assigned layer (one tiny
         // scalar job); the oracle's unroll R is sound iff R >= this
@@ -403,25 +403,35 @@ object Graphs {
     require(blockSize >= 1, s"blockSize must be >= 1: $blockSize")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).localCheckpoint(false)
-    var dist = seeds.select(col(idCol).cast("long").as("id"),
-      lit(0).cast("int").as("dist")).localCheckpoint()
-    var frontier = dist
+    // ONE state table (id, dist, r) — r = the round that reached the
+    // node — so the frontier is a cheap filter over the single
+    // per-block checkpoint instead of a second separately-recomputed
+    // chain (the kcoreWithRound fusion; it halved this loop's wall)
+    var st = seeds.select(col(idCol).cast("long").as("id"),
+      lit(0).cast("int").as("dist"), lit(0).cast("int").as("r"))
+      .localCheckpoint()
+    var round = 0
     var it = 0
     while (it < maxIters) {
-      val k = math.min(blockSize, maxIters - it)
-      var (d, f) = (dist, frontier)
-      for (_ <- 1 to k) {
+      val blk = math.min(blockSize, maxIters - it)
+      var s = st
+      for (j <- 1 to blk) {
+        val f = s.filter(col("r") === round + j - 1).select("id", "dist")
         val nf = e.join(f, e("src") === f("id"))
           .select(col("dst").as("id"), (col("dist") + 1).as("nd"))
           .groupBy("id").agg(min(col("nd")).cast("int").as("dist"))
-          .join(d.select("id"), Seq("id"), "left_anti")
-        d = d.union(nf)
-        f = nf
+          .join(s.select("id"), Seq("id"), "left_anti")
+          .select(col("id"), col("dist"), lit(round + j).cast("int").as("r"))
+        s = s.union(nf)
       }
-      dist = d.localCheckpoint()
-      frontier = f.localCheckpoint()
-      it += k
-      if (frontier.isEmpty) return (dist, it)
+      st = s.localCheckpoint()
+      round += blk
+      it += blk
+      // the LAST round's reached set empty => the next frontier is
+      // empty — the fixpoint (mid-block emptying leaves later in-block
+      // rounds as no-ops, so checking the final round alone is sound)
+      if (st.filter(col("r") === round).isEmpty)
+        return (st.select("id", "dist"), it)
     }
     throw new IllegalStateException(
       s"sssp: the frontier is still growing after $maxIters rounds — " +
@@ -446,10 +456,11 @@ object Graphs {
     *
     * Scale: per round one src-keyed join of the improved set to the
     * edges, one dst-keyed min-combine, and one key-partitioned
-    * merge-fold of the distance table (union + min per id — the
-    * relaxation step Bellman-Ford cannot avoid once improvements
-    * re-open settled nodes); all partitioned by id, rounds bounded by
-    * the hop radius of the shortest-path forest. */
+    * full-outer merge of the distance table (the relaxation step
+    * Bellman-Ford cannot avoid once improvements re-open settled
+    * nodes); all partitioned by id, rounds bounded by the hop radius
+    * of the shortest-path forest, one state checkpoint per block (the
+    * kcoreWithRound fusion). */
   def ssspWeightedWithRound(seeds: DataFrame, idCol: String,
                             edges: DataFrame, srcCol: String,
                             dstCol: String, wCol: String,
@@ -459,28 +470,34 @@ object Graphs {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"), col(wCol).cast("int").as("w"))
       .localCheckpoint()
-    var dist = seeds.select(col(idCol).cast("long").as("id"),
-      lit(0).cast("int").as("dist")).localCheckpoint()
-    var frontier = dist
+    // ONE state table (id, dist, ir) — ir = the round of the node's
+    // last improvement, so the improved-set frontier is a filter over
+    // the single per-block checkpoint
+    var st = seeds.select(col(idCol).cast("long").as("id"),
+      lit(0).cast("int").as("dist"), lit(0).cast("int").as("ir"))
+      .localCheckpoint()
+    var round = 0
     var it = 0
     while (it < maxIters) {
-      val k = math.min(blockSize, maxIters - it)
-      var (d, f) = (dist, frontier)
-      for (_ <- 1 to k) {
+      val blk = math.min(blockSize, maxIters - it)
+      var s = st
+      for (j <- 1 to blk) {
+        val f = s.filter(col("ir") === round + j - 1).select("id", "dist")
         val cand = e.join(f, e("src") === f("id"))
           .select(col("dst").as("id"), (col("dist") + col("w")).as("nd"))
           .groupBy("id").agg(min(col("nd")).cast("int").as("nd"))
-        val improved = cand.join(d, Seq("id"), "left")
-          .filter(col("dist").isNull || col("nd") < col("dist"))
-          .select(col("id"), col("nd").cast("int").as("dist"))
-        d = d.union(improved).groupBy("id")
-          .agg(min(col("dist")).cast("int").as("dist"))
-        f = improved
+        val better = col("nd").isNotNull &&
+          (col("dist").isNull || col("nd") < col("dist"))
+        s = s.join(cand, Seq("id"), "full_outer")
+          .select(col("id"),
+            when(better, col("nd")).otherwise(col("dist")).cast("int").as("dist"),
+            when(better, lit(round + j)).otherwise(col("ir")).cast("int").as("ir"))
       }
-      dist = d.localCheckpoint()
-      frontier = f.localCheckpoint()
-      it += k
-      if (frontier.isEmpty) return (dist, it)
+      st = s.localCheckpoint()
+      round += blk
+      it += blk
+      if (st.filter(col("ir") === round).isEmpty)
+        return (st.select("id", "dist"), it)
     }
     throw new IllegalStateException(
       s"ssspWeighted: improvements persist after $maxIters rounds — " +
