@@ -768,4 +768,45 @@ object GraftProps extends Properties("graft") {
         if (base((s, id))) (s, id, w * 16) else (s, id, w) }
       base.subsetOf(draw(bumped))
     }
+
+  /** Random sparse digraphs for the k-core peel. */
+  private val kcoreEdgesGen: Gen[List[(Long, Long)]] =
+    Gen.nonEmptyListOf(for {
+      s <- Gen.choose(0L, 13L)
+      t <- Gen.choose(0L, 13L)
+    } yield (s, t))
+
+  /** The distributed frontier-delta peel must equal the scalar
+    * synchronous peel — layer by layer, on arbitrary graphs (self
+    * loops and duplicate/reverse edges must not perturb degrees). */
+  property("kcore onion equals the scalar synchronous peel on random graphs") =
+    forAll(kcoreEdgesGen, Gen.choose(1, 4)) { (edges, k) =>
+      val sp = spark
+      import sp.implicits._
+      val sym = edges.flatMap { case (s, t) => Seq((s, t), (t, s)) }
+        .filter { case (s, t) => s != t }.distinct
+      if (sym.isEmpty) true
+      else {
+        // scalar synchronous peel
+        var alive = sym.map(_._1).toSet
+        var layer = Map.empty[Long, Int]
+        var r = 0
+        var changed = true
+        while (changed) {
+          r += 1
+          val deg = sym.filter { case (s, t) => alive(s) && alive(t) }
+            .groupBy(_._1).view.mapValues(_.size).toMap
+          val drop = alive.filter(v => deg.getOrElse(v, 0) < k)
+          changed = drop.nonEmpty
+          layer ++= drop.map(_ -> r)
+          alive --= drop
+        }
+        val want = layer ++ alive.map(_ -> 0)
+        val (onion, round) = graft.api.Graphs.kcoreWithRound(
+          edges.toDF("s", "t"), "s", "t", k = k, blockSize = 3)
+        val got = onion.collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+        val maxLayer = if (layer.isEmpty) 0 else layer.values.max
+        got == want && round == maxLayer
+      }
+    }
 }
