@@ -880,6 +880,21 @@ object Streaming {
         .orderBy("event_type", "rnk")
     }),
 
+    // Multi-input watermark propagation: two independently-watermarked
+    // streams union into one windowed agg; the downstream watermark is
+    // the MIN of the inputs' (Spark's multipleWatermarkPolicy default,
+    // Flink's min-of-inputs rule), so one lagging source holds every
+    // window open instead of racing siblings dropping its late rows.
+    // Batch replay = plain union + tumbling agg; the min rule itself
+    // is StreamingSpec's. See StreamOps.unionMinWatermark.
+    "stream_union_min_watermark" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      StreamOps.unionMinWatermark(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"))
+        .orderBy("window_start", "event_type")
+    }),
+
     // DELETE/TOMBSTONE propagation (GDPR erasure through a keyed
     // aggregate — the changelog axis the upsert-fed retract family
     // never fires): a sparse delete marker retracts the user's entire
@@ -1491,6 +1506,13 @@ object Streaming {
         |        FROM events GROUP BY 1, 2))
         |WHERE rnk <= 3
         |ORDER BY event_type, rnk""".stripMargin,
+
+    "stream_union_min_watermark" ->
+      """SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start,
+        |       event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_type IN ('purchase', 'click')
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
     // Compacted tombstone changelog: users carrying a delete marker
     // (signup with event_id % 19 = 0) vanish entirely; the rest emit

@@ -1774,6 +1774,32 @@ object StreamOps extends Serializable {
       .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** UNION of two independently-watermarked streams into one windowed
+    * aggregation — the multi-input watermark-propagation axis: the
+    * downstream operator's watermark is the MINIMUM of its inputs'
+    * (Spark's multipleWatermarkPolicy default `min`, identical to
+    * Flink's min-of-inputs rule), so a window seals only when the
+    * LAGGING source has passed it — one slow source holds every
+    * window open, which is the correctness-preserving behavior (no
+    * source's late data is dropped because a faster sibling raced
+    * ahead). The purchase side carries a 5 min watermark, the click
+    * side 30 min; StreamingSpec pins the min rule by racing one
+    * source hours ahead. Batch replay: watermarks are no-ops, the
+    * result is the plain union + tumbling aggregation.
+    *
+    * Scale: a union is partition-concatenation (no shuffle); the only
+    * shuffle is the window aggregation's own, with map-side partials.
+    */
+  def unionMinWatermark(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    def side(df: DataFrame, delay: String) =
+      if (df.isStreaming) df.withWatermark("ts", delay) else df
+    side(purchases, "5 minutes").unionByName(side(clicks, "30 minutes"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Det.sumMoney(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
   /** Pane-based two-level sliding aggregation under streaming — the
     * namesake large-window technique (api.Windows.slidingByPanes) as a
     * CHAINED pair of stateful window aggregations: level 1 pre-aggregates

@@ -3036,6 +3036,43 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("union watermark: min of inputs — the lagging source holds windows open") {
+    import org.apache.spark.sql.functions.col
+    val msP = MemoryStream[Ev]
+    val msC = MemoryStream[Ev]
+    val q = StreamOps.unionMinWatermark(
+        msP.toDS().toDF().filter(col("event_type") === "purchase"),
+        msC.toDS().toDF().filter(col("event_type") === "click"))
+      .writeStream.format("memory").queryName("union_wm").outputMode("append").start()
+    // both sources put rows in the 09:00 window; the purchase source
+    // then races hours ahead (its own watermark passes 09:59 + 5 min
+    // easily) while the click source's watermark (30 min delay) still
+    // sits before 10:00 — under the MIN rule the window must stay open
+    msP.addData(
+      Ev(1, ts("2024-01-02 09:10:00"), 1, "purchase", 10.00),
+      Ev(2, ts("2024-01-02 14:00:00"), 1, "purchase", 1.00)) // watermark ~13:55
+    msC.addData(
+      Ev(3, ts("2024-01-02 09:20:00"), 2, "click", 2.00),
+      Ev(4, ts("2024-01-02 10:15:00"), 2, "click", 0.50)) // watermark ~09:45
+    q.processAllAvailable()
+    assert(spark.table("union_wm").count() == 0,
+      "the 09:00 window must stay open while the click watermark lags")
+    // a late click INSIDE the lagging watermark still lands in 09:00
+    msC.addData(Ev(5, ts("2024-01-02 09:40:00"), 3, "click", 4.00))
+    q.processAllAvailable()
+    // advance the click source past 10:00 + 30 min -> min watermark
+    // passes 10:00, the 09:00 window seals with BOTH sides' rows
+    msC.addData(Ev(6, ts("2024-01-02 10:45:00"), 2, "click", 0.25))
+    drain(q)
+    val sealedRows = spark.table("union_wm")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect()
+      .filter(_._1 == ts("2024-01-02 09:00:00")).toSet
+    assert(sealedRows == Set(
+      (ts("2024-01-02 09:00:00"), "purchase", 1L, 10.00),
+      (ts("2024-01-02 09:00:00"), "click", 2L, 6.00)),
+      s"sealed 09:00 window must merge both sources incl. the late click: $sealedRows")
+  }
+
   test("tombstone: D retracts prior exactly, blocks future and same-batch, fold == batch") {
     import graft.streaming.TombChange
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
