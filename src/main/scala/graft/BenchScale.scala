@@ -161,7 +161,14 @@ object BenchScale {
     // is measured by the dedicated fixed-scale block below, which
     // also records the shrinking round count the sub-linearity
     // claim rests on.
-    "stream_retract_join", "stream_retract_join_fanout")
+    "stream_retract_join", "stream_retract_join_fanout",
+    // round-16 late: the fused frontier loops over the second decade —
+    // BFS and its weighted Bellman-Ford sibling (O(E)-total edge
+    // visits vs the per-round merge-fold), and the k-core onion peel
+    // (each edge discounted once per endpoint removal; the cascade
+    // depth is per-copy topology, so the 100x max-over-copies term is
+    // bounded)
+    "graph_sssp", "graph_sssp_weighted", "graph_kcore")
   private val Factor100 = 100
 
   /** 100 isolated documents + embeddings copies — same isolation
