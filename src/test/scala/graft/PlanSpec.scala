@@ -38,6 +38,41 @@ class PlanSpec extends SparkSuite {
     assert(plan("sort_limit").contains("TakeOrderedAndProject"))
   }
 
+  test("stream_lookup_join broadcasts the dim; the fact side never shuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val p = SparkEntry.queries("stream_lookup_join")(spark, sf001)
+      .queryExecution.sparkPlan
+    assert(p.toString.contains("BroadcastHashJoin"),
+      "the dim must broadcast — a shuffled lookup join defeats the operator")
+    // the only shuffle allowed is the declared output orderBy, which
+    // sits ABOVE the join — nothing below the join may exchange
+    val joinDepth = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }.head
+    assert(joinDepth.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      "no exchange may sit under the lookup join's fact side")
+  }
+
+  test("ts_ewma fuses all eight lags into one Window over one keyed exchange") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val p = SparkEntry.queries("ts_ewma")(spark, sf001).queryExecution.sparkPlan
+    assert(p.collect { case w: WindowExec => w }.size == 1,
+      "the 8 lags + row_number must share one WindowExec, not chain windows")
+    // one keyed exchange for the window + one for the declared orderBy
+    assert(p.collect { case e: ShuffleExchangeExec => e }.size <= 2,
+      s"unexpected extra shuffles:\n$p")
+  }
+
+  test("agg_unpivot is an Expand over the aggregate — melt adds no shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val p = SparkEntry.queries("agg_unpivot")(spark, sf001).queryExecution.sparkPlan
+    assert(p.toString.contains("Expand"), "unpivot should plan as Expand")
+    // agg shuffle + declared orderBy only
+    assert(p.collect { case e: ShuffleExchangeExec => e }.size <= 2,
+      s"melt must not introduce its own shuffle:\n$p")
+  }
+
   test("agg_hash is a partial+final HashAggregate (map-side combine)") {
     val p = plan("agg_hash")
     assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final HashAggregate")
