@@ -47,15 +47,50 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
-  /** Per-query seconds committed in the repo's BENCH_DETAIL.json (the
-    * previous clean run at HEAD), read BEFORE this run overwrites it —
-    * the reference the isolated re-run pass adjudicates against
-    * (VERDICT r7 item 1). Empty map if absent/unparsable (first run).
+  /** The pinned per-key adjudication floor (VERDICT r16 item 1): the
+    * committed BENCH_FLOOR.json — per-key MINIMUM seconds across ALL
+    * committed bench history — merged (min) with the latest
+    * BENCH_DETAIL.json so keys benched for the first time since the
+    * floor was pinned still get a reference. Round 16 showed why the
+    * latest-refresh comparison alone is a ratchet: wnd_sliding walked
+    * 0.301 -> 0.854 s across three refreshes of UNCHANGED code, each
+    * step under the 1.4x trigger, and was never re-adjudicated. Against
+    * the historical floor every step of such a walk triggers isolation.
+    * Empty map if both files are absent/unparsable (first run).
     */
-  private def committedQueries(): Map[String, Double] =
-    try parseQueriesBlock(new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("BENCH_DETAIL.json")), "UTF-8"))
-    catch { case _: Throwable => Map.empty }
+  private def committedQueries(): Map[String, Double] = {
+    def readQueries(path: String): Map[String, Double] =
+      try parseQueriesBlock(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8"))
+      catch { case _: Throwable => Map.empty }
+    val floor = readQueries("BENCH_FLOOR.json")
+    val latest = readQueries("BENCH_DETAIL.json")
+    (floor.keySet ++ latest.keySet).map { k =>
+      k -> (floor.get(k).toSeq ++ latest.get(k).toSeq).min
+    }.toMap
+  }
+
+  /** Lower (never raise) the pinned floor with this run's per-key
+    * results and persist it. Writing the merged floor after every run —
+    * not only committed ones — is deliberately conservative: a lower
+    * floor can only cause MORE adjudication, never less, so an
+    * uncommitted fast run cannot weaken the trigger, while a genuinely
+    * faster implementation immediately tightens the reference its
+    * successors are held to.
+    */
+  private def writeFloor(prior: Map[String, Double],
+                         results: Seq[(String, Double)]): Unit = {
+    val merged = (prior.keySet ++ results.map(_._1)).toSeq.sorted.map { k =>
+      k -> (prior.get(k).toSeq ++ results.collect { case (`k`, v) if v > 1e-9 => v }).min
+    }
+    val body = merged.map { case (k, v) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    }.mkString(",")
+    val txt = s"""{"note":"per-key minimum seconds across all committed BENCH_DETAIL.json history; the pinned floor Bench.isolationNeeded adjudicates against (VERDICT r16 item 1)","queries":{$body}}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FLOOR.json"), txt.getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+  }
 
   /** Extract the flat `"queries":{...}` block from a BENCH_DETAIL JSON
     * line (no JSON lib on the classpath; the block is flat numbers by
@@ -250,6 +285,7 @@ object Bench {
       java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
       println(s"full per-query timings -> ${p.toAbsolutePath}")
     } catch { case _: Throwable => () }
+    writeFloor(committed, results)
     val head = results.filter { case (k, _) => headline.contains(k) }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$spreadStats,"baseline":${jsonMap(baseline)},"isolated":$isoJson,"queries":${jsonMap(head)},"sf":"$sfDir"}""")
     spark.stop()

@@ -119,4 +119,34 @@ object Det {
     * (oracle idiom: `floor(x*100000000 + 0.5)/100000000`). */
   def round8(c: Column): Column =
     floor(c * 100000000L + lit(0.5)) / 100000000L
+
+  /** |cents| ceiling for the exact-integer ts_* formulations (ADVICE
+    * r16): their quadratic terms (n*sq, sm*sm, (n*x-sm)^2 with window
+    * n <= 16) are bounded by 1024*B^2, so B = 2^26 (~$671k) keeps the
+    * worst case at 2^62 — inside int64 with a factor-2 margin. */
+  val CentsBound: Long = 1L << 26
+
+  /** BIGINT cents of a money-like double with a LOUD magnitude guard:
+    * events.value carries no schema bound, and past [[CentsBound]] the
+    * squared-cents arithmetic overflows — Spark would wrap silently
+    * while DuckDB raises, a silent cross-engine divergence (ADVICE
+    * r16). An out-of-range fixture now fails the job on BOTH engines
+    * (the oracle twin is [[centsGuardedSql]]) instead of hashing
+    * differently. */
+  def centsGuarded(c: Column): Column = {
+    val cents = (dec2(c) * 100).cast("long")
+    when(abs(cents) > CentsBound,
+      raise_error(concat(
+        lit(s"cents magnitude exceeds 2^26 ($CentsBound) — the exact " +
+          "integer ts_* arithmetic would overflow int64: "),
+        cents.cast("string"))))
+      .otherwise(cents)
+  }
+
+  /** DuckDB twin of [[centsGuarded]] for oracle SQL: `error()` raises,
+    * so the same out-of-range fixture aborts the oracle run too. */
+  def centsGuardedSql(valueExpr: String): String =
+    s"CASE WHEN abs(CAST(CAST($valueExpr AS DECIMAL(12,2)) * 100 AS BIGINT)) > $CentsBound " +
+      s"THEN CAST(error('cents magnitude exceeds 2^26 ($CentsBound)') AS BIGINT) " +
+      s"ELSE CAST(CAST($valueExpr AS DECIMAL(12,2)) * 100 AS BIGINT) END"
 }

@@ -387,6 +387,20 @@ object Similarity {
                            forwardOnly: Boolean = false,
                            dangling: Boolean = false): String = {
     require(iters >= 1, s"iters must be >= 1: $iters")
+    // scale = 0: derive the scale from n IN SQL by the same rule as
+    // Graphs.autoScale — smallest power of ten >= 100*count(*) — so
+    // the engine and the replay stay coupled by construction at any
+    // input size (VERDICT r16 item 3)
+    val scCte =
+      if (scale != 0L) ""
+      else {
+        val powers = (1 to 18).scanLeft(1L)((a, _) => a * 10).tail
+          .map(p => s"($p)").mkString(", ")
+        s"""sc AS (SELECT min(p.s) AS s FROM (VALUES $powers) p(s)
+           |       WHERE p.s >= 100 * (SELECT count(*) FROM nodes)),
+           |""".stripMargin
+      }
+    val scaleExpr = if (scale == 0L) "(SELECT s FROM sc)" else scale.toString
     // dangling redistribution (round 16): each round adds the damped
     // uniform share of the rank mass sitting on out-degree-0 nodes —
     // (85 * D) // (100 * n), the same single floor per node as the
@@ -415,8 +429,8 @@ object Similarity {
        |od AS (SELECT src, count(*) AS outd FROM eg0 GROUP BY src),
        |eg AS (SELECT eg0.src, eg0.dst, od.outd FROM eg0 JOIN od USING (src)),
        |nodes AS (SELECT vec_id AS id FROM embeddings),
-       |base AS (SELECT (15 * ($scale // count(*))) // 100 AS b,
-       |                $scale // count(*) AS rinit,
+       |${scCte}base AS (SELECT (15 * ($scaleExpr // count(*))) // 100 AS b,
+       |                $scaleExpr // count(*) AS rinit,
        |                count(*) AS nn FROM nodes),
        |r0 AS (SELECT id, (SELECT ${if (seedBottom) "b" else "rinit"}
        |                   FROM base) AS r FROM nodes),

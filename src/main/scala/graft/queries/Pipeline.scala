@@ -773,8 +773,8 @@ object Pipeline {
       require(round <= KcoreOracleRounds,
         s"kcore peeled to depth $round but the " +
           s"registered oracle unrolls only $KcoreOracleRounds synchronous " +
-          "rounds — raise KcoreOracleRounds (both the oracle SQL and this " +
-          "assertion) so the replay is not truncated")
+          "rounds — raise KcoreOracleRounds (the oracle registration " +
+          "shares the same constant) so the replay is not truncated")
       onion.select(col("id").as("vec_id"), col("layer")).orderBy("vec_id")
     }),
 
@@ -783,10 +783,12 @@ object Pipeline {
     // rounds repeat until no node's rank changes; the convergence
     // round couples to the oracle's fixed unroll (round <=
     // PagerankOracleRounds asserted here at build time, idempotence
-    // past the fixpoint makes the >= unroll replay exact). ppm ranks
-    // (scale 1e6) put the fixpoint near log_{100/85}(scale/n) rounds —
-    // the converged score needs no more precision than its own
-    // 1-integer-unit stopping threshold.
+    // past the fixpoint makes the >= unroll replay exact). The scale
+    // is auto-derived from n on BOTH engines (Graphs.autoScale /
+    // the oracle's sc CTE — smallest power of ten >= 100*n), keeping
+    // the base in [15, 150] and the fixpoint near log_{100/85}(150)
+    // ~ 31 rounds at ANY input size — the converged score needs no
+    // more precision than its own 1-integer-unit stopping threshold.
     // Multi-source SHORTEST PATHS over the capped kNN graph (the
     // min-plus Kleene fixpoint next to PageRank's plus-times one):
     // hop distance from the vec_id % 97 = 0 seed set — the
@@ -842,7 +844,7 @@ object Pipeline {
           s"the registered oracle unrolls only $PagerankOracleRounds " +
           "rounds — raise PagerankOracleRounds (both the oracle SQL " +
           "and this assertion) so the replay is not truncated")
-      ranks.select(col("id").as("vec_id"), col("r").as("rank_ppm"))
+      ranks.select(col("id").as("vec_id"), col("r").as("rank_fp"))
         .orderBy("vec_id")
     }),
 
@@ -2012,12 +2014,16 @@ object Pipeline {
     // converged pagerank: the same unrolled integer replay at the
     // coupling depth — idempotence past the engine's fixpoint (round
     // <= PagerankOracleRounds, asserted in the query) makes the fixed
-    // unroll replay the converged ppm ranks exactly
+    // unroll replay the converged ranks exactly. scale = 0 derives
+    // the fixed-point scale from count(*) by the same
+    // smallest-power-of-ten >= 100*n rule as the engine (VERDICT r16
+    // item 3) — the key accepts any input size instead of rejecting
+    // past n ~ 1.4e5.
     "graph_pagerank_converged" -> Similarity.knnPagerankOracleSql(5,
       tables = 8, bits = 6, cap = 16, iters = PagerankOracleRounds,
-      scale = 1000000L, rankCol = "rank_ppm", seedBottom = true),
+      scale = 0L, rankCol = "rank_fp", seedBottom = true),
     "graph_kcore" -> Similarity.knnKcoreOracleSql(5, tables = 8, bits = 6,
-      cap = 16, coreK = 6, rounds = 24),
+      cap = 16, coreK = 6, rounds = KcoreOracleRounds),
 
     "graph_sssp" -> Similarity.knnSsspOracleSql(5, tables = 8, bits = 6,
       cap = 16, seedMod = 97L, maxDepth = SsspOracleDepth),

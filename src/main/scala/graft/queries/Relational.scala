@@ -805,7 +805,11 @@ object Relational {
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // DuckDB UNPIVOT emits the source column NAME as the metric value,
-    // matching Spark's unpivot variable column.
+    // matching Spark's unpivot variable column. INCLUDE NULLS (ADVICE
+    // r16): DuckDB's default is EXCLUDE NULLS while Spark's unpivot
+    // retains null measure values — the aggregates here are non-null on
+    // non-empty groups, but the two engines should agree by
+    // construction, not by fixture luck.
     "agg_unpivot" ->
       """WITH wide AS (
         |  SELECT l_returnflag,
@@ -814,7 +818,8 @@ object Relational {
         |    CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, metric, amount
-        |FROM wide UNPIVOT (amount FOR metric IN (sum_qty, sum_price, sum_disc))
+        |FROM wide UNPIVOT INCLUDE NULLS
+        |  (amount FOR metric IN (sum_qty, sum_price, sum_disc))
         |ORDER BY l_returnflag, metric""".stripMargin,
 
     "join_semi" ->

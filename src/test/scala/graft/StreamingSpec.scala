@@ -1441,6 +1441,66 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("restart with changed shuffle partitions: the checkpoint PINS state parallelism") {
+    // Flink savepoint RESCALING has no Structured Streaming analog:
+    // the state store's partition count is fixed at the checkpoint's
+    // first run. Spark's guard is a PIN, not a crash — on restart,
+    // spark.sql.shuffle.partitions is restored from the checkpoint's
+    // offset metadata and the NEW session value is ignored (with a
+    // warning), so state never meets a mismatched partitioning. This
+    // test pins that contract: the restarted query keeps the original
+    // parallelism (state dir layout + offset metadata + correct sealed
+    // output), proving a conf change is NOT a rescaling mechanism.
+    // The supported recipes live next to this test in SURVEY §3.5:
+    // drain-and-restart on a fresh checkpoint, or offline state
+    // rewrite via the state-store data source.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_rescale_ckpt").toString
+      val outDir = java.nio.file.Files.createTempDirectory("graft_rescale_out").toString
+      val ms = MemoryStream[Ev]
+      val q1 = StreamOps.tumblingAgg(ms.toDF())
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      ms.addData(
+        Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.00),
+        Ev(2, ts("2024-01-01 10:20:00"), 2, "click", 2.00))
+      q1.processAllAvailable()
+      q1.stop()
+      def statePartitions(): Set[String] =
+        Option(new java.io.File(s"$ckpt/state/0").list()).fold(Set.empty[String])(_.toSet)
+      val partsAtRun1 = statePartitions()
+      assert(partsAtRun1.count(_.forall(_.isDigit)) == 4,
+        s"run 1 must lay out 4 state partitions: $partsAtRun1")
+      // restart from the SAME checkpoint under a DIFFERENT parallelism
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val q2 = StreamOps.tumblingAgg(ms.toDF())
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      ms.addData(Ev(3, ts("2024-01-01 10:40:00"), 3, "click", 4.00))
+      q2.processAllAvailable()
+      ms.addData(Ev(4, ts("2024-01-01 13:00:00"), 1, "view", 1.00))
+      drain(q2)
+      // the pin: state layout unchanged (4, not 7), offset metadata
+      // still records 4, and the sealed window is CORRECT — it merges
+      // pre- and post-restart rows under the original partitioning
+      assert(statePartitions().count(_.forall(_.isDigit)) == 4,
+        s"restart must keep the checkpointed 4-partition state layout: ${statePartitions()}")
+      val offsetFiles = new java.io.File(s"$ckpt/offsets").listFiles()
+        .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+      val lastOffsets = new String(java.nio.file.Files.readAllBytes(
+        offsetFiles.last.toPath), "UTF-8")
+      assert(lastOffsets.contains("\"spark.sql.shuffle.partitions\":\"4\""),
+        s"offset metadata must pin the ORIGINAL parallelism: $lastOffsets")
+      val sealedW10 = spark.read.parquet(outDir)
+        .as[(Timestamp, Timestamp, String, Long, Double)].collect()
+        .filter(_._1 == ts("2024-01-01 10:00:00"))
+      assert(sealedW10.map(r => (r._3, r._4, r._5)).toSet == Set(("click", 3L, 7.00)),
+        s"the sealed 10:00 window must merge pre- and post-restart rows: ${sealedW10.toSeq}")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   test("CEP timeout side output: cross-batch cancellation, timer emission, tie order, replay equality") {
     import graft.streaming.CepTimeoutMatch
     val prefix = graft.queries.Analytic.CepPatterns.timeoutPrefix
@@ -3071,6 +3131,121 @@ class StreamingSpec extends SparkSuite {
       (ts("2024-01-02 09:00:00"), "purchase", 1L, 10.00),
       (ts("2024-01-02 09:00:00"), "click", 2L, 6.00)),
       s"sealed 09:00 window must merge both sources incl. the late click: $sealedRows")
+  }
+
+  test("union idleness: a stalled source stops holding windows after the idle bound") {
+    import org.apache.spark.sql.functions.col
+    val msP = MemoryStream[Ev]
+    val msC = MemoryStream[Ev]
+    val q = StreamOps.unionIdleWatermark(
+        msP.toDS().toDF().filter(col("event_type") === "purchase"),
+        msC.toDS().toDF().filter(col("event_type") === "click"),
+        idleTimeout = "2 hours")
+      .writeStream.format("memory").queryName("union_idle").outputMode("append").start()
+    // both sources populate the 09:00 window, then the click source STALLS
+    msP.addData(Ev(1, ts("2024-01-02 09:10:00"), 1, "purchase", 10.00))
+    msC.addData(Ev(2, ts("2024-01-02 09:20:00"), 2, "click", 2.00))
+    q.processAllAvailable()
+    assert(spark.table("union_idle").count() == 0,
+      "inside the idle bound the plain min rule holds the 09:00 window open")
+    // the purchase source advances 4h40m past the stalled click source:
+    // under the plain min rule the 09:00 window would stay open FOREVER;
+    // the idle escape grants the click side (sibling - 2h) = 12:00, so
+    // its watermark reads 11:30 and the min passes 10:00 -> seal
+    msP.addData(Ev(3, ts("2024-01-02 14:00:00"), 1, "purchase", 1.00))
+    drain(q)
+    val got = spark.table("union_idle")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(got == Set(
+      (ts("2024-01-02 09:00:00"), "purchase", 1L, 10.00),
+      (ts("2024-01-02 09:00:00"), "click", 1L, 2.00)),
+      s"the idle escape must seal 09:00 with BOTH sides' rows: $got")
+  }
+
+  test("union idleness: a rejoined laggard re-enters the min and holds sealing again") {
+    import org.apache.spark.sql.functions.col
+    val msP = MemoryStream[Ev]
+    val msC = MemoryStream[Ev]
+    val q = StreamOps.unionIdleWatermark(
+        msP.toDS().toDF().filter(col("event_type") === "purchase"),
+        msC.toDS().toDF().filter(col("event_type") === "click"),
+        idleTimeout = "2 hours")
+      .writeStream.format("memory").queryName("union_rejoin").outputMode("append").start()
+    // phase 1: stall + idle seal (as in the sibling test)
+    msP.addData(Ev(1, ts("2024-01-02 09:10:00"), 1, "purchase", 10.00))
+    msC.addData(Ev(2, ts("2024-01-02 09:20:00"), 2, "click", 2.00))
+    q.processAllAvailable()
+    msP.addData(Ev(3, ts("2024-01-02 14:00:00"), 1, "purchase", 1.00))
+    q.processAllAvailable()
+    assert(spark.table("union_rejoin").count() == 2, "09:00 sealed via the idle escape")
+    // phase 2: the click source REJOINS inside the idle bound (12:40 —
+    // above the current min watermark, into the open 12:00 window)
+    msC.addData(Ev(4, ts("2024-01-02 12:40:00"), 2, "click", 4.00))
+    q.processAllAvailable()
+    // the purchase source advances to 15:00; the idle grant is only
+    // (15:00 - 2h) = 13:00 -> click watermark 12:30 < 13:00, so the
+    // REJOINED source holds the 12:00 window open again — the min rule
+    // is back in force for a source inside the idle bound (the
+    // watermark slowed without retreating: monotonic on both engines)
+    msP.addData(Ev(5, ts("2024-01-02 15:00:00"), 1, "purchase", 3.00))
+    q.processAllAvailable()
+    assert(!spark.table("union_rejoin").as[(Timestamp, String, Long, Double)]
+        .collect().exists(_._1 == ts("2024-01-02 12:00:00")),
+      "a rejoined in-bound laggard must hold its open window (min rule re-entered)")
+    // the rejoined source catches up past 13:00 + 30 min -> 12:00 seals
+    // with its own row
+    msC.addData(Ev(6, ts("2024-01-02 13:45:00"), 2, "click", 0.50))
+    drain(q)
+    val rows = spark.table("union_rejoin")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(rows.contains((ts("2024-01-02 12:00:00"), "click", 1L, 4.00)),
+      s"the rejoined source's own progress must seal 12:00: $rows")
+  }
+
+  test("allowedLateness update: cross-batch late refire, then purge drops for good") {
+    import graft.streaming.LateFire
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.lateUpdateWindows(ms.toDS())
+      .writeStream.format("memory").queryName("late_upd").outputMode("append").start()
+    // two clicks populate the 10:00 window
+    ms.addData(
+      Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.00),
+      Ev(2, ts("2024-01-01 10:20:00"), 1, "click", 2.00))
+    q.processAllAvailable()
+    // watermark to 10:58 — window end not passed, nothing fires
+    ms.addData(Ev(3, ts("2024-01-01 11:08:00"), 1, "view", 1.00))
+    q.processAllAvailable()
+    assert(spark.table("late_upd").count() == 0,
+      "no firing before the watermark passes the window end")
+    // watermark to 11:02 -> the 11:00 window-end timer fires: on_time
+    ms.addData(Ev(4, ts("2024-01-01 11:12:00"), 1, "view", 1.00))
+    q.processAllAvailable()
+    val onTime = spark.table("late_upd").as[LateFire].collect().toSeq
+    assert(onTime.map(f => (f.window_start, f.event_type, f.n_events, f.sum_value,
+        f.n_late_updates, f.fire_kind)) ==
+      Seq((ts("2024-01-01 10:00:00"), "click", 2L, 3.00, 0L, "on_time")),
+      s"first firing must be the on-time 10:00 click window: $onTime")
+    // CROSS-BATCH LATE REFIRE: 10:30 is below the watermark (11:02) but
+    // inside the allowance (purge at 11:05) — the already-emitted
+    // window must re-fire with the updated aggregate
+    ms.addData(Ev(5, ts("2024-01-01 10:30:00"), 1, "click", 99.00))
+    q.processAllAvailable()
+    val afterLate = spark.table("late_upd").as[LateFire].collect().toSeq
+    assert(afterLate.exists(f => f.window_start == ts("2024-01-01 10:00:00") &&
+        f.fire_kind == "update" && f.n_events == 3L && f.sum_value == 102.00 &&
+        f.n_late_updates == 1L),
+      s"the in-allowance late click must REFIRE 10:00 with the merged aggregate: $afterLate")
+    // watermark to 11:10 >= purge (11:05): the purge timer clears state
+    // silently; a subsequent hard-late click must not resurrect it
+    ms.addData(Ev(6, ts("2024-01-01 11:20:00"), 1, "view", 1.00))
+    q.processAllAvailable()
+    ms.addData(Ev(7, ts("2024-01-01 10:45:00"), 1, "click", 50.00))
+    drain(q)
+    val finalRows = spark.table("late_upd").as[LateFire].collect().toSeq
+    assert(finalRows.count(_.window_start == ts("2024-01-01 10:00:00")) == 2,
+      s"exactly on_time + one update for 10:00 — the post-purge click must drop: $finalRows")
+    assert(!finalRows.exists(_.sum_value == 152.00),
+      s"the hard-late 50.00 must never merge: $finalRows")
   }
 
   test("tombstone: D retracts prior exactly, blocks future and same-batch, fold == batch") {
