@@ -58,7 +58,11 @@ object Bpe {
   /** Corpus word-frequency table: whitespace tokens, empties dropped.
     * The ONE corpus-sized aggregation of the whole trainer. */
   def wordFreq(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(split(guardDelims(col(textCol)), " ")).as("word"))
+    // r17: fan out the tokenize+explode (guide §2.5 — single-split local
+    // scans otherwise run the corpus-sized pass in one task; no-op on a
+    // production multi-file layout).
+    Scale.fanout(docs)
+      .select(explode(split(guardDelims(col(textCol)), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 

@@ -93,10 +93,16 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    blockCols: Seq[String], threshold: Double,
                    ngram: Int = 3): DataFrame = {
-    val t = shingles(df, textCol, ngram)
+    // Fan-out + one materialization (r17, guide §2.5/§3.3): the shingled
+    // md5-prefix table feeds THREE consumers (the prefix-candidate
+    // explode and both verify sides) — un-checkpointed, the whole
+    // shingle derivation re-ran per consumer, single-task on a
+    // single-split scan (measured 2 × 3.3 s at sf0.1).
+    val t = shingles(Scale.fanout(df), textCol, ngram)
       .withColumn("toksh", array_distinct(
         graft.functions.Signatures.md5_prefix(col("toks"), 15)))
       .select(col(idCol) +: (blockCols :+ "toksh").map(col): _*)
+      .localCheckpoint()
     val cand = jaccardCandidates(t, idCol, blockCols, threshold,
       positional = true)
     val ta = t.select(col(idCol).as("doc_a"), col("toksh").as("toks_a"))
@@ -197,11 +203,20 @@ object Dedup {
                        threshold: Double, minTokens: Int = 20,
                        ngram: Int = 3): DataFrame = {
     val o = math.ceil(threshold * minTokens - 1e-9).toInt
-    val t = shingles(df, textCol, ngram)
+    // Fan-out + one materialization (r17): three consumers of the
+    // shingle table (candidates + both verify sides) re-ran the
+    // single-task shingle pass 3 × 3.4 s at sf0.1 un-checkpointed.
+    // The minTokens filter sits ABOVE the checkpoint: placed below, the
+    // optimizer pushes it below the fan-out exchange (filters traverse
+    // Repartition), and evaluating `size(toksh)` there re-runs the whole
+    // md5-shingle derivation single-task on the map side — the exact
+    // cost the fan-out removes (measured: 2.0 s single-task map stage).
+    val t = shingles(Scale.fanout(df), textCol, ngram)
       .withColumn("toksh", array_distinct(
         graft.functions.Signatures.md5_prefix(col("toks"), 15)))
-      .filter(size(col("toksh")) >= minTokens)
       .select(col(idCol), col("toksh"))
+      .localCheckpoint()
+      .filter(size(col("toksh")) >= minTokens)
     val cand = containmentCandidates(t, idCol, threshold, o, positional = true)
     val ta = t.select(col(idCol).as("doc_a"), col("toksh").as("toks_a"))
     val tb = t.select(col(idCol).as("doc_b"), col("toksh").as("toks_b"))
@@ -258,7 +273,12 @@ object Dedup {
   def minhashSurvivors(df: DataFrame, idCol: String, textCol: String,
                        bands: Int = 16, threshold: Double = 0.7): DataFrame = {
     val rows = 64 / bands
-    val t = tokens(df, textCol).filter(size(col("tk")) >= 3)
+    // Fan-out + one materialization (r17): `t` feeds the signature pass
+    // and both exact-Jaccard verify sides.
+    val t = tokens(Scale.fanout(df), textCol)
+      .filter(size(col("tk")) >= 3)
+      .select(col(idCol), col("toks"), col("toksh"))
+      .localCheckpoint()
     // 64-perm signature from the hashed token set in one fused codegen
     // pass (graft.functions.MinHashSig) — h_i(x) = A_i*x + B_i over the
     // xxhash64 of each token.
@@ -295,10 +315,13 @@ object Dedup {
     */
   def simhashSurvivors(df: DataFrame, idCol: String, textCol: String,
                        maxHamming: Int = 12): DataFrame = {
-    val t = tokens(df, textCol)
+    val t = tokens(Scale.fanout(df), textCol)
+    // Fan-out + one materialization (r17): `sig` feeds the band explode
+    // and both hamming-verify sides; (id, sig) is 16 bytes/doc.
     val sig = t.withColumn("sig",
         graft.functions.Signatures.simhash_sig(col("toksh")))
       .select(col(idCol), col("sig"))
+      .localCheckpoint()
     val banded = sig.select(col(idCol), col("sig"),
         explode(expr(
           "transform(sequence(0, 3), b -> struct(b as band, shiftright(sig, b * 16) & 65535 as bkey))")).as("bb"))
@@ -344,9 +367,12 @@ object Dedup {
     // so it equals the oracle's explode-and-group formulation
     // bit-for-bit. (An interpreted higher-order-function fold computing
     // the same thing measured 15.7 s at sf0.1 vs ~1 s fused.)
-    val sig = shingles(df, textCol, 3).select(col(idCol),
+    // Fan-out + one materialization (r17): three consumers (band explode
+    // + both verify sides) of a single-task signature pass.
+    val sig = shingles(Scale.fanout(df), textCol, 3).select(col(idCol),
       graft.functions.Signatures.simhash_sig_strict(
         graft.functions.Signatures.md5_prefix(col("toks"), 15), 60).as("sig"))
+      .localCheckpoint()
     val banded = sig.select(col(idCol),
         explode(expr("transform(sequence(0, 3), i -> " +
           "struct(i as band, shiftright(sig, 15 * i) & 32767 as bkey))")).as("bb"))
@@ -415,11 +441,14 @@ object Dedup {
     * the banded candidate pair set. */
   private def minhashMd5Candidates(df: DataFrame, idCol: String,
                                    textCol: String): (DataFrame, DataFrame) = {
-    val sig = shingles(df, textCol, 3)
+    // Fan-out + one materialization (r17): both callers (pairs / audit)
+    // consume `sig` three times (band explode + two verify sides).
+    val sig = shingles(Scale.fanout(df), textCol, 3)
       .select(col(idCol), col("toks"),
         graft.functions.Signatures.minhash_sig_mod(
           graft.functions.Signatures.md5_prefix(col("toks"), 8),
           minhashA, minhashB, MinhashP).as("sig"))
+      .localCheckpoint()
     val banded = sig.select(col(idCol),
         explode(expr(
           """transform(sequence(0, 15), b -> struct(b as band,
@@ -483,7 +512,12 @@ object Dedup {
     */
   def minhashIncremental(df: DataFrame, idCol: String, textCol: String,
                          threshold: Double = 0.7): DataFrame = {
-    val br = minhashBandRows(df, idCol, textCol)
+    // Fan-out + one materialization (r17): `br` feeds the bucket-first
+    // aggregate AND the probe join — un-checkpointed, the signature
+    // pipeline ran twice, single-task. (minhashBandRows itself stays
+    // un-checkpointed: it is the streaming matcher's input shape.)
+    val br = minhashBandRows(Scale.fanout(df), idCol, textCol)
+      .localCheckpoint()
     val first = br.groupBy(col("band"), col("bkey"))
       .agg(min(col(idCol)).as("first_id"),
         min_by(col("sig"), col(idCol)).as("sig_f"))
@@ -945,7 +979,10 @@ object Dedup {
     val totals = df.select(col(idCol),
       greatest(size(split(col(textCol), " ")) - (w - 1), lit(1))
         .cast("long").as("n_spans"))
-    val occ = df
+    // r17: fan out the span-hash derivation (guide §2.5 — single-split
+    // scans otherwise run it in one task); totals stay on the raw scan
+    // (token count only, too cheap to warrant an exchange).
+    val occ = Scale.fanout(df)
       .withColumn("tk", split(col(textCol), " "))
       .withColumn("sph", graft.functions.Signatures.md5_prefix(expr(
         s"transform(sequence(1, greatest(size(tk) - ${w - 1}, 1)), " +
@@ -985,7 +1022,10 @@ object Dedup {
     * per-fingerprint document lists, no all-pairs stage. */
   def winnowFingerprintStats(df: DataFrame, idCol: String, textCol: String,
                              k: Int, w: Int): DataFrame = {
-    val grams = df
+    // r17: fan out the gram-hash derivation (guide §2.5); the fp
+    // subtree's three consumers share one exchange (ReuseExchange), so
+    // no materialization is needed here.
+    val grams = Scale.fanout(df)
       .withColumn("tk", split(col(textCol), " "))
       .withColumn("gh", graft.functions.Signatures.md5_prefix(expr(
         s"transform(sequence(1, greatest(size(tk) - ${k - 1}, 1)), " +
@@ -1045,12 +1085,16 @@ object Dedup {
   def maxSharedRunStats(df: DataFrame, idCol: String, textCol: String,
                         k: Int, w: Int): DataFrame = {
     val minRun = w + k - 1
-    val base = df
+    // r17: fan-out + one materialization — `base` (the gram-hash
+    // arrays) feeds the anchor selection AND both extension joins;
+    // un-checkpointed the md5 pass ran three times, single-task.
+    val base = Scale.fanout(df)
       .withColumn("tk", split(col(textCol), " "))
       .withColumn("garr", graft.functions.Signatures.md5_prefix(expr(
         s"transform(sequence(1, greatest(size(tk) - ${k - 1}, 1)), " +
           s"i -> concat_ws(' ', slice(tk, i, $k)))"), 15))
       .select(col(idCol), col("garr"))
+      .localCheckpoint()
     val grams = base.select(col(idCol), posexplode(col("garr")))
       .select(col(idCol), (col("pos") + 1).as("i"), col("col").as("gh"))
     // winnow-SELECTED positions: per full window the RIGHTMOST minimum
@@ -1126,11 +1170,15 @@ object Dedup {
     * is keyed by span hash or document id, nothing global. */
   def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                             w: Int): DataFrame = {
-    val base = df
+    // r17: fan-out + one materialization — `base` feeds the occurrence
+    // explode AND the final token-assembly join.
+    val base = Scale.fanout(df)
       .withColumn("tk", split(col(textCol), " "))
       .withColumn("sph", graft.functions.Signatures.md5_prefix(expr(
         s"transform(sequence(1, greatest(size(tk) - ${w - 1}, 1)), " +
           s"i -> concat_ws(' ', slice(tk, i, $w)))"), 15))
+      .select(col(idCol), col("tk"), col("sph"))
+      .localCheckpoint()
     val occ = base.select(col(idCol), posexplode(col("sph")))
       .select(col(idCol), (col("pos") + 1).as("i"), col("col").as("sp"))
     val dup = occ.groupBy(col("sp"))

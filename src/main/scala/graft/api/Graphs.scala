@@ -258,24 +258,30 @@ object Graphs {
         .select(col("id"),
           (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
     }
+    // r17 convergence probe (guide §1.2): the rank chain is pointwise
+    // NON-DECREASING (monotone map from the bottom seed — the Kleene
+    // argument above), so two rank tables along the chain are equal iff
+    // their SUMS are equal. One scalar aggregate over the block's
+    // checkpoint replaces the union + group-count symmetric-difference
+    // job (two extra shuffles) per block. Overflow-safe: Σr <= scale
+    // <= 1e18 (autoScale caps n at 1e16). (The union-seeded round body
+    // tried alongside this was MEASURED SLOWER than the left-join form
+    // — 10.3 s vs 4.9 s profiled at sf0.1 — and was reverted; see
+    // OPTIMIZATION_r17.md.)
+    var prevSum = n * base // the seed's sum: n rows of `base`
     var it = 0
     while (it < maxIters) {
       val k = math.min(blockSize, maxIters - it)
       // k rounds chained LAZILY, one checkpoint for the block
       val next = (1 to k).foldLeft(ranks)((r, _) => oneRound(r))
         .localCheckpoint()
-      // ONE driver scalar per block: the symmetric-difference size of
-      // the two (checkpointed, id-unique) rank sets — 0 iff no node
-      // changed across the block, which by monotonicity means the
-      // block-START ranks were already the fixpoint (the
-      // knnGraphConverged idiom, block-batched)
-      val d = next.union(ranks).groupBy(col("id"), col("r")).count()
-        .filter(col("count") === 1).count()
+      val s = next.agg(sum(col("r"))).head().getLong(0)
       // reported round = block start + 1: r_{blockStart} equals
       // r_{blockStart+1} (constant chain), so the fixpoint is
       // certified reached by that round — an upper bound within
       // blockSize-1 of the exact first-flat round
-      if (d == 0L) return (next, it + 1)
+      if (s == prevSum) return (next, it + 1)
+      prevSum = s
       ranks = next
       it += k
     }

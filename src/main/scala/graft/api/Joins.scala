@@ -176,7 +176,11 @@ object Joins {
     val all =
       if (maxDist == 1) s"array_distinct(concat(array($s), $d1))"
       else s"array_distinct(concat(array($s), $d1, $d2))"
-    df.select(col(idCol).as(s"id_$tag"),
+    // r17: fan out the variant generation (guide §2.5 — the per-row
+    // O(len) / O(len²) substring+md5 expansion otherwise runs in one
+    // task over a single-split local scan; no-op at scale).
+    Scale.fanout(df)
+      .select(col(idCol).as(s"id_$tag"),
         length(col(strCol)).as(s"len_$tag"), explode(expr(all)).as("__v"))
       .select(col(s"id_$tag"), col(s"len_$tag"),
         conv(substring(md5(col("__v")), 1, 15), 16, 10).cast("long").as("vh"))

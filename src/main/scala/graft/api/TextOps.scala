@@ -39,7 +39,9 @@ object TextOps {
     * idf = ln(N/df), tiebreak term asc).
     */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, topN: Int): DataFrame = {
-    val tf = df.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+    // r17: fan out the tokenize+explode (guide §2.5; no-op at scale)
+    val tf = Scale.fanout(df)
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
       .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
     val dfx = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("nd"))
@@ -146,7 +148,8 @@ object TextOps {
     * left fold, so the float sum is bit-stable and replayable.
     */
   def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol),
+    // r17: fan out the tokenize+explode (guide §2.5; no-op at scale)
+    val toks = Scale.fanout(df).select(col(idCol),
         posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
     val big = toks.withColumn("prev",
         lag(col("tok"), 1).over(Window.partitionBy(col(idCol)).orderBy(col("pos"))))
@@ -185,7 +188,9 @@ object TextOps {
     * linearly — a 100 TB corpus is just more doc-keyed partitions.
     */
   def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = df.withColumn("tk", split(col(textCol), " "))
+    // r17: fan out the tokenize (guide §2.5; `t` feeds three consumers,
+    // each exploding differently — parallel beats materialized here)
+    val t = Scale.fanout(df).withColumn("tk", split(col(textCol), " "))
       .withColumn("n_tok", size(col("tk")))
       .withColumn("n_uniq", size(array_distinct(col("tk"))))
     val topTok = t.select(col(idCol), explode(col("tk")).as("tok"))
@@ -214,7 +219,8 @@ object TextOps {
     */
   def chunkShare(df: DataFrame, idCol: String, textCol: String,
                  chunkTokens: Int = 10): DataFrame = {
-    val ch = df.withColumn("tk", split(col(textCol), " "))
+    // r17: fan out the chunk-hash derivation (guide §2.5)
+    val ch = Scale.fanout(df).withColumn("tk", split(col(textCol), " "))
       .select(col(idCol), explode(expr(
         s"transform(sequence(1, greatest(size(tk), 1), $chunkTokens), i -> concat_ws(' ', slice(tk, i, $chunkTokens)))")).as("chunk"))
       .withColumn("h", element_at(
@@ -242,7 +248,8 @@ object TextOps {
     */
   def bm25(df: DataFrame, idCol: String, textCol: String,
            terms: Seq[String]): DataFrame = {
-    val t = df.withColumn("tk", split(col(textCol), " "))
+    // r17: fan out the tokenize (guide §2.5)
+    val t = Scale.fanout(df).withColumn("tk", split(col(textCol), " "))
       .withColumn("dl", size(col("tk")))
     val stats = t.agg(count(lit(1)).as("n"), sum(col("dl").cast("long")).as("sumdl"))
     val tf = t.select(col(idCol), col("dl"), explode(col("tk")).as("term"))
@@ -277,7 +284,9 @@ object TextOps {
     * the fold list holds at most `topR` entries per group. */
   def zipfFit(df: DataFrame, groupCol: String, textCol: String,
               topR: Int): DataFrame = {
-    val tc = df.select(col(groupCol), explode(split(col(textCol), " ")).as("term"))
+    // r17: fan out the tokenize+explode (guide §2.5)
+    val tc = Scale.fanout(df)
+      .select(col(groupCol), explode(split(col(textCol), " ")).as("term"))
       .groupBy(col(groupCol), col("term")).agg(count(lit(1)).as("cnt"))
     val wr = Window.partitionBy(col(groupCol)).orderBy(col("cnt").desc, col("term"))
     tc.withColumn("r", row_number().over(wr)).filter(col("r") <= topR)
@@ -314,7 +323,8 @@ object TextOps {
     * set, and both shuffles — (doc, char) counts, then per-doc — are
     * doc-keyed; nothing global. */
   def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val cc = df
+    // r17: fan out the per-character explode (guide §2.5)
+    val cc = Scale.fanout(df)
       .select(col(idCol), explode(split(col(textCol), "")).as("c"))
       .groupBy(col(idCol), col("c")).agg(count(lit(1)).as("cnt"))
     cc.groupBy(col(idCol))

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Det, Tables}
-import graft.api.{Bpe, Dedup, Embeddings, Multimodal, Sampling, Similarity, TextOps}
+import graft.api.{Bpe, Dedup, Embeddings, Multimodal, Sampling, Scale, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -339,7 +339,8 @@ object Pipeline {
       val docs = Tables.documents(s, d)
       val merges = Bpe.trainSampled(docs, "doc_id", Seq("lang"), "text",
         BpeMergeRounds, 0.2)
-      docs.withColumn("toks", Bpe.docTokens(col("text"), merges))
+      // r17: fan out the full-corpus encode (guide §2.5)
+      Scale.fanout(docs).withColumn("toks", Bpe.docTokens(col("text"), merges))
         .withColumn("st", explode(expr(
           "sequence(0, greatest(size(toks) - 1, 0), 24)")))
         .select(col("doc_id"), expr("st div 24").as("chunk_id"),
@@ -356,7 +357,8 @@ object Pipeline {
     "corpus_chunk_bpe" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val merges = Bpe.train(docs, "text", BpeMergeRounds)
-      docs.withColumn("toks", Bpe.docTokens(col("text"), merges))
+      // r17: fan out the full-corpus encode (guide §2.5)
+      Scale.fanout(docs).withColumn("toks", Bpe.docTokens(col("text"), merges))
         .withColumn("st", explode(expr(
           "sequence(0, greatest(size(toks) - 1, 0), 24)")))
         .select(col("doc_id"), expr("st div 24").as("chunk_id"),
@@ -590,7 +592,9 @@ object Pipeline {
         .partitionBy(col("lang")).orderBy(col("doc_id"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
-      docs.withColumn("n_tok", size(Bpe.docTokens(col("text"), merges)))
+      // r17: fan out the full-corpus encode (guide §2.5)
+      Scale.fanout(docs)
+        .withColumn("n_tok", size(Bpe.docTokens(col("text"), merges)))
         .withColumn("cum", sum(col("n_tok")).over(w))
         .withColumn("pack_id", expr("cast((cum - n_tok) div 512 as bigint)"))
         .groupBy("lang", "pack_id")

@@ -53,7 +53,7 @@ object Streaming {
       val sp = s
       import sp.implicits._
       val rows = graft.api.Dedup.minhashBandRows(
-          Tables.documents(s, d), "doc_id", "text")
+          graft.api.Scale.fanout(Tables.documents(s, d)), "doc_id", "text")
         .as[graft.streaming.DocBandRow]
       StreamOps.minhashIncrCandidates(rows, streaming = false).toDF()
         .withColumn("est", col("n_agree").cast("double") / lit(64.0))
